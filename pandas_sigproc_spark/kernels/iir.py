@@ -1,0 +1,233 @@
+"""IIR filter execution in pure NumPy: ``lfilter`` / ``lfilter_zi`` /
+``filtfilt`` with SciPy-compatible semantics.
+
+The reference applies filters with ``scipy.signal.lfilter`` (causal,
+``extension.py:563``) and ``scipy.signal.filtfilt`` (zero-phase,
+``extension.py:493, 535``).  SciPy isn't available in this environment, so
+both are re-implemented here:
+
+- ``_lfilter_loop`` — exact direct-form-II-transposed recursion (the
+  textbook difference equation).  Used for short signals, for impulse
+  responses, and as the golden reference in tests.
+- ``lfilter`` — for long inputs, a numerically-exact vectorized path:
+  the MA (FIR) part is an FFT convolution; the AR part is a convolution
+  with the recursion's impulse response, truncated only once it has
+  decayed below float64 resolution relative to its peak.  This is the
+  "chunked/overlap-save" scale strategy of SURVEY.md §7.3.1 expressed as
+  a kernel: work is O(n log n) with no Python-level per-sample loop.
+
+``filtfilt`` reproduces SciPy's default behavior (odd extension of length
+``3 * max(len(a), len(b))``, ``lfilter_zi`` initial conditions scaled by the
+first sample of each pass) because the reference relies on those defaults.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Below this length the plain Python recursion is faster than FFT setup.
+_LOOP_CUTOVER = 2048
+# Stop expanding the AR impulse response once the tail is this small
+# relative to the running peak (float64 eps is ~2.2e-16).
+_DECAY_RTOL = 1e-18
+_MAX_IR_LEN = 1 << 22  # 4M samples: hard cap for near-unstable filters
+
+
+def _normalize_ba(b, a):
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    return b, a
+
+
+def _lfilter_loop(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
+    """Direct-form II transposed recursion, one sample at a time (exact)."""
+    n = max(len(a), len(b))
+    bp = np.zeros(n)
+    ap = np.zeros(n)
+    bp[: len(b)] = b
+    ap[: len(a)] = a
+    z = np.zeros(max(n - 1, 1)) if zi is None else np.asarray(zi, dtype=np.float64).copy()
+    y = np.empty(len(x), dtype=np.float64)
+    if n == 1:
+        y[:] = bp[0] * x
+        return (y, z) if zi is not None else y
+    for i in range(len(x)):
+        xi = x[i]
+        yi = bp[0] * xi + z[0]
+        for j in range(n - 2):
+            z[j] = bp[j + 1] * xi + z[j + 1] - ap[j + 1] * yi
+        z[n - 2] = bp[n - 1] * xi - ap[n - 1] * yi
+        y[i] = yi
+    return (y, z) if zi is not None else y
+
+
+_IR_CACHE: dict = {}
+
+
+def _ar_impulse_response(a: np.ndarray, min_len: int) -> np.ndarray:
+    key = a.tobytes()
+    cached = _IR_CACHE.get(key)
+    if cached is not None and len(cached) >= min_len:
+        return cached
+    h = _ar_impulse_response_uncached(a, min_len)
+    if len(_IR_CACHE) > 64:
+        _IR_CACHE.clear()
+    _IR_CACHE[key] = h
+    return h
+
+
+def _ar_impulse_response_uncached(a: np.ndarray, min_len: int) -> np.ndarray:
+    """Impulse response of ``1 / a(z)``, truncated at float64 resolution.
+
+    Grows the length geometrically until ``max |h[tail]|`` is below
+    ``_DECAY_RTOL * max |h|`` (i.e. further terms cannot perturb a
+    convolution at double precision), starting from ``min_len``.
+    """
+    order = len(a) - 1
+    length = max(min_len, 256)
+    while True:
+        h = np.zeros(length)
+        h[0] = 1.0
+        # Sequential AR recursion — but only over the (short) IR length.
+        h = _lfilter_loop(np.array([1.0]), a, h)
+        peak = np.max(np.abs(h))
+        tail = np.max(np.abs(h[-max(order, 8):])) if length > order else peak
+        if peak == 0.0 or tail <= _DECAY_RTOL * peak or length >= _MAX_IR_LEN:
+            return h
+        length *= 4
+
+
+def _fft_convolve_full(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    nfull = len(x) + len(h) - 1
+    nfft = 1 << (nfull - 1).bit_length()
+    X = np.fft.rfft(x, nfft)
+    H = np.fft.rfft(h, nfft)
+    return np.fft.irfft(X * H, nfft)[:nfull]
+
+
+def _final_state(b, a, x, y):
+    """Exact final DF2T delay-line state from the trailing samples.
+
+    Unrolling the transposed-direct-form-II state recursion gives
+    ``z_j[i] = sum_{m=0}^{n-2-j} (b[j+1+m] x[i-m] - a[j+1+m] y[i-m])`` —
+    the state depends only on the last ``order`` input/output samples.
+    """
+    n = max(len(a), len(b))
+    bp = np.zeros(n)
+    ap = np.zeros(n)
+    bp[: len(b)] = b
+    ap[: len(a)] = a
+    z = np.zeros(n - 1)
+    last = len(x) - 1
+    for j in range(n - 1):
+        acc = 0.0
+        for m in range(n - 1 - j):
+            idx = last - m
+            if idx < 0:
+                break
+            acc += bp[j + 1 + m] * x[idx] - ap[j + 1 + m] * y[idx]
+        z[j] = acc
+    return z
+
+
+def lfilter(b, a, x, zi=None):
+    """Apply an IIR/FIR filter along a 1-D array.
+
+    Matches ``scipy.signal.lfilter(b, a, x, zi=zi)`` semantics: returns
+    ``y`` (and the final delay-line state when ``zi`` is given).
+
+    Long inputs take the vectorized FFT path; a nonzero initial state is
+    handled by superposition (zero-state response + a short zero-input
+    response that decays at the filter's own rate).
+    """
+    b, a = _normalize_ba(b, a)
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim != 1:
+        raise ValueError("lfilter kernel operates on 1-D arrays")
+
+    n = max(len(a), len(b))
+    if len(x) <= _LOOP_CUTOVER or n > 16:
+        return _lfilter_loop(b, a, x, zi)
+
+    if len(a) == 1:
+        # Pure FIR.
+        y = _fft_convolve_full(x, b)[: len(x)]
+    else:
+        # IIR zero-state response: y = (x * b) * h, h = AR impulse response.
+        f = _fft_convolve_full(x, b)[: len(x)]
+        h = _ar_impulse_response(a, min_len=4096)
+        y = _fft_convolve_full(f, h)[: len(x)]
+
+    if zi is None:
+        return y
+
+    zi = np.asarray(zi, dtype=np.float64)
+    if np.any(zi != 0.0):
+        # Zero-input response from the initial state (linear superposition).
+        zir_len = len(x)
+        if len(a) > 1:
+            zir_len = min(len(x), len(_ar_impulse_response(a, min_len=4096)))
+        else:
+            zir_len = min(len(x), n)
+        zir, _ = _lfilter_loop(b, a, np.zeros(zir_len), zi=zi.copy())
+        y[:zir_len] += zir
+    zf = _final_state(b, a, x, y)
+    return y, zf
+
+
+def lfilter_zi(b, a):
+    """Initial delay-line state for step-response steady state.
+
+    Standard construction (as published in the SciPy docs): solve
+    ``(I - A) zi = B`` where ``A`` is the transposed companion matrix of
+    ``a`` and ``B = b[1:] - a[1:] * b[0]``.
+    """
+    b, a = _normalize_ba(b, a)
+    n = max(len(a), len(b))
+    bp = np.zeros(n)
+    ap = np.zeros(n)
+    bp[: len(b)] = b
+    ap[: len(a)] = a
+    if n == 1:
+        return np.zeros(0)
+    # Transposed companion matrix of ap.
+    comp = np.zeros((n - 1, n - 1))
+    comp[:, 0] = -ap[1:]
+    comp[:-1, 1:] = np.eye(n - 2)
+    iminus = np.eye(n - 1) - comp
+    bvec = bp[1:] - ap[1:] * bp[0]
+    return np.linalg.solve(iminus, bvec)
+
+
+def filtfilt(b, a, x):
+    """Zero-phase forward-backward filtering, SciPy-default-compatible.
+
+    Odd-pad the signal by ``3 * max(len(a), len(b))`` samples, filter
+    forward with ``zi*x[0]`` initial conditions, reverse, filter again with
+    ``zi*y[-1]``, reverse, and strip the pads.
+    """
+    b, a = _normalize_ba(b, a)
+    x = np.asarray(x, dtype=np.float64)
+    ntaps = max(len(a), len(b))
+    padlen = 3 * ntaps
+    if len(x) <= padlen:
+        raise ValueError(
+            f"input length ({len(x)}) must exceed padlen ({padlen}) for filtfilt"
+        )
+
+    # Odd extension about the end points.
+    front = 2.0 * x[0] - x[padlen:0:-1]
+    back = 2.0 * x[-1] - x[-2 : -padlen - 2 : -1]
+    ext = np.concatenate([front, x, back])
+
+    zi = lfilter_zi(b, a)
+    y, _ = lfilter(b, a, ext, zi=zi * ext[0])
+    y = y[::-1]
+    y, _ = lfilter(b, a, y, zi=zi * y[0])
+    y = y[::-1]
+    return y[padlen:-padlen]
