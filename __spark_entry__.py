@@ -1,38 +1,1017 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-channel signal pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (signal operators run over the ``events`` table viewed as the
+canonical ``signals`` long format: channel_id = user_id, t = epoch
+seconds); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+relational (native-tier) query.  Kernel-tier queries (FFT/IIR/spline/
+rainflow — genuinely non-SQL-expressible) omit the oracle entry and get
+the driver's rows-only check; their numeric correctness is covered by the
+golden tests in tests/ (see SURVEY.md §5.2).
+
+Float policy: row-level expressions are bit-identical across engines, so
+they are returned raw; any result downstream of a reduction (sum/avg) is
+rounded on BOTH sides to absorb summation-order differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pandas_sigproc_spark.operators import (
+    between,
+    deduplicate,
+    derivative,
+    detrend,
+    filt_a,
+    filt_butter,
+    filt_cfc,
+    get_psd,
+    get_srs,
+    integral,
+    interp1d_linear,
+    mov_rms,
+    rainflow,
+    resample,
+    rms,
+    rms_lin,
+    rms_log,
+    rss,
+    samplerate,
+    segment_stats,
+    spl,
+    interp1d_spline,
+)
+
+DAY = 86400.0
+
+# ---------------------------------------------------------------------------
+# signals view over the events table
+# ---------------------------------------------------------------------------
+
+
+def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark 4
+    # rejects unless read as raw nanos.  DuckDB truncates ns -> µs at scan,
+    # so mirror that exactly with integer division (bit-exact, unlike a
+    # double divide at 1e18 magnitude).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        t = (F.expr("ts div 1000")) / F.lit(1e6)
+    else:
+        t = F.col("ts").cast("double")
+    return ev.select(
+        F.col("user_id").cast("string").alias("channel_id"),
+        t.alias("t"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+
+
+_SIG_CTE = """
+sig AS (
+  SELECT CAST(user_id AS VARCHAR) AS channel_id,
+         epoch(ts) AS t,
+         CAST(value AS DOUBLE) AS value,
+         CAST(event_id AS BIGINT) AS seq
+  FROM events
+)
+"""
+
+# Window bounds used by q_between (days 3..10 of the 2024-01 data month).
+_T_LO = 1704240000.0  # 2024-01-03 00:00:00 UTC
+_T_HI = 1704844800.0  # 2024-01-10 00:00:00 UTC
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """SURVEY.md §7.1 minimum slice on sf0.001: dedup -> uniform hourly
+    resample -> zero-phase Butterworth lowpass -> per-channel RMS, plus the
+    all-channel RSS track's RMS appended as channel 'rss(all)'."""
+    sf_dir = "/root/testdata/sf0.001"
+    sig = deduplicate(_signals(spark, sf_dir))
+    uni = resample(sig, sample_rate=1.0 / 3600.0)  # hourly grid
+    filt = filt_butter(uni, cutoff=0.3 * (0.5 / 3600.0), order=4, btype="lowpass")
+    per_channel = rms(filt)
+    rss_track = rss(filt, out_channel="rss(all)")
+    rss_rms = rms(rss_track.select("channel_id", "t", "value"))
+    return per_channel.unionByName(rss_rms)
+
+
+# ---------------------------------------------------------------------------
+# native tier: Spark query + DuckDB oracle pairs
+# ---------------------------------------------------------------------------
+
+
+def q_between(spark, sf_dir):
+    return between(_signals(spark, sf_dir), _T_LO, _T_HI).select(
+        "channel_id", "t", "value"
+    )
+
+
+SQL_BETWEEN = f"""
+WITH {_SIG_CTE}
+SELECT channel_id, t, value FROM sig WHERE t BETWEEN {_T_LO!r} AND {_T_HI!r}
+"""
+
+
+def q_timeshift(spark, sf_dir):
+    from pandas_sigproc_spark.operators.relational import timeshift
+
+    return timeshift(_signals(spark, sf_dir).select("channel_id", "t", "value"), 3600.0)
+
+
+SQL_TIMESHIFT = f"""
+WITH {_SIG_CTE}
+SELECT channel_id, t + 3600.0 AS t, value FROM sig
+"""
+
+
+def q_deduplicate(spark, sf_dir):
+    return deduplicate(_signals(spark, sf_dir))
+
+
+SQL_DEDUPLICATE = f"""
+WITH {_SIG_CTE}
+SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+"""
+
+
+def q_rms(spark, sf_dir):
+    return rms(_signals(spark, sf_dir)).select(
+        "channel_id", F.round("rms", 6).alias("rms")
+    )
+
+
+SQL_RMS = f"""
+WITH {_SIG_CTE}
+SELECT channel_id, ROUND(SQRT(AVG(value * value)), 6) AS rms
+FROM sig GROUP BY channel_id
+"""
+
+
+def q_spl(spark, sf_dir):
+    return spl(_signals(spark, sf_dir)).select(
+        "channel_id", F.round("spl", 6).alias("spl")
+    )
+
+
+SQL_SPL = f"""
+WITH {_SIG_CTE}
+SELECT channel_id, ROUND(20.0 * LOG10(SQRT(AVG(value * value)) / 2e-05), 6) AS spl
+FROM sig GROUP BY channel_id
+"""
+
+
+def q_samplerate(spark, sf_dir):
+    out = samplerate(_signals(spark, sf_dir), order_col="seq")
+    return out.select("channel_id", F.round("samplerate", 6).alias("samplerate"))
+
+
+SQL_SAMPLERATE = f"""
+WITH {_SIG_CTE},
+d AS (
+  SELECT channel_id, t - LAG(t) OVER (PARTITION BY channel_id ORDER BY t, seq) AS dt
+  FROM sig
+),
+s AS (
+  SELECT channel_id, MAX(dt) AS max_dt, MIN(dt) AS min_dt, AVG(dt) AS mean_dt
+  FROM d WHERE dt IS NOT NULL GROUP BY channel_id
+)
+SELECT channel_id,
+       ROUND(CASE WHEN min_dt > 0 AND (max_dt - min_dt) / mean_dt <= 0.0001
+             THEN CASE WHEN ABS(1.0/mean_dt - ROUND(1.0/mean_dt)) < 0.01
+                        AND 1.0/mean_dt >= 1
+                       THEN ROUND(1.0/mean_dt) ELSE 1.0/mean_dt END
+             ELSE NULL END, 6) AS samplerate
+FROM s
+"""
+
+
+def q_mov_rms(spark, sf_dir):
+    # Row-based trailing window of 10 samples on the (non-uniform) event
+    # channels — the row-window flavor of mov_rms (extension.py:690-691's
+    # rolling(window_n) with warm-up dropped).
+    sig = _signals(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    roll = w.rowsBetween(-9, 0)
+    return (
+        sig.withColumn("_rn", F.row_number().over(w))
+        .withColumn("value", F.sqrt(F.avg(F.col("value") * F.col("value")).over(roll)))
+        .filter(F.col("_rn") >= 10)
+        .select("channel_id", "t", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_MOV_RMS = f"""
+WITH {_SIG_CTE},
+r AS (
+  SELECT channel_id, t,
+         ROW_NUMBER() OVER w AS rn,
+         SQRT(AVG(value * value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS value
+  FROM sig
+  WINDOW w AS (PARTITION BY channel_id ORDER BY t, seq)
+)
+SELECT channel_id, t, ROUND(value, 6) AS value FROM r WHERE rn >= 10
+"""
+
+
+def q_integral(spark, sf_dir):
+    sig = _signals(spark, sf_dir)
+    out = integral(sig, tiebreak_col="seq")
+    return out.select("channel_id", "t", F.round("value", 4).alias("value"))
+
+
+SQL_INTEGRAL = f"""
+WITH {_SIG_CTE},
+seg AS (
+  SELECT channel_id, t, seq,
+         COALESCE((value + LAG(value) OVER w) / 2.0 * (t - LAG(t) OVER w), 0.0) AS area
+  FROM sig
+  WINDOW w AS (PARTITION BY channel_id ORDER BY t, seq)
+)
+SELECT channel_id, t,
+       ROUND(SUM(area) OVER (PARTITION BY channel_id ORDER BY t, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
+FROM seg
+"""
+
+
+def q_derivative(spark, sf_dir):
+    sig = _signals(spark, sf_dir)
+    return derivative(sig, tiebreak_col="seq").select(
+        "channel_id", "t", F.round("value", 6).alias("value")
+    )
+
+
+SQL_DERIVATIVE = f"""
+WITH {_SIG_CTE},
+p AS (
+  SELECT channel_id, t, value,
+         LEAD(t) OVER w AS t2, LEAD(value) OVER w AS y2
+  FROM sig
+  WINDOW w AS (PARTITION BY channel_id ORDER BY t, seq)
+)
+SELECT channel_id, (t + t2) / 2.0 AS t,
+       ROUND((y2 - value) / (t2 - t), 6) AS value
+FROM p WHERE t2 IS NOT NULL
+"""
+
+
+# Detrend residuals are value - mean with 2-decimal inputs and power-of-two
+# channel counts: they land EXACTLY on .5e-6 rounding boundaries, where the
+# two engines' last-bit avg differences flip the rounded digit.  A 1e-9
+# nudge moves the boundary off the attainable 0.25e-6 grid (grid step >>
+# nudge >> cross-engine fp difference), making the round deterministic.
+_NUDGE = 1e-9
+
+
+def q_detrend_constant(spark, sf_dir):
+    sig = _signals(spark, sf_dir).select("channel_id", "t", "value")
+    return detrend(sig, "constant").select(
+        "channel_id", "t", F.round(F.col("value") + _NUDGE, 6).alias("value")
+    )
+
+
+SQL_DETREND_CONSTANT = f"""
+WITH {_SIG_CTE}
+SELECT channel_id, t,
+       ROUND(value - AVG(value) OVER (PARTITION BY channel_id) + {_NUDGE!r}, 6) AS value
+FROM sig
+"""
+
+
+def q_detrend_linear(spark, sf_dir):
+    sig = _signals(spark, sf_dir).select("channel_id", "t", "value")
+    return detrend(sig, "linear").select(
+        "channel_id", "t", F.round(F.col("value") + _NUDGE, 6).alias("value")
+    )
+
+
+SQL_DETREND_LINEAR = f"""
+WITH {_SIG_CTE},
+c AS (
+  SELECT channel_id, t, value,
+         t - AVG(t) OVER w AS tc,
+         value - AVG(value) OVER w AS yc
+  FROM sig
+  WINDOW w AS (PARTITION BY channel_id)
+),
+s AS (
+  SELECT channel_id, t, yc, tc,
+         AVG(tc * yc) OVER w2 / AVG(tc * tc) OVER w2 AS slope
+  FROM c
+  WINDOW w2 AS (PARTITION BY channel_id)
+)
+SELECT channel_id, t, ROUND(yc - slope * tc + {_NUDGE!r}, 6) AS value
+FROM s
+"""
+
+
+def q_rss_daily(spark, sf_dir):
+    # RSS across all channels on a shared daily time base (the equi-join-on-
+    # time operator, extension.py:783-817, bucketed to day grain so stamps
+    # actually align).
+    sig = _signals(spark, sf_dir).withColumn("day", F.floor(F.col("t") / DAY))
+    return (
+        sig.groupBy("day")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("value") * F.col("value"))), 6).alias("value"),
+            F.count("*").alias("n_channels"),
+        )
+        .select(F.col("day").cast("long").alias("day"), "value", "n_channels")
+    )
+
+
+SQL_RSS_DAILY = f"""
+WITH {_SIG_CTE}
+SELECT CAST(FLOOR(t / {DAY!r}) AS BIGINT) AS day,
+       ROUND(SQRT(SUM(value * value)), 6) AS value,
+       COUNT(*) AS n_channels
+FROM sig GROUP BY 1
+"""
+
+# Derived per-channel spectrum for the freq-domain aggregates: freq =
+# seconds since channel start + 1 (strictly positive), power = value^2 + 1
+# (strictly positive for the log-log path), deduplicated.
+_SPEC_CTE = f"""
+{_SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+spec AS (
+  SELECT channel_id,
+         t - MIN(t) OVER (PARTITION BY channel_id) + 1.0 AS freq,
+         value * value + 1.0 AS power
+  FROM dedup
+)
+"""
+
+
+def _spec(spark, sf_dir):
+    sig = deduplicate(_signals(spark, sf_dir))
+    return sig.select(
+        "channel_id",
+        (
+            F.col("t") - F.min("t").over(Window.partitionBy("channel_id")) + 1.0
+        ).alias("freq"),
+        (F.col("value") * F.col("value") + 1.0).alias("power"),
+    )
+
+
+def q_rms_lin(spark, sf_dir):
+    return rms_lin(_spec(spark, sf_dir)).select(
+        "channel_id", F.round("rms_lin", 4).alias("rms_lin")
+    )
+
+
+SQL_RMS_LIN = f"""
+WITH {_SPEC_CTE},
+p AS (
+  SELECT channel_id, freq, power,
+         LEAD(freq) OVER w AS f2, LEAD(power) OVER w AS p2
+  FROM spec WINDOW w AS (PARTITION BY channel_id ORDER BY freq)
+)
+SELECT channel_id,
+       ROUND(SQRT(SUM((power + p2) / 2.0 * (f2 - freq))), 4) AS rms_lin
+FROM p WHERE f2 IS NOT NULL GROUP BY channel_id
+"""
+
+
+def q_rms_log(spark, sf_dir):
+    return rms_log(_spec(spark, sf_dir)).select(
+        "channel_id", F.round("rms_log", 4).alias("rms_log")
+    )
+
+
+SQL_RMS_LOG = f"""
+WITH {_SPEC_CTE},
+p AS (
+  SELECT channel_id, freq AS f1, power AS p1,
+         LEAD(freq) OVER w AS f2, LEAD(power) OVER w AS p2
+  FROM spec WINDOW w AS (PARTITION BY channel_id ORDER BY freq)
+),
+seg AS (
+  SELECT channel_id, f1, p1, f2, p2,
+         LOG10(p2 / p1) / LOG10(f2 / f1) AS n
+  FROM p WHERE f2 IS NOT NULL
+),
+areas AS (
+  SELECT channel_id,
+         CASE WHEN ABS(n + 1.0) < 1e-10 THEN p1 * f1 * LN(f2 / f1)
+              ELSE (p1 / POW(f1, n)) * (1.0 / (n + 1.0)) * (POW(f2, n + 1.0) - POW(f1, n + 1.0))
+         END AS raw_area,
+         (p1 + p2) / 2.0 * (f2 - f1) AS trap_area
+  FROM seg
+)
+SELECT channel_id,
+       ROUND(SQRT(SUM(CASE WHEN raw_area IS NULL OR ISNAN(raw_area)
+                            OR raw_area = 0.0
+                            OR ABS(raw_area) = CAST('Infinity' AS DOUBLE)
+                           THEN trap_area ELSE raw_area END)), 4) AS rms_log
+FROM areas GROUP BY channel_id
+"""
+
+
+def q_interp_daily(spark, sf_dir):
+    # Linear interpolation (as-of join) of every channel onto the daily
+    # grid inside its own time span (extension.py:819-851 linear kind).
+    sig = deduplicate(_signals(spark, sf_dir))
+    bounds = sig.groupBy("channel_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = bounds.select(
+        "channel_id",
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("t0") / DAY).cast("long"),
+                F.floor(F.col("t1") / DAY).cast("long"),
+            )
+        ).alias("day"),
+    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    out = interp1d_linear(sig, grid, axis="t")
+    return out.select("channel_id", "t", F.round("value", 6).alias("value"))
+
+
+SQL_INTERP_DAILY = f"""
+WITH {_SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+b AS (
+  SELECT channel_id, MIN(t) AS t0, MAX(t) AS t1 FROM dedup GROUP BY channel_id
+),
+grid AS (
+  SELECT channel_id,
+         UNNEST(RANGE(CAST(CEIL(t0 / {DAY!r}) AS BIGINT),
+                      CAST(FLOOR(t1 / {DAY!r}) AS BIGINT) + 1)) * {DAY!r} AS t
+  FROM b
+),
+u AS (
+  SELECT channel_id, t AS x, value AS y, 1 AS is_src FROM dedup
+  UNION ALL
+  SELECT channel_id, t, NULL, 0 FROM grid
+),
+m AS (
+  SELECT channel_id, x, is_src,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN x END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN y END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN x END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x DESC, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN y END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x DESC, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y1
+  FROM u
+)
+SELECT channel_id, x AS t,
+       ROUND(CASE WHEN x1 = x0 THEN y0
+                  ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END, 6) AS value
+FROM m WHERE is_src = 0 AND x0 IS NOT NULL AND x1 IS NOT NULL
+"""
+
+
+def q_segment_stats(spark, sf_dir):
+    sig = _signals(spark, sf_dir)
+    out = segment_stats(sig, n_window=8, order_col="t", tiebreak_col="seq")
+    return out.select(
+        "channel_id",
+        "n_segments",
+        F.round("mean_rms", 6).alias("mean_rms"),
+        F.round("median_rms", 6).alias("median_rms"),
+        F.round("max_rms", 6).alias("max_rms"),
+        F.round("min_rms", 6).alias("min_rms"),
+        F.round("max_rms_scale", 6).alias("max_rms_scale"),
+        F.round("damage_scale", 6).alias("damage_scale"),
+    )
+
+
+SQL_SEGMENT_STATS = f"""
+WITH {_SIG_CTE},
+r AS (
+  SELECT channel_id, value,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) - 1) / 8) AS BIGINT) AS seg
+  FROM sig
+),
+s AS (
+  SELECT channel_id, seg, SQRT(AVG(value * value)) AS seg_rms, COUNT(*) AS n
+  FROM r GROUP BY channel_id, seg
+),
+full_segs AS (SELECT * FROM s WHERE n = 8),
+agg AS (
+  SELECT channel_id, COUNT(*) AS n_segments,
+         AVG(seg_rms) AS mean_rms,
+         QUANTILE_CONT(seg_rms, 0.5) AS median_rms,
+         MAX(seg_rms) AS max_rms, MIN(seg_rms) AS min_rms,
+         AVG(POW(seg_rms, 4.0)) AS mean_pow
+  FROM full_segs GROUP BY channel_id
+)
+SELECT channel_id, n_segments,
+       ROUND(mean_rms, 6) AS mean_rms, ROUND(median_rms, 6) AS median_rms,
+       ROUND(max_rms, 6) AS max_rms, ROUND(min_rms, 6) AS min_rms,
+       ROUND(POW(max_rms / mean_rms, 2.0), 6) AS max_rms_scale,
+       ROUND(POW(POW(mean_pow, 0.25) / mean_rms, 2.0), 6) AS damage_scale
+FROM agg
+"""
+
+
+# --- classic relational coverage (joins + grouped aggregation) -------------
+
+
+def q_tpch_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_revenue_join(spark, sf_dir):
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey"), "revenue", "n_items")
+    )
+
+
+SQL_TPCH_REVENUE_JOIN = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+"""
+
+
+# --- LLM-data-pipeline operators (documents / embeddings) -------------------
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    stop = F.filter(words, lambda w: w.isin("the", "a"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).alias("n_tokens"),
+        F.size(stop).alias("n_stopwords"),
+        F.round(F.size(stop) / F.size(words), 6).alias("stopword_ratio"),
+        F.round(F.length("text") / F.size(words), 6).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       LENGTH(text) AS n_chars_actual,
+       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) AS n_stopwords,
+       ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a')))
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(LENGTH(text) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT MD5(text) AS digest, COUNT(*) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents GROUP BY MD5(text)
+"""
+
+# MinHash: word-3-gram shingles -> portable 60-bit md5 hash -> 4 affine
+# permutations mod the Mersenne prime 2^31-1 -> per-doc signature.
+_MINHASH_P = 2147483647
+_MINHASH_PERMS = [(1299721, 104729), (15485863, 32452843), (49979687, 67867967), (86028121, 23)]
+
+
+def q_dedup_minhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    shingle = F.explode(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+    ).alias("sh")
+    sh = d.select(F.col("doc_id").cast("long").alias("doc_id"), shingle).distinct()
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint") % _MINHASH_P
+    sh = sh.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 2, 1) + 1),
+                               i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS sh
+  FROM tok
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+  FROM sh
+)
+SELECT doc_id,
+       {", ".join(f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(_MINHASH_PERMS))}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # 32-bit SimHash over word hashes: bit j set iff sum of per-word
+    # (+1/-1 on bit j) is positive.
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
+    w = w.select("doc_id", h.alias("h"))
+    # Per-bit probe via exact integer division by 2^j (shiftright needs a
+    # literal count in PySpark; pow(2, j) cast to bigint is exact to j=62).
+    bits = w.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"), "h"
+    ).select(
+        "doc_id",
+        "j",
+        F.when(
+            F.expr("(h div cast(pow(2, j) as bigint)) % 2") == 1, 1
+        )
+        .otherwise(-1)
+        .alias("contrib"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+SQL_DEDUP_SIMHASH = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 15)) AS BIGINT) AS h FROM w
+),
+bits AS (
+  SELECT doc_id, UNNEST(RANGE(0, 32)) AS j, h FROM h
+),
+contrib AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS simhash
+FROM contrib GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    # n-gram Jaccard near-dup candidates: distinct word-3-gram shingle
+    # sets, self-joined on shingle, J = |inter| / |union| >= 0.5.
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    j = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return j.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD_PAIRS = """
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 2, 1) + 1),
+                               i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS sh
+  FROM tok
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(n_inter / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE n_inter / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_embed_cosine_topk(spark, sf_dir):
+    # Brute-force cosine top-5 neighbors for the first 50 query vectors —
+    # the exact baseline for ANN (similarity-search operator family).
+    e = _embeds(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    pairs = (
+        q.crossJoin(e)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", (dot / (nq * nv)).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_EMBED_COSINE_TOPK = """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+pairs AS (
+  SELECT qid, vec_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] * v[i]))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x)))) AS cos
+  FROM q, e WHERE qid != vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# kernel tier (non-SQL-expressible: FFT / IIR / spline / rainflow) —
+# rows-only driver check; numeric goldens live in tests/.
+# ---------------------------------------------------------------------------
+
+_HOURLY = 1.0 / 3600.0  # uniform resample rate for the filter queries
+
+
+def _uniform(spark, sf_dir):
+    return resample(deduplicate(_signals(spark, sf_dir)), _HOURLY)
+
+
+def q_filt_butter(spark, sf_dir):
+    return filt_butter(_uniform(spark, sf_dir), 0.3 * (_HOURLY / 2), 4, "lowpass")
+
+
+def q_filt_cfc(spark, sf_dir):
+    # CFC class scaled to the hourly band (cfc in "Hz" of this time base).
+    return filt_cfc(_uniform(spark, sf_dir), 0.05 * _HOURLY)
+
+
+def q_filt_a(spark, sf_dir):
+    # A-weighting assumes audio rates; apply on a per-channel index time
+    # base (sample number as seconds) so the design frequencies exist.
+    sig = deduplicate(_signals(spark, sf_dir))
+    w = Window.partitionBy("channel_id").orderBy("t")
+    idx = sig.select(
+        "channel_id",
+        ((F.row_number().over(w) - 1) / F.lit(48000.0)).alias("t"),
+        "value",
+    )
+    return filt_a(idx)
+
+
+def q_psd_welch(spark, sf_dir):
+    return get_psd(
+        _uniform(spark, sf_dir),
+        window_length=128 * 3600.0,
+        overlap=0.5,
+        summarize="mean",
+        samplerate=_HOURLY,
+        segmented=True,
+    )
+
+
+def q_srs(spark, sf_dir):
+    freq = [1e-5 * 2 ** (i / 3.0) for i in range(13)]  # sub-Nyquist band
+    return get_srs(_uniform(spark, sf_dir), freq=freq, quality_factor=10.0)
+
+
+def q_rainflow(spark, sf_dir):
+    return rainflow(_signals(spark, sf_dir), ndigits=2)
+
+
+def q_interp_cubic(spark, sf_dir):
+    sig = deduplicate(_signals(spark, sf_dir))
+    bounds = sig.groupBy("channel_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = bounds.select(
+        "channel_id",
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("t0") / DAY).cast("long"),
+                F.floor(F.col("t1") / DAY).cast("long"),
+            )
+        ).alias("day"),
+    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    return interp1d_spline(sig, grid, kind="cubic")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # native relational tier (oracle-checked)
+        "between": q_between,
+        "timeshift": q_timeshift,
+        "deduplicate": q_deduplicate,
+        "rms": q_rms,
+        "spl": q_spl,
+        "samplerate": q_samplerate,
+        "mov_rms": q_mov_rms,
+        "integral": q_integral,
+        "derivative": q_derivative,
+        "detrend_constant": q_detrend_constant,
+        "detrend_linear": q_detrend_linear,
+        "rss_daily": q_rss_daily,
+        "rms_lin": q_rms_lin,
+        "rms_log": q_rms_log,
+        "interp_daily": q_interp_daily,
+        "segment_stats": q_segment_stats,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_revenue_join": q_tpch_revenue_join,
+        # LLM-data-pipeline tier (oracle-checked)
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        # kernel tier (rows-only driver check; goldens in tests/)
+        "filt_butter": q_filt_butter,
+        "filt_cfc": q_filt_cfc,
+        "filt_a": q_filt_a,
+        "psd_welch": q_psd_welch,
+        "srs": q_srs,
+        "rainflow": q_rainflow,
+        "interp_cubic": q_interp_cubic,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "between": SQL_BETWEEN,
+        "timeshift": SQL_TIMESHIFT,
+        "deduplicate": SQL_DEDUPLICATE,
+        "rms": SQL_RMS,
+        "spl": SQL_SPL,
+        "samplerate": SQL_SAMPLERATE,
+        "mov_rms": SQL_MOV_RMS,
+        "integral": SQL_INTEGRAL,
+        "derivative": SQL_DERIVATIVE,
+        "detrend_constant": SQL_DETREND_CONSTANT,
+        "detrend_linear": SQL_DETREND_LINEAR,
+        "rss_daily": SQL_RSS_DAILY,
+        "rms_lin": SQL_RMS_LIN,
+        "rms_log": SQL_RMS_LOG,
+        "interp_daily": SQL_INTERP_DAILY,
+        "segment_stats": SQL_SEGMENT_STATS,
+        "tpch_pricing": SQL_TPCH_PRICING,
+        "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,
+        "text_stats": SQL_TEXT_STATS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
+        "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
+    }

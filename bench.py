@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is measured with the noop sink (full pipeline runs, nothing is
+collected to the driver), after a small warm-up action so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from pandas_sigproc_spark.session import get_spark
+
+HEADLINE = [
+    # native relational tier
+    "between",
+    "deduplicate",
+    "rms",
+    "mov_rms",
+    "integral",
+    "derivative",
+    "detrend_linear",
+    "rss_daily",
+    "rms_lin",
+    "interp_daily",
+    "segment_stats",
+    # joins / classic relational
+    "tpch_pricing",
+    "tpch_revenue_join",
+    # kernel tier (applyInPandas)
+    "filt_butter",
+    "psd_welch",
+    "srs",
+    "rainflow",
+    # LLM-data-pipeline tier
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_jaccard_pairs",
+    "embed_cosine_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cpus=cpus)
+
+    qs = entry_mod.queries()
+    # Warm-up: JVM, parquet footer reads, Python worker pool.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    qs["rms"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Operator layer.
+
+Two tiers (SURVEY.md §4.2):
+
+- **native** — pure DataFrame/SQL expressions that Catalyst optimizes and
+  Tungsten codegen executes (filters, window math, aggregations, the
+  linear-interp as-of join).  These shuffle at most once per logical
+  group-by and push filters/projections into the parquet scan.
+- **kernel** — grouped-map pandas UDFs over per-channel (or per-segment)
+  groups for the genuinely sequential DSP math, backed by
+  :mod:`pandas_sigproc_spark.kernels`.
+
+All operators consume/produce the canonical ``signals`` / ``spectra``
+column layout so they compose freely.
+"""
+
+from pandas_sigproc_spark.operators.relational import (
+    between,
+    timeshift,
+    deduplicate,
+    samplerate,
+)
+from pandas_sigproc_spark.operators.aggregates import (
+    rms,
+    spl,
+    rms_lin,
+    rms_log,
+    segment_stats,
+)
+from pandas_sigproc_spark.operators.windows import (
+    mov_rms,
+    integral,
+    derivative,
+    detrend,
+)
+from pandas_sigproc_spark.operators.joins import (
+    rss,
+    interp1d_linear,
+    interp1d_log,
+    resample,
+)
+from pandas_sigproc_spark.operators.filters import filt_butter, filt_cfc, filt_a
+from pandas_sigproc_spark.operators.psd import get_psd
+from pandas_sigproc_spark.operators.srs import get_srs
+from pandas_sigproc_spark.operators.rainflow import rainflow
+from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
+
+__all__ = [
+    "between",
+    "timeshift",
+    "deduplicate",
+    "samplerate",
+    "rms",
+    "spl",
+    "rms_lin",
+    "rms_log",
+    "segment_stats",
+    "mov_rms",
+    "integral",
+    "derivative",
+    "detrend",
+    "rss",
+    "interp1d_linear",
+    "interp1d_log",
+    "resample",
+    "filt_butter",
+    "filt_cfc",
+    "filt_a",
+    "get_psd",
+    "get_srs",
+    "rainflow",
+    "interp1d_spline",
+]

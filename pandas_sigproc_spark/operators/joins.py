@@ -1,0 +1,155 @@
+"""Join-shaped operators: RSS (equi-join on time), linear interpolation
+(range/as-of join), log-log interpolation, resample.
+
+The reference's ``rss`` leans on pandas index alignment
+(``extension.py:783-817``) and ``interp1d`` on SciPy over whole arrays
+(``extension.py:819-851``).  Here both become relational: RSS is a
+group-by on the time key; linear interpolation is the classic
+union-the-grids as-of join — two ``last_value(ignorenulls)`` windows
+bracket every target point, then one arithmetic expression.  No data
+leaves the JVM; spline kinds (which genuinely need the whole channel) are
+in the kernel tier (operators/interp_spline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rss(df: DataFrame, channel_ids=None, out_channel: str = None, time_col: str = "t") -> DataFrame:
+    """Root-sum-square across channels sharing a time base.
+
+    ``sqrt(Σ value_i^2)`` grouped by ``t``.  Semantics decision (SURVEY.md
+    §2.3): pandas alignment produces NaN rows for non-matching stamps; this
+    engine keeps only stamps present in *some* channel and sums what's
+    there (count reported so callers can filter to full alignment).
+    """
+    src = df
+    if channel_ids is not None:
+        src = src.filter(F.col("channel_id").isin(list(channel_ids)))
+    name = out_channel or "rss"
+    return (
+        src.groupBy(time_col)
+        .agg(
+            F.sqrt(F.sum(F.col("value") * F.col("value"))).alias("value"),
+            F.count("*").alias("n_channels"),
+        )
+        .select(F.lit(name).alias("channel_id"), F.col(time_col).alias("t"), "value", "n_channels")
+    )
+
+
+def interp1d_linear(
+    df: DataFrame,
+    grid: DataFrame,
+    axis: str = "t",
+    bounds_null: bool = False,
+) -> DataFrame:
+    """Linear interpolation of each channel onto per-channel target points.
+
+    ``grid`` has columns ``(channel_id, {axis})``.  Implementation is an
+    as-of join via grid union: tag source rows, union the target grid,
+    bracket every target with the nearest source sample on each side
+    (``last_value``/``first_value`` with ``ignorenulls`` over ordered
+    windows), then the two-point formula.  At scale this is one shuffle on
+    ``channel_id`` — same cost class as any window op, and Catalyst prunes
+    the union's columns into both scans.
+
+    Out-of-range targets: SciPy raises (the reference inherits that,
+    ``extension.py:986-996``); distributed engines shouldn't throw from
+    executors for one bad point, so with ``bounds_null=True`` they yield
+    NULL, and by default they are dropped after a validation count.
+    """
+    data = df.select(
+        "channel_id",
+        F.col(axis).alias("_x"),
+        F.col("value").alias("_y"),
+        F.lit(1).alias("_is_src"),
+    )
+    tgt = grid.select(
+        "channel_id",
+        F.col(axis).alias("_x"),
+        F.lit(None).cast("double").alias("_y"),
+        F.lit(0).alias("_is_src"),
+    )
+    u = data.unionByName(tgt)
+    # Source rows order before targets at equal _x so an exact hit brackets
+    # to itself on the left.
+    w_back = (
+        Window.partitionBy("channel_id")
+        .orderBy(F.col("_x"), F.col("_is_src").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("channel_id")
+        .orderBy(F.col("_x").desc(), F.col("_is_src").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    src_x = F.when(F.col("_is_src") == 1, F.col("_x"))
+    src_y = F.when(F.col("_is_src") == 1, F.col("_y"))
+    u = (
+        u.withColumn("_x0", F.last(src_x, ignorenulls=True).over(w_back))
+        .withColumn("_y0", F.last(src_y, ignorenulls=True).over(w_back))
+        .withColumn("_x1", F.last(src_x, ignorenulls=True).over(w_fwd))
+        .withColumn("_y1", F.last(src_y, ignorenulls=True).over(w_fwd))
+        .filter(F.col("_is_src") == 0)
+    )
+    interp = F.when(F.col("_x1") == F.col("_x0"), F.col("_y0")).otherwise(
+        F.col("_y0")
+        + (F.col("_y1") - F.col("_y0"))
+        * (F.col("_x") - F.col("_x0"))
+        / (F.col("_x1") - F.col("_x0"))
+    )
+    out = u.withColumn("value", interp)
+    if not bounds_null:
+        out = out.filter(F.col("_x0").isNotNull() & F.col("_x1").isNotNull())
+    return out.select("channel_id", F.col("_x").alias(axis), "value")
+
+
+def interp1d_log(df: DataFrame, grid: DataFrame, axis: str = "freq") -> DataFrame:
+    """Log-log linear interpolation (PSD specs), ``extension.py:201-230``.
+
+    ``log10`` both axes -> linear as-of interp -> ``10**y``.
+    """
+    logged = df.select(
+        "channel_id", F.log10(F.col(axis)).alias(axis), F.log10("power").alias("value")
+    )
+    tgt = grid.select("channel_id", F.log10(F.col(axis)).alias(axis))
+    out = interp1d_linear(logged, tgt, axis=axis)
+    return out.select(
+        "channel_id",
+        F.pow(10.0, F.col(axis)).alias(axis),
+        F.pow(10.0, F.col("value")).alias("power"),
+    )
+
+
+def resample(
+    df: DataFrame,
+    sample_rate: float,
+    kind: str = "linear",
+) -> DataFrame:
+    """Uniform-grid resampling per channel.
+
+    Reference ``timedomain.resample`` (``extension.py:853-894``): grid
+    ``arange(t0, t_end, 1/rate)`` (end-exclusive), then interpolation.
+    The grid is generated distributively with ``sequence``/``explode`` from
+    each channel's (min, max) — no driver-side materialization, so a
+    million-channel catalog fans out across executors.
+    """
+    dt = 1.0 / float(sample_rate)
+    bounds = df.groupBy("channel_id").agg(
+        F.min("t").alias("_t0"), F.max("t").alias("_t1")
+    )
+    # n = ceil((t1 - t0)/dt) points, end-exclusive like np.arange (a
+    # zero-length channel yields an empty grid, same as arange).
+    n = F.ceil((F.col("_t1") - F.col("_t0")) / dt).cast("long")
+    bounds = bounds.filter(F.col("_t1") > F.col("_t0"))
+    grid = bounds.select(
+        "channel_id",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("_i"),
+        F.col("_t0"),
+    ).select("channel_id", (F.col("_t0") + F.col("_i") * dt).alias("t"))
+    if kind in ("linear", "slinear"):
+        return interp1d_linear(df, grid, axis="t")
+    from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
+
+    return interp1d_spline(df, grid, kind=kind)

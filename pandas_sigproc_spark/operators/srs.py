@@ -1,0 +1,60 @@
+"""Shock response spectrum operator: channel x frequency fan-out.
+
+Reference ``get_srs`` (``extension.py:627-662``) loops frequencies
+serially in one process (``tools.py:371-374``).  Spark-first version
+(SURVEY.md §2.8 row get_srs): cross-join each channel against a broadcast
+frequency-slice grid, so the (channel, frequency-slice) pairs spread
+across the whole cluster; each task runs the Smallwood recursion for its
+slice vectorized across frequencies.  For C channels and S slices the job
+is C*S independent tasks — embarrassingly parallel along an axis the
+reference cannot parallelize at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_sigproc_spark.kernels.srs import build_freq_array, srs as srs_kernel
+
+_OUT_SCHEMA = "channel_id string, freq double, power double"
+
+
+def get_srs(
+    df: DataFrame,
+    freq: np.ndarray | None = None,
+    quality_factor: float = 50.0,
+    n_freq_slices: int = 1,
+) -> DataFrame:
+    """Maximax SRS envelope -> spectra(channel_id, freq, power).
+
+    ``n_freq_slices > 1`` splits the frequency grid so one channel's SRS
+    is computed by several tasks concurrently (use when channels are few
+    and long; the default keeps one task per channel).
+    """
+    fn = build_freq_array() if freq is None else np.asarray(freq, np.float64)
+    slices = np.array_split(fn, max(int(n_freq_slices), 1))
+    slice_rows = [(i, s.tolist()) for i, s in enumerate(slices) if len(s)]
+
+    src = df.select("channel_id", "t", "value")
+    spark = df.sparkSession
+    slice_df = spark.createDataFrame(slice_rows, "slice_id int, fns array<double>")
+    # Broadcast the tiny grid table; every channel pairs with every slice.
+    paired = src.crossJoin(F.broadcast(slice_df))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        fns = np.asarray(pdf["fns"].iloc[0], dtype=np.float64)
+        pos, neg = srs_kernel(t, y, fns, quality_factor)
+        return pd.DataFrame(
+            {
+                "channel_id": pdf["channel_id"].iloc[0],
+                "freq": fns,
+                "power": np.maximum(pos, neg),
+            }
+        )
+
+    return paired.groupBy("channel_id", "slice_id").applyInPandas(kernel, _OUT_SCHEMA)

@@ -1,0 +1,12 @@
+"""Source layer: ingestion into the canonical signals/channels tables.
+
+The reference's source layer is a File/Channel ABC pair plus an enDAQ
+``.ide`` driver (``io.py:14-301``).  Here each source is a batch ingest
+that lands data in the canonical long format (SURVEY.md §1.5); analytics
+never touch raw formats directly.
+"""
+
+from pandas_sigproc_spark.sources.events import events_to_signals, load_table
+from pandas_sigproc_spark.sources.channel import channels_to_signals, Channel
+
+__all__ = ["events_to_signals", "load_table", "channels_to_signals", "Channel"]

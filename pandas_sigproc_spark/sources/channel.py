@@ -1,0 +1,74 @@
+"""Generic in-memory channel source (reference ``Channel``, ``io.py:85-158``).
+
+``Channel(start_time, time, data, name, unit)`` constructor-injects arrays;
+``channels_to_signals`` lands a batch of them in the canonical signals
+layout plus catalog rows — the Spark analogue of
+``BaseChannel.to_pandas()`` (``io.py:68-82``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pandas_sigproc_spark.schemas import CHANNELS_SCHEMA, SIGNALS_SCHEMA
+
+
+@dataclass
+class Channel:
+    """One measurement channel: seconds + values + display metadata."""
+
+    channel_id: str
+    time: np.ndarray
+    data: np.ndarray
+    name: str = ""
+    unit: str = "none"
+    start_time: datetime | None = None
+
+
+def channels_to_signals(spark: SparkSession, channels: list[Channel]):
+    """Build (signals_df, channels_df) from in-memory channels.
+
+    Mirrors ``to_pandas``'s absolute-time construction (``io.py:79-81``):
+    when a channel has a ``start_time`` origin, ``ts = origin + t`` is
+    materialized alongside the relative seconds column.
+    """
+    sig_frames = []
+    cat_rows = []
+    for ch in channels:
+        t = np.asarray(ch.time, dtype=np.float64)
+        v = np.asarray(ch.data, dtype=np.float64)
+        if len(t) != len(v):
+            raise ValueError(f"channel {ch.channel_id}: time/data length mismatch")
+        pdf = pd.DataFrame(
+            {
+                "channel_id": ch.channel_id,
+                "t": t,
+                "value": v,
+                "ts": (
+                    pd.to_datetime(t, unit="s", origin=pd.Timestamp(ch.start_time))
+                    if ch.start_time is not None
+                    else pd.NaT
+                ),
+            }
+        )
+        sig_frames.append(pdf)
+        dt = np.diff(t)
+        sr = None
+        if len(dt) > 0 and dt.min() > 0:
+            spread = (dt.max() - dt.min()) / dt.mean()
+            if spread <= 1e-4:
+                sr = 1.0 / dt.mean()
+                if abs(sr - round(sr)) < 0.01 and sr >= 1:
+                    sr = float(round(sr))
+        cat_rows.append(
+            (ch.channel_id, ch.name or ch.channel_id, ch.unit, ch.start_time, sr)
+        )
+
+    signals = spark.createDataFrame(pd.concat(sig_frames, ignore_index=True), schema=SIGNALS_SCHEMA)
+    catalog = spark.createDataFrame(cat_rows, schema=CHANNELS_SCHEMA)
+    return signals, catalog

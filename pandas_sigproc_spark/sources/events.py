@@ -1,0 +1,40 @@
+"""Adapter: the driver's ``events`` table -> canonical ``signals``.
+
+``events(event_id, ts TIMESTAMP, user_id, event_type, value, props)`` maps
+onto the signals model with one channel per user: ``channel_id =
+user_id``, ``t = epoch seconds of ts`` (the datetime64 -> seconds
+normalization the reference does per-operation at ``extension.py:318-319``,
+done once here at ingest).  Ties on ``t`` are broken by ``event_id`` so
+every windowed operator downstream is deterministic (SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_to_signals(
+    spark: SparkSession, sf_dir: str, relative_time: bool = False
+) -> DataFrame:
+    """Long-format signals view of the events table.
+
+    ``relative_time=True`` rebases ``t`` to seconds since each channel's
+    first sample (the reference's float-seconds index variant).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sig = ev.select(
+        F.col("user_id").cast("string").alias("channel_id"),
+        F.col("ts").cast("double").alias("t"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    if relative_time:
+        sig = sig.withColumn(
+            "t", F.col("t") - F.min("t").over(Window.partitionBy("channel_id"))
+        )
+    return sig

@@ -1,0 +1,273 @@
+"""Native-tier operator tests against NumPy goldens and analytic anchors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark.operators import (
+    between,
+    deduplicate,
+    derivative,
+    detrend,
+    integral,
+    interp1d_linear,
+    interp1d_log,
+    mov_rms,
+    resample,
+    rms,
+    rms_lin,
+    rms_log,
+    rss,
+    samplerate,
+    segment_stats,
+    spl,
+    timeshift,
+)
+from tests.conftest import make_signals
+
+
+def one_channel(df, cid):
+    pdf = df.filter(F.col("channel_id") == cid).orderBy("t").toPandas()
+    return pdf["t"].to_numpy(), pdf["value"].to_numpy()
+
+
+class TestRelational:
+    def test_between_inclusive(self, spark):
+        t = np.arange(0, 10.0, 0.5)
+        df = make_signals(spark, {"c": (t, t * 2)})
+        out = between(df, 1.0, 3.0).orderBy("t").toPandas()
+        np.testing.assert_allclose(out["t"], [1.0, 1.5, 2.0, 2.5, 3.0])
+
+    def test_timeshift(self, spark):
+        t = np.arange(0, 5.0)
+        df = make_signals(spark, {"c": (t, t)})
+        out = timeshift(df, 2.5).orderBy("t").toPandas()
+        np.testing.assert_allclose(out["t"], t + 2.5)
+        np.testing.assert_allclose(out["value"], t)
+
+    def test_deduplicate_keeps_t(self, spark):
+        # dup_times fixture: every t duplicated with v and v+1 -> mean v+0.5.
+        t = np.repeat(np.arange(0, 1.0, 0.02), 2)
+        v = np.tile([0.0, 1.0], 50) + np.repeat(np.arange(50.0), 2) * 0
+        v = v + np.repeat(np.arange(0, 1.0, 0.02), 2) * 10
+        df = make_signals(spark, {"c": (t, v)})
+        out = deduplicate(df).orderBy("t").toPandas()
+        assert len(out) == 50
+        np.testing.assert_allclose(
+            out["value"], np.arange(0, 1.0, 0.02) * 10 + 0.5, atol=1e-12
+        )
+
+    def test_samplerate_uniform_snap(self, spark):
+        t = np.arange(0, 1.0, 1 / 1000)
+        df = make_signals(spark, {"c": (t, np.zeros_like(t))})
+        out = samplerate(df).toPandas()
+        assert out["samplerate"][0] == pytest.approx(1000.0)
+
+    def test_samplerate_nonuniform_null(self, spark):
+        # FIXTURES.md 'nonuniform': every 7th sample jittered +2ms.
+        t = np.arange(0, 1.0, 0.01).copy()
+        t[::7] += 0.002
+        t = np.sort(t)
+        df = make_signals(spark, {"c": (t, np.zeros_like(t))})
+        out = samplerate(df).toPandas()
+        assert out["samplerate"][0] is None or np.isnan(out["samplerate"][0])
+
+
+class TestAggregates:
+    def test_rms_unit_sine(self, spark, fixture_channels):
+        df = make_signals(spark, {"sine_1k": fixture_channels["sine_1k"]})
+        out = rms(df).toPandas()
+        assert out["rms"][0] == pytest.approx(1 / np.sqrt(2), rel=1e-9)
+
+    def test_spl_of_1pa_rms_tone(self, spark):
+        # 1 Pa RMS sine -> 20*log10(1/20e-6) = 93.9794 dB.
+        t = np.arange(0, 1.0, 1 / 8000)
+        df = make_signals(spark, {"c": (t, np.sqrt(2) * np.sin(2 * np.pi * 100 * t))})
+        out = spl(df).toPandas()
+        assert out["spl"][0] == pytest.approx(20 * np.log10(1 / 20e-6), rel=1e-6)
+
+    def test_rms_lin_trapz_golden(self, spark):
+        freq = np.linspace(1.0, 100.0, 200)
+        power = 0.01 + 0.001 * freq
+        df = make_signals(spark, {"s": (freq, power)}).select(
+            "channel_id", F.col("t").alias("freq"), F.col("value").alias("power")
+        )
+        out = rms_lin(df).toPandas()
+        assert out["rms_lin"][0] == pytest.approx(
+            np.sqrt(np.trapz(power, freq)), rel=1e-12
+        )
+
+    def test_rms_log_powerlaw_golden(self, spark):
+        # FIXTURES.md sparse_psd_spec: 4-point log-log spec.
+        freq = np.array([20.0, 80.0, 350.0, 2000.0])
+        power = np.array([0.01, 0.04, 0.04, 0.007])
+        # NumPy golden implementing the vibrationdata piecewise power law.
+        ms = 0.0
+        for i in range(3):
+            n = np.log10(power[i + 1] / power[i]) / np.log10(freq[i + 1] / freq[i])
+            if abs(n + 1) < 1e-10:
+                ms += power[i] * freq[i] * np.log(freq[i + 1] / freq[i])
+            else:
+                ms += (power[i] / freq[i] ** n) / (n + 1) * (
+                    freq[i + 1] ** (n + 1) - freq[i] ** (n + 1)
+                )
+        golden = np.sqrt(ms)
+        df = make_signals(spark, {"s": (freq, power)}).select(
+            "channel_id", F.col("t").alias("freq"), F.col("value").alias("power")
+        )
+        out = rms_log(df).toPandas()
+        assert out["rms_log"][0] == pytest.approx(golden, rel=1e-12)
+
+    def test_segment_stats_ordering(self, spark):
+        rng = np.random.default_rng(1)
+        t = np.arange(0, 4.0, 1 / 1000)
+        v = rng.standard_normal(len(t)) * np.linspace(0.5, 2.0, len(t))
+        df = make_signals(spark, {"c": (t, v)})
+        out = segment_stats(df, n_window=500).toPandas().iloc[0]
+        assert out["min_rms"] <= out["median_rms"] <= out["max_rms"]
+        assert out["min_rms"] <= out["mean_rms"] <= out["max_rms"]
+        assert out["n_segments"] == 8
+        assert out["max_rms_scale"] >= 1.0
+        assert out["damage_scale"] >= 1.0
+        # NumPy golden for mean segment RMS.
+        segs = v[: 8 * 500].reshape(8, 500)
+        seg_rms = np.sqrt((segs ** 2).mean(axis=1))
+        assert out["mean_rms"] == pytest.approx(seg_rms.mean(), rel=1e-9)
+        assert out["median_rms"] == pytest.approx(np.median(seg_rms), rel=1e-9)
+
+
+class TestWindows:
+    def test_mov_rms_matches_pandas_rolling(self, spark):
+        # Reference semantics: rolling mean of squares, drop warm-up AND
+        # final sample, recenter by window/2 (extension.py:690-697).
+        sr = 100.0
+        t = np.arange(0, 2.0, 1 / sr)
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(len(t))
+        window = 0.25
+        n = round(window * sr)
+        golden = (pd.Series(v) ** 2).rolling(n).mean() ** 0.5
+        golden = golden.to_numpy()[n - 1 : -1]
+        t_golden = t[n - 1 : -1] - window / 2
+        df = make_signals(spark, {"c": (t, v)})
+        out = mov_rms(df, window, sr).orderBy("t").toPandas()
+        np.testing.assert_allclose(out["t"], t_golden, atol=1e-12)
+        np.testing.assert_allclose(out["value"], golden, rtol=1e-12)
+
+    def test_integral_of_cos_is_sin_over_2pi(self, spark, fixture_channels):
+        df = make_signals(spark, {"cos_int": fixture_channels["cos_int"]})
+        t, v = one_channel(integral(df), "cos_int")
+        np.testing.assert_allclose(
+            v, np.sin(2 * np.pi * t) / (2 * np.pi), atol=2e-3
+        )
+        assert v[0] == 0.0
+
+    def test_integral_matches_cumtrapz_golden(self, spark):
+        rng = np.random.default_rng(3)
+        t = np.sort(rng.uniform(0, 10, 500))
+        v = rng.standard_normal(500)
+        golden = np.concatenate(
+            [[0.0], np.cumsum((v[1:] + v[:-1]) / 2 * np.diff(t))]
+        )
+        df = make_signals(spark, {"c": (t, v)})
+        _, out = one_channel(integral(df), "c")
+        np.testing.assert_allclose(out, golden, rtol=1e-10, atol=1e-12)
+
+    def test_derivative_midpoints(self, spark, fixture_channels):
+        df = make_signals(spark, {"trend_ramp": fixture_channels["trend_ramp"]})
+        t, v = one_channel(derivative(df), "trend_ramp")
+        expected = 0.5 + 10 * np.pi * np.cos(2 * np.pi * 5 * t)
+        np.testing.assert_allclose(v, expected, atol=5e-2)
+        assert len(t) == len(fixture_channels["trend_ramp"][0]) - 1
+
+    def test_detrend_constant(self, spark):
+        t = np.arange(0, 1.0, 0.01)
+        df = make_signals(spark, {"c": (t, t * 0 + 5.0)})
+        _, v = one_channel(detrend(df, "constant"), "c")
+        np.testing.assert_allclose(v, 0.0, atol=1e-12)
+
+    def test_detrend_linear_leaves_sine(self, spark, fixture_channels):
+        df = make_signals(spark, {"trend_ramp": fixture_channels["trend_ramp"]})
+        _, v = one_channel(detrend(df, "linear"), "trend_ramp")
+        assert np.sqrt(np.mean(v ** 2)) == pytest.approx(1 / np.sqrt(2), rel=1e-2)
+        # Golden: OLS residual computed with numpy polyfit.
+        t0, v0 = fixture_channels["trend_ramp"]
+        coef = np.polyfit(t0, v0, 1)
+        golden = v0 - np.polyval(coef, t0)
+        np.testing.assert_allclose(v, golden, atol=1e-8)
+
+
+class TestJoins:
+    def test_rss_pythagorean(self, spark, fixture_channels):
+        df = make_signals(
+            spark, {k: fixture_channels[k] for k in ("rss_x", "rss_y", "rss_z")}
+        )
+        out = rss(df, ["rss_x", "rss_y", "rss_z"], "rss_xyz")
+        t, v = one_channel(out, "rss_xyz")
+        np.testing.assert_allclose(
+            v, 5.0 * np.abs(np.sin(2 * np.pi * 10 * t)), atol=1e-9
+        )
+        assert out.toPandas()["n_channels"].eq(3).all()
+
+    def test_interp_linear_matches_numpy(self, spark):
+        x = np.sort(np.random.default_rng(1).uniform(0, 10, 100))
+        y = np.sin(x)
+        x2 = np.linspace(x[0], x[-1], 301)
+        df = make_signals(spark, {"c": (x, y)})
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "c", "t": x2}), "channel_id string, t double"
+        )
+        out = interp1d_linear(df, grid).orderBy("t").toPandas()
+        np.testing.assert_allclose(out["value"], np.interp(x2, x, y), rtol=1e-12)
+        np.testing.assert_allclose(out["t"], x2)
+
+    def test_interp_exact_hits(self, spark):
+        x = np.array([0.0, 1.0, 2.0])
+        y = np.array([5.0, 7.0, 9.0])
+        df = make_signals(spark, {"c": (x, y)})
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "c", "t": [0.0, 0.5, 1.0, 2.0]}),
+            "channel_id string, t double",
+        )
+        out = interp1d_linear(df, grid).orderBy("t").toPandas()
+        np.testing.assert_allclose(out["value"], [5.0, 6.0, 7.0, 9.0])
+
+    def test_interp_out_of_range_dropped_or_null(self, spark):
+        x = np.array([0.0, 1.0])
+        df = make_signals(spark, {"c": (x, x)})
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "c", "t": [-1.0, 0.5, 2.0]}),
+            "channel_id string, t double",
+        )
+        assert interp1d_linear(df, grid).count() == 1
+        out = interp1d_linear(df, grid, bounds_null=True).orderBy("t").toPandas()
+        assert len(out) == 3 and out["value"].isna().sum() == 2
+
+    def test_interp_log_powerlaw(self, spark):
+        freq = np.array([10.0, 100.0, 1000.0])
+        power = freq ** -1.5
+        df = make_signals(spark, {"s": (freq, power)}).select(
+            "channel_id", F.col("t").alias("freq"), F.col("value").alias("power")
+        )
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "s", "freq": [20.0, 300.0]}),
+            "channel_id string, freq double",
+        )
+        out = interp1d_log(df, grid).orderBy("freq").toPandas()
+        np.testing.assert_allclose(
+            out["power"], np.array([20.0, 300.0]) ** -1.5, rtol=1e-9
+        )
+
+    def test_resample_roundtrip_identity(self, spark):
+        # Resampling a uniform channel at its own rate ≈ identity.
+        sr = 100.0
+        t = np.arange(0, 1.0, 1 / sr)
+        v = np.sin(2 * np.pi * 3 * t)
+        df = make_signals(spark, {"c": (t, v)})
+        out = resample(df, sr).orderBy("t").toPandas()
+        # Reference grid is arange(t0, t_end, dt) — end-EXCLUSIVE
+        # (extension.py:887): the last original sample is not a grid point.
+        assert len(out) == len(t) - 1
+        np.testing.assert_allclose(out["t"], t[:-1], atol=1e-9)
+        np.testing.assert_allclose(out["value"], v[:-1], atol=1e-9)

@@ -1,0 +1,119 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at sf0.01 (or $SPARK_GRAFT_SF_DIR), sorts columns by name, sorts rows, and
+compares values exactly (floats must already be rounded identically inside
+the queries).  Kernel-tier queries without an oracle get the rows-only
+check.  Usage: python tools/oracle_check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from pandas_sigproc_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs = []
+    s_cols = sorted(spark_pdf.columns)
+    d_cols = sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        return [f"schema mismatch: spark={s_cols} duck={d_cols}"]
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return errs
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sv = sv.astype(float)
+            dv = dv.astype(float)
+            both_nan = sv.isna() & dv.isna()
+            eq = np.isclose(sv, dv, rtol=0, atol=0, equal_nan=True) | both_nan
+        else:
+            eq = (sv == dv) | (sv.isna() & dv.isna())
+        if not eq.all():
+            bad = (~eq).idxmax()
+            errs.append(
+                f"col {col}: {(~eq).sum()}/{len(eq)} differ; first at row {bad}: "
+                f"spark={s[col][bad]!r} duck={d[col][bad]!r}"
+            )
+    return errs
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "rows-only"
+            ok = len(spark_pdf) >= 0
+            print(
+                f"{'PASS' if ok else 'FAIL'} {name} [{status}] rows={len(spark_pdf)} "
+                f"({time.time()-t0:.1f}s)"
+            )
+            n_pass += ok
+            n_fail += not ok
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        errs = compare(name, spark_pdf, duck_pdf)
+        if errs:
+            print(f"FAIL {name} rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            for e in errs:
+                print(f"     {e}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
