@@ -886,12 +886,15 @@ def _uniform(spark, sf_dir):
 
 
 def q_filt_butter(spark, sf_dir):
-    return filt_butter(_uniform(spark, sf_dir), 0.3 * (_HOURLY / 2), 4, "lowpass")
+    # Bucketed: many short channels per task, batched matrix filtfilt.
+    return filt_butter(
+        _uniform(spark, sf_dir), 0.3 * (_HOURLY / 2), 4, "lowpass", n_buckets=32
+    )
 
 
 def q_filt_cfc(spark, sf_dir):
     # CFC class scaled to the hourly band (cfc in "Hz" of this time base).
-    return filt_cfc(_uniform(spark, sf_dir), 0.05 * _HOURLY)
+    return filt_cfc(_uniform(spark, sf_dir), 0.05 * _HOURLY, n_buckets=32)
 
 
 def q_filt_a(spark, sf_dir):
@@ -904,23 +907,29 @@ def q_filt_a(spark, sf_dir):
         ((F.row_number().over(w) - 1) / F.lit(48000.0)).alias("t"),
         "value",
     )
-    return filt_a(idx)
+    return filt_a(idx, n_buckets=32)
 
 
 def q_psd_welch(spark, sf_dir):
+    # Bucketed whole-channel Welch: these channels are small, so one
+    # stacked FFT per bucket beats the segment-explode scale path (which
+    # exists for channels too big for one task; equality of the two paths
+    # is asserted in tests/test_operators_kernel.py).
     return get_psd(
         _uniform(spark, sf_dir),
         window_length=128 * 3600.0,
         overlap=0.5,
         summarize="mean",
         samplerate=_HOURLY,
-        segmented=True,
+        n_buckets=32,
     )
 
 
 def q_srs(spark, sf_dir):
     freq = [1e-5 * 2 ** (i / 3.0) for i in range(13)]  # sub-Nyquist band
-    return get_srs(_uniform(spark, sf_dir), freq=freq, quality_factor=10.0)
+    return get_srs(
+        _uniform(spark, sf_dir), freq=freq, quality_factor=10.0, n_buckets=32
+    )
 
 
 def q_rainflow(spark, sf_dir):

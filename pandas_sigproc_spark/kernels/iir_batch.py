@@ -1,0 +1,105 @@
+"""Batched IIR execution: filter MANY equal-length channels at once.
+
+``lfilter``/``filtfilt`` in :mod:`.iir` are 1-D.  At scale the dominant
+cost is not the math but per-channel overhead (Arrow group dispatch, FFT
+setup, Python call overhead) — 1500 channels of 700 samples each cost far
+more as 1500 kernel calls than as one (1500, 700) matrix op.  This module
+vectorizes the same algorithms across a leading batch axis:
+
+- ``lfilter_batch(b, a, X)`` — zero-state response for ``X[batch, time]``:
+  FIR part via one batched ``rfft``; AR part via one batched convolution
+  with the shared truncated impulse response (same coefficients for the
+  whole batch — the equal-samplerate case, which is exactly when batching
+  applies).
+- ``filtfilt_batch(b, a, X)`` — SciPy-default zero-phase: batched odd
+  padding, ``zi * x0`` initial state handled by superposition with a
+  zero-input response computed once per unit state and scaled per row
+  (linearity), forward and backward.
+
+Numerical parity with the 1-D kernels is asserted in tests (rtol 1e-9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pandas_sigproc_spark.kernels.iir import (
+    _ar_impulse_response,
+    _lfilter_loop,
+    _normalize_ba,
+    lfilter_zi,
+)
+
+
+def _fft_convolve_batch(X: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Row-wise convolution of X[batch, n] with 1-D kernel h (full, cropped
+    to n)."""
+    n = X.shape[-1]
+    nfull = n + len(h) - 1
+    nfft = 1 << (nfull - 1).bit_length()
+    Xf = np.fft.rfft(X, nfft, axis=-1)
+    Hf = np.fft.rfft(h, nfft)
+    return np.fft.irfft(Xf * Hf, nfft, axis=-1)[..., :n]
+
+
+def lfilter_batch(b, a, X: np.ndarray) -> np.ndarray:
+    """Zero-state IIR/FIR response along the last axis of ``X[batch, time]``."""
+    b, a = _normalize_ba(b, a)
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[None, :]
+    F = _fft_convolve_batch(X, b)
+    if len(a) == 1:
+        return F
+    h = _ar_impulse_response(a, min_len=4096)
+    return _fft_convolve_batch(F, h)
+
+
+def _unit_zir(b, a, zi_unit: np.ndarray, length: int) -> np.ndarray:
+    """Zero-input response for initial state ``zi_unit`` over ``length``."""
+    y, _ = _lfilter_loop(b, a, np.zeros(length), zi=zi_unit.copy())
+    return y
+
+
+def filtfilt_batch(b, a, X: np.ndarray) -> np.ndarray:
+    """Zero-phase forward-backward filtering of every row of ``X``.
+
+    Matches ``kernels.iir.filtfilt`` row-for-row: odd extension of
+    ``3 * max(len(a), len(b))`` samples, ``lfilter_zi``-scaled initial
+    conditions per pass.  The initial-state correction uses linearity:
+    the zero-input response for the unit state vector ``zi`` is computed
+    once (a short sequential run at the filter's decay length) and scaled
+    by each row's first sample.
+    """
+    b, a = _normalize_ba(b, a)
+    X = np.asarray(X, dtype=np.float64)
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[None, :]
+    nb, n = X.shape
+    ntaps = max(len(a), len(b))
+    padlen = 3 * ntaps
+    if n <= padlen:
+        raise ValueError(
+            f"input length ({n}) must exceed padlen ({padlen}) for filtfilt"
+        )
+
+    front = 2.0 * X[:, :1] - X[:, padlen:0:-1]
+    back = 2.0 * X[:, -1:] - X[:, -2 : -padlen - 2 : -1]
+    ext = np.concatenate([front, X, back], axis=1)
+    next_ = ext.shape[1]
+
+    zi = lfilter_zi(b, a)
+    h_len = len(_ar_impulse_response(a, min_len=4096)) if len(a) > 1 else ntaps
+    zir_len = min(next_, h_len)
+    zir_unit = _unit_zir(b, a, zi, zir_len)
+
+    def one_pass(M: np.ndarray) -> np.ndarray:
+        Y = lfilter_batch(b, a, M)
+        Y[:, :zir_len] += M[:, :1] * zir_unit[None, :]
+        return Y
+
+    Y = one_pass(ext)
+    Y = one_pass(Y[:, ::-1])[:, ::-1]
+    out = Y[:, padlen:-padlen]
+    return out[0] if squeeze else out

@@ -97,6 +97,40 @@ def _sdof_responses_batch(accel: np.ndarray, b: np.ndarray, a: np.ndarray):
     return pos, np.abs(neg)
 
 
+def srs_multi(
+    X: np.ndarray,
+    dt: float,
+    fn_array: np.ndarray,
+    quality_factor: float = 50.0,
+):
+    """SRS for MANY equal-rate channels at once.
+
+    ``X[channels, time]`` -> ``(pos[channels, F], abs_neg[channels, F])``.
+    One Python-level loop over time with NumPy ops over the
+    (channels x frequencies) plane — per-channel overhead vanishes, which
+    is what makes bucketed execution (operators/srs.py) fast for fleets of
+    short channels.
+    """
+    fn_array = np.asarray(fn_array, dtype=np.float64)
+    b, a = smallwood_coefficients(fn_array, dt, quality_factor)
+    nb, n = X.shape
+    nf = len(fn_array)
+    z1 = np.zeros((nb, nf))
+    z2 = np.zeros((nb, nf))
+    pos = np.full((nb, nf), -np.inf)
+    neg = np.full((nb, nf), np.inf)
+    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+    a1, a2 = a[:, 1], a[:, 2]
+    for i in range(n):
+        x = X[:, i : i + 1]
+        y = b0 * x + z1
+        z1 = b1 * x + z2 - a1 * y
+        z2 = b2 * x - a2 * y
+        np.maximum(pos, y, out=pos)
+        np.minimum(neg, y, out=neg)
+    return pos, np.abs(neg)
+
+
 def srs(
     time: np.ndarray,
     accel: np.ndarray,

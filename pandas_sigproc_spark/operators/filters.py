@@ -26,10 +26,11 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from pandas_sigproc_spark.kernels import design as _design
 from pandas_sigproc_spark.kernels import iir as _iir
+from pandas_sigproc_spark.kernels import iir_batch as _iirb
 
 _OUT_SCHEMA = "channel_id string, t double, value double"
 
@@ -48,26 +49,81 @@ def _infer_sr(t: np.ndarray) -> float:
     return float(round(sr)) if abs(sr - round(sr)) < 0.01 and sr >= 1 else sr
 
 
-def _apply_filter(df: DataFrame, make_ba, zero_phase: bool) -> DataFrame:
-    """Shared applyInPandas driver: design (b, a) per group, run the IIR."""
+def _apply_filter(
+    df: DataFrame, make_ba, zero_phase: bool, n_buckets: int | None = None
+) -> DataFrame:
+    """Shared applyInPandas driver: design (b, a) per group, run the IIR.
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        t = pdf["t"].to_numpy(dtype=np.float64)
-        y = pdf["value"].to_numpy(dtype=np.float64)
+    ``n_buckets=None``: one Arrow group per channel (huge channels).
+    ``n_buckets=K``: channels are hashed into K buckets and each task
+    filters its whole bucket as a (channels x time) matrix with the
+    batched kernels — same results, but per-channel Arrow/FFT overhead is
+    amortized ~bucket-size times.  The right mode at 100 TB depends on
+    channel length: many small channels -> bucket; few huge ones -> per
+    channel (SURVEY.md §7.3.1).
+    """
+
+    def one_channel(cid, t, y) -> pd.DataFrame:
         sr = _infer_sr(t)
         b, a = make_ba(sr)
         out = _iir.filtfilt(b, a, y) if zero_phase else _iir.lfilter(b, a, y)
-        return pd.DataFrame(
-            {"channel_id": pdf["channel_id"].iloc[0], "t": t, "value": out}
-        )
+        return pd.DataFrame({"channel_id": cid, "t": t, "value": out})
 
-    return df.select("channel_id", "t", "value").groupBy("channel_id").applyInPandas(
-        kernel, _OUT_SCHEMA
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["channel_id", "t"])
+        pieces = []
+        # Batch channels of identical (length, samplerate): one matrix op.
+        groups: dict = {}
+        for cid, grp in pdf.groupby("channel_id", sort=False):
+            t = grp["t"].to_numpy(dtype=np.float64)
+            y = grp["value"].to_numpy(dtype=np.float64)
+            sr = _infer_sr(t)
+            groups.setdefault((len(t), round(sr, 9)), []).append((cid, t, y))
+        for (_n, sr), members in groups.items():
+            b, a = make_ba(sr)
+            if len(members) == 1:
+                cid, t, y = members[0]
+                out = (
+                    _iir.filtfilt(b, a, y) if zero_phase else _iir.lfilter(b, a, y)
+                )
+                pieces.append(
+                    pd.DataFrame({"channel_id": cid, "t": t, "value": out})
+                )
+                continue
+            X = np.stack([y for _, _, y in members])
+            Y = (
+                _iirb.filtfilt_batch(b, a, X)
+                if zero_phase
+                else _iirb.lfilter_batch(b, a, X)
+            )
+            for row, (cid, t, _y) in enumerate(members):
+                pieces.append(
+                    pd.DataFrame({"channel_id": cid, "t": t, "value": Y[row]})
+                )
+        return pd.concat(pieces, ignore_index=True)
+
+    src = df.select("channel_id", "t", "value")
+    if n_buckets is None:
+        def single(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("t")
+            return one_channel(
+                pdf["channel_id"].iloc[0],
+                pdf["t"].to_numpy(dtype=np.float64),
+                pdf["value"].to_numpy(dtype=np.float64),
+            )
+
+        return src.groupBy("channel_id").applyInPandas(single, _OUT_SCHEMA)
+    bucketed = src.withColumn(
+        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+    )
+    return bucketed.groupBy("_b").applyInPandas(
+        lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA
     )
 
 
-def filt_butter(df: DataFrame, cutoff, order: int, btype: str) -> DataFrame:
+def filt_butter(
+    df: DataFrame, cutoff, order: int, btype: str, n_buckets: int | None = None
+) -> DataFrame:
     """Zero-phase Butterworth filter (reference ``extension.py:452-497``).
 
     The order is halved before design because forward-backward filtering
@@ -83,20 +139,20 @@ def filt_butter(df: DataFrame, cutoff, order: int, btype: str) -> DataFrame:
         wn = np.asarray(cutoff, dtype=np.float64) / nyq
         return _design.butter(order_used, wn, btype)
 
-    return _apply_filter(df, make_ba, zero_phase=True)
+    return _apply_filter(df, make_ba, zero_phase=True, n_buckets=n_buckets)
 
 
-def filt_cfc(df: DataFrame, cfc: float) -> DataFrame:
+def filt_cfc(df: DataFrame, cfc: float, n_buckets: int | None = None) -> DataFrame:
     """SAE J211 Channel Frequency Class filter, zero-phase
     (reference ``extension.py:499-539``)."""
 
     def make_ba(sr: float):
         return _design.cfc_coefficients(cfc, sr)
 
-    return _apply_filter(df, make_ba, zero_phase=True)
+    return _apply_filter(df, make_ba, zero_phase=True, n_buckets=n_buckets)
 
 
-def filt_a(df: DataFrame) -> DataFrame:
+def filt_a(df: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """IEC 1672 A-weighting, applied causally with ``lfilter`` — the
     deliberate phase-distorting contrast to the filtfilt ops
     (reference ``extension.py:541-567``; design ``tools.py:257-301``).
@@ -105,4 +161,4 @@ def filt_a(df: DataFrame) -> DataFrame:
     def make_ba(sr: float):
         return _design.a_weighting(sr)
 
-    return _apply_filter(df, make_ba, zero_phase=False)
+    return _apply_filter(df, make_ba, zero_phase=False, n_buckets=n_buckets)

@@ -43,13 +43,30 @@ def get_psd(
     samplerate: float | None = None,
     segmented: bool = False,
     tiebreak_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-channel PSD -> spectra(channel_id, freq, power).
 
     ``summarize='all'`` returns (channel_id, seg, freq, power).
     ``samplerate=None`` infers per group from the time base.
+    Execution modes by channel size (SURVEY.md §7.3.1): default one Arrow
+    group per channel; ``n_buckets=K`` batches many small channels per
+    task with one stacked FFT; ``segmented=True`` splits one huge channel
+    across tasks (relational segment ids + per-segment FFT).
     """
     if window_length is None or not segmented:
+        if n_buckets is not None and summarize != "all":
+            return _bucketed_psd(
+                df,
+                window_length,
+                overlap,
+                window_type,
+                summarize,
+                fatigue_exponent,
+                detrend,
+                samplerate,
+                n_buckets,
+            )
         return _whole_channel_psd(
             df,
             window_length,
@@ -110,6 +127,79 @@ def _whole_channel_psd(
         df.select("channel_id", "t", "value")
         .groupBy("channel_id")
         .applyInPandas(kernel, out_schema)
+    )
+
+
+def _bucketed_psd(
+    df,
+    window_length,
+    overlap,
+    window_type,
+    summarize,
+    fatigue_exponent,
+    detrend,
+    sr,
+    n_buckets,
+):
+    """Many-small-channels path: hash channels into buckets; inside each
+    task, stack every channel's Welch segments into ONE batched FFT call,
+    then reduce per channel.  Identical numerics to the per-channel path
+    (asserted in tests); ~bucket-size fewer Arrow groups and FFT setups.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["channel_id", "t"])
+        pieces = []
+        chans = []
+        for cid, grp in pdf.groupby("channel_id", sort=False):
+            t = grp["t"].to_numpy(dtype=np.float64)
+            y = grp["value"].to_numpy(dtype=np.float64)
+            rate = sr if sr is not None else _infer_sr(t)
+            chans.append((cid, y, rate))
+        # Sub-batch channels with identical (rate, length) -> one FFT.
+        groups: dict = {}
+        for cid, y, rate in chans:
+            groups.setdefault((round(rate, 9), len(y)), []).append((cid, y))
+        for (rate, _n), members in groups.items():
+            if window_length is None:
+                X = np.stack([y for _, y in members])
+                freq, pxx = _spectral.periodogram(X, rate, "boxcar", "constant")
+                keep = freq > 0
+                for row, (cid, _y) in enumerate(members):
+                    pieces.append(
+                        pd.DataFrame(
+                            {"channel_id": cid, "freq": freq[keep], "power": pxx[row][keep]}
+                        )
+                    )
+                continue
+            n_window = int(rate * window_length)
+            n_overlap = int(round(n_window * overlap))
+            starts = _spectral.welch_segment_bounds(_n, n_window, n_overlap)
+            if not starts:
+                raise ValueError("window_length longer than the signal")
+            segs = np.stack(
+                [y[s : s + n_window] for _, y in members for s in starts]
+            )
+            freq, psd_all = _spectral.periodogram(
+                segs, rate, window_type, detrend, axis=1
+            )
+            n_seg = len(starts)
+            keep = freq > 0
+            for row, (cid, _y) in enumerate(members):
+                sub = psd_all[row * n_seg : (row + 1) * n_seg]
+                pxx = _spectral.summarize_psds(sub, freq, summarize, fatigue_exponent)
+                pieces.append(
+                    pd.DataFrame(
+                        {"channel_id": cid, "freq": freq[keep], "power": pxx[keep]}
+                    )
+                )
+        return pd.concat(pieces, ignore_index=True)
+
+    src = df.select("channel_id", "t", "value").withColumn(
+        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+    )
+    return src.groupBy("_b").applyInPandas(
+        lambda pdf: kernel(pdf.drop(columns=["_b"])), _SPECTRA_SCHEMA
     )
 
 

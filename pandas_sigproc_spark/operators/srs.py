@@ -16,7 +16,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from pandas_sigproc_spark.kernels.srs import build_freq_array, srs as srs_kernel
+from pandas_sigproc_spark.kernels.srs import (
+    build_freq_array,
+    srs as srs_kernel,
+    srs_multi,
+)
 
 _OUT_SCHEMA = "channel_id string, freq double, power double"
 
@@ -26,13 +30,19 @@ def get_srs(
     freq: np.ndarray | None = None,
     quality_factor: float = 50.0,
     n_freq_slices: int = 1,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Maximax SRS envelope -> spectra(channel_id, freq, power).
 
     ``n_freq_slices > 1`` splits the frequency grid so one channel's SRS
-    is computed by several tasks concurrently (use when channels are few
-    and long; the default keeps one task per channel).
+    is computed by several tasks concurrently (few long channels).
+    ``n_buckets = K`` instead hashes channels into K buckets and runs the
+    recursion vectorized across every (channel, frequency) pair in the
+    bucket at once (many short channels) — the two axes of the same
+    fan-out trade-off.
     """
+    if n_buckets is not None:
+        return _get_srs_bucketed(df, freq, quality_factor, n_buckets)
     fn = build_freq_array() if freq is None else np.asarray(freq, np.float64)
     slices = np.array_split(fn, max(int(n_freq_slices), 1))
     slice_rows = [(i, s.tolist()) for i, s in enumerate(slices) if len(s)]
@@ -58,3 +68,42 @@ def get_srs(
         )
 
     return paired.groupBy("channel_id", "slice_id").applyInPandas(kernel, _OUT_SCHEMA)
+
+
+def _get_srs_bucketed(df, freq, quality_factor, n_buckets):
+    fn = build_freq_array() if freq is None else np.asarray(freq, np.float64)
+    fn_list = fn.tolist()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["channel_id", "t"])
+        fns = np.asarray(fn_list, dtype=np.float64)
+        # Sub-batch channels sharing (length, dt); leftovers go singly.
+        groups: dict = {}
+        for cid, grp in pdf.groupby("channel_id", sort=False):
+            t = grp["t"].to_numpy(dtype=np.float64)
+            y = grp["value"].to_numpy(dtype=np.float64)
+            dt = float(np.mean(np.diff(t)))
+            groups.setdefault((len(t), round(dt, 9)), []).append((cid, y))
+        pieces = []
+        for (_n, dt), members in groups.items():
+            X = np.stack([y for _, y in members])
+            pos, neg = srs_multi(X, dt, fns, quality_factor)
+            env = np.maximum(pos, neg)
+            nfns = len(fns)
+            pieces.append(
+                pd.DataFrame(
+                    {
+                        "channel_id": np.repeat([cid for cid, _ in members], nfns),
+                        "freq": np.tile(fns, len(members)),
+                        "power": env.ravel(),
+                    }
+                )
+            )
+        return pd.concat(pieces, ignore_index=True)
+
+    src = df.select("channel_id", "t", "value").withColumn(
+        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+    )
+    return src.groupBy("_b").applyInPandas(
+        lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA
+    )
