@@ -654,21 +654,39 @@ _MINHASH_PERMS = [(1299721, 104729), (15485863, 32452843), (49979687, 67867967),
 
 
 def q_dedup_minhash(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    shingle = F.explode(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
-    ).alias("sh")
-    sh = d.select(F.col("doc_id").cast("long").alias("doc_id"), shingle).distinct()
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint") % _MINHASH_P
-    sh = sh.select("doc_id", h.alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"mh{i}")
+    # Fully map-side: shingle -> hash -> all 4 permutation minima in ONE
+    # aggregate() pass over the row's own shingle array.  No explode, no
+    # distinct, no groupBy — zero shuffles, so the plan is embarrassingly
+    # parallel at any scale (each task emits one signature row per doc).
+    # A single aggregate matters because Spark inlines the shingle-hash
+    # expression into every output column: four transform()+array_min()
+    # columns would re-run md5 per shingle 4x (measured 3.5x slower).
+    # The repartition only matters locally where the table is one tiny
+    # parquet file = one split; at scale, file splits parallelize the scan.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    p = _MINHASH_P
+    acc0 = "array(" + ",".join([f"cast({p} as bigint)"] * len(_MINHASH_PERMS)) + ")"
+    upd = ",".join(
+        f"least(acc[{i}], ({a}L * h + {b}L) % {p}L)"
         for i, (a, b) in enumerate(_MINHASH_PERMS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    )
+    sig = F.expr(
+        f"""
+        aggregate(
+          transform(
+            array_distinct(transform(
+              sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+              i -> concat_ws(' ', slice(split(text, ' '), i, 3)))),
+            s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {p}L),
+          {acc0}, (acc, h) -> array({upd}))
+        """
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sig.alias("mh")
+    ).select(
+        "doc_id",
+        *[F.col("mh")[i].alias(f"mh{i}") for i in range(len(_MINHASH_PERMS))],
+    )
 
 
 SQL_DEDUP_MINHASH = f"""
@@ -695,36 +713,31 @@ FROM hashed GROUP BY doc_id
 
 def q_dedup_simhash(spark, sf_dir):
     # 32-bit SimHash over word hashes: bit j set iff sum of per-word
-    # (+1/-1 on bit j) is positive.
-    d = _docs(spark, sf_dir)
-    w = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.split(F.col("text"), " ")).alias("w"),
-    )
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
-    w = w.select("doc_id", h.alias("h"))
-    # Per-bit probe via exact integer division by 2^j (shiftright needs a
-    # literal count in PySpark; pow(2, j) cast to bigint is exact to j=62).
-    bits = w.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"), "h"
-    ).select(
-        "doc_id",
-        "j",
-        F.when(
-            F.expr("(h div cast(pow(2, j) as bigint)) % 2") == 1, 1
-        )
-        .otherwise(-1)
-        .alias("contrib"),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
-            ).alias("simhash")
-        )
+    # (+1/-1 on bit j) is positive. Computed map-side per row: hash the
+    # row's word array once, then for each bit j count set bits with a
+    # filter() over that array (s_j = 2*n_set - n). Zero shuffles.
+    # One aggregate() with a finish lambda: the word-hash array is built
+    # exactly once per row (naming it in a prior select would let the
+    # projection-collapse rule inline it into every reference, re-running
+    # md5 per word dozens of times).  merge keeps 32 running bit-sums;
+    # finish folds them into the integer fingerprint.  Per-bit probe via
+    # exact integer division by 2^j (pow(2, j) cast to bigint is exact).
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    expr = """
+      aggregate(
+        transform(split(text, ' '),
+          w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+        array_repeat(cast(0 as bigint), 32),
+        (acc, h) -> transform(sequence(0, 31), j ->
+          acc[j] + CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1
+                        THEN 1L ELSE -1L END),
+        acc -> aggregate(
+          transform(sequence(0, 31), j ->
+            CASE WHEN acc[j] > 0 THEN cast(pow(2, j) as bigint) ELSE 0L END),
+          cast(0 as bigint), (s, x) -> s + x))
+    """
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.expr(expr).alias("simhash")
     )
 
 
@@ -754,34 +767,35 @@ FROM contrib GROUP BY doc_id
 def q_dedup_jaccard_pairs(spark, sf_dir):
     # n-gram Jaccard near-dup candidates: distinct word-3-gram shingle
     # sets, self-joined on shingle, J = |inter| / |union| >= 0.5.
-    d = _docs(spark, sf_dir)
+    # Shingle dedup (array_distinct) and set sizes are computed map-side
+    # and carried through the explode, so the whole plan has exactly two
+    # shuffles (self-join + pair groupBy) instead of four (the naive
+    # distinct + two size-lookup joins version).
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    shs = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+    )
     sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
-        ).alias("sh"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        F.col("doc_id").cast("long").alias("doc_id"), shs.alias("shs")
+    ).select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    j = (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    j = inter.withColumn(
+        "jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    ).filter(F.col("jaccard") >= 0.5)
     return j.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -814,7 +828,9 @@ WHERE n_inter / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.5
 def q_embed_cosine_topk(spark, sf_dir):
     # Brute-force cosine top-5 neighbors for the first 50 query vectors —
     # the exact baseline for ANN (similarity-search operator family).
-    e = _embeds(spark, sf_dir).select(
+    e = _embeds(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
