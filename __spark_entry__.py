@@ -33,6 +33,7 @@ from pandas_sigproc_spark.operators import (
     get_srs,
     integral,
     interp1d_linear,
+    interp1d_log,
     mov_rms,
     rainflow,
     resample,
@@ -865,6 +866,200 @@ def q_embed_cosine_topk(spark, sf_dir):
     )
 
 
+# --- text analysis family (language-ID, tokenization, quality, fingerprint) --
+
+# Per-language stopword probe sets for the n-gram/stopword language-ID
+# heuristic.  Deterministic and identical in both engines.
+_LANG_STOPS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "que", "y", "es"),
+    "fr": ("le", "la", "et", "est", "une"),
+    "zh": ("de", "shi", "le_zh", "zai", "he"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def q_lang_id(spark, sf_dir):
+    # Stopword-hit language ID: score each language by how many of the
+    # doc's words hit its stopword set; argmax with fixed priority order,
+    # 'und' (undetermined) when every score is zero.  Fully map-side.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    words = F.split(F.col("text"), " ")
+    row = d.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+    scores = {
+        lang: F.size(F.filter(F.col("ws"), lambda w: w.isin(*stops)))
+        for lang, stops in _LANG_STOPS.items()
+    }
+    pred = F.when(sum(scores.values(), F.lit(0)) == 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other != lang:
+                c = scores[lang] >= scores[other]
+                cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    out = row.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        sum(scores.values(), F.lit(0)).alias("n_stopword_hits"),
+    )
+    return out
+
+
+def _lang_score_sql(lang):
+    stops = ", ".join(f"'{s}'" for s in _LANG_STOPS[lang])
+    return f"LEN(LIST_FILTER(ws, w -> w IN ({stops})))"
+
+
+def _lang_pred_sql():
+    total = " + ".join(_lang_score_sql(l) for l in _LANG_ORDER)
+    cases = []
+    for lang in _LANG_ORDER:
+        conds = " AND ".join(
+            f"{_lang_score_sql(lang)} >= {_lang_score_sql(o)}"
+            for o in _LANG_ORDER
+            if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return f"CASE WHEN ({total}) = 0 THEN 'und' {' '.join(cases)} END"
+
+
+SQL_LANG_ID = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       {_lang_pred_sql()} AS pred_lang,
+       {" + ".join(_lang_score_sql(l) for l in _LANG_ORDER)} AS n_stopword_hits
+FROM tok
+"""
+
+
+_TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count(spark, sf_dir):
+    # BPE-ish regex tokenization: alnum runs plus single non-alnum marks,
+    # versus plain whitespace tokens.  Both counts map-side.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       LEN(STRING_SPLIT(text, ' ')) AS n_ws_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '{_TOKEN_RE}')) AS n_re_tokens,
+       LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '{_TOKEN_RE}'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    # Composite document-quality heuristic: length saturation, mean word
+    # length proximity to English prose (~4.7), stopword presence, and
+    # type-token ratio.  Pure arithmetic -> identical in both engines.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    words = F.split(F.col("text"), " ")
+    n_w = F.size(words)
+    n_uniq = F.size(F.array_distinct(words))
+    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
+    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
+    awl = F.length("text") / n_w
+    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
+    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
+    ttr = n_uniq / n_w
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(
+            0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * ttr, 6
+        ).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, STRING_SPLIT(text, ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.3 * LEAST(1.0, LENGTH(text) / 400.0)
+           + 0.25 * GREATEST(0.0, 1.0 - ABS(LENGTH(text) / CAST(LEN(ws) AS DOUBLE) - 4.7) / 4.7)
+           + 0.25 * LEAST(1.0, LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and','is')))
+                               / (LEN(ws) * 0.05))
+           + 0.2 * (LEN(LIST_DISTINCT(ws)) / CAST(LEN(ws) AS DOUBLE)), 6) AS quality
+FROM tok
+"""
+
+
+# Karp-Rabin rolling hash over word hashes, window w=4: the document
+# fingerprint is the minimum window hash (winnowing-style).  Spark computes
+# it map-side in ONE aggregate() pass (array accumulator = 3 trailing word
+# hashes, count, running min); the oracle is the equivalent relational
+# form (explode + LAG window + MIN) — different plans, same values.
+_FP_B = 1000003
+_FP_P = 2147483647
+_FP_B2 = (_FP_B * _FP_B) % _FP_P
+_FP_B3 = (_FP_B * _FP_B2) % _FP_P
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    p, b, b2, b3 = _FP_P, _FP_B, _FP_B2, _FP_B3
+    expr = f"""
+      aggregate(
+        transform(split(text, ' '),
+          w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {p}L),
+        array(0L, 0L, 0L, 0L, 9223372036854775807L),
+        (acc, h) -> array(
+          acc[1], acc[2], h, acc[3] + 1L,
+          CASE WHEN acc[3] >= 3 THEN least(
+                 acc[4],
+                 ((acc[0] * {b3}L) % {p}L + (acc[1] * {b2}L) % {p}L
+                  + (acc[2] * {b}L) % {p}L + h) % {p}L)
+               ELSE acc[4] END),
+        acc -> CASE WHEN acc[3] >= 4 THEN acc[4] ELSE -1L END)
+    """
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(expr).alias("fingerprint"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS ws
+  FROM documents
+),
+w AS (
+  SELECT doc_id, u.w, u.i
+  FROM tok, LATERAL (SELECT UNNEST(ws) AS w, generate_subscripts(ws, 1) AS i) u
+),
+h AS (
+  SELECT doc_id, i,
+         CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 15)) AS BIGINT) % {_FP_P} AS h
+  FROM w
+),
+r AS (
+  SELECT doc_id,
+         ((LAG(h, 3) OVER win * {_FP_B3}) % {_FP_P}
+          + (LAG(h, 2) OVER win * {_FP_B2}) % {_FP_P}
+          + (LAG(h, 1) OVER win * {_FP_B}) % {_FP_P} + h) % {_FP_P} AS r
+  FROM h
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT doc_id, COALESCE(MIN(r), -1) AS fingerprint
+FROM r GROUP BY doc_id
+"""
+
+
 SQL_EMBED_COSINE_TOPK = """
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -886,6 +1081,213 @@ ranked AS (
 )
 SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 5
+"""
+
+
+# --- multimodal: binary payload features via Arrow-batched mapInPandas ------
+
+
+def q_media_features(spark, sf_dir):
+    # Media pipeline plumbing end-to-end: documents -> synthetic binary
+    # payloads -> mapInPandas feature extraction (deterministic fake codec,
+    # operators/multimodal.py).  Because the fake codec is arithmetic over
+    # the payload bytes and the payloads are ASCII text, the whole
+    # mapInPandas output is value-checkable against a pure-SQL oracle —
+    # a correctness gate most UDF plumbing never gets.
+    from pandas_sigproc_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(
+        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = extract_media_features(media, codec="fake")
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        "head_hash",
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         text,
+         LENGTH(text) AS n
+  FROM documents
+),
+codes AS (
+  SELECT media_id, kind, n,
+         LIST_TRANSFORM(RANGE(1, n + 1), i -> UNICODE(SUBSTR(text, i, 1))) AS bs,
+         SUBSTR(text, 1, 64) AS head
+  FROM m
+)
+SELECT media_id, kind, n AS n_bytes,
+       CAST(CASE WHEN kind = 'image' THEN 16 + n % 640
+                 WHEN kind = 'video' THEN 16 + n % 320
+                 ELSE n END AS INTEGER) AS width,
+       CAST(CASE WHEN kind = 'image' THEN 16 + (n * 7) % 480
+                 WHEN kind = 'video' THEN 16 + (n * 7) % 240
+                 ELSE 1 END AS INTEGER) AS height,
+       CAST(CASE WHEN kind = 'video' THEN 1 + n % 30 ELSE 1 END AS INTEGER) AS n_frames,
+       ROUND(LIST_AVG(bs), 6) AS byte_mean,
+       ROUND(LIST_AGGREGATE(bs, 'stddev_pop'), 6) AS byte_std,
+       SUBSTR(MD5(head), 1, 16) AS head_hash
+FROM codes
+"""
+
+
+# --- LSH-bucketed similarity search (the scale path for ANN / near-dup) -----
+
+# Sign-random-projection LSH: 8 Rademacher (+1/-1) hyperplanes drawn
+# deterministically from md5 so Spark and DuckDB bucket identically.
+# Database-friendly sparse projections per Achlioptas (2003).
+_LSH_DIM = 64
+_LSH_PLANES = 8
+
+
+def _lsh_planes():
+    import hashlib
+
+    planes = []
+    for p in range(_LSH_PLANES):
+        row = []
+        for d in range(_LSH_DIM):
+            h = hashlib.md5(f"lsh-{p}-{d}".encode()).hexdigest()
+            row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket_sql(one_based: bool) -> str:
+    # bucket = sum_p 2^p * [v . w_p > 0], with w_p baked in as +/-1 literals
+    # so each dot is a signed sum over the vector's own elements (map-side,
+    # no join, no md5 at query time).
+    off = 1 if one_based else 0
+    terms = []
+    for p, row in enumerate(_lsh_planes()):
+        dot = " + ".join(
+            f"{'' if w > 0 else '-'}v[{d + off}]" for d, w in enumerate(row)
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _embeds_v(spark, sf_dir):
+    return (
+        _embeds(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("bucket", F.expr(_lsh_bucket_sql(one_based=False)).cast("long"))
+    )
+
+
+def _cos(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (nrm(va) * nrm(vb))
+
+
+def q_ann_lsh(spark, sf_dir):
+    # ANN top-3 per query vector, candidates restricted to the query's LSH
+    # bucket: the bucket equi-join replaces the brute-force cross join, so
+    # compare cost drops from O(N*Q) to ~O(N*Q/2^planes) and the join
+    # shuffles on a bounded integer key — the 100 TB plan.  Exact cosine
+    # rescoring inside the bucket; deterministic buckets = oracle-exact.
+    e = _embeds_v(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    pairs = (
+        q.join(e, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _sql_ann_lsh():
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+eb AS (SELECT vec_id, v, {_lsh_bucket_sql(one_based=True)} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM eb WHERE vec_id < 50),
+pairs AS (
+  SELECT qid, vec_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] * v[i]))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x)))) AS cos
+  FROM q JOIN eb USING (bucket) WHERE qid != vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_dedup_embed(spark, sf_dir):
+    # Embedding-cosine near-dup candidates: pairs sharing an LSH bucket
+    # with cosine >= 0.4.  Same bucket-join scale shape as q_ann_lsh.
+    e = _embeds_v(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", _cos(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("v1", "v2", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _sql_dedup_embed():
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+eb AS (SELECT vec_id, v, {_lsh_bucket_sql(one_based=True)} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))) AS cos
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
 """
 
 
@@ -926,6 +1328,83 @@ def q_filt_a(spark, sf_dir):
     return filt_a(idx, n_buckets=32)
 
 
+def q_interp_log(spark, sf_dir):
+    # freqdomain.interp1d_log parity (extension.py:201-230): build a
+    # per-channel positive "spectrum" (freq = 1-based day index, power =
+    # daily RMS), interpolate onto half-step points in log10-log10 space.
+    sig = deduplicate(_signals(spark, sf_dir))
+    daily = sig.groupBy(
+        "channel_id", F.floor(F.col("t") / DAY).alias("day")
+    ).agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("power"))
+    w = Window.partitionBy("channel_id")
+    spectra = daily.select(
+        "channel_id",
+        (F.col("day") - F.min("day").over(w) + 1).cast("double").alias("freq"),
+        "power",
+    )
+    n = spectra.groupBy("channel_id").agg(F.max("freq").alias("n"))
+    grid = n.select(
+        "channel_id",
+        F.explode(F.sequence(F.lit(1), (F.col("n") - 1).cast("long"))).alias("k"),
+    ).select("channel_id", (F.col("k") + F.lit(0.5)).alias("freq"))
+    out = interp1d_log(spectra, grid, axis="freq")
+    # Round freq too: it round-trips through pow(10, log10(f)).
+    return out.select(
+        "channel_id",
+        F.round("freq", 6).alias("freq"),
+        F.round("power", 6).alias("power"),
+    )
+
+
+SQL_INTERP_LOG = f"""
+WITH {_SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+daily AS (
+  SELECT channel_id, FLOOR(t / {DAY!r}) AS day,
+         SQRT(AVG(value * value)) AS power
+  FROM dedup GROUP BY channel_id, FLOOR(t / {DAY!r})
+),
+spectra AS (
+  SELECT channel_id,
+         CAST(day - MIN(day) OVER (PARTITION BY channel_id) + 1 AS DOUBLE) AS freq,
+         power
+  FROM daily
+),
+n AS (SELECT channel_id, MAX(freq) AS n FROM spectra GROUP BY channel_id),
+grid AS (
+  SELECT channel_id, UNNEST(RANGE(1, CAST(n - 1 AS BIGINT) + 1)) + 0.5 AS freq
+  FROM n
+),
+u AS (
+  SELECT channel_id, LOG10(freq) AS x, LOG10(power) AS y, 1 AS is_src FROM spectra
+  UNION ALL
+  SELECT channel_id, LOG10(freq), NULL, 0 FROM grid
+),
+m AS (
+  SELECT channel_id, x, is_src,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN x END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN y END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN x END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x DESC, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN y END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x DESC, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y1
+  FROM u
+)
+SELECT channel_id, ROUND(POWER(10.0, x), 6) AS freq,
+       ROUND(POWER(10.0, CASE WHEN x1 = x0 THEN y0
+                  ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END), 6) AS power
+FROM m WHERE is_src = 0 AND x0 IS NOT NULL AND x1 IS NOT NULL
+"""
+
+
 def q_psd_welch(spark, sf_dir):
     # Bucketed whole-channel Welch: these channels are small, so one
     # stacked FFT per bucket beats the segment-explode scale path (which
@@ -945,6 +1424,20 @@ def q_srs(spark, sf_dir):
     freq = [1e-5 * 2 ** (i / 3.0) for i in range(13)]  # sub-Nyquist band
     return get_srs(
         _uniform(spark, sf_dir), freq=freq, quality_factor=10.0, n_buckets=32
+    )
+
+
+def q_psd_damage(spark, sf_dir):
+    # Welch summarize='damage' (tools.py:74-98 mode 7): mean PSD rescaled
+    # by the mean fatigue-damage acceleration factor, exponent b=4.
+    return get_psd(
+        _uniform(spark, sf_dir),
+        window_length=64 * 3600.0,
+        overlap=0.5,
+        summarize="damage",
+        fatigue_exponent=4.0,
+        samplerate=_HOURLY,
+        n_buckets=32,
     )
 
 
@@ -995,18 +1488,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": q_segment_stats,
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_join": q_tpch_revenue_join,
+        "interp_log": q_interp_log,
         # LLM-data-pipeline tier (oracle-checked)
         "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_embed": q_dedup_embed,
         "embed_cosine_topk": q_embed_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
         "psd_welch": q_psd_welch,
+        "psd_damage": q_psd_damage,
         "srs": q_srs,
         "rainflow": q_rainflow,
         "interp_cubic": q_interp_cubic,
@@ -1033,10 +1535,18 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats": SQL_SEGMENT_STATS,
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,
+        "interp_log": SQL_INTERP_LOG,
         "text_stats": SQL_TEXT_STATS,
+        "lang_id": SQL_LANG_ID,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY_SCORE,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
+        "dedup_embed": _sql_dedup_embed(),
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
+        "ann_lsh": _sql_ann_lsh(),
+        "media_features": SQL_MEDIA_FEATURES,
     }

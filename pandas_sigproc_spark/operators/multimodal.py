@@ -1,0 +1,197 @@
+"""Multimodal (image / audio / video) column operators.
+
+The engine treats media as opaque ``binary`` payload columns plus typed
+metadata, processed with Arrow-batched ``mapInPandas`` so payloads never
+round-trip through Python row objects one at a time.  This mirrors how a
+large-scale training-data pipeline handles media at 100 TB: the bytes
+stay columnar end to end, decode happens vectorized per Arrow batch
+inside executors, and the output schema is fixed so Catalyst can prune.
+
+The actual codecs (PIL/libjpeg, ffmpeg, soundfile) are NOT available in
+this environment, so the decode step is isolated behind
+:func:`decode_payload`:
+
+- ``codec='real'`` raises ``NotImplementedError`` — the marked seam where
+  a real decoder plugs in;
+- ``codec='fake'`` (default for tests) derives deterministic pseudo
+  metadata and pixel statistics from the raw bytes, so every piece of
+  Spark-side plumbing — schema, batch iteration, partitioning, UDF
+  signatures — is exercised for real and pinned by golden tests.
+
+Media model::
+
+    media(media_id BIGINT, kind STRING, payload BINARY,
+          meta MAP<STRING, STRING>)
+
+There is no media table in the driver's testdata, so
+:func:`synthesize_media` builds one deterministically from ``documents``
+(utf-8 bytes of ``text`` as payload) — the harness used by tests and the
+``media_features`` query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, "
+    "width int, height int, n_frames int, "
+    "byte_mean double, byte_std double, head_hash string"
+)
+
+
+def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
+    """Decode one media payload to (width, height, n_frames).
+
+    ``codec='real'`` is the seam for an actual image/audio/video decoder;
+    it is intentionally unimplemented in this environment.
+    ``codec='fake'`` derives deterministic dimensions from the byte
+    length so the distributed plumbing around the decode is testable.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "no media codecs in this environment: plug PIL/ffmpeg/soundfile "
+            "in here; everything around this call is production plumbing"
+        )
+    n = len(payload)
+    if kind == "image":
+        return 16 + n % 640, 16 + (n * 7) % 480, 1
+    if kind == "video":
+        return 16 + n % 320, 16 + (n * 7) % 240, 1 + n % 30
+    # audio: "samples" in one logical frame
+    return n, 1, 1
+
+
+def extract_media_features(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Per-payload features via mapInPandas (Arrow-batched).
+
+    ``mapInPandas`` (not applyInPandas) because feature extraction is
+    embarrassingly parallel per row — no grouping, no shuffle: each task
+    streams its parquet split through Python once.  At 100 TB this is the
+    only shape that works; a groupBy would shuffle the payload bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                w, h, nf = decode_payload(bytes(payload), kind, codec=codec)
+                rows.append(
+                    (
+                        int(media_id),
+                        kind,
+                        int(buf.size),
+                        int(w),
+                        int(h),
+                        int(nf),
+                        float(buf.mean()) if buf.size else 0.0,
+                        float(buf.std()) if buf.size else 0.0,
+                        hashlib.md5(bytes(payload[:64])).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "byte_mean",
+                    "byte_std",
+                    "head_hash",
+                ],
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -> DataFrame:
+    """Resize stub: real plumbing, fake resample.
+
+    The fake 'resize' tiles/truncates the byte buffer to width*height so
+    output size is exact and deterministic; a real implementation swaps
+    the inner loop for PIL.  Output stays binary so downstream stages
+    keep the same media model.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if codec == "real":
+                    raise NotImplementedError("plug a real image resampler here")
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                out = np.resize(buf, n_out) if buf.size else np.zeros(n_out, np.uint8)
+                rows.append((int(media_id), width, height, out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> DataFrame:
+    """Frame sampling for video payloads: 1 row in, n_frames/every_n out.
+
+    UDTF-shaped (one payload explodes into many frames) — mapInPandas
+    yields more rows than it consumes, which is exactly what Spark's
+    iterator contract allows; no explode of materialized arrays needed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                if codec == "real":
+                    raise NotImplementedError("plug ffmpeg frame extraction here")
+                w, h, nf = decode_payload(bytes(payload), kind, codec=codec)
+                frame_bytes = max(1, len(payload) // max(nf, 1))
+                for i in range(0, nf, every_n):
+                    start = i * frame_bytes
+                    rows.append(
+                        (int(media_id), int(i), bytes(payload[start : start + frame_bytes]))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from ``documents`` (test harness).
+
+    Payload = utf-8 bytes of the text; kind cycles image/audio/video by
+    ``doc_id % 3`` so every code path gets rows.
+    """
+    return docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )

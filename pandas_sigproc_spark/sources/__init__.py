@@ -8,5 +8,20 @@ never touch raw formats directly.
 
 from pandas_sigproc_spark.sources.events import events_to_signals, load_table
 from pandas_sigproc_spark.sources.channel import channels_to_signals, Channel
+from pandas_sigproc_spark.sources.wav import (
+    read_wav,
+    signals_to_wav,
+    wav_to_signals,
+    write_wav,
+)
 
-__all__ = ["events_to_signals", "load_table", "channels_to_signals", "Channel"]
+__all__ = [
+    "events_to_signals",
+    "load_table",
+    "channels_to_signals",
+    "Channel",
+    "read_wav",
+    "write_wav",
+    "wav_to_signals",
+    "signals_to_wav",
+]

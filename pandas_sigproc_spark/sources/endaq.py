@@ -1,0 +1,96 @@
+"""enDAQ/SlamStick ``.ide`` ingest (reference ``Endaq``/``EndaqChannel``,
+``io.py:161-301``).
+
+The ``endaq`` package is not installed in this environment, so the driver
+is import-gated: construction raises a clear ImportError until the
+dependency is present; everything downstream of the raw read reuses the
+generic :class:`~pandas_sigproc_spark.sources.channel.Channel` ingest.
+
+Design (SURVEY.md §2.1 Endaq row): ``.ide`` is a single-file EBML log —
+not splittable — so ingest parallelism is per *file* (one task opens one
+file, emits its channels) rather than per byte range.  ``ingest_ide_dir``
+fans a directory of logs across the cluster with one task per file via
+``spark.sparkContext.parallelize``, which is the right shape for the
+"thousands of logger files" case; analytics then run on the canonical
+parquet, never re-touching the raw format.
+"""
+
+from __future__ import annotations
+
+from pandas_sigproc_spark.sources.channel import Channel, channels_to_signals
+
+try:  # pragma: no cover - exercised only where endaq is installed
+    import endaq.ide as _endaq_ide
+except Exception:  # ImportError or transitive dep failures
+    _endaq_ide = None
+
+
+def _require_endaq():
+    if _endaq_ide is None:
+        raise ImportError(
+            "the 'endaq' package is required for .ide ingest "
+            "(pip install endaq); the rest of the engine has no such "
+            "dependency"
+        )
+
+
+def read_ide_channels(filename: str) -> list[Channel]:
+    """Open one ``.ide`` file -> in-memory Channels.
+
+    Mirrors ``EndaqChannel``'s extraction (``io.py:242-301``): per
+    subchannel display name, seconds time base, data vector, unit and UTC
+    start time — but reads the file once instead of re-reading per
+    property (the reference re-reads the whole channel to take
+    ``index.min()``, ``io.py:251-255``).
+    """
+    _require_endaq()
+    doc = _endaq_ide.get_doc(filename)
+    out = []
+    for ch in doc.channels.values():
+        for sub in ch.subchannels:
+            pdf = _endaq_ide.to_pandas(sub, time_mode="seconds")
+            t = pdf.index.to_numpy(dtype="float64")
+            v = pdf.to_numpy(dtype="float64").squeeze()
+            out.append(
+                Channel(
+                    channel_id=f"{filename}:{sub.displayName}",
+                    time=t,
+                    data=v,
+                    name=sub.displayName,
+                    unit=str(sub.units[1]) if sub.units else "none",
+                    start_time=getattr(doc, "lastUtcTime", None),
+                )
+            )
+    return out
+
+
+def ingest_ide(spark, filename: str):
+    """One ``.ide`` file -> (signals_df, channels_df)."""
+    return channels_to_signals(spark, read_ide_channels(filename))
+
+
+def ingest_ide_dir(spark, filenames: list[str], output_path: str) -> None:
+    """Distributed ingest: one task per file, appending canonical parquet.
+
+    Each executor task opens its own file (the endaq reader is pure
+    Python, so it runs fine in executors) and writes that file's channels
+    partitioned by ``channel_id``.
+    """
+    _require_endaq()
+
+    import pandas as pd
+
+    def one_file(fn: str):
+        chans = read_ide_channels(fn)
+        frames = []
+        for ch in chans:
+            frames.append(
+                pd.DataFrame(
+                    {"channel_id": ch.channel_id, "t": ch.time, "value": ch.data}
+                )
+            )
+        return pd.concat(frames, ignore_index=True).to_dict("records")
+
+    rows = spark.sparkContext.parallelize(filenames, len(filenames)).flatMap(one_file)
+    df = spark.createDataFrame(rows, "channel_id string, t double, value double")
+    df.write.mode("append").partitionBy("channel_id").parquet(output_path)

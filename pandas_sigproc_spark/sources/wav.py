@@ -1,0 +1,149 @@
+"""WAV sink/source (reference ``tools.py:227-254`` ``write_wav``).
+
+The reference delegates to ``scipy.io.wavfile.write`` (unavailable here),
+so this is a minimal self-contained RIFF/WAVE codec with the same dtype
+semantics for the formats the reference can produce:
+
+- float32 / float64 arrays -> WAVE_FORMAT_IEEE_FLOAT (scipy behavior for
+  float input — no rescaling, values stored verbatim),
+- int16 -> WAVE_FORMAT_PCM.
+
+Mono input duplicates the left channel into the right, exactly like the
+reference (``tools.py:246-247``).
+
+Engine integration: WAV is not a distributed format — a file is one
+coherent PCM stream.  ``signals_to_wav`` is the documented driver-side
+sink (collect <=2 channels, write locally); ``wav_to_signals`` fans a
+file out into the canonical ``signals`` layout for distributed
+processing.  SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+_FMT_PCM = 1
+_FMT_IEEE = 3
+
+_DTYPES = {
+    np.dtype("int16"): (_FMT_PCM, 16),
+    np.dtype("float32"): (_FMT_IEEE, 32),
+    np.dtype("float64"): (_FMT_IEEE, 64),
+}
+
+
+def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
+    """Stereo/mono WAV sink with reference semantics (``tools.py:227-254``)."""
+    left = np.asarray(sound_left)
+    right = left if sound_right is None else np.asarray(sound_right)
+    if left.shape != right.shape:
+        raise ValueError("left/right length mismatch")
+    if left.dtype not in _DTYPES:
+        left = left.astype(np.float64)
+        right = right.astype(np.float64)
+    fmt, bits = _DTYPES[left.dtype]
+    stereo = np.vstack((left, right)).transpose().copy()  # tools.py:250-251
+    data = stereo.astype("<" + left.dtype.str[1:]).tobytes()
+    n_ch, rate, block = 2, int(sample_rate), 2 * bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        fmt,
+        n_ch,
+        rate,
+        rate * block,
+        block,
+        bits,
+        b"data",
+        len(data),
+    )
+    with open(filename, "wb") as f:
+        f.write(hdr)
+        f.write(data)
+
+
+def read_wav(filename):
+    """Read a PCM16 / IEEE-float WAV -> (sample_rate, ndarray[n, channels])."""
+    with open(filename, "rb") as f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        fmt = rate = bits = n_ch = None
+        data = None
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            cid, clen = struct.unpack("<4sI", head)
+            body = f.read(clen + (clen % 2))[:clen]
+            if cid == b"fmt ":
+                fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
+            elif cid == b"data":
+                data = body
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        if fmt == _FMT_PCM and bits == 16:
+            arr = np.frombuffer(data, dtype="<i2")
+        elif fmt == _FMT_IEEE and bits == 32:
+            arr = np.frombuffer(data, dtype="<f4")
+        elif fmt == _FMT_IEEE and bits == 64:
+            arr = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"unsupported WAV format ({fmt=}, {bits=})")
+        return rate, arr.reshape(-1, n_ch)
+
+
+def wav_to_signals(spark, filename, channel_prefix: str = "wav"):
+    """WAV file -> canonical ``signals(channel_id, t, value)`` DataFrame."""
+    rate, arr = read_wav(filename)
+    t = np.arange(arr.shape[0], dtype=np.float64) / rate
+    names = (
+        [f"{channel_prefix}_L", f"{channel_prefix}_R"]
+        if arr.shape[1] == 2
+        else [f"{channel_prefix}_{i}" for i in range(arr.shape[1])]
+    )
+    frames = [
+        pd.DataFrame(
+            {"channel_id": name, "t": t, "value": arr[:, i].astype(np.float64)}
+        )
+        for i, name in enumerate(names)
+    ]
+    return spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        "channel_id string, t double, value double",
+    )
+
+
+def signals_to_wav(df, filename, sample_rate, left_channel, right_channel=None):
+    """Driver-side WAV sink: collect <=2 channels, write locally.
+
+    Matches the reference's model where audio output is an endpoint, not a
+    distributed table (SURVEY.md §2.1 write_wav row).  Rows are ordered by
+    ``t`` per channel before concatenation.
+    """
+    chans = [left_channel] + ([right_channel] if right_channel else [])
+    pdf = (
+        df.filter(df.channel_id.isin(chans))
+        .select("channel_id", "t", "value")
+        .toPandas()
+        .sort_values(["channel_id", "t"])
+    )
+    series = {
+        cid: grp["value"].to_numpy(np.float64)
+        for cid, grp in pdf.groupby("channel_id")
+    }
+    missing = [c for c in chans if c not in series]
+    if missing:
+        raise ValueError(f"channels not found: {missing}")
+    left = series[left_channel]
+    right = series[right_channel] if right_channel else None
+    write_wav(filename, sample_rate, left, right)

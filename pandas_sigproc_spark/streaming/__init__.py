@@ -1,0 +1,185 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — the reference is
+batch-only; this tier is the engine's streaming extension).
+
+Streamable operators (aggregations over event-time windows):
+
+- :func:`streaming_rms` / :func:`streaming_spl` — tumbling-window RMS /
+  sound-pressure-level per channel with a watermark for late data.
+- :func:`streaming_mov_rms` — sliding-window RMS (the streaming analogue
+  of ``timedomain.mov_rms``, extension.py:664-700).
+- :func:`streaming_lfilter` — CAUSAL IIR filtering as a stateful
+  operator: the filter's delay line (the z^-1 registers) is the state
+  carried across micro-batches per channel via ``applyInPandasWithState``.
+  This is exactly the reference's ``filt_a`` / ``lfilter`` semantics
+  (extension.py:541-567) applied to an unbounded stream.
+
+NOT streamable (documented, not worked around): zero-phase ``filtfilt``
+ops need future samples; whole-signal PSD/SRS/rainflow need the entire
+channel.  Those remain batch (SURVEY.md §2.9).
+
+All functions accept either a streaming or a batch DataFrame — the plans
+are identical, which is how the equivalence tests pin stream == batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StructField,
+    StructType,
+    StringType,
+)
+
+
+def _with_event_time(df: DataFrame, time_col: str = "t") -> DataFrame:
+    """signals(t DOUBLE seconds) -> event-time TIMESTAMP column ``ets``."""
+    return df.withColumn("ets", F.timestamp_seconds(F.col(time_col)))
+
+
+def streaming_rms(
+    df: DataFrame,
+    window_sec: float,
+    watermark_sec: float = 0.0,
+    time_col: str = "t",
+) -> DataFrame:
+    """Per-channel tumbling-window RMS over event time.
+
+    Late rows beyond the watermark are dropped by Spark's state cleanup —
+    the knob the batch reference never needed (its files were complete).
+    """
+    src = _with_event_time(df, time_col)
+    if df.isStreaming:
+        src = src.withWatermark("ets", f"{watermark_sec} seconds")
+    win = F.window("ets", f"{window_sec} seconds")
+    return (
+        src.groupBy(F.col("channel_id"), win.alias("w"))
+        .agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"))
+        .select(
+            "channel_id",
+            F.col("w.start").cast("double").alias("t0"),
+            F.col("w.end").cast("double").alias("t1"),
+            "rms",
+        )
+    )
+
+
+def streaming_spl(
+    df: DataFrame,
+    window_sec: float,
+    p_ref: float = 20e-6,
+    watermark_sec: float = 0.0,
+    time_col: str = "t",
+) -> DataFrame:
+    """Tumbling-window SPL: ``20*log10(rms/p_ref)`` (tools.py:204-224)."""
+    out = streaming_rms(df, window_sec, watermark_sec, time_col)
+    return out.select(
+        "channel_id",
+        "t0",
+        "t1",
+        (20.0 * F.log10(F.col("rms") / F.lit(p_ref))).alias("spl"),
+    )
+
+
+def streaming_mov_rms(
+    df: DataFrame,
+    window_sec: float,
+    slide_sec: float,
+    watermark_sec: float = 0.0,
+    time_col: str = "t",
+) -> DataFrame:
+    """Sliding-window RMS — streaming analogue of ``mov_rms``.
+
+    The batch op is sample-count-based (rowsBetween); unbounded streams
+    have no global row order, so the streaming semantic is time-based
+    sliding windows — the standard Structured Streaming translation.
+    """
+    src = _with_event_time(df, time_col)
+    if df.isStreaming:
+        src = src.withWatermark("ets", f"{watermark_sec} seconds")
+    win = F.window("ets", f"{window_sec} seconds", f"{slide_sec} seconds")
+    return (
+        src.groupBy(F.col("channel_id"), win.alias("w"))
+        .agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"))
+        .select(
+            "channel_id",
+            F.col("w.start").cast("double").alias("t0"),
+            F.col("w.end").cast("double").alias("t1"),
+            "rms",
+        )
+    )
+
+
+_LFILTER_OUT_SCHEMA = StructType(
+    [
+        StructField("channel_id", StringType()),
+        StructField("t", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_LFILTER_STATE_SCHEMA = StructType([StructField("zi", ArrayType(DoubleType()))])
+
+
+def streaming_lfilter(df: DataFrame, b, a) -> DataFrame:
+    """Causal IIR filter over a stream: per-channel delay-line state.
+
+    Each micro-batch filters its rows (sorted by t) starting from the
+    saved final state of the previous batch, then persists the new final
+    state — bit-identical to filtering the concatenated stream in one
+    shot (asserted in tests/test_streaming.py).  Requires rows to arrive
+    time-ordered across micro-batches per channel (true for replayed
+    logs and file sources; out-of-order data needs a watermark+sort
+    stage first).
+
+    State size is ``max(len(a), len(b)) - 1`` doubles per channel — a
+    6th-order filter on a million channels is ~48 MB of state total,
+    trivially scalable in the state store.
+    """
+    from pandas_sigproc_spark.kernels.iir import lfilter
+
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    nstate = max(len(a), len(b)) - 1
+
+    def step(key, pdf_iter, state):
+        if state.exists:
+            (zi_list,) = state.get
+            zi = np.asarray(zi_list, dtype=np.float64)
+        else:
+            zi = np.zeros(nstate)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("t")
+            y, zi = lfilter(b, a, pdf["value"].to_numpy(np.float64), zi=zi)
+            state.update((zi.tolist(),))
+            yield pd.DataFrame(
+                {"channel_id": pdf["channel_id"], "t": pdf["t"], "value": y}
+            )
+
+    if not df.isStreaming:
+        # Batch fallback through the same kernel for test parity.
+        from pandas_sigproc_spark.operators.filters import _apply_filter
+
+        return _apply_filter(df, lambda sr: (b, a), zero_phase=False)
+
+    return (
+        df.groupBy("channel_id")
+        .applyInPandasWithState(
+            step,
+            outputStructType=_LFILTER_OUT_SCHEMA,
+            stateStructType=_LFILTER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+__all__ = [
+    "streaming_rms",
+    "streaming_spl",
+    "streaming_mov_rms",
+    "streaming_lfilter",
+]
