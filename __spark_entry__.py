@@ -121,9 +121,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_between(spark, sf_dir):
-    return between(_signals(spark, sf_dir), _T_LO, _T_HI).select(
-        "channel_id", "t", "value"
-    )
+    # The semantic filter is on derived t = trunc(ts_nanos/1000)/1e6, which
+    # parquet can't prune on; add the equivalent *raw* ts bounds so the
+    # predicate reaches the scan (PushedFilters -> row-group min/max
+    # pruning).  t >= LO  <=>  ts >= LO*1e9;  t <= HI  <=>  ts <= HI*1e9+999
+    # (floor-to-us truncation).  At 100 TB this is the difference between
+    # reading one day's row groups and reading the month.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.filter(
+            (F.col("ts") >= int(_T_LO * 1e9)) & (F.col("ts") <= int(_T_HI * 1e9) + 999)
+        )
+        sig = ev.select(
+            F.col("user_id").cast("string").alias("channel_id"),
+            (F.expr("ts div 1000") / F.lit(1e6)).alias("t"),
+            F.col("value").cast("double").alias("value"),
+        )
+    else:
+        sig = _signals(spark, sf_dir)
+    return between(sig, _T_LO, _T_HI).select("channel_id", "t", "value")
 
 
 SQL_BETWEEN = f"""

@@ -44,8 +44,14 @@ HEADLINE = [
     # LLM-data-pipeline tier
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_jaccard_pairs",
+    "dedup_embed",
+    "doc_fingerprint",
+    "lang_id",
     "embed_cosine_topk",
+    "ann_lsh",
+    "media_features",
 ]
 
 

@@ -94,16 +94,47 @@ def derivative(df: DataFrame, tiebreak_col: str | None = None) -> DataFrame:
     )
 
 
-def detrend(df: DataFrame, dt_type: str = "linear") -> DataFrame:
+def detrend(df: DataFrame, dt_type: str = "linear", breakpoints=None) -> DataFrame:
     """Remove the per-channel mean or the least-squares line.
 
     Reference ``timedomain.detrend`` (``extension.py:751-781``).
     ``constant``: ``value - avg(value) over channel``.  ``linear``:
     closed-form OLS on (t, value) from the channel's sufficient statistics
     (Σ1, Σt, Σy, Σty, Σt²) — a single window aggregation, no UDF, no
-    second scan.  Piecewise breakpoints are served by the kernel tier
-    (see operators/filters.py docstring note).
+    second scan.
+
+    ``breakpoints`` (scipy.signal.detrend ``bp`` semantics): sample
+    indices splitting each channel into segments, each detrended by its
+    own independent linear fit.  Still fully native: the segment id is a
+    ``row_number`` bucketed by the breakpoint list, and the same OLS
+    window runs partitioned by (channel, segment) — no UDF, one extra
+    window pass.
     """
+    if breakpoints:
+        if dt_type != "linear":
+            raise ValueError("breakpoints require dt_type='linear'")
+        bps = sorted(int(b) for b in breakpoints)
+        wseq = Window.partitionBy("channel_id").orderBy("t")
+        idx = F.row_number().over(wseq) - 1
+        seg = sum(
+            (F.when(idx >= b, 1).otherwise(0) for b in bps), F.lit(0)
+        )
+        dfb = df.withColumn("_seg", seg)
+        w = Window.partitionBy("channel_id", "_seg")
+        centered = dfb.withColumn(
+            "_tc", F.col("t") - F.avg("t").over(w)
+        ).withColumn("_yc", F.col("value") - F.avg("value").over(w))
+        # try_divide: a 1-row segment has zero t-variance (0/0 would throw
+        # under ANSI mode); detrend of a single point is its mean removal.
+        slope = F.try_divide(
+            F.avg(F.col("_tc") * F.col("_yc")).over(w),
+            F.avg(F.col("_tc") * F.col("_tc")).over(w),
+        )
+        safe = F.coalesce(slope, F.lit(0.0))
+        return (
+            centered.withColumn("value", F.col("_yc") - safe * F.col("_tc"))
+            .select("channel_id", "t", "value")
+        )
     w = Window.partitionBy("channel_id")
     if dt_type == "constant":
         return df.withColumn(

@@ -197,6 +197,29 @@ class TestWindows:
         golden = v0 - np.polyval(coef, t0)
         np.testing.assert_allclose(v, golden, atol=1e-8)
 
+    def test_detrend_breakpoints_piecewise_ols(self, spark):
+        # scipy.signal.detrend(bp=...) semantics: independent linear fit
+        # per index segment (extension.py:751-781 forwards bp verbatim).
+        rng = np.random.default_rng(3)
+        t = np.arange(0, 4.0, 0.01)
+        v = np.where(t < 2.0, 3.0 * t + 1.0, -2.0 * t + 11.0) + 0.1 * rng.standard_normal(len(t))
+        df = make_signals(spark, {"c": (t, v)})
+        bp = [200]
+        _, out = one_channel(detrend(df, "linear", breakpoints=bp), "c")
+        golden = np.empty_like(v)
+        for lo, hi in [(0, 200), (200, len(t))]:
+            coef = np.polyfit(t[lo:hi], v[lo:hi], 1)
+            golden[lo:hi] = v[lo:hi] - np.polyval(coef, t[lo:hi])
+        np.testing.assert_allclose(out, golden, atol=1e-8)
+
+    def test_detrend_breakpoints_single_row_segment(self, spark):
+        t = np.arange(0, 0.05, 0.01)  # 5 rows; bp at 4 -> 1-row tail
+        v = 2.0 * t + 1.0
+        df = make_signals(spark, {"c": (t, v)})
+        _, out = one_channel(detrend(df, "linear", breakpoints=[4]), "c")
+        np.testing.assert_allclose(out[:4], 0.0, atol=1e-12)
+        np.testing.assert_allclose(out[4], 0.0, atol=1e-12)  # point - its mean
+
 
 class TestJoins:
     def test_rss_pythagorean(self, spark, fixture_channels):
