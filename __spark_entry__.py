@@ -60,6 +60,15 @@ def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so mirror that exactly with integer division (bit-exact, unlike a
     # double divide at 1e18 magnitude).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # AQE coalescing keeps small-SF runs from scheduling 200-task shuffles
+    # on kilobyte exchanges; both are already on in tuned sessions.  Cached
+    # plans bypass AQE unless canChangeCachedPlanOutputPartitioning is set
+    # (entry() persists its shared aggregate).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         t = (F.expr("ts div 1000")) / F.lit(1e6)
@@ -104,14 +113,39 @@ def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7.1 minimum slice on sf0.001: dedup -> uniform hourly
     resample -> zero-phase Butterworth lowpass -> per-channel RMS, plus the
-    all-channel RSS track's RMS appended as channel 'rss(all)'."""
+    all-channel RSS track's RMS appended as channel 'rss(all)'.
+
+    Both outputs come from ONE pass over the filtered table via grouping
+    sets: rms(ch) = sqrt(avg(v^2) by channel) and rms(rss) =
+    sqrt(avg_t(sum_ch v^2 at t)) share the same sufficient statistics, so
+    a GROUPING SETS ((channel_id), (t)) aggregation computes both in a
+    single shuffle — without it the union re-runs the whole
+    dedup/resample/filtfilt subtree per branch (two kernel passes, four
+    scans)."""
     sf_dir = "/root/testdata/sf0.001"
     sig = deduplicate(_signals(spark, sf_dir))
     uni = resample(sig, sample_rate=1.0 / 3600.0)  # hourly grid
     filt = filt_butter(uni, cutoff=0.3 * (0.5 / 3600.0), order=4, btype="lowpass")
-    per_channel = rms(filt)
-    rss_track = rss(filt, out_channel="rss(all)")
-    rss_rms = rms(rss_track.select("channel_id", "t", "value"))
+    gs = (
+        filt.groupingSets([["channel_id"], ["t"]], "channel_id", "t")
+        .agg(
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+            F.count("*").alias("n"),
+        )
+    )
+    # Persist the tiny aggregate (|channels| + |distinct t| rows): both
+    # union branches read it, and without materialization Spark re-executes
+    # the whole kernel subtree per branch (exchange reuse only caught one
+    # of the duplicated exchanges here).
+    gs = gs.persist()
+    per_channel = gs.filter(F.col("channel_id").isNotNull()).select(
+        "channel_id", F.sqrt(F.col("ss") / F.col("n")).alias("rms")
+    )
+    rss_rms = (
+        gs.filter(F.col("channel_id").isNull())
+        .agg(F.sqrt(F.avg("ss")).alias("rms"))
+        .select(F.lit("rss(all)").alias("channel_id"), "rms")
+    )
     return per_channel.unionByName(rss_rms)
 
 
