@@ -39,7 +39,13 @@ from pandas_sigproc_spark.operators.joins import (
     interp1d_log,
     resample,
 )
-from pandas_sigproc_spark.operators.filters import filt_butter, filt_cfc, filt_a
+from pandas_sigproc_spark.operators.filters import (
+    filt_butter,
+    filt_cfc,
+    filt_a,
+    filt_chunked,
+    settling_length,
+)
 from pandas_sigproc_spark.operators.psd import get_psd
 from pandas_sigproc_spark.operators.srs import get_srs
 from pandas_sigproc_spark.operators.rainflow import rainflow
@@ -66,6 +72,8 @@ __all__ = [
     "filt_butter",
     "filt_cfc",
     "filt_a",
+    "filt_chunked",
+    "settling_length",
     "get_psd",
     "get_srs",
     "rainflow",

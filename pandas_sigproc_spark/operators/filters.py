@@ -26,7 +26,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pandas_sigproc_spark.kernels import design as _design
 from pandas_sigproc_spark.kernels import iir as _iir
@@ -122,7 +122,14 @@ def _apply_filter(
 
 
 def filt_butter(
-    df: DataFrame, cutoff, order: int, btype: str, n_buckets: int | None = None
+    df: DataFrame,
+    cutoff,
+    order: int,
+    btype: str,
+    n_buckets: int | None = None,
+    chunk_rows: int | None = None,
+    samplerate: float | None = None,
+    overlap_rows: int | None = None,
 ) -> DataFrame:
     """Zero-phase Butterworth filter (reference ``extension.py:452-497``).
 
@@ -139,20 +146,39 @@ def filt_butter(
         wn = np.asarray(cutoff, dtype=np.float64) / nyq
         return _design.butter(order_used, wn, btype)
 
+    if chunk_rows is not None:
+        b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
+        return filt_chunked(df, b, a, True, chunk_rows, overlap_rows)
     return _apply_filter(df, make_ba, zero_phase=True, n_buckets=n_buckets)
 
 
-def filt_cfc(df: DataFrame, cfc: float, n_buckets: int | None = None) -> DataFrame:
+def filt_cfc(
+    df: DataFrame,
+    cfc: float,
+    n_buckets: int | None = None,
+    chunk_rows: int | None = None,
+    samplerate: float | None = None,
+    overlap_rows: int | None = None,
+) -> DataFrame:
     """SAE J211 Channel Frequency Class filter, zero-phase
     (reference ``extension.py:499-539``)."""
 
     def make_ba(sr: float):
         return _design.cfc_coefficients(cfc, sr)
 
+    if chunk_rows is not None:
+        b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
+        return filt_chunked(df, b, a, True, chunk_rows, overlap_rows)
     return _apply_filter(df, make_ba, zero_phase=True, n_buckets=n_buckets)
 
 
-def filt_a(df: DataFrame, n_buckets: int | None = None) -> DataFrame:
+def filt_a(
+    df: DataFrame,
+    n_buckets: int | None = None,
+    chunk_rows: int | None = None,
+    samplerate: float | None = None,
+    overlap_rows: int | None = None,
+) -> DataFrame:
     """IEC 1672 A-weighting, applied causally with ``lfilter`` — the
     deliberate phase-distorting contrast to the filtfilt ops
     (reference ``extension.py:541-567``; design ``tools.py:257-301``).
@@ -161,4 +187,111 @@ def filt_a(df: DataFrame, n_buckets: int | None = None) -> DataFrame:
     def make_ba(sr: float):
         return _design.a_weighting(sr)
 
+    if chunk_rows is not None:
+        b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
+        return filt_chunked(df, b, a, False, chunk_rows, overlap_rows)
     return _apply_filter(df, make_ba, zero_phase=False, n_buckets=n_buckets)
+
+
+def _require_sr(samplerate, why: str) -> float:
+    if samplerate is None:
+        raise ValueError(
+            f"{why} requires an explicit samplerate: chunk membership is "
+            "decided relationally before any group sees the time base"
+        )
+    return float(samplerate)
+
+
+# ---------------------------------------------------------------------------
+# Chunked overlap-save filtering: channels too big for one task
+# (SURVEY.md §7.3.1 hard part 1)
+# ---------------------------------------------------------------------------
+
+
+def settling_length(b, a, extra: int = 256) -> int:
+    """Rows after which the filter's impulse response is numerically dead.
+
+    The AR impulse response is expanded until its tail underflows
+    (kernels/iir.py); the settling point is where |h| last exceeded
+    1e-14 of its peak (NOT len(h): the IR cache may hand back a longer
+    array than this filter needs).  ``extra`` adds slack for the MA part
+    and fp accumulation.
+    """
+    h = _iir._ar_impulse_response(np.asarray(a, np.float64), min_len=64)
+    peak = np.max(np.abs(h))
+    alive = np.nonzero(np.abs(h) > 1e-14 * peak)[0]
+    n_alive = int(alive[-1]) + 1 if len(alive) else 1
+    return int(n_alive + len(np.atleast_1d(b)) + extra)
+
+
+def filt_chunked(
+    df: DataFrame,
+    b,
+    a,
+    zero_phase: bool,
+    chunk_rows: int,
+    overlap_rows: int | None = None,
+) -> DataFrame:
+    """Overlap-save IIR filtering for channels that exceed one task's memory.
+
+    Relational segmentation: every row gets a per-channel ``row_number``
+    index; rows within ``overlap_rows`` of a chunk boundary are *duplicated*
+    into the neighbouring chunk (backward always — the causal warm-up — and
+    forward too for zero-phase, whose backward pass needs future samples).
+    Each (channel, chunk) group is filtered independently with zero initial
+    state; because the overlap exceeds the filter's settling length, the
+    state error at the core boundary is below fp noise, and only core rows
+    are emitted.  Equality with whole-channel filtering is pinned in
+    tests/test_chunked_filter.py.
+
+    Scale shape: one shuffle on (channel, chunk); chunk size bounds task
+    memory regardless of channel length, so a year-long 48 kHz channel
+    (1.5e12 samples) fans out across ~1.5e12/chunk_rows tasks instead of
+    OOMing one executor.  Duplication overhead = overlap/chunk (<2% for
+    the defaults).
+    """
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    O = int(overlap_rows) if overlap_rows is not None else settling_length(b, a)
+    L = int(chunk_rows)
+    if O >= L:
+        raise ValueError(
+            f"chunk_rows={L} must exceed the overlap ({O}); pick a larger "
+            "chunk or pass a smaller explicit overlap_rows"
+        )
+    w = Window.partitionBy("channel_id").orderBy("t")
+    src = df.select(
+        "channel_id", "t", "value", (F.row_number().over(w) - 1).alias("_i")
+    )
+    segno = (F.col("_i") / L).cast("long")
+    members = F.array(segno)
+    members = F.when(
+        (F.col("_i") % L >= L - O), F.array(segno, segno + 1)
+    ).otherwise(members)
+    if zero_phase:
+        members = F.when(
+            (F.col("_i") % L < O) & (segno > 0),
+            F.array_union(members, F.array(segno - 1)),
+        ).otherwise(members)
+    src = src.withColumn("_seg", F.explode(members))
+
+    out_schema = "channel_id string, t double, value double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_i")
+        y = (
+            _iir.filtfilt(b, a, pdf["value"].to_numpy(np.float64))
+            if zero_phase
+            else _iir.lfilter(b, a, pdf["value"].to_numpy(np.float64))
+        )
+        segv = int(pdf["_seg"].iloc[0])
+        core = (pdf["_i"] // L) == segv
+        return pd.DataFrame(
+            {
+                "channel_id": pdf["channel_id"][core],
+                "t": pdf["t"][core],
+                "value": np.asarray(y)[core.to_numpy()],
+            }
+        )
+
+    return src.groupBy("channel_id", "_seg").applyInPandas(kernel, out_schema)
