@@ -130,3 +130,39 @@ def count_cycles(
         key = round(rng, ndigits) if ndigits is not None else rng
         counts[key] += cnt
     return sorted(counts.items())
+
+
+def extract_full_cycles_4pt(series: np.ndarray):
+    """Segment-safe counting: full cycles + residue (no half cycles).
+
+    The 4-point rule: with reversals t1..t4 on the stack top, count
+    (t2, t3) as one full cycle when ``|t3-t2| <= |t2-t1|`` and
+    ``|t3-t2| <= |t4-t3|``.  Unlike the 3-point E1049 rule this never
+    counts a cycle touching the stack bottom, which is what makes rainflow
+    *mergeable*: cycles(AB) = fulls(A) + fulls(B) + cycles(res(A) ++
+    res(B)) and the residues concatenate associatively — the basis of the
+    segmented scale path (SURVEY.md §7.3.1).  Returns
+    ``([(range, 1.0), ...], residue_values)``.
+    """
+    results = []
+    stack: deque = deque()
+    for _idx, val in reversals(series):
+        stack.append(val)
+        while len(stack) >= 4:
+            t1, t2, t3, t4 = stack[-4], stack[-3], stack[-2], stack[-1]
+            r = abs(t3 - t2)
+            if r <= abs(t2 - t1) and r <= abs(t4 - t3):
+                results.append((r, 1.0))
+                stack.pop()
+                stack.pop()
+                stack.pop()
+                stack.append(t4)
+            else:
+                break
+    return results, list(stack)
+
+
+def count_cycles_from_values(values, **kwargs):
+    """count_cycles over a pre-extracted reversal-value sequence (the
+    concatenated residues of a segmented run)."""
+    return count_cycles(np.asarray(values, dtype=np.float64), **kwargs)

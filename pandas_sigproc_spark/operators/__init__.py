@@ -48,7 +48,7 @@ from pandas_sigproc_spark.operators.filters import (
 )
 from pandas_sigproc_spark.operators.psd import get_psd
 from pandas_sigproc_spark.operators.srs import get_srs
-from pandas_sigproc_spark.operators.rainflow import rainflow
+from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 
 __all__ = [
@@ -77,5 +77,6 @@ __all__ = [
     "get_psd",
     "get_srs",
     "rainflow",
+    "rainflow_chunked",
     "interp1d_spline",
 ]

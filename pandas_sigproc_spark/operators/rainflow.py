@@ -53,3 +53,108 @@ def rainflow(
         .groupBy("channel_id")
         .applyInPandas(kernel, _OUT_SCHEMA)
     )
+
+
+def rainflow_chunked(
+    df: DataFrame,
+    chunk_rows: int,
+    ndigits: int | None = None,
+    nbins: int | None = None,
+    binsize: float | None = None,
+) -> DataFrame:
+    """Segmented rainflow for channels exceeding one task (SURVEY.md §7.3.1).
+
+    Stage 1 (parallel over (channel, chunk)): the 4-point rule extracts
+    every *full* cycle whose reversals live inside the chunk and emits the
+    chunk's residue — the divergent reversal envelope, typically a few
+    dozen points regardless of chunk length.  Stage 2 (per channel, tiny):
+    residues concatenate in chunk order and the standard 3-point E1049
+    pass counts the rest (cross-chunk fulls + half cycles).  The merge is
+    exact — rainflow's residue decomposition theorem, pinned against the
+    whole-channel kernel in tests/test_rainflow_chunked.py over random
+    signals, chunk sizes, and every binning mode.
+
+    Binning runs relationally on the unioned cycle stream (groupBy after a
+    per-channel max-range window for nbins/binsize), so no stage ever
+    needs the whole channel.
+    """
+    from pyspark.sql import Window, functions as F
+
+    given = sum(arg is not None for arg in (ndigits, nbins, binsize))
+    if given > 1:
+        raise ValueError("specify at most one of ndigits, nbins, binsize")
+
+    L = int(chunk_rows)
+    w = Window.partitionBy("channel_id").orderBy("t")
+    src = df.select(
+        "channel_id", "t", "value", ((F.row_number().over(w) - 1) / L).cast("long").alias("_seg")
+    )
+
+    stage1_schema = (
+        "channel_id string, seg long, pos long, rng double, cnt double, val double"
+    )
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        fulls, residue = _rf.extract_full_cycles_4pt(
+            pdf["value"].to_numpy(dtype=np.float64)
+        )
+        cid = pdf["channel_id"].iloc[0]
+        seg = int(pdf["_seg"].iloc[0])
+        rows = [(cid, seg, -1, r, c, np.nan) for r, c in fulls]
+        rows += [(cid, seg, i, np.nan, np.nan, v) for i, v in enumerate(residue)]
+        return pd.DataFrame(
+            rows, columns=["channel_id", "seg", "pos", "rng", "cnt", "val"]
+        )
+
+    mixed = src.groupBy("channel_id", "_seg").applyInPandas(stage1, stage1_schema)
+    mixed = mixed.persist()
+    cycle_rows = mixed.filter(F.col("pos") == -1).select("channel_id", "rng", "cnt")
+
+    residue_schema = "channel_id string, rng double, cnt double"
+
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seg", "pos"])
+        pairs = _rf.extract_cycles(pdf["val"].to_numpy(dtype=np.float64))
+        cid = pdf["channel_id"].iloc[0]
+        return pd.DataFrame(
+            [(cid, r, c) for r, _m, c, _i0, _i1 in pairs],
+            columns=["channel_id", "rng", "cnt"],
+        )
+
+    residue_rows = (
+        mixed.filter(F.col("pos") >= 0)
+        .select("channel_id", "seg", "pos", "val")
+        .groupBy("channel_id")
+        .applyInPandas(stage2, residue_schema)
+    )
+    cycles = cycle_rows.unionByName(residue_rows)
+
+    if ndigits is not None:
+        key = F.round(F.col("rng"), ndigits)
+    elif nbins is not None or binsize is not None:
+        wch = Window.partitionBy("channel_id")
+        max_rng = F.max("rng").over(wch)
+        bsz = F.lit(float(binsize)) if binsize is not None else max_rng / nbins
+        nb = (
+            F.lit(int(nbins))
+            if nbins is not None
+            else F.greatest(F.ceil(max_rng / bsz), F.lit(1))
+        )
+        b = F.when(F.col("rng") == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.least(F.ceil(F.col("rng") / bsz) - 1, nb.cast("long") - 1),
+                F.lit(0),
+            )
+        )
+        key = (b + 1) * bsz
+    else:
+        key = F.col("rng")
+    # Materialize the key first: window expressions (the per-channel max
+    # range) are not allowed inside GROUP BY.
+    return (
+        cycles.withColumn("bin", key)
+        .groupBy("channel_id", "bin")
+        .agg(F.sum("cnt").alias("cycles"))
+        .select("channel_id", "bin", "cycles")
+    )
