@@ -1,0 +1,132 @@
+"""Property-based tests (SURVEY.md §5.2 item 3), hypothesis-driven at the
+kernel level (fast, no JVM) plus a few seeded Spark-level invariants."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pandas_sigproc_spark.kernels.design import butter
+from pandas_sigproc_spark.kernels.iir import filtfilt, lfilter
+from pandas_sigproc_spark.kernels.rainflow import count_cycles, reversals
+from pandas_sigproc_spark.kernels.spectral import welch_psd
+from pandas_sigproc_spark.kernels.interp import interp1d
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+class TestKernelProperties:
+    @given(
+        st.lists(finite, min_size=8, max_size=200),
+        st.floats(min_value=0.05, max_value=0.45),
+        st.floats(min_value=-5, max_value=5),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_filter_linearity(self, xs, wn, alpha):
+        # L(a*x + y) == a*L(x) + L(y) for IIR filtering
+        x = np.asarray(xs)
+        y = np.sin(np.arange(len(x)))
+        b, a = butter(2, wn, "lowpass")
+        lhs = lfilter(b, a, alpha * x + y)
+        rhs = alpha * lfilter(b, a, x) + lfilter(b, a, y)
+        scale = max(1.0, np.abs(lhs).max())
+        np.testing.assert_allclose(lhs / scale, rhs / scale, atol=5e-9)
+
+    @given(st.integers(min_value=0, max_value=150), st.integers(8, 64))
+    @settings(max_examples=30, deadline=None)
+    def test_filter_time_invariance(self, shift, n):
+        # shifting input shifts output (on zero-padded support)
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal(n)
+        b, a = butter(2, 0.25, "lowpass")
+        y = lfilter(b, a, np.concatenate([x, np.zeros(shift)]))
+        y_shifted = lfilter(b, a, np.concatenate([np.zeros(shift), x]))
+        np.testing.assert_allclose(y_shifted[shift:], y[: len(x)], atol=1e-9)
+
+    @given(st.lists(finite, min_size=2, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_rainflow_count_conservation(self, xs):
+        # total half-cycle count == number of reversal intervals
+        x = np.asarray(xs)
+        revs = reversals(x)
+        pairs = count_cycles(x)
+        total_halves = round(2 * sum(c for _, c in pairs))
+        assert total_halves == max(len(revs) - 1, 0)
+
+    @given(st.integers(2, 6), st.integers(100, 1000))
+    @settings(max_examples=20, deadline=None)
+    def test_welch_summarize_ordering(self, nwin, n):
+        rng = np.random.default_rng(nwin * n)
+        x = rng.standard_normal(n)
+        fs = 100.0
+        wl = n // nwin
+        args = dict(window_length=wl / fs, overlap=0.5)
+        _, pmin = welch_psd(x, fs, summarize="min", **args)
+        _, pmean = welch_psd(x, fs, summarize="mean", **args)
+        _, pmax = welch_psd(x, fs, summarize="max", **args)
+        assert np.all(pmin <= pmean + 1e-15) and np.all(pmean <= pmax + 1e-15)
+
+    @given(st.lists(finite, min_size=2, max_size=100, unique=True))
+    @settings(max_examples=60, deadline=None)
+    def test_interp_identity_on_own_grid(self, xs):
+        x = np.sort(np.asarray(xs))
+        y = np.cos(np.arange(len(x)))
+        out = interp1d(x, y, x, kind="linear")
+        np.testing.assert_allclose(out, y, rtol=1e-12, atol=1e-12)
+
+
+class TestSparkInvariants:
+    def test_between_timeshift_commute(self, spark):
+        from pandas_sigproc_spark.operators import between, timeshift
+        from tests.conftest import make_signals
+
+        rng = np.random.default_rng(2)
+        t = np.sort(rng.uniform(0, 100, 500))
+        df = make_signals(spark, {"c": (t, rng.standard_normal(500))})
+        a = (
+            timeshift(between(df, 20.0, 60.0), 5.0)
+            .toPandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        b = (
+            between(timeshift(df, 5.0), 25.0, 65.0)
+            .toPandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        assert np.allclose(a["t"], b["t"]) and np.allclose(a["value"], b["value"])
+
+    def test_resample_roundtrip_identity(self, spark):
+        from pandas_sigproc_spark.operators import resample
+        from tests.conftest import make_signals
+
+        # resampling a uniform channel at its own rate ~ identity
+        t = np.arange(0, 2.0, 0.01)
+        v = np.sin(2 * np.pi * 3 * t)
+        df = make_signals(spark, {"c": (t, v)})
+        out = resample(df, 100.0).toPandas().sort_values("t")
+        np.testing.assert_allclose(out["value"], np.sin(2 * np.pi * 3 * out["t"]), atol=1e-9)
+
+    def test_shuffle_partition_invariance(self, spark):
+        from pandas_sigproc_spark.operators import mov_rms
+        from tests.conftest import make_signals
+
+        rng = np.random.default_rng(4)
+        t = np.arange(0, 5.0, 0.01)
+        chans = {f"c{i}": (t, rng.standard_normal(len(t))) for i in range(4)}
+        df = make_signals(spark, chans)
+        a = (
+            mov_rms(df.repartition(1), 0.1, samplerate=100.0)
+            .toPandas()
+            .sort_values(["channel_id", "t"])
+            .reset_index(drop=True)
+        )
+        b = (
+            mov_rms(df.repartition(16), 0.1, samplerate=100.0)
+            .toPandas()
+            .sort_values(["channel_id", "t"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(a["value"], b["value"], rtol=1e-12)
