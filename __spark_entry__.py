@@ -1493,7 +1493,7 @@ def q_psd_damage(spark, sf_dir):
 
 
 def q_rainflow(spark, sf_dir):
-    return rainflow(_signals(spark, sf_dir), ndigits=2)
+    return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
 
 
 def q_interp_cubic(spark, sf_dir):

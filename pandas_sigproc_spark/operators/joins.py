@@ -72,36 +72,52 @@ def interp1d_linear(
         F.lit(0).alias("_is_src"),
     )
     u = data.unionByName(tgt)
-    # Source rows order before targets at equal _x so an exact hit brackets
-    # to itself on the left.
+    # ONE sort order serves both bracket sides: the backward bracket is
+    # last-source-so-far over (unboundedPreceding, 0) and the forward
+    # bracket is first-source-ahead over (0, unboundedFollowing) on the
+    # SAME ascending ordering — Spark evaluates both frames in a single
+    # sort+window pass, where an asc+desc pair would sort the unioned
+    # table twice.  Source rows order before targets at equal _x so an
+    # exact hit brackets to itself on the left.
+    order = [F.col("_x"), F.col("_is_src").desc()]
     w_back = (
         Window.partitionBy("channel_id")
-        .orderBy(F.col("_x"), F.col("_is_src").desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy("channel_id")
-        .orderBy(F.col("_x").desc(), F.col("_is_src").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
     )
     src_x = F.when(F.col("_is_src") == 1, F.col("_x"))
     src_y = F.when(F.col("_is_src") == 1, F.col("_y"))
     u = (
         u.withColumn("_x0", F.last(src_x, ignorenulls=True).over(w_back))
         .withColumn("_y0", F.last(src_y, ignorenulls=True).over(w_back))
-        .withColumn("_x1", F.last(src_x, ignorenulls=True).over(w_fwd))
-        .withColumn("_y1", F.last(src_y, ignorenulls=True).over(w_fwd))
+        .withColumn("_x1", F.first(src_x, ignorenulls=True).over(w_fwd))
+        .withColumn("_y1", F.first(src_y, ignorenulls=True).over(w_fwd))
         .filter(F.col("_is_src") == 0)
     )
-    interp = F.when(F.col("_x1") == F.col("_x0"), F.col("_y0")).otherwise(
-        F.col("_y0")
-        + (F.col("_y1") - F.col("_y0"))
-        * (F.col("_x") - F.col("_x0"))
-        / (F.col("_x1") - F.col("_x0"))
+    # Exact hit (_x == _x0): y0 directly — also covers a target sitting on
+    # the channel's last source sample, where no forward source exists
+    # (the equal source orders before the target, outside w_fwd's frame).
+    exact = F.col("_x0") == F.col("_x")
+    interp = (
+        F.when(exact, F.col("_y0"))
+        .when(F.col("_x1") == F.col("_x0"), F.col("_y0"))
+        .otherwise(
+            F.col("_y0")
+            + (F.col("_y1") - F.col("_y0"))
+            * (F.col("_x") - F.col("_x0"))
+            / (F.col("_x1") - F.col("_x0"))
+        )
     )
     out = u.withColumn("value", interp)
     if not bounds_null:
-        out = out.filter(F.col("_x0").isNotNull() & F.col("_x1").isNotNull())
+        out = out.filter(
+            F.col("_x0").isNotNull() & (F.col("_x1").isNotNull() | exact)
+        )
     return out.select("channel_id", F.col("_x").alias(axis), "value")
 
 

@@ -29,29 +29,49 @@ def rainflow(
     ndigits: int | None = None,
     nbins: int | None = None,
     binsize: float | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-channel (bin, cycles) pairs, kwargs forwarded like the
-    reference (``extension.py:961``)."""
+    reference (``extension.py:961``).
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        y = pdf["value"].to_numpy(dtype=np.float64)
+    ``n_buckets``: hash channels into K buckets, one Arrow group per
+    bucket, looping channels inside the kernel — the kernel itself is
+    ~30 ns/sample, so for many small channels the per-group Arrow/job
+    overhead dominates and bucketing amortizes it (same trade as the
+    filters, operators/filters.py).
+    """
+
+    def one(cid, y: np.ndarray) -> pd.DataFrame:
         pairs = _rf.count_cycles(y, ndigits=ndigits, nbins=nbins, binsize=binsize)
         if not pairs:
             return pd.DataFrame(columns=["channel_id", "bin", "cycles"])
         bins, cycles = zip(*pairs)
         return pd.DataFrame(
             {
-                "channel_id": pdf["channel_id"].iloc[0],
+                "channel_id": cid,
                 "bin": np.asarray(bins, dtype=np.float64),
                 "cycles": np.asarray(cycles, dtype=np.float64),
             }
         )
 
-    return (
-        df.select("channel_id", "t", "value")
-        .groupBy("channel_id")
-        .applyInPandas(kernel, _OUT_SCHEMA)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["channel_id", "t"])
+        pieces = [
+            one(cid, grp["value"].to_numpy(dtype=np.float64))
+            for cid, grp in pdf.groupby("channel_id", sort=False)
+        ]
+        if not pieces:
+            return pd.DataFrame(columns=["channel_id", "bin", "cycles"])
+        return pd.concat(pieces, ignore_index=True)
+
+    src = df.select("channel_id", "t", "value")
+    if n_buckets is None:
+        return src.groupBy("channel_id").applyInPandas(kernel, _OUT_SCHEMA)
+    from pyspark.sql import functions as F
+
+    bucketed = src.withColumn("_b", F.abs(F.hash("channel_id")) % int(n_buckets))
+    return bucketed.groupBy("_b").applyInPandas(
+        lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA
     )
 
 

@@ -294,3 +294,27 @@ class TestJoins:
         assert len(out) == len(t) - 1
         np.testing.assert_allclose(out["t"], t[:-1], atol=1e-9)
         np.testing.assert_allclose(out["value"], v[:-1], atol=1e-9)
+
+
+class TestInterpEdges:
+    def test_exact_hits_at_channel_endpoints(self, spark):
+        # Targets sitting exactly on the first and last source samples must
+        # survive the single-sort as-of windows (forward bracket is absent
+        # at the last sample; the exact-hit branch keeps the row).
+        import pandas as pd
+        from pandas_sigproc_spark.operators import interp1d_linear
+
+        x = np.array([1.0, 2.0, 4.0, 7.0])
+        y = np.array([10.0, 20.0, 40.0, 70.0])
+        df = make_signals(spark, {"c": (x, y)})
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "c", "t": [1.0, 4.0, 7.0, 5.5]})
+        )
+        out = (
+            interp1d_linear(df, grid, axis="t")
+            .toPandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        assert list(out["t"]) == [1.0, 4.0, 5.5, 7.0]
+        np.testing.assert_allclose(out["value"], [10.0, 40.0, 55.0, 70.0])
