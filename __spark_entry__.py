@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pandas_sigproc_spark.operators import (
     between,
+    filt_chunked,
+    rainflow_chunked,
     deduplicate,
     derivative,
     detrend,
@@ -1496,6 +1498,22 @@ def q_rainflow(spark, sf_dir):
     return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
 
 
+def q_rainflow_chunked(spark, sf_dir):
+    # The §7.3.1 scale path exercised through the driver: identical counts
+    # to q_rainflow by the residue-merge theorem (tests pin equality).
+    return rainflow_chunked(_signals(spark, sf_dir), chunk_rows=4096, ndigits=2)
+
+
+def q_filt_chunked(spark, sf_dir):
+    # Overlap-save path on the hourly-uniform channels.
+    from pandas_sigproc_spark.kernels.design import butter as _butter
+
+    b, a = _butter(2, 0.3, "lowpass")
+    return filt_chunked(
+        _uniform(spark, sf_dir), b, a, zero_phase=True, chunk_rows=4096
+    )
+
+
 def q_interp_cubic(spark, sf_dir):
     sig = deduplicate(_signals(spark, sf_dir))
     bounds = sig.groupBy("channel_id").agg(
@@ -1562,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_damage": q_psd_damage,
         "srs": q_srs,
         "rainflow": q_rainflow,
+        "rainflow_chunked": q_rainflow_chunked,
+        "filt_chunked": q_filt_chunked,
         "interp_cubic": q_interp_cubic,
     }
 
