@@ -36,6 +36,7 @@ from pandas_sigproc_spark.operators import (
     integral,
     interp1d_linear,
     interp1d_log,
+    interp1d_native,
     mov_rms,
     rainflow,
     resample,
@@ -543,6 +544,105 @@ SELECT channel_id, x AS t,
                   ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END, 6) AS value
 FROM m WHERE is_src = 0 AND x0 IS NOT NULL AND x1 IS NOT NULL
 """
+
+# 6-hour uniform resample grid: coarse enough that the oracle's windowed
+# CTE stays cheap, fine enough to exercise many brackets per channel.
+_RS_DT = 21600.0
+
+
+def q_resample(spark, sf_dir):
+    # Reference resample (extension.py:853-894): end-exclusive arange grid
+    # from each channel's span, then linear interp.  Grid generation is
+    # distributed (sequence/explode), interp is the single-sort as-of join.
+    sig = deduplicate(_signals(spark, sf_dir))
+    out = resample(sig, 1.0 / _RS_DT, kind="linear")
+    return out.select(
+        "channel_id", F.round("t", 6).alias("t"), F.round("value", 6).alias("value")
+    )
+
+
+def q_interp_nearest(spark, sf_dir):
+    # Step-kind interpolation stays fully relational (interp1d_native):
+    # nearest-sample onto the daily grid, half-intervals rounding down
+    # (kernels/interp.py tie rule == SciPy kind='nearest').
+    sig = deduplicate(_signals(spark, sf_dir))
+    bounds = sig.groupBy("channel_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = bounds.select(
+        "channel_id",
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("t0") / DAY).cast("long"),
+                F.floor(F.col("t1") / DAY).cast("long"),
+            )
+        ).alias("day"),
+    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    out = interp1d_native(sig, grid, axis="t", kind="nearest")
+    return out.select("channel_id", "t", F.round("value", 6).alias("value"))
+
+
+# Shared bracket CTE (same machinery as SQL_INTERP_DAILY) parameterized by
+# the grid CTE and the final combiner expression.
+def _sql_bracket_interp(grid_sql: str, combiner: str) -> str:
+    return f"""
+WITH {_SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+b AS (
+  SELECT channel_id, MIN(t) AS t0, MAX(t) AS t1 FROM dedup GROUP BY channel_id
+),
+grid AS (
+{grid_sql}
+),
+u AS (
+  SELECT channel_id, t AS x, value AS y, 1 AS is_src FROM dedup
+  UNION ALL
+  SELECT channel_id, t, NULL, 0 FROM grid
+),
+m AS (
+  SELECT channel_id, x, is_src,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN x END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN y END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN x END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x DESC, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN y END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x DESC, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y1
+  FROM u
+)
+SELECT channel_id, {combiner}
+FROM m WHERE is_src = 0 AND x0 IS NOT NULL AND (x1 IS NOT NULL OR x0 = x)
+"""
+
+
+SQL_RESAMPLE = _sql_bracket_interp(
+    f"""  SELECT channel_id,
+         t0 + UNNEST(RANGE(0, CAST(CEIL((t1 - t0) / {_RS_DT!r}) AS BIGINT))) * {_RS_DT!r} AS t
+  FROM b WHERE t1 > t0""",
+    """ROUND(x, 6) AS t,
+       ROUND(CASE WHEN x0 = x THEN y0
+                  WHEN x1 = x0 THEN y0
+                  ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END, 6) AS value""",
+)
+
+SQL_INTERP_NEAREST = _sql_bracket_interp(
+    f"""  SELECT channel_id,
+         UNNEST(RANGE(CAST(CEIL(t0 / {DAY!r}) AS BIGINT),
+                      CAST(FLOOR(t1 / {DAY!r}) AS BIGINT) + 1)) * {DAY!r} AS t
+  FROM b""",
+    """x AS t,
+       ROUND(CASE WHEN x0 = x THEN y0
+                  WHEN x1 = x0 THEN y0
+                  WHEN x <= 0.5 * (x0 + x1) THEN y0
+                  ELSE y1 END, 6) AS value""",
+)
 
 
 def q_segment_stats(spark, sf_dir):
@@ -1554,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rms_lin": q_rms_lin,
         "rms_log": q_rms_log,
         "interp_daily": q_interp_daily,
+        "interp_nearest": q_interp_nearest,
+        "resample": q_resample,
         "segment_stats": q_segment_stats,
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_join": q_tpch_revenue_join,
@@ -1603,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         "rms_lin": SQL_RMS_LIN,
         "rms_log": SQL_RMS_LOG,
         "interp_daily": SQL_INTERP_DAILY,
+        "interp_nearest": SQL_INTERP_NEAREST,
+        "resample": SQL_RESAMPLE,
         "segment_stats": SQL_SEGMENT_STATS,
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,

@@ -35,9 +35,11 @@ from pandas_sigproc_spark.operators.windows import (
 )
 from pandas_sigproc_spark.operators.joins import (
     rss,
+    interp1d_native,
     interp1d_linear,
     interp1d_log,
     resample,
+    NATIVE_INTERP_KINDS,
 )
 from pandas_sigproc_spark.operators.filters import (
     filt_butter,
@@ -66,9 +68,11 @@ __all__ = [
     "derivative",
     "detrend",
     "rss",
+    "interp1d_native",
     "interp1d_linear",
     "interp1d_log",
     "resample",
+    "NATIVE_INTERP_KINDS",
     "filt_butter",
     "filt_cfc",
     "filt_a",

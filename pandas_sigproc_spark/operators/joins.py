@@ -38,27 +38,58 @@ def rss(df: DataFrame, channel_ids=None, out_channel: str = None, time_col: str 
     )
 
 
-def interp1d_linear(
+#: interp kinds expressible as pure relational algebra (one bracket join +
+#: a CASE expression) — everything the reference's ``interp1d`` exposes
+#: except the spline kinds (``extension.py:819-851``; kind list at
+#: ``extension.py:832``).  Cubic stays in the kernel tier.
+NATIVE_INTERP_KINDS = (
+    "linear",
+    "slinear",
+    "nearest",
+    "nearest-up",
+    "previous",
+    "zero",
+    "next",
+)
+
+
+def interp1d_native(
     df: DataFrame,
     grid: DataFrame,
     axis: str = "t",
+    kind: str = "linear",
     bounds_null: bool = False,
 ) -> DataFrame:
-    """Linear interpolation of each channel onto per-channel target points.
+    """Interpolation of each channel onto per-channel target points, for
+    every kind that reduces to the two bracketing samples.
 
     ``grid`` has columns ``(channel_id, {axis})``.  Implementation is an
     as-of join via grid union: tag source rows, union the target grid,
     bracket every target with the nearest source sample on each side
     (``last_value``/``first_value`` with ``ignorenulls`` over ordered
-    windows), then the two-point formula.  At scale this is one shuffle on
-    ``channel_id`` — same cost class as any window op, and Catalyst prunes
-    the union's columns into both scans.
+    windows), then a per-kind combiner expression:
+
+    - ``linear``/``slinear`` — two-point formula
+    - ``nearest``/``nearest-up`` — midpoint decision, half-intervals
+      rounding down/up respectively (kernels/interp.py tie semantics)
+    - ``previous``/``zero`` — left knot
+    - ``next`` — right knot (exact hits map to their own sample)
+
+    At scale this is one shuffle on ``channel_id`` — same cost class as
+    any window op, and Catalyst prunes the union's columns into both
+    scans.  No data leaves the JVM for any of these kinds.
 
     Out-of-range targets: SciPy raises (the reference inherits that,
     ``extension.py:986-996``); distributed engines shouldn't throw from
     executors for one bad point, so with ``bounds_null=True`` they yield
     NULL, and by default they are dropped after a validation count.
     """
+    kind = kind.lower()
+    if kind not in NATIVE_INTERP_KINDS:
+        raise ValueError(
+            f"kind {kind!r} is not relationally expressible; use "
+            "interp1d_spline (kernel tier) for spline kinds"
+        )
     data = df.select(
         "channel_id",
         F.col(axis).alias("_x"),
@@ -102,16 +133,23 @@ def interp1d_linear(
     # Exact hit (_x == _x0): y0 directly — also covers a target sitting on
     # the channel's last source sample, where no forward source exists
     # (the equal source orders before the target, outside w_fwd's frame).
+    # Correct for every kind: distance 0 / left knot / own sample.
     exact = F.col("_x0") == F.col("_x")
-    interp = (
-        F.when(exact, F.col("_y0"))
-        .when(F.col("_x1") == F.col("_x0"), F.col("_y0"))
-        .otherwise(
-            F.col("_y0")
-            + (F.col("_y1") - F.col("_y0"))
-            * (F.col("_x") - F.col("_x0"))
-            / (F.col("_x1") - F.col("_x0"))
+    x0, y0, x1, y1 = (F.col(c) for c in ("_x0", "_y0", "_x1", "_y1"))
+    if kind in ("linear", "slinear"):
+        combine = y0 + (y1 - y0) * (F.col("_x") - x0) / (x1 - x0)
+    elif kind in ("nearest", "nearest-up"):
+        mid = 0.5 * (x0 + x1)
+        at_or_below = (
+            F.col("_x") <= mid if kind == "nearest" else F.col("_x") < mid
         )
+        combine = F.when(at_or_below, y0).otherwise(y1)
+    elif kind in ("previous", "zero"):
+        combine = y0
+    else:  # next
+        combine = y1
+    interp = (
+        F.when(exact, y0).when(x1 == x0, y0).otherwise(combine)
     )
     out = u.withColumn("value", interp)
     if not bounds_null:
@@ -119,6 +157,16 @@ def interp1d_linear(
             F.col("_x0").isNotNull() & (F.col("_x1").isNotNull() | exact)
         )
     return out.select("channel_id", F.col("_x").alias(axis), "value")
+
+
+def interp1d_linear(
+    df: DataFrame,
+    grid: DataFrame,
+    axis: str = "t",
+    bounds_null: bool = False,
+) -> DataFrame:
+    """Linear interpolation — ``interp1d_native(kind='linear')``."""
+    return interp1d_native(df, grid, axis=axis, kind="linear", bounds_null=bounds_null)
 
 
 def interp1d_log(df: DataFrame, grid: DataFrame, axis: str = "freq") -> DataFrame:
@@ -164,8 +212,8 @@ def resample(
         F.explode(F.sequence(F.lit(0), n - 1)).alias("_i"),
         F.col("_t0"),
     ).select("channel_id", (F.col("_t0") + F.col("_i") * dt).alias("t"))
-    if kind in ("linear", "slinear"):
-        return interp1d_linear(df, grid, axis="t")
+    if kind.lower() in NATIVE_INTERP_KINDS:
+        return interp1d_native(df, grid, axis="t", kind=kind)
     from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 
     return interp1d_spline(df, grid, kind=kind)

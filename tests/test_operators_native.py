@@ -256,6 +256,32 @@ class TestJoins:
         out = interp1d_linear(df, grid).orderBy("t").toPandas()
         np.testing.assert_allclose(out["value"], [5.0, 6.0, 7.0, 9.0])
 
+    @pytest.mark.parametrize(
+        "kind", ["nearest", "nearest-up", "previous", "zero", "next"]
+    )
+    def test_interp_step_kinds_match_kernel(self, spark, kind):
+        # Native relational step-kind interp == NumPy kernel (which pins
+        # the SciPy kind semantics incl. midpoint tie rules).  Targets
+        # include exact knots, exact midpoints, and both channel ends.
+        from pandas_sigproc_spark.kernels.interp import interp1d as k_interp
+        from pandas_sigproc_spark.operators import interp1d_native
+
+        x = np.sort(np.random.default_rng(7).uniform(0, 10, 50))
+        y = np.cos(x)
+        mids = 0.5 * (x[:-1] + x[1:])
+        x2 = np.unique(
+            np.concatenate(
+                [np.linspace(x[0], x[-1], 83), x[::5], mids[::3], [x[0], x[-1]]]
+            )
+        )
+        df = make_signals(spark, {"c": (x, y)})
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "c", "t": x2}), "channel_id string, t double"
+        )
+        out = interp1d_native(df, grid, kind=kind).orderBy("t").toPandas()
+        np.testing.assert_allclose(out["value"], k_interp(x, y, x2, kind=kind), rtol=0)
+        np.testing.assert_allclose(out["t"], x2)
+
     def test_interp_out_of_range_dropped_or_null(self, spark):
         x = np.array([0.0, 1.0])
         df = make_signals(spark, {"c": (x, x)})
