@@ -195,25 +195,100 @@ def resample(
 
     Reference ``timedomain.resample`` (``extension.py:853-894``): grid
     ``arange(t0, t_end, 1/rate)`` (end-exclusive), then interpolation.
-    The grid is generated distributively with ``sequence``/``explode`` from
-    each channel's (min, max) — no driver-side materialization, so a
-    million-channel catalog fans out across executors.
+
+    For the relational kinds this does NOT materialize the grid and as-of
+    join it (that plan window-sorts ``n_src + n_grid`` rows — when
+    upsampling, the grid dwarfs the source and dominates the sort).
+    Instead: one ``lead()`` window over the *source only* pairs up the
+    bracketing samples, then each pair emits its own grid points
+    arithmetically (``sequence``/``explode`` — a projection, no sort, no
+    second shuffle).  Grid membership ``x0 <= t_g < x1`` is decided by
+    float comparison after generation, so knot assignment is bit-identical
+    to the as-of-join plan; candidate index ranges are widened by ±1 to
+    make the ceil() arithmetic immune to rounding.
+
+    Spline kinds need whole-channel state and go to the kernel tier with a
+    materialized grid, as before.
     """
     dt = 1.0 / float(sample_rate)
-    bounds = df.groupBy("channel_id").agg(
-        F.min("t").alias("_t0"), F.max("t").alias("_t1")
-    )
-    # n = ceil((t1 - t0)/dt) points, end-exclusive like np.arange (a
-    # zero-length channel yields an empty grid, same as arange).
-    n = F.ceil((F.col("_t1") - F.col("_t0")) / dt).cast("long")
-    bounds = bounds.filter(F.col("_t1") > F.col("_t0"))
-    grid = bounds.select(
-        "channel_id",
-        F.explode(F.sequence(F.lit(0), n - 1)).alias("_i"),
-        F.col("_t0"),
-    ).select("channel_id", (F.col("_t0") + F.col("_i") * dt).alias("t"))
-    if kind.lower() in NATIVE_INTERP_KINDS:
-        return interp1d_native(df, grid, axis="t", kind=kind)
-    from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
+    if kind.lower() not in NATIVE_INTERP_KINDS:
+        bounds = df.groupBy("channel_id").agg(
+            F.min("t").alias("_t0"), F.max("t").alias("_t1")
+        )
+        # n = ceil((t1 - t0)/dt) points, end-exclusive like np.arange (a
+        # zero-length channel yields an empty grid, same as arange).
+        n = F.ceil((F.col("_t1") - F.col("_t0")) / dt).cast("long")
+        bounds = bounds.filter(F.col("_t1") > F.col("_t0"))
+        grid = bounds.select(
+            "channel_id",
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("_i"),
+            F.col("_t0"),
+        ).select("channel_id", (F.col("_t0") + F.col("_i") * dt).alias("t"))
+        from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 
-    return interp1d_spline(df, grid, kind=kind)
+        return interp1d_spline(df, grid, kind=kind)
+
+    kind = kind.lower()
+    w = Window.partitionBy("channel_id").orderBy("t")
+    wp = Window.partitionBy("channel_id")
+    d = (
+        df.select("channel_id", "t", "value")
+        .withColumn("_x1", F.lead("t").over(w))
+        .withColumn("_y1", F.lead("value").over(w))
+        # min/max over the same partitioning: reuses the one shuffle.
+        .withColumn("_t0", F.min("t").over(wp))
+        .withColumn("_t1", F.max("t").over(wp))
+        # Drop the final sample (no forward bracket) and zero-width pairs
+        # (duplicate stamps — deduplicate upstream defines which value an
+        # exact hit sees; here the last duplicate carries the interval).
+        .filter(F.col("_x1") > F.col("t"))
+    )
+    n = F.ceil((F.col("_t1") - F.col("_t0")) / dt).cast("long")
+    # Candidate grid indices whose point t0 + i*dt could land in
+    # [x0, x1): ceil((x - t0)/dt) bounds, widened ±1 against float
+    # rounding, clamped to the channel's [0, n-1] arange range.  The
+    # exact float comparison below makes the widening harmless.
+    i_lo = F.greatest(
+        F.ceil((F.col("t") - F.col("_t0")) / dt).cast("long") - 1, F.lit(0)
+    )
+    i_hi = F.least(
+        F.ceil((F.col("_x1") - F.col("_t0")) / dt).cast("long") + 1, n - 1
+    )
+    d = (
+        d.withColumn(
+            "_i",
+            F.explode(
+                F.when(i_hi >= i_lo, F.sequence(i_lo, i_hi)).otherwise(
+                    F.array().cast("array<long>")
+                )
+            ),
+        )
+        .withColumn("_tg", F.col("_t0") + F.col("_i") * dt)
+        # Half-open interval; the t_g == _t1 clause keeps a final grid
+        # point that float-rounds exactly onto the channel's last sample
+        # (the as-of-join plan resolves that as an exact hit).
+        .filter(
+            (F.col("_tg") >= F.col("t"))
+            & ((F.col("_tg") < F.col("_x1")) | (F.col("_tg") == F.col("_t1")))
+        )
+    )
+    x0, y0, x1, y1, tg = (
+        F.col(c) for c in ("t", "value", "_x1", "_y1", "_tg")
+    )
+    if kind in ("linear", "slinear"):
+        combine = y0 + (y1 - y0) * (tg - x0) / (x1 - x0)
+    elif kind in ("nearest", "nearest-up"):
+        mid = 0.5 * (x0 + x1)
+        at_or_below = tg <= mid if kind == "nearest" else tg < mid
+        combine = F.when(at_or_below, y0).otherwise(y1)
+    elif kind in ("previous", "zero"):
+        combine = y0
+    else:  # next
+        combine = y1
+    # Exact hits take their own sample (as-of-join parity): tg == x0 for
+    # interior knots; tg == x1 only passes the filter in the final pair
+    # (the t_g == _t1 clause), where the old plan also returns y1 exactly.
+    interp = F.when(tg == x0, y0).when(tg == x1, y1).otherwise(combine)
+    return d.select(
+        "channel_id", F.col("_tg").alias("t"), interp.alias("value")
+    )
