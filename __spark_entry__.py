@@ -186,6 +186,47 @@ SELECT channel_id, t, value FROM sig WHERE t BETWEEN {_T_LO!r} AND {_T_HI!r}
 """
 
 
+def q_between_freq(spark, sf_dir):
+    # freqdomain.between (extension.py:100-124) through the driver gate:
+    # the same operator on axis="freq", over the relational daily-RMS
+    # spectrum used by q_interp_log (freq = 1-based day index, power =
+    # daily RMS), keeping bins with 3 <= freq <= 10 inclusive.
+    sig = deduplicate(_signals(spark, sf_dir))
+    daily = sig.groupBy(
+        "channel_id", F.floor(F.col("t") / DAY).alias("day")
+    ).agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("power"))
+    w = Window.partitionBy("channel_id")
+    spectra = daily.select(
+        "channel_id",
+        (F.col("day") - F.min("day").over(w) + 1).cast("double").alias("freq"),
+        "power",
+    )
+    return between(spectra, 3.0, 10.0, axis="freq").select(
+        "channel_id", "freq", F.round("power", 6).alias("power")
+    )
+
+
+SQL_BETWEEN_FREQ = f"""
+WITH {_SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+daily AS (
+  SELECT channel_id, FLOOR(t / {DAY!r}) AS day,
+         SQRT(AVG(value * value)) AS power
+  FROM dedup GROUP BY channel_id, FLOOR(t / {DAY!r})
+),
+spectra AS (
+  SELECT channel_id,
+         CAST(day - MIN(day) OVER (PARTITION BY channel_id) + 1 AS DOUBLE) AS freq,
+         power
+  FROM daily
+)
+SELECT channel_id, freq, ROUND(power, 6) AS power
+FROM spectra WHERE freq BETWEEN 3.0 AND 10.0
+"""
+
+
 def q_timeshift(spark, sf_dir):
     from pandas_sigproc_spark.operators.relational import timeshift
 
@@ -1568,6 +1609,107 @@ SELECT v1, v2, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
 """
 
 
+# IVF-style ANN: a deterministic coarse quantizer (the first NLIST vectors
+# as centroids) partitions the corpus into inverted lists; each query
+# probes its NPROBE closest lists and exact-rescores only those
+# candidates.  Complements q_ann_lsh: IVF recall degrades gracefully with
+# nprobe while LSH recall is fixed by the plane count.
+_IVF_NLIST = 8
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    # Scale shape: the centroid set is collapsed into ONE broadcast row
+    # (collect_list of 8 structs), so list assignment is a map-side
+    # array_sort over 8 cosines — no shuffle, no per-vector window — and
+    # the only shuffles are the list-id equi-join and the final top-k
+    # window.  Centroid cosines are rounded to 9 digits before ranking in
+    # both engines so the argmin can't flip on last-ulp summation-order
+    # differences between Spark and the oracle.
+    e = _embeds_v(spark, sf_dir).select("vec_id", "v")
+    cents = e.filter(F.col("vec_id") < _IVF_NLIST).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        ).alias("cs")
+    )
+    ea = e.crossJoin(F.broadcast(cents))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.round(-_cos(F.col("v"), s["cv"]), 9).alias("negcos"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    lists = ea.select("vec_id", "v", ranked[0]["cid"].alias("list_id"))
+    probes = ea.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, _IVF_NPROBE), lambda s: s["cid"])
+        ).alias("list_id"),
+    )
+    pairs = (
+        probes.join(lists, "list_id")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_SQL_COS = (
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> x * x)))"
+    " * SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> x * x))))"
+)
+
+SQL_ANN_IVF = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_NLIST}),
+ac AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROUND({_SQL_COS.format(a="e.v", b="c.cv")}, 9) AS ccos
+  FROM e CROSS JOIN c
+),
+ranked_c AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+  FROM ac
+),
+lists AS (SELECT vec_id, v, cid AS list_id FROM ranked_c WHERE r = 1),
+probes AS (
+  SELECT vec_id AS qid, v AS qv, cid AS list_id
+  FROM ranked_c WHERE r <= {_IVF_NPROBE} AND vec_id < 50
+),
+pairs AS (
+  SELECT qid, l.vec_id AS vec_id, {_SQL_COS.format(a="p.qv", b="l.v")} AS cos
+  FROM probes p JOIN lists l ON p.list_id = l.list_id AND p.qid != l.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # kernel tier (non-SQL-expressible: FFT / IIR / spline / rainflow) —
 # rows-only driver check; numeric goldens live in tests/.
@@ -1718,6 +1860,33 @@ def q_psd_damage(spark, sf_dir):
     )
 
 
+def q_psd_median(spark, sf_dir):
+    # Welch summarize='median' (tools.py:74-98 mode 2) — exact per-bin
+    # median over segments (exact percentile, not approx, per SURVEY §5's
+    # exact-parity rule for oracle-facing numerics).
+    return get_psd(
+        _uniform(spark, sf_dir),
+        window_length=64 * 3600.0,
+        overlap=0.5,
+        summarize="median",
+        samplerate=_HOURLY,
+        n_buckets=32,
+    )
+
+
+def q_psd_maxrms(spark, sf_dir):
+    # Welch summarize='max rms' (tools.py:74-98 mode 6): mean PSD rescaled
+    # by (max segment RMS / mean segment RMS)^2.
+    return get_psd(
+        _uniform(spark, sf_dir),
+        window_length=64 * 3600.0,
+        overlap=0.5,
+        summarize="max rms",
+        samplerate=_HOURLY,
+        n_buckets=32,
+    )
+
+
 def q_rainflow(spark, sf_dir):
     return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
 
@@ -1764,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # native relational tier (oracle-checked)
         "between": q_between,
+        "between_freq": q_between_freq,
         "timeshift": q_timeshift,
         "deduplicate": q_deduplicate,
         "rms": q_rms,
@@ -1798,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed": q_dedup_embed,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
@@ -1805,6 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_a": q_filt_a,
         "psd_welch": q_psd_welch,
         "psd_damage": q_psd_damage,
+        "psd_median": q_psd_median,
+        "psd_maxrms": q_psd_maxrms,
         "srs": q_srs,
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
@@ -1816,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "between": SQL_BETWEEN,
+        "between_freq": SQL_BETWEEN_FREQ,
         "timeshift": SQL_TIMESHIFT,
         "deduplicate": SQL_DEDUPLICATE,
         "rms": SQL_RMS,
@@ -1849,5 +2023,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed": _sql_dedup_embed(),
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": SQL_ANN_IVF,
         "media_features": SQL_MEDIA_FEATURES,
     }
