@@ -766,13 +766,22 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_tpch_revenue_join(spark, sf_dir):
-    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # Join order matters without table stats: reduce orders by the
+    # broadcast segment-filtered customer dim FIRST (the filter reaches
+    # the customer scan as a pushed parquet predicate), so the big
+    # lineitem join shuffles against ~1/5 of orders instead of all of
+    # them.  At 100 TB lineitem<->orders is the one unavoidable big-big
+    # shuffle; everything else stays broadcast.
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od_b = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey).select("o_orderkey")
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .filter(F.col("c_mktsegment") == "BUILDING")
+        li.join(od_b, li.l_orderkey == od_b.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(
