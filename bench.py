@@ -23,6 +23,7 @@ from pandas_sigproc_spark.session import get_spark
 HEADLINE = [
     # native relational tier
     "between",
+    "between_freq",
     "deduplicate",
     "rms",
     "mov_rms",
@@ -51,6 +52,7 @@ HEADLINE = [
     "lang_id",
     "embed_cosine_topk",
     "ann_lsh",
+    "ann_ivf",
     "media_features",
 ]
 
