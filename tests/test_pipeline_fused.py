@@ -1,0 +1,56 @@
+"""Fused kernel pipeline == chained standalone operators, with fewer
+Python-UDF plan nodes (the SURVEY §4.2 fusion gap)."""
+
+import numpy as np
+
+from pandas_sigproc_spark.operators.filters import filt_butter, filt_cfc
+from pandas_sigproc_spark.pipeline import KernelPipeline
+from tests.conftest import make_signals
+
+
+def _mk(spark):
+    rng = np.random.default_rng(7)
+    t = np.arange(0, 1.0, 1 / 4000.0)
+    chans = {f"ch{i}": (t, rng.standard_normal(len(t))) for i in range(3)}
+    return make_signals(spark, chans)
+
+
+def _collect(df):
+    rows = df.select("channel_id", "t", "value").collect()
+    return sorted((r.channel_id, round(r.t, 12), r.value) for r in rows)
+
+
+def test_fused_equals_chained(spark):
+    sig = _mk(spark)
+    chained = filt_cfc(filt_butter(sig, 600.0, 4, "lowpass"), 180.0)
+    fused = (
+        KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_cfc(180.0).apply(sig)
+    )
+    a, b = _collect(chained), _collect(fused)
+    assert len(a) == len(b) > 0
+    for (ca, ta, va), (cb, tb, vb) in zip(a, b):
+        assert (ca, ta) == (cb, tb)
+        assert va == vb  # same kernels in the same order: bit-identical
+
+
+def test_fused_single_python_stage(spark):
+    sig = _mk(spark)
+    fused = KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_cfc(180.0).apply(sig)
+    chained = filt_cfc(filt_butter(sig, 600.0, 4, "lowpass"), 180.0)
+    plan_f = fused._jdf.queryExecution().executedPlan().toString()
+    plan_c = chained._jdf.queryExecution().executedPlan().toString()
+    assert plan_f.count("FlatMapGroupsInPandas") == 1
+    assert plan_c.count("FlatMapGroupsInPandas") == 2
+
+
+def test_fused_bucketed_equals_per_channel(spark):
+    sig = _mk(spark)
+    pipe = KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_a()
+    per_ch = _collect(pipe.apply(sig))
+    bucketed = _collect(pipe.apply(sig, n_buckets=4))
+    assert per_ch == bucketed
+
+
+def test_lineage_name():
+    pipe = KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_a()
+    assert pipe.lineage_name("x") == "a_weighting(butter(x))"
