@@ -1756,6 +1756,28 @@ def q_filt_a(spark, sf_dir):
     return filt_a(idx, n_buckets=32)
 
 
+def q_filt_chain(spark, sf_dir):
+    # SURVEY §4.2 kernel fusion through the driver gate: Butterworth
+    # lowpass -> A-weighting as ONE applyInPandas (pipeline/fused.py),
+    # on the same 48 kHz index time base as q_filt_a.  Equality with the
+    # chained standalone operators is pinned in tests/test_pipeline_fused.
+    from pandas_sigproc_spark.pipeline import KernelPipeline
+
+    sig = deduplicate(_signals(spark, sf_dir))
+    w = Window.partitionBy("channel_id").orderBy("t")
+    idx = sig.select(
+        "channel_id",
+        ((F.row_number().over(w) - 1) / F.lit(48000.0)).alias("t"),
+        "value",
+    )
+    return (
+        KernelPipeline()
+        .filt_butter(8000.0, 4, "lowpass")
+        .filt_a()
+        .apply(idx, n_buckets=32)
+    )
+
+
 def q_interp_log(spark, sf_dir):
     # freqdomain.interp1d_log parity (extension.py:201-230): build a
     # per-channel positive "spectrum" (freq = 1-based day index, power =
@@ -1983,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
+        "filt_chain": q_filt_chain,
         "psd_welch": q_psd_welch,
         "psd_damage": q_psd_damage,
         "psd_median": q_psd_median,
