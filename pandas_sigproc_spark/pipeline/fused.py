@@ -1,24 +1,29 @@
-"""Kernel fusion: chain per-channel IIR stages into ONE ``applyInPandas``.
+"""Kernel fusion: chain per-channel kernel stages into ONE ``applyInPandas``.
 
 SURVEY.md §4.2's identified Catalyst gap: consecutive
 ``groupBy("channel_id").applyInPandas`` calls on the same key re-shuffle
 and re-cross the JVM↔Arrow boundary once per operator, even though every
 stage wants the identical partitioning.  Catalyst cannot fuse opaque
 Python UDFs, so the fusion lives in our API layer instead: a
-``KernelPipeline`` collects filter stages (each just a coefficient
-designer + causal/zero-phase flag) and emits a single grouped kernel that
-runs all stages back-to-back on the in-memory NumPy arrays.
+``KernelPipeline`` collects stages — IIR filters (a coefficient designer
++ causal/zero-phase flag) and uniform-grid resampling — and emits a
+single grouped kernel that runs all stages back-to-back on the in-memory
+NumPy arrays.
 
-k chained filters this way cost ONE shuffle + ONE Arrow round-trip
+k chained stages this way cost ONE shuffle + ONE Arrow round-trip
 instead of k of each — at 100 TB the shuffle is the dominant term, so the
-fused plan is ~k× cheaper in I/O while producing bit-identical values
-(the stages run in the same order on the same float64 arrays the unfused
-operators would see).
+fused plan is ~k× cheaper in I/O while producing the same values the
+unfused operators would (bit-identical for filter-only chains, which run
+the very same kernels in the same order).
+
+A ``filt_* → resample(lower rate)`` chain is fused anti-aliased
+decimation: the intermediate full-rate filtered signal never leaves the
+task, so the shuffle after the kernel carries only the decimated rows.
 
 Reference parity: composes the same operators as chained accessor calls
-like ``series.timedomain.filt_butter(...).timedomain.filt_a()``
-(``extension.py:452-567``), which the reference executes as k eager
-whole-array passes.
+like ``series.timedomain.filt_butter(...).timedomain.resample(...)``
+(``extension.py:452-567, 853-894``), which the reference executes as k
+eager whole-array passes.
 """
 
 from __future__ import annotations
@@ -32,22 +37,55 @@ from pyspark.sql import DataFrame, functions as F
 from pandas_sigproc_spark.kernels import design as _design
 from pandas_sigproc_spark.kernels import iir as _iir
 from pandas_sigproc_spark.kernels import iir_batch as _iirb
+from pandas_sigproc_spark.kernels import interp as _interp
 
 _OUT_SCHEMA = "channel_id string, t double, value double"
 
 
-class KernelPipeline:
-    """Builder for a fused chain of per-channel IIR filter stages.
+class _FilterStage:
+    def __init__(self, name: str, make_ba, zero_phase: bool) -> None:
+        self.name, self.make_ba, self.zero_phase = name, make_ba, zero_phase
 
-    Each ``filt_*`` method appends a stage and returns ``self``;
-    ``apply(df)`` emits the single fused ``applyInPandas`` operator.
-    Stage semantics (coefficient design, order handling, causal vs
-    zero-phase) are identical to the standalone operators in
-    ``operators/filters.py``.
+    def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        b, a = self.make_ba(sr)
+        out = _iir.filtfilt(b, a, y) if self.zero_phase else _iir.lfilter(b, a, y)
+        return t, out, sr
+
+    def run_batch(self, Y: np.ndarray, sr: float) -> np.ndarray:
+        b, a = self.make_ba(sr)
+        return (
+            _iirb.filtfilt_batch(b, a, Y)
+            if self.zero_phase
+            else _iirb.lfilter_batch(b, a, Y)
+        )
+
+
+class _ResampleStage:
+    """Uniform-grid resample, reference semantics (``extension.py:880-887``):
+    grid ``arange(t0, t_end, 1/rate)`` (end-exclusive), then interpolation
+    of the chosen kind via ``kernels.interp``."""
+
+    def __init__(self, rate: float, kind: str) -> None:
+        self.name = f"resample({rate})"
+        self.rate, self.kind = float(rate), kind
+
+    def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        grid = np.arange(t[0], t[-1], 1.0 / self.rate)
+        out = _interp.interp1d(t, y, grid, kind=self.kind)
+        return grid, out, self.rate
+
+
+class KernelPipeline:
+    """Builder for a fused chain of per-channel kernel stages.
+
+    Each stage method appends a stage and returns ``self``; ``apply(df)``
+    emits the single fused ``applyInPandas`` operator.  Stage semantics
+    (coefficient design, order handling, causal vs zero-phase, resample
+    grid) are identical to the standalone operators in ``operators/``.
     """
 
     def __init__(self) -> None:
-        self._stages: list[tuple[str, object, bool]] = []
+        self._stages: list[object] = []
 
     # -- stage builders (same design rules as operators/filters.py) --------
 
@@ -58,21 +96,25 @@ class KernelPipeline:
             wn = np.asarray(cutoff, dtype=np.float64) / (0.5 * sr)
             return _design.butter(order_used, wn, btype)
 
-        self._stages.append((f"butter({order},{btype})", make_ba, True))
+        self._stages.append(_FilterStage(f"butter({order},{btype})", make_ba, True))
         return self
 
     def filt_cfc(self, cfc: float) -> "KernelPipeline":
         def make_ba(sr: float):
             return _design.cfc_coefficients(cfc, sr)
 
-        self._stages.append((f"cfc({cfc})", make_ba, True))
+        self._stages.append(_FilterStage(f"cfc({cfc})", make_ba, True))
         return self
 
     def filt_a(self) -> "KernelPipeline":
         def make_ba(sr: float):
             return _design.a_weighting(sr)
 
-        self._stages.append(("a_weighting", make_ba, False))
+        self._stages.append(_FilterStage("a_weighting", make_ba, False))
+        return self
+
+    def resample(self, rate: float, kind: str = "linear") -> "KernelPipeline":
+        self._stages.append(_ResampleStage(rate, kind))
         return self
 
     # -- execution ---------------------------------------------------------
@@ -81,31 +123,26 @@ class KernelPipeline:
         """Run all stages in one grouped kernel.
 
         ``n_buckets=None``: one Arrow group per channel.  ``n_buckets=K``:
-        channels hash into K buckets and each task runs every stage over
-        its bucket as a (channels × time) matrix — the same two modes as
-        ``operators/filters.py``, chosen by channel length at scale.
+        channels hash into K buckets; the leading run of filter stages
+        executes as one (channels × time) matrix op per same-shape batch,
+        and stages from the first resample onward run per channel (the
+        grid depends on each channel's own time range) — the same two
+        fan-out modes as ``operators/filters.py``.
         """
         if not self._stages:
             raise ValueError("KernelPipeline has no stages")
         stages = list(self._stages)
+        n_batchable = 0
+        for s in stages:
+            if not isinstance(s, _FilterStage):
+                break
+            n_batchable += 1
 
-        def run_stages(sr: float, Y: np.ndarray) -> np.ndarray:
-            # Y: (channels, time) matrix; stages share one coefficient
-            # design per (samplerate, stage) pair.
-            for _name, make_ba, zero_phase in stages:
-                b, a = make_ba(sr)
-                Y = (
-                    _iirb.filtfilt_batch(b, a, Y)
-                    if zero_phase
-                    else _iirb.lfilter_batch(b, a, Y)
-                )
-            return Y
-
-        def run_stages_1d(sr: float, y: np.ndarray) -> np.ndarray:
-            for _name, make_ba, zero_phase in stages:
-                b, a = make_ba(sr)
-                y = _iir.filtfilt(b, a, y) if zero_phase else _iir.lfilter(b, a, y)
-            return y
+        def run_all(t: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            sr = _infer_sr(t)
+            for s in stages:
+                t, y, sr = s.run(t, y, sr)
+            return t, y
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["channel_id", "t"])
@@ -117,18 +154,21 @@ class KernelPipeline:
                 sr = _infer_sr(t)
                 groups.setdefault((len(t), round(sr, 9)), []).append((cid, t, y))
             for (_n, sr), members in groups.items():
-                if len(members) == 1:
-                    cid, t, y = members[0]
-                    out = run_stages_1d(sr, y)
+                if len(members) > 1 and n_batchable:
+                    Y = np.stack([y for _, _, y in members])
+                    for s in stages[:n_batchable]:
+                        Y = s.run_batch(Y, sr)
+                    members = [
+                        (cid, t, Y[row]) for row, (cid, t, _y) in enumerate(members)
+                    ]
+                for cid, t, y in members:
+                    cur_sr = sr
+                    for s in (
+                        stages[n_batchable:] if len(members) > 1 else stages
+                    ):
+                        t, y, cur_sr = s.run(t, y, cur_sr)
                     pieces.append(
-                        pd.DataFrame({"channel_id": cid, "t": t, "value": out})
-                    )
-                    continue
-                X = np.stack([y for _, _, y in members])
-                Y = run_stages(sr, X)
-                for row, (cid, t, _y) in enumerate(members):
-                    pieces.append(
-                        pd.DataFrame({"channel_id": cid, "t": t, "value": Y[row]})
+                        pd.DataFrame({"channel_id": cid, "t": t, "value": y})
                     )
             return pd.concat(pieces, ignore_index=True)
 
@@ -136,11 +176,12 @@ class KernelPipeline:
         if n_buckets is None:
             def single(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("t")
-                t = pdf["t"].to_numpy(dtype=np.float64)
-                y = pdf["value"].to_numpy(dtype=np.float64)
-                out = run_stages_1d(_infer_sr(t), y)
+                t, y = run_all(
+                    pdf["t"].to_numpy(dtype=np.float64),
+                    pdf["value"].to_numpy(dtype=np.float64),
+                )
                 return pd.DataFrame(
-                    {"channel_id": pdf["channel_id"].iloc[0], "t": t, "value": out}
+                    {"channel_id": pdf["channel_id"].iloc[0], "t": t, "value": y}
                 )
 
             return src.groupBy("channel_id").applyInPandas(single, _OUT_SCHEMA)
@@ -151,9 +192,9 @@ class KernelPipeline:
 
     def lineage_name(self, name: str) -> str:
         """Reference-style derived name, innermost stage first
-        (``extension.py:494, 536, 564``)."""
-        for stage, _make_ba, _zp in self._stages:
-            name = f"{stage.split('(')[0]}({name})"
+        (``extension.py:494, 536, 564, 891``)."""
+        for stage in self._stages:
+            name = f"{stage.name.split('(')[0]}({name})"
         return name
 
 

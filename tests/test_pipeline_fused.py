@@ -51,6 +51,40 @@ def test_fused_bucketed_equals_per_channel(spark):
     assert per_ch == bucketed
 
 
+def test_fused_decimation_equals_chained(spark):
+    # filt -> resample fused (anti-aliased decimation in one kernel) vs
+    # the standalone operators chained: relational linear interp vs the
+    # NumPy kernel interp share the same formula up to summation order,
+    # so compare with a float tolerance rather than bit equality.
+    from pandas_sigproc_spark.operators.joins import resample
+
+    sig = _mk(spark)
+    chained = {
+        (r.channel_id, round(r.t, 9)): r.value
+        for r in resample(filt_butter(sig, 400.0, 4, "lowpass"), 1000.0).collect()
+    }
+    fused = {
+        (r.channel_id, round(r.t, 9)): r.value
+        for r in (
+            KernelPipeline()
+            .filt_butter(400.0, 4, "lowpass")
+            .resample(1000.0)
+            .apply(sig)
+        ).collect()
+    }
+    assert fused.keys() == chained.keys() and len(fused) > 0
+    for k, v in fused.items():
+        assert abs(v - chained[k]) <= 1e-9 * max(1.0, abs(v)), k
+
+
+def test_fused_decimation_bucketed_equals_per_channel(spark):
+    sig = _mk(spark)
+    pipe = KernelPipeline().filt_butter(400.0, 4, "lowpass").resample(1000.0)
+    assert _collect(pipe.apply(sig)) == _collect(pipe.apply(sig, n_buckets=4))
+
+
 def test_lineage_name():
     pipe = KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_a()
     assert pipe.lineage_name("x") == "a_weighting(butter(x))"
+    pipe2 = KernelPipeline().filt_cfc(100.0).resample(50.0)
+    assert pipe2.lineage_name("x") == "resample(cfc(x))"
