@@ -95,6 +95,16 @@ sig AS (
 )
 """
 
+def _sig_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _signals hash-partitioned on channel_id: ONE exchange up front that
+    # every per-channel groupBy/window downstream reuses (a grouping on
+    # (channel_id, ...) is satisfied by hash partitioning on the subset
+    # channel_id), instead of each operator forcing its own exchange.
+    return _signals(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "channel_id"
+    )
+
+
 # Window bounds used by q_between (days 3..10 of the 2024-01 data month).
 _T_LO = 1704240000.0  # 2024-01-03 00:00:00 UTC
 _T_HI = 1704844800.0  # 2024-01-10 00:00:00 UTC
@@ -126,7 +136,7 @@ def entry(spark: SparkSession) -> DataFrame:
     dedup/resample/filtfilt subtree per branch (two kernel passes, four
     scans)."""
     sf_dir = "/root/testdata/sf0.001"
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     uni = resample(sig, sample_rate=1.0 / 3600.0)  # hourly grid
     filt = filt_butter(uni, cutoff=0.3 * (0.5 / 3600.0), order=4, btype="lowpass")
     gs = (
@@ -191,7 +201,7 @@ def q_between_freq(spark, sf_dir):
     # the same operator on axis="freq", over the relational daily-RMS
     # spectrum used by q_interp_log (freq = 1-based day index, power =
     # daily RMS), keeping bins with 3 <= freq <= 10 inclusive.
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     daily = sig.groupBy(
         "channel_id", F.floor(F.col("t") / DAY).alias("day")
     ).agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("power"))
@@ -240,7 +250,7 @@ SELECT channel_id, t + 3600.0 AS t, value FROM sig
 
 
 def q_deduplicate(spark, sf_dir):
-    return deduplicate(_signals(spark, sf_dir))
+    return deduplicate(_sig_ch(spark, sf_dir))
 
 
 SQL_DEDUPLICATE = f"""
@@ -461,7 +471,7 @@ spec AS (
 
 
 def _spec(spark, sf_dir):
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     return sig.select(
         "channel_id",
         (
@@ -528,7 +538,7 @@ FROM areas GROUP BY channel_id
 def q_interp_daily(spark, sf_dir):
     # Linear interpolation (as-of join) of every channel onto the daily
     # grid inside its own time span (extension.py:819-851 linear kind).
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     bounds = sig.groupBy("channel_id").agg(
         F.min("t").alias("t0"), F.max("t").alias("t1")
     )
@@ -595,7 +605,7 @@ def q_resample(spark, sf_dir):
     # Reference resample (extension.py:853-894): end-exclusive arange grid
     # from each channel's span, then linear interp.  Grid generation is
     # distributed (sequence/explode), interp is the single-sort as-of join.
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     out = resample(sig, 1.0 / _RS_DT, kind="linear")
     return out.select(
         "channel_id", F.round("t", 6).alias("t"), F.round("value", 6).alias("value")
@@ -606,7 +616,7 @@ def q_interp_nearest(spark, sf_dir):
     # Step-kind interpolation stays fully relational (interp1d_native):
     # nearest-sample onto the daily grid, half-intervals rounding down
     # (kernels/interp.py tie rule == SciPy kind='nearest').
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     bounds = sig.groupBy("channel_id").agg(
         F.min("t").alias("t0"), F.max("t").alias("t1")
     )
@@ -1728,16 +1738,10 @@ _HOURLY = 1.0 / 3600.0  # uniform resample rate for the filter queries
 
 
 def _uniform(spark, sf_dir):
-    # One exchange for the whole prep: hash-partitioning on channel_id up
-    # front satisfies both dedup's clustered distribution on
-    # (channel_id, t) (hash on a key subset co-locates every group) and
-    # the resample window's channel_id partitioning, so the groupBy and
-    # the window both reuse it.  Measured on sf0.1: 2 exchanges -> 1,
-    # ~2x faster prep — and this subtree fronts every kernel-tier query.
-    sig = _signals(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "channel_id"
-    )
-    return resample(deduplicate(sig), _HOURLY)
+    # One exchange for the whole prep (see _sig_ch).  Measured on sf0.1:
+    # 2 exchanges -> 1, ~2x faster prep — and this subtree fronts every
+    # kernel-tier query.
+    return resample(deduplicate(_sig_ch(spark, sf_dir)), _HOURLY)
 
 
 def q_filt_butter(spark, sf_dir):
@@ -1755,12 +1759,8 @@ def q_filt_cfc(spark, sf_dir):
 def q_filt_a(spark, sf_dir):
     # A-weighting assumes audio rates; apply on a per-channel index time
     # base (sample number as seconds) so the design frequencies exist.
-    # Same one-exchange prep trick as _uniform.
-    sig = deduplicate(
-        _signals(spark, sf_dir).repartition(
-            spark.sparkContext.defaultParallelism, "channel_id"
-        )
-    )
+    # Same one-exchange prep trick as _sig_ch/_uniform.
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     w = Window.partitionBy("channel_id").orderBy("t")
     idx = sig.select(
         "channel_id",
@@ -1777,7 +1777,7 @@ def q_filt_chain(spark, sf_dir):
     # chained standalone operators is pinned in tests/test_pipeline_fused.
     from pandas_sigproc_spark.pipeline import KernelPipeline
 
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     w = Window.partitionBy("channel_id").orderBy("t")
     idx = sig.select(
         "channel_id",
@@ -1796,7 +1796,7 @@ def q_interp_log(spark, sf_dir):
     # freqdomain.interp1d_log parity (extension.py:201-230): build a
     # per-channel positive "spectrum" (freq = 1-based day index, power =
     # daily RMS), interpolate onto half-step points in log10-log10 space.
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     daily = sig.groupBy(
         "channel_id", F.floor(F.col("t") / DAY).alias("day")
     ).agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("power"))
@@ -1953,7 +1953,7 @@ def q_filt_chunked(spark, sf_dir):
 
 
 def q_interp_cubic(spark, sf_dir):
-    sig = deduplicate(_signals(spark, sf_dir))
+    sig = deduplicate(_sig_ch(spark, sf_dir))
     bounds = sig.groupBy("channel_id").agg(
         F.min("t").alias("t0"), F.max("t").alias("t1")
     )

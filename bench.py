@@ -79,14 +79,14 @@ def main():
         .save()
     )
 
-    # min of 2 runs per query: this host shows heavy neighbor-load jitter
+    # min of 3 runs per query: this host shows heavy neighbor-load jitter
     # (identical plans varying 10x minutes apart), and the min is the
     # standard estimator for the machine's actual capability.
     timings = {}
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             el = time.time() - t0
