@@ -815,6 +815,66 @@ GROUP BY o_orderkey
 """
 
 
+def q_tpch_local_supplier(spark, sf_dir):
+    # TPC-H Q5 shape: revenue by nation for orders where the customer and
+    # the line's supplier sit in the SAME nation, region-filtered, one
+    # order-date year.  Scale shape: every dim (region -> nation ->
+    # customer, supplier) broadcasts down the chain; lineitem<->orders is
+    # again the one big-big shuffle, and it runs on orders already cut to
+    # the region + year slice.
+    re_ = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nr = na.join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cu_n = cu.join(F.broadcast(nr), cu.c_nationkey == nr.n_nationkey).select(
+        "c_custkey", F.col("n_nationkey").alias("c_nkey"), "n_name"
+    )
+    od_c = od.join(F.broadcast(cu_n), od.o_custkey == cu_n.c_custkey).select(
+        "o_orderkey", "c_nkey", "n_name"
+    )
+    su_k = su.select("s_suppkey", F.col("s_nationkey").alias("s_nkey"))
+    return (
+        li.join(od_c, li.l_orderkey == od_c.o_orderkey)
+        .join(F.broadcast(su_k), li.l_suppkey == su_k.s_suppkey)
+        .filter(F.col("c_nkey") == F.col("s_nkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_LOCAL_SUPPLIER = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # --- LLM-data-pipeline operators (documents / embeddings) -------------------
 
 
@@ -1998,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": q_segment_stats,
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_join": q_tpch_revenue_join,
+        "tpch_local_supplier": q_tpch_local_supplier,
         "interp_log": q_interp_log,
         # LLM-data-pipeline tier (oracle-checked)
         "text_stats": q_text_stats,
@@ -2055,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats": SQL_SEGMENT_STATS,
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,
+        "tpch_local_supplier": SQL_TPCH_LOCAL_SUPPLIER,
         "interp_log": SQL_INTERP_LOG,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,

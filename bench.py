@@ -37,6 +37,7 @@ HEADLINE = [
     # joins / classic relational
     "tpch_pricing",
     "tpch_revenue_join",
+    "tpch_local_supplier",
     # kernel tier (applyInPandas)
     "filt_butter",
     "psd_welch",
