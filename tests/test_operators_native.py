@@ -344,3 +344,32 @@ class TestInterpEdges:
         )
         assert list(out["t"]) == [1.0, 4.0, 5.5, 7.0]
         np.testing.assert_allclose(out["value"], [10.0, 40.0, 55.0, 70.0])
+
+    def test_resample_irregular_matches_numpy(self, spark):
+        # Stresses the bracket-pair grid emission on NON-uniform spacing:
+        # each source pair emits its candidate grid indices via ceil()
+        # arithmetic (widened ±1), and the exact float comparison decides
+        # membership — every np.arange grid point must appear exactly once
+        # with the np.interp value.
+        from pandas_sigproc_spark.kernels.interp import interp1d as k_interp
+        from pandas_sigproc_spark.operators import resample
+
+        for seed, rate in [(0, 7.3), (1, 19.0), (2, 3.1)]:
+            rng = np.random.default_rng(seed)
+            t = np.cumsum(rng.uniform(0.01, 0.5, size=400))
+            t -= t[0]
+            v = rng.standard_normal(len(t))
+            df = make_signals(spark, {"c": (t, v)})
+            grid = np.arange(t[0], t[-1], 1.0 / rate)
+
+            out = resample(df, rate).orderBy("t").toPandas()
+            assert len(out) == len(grid), f"seed {seed}: row count"
+            np.testing.assert_allclose(out["t"], grid, rtol=0, atol=1e-12)
+            np.testing.assert_allclose(
+                out["value"], np.interp(grid, t, v), rtol=1e-9
+            )
+
+            outp = resample(df, rate, kind="previous").orderBy("t").toPandas()
+            np.testing.assert_allclose(
+                outp["value"], k_interp(t, v, grid, kind="previous"), rtol=0
+            )
