@@ -109,3 +109,46 @@ class TestBucketedOperators:
             get_srs(df, freq=fn, n_buckets=3),
             ["channel_id", "freq"],
         )
+
+
+class TestBucketedTable:
+    def test_bucketed_table_removes_exchange(self, spark, tmp_path):
+        # SURVEY §4.2 mitigation (a): a signals table persisted with
+        # bucketBy(channel_id) must let per-channel aggregations and
+        # grouped kernels run with NO shuffle at all.
+        from pandas_sigproc_spark.sources.bucketed import (
+            read_signals_bucketed,
+            write_signals_bucketed,
+        )
+
+        rng = np.random.default_rng(3)
+        t = np.arange(0, 1.0, 1 / 200.0)
+        chans = {f"b{i}": (t, rng.standard_normal(len(t))) for i in range(6)}
+        df = make_signals(spark, chans).drop("ts")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}'")
+        try:
+            write_signals_bucketed(df, "bucketdb.signals_b", n_buckets=4)
+            tbl = read_signals_bucketed(spark, "bucketdb.signals_b")
+
+            agg = tbl.groupBy("channel_id").agg(
+                F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms")
+            )
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+
+            # The unbucketed equivalent DOES shuffle — the contrast that
+            # proves the bucket metadata (not the data size) removed it.
+            plain = df.groupBy("channel_id").agg(
+                F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms")
+            )
+            assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+
+            got = {r.channel_id: r.rms for r in agg.collect()}
+            want = {
+                cid: float(np.sqrt(np.mean(v**2))) for cid, (_t, v) in chans.items()
+            }
+            for cid in want:
+                assert abs(got[cid] - want[cid]) < 1e-9
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bucketdb.signals_b")
+            spark.sql("DROP DATABASE IF EXISTS bucketdb")
