@@ -6,6 +6,10 @@ that lands data in the canonical long format (SURVEY.md §1.5); analytics
 never touch raw formats directly.
 """
 
+from pandas_sigproc_spark.sources.bucketed import (
+    read_signals_bucketed,
+    write_signals_bucketed,
+)
 from pandas_sigproc_spark.sources.events import events_to_signals, load_table
 from pandas_sigproc_spark.sources.channel import channels_to_signals, Channel
 from pandas_sigproc_spark.sources.wav import (
@@ -16,6 +20,8 @@ from pandas_sigproc_spark.sources.wav import (
 )
 
 __all__ = [
+    "read_signals_bucketed",
+    "write_signals_bucketed",
     "events_to_signals",
     "load_table",
     "channels_to_signals",
