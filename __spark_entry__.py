@@ -927,24 +927,19 @@ _MINHASH_P = 2147483647
 _MINHASH_PERMS = [(1299721, 104729), (15485863, 32452843), (49979687, 67867967), (86028121, 23)]
 
 
-def q_dedup_minhash(spark, sf_dir):
-    # Fully map-side: shingle -> hash -> all 4 permutation minima in ONE
-    # aggregate() pass over the row's own shingle array.  No explode, no
-    # distinct, no groupBy — zero shuffles, so the plan is embarrassingly
-    # parallel at any scale (each task emits one signature row per doc).
-    # A single aggregate matters because Spark inlines the shingle-hash
-    # expression into every output column: four transform()+array_min()
-    # columns would re-run md5 per shingle 4x (measured 3.5x slower).
-    # The repartition only matters locally where the table is one tiny
-    # parquet file = one split; at scale, file splits parallelize the scan.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+def _minhash_sig_expr():
+    # shingle -> hash -> all 4 permutation minima in ONE aggregate() pass
+    # over the row's own shingle array.  A single aggregate matters
+    # because Spark inlines the shingle-hash expression into every output
+    # column: four transform()+array_min() columns would re-run md5 per
+    # shingle 4x (measured 3.5x slower).
     p = _MINHASH_P
     acc0 = "array(" + ",".join([f"cast({p} as bigint)"] * len(_MINHASH_PERMS)) + ")"
     upd = ",".join(
         f"least(acc[{i}], ({a}L * h + {b}L) % {p}L)"
         for i, (a, b) in enumerate(_MINHASH_PERMS)
     )
-    sig = F.expr(
+    return F.expr(
         f"""
         aggregate(
           transform(
@@ -955,11 +950,71 @@ def q_dedup_minhash(spark, sf_dir):
           {acc0}, (acc, h) -> array({upd}))
         """
     )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    # Fully map-side: no explode, no distinct, no groupBy — zero
+    # shuffles, so the plan is embarrassingly parallel at any scale (each
+    # task emits one signature row per doc).  The repartition only
+    # matters locally where the table is one tiny parquet file = one
+    # split; at scale, file splits parallelize the scan.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     return d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), sig.alias("mh")
+        F.col("doc_id").cast("long").alias("doc_id"), _minhash_sig_expr().alias("mh")
     ).select(
         "doc_id",
         *[F.col("mh")[i].alias(f"mh{i}") for i in range(len(_MINHASH_PERMS))],
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # The full MinHash+LSH near-dup pipeline (shingle -> minhash -> band
+    # -> bucket-join): signatures band into 2 bands x 2 rows; candidate
+    # pairs agree on at least one whole band; similarity estimate = the
+    # fraction of agreeing permutations.  Scale shape: band rows are
+    # (band_id, band hash) bigint pairs, so the self-join is a bounded
+    # integer equi-join (shuffle on the band bucket) and the quadratic
+    # blow-up is confined to same-bucket docs — never the whole corpus.
+    # Exact-integer arithmetic end to end = oracle-exact.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    sig = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), _minhash_sig_expr().alias("mh")
+    )
+    n_bands = len(_MINHASH_PERMS) // 2
+    bands = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.col("mh")[2 * bi].alias("b0"),
+                        F.col("mh")[2 * bi + 1].alias("b1"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "mh", "band.band_id", "band.b0", "band.b1")
+    a, b = bands.alias("a"), bands.alias("b")
+    agree = sum(
+        (F.col("a.mh")[i] == F.col("b.mh")[i]).cast("int") for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.b0") == F.col("b.b0"))
+            & (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            (agree / 4.0).alias("est_jaccard"),
+        )
+        .distinct()
     )
 
 
@@ -982,6 +1037,40 @@ hashed AS (
 SELECT doc_id,
        {", ".join(f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(_MINHASH_PERMS))}
 FROM hashed GROUP BY doc_id
+"""
+
+
+_SQL_MINHASH_SIG_CTES = f"""
+tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 2, 1) + 1),
+                               i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS sh
+  FROM tok
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(_MINHASH_PERMS))}
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_MINHASH_SIG_CTES}
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       ({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(4))}) / 4.0
+         AS est_jaccard
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
 """
 
 
@@ -2068,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
@@ -2125,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_jaccard_ppjoin": SQL_DEDUP_JACCARD_PAIRS,
