@@ -2081,6 +2081,19 @@ def q_psd_maxrms(spark, sf_dir):
     )
 
 
+def q_psd_all(spark, sf_dir):
+    # Welch summarize='all' (tools.py:76-77 mode 5): no segment reduce —
+    # returns every per-segment periodogram as (channel_id, seg, freq,
+    # power), the input the other summarize modes aggregate over.
+    return get_psd(
+        _uniform(spark, sf_dir),
+        window_length=64 * 3600.0,
+        overlap=0.5,
+        summarize="all",
+        samplerate=_HOURLY,
+    )
+
+
 def q_rainflow(spark, sf_dir):
     return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
 
@@ -2175,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_damage": q_psd_damage,
         "psd_median": q_psd_median,
         "psd_maxrms": q_psd_maxrms,
+        "psd_all": q_psd_all,
         "srs": q_srs,
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,

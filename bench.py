@@ -46,6 +46,7 @@ HEADLINE = [
     # LLM-data-pipeline tier
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_embed",
