@@ -2094,6 +2094,27 @@ def q_psd_all(spark, sf_dir):
     )
 
 
+def q_psd_rms(spark, sf_dir):
+    # The reference's signature domain-crossing chain (SURVEY §3 entry
+    # point 3): time-domain channel -> Welch PSD -> trapezoid-integrated
+    # spectrum RMS scalar per channel.  The PSD segments group once on
+    # channel; the rms_lin lead-window reuses that partitioning, so the
+    # whole chain after the kernel is one codegen'd window + agg.
+    from pandas_sigproc_spark.operators.aggregates import rms_lin
+
+    spec = get_psd(
+        _uniform(spark, sf_dir),
+        window_length=128 * 3600.0,
+        overlap=0.5,
+        summarize="mean",
+        samplerate=_HOURLY,
+        n_buckets=32,
+    )
+    return rms_lin(spec).select(
+        "channel_id", F.round("rms_lin", 6).alias("rms_lin")
+    )
+
+
 def q_rainflow(spark, sf_dir):
     return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
 
@@ -2189,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_median": q_psd_median,
         "psd_maxrms": q_psd_maxrms,
         "psd_all": q_psd_all,
+        "psd_rms": q_psd_rms,
         "srs": q_srs,
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
