@@ -10,6 +10,7 @@ from pandas_sigproc_spark.sources.bucketed import (
     read_signals_bucketed,
     write_signals_bucketed,
 )
+from pandas_sigproc_spark.sources.csv import csv_to_signals, signals_to_csv
 from pandas_sigproc_spark.sources.events import events_to_signals, load_table
 from pandas_sigproc_spark.sources.channel import channels_to_signals, Channel
 from pandas_sigproc_spark.sources.wav import (
@@ -22,6 +23,8 @@ from pandas_sigproc_spark.sources.wav import (
 __all__ = [
     "read_signals_bucketed",
     "write_signals_bucketed",
+    "csv_to_signals",
+    "signals_to_csv",
     "events_to_signals",
     "load_table",
     "channels_to_signals",

@@ -1,0 +1,59 @@
+"""CSV ingest: DAQ-export interchange files -> canonical ``signals``.
+
+The reference ingests only enDAQ ``.ide`` and in-memory arrays
+(``io.py:85-301``); real DAQ workflows also hand around CSV exports, and
+Spark reads them distributed for free.  This adapter enforces the
+canonical schema (SURVEY.md §1.5) at the scan — explicit schema, no
+inference pass — and normalizes either time variant the reference
+accepts (float seconds, or absolute timestamps converted to seconds,
+``extension.py:318-321``).
+
+Scale notes: an explicit schema skips Spark's whole-file inference read;
+one CSV file splits across tasks by byte range; malformed rows land in
+``_corrupt_record`` under PERMISSIVE mode instead of failing the job
+(``mode="FAILFAST"`` to choose the opposite trade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_FLOAT_SCHEMA = "channel_id STRING, t DOUBLE, value DOUBLE"
+_TS_SCHEMA = "channel_id STRING, ts TIMESTAMP, value DOUBLE"
+
+
+def csv_to_signals(
+    spark: SparkSession,
+    path: str,
+    time_format: str = "seconds",
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read ``(channel_id, t|ts, value)`` CSV into canonical signals.
+
+    ``time_format="seconds"``: column 2 is float seconds (relative time).
+    ``time_format="timestamp"``: column 2 is an absolute timestamp;
+    emitted as both ``t`` (epoch seconds, the math column) and ``ts``,
+    the same normalize-once-at-ingest treatment as events_to_signals.
+    """
+    if time_format == "seconds":
+        df = spark.read.csv(path, schema=_FLOAT_SCHEMA, header=header, mode=mode)
+        return df.select("channel_id", "t", "value")
+    if time_format == "timestamp":
+        df = spark.read.csv(path, schema=_TS_SCHEMA, header=header, mode=mode)
+        return df.select(
+            "channel_id",
+            F.col("ts").cast("double").alias("t"),
+            "value",
+            "ts",
+        )
+    raise ValueError(f"time_format must be 'seconds' or 'timestamp', got {time_format!r}")
+
+
+def signals_to_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write signals out as CSV (one directory of part files; ``n_files``
+    coalesces for small exports)."""
+    out = df.select("channel_id", "t", "value")
+    if n_files is not None:
+        out = out.coalesce(int(n_files))
+    out.write.mode("overwrite").option("header", True).csv(path)

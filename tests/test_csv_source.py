@@ -1,0 +1,43 @@
+"""CSV ingest round-trips through the canonical layout, both time variants."""
+
+import numpy as np
+import pandas as pd
+
+from pandas_sigproc_spark.operators import rms
+from pandas_sigproc_spark.sources.csv import csv_to_signals, signals_to_csv
+
+
+def test_csv_seconds_roundtrip(spark, tmp_path):
+    t = np.arange(0, 1.0, 1 / 100.0)
+    pdf = pd.DataFrame(
+        {"channel_id": "c0", "t": t, "value": np.sin(2 * np.pi * 5 * t)}
+    )
+    src = tmp_path / "in.csv"
+    pdf.to_csv(src, index=False)
+    sig = csv_to_signals(spark, str(src))
+    assert sig.columns == ["channel_id", "t", "value"]
+    r = rms(sig).collect()[0].rms
+    assert abs(r - 1 / np.sqrt(2)) < 1e-6
+
+    out_dir = tmp_path / "out"
+    signals_to_csv(sig, str(out_dir), n_files=1)
+    back = csv_to_signals(spark, str(out_dir))
+    a = sorted((r.channel_id, round(r.t, 9), round(r.value, 9)) for r in sig.collect())
+    b = sorted((r.channel_id, round(r.t, 9), round(r.value, 9)) for r in back.collect())
+    assert a == b
+
+
+def test_csv_timestamp_variant(spark, tmp_path):
+    ts = pd.date_range("2024-01-01", periods=50, freq="s", tz="UTC")
+    pdf = pd.DataFrame(
+        {"channel_id": "c1", "ts": ts.tz_localize(None), "value": 1.0}
+    )
+    src = tmp_path / "ts.csv"
+    pdf.to_csv(src, index=False)
+    sig = csv_to_signals(spark, str(src), time_format="timestamp")
+    rows = sig.orderBy("t").collect()
+    assert len(rows) == 50
+    # t is epoch seconds and uniformly 1 s apart (the normalize-once rule).
+    deltas = {round(b.t - a.t, 9) for a, b in zip(rows, rows[1:])}
+    assert deltas == {1.0}
+    assert "ts" in sig.columns
