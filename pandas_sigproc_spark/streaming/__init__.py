@@ -177,9 +177,42 @@ def streaming_lfilter(df: DataFrame, b, a) -> DataFrame:
     )
 
 
+def streaming_deduplicate(
+    df: DataFrame, watermark: str = "30 seconds"
+) -> DataFrame:
+    """Streaming duplicate-stamp drop on ``(channel_id, t)`` with bounded
+    state.
+
+    Batch ``deduplicate`` (reference ``extension.py:394-408``) averages
+    the values of duplicate stamps — that needs every duplicate before
+    emitting, which an unbounded stream cannot wait for.  The streaming
+    form keeps the FIRST arrival per ``(channel_id, t)`` and expires key
+    state once event time passes the watermark
+    (``dropDuplicatesWithinWatermark``), the standard bounded-state
+    trade; a duplicate arriving later than the watermark delay is passed
+    through as a new row.  Documented deviation from the batch mean —
+    identical whenever duplicate stamps carry identical values.
+
+    State is one key per distinct ``(channel_id, t)`` inside the
+    watermark horizon, independent of total stream length.
+    """
+    src = _with_event_time(df)
+    if not df.isStreaming:
+        # Batch fallback: first arrival per stamp (deterministic tiebreak
+        # not needed — batch callers wanting the reference mean use
+        # operators.deduplicate instead).
+        return df.dropDuplicates(["channel_id", "t"])
+    return (
+        src.withWatermark("ets", watermark)
+        .dropDuplicatesWithinWatermark(["channel_id", "ets"])
+        .select("channel_id", "t", "value")
+    )
+
+
 __all__ = [
     "streaming_rms",
     "streaming_spl",
     "streaming_mov_rms",
     "streaming_lfilter",
+    "streaming_deduplicate",
 ]

@@ -167,3 +167,37 @@ def test_streaming_lfilter_batch_fallback(spark, stream_dir):
         .reset_index(drop=True)
     )
     assert len(got) == len(full)
+
+
+def test_streaming_deduplicate_across_batches(spark, tmp_path):
+    # Duplicates within one file AND across consecutive files (inside the
+    # watermark horizon) must be dropped; the multi-batch replay proves
+    # the key state survives micro-batch boundaries.
+    from pandas_sigproc_spark.streaming import streaming_deduplicate
+
+    root = str(tmp_path / "dedup_src")
+    os.makedirs(root)
+    t1 = np.arange(1000.0, 1010.0, 0.5)
+    f1 = pd.DataFrame({"channel_id": "d0", "t": t1, "value": np.cos(t1)})
+    f1 = pd.concat([f1, f1.iloc[:5]], ignore_index=True)  # in-file dups
+    t2 = np.arange(1010.0, 1020.0, 0.5)
+    f2 = pd.DataFrame({"channel_id": "d0", "t": t2, "value": np.cos(t2)})
+    # cross-batch dups: repeat the last 4 stamps of file 1 in file 2
+    f2 = pd.concat([f1.iloc[-9:-5], f2], ignore_index=True)
+    for i, part in enumerate((f1, f2)):
+        p = os.path.join(root, f"part-{i:03d}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(root)
+    )
+    out = streaming_deduplicate(stream, watermark="1000 seconds")
+    got = _run_stream(spark, out, "dedup_stream", "append")
+    assert got[1] >= 2  # really replayed as multiple micro-batches
+    rows = spark.sql("select * from dedup_stream").collect()
+    stamps = sorted(r.t for r in rows)
+    expect = sorted(set(t1) | set(t2))
+    assert stamps == expect, f"{len(stamps)} rows vs {len(expect)} unique stamps"
+    for r in rows:
+        assert abs(r.value - np.cos(r.t)) < 1e-12
