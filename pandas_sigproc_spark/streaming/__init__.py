@@ -177,6 +177,79 @@ def streaming_lfilter(df: DataFrame, b, a) -> DataFrame:
     )
 
 
+def streaming_psd(
+    df: DataFrame,
+    window_sec: float,
+    samplerate: float,
+    watermark_sec: float = 0.0,
+    window_type: str = "hann",
+    time_col: str = "t",
+) -> DataFrame:
+    """Windowed spectral monitoring: one periodogram per (channel,
+    event-time tumbling window) — the streaming counterpart of
+    ``get_psd`` for live vibration/acoustic dashboards.
+
+    Shape: the windowed aggregation buffers each window's samples
+    (``collect_list``, state bounded by ``window_sec * samplerate`` rows
+    per open window, cleaned up at the watermark), and a scalar Arrow
+    UDF runs the one-shot FFT on each CLOSED window — stateless after
+    the agg, so it composes with append mode.  Whole-signal Welch
+    averaging stays batch-only (SURVEY §2.9: not streamable without
+    semantics the reference doesn't define); this is the per-window
+    periodogram that IS well-defined on a stream.
+
+    Output: (channel_id, t0, t1, freq, power) — positive-frequency bins
+    per closed window (``extension.py:619-620`` mask).
+    """
+    from pandas_sigproc_spark.kernels import spectral as _spectral
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("freq", DoubleType()),
+                StructField("power", DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def fft_window(vals: pd.Series) -> pd.Series:
+        out = []
+        for arr in vals:
+            y = np.asarray(arr, dtype=np.float64)
+            freq, pxx = _spectral.periodogram(
+                y, samplerate, window=window_type, detrend="constant"
+            )
+            keep = freq > 0
+            out.append(
+                [
+                    {"freq": float(f), "power": float(p)}
+                    for f, p in zip(freq[keep], pxx[keep])
+                ]
+            )
+        return pd.Series(out)
+
+    src = _with_event_time(df, time_col)
+    if df.isStreaming:
+        src = src.withWatermark("ets", f"{watermark_sec} seconds")
+    win = F.window("ets", f"{window_sec} seconds")
+    seg = src.groupBy(F.col("channel_id"), win.alias("w")).agg(
+        F.array_sort(F.collect_list(F.struct(time_col, "value"))).alias("rows")
+    )
+    return seg.select(
+        "channel_id",
+        F.col("w.start").cast("double").alias("t0"),
+        F.col("w.end").cast("double").alias("t1"),
+        F.explode(
+            fft_window(F.col("rows").getField("value"))
+        ).alias("bin"),
+    ).select(
+        "channel_id", "t0", "t1", F.col("bin.freq").alias("freq"),
+        F.col("bin.power").alias("power"),
+    )
+
+
 def streaming_deduplicate(
     df: DataFrame, watermark: str = "30 seconds"
 ) -> DataFrame:
@@ -215,4 +288,5 @@ __all__ = [
     "streaming_mov_rms",
     "streaming_lfilter",
     "streaming_deduplicate",
+    "streaming_psd",
 ]

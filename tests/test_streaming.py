@@ -201,3 +201,36 @@ def test_streaming_deduplicate_across_batches(spark, tmp_path):
     assert stamps == expect, f"{len(stamps)} rows vs {len(expect)} unique stamps"
     for r in rows:
         assert abs(r.value - np.cos(r.t)) < 1e-12
+
+
+def test_streaming_psd_equals_kernel_per_window(spark, stream_dir):
+    # Each closed 10 s event-time window must carry the same periodogram
+    # the NumPy kernel computes on that window's samples — across a
+    # multi-file replay, so windows assemble from streamed micro-batches.
+    from pandas_sigproc_spark.kernels.spectral import periodogram
+    from pandas_sigproc_spark.streaming import streaming_psd
+
+    root, full = stream_dir
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(root)
+    )
+    out = streaming_psd(stream, window_sec=10.0, samplerate=10.0, watermark_sec=0.0)
+    got = _run_stream(spark, out, "psd_stream", "append")
+    assert got[1] >= 2
+    rows = spark.sql("select * from psd_stream").collect()
+    assert rows, "no closed windows emitted"
+    by_win = {}
+    for r in rows:
+        by_win.setdefault((r.channel_id, r.t0), []).append((r.freq, r.power))
+    # 3 channels x at least 3 fully-closed 10 s windows
+    assert len(by_win) >= 9
+    for (cid, t0), bins in by_win.items():
+        seg = full[(full.channel_id == cid) & (full.t >= t0) & (full.t < t0 + 10.0)]
+        y = seg.sort_values("t")["value"].to_numpy(np.float64)
+        freq, pxx = periodogram(y, 10.0, window="hann", detrend="constant")
+        keep = freq > 0
+        want = sorted(zip(freq[keep], pxx[keep]))
+        got_bins = sorted(bins)
+        assert len(got_bins) == len(want), (cid, t0)
+        for (gf, gp), (wf, wp) in zip(got_bins, want):
+            assert abs(gf - wf) < 1e-12 and abs(gp - wp) < 1e-9, (cid, t0, gf)
