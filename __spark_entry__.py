@@ -430,6 +430,55 @@ FROM s
 """
 
 
+_DETREND_BPS = (200, 400)
+
+
+def q_detrend_piecewise(spark, sf_dir):
+    # detrend(breakpoints=...) (extension.py:751-781 via scipy bp
+    # semantics): per-channel sample-index breakpoints split each channel
+    # into segments, each removed by its own OLS line — still fully
+    # native (row_number bucket + the same centered-OLS window per
+    # (channel, segment)).  Dedup first so row_number is total.
+    sig = deduplicate(_sig_ch(spark, sf_dir))
+    out = detrend(sig, "linear", breakpoints=list(_DETREND_BPS))
+    return out.select(
+        "channel_id", "t", F.round(F.col("value") + _NUDGE, 6).alias("value")
+    )
+
+
+SQL_DETREND_PIECEWISE = f"""
+WITH {_SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+idx AS (
+  SELECT channel_id, t, value,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t) - 1 AS i
+  FROM dedup
+),
+segd AS (
+  SELECT channel_id, t, value,
+         {" + ".join(f"CASE WHEN i >= {b} THEN 1 ELSE 0 END" for b in _DETREND_BPS)} AS seg
+  FROM idx
+),
+c AS (
+  SELECT channel_id, t, value, seg,
+         t - AVG(t) OVER w AS tc,
+         value - AVG(value) OVER w AS yc
+  FROM segd
+  WINDOW w AS (PARTITION BY channel_id, seg)
+),
+s AS (
+  SELECT channel_id, t, yc, tc,
+         AVG(tc * yc) OVER w2 / NULLIF(AVG(tc * tc) OVER w2, 0) AS slope
+  FROM c
+  WINDOW w2 AS (PARTITION BY channel_id, seg)
+)
+SELECT channel_id, t, ROUND(yc - COALESCE(slope, 0) * tc + {_NUDGE!r}, 6) AS value
+FROM s
+"""
+
+
 def q_rss_daily(spark, sf_dir):
     # RSS across all channels on a shared daily time base (the equi-join-on-
     # time operator, extension.py:783-817, bucketed to day grain so stamps
@@ -2172,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derivative": q_derivative,
         "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
+        "detrend_piecewise": q_detrend_piecewise,
         "rss_daily": q_rss_daily,
         "rms_lin": q_rms_lin,
         "rms_log": q_rms_log,
@@ -2233,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "derivative": SQL_DERIVATIVE,
         "detrend_constant": SQL_DETREND_CONSTANT,
         "detrend_linear": SQL_DETREND_LINEAR,
+        "detrend_piecewise": SQL_DETREND_PIECEWISE,
         "rss_daily": SQL_RSS_DAILY,
         "rms_lin": SQL_RMS_LIN,
         "rms_log": SQL_RMS_LOG,
