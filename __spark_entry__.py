@@ -2143,6 +2143,23 @@ def q_psd_all(spark, sf_dir):
     )
 
 
+def q_psd_segmented(spark, sf_dir):
+    # The §7.3.1 huge-channel scale path through the driver gate: same
+    # Welch mean as q_psd_welch, but segment membership is assigned
+    # relationally and every (channel, segment) is FFT'd by its own task
+    # — the mode for one channel too large for any single task.
+    # Equality with the whole-channel path is pinned in
+    # tests/test_operators_kernel.py.
+    return get_psd(
+        _uniform(spark, sf_dir),
+        window_length=128 * 3600.0,
+        overlap=0.5,
+        summarize="mean",
+        samplerate=_HOURLY,
+        segmented=True,
+    )
+
+
 def q_psd_rms(spark, sf_dir):
     # The reference's signature domain-crossing chain (SURVEY §3 entry
     # point 3): time-domain channel -> Welch PSD -> trapezoid-integrated
@@ -2261,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_maxrms": q_psd_maxrms,
         "psd_all": q_psd_all,
         "psd_rms": q_psd_rms,
+        "psd_segmented": q_psd_segmented,
         "srs": q_srs,
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
