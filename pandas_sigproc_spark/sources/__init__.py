@@ -12,6 +12,7 @@ from pandas_sigproc_spark.sources.bucketed import (
 )
 from pandas_sigproc_spark.sources.csv import csv_to_signals, signals_to_csv
 from pandas_sigproc_spark.sources.events import events_to_signals, load_table
+from pandas_sigproc_spark.sources.json import json_to_signals, signals_to_json
 from pandas_sigproc_spark.sources.channel import channels_to_signals, Channel
 from pandas_sigproc_spark.sources.wav import (
     read_wav,
@@ -25,6 +26,8 @@ __all__ = [
     "write_signals_bucketed",
     "csv_to_signals",
     "signals_to_csv",
+    "json_to_signals",
+    "signals_to_json",
     "events_to_signals",
     "load_table",
     "channels_to_signals",

@@ -1,0 +1,46 @@
+"""JSON-lines ingest: telemetry/export interchange -> canonical ``signals``.
+
+Completes the free-scan row of SURVEY.md §2.1 (Parquet is the native
+layout, CSV in ``sources/csv.py``): one JSON object per line with
+``channel_id`` / time / ``value`` fields, schema enforced at the scan
+(no inference pass), both reference time variants normalized once at
+ingest like every other source adapter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_FLOAT_SCHEMA = "channel_id STRING, t DOUBLE, value DOUBLE"
+_TS_SCHEMA = "channel_id STRING, ts TIMESTAMP, value DOUBLE"
+
+
+def json_to_signals(
+    spark: SparkSession,
+    path: str,
+    time_format: str = "seconds",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read JSON-lines ``{channel_id, t|ts, value}`` into canonical signals.
+
+    ``time_format="seconds"``: ``t`` is float seconds.
+    ``time_format="timestamp"``: ``ts`` is an absolute timestamp, emitted
+    as both ``t`` (epoch seconds) and ``ts``.
+    """
+    if time_format == "seconds":
+        df = spark.read.json(path, schema=_FLOAT_SCHEMA, mode=mode)
+        return df.select("channel_id", "t", "value")
+    if time_format == "timestamp":
+        df = spark.read.json(path, schema=_TS_SCHEMA, mode=mode)
+        return df.select(
+            "channel_id", F.col("ts").cast("double").alias("t"), "value", "ts"
+        )
+    raise ValueError(f"time_format must be 'seconds' or 'timestamp', got {time_format!r}")
+
+
+def signals_to_json(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write signals as JSON lines (``n_files`` coalesces small exports)."""
+    out = df.select("channel_id", "t", "value")
+    if n_files is not None:
+        out = out.coalesce(int(n_files))
+    out.write.mode("overwrite").json(path)

@@ -41,3 +41,25 @@ def test_csv_timestamp_variant(spark, tmp_path):
     deltas = {round(b.t - a.t, 9) for a, b in zip(rows, rows[1:])}
     assert deltas == {1.0}
     assert "ts" in sig.columns
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from pandas_sigproc_spark.sources.json import json_to_signals, signals_to_json
+
+    t = np.arange(0, 1.0, 1 / 100.0)
+    pdf = pd.DataFrame(
+        {"channel_id": "j0", "t": t, "value": np.sin(2 * np.pi * 5 * t)}
+    )
+    src = tmp_path / "in.jsonl"
+    pdf.to_json(src, orient="records", lines=True)
+    sig = json_to_signals(spark, str(src))
+    assert sig.columns == ["channel_id", "t", "value"]
+    r = rms(sig).collect()[0].rms
+    assert abs(r - 1 / np.sqrt(2)) < 1e-6
+
+    out_dir = tmp_path / "out_json"
+    signals_to_json(sig, str(out_dir), n_files=1)
+    back = json_to_signals(spark, str(out_dir))
+    a = sorted((x.channel_id, round(x.t, 9), round(x.value, 9)) for x in sig.collect())
+    b = sorted((x.channel_id, round(x.t, 9), round(x.value, 9)) for x in back.collect())
+    assert a == b
