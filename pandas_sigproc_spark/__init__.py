@@ -26,9 +26,18 @@ from pandas_sigproc_spark.schemas import (
     RAINFLOW_SCHEMA,
 )
 
+
+def sigproc(df, n_buckets=32):
+    """Fluent accessor over a signals DataFrame (see :mod:`.api`)."""
+    from pandas_sigproc_spark.api import sigproc as _sigproc
+
+    return _sigproc(df, n_buckets)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "sigproc",
     "SIGNALS_SCHEMA",
     "SPECTRA_SCHEMA",
     "CHANNELS_SCHEMA",

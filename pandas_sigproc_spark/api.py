@@ -1,0 +1,142 @@
+"""Fluent accessor mirroring the reference's chained surface.
+
+The reference chains pandas accessor calls —
+``series.timedomain.filt_butter(...)`` then ``.timedomain.filt_a()``
+(``extension.py:241-961``) — each call eagerly materializing a new
+Series.  Here ``sigproc(df)`` wraps the canonical signals DataFrame with
+the same method surface, and every call stays LAZY: native methods
+extend the Catalyst plan, and consecutive kernel filter stages are
+buffered and flushed as ONE fused ``applyInPandas``
+(``pipeline.KernelPipeline``) the moment a non-filter method (or
+``.df``) needs the values.  This is SURVEY §4.2's "tiny plan-rewrite in
+our accessor API": a user writing the reference's idiomatic chain gets
+the fused plan without asking.
+
+    out = (
+        sigproc(df)
+        .between(0.0, 60.0)            # native: parquet-pruned filter
+        .filt_butter(500.0, 4, "lowpass")  # buffered ┐ one applyInPandas,
+        .filt_a()                          # buffered ┘ one shuffle
+        .mov_rms(0.1, samplerate=48e3)     # flush, then native window
+        .df
+    )
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pandas_sigproc_spark import operators as ops
+from pandas_sigproc_spark.pipeline import KernelPipeline
+
+#: filter methods that buffer into one fused kernel (order preserved)
+_FUSABLE = ("filt_butter", "filt_cfc", "filt_a")
+
+
+class Sigproc:
+    """Immutable fluent wrapper; every method returns a new ``Sigproc``."""
+
+    def __init__(self, df: DataFrame, _pending=None, n_buckets: int | None = 32):
+        self._raw = df
+        self._pending: tuple = tuple(_pending or ())
+        self._n_buckets = n_buckets
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _buffer(self, stage: str, *args, **kwargs) -> "Sigproc":
+        return Sigproc(
+            self._raw, self._pending + ((stage, args, kwargs),), self._n_buckets
+        )
+
+    def _flushed(self) -> DataFrame:
+        if not self._pending:
+            return self._raw
+        pipe = KernelPipeline()
+        for stage, args, kwargs in self._pending:
+            getattr(pipe, stage)(*args, **kwargs)
+        return pipe.apply(self._raw, n_buckets=self._n_buckets)
+
+    def _native(self, fn, *args, **kwargs) -> "Sigproc":
+        return Sigproc(fn(self._flushed(), *args, **kwargs), None, self._n_buckets)
+
+    @property
+    def df(self) -> DataFrame:
+        """Unwrap: flush any buffered kernel stages and return the plan."""
+        return self._flushed()
+
+    # -- kernel filter stages (buffered, auto-fused) -------------------------
+
+    def filt_butter(self, cutoff, order: int, btype: str) -> "Sigproc":
+        return self._buffer("filt_butter", cutoff, order, btype)
+
+    def filt_cfc(self, cfc: float) -> "Sigproc":
+        return self._buffer("filt_cfc", cfc)
+
+    def filt_a(self) -> "Sigproc":
+        return self._buffer("filt_a")
+
+    def resample(self, sample_rate: float, interp_kind: str = "linear") -> "Sigproc":
+        # Reference resample (extension.py:853-894).  With kernel stages
+        # pending this joins the fused chain (anti-aliased decimation in
+        # the same task); standalone it uses the relational
+        # bracketing-pair plan for native kinds.
+        if self._pending and interp_kind.lower() in ops.NATIVE_INTERP_KINDS:
+            return self._buffer("resample", sample_rate, interp_kind)
+        return self._native(ops.resample, sample_rate, interp_kind)
+
+    # -- native relational / window / aggregate surface ----------------------
+
+    def between(self, start: float, end: float, axis: str = "t") -> "Sigproc":
+        return self._native(ops.between, start, end, axis)
+
+    def timeshift(self, offset: float) -> "Sigproc":
+        return self._native(ops.timeshift, offset)
+
+    def deduplicate(self) -> "Sigproc":
+        return self._native(ops.deduplicate)
+
+    def detrend(self, dt_type: str = "linear", breakpoints=None) -> "Sigproc":
+        return self._native(ops.detrend, dt_type, breakpoints)
+
+    def mov_rms(self, window: float, samplerate: float | None = None) -> "Sigproc":
+        return self._native(ops.mov_rms, window, samplerate=samplerate)
+
+    def integral(self) -> "Sigproc":
+        return self._native(ops.integral)
+
+    def derivative(self) -> "Sigproc":
+        return self._native(ops.derivative)
+
+    def interp1d(self, grid: DataFrame, kind: str = "linear") -> "Sigproc":
+        if kind.lower() in ops.NATIVE_INTERP_KINDS:
+            return self._native(ops.interp1d_native, grid, kind=kind)
+        return self._native(ops.interp1d_spline, grid, kind=kind)
+
+    # -- reductions / domain crossings (return unwrapped results) ------------
+
+    def rms(self) -> DataFrame:
+        return ops.rms(self._flushed())
+
+    def spl(self, p_ref: float = 20e-6) -> DataFrame:
+        return ops.spl(self._flushed(), p_ref=p_ref)
+
+    def samplerate(self, order_col: str | None = None) -> DataFrame:
+        return ops.samplerate(self._flushed(), order_col=order_col)
+
+    def get_psd(self, **kwargs) -> DataFrame:
+        return ops.get_psd(self._flushed(), **kwargs)
+
+    def get_srs(self, **kwargs) -> DataFrame:
+        return ops.get_srs(self._flushed(), **kwargs)
+
+    def rainflow(self, **kwargs) -> DataFrame:
+        return ops.rainflow(self._flushed(), **kwargs)
+
+
+def sigproc(df: DataFrame, n_buckets: int | None = 32) -> Sigproc:
+    """Wrap a canonical signals DataFrame in the fluent accessor.
+
+    ``n_buckets`` picks the kernel fan-out mode for flushed filter
+    chains (None = one Arrow group per channel; K = K channel buckets).
+    """
+    return Sigproc(df, None, n_buckets)

@@ -1,0 +1,83 @@
+"""Fluent accessor: reference-style chains == operator composition, and
+consecutive filter stages auto-fuse into one applyInPandas."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark.api import sigproc
+from pandas_sigproc_spark.operators import between, filt_butter, filt_cfc, mov_rms
+from tests.conftest import make_signals
+
+
+def _mk(spark):
+    rng = np.random.default_rng(11)
+    t = np.arange(0, 2.0, 1 / 2000.0)
+    chans = {f"a{i}": (t, rng.standard_normal(len(t))) for i in range(3)}
+    return make_signals(spark, chans)
+
+
+def _vals(df):
+    return sorted(
+        (r.channel_id, round(r.t, 12), r.value)
+        for r in df.select("channel_id", "t", "value").collect()
+    )
+
+
+def test_chain_equals_operator_composition(spark):
+    sig = _mk(spark)
+    fluent = (
+        sigproc(sig)
+        .between(0.25, 1.75)
+        .filt_butter(300.0, 4, "lowpass")
+        .filt_cfc(100.0)
+        .mov_rms(0.05, samplerate=2000.0)
+        .df
+    )
+    manual = mov_rms(
+        filt_cfc(
+            filt_butter(between(sig, 0.25, 1.75), 300.0, 4, "lowpass"),
+            100.0,
+        ),
+        0.05,
+        samplerate=2000.0,
+    )
+    a, b = _vals(fluent), _vals(manual)
+    assert len(a) == len(b) > 0
+    for (ca, ta, va), (cb, tb, vb) in zip(a, b):
+        assert (ca, ta) == (cb, tb)
+        assert abs(va - vb) <= 1e-12 * max(1.0, abs(vb))
+
+
+def test_consecutive_filters_fuse_to_one_udf_node(spark):
+    sig = _mk(spark)
+    chained = sigproc(sig).filt_butter(300.0, 4, "lowpass").filt_cfc(100.0).df
+    plan = chained._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_resample_joins_pending_filter_chain(spark):
+    sig = _mk(spark)
+    dec = sigproc(sig).filt_butter(300.0, 4, "lowpass").resample(500.0).df
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1  # fused decimation
+    n = dec.count()
+    # ~1000 grid points per channel x 3 channels (end-exclusive grid)
+    assert abs(n - 3 * 1000) <= 3
+
+
+def test_reduction_flushes_pending_stages(spark):
+    sig = _mk(spark)
+    r = sigproc(sig).filt_butter(300.0, 4, "lowpass").rms()
+    got = {x.channel_id: x.rms for x in r.collect()}
+    want = {
+        x.channel_id: x.rms
+        for x in (
+            filt_butter(sig, 300.0, 4, "lowpass")
+            .groupBy("channel_id")
+            .agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"))
+            .collect()
+        )
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
