@@ -112,6 +112,11 @@ class Sigproc:
             return self._native(ops.interp1d_native, grid, kind=kind)
         return self._native(ops.interp1d_spline, grid, kind=kind)
 
+    def rss(self, channel_ids=None, out_channel: str | None = None) -> "Sigproc":
+        # Reference rss(*series) (extension.py:783-817): the equi-join-on-
+        # time multi-channel operator, long-format (§2.3 semantics note).
+        return self._native(ops.rss, channel_ids=channel_ids, out_channel=out_channel)
+
     # -- reductions / domain crossings (return unwrapped results) ------------
 
     def rms(self) -> DataFrame:

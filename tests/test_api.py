@@ -81,3 +81,18 @@ def test_reduction_flushes_pending_stages(spark):
     assert got.keys() == want.keys()
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_rss_through_accessor(spark):
+    sig = _mk(spark)
+    out = sigproc(sig).rss().df.collect()
+    byt = {round(r.t, 12): (r.value, r.n_channels) for r in out}
+    rows = _vals(sigproc(sig).df)
+    import collections
+    want = collections.defaultdict(float)
+    for cid, t, v in rows:
+        want[t] += v * v
+    assert len(byt) == len(want)
+    for t, (v, n) in byt.items():
+        assert n == 3
+        assert abs(v - np.sqrt(want[t])) < 1e-9
