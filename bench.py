@@ -30,6 +30,7 @@ HEADLINE = [
     "integral",
     "derivative",
     "detrend_linear",
+    "detrend_piecewise",
     "rss_daily",
     "rms_lin",
     "interp_daily",
@@ -40,6 +41,7 @@ HEADLINE = [
     "tpch_local_supplier",
     # kernel tier (applyInPandas)
     "filt_butter",
+    "filt_chain",
     "psd_welch",
     "srs",
     "rainflow",

@@ -81,6 +81,25 @@ def _ar_impulse_response(a: np.ndarray, min_len: int) -> np.ndarray:
     return h
 
 
+def _ar_ir_fft(a: np.ndarray, length: int) -> np.ndarray:
+    """First ``length`` samples of the impulse response of ``1 / a(z)``,
+    computed in the frequency domain: sample ``1 / A(e^{jw})`` on an
+    ``nfft >= length`` grid and inverse-FFT.  The result is the
+    alias-folded IR ``sum_k h[m + k*nfft]`` — once the true tail has
+    decayed below float64 resolution (the caller's stopping criterion)
+    the folded terms are unobservable, and the result matches the exact
+    recursion to ~1e-12 relative.  O(n log n) with no Python-level
+    per-sample loop — the cold-start cost every fresh Python worker used
+    to pay per task for slow-decay filters (A-weighting's 20.6 Hz
+    near-unit-circle double pole at 48 kHz needs a ~2M-sample IR:
+    seconds in the loop, ~1 s of FFT here, and high-Q oscillator banks
+    like SRS drop from ~100 ms to ~4 ms per pole pair).
+    """
+    nfft = 1 << (length - 1).bit_length()
+    spectrum = 1.0 / np.fft.rfft(a, nfft)
+    return np.fft.irfft(spectrum, nfft)[:length]
+
+
 def _ar_impulse_response_uncached(a: np.ndarray, min_len: int) -> np.ndarray:
     """Impulse response of ``1 / a(z)``, truncated at float64 resolution.
 
@@ -91,15 +110,27 @@ def _ar_impulse_response_uncached(a: np.ndarray, min_len: int) -> np.ndarray:
     order = len(a) - 1
     length = max(min_len, 256)
     while True:
-        h = np.zeros(length)
-        h[0] = 1.0
-        # Sequential AR recursion — but only over the (short) IR length.
-        h = _lfilter_loop(np.array([1.0]), a, h)
+        h = _ar_ir_fft(a, length)
         peak = np.max(np.abs(h))
         tail = np.max(np.abs(h[-max(order, 8):])) if length > order else peak
         if peak == 0.0 or tail <= _DECAY_RTOL * peak or length >= _MAX_IR_LEN:
-            return h
+            break
         length *= 4
+    # The FFT path aliases the true IR modulo nfft.  For a stable filter
+    # whose tail has decayed the folded terms are invisible, but an
+    # unstable/marginal filter (tail never decays; length capped at
+    # _MAX_IR_LEN) folds divergent garbage into every sample.  Check a
+    # short prefix against the exact recursion; on mismatch redo the
+    # whole IR with the (slow but always-correct) sample loop.
+    m = min(len(h), 256)
+    seed = np.zeros(m)
+    seed[0] = 1.0
+    exact = _lfilter_loop(np.array([1.0]), a, seed)
+    if not np.allclose(h[:m], exact, rtol=0.0, atol=1e-9 * max(peak, 1.0)):
+        full = np.zeros(len(h))
+        full[0] = 1.0
+        h = _lfilter_loop(np.array([1.0]), a, full)
+    return h
 
 
 def _fft_convolve_full(x: np.ndarray, h: np.ndarray) -> np.ndarray:
