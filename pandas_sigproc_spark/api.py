@@ -29,8 +29,19 @@ from pyspark.sql import DataFrame
 from pandas_sigproc_spark import operators as ops
 from pandas_sigproc_spark.pipeline import KernelPipeline
 
-#: filter methods that buffer into one fused kernel (order preserved)
-_FUSABLE = ("filt_butter", "filt_cfc", "filt_a")
+#: methods that buffer into one fused kernel (order preserved); the
+#: window-math four buffer only when a kernel stage is already pending —
+#: standalone they compile to native window plans instead
+_FUSABLE = (
+    "filt_butter",
+    "filt_cfc",
+    "filt_a",
+    "resample",
+    "detrend",
+    "mov_rms",
+    "integral",
+    "derivative",
+)
 
 
 class Sigproc:
@@ -95,16 +106,30 @@ class Sigproc:
     def deduplicate(self) -> "Sigproc":
         return self._native(ops.deduplicate)
 
+    # With kernel stages pending, these four join the fused chain: the
+    # values are already NumPy arrays inside the task, so the window math
+    # is free there, versus a JVM re-sort + window pass after the kernel's
+    # Arrow return.  Standalone (no pending kernel) they stay native —
+    # whole-stage-codegen window plans, no Python at all.
+
     def detrend(self, dt_type: str = "linear", breakpoints=None) -> "Sigproc":
+        if self._pending:
+            return self._buffer("detrend", dt_type, breakpoints)
         return self._native(ops.detrend, dt_type, breakpoints)
 
     def mov_rms(self, window: float, samplerate: float | None = None) -> "Sigproc":
+        if self._pending:
+            return self._buffer("mov_rms", window, samplerate=samplerate)
         return self._native(ops.mov_rms, window, samplerate=samplerate)
 
     def integral(self) -> "Sigproc":
+        if self._pending:
+            return self._buffer("integral")
         return self._native(ops.integral)
 
     def derivative(self) -> "Sigproc":
+        if self._pending:
+            return self._buffer("derivative")
         return self._native(ops.derivative)
 
     def interp1d(self, grid: DataFrame, kind: str = "linear") -> "Sigproc":

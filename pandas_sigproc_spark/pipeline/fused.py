@@ -20,6 +20,14 @@ A ``filt_* → resample(lower rate)`` chain is fused anti-aliased
 decimation: the intermediate full-rate filtered signal never leaves the
 task, so the shuffle after the kernel carries only the decimated rows.
 
+The window-math operators (``detrend`` / ``mov_rms`` / ``integral`` /
+``derivative``) are also available as stages.  Standalone they are
+strictly better as native window plans (whole-stage codegen, zero
+Python), but *adjacent to kernel stages* the arrays are already in task
+memory, so the NumPy version is free while the native one would pay an
+Arrow return + JVM sort + window pass between two kernels.  The accessor
+(``api.py``) makes exactly that call automatically.
+
 Reference parity: composes the same operators as chained accessor calls
 like ``series.timedomain.filt_butter(...).timedomain.resample(...)``
 (``extension.py:452-567, 853-894``), which the reference executes as k
@@ -58,6 +66,84 @@ class _FilterStage:
             if self.zero_phase
             else _iirb.lfilter_batch(b, a, Y)
         )
+
+
+class _DetrendStage:
+    """Mean/line removal, reference semantics (``extension.py:751-781``),
+    same math as the native ``operators.windows.detrend`` (centered OLS;
+    ``breakpoints`` = per-segment independent fits by sample index)."""
+
+    def __init__(self, dt_type: str, breakpoints=None) -> None:
+        self.name = f"detrend({dt_type})"
+        if breakpoints and dt_type != "linear":
+            raise ValueError("breakpoints require dt_type='linear'")
+        if dt_type not in ("constant", "linear"):
+            raise ValueError(f"unknown detrend type {dt_type!r}")
+        self.dt_type = dt_type
+        self.breakpoints = sorted(int(b) for b in breakpoints) if breakpoints else []
+
+    @staticmethod
+    def _fit(t: np.ndarray, y: np.ndarray) -> np.ndarray:
+        tc = t - t.mean()
+        yc = y - y.mean()
+        denom = np.mean(tc * tc)
+        slope = np.mean(tc * yc) / denom if denom > 0.0 else 0.0
+        return yc - slope * tc
+
+    def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        if self.dt_type == "constant":
+            return t, y - y.mean(), sr
+        if not self.breakpoints:
+            return t, self._fit(t, y), sr
+        out = np.empty_like(y)
+        bounds = [0] + [b for b in self.breakpoints if 0 < b < len(y)] + [len(y)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            out[lo:hi] = self._fit(t[lo:hi], y[lo:hi])
+        return t, out, sr
+
+
+class _MovRmsStage:
+    """Trailing moving RMS, reference semantics (``extension.py:664-700``):
+    ``n = round(window*sr)`` samples, warm-up prefix dropped, final sample
+    dropped (the ``[window_n-1:-1]`` quirk) unless ``drop_last=False``,
+    time base re-centered by ``window/2``."""
+
+    def __init__(self, window: float, drop_last: bool = True, samplerate=None) -> None:
+        self.name = f"mov_rms({window})"
+        self.window, self.drop_last, self.samplerate = float(window), drop_last, samplerate
+
+    def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        use_sr = self.samplerate if self.samplerate is not None else sr
+        n = int(round(self.window * use_sr))
+        if n < 1:
+            raise ValueError("window shorter than one sample")
+        sq = y * y
+        c = np.concatenate([[0.0], np.cumsum(sq)])
+        means = (c[n:] - c[:-n]) / n
+        out = np.sqrt(np.maximum(means, 0.0))
+        tt = t[n - 1 :] - self.window / 2.0
+        if self.drop_last and len(out):
+            out, tt = out[:-1], tt[:-1]
+        return tt, out, sr
+
+
+class _IntegralStage:
+    """Cumulative trapezoid, first sample 0 (``extension.py:702-723``)."""
+
+    name = "int"
+
+    def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        seg = (y[1:] + y[:-1]) / 2.0 * np.diff(t)
+        return t, np.concatenate([[0.0], np.cumsum(seg)]), sr
+
+
+class _DerivativeStage:
+    """Finite difference on the midpoint time base (``extension.py:725-749``)."""
+
+    name = "der"
+
+    def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        return (t[1:] + t[:-1]) / 2.0, np.diff(y) / np.diff(t), sr
 
 
 class _ResampleStage:
@@ -115,6 +201,28 @@ class KernelPipeline:
 
     def resample(self, rate: float, kind: str = "linear") -> "KernelPipeline":
         self._stages.append(_ResampleStage(rate, kind))
+        return self
+
+    # -- fusable native-math stages (same semantics as operators/windows.py;
+    #    worth fusing only when sandwiched with kernel stages — the accessor
+    #    keeps them JVM-native otherwise) ------------------------------------
+
+    def detrend(self, dt_type: str = "linear", breakpoints=None) -> "KernelPipeline":
+        self._stages.append(_DetrendStage(dt_type, breakpoints))
+        return self
+
+    def mov_rms(
+        self, window: float, drop_last: bool = True, samplerate=None
+    ) -> "KernelPipeline":
+        self._stages.append(_MovRmsStage(window, drop_last, samplerate))
+        return self
+
+    def integral(self) -> "KernelPipeline":
+        self._stages.append(_IntegralStage())
+        return self
+
+    def derivative(self) -> "KernelPipeline":
+        self._stages.append(_DerivativeStage())
         return self
 
     # -- execution ---------------------------------------------------------

@@ -96,3 +96,39 @@ def test_rss_through_accessor(spark):
     for t, (v, n) in byt.items():
         assert n == 3
         assert abs(v - np.sqrt(want[t])) < 1e-9
+
+
+def test_sandwiched_window_math_fuses_to_one_udf_node(spark):
+    # filt -> detrend -> filt -> mov_rms: the window-math ops join the
+    # fused kernel, so the whole chain is ONE applyInPandas.
+    sig = _mk(spark)
+    out = (
+        sigproc(sig)
+        .filt_butter(300.0, 4, "lowpass")
+        .detrend("linear")
+        .filt_cfc(100.0)
+        .mov_rms(0.05, samplerate=2000.0)
+        .df
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+    from pandas_sigproc_spark.operators import detrend, filt_cfc as _cfc
+
+    manual = mov_rms(
+        _cfc(detrend(filt_butter(sig, 300.0, 4, "lowpass"), "linear"), 100.0),
+        0.05,
+        samplerate=2000.0,
+    )
+    a, b = _vals(out), _vals(manual)
+    assert len(a) == len(b) > 0
+    for (ca, ta, va), (cb, tb, vb) in zip(a, b):
+        assert (ca, ta) == (cb, tb)
+        assert abs(va - vb) <= 1e-9 * max(1.0, abs(vb))
+
+
+def test_standalone_window_math_stays_native(spark):
+    sig = _mk(spark)
+    out = sigproc(sig).detrend("linear").df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan

@@ -88,3 +88,61 @@ def test_lineage_name():
     assert pipe.lineage_name("x") == "a_weighting(butter(x))"
     pipe2 = KernelPipeline().filt_cfc(100.0).resample(50.0)
     assert pipe2.lineage_name("x") == "resample(cfc(x))"
+
+
+def test_fused_window_math_stages_equal_native(spark):
+    # detrend / mov_rms / integral / derivative as fused stages match the
+    # native window-plan operators (same math, different summation order).
+    from pandas_sigproc_spark.operators.windows import (
+        derivative,
+        detrend,
+        integral,
+        mov_rms,
+    )
+
+    sig = _mk(spark)
+    filt = filt_butter(sig, 600.0, 4, "lowpass")
+    cases = {
+        "detrend": (
+            detrend(filt, "linear"),
+            KernelPipeline().filt_butter(600.0, 4, "lowpass").detrend("linear"),
+        ),
+        "mov_rms": (
+            mov_rms(filt, 0.05, samplerate=4000.0),
+            KernelPipeline()
+            .filt_butter(600.0, 4, "lowpass")
+            .mov_rms(0.05, samplerate=4000.0),
+        ),
+        "integral": (
+            integral(filt),
+            KernelPipeline().filt_butter(600.0, 4, "lowpass").integral(),
+        ),
+        "derivative": (
+            derivative(filt),
+            KernelPipeline().filt_butter(600.0, 4, "lowpass").derivative(),
+        ),
+    }
+    for name, (native_df, pipe) in cases.items():
+        a, b = _collect(native_df), _collect(pipe.apply(sig, n_buckets=4))
+        assert len(a) == len(b) > 0, name
+        for (ca, ta, va), (cb, tb, vb) in zip(a, b):
+            assert (ca, ta) == (cb, tb), name
+            assert abs(va - vb) <= 1e-9 * max(1.0, abs(va)), (name, ta, va, vb)
+
+
+def test_fused_detrend_breakpoints_equals_native(spark):
+    from pandas_sigproc_spark.operators.windows import detrend
+
+    sig = _mk(spark)
+    filt = filt_butter(sig, 600.0, 4, "lowpass")
+    native = _collect(detrend(filt, "linear", breakpoints=[1000, 2500]))
+    fused = _collect(
+        KernelPipeline()
+        .filt_butter(600.0, 4, "lowpass")
+        .detrend("linear", breakpoints=[1000, 2500])
+        .apply(sig)
+    )
+    assert len(native) == len(fused) > 0
+    for (ca, ta, va), (cb, tb, vb) in zip(native, fused):
+        assert (ca, ta) == (cb, tb)
+        assert abs(va - vb) <= 1e-9 * max(1.0, abs(va))
