@@ -1595,6 +1595,165 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_corpus_prep(spark, sf_dir):
+    # End-to-end training-corpus preparation — the pipeline a pretraining
+    # data job runs, as ONE declarative plan: quality gate -> exact dedup
+    # -> MinHash-LSH near-dup removal -> per-language corpus stats.
+    # Composes the standalone text operators (quality_score, lang_id,
+    # token_count, dedup_exact, dedup_minhash_lsh) with identical
+    # arithmetic, so every stage stays oracle-exact.
+    #
+    # Scale shape: scoring/lang-ID/tokenization are map-side expressions
+    # inlined into the scan (no shuffle); exact dedup is one hash
+    # aggregation on md5(text) (uniformly distributed key — no skew);
+    # LSH banding confines the near-dup self-join to same-bucket docs
+    # (bounded integer equi-join); the final per-language agg is tiny.
+    # Total: 3 shuffles regardless of corpus size, no Python anywhere.
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    words = F.split(F.col("text"), " ")
+    n_w = F.size(words)
+    n_uniq = F.size(F.array_distinct(words))
+    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
+    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
+    awl = F.length("text") / n_w
+    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
+    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
+    quality = F.round(
+        0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * (n_uniq / n_w),
+        6,
+    )
+    toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+    scored = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        words.alias("ws"),
+        quality.alias("quality"),
+        F.size(toks).alias("n_re_tokens"),
+    )
+    lang_scores = {
+        lang: F.size(F.filter(F.col("ws"), lambda w: w.isin(*stops)))
+        for lang, stops in _LANG_STOPS.items()
+    }
+    pred = F.when(sum(lang_scores.values(), F.lit(0)) == 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other != lang:
+                c = lang_scores[lang] >= lang_scores[other]
+                cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    filtered = scored.select(
+        "doc_id", "text", "quality", "n_re_tokens", pred.alias("pred_lang")
+    ).filter(F.col("quality") >= 0.6)
+    # Exact dedup: copies share the text, hence every derived column —
+    # MIN picks the keeper doc_id and passes the rest through unchanged.
+    dedup = filtered.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.min("quality").alias("quality"),
+        F.min("n_re_tokens").alias("n_re_tokens"),
+        F.min("pred_lang").alias("pred_lang"),
+    )
+    sig = dedup.select(
+        "doc_id", "quality", "n_re_tokens", "pred_lang", _minhash_sig_expr().alias("mh")
+    )
+    n_bands = len(_MINHASH_PERMS) // 2
+    bands = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.col("mh")[2 * bi].alias("b0"),
+                        F.col("mh")[2 * bi + 1].alias("b1"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "mh", "band.band_id", "band.b0", "band.b1")
+    a, b = bands.alias("a"), bands.alias("b")
+    agree = sum(
+        (F.col("a.mh")[i] == F.col("b.mh")[i]).cast("int") for i in range(4)
+    )
+    near_dups = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.b0") == F.col("b.b0"))
+            & (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(agree >= 3)  # est_jaccard >= 0.75: drop the later twin
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = sig.join(near_dups, "doc_id", "left_anti")
+    return survivors.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_re_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+SQL_CORPUS_PREP = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, STRING_SPLIT(text, ' ') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text,
+         ROUND(0.3 * LEAST(1.0, LENGTH(text) / 400.0)
+             + 0.25 * GREATEST(0.0, 1.0 - ABS(LENGTH(text) / CAST(LEN(ws) AS DOUBLE) - 4.7) / 4.7)
+             + 0.25 * LEAST(1.0, LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and','is')))
+                                 / (LEN(ws) * 0.05))
+             + 0.2 * (LEN(LIST_DISTINCT(ws)) / CAST(LEN(ws) AS DOUBLE)), 6) AS quality,
+         LEN(REGEXP_EXTRACT_ALL(text, '{_TOKEN_RE}')) AS n_re_tokens,
+         {_lang_pred_sql()} AS pred_lang
+  FROM tok
+),
+filtered AS (SELECT * FROM scored WHERE quality >= 0.6),
+dedup AS (
+  SELECT MD5(text) AS digest, MIN(doc_id) AS doc_id, MIN(text) AS text,
+         MIN(quality) AS quality, MIN(n_re_tokens) AS n_re_tokens,
+         MIN(pred_lang) AS pred_lang
+  FROM filtered GROUP BY MD5(text)
+),
+dwords AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM dedup),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 2, 1) + 1),
+                               i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS sh
+  FROM dwords
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(_MINHASH_PERMS))}
+  FROM hashed GROUP BY doc_id
+),
+near_dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+   AND ({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(4))}) >= 3
+)
+SELECT pred_lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_re_tokens) AS BIGINT) AS n_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM dedup
+WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+GROUP BY pred_lang
+"""
+
+
 SQL_EMBED_COSINE_TOPK = """
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -2256,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "corpus_prep": q_corpus_prep,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2318,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY_SCORE,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "corpus_prep": SQL_CORPUS_PREP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
