@@ -1608,7 +1608,12 @@ def q_corpus_prep(spark, sf_dir):
     # aggregation on md5(text) (uniformly distributed key — no skew);
     # LSH banding confines the near-dup self-join to same-bucket docs
     # (bounded integer equi-join); the final per-language agg is tiny.
-    # Total: 3 shuffles regardless of corpus size, no Python anywhere.
+    # The signature table feeds THREE consumers (both self-join sides and
+    # the survivor set), and differing column pruning per branch defeats
+    # Catalyst's exchange reuse — without intervention the full corpus
+    # would be scanned and md5-aggregated three times.  Persisting `sig`
+    # (~40 bytes/doc — 0.05% of corpus size) caps the pipeline at ONE
+    # corpus scan; everything downstream joins over the cached table.
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     words = F.split(F.col("text"), " ")
     n_w = F.size(words)
@@ -1656,7 +1661,7 @@ def q_corpus_prep(spark, sf_dir):
     )
     sig = dedup.select(
         "doc_id", "quality", "n_re_tokens", "pred_lang", _minhash_sig_expr().alias("mh")
-    )
+    ).persist()
     n_bands = len(_MINHASH_PERMS) // 2
     bands = sig.select(
         "doc_id",

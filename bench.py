@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "media_features",
+    "corpus_prep",
 ]
 
 
