@@ -1703,6 +1703,36 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+def q_accessor_chain(spark, sf_dir):
+    # The reference's idiomatic chained-accessor usage
+    # (``series.timedomain.filt_butter(...).timedomain.detrend()...``,
+    # extension.py:241-961) through our fluent surface: between ->
+    # filt_butter -> detrend -> filt_a -> mov_rms.  The accessor buffers
+    # the kernel + window-math stages and flushes them as ONE
+    # applyInPandas (pinned in tests/test_api.py), so the whole chain
+    # costs one shuffle + one Arrow round-trip at any scale.
+    from pandas_sigproc_spark.api import sigproc
+
+    sig = deduplicate(_sig_ch(spark, sf_dir))
+    w = Window.partitionBy("channel_id").orderBy("t")
+    idx = sig.select(
+        "channel_id",
+        ((F.row_number().over(w) - 1) / F.lit(48000.0)).alias("t"),
+        "value",
+    )
+    return (
+        sigproc(idx)
+        .between(0.0, 1.0)
+        .filt_butter(8000.0, 4, "lowpass")
+        .detrend("linear")
+        .filt_a()
+        # 24-sample window: valid for every SF's channel length (sf0.001
+        # channels are only ~90 samples on the 48 kHz index time base)
+        .mov_rms(0.0005, samplerate=48000.0)
+        .df
+    )
+
+
 SQL_CORPUS_PREP = f"""
 WITH tok AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text, STRING_SPLIT(text, ' ') AS ws
@@ -2421,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "corpus_prep": q_corpus_prep,
+        "accessor_chain": q_accessor_chain,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -117,9 +117,15 @@ class _MovRmsStage:
         n = int(round(self.window * use_sr))
         if n < 1:
             raise ValueError("window shorter than one sample")
-        sq = y * y
+        # Rolling mean via cumsum differencing.  The subtraction cancels
+        # catastrophically for near-silent windows after a large spike
+        # (abs error ~ sqrt(eps * running_sum)); longdouble accumulation
+        # (80-bit on x86) buys ~3.5 digits for ~2x cost, keeping the
+        # fused result within float tolerance of Spark's exact
+        # re-aggregated window frames for any realistic dynamic range.
+        sq = (y * y).astype(np.longdouble)
         c = np.concatenate([[0.0], np.cumsum(sq)])
-        means = (c[n:] - c[:-n]) / n
+        means = ((c[n:] - c[:-n]) / n).astype(np.float64)
         out = np.sqrt(np.maximum(means, 0.0))
         tt = t[n - 1 :] - self.window / 2.0
         if self.drop_last and len(out):

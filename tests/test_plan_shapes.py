@@ -56,3 +56,16 @@ def test_kernel_queries_single_udf_node(spark, qs, name):
 def test_between_pushes_raw_ts_bounds(spark, qs):
     plan = _plan(qs["between"](spark, SF))
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", plan), plan
+
+
+def test_corpus_prep_scans_corpus_once(spark, qs):
+    # The LSH signature table feeds three consumers; the persisted sig
+    # caps the pipeline at ONE corpus scan (three InMemoryTableScan
+    # readers of the same cache instead of three parquet re-scans).
+    plan = _plan(qs["corpus_prep"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 3
+
+
+def test_accessor_chain_single_udf_node(spark, qs):
+    plan = _plan(qs["accessor_chain"](spark, SF))
+    assert plan.count("FlatMapGroupsInPandas") == 1

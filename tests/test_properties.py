@@ -130,3 +130,57 @@ class TestSparkInvariants:
             .reset_index(drop=True)
         )
         np.testing.assert_allclose(a["value"], b["value"], rtol=1e-12)
+
+
+class TestFusedStageProperties:
+    """NumPy-level invariants of the fused window-math stages (no Spark)."""
+
+    @given(
+        st.lists(st.floats(-1e3, 1e3), min_size=20, max_size=400),
+        st.integers(2, 10),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_mov_rms_cumsum_equals_direct(self, xs, n):
+        from pandas_sigproc_spark.pipeline.fused import _MovRmsStage
+
+        y = np.asarray(xs, dtype=np.float64)
+        sr = 100.0
+        t = np.arange(len(y)) / sr
+        tt, m, _ = _MovRmsStage(n / sr, drop_last=False, samplerate=sr).run(t, y, sr)
+        direct = np.array(
+            [np.sqrt(np.mean(y[i - n + 1 : i + 1] ** 2)) for i in range(n - 1, len(y))]
+        )
+        assert len(m) == len(direct)
+        # Justified bound for cumsum differencing: the window-sum error is
+        # O(eps_acc * total_sum_of_squares); sqrt makes that the absolute
+        # RMS floor for near-silent windows after a spike.
+        eps_acc = np.finfo(np.longdouble).eps
+        atol = float(np.sqrt(4.0 * eps_acc * np.sum(y * y) / n)) + 1e-12
+        np.testing.assert_allclose(m, direct, rtol=1e-9, atol=atol)
+
+    @given(st.lists(st.floats(-1e3, 1e3), min_size=4, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_detrend_linear_removes_any_line(self, xs):
+        from pandas_sigproc_spark.pipeline.fused import _DetrendStage
+
+        y = np.asarray(xs, dtype=np.float64)
+        t = np.arange(len(y)) / 50.0
+        stage = _DetrendStage("linear")
+        _, base, _ = stage.run(t, y, 50.0)
+        _, shifted, _ = stage.run(t, y + 3.5 + 2.0 * t, 50.0)
+        np.testing.assert_allclose(base, shifted, rtol=1e-7, atol=1e-7)
+
+    @given(st.lists(st.floats(-100, 100), min_size=3, max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_derivative_of_integral_recovers_midpoint_mean(self, xs):
+        from pandas_sigproc_spark.pipeline.fused import (
+            _DerivativeStage,
+            _IntegralStage,
+        )
+
+        y = np.asarray(xs, dtype=np.float64)
+        t = np.arange(len(y)) / 10.0
+        ti, I, _ = _IntegralStage().run(t, y, 10.0)
+        tm, d, _ = _DerivativeStage().run(ti, I, 10.0)
+        # d/dt of the cumulative trapezoid at midpoints = segment mean
+        np.testing.assert_allclose(d, (y[1:] + y[:-1]) / 2.0, rtol=1e-9, atol=1e-9)
