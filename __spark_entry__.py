@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from pandas_sigproc_spark.sources.events import ts_seconds
 from pandas_sigproc_spark.operators import (
     between,
     filt_chunked,
@@ -73,13 +74,9 @@ def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        t = (F.expr("ts div 1000")) / F.lit(1e6)
-    else:
-        t = F.col("ts").cast("double")
     return ev.select(
         F.col("user_id").cast("string").alias("channel_id"),
-        t.alias("t"),
+        ts_seconds(ev).alias("t"),
         F.col("value").cast("double").alias("value"),
         F.col("event_id").cast("long").alias("seq"),
     )
@@ -176,17 +173,23 @@ def q_between(spark, sf_dir):
     # reading one day's row groups and reading the month.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_dt = dict(ev.dtypes).get("ts")
+    if ts_dt == "bigint":
         ev = ev.filter(
             (F.col("ts") >= int(_T_LO * 1e9)) & (F.col("ts") <= int(_T_HI * 1e9) + 999)
         )
-        sig = ev.select(
-            F.col("user_id").cast("string").alias("channel_id"),
-            (F.expr("ts div 1000") / F.lit(1e6)).alias("t"),
-            F.col("value").cast("double").alias("value"),
-        )
-    else:
-        sig = _signals(spark, sf_dir)
+    elif ts_dt == "timestamp_ntz":
+        # ts is already µs-truncated at read, so plain inclusive bounds at
+        # whole-µs literals are exact — and comparable against the parquet
+        # nanos row-group stats.
+        lo = F.timestamp_micros(F.lit(int(_T_LO * 1e6))).cast("timestamp_ntz")
+        hi = F.timestamp_micros(F.lit(int(_T_HI * 1e6))).cast("timestamp_ntz")
+        ev = ev.filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    sig = ev.select(
+        F.col("user_id").cast("string").alias("channel_id"),
+        ts_seconds(ev).alias("t"),
+        F.col("value").cast("double").alias("value"),
+    )
     return between(sig, _T_LO, _T_HI).select("channel_id", "t", "value")
 
 

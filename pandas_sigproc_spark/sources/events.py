@@ -10,11 +10,32 @@ every windowed operator downstream is deterministic (SURVEY.md §7.3.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_seconds(ev: DataFrame) -> Column:
+    """Epoch-seconds expression for the events ``ts`` field.
+
+    Bit-exact with DuckDB's ``epoch(ts)`` across the ways Spark can read
+    the parquet TIMESTAMP(NANOS) column: with the legacy ``nanosAsLong``
+    conf it arrives as bigint nanos (truncate to µs with integer division
+    — a double divide at 1e18 magnitude would lose bits); Spark 4.1+
+    ignores that conf and reads TIMESTAMP_NTZ already truncated to µs
+    (matching DuckDB's ns -> µs truncation), where a direct cast to
+    double is forbidden — go through ``unix_micros`` instead (session
+    timezone is pinned to UTC in ``session.get_spark``, so the
+    ntz -> ltz cast is wall-clock identity).
+    """
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
+        return F.expr("ts div 1000") / F.lit(1e6)
+    if dt == "timestamp_ntz":
+        return F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1e6)
+    return F.col("ts").cast("double")
 
 
 def events_to_signals(
@@ -28,7 +49,7 @@ def events_to_signals(
     ev = load_table(spark, sf_dir, "events")
     sig = ev.select(
         F.col("user_id").cast("string").alias("channel_id"),
-        F.col("ts").cast("double").alias("t"),
+        ts_seconds(ev).alias("t"),
         F.col("value").cast("double").alias("value"),
         F.col("ts").alias("ts"),
         F.col("event_id").alias("seq"),
