@@ -341,6 +341,67 @@ class TestInterp:
         with pytest.raises(ValueError):
             interp1d(self.X, self.X, [-0.1])
 
+    def test_cubic_banded_matches_dense_solve(self):
+        # The O(n) substituted/banded not-a-knot solve must agree with the
+        # direct dense formulation of the same equations — on uniform grids
+        # too (the naive boundary-row fold has a zero pivot there).
+        from pandas_sigproc_spark.kernels.interp import _cubic_spline_coeffs
+
+        rng = np.random.default_rng(11)
+        for n in (4, 5, 9, 64, 257):
+            for x in (
+                np.linspace(0.0, 10.0, n),
+                np.sort(rng.uniform(0, 10, n)) + np.arange(n) * 1e-3,
+            ):
+                y = rng.normal(size=n)
+                h = np.diff(x)
+                A = np.zeros((n, n))
+                r = np.zeros(n)
+                for i in range(1, n - 1):
+                    A[i, i - 1] = h[i - 1]
+                    A[i, i] = 2 * (h[i - 1] + h[i])
+                    A[i, i + 1] = h[i]
+                    r[i] = 6 * (
+                        (y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1]
+                    )
+                A[0, 0] = h[1]
+                A[0, 1] = -(h[0] + h[1])
+                A[0, 2] = h[0]
+                A[n - 1, n - 3] = h[n - 2]
+                A[n - 1, n - 2] = -(h[n - 3] + h[n - 2])
+                A[n - 1, n - 1] = h[n - 3]
+                np.testing.assert_allclose(
+                    _cubic_spline_coeffs(x, y),
+                    np.linalg.solve(A, r),
+                    rtol=1e-7,
+                    atol=1e-8,
+                )
+
+    def test_quadratic_exact_on_quadratic_poly(self):
+        # A degree-2 spline interpolant reproduces degree-<=2 polynomials
+        # exactly, whatever the knot choice.
+        rng = np.random.default_rng(3)
+        x = np.sort(rng.uniform(0, 10, 40)) + np.arange(40) * 1e-3
+        y = 3 * x ** 2 - 2 * x + 0.5
+        x2 = np.linspace(x[0], x[-1], 333)
+        np.testing.assert_allclose(
+            interp1d(x, y, x2, "quadratic"), 3 * x2 ** 2 - 2 * x2 + 0.5, atol=1e-7
+        )
+        # and passes through the data sites
+        np.testing.assert_allclose(interp1d(x, y, x, "quadratic"), y, atol=1e-8)
+
+    def test_quadratic_c1_continuity(self):
+        # Quadratic splines are C1: one-sided slopes agree at the knots.
+        rng = np.random.default_rng(5)
+        x = np.linspace(0.0, 9.0, 37)
+        y = rng.normal(size=37)
+        eps = 1e-7
+        for xo in (0.5 * (x[3] + x[4]), 0.5 * (x[20] + x[21])):
+            v = interp1d(x, y, [xo - eps, xo, xo + eps], "quadratic")
+            left = (v[1] - v[0]) / eps
+            right = (v[2] - v[1]) / eps
+            assert abs(left - right) < 1e-3
+
     def test_loglog(self):
         # Power law y = x^-1.5 is linear in log-log: interp is exact.
         x = np.array([10.0, 100.0, 1000.0])
