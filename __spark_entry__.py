@@ -2415,6 +2415,27 @@ def q_interp_cubic(spark, sf_dir):
     return interp1d_spline(sig, grid, kind="cubic")
 
 
+def q_interp_quadratic(spark, sf_dir):
+    # kind='quadratic' (extension.py:832 surface): interpolating quadratic
+    # B-spline on clamped midpoint knots, kernels/interp.py O(n) banded
+    # solve.  Kernel tier -> rows-only driver check; numeric correctness is
+    # pinned by tests/test_kernels.py (poly-exactness, C1, banded==dense).
+    sig = deduplicate(_sig_ch(spark, sf_dir))
+    bounds = sig.groupBy("channel_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = bounds.select(
+        "channel_id",
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("t0") / DAY).cast("long"),
+                F.floor(F.col("t1") / DAY).cast("long"),
+            )
+        ).alias("day"),
+    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    return interp1d_spline(sig, grid, kind="quadratic")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2483,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rainflow_chunked": q_rainflow_chunked,
         "filt_chunked": q_filt_chunked,
         "interp_cubic": q_interp_cubic,
+        "interp_quadratic": q_interp_quadratic,
     }
 
 

@@ -91,10 +91,11 @@ def main():
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(3):
+        for rep in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             el = time.time() - t0
+            print(f"[bench] {name} rep{rep}: {el:.2f}s", file=sys.stderr, flush=True)
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
 

@@ -29,7 +29,15 @@ import numpy as np
 _LOOP_CUTOVER = 2048
 # Stop expanding the AR impulse response once the tail is this small
 # relative to the running peak (float64 eps is ~2.2e-16).
-_DECAY_RTOL = 1e-18
+# Truncation threshold for the AR impulse-response tail, relative to the
+# peak.  Must sit ABOVE the float64 noise floor of the FFT-sampled IR
+# (~4 eps * peak): the frequency-domain path can never measure a tail
+# smaller than its own rounding noise, so a tighter threshold (the old
+# 1e-18, valid for the exact time-domain recursion) can never be met and
+# every filter would balloon to _MAX_IR_LEN — a 4M-point FFT per tiny
+# convolution.  1e-15 truncation perturbs a convolution by ~1e-15 * len
+# relative, far below the 1e-9 parity the kernel tests pin.
+_DECAY_RTOL = 1e-15
 _MAX_IR_LEN = 1 << 22  # 4M samples: hard cap for near-unstable filters
 
 
@@ -69,11 +77,14 @@ def _lfilter_loop(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
 _IR_CACHE: dict = {}
 
 
-def _ar_impulse_response(a: np.ndarray, min_len: int) -> np.ndarray:
+def _ar_impulse_response(a: np.ndarray, min_len: int):
+    """Truncated AR impulse response, or ``None`` for degenerate designs
+    (callers then run the exact recursion on their signal)."""
     key = a.tobytes()
-    cached = _IR_CACHE.get(key)
-    if cached is not None and len(cached) >= min_len:
-        return cached
+    if key in _IR_CACHE:
+        cached = _IR_CACHE[key]
+        if cached is None or len(cached) >= min_len:
+            return cached
     h = _ar_impulse_response_uncached(a, min_len)
     if len(_IR_CACHE) > 64:
         _IR_CACHE.clear()
@@ -96,7 +107,18 @@ def _ar_ir_fft(a: np.ndarray, length: int) -> np.ndarray:
     like SRS drop from ~100 ms to ~4 ms per pole pair).
     """
     nfft = 1 << (length - 1).bit_length()
-    spectrum = 1.0 / np.fft.rfft(a, nfft)
+    denom = np.fft.rfft(a, nfft)
+    mag = np.abs(denom)
+    amin = mag.min()
+    if amin == 0.0 or mag.max() / amin > 1e14:
+        # |A(e^jw)| underflowed (or its dynamic range exceeds what float64
+        # can invert): the filter is numerically degenerate in tf form —
+        # e.g. a high-order Butterworth at a tiny normalized cutoff.  No
+        # aliased IR is meaningful; the caller must run the exact
+        # recursion on the actual signal (whose output for such a design
+        # matches what the reference's scipy tf-form filtering produces).
+        return None
+    spectrum = 1.0 / denom
     return np.fft.irfft(spectrum, nfft)[:length]
 
 
@@ -109,12 +131,30 @@ def _ar_impulse_response_uncached(a: np.ndarray, min_len: int) -> np.ndarray:
     """
     order = len(a) - 1
     length = max(min_len, 256)
+    prev_tail = None
     while True:
         h = _ar_ir_fft(a, length)
+        if h is None:
+            # Degenerate design (see _ar_ir_fft): no truncated IR is
+            # usable — callers run the exact recursion on their signal.
+            return None
         peak = np.max(np.abs(h))
         tail = np.max(np.abs(h[-max(order, 8):])) if length > order else peak
         if peak == 0.0 or tail <= _DECAY_RTOL * peak or length >= _MAX_IR_LEN:
             break
+        # Noise-floor plateau: a genuinely decaying tail falls by orders of
+        # magnitude per 4x length growth (the factor is r^(3L) for pole
+        # radius r); the FFT's own rounding-noise floor falls only ~4x per
+        # step (it scales with eps * spectrum-dynamic-range / nfft — e.g.
+        # ~1e-13 for A-weighting's near-unit-circle poles).  A step that
+        # shrinks the tail by less than 100x therefore means the noise
+        # floor has been reached and further growth only buys bigger
+        # convolutions.  Only trusted when already far below the peak so a
+        # marginally-stable filter (tail plateaus at O(peak)) still runs
+        # to the cap and the exact-recursion fallback below.
+        if prev_tail is not None and tail > 0.01 * prev_tail and tail <= 1e-9 * peak:
+            break
+        prev_tail = tail
         length *= 4
     # The FFT path aliases the true IR modulo nfft.  For a stable filter
     # whose tail has decayed the folded terms are invisible, but an
@@ -190,8 +230,13 @@ def lfilter(b, a, x, zi=None):
         y = _fft_convolve_full(x, b)[: len(x)]
     else:
         # IIR zero-state response: y = (x * b) * h, h = AR impulse response.
-        f = _fft_convolve_full(x, b)[: len(x)]
         h = _ar_impulse_response(a, min_len=4096)
+        if h is None:
+            # Degenerate tf-form design: exact recursion is the only
+            # meaningful evaluation (matches scipy tf-form numerics).
+            with np.errstate(over="ignore", invalid="ignore"):
+                return _lfilter_loop(b, a, x, zi)
+        f = _fft_convolve_full(x, b)[: len(x)]
         y = _fft_convolve_full(f, h)[: len(x)]
 
     if zi is None:

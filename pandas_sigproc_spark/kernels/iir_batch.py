@@ -48,10 +48,15 @@ def lfilter_batch(b, a, X: np.ndarray) -> np.ndarray:
     X = np.asarray(X, dtype=np.float64)
     if X.ndim == 1:
         X = X[None, :]
-    F = _fft_convolve_batch(X, b)
     if len(a) == 1:
-        return F
+        return _fft_convolve_batch(X, b)
     h = _ar_impulse_response(a, min_len=4096)
+    if h is None:
+        # Degenerate tf-form design (see kernels.iir._ar_ir_fft): exact
+        # per-row recursion, matching scipy tf-form numerics.
+        with np.errstate(over="ignore", invalid="ignore"):
+            return np.stack([_lfilter_loop(b, a, row) for row in X])
+    F = _fft_convolve_batch(X, b)
     return _fft_convolve_batch(F, h)
 
 
