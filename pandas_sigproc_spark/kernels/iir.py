@@ -77,18 +77,36 @@ def _lfilter_loop(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
 _IR_CACHE: dict = {}
 
 
-def _ar_impulse_response(a: np.ndarray, min_len: int):
+def _ar_impulse_response(a: np.ndarray, min_len: int, max_len: int | None = None):
     """Truncated AR impulse response, or ``None`` for degenerate designs
-    (callers then run the exact recursion on their signal)."""
+    (callers then run the exact recursion on their signal).
+
+    ``max_len`` stops the decay-driven growth early when the caller can
+    only ever use the first ``max_len`` taps (a convolution cropped to n
+    outputs is blind to later taps) — a 100-sample signal through
+    A-weighting must not pay for the filter's 256k-sample decay.
+    """
     key = a.tobytes()
     if key in _IR_CACHE:
         cached = _IR_CACHE[key]
-        if cached is None or len(cached) >= min_len:
+        if cached is None or len(cached) >= min_len or (
+            max_len is not None and len(cached) >= max_len
+        ):
             return cached
+    if max_len is not None and max_len <= 4096:
+        # Small need: the exact recursion over max_len samples is a few ms
+        # and — unlike a truncated FFT-aliased IR, whose aliasing folds an
+        # undecayed tail back into the head — always correct.
+        seed = np.zeros(max_len)
+        seed[0] = 1.0
+        with np.errstate(over="ignore", invalid="ignore"):
+            return _lfilter_loop(np.array([1.0]), a, seed)
     h = _ar_impulse_response_uncached(a, min_len)
     if len(_IR_CACHE) > 64:
         _IR_CACHE.clear()
-    _IR_CACHE[key] = h
+    key_cached = _IR_CACHE.get(key)
+    if key_cached is None or h is None or len(h) > len(key_cached):
+        _IR_CACHE[key] = h
     return h
 
 
@@ -230,14 +248,17 @@ def lfilter(b, a, x, zi=None):
         y = _fft_convolve_full(x, b)[: len(x)]
     else:
         # IIR zero-state response: y = (x * b) * h, h = AR impulse response.
-        h = _ar_impulse_response(a, min_len=4096)
+        h = _ar_impulse_response(a, min_len=4096, max_len=len(x))
         if h is None:
             # Degenerate tf-form design: exact recursion is the only
             # meaningful evaluation (matches scipy tf-form numerics).
             with np.errstate(over="ignore", invalid="ignore"):
                 return _lfilter_loop(b, a, x, zi)
         f = _fft_convolve_full(x, b)[: len(x)]
-        y = _fft_convolve_full(f, h)[: len(x)]
+        # Only the first len(x) taps of h can reach y[:len(x)] — without
+        # the cap a short signal through a slow-decay filter (A-weighting:
+        # 256k taps) pays a 256k-point FFT for a 100-sample answer.
+        y = _fft_convolve_full(f, h[: len(x)])[: len(x)]
 
     if zi is None:
         return y
@@ -247,7 +268,8 @@ def lfilter(b, a, x, zi=None):
         # Zero-input response from the initial state (linear superposition).
         zir_len = len(x)
         if len(a) > 1:
-            zir_len = min(len(x), len(_ar_impulse_response(a, min_len=4096)))
+            h_zi = _ar_impulse_response(a, min_len=4096, max_len=len(x))
+            zir_len = min(len(x), len(h_zi)) if h_zi is not None else len(x)
         else:
             zir_len = min(len(x), n)
         zir, _ = _lfilter_loop(b, a, np.zeros(zir_len), zi=zi.copy())

@@ -50,14 +50,17 @@ def lfilter_batch(b, a, X: np.ndarray) -> np.ndarray:
         X = X[None, :]
     if len(a) == 1:
         return _fft_convolve_batch(X, b)
-    h = _ar_impulse_response(a, min_len=4096)
+    h = _ar_impulse_response(a, min_len=4096, max_len=X.shape[-1])
     if h is None:
         # Degenerate tf-form design (see kernels.iir._ar_ir_fft): exact
         # per-row recursion, matching scipy tf-form numerics.
         with np.errstate(over="ignore", invalid="ignore"):
             return np.stack([_lfilter_loop(b, a, row) for row in X])
     F = _fft_convolve_batch(X, b)
-    return _fft_convolve_batch(F, h)
+    # Taps beyond the row length cannot reach the cropped output (see
+    # kernels.iir.lfilter) — cap h so short-channel batches through
+    # slow-decay filters stay proportional to the data, not the IR.
+    return _fft_convolve_batch(F, h[: X.shape[-1]])
 
 
 def _unit_zir(b, a, zi_unit: np.ndarray, length: int) -> np.ndarray:
@@ -95,7 +98,13 @@ def filtfilt_batch(b, a, X: np.ndarray) -> np.ndarray:
     next_ = ext.shape[1]
 
     zi = lfilter_zi(b, a)
-    h_len = len(_ar_impulse_response(a, min_len=4096)) if len(a) > 1 else ntaps
+    if len(a) > 1:
+        h = _ar_impulse_response(a, min_len=4096, max_len=next_)
+        # Degenerate designs (h is None) have no finite decay length;
+        # the correction must then span the whole extended signal.
+        h_len = len(h) if h is not None else next_
+    else:
+        h_len = ntaps
     zir_len = min(next_, h_len)
     zir_unit = _unit_zir(b, a, zi, zir_len)
 
