@@ -192,11 +192,48 @@ def _ar_impulse_response_uncached(a: np.ndarray, min_len: int) -> np.ndarray:
 
 
 def _fft_convolve_full(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    if len(h) <= 64:
+        # Short kernel (the numerator of any practical IIR design): the
+        # C-level direct convolution beats three len(x)-sized FFTs by an
+        # order of magnitude.
+        return np.convolve(x, h)
     nfull = len(x) + len(h) - 1
     nfft = 1 << (nfull - 1).bit_length()
     X = np.fft.rfft(x, nfft)
     H = np.fft.rfft(h, nfft)
     return np.fft.irfft(X * H, nfft)[:nfull]
+
+
+_H_FFT_CACHE: dict = {}
+
+
+def _conv_ar_spectrum(a_key: bytes, h: np.ndarray, nfft: int) -> np.ndarray:
+    """rfft of (a truncation of) the AR impulse response, cached.
+
+    A worker filters many channels with the SAME coefficients; the
+    kernel-side spectrum is identical whenever nfft and the truncated
+    length repeat (both derive from the channel length, uniform within a
+    batch), so caching halves the FFT count of every convolution after
+    the first — and filtfilt's two passes share it within one call.
+    """
+    key = (a_key, nfft, len(h))
+    H = _H_FFT_CACHE.get(key)
+    if H is None:
+        if len(_H_FFT_CACHE) > 64:
+            _H_FFT_CACHE.clear()
+        H = np.fft.rfft(h, nfft)
+        _H_FFT_CACHE[key] = H
+    return H
+
+
+def _conv_ar(f: np.ndarray, a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """``(f * h)[:len(f)]`` with the h-spectrum cached per coefficients."""
+    n = len(f)
+    hn = h[:n]
+    nfull = n + len(hn) - 1
+    nfft = 1 << (nfull - 1).bit_length()
+    H = _conv_ar_spectrum(a.tobytes(), hn, nfft)
+    return np.fft.irfft(np.fft.rfft(f, nfft) * H, nfft)[:n]
 
 
 def _final_state(b, a, x, y):
@@ -258,7 +295,7 @@ def lfilter(b, a, x, zi=None):
         # Only the first len(x) taps of h can reach y[:len(x)] — without
         # the cap a short signal through a slow-decay filter (A-weighting:
         # 256k taps) pays a 256k-point FFT for a 100-sample answer.
-        y = _fft_convolve_full(f, h[: len(x)])[: len(x)]
+        y = _conv_ar(f, a, h)
 
     if zi is None:
         return y
