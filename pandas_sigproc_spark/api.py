@@ -162,6 +162,22 @@ class Sigproc:
     def rainflow(self, **kwargs) -> DataFrame:
         return ops.rainflow(self._flushed(), **kwargs)
 
+    # -- freqdomain accessor surface (extension.py:19-230) -------------------
+    # A spectra DataFrame (channel_id, freq, power) wraps in the same
+    # accessor; `between(..., axis="freq")` above covers freqdomain.between.
+
+    def rms_lin(self, freq_col: str = "freq", power_col: str = "power") -> DataFrame:
+        # freqdomain.rms_lin (extension.py:126-143): sqrt(trapz(p, f)).
+        return ops.rms_lin(self._flushed(), freq_col=freq_col, power_col=power_col)
+
+    def rms_log(self, freq_col: str = "freq", power_col: str = "power") -> DataFrame:
+        # freqdomain.rms_log (extension.py:145-165): piecewise power-law.
+        return ops.rms_log(self._flushed(), freq_col=freq_col, power_col=power_col)
+
+    def interp1d_log(self, grid: DataFrame, axis: str = "freq") -> "Sigproc":
+        # freqdomain.interp1d_log (extension.py:201-230): log-log linear.
+        return self._native(ops.interp1d_log, grid, axis=axis)
+
 
 def sigproc(df: DataFrame, n_buckets: int | None = 32) -> Sigproc:
     """Wrap a canonical signals DataFrame in the fluent accessor.

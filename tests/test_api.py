@@ -132,3 +132,44 @@ def test_standalone_window_math_stays_native(spark):
     out = sigproc(sig).detrend("linear").df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_freqdomain_accessor_surface(spark):
+    # A spectra DataFrame wraps in the same accessor: between on the freq
+    # axis, log-log interp, and the two spectrum-RMS reductions mirror the
+    # reference's freqdomain accessor (extension.py:19-230).
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators import interp1d_log, rms_lin, rms_log
+
+    freq = np.array([10.0, 20.0, 40.0, 80.0, 160.0])
+    power = 100.0 * freq ** -1.0
+    spectra = spark.createDataFrame(
+        pd.DataFrame(
+            {"channel_id": "ch0", "freq": freq, "power": power}
+        )
+    )
+    acc = sigproc(spectra)
+
+    kept = acc.between(15.0, 90.0, axis="freq").df.collect()
+    assert sorted(r.freq for r in kept) == [20.0, 40.0, 80.0]
+
+    got = acc.rms_lin().collect()[0]
+    want = rms_lin(spectra).collect()[0]
+    assert got.rms_lin == want.rms_lin
+
+    got = acc.rms_log().collect()[0]
+    want = rms_log(spectra).collect()[0]
+    assert got.rms_log == want.rms_log
+
+    grid = spark.createDataFrame(
+        pd.DataFrame({"channel_id": "ch0", "freq": [30.0, 60.0]})
+    )
+    fluent = acc.interp1d_log(grid).df
+    manual = interp1d_log(spectra, grid)
+    fv = {round(r.freq, 9): r.power for r in fluent.collect()}
+    mv = {round(r.freq, 9): r.power for r in manual.collect()}
+    assert fv == mv
+    # power ~ f^-1 is a straight line in log-log: interp is exact there
+    for f0, p0 in fv.items():
+        assert abs(p0 - 100.0 / f0) < 1e-9
