@@ -1126,6 +1126,54 @@ FROM sig a JOIN sig b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # Pairs -> duplicate GROUPS: connected components over the LSH
+    # candidate-pair graph (operators/graph.py, iterative min-label
+    # propagation — O(diameter) join rounds, two shuffles each).  Corpus
+    # dedup needs this step because duplicates chain (A~B~C without A~C);
+    # keeping min(doc_id) per component is the canonical keeper rule.
+    # Every document appears: singletons are their own component, so
+    # `component != doc_id` IS the drop set.
+    from pandas_sigproc_spark.operators import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    comp = connected_components(
+        pairs, vertices=docs, src="d1", dst="d2", id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") != F.col("component")).alias("is_dropped"),
+    )
+
+
+# DuckDB oracle: transitive closure via recursive CTE — min reachable id
+# per document over the same symmetrized LSH pair graph.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_MINHASH_SIG_CTES},
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+),
+edges AS (
+  SELECT d1 AS s, d2 AS t FROM pairs
+  UNION
+  SELECT d2 AS s, d1 AS t FROM pairs
+),
+reach(id, comp) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.t = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS component,
+       (id != MIN(comp)) AS is_dropped
+FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     # 32-bit SimHash over word hashes: bit j set iff sum of per-word
     # (+1/-1 on bit j) is positive. Computed map-side per row: hash the
@@ -2479,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
@@ -2543,6 +2592,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_jaccard_ppjoin": SQL_DEDUP_JACCARD_PAIRS,

@@ -52,6 +52,7 @@ from pandas_sigproc_spark.operators.psd import get_psd
 from pandas_sigproc_spark.operators.srs import get_srs
 from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
+from pandas_sigproc_spark.operators.graph import connected_components
 
 __all__ = [
     "between",
@@ -83,4 +84,5 @@ __all__ = [
     "rainflow",
     "rainflow_chunked",
     "interp1d_spline",
+    "connected_components",
 ]

@@ -1,0 +1,73 @@
+"""Connected components over a pair graph (near-dup clustering).
+
+The dedup pipeline's LSH/Jaccard stages emit near-duplicate *pairs*
+(SURVEY.md §2.11 extensions); turning pairs into duplicate *groups* — so a
+corpus keeps exactly one representative per group even when duplicates
+chain A~B~C without A~C — is a connected-components problem.  The
+reference has no graph surface at all; this is engine-extension scope,
+built the idiomatic-Spark way: iterative min-label propagation with plain
+joins/aggregations, no GraphX dependency and nothing driver-side but the
+convergence check.
+
+Scale shape: each iteration is one equi-join of the (symmetrized) edge
+list against the current labels plus a min-aggregation — two shuffles on
+ids.  Label propagation converges in O(graph diameter) iterations, and
+near-dup graphs are shallow (duplicate families chain a handful of hops),
+so the loop runs 3-5 rounds in practice.  Lineage is cut with
+localCheckpoint every iteration so the plan does not grow exponentially;
+the convergence check rides on the same job that materializes the
+checkpoint (sum of labels is monotonically non-increasing and strictly
+decreases until fixpoint, so equal consecutive sums == converged, with no
+second action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every vertex with the smallest vertex id reachable from it.
+
+    ``edges`` is an undirected pair list (each pair listed once is
+    enough).  ``vertices`` optionally supplies the full vertex universe
+    (isolated vertices become their own singleton components — exactly
+    what corpus dedup needs, since most documents have no near-dup at
+    all); defaults to the ids appearing in ``edges``.
+
+    Returns ``(id, component)`` with ``component`` = min reachable id.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
+    )
+    sym = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    else:
+        verts = sym.select(F.col("s").alias("id")).distinct()
+
+    labels = verts.select("id", F.col("id").alias("component"))
+    prev_sum = None
+    for _ in range(max_iterations):
+        nbr = sym.join(
+            labels, sym["t"] == labels["id"], "inner"
+        ).select(F.col("s").alias("id"), "component")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

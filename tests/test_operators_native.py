@@ -373,3 +373,48 @@ class TestInterpEdges:
             np.testing.assert_allclose(
                 outp["value"], k_interp(t, v, grid, kind="previous"), rtol=0
             )
+
+
+class TestConnectedComponents:
+    def test_chained_pairs_form_one_component(self, spark):
+        # A~B, B~C, C~D chain (no A~C edge): one component labeled min id,
+        # plus isolated vertices as singletons — the corpus-dedup shape.
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators import connected_components
+
+        edges = spark.createDataFrame(
+            pd.DataFrame({"src": [2, 3, 4, 10], "dst": [3, 4, 5, 11]})
+        )
+        verts = spark.createDataFrame(pd.DataFrame({"id": list(range(1, 13))}))
+        got = {
+            r.id: r.component
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        assert got == {
+            1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 6, 7: 7, 8: 8, 9: 9,
+            10: 10, 11: 10, 12: 12,
+        }
+
+    def test_merging_clusters_converges(self, spark):
+        # Two stars joined by a late bridge: propagation must carry the
+        # global min across the bridge, not stop at the local star center.
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators import connected_components
+
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "src": [1, 1, 1, 4, 20, 20, 20, 5],
+                    "dst": [2, 3, 4, 5, 21, 22, 23, 23],
+                }
+            )
+        )
+        comp = {
+            r.id: r.component for r in connected_components(edges).collect()
+        }
+        # 4~5~23 bridges {1,2,3,4} and {20,21,22,23}: all collapse to 1,
+        # which needs the min label to cross several hops of propagation.
+        assert set(comp.values()) == {1}
+        assert set(comp) == {1, 2, 3, 4, 5, 20, 21, 22, 23}
