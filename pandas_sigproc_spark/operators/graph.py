@@ -10,15 +10,16 @@ joins/aggregations, no GraphX dependency and nothing driver-side but the
 convergence check.
 
 Scale shape: each iteration is one equi-join of the (symmetrized) edge
-list against the current labels plus a min-aggregation — two shuffles on
-ids.  Label propagation converges in O(graph diameter) iterations, and
-near-dup graphs are shallow (duplicate families chain a handful of hops),
-so the loop runs 3-5 rounds in practice.  Lineage is cut with
-localCheckpoint every iteration so the plan does not grow exponentially;
-the convergence check rides on the same job that materializes the
-checkpoint (sum of labels is monotonically non-increasing and strictly
-decreases until fixpoint, so equal consecutive sums == converged, with no
-second action).
+list against the current labels plus a min-aggregation, followed by one
+round of pointer jumping (label <- label of label), so the propagation
+distance SQUARES each iteration: convergence in O(log diameter) rounds,
+not O(diameter) — a megadoc-long chain of templated near-dups costs ~20
+rounds, not a million.  Each round is a bounded number of shuffles on
+ids.  Lineage is cut with localCheckpoint every iteration so the plan
+does not grow exponentially; the convergence check rides on the same job
+that materializes the checkpoint (sum of labels is monotonically
+non-increasing and strictly decreases until fixpoint, so equal
+consecutive sums == converged, with no second action).
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ def connected_components(
     labels = verts.select("id", F.col("id").alias("component"))
     prev_sum = None
     for _ in range(max_iterations):
+        # One hop of neighbor-min propagation...
         nbr = sym.join(
             labels, sym["t"] == labels["id"], "inner"
         ).select(F.col("s").alias("id"), "component")
@@ -64,6 +66,17 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # ...then pointer jumping: component <- component's component.
+        # Labels only shrink (component <= id invariant holds for every
+        # row of `labels`), so the left join always finds its parent and
+        # this squares the distance a label travels per round.
+        parent = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("_pc")
+        )
+        labels = (
+            labels.join(parent, "component", "left")
+            .select("id", F.coalesce("_pc", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]

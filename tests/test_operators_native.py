@@ -418,3 +418,22 @@ class TestConnectedComponents:
         # which needs the min label to cross several hops of propagation.
         assert set(comp.values()) == {1}
         assert set(comp) == {1, 2, 3, 4, 5, 20, 21, 22, 23}
+
+    def test_long_path_converges_fast(self, spark):
+        # A 300-node path: plain one-hop propagation would need ~300
+        # rounds (far past max_iterations); pointer jumping squares the
+        # travel distance per round, so ~log2(300) rounds suffice.
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators import connected_components
+
+        n = 300
+        edges = spark.createDataFrame(
+            pd.DataFrame({"src": range(n - 1), "dst": range(1, n)})
+        )
+        comp = {
+            r.id: r.component
+            for r in connected_components(edges, max_iterations=15).collect()
+        }
+        assert set(comp.values()) == {0}
+        assert len(comp) == n
