@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_embed",

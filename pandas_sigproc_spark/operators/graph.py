@@ -48,14 +48,21 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
     )
-    sym = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    # Materialize the symmetrized edge list once: it is joined EVERY
+    # round, and the upstream pair plan (an LSH self-join in the dedup
+    # pipeline) must not be re-executed per iteration.
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=True)
 
-    if vertices is not None:
-        verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
-    else:
-        verts = sym.select(F.col("s").alias("id")).distinct()
+    # Iterate ONLY over edge-touched vertices: any vertex with no edge is
+    # its own component forever, and in corpus dedup the near-dup subset
+    # is a sliver of the corpus — looping over all documents would drag
+    # the full vertex table through every join round.  The untouched rest
+    # joins back as singletons once, at the end.
+    edge_verts = sym.select(F.col("s").alias("id")).distinct()
 
-    labels = verts.select("id", F.col("id").alias("component"))
+    labels = edge_verts.select("id", F.col("id").alias("component"))
     prev_sum = None
     for _ in range(max_iterations):
         # One hop of neighbor-min propagation...
@@ -83,4 +90,11 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+
+    if vertices is None:
+        return labels
+    verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    singles = verts.join(edge_verts, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.unionByName(singles)
