@@ -1746,6 +1746,12 @@ def q_corpus_prep(spark, sf_dir):
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
+    # Removal here is the PAIR rule (drop any doc with a smaller direct
+    # near-dup), one shuffle, fully SQL-expressible.  Transitive chains
+    # (A~B~C without A~C) can leave both chain ends alive; when full
+    # cluster semantics is required, route the pairs through
+    # operators/graph.connected_components instead (see dedup_clusters —
+    # O(log diameter) iterative rounds, keeper = component min).
     survivors = sig.join(near_dups, "doc_id", "left_anti")
     return survivors.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
