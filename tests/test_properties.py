@@ -184,3 +184,54 @@ class TestFusedStageProperties:
         tm, d, _ = _DerivativeStage().run(ti, I, 10.0)
         # d/dt of the cumulative trapezoid at midpoints = segment mean
         np.testing.assert_allclose(d, (y[1:] + y[:-1]) / 2.0, rtol=1e-9, atol=1e-9)
+
+
+class TestConnectedComponentsProperties:
+    def test_partition_invariance_and_random_graphs(self, spark):
+        # Iterative min-label propagation must give identical components
+        # however the edges are partitioned, and must agree with a plain
+        # union-find golden on random graphs.
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators import connected_components
+
+        rng = np.random.default_rng(9)
+        for trial in range(3):
+            n = 60
+            m = 45
+            src = rng.integers(0, n, m)
+            dst = rng.integers(0, n, m)
+            edges_pd = pd.DataFrame({"src": src, "dst": dst})
+
+            # union-find golden
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for s, d in zip(src, dst):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+            golden = {}
+            for v in set(src) | set(dst):
+                golden[int(v)] = find(int(v))
+            # canonical: min id per component
+            comp_min = {}
+            for v, r in golden.items():
+                comp_min.setdefault(r, v)
+                comp_min[r] = min(comp_min[r], v)
+            golden = {v: comp_min[r] for v, r in golden.items()}
+
+            edges = spark.createDataFrame(edges_pd)
+            for parts in (1, 16):
+                got = {
+                    r.id: r.component
+                    for r in connected_components(
+                        edges.repartition(parts)
+                    ).collect()
+                }
+                assert got == golden, (trial, parts)
