@@ -13,7 +13,11 @@ from pandas_sigproc_spark.sources.bucketed import (
 from pandas_sigproc_spark.sources.csv import csv_to_signals, signals_to_csv
 from pandas_sigproc_spark.sources.events import events_to_signals, load_table
 from pandas_sigproc_spark.sources.json import json_to_signals, signals_to_json
-from pandas_sigproc_spark.sources.channel import channels_to_signals, Channel
+from pandas_sigproc_spark.sources.channel import (
+    Channel,
+    channels_to_signals,
+    collect_channel,
+)
 from pandas_sigproc_spark.sources.wav import (
     read_wav,
     signals_to_wav,
@@ -31,6 +35,7 @@ __all__ = [
     "events_to_signals",
     "load_table",
     "channels_to_signals",
+    "collect_channel",
     "Channel",
     "read_wav",
     "write_wav",

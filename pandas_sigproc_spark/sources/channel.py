@@ -72,3 +72,53 @@ def channels_to_signals(spark: SparkSession, channels: list[Channel]):
     signals = spark.createDataFrame(pd.concat(sig_frames, ignore_index=True), schema=SIGNALS_SCHEMA)
     catalog = spark.createDataFrame(cat_rows, schema=CHANNELS_SCHEMA)
     return signals, catalog
+
+
+def collect_channel(
+    signals: DataFrame,
+    channel_id: str,
+    catalog: DataFrame | None = None,
+) -> pd.Series:
+    """Materialize ONE channel as the reference's pandas shape.
+
+    The reverse bridge of ``BaseChannel.to_pandas()`` (``io.py:68-82``):
+    a driver-side exit point so a user of the reference can finish in the
+    exact object their plotting/`timedomain` tooling expects — a Series
+    whose index is absolute datetimes when the catalog carries a
+    ``start_time`` origin (``io.py:79-81``) or relative float seconds
+    otherwise, with the unit attached via ``Series.attrs['unit']``
+    (pandas-native metadata; the reference's accessor-instance ``unit``
+    attribute is its fragile equivalent, SURVEY.md §1.3).
+
+    Deliberately single-channel and driver-side: collecting one channel
+    is a pruned scan + filter (partition/row-group pruning on
+    ``channel_id``), never a whole-table collect.
+    """
+    rows = (
+        signals.filter(F.col("channel_id") == channel_id)
+        .select("t", "value")
+        .orderBy("t")
+        .toPandas()
+    )
+    name = channel_id
+    unit = "none"
+    start_time = None
+    if catalog is not None:
+        cat = (
+            catalog.filter(F.col("channel_id") == channel_id)
+            .select("name", "unit", "start_time")
+            .collect()
+        )
+        if cat:
+            name = cat[0]["name"] or channel_id
+            unit = cat[0]["unit"] or "none"
+            start_time = cat[0]["start_time"]
+    if start_time is not None:
+        idx = pd.to_datetime(
+            rows["t"].to_numpy(), unit="s", origin=pd.Timestamp(start_time)
+        )
+    else:
+        idx = pd.Index(rows["t"].to_numpy(), name="time")
+    series = pd.Series(rows["value"].to_numpy(), index=idx, name=name)
+    series.attrs["unit"] = unit
+    return series

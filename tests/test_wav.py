@@ -73,3 +73,55 @@ def test_ide_source_is_import_gated():
 
     with _pytest.raises(ImportError, match="endaq"):
         read_ide_channels("/nonexistent.ide")
+
+
+class TestCollectChannel:
+    def test_roundtrip_through_canonical_layout(self, spark):
+        # Channel -> canonical signals -> collect_channel reproduces the
+        # reference's to_pandas() shape: datetime index from start_time,
+        # unit in Series.attrs, values bit-identical.
+        from datetime import datetime
+
+        import numpy as np
+        import pandas as pd
+
+        from pandas_sigproc_spark.sources import (
+            Channel,
+            channels_to_signals,
+            collect_channel,
+        )
+
+        t = np.arange(0, 1.0, 0.125)
+        v = np.arange(8.0) * 1.5
+        ch = Channel(
+            channel_id="acc_x",
+            time=t,
+            data=v,
+            name="Accel X",
+            unit="g",
+            start_time=datetime(2024, 1, 1, 12, 0, 0),
+        )
+        signals, catalog = channels_to_signals(spark, [ch])
+        s = collect_channel(signals, "acc_x", catalog)
+        assert s.name == "Accel X"
+        assert s.attrs["unit"] == "g"
+        assert isinstance(s.index, pd.DatetimeIndex)
+        assert s.index[0] == pd.Timestamp("2024-01-01 12:00:00")
+        np.testing.assert_array_equal(s.to_numpy(), v)
+
+    def test_relative_time_without_catalog(self, spark):
+        import numpy as np
+
+        from pandas_sigproc_spark.sources import (
+            Channel,
+            channels_to_signals,
+            collect_channel,
+        )
+
+        t = np.arange(0, 1.0, 0.25)
+        ch = Channel(channel_id="c0", time=t, data=t * 2)
+        signals, _ = channels_to_signals(spark, [ch])
+        s = collect_channel(signals, "c0")
+        assert s.index.name == "time"
+        np.testing.assert_allclose(s.index.to_numpy(), t)
+        np.testing.assert_allclose(s.to_numpy(), t * 2)
