@@ -587,22 +587,30 @@ FROM areas GROUP BY channel_id
 """
 
 
+def _day_grid(sig: DataFrame) -> DataFrame:
+    # Whole-day grid points inside each channel's own [t0, t1] span.  The
+    # lo <= hi guard matters: Spark's sequence(start, stop) runs
+    # DESCENDING when start > stop (a channel living inside one day), and
+    # the resulting out-of-span targets crash the spline kernel's bounds
+    # check — while DuckDB's generate_series returns empty, which is also
+    # the sensible semantics.
+    bounds = sig.groupBy("channel_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    lo = F.ceil(F.col("t0") / DAY).cast("long")
+    hi = F.floor(F.col("t1") / DAY).cast("long")
+    return (
+        bounds.filter(lo <= hi)
+        .select("channel_id", F.explode(F.sequence(lo, hi)).alias("day"))
+        .select("channel_id", (F.col("day") * DAY).alias("t"))
+    )
+
+
 def q_interp_daily(spark, sf_dir):
     # Linear interpolation (as-of join) of every channel onto the daily
     # grid inside its own time span (extension.py:819-851 linear kind).
     sig = deduplicate(_sig_ch(spark, sf_dir))
-    bounds = sig.groupBy("channel_id").agg(
-        F.min("t").alias("t0"), F.max("t").alias("t1")
-    )
-    grid = bounds.select(
-        "channel_id",
-        F.explode(
-            F.sequence(
-                F.ceil(F.col("t0") / DAY).cast("long"),
-                F.floor(F.col("t1") / DAY).cast("long"),
-            )
-        ).alias("day"),
-    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    grid = _day_grid(sig)
     out = interp1d_linear(sig, grid, axis="t")
     return out.select("channel_id", "t", F.round("value", 6).alias("value"))
 
@@ -669,18 +677,7 @@ def q_interp_nearest(spark, sf_dir):
     # nearest-sample onto the daily grid, half-intervals rounding down
     # (kernels/interp.py tie rule == SciPy kind='nearest').
     sig = deduplicate(_sig_ch(spark, sf_dir))
-    bounds = sig.groupBy("channel_id").agg(
-        F.min("t").alias("t0"), F.max("t").alias("t1")
-    )
-    grid = bounds.select(
-        "channel_id",
-        F.explode(
-            F.sequence(
-                F.ceil(F.col("t0") / DAY).cast("long"),
-                F.floor(F.col("t1") / DAY).cast("long"),
-            )
-        ).alias("day"),
-    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    grid = _day_grid(sig)
     out = interp1d_native(sig, grid, axis="t", kind="nearest")
     return out.select("channel_id", "t", F.round("value", 6).alias("value"))
 
@@ -1128,8 +1125,8 @@ FROM sig a JOIN sig b
 
 def q_dedup_clusters(spark, sf_dir):
     # Pairs -> duplicate GROUPS: connected components over the LSH
-    # candidate-pair graph (operators/graph.py, iterative min-label
-    # propagation — O(diameter) join rounds, two shuffles each).  Corpus
+    # candidate-pair graph (operators/graph.py, min-label propagation
+    # with pointer jumping — O(log diameter) join rounds).  Corpus
     # dedup needs this step because duplicates chain (A~B~C without A~C);
     # keeping min(doc_id) per component is the canonical keeper rule.
     # Every document appears: singletons are their own component, so
@@ -2454,18 +2451,7 @@ def q_filt_chunked(spark, sf_dir):
 
 def q_interp_cubic(spark, sf_dir):
     sig = deduplicate(_sig_ch(spark, sf_dir))
-    bounds = sig.groupBy("channel_id").agg(
-        F.min("t").alias("t0"), F.max("t").alias("t1")
-    )
-    grid = bounds.select(
-        "channel_id",
-        F.explode(
-            F.sequence(
-                F.ceil(F.col("t0") / DAY).cast("long"),
-                F.floor(F.col("t1") / DAY).cast("long"),
-            )
-        ).alias("day"),
-    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    grid = _day_grid(sig)
     return interp1d_spline(sig, grid, kind="cubic")
 
 
@@ -2475,18 +2461,7 @@ def q_interp_quadratic(spark, sf_dir):
     # solve.  Kernel tier -> rows-only driver check; numeric correctness is
     # pinned by tests/test_kernels.py (poly-exactness, C1, banded==dense).
     sig = deduplicate(_sig_ch(spark, sf_dir))
-    bounds = sig.groupBy("channel_id").agg(
-        F.min("t").alias("t0"), F.max("t").alias("t1")
-    )
-    grid = bounds.select(
-        "channel_id",
-        F.explode(
-            F.sequence(
-                F.ceil(F.col("t0") / DAY).cast("long"),
-                F.floor(F.col("t1") / DAY).cast("long"),
-            )
-        ).alias("day"),
-    ).select("channel_id", (F.col("day") * DAY).alias("t"))
+    grid = _day_grid(sig)
     return interp1d_spline(sig, grid, kind="quadratic")
 
 

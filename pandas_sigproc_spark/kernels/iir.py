@@ -74,7 +74,23 @@ def _lfilter_loop(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
     return (y, z) if zi is not None else y
 
 
+# key -> (h_or_None, complete).  ``complete`` means the IR is fully
+# resolved: decayed/capped by the growth loop, or None for a degenerate
+# design.  A PARTIAL entry (exact-recursion prefix computed for a short
+# signal) may only serve requests it fully covers — handing a 4096-tap
+# prefix to a caller that needs the filter's whole 256k-sample decay
+# would silently truncate the convolution.
 _IR_CACHE: dict = {}
+
+
+def _cache_ir(key: bytes, h, complete: bool):
+    if len(_IR_CACHE) > 64:
+        _IR_CACHE.clear()
+    old = _IR_CACHE.get(key)
+    if old is None or complete or (
+        not old[1] and h is not None and old[0] is not None and len(h) > len(old[0])
+    ):
+        _IR_CACHE[key] = (h, complete)
 
 
 def _ar_impulse_response(a: np.ndarray, min_len: int, max_len: int | None = None):
@@ -87,26 +103,31 @@ def _ar_impulse_response(a: np.ndarray, min_len: int, max_len: int | None = None
     A-weighting must not pay for the filter's 256k-sample decay.
     """
     key = a.tobytes()
-    if key in _IR_CACHE:
-        cached = _IR_CACHE[key]
-        if cached is None or len(cached) >= min_len or (
-            max_len is not None and len(cached) >= max_len
-        ):
-            return cached
+    cached = _IR_CACHE.get(key)
+    if cached is not None:
+        h, complete = cached
+        if h is None or complete or (max_len is not None and len(h) >= max_len):
+            return h
     if max_len is not None and max_len <= 4096:
-        # Small need: the exact recursion over max_len samples is a few ms
-        # and — unlike a truncated FFT-aliased IR, whose aliasing folds an
+        # Small need: probe for degeneracy first — the convolution path
+        # is catastrophically ill-conditioned for designs whose spectrum
+        # float64 cannot invert (an order-6 highpass at a tiny cutoff has
+        # h growing like m^5: exact taps, garbage cancellation), and the
+        # growth loop that normally detects this is being skipped.
+        if _ar_ir_fft(a, 4096) is None:
+            _cache_ir(key, None, True)
+            return None
+        # The exact recursion over max_len samples is a few ms and —
+        # unlike a truncated FFT-aliased IR, whose aliasing folds an
         # undecayed tail back into the head — always correct.
         seed = np.zeros(max_len)
         seed[0] = 1.0
         with np.errstate(over="ignore", invalid="ignore"):
-            return _lfilter_loop(np.array([1.0]), a, seed)
+            h = _lfilter_loop(np.array([1.0]), a, seed)
+        _cache_ir(key, h, complete=False)
+        return h
     h = _ar_impulse_response_uncached(a, min_len)
-    if len(_IR_CACHE) > 64:
-        _IR_CACHE.clear()
-    key_cached = _IR_CACHE.get(key)
-    if key_cached is None or h is None or len(h) > len(key_cached):
-        _IR_CACHE[key] = h
+    _cache_ir(key, h, complete=True)
     return h
 
 
@@ -305,8 +326,9 @@ def lfilter(b, a, x, zi=None):
         # Zero-input response from the initial state (linear superposition).
         zir_len = len(x)
         if len(a) > 1:
-            h_zi = _ar_impulse_response(a, min_len=4096, max_len=len(x))
-            zir_len = min(len(x), len(h_zi)) if h_zi is not None else len(x)
+            # h is the impulse response already fetched for the conv path
+            # above (this branch is unreachable on the degenerate path).
+            zir_len = min(len(x), len(h))
         else:
             zir_len = min(len(x), n)
         zir, _ = _lfilter_loop(b, a, np.zeros(zir_len), zi=zi.copy())

@@ -218,6 +218,17 @@ def settling_length(b, a, extra: int = 256) -> int:
     and fp accumulation.
     """
     h = _iir._ar_impulse_response(np.asarray(a, np.float64), min_len=64)
+    if h is None:
+        # Degenerate tf-form design (kernels/iir._ar_ir_fft): no finite
+        # settling length exists in float64, so overlap-save chunking
+        # cannot bound the carry-over.  Refuse loudly rather than return
+        # a length that silently corrupts every chunk boundary.
+        raise ValueError(
+            "filter design is numerically degenerate in transfer-function "
+            "form (|A(e^jw)| dynamic range exceeds float64); chunked "
+            "filtering has no valid overlap — use whole-channel filtering "
+            "or redesign the filter at a workable cutoff/order"
+        )
     peak = np.max(np.abs(h))
     alive = np.nonzero(np.abs(h) > 1e-14 * peak)[0]
     n_alive = int(alive[-1]) + 1 if len(alive) else 1

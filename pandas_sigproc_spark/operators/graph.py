@@ -11,10 +11,11 @@ convergence check.
 
 Scale shape: each iteration is one equi-join of the (symmetrized) edge
 list against the current labels plus a min-aggregation, followed by one
-round of pointer jumping (label <- label of label), so the propagation
-distance SQUARES each iteration: convergence in O(log diameter) rounds,
-not O(diameter) — a megadoc-long chain of templated near-dups costs ~20
-rounds, not a million.  Each round is a bounded number of shuffles on
+round of pointer jumping (label <- label of label), so the distance a
+label has traveled at least DOUBLES each round (d -> 2d+2 on a path):
+convergence in O(log diameter) rounds, not O(diameter) — a
+million-doc-long chain of templated near-dups costs ~20 rounds, not a
+million.  Each round is a bounded number of shuffles on
 ids.  Lineage is cut with localCheckpoint every iteration so the plan
 does not grow exponentially; the convergence check rides on the same job
 that materializes the checkpoint (sum of labels is monotonically
@@ -77,7 +78,7 @@ def connected_components(
         # ...then pointer jumping: component <- component's component.
         # Labels only shrink (component <= id invariant holds for every
         # row of `labels`), so the left join always finds its parent and
-        # this squares the distance a label travels per round.
+        # the distance a label has traveled at least doubles per round.
         parent = labels.select(
             F.col("id").alias("component"), F.col("component").alias("_pc")
         )

@@ -408,3 +408,62 @@ class TestInterp:
         y = x ** -1.5
         x2 = np.array([20.0, 300.0])
         np.testing.assert_allclose(interp1d_loglog(x, y, x2), x2 ** -1.5, rtol=1e-12)
+
+
+class TestDegenerateDesigns:
+    """Numerically degenerate tf-form designs (|A(e^jw)| beyond float64's
+    dynamic range) must take the exact-recursion path everywhere — the
+    truncated-IR convolution is catastrophically ill-conditioned for them
+    — regardless of signal length or cache temperature."""
+
+    def _design(self):
+        from pandas_sigproc_spark.kernels.design import butter
+
+        return butter(6, 0.5 / 24000.0, "highpass")
+
+    def test_short_signal_cold_cache_matches_exact_loop(self):
+        from pandas_sigproc_spark.kernels import iir as I
+
+        b, a = self._design()
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(3000)  # > _LOOP_CUTOVER, <= 4096 fast path
+        I._IR_CACHE.clear()
+        got = I.lfilter(b, a, x)
+        want = I._lfilter_loop(b, a, x)
+        np.testing.assert_array_equal(got, want)
+
+    def test_batch_short_cold_cache_matches_exact_loop(self):
+        from pandas_sigproc_spark.kernels import iir as I
+        from pandas_sigproc_spark.kernels import iir_batch as IB
+
+        b, a = self._design()
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((4, 3000))
+        I._IR_CACHE.clear()
+        got = IB.lfilter_batch(b, a, X)
+        for row in range(4):
+            np.testing.assert_array_equal(got[row], I._lfilter_loop(b, a, X[row]))
+
+    def test_settling_length_refuses(self):
+        from pandas_sigproc_spark.operators.filters import settling_length
+
+        b, a = self._design()
+        with pytest.raises(ValueError, match="degenerate"):
+            settling_length(b, a)
+
+    def test_partial_cache_never_serves_full_decay_request(self):
+        # A short-signal call caches a 4096-tap PREFIX of A-weighting's
+        # 256k-sample impulse response; a later long-signal call must not
+        # be served that truncation.
+        from pandas_sigproc_spark.kernels import iir as I
+        from pandas_sigproc_spark.kernels.design import a_weighting
+
+        ba, aa = a_weighting(48000.0)
+        rng = np.random.default_rng(4)
+        I._IR_CACHE.clear()
+        I.lfilter(ba, aa, rng.standard_normal(2500))  # seeds partial cache
+        x = rng.standard_normal(60_000)
+        got = I.lfilter(ba, aa, x)
+        want = I._lfilter_loop(ba, aa, x)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-7
