@@ -363,9 +363,12 @@ FROM seg
 
 
 def q_derivative(spark, sf_dir):
+    # `+ 0.0` on both engines: ROUND can yield -0.0 on one side and +0.0 on
+    # the other (equal under isclose, different bytes under the driver's
+    # hash).  IEEE -0.0 + 0.0 == +0.0, so adding zero canonicalizes both.
     sig = _signals(spark, sf_dir)
     return derivative(sig, tiebreak_col="seq").select(
-        "channel_id", "t", F.round("value", 6).alias("value")
+        "channel_id", "t", (F.round("value", 6) + F.lit(0.0)).alias("value")
     )
 
 
@@ -378,7 +381,7 @@ p AS (
   WINDOW w AS (PARTITION BY channel_id ORDER BY t, seq)
 )
 SELECT channel_id, (t + t2) / 2.0 AS t,
-       ROUND((y2 - value) / (t2 - t), 6) AS value
+       ROUND((y2 - value) / (t2 - t), 6) + 0.0 AS value
 FROM p WHERE t2 IS NOT NULL
 """
 
@@ -1219,7 +1222,9 @@ contrib AS (
   FROM bits GROUP BY doc_id, j
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS simhash
+       -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas widens to
+       -- float64 and the driver's dtype-sensitive hash then mismatches.
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
 FROM contrib GROUP BY doc_id
 """
 

@@ -35,6 +35,14 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Canonical-bytes comparison mirroring the driver's value hash.
+
+    The driver sorts columns by name, then byte-hashes the values — so it is
+    sensitive to (a) dtype drift (DuckDB HUGEINT -> pandas float64 vs Spark
+    int64) and (b) float sign bits (-0.0 vs +0.0).  Round 1 shipped two
+    queries green locally (np.isclose) that failed the driver on exactly
+    those two classes; this gate now reproduces the driver's verdict.
+    """
     errs = []
     s_cols = sorted(spark_pdf.columns)
     d_cols = sorted(duck_pdf.columns)
@@ -47,18 +55,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     d = normalize(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
-        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
-            sv = sv.astype(float)
-            dv = dv.astype(float)
+        sk, dk = sv.dtype.kind, dv.dtype.kind
+        # dtype drift is a driver hash failure even when values are equal.
+        # (object columns from the two engines are compared by value below.)
+        if sk != dk and not (sk == "O" or dk == "O"):
+            errs.append(f"col {col}: dtype drift spark={sv.dtype} duck={dv.dtype}")
+            continue
+        if sk == "f" and dk == "f":
             both_nan = sv.isna() & dv.isna()
-            eq = np.isclose(sv, dv, rtol=0, atol=0, equal_nan=True) | both_nan
+            eq = (sv.to_numpy() == dv.to_numpy()) | both_nan.to_numpy()
+            # sign bit of zero differs in bytes though == says equal
+            sb = np.signbit(sv.to_numpy()) == np.signbit(dv.to_numpy())
+            eq = eq & (sb | both_nan.to_numpy())
         else:
             eq = (sv == dv) | (sv.isna() & dv.isna())
+        eq = np.asarray(eq)
         if not eq.all():
-            bad = (~eq).idxmax()
+            bad = int(np.argmax(~eq))
             errs.append(
-                f"col {col}: {(~eq).sum()}/{len(eq)} differ; first at row {bad}: "
-                f"spark={s[col][bad]!r} duck={d[col][bad]!r}"
+                f"col {col}: {int((~eq).sum())}/{len(eq)} differ; first at row {bad}: "
+                f"spark={s[col].iloc[bad]!r} duck={d[col].iloc[bad]!r}"
             )
     return errs
 
