@@ -17,6 +17,7 @@ rounded on BOTH sides to absorb summation-order differences.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -2470,6 +2471,73 @@ def q_interp_quadratic(spark, sf_dir):
     return interp1d_spline(sig, grid, kind="quadratic")
 
 
+# Angular step for the relational DFT below: repr-round-tripped so the SQL
+# literal and the Python float are the same double in both engines.
+_DFT_N = 64
+_DFT_W0 = 2.0 * math.pi / _DFT_N
+
+
+def q_psd_dft(spark, sf_dir):
+    """Brute-force relational DFT periodogram — the spectral tier's one
+    fully oracle-checked query (DuckDB cannot FFT, but it CAN evaluate the
+    O(N^2) DFT sums when both engines express them identically).
+
+    Shape: head-N=64 segment per channel, k = 0..N/2 bins via a broadcast
+    cross join, one groupBy(channel, k).  Cos/sin arguments are reduced
+    mod N before the trig call (cos(w0*m) has period N in m), so both
+    engines evaluate the libm functions at the SAME 64 double arguments —
+    cross-engine drift is bounded by 1 ulp per term and vanishes under the
+    3-decimal round (values scaled /100 keep the sums O(1)).
+
+    This is the correctness anchor, not the scale path: at 100 TB the FFT
+    kernel (q_psd_welch / psd_segmented) does the same math in O(N log N)
+    per segment; tests pin the two against each other on overlapping bins.
+    """
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    base = (
+        sig.withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < _DFT_N)
+        .select("channel_id", "rn", (F.col("value") / 100.0).alias("x"))
+    )
+    kgrid = spark.range(0, _DFT_N // 2 + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    ang = F.lit(_DFT_W0) * ((F.col("rn") * F.col("k")) % _DFT_N)
+    agg = (
+        base.crossJoin(F.broadcast(kgrid))
+        .groupBy("channel_id", "k")
+        .agg(
+            F.sum(F.col("x") * F.cos(ang)).alias("re"),
+            F.sum(F.col("x") * F.sin(ang)).alias("im"),
+        )
+    )
+    power = F.col("re") * F.col("re") + F.col("im") * F.col("im")
+    return agg.select(
+        "channel_id", "k", (F.round(power, 3) + F.lit(0.0)).alias("power")
+    )
+
+
+SQL_PSD_DFT = f"""
+WITH {_SIG_CTE},
+r AS (
+  SELECT channel_id, value / 100.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) - 1 AS rn
+  FROM sig
+),
+b AS (SELECT * FROM r WHERE rn < {_DFT_N}),
+kg AS (SELECT CAST(UNNEST(RANGE(0, {_DFT_N // 2 + 1})) AS INTEGER) AS k),
+agg AS (
+  SELECT channel_id, k,
+         SUM(x * COS({_DFT_W0!r} * ((rn * k) % {_DFT_N}))) AS re,
+         SUM(x * SIN({_DFT_W0!r} * ((rn * k) % {_DFT_N}))) AS im
+  FROM b CROSS JOIN kg
+  GROUP BY channel_id, k
+)
+SELECT channel_id, k, ROUND(re * re + im * im, 3) + 0.0 AS power FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2527,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
         "filt_chain": q_filt_chain,
+        "psd_dft": q_psd_dft,
         "psd_welch": q_psd_welch,
         "psd_damage": q_psd_damage,
         "psd_median": q_psd_median,
@@ -2569,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,
         "tpch_local_supplier": SQL_TPCH_LOCAL_SUPPLIER,
         "interp_log": SQL_INTERP_LOG,
+        "psd_dft": SQL_PSD_DFT,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,
         "token_count": SQL_TOKEN_COUNT,
