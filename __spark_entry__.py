@@ -50,6 +50,8 @@ from pandas_sigproc_spark.operators import (
     segment_stats,
     spl,
     interp1d_spline,
+    jaccard_pairs,
+    jaccard_ppjoin,
 )
 
 DAY = 86400.0
@@ -1234,159 +1236,27 @@ _JACCARD_T = 0.5
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    # n-gram Jaccard near-dup pairs: distinct word-3-gram shingle sets,
-    # self-joined on shingle, J = |inter| / |union| >= 0.5.  Shingle
-    # dedup (array_distinct) and set sizes are computed map-side and
-    # carried through the explode, so the plan has exactly two shuffles
-    # (self-join + pair groupBy).  The join key is xxhash64(shingle)
-    # (8-byte fixed) with string equality kept in the condition: the
-    # shuffle/broadcast ships and probes bigints instead of ~20-char
-    # strings, and the string compare only runs on hash-equal rows, so
-    # results are exact.  The size-ratio bound (J <= n_min/n_max) prunes
-    # pairs before they reach the aggregation.
-    # At corpus scale the (d1,d2) pair aggregation here grows
-    # quadratically with shingle document-frequency; the PPJoin-style
-    # prefix-filtered plan in q_dedup_jaccard_ppjoin is the variant that
-    # survives 100 TB (kept separate because its extra stages cost more
-    # than they save below ~1M docs).
+    # n-gram Jaccard near-dup pairs via operators/dedup.py jaccard_pairs:
+    # distinct word-3-gram shingle sets self-joined on xxhash64(shingle)
+    # (8-byte join key, string equality in the condition so collisions
+    # can't corrupt results), size-ratio bound pruning pairs before the
+    # aggregation.  Two shuffles.  At corpus scale the (d1,d2) pair
+    # aggregation grows quadratically with shingle document frequency —
+    # the max_df skew guard and the PPJoin plan (q_dedup_jaccard_ppjoin)
+    # are the 100 TB answers; this query keeps the exact small-corpus
+    # semantics the oracle expresses.
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
-    shs = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
-    )
-    sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), shs.alias("shs")
-    ).select(
-        "doc_id",
-        F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("sh"),
-    ).withColumn("h", F.xxhash64("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") * _JACCARD_T <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * _JACCARD_T <= F.col("a.n_sh")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    j = inter.withColumn(
-        "jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
-    ).filter(F.col("jaccard") >= _JACCARD_T)
-    return j.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    return jaccard_pairs(d, _JACCARD_T)
 
 
 def q_dedup_jaccard_ppjoin(spark, sf_dir):
-    # Same result as q_dedup_jaccard_pairs, as an EXACT prefix-filtered
-    # set-similarity self-join (PPJoin-style) — the 100 TB scale path:
-    #
-    #   1. per doc: distinct word-3-gram shingles, sorted by a global
-    #      total order (xxhash64, string tiebreak);
-    #   2. candidate pairs must share an element of each other's PREFIX
-    #      (first n - ceil(t*n) + 1 sorted shingles) and pass the size
-    #      bound max(n1,n2) <= n_min/t — both are necessary conditions
-    #      for J >= t, so no true pair is lost;
-    #   3. verify each distinct candidate pair once with
-    #      size(array_intersect(shs1, shs2)) against the full arrays.
-    #
-    # vs the naive all-shingles self-join + count-per-pair: at t=0.5 the
-    # join input halves, the join key is a bigint hash instead of a
-    # ~20-char string, and the million-group (d1,d2) aggregation is
-    # replaced by a distinct over the (much smaller) candidate set —
-    # that aggregation is the piece that blows up quadratically with
-    # corpus size, so this is the plan that survives 100 TB.  The
-    # verification joins are plain equi-joins on doc_id (AQE broadcasts
-    # the array side at small SF; at scale they shuffle on doc_id, and
-    # the candidate side is tiny by then).
+    # Same result as q_dedup_jaccard_pairs via the EXACT prefix-filtered
+    # PPJoin-style plan in operators/dedup.py jaccard_ppjoin — the 100 TB
+    # scale path: prefix-filter + size bound produce a candidate set whose
+    # distinct replaces the quadratic (d1,d2) aggregation; each candidate
+    # verified once with array_intersect against the full arrays.
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
-    shs = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
-    )
-    # The trailing repartition is a materialization point: the prefix
-    # explode (twice, via the self-join) and both verification joins all
-    # consume `arr`, and exchange reuse makes them read these shuffle
-    # files instead of re-running the shingle build + sort 4x.
-    arr = (
-        d.select(F.col("doc_id").cast("long").alias("doc_id"), shs.alias("shs"))
-        .select(
-            "doc_id",
-            F.array_sort(
-                F.transform(
-                    "shs", lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("sh"))
-                )
-            ).alias("e"),
-        )
-        .select(
-            "doc_id",
-            F.col("e.sh").alias("shs"),
-            F.col("e.h").alias("hs"),
-            F.size("e").alias("n_sh"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    # Prefix length for threshold t: n - ceil(t*n) + 1 (PPJoin lemma —
-    # two sets with J >= t must share a member of both prefixes).
-    pre_len = (
-        F.col("n_sh") - F.ceil(F.lit(_JACCARD_T) * F.col("n_sh")) + F.lit(1)
-    ).cast("int")
-    pre = arr.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.slice("hs", F.lit(1), pre_len)).alias("h"),
-    )
-    a, b = pre.alias("a"), pre.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size bound: J <= min/max, so max <= min/t is necessary.
-            & (F.col("a.n_sh") * _JACCARD_T <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * _JACCARD_T <= F.col("a.n_sh")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    full = arr.select("doc_id", "shs", "n_sh")
-    v = (
-        cand.join(
-            full.select(
-                F.col("doc_id").alias("d1"),
-                F.col("shs").alias("shs1"),
-                F.col("n_sh").alias("n1"),
-            ),
-            "d1",
-        )
-        .join(
-            full.select(
-                F.col("doc_id").alias("d2"),
-                F.col("shs").alias("shs2"),
-                F.col("n_sh").alias("n2"),
-            ),
-            "d2",
-        )
-        # Hash collisions in the candidate step only ever ADD candidates;
-        # exact string-array intersection here decides membership, so the
-        # output is bit-identical to the brute-force plan.
-        .withColumn("n_inter", F.size(F.array_intersect("shs1", "shs2")))
-        .withColumn(
-            "jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
-        )
-        .filter(F.col("jaccard") >= _JACCARD_T)
-    )
-    return v.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    return jaccard_ppjoin(d, _JACCARD_T)
 
 
 SQL_DEDUP_JACCARD_PAIRS = """

@@ -53,6 +53,7 @@ from pandas_sigproc_spark.operators.srs import get_srs
 from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
+from pandas_sigproc_spark.operators.dedup import jaccard_pairs, jaccard_ppjoin
 
 __all__ = [
     "between",
@@ -85,4 +86,6 @@ __all__ = [
     "rainflow_chunked",
     "interp1d_spline",
     "connected_components",
+    "jaccard_pairs",
+    "jaccard_ppjoin",
 ]

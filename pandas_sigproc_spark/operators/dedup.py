@@ -1,0 +1,236 @@
+"""n-gram Jaccard near-duplicate detection with a document-frequency skew guard.
+
+Extension tier (no reference counterpart — SURVEY.md §2's LLM-pipeline rows):
+exact set-similarity self-join over word n-gram shingles, in two plans:
+
+- ``jaccard_pairs``: all-shingle self-join + per-pair count aggregation.
+  Simple and fast below ~1M docs, but the (d1, d2) pair aggregation grows
+  quadratically with shingle document frequency.
+- ``jaccard_ppjoin``: PPJoin-style prefix-filtered join — candidates must
+  share a member of both docs' prefixes (first n - ceil(t*n) + 1 shingles
+  in a global sort order) and pass the size bound max <= min/t; each
+  distinct candidate pair is verified once against the full arrays.  This
+  is the plan that survives 100 TB.
+
+Both plans accept ``max_df``, a document-frequency cap on shingles: any
+shingle appearing in more than ``max_df`` documents (boilerplate headers,
+license blocks, navigation chrome) is dropped from the similarity universe
+*consistently* — from the join, from the intersection counts, AND from the
+set sizes — so the result is exactly Jaccard similarity over the
+df-filtered shingle sets.  This is the standard near-dup skew guard: on a
+boilerplate-heavy corpus a single hot shingle with df=d contributes
+O(d^2) join output rows, and d is unbounded in corpus size while honest
+near-dup shingles have small df.  When every shingle's df <= max_df the
+results are bit-identical to the uncapped run (property-tested).
+
+Scale shape of the cap itself: one extra map-side-combinable count over
+exploded shingles to find the hot set (which is tiny by construction —
+only shingles with df > max_df), broadcast anti-join to drop them, and a
+per-doc window count to re-derive set sizes.  No all-pairs work anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _shingles_expr(text_col: str, n: int):
+    """Distinct word n-gram shingle array, computed map-side."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def _exploded(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, n_sh, sh, h): one row per distinct shingle per doc.
+
+    n_sh is computed map-side (F.size before the explode) so the uncapped
+    path needs no shuffle at all to know set sizes.
+    """
+    shs = _shingles_expr(text_col, n)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), shs.alias("shs"))
+        .select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
+        .withColumn("h", F.xxhash64("sh"))
+    )
+
+
+def _hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Shingles with document frequency above the cap — small by construction."""
+    return (
+        sh.groupBy("h", "sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h", "sh")
+    )
+
+
+def _apply_df_cap(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop hot shingles and re-derive n_sh over the kept set.
+
+    The hot set is broadcast (it cannot be large: there are at most
+    total_shingle_rows / max_df shingles over the cap), so the anti-join
+    is map-side; the size re-derivation is one window count partitioned by
+    doc_id, which downstream per-doc stages reuse.
+    """
+    if max_df is None:
+        return sh
+    hot = _hot_shingles(sh, max_df)
+    kept = sh.join(F.broadcast(hot), ["h", "sh"], "left_anti").drop("n_sh")
+    return kept.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All near-dup pairs (d1 < d2) with Jaccard >= threshold.
+
+    Shingle self-join on xxhash64(shingle) (8-byte join key; string
+    equality kept in the condition so hash collisions cannot corrupt
+    results), size-ratio bound J <= n_min/n_max pruning pairs before the
+    aggregation.  Two shuffles (three with max_df).  Small-corpus plan;
+    see jaccard_ppjoin for the 100 TB variant.
+    """
+    sh = _apply_df_cap(_exploded(docs, text_col, id_col, n), max_df)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = inter.withColumn(
+        "jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    ).filter(F.col("jaccard") >= threshold)
+    return j.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def jaccard_ppjoin(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Same result as jaccard_pairs via an exact PPJoin-style plan.
+
+    1. per doc: distinct shingles sorted by a global total order
+       (xxhash64, string tiebreak);
+    2. candidates must share an element of each other's PREFIX (first
+       n - ceil(t*n) + 1 sorted shingles) and pass the size bound
+       max(n1, n2) <= n_min / t — both necessary for J >= t, so no true
+       pair is lost;
+    3. each distinct candidate pair verified once with
+       size(array_intersect) against the full arrays.
+
+    The trailing repartition on the per-doc array table is a
+    materialization point: the prefix explode and both verification joins
+    consume it via exchange reuse instead of re-running the shingle build.
+    With max_df set, the per-doc arrays are rebuilt from the df-filtered
+    exploded set (one groupBy(doc_id) collect) — the hot-shingle guard
+    matters MOST here, because prefix entries of boilerplate shingles are
+    exactly what floods the candidate join.
+    """
+    sh = _exploded(docs, text_col, id_col, n)
+    nparts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    if max_df is None:
+        arr = (
+            docs.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                _shingles_expr(text_col, n).alias("shs"),
+            )
+            .select(
+                "doc_id",
+                F.array_sort(
+                    F.transform(
+                        "shs",
+                        lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("sh")),
+                    )
+                ).alias("e"),
+            )
+        )
+    else:
+        kept = sh.join(F.broadcast(_hot_shingles(sh, max_df)), ["h", "sh"], "left_anti")
+        arr = kept.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(F.struct("h", "sh"))).alias("e")
+        )
+    arr = (
+        arr.select(
+            "doc_id",
+            F.col("e.sh").alias("shs"),
+            F.col("e.h").alias("hs"),
+            F.size("e").alias("n_sh"),
+        )
+        .repartition(nparts, "doc_id")
+    )
+    pre_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    pre = arr.select(
+        "doc_id", "n_sh", F.explode(F.slice("hs", F.lit(1), pre_len)).alias("h")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    full = arr.select("doc_id", "shs", "n_sh")
+    v = (
+        cand.join(
+            full.select(
+                F.col("doc_id").alias("d1"),
+                F.col("shs").alias("shs1"),
+                F.col("n_sh").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            full.select(
+                F.col("doc_id").alias("d2"),
+                F.col("shs").alias("shs2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "d2",
+        )
+        # Hash collisions in the candidate step only ever ADD candidates;
+        # exact string-array intersection decides membership, so output is
+        # bit-identical to the brute-force plan.
+        .withColumn("n_inter", F.size(F.array_intersect("shs1", "shs2")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return v.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
