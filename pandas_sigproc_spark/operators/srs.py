@@ -29,10 +29,17 @@ def get_srs(
     df: DataFrame,
     freq: np.ndarray | None = None,
     quality_factor: float = 50.0,
+    remove_bias: bool = False,
     n_freq_slices: int = 1,
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Maximax SRS envelope -> spectra(channel_id, freq, power).
+
+    ``remove_bias`` mirrors the reference parameter (``tools.py:305,
+    345-348``: subtract the signal mean before the Smallwood recursion to
+    drop static sensor offset).  Here it composes with the native constant
+    detrend — per-channel window average, no extra shuffle beyond the
+    channel partitioning the kernel stage needs anyway.
 
     ``n_freq_slices > 1`` splits the frequency grid so one channel's SRS
     is computed by several tasks concurrently (few long channels).
@@ -41,6 +48,10 @@ def get_srs(
     bucket at once (many short channels) — the two axes of the same
     fan-out trade-off.
     """
+    if remove_bias:
+        from pandas_sigproc_spark.operators.windows import detrend
+
+        df = detrend(df.select("channel_id", "t", "value"), "constant")
     if n_buckets is not None:
         return _get_srs_bucketed(df, freq, quality_factor, n_buckets)
     fn = build_freq_array() if freq is None else np.asarray(freq, np.float64)

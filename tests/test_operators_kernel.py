@@ -141,6 +141,24 @@ class TestSrs:
         pos, neg = K.srs(t, pulse, fn)
         np.testing.assert_allclose(out1["power"], np.maximum(pos, neg), rtol=1e-9)
 
+    def test_remove_bias_matches_unbiased(self, spark):
+        # Reference tools.py:305,345-348: remove_bias subtracts the signal
+        # mean before the Smallwood recursion.  A constant-offset pulse with
+        # remove_bias=True must reproduce the zero-mean pulse's SRS.
+        fs = 20000.0
+        t = np.arange(0, 0.3, 1 / fs)
+        pulse = np.where(t < 0.011, 10.0 * np.sin(np.pi * t / 0.011), 0.0)
+        centered = pulse - pulse.mean()
+        df_biased = make_signals(spark, {"shock": (t, centered + 5.0)})
+        df_clean = make_signals(spark, {"shock": (t, centered)})
+        got = get_srs(df_biased, remove_bias=True).orderBy("freq").toPandas()
+        want = get_srs(df_clean).orderBy("freq").toPandas()
+        np.testing.assert_allclose(got["power"], want["power"], rtol=1e-9)
+        # and WITHOUT the flag the bias dominates the low-freq asymptote,
+        # proving the flag actually changes the computation.
+        raw = get_srs(df_biased).orderBy("freq").toPandas()
+        assert raw["power"].iloc[0] > 2 * want["power"].iloc[0]
+
 
 class TestRainflow:
     def test_astm_sequence_per_channel(self, spark):
