@@ -65,8 +65,13 @@ def channels_to_signals(spark: SparkSession, channels: list[Channel]):
                 sr = 1.0 / dt.mean()
                 if abs(sr - round(sr)) < 0.01 and sr >= 1:
                     sr = float(round(sr))
+        st = ch.start_time
+        # pd.Timestamp (what datetime-indexed readers naturally produce)
+        # fails Spark's TimestampType verifier; plain datetime doesn't.
+        if st is not None and hasattr(st, "to_pydatetime"):
+            st = st.to_pydatetime()
         cat_rows.append(
-            (ch.channel_id, ch.name or ch.channel_id, ch.unit, ch.start_time, sr)
+            (ch.channel_id, ch.name or ch.channel_id, ch.unit, st, sr)
         )
 
     signals = spark.createDataFrame(pd.concat(sig_frames, ignore_index=True), schema=SIGNALS_SCHEMA)

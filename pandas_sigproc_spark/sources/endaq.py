@@ -34,34 +34,68 @@ def _require_endaq():
         )
 
 
-def read_ide_channels(filename: str) -> list[Channel]:
-    """Open one ``.ide`` file -> in-memory Channels.
-
-    Mirrors ``EndaqChannel``'s extraction (``io.py:242-301``): per
-    subchannel display name, seconds time base, data vector, unit and UTC
-    start time — but reads the file once instead of re-reading per
-    property (the reference re-reads the whole channel to take
-    ``index.min()``, ``io.py:251-255``).
-    """
-    _require_endaq()
-    doc = _endaq_ide.get_doc(filename)
-    out = []
+def _subchannels(doc):
+    """Flat (displayName, subchannel) pairs — the reference's enumeration
+    order (``daq/io.py:176-184``: outer channels dict, inner subchannels)."""
     for ch in doc.channels.values():
         for sub in ch.subchannels:
-            pdf = _endaq_ide.to_pandas(sub, time_mode="seconds")
-            t = pdf.index.to_numpy(dtype="float64")
-            v = pdf.to_numpy(dtype="float64").squeeze()
-            out.append(
-                Channel(
-                    channel_id=f"{filename}:{sub.displayName}",
-                    time=t,
-                    data=v,
-                    name=sub.displayName,
-                    unit=str(sub.units[1]) if sub.units else "none",
-                    start_time=getattr(doc, "lastUtcTime", None),
-                )
-            )
-    return out
+            yield sub.displayName, sub
+
+
+def ide_channel_list(filename: str) -> list[str]:
+    """Display names in one ``.ide`` file (reference ``Endaq.channel_list``,
+    ``daq/io.py:175-184``)."""
+    _require_endaq()
+    doc = _endaq_ide.get_doc(filename=filename)
+    try:
+        return [name for name, _ in _subchannels(doc)]
+    finally:
+        doc.close()
+
+
+def _sub_to_channel(filename: str, sub) -> Channel:
+    """One subchannel -> Channel, mirroring ``EndaqChannel``'s properties
+    (``daq/io.py:241-301``): seconds time base, data vector, displayName,
+    units[1], and start_time = min of the UTC datetime index (naive) —
+    two reads per subchannel instead of the reference's one per property.
+    """
+    pdf = _endaq_ide.to_pandas(sub, time_mode="seconds")
+    dt_idx = _endaq_ide.to_pandas(sub, time_mode="datetime", tz="utc").index
+    start = dt_idx.min()
+    if getattr(start, "tzinfo", None) is not None:
+        start = start.replace(tzinfo=None)
+    return Channel(
+        channel_id=f"{filename}:{sub.displayName}",
+        time=pdf.index.to_numpy(dtype="float64"),
+        data=pdf.to_numpy(dtype="float64").squeeze(),
+        name=sub.displayName,
+        unit=str(sub.units[1]) if sub.units else "none",
+        start_time=start,
+    )
+
+
+def read_ide_channel(filename: str, ch_name: str) -> Channel:
+    """Name lookup (reference ``Endaq.get_channel``, ``daq/io.py:211-239``):
+    raises KeyError when the display name is absent."""
+    _require_endaq()
+    doc = _endaq_ide.get_doc(filename=filename)
+    try:
+        for name, sub in _subchannels(doc):
+            if name == ch_name:
+                return _sub_to_channel(filename, sub)
+    finally:
+        doc.close()
+    raise KeyError(f"channel {ch_name!r} not in {filename}")
+
+
+def read_ide_channels(filename: str) -> list[Channel]:
+    """Open one ``.ide`` file -> in-memory Channels (every subchannel)."""
+    _require_endaq()
+    doc = _endaq_ide.get_doc(filename=filename)
+    try:
+        return [_sub_to_channel(filename, sub) for _, sub in _subchannels(doc)]
+    finally:
+        doc.close()
 
 
 def ingest_ide(spark, filename: str):

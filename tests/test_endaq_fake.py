@@ -1,0 +1,126 @@
+"""Exercise the .ide parse path beyond the import gate via a fake endaq.ide.
+
+The real ``endaq`` package (and any .ide fixture) is absent from this
+environment, so the reader was previously tested only for its ImportError
+gate.  This double implements the two endaq.ide entry points the reader
+uses — ``get_doc`` and ``to_pandas`` — with the documented shapes
+(channels dict -> subchannels with displayName/units; seconds vs datetime
+time modes), covering channel enumeration, name lookup, unit/start_time
+extraction, and the full ingest into the canonical signals layout.
+Reference surface mirrored: Endaq.channel_list / get_channel and
+EndaqChannel.{time,data,name,unit,start_time} (daq/io.py:161-301).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_sigproc_spark.sources.endaq as endaq_mod
+
+T0 = pd.Timestamp("2024-03-01 12:00:00", tz="utc")
+
+
+class FakeSubchannel:
+    def __init__(self, name, unit, t, v):
+        self.displayName = name
+        self.units = ("Acceleration", unit)
+        self.t = np.asarray(t, float)
+        self.v = np.asarray(v, float)
+
+
+class FakeChannel:
+    def __init__(self, subs):
+        self.subchannels = subs
+
+
+class FakeDoc:
+    def __init__(self, channels):
+        self.channels = channels
+        self.closed = False
+
+    def close(self):
+        self.closed = True
+
+
+class FakeIde:
+    """Stand-in for the endaq.ide module."""
+
+    def __init__(self):
+        t = np.arange(0, 1.0, 0.01)
+        self.doc = FakeDoc(
+            {
+                8: FakeChannel(
+                    [
+                        FakeSubchannel("X (100g)", "g", t, np.sin(2 * np.pi * 5 * t)),
+                        FakeSubchannel("Y (100g)", "g", t, np.cos(2 * np.pi * 5 * t)),
+                    ]
+                ),
+                36: FakeChannel(
+                    [FakeSubchannel("Pressure", "Pa", t[:50], np.full(50, 101325.0))]
+                ),
+            }
+        )
+
+    def get_doc(self, filename):
+        assert filename.endswith(".ide")
+        return self.doc
+
+    def to_pandas(self, sub, time_mode="seconds", tz=None):
+        if time_mode == "seconds":
+            idx = pd.Index(sub.t, name="t")
+        else:
+            assert tz == "utc"
+            idx = T0 + pd.to_timedelta(sub.t, unit="s")
+        return pd.DataFrame({sub.displayName: sub.v}, index=idx)
+
+
+@pytest.fixture
+def fake_ide(monkeypatch):
+    fake = FakeIde()
+    monkeypatch.setattr(endaq_mod, "_endaq_ide", fake)
+    return fake
+
+
+def test_import_gate_without_endaq(monkeypatch):
+    monkeypatch.setattr(endaq_mod, "_endaq_ide", None)
+    with pytest.raises(ImportError, match="endaq"):
+        endaq_mod.ide_channel_list("f.ide")
+
+
+def test_channel_enumeration(fake_ide):
+    assert endaq_mod.ide_channel_list("rec.ide") == [
+        "X (100g)",
+        "Y (100g)",
+        "Pressure",
+    ]
+    assert fake_ide.doc.closed
+
+
+def test_name_lookup_and_metadata(fake_ide):
+    ch = endaq_mod.read_ide_channel("rec.ide", "Pressure")
+    assert ch.name == "Pressure"
+    assert ch.unit == "Pa"
+    assert ch.channel_id == "rec.ide:Pressure"
+    # start_time: min of the UTC datetime index, made naive (io.py:251-255)
+    assert ch.start_time == T0.tz_localize(None)
+    assert len(ch.time) == 50
+    np.testing.assert_allclose(ch.data, 101325.0)
+    with pytest.raises(KeyError, match="nope"):
+        endaq_mod.read_ide_channel("rec.ide", "nope")
+
+
+def test_ingest_to_signals(fake_ide, spark):
+    signals, catalog = endaq_mod.ingest_ide(spark, "rec.ide")
+    spdf = signals.toPandas()
+    assert set(spdf.channel_id.unique()) == {
+        "rec.ide:X (100g)",
+        "rec.ide:Y (100g)",
+        "rec.ide:Pressure",
+    }
+    assert len(spdf) == 100 + 100 + 50
+    cat = catalog.toPandas().set_index("channel_id")
+    assert cat.loc["rec.ide:X (100g)", "unit"] == "g"
+    assert cat.loc["rec.ide:X (100g)", "samplerate"] == pytest.approx(100.0)
+    # absolute timestamps materialized from start_time origin
+    x = spdf[spdf.channel_id == "rec.ide:X (100g)"].sort_values("t")
+    assert x["ts"].iloc[0] == T0.tz_localize(None)
