@@ -2341,6 +2341,56 @@ def q_interp_quadratic(spark, sf_dir):
     return interp1d_spline(sig, grid, kind="quadratic")
 
 
+def q_media_audio_real(spark, sf_dir):
+    """Real-codec audio path through the driver gate: every channel's
+    samples are ENCODED to an in-memory RIFF/WAVE payload (sources/wav.py),
+    shipped as a binary media column, then DECODED back by
+    extract_media_features(codec='real') in executors.  The oracle predicts
+    the decoded dimensions and byte counts purely from SQL row counts —
+    an independent check that the codec's header layout and stereo
+    duplication (reference tools.py:246-251) round-trip exactly.
+
+    Scale shape: one applyInPandas encode per channel (the payload never
+    leaves the executor that built it at small SF; at scale it's one
+    shuffle on channel_id), then the zero-shuffle mapInPandas decode.
+    """
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.multimodal import extract_media_features
+    from pandas_sigproc_spark.sources.wav import encode_wav_bytes
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "seq"])
+        payload = encode_wav_bytes(100, pdf["value"].to_numpy("float64"))
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "kind": ["audio"],
+                "payload": [payload],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, kind string, payload binary"
+    )
+    feats = extract_media_features(media, codec="real")
+    return feats.select("media_id", "width", "height", "n_frames", "n_bytes")
+
+
+SQL_MEDIA_AUDIO_REAL = f"""
+WITH {_SIG_CTE}
+SELECT CAST(channel_id AS BIGINT) AS media_id,
+       CAST(COUNT(*) AS INTEGER) AS width,
+       2 AS height,
+       1 AS n_frames,
+       -- 44-byte RIFF header + n samples * 2 channels * 8 bytes (float64)
+       CAST(44 + COUNT(*) * 16 AS BIGINT) AS n_bytes
+FROM sig GROUP BY channel_id
+"""
+
+
 # Angular step for the relational DFT below: repr-round-tripped so the SQL
 # literal and the Python float are the same double in both engines.
 _DFT_N = 64
@@ -2460,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "media_audio_real": q_media_audio_real,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
@@ -2527,4 +2578,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": SQL_ANN_IVF,
         "media_features": SQL_MEDIA_FEATURES,
+        "media_audio_real": SQL_MEDIA_AUDIO_REAL,
     }

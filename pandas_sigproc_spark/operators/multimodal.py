@@ -47,15 +47,24 @@ FEATURE_SCHEMA = (
 def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
     """Decode one media payload to (width, height, n_frames).
 
-    ``codec='real'`` is the seam for an actual image/audio/video decoder;
-    it is intentionally unimplemented in this environment.
-    ``codec='fake'`` derives deterministic dimensions from the byte
-    length so the distributed plumbing around the decode is testable.
+    ``codec='real'`` decodes ``kind='audio'`` payloads for real — they are
+    whole RIFF/WAVE files parsed by the engine's from-scratch WAV codec
+    (``sources/wav.py``), returning (n_samples, n_channels, 1).  Image and
+    video remain the marked seam for PIL/ffmpeg, which are absent from
+    this environment.  ``codec='fake'`` derives deterministic dimensions
+    from the byte length so the distributed plumbing around the decode is
+    testable for every kind.
     """
     if codec == "real":
+        if kind == "audio":
+            from pandas_sigproc_spark.sources.wav import decode_wav_bytes
+
+            _rate, arr = decode_wav_bytes(bytes(payload))
+            return arr.shape[0], arr.shape[1], 1
         raise NotImplementedError(
-            "no media codecs in this environment: plug PIL/ffmpeg/soundfile "
-            "in here; everything around this call is production plumbing"
+            "no image/video codecs in this environment: plug PIL/ffmpeg in "
+            "here; everything around this call is production plumbing "
+            "(audio already decodes for real via sources/wav.py)"
         )
     n = len(payload)
     if kind == "image":

@@ -69,37 +69,70 @@ def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
         f.write(data)
 
 
+def _read_wav_stream(f):
+    riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = rate = bits = n_ch = None
+    data = None
+    while True:
+        head = f.read(8)
+        if len(head) < 8:
+            break
+        cid, clen = struct.unpack("<4sI", head)
+        body = f.read(clen + (clen % 2))[:clen]
+        if cid == b"fmt ":
+            fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt == _FMT_PCM and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif fmt == _FMT_IEEE and bits == 32:
+        arr = np.frombuffer(data, dtype="<f4")
+    elif fmt == _FMT_IEEE and bits == 64:
+        arr = np.frombuffer(data, dtype="<f8")
+    else:
+        raise ValueError(f"unsupported WAV format ({fmt=}, {bits=})")
+    return rate, arr.reshape(-1, n_ch)
+
+
 def read_wav(filename):
     """Read a PCM16 / IEEE-float WAV -> (sample_rate, ndarray[n, channels])."""
     with open(filename, "rb") as f:
-        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
-        if riff != b"RIFF" or wave != b"WAVE":
-            raise ValueError("not a RIFF/WAVE file")
-        fmt = rate = bits = n_ch = None
-        data = None
-        while True:
-            head = f.read(8)
-            if len(head) < 8:
-                break
-            cid, clen = struct.unpack("<4sI", head)
-            body = f.read(clen + (clen % 2))[:clen]
-            if cid == b"fmt ":
-                fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
-                    "<HHIIHH", body[:16]
-                )
-            elif cid == b"data":
-                data = body
-        if fmt is None or data is None:
-            raise ValueError("missing fmt/data chunk")
-        if fmt == _FMT_PCM and bits == 16:
-            arr = np.frombuffer(data, dtype="<i2")
-        elif fmt == _FMT_IEEE and bits == 32:
-            arr = np.frombuffer(data, dtype="<f4")
-        elif fmt == _FMT_IEEE and bits == 64:
-            arr = np.frombuffer(data, dtype="<f8")
-        else:
-            raise ValueError(f"unsupported WAV format ({fmt=}, {bits=})")
-        return rate, arr.reshape(-1, n_ch)
+        return _read_wav_stream(f)
+
+
+def decode_wav_bytes(payload: bytes):
+    """Decode an in-memory WAV payload -> (sample_rate, ndarray[n, channels]).
+
+    The executor-side entry point: binary media columns carry whole WAV
+    files as bytes, and this parses them without touching the filesystem
+    (the multimodal tier's ``codec='real'`` audio seam).
+    """
+    import io
+
+    return _read_wav_stream(io.BytesIO(payload))
+
+
+def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
+    """write_wav's layout into an in-memory payload (test/pipeline harness)."""
+    import io
+    import tempfile
+
+    # write_wav is file-based; reuse its exact header/data path via a temp
+    # file so byte-level behavior can't drift between the two.
+    import os
+
+    fd, path = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        write_wav(path, sample_rate, sound_left, sound_right)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
 
 
 def wav_to_signals(spark, filename, channel_prefix: str = "wav"):

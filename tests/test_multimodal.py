@@ -98,9 +98,45 @@ def test_sample_frames_video_only_fanout(media):
             assert bytes(r["frame"]) == src[mid][start : start + fb]
 
 
-def test_real_codec_is_explicit_stub(media):
+def test_real_codec_is_explicit_stub_for_images(media):
+    # image/video remain the marked PIL/ffmpeg seam (the media fixture
+    # starts with an image row, so the raise happens before any audio row).
     with pytest.raises(Exception) as ei:
         extract_media_features(media, codec="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_real_codec_decodes_wav_audio_end_to_end(spark):
+    # codec='real' audio: whole WAV files as binary payloads, decoded in
+    # executors by the from-scratch RIFF codec (sources/wav.py) — one real
+    # media format flows through the full mapInPandas pipeline.
+    from pandas_sigproc_spark.sources.wav import encode_wav_bytes
+
+    fs = 8000
+    specs = {10: 800, 11: 123, 12: 4096}  # media_id -> n_samples
+    rows = []
+    for mid, n in specs.items():
+        t = np.arange(n) / fs
+        left = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        rows.append((mid, "audio", bytearray(encode_wav_bytes(fs, left)), {}))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(media, codec="real").collect()
+    }
+    for mid, n in specs.items():
+        r = out[mid]
+        # write_wav duplicates mono into stereo (reference tools.py:246-247)
+        assert (r["width"], r["height"], r["n_frames"]) == (n, 2, 1)
+        assert r["n_bytes"] == 44 + n * 2 * 4  # RIFF header + stereo f32
+    # golden roundtrip of the decoded samples themselves
+    from pandas_sigproc_spark.sources.wav import decode_wav_bytes
+
+    rate, arr = decode_wav_bytes(bytes(rows[0][2]))
+    assert rate == fs
+    expected = np.sin(2 * np.pi * 440 * (np.arange(800) / fs)).astype(np.float32)
+    np.testing.assert_array_equal(arr[:, 0], expected)
