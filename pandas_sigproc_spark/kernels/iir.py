@@ -228,7 +228,9 @@ def _fft_convolve_full(x: np.ndarray, h: np.ndarray) -> np.ndarray:
 _H_FFT_CACHE: dict = {}
 
 
-def _conv_ar_spectrum(a_key: bytes, h: np.ndarray, nfft: int) -> np.ndarray:
+def _conv_ar_spectrum(
+    a_key: bytes, h: np.ndarray, nfft: int, complete: bool
+) -> np.ndarray:
     """rfft of (a truncation of) the AR impulse response, cached.
 
     A worker filters many channels with the SAME coefficients; the
@@ -236,8 +238,12 @@ def _conv_ar_spectrum(a_key: bytes, h: np.ndarray, nfft: int) -> np.ndarray:
     length repeat (both derive from the channel length, uniform within a
     batch), so caching halves the FFT count of every convolution after
     the first — and filtfilt's two passes share it within one call.
+    ``complete`` (whether h came from the fully-decayed FFT-sampled IR or
+    an exact-recursion partial prefix) is part of the key: the two can
+    have the same (a, nfft, len) with last-bit-different content, and a
+    stale spectrum must never cross between them.
     """
-    key = (a_key, nfft, len(h))
+    key = (a_key, nfft, len(h), complete)
     H = _H_FFT_CACHE.get(key)
     if H is None:
         if len(_H_FFT_CACHE) > 64:
@@ -253,7 +259,10 @@ def _conv_ar(f: np.ndarray, a: np.ndarray, h: np.ndarray) -> np.ndarray:
     hn = h[:n]
     nfull = n + len(hn) - 1
     nfft = 1 << (nfull - 1).bit_length()
-    H = _conv_ar_spectrum(a.tobytes(), hn, nfft)
+    a_key = a.tobytes()
+    entry = _IR_CACHE.get(a_key)
+    complete = entry[1] if entry is not None else True
+    H = _conv_ar_spectrum(a_key, hn, nfft, complete)
     return np.fft.irfft(np.fft.rfft(f, nfft) * H, nfft)[:n]
 
 

@@ -25,7 +25,22 @@ consecutive sums == converged, with no second action).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral(df: DataFrame, cols: list[str], what: str) -> None:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) not in _INTEGRAL:
+            raise TypeError(
+                f"connected_components: {what}.{c} has type {dtypes.get(c)!r}; "
+                "ids must be integral (string/UUID ids would silently become "
+                "NULL under cast('long') — map them to longs first)"
+            )
 
 
 def connected_components(
@@ -45,7 +60,16 @@ def connected_components(
     all); defaults to the ids appearing in ``edges``.
 
     Returns ``(id, component)`` with ``component`` = min reachable id.
+
+    Ids must be integral columns: a silent ``cast('long')`` of string/UUID
+    ids would turn every non-numeric id into NULL and corrupt components,
+    so non-integral id dtypes raise up front — map such ids to dense longs
+    first (e.g. ``F.xxhash64`` is NOT enough, it can collide; use a
+    ``monotonically_increasing_id``/join mapping).
     """
+    _require_integral(edges, [src, dst], "edges")
+    if vertices is not None:
+        _require_integral(vertices, [id_col], "vertices")
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
     )
@@ -65,6 +89,7 @@ def connected_components(
 
     labels = edge_verts.select("id", F.col("id").alias("component"))
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         # One hop of neighbor-min propagation...
         nbr = sym.join(
@@ -89,8 +114,19 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Practically unreachable with pointer jumping (O(log diameter)
+        # rounds), but silence here would be undetectable if it happened.
+        warnings.warn(
+            f"connected_components: label propagation did not reach a "
+            f"fixpoint within max_iterations={max_iterations}; returned "
+            "components may be unconverged — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     if vertices is None:
         return labels

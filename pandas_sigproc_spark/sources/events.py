@@ -17,8 +17,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def ts_seconds(ev: DataFrame) -> Column:
+def ts_seconds(ev: DataFrame, ts_col: str = "ts") -> Column:
     """Epoch-seconds expression for the events ``ts`` field.
+
+    ``ts_col`` names the (possibly aliased/renamed) timestamp column;
+    dtype dispatch and the expression both use it, so upstream renames
+    can't silently break the adapter.
 
     Bit-exact with DuckDB's ``epoch(ts)`` across the ways Spark can read
     the parquet TIMESTAMP(NANOS) column: with the legacy ``nanosAsLong``
@@ -30,12 +34,14 @@ def ts_seconds(ev: DataFrame) -> Column:
     timezone is pinned to UTC in ``session.get_spark``, so the
     ntz -> ltz cast is wall-clock identity).
     """
-    dt = dict(ev.dtypes).get("ts")
+    dt = dict(ev.dtypes).get(ts_col)
     if dt == "bigint":
-        return F.expr("ts div 1000") / F.lit(1e6)
+        # backtick-quoted so arbitrary column names survive; integer `div`
+        # (not a double divide: epoch nanos ~1.7e18 exceed 2^53)
+        return F.expr(f"`{ts_col}` div 1000") / F.lit(1e6)
     if dt == "timestamp_ntz":
-        return F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1e6)
-    return F.col("ts").cast("double")
+        return F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / F.lit(1e6)
+    return F.col(ts_col).cast("double")
 
 
 def events_to_signals(

@@ -1,0 +1,41 @@
+"""Guard rails on connected_components (ADVICE round-1 findings):
+non-integral ids must raise instead of silently nulling, and an exhausted
+iteration budget must be audible."""
+
+import pandas as pd
+import pytest
+
+from pandas_sigproc_spark.operators.graph import connected_components
+
+
+def test_string_ids_raise(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    )
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(edges)
+
+
+def test_string_vertex_ids_raise(spark):
+    edges = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+    verts = spark.createDataFrame(pd.DataFrame({"id": ["x"]}))
+    with pytest.raises(TypeError, match="vertices.id"):
+        connected_components(edges, vertices=verts)
+
+
+def test_exhausted_iterations_warn(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]})
+    )
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        connected_components(edges, max_iterations=1)
+
+
+def test_converged_run_does_not_warn(spark):
+    import warnings
+
+    edges = spark.createDataFrame(pd.DataFrame({"src": [1, 2], "dst": [2, 3]}))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = connected_components(edges).toPandas()
+    assert set(out["component"]) == {1}
