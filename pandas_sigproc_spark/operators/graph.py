@@ -50,6 +50,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iterations: int = 50,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every vertex with the smallest vertex id reachable from it.
 
@@ -86,6 +87,24 @@ def connected_components(
     # the full vertex table through every join round.  The untouched rest
     # joins back as singletons once, at the end.
     edge_verts = sym.select(F.col("s").alias("id")).distinct()
+
+    # Single-task collapse: when the (symmetrized) edge list is small —
+    # the COMMON case, since near-dup edges are a sliver of any corpus —
+    # path-compressed union-find in ONE executor task replaces ~log(D)
+    # rounds of join+agg jobs, each with its own scheduling floor.  The
+    # count is one cheap job over the already-checkpointed edges; the
+    # iterative path remains for edge lists too big for one task (raise
+    # or lower local_threshold to taste; 1M symmetric edges ≈ 16 MB).
+    if sym.count() <= local_threshold:
+        labels = (
+            sym.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(
+                lambda pdf: _union_find_pdf(pdf.drop(columns=["_g"])),
+                "id long, component long",
+            )
+        )
+        return _with_singletons(labels, edge_verts, vertices, id_col)
 
     labels = edge_verts.select("id", F.col("id").alias("component"))
     prev_sum = None
@@ -128,6 +147,42 @@ def connected_components(
             stacklevel=2,
         )
 
+    return _with_singletons(labels, edge_verts, vertices, id_col)
+
+
+def _union_find_pdf(pdf):
+    """Path-compressed, min-root union-find over one in-memory edge batch.
+
+    Choosing the smaller root as parent at every union makes the final
+    root of each tree the component's minimum id — the same canonical
+    labeling the iterative min-propagation converges to.
+    """
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, t in zip(pdf["s"].to_numpy(), pdf["t"].to_numpy()):
+        rs, rt = find(int(s)), find(int(t))
+        if rs != rt:
+            if rt < rs:
+                rs, rt = rt, rs
+            parent[rt] = rs
+    # sym lists both directions, so column s alone covers every vertex
+    ids = {int(v) for v in pdf["s"].to_numpy()}
+    return pd.DataFrame(
+        sorted((i, find(i)) for i in ids), columns=["id", "component"]
+    )
+
+
+def _with_singletons(labels, edge_verts, vertices, id_col):
     if vertices is None:
         return labels
     verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()

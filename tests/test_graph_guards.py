@@ -28,7 +28,8 @@ def test_exhausted_iterations_warn(spark):
         pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]})
     )
     with pytest.warns(RuntimeWarning, match="fixpoint"):
-        connected_components(edges, max_iterations=1)
+        # local_threshold=0 forces the iterative path the budget applies to
+        connected_components(edges, max_iterations=1, local_threshold=0)
 
 
 def test_converged_run_does_not_warn(spark):

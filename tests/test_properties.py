@@ -227,11 +227,15 @@ class TestConnectedComponentsProperties:
             golden = {v: comp_min[r] for v, r in golden.items()}
 
             edges = spark.createDataFrame(edges_pd)
+            # local_threshold=0 forces the iterative min-propagation path;
+            # the default exercises the single-task union-find collapse —
+            # both must agree with the golden under any partitioning.
             for parts in (1, 16):
-                got = {
-                    r.id: r.component
-                    for r in connected_components(
-                        edges.repartition(parts)
-                    ).collect()
-                }
-                assert got == golden, (trial, parts)
+                for thresh in (0, 1_000_000):
+                    got = {
+                        r.id: r.component
+                        for r in connected_components(
+                            edges.repartition(parts), local_threshold=thresh
+                        ).collect()
+                    }
+                    assert got == golden, (trial, parts, thresh)
