@@ -99,10 +99,14 @@ def test_sample_frames_video_only_fanout(media):
 
 
 def test_real_codec_is_explicit_stub_for_images(media):
-    # image/video remain the marked PIL/ffmpeg seam (the media fixture
-    # starts with an image row, so the raise happens before any audio row).
+    # image/video remain the marked PIL/ffmpeg seam. Restrict to image rows:
+    # with parallel tasks, whichever partition fails first surfaces its
+    # exception, and the fixture's fake audio payloads raise a different
+    # error under codec='real' (not RIFF bytes).
     with pytest.raises(Exception) as ei:
-        extract_media_features(media, codec="real").collect()
+        extract_media_features(
+            media.filter("kind = 'image'"), codec="real"
+        ).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
