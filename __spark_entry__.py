@@ -52,6 +52,7 @@ from pandas_sigproc_spark.operators import (
     interp1d_spline,
     jaccard_pairs,
     jaccard_ppjoin,
+    pack_sequences,
 )
 
 DAY = 86400.0
@@ -2458,6 +2459,424 @@ SELECT channel_id, k, ROUND(re * re + im * im, 3) + 0.0 AS power FROM agg
 """
 
 
+def q_psd_rms_dft(spark, sf_dir):
+    """SURVEY §3 entry-point-3 chain (get_psd -> rms_lin,
+    extension.py:569-625 -> extension.py:126-143) under the FULL hash
+    gate: the relational DFT periodogram of q_psd_dft feeds the native
+    trapezoid rms_lin aggregate (operators/aggregates.py:48) — a
+    domain-crossing pipeline where every stage is oracle-checked, not
+    just rows-counted.  Bin index k doubles as the frequency axis (the
+    trapezoid is invariant to a linear axis scale up to the constant).
+    """
+    spec = q_psd_dft(spark, sf_dir).select(
+        "channel_id", F.col("k").cast("double").alias("freq"), "power"
+    )
+    return rms_lin(spec).select(
+        "channel_id", (F.round("rms_lin", 4) + F.lit(0.0)).alias("rms_dft")
+    )
+
+
+SQL_PSD_RMS_DFT = f"""
+WITH dft AS ({SQL_PSD_DFT}),
+p AS (
+  SELECT channel_id, CAST(k AS DOUBLE) AS freq, power,
+         LEAD(CAST(k AS DOUBLE)) OVER w AS f2, LEAD(power) OVER w AS p2
+  FROM dft WINDOW w AS (PARTITION BY channel_id ORDER BY k)
+)
+SELECT channel_id,
+       ROUND(SQRT(SUM((power + p2) / 2.0 * (f2 - freq))), 4) + 0.0 AS rms_dft
+FROM p WHERE f2 IS NOT NULL GROUP BY channel_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extensions (round 2): sampling, n-gram counts,
+# test-set decontamination, TF-IDF, sequence packing, quantized ANN.
+# ---------------------------------------------------------------------------
+
+# Stratified-sample keep thresholds, per million (deterministic md5-hash
+# sampling: identical integer arithmetic in both engines).
+_SAMPLE_MOD = 1_000_000
+_SAMPLE_THRESH = {"en": 500_000, "de": 300_000, "es": 300_000, "fr": 200_000, "zh": 200_000}
+_SAMPLE_DEFAULT = 100_000
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling: hash the doc id to
+    a uniform bucket in [0, 1e6) and keep the row when the bucket clears
+    its language's threshold.  This is the reproducible down-sampling
+    step of a corpus-mixing pipeline (language rebalancing): pure
+    map-side — no shuffle, no RNG state, re-runs select the same rows on
+    any cluster size.  Salting the hash input (':sample') decorrelates it
+    from every other hash-derived operator.
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    u = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':sample')), 1, 15),"
+        " 16, 10) as bigint)"
+    ) % _SAMPLE_MOD
+    thr = None
+    for lang, t in _SAMPLE_THRESH.items():
+        cond = F.col("lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(_SAMPLE_DEFAULT)
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            u.alias("u"),
+            thr.alias("thr"),
+        )
+        .filter(F.col("u") < F.col("thr"))
+        .select("doc_id", "lang", "u")
+    )
+
+
+def _sql_sample_case():
+    whens = " ".join(f"WHEN '{l}' THEN {t}" for l, t in _SAMPLE_THRESH.items())
+    return f"CASE lang {whens} ELSE {_SAMPLE_DEFAULT} END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':sample')), 1, 15))
+              AS BIGINT) % {_SAMPLE_MOD} AS u
+  FROM documents
+)
+SELECT doc_id, lang, u FROM u WHERE u < {_sql_sample_case()}
+"""
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus-level bigram counts, global top-20: the n-gram LM /
+    frequency-table job.  Partial aggregation combines map-side (the
+    groupBy on the gram key is the one shuffle); the top-k is a
+    TakeOrdered — per-partition heap + driver merge of 20 rows, NOT a
+    global sort — so the plan's driver traffic is O(k) at any corpus
+    size.  Deterministic tiebreak on the gram text.
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    grams = F.explode(
+        F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+        )
+    )
+    return (
+        d.select(grams.alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+SQL_NGRAM_COUNTS = """
+WITH tok AS (SELECT STRING_SPLIT(text, ' ') AS words FROM documents),
+g AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1) + 1),
+                               i -> ARRAY_TO_STRING(words[i:i+1], ' '))) AS gram
+  FROM tok
+)
+SELECT gram, COUNT(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+# Word-5-gram decontamination: benchmark set = doc_id % 10 == 0.
+_DECON_N = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag training documents that share any
+    word-{n}-gram with the held-out benchmark slice (doc_id % 10 == 0)
+    — the standard n-gram-overlap contamination check run before LLM
+    pretraining.  Scale shape: the benchmark n-gram set is tiny relative
+    to the corpus, so it is DISTINCTed and broadcast — the corpus side
+    never shuffles for the probe (map-side hash join), and the only
+    exchange is the per-doc hit aggregation over the (small) matching
+    subset.  60-bit md5 gram keys keep the join integer-typed and
+    portable to the oracle.
+    """
+    n = _DECON_N
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+    )
+    g = d.select(F.col("doc_id").cast("long").alias("doc_id"), grams.alias("gs"))
+    gh = g.select(
+        "doc_id",
+        F.size("gs").alias("n_ngrams"),
+        F.explode(
+            F.expr(
+                "transform(gs, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
+                " as bigint))"
+            )
+        ).alias("h"),
+    )
+    bench = gh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
+    return (
+        gh.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_ngrams",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contam_frac"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - {_DECON_N - 1}, 1) + 1),
+                                      i -> ARRAY_TO_STRING(words[i:i+{_DECON_N - 1}], ' '))) AS gs
+  FROM tok
+),
+gh AS (
+  SELECT doc_id, CAST(LEN(gs) AS INTEGER) AS n_ngrams,
+         UNNEST(LIST_TRANSFORM(gs, s ->
+             CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS h
+  FROM g
+),
+bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = 0)
+SELECT gh.doc_id, COUNT(*) AS n_hits, gh.n_ngrams,
+       ROUND(COUNT(*) / CAST(gh.n_ngrams AS DOUBLE), 6) AS contam_frac
+FROM gh JOIN bench USING (h)
+WHERE gh.doc_id % 10 != 0
+GROUP BY gh.doc_id, gh.n_ngrams
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: tf = in-doc occurrences, idf =
+    ln(N/df).  Scale shape: both aggregations get map-side partial
+    combine; the corpus size N is ONE broadcast scalar row (no window
+    over the corpus); ranking happens on the 6-dp-rounded score in both
+    engines so last-ulp differences can't flip ranks.  The df join
+    shuffles on the term key — vocabulary-sized, the standard TF-IDF
+    plan.
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    tf = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term,
+         ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3
+"""
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+
+def q_seq_pack(spark, sf_dir):
+    """Greedy sequence packing into {budget}-token training packs
+    (operators/packing.py) over (lang, shard) streams, shard =
+    doc_id % {shards}.  The oracle replays the same greedy recurrence as
+    a DuckDB recursive CTE — integer-exact on both sides.
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    docs = d.select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs,
+        _PACK_BUDGET,
+        tokens_col="n_tokens",
+        order_col="doc_id",
+        group_cols=("lang", "shard"),
+    )
+
+
+SQL_SEQ_PACK = f"""
+WITH RECURSIVE tok AS (
+  SELECT lang, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM tok
+),
+r AS (
+  SELECT lang, shard, doc_id, n_tokens, rn,
+         0 AS pack_id, 0 AS pack_pos, n_tokens AS run
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN 0 ELSE r.pack_pos + 1 END,
+         CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens ELSE r.run + o.n_tokens END
+  FROM r JOIN o ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT lang, shard, doc_id, n_tokens,
+       CAST(pack_id AS INTEGER) AS pack_id, CAST(pack_pos AS INTEGER) AS pack_pos
+FROM r
+"""
+
+
+def q_ann_int8(spark, sf_dir):
+    """Scalar-quantized ANN with exact rescore — the memory-bandwidth
+    tier of the similarity stack.  Vectors are encoded to int8-range
+    codes per dimension (scale = corpus max |x| per dim, a 64-row
+    broadcast), candidates are generated inside the LSH bucket by the
+    INTEGER code dot product (16x less data than float64, and
+    exact-deterministic — no float ranking at the wide stage), the
+    top-10 funnel down to an exact float64 cosine top-3.  At 100 TB the
+    code table is the only thing the candidate scan touches; full
+    vectors are fetched for the rescore set alone.
+    """
+    e = _embeds_v(spark, sf_dir)
+    dims = e.select(F.posexplode("v").alias("j", "x"))
+    sc = dims.groupBy("j").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    scl = sc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("s")))),
+            lambda st: F.greatest(st["s"], F.lit(1e-30)),
+        ).alias("sarr")
+    )
+    eq = e.crossJoin(F.broadcast(scl)).select(
+        "vec_id",
+        "bucket",
+        "v",
+        F.zip_with(
+            "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
+        ).alias("code"),
+    )
+    q = eq.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("code").alias("qcode"),
+        "bucket",
+    )
+    qscore = F.aggregate(
+        F.zip_with("qcode", "code", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        q.join(eq, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", "qv", "v", qscore.alias("qscore"))
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), "vec_id")
+    top = (
+        cand.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 10)
+        .select(
+            "qid", "vec_id", "qscore", F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos")
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vec_id", "qscore", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _sql_ann_int8():
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+eb AS (SELECT vec_id, v, {_lsh_bucket_sql(one_based=True)} AS bucket FROM e),
+dims AS (
+  SELECT UNNEST(RANGE(1, LEN(v) + 1)) AS j,
+         UNNEST(LIST_TRANSFORM(v, x -> ABS(x))) AS ax
+  FROM e
+),
+sc AS (SELECT j, MAX(ax) AS s FROM dims GROUP BY j),
+scl AS (SELECT LIST(GREATEST(s, 1e-30) ORDER BY j) AS sarr FROM sc),
+eq AS (
+  SELECT vec_id, bucket, v,
+         LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+                        i -> CAST(FLOOR(v[i] / sarr[i] * 127.0) AS BIGINT)) AS code
+  FROM eb CROSS JOIN scl
+),
+q AS (SELECT vec_id AS qid, v AS qv, code AS qcode, bucket FROM eq WHERE vec_id < 50),
+cand AS (
+  SELECT qid, vec_id, qv, v,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qcode) + 1), i -> qcode[i] * code[i])) AS qscore
+  FROM q JOIN eq USING (bucket) WHERE qid != vec_id
+),
+s1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS r1
+  FROM cand
+),
+s2 AS (
+  SELECT qid, vec_id, CAST(qscore AS BIGINT) AS qscore,
+         ROUND({_SQL_COS.format(a="qv", b="v")}, 6) AS cos
+  FROM s1 WHERE r1 <= 10
+),
+r AS (
+  SELECT qid, vec_id, qscore, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM s2
+)
+SELECT qid, vec_id, qscore, cos, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2511,6 +2930,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_audio_real": q_media_audio_real,
+        "stratified_sample": q_stratified_sample,
+        "ngram_counts": q_ngram_counts,
+        "decontaminate": q_decontaminate,
+        "tfidf_topk": q_tfidf_topk,
+        "seq_pack": q_seq_pack,
+        "ann_int8": q_ann_int8,
+        "psd_rms_dft": q_psd_rms_dft,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
@@ -2579,4 +3005,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": SQL_ANN_IVF,
         "media_features": SQL_MEDIA_FEATURES,
         "media_audio_real": SQL_MEDIA_AUDIO_REAL,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "ngram_counts": SQL_NGRAM_COUNTS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "tfidf_topk": SQL_TFIDF_TOPK,
+        "seq_pack": SQL_SEQ_PACK,
+        "ann_int8": _sql_ann_int8(),
+        "psd_rms_dft": SQL_PSD_RMS_DFT,
     }

@@ -63,6 +63,13 @@ HEADLINE = [
     "media_features",
     "media_audio_real",
     "corpus_prep",
+    # round-2 training-pipeline extensions
+    "stratified_sample",
+    "ngram_counts",
+    "decontaminate",
+    "tfidf_topk",
+    "seq_pack",
+    "ann_int8",
 ]
 
 
@@ -76,6 +83,7 @@ HEADLINE = [
 SCALE_QUERIES = [
     "rms", "mov_rms", "filt_butter", "psd_welch",
     "dedup_exact", "dedup_minhash", "token_count",
+    "stratified_sample", "seq_pack",
 ]
 
 

@@ -74,49 +74,59 @@ def _lfilter_loop(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
     return (y, z) if zi is not None else y
 
 
-# key -> (h_or_None, complete).  ``complete`` means the IR is fully
-# resolved: decayed/capped by the growth loop, or None for a degenerate
-# design.  A PARTIAL entry (exact-recursion prefix computed for a short
-# signal) may only serve requests it fully covers — handing a 4096-tap
-# prefix to a caller that needs the filter's whole 256k-sample decay
-# would silently truncate the convolution.
+# (a_bytes, path) -> h_or_None.  Two SEPARATE entries per design: the
+# "exact" path (direct-recursion prefix, used for requests at or below
+# _EXACT_IR_CUTOVER taps) and the "fft" path (alias-folded IR grown to
+# its decay length).  The two paths' contents agree only to ~1e-12
+# relative, so which one serves a request must be a pure function of the
+# request — NEVER of cache temperature.  (Before this split, a worker
+# that had previously filtered a long channel would serve its cached FFT
+# IR to a later short-channel request that a cold worker answers with
+# the exact recursion: last-ulp output differences that break the
+# bucketed==per-channel and fused==chained bit-equality guarantees,
+# surfacing as order-dependent test flakes.)
 _IR_CACHE: dict = {}
+_IR_MISSING = object()
+# At or below this tap count the exact recursion is both cheap (a few ms
+# of Python loop) and alias-free; above it the FFT growth loop wins.
+_EXACT_IR_CUTOVER = 4096
 
 
-def _cache_ir(key: bytes, h, complete: bool):
+def _ir_cache_put(key, h):
     if len(_IR_CACHE) > 64:
         _IR_CACHE.clear()
-    old = _IR_CACHE.get(key)
-    if old is None or complete or (
-        not old[1] and h is not None and old[0] is not None and len(h) > len(old[0])
-    ):
-        _IR_CACHE[key] = (h, complete)
+    _IR_CACHE[key] = h
 
 
-def _ar_impulse_response(a: np.ndarray, min_len: int, max_len: int | None = None):
+def _ar_impulse_response(a: np.ndarray, max_len: int | None = None):
     """Truncated AR impulse response, or ``None`` for degenerate designs
     (callers then run the exact recursion on their signal).
 
-    ``max_len`` stops the decay-driven growth early when the caller can
-    only ever use the first ``max_len`` taps (a convolution cropped to n
-    outputs is blind to later taps) — a 100-sample signal through
-    A-weighting must not pay for the filter's 256k-sample decay.
+    ``max_len`` caps the taps to what the caller can use (a convolution
+    cropped to n outputs is blind to later taps) — a 100-sample signal
+    through A-weighting must not pay for the filter's 256k-sample decay.
+    The returned prefix ``h[:max_len]`` is a deterministic function of
+    ``(a, max_len > _EXACT_IR_CUTOVER)`` alone: the exact path serves
+    prefixes of one causal recursion (bit-identical at any length) and
+    the FFT path always grows from the same start length, so its content
+    is a function of ``a`` only.
     """
     key = a.tobytes()
-    cached = _IR_CACHE.get(key)
-    if cached is not None:
-        h, complete = cached
-        if h is None or complete or (max_len is not None and len(h) >= max_len):
-            return h
-    if max_len is not None and max_len <= 4096:
-        # Small need: probe for degeneracy first — the convolution path
-        # is catastrophically ill-conditioned for designs whose spectrum
-        # float64 cannot invert (an order-6 highpass at a tiny cutoff has
-        # h growing like m^5: exact taps, garbage cancellation), and the
-        # growth loop that normally detects this is being skipped.
-        if _ar_ir_fft(a, 4096) is None:
-            _cache_ir(key, None, True)
-            return None
+    if max_len is not None and max_len <= _EXACT_IR_CUTOVER:
+        ent = _IR_CACHE.get((key, "exact"), _IR_MISSING)
+        if ent is not _IR_MISSING:
+            if ent is None or len(ent) >= max_len:
+                return ent
+        else:
+            # Probe for degeneracy once — the convolution path is
+            # catastrophically ill-conditioned for designs whose spectrum
+            # float64 cannot invert (an order-6 highpass at a tiny cutoff
+            # has h growing like m^5: exact taps, garbage cancellation).
+            # Probe length is FIXED at the cutover so the verdict cannot
+            # depend on the request size.
+            if _ar_ir_fft(a, _EXACT_IR_CUTOVER) is None:
+                _ir_cache_put((key, "exact"), None)
+                return None
         # The exact recursion over max_len samples is a few ms and —
         # unlike a truncated FFT-aliased IR, whose aliasing folds an
         # undecayed tail back into the head — always correct.
@@ -124,10 +134,13 @@ def _ar_impulse_response(a: np.ndarray, min_len: int, max_len: int | None = None
         seed[0] = 1.0
         with np.errstate(over="ignore", invalid="ignore"):
             h = _lfilter_loop(np.array([1.0]), a, seed)
-        _cache_ir(key, h, complete=False)
+        _ir_cache_put((key, "exact"), h)
         return h
-    h = _ar_impulse_response_uncached(a, min_len)
-    _cache_ir(key, h, complete=True)
+    ent = _IR_CACHE.get((key, "fft"), _IR_MISSING)
+    if ent is not _IR_MISSING:
+        return ent
+    h = _ar_impulse_response_uncached(a)
+    _ir_cache_put((key, "fft"), h)
     return h
 
 
@@ -161,15 +174,17 @@ def _ar_ir_fft(a: np.ndarray, length: int) -> np.ndarray:
     return np.fft.irfft(spectrum, nfft)[:length]
 
 
-def _ar_impulse_response_uncached(a: np.ndarray, min_len: int) -> np.ndarray:
+def _ar_impulse_response_uncached(a: np.ndarray) -> np.ndarray:
     """Impulse response of ``1 / a(z)``, truncated at float64 resolution.
 
     Grows the length geometrically until ``max |h[tail]|`` is below
     ``_DECAY_RTOL * max |h|`` (i.e. further terms cannot perturb a
-    convolution at double precision), starting from ``min_len``.
+    convolution at double precision).  The start length is FIXED so the
+    grown content (which varies at the ulp level with the nfft sequence
+    visited) is a deterministic function of ``a`` alone.
     """
     order = len(a) - 1
-    length = max(min_len, 256)
+    length = 256
     prev_tail = None
     while True:
         h = _ar_ir_fft(a, length)
@@ -253,16 +268,18 @@ def _conv_ar_spectrum(
     return H
 
 
-def _conv_ar(f: np.ndarray, a: np.ndarray, h: np.ndarray) -> np.ndarray:
-    """``(f * h)[:len(f)]`` with the h-spectrum cached per coefficients."""
+def _conv_ar(f: np.ndarray, a: np.ndarray, h: np.ndarray, complete: bool) -> np.ndarray:
+    """``(f * h)[:len(f)]`` with the h-spectrum cached per coefficients.
+
+    ``complete`` states which IR path produced ``h`` (FFT-grown complete
+    vs exact-recursion prefix) — passed explicitly by the caller, never
+    inferred from cache state.
+    """
     n = len(f)
     hn = h[:n]
     nfull = n + len(hn) - 1
     nfft = 1 << (nfull - 1).bit_length()
-    a_key = a.tobytes()
-    entry = _IR_CACHE.get(a_key)
-    complete = entry[1] if entry is not None else True
-    H = _conv_ar_spectrum(a_key, hn, nfft, complete)
+    H = _conv_ar_spectrum(a.tobytes(), hn, nfft, complete)
     return np.fft.irfft(np.fft.rfft(f, nfft) * H, nfft)[:n]
 
 
@@ -315,7 +332,7 @@ def lfilter(b, a, x, zi=None):
         y = _fft_convolve_full(x, b)[: len(x)]
     else:
         # IIR zero-state response: y = (x * b) * h, h = AR impulse response.
-        h = _ar_impulse_response(a, min_len=4096, max_len=len(x))
+        h = _ar_impulse_response(a, max_len=len(x))
         if h is None:
             # Degenerate tf-form design: exact recursion is the only
             # meaningful evaluation (matches scipy tf-form numerics).
@@ -325,7 +342,7 @@ def lfilter(b, a, x, zi=None):
         # Only the first len(x) taps of h can reach y[:len(x)] — without
         # the cap a short signal through a slow-decay filter (A-weighting:
         # 256k taps) pays a 256k-point FFT for a 100-sample answer.
-        y = _conv_ar(f, a, h)
+        y = _conv_ar(f, a, h, complete=len(x) > _EXACT_IR_CUTOVER)
 
     if zi is None:
         return y

@@ -50,7 +50,7 @@ def lfilter_batch(b, a, X: np.ndarray) -> np.ndarray:
         X = X[None, :]
     if len(a) == 1:
         return _fft_convolve_batch(X, b)
-    h = _ar_impulse_response(a, min_len=4096, max_len=X.shape[-1])
+    h = _ar_impulse_response(a, max_len=X.shape[-1])
     if h is None:
         # Degenerate tf-form design (see kernels.iir._ar_ir_fft): exact
         # per-row recursion, matching scipy tf-form numerics.
@@ -99,7 +99,7 @@ def filtfilt_batch(b, a, X: np.ndarray) -> np.ndarray:
 
     zi = lfilter_zi(b, a)
     if len(a) > 1:
-        h = _ar_impulse_response(a, min_len=4096, max_len=next_)
+        h = _ar_impulse_response(a, max_len=next_)
         # Degenerate designs (h is None) have no finite decay length;
         # the correction must then span the whole extended signal.
         h_len = len(h) if h is not None else next_

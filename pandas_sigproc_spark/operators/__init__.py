@@ -54,6 +54,7 @@ from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
 from pandas_sigproc_spark.operators.dedup import jaccard_pairs, jaccard_ppjoin
+from pandas_sigproc_spark.operators.packing import pack_sequences
 
 __all__ = [
     "between",
@@ -88,4 +89,5 @@ __all__ = [
     "connected_components",
     "jaccard_pairs",
     "jaccard_ppjoin",
+    "pack_sequences",
 ]

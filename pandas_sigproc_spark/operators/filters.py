@@ -217,7 +217,7 @@ def settling_length(b, a, extra: int = 256) -> int:
     array than this filter needs).  ``extra`` adds slack for the MA part
     and fp accumulation.
     """
-    h = _iir._ar_impulse_response(np.asarray(a, np.float64), min_len=64)
+    h = _iir._ar_impulse_response(np.asarray(a, np.float64))
     if h is None:
         # Degenerate tf-form design (kernels/iir._ar_ir_fft): no finite
         # settling length exists in float64, so overlap-save chunking

@@ -467,3 +467,69 @@ class TestDegenerateDesigns:
         want = I._lfilter_loop(ba, aa, x)
         rel = np.abs(got - want).max() / np.abs(want).max()
         assert rel < 1e-7
+
+
+class TestCacheTemperatureDeterminism:
+    """lfilter output must be a pure function of (b, a, x) — never of
+    which other signals the worker filtered first.  The IR cache once
+    served an FFT-grown impulse response to a short-signal request that a
+    cold worker answers with the exact recursion (~1e-12 relative apart):
+    invisible to tolerance tests, but fatal to the engine's bit-equality
+    guarantees (bucketed==per-channel, fused==chained), where it surfaced
+    as scheduling-dependent test flakes."""
+
+    def _designs(self):
+        from pandas_sigproc_spark.kernels.design import butter
+
+        return [butter(4, 400.0 / 2000.0, "lowpass"), butter(2, 0.2, "highpass")]
+
+    def test_short_request_unaffected_by_prior_long(self):
+        from pandas_sigproc_spark.kernels import iir as I
+
+        rng = np.random.default_rng(11)
+        x_short = rng.standard_normal(3000)   # <= _EXACT_IR_CUTOVER path
+        x_long = rng.standard_normal(50_000)  # FFT-growth path
+        for b, a in self._designs():
+            I._IR_CACHE.clear()
+            I._H_FFT_CACHE.clear()
+            cold = I.lfilter(b, a, x_short)
+            I._IR_CACHE.clear()
+            I._H_FFT_CACHE.clear()
+            I.lfilter(b, a, x_long)  # warm the FFT-path entries
+            warm = I.lfilter(b, a, x_short)
+            np.testing.assert_array_equal(cold, warm)
+
+    def test_long_request_unaffected_by_prior_short(self):
+        from pandas_sigproc_spark.kernels import iir as I
+
+        rng = np.random.default_rng(12)
+        x_short = rng.standard_normal(3000)
+        x_long = rng.standard_normal(50_000)
+        for b, a in self._designs():
+            I._IR_CACHE.clear()
+            I._H_FFT_CACHE.clear()
+            cold = I.lfilter(b, a, x_long)
+            I._IR_CACHE.clear()
+            I._H_FFT_CACHE.clear()
+            I.lfilter(b, a, x_short)  # warm the exact-path entries
+            warm = I.lfilter(b, a, x_long)
+            np.testing.assert_array_equal(cold, warm)
+
+    def test_settling_probe_does_not_perturb_later_filtering(self):
+        # settling_length() computes the full-decay IR; a later filter of
+        # any length must produce the same bytes as without the probe.
+        from pandas_sigproc_spark.kernels import iir as I
+        from pandas_sigproc_spark.operators.filters import settling_length
+
+        rng = np.random.default_rng(13)
+        for n in (3000, 50_000):
+            x = rng.standard_normal(n)
+            for b, a in self._designs():
+                I._IR_CACHE.clear()
+                I._H_FFT_CACHE.clear()
+                cold = I.lfilter(b, a, x)
+                I._IR_CACHE.clear()
+                I._H_FFT_CACHE.clear()
+                settling_length(b, a)
+                warm = I.lfilter(b, a, x)
+                np.testing.assert_array_equal(cold, warm)

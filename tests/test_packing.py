@@ -1,0 +1,66 @@
+"""Greedy sequence packing (operators/packing.py) semantics.
+
+Engine extension (no reference counterpart): the packing stage of a
+training-data pipeline.  Pinned here: budget enforcement, oversized-doc
+isolation, order/position bookkeeping, and partition-invariance (the
+driver-gate oracle replays the same recurrence as a recursive CTE in
+DuckDB — see __spark_entry__.SQL_SEQ_PACK).
+"""
+
+import pandas as pd
+import pytest
+
+from pandas_sigproc_spark.operators.packing import pack_sequences
+
+
+def _pack_df(spark, rows, budget, npartitions=None):
+    pdf = pd.DataFrame(rows, columns=["lang", "shard", "doc_id", "n_tokens"])
+    df = spark.createDataFrame(pdf, "lang string, shard long, doc_id long, n_tokens int")
+    if npartitions:
+        df = df.repartition(npartitions)
+    out = pack_sequences(df, budget)
+    return (
+        out.toPandas()
+        .sort_values(["lang", "shard", "doc_id"], ignore_index=True)
+    )
+
+
+def test_budget_respected_and_positions(spark):
+    rows = [("en", 0, i, 60) for i in range(10)]  # 4 docs of 60 fit in 256
+    out = _pack_df(spark, rows, 256)
+    # packs of 4, 4, 2
+    assert list(out["pack_id"]) == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+    assert list(out["pack_pos"]) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 256).all()
+
+
+def test_oversized_doc_gets_own_pack(spark):
+    rows = [("en", 0, 0, 100), ("en", 0, 1, 999), ("en", 0, 2, 100), ("en", 0, 3, 100)]
+    out = _pack_df(spark, rows, 256)
+    assert list(out["pack_id"]) == [0, 1, 2, 2]
+    assert list(out["pack_pos"]) == [0, 0, 0, 1]
+
+
+def test_groups_pack_independently(spark):
+    rows = [("en", 0, 0, 200), ("en", 1, 1, 200), ("de", 0, 2, 200), ("en", 0, 4, 200)]
+    out = _pack_df(spark, rows, 256)
+    by = out.set_index("doc_id")
+    # each group starts at pack 0; the second en/0 doc overflows into pack 1
+    assert by.loc[0, "pack_id"] == 0 and by.loc[4, "pack_id"] == 1
+    assert by.loc[1, "pack_id"] == 0 and by.loc[2, "pack_id"] == 0
+
+
+def test_partition_invariance(spark):
+    rows = [("en", i % 3, i, 30 + (i * 37) % 90) for i in range(60)]
+    a = _pack_df(spark, rows, 128, npartitions=1)
+    b = _pack_df(spark, rows, 128, npartitions=7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bad_budget_raises(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(
+            spark.createDataFrame([("en", 0, 0, 1)], "lang string, shard long, doc_id long, n_tokens int"),
+            0,
+        )
