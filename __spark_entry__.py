@@ -2877,6 +2877,182 @@ SELECT qid, vec_id, qscore, cos, CAST(rank AS INTEGER) AS rank FROM r WHERE rank
 """
 
 
+def q_training_mix(spark, sf_dir):
+    """The full training-data preparation pipeline as ONE declarative
+    plan: quality gate -> exact dedup -> test-set decontamination ->
+    deterministic stratified sampling -> greedy sequence packing ->
+    per-language mix report (docs, packs, tokens, pack fill ratio).
+    Composes the standalone stages (quality_score, dedup_exact,
+    decontaminate, stratified_sample, seq_pack) with identical
+    arithmetic, so the end-to-end result stays oracle-exact — the oracle
+    replays the whole pipeline including the packing recurrence in one
+    recursive-CTE SQL statement.
+
+    Scale shape: scoring and gram hashing are map-side; exact dedup is
+    one hash agg on md5(text); the benchmark gram set is broadcast; the
+    sample filter is a map-side predicate; packing shuffles once into
+    per-(lang, shard) streams; the report agg is tiny.
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    words = F.split(F.col("text"), " ")
+    n_w = F.size(words)
+    n_uniq = F.size(F.array_distinct(words))
+    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
+    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
+    awl = F.length("text") / n_w
+    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
+    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
+    quality = F.round(
+        0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * (n_uniq / n_w),
+        6,
+    )
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        n_w.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    dedup = (
+        base.filter(F.col("quality") >= 0.6)
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("text").alias("text"),
+        )
+    )
+    gram_hashes = F.expr(
+        f"array_distinct(transform("
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {_DECON_N - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {_DECON_N}))),"
+        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
+    )
+    # benchmark gram set from the RAW corpus slice (held-out docs are
+    # excluded from training regardless of quality).
+    bench = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(gram_hashes).alias("h"))
+        .distinct()
+    )
+    train_grams = dedup.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.explode(gram_hashes).alias("h")
+    )
+    contaminated = train_grams.join(F.broadcast(bench), "h").select("doc_id").distinct()
+    clean = dedup.filter(F.col("doc_id") % 10 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    u = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':sample')), 1, 15),"
+        " 16, 10) as bigint)"
+    ) % _SAMPLE_MOD
+    thr = None
+    for lang, t in _SAMPLE_THRESH.items():
+        cond = F.col("lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(_SAMPLE_DEFAULT)
+    sampled = clean.filter(u < thr).select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        "doc_id",
+        "n_tokens",
+    )
+    packed = pack_sequences(
+        sampled,
+        _PACK_BUDGET,
+        tokens_col="n_tokens",
+        order_col="doc_id",
+        group_cols=("lang", "shard"),
+    )
+    pack_key = F.col("shard") * 1_000_000 + F.col("pack_id")
+    agg = packed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(pack_key).alias("n_packs"),
+        F.sum("n_tokens").alias("sum_toks"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_packs",
+        F.col("sum_toks").cast("long").alias("n_tokens"),
+        F.round(F.col("sum_toks") / (F.col("n_packs") * float(_PACK_BUDGET)), 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+SQL_TRAINING_MIX = f"""
+WITH RECURSIVE tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, STRING_SPLIT(text, ' ') AS ws
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang, CAST(LEN(ws) AS INTEGER) AS n_tokens,
+         ROUND(0.3 * LEAST(1.0, LENGTH(text) / 400.0)
+             + 0.25 * GREATEST(0.0, 1.0 - ABS(LENGTH(text) / CAST(LEN(ws) AS DOUBLE) - 4.7) / 4.7)
+             + 0.25 * LEAST(1.0, LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and','is')))
+                                 / (LEN(ws) * 0.05))
+             + 0.2 * (LEN(LIST_DISTINCT(ws)) / CAST(LEN(ws) AS DOUBLE)), 6) AS quality
+  FROM tok
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_tokens) AS n_tokens,
+         MIN(text) AS text
+  FROM q WHERE quality >= 0.6 GROUP BY MD5(text)
+),
+bg AS (
+  SELECT DISTINCT CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ws) - {_DECON_N - 1}, 1) + 1),
+                                 i -> ARRAY_TO_STRING(ws[i:i+{_DECON_N - 1}], ' '))) AS s
+    FROM tok WHERE doc_id % 10 = 0
+  )
+),
+tg AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {_DECON_N - 1}, 1) + 1),
+                            i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+{_DECON_N - 1}], ' ')),
+             s -> CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT)))) AS h
+  FROM dedup WHERE doc_id % 10 != 0
+),
+contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (h)),
+clean AS (
+  SELECT doc_id, lang, n_tokens FROM dedup
+  WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT lang, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard, doc_id, n_tokens
+  FROM clean
+  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':sample')), 1, 15))
+             AS BIGINT) % {_SAMPLE_MOD} < {_sql_sample_case()}
+),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM sampled
+),
+r AS (
+  SELECT lang, shard, doc_id, n_tokens, rn, 0 AS pack_id, n_tokens AS run
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens ELSE r.run + o.n_tokens END
+  FROM r JOIN o ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1
+),
+stats AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         COUNT(DISTINCT shard * 1000000 + pack_id) AS n_packs,
+         SUM(n_tokens) AS sum_toks
+  FROM r GROUP BY lang
+)
+SELECT lang, n_docs, n_packs, CAST(sum_toks AS BIGINT) AS n_tokens,
+       ROUND(sum_toks / (n_packs * {float(_PACK_BUDGET)!r}), 6) AS fill_ratio
+FROM stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2937,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "ann_int8": q_ann_int8,
         "psd_rms_dft": q_psd_rms_dft,
+        "training_mix": q_training_mix,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
@@ -3012,4 +3189,5 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": SQL_SEQ_PACK,
         "ann_int8": _sql_ann_int8(),
         "psd_rms_dft": SQL_PSD_RMS_DFT,
+        "training_mix": SQL_TRAINING_MIX,
     }

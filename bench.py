@@ -70,6 +70,7 @@ HEADLINE = [
     "tfidf_topk",
     "seq_pack",
     "ann_int8",
+    "training_mix",
 ]
 
 
