@@ -2877,6 +2877,92 @@ SELECT qid, vec_id, qscore, cos, CAST(rank AS INTEGER) AS rank FROM r WHERE rank
 """
 
 
+# Hann-window constant for the relational Welch below (repr-round-tripped
+# so both engines evaluate the same double).
+_WELCH_DFT_N = 64
+_HANN_C = 2.0 * math.pi / (_WELCH_DFT_N - 1)
+
+
+def q_psd_welch_dft(spark, sf_dir):
+    """Relational WELCH periodogram under the full hash gate: the whole
+    get_psd pipeline shape (tools.py:54-98 — segmentation, hann window,
+    per-segment periodogram, mean summarize) expressed as SQL that DuckDB
+    can replay.  Segments are rn div N per channel (incomplete tails
+    dropped, replicating the stride-trick truncation of tools.py:67);
+    the hann taper and the mod-N-reduced DFT trig evaluate at identical
+    doubles in both engines (see q_psd_dft); the summarize stage is a
+    plain AVG over segments.  Correctness anchor for the FFT kernel path
+    (q_psd_welch does the same math in O(N log N)); the O(N^2) DFT is
+    not the scale path.
+    """
+    n = _WELCH_DFT_N
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    base = (
+        sig.withColumn("rn", F.row_number().over(w) - 1)
+        .select(
+            "channel_id",
+            F.expr(f"rn div {n}").alias("seg"),
+            (F.col("rn") % n).alias("m"),
+            (F.col("value") / 100.0).alias("x"),
+        )
+    )
+    segw = Window.partitionBy("channel_id", "seg")
+    full = base.withColumn("nseg", F.count("*").over(segw)).filter(
+        F.col("nseg") == n
+    )
+    xw = (F.col("x") * (0.5 - 0.5 * F.cos(F.lit(_HANN_C) * F.col("m")))).alias("xw")
+    windowed = full.select("channel_id", "seg", "m", xw)
+    kgrid = spark.range(0, n // 2 + 1).select(F.col("id").cast("int").alias("k"))
+    ang = F.lit(_DFT_W0) * ((F.col("m") * F.col("k")) % n)
+    per_seg = (
+        windowed.crossJoin(F.broadcast(kgrid))
+        .groupBy("channel_id", "seg", "k")
+        .agg(
+            F.sum(F.col("xw") * F.cos(ang)).alias("re"),
+            F.sum(F.col("xw") * F.sin(ang)).alias("im"),
+        )
+    )
+    power = F.col("re") * F.col("re") + F.col("im") * F.col("im")
+    return (
+        per_seg.groupBy("channel_id", "k")
+        .agg((F.round(F.avg(power), 3) + F.lit(0.0)).alias("power"))
+        .select("channel_id", "k", "power")
+    )
+
+
+SQL_PSD_WELCH_DFT = f"""
+WITH {_SIG_CTE},
+r AS (
+  SELECT channel_id, value / 100.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) - 1 AS rn
+  FROM sig
+),
+b AS (
+  SELECT channel_id, rn // {_WELCH_DFT_N} AS seg, rn % {_WELCH_DFT_N} AS m, x
+  FROM r
+),
+c AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY channel_id, seg) AS nseg FROM b
+),
+f AS (
+  SELECT channel_id, seg, m,
+         x * (0.5 - 0.5 * COS({_HANN_C!r} * m)) AS xw
+  FROM c WHERE nseg = {_WELCH_DFT_N}
+),
+kg AS (SELECT CAST(UNNEST(RANGE(0, {_WELCH_DFT_N // 2 + 1})) AS INTEGER) AS k),
+agg AS (
+  SELECT channel_id, seg, k,
+         SUM(xw * COS({_DFT_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS re,
+         SUM(xw * SIN({_DFT_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS im
+  FROM f CROSS JOIN kg
+  GROUP BY channel_id, seg, k
+)
+SELECT channel_id, k, ROUND(AVG(re * re + im * im), 3) + 0.0 AS power
+FROM agg GROUP BY channel_id, k
+"""
+
+
 def q_training_mix(spark, sf_dir):
     """The full training-data preparation pipeline as ONE declarative
     plan: quality gate -> exact dedup -> test-set decontamination ->
@@ -3113,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "ann_int8": q_ann_int8,
         "psd_rms_dft": q_psd_rms_dft,
+        "psd_welch_dft": q_psd_welch_dft,
         "training_mix": q_training_mix,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
@@ -3189,5 +3276,6 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": SQL_SEQ_PACK,
         "ann_int8": _sql_ann_int8(),
         "psd_rms_dft": SQL_PSD_RMS_DFT,
+        "psd_welch_dft": SQL_PSD_WELCH_DFT,
         "training_mix": SQL_TRAINING_MIX,
     }

@@ -54,3 +54,50 @@ def test_relational_dft_matches_fft(spark):
         got = out[out.channel_id == cid].sort_values("k")["power"].to_numpy()
         assert len(got) == 33
         np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def _all_rows():
+    con = duckdb.connect()
+    return con.sql(
+        f"""
+        WITH sig AS (
+          SELECT CAST(user_id AS VARCHAR) AS channel_id, epoch(ts) AS t,
+                 CAST(value AS DOUBLE) AS value, CAST(event_id AS BIGINT) AS seq
+          FROM '{SF_DIR}/events.parquet'
+        )
+        SELECT channel_id, value / 100.0 AS x,
+               ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) - 1 AS rn
+        FROM sig ORDER BY channel_id, rn
+        """
+    ).df()
+
+
+def test_relational_welch_dft_matches_numpy(spark):
+    # q_psd_welch_dft == mean over complete segments of the hann-windowed
+    # |rfft|^2 — the same summarize='mean' semantics as tools.py:74-98
+    # (tails dropped per the stride-trick truncation of tools.py:67).
+    out = (
+        entry_mod.q_psd_welch_dft(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["channel_id", "k"], ignore_index=True)
+    )
+    n = entry_mod._WELCH_DFT_N
+    hann = 0.5 - 0.5 * np.cos(entry_mod._HANN_C * np.arange(n))
+    rows = _all_rows()
+    checked = 0
+    for cid, grp in rows.groupby("channel_id"):
+        x = grp.sort_values("rn")["x"].to_numpy()
+        nseg = len(x) // n
+        if nseg == 0:
+            assert len(out[out.channel_id == cid]) == 0
+            continue
+        powers = [
+            np.abs(np.fft.rfft(x[s * n : (s + 1) * n] * hann)) ** 2
+            for s in range(nseg)
+        ]
+        want = np.round(np.mean(powers, axis=0), 3)
+        got = out[out.channel_id == cid].sort_values("k")["power"].to_numpy()
+        assert len(got) == n // 2 + 1
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        checked += 1
+    assert checked > 0
