@@ -1328,16 +1328,15 @@ def q_embed_cosine_topk(spark, sf_dir):
 
 # --- text analysis family (language-ID, tokenization, quality, fingerprint) --
 
-# Per-language stopword probe sets for the n-gram/stopword language-ID
-# heuristic.  Deterministic and identical in both engines.
-_LANG_STOPS = {
-    "en": ("the", "a", "of", "and", "is"),
-    "de": ("der", "die", "und", "ist", "das"),
-    "es": ("el", "la", "que", "y", "es"),
-    "fr": ("le", "la", "et", "est", "une"),
-    "zh": ("de", "shi", "le_zh", "zai", "he"),
-}
-_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+# Shared expression builders live in operators/text.py (the library
+# surface); the entry queries compose them so batch, streaming, and
+# end-to-end pipelines all evaluate the SAME expression trees.  The
+# module-level aliases keep the DuckDB SQL builders and tests in sync
+# with the single definition.
+from pandas_sigproc_spark.operators import text as _text
+
+_LANG_STOPS = _text.LANG_STOPS
+_LANG_ORDER = _text.LANG_ORDER
 
 
 def q_lang_id(spark, sf_dir):
@@ -1347,21 +1346,10 @@ def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     words = F.split(F.col("text"), " ")
     row = d.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
-    scores = {
-        lang: F.size(F.filter(F.col("ws"), lambda w: w.isin(*stops)))
-        for lang, stops in _LANG_STOPS.items()
-    }
-    pred = F.when(sum(scores.values(), F.lit(0)) == 0, F.lit("und"))
-    for lang in _LANG_ORDER:
-        cond = None
-        for other in _LANG_ORDER:
-            if other != lang:
-                c = scores[lang] >= scores[other]
-                cond = c if cond is None else (cond & c)
-        pred = pred.when(cond, F.lit(lang))
+    scores = _text.lang_scores_expr("ws")
     out = row.select(
         "doc_id",
-        pred.alias("pred_lang"),
+        _text.lang_pred_expr("ws").alias("pred_lang"),
         sum(scores.values(), F.lit(0)).alias("n_stopword_hits"),
     )
     return out
@@ -1423,24 +1411,14 @@ FROM documents
 
 
 def q_quality_score(spark, sf_dir):
-    # Composite document-quality heuristic: length saturation, mean word
-    # length proximity to English prose (~4.7), stopword presence, and
-    # type-token ratio.  Pure arithmetic -> identical in both engines.
+    # Composite document-quality heuristic (operators/text.py
+    # quality_expr): length saturation, mean word length proximity to
+    # English prose (~4.7), stopword presence, and type-token ratio.
+    # Pure arithmetic -> identical in both engines.
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    words = F.split(F.col("text"), " ")
-    n_w = F.size(words)
-    n_uniq = F.size(F.array_distinct(words))
-    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
-    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
-    awl = F.length("text") / n_w
-    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
-    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
-    ttr = n_uniq / n_w
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round(
-            0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * ttr, 6
-        ).alias("quality"),
+        _text.quality_expr().alias("quality"),
     )
 
 
@@ -1541,39 +1519,17 @@ def q_corpus_prep(spark, sf_dir):
     # corpus scan; everything downstream joins over the cached table.
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     words = F.split(F.col("text"), " ")
-    n_w = F.size(words)
-    n_uniq = F.size(F.array_distinct(words))
-    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
-    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
-    awl = F.length("text") / n_w
-    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
-    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
-    quality = F.round(
-        0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * (n_uniq / n_w),
-        6,
-    )
     toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
     scored = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",
         words.alias("ws"),
-        quality.alias("quality"),
+        _text.quality_expr().alias("quality"),
         F.size(toks).alias("n_re_tokens"),
     )
-    lang_scores = {
-        lang: F.size(F.filter(F.col("ws"), lambda w: w.isin(*stops)))
-        for lang, stops in _LANG_STOPS.items()
-    }
-    pred = F.when(sum(lang_scores.values(), F.lit(0)) == 0, F.lit("und"))
-    for lang in _LANG_ORDER:
-        cond = None
-        for other in _LANG_ORDER:
-            if other != lang:
-                c = lang_scores[lang] >= lang_scores[other]
-                cond = c if cond is None else (cond & c)
-        pred = pred.when(cond, F.lit(lang))
     filtered = scored.select(
-        "doc_id", "text", "quality", "n_re_tokens", pred.alias("pred_lang")
+        "doc_id", "text", "quality", "n_re_tokens",
+        _text.lang_pred_expr("ws").alias("pred_lang"),
     ).filter(F.col("quality") >= 0.6)
     # Exact dedup: copies share the text, hence every derived column —
     # MIN picks the keeper doc_id and passes the rest through unchanged.
@@ -2495,8 +2451,9 @@ FROM p WHERE f2 IS NOT NULL GROUP BY channel_id
 # ---------------------------------------------------------------------------
 
 # Stratified-sample keep thresholds, per million (deterministic md5-hash
-# sampling: identical integer arithmetic in both engines).
-_SAMPLE_MOD = 1_000_000
+# sampling via operators/text.py sample_bucket_expr: identical integer
+# arithmetic in both engines).
+_SAMPLE_MOD = _text.SAMPLE_MOD
 _SAMPLE_THRESH = {"en": 500_000, "de": 300_000, "es": 300_000, "fr": 200_000, "zh": 200_000}
 _SAMPLE_DEFAULT = 100_000
 
@@ -2511,21 +2468,12 @@ def q_stratified_sample(spark, sf_dir):
     from every other hash-derived operator.
     """
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    u = F.expr(
-        "cast(conv(substring(md5(concat(cast(doc_id as string), ':sample')), 1, 15),"
-        " 16, 10) as bigint)"
-    ) % _SAMPLE_MOD
-    thr = None
-    for lang, t in _SAMPLE_THRESH.items():
-        cond = F.col("lang") == lang
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(_SAMPLE_DEFAULT)
     return (
         d.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "lang",
-            u.alias("u"),
-            thr.alias("thr"),
+            _text.sample_bucket_expr().alias("u"),
+            _text.sample_threshold_expr(_SAMPLE_THRESH, _SAMPLE_DEFAULT).alias("thr"),
         )
         .filter(F.col("u") < F.col("thr"))
         .select("doc_id", "lang", "u")
@@ -2980,24 +2928,12 @@ def q_training_mix(spark, sf_dir):
     per-(lang, shard) streams; the report agg is tiny.
     """
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    words = F.split(F.col("text"), " ")
-    n_w = F.size(words)
-    n_uniq = F.size(F.array_distinct(words))
-    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
-    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
-    awl = F.length("text") / n_w
-    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
-    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
-    quality = F.round(
-        0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * (n_uniq / n_w),
-        6,
-    )
     base = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",
         "lang",
-        n_w.alias("n_tokens"),
-        quality.alias("quality"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        _text.quality_expr().alias("quality"),
     )
     dedup = (
         base.filter(F.col("quality") >= 0.6)
@@ -3009,12 +2945,7 @@ def q_training_mix(spark, sf_dir):
             F.min("text").alias("text"),
         )
     )
-    gram_hashes = F.expr(
-        f"array_distinct(transform("
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {_DECON_N - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {_DECON_N}))),"
-        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
-    )
+    gram_hashes = _text.gram_hash_expr(_DECON_N)
     # benchmark gram set from the RAW corpus slice (held-out docs are
     # excluded from training regardless of quality).
     bench = (
@@ -3029,16 +2960,10 @@ def q_training_mix(spark, sf_dir):
     clean = dedup.filter(F.col("doc_id") % 10 != 0).join(
         contaminated, "doc_id", "left_anti"
     )
-    u = F.expr(
-        "cast(conv(substring(md5(concat(cast(doc_id as string), ':sample')), 1, 15),"
-        " 16, 10) as bigint)"
-    ) % _SAMPLE_MOD
-    thr = None
-    for lang, t in _SAMPLE_THRESH.items():
-        cond = F.col("lang") == lang
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(_SAMPLE_DEFAULT)
-    sampled = clean.filter(u < thr).select(
+    sampled = clean.filter(
+        _text.sample_bucket_expr()
+        < _text.sample_threshold_expr(_SAMPLE_THRESH, _SAMPLE_DEFAULT)
+    ).select(
         "lang",
         (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
         "doc_id",

@@ -1,0 +1,113 @@
+"""Shared text-pipeline expression builders (LLM-data extension tier).
+
+This module is the SINGLE definition of the engine's text arithmetic —
+quality scoring, stopword language ID, word-n-gram hashing, deterministic
+hash sampling, MinHash signatures.  The batch queries in
+``__spark_entry__``, the end-to-end pipelines (``corpus_prep``,
+``training_mix``) and the streaming corpus filter all compose these same
+expression trees, so every consumer computes bit-identical doubles and
+stays oracle-exact against the DuckDB SQL mirrors.
+
+Everything here is a map-side Column expression — no shuffles, no UDFs:
+embarrassingly parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Quality-heuristic stopword probe (English prose markers).
+STOPWORDS = ("the", "a", "of", "and", "is")
+
+# Per-language stopword probe sets for the language-ID heuristic.
+LANG_STOPS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "que", "y", "es"),
+    "fr": ("le", "la", "et", "est", "une"),
+    "zh": ("de", "shi", "le_zh", "zai", "he"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+# Deterministic-sampling modulus (buckets per unit probability).
+SAMPLE_MOD = 1_000_000
+
+
+def words_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.col(text_col), " ")
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """Composite document-quality heuristic in [0, 1], rounded to 6dp:
+    length saturation, mean word length proximity to English prose
+    (~4.7), stopword presence, and type-token ratio."""
+    words = words_expr(text_col)
+    n_w = F.size(words)
+    n_uniq = F.size(F.array_distinct(words))
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    len_score = F.least(F.lit(1.0), F.length(text_col) / F.lit(400.0))
+    awl = F.length(text_col) / n_w
+    wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
+    stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))
+    return F.round(
+        0.3 * len_score + 0.25 * wlen_score + 0.25 * stop_score + 0.2 * (n_uniq / n_w),
+        6,
+    )
+
+
+def lang_scores_expr(ws_col: str = "ws") -> dict[str, Column]:
+    """Stopword-hit count per candidate language over a words column."""
+    return {
+        lang: F.size(F.filter(F.col(ws_col), lambda w: w.isin(*stops)))
+        for lang, stops in LANG_STOPS.items()
+    }
+
+
+def lang_pred_expr(ws_col: str = "ws") -> Column:
+    """Argmax language with fixed priority order; 'und' when all zero."""
+    scores = lang_scores_expr(ws_col)
+    pred = F.when(sum(scores.values(), F.lit(0)) == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other != lang:
+                c = scores[lang] >= scores[other]
+                cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    return pred
+
+
+def gram_hash_expr(n: int, text_col: str = "text") -> Column:
+    """Distinct word-``n``-gram set of a document as portable 60-bit md5
+    bigint hashes (identical arithmetic to the DuckDB oracle mirrors)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))),"
+        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
+    )
+
+
+def sample_bucket_expr(id_col: str = "doc_id", salt: str = ":sample") -> Column:
+    """Deterministic uniform bucket in [0, SAMPLE_MOD): hash of the id,
+    salted to decorrelate from other hash-derived operators.  RNG-free —
+    re-runs select the same rows on any cluster size."""
+    return (
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast({id_col} as string), '{salt}')),"
+            f" 1, 15), 16, 10) as bigint)"
+        )
+        % SAMPLE_MOD
+    )
+
+
+def sample_threshold_expr(
+    thresholds: dict[str, int], default: int, lang_col: str = "lang"
+) -> Column:
+    """Per-language keep threshold (rows kept when bucket < threshold)."""
+    thr = None
+    for lang, t in thresholds.items():
+        cond = F.col(lang_col) == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    return thr.otherwise(default)

@@ -282,6 +282,48 @@ def streaming_deduplicate(
     )
 
 
+def streaming_corpus_filter(
+    df: DataFrame,
+    min_quality: float = 0.6,
+    dedup: bool = True,
+) -> DataFrame:
+    """Streaming corpus ingestion filter: score + language-ID + token
+    count + quality gate + exact-dup drop over an unbounded document
+    stream (the streaming front of the batch ``corpus_prep`` /
+    ``training_mix`` pipelines).
+
+    Composes the SAME expression trees as the batch queries
+    (``operators/text.py``), so a document scores identically whether it
+    arrives in a stream or a batch scan — everything except the dedup is
+    stateless map-side work.  The exact-dup drop keeps the FIRST arrival
+    per ``md5(text)`` digest; on a stream this holds one digest per
+    distinct document in state (no event-time horizon exists for "the
+    same text arriving much later"), the standard trade for global
+    exact dedup — bound it upstream by sharding or time-bucketing the
+    digest when the corpus is unbounded.
+    """
+    from pandas_sigproc_spark.operators import text as _text
+
+    scored = df.select(
+        "doc_id",
+        "text",
+        _text.words_expr().alias("ws"),
+        _text.quality_expr().alias("quality"),
+        F.md5(F.col("text")).alias("digest"),
+    ).select(
+        "doc_id",
+        "text",
+        "quality",
+        _text.lang_pred_expr("ws").alias("pred_lang"),
+        F.size("ws").alias("n_tokens"),
+        "digest",
+    )
+    out = scored.filter(F.col("quality") >= min_quality)
+    if dedup:
+        out = out.dropDuplicates(["digest"])
+    return out.drop("digest")
+
+
 __all__ = [
     "streaming_rms",
     "streaming_spl",
@@ -289,4 +331,5 @@ __all__ = [
     "streaming_lfilter",
     "streaming_deduplicate",
     "streaming_psd",
+    "streaming_corpus_filter",
 ]
