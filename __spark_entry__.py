@@ -871,6 +871,67 @@ GROUP BY o_orderkey
 """
 
 
+def q_tpch_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders in
+    # a half-year window having at least one returned lineitem, counted
+    # per priority.  The semi join never materializes lineitem columns
+    # (probe-only — Spark builds/streams just the key) and the date
+    # predicate reaches the orders parquet scan.  Adds the semi-join row
+    # of SURVEY §2.3 to the oracle-checked surface.
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_TPCH_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_custdist(spark, sf_dir):
+    # TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    # join so order-less customers land in the c_count=0 bucket, then a
+    # second aggregation over the first (histogram of group sizes).
+    # Adds the outer-join row of SURVEY §2.3 to the oracle-checked
+    # surface; both aggs get map-side partial combine.
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q_tpch_local_supplier(spark, sf_dir):
     # TPC-H Q5 shape: revenue by nation for orders where the customer and
     # the line's supplier sit in the SAME nation, region-filtered, one
@@ -3095,6 +3156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_join": q_tpch_revenue_join,
         "tpch_local_supplier": q_tpch_local_supplier,
+        "tpch_order_priority": q_tpch_order_priority,
+        "tpch_custdist": q_tpch_custdist,
         "interp_log": q_interp_log,
         # LLM-data-pipeline tier (oracle-checked)
         "text_stats": q_text_stats,
@@ -3173,6 +3236,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,
         "tpch_local_supplier": SQL_TPCH_LOCAL_SUPPLIER,
+        "tpch_order_priority": SQL_TPCH_ORDER_PRIORITY,
+        "tpch_custdist": SQL_TPCH_CUSTDIST,
         "interp_log": SQL_INTERP_LOG,
         "psd_dft": SQL_PSD_DFT,
         "text_stats": SQL_TEXT_STATS,

@@ -39,6 +39,8 @@ HEADLINE = [
     "tpch_pricing",
     "tpch_revenue_join",
     "tpch_local_supplier",
+    "tpch_order_priority",
+    "tpch_custdist",
     # kernel tier (applyInPandas)
     "filt_butter",
     "filt_chain",
