@@ -1001,9 +1001,9 @@ def q_text_stats(spark, sf_dir):
     stop = F.filter(words, lambda w: w.isin("the", "a"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.length("text").alias("n_chars_actual"),
-        F.size(words).alias("n_tokens"),
-        F.size(stop).alias("n_stopwords"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(stop).cast("long").alias("n_stopwords"),
         F.round(F.size(stop) / F.size(words), 6).alias("stopword_ratio"),
         F.round(F.length("text") / F.size(words), 6).alias("avg_token_len"),
     )
@@ -1411,7 +1411,7 @@ def q_lang_id(spark, sf_dir):
     out = row.select(
         "doc_id",
         _text.lang_pred_expr("ws").alias("pred_lang"),
-        sum(scores.values(), F.lit(0)).alias("n_stopword_hits"),
+        sum(scores.values(), F.lit(0)).cast("long").alias("n_stopword_hits"),
     )
     return out
 
@@ -1456,9 +1456,9 @@ def q_token_count(spark, sf_dir):
     toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        F.size(toks).alias("n_re_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
     )
 
 
@@ -2607,23 +2607,18 @@ def q_decontaminate(spark, sf_dir):
     subset.  60-bit md5 gram keys keep the join integer-typed and
     portable to the oracle.
     """
-    n = _DECON_N
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    grams = F.expr(
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+    # One definition of the gram arithmetic (operators/text.py) shared
+    # with training_mix's decontamination stage; distinctness is over the
+    # 60-bit hashes (== over the gram strings barring md5 collisions).
+    g = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _text.gram_hash_expr(_DECON_N).alias("gs"),
     )
-    g = d.select(F.col("doc_id").cast("long").alias("doc_id"), grams.alias("gs"))
     gh = g.select(
         "doc_id",
         F.size("gs").alias("n_ngrams"),
-        F.explode(
-            F.expr(
-                "transform(gs, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
-                " as bigint))"
-            )
-        ).alias("h"),
+        F.explode("gs").alias("h"),
     )
     bench = gh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
     return (
@@ -2647,14 +2642,14 @@ WITH tok AS (
 ),
 g AS (
   SELECT doc_id,
-         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - {_DECON_N - 1}, 1) + 1),
-                                      i -> ARRAY_TO_STRING(words[i:i+{_DECON_N - 1}], ' '))) AS gs
+         LIST_DISTINCT(LIST_TRANSFORM(
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - {_DECON_N - 1}, 1) + 1),
+                            i -> ARRAY_TO_STRING(words[i:i+{_DECON_N - 1}], ' ')),
+             s -> CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS gs
   FROM tok
 ),
 gh AS (
-  SELECT doc_id, CAST(LEN(gs) AS INTEGER) AS n_ngrams,
-         UNNEST(LIST_TRANSFORM(gs, s ->
-             CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS h
+  SELECT doc_id, CAST(LEN(gs) AS INTEGER) AS n_ngrams, UNNEST(gs) AS h
   FROM g
 ),
 bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = 0)
@@ -2886,9 +2881,13 @@ SELECT qid, vec_id, qscore, cos, CAST(rank AS INTEGER) AS rank FROM r WHERE rank
 """
 
 
-# Hann-window constant for the relational Welch below (repr-round-tripped
-# so both engines evaluate the same double).
+# Constants for the relational Welch below (repr-round-tripped so both
+# engines evaluate the same double).  _WELCH_W0 is derived from the
+# Welch segment length itself, NOT reused from _DFT_W0, so changing one
+# query's N cannot silently corrupt the other (the oracle mirrors the
+# same constants and would stay green on the wrong math).
 _WELCH_DFT_N = 64
+_WELCH_W0 = 2.0 * math.pi / _WELCH_DFT_N
 _HANN_C = 2.0 * math.pi / (_WELCH_DFT_N - 1)
 
 
@@ -2923,7 +2922,7 @@ def q_psd_welch_dft(spark, sf_dir):
     xw = (F.col("x") * (0.5 - 0.5 * F.cos(F.lit(_HANN_C) * F.col("m")))).alias("xw")
     windowed = full.select("channel_id", "seg", "m", xw)
     kgrid = spark.range(0, n // 2 + 1).select(F.col("id").cast("int").alias("k"))
-    ang = F.lit(_DFT_W0) * ((F.col("m") * F.col("k")) % n)
+    ang = F.lit(_WELCH_W0) * ((F.col("m") * F.col("k")) % n)
     per_seg = (
         windowed.crossJoin(F.broadcast(kgrid))
         .groupBy("channel_id", "seg", "k")
@@ -2962,8 +2961,8 @@ f AS (
 kg AS (SELECT CAST(UNNEST(RANGE(0, {_WELCH_DFT_N // 2 + 1})) AS INTEGER) AS k),
 agg AS (
   SELECT channel_id, seg, k,
-         SUM(xw * COS({_DFT_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS re,
-         SUM(xw * SIN({_DFT_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS im
+         SUM(xw * COS({_WELCH_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS re,
+         SUM(xw * SIN({_WELCH_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS im
   FROM f CROSS JOIN kg
   GROUP BY channel_id, seg, k
 )
@@ -3037,10 +3036,9 @@ def q_training_mix(spark, sf_dir):
         order_col="doc_id",
         group_cols=("lang", "shard"),
     )
-    pack_key = F.col("shard") * 1_000_000 + F.col("pack_id")
     agg = packed.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(pack_key).alias("n_packs"),
+        F.countDistinct("shard", "pack_id").alias("n_packs"),
         F.sum("n_tokens").alias("sum_toks"),
     )
     return agg.select(
@@ -3115,7 +3113,7 @@ r AS (
 ),
 stats AS (
   SELECT lang, COUNT(*) AS n_docs,
-         COUNT(DISTINCT shard * 1000000 + pack_id) AS n_packs,
+         COUNT(DISTINCT (shard, pack_id)) AS n_packs,
          SUM(n_tokens) AS sum_toks
   FROM r GROUP BY lang
 )

@@ -57,6 +57,24 @@ def _exploded(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _pruning_threshold(threshold: float) -> float:
+    """Slightly-relaxed threshold for the PRUNING bounds only.
+
+    The size bound ``n_min >= t * n_max`` and the PPJoin prefix length
+    ``ceil(t * n)`` evaluate ``t * n`` in float64; for thresholds not
+    exactly representable in binary (0.55, 0.7, ...) the product can land
+    one ulp ABOVE the true rational value (100 * 0.55 -> 55.000...01),
+    silently pruning a true pair whose Jaccard equals the threshold and
+    breaking the documented no-true-pair-lost contract.  Scaling the
+    pruning threshold down by 1e-12 over-covers that ulp error by ~4
+    orders of magnitude while admitting essentially no extra candidates;
+    the FINAL exact ``jaccard >= threshold`` filter still decides
+    membership, so results are unchanged except that boundary pairs are
+    no longer lost.
+    """
+    return threshold * (1.0 - 1e-12)
+
+
 def _hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     """Shingles with document frequency above the cap — small by construction."""
     return (
@@ -102,6 +120,7 @@ def jaccard_pairs(
     see jaccard_ppjoin for the 100 TB variant.
     """
     sh = _apply_df_cap(_exploded(docs, text_col, id_col, n), max_df)
+    t_lo = _pruning_threshold(threshold)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -109,8 +128,8 @@ def jaccard_pairs(
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+            & (F.col("a.n_sh") * t_lo <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * t_lo <= F.col("a.n_sh")),
         )
         .groupBy(
             F.col("a.doc_id").alias("d1"),
@@ -187,8 +206,9 @@ def jaccard_ppjoin(
         )
         .repartition(nparts, "doc_id")
     )
+    t_lo = _pruning_threshold(threshold)
     pre_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        F.col("n_sh") - F.ceil(F.lit(t_lo) * F.col("n_sh")) + F.lit(1)
     ).cast("int")
     pre = arr.select(
         "doc_id", "n_sh", F.explode(F.slice("hs", F.lit(1), pre_len)).alias("h")
@@ -199,8 +219,8 @@ def jaccard_ppjoin(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+            & (F.col("a.n_sh") * t_lo <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * t_lo <= F.col("a.n_sh")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()

@@ -71,9 +71,13 @@ def connected_components(
     _require_integral(edges, [src, dst], "edges")
     if vertices is not None:
         _require_integral(vertices, [id_col], "vertices")
+    # A NULL endpoint (upstream outer join, say) constrains nothing and
+    # would crash the single-task union-find (NaN after Arrow's
+    # long-with-nulls -> float64) while the iterative path emitted a junk
+    # (NULL, NULL) row — drop half-edges up front so both paths agree.
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
-    )
+    ).filter(F.col("s").isNotNull() & F.col("t").isNotNull())
     # Materialize the symmetrized edge list once: it is joined EVERY
     # round, and the upstream pair plan (an LSH self-join in the dedup
     # pipeline) must not be re-executed per iteration.

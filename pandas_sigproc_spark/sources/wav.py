@@ -35,8 +35,10 @@ _DTYPES = {
 }
 
 
-def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
-    """Stereo/mono WAV sink with reference semantics (``tools.py:227-254``)."""
+def _write_wav_stream(f, sample_rate, sound_left, sound_right=None) -> None:
+    """Stereo/mono WAV layout with reference semantics (``tools.py:227-254``)
+    onto any binary stream — shared by the file sink and the in-memory
+    payload encoder so the byte layout cannot drift between them."""
     left = np.asarray(sound_left)
     right = left if sound_right is None else np.asarray(sound_right)
     if left.shape != right.shape:
@@ -64,9 +66,14 @@ def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
         b"data",
         len(data),
     )
+    f.write(hdr)
+    f.write(data)
+
+
+def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
+    """Stereo/mono WAV sink with reference semantics (``tools.py:227-254``)."""
     with open(filename, "wb") as f:
-        f.write(hdr)
-        f.write(data)
+        _write_wav_stream(f, sample_rate, sound_left, sound_right)
 
 
 def _read_wav_stream(f):
@@ -117,22 +124,14 @@ def decode_wav_bytes(payload: bytes):
 
 
 def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
-    """write_wav's layout into an in-memory payload (test/pipeline harness)."""
+    """write_wav's layout into an in-memory payload — no executor disk
+    I/O (this runs once per channel inside applyInPandas in the media
+    pipeline)."""
     import io
-    import tempfile
 
-    # write_wav is file-based; reuse its exact header/data path via a temp
-    # file so byte-level behavior can't drift between the two.
-    import os
-
-    fd, path = tempfile.mkstemp(suffix=".wav")
-    os.close(fd)
-    try:
-        write_wav(path, sample_rate, sound_left, sound_right)
-        with open(path, "rb") as f:
-            return f.read()
-    finally:
-        os.unlink(path)
+    buf = io.BytesIO()
+    _write_wav_stream(buf, sample_rate, sound_left, sound_right)
+    return buf.getvalue()
 
 
 def wav_to_signals(spark, filename, channel_prefix: str = "wav"):

@@ -125,7 +125,19 @@ def _log_ticks(lo: float, hi: float):
     import math
 
     lo10, hi10 = math.floor(math.log10(lo)), math.ceil(math.log10(hi))
-    return [10.0 ** e for e in range(lo10, hi10 + 1) if lo <= 10.0 ** e <= hi]
+    decades = [10.0 ** e for e in range(lo10, hi10 + 1) if lo <= 10.0 ** e <= hi]
+    if decades:
+        return decades
+    # Sub-decade range with no power of 10 inside (e.g. 2e-3..8e-3):
+    # fall back to the 2/5 minor-tick multiples so the axis still gets
+    # gridlines and labels.
+    minors = [
+        m * 10.0 ** e
+        for e in range(lo10, hi10 + 1)
+        for m in (2.0, 5.0)
+        if lo <= m * 10.0 ** e <= hi
+    ]
+    return sorted(minors) if minors else [lo, hi]
 
 
 def _fmt(v: float) -> str:

@@ -40,3 +40,22 @@ def test_converged_run_does_not_warn(spark):
         warnings.simplefilter("error", RuntimeWarning)
         out = connected_components(edges).toPandas()
     assert set(out["component"]) == {1}
+
+
+def test_null_endpoint_edges_dropped_both_paths(spark):
+    # Half-edges (e.g. from an upstream outer join) constrain nothing;
+    # they used to crash the single-task union-find (NaN after Arrow's
+    # long-with-nulls -> float64) and emit junk rows on the iterative
+    # path.  Both paths must now agree with the null-free result.
+    pdf = pd.DataFrame({"src": [1, 2, None, 4], "dst": [2, 3, 5, None]})
+    edges = spark.createDataFrame(pdf.astype({"src": "Int64", "dst": "Int64"}),
+                                  "src long, dst long")
+    clean = spark.createDataFrame(pd.DataFrame({"src": [1, 2], "dst": [2, 3]}))
+    want = connected_components(clean).toPandas().sort_values("id", ignore_index=True)
+    for thr in (0, 1_000_000):  # iterative and union-find paths
+        got = (
+            connected_components(edges, local_threshold=thr)
+            .toPandas()
+            .sort_values("id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)

@@ -94,3 +94,21 @@ def test_boilerplate_pair_found_with_cap(docs):
     got = _run(jaccard_ppjoin, docs, 5)
     assert any(p[:2] == (0, 100) for p in got)
     assert any(p[:2] == (1, 101) for p in got)
+
+
+def test_threshold_boundary_pair_not_lost(spark):
+    # J exactly AT a threshold that is not representable in binary
+    # (0.55): 100-word doc A, 55-word subset doc B, word shingles (n=1).
+    # 100 * 0.55 evaluates to 55.000...01 in float64, so an unguarded
+    # size bound (and the PPJoin prefix length) silently dropped the
+    # pair; the relaxed pruning threshold must keep it while the exact
+    # final filter still decides membership.
+    words = [f"u{i}" for i in range(100)]
+    docs_pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [" ".join(words), " ".join(words[:55])]}
+    )
+    docs = spark.createDataFrame(docs_pdf, "doc_id long, text string")
+    for fn in (jaccard_pairs, jaccard_ppjoin):
+        out = fn(docs, threshold=0.55, n=1).toPandas()
+        assert len(out) == 1, fn.__name__
+        assert abs(out.iloc[0]["jaccard"] - 0.55) < 1e-9

@@ -56,9 +56,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     for col in s.columns:
         sv, dv = s[col], d[col]
         sk, dk = sv.dtype.kind, dv.dtype.kind
-        # dtype drift is a driver hash failure even when values are equal.
+        # dtype drift is a driver hash failure even when values are equal —
+        # and WIDTH drift (int32 vs int64, float32 vs float64) hashes
+        # differently just like kind drift, so compare the exact dtype.
         # (object columns from the two engines are compared by value below.)
-        if sk != dk and not (sk == "O" or dk == "O"):
+        if sv.dtype != dv.dtype and not (sk == "O" or dk == "O"):
             errs.append(f"col {col}: dtype drift spark={sv.dtype} duck={dv.dtype}")
             continue
         if sk == "f" and dk == "f":
