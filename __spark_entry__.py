@@ -5,10 +5,13 @@
 SURVEY.md §2 (signal operators run over the ``events`` table viewed as the
 canonical ``signals`` long format: channel_id = user_id, t = epoch
 seconds); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
-relational (native-tier) query.  Kernel-tier queries (FFT/IIR/spline/
-rainflow — genuinely non-SQL-expressible) omit the oracle entry and get
-the driver's rows-only check; their numeric correctness is covered by the
-golden tests in tests/ (see SURVEY.md §5.2).
+relational (native-tier) query.  The kernel tier is hash-anchored too:
+recursive-CTE oracles replay rainflow (full E1049), the causal and
+zero-phase IIR recursions, and the Smallwood SRS resonator bit-exactly,
+and O(N^2) DFT oracles anchor the spectral tier (psd_dft /
+psd_welch_dft / psd_summary_dft / psd_rms_dft).  Only the full-length
+FFT/spline production queries remain rows-only (their math is pinned to
+the anchors and to NumPy goldens in tests/, see SURVEY.md §5.2).
 
 Float policy: row-level expressions are bit-identical across engines, so
 they are returned raw; any result downstream of a reduction (sum/avg) is
@@ -2521,13 +2524,13 @@ rev0 AS (
   UNION ALL
   SELECT channel_id, CAST(n AS BIGINT) FROM ord_t WHERE i = n AND n >= 2
 ),
-rev AS (
+rev AS MATERIALIZED (
   SELECT r.channel_id,
          ROW_NUMBER() OVER (PARTITION BY r.channel_id ORDER BY r.pos) AS j,
          o.v
   FROM rev0 r JOIN ord_t o ON o.channel_id = r.channel_id AND o.i = r.pos
 ),
-mm AS (SELECT channel_id, MAX(j) AS m FROM rev GROUP BY channel_id),
+mm AS MATERIALIZED (SELECT channel_id, MAX(j) AS m FROM rev GROUP BY channel_id),
 steps AS (
   SELECT channel_id, 0 AS step, CAST(2 AS BIGINT) AS k, [v] AS st,
          CAST(NULL AS DOUBLE) AS er, CAST(NULL AS DOUBLE) AS ec
@@ -2568,6 +2571,305 @@ cyc AS (
 )
 SELECT channel_id, ROUND(rng, 2) AS bin, SUM(cnt) AS cycles
 FROM cyc GROUP BY channel_id, ROUND(rng, 2)
+"""
+
+
+# IIR anchor design: order-2 Butterworth lowpass at 0.3 normalized
+# cutoff.  Computed once at import; the repr-round-tripped coefficient
+# literals embed in the oracle SQL so both engines recurse on identical
+# doubles.
+from pandas_sigproc_spark.kernels.design import butter as _butter_design
+
+_IIR_B, _IIR_A = _butter_design(2, 0.3, "lowpass")
+
+
+def q_filt_iir_exact(spark, sf_dir):
+    """The IIR tier's hash anchor (the psd_dft of the filter family):
+    causal order-2 Butterworth over the head-512 segment of each channel.
+    512 < kernels.iir._LOOP_CUTOVER forces the kernel's exact DF2T
+    recursion (the same textbook difference equation SciPy's lfilter
+    implements, extension.py:563), and the oracle replays that recursion
+    sample-by-sample as a recursive CTE with the identical multiply-add
+    order — so the comparison is BIT-EXACT, no rounding anywhere.  The
+    FFT-convolution path (q_filt_butter etc.) computes the same math at
+    O(n log n) for full channels; tests pin the two paths within 1e-9.
+    """
+    import pandas as pd
+
+    b, a = _IIR_B, _IIR_A
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    head = (
+        sig.withColumn("i", F.row_number().over(w).cast("long"))
+        .filter(F.col("i") <= 512)
+        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
+    )
+
+    def k(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.kernels.iir import lfilter
+
+        pdf = pdf.sort_values("i")
+        y = lfilter(b, a, pdf["x"].to_numpy("float64"))
+        return pd.DataFrame(
+            {"channel_id": pdf["channel_id"].iloc[0], "i": pdf["i"], "y": y}
+        )
+
+    return head.groupBy("channel_id").applyInPandas(
+        k, "channel_id string, i long, y double"
+    )
+
+
+def _sql_filt_iir_exact():
+    b0, b1, b2 = (_dlit(x) for x in _IIR_B)
+    a1, a2 = _dlit(_IIR_A[1]), _dlit(_IIR_A[2])
+    # DF2T recursion, n = 3:
+    #   y_i  = b0*x_i + z1_{i-1}
+    #   z1_i = (b1*x_i + z2_{i-1}) - a1*y_i
+    #   z2_i = b2*x_i - a2*y_i
+    # with z = 0 at start — expression-for-expression the kernel's
+    # _lfilter_loop body, so each step lands on the same double.
+    y0 = f"{b0} * h.x + 0.0"
+    yi = f"{b0} * h.x + f.z1"
+    return f"""
+WITH RECURSIVE {_SIG_CTE},
+r AS (
+  SELECT channel_id, value / 100.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) AS i
+  FROM sig
+),
+h AS MATERIALIZED (SELECT * FROM r WHERE i <= 512),
+f AS (
+  SELECT h.channel_id, h.i,
+         {y0} AS y,
+         {b1} * h.x + 0.0 - {a1} * ({y0}) AS z1,
+         {b2} * h.x - {a2} * ({y0}) AS z2
+  FROM h WHERE h.i = 1
+  UNION ALL
+  SELECT h.channel_id, h.i,
+         {yi} AS y,
+         {b1} * h.x + f.z2 - {a1} * ({yi}) AS z1,
+         {b2} * h.x - {a2} * ({yi}) AS z2
+  FROM f JOIN h ON h.channel_id = f.channel_id AND h.i = f.i + 1
+)
+SELECT channel_id, i, y FROM f
+"""
+
+
+# SRS anchor design: one Smallwood ramp-invariant SDOF resonator
+# (fn = 0.05 cycles/sample, Q = 10) — computed once at import, literals
+# embedded in the oracle SQL.
+def _srs_anchor_ba():
+    import numpy as np
+
+    from pandas_sigproc_spark.kernels.srs import smallwood_coefficients
+
+    b, a = smallwood_coefficients(np.array([0.05]), 1.0, 10.0)
+    return b, a
+
+
+_SRS_B, _SRS_A = _srs_anchor_ba()
+
+
+def q_srs_exact(spark, sf_dir):
+    """The SRS tier's hash anchor: ONE Smallwood SDOF resonator
+    (kernels/srs.py smallwood_coefficients — the reference's
+    tools.py:349-374 ramp-invariant recursion) driven over the head-512
+    segment of each channel through the PRODUCTION batch recursion
+    (_sdof_responses_batch), envelope = (max y, |min y|) per channel.
+    The oracle replays the order-2 recursion sample-by-sample with the
+    identical multiply-add order and takes the same MAX/MIN — selection
+    of bit-exact values, so the comparison needs no rounding.  The full
+    q_srs fans the same recursion out over the 79-frequency grid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b, a = _SRS_B, _SRS_A
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    head = (
+        sig.withColumn("i", F.row_number().over(w).cast("long"))
+        .filter(F.col("i") <= 512)
+        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
+    )
+
+    def k(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.kernels.srs import _sdof_responses_batch
+
+        pdf = pdf.sort_values("i")
+        pos, aneg = _sdof_responses_batch(pdf["x"].to_numpy("float64"), b, a)
+        return pd.DataFrame(
+            {
+                "channel_id": [pdf["channel_id"].iloc[0]],
+                "srs_pos": [float(pos[0])],
+                "srs_abs_neg": [float(aneg[0])],
+            }
+        )
+
+    return head.groupBy("channel_id").applyInPandas(
+        k, "channel_id string, srs_pos double, srs_abs_neg double"
+    )
+
+
+def _dlit(x: float) -> str:
+    """A float as a DuckDB expression that is EXACTLY the Python double.
+
+    A bare decimal literal parses as DECIMAL in DuckDB; arithmetic can
+    then run in exact decimal (or convert at a different point) and land
+    one ulp off the float64 computation.  The string->DOUBLE cast is
+    correctly rounded, and repr() is the shortest uniquely-identifying
+    decimal, so this round-trips bit-exactly.
+    """
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_srs_exact():
+    b0, b1, b2 = (_dlit(x) for x in _SRS_B[0])
+    a1, a2 = _dlit(_SRS_A[0][1]), _dlit(_SRS_A[0][2])
+    y0 = f"{b0} * h.x + 0.0"
+    yi = f"{b0} * h.x + f.z1"
+    return f"""
+WITH RECURSIVE {_SIG_CTE},
+r AS (
+  SELECT channel_id, value / 100.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) AS i
+  FROM sig
+),
+h AS MATERIALIZED (SELECT * FROM r WHERE i <= 512),
+f AS (
+  SELECT h.channel_id, h.i,
+         {y0} AS y,
+         {b1} * h.x + 0.0 - {a1} * ({y0}) AS z1,
+         {b2} * h.x - {a2} * ({y0}) AS z2
+  FROM h WHERE h.i = 1
+  UNION ALL
+  SELECT h.channel_id, h.i,
+         {yi} AS y,
+         {b1} * h.x + f.z2 - {a1} * ({yi}) AS z1,
+         {b2} * h.x - {a2} * ({yi}) AS z2
+  FROM f JOIN h ON h.channel_id = f.channel_id AND h.i = f.i + 1
+)
+SELECT channel_id, MAX(y) AS srs_pos, ABS(MIN(y)) AS srs_abs_neg
+FROM f GROUP BY channel_id
+"""
+
+
+def q_filtfilt_exact(spark, sf_dir):
+    """The ZERO-PHASE anchor: kernels.iir.filtfilt (the reference's
+    headline filtering semantic — filt_butter/filt_cfc apply it,
+    extension.py:493,535) on the head-512 segment of each channel,
+    replayed bit-exactly by the oracle.  The SQL mirrors every step of
+    the SciPy-default algorithm: odd extension by 3*ntaps samples,
+    forward DF2T recursion seeded with zi*ext[0] (lfilter_zi initial
+    conditions as literals), reverse, second recursion seeded with
+    zi*y[-1], reverse, strip pads.  All comparisons/multiply-adds on
+    identical doubles — no rounding anywhere.  Channels shorter than
+    padlen+1 are excluded on both sides (the kernel raises for them).
+    """
+    import pandas as pd
+
+    b, a = _IIR_B, _IIR_A
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    head = (
+        sig.withColumn("i", F.row_number().over(w).cast("long"))
+        .filter(F.col("i") <= 512)
+        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
+    )
+    cw = Window.partitionBy("channel_id")
+    head = head.withColumn("n", F.max("i").over(cw)).filter(F.col("n") > 9)
+
+    def k(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.kernels.iir import filtfilt
+
+        pdf = pdf.sort_values("i")
+        y = filtfilt(b, a, pdf["x"].to_numpy("float64"))
+        return pd.DataFrame(
+            {"channel_id": pdf["channel_id"].iloc[0], "i": pdf["i"], "y": y}
+        )
+
+    return head.select("channel_id", "i", "x").groupBy("channel_id").applyInPandas(
+        k, "channel_id string, i long, y double"
+    )
+
+
+def _sql_filtfilt_exact():
+    from pandas_sigproc_spark.kernels.iir import lfilter_zi
+
+    b0, b1, b2 = (_dlit(x) for x in _IIR_B)
+    a1, a2 = _dlit(_IIR_A[1]), _dlit(_IIR_A[2])
+    zi1, zi2 = (_dlit(z) for z in lfilter_zi(_IIR_B, _IIR_A))
+
+    def seed(e):
+        y = f"{b0} * {e} + ({zi1} * {e})"
+        return (
+            f"{y} AS y,\n"
+            f"         ({b1} * {e} + ({zi2} * {e})) - {a1} * ({y}) AS z1,\n"
+            f"         {b2} * {e} - {a2} * ({y}) AS z2"
+        )
+
+    def step(e, f):
+        y = f"{b0} * {e} + {f}.z1"
+        return (
+            f"{y} AS y,\n"
+            f"         ({b1} * {e} + {f}.z2) - {a1} * ({y}) AS z1,\n"
+            f"         {b2} * {e} - {a2} * ({y}) AS z2"
+        )
+
+    return f"""
+WITH RECURSIVE {_SIG_CTE},
+r AS (
+  SELECT channel_id, value / 100.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) AS i
+  FROM sig
+),
+h0 AS (SELECT * FROM r WHERE i <= 512),
+nt AS (SELECT channel_id, MAX(i) AS n FROM h0 GROUP BY channel_id HAVING MAX(i) > 9),
+h AS (SELECT h0.* FROM h0 JOIN nt USING (channel_id)),
+x1 AS (SELECT channel_id, x AS xfirst FROM h WHERE i = 1),
+xn AS (SELECT h.channel_id, h.x AS xlast FROM h JOIN nt ON h.channel_id = nt.channel_id AND h.i = nt.n),
+jg AS (SELECT CAST(UNNEST(RANGE(1, 10)) AS BIGINT) AS j),
+front AS (
+  SELECT f.channel_id, f.j AS pos, 2.0 * f.xfirst - h.x AS e
+  FROM (SELECT x1.channel_id, jg.j, x1.xfirst FROM x1 CROSS JOIN jg) f
+  JOIN h ON h.channel_id = f.channel_id AND h.i = 11 - f.j
+),
+mid AS (SELECT channel_id, i + 9 AS pos, x AS e FROM h),
+back AS (
+  SELECT f.channel_id, f.n + 9 + f.j AS pos, 2.0 * f.xlast - h.x AS e
+  FROM (SELECT xn.channel_id, jg.j, xn.xlast, nt.n
+        FROM xn JOIN nt USING (channel_id) CROSS JOIN jg) f
+  JOIN h ON h.channel_id = f.channel_id AND h.i = f.n - f.j
+),
+ext AS MATERIALIZED (
+  SELECT * FROM front UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM back
+),
+fw AS (
+  SELECT e.channel_id, e.pos,
+         {seed("e.e")}
+  FROM ext e WHERE e.pos = 1
+  UNION ALL
+  SELECT e.channel_id, e.pos,
+         {step("e.e", "f")}
+  FROM fw f JOIN ext e ON e.channel_id = f.channel_id AND e.pos = f.pos + 1
+),
+mt AS MATERIALIZED (SELECT channel_id, MAX(pos) AS m FROM ext GROUP BY channel_id),
+yr AS MATERIALIZED (
+  SELECT f.channel_id, mt.m + 1 - f.pos AS j, f.y AS e
+  FROM fw f JOIN mt USING (channel_id)
+),
+bw AS (
+  SELECT e.channel_id, e.j,
+         {seed("e.e")}
+  FROM yr e WHERE e.j = 1
+  UNION ALL
+  SELECT e.channel_id, e.j,
+         {step("e.e", "f")}
+  FROM bw f JOIN yr e ON e.channel_id = f.channel_id AND e.j = f.j + 1
+)
+SELECT b.channel_id, (mt.m + 1 - b.j) - 9 AS i, b.y
+FROM bw b JOIN mt USING (channel_id)
+WHERE mt.m + 1 - b.j BETWEEN 10 AND mt.m - 9
 """
 
 
@@ -2998,6 +3300,17 @@ def q_psd_welch_dft(spark, sf_dir):
     (q_psd_welch does the same math in O(N log N)); the O(N^2) DFT is
     not the scale path.
     """
+    per_seg = _welch_dft_segments(spark, sf_dir)
+    return (
+        per_seg.groupBy("channel_id", "k")
+        .agg((F.round(F.avg("p"), 3) + F.lit(0.0)).alias("power"))
+        .select("channel_id", "k", "power")
+    )
+
+
+def _welch_dft_segments(spark, sf_dir):
+    """Shared per-(channel, segment, bin) windowed-DFT power table for
+    the relational Welch family."""
     n = _WELCH_DFT_N
     sig = _sig_ch(spark, sf_dir)
     w = Window.partitionBy("channel_id").orderBy("t", "seq")
@@ -3026,16 +3339,31 @@ def q_psd_welch_dft(spark, sf_dir):
             F.sum(F.col("xw") * F.sin(ang)).alias("im"),
         )
     )
-    power = F.col("re") * F.col("re") + F.col("im") * F.col("im")
-    return (
-        per_seg.groupBy("channel_id", "k")
-        .agg((F.round(F.avg(power), 3) + F.lit(0.0)).alias("power"))
-        .select("channel_id", "k", "power")
+    return per_seg.select(
+        "channel_id",
+        "seg",
+        "k",
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias("p"),
     )
 
 
-SQL_PSD_WELCH_DFT = f"""
-WITH {_SIG_CTE},
+def q_psd_summary_dft(spark, sf_dir):
+    """The remaining get_psd summarize modes (tools.py:74-98 — median /
+    max / min alongside mean) under the hash gate, over the same
+    relational Welch segments as q_psd_welch_dft.  Median is the exact
+    percentile (§2.4's oracle-parity note); max/min are order-exact;
+    every reduced value is rounded on both sides.
+    """
+    per_seg = _welch_dft_segments(spark, sf_dir)
+    return per_seg.groupBy("channel_id", "k").agg(
+        (F.round(F.avg("p"), 3) + F.lit(0.0)).alias("p_mean"),
+        (F.round(F.percentile("p", 0.5), 3) + F.lit(0.0)).alias("p_median"),
+        (F.round(F.max("p"), 3) + F.lit(0.0)).alias("p_max"),
+        (F.round(F.min("p"), 3) + F.lit(0.0)).alias("p_min"),
+    )
+
+
+_SQL_WELCH_SEG_CTES = f"""{_SIG_CTE},
 r AS (
   SELECT channel_id, value / 100.0 AS x,
          ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) - 1 AS rn
@@ -3060,9 +3388,23 @@ agg AS (
          SUM(xw * SIN({_WELCH_W0!r} * ((m * k) % {_WELCH_DFT_N}))) AS im
   FROM f CROSS JOIN kg
   GROUP BY channel_id, seg, k
-)
-SELECT channel_id, k, ROUND(AVG(re * re + im * im), 3) + 0.0 AS power
-FROM agg GROUP BY channel_id, k
+),
+pseg AS (SELECT channel_id, seg, k, re * re + im * im AS p FROM agg)"""
+
+SQL_PSD_WELCH_DFT = f"""
+WITH {_SQL_WELCH_SEG_CTES}
+SELECT channel_id, k, ROUND(AVG(p), 3) + 0.0 AS power
+FROM pseg GROUP BY channel_id, k
+"""
+
+SQL_PSD_SUMMARY_DFT = f"""
+WITH {_SQL_WELCH_SEG_CTES}
+SELECT channel_id, k,
+       ROUND(AVG(p), 3) + 0.0 AS p_mean,
+       ROUND(QUANTILE_CONT(p, 0.5), 3) + 0.0 AS p_median,
+       ROUND(MAX(p), 3) + 0.0 AS p_max,
+       ROUND(MIN(p), 3) + 0.0 AS p_min
+FROM pseg GROUP BY channel_id, k
 """
 
 
@@ -3281,6 +3623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "psd_rms_dft": q_psd_rms_dft,
         "psd_welch_dft": q_psd_welch_dft,
+        "psd_summary_dft": q_psd_summary_dft,
+        "filt_iir_exact": q_filt_iir_exact,
+        "filtfilt_exact": q_filtfilt_exact,
+        "srs_exact": q_srs_exact,
         "training_mix": q_training_mix,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
@@ -3360,9 +3706,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8": _sql_ann_int8(),
         "psd_rms_dft": SQL_PSD_RMS_DFT,
         "psd_welch_dft": SQL_PSD_WELCH_DFT,
+        "psd_summary_dft": SQL_PSD_SUMMARY_DFT,
         "training_mix": SQL_TRAINING_MIX,
         "rainflow": SQL_RAINFLOW,
         # identical counts by the residue-merge theorem (tests pin the
         # chunked==whole equality; the oracle pins both to the standard)
         "rainflow_chunked": SQL_RAINFLOW,
+        "filt_iir_exact": _sql_filt_iir_exact(),
+        "filtfilt_exact": _sql_filtfilt_exact(),
+        "srs_exact": _sql_srs_exact(),
     }
