@@ -2754,6 +2754,154 @@ FROM f GROUP BY channel_id
 """
 
 
+def q_interp_cubic_exact(spark, sf_dir):
+    """The spline tier's hash anchor: the not-a-knot cubic spline
+    (kernels/interp.py — extension.py:819-851 kind='cubic') on FOUR
+    knots per channel, evaluated at the three knot midpoints.  With four
+    knots the kernel's whole pipeline is closed-form — the not-a-knot
+    fold of the boundary conditions into the interior rows, the 2x2
+    solve (the terminal case of the cyclic-reduction banded solver), the
+    boundary second-derivative recovery, and the segment evaluation —
+    and the oracle replays each expression with identical association,
+    so the comparison is BIT-EXACT, unrounded.  The banded O(n) solve
+    for larger n is pinned to this same arithmetic by the banded==dense
+    kernel tests.
+    """
+    import pandas as pd
+
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    head = (
+        sig.withColumn("i", F.row_number().over(w).cast("long"))
+        .filter(F.col("i") <= 512)
+        .select("channel_id", "i", "t", "value")
+    )
+    cw = Window.partitionBy("channel_id")
+    head = head.withColumn("n", F.max("i").over(cw)).filter(F.col("n") >= 7)
+    knots = head.filter(
+        (F.col("i") == 1)
+        | (F.col("i") == F.expr("1 + n div 3"))
+        | (F.col("i") == F.expr("1 + (2 * n) div 3"))
+        | (F.col("i") == F.col("n"))
+    )
+
+    def k(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.kernels.interp import interp1d
+
+        pdf = pdf.sort_values("i")
+        xs = pdf["t"].to_numpy("float64")
+        ys = pdf["value"].to_numpy("float64")
+        us = 0.5 * (xs[:-1] + xs[1:])
+        vs = interp1d(xs, ys, us, "cubic")
+        return pd.DataFrame(
+            {
+                "channel_id": pdf["channel_id"].iloc[0],
+                "j": range(1, len(us) + 1),
+                "u": us,
+                "v": vs,
+            }
+        )
+
+    return knots.select("channel_id", "i", "t", "value").groupBy(
+        "channel_id"
+    ).applyInPandas(k, "channel_id string, j long, u double, v double")
+
+
+def _sql_interp_cubic_exact():
+    # Mirrors kernels/interp.py _cubic_spline_coeffs (n=4: not-a-knot
+    # fold + the 2x2 terminal solve of _cyclic_reduction) and the cubic
+    # segment evaluation, expression for expression.
+    pre = """
+hh AS (
+  SELECT kn.*,
+         x2 - x1 AS h0, x3 - x2 AS h1, x4 - x3 AS h2
+  FROM kn
+),
+co AS (
+  SELECT hh.*,
+         6.0 * ((y3 - y2) / h1 - (y2 - y1) / h0) AS r1,
+         6.0 * ((y4 - y3) / h2 - (y3 - y2) / h1) AS r2,
+         (h0 + h1) * (h0 + 2.0 * h1) / h1 AS df0,
+         (h1 * h1 - h0 * h0) / h1 AS du0,
+         (h1 + h2) * (2.0 * h1 + h2) / h1 AS df1,
+         (h1 * h1 - h2 * h2) / h1 AS dl1
+  FROM hh
+),
+sv AS (
+  SELECT co.*, df0 * df1 - du0 * dl1 AS det FROM co
+),
+ms AS (
+  SELECT sv.*,
+         (r1 * df1 - du0 * r2) / det AS m1,
+         (df0 * r2 - dl1 * r1) / det AS m2
+  FROM sv
+),
+mm AS (
+  SELECT ms.*,
+         ((h0 + h1) * m1 - h0 * m2) / h1 AS m0,
+         ((h1 + h2) * m2 - h2 * m1) / h1 AS m3
+  FROM ms
+)"""
+
+    def seg(j):
+        # interval j (1-based): knots (x{j}, x{j+1}), h index j-1,
+        # second derivatives m{j-1}, m{j}.
+        x_l, x_r = f"x{j}", f"x{j + 1}"
+        y_l, y_r = f"y{j}", f"y{j + 1}"
+        m_l, m_r = f"m{j - 1}", f"m{j}"
+        hi = f"h{j - 1}"
+        u = f"0.5 * ({x_l} + {x_r})"
+        d0 = f"({u}) - {x_l}"
+        d1 = f"{x_r} - ({u})"
+        d0c = f"(({d0}) * ({d0}) * ({d0}))"
+        d1c = f"(({d1}) * ({d1}) * ({d1}))"
+        v = (
+            f"{m_l} * {d1c} / (6.0 * {hi})"
+            f" + {m_r} * {d0c} / (6.0 * {hi})"
+            f" + ({y_l} / {hi} - {m_l} * {hi} / 6.0) * ({d1})"
+            f" + ({y_r} / {hi} - {m_r} * {hi} / 6.0) * ({d0})"
+        )
+        return (
+            f"SELECT channel_id, CAST({j} AS BIGINT) AS j, {u} AS u, {v} AS v"
+            " FROM mm"
+        )
+
+    return f"""
+WITH {_SIG_CTE},
+r AS (
+  SELECT channel_id, t, value,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) AS i
+  FROM sig
+),
+h AS MATERIALIZED (SELECT * FROM r WHERE i <= 512),
+nt AS (SELECT channel_id, MAX(i) AS n FROM h GROUP BY channel_id HAVING MAX(i) >= 7),
+kp AS (
+  SELECT channel_id, n, CAST(1 AS BIGINT) AS p1, 1 + n // 3 AS p2,
+         1 + (2 * n) // 3 AS p3, n AS p4
+  FROM nt
+),
+kn AS (
+  SELECT kp.channel_id,
+         MAX(CASE WHEN h.i = kp.p1 THEN h.t END) AS x1,
+         MAX(CASE WHEN h.i = kp.p2 THEN h.t END) AS x2,
+         MAX(CASE WHEN h.i = kp.p3 THEN h.t END) AS x3,
+         MAX(CASE WHEN h.i = kp.p4 THEN h.t END) AS x4,
+         MAX(CASE WHEN h.i = kp.p1 THEN h.value END) AS y1,
+         MAX(CASE WHEN h.i = kp.p2 THEN h.value END) AS y2,
+         MAX(CASE WHEN h.i = kp.p3 THEN h.value END) AS y3,
+         MAX(CASE WHEN h.i = kp.p4 THEN h.value END) AS y4
+  FROM kp JOIN h ON h.channel_id = kp.channel_id
+               AND h.i IN (kp.p1, kp.p2, kp.p3, kp.p4)
+  GROUP BY kp.channel_id
+),{pre}
+{seg(1)}
+UNION ALL
+{seg(2)}
+UNION ALL
+{seg(3)}
+"""
+
+
 def q_filtfilt_exact(spark, sf_dir):
     """The ZERO-PHASE anchor: kernels.iir.filtfilt (the reference's
     headline filtering semantic — filt_butter/filt_cfc apply it,
@@ -3627,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_iir_exact": q_filt_iir_exact,
         "filtfilt_exact": q_filtfilt_exact,
         "srs_exact": q_srs_exact,
+        "interp_cubic_exact": q_interp_cubic_exact,
         "training_mix": q_training_mix,
         # kernel tier (rows-only driver check; goldens in tests/)
         "filt_butter": q_filt_butter,
@@ -3715,4 +3864,5 @@ def oracle_sql() -> dict[str, str]:
         "filt_iir_exact": _sql_filt_iir_exact(),
         "filtfilt_exact": _sql_filtfilt_exact(),
         "srs_exact": _sql_srs_exact(),
+        "interp_cubic_exact": _sql_interp_cubic_exact(),
     }

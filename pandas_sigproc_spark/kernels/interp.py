@@ -172,9 +172,14 @@ def interp1d(x: np.ndarray, y: np.ndarray, x2, kind: str = "linear") -> np.ndarr
         hi = h[idx]
         d0 = x2 - x[idx]
         d1 = x[idx + 1] - x2
+        # Explicit cubes, not ** 3: numpy's pow is neither x*x*x nor libm
+        # pow bit-for-bit, and plain multiplies are both faster and
+        # deterministically replayable (the SQL oracle mirrors them).
+        d0c = d0 * d0 * d0
+        d1c = d1 * d1 * d1
         return (
-            m[idx] * d1 ** 3 / (6.0 * hi)
-            + m[idx + 1] * d0 ** 3 / (6.0 * hi)
+            m[idx] * d1c / (6.0 * hi)
+            + m[idx + 1] * d0c / (6.0 * hi)
             + (y[idx] / hi - m[idx] * hi / 6.0) * d1
             + (y[idx + 1] / hi - m[idx + 1] * hi / 6.0) * d0
         )
