@@ -2333,13 +2333,17 @@ def q_rainflow(spark, sf_dir):
     # because every step is comparisons/subtractions on the same doubles
     # (no summation-order drift), verified bit-equal vs the kernel on
     # 42k real cycles incl. the ndigits rounding.
-    return rainflow(_signals(spark, sf_dir), ndigits=2, n_buckets=32)
+    return rainflow(
+        _signals(spark, sf_dir), ndigits=2, n_buckets=32, order_cols=("t", "seq")
+    )
 
 
 def q_rainflow_chunked(spark, sf_dir):
     # The §7.3.1 scale path exercised through the driver: identical counts
     # to q_rainflow by the residue-merge theorem (tests pin equality).
-    return rainflow_chunked(_signals(spark, sf_dir), chunk_rows=4096, ndigits=2)
+    return rainflow_chunked(
+        _signals(spark, sf_dir), chunk_rows=4096, ndigits=2, order_cols=("t", "seq")
+    )
 
 
 def q_filt_chunked(spark, sf_dir):
@@ -2583,6 +2587,19 @@ from pandas_sigproc_spark.kernels.design import butter as _butter_design
 _IIR_B, _IIR_A = _butter_design(2, 0.3, "lowpass")
 
 
+def _head512(spark, sf_dir):
+    """Per-channel head-512 segment (channel_id, i, x = value/100) — the
+    shared input of the bit-exact kernel anchors (512 is under the
+    kernels' exact-recursion cutover)."""
+    sig = _sig_ch(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("t", "seq")
+    return (
+        sig.withColumn("i", F.row_number().over(w).cast("long"))
+        .filter(F.col("i") <= 512)
+        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
+    )
+
+
 def q_filt_iir_exact(spark, sf_dir):
     """The IIR tier's hash anchor (the psd_dft of the filter family):
     causal order-2 Butterworth over the head-512 segment of each channel.
@@ -2597,13 +2614,7 @@ def q_filt_iir_exact(spark, sf_dir):
     import pandas as pd
 
     b, a = _IIR_B, _IIR_A
-    sig = _sig_ch(spark, sf_dir)
-    w = Window.partitionBy("channel_id").orderBy("t", "seq")
-    head = (
-        sig.withColumn("i", F.row_number().over(w).cast("long"))
-        .filter(F.col("i") <= 512)
-        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
-    )
+    head = _head512(spark, sf_dir)
 
     def k(pdf: pd.DataFrame) -> pd.DataFrame:
         from pandas_sigproc_spark.kernels.iir import lfilter
@@ -2619,15 +2630,15 @@ def q_filt_iir_exact(spark, sf_dir):
     )
 
 
-def _sql_filt_iir_exact():
-    b0, b1, b2 = (_dlit(x) for x in _IIR_B)
-    a1, a2 = _dlit(_IIR_A[1]), _dlit(_IIR_A[2])
-    # DF2T recursion, n = 3:
-    #   y_i  = b0*x_i + z1_{i-1}
-    #   z1_i = (b1*x_i + z2_{i-1}) - a1*y_i
-    #   z2_i = b2*x_i - a2*y_i
-    # with z = 0 at start — expression-for-expression the kernel's
-    # _lfilter_loop body, so each step lands on the same double.
+def _sql_df2t_recursion(b, a, final_select):
+    """WITH RECURSIVE SQL replaying the kernel's order-2 DF2T recursion
+    (zero initial state) over the head-512 per-channel segment, then
+    applying ``final_select`` over the step table ``f(channel_id, i, y)``.
+    ONE template serves every order-2 causal anchor (Butterworth,
+    Smallwood SRS) so the bit-exact recursion cannot drift between them.
+    """
+    b0, b1, b2 = (_dlit(x) for x in b)
+    a1, a2 = _dlit(a[1]), _dlit(a[2])
     y0 = f"{b0} * h.x + 0.0"
     yi = f"{b0} * h.x + f.z1"
     return f"""
@@ -2651,8 +2662,12 @@ f AS (
          {b2} * h.x - {a2} * ({yi}) AS z2
   FROM f JOIN h ON h.channel_id = f.channel_id AND h.i = f.i + 1
 )
-SELECT channel_id, i, y FROM f
+{final_select}
 """
+
+
+def _sql_filt_iir_exact():
+    return _sql_df2t_recursion(_IIR_B, _IIR_A, "SELECT channel_id, i, y FROM f")
 
 
 # SRS anchor design: one Smallwood ramp-invariant SDOF resonator
@@ -2685,13 +2700,7 @@ def q_srs_exact(spark, sf_dir):
     import pandas as pd
 
     b, a = _SRS_B, _SRS_A
-    sig = _sig_ch(spark, sf_dir)
-    w = Window.partitionBy("channel_id").orderBy("t", "seq")
-    head = (
-        sig.withColumn("i", F.row_number().over(w).cast("long"))
-        .filter(F.col("i") <= 512)
-        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
-    )
+    head = _head512(spark, sf_dir)
 
     def k(pdf: pd.DataFrame) -> pd.DataFrame:
         from pandas_sigproc_spark.kernels.srs import _sdof_responses_batch
@@ -2724,34 +2733,12 @@ def _dlit(x: float) -> str:
 
 
 def _sql_srs_exact():
-    b0, b1, b2 = (_dlit(x) for x in _SRS_B[0])
-    a1, a2 = _dlit(_SRS_A[0][1]), _dlit(_SRS_A[0][2])
-    y0 = f"{b0} * h.x + 0.0"
-    yi = f"{b0} * h.x + f.z1"
-    return f"""
-WITH RECURSIVE {_SIG_CTE},
-r AS (
-  SELECT channel_id, value / 100.0 AS x,
-         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t, seq) AS i
-  FROM sig
-),
-h AS MATERIALIZED (SELECT * FROM r WHERE i <= 512),
-f AS (
-  SELECT h.channel_id, h.i,
-         {y0} AS y,
-         {b1} * h.x + 0.0 - {a1} * ({y0}) AS z1,
-         {b2} * h.x - {a2} * ({y0}) AS z2
-  FROM h WHERE h.i = 1
-  UNION ALL
-  SELECT h.channel_id, h.i,
-         {yi} AS y,
-         {b1} * h.x + f.z2 - {a1} * ({yi}) AS z1,
-         {b2} * h.x - {a2} * ({yi}) AS z2
-  FROM f JOIN h ON h.channel_id = f.channel_id AND h.i = f.i + 1
-)
-SELECT channel_id, MAX(y) AS srs_pos, ABS(MIN(y)) AS srs_abs_neg
-FROM f GROUP BY channel_id
-"""
+    return _sql_df2t_recursion(
+        list(_SRS_B[0]),
+        list(_SRS_A[0]),
+        "SELECT channel_id, MAX(y) AS srs_pos, ABS(MIN(y)) AS srs_abs_neg\n"
+        "FROM f GROUP BY channel_id",
+    )
 
 
 def q_interp_cubic_exact(spark, sf_dir):
@@ -2917,15 +2904,12 @@ def q_filtfilt_exact(spark, sf_dir):
     import pandas as pd
 
     b, a = _IIR_B, _IIR_A
-    sig = _sig_ch(spark, sf_dir)
-    w = Window.partitionBy("channel_id").orderBy("t", "seq")
-    head = (
-        sig.withColumn("i", F.row_number().over(w).cast("long"))
-        .filter(F.col("i") <= 512)
-        .select("channel_id", "i", (F.col("value") / 100.0).alias("x"))
-    )
     cw = Window.partitionBy("channel_id")
-    head = head.withColumn("n", F.max("i").over(cw)).filter(F.col("n") > 9)
+    head = (
+        _head512(spark, sf_dir)
+        .withColumn("n", F.max("i").over(cw))
+        .filter(F.col("n") > 9)
+    )
 
     def k(pdf: pd.DataFrame) -> pd.DataFrame:
         from pandas_sigproc_spark.kernels.iir import filtfilt

@@ -22,8 +22,24 @@ pairs.
 from __future__ import annotations
 
 from collections import defaultdict, deque
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
+
+
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Decimal HALF_UP rounding of the float's shortest repr.
+
+    Matches Spark's ``F.round`` on doubles (BigDecimal.valueOf ->
+    setScale(HALF_UP)) so the whole-channel kernel, the chunked
+    operator's relational binning, and the SQL oracles all bin a
+    boundary range the same way.  Documented deviation: Python's builtin
+    ``round`` (what the reference's third-party ``rainflow`` dependency
+    uses) is banker's rounding, which disagrees at exactly-representable
+    .5 midpoints (e.g. range 0.125 at ndigits=2).
+    """
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def reversals(series: np.ndarray):
@@ -127,7 +143,7 @@ def count_cycles(
         return sorted(counts.items())
 
     for rng, _mean, cnt, _i0, _i1 in cycles:
-        key = round(rng, ndigits) if ndigits is not None else rng
+        key = _round_half_up(rng, ndigits) if ndigits is not None else rng
         counts[key] += cnt
     return sorted(counts.items())
 

@@ -30,6 +30,7 @@ def rainflow(
     nbins: int | None = None,
     binsize: float | None = None,
     n_buckets: int | None = None,
+    order_cols: tuple[str, ...] = ("t",),
 ) -> DataFrame:
     """Per-channel (bin, cycles) pairs, kwargs forwarded like the
     reference (``extension.py:961``).
@@ -39,6 +40,11 @@ def rainflow(
     ~30 ns/sample, so for many small channels the per-group Arrow/job
     overhead dominates and bucketing amortizes it (same trade as the
     filters, operators/filters.py).
+
+    ``order_cols``: intra-channel sample ordering.  Rainflow is
+    order-sensitive, so when timestamps can tie, pass a tiebreak column
+    (e.g. ``("t", "seq")``) — otherwise equal-stamp samples arrive in
+    nondeterministic shuffle order and the counts can vary run to run.
     """
 
     def one(cid, y: np.ndarray) -> pd.DataFrame:
@@ -55,7 +61,7 @@ def rainflow(
         )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["channel_id", "t"])
+        pdf = pdf.sort_values(["channel_id", *order_cols], kind="mergesort")
         pieces = [
             one(cid, grp["value"].to_numpy(dtype=np.float64))
             for cid, grp in pdf.groupby("channel_id", sort=False)
@@ -64,7 +70,7 @@ def rainflow(
             return pd.DataFrame(columns=["channel_id", "bin", "cycles"])
         return pd.concat(pieces, ignore_index=True)
 
-    src = df.select("channel_id", "t", "value")
+    src = df.select("channel_id", *order_cols, "value")
     if n_buckets is None:
         return src.groupBy("channel_id").applyInPandas(kernel, _OUT_SCHEMA)
     from pyspark.sql import functions as F
@@ -81,6 +87,7 @@ def rainflow_chunked(
     ndigits: int | None = None,
     nbins: int | None = None,
     binsize: float | None = None,
+    order_cols: tuple[str, ...] = ("t",),
 ) -> DataFrame:
     """Segmented rainflow for channels exceeding one task (SURVEY.md §7.3.1).
 
@@ -105,9 +112,10 @@ def rainflow_chunked(
         raise ValueError("specify at most one of ndigits, nbins, binsize")
 
     L = int(chunk_rows)
-    w = Window.partitionBy("channel_id").orderBy("t")
+    w = Window.partitionBy("channel_id").orderBy(*order_cols)
     src = df.select(
-        "channel_id", "t", "value", ((F.row_number().over(w) - 1) / L).cast("long").alias("_seg")
+        "channel_id", *order_cols, "value",
+        ((F.row_number().over(w) - 1) / L).cast("long").alias("_seg"),
     )
 
     stage1_schema = (
@@ -115,7 +123,7 @@ def rainflow_chunked(
     )
 
     def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
         fulls, residue = _rf.extract_full_cycles_4pt(
             pdf["value"].to_numpy(dtype=np.float64)
         )

@@ -35,10 +35,12 @@ _DTYPES = {
 }
 
 
-def _write_wav_stream(f, sample_rate, sound_left, sound_right=None) -> None:
-    """Stereo/mono WAV layout with reference semantics (``tools.py:227-254``)
-    onto any binary stream — shared by the file sink and the in-memory
-    payload encoder so the byte layout cannot drift between them."""
+def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
+    """Stereo/mono WAV payload with reference semantics
+    (``tools.py:227-254``) built fully in memory — the single layout
+    path shared by the file sink and the media pipeline (one encode per
+    channel inside applyInPandas), so the bytes cannot drift between
+    them and validation happens before any file is touched."""
     left = np.asarray(sound_left)
     right = left if sound_right is None else np.asarray(sound_right)
     if left.shape != right.shape:
@@ -66,14 +68,18 @@ def _write_wav_stream(f, sample_rate, sound_left, sound_right=None) -> None:
         b"data",
         len(data),
     )
-    f.write(hdr)
-    f.write(data)
+    return hdr + data
 
 
 def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
-    """Stereo/mono WAV sink with reference semantics (``tools.py:227-254``)."""
+    """Stereo/mono WAV sink with reference semantics (``tools.py:227-254``).
+
+    The payload is fully built (and validated) BEFORE the file is
+    opened, so a failing call never truncates an existing file.
+    """
+    payload = encode_wav_bytes(sample_rate, sound_left, sound_right)
     with open(filename, "wb") as f:
-        _write_wav_stream(f, sample_rate, sound_left, sound_right)
+        f.write(payload)
 
 
 def _read_wav_stream(f):
@@ -121,17 +127,6 @@ def decode_wav_bytes(payload: bytes):
     import io
 
     return _read_wav_stream(io.BytesIO(payload))
-
-
-def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
-    """write_wav's layout into an in-memory payload — no executor disk
-    I/O (this runs once per channel inside applyInPandas in the media
-    pipeline)."""
-    import io
-
-    buf = io.BytesIO()
-    _write_wav_stream(buf, sample_rate, sound_left, sound_right)
-    return buf.getvalue()
 
 
 def wav_to_signals(spark, filename, channel_prefix: str = "wav"):
