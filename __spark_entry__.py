@@ -906,6 +906,33 @@ GROUP BY o_orderpriority
 """
 
 
+def q_tpch_rollup(spark, sf_dir):
+    # ROLLUP pricing summary — the grouping-sets row of SURVEY §2.4
+    # ("free in Spark") exercised under the oracle: subtotals per
+    # (returnflag, linestatus), per returnflag, and grand total in ONE
+    # aggregation pass (Spark expands the sets map-side; still a single
+    # shuffle with partial combine).  NULL marks the rolled-up level in
+    # both engines.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_TPCH_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_tpch_custdist(spark, sf_dir):
     # TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
     # join so order-less customers land in the c_count=0 bucket, then a
@@ -3725,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_local_supplier": q_tpch_local_supplier,
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_custdist": q_tpch_custdist,
+        "tpch_rollup": q_tpch_rollup,
         "interp_log": q_interp_log,
         # LLM-data-pipeline tier (oracle-checked)
         "text_stats": q_text_stats,
@@ -3810,6 +3838,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_local_supplier": SQL_TPCH_LOCAL_SUPPLIER,
         "tpch_order_priority": SQL_TPCH_ORDER_PRIORITY,
         "tpch_custdist": SQL_TPCH_CUSTDIST,
+        "tpch_rollup": SQL_TPCH_ROLLUP,
         "interp_log": SQL_INTERP_LOG,
         "psd_dft": SQL_PSD_DFT,
         "text_stats": SQL_TEXT_STATS,
