@@ -176,7 +176,9 @@ def main():
         s_timings = {}
         for name in SCALE_QUERIES:
             best = None
-            for rep in range(2):
+            # min-of-3 like the main leg: with sub-second bases, a single
+            # noisy rep can swing the reported wall_ratio several-fold.
+            for rep in range(3):
                 t0 = time.time()
                 qs[name](spark, out_dir).write.mode("overwrite").format("noop").save()
                 el = time.time() - t0
