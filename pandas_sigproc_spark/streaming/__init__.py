@@ -282,6 +282,93 @@ def streaming_deduplicate(
     )
 
 
+_RAINFLOW_OUT_SCHEMA = StructType(
+    [
+        StructField("channel_id", StringType()),
+        StructField("rng", DoubleType()),
+        StructField("cnt", DoubleType()),
+    ]
+)
+
+_RAINFLOW_STATE_SCHEMA = StructType(
+    [StructField("residue", ArrayType(DoubleType()))]
+)
+
+
+def streaming_rainflow(df: DataFrame) -> DataFrame:
+    """Streaming fatigue monitoring: rainflow FULL-cycle counting with
+    per-channel residue state across micro-batches.
+
+    The 4-point segment-safe rule (kernels/rainflow.py
+    extract_full_cycles_4pt) makes rainflow mergeable: fold each batch as
+    ``fulls, residue = 4pt(residue ++ batch_samples)``, emit the fulls,
+    carry the residue — the same residue-decomposition theorem behind the
+    batch scale path (operators/rainflow.py rainflow_chunked, SURVEY.md
+    §7.3.1), applied as an unbounded stream fold.  Emitted cycles are the
+    stream's full cycles so far; the E1049 half cycles of the final
+    residue are only defined when the signal ENDS, so a live stream never
+    emits them (close out a finished channel by running
+    count_cycles_from_values over its last residue).
+
+    State per channel is the divergent reversal envelope — typically a
+    few dozen doubles regardless of stream length.  Requires time-ordered
+    arrival per channel across micro-batches (like streaming_lfilter).
+    """
+    from pandas_sigproc_spark.kernels.rainflow import extract_full_cycles_4pt
+
+    def step(key, pdf_iter, state):
+        if state.exists:
+            (residue,) = state.get
+            residue = list(residue)
+        else:
+            residue = []
+        out = []
+        cid = key[0]
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("t")
+            vals = np.concatenate(
+                [np.asarray(residue, np.float64), pdf["value"].to_numpy(np.float64)]
+            )
+            fulls, residue = extract_full_cycles_4pt(vals)
+            out.extend(fulls)
+        state.update((list(residue),))
+        yield pd.DataFrame(
+            {
+                "channel_id": [cid] * len(out),
+                "rng": [r for r, _ in out],
+                "cnt": [c for _, c in out],
+            }
+        )
+
+    if not df.isStreaming:
+        # Batch fallback: full cycles of the whole signal in one shot.
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("t")
+            fulls, _res = extract_full_cycles_4pt(
+                pdf["value"].to_numpy(np.float64)
+            )
+            cid = pdf["channel_id"].iloc[0]
+            return pd.DataFrame(
+                {
+                    "channel_id": [cid] * len(fulls),
+                    "rng": [r for r, _ in fulls],
+                    "cnt": [c for _, c in fulls],
+                }
+            )
+
+        return df.groupBy("channel_id").applyInPandas(
+            kernel, _RAINFLOW_OUT_SCHEMA
+        )
+
+    return df.groupBy("channel_id").applyInPandasWithState(
+        step,
+        outputStructType=_RAINFLOW_OUT_SCHEMA,
+        stateStructType=_RAINFLOW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def streaming_corpus_filter(
     df: DataFrame,
     min_quality: float = 0.6,
@@ -332,4 +419,5 @@ __all__ = [
     "streaming_deduplicate",
     "streaming_psd",
     "streaming_corpus_filter",
+    "streaming_rainflow",
 ]

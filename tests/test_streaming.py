@@ -234,3 +234,62 @@ def test_streaming_psd_equals_kernel_per_window(spark, stream_dir):
         assert len(got_bins) == len(want), (cid, t0)
         for (gf, gp), (wf, wp) in zip(got_bins, want):
             assert abs(gf - wf) < 1e-12 and abs(gp - wp) < 1e-9, (cid, t0, gf)
+
+
+def test_streaming_rainflow_fulls_equal_batch(spark, stream_dir):
+    # Residue-carry stream fold == whole-signal 4-point counting: the
+    # union of full cycles emitted across micro-batches, PLUS the fulls
+    # still derivable from the final carried residue... is exactly the
+    # whole signal's fulls (the carried residue is irreducible, so
+    # nothing more is derivable).  Multiset equality, bit-exact ranges.
+    from pandas_sigproc_spark.streaming import streaming_rainflow
+
+    root, full = stream_dir
+    stream = _read_stream(spark, root)
+    out, n_batches = _run_stream(
+        spark, streaming_rainflow(stream), "t_rainflow", "append"
+    )
+    assert n_batches >= 4
+    got = out.toPandas()
+    batch = spark.createDataFrame(full, SCHEMA)
+    exp = streaming_rainflow(batch).toPandas()  # batch fallback: whole-signal 4pt
+    for cid in full["channel_id"].unique():
+        g = sorted(got[got.channel_id == cid]["rng"].tolist())
+        e = sorted(exp[exp.channel_id == cid]["rng"].tolist())
+        assert g == e, cid  # bit-exact: same subtractions on same doubles
+    assert (got["cnt"] == 1.0).all() and len(got) > 0
+
+
+def test_streaming_rainflow_residue_closeout_matches_e1049(spark, stream_dir):
+    # Closing out a finished channel: emitted fulls + count_cycles over
+    # the final residue == the standard whole-signal E1049 counts.  The
+    # final residue is reconstructed here by re-folding the channel's
+    # data in the same batch splits the stream replay used.
+    import numpy as np
+
+    from pandas_sigproc_spark.kernels.rainflow import (
+        count_cycles,
+        count_cycles_from_values,
+        extract_full_cycles_4pt,
+    )
+
+    root, full = stream_dir
+    cid = "ch0"
+    ch = full[full.channel_id == cid].sort_values("t")
+    vals = ch["value"].to_numpy()
+    # replay the stream fold over the 4 file splits
+    residue: list = []
+    stream_fulls: list = []
+    for lo, hi in [(0, 10), (10, 20), (20, 30), (30, 40)]:
+        seg = ch[(ch["t"] >= lo) & (ch["t"] < hi)]["value"].to_numpy()
+        fulls, residue = extract_full_cycles_4pt(
+            np.concatenate([np.asarray(residue), seg])
+        )
+        stream_fulls.extend(fulls)
+    closed = {}
+    for rng, cnt in stream_fulls:
+        closed[rng] = closed.get(rng, 0.0) + cnt
+    for rng, cnt in count_cycles_from_values(residue):
+        closed[rng] = closed.get(rng, 0.0) + cnt
+    want = dict(count_cycles(vals))
+    assert closed == want
