@@ -3175,7 +3175,8 @@ def q_decontaminate(spark, sf_dir):
         "doc_id",
         F.size("gs").alias("n_ngrams"),
         F.explode("gs").alias("h"),
-    )
+    ).persist()  # feeds BOTH the benchmark set and the train probe: one
+    # gram-hash pass instead of two (same trick as corpus_prep's sig)
     bench = gh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
     return (
         gh.filter(F.col("doc_id") % 10 != 0)
@@ -3600,6 +3601,8 @@ def q_training_mix(spark, sf_dir):
             F.min("n_tokens").alias("n_tokens"),
             F.min("text").alias("text"),
         )
+        .persist()  # feeds the decontamination probe AND the clean set:
+        # one scan+quality+dedup pass instead of two
     )
     gram_hashes = _text.gram_hash_expr(_DECON_N)
     # benchmark gram set from the RAW corpus slice (held-out docs are
