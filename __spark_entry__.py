@@ -3360,7 +3360,8 @@ def q_ann_int8(spark, sf_dir):
         F.zip_with(
             "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
         ).alias("code"),
-    )
+    ).persist()  # both sides of the bucket join consume the encoded
+    # table; without persistence the scale-agg + encode runs twice
     q = eq.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
