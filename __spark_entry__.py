@@ -2605,6 +2605,90 @@ FROM cyc GROUP BY channel_id, ROUND(rng, 2)
 """
 
 
+def q_psd_damage_dft(spark, sf_dir):
+    """The spectral tier's remaining summarize modes — 'damage' and
+    'max rms' (tools.py:74-98: mean PSD rescaled by the fatigue-damage
+    acceleration factor mean((rms_i/rms_mean)^b)^(2/b), b=4, or by
+    (max_rms/mean_rms)^2) — under the hash gate, over the same
+    relational Welch segments.  Per-segment RMS is the trapezoid over
+    the bin axis; mean_rms is the RMS of the MEAN PSD (the reference's
+    semantics, not the mean of per-segment RMS).  Every reduced value is
+    rounded on both sides.
+    """
+    per_seg = _welch_dft_segments(spark, sf_dir)
+    mean_psd = per_seg.groupBy("channel_id", "k").agg(F.avg("p").alias("mp"))
+    w_f = Window.partitionBy("channel_id", "seg").orderBy("k")
+    pairs = per_seg.withColumn("p2", F.lead("p").over(w_f)).filter(
+        F.col("p2").isNotNull()
+    )
+    seg_rms = pairs.groupBy("channel_id", "seg").agg(
+        F.sqrt(F.sum((F.col("p") + F.col("p2")) / 2.0)).alias("rms")
+    )
+    w_mf = Window.partitionBy("channel_id").orderBy("k")
+    mpairs = mean_psd.withColumn("mp2", F.lead("mp").over(w_mf)).filter(
+        F.col("mp2").isNotNull()
+    )
+    mean_rms = mpairs.groupBy("channel_id").agg(
+        F.sqrt(F.sum((F.col("mp") + F.col("mp2")) / 2.0)).alias("mrms")
+    )
+    fac = (
+        seg_rms.join(F.broadcast(mean_rms), "channel_id")
+        .groupBy("channel_id", "mrms")
+        .agg(
+            F.max("rms").alias("maxr"),
+            F.avg(F.pow(F.col("rms") / F.col("mrms"), F.lit(4.0))).alias("mpow"),
+        )
+        .select(
+            "channel_id",
+            F.pow(F.col("mpow"), 0.5).alias("fd"),
+            F.pow(F.col("maxr") / F.col("mrms"), 2.0).alias("fm"),
+        )
+    )
+    return mean_psd.join(F.broadcast(fac), "channel_id").select(
+        "channel_id",
+        "k",
+        (F.round(F.col("mp") * F.col("fd"), 3) + F.lit(0.0)).alias("p_damage"),
+        (F.round(F.col("mp") * F.col("fm"), 3) + F.lit(0.0)).alias("p_maxrms"),
+    )
+
+
+def _sql_psd_damage_dft():
+    # deferred: _SQL_WELCH_SEG_CTES is defined later in the module
+    return f"""
+WITH {_SQL_WELCH_SEG_CTES},
+mp AS (SELECT channel_id, k, AVG(p) AS mp FROM pseg GROUP BY channel_id, k),
+sp AS (
+  SELECT channel_id, seg, p,
+         LEAD(p) OVER (PARTITION BY channel_id, seg ORDER BY k) AS p2
+  FROM pseg
+),
+srms AS (
+  SELECT channel_id, seg, SQRT(SUM((p + p2) / 2.0)) AS rms
+  FROM sp WHERE p2 IS NOT NULL GROUP BY channel_id, seg
+),
+mpp AS (
+  SELECT channel_id, mp,
+         LEAD(mp) OVER (PARTITION BY channel_id ORDER BY k) AS mp2
+  FROM mp
+),
+mrms AS (
+  SELECT channel_id, SQRT(SUM((mp + mp2) / 2.0)) AS mrms
+  FROM mpp WHERE mp2 IS NOT NULL GROUP BY channel_id
+),
+fac AS (
+  SELECT s.channel_id,
+         POW(AVG(POW(s.rms / m.mrms, 4.0)), 0.5) AS fd,
+         POW(MAX(s.rms) / m.mrms, 2.0) AS fm
+  FROM srms s JOIN mrms m USING (channel_id)
+  GROUP BY s.channel_id, m.mrms
+)
+SELECT mp.channel_id, mp.k,
+       ROUND(mp.mp * fac.fd, 3) + 0.0 AS p_damage,
+       ROUND(mp.mp * fac.fm, 3) + 0.0 AS p_maxrms
+FROM mp JOIN fac USING (channel_id)
+"""
+
+
 # IIR anchor design: order-2 Butterworth lowpass at 0.3 normalized
 # cutoff.  Computed once at import; the repr-round-tripped coefficient
 # literals embed in the oracle SQL so both engines recurse on identical
@@ -3788,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_rms_dft": q_psd_rms_dft,
         "psd_welch_dft": q_psd_welch_dft,
         "psd_summary_dft": q_psd_summary_dft,
+        "psd_damage_dft": q_psd_damage_dft,
         "filt_iir_exact": q_filt_iir_exact,
         "filtfilt_exact": q_filtfilt_exact,
         "srs_exact": q_srs_exact,
@@ -3873,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         "psd_rms_dft": SQL_PSD_RMS_DFT,
         "psd_welch_dft": SQL_PSD_WELCH_DFT,
         "psd_summary_dft": SQL_PSD_SUMMARY_DFT,
+        "psd_damage_dft": _sql_psd_damage_dft(),
         "training_mix": SQL_TRAINING_MIX,
         "rainflow": SQL_RAINFLOW,
         # identical counts by the residue-merge theorem (tests pin the
