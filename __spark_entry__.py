@@ -2525,9 +2525,11 @@ SELECT channel_id, k, ROUND(re * re + im * im, 3) + 0.0 AS power FROM agg
 #     when the stack holds only 3 points so Y touches the first datum)
 #     or pushes the next reversal; total steps <= 2 * reversals;
 # (3) residue pairs counted as half cycles;
-# (4) binning: ROUND(range, 2) — verified equal to Python's round() on
-#     every real cycle range at sf0.01/0.1 (ranges never land within an
-#     ulp of a .005 midpoint).
+# (4) binning: ROUND(range, 2) vs the kernel's decimal-HALF_UP
+#     (_round_half_up, which matches Spark F.round; deliberately NOT
+#     Python's banker's round) — the two agree unless a range sits
+#     within half an ulp of a .005 decimal midpoint, enforced absent on
+#     the driver data by tests/test_rainflow_oracle.py.
 SQL_RAINFLOW = f"""
 WITH RECURSIVE {_SIG_CTE},
 ord_t AS (
@@ -2615,8 +2617,13 @@ def q_psd_damage_dft(spark, sf_dir):
     semantics, not the mean of per-segment RMS).  Every reduced value is
     rounded on both sides.
     """
-    per_seg = _welch_dft_segments(spark, sf_dir)
-    mean_psd = per_seg.groupBy("channel_id", "k").agg(F.avg("p").alias("mp"))
+    # per_seg feeds the mean PSD and the per-segment RMS; mean_psd feeds
+    # its own trapezoid and the final rescale — persist both or the
+    # windowed-DFT aggregation runs three times.
+    per_seg = _welch_dft_segments(spark, sf_dir).persist()
+    mean_psd = (
+        per_seg.groupBy("channel_id", "k").agg(F.avg("p").alias("mp")).persist()
+    )
     w_f = Window.partitionBy("channel_id", "seg").orderBy("k")
     pairs = per_seg.withColumn("p2", F.lead("p").over(w_f)).filter(
         F.col("p2").isNotNull()

@@ -38,8 +38,15 @@ def _round_half_up(x: float, ndigits: int) -> float:
     uses) is banker's rounding, which disagrees at exactly-representable
     .5 midpoints (e.g. range 0.125 at ndigits=2).
     """
+    import decimal
+
     q = Decimal(1).scaleb(-ndigits)
-    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    # A double can need ~310 significant digits once quantized to 1e-2;
+    # the default 28-digit context raises InvalidOperation on huge
+    # ranges (1e27+) that builtin round() and Spark's BigDecimal accept.
+    with decimal.localcontext() as ctx:
+        ctx.prec = 400
+        return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def reversals(series: np.ndarray):

@@ -295,7 +295,9 @@ _RAINFLOW_STATE_SCHEMA = StructType(
 )
 
 
-def streaming_rainflow(df: DataFrame) -> DataFrame:
+def streaming_rainflow(
+    df: DataFrame, order_cols: tuple[str, ...] = ("t",)
+) -> DataFrame:
     """Streaming fatigue monitoring: rainflow FULL-cycle counting with
     per-channel residue state across micro-batches.
 
@@ -312,9 +314,15 @@ def streaming_rainflow(df: DataFrame) -> DataFrame:
 
     State per channel is the divergent reversal envelope — typically a
     few dozen doubles regardless of stream length.  Requires time-ordered
-    arrival per channel across micro-batches (like streaming_lfilter).
+    arrival per channel across micro-batches (like streaming_lfilter);
+    within a batch, all Arrow chunks are concatenated and sorted by
+    ``order_cols`` (pass ``("t", "seq")`` when timestamps can tie —
+    rainflow is order-sensitive, so untie-broken equal stamps would make
+    counts vary run to run).
     """
     from pandas_sigproc_spark.kernels.rainflow import extract_full_cycles_4pt
+
+    oc = list(order_cols)
 
     def step(key, pdf_iter, state):
         if state.exists:
@@ -322,15 +330,20 @@ def streaming_rainflow(df: DataFrame) -> DataFrame:
             residue = list(residue)
         else:
             residue = []
-        out = []
         cid = key[0]
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("t")
+        # One concat+sort per batch: Arrow chunks arrive in arbitrary
+        # relative order after the groupBy shuffle, so per-chunk sorting
+        # would silently process a mis-ordered series.
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(pdf):
+            pdf = pdf.sort_values(oc, kind="mergesort")
             vals = np.concatenate(
                 [np.asarray(residue, np.float64), pdf["value"].to_numpy(np.float64)]
             )
-            fulls, residue = extract_full_cycles_4pt(vals)
-            out.extend(fulls)
+            out, residue = extract_full_cycles_4pt(vals)
+        else:
+            out = []
         state.update((list(residue),))
         yield pd.DataFrame(
             {
@@ -343,7 +356,7 @@ def streaming_rainflow(df: DataFrame) -> DataFrame:
     if not df.isStreaming:
         # Batch fallback: full cycles of the whole signal in one shot.
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("t")
+            pdf = pdf.sort_values(oc, kind="mergesort")
             fulls, _res = extract_full_cycles_4pt(
                 pdf["value"].to_numpy(np.float64)
             )

@@ -23,7 +23,9 @@ from pandas_sigproc_spark.kernels.rainflow import (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
-pytestmark = pytest.mark.skipif(
+# Only the driver-data invariant needs the fixtures; the pure-kernel
+# pins below must run everywhere.
+needs_testdata = pytest.mark.skipif(
     not os.path.exists(f"{SF_DIR}/events.parquet"), reason="driver testdata absent"
 )
 
@@ -36,8 +38,11 @@ def test_round_half_up_matches_spark_semantics():
     # banker's (Python round) would give 0.12 here — the documented
     # deviation from the reference's third-party binning
     assert round(0.125, 2) == 0.12
+    # huge magnitudes must not overflow the Decimal context
+    assert _round_half_up(1e27, 2) == 1e27
 
 
+@needs_testdata
 def test_driver_data_ranges_round_identically_in_duckdb():
     rows = duckdb.sql(
         f"""
