@@ -3371,7 +3371,12 @@ SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3
 
 
 _PACK_BUDGET = 256
-_PACK_SHARDS = 4
+# Shard count bounds pack-stream length AND sets the parallelism of the
+# packing stage: lang x shard groups must comfortably exceed the core
+# count or the applyInPandas streams serialize (the 8x bench leg showed
+# wall_ratio ~9 at 4 shards = 20 groups; 16 shards = 80 groups restores
+# near-linear absorption).  In production this scales with corpus size.
+_PACK_SHARDS = 16
 
 
 def q_seq_pack(spark, sf_dir):
