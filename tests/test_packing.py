@@ -64,3 +64,37 @@ def test_bad_budget_raises(spark):
             spark.createDataFrame([("en", 0, 0, 1)], "lang string, shard long, doc_id long, n_tokens int"),
             0,
         )
+
+
+# --- hypothesis properties -------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    budget=st.integers(min_value=50, max_value=400),
+)
+def test_greedy_invariants(spark, tokens, budget):
+    rows = [("en", 0, i, t) for i, t in enumerate(tokens)]
+    out = _pack_df(spark, rows, budget)
+    # order preserved: pack ids nondecreasing in doc order, positions
+    # restart at 0 exactly at pack boundaries
+    packs = list(out["pack_id"])
+    poss = list(out["pack_pos"])
+    assert packs == sorted(packs)
+    for i in range(1, len(packs)):
+        if packs[i] == packs[i - 1]:
+            assert poss[i] == poss[i - 1] + 1
+        else:
+            assert packs[i] == packs[i - 1] + 1 and poss[i] == 0
+    # budget respected except single-doc packs (oversized isolation)
+    sums = out.groupby("pack_id").agg(n=("doc_id", "size"), tot=("n_tokens", "sum"))
+    for _, r in sums.iterrows():
+        assert r["tot"] <= budget or r["n"] == 1
+    # greedy maximality: the first doc of pack p+1 did NOT fit in pack p
+    firsts = out[out["pack_pos"] == 0].sort_values("pack_id")
+    for k in range(1, len(firsts)):
+        prev_tot = sums.loc[firsts.iloc[k - 1]["pack_id"], "tot"]
+        assert prev_tot + firsts.iloc[k]["n_tokens"] > budget
