@@ -55,6 +55,7 @@ from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
 from pandas_sigproc_spark.operators.dedup import jaccard_pairs, jaccard_ppjoin
 from pandas_sigproc_spark.operators.packing import pack_sequences
+from pandas_sigproc_spark.operators.custom import apply_channel_kernel
 
 __all__ = [
     "between",
@@ -90,4 +91,5 @@ __all__ = [
     "jaccard_pairs",
     "jaccard_ppjoin",
     "pack_sequences",
+    "apply_channel_kernel",
 ]
