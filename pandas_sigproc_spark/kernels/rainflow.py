@@ -39,7 +39,12 @@ def _round_half_up(x: float, ndigits: int) -> float:
     .5 midpoints (e.g. range 0.125 at ndigits=2).
     """
     import decimal
+    import math
 
+    if not math.isfinite(x):
+        # builtin round() and Spark ROUND pass inf/nan through; Decimal
+        # would raise InvalidOperation.
+        return float(x)
     q = Decimal(1).scaleb(-ndigits)
     # A double can need ~310 significant digits once quantized to 1e-2;
     # the default 28-digit context raises InvalidOperation on huge

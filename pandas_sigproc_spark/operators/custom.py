@@ -17,7 +17,7 @@ from collections.abc import Callable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructType, _parse_datatype_string
+from pyspark.sql.types import StructType
 
 
 def apply_channel_kernel(
@@ -37,14 +37,16 @@ def apply_channel_kernel(
     use it when channels are small and per-group overhead dominates.
     """
     if isinstance(schema, str):
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     out_cols = [f.name for f in schema.fields]
     oc = list(order_cols)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["channel_id", *oc], kind="mergesort")
         pieces = []
-        for cid, grp in pdf.groupby("channel_id", sort=False):
+        # dropna=False: a null channel_id group must reach the kernel,
+        # not silently vanish (pandas drops NaN group keys by default).
+        for cid, grp in pdf.groupby("channel_id", sort=False, dropna=False):
             out = kernel(cid, grp.reset_index(drop=True))
             if out is not None and len(out):
                 pieces.append(out)

@@ -124,7 +124,9 @@ _LFILTER_OUT_SCHEMA = StructType(
 _LFILTER_STATE_SCHEMA = StructType([StructField("zi", ArrayType(DoubleType()))])
 
 
-def streaming_lfilter(df: DataFrame, b, a) -> DataFrame:
+def streaming_lfilter(
+    df: DataFrame, b, a, order_cols: tuple[str, ...] = ("t",)
+) -> DataFrame:
     """Causal IIR filter over a stream: per-channel delay-line state.
 
     Each micro-batch filters its rows (sorted by t) starting from the
@@ -133,7 +135,9 @@ def streaming_lfilter(df: DataFrame, b, a) -> DataFrame:
     shot (asserted in tests/test_streaming.py).  Requires rows to arrive
     time-ordered across micro-batches per channel (true for replayed
     logs and file sources; out-of-order data needs a watermark+sort
-    stage first).
+    stage first).  Within a batch all Arrow chunks are concatenated and
+    sorted by ``order_cols`` (pass ``("t", "seq")`` for tie-broken
+    ordering when timestamps can repeat).
 
     State size is ``max(len(a), len(b)) - 1`` doubles per channel — a
     6th-order filter on a million channels is ~48 MB of state total,
@@ -151,13 +155,23 @@ def streaming_lfilter(df: DataFrame, b, a) -> DataFrame:
             zi = np.asarray(zi_list, dtype=np.float64)
         else:
             zi = np.zeros(nstate)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("t")
+        # Concat all Arrow chunks and sort ONCE: chunks arrive in
+        # arbitrary relative order after the shuffle, and threading the
+        # delay line through per-chunk-sorted pieces would filter a
+        # mis-ordered series and corrupt the carried state.
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                list(order_cols), kind="mergesort"
+            )
             y, zi = lfilter(b, a, pdf["value"].to_numpy(np.float64), zi=zi)
             state.update((zi.tolist(),))
             yield pd.DataFrame(
                 {"channel_id": pdf["channel_id"], "t": pdf["t"], "value": y}
             )
+        else:  # defensive: never invoked without data under NoTimeout
+            state.update((zi.tolist(),))
+            return
 
     if not df.isStreaming:
         # Batch fallback through the same kernel for test parity.
