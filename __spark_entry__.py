@@ -913,20 +913,24 @@ def q_tpch_rollup(spark, sf_dir):
     # aggregation pass (Spark expands the sets map-side; still a single
     # shuffle with partial combine).  NULL marks the rolled-up level in
     # both engines.
+    # ``+ 0.0`` — the repo-wide sign-bit policy on rounded reductions: a
+    # zero-valued rounded sum must not hash-differ on -0.0 under the
+    # signbit-sensitive gate.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "sum_disc_price"
-        ),
+        (F.round(F.sum("l_quantity"), 4) + F.lit(0.0)).alias("sum_qty"),
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            + F.lit(0.0)
+        ).alias("sum_disc_price"),
         F.count("*").alias("n_rows"),
     )
 
 
 SQL_TPCH_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 4) AS sum_qty,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_quantity), 4) + 0.0 AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS sum_disc_price,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -2601,9 +2605,23 @@ cyc AS (
   SELECT channel_id, er AS rng, ec AS cnt FROM steps WHERE er IS NOT NULL
   UNION ALL
   SELECT channel_id, rng, cnt FROM resid
+),
+binned AS (
+  -- Repr-faithful HALF_UP, matching kernels/rainflow.py _round_half_up
+  -- (decimal HALF_UP of the double's shortest repr = Spark BigDecimal
+  -- semantics).  Plain ROUND(DOUBLE, 2) is binary half-away-from-zero
+  -- and disagrees for ranges whose repr sits at a .005 midpoint
+  -- (e.g. 0.145); the VARCHAR hop is DuckDB's shortest-round-trip
+  -- formatting, so the decimal ROUND then sees the exact same digits
+  -- Python's repr() feeds Decimal.quantize(HALF_UP).
+  SELECT channel_id,
+         CAST(ROUND(CAST(CAST(rng AS VARCHAR) AS DECIMAL(38,18)), 2)
+              AS DOUBLE) AS bin,
+         cnt
+  FROM cyc
 )
-SELECT channel_id, ROUND(rng, 2) AS bin, SUM(cnt) AS cycles
-FROM cyc GROUP BY channel_id, ROUND(rng, 2)
+SELECT channel_id, bin, SUM(cnt) AS cycles
+FROM binned GROUP BY channel_id, bin
 """
 
 
@@ -2620,6 +2638,14 @@ def q_psd_damage_dft(spark, sf_dir):
     # per_seg feeds the mean PSD and the per-segment RMS; mean_psd feeds
     # its own trapezoid and the final rescale — persist both or the
     # windowed-DFT aggregation runs three times.
+    #
+    # Cache lifecycle (applies to every persist() in this module): these
+    # query functions return LAZY DataFrames, so they cannot unpersist
+    # before the caller's terminal action.  Blocks use the default
+    # MEMORY_AND_DISK level (never OOM — they spill) and are reclaimed by
+    # LRU eviction; long-lived sessions running many queries should call
+    # spark.catalog.clearCache() between terminal actions, as bench.py
+    # does between queries.
     per_seg = _welch_dft_segments(spark, sf_dir).persist()
     mean_psd = (
         per_seg.groupBy("channel_id", "k").agg(F.avg("p").alias("mp")).persist()

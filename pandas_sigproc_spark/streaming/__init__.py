@@ -142,6 +142,14 @@ def streaming_lfilter(
     State size is ``max(len(a), len(b)) - 1`` doubles per channel — a
     6th-order filter on a million channels is ~48 MB of state total,
     trivially scalable in the state store.
+
+    Memory bound: the concat-and-sort holds ONE micro-batch of ONE
+    channel in executor memory (not the whole stream) — the chunk
+    iterator's streaming property is traded for ordering correctness.
+    For high-rate channels bound the batch upstream: file sources →
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``; rate/Kafka →
+    ``maxOffsetsPerTrigger``; or a processing-time trigger short enough
+    that rate × interval × 16 B/row fits comfortably per task.
     """
     from pandas_sigproc_spark.kernels.iir import lfilter
 
@@ -333,6 +341,11 @@ def streaming_rainflow(
     ``order_cols`` (pass ``("t", "seq")`` when timestamps can tie —
     rainflow is order-sensitive, so untie-broken equal stamps would make
     counts vary run to run).
+
+    Memory bound: like ``streaming_lfilter``, the concat-and-sort holds
+    one micro-batch of one channel per task — bound the batch upstream
+    (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` / trigger
+    interval) for high-rate channels.
     """
     from pandas_sigproc_spark.kernels.rainflow import extract_full_cycles_4pt
 
