@@ -2614,9 +2614,17 @@ binned AS (
   -- (e.g. 0.145); the VARCHAR hop is DuckDB's shortest-round-trip
   -- formatting, so the decimal ROUND then sees the exact same digits
   -- Python's repr() feeds Decimal.quantize(HALF_UP).
+  -- Guarded hop: the DECIMAL(38,18) cast errors on inf/nan and overflows
+  -- for |rng| >= ~1e20, while the kernel's _round_half_up passes
+  -- non-finite values through and handles 1e27+ magnitudes (prec 400).
+  -- Mirror that robustness: huge/non-finite ranges skip the decimal hop
+  -- (at >= 1e18 magnitude the double's repr has no fractional digits, so
+  -- ROUND(rng, 2) == rng == the kernel's passthrough).
   SELECT channel_id,
-         CAST(ROUND(CAST(CAST(rng AS VARCHAR) AS DECIMAL(38,18)), 2)
-              AS DOUBLE) AS bin,
+         CASE WHEN isfinite(rng) AND ABS(rng) < 1e18
+              THEN CAST(ROUND(CAST(CAST(rng AS VARCHAR) AS DECIMAL(38,18)), 2)
+                        AS DOUBLE)
+              ELSE rng END AS bin,
          cnt
   FROM cyc
 )

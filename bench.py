@@ -143,15 +143,6 @@ def main():
     qs = entry_mod.queries()
     # Warm-up: JVM, parquet footer reads, Python worker pool.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Scale-appropriate scan split size: at bench SFs whole tables are a
-    # few MB, so the production 128 MB split puts an entire table in ONE
-    # scan task and map-side queries run single-core — the benchmark then
-    # measures file layout, not the engine.  4 MB keeps the scan
-    # parallelism a 100 TB deployment would see from 128 MB splits.  (A
-    # real cluster keeps the default: this is a bench-harness knob, not
-    # an engine setting.)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
-    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     qs["rms"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # Spin up one Arrow-python worker per core so the first kernel-tier
@@ -192,6 +183,18 @@ def main():
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "8"))
     scale = None
     if repl > 1:
+        # Scale-appropriate scan split size — SCALE LEG ONLY.  At bench SFs
+        # whole tables are a few MB, so the production 128 MB split puts an
+        # entire table in ONE scan task and map-side queries run
+        # single-core — the scale leg would then measure file layout, not
+        # the engine.  4 MB restores the scan parallelism a 100 TB
+        # deployment gets from 128 MB splits.  The headline leg above runs
+        # with production defaults so its timings stay comparable to
+        # BASELINE.md and to r1/r2 (r3 applied this to all legs, which is
+        # what regressed derivative/detrend_linear/psd_dft ~2.5x vs r2 —
+        # extra scheduling overhead per tiny scan, see BENCH_r03 vs r02).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
         out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_scale", f"sf{sf}_r{repl}")
         _materialize_scaled(spark, sf_dir, repl, out_dir)
