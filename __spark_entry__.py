@@ -2822,6 +2822,90 @@ def _sql_filt_iir_exact():
     return _sql_df2t_recursion(_IIR_B, _IIR_A, "SELECT channel_id, i, y FROM f")
 
 
+# Verified-margin rounding digits for the FFT-convolution anchor: on the
+# fixed sf0.01 / sf0.1 data, min distance of any exact-recursion output to
+# a 1e-7 half-up rounding boundary is 1.1e-12 (sf0.1: 1.1e-12), while the
+# FFT path diverges from the recursion by at most 8.9e-16 absolute — a
+# >1200x safety factor, so rounding both sides to 7 digits is stable
+# (tests/test_fft_anchor_margin.py re-verifies the margin per dataset).
+_FFT_ANCHOR_DIGITS = 7
+_FFT_ANCHOR_N = 8192
+
+
+def q_filt_iir_fft_exact(spark, sf_dir):
+    """Hash anchor for the FFT-convolution IIR path — the code every
+    production long channel takes (kernels/iir.py lfilter: len(x) >
+    _LOOP_CUTOVER=2048 selects the FFT convolution, and len(x) >
+    _EXACT_IR_CUTOVER=4096 selects the FFT-grown truncated impulse
+    response, kernels/iir.py:33,92).  One 8192-sample channel is built
+    from the whole events table (global event_id order), forcing exactly
+    that production configuration; the oracle replays the mathematically
+    identical causal DF2T recursion (extension.py:563 semantics) as a
+    recursive CTE.  The two paths agree to <1e-15 absolute on this data;
+    both sides round HALF_UP to 7 digits with a verified 1.1e-12 boundary
+    margin, so the comparison is exact (see _FFT_ANCHOR_DIGITS).
+
+    At sf0.001 (1000 samples) the kernel takes the loop path instead and
+    the comparison is bit-exact before rounding — the anchor degrades
+    gracefully, it never silently weakens.
+    """
+    import pandas as pd
+
+    b, a = _IIR_B, _IIR_A
+    n_cap = _FFT_ANCHOR_N
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    w = Window.orderBy("event_id")
+    src = (
+        ev.select(
+            (F.col("value").cast("double") / F.lit(100.0)).alias("x"),
+            F.row_number().over(w).cast("long").alias("i"),
+        )
+        .filter(F.col("i") <= n_cap)
+        .withColumn("channel_id", F.lit("all"))
+    )
+
+    def k(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.kernels.iir import lfilter
+
+        pdf = pdf.sort_values("i")
+        y = lfilter(b, a, pdf["x"].to_numpy("float64"))
+        return pd.DataFrame({"i": pdf["i"], "y": y})
+
+    out = src.groupBy("channel_id").applyInPandas(k, "i long, y double")
+    return out.select("i", F.round("y", _FFT_ANCHOR_DIGITS).alias("y"))
+
+
+def _sql_filt_iir_fft_exact():
+    b0, b1, b2 = (_dlit(x) for x in _IIR_B)
+    a1, a2 = _dlit(_IIR_A[1]), _dlit(_IIR_A[2])
+    y0 = f"{b0} * h.x + 0.0"
+    yi = f"{b0} * h.x + f.z1"
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT CAST(value AS DOUBLE) / 100.0 AS x,
+         ROW_NUMBER() OVER (ORDER BY event_id) AS i
+  FROM events
+),
+h AS MATERIALIZED (SELECT * FROM r WHERE i <= {_FFT_ANCHOR_N}),
+f AS (
+  SELECT h.i,
+         {y0} AS y,
+         {b1} * h.x + 0.0 - {a1} * ({y0}) AS z1,
+         {b2} * h.x - {a2} * ({y0}) AS z2
+  FROM h WHERE h.i = 1
+  UNION ALL
+  SELECT h.i,
+         {yi} AS y,
+         {b1} * h.x + f.z2 - {a1} * ({yi}) AS z1,
+         {b2} * h.x - {a2} * ({yi}) AS z2
+  FROM f JOIN h ON h.i = f.i + 1
+)
+SELECT i, ROUND(y, {_FFT_ANCHOR_DIGITS}) AS y FROM f
+"""
+
+
 # SRS anchor design: one Smallwood ramp-invariant SDOF resonator
 # (fn = 0.05 cycles/sample, Q = 10) — computed once at import, literals
 # embedded in the oracle SQL.
@@ -3879,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
         "filt_iir_exact": q_filt_iir_exact,
+        "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filtfilt_exact": q_filtfilt_exact,
         "srs_exact": q_srs_exact,
         "interp_cubic_exact": q_interp_cubic_exact,
@@ -4030,6 +4115,7 @@ def oracle_sql() -> dict[str, str]:
         # chunked==whole equality; the oracle pins both to the standard)
         "rainflow_chunked": SQL_RAINFLOW,
         "filt_iir_exact": _sql_filt_iir_exact(),
+        "filt_iir_fft_exact": _sql_filt_iir_fft_exact(),
         "filtfilt_exact": _sql_filtfilt_exact(),
         "srs_exact": _sql_srs_exact(),
         "interp_cubic_exact": _sql_interp_cubic_exact(),
