@@ -58,6 +58,8 @@ from pandas_sigproc_spark.operators import (
     pack_sequences,
 )
 
+import oracle_prod as _oracle_prod
+
 DAY = 86400.0
 
 # ---------------------------------------------------------------------------
@@ -4116,6 +4118,14 @@ def oracle_sql() -> dict[str, str]:
         "rainflow_chunked": SQL_RAINFLOW,
         "filt_iir_exact": _sql_filt_iir_exact(),
         "filt_iir_fft_exact": _sql_filt_iir_fft_exact(),
+        # production kernel-tier legs: full recursive-CTE replays
+        # (oracle_prod.py) — bit-exact at the gate's sf0.01 scale where
+        # every channel runs the kernels' exact loop/banded paths
+        "filt_butter": _oracle_prod.sql_filt_butter(),
+        "filt_cfc": _oracle_prod.sql_filt_cfc(),
+        "filt_chunked": _oracle_prod.sql_filt_chunked(),
+        "filt_a": _oracle_prod.sql_filt_a(),
+        "filt_chain": _oracle_prod.sql_filt_chain(),
         "filtfilt_exact": _sql_filtfilt_exact(),
         "srs_exact": _sql_srs_exact(),
         "interp_cubic_exact": _sql_interp_cubic_exact(),

@@ -24,11 +24,49 @@ from __future__ import annotations
 import numpy as np
 
 from pandas_sigproc_spark.kernels.iir import (
+    _LOOP_CUTOVER,
     _ar_impulse_response,
     _lfilter_loop,
     _normalize_ba,
     lfilter_zi,
 )
+
+
+def _lfilter_loop_batch(b, a, X: np.ndarray, Zi: np.ndarray | None = None):
+    """DF2T recursion vectorized across the batch axis.
+
+    The same per-sample difference equation as ``iir._lfilter_loop``, with
+    every scalar op replaced by the elementwise op over the batch column —
+    IEEE semantics are identical per element, so each row's output is
+    BIT-IDENTICAL to running the 1-D loop on that row.  This is what makes
+    bucketed execution exactly equal (not merely rtol-close) to
+    per-channel execution for short channels, and what lets the
+    production-leg DuckDB oracles (oracle_prod.py) replay bucketed filter
+    queries bit-for-bit.
+    """
+    nb, nlen = X.shape
+    n = max(len(a), len(b))
+    bp = np.zeros(n)
+    ap = np.zeros(n)
+    bp[: len(b)] = b
+    ap[: len(a)] = a
+    Z = (
+        np.zeros((nb, max(n - 1, 1)))
+        if Zi is None
+        else np.asarray(Zi, dtype=np.float64).copy()
+    )
+    Y = np.empty_like(X)
+    if n == 1:
+        Y[:] = bp[0] * X
+        return (Y, Z) if Zi is not None else Y
+    for i in range(nlen):
+        x = X[:, i]
+        y = bp[0] * x + Z[:, 0]
+        for j in range(n - 2):
+            Z[:, j] = bp[j + 1] * x + Z[:, j + 1] - ap[j + 1] * y
+        Z[:, n - 2] = bp[n - 1] * x - ap[n - 1] * y
+        Y[:, i] = y
+    return (Y, Z) if Zi is not None else Y
 
 
 def _fft_convolve_batch(X: np.ndarray, h: np.ndarray) -> np.ndarray:
@@ -48,6 +86,14 @@ def lfilter_batch(b, a, X: np.ndarray) -> np.ndarray:
     X = np.asarray(X, dtype=np.float64)
     if X.ndim == 1:
         X = X[None, :]
+    # Mirror the 1-D kernel's path-selection rule EXACTLY (iir.lfilter:
+    # len <= _LOOP_CUTOVER or order > 16 -> exact recursion): which
+    # numerics serve a request must be a pure function of the request,
+    # never of how channels happened to be grouped — so a channel filtered
+    # inside a bucket yields the same bits as the same channel alone.
+    n_taps = max(len(a), len(b))
+    if X.shape[-1] <= _LOOP_CUTOVER or n_taps > 16:
+        return _lfilter_loop_batch(b, a, X)
     if len(a) == 1:
         return _fft_convolve_batch(X, b)
     h = _ar_impulse_response(a, max_len=X.shape[-1])
@@ -98,6 +144,15 @@ def filtfilt_batch(b, a, X: np.ndarray) -> np.ndarray:
     next_ = ext.shape[1]
 
     zi = lfilter_zi(b, a)
+    if next_ <= _LOOP_CUTOVER or ntaps > 16:
+        # Exact-recursion path, mirroring iir.filtfilt's two lfilter loop
+        # passes bit-for-bit per row (zi seeded directly, no
+        # superposition) — see _lfilter_loop_batch.
+        Y, _ = _lfilter_loop_batch(b, a, ext, Zi=zi[None, :] * ext[:, :1])
+        Yr = np.ascontiguousarray(Y[:, ::-1])
+        Y, _ = _lfilter_loop_batch(b, a, Yr, Zi=zi[None, :] * Yr[:, :1])
+        out = Y[:, ::-1][:, padlen:-padlen]
+        return out[0] if squeeze else out
     if len(a) > 1:
         h = _ar_impulse_response(a, max_len=next_)
         # Degenerate designs (h is None) have no finite decay length;
