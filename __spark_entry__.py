@@ -2250,13 +2250,20 @@ def q_psd_welch(spark, sf_dir):
     # stacked FFT per bucket beats the segment-explode scale path (which
     # exists for channels too big for one task; equality of the two paths
     # is asserted in tests/test_operators_kernel.py).
-    return get_psd(
+    out = get_psd(
         _uniform(spark, sf_dir),
         window_length=128 * 3600.0,
         overlap=0.5,
         summarize="mean",
         samplerate=_HOURLY,
         n_buckets=32,
+    )
+    # Rounded for the hash gate vs the O(N^2)-DFT oracle
+    # (oracle_prod.sql_psd_welch): powers are >= ~500 here, the FFT-DFT
+    # divergence is ~1e-7, and the integer-rounding boundary margin is
+    # >= 100x that (tests/test_prod_oracle_margins.py).
+    return out.select(
+        "channel_id", "freq", (F.round("power", 0) + F.lit(0.0)).alias("power")
     )
 
 
@@ -2270,7 +2277,7 @@ def q_srs(spark, sf_dir):
 def q_psd_damage(spark, sf_dir):
     # Welch summarize='damage' (tools.py:74-98 mode 7): mean PSD rescaled
     # by the mean fatigue-damage acceleration factor, exponent b=4.
-    return get_psd(
+    out = get_psd(
         _uniform(spark, sf_dir),
         window_length=64 * 3600.0,
         overlap=0.5,
@@ -2279,13 +2286,17 @@ def q_psd_damage(spark, sf_dir):
         samplerate=_HOURLY,
         n_buckets=32,
     )
+    # Rounded for the DFT-oracle hash gate (see q_psd_welch).
+    return out.select(
+        "channel_id", "freq", (F.round("power", 0) + F.lit(0.0)).alias("power")
+    )
 
 
 def q_psd_median(spark, sf_dir):
     # Welch summarize='median' (tools.py:74-98 mode 2) — exact per-bin
     # median over segments (exact percentile, not approx, per SURVEY §5's
     # exact-parity rule for oracle-facing numerics).
-    return get_psd(
+    out = get_psd(
         _uniform(spark, sf_dir),
         window_length=64 * 3600.0,
         overlap=0.5,
@@ -2293,12 +2304,16 @@ def q_psd_median(spark, sf_dir):
         samplerate=_HOURLY,
         n_buckets=32,
     )
+    # Rounded for the DFT-oracle hash gate (see q_psd_welch).
+    return out.select(
+        "channel_id", "freq", (F.round("power", 0) + F.lit(0.0)).alias("power")
+    )
 
 
 def q_psd_maxrms(spark, sf_dir):
     # Welch summarize='max rms' (tools.py:74-98 mode 6): mean PSD rescaled
     # by (max segment RMS / mean segment RMS)^2.
-    return get_psd(
+    out = get_psd(
         _uniform(spark, sf_dir),
         window_length=64 * 3600.0,
         overlap=0.5,
@@ -2306,18 +2321,27 @@ def q_psd_maxrms(spark, sf_dir):
         samplerate=_HOURLY,
         n_buckets=32,
     )
+    # Rounded for the DFT-oracle hash gate (see q_psd_welch).
+    return out.select(
+        "channel_id", "freq", (F.round("power", 0) + F.lit(0.0)).alias("power")
+    )
 
 
 def q_psd_all(spark, sf_dir):
     # Welch summarize='all' (tools.py:76-77 mode 5): no segment reduce —
     # returns every per-segment periodogram as (channel_id, seg, freq,
     # power), the input the other summarize modes aggregate over.
-    return get_psd(
+    out = get_psd(
         _uniform(spark, sf_dir),
         window_length=64 * 3600.0,
         overlap=0.5,
         summarize="all",
         samplerate=_HOURLY,
+    )
+    # Rounded for the DFT-oracle hash gate (see q_psd_welch).
+    return out.select(
+        "channel_id", "seg", "freq",
+        (F.round("power", 0) + F.lit(0.0)).alias("power"),
     )
 
 
@@ -2328,13 +2352,17 @@ def q_psd_segmented(spark, sf_dir):
     # — the mode for one channel too large for any single task.
     # Equality with the whole-channel path is pinned in
     # tests/test_operators_kernel.py.
-    return get_psd(
+    out = get_psd(
         _uniform(spark, sf_dir),
         window_length=128 * 3600.0,
         overlap=0.5,
         summarize="mean",
         samplerate=_HOURLY,
         segmented=True,
+    )
+    # Rounded for the DFT-oracle hash gate (see q_psd_welch).
+    return out.select(
+        "channel_id", "freq", (F.round("power", 0) + F.lit(0.0)).alias("power")
     )
 
 
@@ -4126,6 +4154,14 @@ def oracle_sql() -> dict[str, str]:
         "filt_chunked": _oracle_prod.sql_filt_chunked(),
         "filt_a": _oracle_prod.sql_filt_a(),
         "filt_chain": _oracle_prod.sql_filt_chain(),
+        "srs": _oracle_prod.sql_srs(),
+        "psd_welch": _oracle_prod.sql_psd_welch(),
+        "psd_median": _oracle_prod.sql_psd_median(),
+        "psd_maxrms": _oracle_prod.sql_psd_maxrms(),
+        "psd_damage": _oracle_prod.sql_psd_damage(),
+        "psd_all": _oracle_prod.sql_psd_all(),
+        "psd_segmented": _oracle_prod.sql_psd_segmented(),
+        "psd_rms": _oracle_prod.sql_psd_rms(),
         "filtfilt_exact": _sql_filtfilt_exact(),
         "srs_exact": _sql_srs_exact(),
         "interp_cubic_exact": _sql_interp_cubic_exact(),

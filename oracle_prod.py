@@ -344,6 +344,264 @@ FROM caout o JOIN idx x ON x.channel_id = o.channel_id AND x.i = o.i
 """
 
 
+# ---------------------------------------------------------------------------
+# PSD family: relational Welch with an O(N^2) DFT standing in for the
+# kernel's rfft.  The two transforms agree to ~1e-7 absolute on this data
+# while every output sits >= 100x farther from its rounding boundary
+# (measured in tests/test_prod_oracle_margins.py), so both sides round
+# HALF_UP at the digits below and the hash compare is stable.
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 2.0 * math.pi
+# Rounding digits per PSD leg (power values are >= ~500 on this data, so
+# integer rounding preserves many significant digits).
+PSD_ROUND = 0
+
+
+def _psd_consts(n_window: int, fs: float):
+    """(scale, rfftfreq-val) exactly as kernels/spectral.periodogram
+    computes them — same calls, same doubles."""
+    from pandas_sigproc_spark.kernels.spectral import get_window
+
+    win = get_window("hann", n_window)
+    scale = 1.0 / (fs * float(np.dot(win, win)))
+    val = 1.0 / (n_window * (1.0 / fs))
+    return scale, val
+
+
+def welch_seg_ctes(p: str, n_window: int, n_ov: int, fs: float,
+                   src: str = "uni", srcn: str = "unt") -> tuple[str, str]:
+    """CTEs computing the per-(channel, segment, bin) one-sided-density
+    periodogram table ``{p}seg(channel_id, seg, k, p)`` (doubling applied,
+    ALL bins incl. DC — the freq>0 mask is the caller's, matching
+    tools.py:87-95 which integrates the full spectrum before masking).
+    Returns (cte_sql, freq_value_literal).
+    """
+    n_step = n_window - n_ov
+    scale, val = _psd_consts(n_window, fs)
+    w0 = _TWO_PI / n_window
+    cte = f"""{p}sg AS (
+  SELECT channel_id, UNNEST(RANGE(0, GREATEST((n - {n_ov}) // {n_step}, 0))) AS seg
+  FROM {srcn}
+),
+{p}sm AS (
+  SELECT s.channel_id, s.seg, u.i - 1 - s.seg * {n_step} AS m, u.x
+  FROM {p}sg s JOIN {src} u ON u.channel_id = s.channel_id
+   AND u.i - 1 >= s.seg * {n_step} AND u.i - 1 < s.seg * {n_step} + {n_window}
+),
+{p}wm AS (
+  SELECT channel_id, seg, m,
+         (x - AVG(x) OVER (PARTITION BY channel_id, seg))
+           * (0.5 - 0.5 * COS(({dlit(_TWO_PI)} * m) / {float(n_window)!r})) AS xw
+  FROM {p}sm
+),
+{p}kg AS (SELECT UNNEST(RANGE(0, {n_window // 2 + 1})) AS k),
+{p}dft AS (
+  SELECT channel_id, seg, k,
+         SUM(xw * COS({dlit(w0)} * ((m * k) % {n_window}))) AS re,
+         SUM(xw * SIN({dlit(w0)} * ((m * k) % {n_window}))) AS im
+  FROM {p}wm CROSS JOIN {p}kg
+  GROUP BY channel_id, seg, k
+),
+{p}seg AS MATERIALIZED (
+  SELECT channel_id, seg, k,
+         (re * re + im * im) * {dlit(scale)}
+           * (CASE WHEN k = 0 OR k = {n_window // 2} THEN 1.0 ELSE 2.0 END) AS p
+  FROM {p}dft
+)"""
+    return cte, dlit(val)
+
+
+def sql_psd_welch() -> str:
+    # q_psd_welch: wl=128*3600, overlap .5, hann, mean, bucketed ->
+    # rate = round(1/3600, 9); n_window = int(rate*wl) = 128.
+    cte, val = welch_seg_ctes("w", 128, 64, _SR_HOURLY_R9)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte}
+SELECT channel_id, k * {val} AS freq,
+       ROUND(AVG(p), {PSD_ROUND}) + 0.0 AS power
+FROM wseg WHERE k > 0 GROUP BY channel_id, k
+"""
+
+
+def sql_psd_median() -> str:
+    cte, val = welch_seg_ctes("w", 64, 32, _SR_HOURLY_R9)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte}
+SELECT channel_id, k * {val} AS freq,
+       ROUND(QUANTILE_CONT(p, 0.5), {PSD_ROUND}) + 0.0 AS power
+FROM wseg WHERE k > 0 GROUP BY channel_id, k
+"""
+
+
+def _psd_factor_ctes(val: str) -> str:
+    """Shared trapezoid CTEs over ``wseg``: per-(channel, seg) spectrum RMS
+    and the mean-PSD RMS (tools.py:87-95 — FULL spectrum incl. DC)."""
+    return f"""wmean AS (
+  SELECT channel_id, k, AVG(p) AS mp FROM wseg GROUP BY channel_id, k
+),
+wmp AS (
+  SELECT channel_id, k, mp, k * {val} AS f,
+         LEAD(mp) OVER w AS mp2, LEAD(k * {val}) OVER w AS f2
+  FROM wmean WINDOW w AS (PARTITION BY channel_id ORDER BY k)
+),
+wmrms AS (
+  SELECT channel_id, SQRT(SUM((f2 - f) * (mp2 + mp) / 2.0)) AS mean_rms
+  FROM wmp WHERE f2 IS NOT NULL GROUP BY channel_id
+),
+wsp AS (
+  SELECT channel_id, seg, k, p, k * {val} AS f,
+         LEAD(p) OVER w AS p2, LEAD(k * {val}) OVER w AS f2
+  FROM wseg WINDOW w AS (PARTITION BY channel_id, seg ORDER BY k)
+),
+wsrms AS (
+  SELECT channel_id, seg, SQRT(SUM((f2 - f) * (p2 + p) / 2.0)) AS seg_rms
+  FROM wsp WHERE f2 IS NOT NULL GROUP BY channel_id, seg
+)"""
+
+
+def sql_psd_maxrms() -> str:
+    cte, val = welch_seg_ctes("w", 64, 32, _SR_HOURLY_R9)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte},
+{_psd_factor_ctes(val)},
+wfac AS (
+  SELECT s.channel_id, POW(MAX(s.seg_rms) / ANY_VALUE(m.mean_rms), 2.0) AS factor
+  FROM wsrms s JOIN wmrms m USING (channel_id) GROUP BY s.channel_id
+)
+SELECT w.channel_id, w.k * {val} AS freq,
+       ROUND(AVG(w.p) * ANY_VALUE(f.factor), {PSD_ROUND}) + 0.0 AS power
+FROM wseg w JOIN wfac f USING (channel_id)
+WHERE w.k > 0 GROUP BY w.channel_id, w.k
+"""
+
+
+def sql_psd_damage() -> str:
+    # fatigue_exponent b=4: factor = (mean((seg_rms/mean_rms)^4)^(1/4))^2.
+    cte, val = welch_seg_ctes("w", 64, 32, _SR_HOURLY_R9)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte},
+{_psd_factor_ctes(val)},
+wfac AS (
+  SELECT s.channel_id,
+         POW(POW(AVG(POW(s.seg_rms / m.mean_rms, 4.0)), 0.25), 2.0) AS factor
+  FROM wsrms s JOIN wmrms m USING (channel_id) GROUP BY s.channel_id
+)
+SELECT w.channel_id, w.k * {val} AS freq,
+       ROUND(AVG(w.p) * ANY_VALUE(f.factor), {PSD_ROUND}) + 0.0 AS power
+FROM wseg w JOIN wfac f USING (channel_id)
+WHERE w.k > 0 GROUP BY w.channel_id, w.k
+"""
+
+
+def sql_psd_all() -> str:
+    # q_psd_all: summarize='all', NO buckets -> whole-channel path with the
+    # UNROUNDED samplerate (operators/psd.py _whole_channel_psd).
+    cte, val = welch_seg_ctes("w", 64, 32, HOURLY)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte}
+SELECT channel_id, seg, k * {val} AS freq,
+       ROUND(p, {PSD_ROUND}) + 0.0 AS power
+FROM wseg WHERE k > 0
+"""
+
+
+def sql_psd_segmented() -> str:
+    # q_psd_segmented: the relational-segmentation scale path, mean
+    # summarize, explicit (unrounded) samplerate per _segmented_psd.
+    cte, val = welch_seg_ctes("w", 128, 64, HOURLY)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte}
+SELECT channel_id, k * {val} AS freq,
+       ROUND(AVG(p), {PSD_ROUND}) + 0.0 AS power
+FROM wseg WHERE k > 0 GROUP BY channel_id, k
+"""
+
+
+def sql_psd_rms() -> str:
+    # q_psd_rms: 128-window bucketed Welch mean -> rms_lin trapezoid over
+    # the POSITIVE-frequency spectrum (get_psd output), rounded 6.
+    cte, val = welch_seg_ctes("w", 128, 64, _SR_HOURLY_R9)
+    return f"""
+WITH {SIG_CTE},
+{UNIFORM_CTES},
+{cte},
+wmean AS (
+  SELECT channel_id, k, AVG(p) AS mp FROM wseg WHERE k > 0 GROUP BY channel_id, k
+),
+wmp AS (
+  SELECT channel_id, mp, k * {val} AS f,
+         LEAD(mp) OVER w AS mp2, LEAD(k * {val}) OVER w AS f2
+  FROM wmean WINDOW w AS (PARTITION BY channel_id ORDER BY k)
+)
+SELECT channel_id,
+       ROUND(SQRT(SUM((mp + mp2) / 2.0 * (f2 - f))), 6) AS rms_lin
+FROM wmp WHERE f2 IS NOT NULL GROUP BY channel_id
+"""
+
+
+def sql_srs() -> str:
+    """q_srs replay: 13 Smallwood SDOF resonators (kernels/srs.py
+    smallwood_coefficients at dt=3600.0, Q=10 — the bucketed kernel's
+    round(mean(diff(t)), 9) collapses to exactly 3600.0 on the hourly
+    grid) run over every uniform channel; the envelope is
+    GREATEST(MAX(y), ABS(MIN(y))) — selection over bit-identical doubles,
+    so no rounding anywhere.  The recursion carries the running extremes
+    instead of materializing every response sample.
+    """
+    from pandas_sigproc_spark.kernels.srs import smallwood_coefficients
+
+    fns = [1e-5 * 2 ** (i / 3.0) for i in range(13)]  # == q_srs freq list
+    b, a = smallwood_coefficients(np.asarray(fns, np.float64), 3600.0, 10.0)
+    rows = ",\n    ".join(
+        f"({i}, {dlit(fns[i])}, {dlit(b[i,0])}, {dlit(b[i,1])}, {dlit(b[i,2])},"
+        f" {dlit(a[i,1])}, {dlit(a[i,2])})"
+        for i in range(len(fns))
+    )
+    y0 = "c.b0 * h.x + 0.0"
+    yi = "f.b0 * h.x + f.z1"
+    return f"""
+WITH RECURSIVE {SIG_CTE},
+{UNIFORM_CTES},
+coef AS MATERIALIZED (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS c(fidx, freq, b0, b1, b2, a1, a2)
+),
+f AS (
+  SELECT h.channel_id, c.fidx, c.freq, c.b0, c.b1, c.b2, c.a1, c.a2, h.i,
+         {y0} AS y,
+         (c.b1 * h.x + 0.0) - c.a1 * ({y0}) AS z1,
+         c.b2 * h.x - c.a2 * ({y0}) AS z2,
+         {y0} AS pos,
+         {y0} AS neg
+  FROM uni h CROSS JOIN coef c WHERE h.i = 1
+  UNION ALL
+  SELECT h.channel_id, f.fidx, f.freq, f.b0, f.b1, f.b2, f.a1, f.a2, h.i,
+         {yi} AS y,
+         (f.b1 * h.x + f.z2) - f.a1 * ({yi}) AS z1,
+         f.b2 * h.x - f.a2 * ({yi}) AS z2,
+         GREATEST(f.pos, {yi}) AS pos,
+         LEAST(f.neg, {yi}) AS neg
+  FROM f JOIN uni h ON h.channel_id = f.channel_id AND h.i = f.i + 1
+)
+SELECT f.channel_id, f.freq, GREATEST(f.pos, ABS(f.neg)) AS power
+FROM f JOIN unt nt ON nt.channel_id = f.channel_id AND f.i = nt.n
+"""
+
+
 def sql_filt_chain() -> str:
     # KernelPipeline: filtfilt(butter(2, 1/3)) then causal A-weighting,
     # fused in one task (pipeline/fused.py) — replay the two stages
