@@ -4162,6 +4162,7 @@ def oracle_sql() -> dict[str, str]:
         "psd_all": _oracle_prod.sql_psd_all(),
         "psd_segmented": _oracle_prod.sql_psd_segmented(),
         "psd_rms": _oracle_prod.sql_psd_rms(),
+        "interp_cubic": _oracle_prod.sql_interp_cubic(),
         "filtfilt_exact": _sql_filtfilt_exact(),
         "srs_exact": _sql_srs_exact(),
         "interp_cubic_exact": _sql_interp_cubic_exact(),

@@ -345,6 +345,217 @@ FROM caout o JOIN idx x ON x.channel_id = o.channel_id AND x.i = o.i
 
 
 # ---------------------------------------------------------------------------
+# Tridiagonal solve by odd-even cyclic reduction, unrolled (kernels/interp
+# _cyclic_reduction replayed level-for-level).  CR_LEVELS static levels
+# handle systems up to 2 * 2^CR_LEVELS unknowns — far above the ~100-knot
+# channels of every driver dataset (asserted in tests).
+# ---------------------------------------------------------------------------
+
+CR_LEVELS = 8
+
+
+def cyclic_reduction_ctes(p: str, band: str) -> str:
+    """CTE chain solving, per channel, the tridiagonal system given by
+    ``{band}(channel_id, pos, a, b, c, r, sz)`` (pos 0-based, sz = row
+    count, a[0] and c[sz-1] already zero).  Emits ``{p}sol0(channel_id,
+    pos, xs)``.  Every multiply-add replays kernels/interp._cyclic_reduction
+    with identical association, so the solution is bit-identical.
+    """
+    ctes = [f"{p}cr0 AS MATERIALIZED (SELECT channel_id, pos, a, b, c, r, sz FROM {band})"]
+    # Forward elimination levels.
+    for l in range(1, CR_LEVELS + 1):
+        al = "(e.a / COALESCE(e.bl, 1.0))"  # alpha
+        be = "(e.c / COALESCE(e.br, 1.0))"  # beta
+        ctes.append(f"""{p}cr{l} AS MATERIALIZED (
+  SELECT channel_id, pos, a, b, c, r, sz FROM {p}cr{l - 1} WHERE sz <= 2
+  UNION ALL
+  SELECT e.channel_id, e.pos // 2,
+         (-{al}) * COALESCE(e.al_, 0.0) AS a,
+         (e.b - {al} * COALESCE(e.cl, 0.0)) - {be} * COALESCE(e.ar_, 0.0) AS b,
+         (-{be}) * COALESCE(e.cr_, 0.0) AS c,
+         (e.r - {al} * COALESCE(e.rl, 0.0)) - {be} * COALESCE(e.rr, 0.0) AS r,
+         (e.sz + 1) // 2 AS sz
+  FROM (
+    SELECT channel_id, pos, a, b, c, r, sz,
+           LAG(a) OVER w AS al_, LAG(b) OVER w AS bl, LAG(c) OVER w AS cl,
+           LAG(r) OVER w AS rl,
+           LEAD(a) OVER w AS ar_, LEAD(b) OVER w AS br, LEAD(c) OVER w AS cr_,
+           LEAD(r) OVER w AS rr
+    FROM {p}cr{l - 1} WHERE sz > 2
+    WINDOW w AS (PARTITION BY channel_id ORDER BY pos)
+  ) e WHERE e.pos % 2 = 0
+)""")
+    # Terminal closed forms (n == 1: r/b; n == 2: 2x2 solve).
+    L = CR_LEVELS
+    ctes.append(f"""{p}pair AS MATERIALIZED (
+  SELECT channel_id,
+         MAX(CASE WHEN pos = 0 THEN b END) AS b0,
+         MAX(CASE WHEN pos = 1 THEN b END) AS b1,
+         MAX(CASE WHEN pos = 0 THEN c END) AS c0,
+         MAX(CASE WHEN pos = 1 THEN a END) AS a1,
+         MAX(CASE WHEN pos = 0 THEN r END) AS r0,
+         MAX(CASE WHEN pos = 1 THEN r END) AS r1
+  FROM {p}cr{L} WHERE sz = 2 GROUP BY channel_id
+),
+{p}sol{L} AS MATERIALIZED (
+  SELECT channel_id, pos, r / b AS xs FROM {p}cr{L} WHERE sz = 1
+  UNION ALL
+  SELECT channel_id, 0 AS pos,
+         (r0 * b1 - c0 * r1) / (b0 * b1 - c0 * a1) AS xs FROM {p}pair
+  UNION ALL
+  SELECT channel_id, 1,
+         (b0 * r1 - a1 * r0) / (b0 * b1 - c0 * a1) FROM {p}pair
+)""")
+    # Back-substitution levels: even rows copy down, odd rows solve from
+    # their even neighbours (ghost zeros beyond the ends).
+    for l in range(CR_LEVELS, 0, -1):
+        ctes.append(f"""{p}sz{l - 1} AS MATERIALIZED (
+  SELECT channel_id, MAX(sz) AS sz FROM {p}cr{l - 1} GROUP BY channel_id
+),
+{p}sol{l - 1} AS MATERIALIZED (
+  SELECT s.channel_id, s.pos, s.xs
+  FROM {p}sol{l} s JOIN {p}sz{l - 1} z USING (channel_id) WHERE z.sz <= 2
+  UNION ALL
+  SELECT s.channel_id, 2 * s.pos, s.xs
+  FROM {p}sol{l} s JOIN {p}sz{l - 1} z USING (channel_id) WHERE z.sz > 2
+  UNION ALL
+  SELECT o.channel_id, o.pos,
+         ((o.r - o.a * COALESCE(sl.xs, 0.0)) - o.c * COALESCE(sr.xs, 0.0)) / o.b
+  FROM (SELECT * FROM {p}cr{l - 1} WHERE sz > 2 AND pos % 2 = 1) o
+  LEFT JOIN {p}sol{l} sl
+    ON sl.channel_id = o.channel_id AND sl.pos = (o.pos - 1) // 2
+  LEFT JOIN {p}sol{l} sr
+    ON sr.channel_id = o.channel_id AND sr.pos = (o.pos + 1) // 2
+)""")
+    return ",\n".join(ctes)
+
+
+def sql_interp_cubic() -> str:
+    """q_interp_cubic replay: not-a-knot cubic spline on every dedup'd
+    channel's full knot set (kernels/interp._cubic_spline_coeffs — fold
+    boundary conditions into the interior band, cyclic-reduction solve,
+    closed-form boundary recovery), evaluated on the daily grid.  Every
+    step is deterministic elementwise arithmetic replayed with identical
+    association — BIT-EXACT, no rounding.  Channels need >= 4 knots
+    (every driver channel has ~50+).
+    """
+    return f"""
+WITH {SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+kn AS MATERIALIZED (
+  SELECT channel_id, t AS x, value AS y,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t) AS i,
+         COUNT(*) OVER (PARTITION BY channel_id) AS n
+  FROM dedup
+),
+kh AS (
+  SELECT channel_id, i, n, x, y,
+         LEAD(x) OVER w - x AS h,
+         (LEAD(y) OVER w - y) / (LEAD(x) OVER w - x) AS dif
+  FROM kn WINDOW w AS (PARTITION BY channel_id ORDER BY i)
+),
+kh2 AS (
+  SELECT channel_id, i, n, h, dif,
+         LEAD(h) OVER w AS h2, LEAD(dif) OVER w AS dif2
+  FROM kh WINDOW w AS (PARTITION BY channel_id ORDER BY i)
+),
+hend AS (
+  SELECT channel_id,
+         MAX(CASE WHEN i = n - 2 THEN h END) AS hm2,
+         MAX(CASE WHEN i = n - 1 THEN h END) AS hm1
+  FROM kh WHERE n >= 4 GROUP BY channel_id
+),
+band AS MATERIALIZED (
+  SELECT k.channel_id, k.i - 1 AS pos,
+         CASE WHEN k.i = 1 THEN 0.0
+              WHEN k.i = k.n - 2 THEN (e.hm2 * e.hm2 - e.hm1 * e.hm1) / e.hm2
+              ELSE k.h END AS a,
+         CASE WHEN k.i = 1 THEN (k.h + k.h2) * (k.h + 2.0 * k.h2) / k.h2
+              WHEN k.i = k.n - 2
+                THEN (e.hm2 + e.hm1) * (2.0 * e.hm2 + e.hm1) / e.hm2
+              ELSE 2.0 * (k.h + k.h2) END AS b,
+         CASE WHEN k.i = k.n - 2 THEN 0.0
+              WHEN k.i = 1 THEN (k.h2 * k.h2 - k.h * k.h) / k.h2
+              ELSE k.h2 END AS c,
+         6.0 * (k.dif2 - k.dif) AS r,
+         k.n - 2 AS sz
+  FROM kh2 k JOIN hend e USING (channel_id)
+  WHERE k.i <= k.n - 2 AND k.n >= 4
+),
+{cyclic_reduction_ctes("q", "band")},
+mint AS (SELECT channel_id, pos + 2 AS ki, xs AS m FROM qsol0),
+h12 AS (
+  SELECT channel_id,
+         MAX(CASE WHEN i = 1 THEN h END) AS h1,
+         MAX(CASE WHEN i = 2 THEN h END) AS h2
+  FROM kh WHERE n >= 4 GROUP BY channel_id
+),
+mpick AS (
+  SELECT m.channel_id,
+         MAX(CASE WHEN ki = 2 THEN m END) AS m2,
+         MAX(CASE WHEN ki = 3 THEN m END) AS m3,
+         MAX(CASE WHEN ki = n - 1 THEN m END) AS mn1,
+         MAX(CASE WHEN ki = n - 2 THEN m END) AS mn2
+  FROM mint m JOIN (SELECT DISTINCT channel_id, n FROM kn) c USING (channel_id)
+  GROUP BY m.channel_id
+),
+mall AS MATERIALIZED (
+  SELECT channel_id, ki, m FROM mint
+  UNION ALL
+  SELECT p.channel_id, 1,
+         ((f.h1 + f.h2) * p.m2 - f.h1 * p.m3) / f.h2
+  FROM mpick p JOIN h12 f USING (channel_id)
+  UNION ALL
+  SELECT p.channel_id, c.n,
+         ((e.hm2 + e.hm1) * p.mn1 - e.hm1 * p.mn2) / e.hm2
+  FROM mpick p JOIN hend e USING (channel_id)
+  JOIN (SELECT DISTINCT channel_id, n FROM kn) c USING (channel_id)
+),
+dgrid AS (
+  SELECT channel_id,
+         UNNEST(RANGE(CAST(CEIL(t0 / {DAY!r}) AS BIGINT),
+                      CAST(FLOOR(t1 / {DAY!r}) AS BIGINT) + 1)) * {DAY!r} AS tg
+  FROM (SELECT channel_id, MIN(t) AS t0, MAX(t) AS t1 FROM dedup GROUP BY channel_id)
+),
+ev0 AS (
+  SELECT channel_id, x, i, 1 AS is_src FROM kn
+  UNION ALL
+  SELECT channel_id, tg, NULL, 0 FROM dgrid
+),
+ev1 AS (
+  SELECT channel_id, x AS tg,
+         LAST_VALUE(CASE WHEN is_src = 1 THEN i END IGNORE NULLS)
+           OVER (PARTITION BY channel_id ORDER BY x, is_src DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ilast,
+         is_src
+  FROM ev0
+),
+evt AS (
+  SELECT e.channel_id, e.tg,
+         LEAST(GREATEST(e.ilast, 1), c.n - 1) AS li
+  FROM ev1 e JOIN (SELECT DISTINCT channel_id, n FROM kn) c USING (channel_id)
+  WHERE e.is_src = 0
+)
+SELECT e.channel_id, e.tg AS t,
+       ((kl.m * ((kr.x - e.tg) * (kr.x - e.tg) * (kr.x - e.tg))
+           / (6.0 * (kr.x - kl.x))
+         + km.m * ((e.tg - kl.x) * (e.tg - kl.x) * (e.tg - kl.x))
+           / (6.0 * (kr.x - kl.x)))
+        + (kl.y / (kr.x - kl.x) - kl.m * (kr.x - kl.x) / 6.0) * (kr.x - e.tg))
+       + (kr.y / (kr.x - kl.x) - km.m * (kr.x - kl.x) / 6.0) * (e.tg - kl.x)
+       AS value
+FROM evt e
+JOIN (SELECT k.channel_id, k.i, k.x, k.y, m.m
+      FROM kn k JOIN mall m ON m.channel_id = k.channel_id AND m.ki = k.i) kl
+  ON kl.channel_id = e.channel_id AND kl.i = e.li
+JOIN kn kr ON kr.channel_id = e.channel_id AND kr.i = e.li + 1
+JOIN mall km ON km.channel_id = e.channel_id AND km.ki = e.li + 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # PSD family: relational Welch with an O(N^2) DFT standing in for the
 # kernel's rfft.  The two transforms agree to ~1e-7 absolute on this data
 # while every output sits >= 100x farther from its rounding boundary
