@@ -53,7 +53,7 @@ from pandas_sigproc_spark.operators import (
     segment_stats,
     spl,
     interp1d_spline,
-    jaccard_pairs,
+    jaccard_near_dupes,
     jaccard_ppjoin,
     pack_sequences,
 )
@@ -1334,17 +1334,17 @@ _JACCARD_T = 0.5
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    # n-gram Jaccard near-dup pairs via operators/dedup.py jaccard_pairs:
-    # distinct word-3-gram shingle sets self-joined on xxhash64(shingle)
-    # (8-byte join key, string equality in the condition so collisions
-    # can't corrupt results), size-ratio bound pruning pairs before the
-    # aggregation.  Two shuffles.  At corpus scale the (d1,d2) pair
-    # aggregation grows quadratically with shingle document frequency —
-    # the max_df skew guard and the PPJoin plan (q_dedup_jaccard_ppjoin)
-    # are the 100 TB answers; this query keeps the exact small-corpus
-    # semantics the oracle expresses.
+    # n-gram Jaccard near-dup pairs through the DEFAULT dispatcher
+    # (operators/dedup.py jaccard_near_dupes, plan='auto' -> PPJoin):
+    # prefix-filter + size bound produce a candidate set whose distinct
+    # replaces the O(df^2)-per-shingle (d1,d2) pair aggregation of the
+    # old jaccard_pairs default — that plan regressed 50% at sf0.1 in r3
+    # and is quadratic in hot-shingle document frequency at corpus scale.
+    # Results are bit-identical (exact string-array verification), so the
+    # oracle is unchanged; jaccard_pairs stays available as the
+    # documented small-corpus plan (plan='pairs').
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    return jaccard_pairs(d, _JACCARD_T)
+    return jaccard_near_dupes(d, _JACCARD_T)
 
 
 def q_dedup_jaccard_ppjoin(spark, sf_dir):
@@ -1386,6 +1386,10 @@ WHERE n_inter / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.5
 def q_embed_cosine_topk(spark, sf_dir):
     # Brute-force cosine top-5 neighbors for the first 50 query vectors —
     # the exact baseline for ANN (similarity-search operator family).
+    # DO NOT USE AT SCALE: the crossJoin below is a true cartesian
+    # product, kept deliberately un-broadcast as the labeled recall
+    # baseline.  Production similarity search goes through q_ann_lsh /
+    # q_ann_ivf / q_ann_int8 (bucketed probes, broadcast quantizers).
     e = _embeds(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     ).select(
@@ -1714,6 +1718,11 @@ def q_accessor_chain(spark, sf_dir):
         # channels are only ~90 samples on the 48 kHz index time base)
         .mov_rms(0.0005, samplerate=48000.0)
         .df
+        # Rounded for the hash gate vs the chain-replay oracle
+        # (oracle_prod.sql_accessor_chain): the detrend means and the
+        # rolling mean-of-squares are reductions whose summation order
+        # differs across engines (~1e-13); the time base is exact.
+        .select("channel_id", "t", F.round("value", 6).alias("value"))
     )
 
 
@@ -3974,26 +3983,40 @@ FROM stats
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order (r01/r02 each recorded exactly
-    # the first 50).  Rounds 1-2 registered the bit-exact kernel anchors
-    # and the training tier after position 50, so their strongest
-    # correctness evidence never reached the driver.  Round-3 ordering:
-    #   tier 1 — never-driver-checked oracle-backed anchors + training
-    #            tier (the round-2 work the gate must finally see);
-    #   tier 2 — never-driver-checked rows-only production kernels
-    #            (their values are pinned by the tier-1 anchors + golden
-    #            tests; the driver at least row/schema-checks them);
-    #   tier 3 — this round's new queries;
-    #   tier 4 — §2-critical relational backfill (driver-green in r02;
-    #            re-checked every round while slots remain);
-    #   below the cap — queries already driver-green in r01/r02 whose
-    #            coverage the local gate (tools/oracle_check.py) keeps.
+    # the first 50 entries in dict order.  Round-4 ordering:
+    #   tier 1 — the 17 queries that have NEVER had a driver hash check:
+    #            the production SciPy-tier legs, all of which gained full
+    #            recursive-CTE / DFT-replay oracles this round
+    #            (oracle_prod.py), plus the new FFT-convolution anchor;
+    #   tier 2 — bit-exact kernel anchors + training tier (hash-green in
+    #            r03; re-checked while slots remain);
+    #   tier 3 — §2-critical relational backfill (green r02+r03) to
+    #            exactly fill the 50-slot window;
+    #   below the cap — queries hash-green in r01-r03 whose coverage the
+    #            local gate (tools/oracle_check.py) keeps every round.
     return {
-        # -- tier 1: bit-exact kernel anchors + training tier -------------
+        # -- tier 1: production legs, first driver hash check -------------
+        "filt_iir_fft_exact": q_filt_iir_fft_exact,
+        "filt_butter": q_filt_butter,
+        "filt_cfc": q_filt_cfc,
+        "filt_a": q_filt_a,
+        "filt_chain": q_filt_chain,
+        "filt_chunked": q_filt_chunked,
+        "srs": q_srs,
+        "psd_welch": q_psd_welch,
+        "psd_damage": q_psd_damage,
+        "psd_rms": q_psd_rms,
+        "psd_median": q_psd_median,
+        "psd_maxrms": q_psd_maxrms,
+        "psd_all": q_psd_all,
+        "psd_segmented": q_psd_segmented,
+        "interp_cubic": q_interp_cubic,
+        "interp_quadratic": q_interp_quadratic,
+        "accessor_chain": q_accessor_chain,
+        # -- tier 2: anchors + training tier (r03-green re-checks) --------
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
         "filt_iir_exact": q_filt_iir_exact,
-        "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filtfilt_exact": q_filtfilt_exact,
         "srs_exact": q_srs_exact,
         "interp_cubic_exact": q_interp_cubic_exact,
@@ -4006,19 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "tfidf_topk": q_tfidf_topk,
         "ann_int8": q_ann_int8,
-        # -- tier 2: rows-only production kernels (§2.8) ------------------
-        "filt_butter": q_filt_butter,
-        "filt_cfc": q_filt_cfc,
-        "filt_a": q_filt_a,
-        "filt_chain": q_filt_chain,
-        "psd_welch": q_psd_welch,
-        "psd_damage": q_psd_damage,
-        "psd_rms": q_psd_rms,
-        "srs": q_srs,
-        "interp_cubic": q_interp_cubic,
-        # -- tier 3: round-3 queries --------------------------------------
-        "accessor_chain": q_accessor_chain,
-        # -- tier 4: §2-critical relational backfill ----------------------
+        # -- tier 3: §2-critical relational backfill (r02+r03 green) ------
         "between": q_between,
         "between_freq": q_between_freq,
         "timeshift": q_timeshift,
@@ -4036,15 +4047,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rms_lin": q_rms_lin,
         "rms_log": q_rms_log,
         "interp_daily": q_interp_daily,
+        # interp_nearest is the TRUE 50th entry (inside the checked window)
         "interp_nearest": q_interp_nearest,
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        # (all hash-green in r01-r03; the local gate keeps their coverage)
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "tpch_pricing": q_tpch_pricing,
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
         "tpch_revenue_join": q_tpch_revenue_join,
-        # ---- driver cap (position 50) is here ---------------------------
-        # driver-green in r02; hash coverage maintained by the local gate
         "tpch_local_supplier": q_tpch_local_supplier,
         "tpch_order_priority": q_tpch_order_priority,
         "interp_log": q_interp_log,
@@ -4070,13 +4082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
-        # rows-only variants subsumed by hash-anchored twins
-        "psd_median": q_psd_median,
-        "psd_maxrms": q_psd_maxrms,
-        "psd_all": q_psd_all,
-        "psd_segmented": q_psd_segmented,
-        "filt_chunked": q_filt_chunked,
-        "interp_quadratic": q_interp_quadratic,
     }
 
 
@@ -4163,6 +4168,8 @@ def oracle_sql() -> dict[str, str]:
         "psd_segmented": _oracle_prod.sql_psd_segmented(),
         "psd_rms": _oracle_prod.sql_psd_rms(),
         "interp_cubic": _oracle_prod.sql_interp_cubic(),
+        "interp_quadratic": _oracle_prod.sql_interp_quadratic(),
+        "accessor_chain": _oracle_prod.sql_accessor_chain(),
         "filtfilt_exact": _sql_filtfilt_exact(),
         "srs_exact": _sql_srs_exact(),
         "interp_cubic_exact": _sql_interp_cubic_exact(),

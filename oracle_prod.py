@@ -555,6 +555,200 @@ JOIN mall km ON km.channel_id = e.channel_id AND km.ki = e.li + 1
 """
 
 
+def sql_accessor_chain() -> str:
+    """q_accessor_chain replay: between(0,1) -> filtfilt(butter(2, 1/3))
+    -> detrend(linear) -> causal A-weighting -> mov_rms(24 samples,
+    drop-last, re-centered time base) — the fused KernelPipeline
+    (pipeline/fused.py) replayed stage for stage.  The filter recursions
+    are bit-exact; the detrend means and the rolling mean-of-squares are
+    reductions (numpy pairwise / longdouble-cumsum vs SQL AVG), so the
+    output VALUE is rounded to 6 digits on both sides (divergence ~1e-13
+    against a ~1e-10 measured boundary margin); the time base is exact.
+    """
+    b1, a1 = butter_chain_ba()
+    b2, a2 = aw_prod_ba()
+    half_win = dlit(0.0005 / 2.0)
+    return f"""
+WITH RECURSIVE {SIG_CTE},
+{IDX_CTES},
+ibx AS MATERIALIZED (
+  SELECT channel_id, ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t) AS i,
+         t, x
+  FROM idx WHERE t BETWEEN 0.0 AND 1.0
+),
+ibn AS MATERIALIZED (SELECT channel_id, MAX(i) AS n FROM ibx GROUP BY channel_id),
+{filtfilt_ctes("c1", b1, a1, "ibx", "ibn")},
+c1t AS MATERIALIZED (
+  SELECT o.channel_id, o.i, x.t, o.y
+  FROM c1out o JOIN ibx x ON x.channel_id = o.channel_id AND x.i = o.i
+),
+dstat AS (
+  SELECT channel_id, AVG(t) AS mt, AVG(y) AS my FROM c1t GROUP BY channel_id
+),
+dcent AS (
+  SELECT c.channel_id, c.i, c.t, c.t - s.mt AS tc, c.y - s.my AS yc
+  FROM c1t c JOIN dstat s USING (channel_id)
+),
+dden AS (
+  SELECT channel_id, AVG(tc * tc) AS denom, AVG(tc * yc) AS cov
+  FROM dcent GROUP BY channel_id
+),
+det AS MATERIALIZED (
+  SELECT d.channel_id, d.i, d.t,
+         d.yc - (CASE WHEN n.denom > 0.0 THEN n.cov / n.denom ELSE 0.0 END)
+                * d.tc AS x
+  FROM dcent d JOIN dden n USING (channel_id)
+),
+{lfilter_ctes("c2", b2, a2, "det")},
+mv AS (
+  SELECT o.channel_id, o.i, d.t,
+         SUM(o.y * o.y) OVER (PARTITION BY o.channel_id ORDER BY o.i
+                              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS ss
+  FROM c2out o JOIN det d ON d.channel_id = o.channel_id AND d.i = o.i
+)
+SELECT m.channel_id, m.t - {half_win} AS t,
+       ROUND(SQRT(GREATEST(m.ss / 24.0, 0.0)), 6) AS value
+FROM mv m JOIN ibn c USING (channel_id)
+WHERE m.i >= 24 AND m.i < c.n
+"""
+
+
+def _quad_basis_sql(u: str) -> dict[str, str]:
+    """The three degree-2 B-spline basis values at ``u`` given joined knot
+    vector values tm_1/tm/tm1/tm2 (kernels/interp._quad_basis, identical
+    association, with the same den>0 guards)."""
+
+    def frac(num, den):
+        return f"(CASE WHEN {den} > 0 THEN ({num}) / ({den}) ELSE 0.0 END)"
+
+    n1l = frac(f"tm1 - {u}", "tm1 - tm")
+    n1r = frac(f"{u} - tm", "tm1 - tm")
+    return {
+        "b0": f"{frac(f'tm1 - {u}', 'tm1 - tm_1')} * {n1l}",
+        "b1": f"{frac(f'{u} - tm_1', 'tm1 - tm_1')} * {n1l}"
+              f" + {frac(f'tm2 - {u}', 'tm2 - tm')} * {n1r}",
+        "b2": f"{frac(f'{u} - tm', 'tm2 - tm')} * {n1r}",
+    }
+
+
+def sql_interp_quadratic() -> str:
+    """q_interp_quadratic replay: interpolating quadratic B-spline on
+    clamped midpoint knots (kernels/interp._quadratic_eval — collocation
+    band from the de Boor basis at the data sites, cyclic-reduction
+    solve, basis evaluation at the day-grid targets).  BIT-EXACT: every
+    step is elementwise arithmetic replayed with identical association;
+    the searchsorted spans reduce to counting midpoints <= the site
+    (midpoints are strictly interior for these channels).
+    """
+    bas_d = _quad_basis_sql("u")
+    bas_e = _quad_basis_sql("tg")
+    return f"""
+WITH {SIG_CTE},
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+kn AS MATERIALIZED (
+  SELECT channel_id, t AS x, value AS y,
+         ROW_NUMBER() OVER (PARTITION BY channel_id ORDER BY t) AS i,
+         COUNT(*) OVER (PARTITION BY channel_id) AS n
+  FROM dedup
+),
+-- knot vector kv(kidx 0-based 0..n+2): [x1 x1 x1, m2..m_{{n-2}}, xn xn xn]
+-- with m_j = 0.5 * (x_j + x_{{j+1}})
+mids AS (
+  SELECT channel_id, i AS j, 0.5 * (x + LEAD(x) OVER w) AS mval, n
+  FROM kn WINDOW w AS (PARTITION BY channel_id ORDER BY i)
+  QUALIFY i BETWEEN 2 AND n - 2
+),
+kv AS MATERIALIZED (
+  SELECT k.channel_id, g.kidx,
+         CASE WHEN g.kidx <= 2 THEN k.x1
+              WHEN g.kidx >= k.n THEN k.xn
+              ELSE NULL END AS tv
+  FROM (SELECT channel_id, n,
+               MAX(CASE WHEN i = 1 THEN x END) AS x1,
+               MAX(CASE WHEN i = n THEN x END) AS xn
+        FROM kn GROUP BY channel_id, n) k
+  JOIN LATERAL (SELECT UNNEST(RANGE(0, k.n + 3)) AS kidx) g ON true
+  WHERE g.kidx <= 2 OR g.kidx >= k.n
+  UNION ALL
+  SELECT channel_id, j + 1 AS kidx, mval FROM mids
+),
+-- collocation rows: span_i = 2 (i=1), i (2<=i<=n-1), n-1 (i=n)
+dsp AS (
+  SELECT channel_id, i, n, x AS u, y,
+         CASE WHEN i = 1 THEN 2
+              WHEN i = n THEN n - 1
+              ELSE i END AS span
+  FROM kn
+),
+dbas AS (
+  SELECT d.channel_id, d.i, d.n, d.y,
+         {bas_d['b0']} AS b0v,
+         {bas_d['b1']} AS b1v,
+         {bas_d['b2']} AS b2v
+  FROM (
+    SELECT d.*, km1.tv AS tm_1, k0.tv AS tm, k1.tv AS tm1, k2.tv AS tm2
+    FROM dsp d
+    JOIN kv km1 ON km1.channel_id = d.channel_id AND km1.kidx = d.span - 1
+    JOIN kv k0  ON k0.channel_id = d.channel_id AND k0.kidx = d.span
+    JOIN kv k1  ON k1.channel_id = d.channel_id AND k1.kidx = d.span + 1
+    JOIN kv k2  ON k2.channel_id = d.channel_id AND k2.kidx = d.span + 2
+  ) d
+),
+qband AS MATERIALIZED (
+  SELECT channel_id, i - 1 AS pos,
+         CASE WHEN i = 1 THEN 0.0
+              WHEN i = n THEN b1v
+              ELSE b0v END AS a,
+         CASE WHEN i = 1 THEN b0v
+              WHEN i = n THEN b2v
+              ELSE b1v END AS b,
+         CASE WHEN i = 1 THEN b1v
+              WHEN i = n THEN 0.0
+              ELSE b2v END AS c,
+         y AS r,
+         n AS sz
+  FROM dbas WHERE n >= 3
+),
+{cyclic_reduction_ctes("p", "qband")},
+dgrid AS (
+  SELECT channel_id,
+         UNNEST(RANGE(CAST(CEIL(t0 / {DAY!r}) AS BIGINT),
+                      CAST(FLOOR(t1 / {DAY!r}) AS BIGINT) + 1)) * {DAY!r} AS tg
+  FROM (SELECT channel_id, MIN(t) AS t0, MAX(t) AS t1 FROM dedup GROUP BY channel_id)
+),
+-- span2 = clip(#(t <= u) - 1, 2, n_basis - 1): 3 leading clamps + count
+-- of midpoints <= target (+3 trailing clamps when target == xn)
+tspan AS (
+  SELECT g.channel_id, g.tg,
+         LEAST(GREATEST(CAST(2 + COUNT(m.mval)
+                 + (CASE WHEN g.tg >= k.xn THEN 3 ELSE 0 END) AS BIGINT),
+               2), k.n - 1) AS span,
+         k.n
+  FROM dgrid g
+  JOIN (SELECT channel_id, n, MAX(CASE WHEN i = n THEN x END) AS xn
+        FROM kn GROUP BY channel_id, n) k USING (channel_id)
+  LEFT JOIN mids m ON m.channel_id = g.channel_id AND m.mval <= g.tg
+  GROUP BY g.channel_id, g.tg, k.n, k.xn
+)
+SELECT e.channel_id, e.tg AS t,
+       (c0.xs * ({bas_e['b0']}) + c1.xs * ({bas_e['b1']}))
+         + c2.xs * ({bas_e['b2']}) AS value
+FROM (
+  SELECT s.*, km1.tv AS tm_1, k0.tv AS tm, k1.tv AS tm1, k2.tv AS tm2
+  FROM tspan s
+  JOIN kv km1 ON km1.channel_id = s.channel_id AND km1.kidx = s.span - 1
+  JOIN kv k0  ON k0.channel_id = s.channel_id AND k0.kidx = s.span
+  JOIN kv k1  ON k1.channel_id = s.channel_id AND k1.kidx = s.span + 1
+  JOIN kv k2  ON k2.channel_id = s.channel_id AND k2.kidx = s.span + 2
+) e
+JOIN psol0 c0 ON c0.channel_id = e.channel_id AND c0.pos = e.span - 2
+JOIN psol0 c1 ON c1.channel_id = e.channel_id AND c1.pos = e.span - 1
+JOIN psol0 c2 ON c2.channel_id = e.channel_id AND c2.pos = e.span
+"""
+
+
 # ---------------------------------------------------------------------------
 # PSD family: relational Welch with an O(N^2) DFT standing in for the
 # kernel's rfft.  The two transforms agree to ~1e-7 absolute on this data

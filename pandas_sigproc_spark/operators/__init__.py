@@ -53,7 +53,11 @@ from pandas_sigproc_spark.operators.srs import get_srs
 from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
-from pandas_sigproc_spark.operators.dedup import jaccard_pairs, jaccard_ppjoin
+from pandas_sigproc_spark.operators.dedup import (
+    jaccard_near_dupes,
+    jaccard_pairs,
+    jaccard_ppjoin,
+)
 from pandas_sigproc_spark.operators.packing import pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
 
@@ -88,6 +92,7 @@ __all__ = [
     "rainflow_chunked",
     "interp1d_spline",
     "connected_components",
+    "jaccard_near_dupes",
     "jaccard_pairs",
     "jaccard_ppjoin",
     "pack_sequences",

@@ -254,3 +254,29 @@ def jaccard_ppjoin(
         .filter(F.col("jaccard") >= threshold)
     )
     return v.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def jaccard_near_dupes(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    plan: str = "auto",
+    **kwargs,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — the DEFAULT entry point.
+
+    ``plan='auto'`` (and ``'ppjoin'``) runs the prefix-filtered PPJoin
+    plan: its candidate ``distinct`` replaces ``jaccard_pairs``'s (d1, d2)
+    pair aggregation, which is O(df^2) per shingle and becomes the
+    bottleneck the moment any shingle is common (measured 50% slower at
+    sf0.1 already; unusable at corpus scale).  Both plans return
+    bit-identical results (verification is an exact string-array
+    intersection), so 'auto' is always the scale-safe choice;
+    ``plan='pairs'`` keeps the two-shuffle small-corpus plan for tiny
+    inputs where PPJoin's extra stages dominate.
+    """
+    if plan in ("auto", "ppjoin"):
+        return jaccard_ppjoin(docs, threshold, **kwargs)
+    if plan == "pairs":
+        return jaccard_pairs(docs, threshold, **kwargs)
+    raise ValueError(f"unknown jaccard plan {plan!r}")
