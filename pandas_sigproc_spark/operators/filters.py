@@ -121,12 +121,26 @@ def _apply_filter(
     )
 
 
+def _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate):
+    """Resolve the ``"auto"`` scale mode (SURVEY.md §7.3.1) from channel
+    statistics — the 100 TB plan is the DEFAULT, not opt-in: huge
+    channels chunk (overlap-save), small-channel fleets bucket, explicit
+    kwargs always win (planner.py)."""
+    if n_buckets == "auto" and chunk_rows is None:
+        from pandas_sigproc_spark import planner
+
+        return planner.auto_filter_mode(df, samplerate)
+    if n_buckets == "auto":
+        return None, chunk_rows
+    return n_buckets, chunk_rows
+
+
 def filt_butter(
     df: DataFrame,
     cutoff,
     order: int,
     btype: str,
-    n_buckets: int | None = None,
+    n_buckets: int | None | str = "auto",
     chunk_rows: int | None = None,
     samplerate: float | None = None,
     overlap_rows: int | None = None,
@@ -146,6 +160,7 @@ def filt_butter(
         wn = np.asarray(cutoff, dtype=np.float64) / nyq
         return _design.butter(order_used, wn, btype)
 
+    n_buckets, chunk_rows = _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate)
     if chunk_rows is not None:
         b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
         return filt_chunked(df, b, a, True, chunk_rows, overlap_rows)
@@ -155,7 +170,7 @@ def filt_butter(
 def filt_cfc(
     df: DataFrame,
     cfc: float,
-    n_buckets: int | None = None,
+    n_buckets: int | None | str = "auto",
     chunk_rows: int | None = None,
     samplerate: float | None = None,
     overlap_rows: int | None = None,
@@ -166,6 +181,7 @@ def filt_cfc(
     def make_ba(sr: float):
         return _design.cfc_coefficients(cfc, sr)
 
+    n_buckets, chunk_rows = _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate)
     if chunk_rows is not None:
         b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
         return filt_chunked(df, b, a, True, chunk_rows, overlap_rows)
@@ -174,7 +190,7 @@ def filt_cfc(
 
 def filt_a(
     df: DataFrame,
-    n_buckets: int | None = None,
+    n_buckets: int | None | str = "auto",
     chunk_rows: int | None = None,
     samplerate: float | None = None,
     overlap_rows: int | None = None,
@@ -187,6 +203,7 @@ def filt_a(
     def make_ba(sr: float):
         return _design.a_weighting(sr)
 
+    n_buckets, chunk_rows = _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate)
     if chunk_rows is not None:
         b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
         return filt_chunked(df, b, a, False, chunk_rows, overlap_rows)

@@ -41,19 +41,31 @@ def get_psd(
     fatigue_exponent: float = 4.0,
     detrend="constant",
     samplerate: float | None = None,
-    segmented: bool = False,
+    segmented: bool | str = "auto",
     tiebreak_col: str | None = None,
-    n_buckets: int | None = None,
+    n_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Per-channel PSD -> spectra(channel_id, freq, power).
 
     ``summarize='all'`` returns (channel_id, seg, freq, power).
     ``samplerate=None`` infers per group from the time base.
-    Execution modes by channel size (SURVEY.md §7.3.1): default one Arrow
-    group per channel; ``n_buckets=K`` batches many small channels per
-    task with one stacked FFT; ``segmented=True`` splits one huge channel
-    across tasks (relational segment ids + per-segment FFT).
+    Execution modes by channel size (SURVEY.md §7.3.1): ``n_buckets=K``
+    batches many small channels per task with one stacked FFT;
+    ``segmented=True`` splits one huge channel across tasks (relational
+    segment ids + per-segment FFT); per-channel otherwise.  Both default
+    to ``"auto"``: the mode is picked from per-channel row statistics
+    (planner.py) so the 100 TB plan needs no kwargs; explicit values win.
     """
+    if segmented == "auto" or n_buckets == "auto":
+        from pandas_sigproc_spark import planner
+
+        auto_nb, auto_seg = planner.auto_psd_mode(df, samplerate, window_length)
+        if segmented == "auto":
+            # Respect an explicit bucket request; only auto-segment when
+            # bucketing was left to the planner too.
+            segmented = auto_seg if n_buckets in ("auto", None) else False
+        if n_buckets == "auto":
+            n_buckets = None if segmented else auto_nb
     if window_length is None or not segmented:
         if n_buckets is not None and summarize != "all":
             return _bucketed_psd(

@@ -30,8 +30,8 @@ def get_srs(
     freq: np.ndarray | None = None,
     quality_factor: float = 50.0,
     remove_bias: bool = False,
-    n_freq_slices: int = 1,
-    n_buckets: int | None = None,
+    n_freq_slices: int | str = "auto",
+    n_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Maximax SRS envelope -> spectra(channel_id, freq, power).
 
@@ -46,12 +46,22 @@ def get_srs(
     ``n_buckets = K`` instead hashes channels into K buckets and runs the
     recursion vectorized across every (channel, frequency) pair in the
     bucket at once (many short channels) — the two axes of the same
-    fan-out trade-off.
+    fan-out trade-off.  Both default to ``"auto"``: the planner picks the
+    axis from per-channel row statistics (planner.py); explicit values
+    win.
     """
     if remove_bias:
         from pandas_sigproc_spark.operators.windows import detrend
 
         df = detrend(df.select("channel_id", "t", "value"), "constant")
+    if n_buckets == "auto" or n_freq_slices == "auto":
+        from pandas_sigproc_spark import planner
+
+        auto_nb, auto_slices = planner.auto_srs_mode(df)
+        if n_buckets == "auto":
+            n_buckets = auto_nb if n_freq_slices in ("auto", 1) else None
+        if n_freq_slices == "auto":
+            n_freq_slices = auto_slices if n_buckets is None else 1
     if n_buckets is not None:
         return _get_srs_bucketed(df, freq, quality_factor, n_buckets)
     fn = build_freq_array() if freq is None else np.asarray(freq, np.float64)

@@ -21,8 +21,15 @@ def _collect(df):
 
 
 def test_fused_equals_chained(spark):
+    # n_buckets=None on the standalone side matches apply()'s per-channel
+    # default: same kernels in the same order -> bit-identical.  (These
+    # 4000-sample channels take the FFT path, where the bucketed BATCH
+    # kernels are rtol-close but not bit-equal — the auto default is
+    # compared separately below.)
     sig = _mk(spark)
-    chained = filt_cfc(filt_butter(sig, 600.0, 4, "lowpass"), 180.0)
+    chained = filt_cfc(
+        filt_butter(sig, 600.0, 4, "lowpass", n_buckets=None), 180.0, n_buckets=None
+    )
     fused = (
         KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_cfc(180.0).apply(sig)
     )
@@ -33,10 +40,25 @@ def test_fused_equals_chained(spark):
         assert va == vb  # same kernels in the same order: bit-identical
 
 
+def test_auto_mode_close_on_fft_path(spark):
+    # Long channels: auto picks the bucketed batch kernels, which take
+    # the FFT path — pinned to the per-channel result at 1e-9 (the same
+    # tolerance the batch kernels document).
+    sig = _mk(spark)
+    auto = _collect(filt_butter(sig, 600.0, 4, "lowpass"))
+    per = _collect(filt_butter(sig, 600.0, 4, "lowpass", n_buckets=None))
+    assert len(auto) == len(per) > 0
+    for (ca, ta, va), (cb, tb, vb) in zip(auto, per):
+        assert (ca, ta) == (cb, tb)
+        assert abs(va - vb) <= 1e-9 * max(1.0, abs(vb))
+
+
 def test_fused_single_python_stage(spark):
     sig = _mk(spark)
     fused = KernelPipeline().filt_butter(600.0, 4, "lowpass").filt_cfc(180.0).apply(sig)
-    chained = filt_cfc(filt_butter(sig, 600.0, 4, "lowpass"), 180.0)
+    chained = filt_cfc(
+        filt_butter(sig, 600.0, 4, "lowpass", n_buckets=None), 180.0, n_buckets=None
+    )
     plan_f = fused._jdf.queryExecution().executedPlan().toString()
     plan_c = chained._jdf.queryExecution().executedPlan().toString()
     assert plan_f.count("FlatMapGroupsInPandas") == 1
