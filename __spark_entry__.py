@@ -2492,6 +2492,87 @@ FROM sig GROUP BY channel_id
 """
 
 
+def q_media_image_real(spark, sf_dir):
+    """Real-codec IMAGE path through the driver gate (the BMP sibling of
+    q_media_audio_real): every channel's samples are quantized to gray
+    pixel bytes, ENCODED as a 16-wide 24-bit BMP (sources/bmp.py),
+    shipped as a binary media column, DECODED back by
+    extract_media_features(codec='real'), and pixel-verified by summing
+    the decoded red channel.  The oracle predicts the decoded dimensions
+    from the BMP layout rules (54-byte headers, 48-byte padded rows) and
+    the pixel sum from the quantization arithmetic — so the header
+    round-trip AND the pixel payload are both independently checked.
+    """
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.multimodal import extract_media_features
+    from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, encode_bmp
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        h = (len(b) + 15) // 16
+        flat = np.zeros(h * 16, dtype=np.uint8)
+        flat[: len(b)] = b
+        px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "kind": ["image"],
+                "payload": [encode_bmp(px)],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, kind string, payload binary"
+    )
+    feats = extract_media_features(media, codec="real")
+
+    def pix(batches):
+        import numpy as np  # noqa: F401
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "pixel_sum": [
+                        int(decode_bmp_bytes(bytes(p))[:, :, 0].sum(dtype="int64"))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
+    return (
+        feats.join(sums, "media_id")
+        .select("media_id", "width", "height", "n_frames", "n_bytes", "pixel_sum")
+    )
+
+
+SQL_MEDIA_IMAGE_REAL = f"""
+WITH {_SIG_CTE},
+b AS (
+  SELECT channel_id, CAST(TRUNC(value * 10.0) AS BIGINT) % 256 AS pb FROM sig
+),
+agg AS (SELECT channel_id, COUNT(*) AS n, SUM(pb) AS psum FROM b GROUP BY channel_id)
+SELECT CAST(channel_id AS BIGINT) AS media_id,
+       16 AS width,
+       CAST((n + 15) // 16 AS INTEGER) AS height,
+       1 AS n_frames,
+       -- 14-byte file header + 40-byte info header + rows of 16px * 3B
+       -- (48 is already 4-byte aligned, so no padding)
+       CAST(54 + ((n + 15) // 16) * 48 AS BIGINT) AS n_bytes,
+       CAST(psum AS BIGINT) AS pixel_sum
+FROM agg
+"""
+
+
 # Angular step for the relational DFT below: repr-round-tripped so the SQL
 # literal and the Python float are the same double in both engines.
 _DFT_N = 64
@@ -4079,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_audio_real": q_media_audio_real,
+        "media_image_real": q_media_image_real,
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
@@ -4134,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": SQL_ANN_IVF,
         "media_features": SQL_MEDIA_FEATURES,
         "media_audio_real": SQL_MEDIA_AUDIO_REAL,
+        "media_image_real": SQL_MEDIA_IMAGE_REAL,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ngram_counts": SQL_NGRAM_COUNTS,
         "decontaminate": SQL_DECONTAMINATE,

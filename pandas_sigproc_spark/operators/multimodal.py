@@ -7,16 +7,18 @@ large-scale training-data pipeline handles media at 100 TB: the bytes
 stay columnar end to end, decode happens vectorized per Arrow batch
 inside executors, and the output schema is fixed so Catalyst can prune.
 
-The actual codecs (PIL/libjpeg, ffmpeg, soundfile) are NOT available in
-this environment, so the decode step is isolated behind
-:func:`decode_payload`:
+The decode step is isolated behind :func:`decode_payload`:
 
-- ``codec='real'`` raises ``NotImplementedError`` — the marked seam where
-  a real decoder plugs in;
-- ``codec='fake'`` (default for tests) derives deterministic pseudo
-  metadata and pixel statistics from the raw bytes, so every piece of
-  Spark-side plumbing — schema, batch iteration, partitioning, UDF
-  signatures — is exercised for real and pinned by golden tests.
+- ``codec='real'`` runs the engine's from-scratch codecs on real bytes:
+  RIFF/WAVE audio (sources/wav.py), 24-bit BMP images and the BMPV frame
+  container for video (sources/bmp.py) — decode, nearest-neighbour
+  resize, and frame sampling all operate on real pixels.  Other
+  container formats (JPEG/PNG/MP4) would plug in at the same seam (the
+  libraries aren't in this environment).
+- ``codec='fake'`` (plumbing tests) derives deterministic pseudo
+  metadata and pixel statistics from the raw bytes, so the Spark-side
+  plumbing — schema, batch iteration, partitioning, UDF signatures — is
+  exercised even for payloads that aren't decodable media.
 
 Media model::
 
@@ -61,10 +63,22 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
 
             _rate, arr = decode_wav_bytes(bytes(payload))
             return arr.shape[0], arr.shape[1], 1
+        if kind == "image":
+            from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
+
+            px = decode_bmp_bytes(bytes(payload))
+            return px.shape[1], px.shape[0], 1
+        if kind == "video":
+            from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, decode_bmpv
+
+            frames = decode_bmpv(bytes(payload))
+            px = decode_bmp_bytes(frames[0]) if frames else np.zeros((0, 0, 3))
+            return px.shape[1], px.shape[0], len(frames)
         raise NotImplementedError(
-            "no image/video codecs in this environment: plug PIL/ffmpeg in "
-            "here; everything around this call is production plumbing "
-            "(audio already decodes for real via sources/wav.py)"
+            f"no real codec for media kind {kind!r}: audio decodes RIFF/WAVE "
+            "(sources/wav.py), image decodes 24-bit BMP and video the BMPV "
+            "frame container (sources/bmp.py); other container formats "
+            "(JPEG/PNG/MP4) plug in here"
         )
     n = len(payload)
     if kind == "image":
@@ -129,12 +143,13 @@ RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -> DataFrame:
-    """Resize stub: real plumbing, fake resample.
+    """Resize to (width, height), binary in -> binary out.
 
-    The fake 'resize' tiles/truncates the byte buffer to width*height so
-    output size is exact and deterministic; a real implementation swaps
-    the inner loop for PIL.  Output stays binary so downstream stages
-    keep the same media model.
+    ``codec='real'``: decode 24-bit BMP, nearest-neighbour resample
+    (sources/bmp.py — a real resize over real pixels), re-encode BMP.
+    ``codec='fake'``: tile/truncate the raw byte buffer to width*height —
+    the plumbing-only path for payloads that aren't images at all.
+    Output stays binary so downstream stages keep the same media model.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,7 +158,16 @@ def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if codec == "real":
-                    raise NotImplementedError("plug a real image resampler here")
+                    from pandas_sigproc_spark.sources.bmp import (
+                        decode_bmp_bytes,
+                        encode_bmp,
+                        resize_nearest,
+                    )
+
+                    px = decode_bmp_bytes(bytes(payload))
+                    out_b = encode_bmp(resize_nearest(px, width, height))
+                    rows.append((int(media_id), width, height, out_b))
+                    continue
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 out = np.resize(buf, n_out) if buf.size else np.zeros(n_out, np.uint8)
                 rows.append((int(media_id), width, height, out.tobytes()))
@@ -174,7 +198,12 @@ def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> Data
                 if kind != "video":
                     continue
                 if codec == "real":
-                    raise NotImplementedError("plug ffmpeg frame extraction here")
+                    from pandas_sigproc_spark.sources.bmp import decode_bmpv
+
+                    frames = decode_bmpv(bytes(payload))
+                    for i in range(0, len(frames), every_n):
+                        rows.append((int(media_id), int(i), frames[i]))
+                    continue
                 w, h, nf = decode_payload(bytes(payload), kind, codec=codec)
                 frame_bytes = max(1, len(payload) // max(nf, 1))
                 for i in range(0, nf, every_n):

@@ -98,18 +98,15 @@ def test_sample_frames_video_only_fanout(media):
             assert bytes(r["frame"]) == src[mid][start : start + fb]
 
 
-def test_real_codec_is_explicit_stub_for_images(media):
-    # image/video remain the marked PIL/ffmpeg seam. Restrict to image rows:
-    # with parallel tasks, whichever partition fails first surfaces its
-    # exception, and the fixture's fake audio payloads raise a different
-    # error under codec='real' (not RIFF bytes).
+def test_real_codec_rejects_non_bmp_image_bytes(media):
+    # codec='real' images now decode 24-bit BMP for real (sources/bmp.py);
+    # the fixture's payloads are raw text bytes, which must be rejected
+    # loudly (missing 'BM' magic), never silently faked.
     with pytest.raises(Exception) as ei:
         extract_media_features(
             media.filter("kind = 'image'"), codec="real"
         ).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    assert "BMP" in str(ei.value) or "ValueError" in str(ei.value)
 
 
 def test_real_codec_decodes_wav_audio_end_to_end(spark):
