@@ -124,8 +124,30 @@ _LFILTER_OUT_SCHEMA = StructType(
 _LFILTER_STATE_SCHEMA = StructType([StructField("zi", ArrayType(DoubleType()))])
 
 
+def _check_batch_bound(n_rows: int, max_batch_rows: int | None, op: str) -> None:
+    """Enforce the documented per-(channel, micro-batch) memory contract.
+
+    The stateful ops concat-and-sort one channel's micro-batch in task
+    memory; the SIZE of that batch is controlled upstream (trigger
+    interval, maxFilesPerTrigger / maxOffsetsPerTrigger).  When the
+    caller declares the bound they sized those knobs for, exceeding it
+    fails LOUDLY with the tuning guidance instead of silently ballooning
+    an executor toward OOM.
+    """
+    if max_batch_rows is not None and n_rows > max_batch_rows:
+        raise ValueError(
+            f"{op}: one channel received {n_rows} rows in a single "
+            f"micro-batch, above the declared max_batch_rows="
+            f"{max_batch_rows}. Bound the batch upstream — shorten the "
+            "processing-time trigger, or set maxFilesPerTrigger / "
+            "maxBytesPerTrigger (file sources) / maxOffsetsPerTrigger "
+            "(Kafka/rate) — so rate x interval stays under the bound."
+        )
+
+
 def streaming_lfilter(
-    df: DataFrame, b, a, order_cols: tuple[str, ...] = ("t",)
+    df: DataFrame, b, a, order_cols: tuple[str, ...] = ("t",),
+    max_batch_rows: int | None = None,
 ) -> DataFrame:
     """Causal IIR filter over a stream: per-channel delay-line state.
 
@@ -150,6 +172,10 @@ def streaming_lfilter(
     ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``; rate/Kafka →
     ``maxOffsetsPerTrigger``; or a processing-time trigger short enough
     that rate × interval × 16 B/row fits comfortably per task.
+    ``max_batch_rows`` turns that contract into an ENFORCED guard: a
+    micro-batch delivering more rows than declared for one channel fails
+    loudly with the tuning guidance instead of creeping toward task OOM
+    (tests/test_streaming.py::test_oversized_batch_guard).
     """
     from pandas_sigproc_spark.kernels.iir import lfilter
 
@@ -172,6 +198,7 @@ def streaming_lfilter(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 list(order_cols), kind="mergesort"
             )
+            _check_batch_bound(len(pdf), max_batch_rows, "streaming_lfilter")
             y, zi = lfilter(b, a, pdf["value"].to_numpy(np.float64), zi=zi)
             state.update((zi.tolist(),))
             yield pd.DataFrame(
@@ -318,7 +345,8 @@ _RAINFLOW_STATE_SCHEMA = StructType(
 
 
 def streaming_rainflow(
-    df: DataFrame, order_cols: tuple[str, ...] = ("t",)
+    df: DataFrame, order_cols: tuple[str, ...] = ("t",),
+    max_batch_rows: int | None = None,
 ) -> DataFrame:
     """Streaming fatigue monitoring: rainflow FULL-cycle counting with
     per-channel residue state across micro-batches.
@@ -345,7 +373,8 @@ def streaming_rainflow(
     Memory bound: like ``streaming_lfilter``, the concat-and-sort holds
     one micro-batch of one channel per task — bound the batch upstream
     (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` / trigger
-    interval) for high-rate channels.
+    interval) for high-rate channels; ``max_batch_rows`` enforces the
+    declared bound loudly (see ``_check_batch_bound``).
     """
     from pandas_sigproc_spark.kernels.rainflow import extract_full_cycles_4pt
 
@@ -364,6 +393,7 @@ def streaming_rainflow(
         chunks = [pdf for pdf in pdf_iter]
         pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(pdf):
+            _check_batch_bound(len(pdf), max_batch_rows, "streaming_rainflow")
             pdf = pdf.sort_values(oc, kind="mergesort")
             vals = np.concatenate(
                 [np.asarray(residue, np.float64), pdf["value"].to_numpy(np.float64)]

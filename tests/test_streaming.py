@@ -293,3 +293,33 @@ def test_streaming_rainflow_residue_closeout_matches_e1049(spark, stream_dir):
         closed[rng] = closed.get(rng, 0.0) + cnt
     want = dict(count_cycles(vals))
     assert closed == want
+
+
+def test_oversized_batch_guard(spark, stream_dir):
+    # The documented per-(channel, micro-batch) memory contract is
+    # ENFORCED when declared: each source file carries 100 rows/channel,
+    # so max_batch_rows=50 must fail the query loudly with the upstream
+    # tuning guidance, while a bound sized for the trigger passes.
+    root, _full = stream_dir
+    b, a = butter(2, 0.2, "lowpass")
+    stream = _read_stream(spark, root)
+    q = (
+        streaming_lfilter(stream, b, a, max_batch_rows=50)
+        .writeStream.format("memory")
+        .queryName("t_guard")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "max_batch_rows" in str(ei.value)
+    assert "maxFilesPerTrigger" in str(ei.value)
+
+    ok, _ = _run_stream(
+        spark,
+        streaming_lfilter(_read_stream(spark, root), b, a, max_batch_rows=1000),
+        "t_guard_ok",
+        "append",
+    )
+    assert ok.count() > 0
