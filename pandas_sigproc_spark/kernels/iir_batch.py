@@ -109,6 +109,99 @@ def lfilter_batch(b, a, X: np.ndarray) -> np.ndarray:
     return _fft_convolve_batch(F, h[: X.shape[-1]])
 
 
+def _pad_stack(arrays: list[np.ndarray]) -> np.ndarray:
+    n = max(len(a) for a in arrays)
+    X = np.zeros((len(arrays), n))
+    for i, a in enumerate(arrays):
+        X[i, : len(a)] = a
+    return X
+
+
+def lfilter_batch_ragged(b, a, arrays: list[np.ndarray]) -> list[np.ndarray]:
+    """Causal filter for UNEQUAL-length channels in one call.
+
+    Short channels (the 1-D loop-path rule: len <= _LOOP_CUTOVER, or
+    order > 16) are right-zero-padded into ONE vectorized recursion —
+    rows never interact in the elementwise DF2T step, so each row's
+    valid prefix is bit-identical to filtering it alone, regardless of
+    which channels share the batch.  Long channels group by exact length
+    through the FFT batch path (nfft stays a function of the channel's
+    own length, never of its neighbours).  This is what lets the
+    bucketed operators group by samplerate alone instead of
+    (length, samplerate) — one batched kernel per bucket instead of one
+    per distinct length.
+    """
+    bn, an = _normalize_ba(b, a)
+    ntaps = max(len(bn), len(an))
+    out: list = [None] * len(arrays)
+    shorts = [
+        i for i, x in enumerate(arrays)
+        if len(x) <= _LOOP_CUTOVER or ntaps > 16
+    ]
+    if shorts:
+        X = _pad_stack([np.asarray(arrays[i], np.float64) for i in shorts])
+        Y = _lfilter_loop_batch(bn, an, X)
+        for r, i in enumerate(shorts):
+            out[i] = Y[r, : len(arrays[i])].copy()
+    by_len: dict[int, list[int]] = {}
+    for i, x in enumerate(arrays):
+        if out[i] is None:
+            by_len.setdefault(len(x), []).append(i)
+    for _n, idxs in by_len.items():
+        Y = lfilter_batch(b, a, np.stack([arrays[i] for i in idxs]))
+        for r, i in enumerate(idxs):
+            out[i] = Y[r]
+    return out
+
+
+def filtfilt_batch_ragged(b, a, arrays: list[np.ndarray]) -> list[np.ndarray]:
+    """Zero-phase filtering for UNEQUAL-length channels in one call —
+    same path rules and bit-exactness contract as lfilter_batch_ragged
+    (the short path replays iir.filtfilt's two seeded loop passes row
+    by row on a padded matrix)."""
+    bn, an = _normalize_ba(b, a)
+    ntaps = max(len(bn), len(an))
+    padlen = 3 * ntaps
+    out: list = [None] * len(arrays)
+    shorts = [
+        i for i, x in enumerate(arrays)
+        if len(x) + 2 * padlen <= _LOOP_CUTOVER or ntaps > 16
+    ]
+    if shorts:
+        zi = lfilter_zi(bn, an)
+        exts = []
+        for i in shorts:
+            x = np.asarray(arrays[i], np.float64)
+            if len(x) <= padlen:
+                raise ValueError(
+                    f"input length ({len(x)}) must exceed padlen ({padlen}) "
+                    "for filtfilt"
+                )
+            front = 2.0 * x[0] - x[padlen:0:-1]
+            back = 2.0 * x[-1] - x[-2: -padlen - 2: -1]
+            exts.append(np.concatenate([front, x, back]))
+        X = _pad_stack(exts)
+        Y, _ = _lfilter_loop_batch(bn, an, X, Zi=zi[None, :] * X[:, :1])
+        R = np.zeros_like(Y)
+        for r, e in enumerate(exts):
+            m = len(e)
+            R[r, :m] = Y[r, :m][::-1]
+        Y2, _ = _lfilter_loop_batch(bn, an, R, Zi=zi[None, :] * R[:, :1])
+        for r, i in enumerate(shorts):
+            m = len(exts[r])
+            yr = Y2[r, :m][::-1]
+            out[i] = yr[padlen: m - padlen].copy()
+    by_len: dict[int, list[int]] = {}
+    for i, x in enumerate(arrays):
+        if out[i] is None:
+            by_len.setdefault(len(x), []).append(i)
+    for _n, idxs in by_len.items():
+        Y = filtfilt_batch(b, a, np.stack([arrays[i] for i in idxs]))
+        for r, i in enumerate(idxs):
+            out[i] = Y[r]
+    return out
+
+
 def _unit_zir(b, a, zi_unit: np.ndarray, length: int) -> np.ndarray:
     """Zero-input response for initial state ``zi_unit`` over ``length``."""
     y, _ = _lfilter_loop(b, a, np.zeros(length), zi=zi_unit.copy())

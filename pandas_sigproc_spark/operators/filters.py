@@ -72,14 +72,21 @@ def _apply_filter(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["channel_id", "t"])
         pieces = []
-        # Batch channels of identical (length, samplerate): one matrix op.
+        # Batch channels per samplerate (one coefficient design each); the
+        # RAGGED batch kernels handle unequal lengths internally — short
+        # channels right-pad into one vectorized recursion (bit-identical
+        # per row to solo execution), long ones sub-group by exact length
+        # for the FFT path.  Grouping by (length, samplerate) here —
+        # round 3's scheme — fragmented buckets into per-length slivers
+        # whose Python-loop overhead dominated (BENCH r4: filt_butter
+        # 2.2x); one group per rate restores one kernel pass per bucket.
         groups: dict = {}
         for cid, grp in pdf.groupby("channel_id", sort=False):
             t = grp["t"].to_numpy(dtype=np.float64)
             y = grp["value"].to_numpy(dtype=np.float64)
             sr = _infer_sr(t)
-            groups.setdefault((len(t), round(sr, 9)), []).append((cid, t, y))
-        for (_n, sr), members in groups.items():
+            groups.setdefault(round(sr, 9), []).append((cid, t, y))
+        for sr, members in groups.items():
             b, a = make_ba(sr)
             if len(members) == 1:
                 cid, t, y = members[0]
@@ -90,15 +97,15 @@ def _apply_filter(
                     pd.DataFrame({"channel_id": cid, "t": t, "value": out})
                 )
                 continue
-            X = np.stack([y for _, _, y in members])
-            Y = (
-                _iirb.filtfilt_batch(b, a, X)
+            ys = [y for _, _, y in members]
+            outs = (
+                _iirb.filtfilt_batch_ragged(b, a, ys)
                 if zero_phase
-                else _iirb.lfilter_batch(b, a, X)
+                else _iirb.lfilter_batch_ragged(b, a, ys)
             )
-            for row, (cid, t, _y) in enumerate(members):
+            for (cid, t, _y), yout in zip(members, outs):
                 pieces.append(
-                    pd.DataFrame({"channel_id": cid, "t": t, "value": Y[row]})
+                    pd.DataFrame({"channel_id": cid, "t": t, "value": yout})
                 )
         return pd.concat(pieces, ignore_index=True)
 

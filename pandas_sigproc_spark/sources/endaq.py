@@ -25,12 +25,26 @@ except Exception:  # ImportError or transitive dep failures
     _endaq_ide = None
 
 
+def _builtin_channels(filename: str):
+    """Built-in EBML fallback (sources/mide.py): parses real EBML bytes
+    for recordings in the documented profile.  Returns None when the file
+    is not such a recording (then only the endaq package can read it)."""
+    from pandas_sigproc_spark.sources import mide
+
+    with open(filename, "rb") as fh:
+        buf = fh.read()
+    if not mide.is_recording(buf):
+        return None
+    return mide.read_recording_channels(buf, source=filename)
+
+
 def _require_endaq():
     if _endaq_ide is None:
         raise ImportError(
-            "the 'endaq' package is required for .ide ingest "
-            "(pip install endaq); the rest of the engine has no such "
-            "dependency"
+            "the 'endaq' package is required for full-fidelity .ide "
+            "ingest (pip install endaq); recordings in the engine's own "
+            "EBML profile (sources/mide.py) are read by the built-in "
+            "parser without it"
         )
 
 
@@ -45,6 +59,10 @@ def _subchannels(doc):
 def ide_channel_list(filename: str) -> list[str]:
     """Display names in one ``.ide`` file (reference ``Endaq.channel_list``,
     ``daq/io.py:175-184``)."""
+    if _endaq_ide is None:
+        chans = _builtin_channels(filename)
+        if chans is not None:
+            return [c.name for c in chans]
     _require_endaq()
     doc = _endaq_ide.get_doc(filename=filename)
     try:
@@ -77,6 +95,13 @@ def _sub_to_channel(filename: str, sub) -> Channel:
 def read_ide_channel(filename: str, ch_name: str) -> Channel:
     """Name lookup (reference ``Endaq.get_channel``, ``daq/io.py:211-239``):
     raises KeyError when the display name is absent."""
+    if _endaq_ide is None:
+        chans = _builtin_channels(filename)
+        if chans is not None:
+            for c in chans:
+                if c.name == ch_name:
+                    return c
+            raise KeyError(f"channel {ch_name!r} not in {filename}")
     _require_endaq()
     doc = _endaq_ide.get_doc(filename=filename)
     try:
@@ -90,6 +115,10 @@ def read_ide_channel(filename: str, ch_name: str) -> Channel:
 
 def read_ide_channels(filename: str) -> list[Channel]:
     """Open one ``.ide`` file -> in-memory Channels (every subchannel)."""
+    if _endaq_ide is None:
+        chans = _builtin_channels(filename)
+        if chans is not None:
+            return chans
     _require_endaq()
     doc = _endaq_ide.get_doc(filename=filename)
     try:
