@@ -81,10 +81,14 @@ def fake_ide(monkeypatch):
     return fake
 
 
-def test_import_gate_without_endaq(monkeypatch):
+def test_import_gate_without_endaq(monkeypatch, tmp_path):
+    # A genuine .ide (not the engine's own EBML profile, sources/mide.py)
+    # still demands the endaq package when it is absent.
     monkeypatch.setattr(endaq_mod, "_endaq_ide", None)
+    path = tmp_path / "f.ide"
+    path.write_bytes(b"\x1a\x45\xdf\xa3 not-our-profile")
     with pytest.raises(ImportError, match="endaq"):
-        endaq_mod.ide_channel_list("f.ide")
+        endaq_mod.ide_channel_list(str(path))
 
 
 def test_channel_enumeration(fake_ide):
