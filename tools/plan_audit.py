@@ -29,6 +29,7 @@ def audit(df) -> dict:
         + len(re.findall(r"Exchange rangepartitioning", plan)),
         "broadcasts": plan.count("BroadcastExchange"),
         "py_udf_nodes": plan.count("FlatMapGroupsInPandas")
+        + plan.count("FlatMapCoGroupsInPandas")
         + plan.count("MapInPandas"),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "codegen": plan.count("WholeStageCodegen") > 0 or "*(" in plan,
