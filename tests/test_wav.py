@@ -66,13 +66,18 @@ def test_missing_channel_raises(spark, tmp_path):
         signals_to_wav(sig, str(tmp_path / "x.wav"), 8000, "nope")
 
 
-def test_ide_source_is_import_gated():
+def test_ide_source_is_import_gated(tmp_path):
     import pytest as _pytest
 
     from pandas_sigproc_spark.sources.endaq import read_ide_channels
 
+    # A real file that is NOT the engine's own EBML profile
+    # (sources/mide.py reads those without the package) still demands
+    # the endaq dependency.
+    p = tmp_path / "foreign.ide"
+    p.write_bytes(b"\x1a\x45\xdf\xa3 foreign-ide-bytes")
     with _pytest.raises(ImportError, match="endaq"):
-        read_ide_channels("/nonexistent.ide")
+        read_ide_channels(str(p))
 
 
 class TestCollectChannel:
