@@ -136,3 +136,69 @@ def test_psd_round_margin(sf_dir, n_window):
         f"divergence {maxerr:.3e} at {sf_dir} n={n_window}; re-pick "
         "oracle_prod.PSD_ROUND"
     )
+
+
+def _idx_channels(sf_dir: str):
+    """Replicate the 48 kHz index time base (q_filt_a / q_accessor_chain):
+    dedup'd raw values per channel, t = (i-1)/48000."""
+    con = duckdb.connect()
+    df = con.sql(f"""
+        WITH sig AS (
+          SELECT CAST(user_id AS VARCHAR) AS channel_id, epoch(ts) AS t,
+                 CAST(value AS DOUBLE) AS val
+          FROM '{sf_dir}/events.parquet')
+        SELECT channel_id, t, AVG(val) AS v
+        FROM sig GROUP BY channel_id, t ORDER BY channel_id, t
+    """).df()
+    out = {}
+    for cid, g in df.groupby("channel_id"):
+        v = g["v"].to_numpy()
+        out[cid] = (np.arange(len(v), dtype=np.float64) / 48000.0, v)
+    return out
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_accessor_chain_round_margin(sf_dir):
+    """q_accessor_chain rounds its VALUE to 6 digits against a chain
+    replay whose detrend means / rolling mean-of-squares differ from the
+    kernel's (numpy pairwise & longdouble) summation order.  Re-measure
+    that the rounding margin dominates a summation-order perturbation
+    proxy (sequential-mean detrend variant) on each dataset."""
+    from pandas_sigproc_spark.kernels.design import a_weighting, butter
+    from pandas_sigproc_spark.kernels.iir import filtfilt, lfilter
+
+    b1, a1 = butter(2, 8000.0 / 24000.0, "lowpass")
+    b2, a2 = a_weighting(48000.0)
+    chans = _idx_channels(sf_dir)
+    if sf_dir.endswith("0.1"):
+        chans = dict(list(chans.items())[:150])
+    vals, errs = [], []
+    for t, v in chans.values():
+        if len(v) <= 21:
+            continue
+        xb = filtfilt(b1, a1, v)
+
+        def detrend(ys, seq):
+            mt = (np.sum(t) / len(t)) if seq else t.mean()
+            my = (np.sum(ys) / len(ys)) if seq else ys.mean()
+            tc, yc = t - mt, ys - my
+            den = (np.sum(tc * tc) / len(t)) if seq else np.mean(tc * tc)
+            cov = (np.sum(tc * yc) / len(t)) if seq else np.mean(tc * yc)
+            return yc - (cov / den if den > 0 else 0.0) * tc
+
+        outs = []
+        for seq in (False, True):
+            ya = lfilter(b2, a2, detrend(xb, seq))
+            sq = ya * ya
+            cs = np.concatenate([[0.0], np.cumsum(sq if seq else sq.astype(np.longdouble))])
+            means = ((cs[24:] - cs[:-24]) / 24).astype(np.float64)
+            outs.append(np.sqrt(np.maximum(means, 0.0))[:-1])
+        vals.append(outs[0])
+        errs.append(np.max(np.abs(outs[0] - outs[1])))
+    allv = np.concatenate(vals)
+    maxerr = max(errs)
+    margin = _margin(allv, 6)
+    assert margin > MIN_SAFETY * maxerr, (
+        f"accessor_chain margin {margin:.3e} vs divergence {maxerr:.3e} "
+        f"at {sf_dir}"
+    )
