@@ -63,6 +63,41 @@ import oracle_prod as _oracle_prod
 DAY = 86400.0
 
 # ---------------------------------------------------------------------------
+# Cache lifecycle: these query functions return LAZY DataFrames, so a
+# persist() inside one cannot be unpersisted before the caller's terminal
+# action.  Every persist goes through _persist() below, which records the
+# DataFrame; callers that run many queries in one session (bench.py, a
+# notebook, a service) call release_caches() between terminal actions to
+# drop exactly the blocks this module pinned — no blanket
+# spark.catalog.clearCache() that would evict the caller's own caches.
+# Blocks use the default MEMORY_AND_DISK level (they spill, never OOM)
+# and are LRU-reclaimed regardless, so forgetting release_caches() costs
+# memory pressure, not correctness.
+# ---------------------------------------------------------------------------
+
+_PERSISTED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def release_caches() -> int:
+    """Unpersist every block a queries() call pinned; returns the count."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session gone / already unpersisted
+            pass
+    _PERSISTED.clear()
+    return n
+
+
+
+# ---------------------------------------------------------------------------
 # signals view over the events table
 # ---------------------------------------------------------------------------
 
@@ -156,7 +191,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # union branches read it, and without materialization Spark re-executes
     # the whole kernel subtree per branch (exchange reuse only caught one
     # of the duplicated exchanges here).
-    gs = gs.persist()
+    gs = _persist(gs)
     per_channel = gs.filter(F.col("channel_id").isNotNull()).select(
         "channel_id", F.sqrt(F.col("ss") / F.col("n")).alias("rms")
     )
@@ -1641,9 +1676,9 @@ def q_corpus_prep(spark, sf_dir):
         F.min("n_re_tokens").alias("n_re_tokens"),
         F.min("pred_lang").alias("pred_lang"),
     )
-    sig = dedup.select(
+    sig = _persist(dedup.select(
         "doc_id", "quality", "n_re_tokens", "pred_lang", _minhash_sig_expr().alias("mh")
-    ).persist()
+    ))
     n_bands = len(_MINHASH_PERMS) // 2
     bands = sig.select(
         "doc_id",
@@ -2774,9 +2809,9 @@ def q_psd_damage_dft(spark, sf_dir):
     # LRU eviction; long-lived sessions running many queries should call
     # spark.catalog.clearCache() between terminal actions, as bench.py
     # does between queries.
-    per_seg = _welch_dft_segments(spark, sf_dir).persist()
+    per_seg = _persist(_welch_dft_segments(spark, sf_dir))
     mean_psd = (
-        per_seg.groupBy("channel_id", "k").agg(F.avg("p").alias("mp")).persist()
+        _persist(per_seg.groupBy("channel_id", "k").agg(F.avg("p").alias("mp")))
     )
     w_f = Window.partitionBy("channel_id", "seg").orderBy("k")
     pairs = per_seg.withColumn("p2", F.lead("p").over(w_f)).filter(
@@ -3500,11 +3535,11 @@ def q_decontaminate(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         _text.gram_hash_expr(_DECON_N).alias("gs"),
     )
-    gh = g.select(
+    gh = _persist(g.select(
         "doc_id",
         F.size("gs").alias("n_ngrams"),
         F.explode("gs").alias("h"),
-    ).persist()  # feeds BOTH the benchmark set and the train probe: one
+    ))  # feeds BOTH the benchmark set and the train probe: one
     # gram-hash pass instead of two (same trick as corpus_prep's sig)
     bench = gh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
     return (
@@ -3687,14 +3722,14 @@ def q_ann_int8(spark, sf_dir):
             lambda st: F.greatest(st["s"], F.lit(1e-30)),
         ).alias("sarr")
     )
-    eq = e.crossJoin(F.broadcast(scl)).select(
+    eq = _persist(e.crossJoin(F.broadcast(scl)).select(
         "vec_id",
         "bucket",
         "v",
         F.zip_with(
             "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
         ).alias("code"),
-    ).persist()  # both sides of the bucket join consume the encoded
+    ))  # both sides of the bucket join consume the encoded
     # table; without persistence the scale-agg + encode runs twice
     q = eq.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"),
@@ -3927,7 +3962,7 @@ def q_training_mix(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         _text.quality_expr().alias("quality"),
     )
-    dedup = (
+    dedup = _persist(
         base.filter(F.col("quality") >= 0.6)
         .groupBy(F.md5("text").alias("digest"))
         .agg(
@@ -3936,9 +3971,8 @@ def q_training_mix(spark, sf_dir):
             F.min("n_tokens").alias("n_tokens"),
             F.min("text").alias("text"),
         )
-        .persist()  # feeds the decontamination probe AND the clean set:
-        # one scan+quality+dedup pass instead of two
-    )
+    )  # feeds the decontamination probe AND the clean set:
+    # one scan+quality+dedup pass instead of two
     gram_hashes = _text.gram_hash_expr(_DECON_N)
     # benchmark gram set from the RAW corpus slice (held-out docs are
     # excluded from training regardless of quality).

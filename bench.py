@@ -172,9 +172,10 @@ def main():
         timings[name] = round(best, 3)
         # Queries that persist() intermediates (psd_damage_dft,
         # decontaminate, ann_int8, training_mix) can't unpersist before
-        # their terminal action; drop their blocks here so reps and later
-        # queries never pay eviction pressure for earlier ones.
-        spark.catalog.clearCache()
+        # their terminal action; release exactly the blocks they pinned
+        # (entry_mod.release_caches) so reps and later queries never pay
+        # eviction pressure for earlier ones.
+        entry_mod.release_caches()
 
     total = round(sum(timings.values()), 3)
 
@@ -221,7 +222,7 @@ def main():
                       file=sys.stderr, flush=True)
                 best = el if best is None else min(best, el)
             s_timings[name] = round(best, 3)
-            spark.catalog.clearCache()
+            entry_mod.release_caches()
         base = {k: timings[k] for k in SCALE_QUERIES}
         scale = {
             "replication": repl,
