@@ -1960,6 +1960,84 @@ def _cos(va, vb):
     return dot / (nrm(va) * nrm(vb))
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """Embedding k-means (fixed-iteration Lloyd's, deterministic seeds) —
+    cluster-based corpus curation under the FULL hash gate.  Two assign/
+    update rounds over the embeddings table with exact_sums=True: every
+    arithmetic step (squared-distance left-folds, argmin with stable tie
+    break, ordered-fold centroid means) is replayed expression-for-
+    expression by the DuckDB oracle, so the comparison is BIT-EXACT with
+    no rounding — a full correctness gate for an ITERATIVE algorithm.
+
+    Scale shape: per iteration, centroids are a k-row broadcast table
+    (map-side assignment, no corpus shuffle) + one groupBy(cluster, dim)
+    update — the canonical distributed k-means plan
+    (operators/kmeans.py).
+    """
+    from pandas_sigproc_spark.operators.kmeans import kmeans_embeddings
+
+    e = _embeds(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return kmeans_embeddings(e, k=8, iters=2, exact_sums=True)
+
+
+def _sql_kmeans_iter(src_e: str, src_c: str, tag: str) -> str:
+    """One Lloyd iteration as CTEs: assign against {src_c}, update ->
+    {tag}cent(cluster, c) + {tag}asg(vid, cluster).  Distance and
+    centroid sums are LEFT FOLDS in element / vid order — the exact
+    arithmetic of operators/kmeans.py exact_sums mode."""
+    return f"""{tag}pair AS (
+  SELECT e.vid, e.v, c.cluster,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0.0 AS DOUBLE),
+             LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+                            i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+           (acc, x) -> acc + x) AS d
+  FROM {src_e} e CROSS JOIN {src_c} c
+),
+{tag}asg AS MATERIALIZED (
+  SELECT vid, v, cluster FROM {tag}pair
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cluster) = 1
+),
+{tag}pd AS (
+  SELECT a.cluster, a.vid, g.i - 1 AS dim, a.v[g.i] AS val
+  FROM {tag}asg a, LATERAL (SELECT UNNEST(RANGE(1, LEN(a.v) + 1)) AS i) g
+),
+{tag}cm AS (
+  SELECT cluster, dim,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), LIST(val ORDER BY vid)),
+                     (acc, x) -> acc + x) / COUNT(*) AS cval
+  FROM {tag}pd GROUP BY cluster, dim
+),
+{tag}cent AS MATERIALIZED (
+  SELECT cluster, LIST(cval ORDER BY dim) AS c FROM {tag}cm GROUP BY cluster
+)"""
+
+
+def _sql_embed_kmeans() -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
+         v AS c
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vid) <= 8
+),
+{_sql_kmeans_iter("e", "c0", "i1")},
+{_sql_kmeans_iter("e", "i1cent", "i2")},
+cnt AS (SELECT cluster, COUNT(*) AS n FROM i2asg GROUP BY cluster)
+SELECT CAST(c.cluster AS INTEGER) AS cluster,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+       CAST(g.i - 1 AS INTEGER) AS dim,
+       CAST(c.c[g.i] AS DOUBLE) AS c
+FROM i2cent c
+LEFT JOIN cnt USING (cluster),
+LATERAL (SELECT UNNEST(RANGE(1, LEN(c.c) + 1)) AS i) g
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     # ANN top-3 per query vector, candidates restricted to the query's LSH
     # bucket: the bucket equi-join replaces the brute-force cross join, so
@@ -4189,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "dedup_embed": q_dedup_embed,
+        "embed_kmeans": q_embed_kmeans,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -4245,6 +4324,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_jaccard_ppjoin": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_embed": _sql_dedup_embed(),
+        "embed_kmeans": _sql_embed_kmeans(),
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": SQL_ANN_IVF,

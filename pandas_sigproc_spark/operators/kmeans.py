@@ -1,0 +1,133 @@
+"""Embedding k-means (fixed-iteration Lloyd's) — cluster-based corpus
+curation for training-data pipelines.
+
+Clustering embeddings is the workhorse behind diversity sampling,
+cluster-balanced mixes, and semantic dedup at corpus scale.  This
+operator runs a FIXED number of Lloyd iterations with deterministic
+seeding (the k smallest ids), which makes the whole algorithm a finite
+composition of joins + aggregations — declarative, AQE-optimizable, and
+(in ``exact_sums`` mode) bit-reproducible on any cluster layout.
+
+Scale shape per iteration: centroids are a k-row broadcast table; the
+assignment is a map-side broadcast join + per-row argmin (no shuffle of
+the corpus); the update is one partial-aggregated groupBy(cluster, dim).
+That is the canonical distributed k-means plan — O(iters) passes, no
+driver-side loops over data.
+
+``exact_sums=True`` computes centroid sums as LEFT FOLDS over members in
+id order (array_sort + aggregate) instead of a parallel SUM.  Floating-
+point addition is order-sensitive; the ordered fold makes centroids a
+pure function of the data — identical bits on 1 executor or 1000 — at
+the cost of collecting each (cluster, dim) group into an array, so it
+suits audit/replay runs (it is exactly what lets the DuckDB oracle
+compare BIT-EXACT with no rounding).  Production runs keep the default
+partial-agg SUM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_sums: bool = False,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's over an ``array<float|double>`` column.
+
+    Returns one row per (cluster, dim): ``(cluster int, n long,
+    dim int, c double)`` — the member count and centroid coordinates
+    after ``iters`` assign/update rounds.  Ties in the argmin break to
+    the smallest cluster id (stable, engine-independent on equal
+    distances).
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    e = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    dim = F.size("v")
+
+    # Deterministic seeding: the k smallest ids, cluster = seed rank - 1.
+    wseed = Window.orderBy("vid")
+    cents = (
+        e.withColumn("_r", F.row_number().over(wseed))
+        .filter(F.col("_r") <= k)
+        .select((F.col("_r") - 1).cast("int").alias("cluster"), F.col("v").alias("c"))
+    )
+
+    def sqdist(vcol, ccol):
+        return F.aggregate(
+            F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        pairs = e.crossJoin(F.broadcast(cents)).select(
+            "vid", "v", "cluster", sqdist(F.col("v"), F.col("c")).alias("d")
+        )
+        warg = Window.partitionBy("vid").orderBy("d", "cluster")
+        assigned = (
+            pairs.withColumn("_rk", F.row_number().over(warg))
+            .filter(F.col("_rk") == 1)
+            .select("vid", "v", "cluster")
+        )
+        per_dim = assigned.select(
+            "cluster",
+            "vid",
+            F.posexplode("v").alias("dim", "val"),
+        )
+        if exact_sums:
+            summed = per_dim.groupBy("cluster", "dim").agg(
+                (
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("vid", "val"))
+                            ),
+                            lambda s: s["val"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.count("*")
+                ).alias("cval"),
+            )
+        else:
+            summed = per_dim.groupBy("cluster", "dim").agg(
+                (F.sum("val") / F.count("*")).alias("cval")
+            )
+        cents = (
+            summed.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("c")
+            )
+            .select(F.col("cluster").cast("int").alias("cluster"), "c")
+        )
+
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+    return (
+        cents.join(counts, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.posexplode("c").alias("dim", "c"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n").cast("long").alias("n"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("c").cast("double").alias("c"),
+        )
+    )
