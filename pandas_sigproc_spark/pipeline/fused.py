@@ -67,6 +67,14 @@ class _FilterStage:
             else _iirb.lfilter_batch(b, a, Y)
         )
 
+    def run_batch_ragged(self, ys: list, sr: float) -> list:
+        b, a = self.make_ba(sr)
+        return (
+            _iirb.filtfilt_batch_ragged(b, a, ys)
+            if self.zero_phase
+            else _iirb.lfilter_batch_ragged(b, a, ys)
+        )
+
 
 class _DetrendStage:
     """Mean/line removal, reference semantics (``extension.py:751-781``),
@@ -261,19 +269,24 @@ class KernelPipeline:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["channel_id", "t"])
             pieces = []
+            # One group per samplerate: the RAGGED batch kernels handle
+            # unequal lengths internally (bit-identical per row to solo
+            # execution — kernels/iir_batch).  Grouping by (length, sr)
+            # fragmented buckets into per-length slivers whose dispatch
+            # overhead dominated (same fix as operators/filters.py).
             groups: dict = {}
             for cid, grp in pdf.groupby("channel_id", sort=False):
                 t = grp["t"].to_numpy(dtype=np.float64)
                 y = grp["value"].to_numpy(dtype=np.float64)
                 sr = _infer_sr(t)
-                groups.setdefault((len(t), round(sr, 9)), []).append((cid, t, y))
-            for (_n, sr), members in groups.items():
+                groups.setdefault(round(sr, 9), []).append((cid, t, y))
+            for sr, members in groups.items():
                 if len(members) > 1 and n_batchable:
-                    Y = np.stack([y for _, _, y in members])
+                    ys = [y for _, _, y in members]
                     for s in stages[:n_batchable]:
-                        Y = s.run_batch(Y, sr)
+                        ys = s.run_batch_ragged(ys, sr)
                     members = [
-                        (cid, t, Y[row]) for row, (cid, t, _y) in enumerate(members)
+                        (cid, t, ys[row]) for row, (cid, t, _y) in enumerate(members)
                     ]
                 for cid, t, y in members:
                     cur_sr = sr
