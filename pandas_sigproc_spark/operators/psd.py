@@ -168,37 +168,52 @@ def _bucketed_psd(
             y = grp["value"].to_numpy(dtype=np.float64)
             rate = sr if sr is not None else _infer_sr(t)
             chans.append((cid, y, rate))
-        # Sub-batch channels with identical (rate, length) -> one FFT.
+        # One group per samplerate: Welch segments are all n_window long
+        # regardless of the channel's own length, so EVERY member's
+        # segments stack into a single batched FFT (per-row numerics are
+        # unchanged — rfft rows are independent).  Grouping by
+        # (rate, length) — round 3's scheme — fragmented buckets into one
+        # FFT call per distinct channel length.
         groups: dict = {}
         for cid, y, rate in chans:
-            groups.setdefault((round(rate, 9), len(y)), []).append((cid, y))
-        for (rate, _n), members in groups.items():
+            groups.setdefault(round(rate, 9), []).append((cid, y))
+        for rate, members in groups.items():
             if window_length is None:
-                X = np.stack([y for _, y in members])
-                freq, pxx = _spectral.periodogram(X, rate, "boxcar", "constant")
-                keep = freq > 0
-                for row, (cid, _y) in enumerate(members):
-                    pieces.append(
-                        pd.DataFrame(
-                            {"channel_id": cid, "freq": freq[keep], "power": pxx[row][keep]}
+                # Whole-channel periodograms need equal lengths per call.
+                by_len: dict = {}
+                for cid, y in members:
+                    by_len.setdefault(len(y), []).append((cid, y))
+                for _n, mem in by_len.items():
+                    X = np.stack([y for _, y in mem])
+                    freq, pxx = _spectral.periodogram(X, rate, "boxcar", "constant")
+                    keep = freq > 0
+                    for row, (cid, _y) in enumerate(mem):
+                        pieces.append(
+                            pd.DataFrame(
+                                {"channel_id": cid, "freq": freq[keep],
+                                 "power": pxx[row][keep]}
+                            )
                         )
-                    )
                 continue
             n_window = int(rate * window_length)
             n_overlap = int(round(n_window * overlap))
-            starts = _spectral.welch_segment_bounds(_n, n_window, n_overlap)
-            if not starts:
-                raise ValueError("window_length longer than the signal")
-            segs = np.stack(
-                [y[s : s + n_window] for _, y in members for s in starts]
-            )
+            seg_rows = []
+            seg_counts = []
+            for _cid, y in members:
+                starts = _spectral.welch_segment_bounds(len(y), n_window, n_overlap)
+                if not starts:
+                    raise ValueError("window_length longer than the signal")
+                seg_rows.extend(y[s: s + n_window] for s in starts)
+                seg_counts.append(len(starts))
+            segs = np.stack(seg_rows)
             freq, psd_all = _spectral.periodogram(
                 segs, rate, window_type, detrend, axis=1
             )
-            n_seg = len(starts)
             keep = freq > 0
-            for row, (cid, _y) in enumerate(members):
-                sub = psd_all[row * n_seg : (row + 1) * n_seg]
+            pos = 0
+            for (cid, _y), n_seg in zip(members, seg_counts):
+                sub = psd_all[pos: pos + n_seg]
+                pos += n_seg
                 pxx = _spectral.summarize_psds(sub, freq, summarize, fatigue_exponent)
                 pieces.append(
                     pd.DataFrame(
