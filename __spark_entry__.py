@@ -2038,6 +2038,64 @@ LATERAL (SELECT UNNEST(RANGE(1, LEN(c.c) + 1)) AS i) g
 """
 
 
+_CLUSTER_SAMPLE_TARGET = 32
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling — the diversity-curation recipe: k-means
+    over the embeddings (q_embed_kmeans's exact mode), then a
+    deterministic per-cluster down-sample toward a uniform target of
+    {target} vectors per cluster.  The keep rule is PURE INTEGER
+    arithmetic — keep iff ``u * n_c < target * 1e6`` with u the salted
+    md5 bucket — so the oracle comparison has no float boundary at all;
+    the k-means assignments are bit-exact (see q_embed_kmeans).
+
+    Scale shape: assignment is the broadcast-centroid map-side plan; the
+    sampling predicate is map-side over (cluster count) broadcast — one
+    small aggregation beyond the k-means rounds, no corpus shuffle.
+    """
+    from pandas_sigproc_spark.operators.kmeans import kmeans_assignments
+
+    e = _embeds(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    asg = kmeans_assignments(e, k=8, iters=2, exact_sums=True)
+    counts = asg.groupBy("cluster").agg(F.count("*").alias("n"))
+    u = F.expr(
+        "cast(conv(substring(md5(concat(cast(vec_id as string), ':csample')),"
+        " 1, 15), 16, 10) as bigint)"
+    ) % 1_000_000
+    kept = (
+        asg.join(F.broadcast(counts), "cluster")
+        .withColumn("u", u)
+        .filter(F.col("u") * F.col("n") < F.lit(_CLUSTER_SAMPLE_TARGET * 1_000_000))
+    )
+    return kept.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("u").cast("long").alias("u"),
+    )
+
+
+def _sql_cluster_sample() -> str:
+    # Reuses the bit-exact k-means CTEs; i2asg(vid, cluster) is the
+    # second-round assignment.
+    kmeans_ctes = _sql_embed_kmeans().split("WITH", 1)[1].rsplit(
+        ",\ncnt AS", 1
+    )[0]
+    return f"""
+WITH{kmeans_ctes},
+cnt AS (SELECT cluster, COUNT(*) AS n FROM i2asg GROUP BY cluster),
+uu AS (
+  SELECT a.vid, a.cluster, c.n,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(a.vid AS VARCHAR), ':csample')), 1, 15))
+              AS BIGINT) % 1000000 AS u
+  FROM i2asg a JOIN cnt c USING (cluster)
+)
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+       CAST(u AS BIGINT) AS u
+FROM uu WHERE u * n < {_CLUSTER_SAMPLE_TARGET} * 1000000
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     # ANN top-3 per query vector, candidates restricted to the query's LSH
     # bucket: the bucket equi-join replaces the brute-force cross join, so
@@ -4268,6 +4326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "dedup_embed": q_dedup_embed,
         "embed_kmeans": q_embed_kmeans,
+        "cluster_sample": q_cluster_sample,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -4325,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_ppjoin": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_embed": _sql_dedup_embed(),
         "embed_kmeans": _sql_embed_kmeans(),
+        "cluster_sample": _sql_cluster_sample(),
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": SQL_ANN_IVF,

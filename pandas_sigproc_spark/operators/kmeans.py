@@ -46,6 +46,43 @@ def kmeans_embeddings(
     the smallest cluster id (stable, engine-independent on equal
     distances).
     """
+    assigned, cents = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+    return (
+        cents.join(counts, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.posexplode("c").alias("dim", "c"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n").cast("long").alias("n"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("c").cast("double").alias("c"),
+        )
+    )
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_sums: bool = False,
+) -> DataFrame:
+    """Per-vector cluster assignment after ``iters`` Lloyd rounds:
+    ``(vec_id long, cluster int)`` — the input to cluster-balanced
+    sampling / semantic curation stages."""
+    assigned, _ = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
+    return assigned.select(
+        F.col("vid").alias(id_col), F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def _lloyd(df, k, iters, id_col, vec_col, exact_sums):
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     e = df.select(
@@ -116,18 +153,4 @@ def kmeans_embeddings(
             .select(F.col("cluster").cast("int").alias("cluster"), "c")
         )
 
-    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
-    return (
-        cents.join(counts, "cluster", "left")
-        .select(
-            "cluster",
-            F.coalesce("n", F.lit(0)).alias("n"),
-            F.posexplode("c").alias("dim", "c"),
-        )
-        .select(
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("n").cast("long").alias("n"),
-            F.col("dim").cast("int").alias("dim"),
-            F.col("c").cast("double").alias("c"),
-        )
-    )
+    return assigned, cents
