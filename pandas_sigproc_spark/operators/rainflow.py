@@ -29,7 +29,7 @@ def rainflow(
     ndigits: int | None = None,
     nbins: int | None = None,
     binsize: float | None = None,
-    n_buckets: int | None = None,
+    n_buckets: int | None | str = "auto",
     order_cols: tuple[str, ...] = ("t",),
 ) -> DataFrame:
     """Per-channel (bin, cycles) pairs, kwargs forwarded like the
@@ -39,13 +39,35 @@ def rainflow(
     bucket, looping channels inside the kernel — the kernel itself is
     ~30 ns/sample, so for many small channels the per-group Arrow/job
     overhead dominates and bucketing amortizes it (same trade as the
-    filters, operators/filters.py).
+    filters, operators/filters.py).  The default ``"auto"`` picks the
+    mode from channel statistics (planner.py): small-channel fleets
+    bucket, a channel above the per-task bound switches to the segmented
+    residue-merge plan (``rainflow_chunked`` — identical counts by the
+    residue decomposition theorem), explicit values win.
 
     ``order_cols``: intra-channel sample ordering.  Rainflow is
     order-sensitive, so when timestamps can tie, pass a tiebreak column
     (e.g. ``("t", "seq")``) — otherwise equal-stamp samples arrive in
     nondeterministic shuffle order and the counts can vary run to run.
     """
+    if n_buckets == "auto":
+        from pandas_sigproc_spark import planner
+
+        stats = planner.get_stats(df)
+        if stats.max_rows > planner.HUGE_CHANNEL_ROWS:
+            return rainflow_chunked(
+                df,
+                chunk_rows=planner.HUGE_CHANNEL_ROWS // 4,
+                ndigits=ndigits,
+                nbins=nbins,
+                binsize=binsize,
+                order_cols=order_cols,
+            )
+        if stats.max_rows <= planner.SMALL_CHANNEL_ROWS and stats.n_channels > 1:
+            cpus = df.sparkSession.sparkContext.defaultParallelism
+            n_buckets = min(4 * cpus, max(stats.n_channels // 4, 1))
+        else:
+            n_buckets = None
 
     def one(cid, y: np.ndarray) -> pd.DataFrame:
         pairs = _rf.count_cycles(y, ndigits=ndigits, nbins=nbins, binsize=binsize)

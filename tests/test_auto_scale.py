@@ -111,3 +111,16 @@ def test_auto_matches_per_channel_bits(spark):
     a = auto.sort_values(key).reset_index(drop=True)
     b = per.sort_values(key).reset_index(drop=True)
     assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
+
+
+def test_rainflow_auto_chunks_huge_and_buckets_small(spark):
+    from pandas_sigproc_spark.operators.rainflow import rainflow
+
+    df = _sig(spark)
+    out = rainflow(df, ndigits=2)
+    assert "_b" in _plan(out)
+    planner._STATS_CACHE.clear()
+    _fake_huge(df)
+    out2 = rainflow(df, ndigits=2)
+    p2 = _plan(out2)
+    assert "_b" not in p2 and "_seg" in p2
