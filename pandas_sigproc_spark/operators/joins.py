@@ -103,31 +103,34 @@ def interp1d_native(
         F.lit(0).alias("_is_src"),
     )
     u = data.unionByName(tgt)
-    # ONE sort order serves both bracket sides: the backward bracket is
-    # last-source-so-far over (unboundedPreceding, 0) and the forward
-    # bracket is first-source-ahead over (0, unboundedFollowing) on the
-    # SAME ascending ordering — Spark evaluates both frames in a single
-    # sort+window pass, where an asc+desc pair would sort the unioned
-    # table twice.  Source rows order before targets at equal _x so an
-    # exact hit brackets to itself on the left.
-    order = [F.col("_x"), F.col("_is_src").desc()]
+    # Both bracket sides are BACKWARD frames (unboundedPreceding, 0):
+    # Spark evaluates unbounded-FOLLOWING frames by re-aggregating from
+    # each row to the partition end — O(n^2) per channel, a stall on a
+    # multi-million-sample hot channel (caught by tools/skew_bench.py).
+    # The forward bracket ("first source at-or-ahead") becomes
+    # last-source-so-far on the DESCENDING ordering — one extra in-
+    # partition sort, O(n log n), same values.  Tie rules: ascending,
+    # sources order BEFORE targets at equal _x so an exact hit brackets
+    # to itself on the left; descending, sources order AFTER targets so
+    # the forward bracket still excludes the co-located source (exact
+    # hits resolve through _x0, identical to the old frame's semantics).
     w_back = (
         Window.partitionBy("channel_id")
-        .orderBy(*order)
+        .orderBy(F.col("_x"), F.col("_is_src").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy("channel_id")
-        .orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("_x").desc(), F.col("_is_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     src_x = F.when(F.col("_is_src") == 1, F.col("_x"))
     src_y = F.when(F.col("_is_src") == 1, F.col("_y"))
     u = (
         u.withColumn("_x0", F.last(src_x, ignorenulls=True).over(w_back))
         .withColumn("_y0", F.last(src_y, ignorenulls=True).over(w_back))
-        .withColumn("_x1", F.first(src_x, ignorenulls=True).over(w_fwd))
-        .withColumn("_y1", F.first(src_y, ignorenulls=True).over(w_fwd))
+        .withColumn("_x1", F.last(src_x, ignorenulls=True).over(w_fwd))
+        .withColumn("_y1", F.last(src_y, ignorenulls=True).over(w_fwd))
         .filter(F.col("_is_src") == 0)
     )
     # Exact hit (_x == _x0): y0 directly — also covers a target sitting on

@@ -38,16 +38,27 @@ def mov_rms(
         raise ValueError("window shorter than one sample")
     w = _wspec("t", tiebreak_col)
     roll = w.rowsBetween(-(n - 1), 0)
+    # Whole-partition count (computed ONCE per partition) instead of a
+    # (0, unboundedFollowing) frame: Spark evaluates unbounded-FOLLOWING
+    # frames by re-aggregating from each row to the partition end —
+    # O(n^2) per channel, a multi-minute stall on a 5M-sample hot channel
+    # (caught by tools/skew_bench.py).  row_number vs the total is the
+    # same "not the last row" predicate at O(n).
     out = (
         df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_cnt_back", F.count("*").over(w.rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn(
+            "_n_tot",
+            F.count("*").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
         .withColumn(
             "mov_rms", F.sqrt(F.avg(F.col("value") * F.col("value")).over(roll))
         )
         .filter(F.col("_rn") >= n)
     )
     if drop_last:
-        out = out.filter(F.col("_cnt_back") > 1)
+        out = out.filter(F.col("_rn") < F.col("_n_tot"))
     return out.select(
         "channel_id",
         (F.col("t") - window / 2.0).alias("t"),

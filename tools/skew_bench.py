@@ -1,0 +1,116 @@
+"""Skewed-channel probe: what happens when ONE channel dwarfs the rest.
+
+The uniform scale leg in bench.py replicates channels evenly, so it never
+measures the skew story (SURVEY.md "Optimize for scale": "skewed keys
+hurt").  This probe builds a deliberately skewed signals table — one hot
+channel holding ~85% of all rows — and times the per-channel plan against
+the planner's AUTO mode, which detects the hot channel from the row
+statistics and switches the kernel tier to the overlap-save chunked plan
+(bounded task size regardless of channel length).
+
+Usage: python tools/skew_bench.py  ->  markdown table on stdout
+(redirect to SKEW.md).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pandas_sigproc_spark import planner
+from pandas_sigproc_spark.operators import filt_butter, mov_rms, rms
+from pandas_sigproc_spark.session import get_spark
+
+HOT_ROWS = 5_000_000          # > planner.HUGE_CHANNEL_ROWS (4M)
+COLD_CHANNELS = 31
+COLD_ROWS = 20_000
+SR = 100.0                    # uniform grid so the filters can design
+
+
+def _materialize(spark, out_dir: str) -> str:
+    import pyspark.sql.functions as F
+
+    path = os.path.join(out_dir, "skewed_signals.parquet")
+    marker = os.path.join(out_dir, ".skew_done_v1")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    hot = spark.range(HOT_ROWS, numPartitions=cpus).select(
+        F.lit("hot").alias("channel_id"),
+        (F.col("id") / SR).alias("t"),
+        F.sin(F.col("id") / 17.0).alias("value"),
+    )
+    cold = spark.range(COLD_CHANNELS * COLD_ROWS, numPartitions=cpus).select(
+        F.concat(F.lit("c"), (F.col("id") % COLD_CHANNELS)).alias("channel_id"),
+        ((F.col("id") / COLD_CHANNELS).cast("long") / SR).alias("t"),
+        F.cos(F.col("id") / 23.0).alias("value"),
+    )
+    hot.unionByName(cold).repartition(cpus).write.mode("overwrite").parquet(path)
+    open(marker, "w").close()
+    return path
+
+
+def _time(fn, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
+def main():
+    spark = get_spark("skew_bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           ".bench_scale")
+    path = _materialize(spark, out_dir)
+    df = spark.read.parquet(path)
+    df.count()  # warm
+
+    def noop(out):
+        out.write.mode("overwrite").format("noop").save()
+
+    rows = []
+    rows.append(("rms (native agg)", _time(lambda: noop(rms(df))), "-"))
+    rows.append((
+        "mov_rms (native window)",
+        _time(lambda: noop(mov_rms(df, 0.5, samplerate=SR))),
+        "-",
+    ))
+    t_per = _time(
+        lambda: noop(filt_butter(df, 10.0, 4, "lowpass", n_buckets=None)), reps=2
+    )
+    planner._STATS_CACHE.clear()
+    t_auto = _time(
+        lambda: noop(
+            filt_butter(df, 10.0, 4, "lowpass", samplerate=SR)  # auto mode
+        ),
+        reps=2,
+    )
+    rows.append(("filt_butter per-channel (hot channel = ONE task)", t_per, "-"))
+    rows.append((
+        "filt_butter AUTO (planner -> overlap-save chunks)",
+        t_auto,
+        f"{t_per / t_auto:.2f}x",
+    ))
+
+    print("| probe | wall (s) | speedup |")
+    print("|---|---|---|")
+    for name, sec, sp in rows:
+        print(f"| {name} | {sec:.2f} | {sp} |")
+    print()
+    print(
+        f"Skewed table: 1 hot channel x {HOT_ROWS:,} rows + "
+        f"{COLD_CHANNELS} channels x {COLD_ROWS:,} rows "
+        f"({HOT_ROWS / (HOT_ROWS + COLD_CHANNELS * COLD_ROWS):.0%} of rows "
+        "in one key)."
+    )
+
+
+if __name__ == "__main__":
+    main()
