@@ -170,7 +170,8 @@ def filt_butter(
     n_buckets, chunk_rows = _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate)
     if chunk_rows is not None:
         b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
-        return filt_chunked(df, b, a, True, chunk_rows, overlap_rows)
+        return filt_chunked(df, b, a, True, chunk_rows, overlap_rows,
+                            samplerate=samplerate)
     return _apply_filter(df, make_ba, zero_phase=True, n_buckets=n_buckets)
 
 
@@ -191,7 +192,8 @@ def filt_cfc(
     n_buckets, chunk_rows = _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate)
     if chunk_rows is not None:
         b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
-        return filt_chunked(df, b, a, True, chunk_rows, overlap_rows)
+        return filt_chunked(df, b, a, True, chunk_rows, overlap_rows,
+                            samplerate=samplerate)
     return _apply_filter(df, make_ba, zero_phase=True, n_buckets=n_buckets)
 
 
@@ -213,7 +215,8 @@ def filt_a(
     n_buckets, chunk_rows = _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate)
     if chunk_rows is not None:
         b, a = make_ba(_require_sr(samplerate, "chunk_rows"))
-        return filt_chunked(df, b, a, False, chunk_rows, overlap_rows)
+        return filt_chunked(df, b, a, False, chunk_rows, overlap_rows,
+                            samplerate=samplerate)
     return _apply_filter(df, make_ba, zero_phase=False, n_buckets=n_buckets)
 
 
@@ -266,11 +269,12 @@ def filt_chunked(
     zero_phase: bool,
     chunk_rows: int,
     overlap_rows: int | None = None,
+    samplerate: float | None = None,
 ) -> DataFrame:
     """Overlap-save IIR filtering for channels that exceed one task's memory.
 
-    Relational segmentation: every row gets a per-channel ``row_number``
-    index; rows within ``overlap_rows`` of a chunk boundary are *duplicated*
+    Relational segmentation: every row gets a per-channel sample index;
+    rows within ``overlap_rows`` of a chunk boundary are *duplicated*
     into the neighbouring chunk (backward always — the causal warm-up — and
     forward too for zero-phase, whose backward pass needs future samples).
     Each (channel, chunk) group is filtered independently with zero initial
@@ -278,6 +282,15 @@ def filt_chunked(
     state error at the core boundary is below fp noise, and only core rows
     are emitted.  Equality with whole-channel filtering is pinned in
     tests/test_chunked_filter.py.
+
+    With ``samplerate`` given, the sample index is ARITHMETIC —
+    ``round((t - min(t)) * sr)`` off one per-channel MIN aggregate — so no
+    stage ever sorts or even sees a whole channel (filters require a
+    uniform grid anyway, where this equals the ordinal index).  Without
+    it, a per-channel ``row_number`` window assigns the index, which
+    SORTS each whole channel in one task — fine at moderate sizes,
+    self-defeating for the channels chunking exists for; the named
+    operators always pass their samplerate through.
 
     Scale shape: one shuffle on (channel, chunk); chunk size bounds task
     memory regardless of channel length, so a year-long 48 kHz channel
@@ -294,10 +307,24 @@ def filt_chunked(
             f"chunk_rows={L} must exceed the overlap ({O}); pick a larger "
             "chunk or pass a smaller explicit overlap_rows"
         )
-    w = Window.partitionBy("channel_id").orderBy("t")
-    src = df.select(
-        "channel_id", "t", "value", (F.row_number().over(w) - 1).alias("_i")
-    )
+    if samplerate is not None:
+        t0s = df.groupBy("channel_id").agg(F.min("t").alias("_t0"))
+        src = (
+            df.join(t0s, "channel_id")
+            .select(
+                "channel_id",
+                "t",
+                "value",
+                F.floor((F.col("t") - F.col("_t0")) * float(samplerate) + 0.5)
+                .cast("long")
+                .alias("_i"),
+            )
+        )
+    else:
+        w = Window.partitionBy("channel_id").orderBy("t")
+        src = df.select(
+            "channel_id", "t", "value", (F.row_number().over(w) - 1).alias("_i")
+        )
     segno = (F.col("_i") / L).cast("long")
     members = F.array(segno)
     members = F.when(
