@@ -24,7 +24,7 @@ from pandas_sigproc_spark import planner
 from pandas_sigproc_spark.operators import filt_butter, mov_rms, rms
 from pandas_sigproc_spark.session import get_spark
 
-HOT_ROWS = 5_000_000          # > planner.HUGE_CHANNEL_ROWS (4M)
+HOT_ROWS = int(os.environ.get("SKEW_HOT_ROWS", 5_000_000))  # > planner.HUGE_CHANNEL_ROWS (4M)
 COLD_CHANNELS = 31
 COLD_ROWS = 20_000
 SR = 100.0                    # uniform grid so the filters can design
@@ -33,8 +33,8 @@ SR = 100.0                    # uniform grid so the filters can design
 def _materialize(spark, out_dir: str) -> str:
     import pyspark.sql.functions as F
 
-    path = os.path.join(out_dir, "skewed_signals.parquet")
-    marker = os.path.join(out_dir, ".skew_done_v1")
+    path = os.path.join(out_dir, f"skewed_signals_{HOT_ROWS}.parquet")
+    marker = os.path.join(out_dir, f".skew_done_v2_{HOT_ROWS}")
     if os.path.exists(marker):
         return path
     os.makedirs(out_dir, exist_ok=True)
