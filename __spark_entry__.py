@@ -529,6 +529,145 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# overlap-chunked native window ops (operators/windows.py scale path) —
+# forced small chunk_rows so the chunked plan itself goes through the
+# driver hash gate at sf0.01 (the planner would only auto-select it above
+# HUGE_CHANNEL_ROWS).  Input: per-channel index time base t = (rn-1)/100
+# (strictly-increasing uniform grid, same trick as q_filt_a) so the
+# arithmetic chunk index is exact.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SR = 100.0
+_CHUNK_L = 512
+
+
+def _idx_sig(spark, sf_dir):
+    sig = deduplicate(_sig_ch(spark, sf_dir))
+    w = Window.partitionBy("channel_id").orderBy("t")
+    return sig.select(
+        "channel_id",
+        ((F.row_number().over(w) - 1) / F.lit(_CHUNK_SR)).alias("t"),
+        "value",
+    )
+
+
+_IDX_CTE = f"""
+dedup AS (
+  SELECT channel_id, t, AVG(value) AS value FROM sig GROUP BY channel_id, t
+),
+idx AS (
+  SELECT channel_id,
+         (ROW_NUMBER() OVER w - 1) / {_CHUNK_SR!r} AS t,
+         value,
+         ROW_NUMBER() OVER w - 1 AS i,
+         COUNT(*) OVER (PARTITION BY channel_id) AS n
+  FROM dedup
+  WINDOW w AS (PARTITION BY channel_id ORDER BY t)
+)
+"""
+
+
+def q_mov_rms_chunked(spark, sf_dir):
+    # Chunked == single-window is BIT-exact (identical frames folded in
+    # the same order; tests/test_chunked_windows.py), so the oracle is
+    # the plain global sliding window.
+    out = mov_rms(
+        _idx_sig(spark, sf_dir), 0.1, _CHUNK_SR, chunk_rows=_CHUNK_L
+    )
+    return out.select(
+        "channel_id", "t", F.round("value", 6).alias("value")
+    )
+
+
+SQL_MOV_RMS_CHUNKED = f"""
+WITH {_SIG_CTE},
+{_IDX_CTE},
+r AS (
+  SELECT channel_id, t, i, n,
+         SQRT(AVG(value * value) OVER (w2 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS value
+  FROM idx
+  WINDOW w2 AS (PARTITION BY channel_id ORDER BY i)
+)
+SELECT channel_id, t - 0.05 AS t, ROUND(value, 6) AS value
+FROM r WHERE i >= 9 AND i < n - 1
+"""
+
+
+def q_integral_chunked(spark, sf_dir):
+    # The distributed prefix-sum integral: per-chunk running sums + a
+    # cumulative offset over chunk totals.  Association differs from the
+    # global fold, so the oracle replays the CHUNKED association (every
+    # partial sum is an ordered left fold on both engines).
+    out = integral(_idx_sig(spark, sf_dir), chunk_rows=_CHUNK_L)
+    return out.select(
+        "channel_id", "t", F.round("value", 6).alias("value")
+    )
+
+
+SQL_INTEGRAL_CHUNKED = f"""
+WITH {_SIG_CTE},
+{_IDX_CTE},
+mem AS (
+  SELECT channel_id, t, value, i, n, i // {_CHUNK_L} AS seg FROM idx
+  UNION ALL
+  SELECT channel_id, t, value, i, n, i // {_CHUNK_L} + 1 AS seg FROM idx
+  WHERE i % {_CHUNK_L} = {_CHUNK_L - 1}
+),
+ar AS (
+  SELECT channel_id, t, i, n, seg,
+         COALESCE((value + LAG(value) OVER w) / 2.0 * (t - LAG(t) OVER w), 0.0) AS area
+  FROM mem
+  WINDOW w AS (PARTITION BY channel_id, seg ORDER BY i)
+),
+pre AS (
+  SELECT channel_id, t, i, n, seg,
+         SUM(area) OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM ar
+  WINDOW w2 AS (PARTITION BY channel_id, seg ORDER BY i)
+),
+tots AS (
+  SELECT channel_id, seg, prefix AS tt
+  FROM pre WHERE i = LEAST(n - 1, (seg + 1) * {_CHUNK_L} - 1)
+),
+offs AS (
+  SELECT channel_id, seg,
+         COALESCE(SUM(tt) OVER (PARTITION BY channel_id ORDER BY seg
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS off
+  FROM tots
+)
+SELECT p.channel_id, p.t, ROUND(o.off + p.prefix, 6) AS value
+FROM pre p JOIN offs o ON p.channel_id = o.channel_id AND p.seg = o.seg
+WHERE p.i // {_CHUNK_L} = p.seg
+"""
+
+
+def q_derivative_chunked(spark, sf_dir):
+    # Chunked derivative is bit-exact vs the global plan (row-local
+    # arithmetic; the forward 1-row overlap supplies each chunk-tail
+    # lead), so the oracle is the plain global LEAD form.
+    out = derivative(_idx_sig(spark, sf_dir), chunk_rows=_CHUNK_L)
+    return out.select(
+        "channel_id", "t", (F.round("value", 6) + F.lit(0.0)).alias("value")
+    )
+
+
+SQL_DERIVATIVE_CHUNKED = f"""
+WITH {_SIG_CTE},
+{_IDX_CTE},
+p AS (
+  SELECT channel_id, t, value,
+         LEAD(t) OVER w2 AS t2, LEAD(value) OVER w2 AS y2
+  FROM idx
+  WINDOW w2 AS (PARTITION BY channel_id ORDER BY i)
+)
+SELECT channel_id, (t + t2) / 2.0 AS t,
+       ROUND((y2 - value) / (t2 - t), 6) + 0.0 AS value
+FROM p WHERE t2 IS NOT NULL
+"""
+
+
 def q_rss_daily(spark, sf_dir):
     # RSS across all channels on a shared daily time base (the equi-join-on-
     # time operator, extension.py:783-817, bucketed to day grain so stamps
@@ -4234,74 +4373,36 @@ FROM stats
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-4 ordering:
-    #   tier 1 — the 17 queries that have NEVER had a driver hash check:
-    #            the production SciPy-tier legs, all of which gained full
-    #            recursive-CTE / DFT-replay oracles this round
-    #            (oracle_prod.py), plus the new FFT-convolution anchor;
-    #   tier 2 — bit-exact kernel anchors + training tier (hash-green in
-    #            r03; re-checked while slots remain);
-    #   tier 3 — §2-critical relational backfill (green r02+r03) to
-    #            exactly fill the 50-slot window;
-    #   below the cap — queries hash-green in r01-r03 whose coverage the
-    #            local gate (tools/oracle_check.py) keeps every round.
+    # the first 50 entries in dict order.  Round-5 ordering:
+    #   tier 1 — the 3 queries that have NEVER had a driver hash row
+    #            (added after the r4 rotation was planned) + the 3 NEW
+    #            chunked-window queries (operators/windows.py scale path,
+    #            forced through the chunked plan at sf0.01);
+    #   tier 2 — queries whose OPERATOR CODE changed this round (detrend
+    #            agg-mode default; auto chunk resolution on the native
+    #            window ops) — green r4, re-proven on the new code;
+    #   tier 3 — the r01/r02-tier backfill the r4 verdict flagged as
+    #            stale driver evidence (text/dedup/ANN/media/tpch);
+    #   tier 4 — high-value r4-green representatives of the kernel tier
+    #            to keep cross-round continuity, filling slot 50;
+    #   below the cap — everything hash-green in r03/r04 whose coverage
+    #            the local gate (tools/oracle_check.py) keeps every round.
     return {
-        # -- tier 1: production legs, first driver hash check -------------
-        "filt_iir_fft_exact": q_filt_iir_fft_exact,
-        "filt_butter": q_filt_butter,
-        "filt_cfc": q_filt_cfc,
-        "filt_a": q_filt_a,
-        "filt_chain": q_filt_chain,
-        "filt_chunked": q_filt_chunked,
-        "srs": q_srs,
-        "psd_welch": q_psd_welch,
-        "psd_damage": q_psd_damage,
-        "psd_rms": q_psd_rms,
-        "psd_median": q_psd_median,
-        "psd_maxrms": q_psd_maxrms,
-        "psd_all": q_psd_all,
-        "psd_segmented": q_psd_segmented,
-        "interp_cubic": q_interp_cubic,
-        "interp_quadratic": q_interp_quadratic,
-        "accessor_chain": q_accessor_chain,
-        # -- tier 2: anchors + training tier (r03-green re-checks) --------
-        "rainflow": q_rainflow,
-        "rainflow_chunked": q_rainflow_chunked,
-        "filt_iir_exact": q_filt_iir_exact,
-        "filtfilt_exact": q_filtfilt_exact,
-        "srs_exact": q_srs_exact,
-        "interp_cubic_exact": q_interp_cubic_exact,
-        "psd_dft": q_psd_dft,
-        "psd_rms_dft": q_psd_rms_dft,
-        "psd_welch_dft": q_psd_welch_dft,
-        "psd_summary_dft": q_psd_summary_dft,
-        "psd_damage_dft": q_psd_damage_dft,
-        "training_mix": q_training_mix,
-        "seq_pack": q_seq_pack,
-        "tfidf_topk": q_tfidf_topk,
-        "ann_int8": q_ann_int8,
-        # -- tier 3: §2-critical relational backfill (r02+r03 green) ------
-        "between": q_between,
-        "between_freq": q_between_freq,
-        "timeshift": q_timeshift,
-        "deduplicate": q_deduplicate,
-        "rms": q_rms,
-        "spl": q_spl,
-        "samplerate": q_samplerate,
+        # -- tier 1: first-ever driver rows + new chunked-window plans ----
+        "embed_kmeans": q_embed_kmeans,
+        "cluster_sample": q_cluster_sample,
+        "media_image_real": q_media_image_real,
+        "mov_rms_chunked": q_mov_rms_chunked,
+        "integral_chunked": q_integral_chunked,
+        "derivative_chunked": q_derivative_chunked,
+        # -- tier 2: operator code changed this round ---------------------
         "mov_rms": q_mov_rms,
         "integral": q_integral,
         "derivative": q_derivative,
         "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
         "detrend_piecewise": q_detrend_piecewise,
-        "rss_daily": q_rss_daily,
-        "rms_lin": q_rms_lin,
-        "rms_log": q_rms_log,
-        "interp_daily": q_interp_daily,
-        # interp_nearest is the TRUE 50th entry (inside the checked window)
-        "interp_nearest": q_interp_nearest,
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (all hash-green in r01-r03; the local gate keeps their coverage)
+        # -- tier 3: stale r01/r02 driver evidence (verdict item 3) -------
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "tpch_pricing": q_tpch_pricing,
@@ -4325,17 +4426,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "dedup_embed": q_dedup_embed,
-        "embed_kmeans": q_embed_kmeans,
-        "cluster_sample": q_cluster_sample,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_audio_real": q_media_audio_real,
-        "media_image_real": q_media_image_real,
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
+        # -- tier 4: r4-green kernel-tier continuity ----------------------
+        "rainflow": q_rainflow,
+        "rainflow_chunked": q_rainflow_chunked,
+        "filt_butter": q_filt_butter,
+        "filt_chunked": q_filt_chunked,
+        "psd_welch": q_psd_welch,
+        "srs": q_srs,
+        # training_mix is the TRUE 50th entry (inside the checked window)
+        "training_mix": q_training_mix,
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        # (all hash-green in r03/r04; the local gate keeps their coverage)
+        "filt_iir_fft_exact": q_filt_iir_fft_exact,
+        "filt_cfc": q_filt_cfc,
+        "filt_a": q_filt_a,
+        "filt_chain": q_filt_chain,
+        "psd_damage": q_psd_damage,
+        "psd_rms": q_psd_rms,
+        "psd_median": q_psd_median,
+        "psd_maxrms": q_psd_maxrms,
+        "psd_all": q_psd_all,
+        "psd_segmented": q_psd_segmented,
+        "interp_cubic": q_interp_cubic,
+        "interp_quadratic": q_interp_quadratic,
+        "accessor_chain": q_accessor_chain,
+        "filt_iir_exact": q_filt_iir_exact,
+        "filtfilt_exact": q_filtfilt_exact,
+        "srs_exact": q_srs_exact,
+        "interp_cubic_exact": q_interp_cubic_exact,
+        "psd_dft": q_psd_dft,
+        "psd_rms_dft": q_psd_rms_dft,
+        "psd_welch_dft": q_psd_welch_dft,
+        "psd_summary_dft": q_psd_summary_dft,
+        "psd_damage_dft": q_psd_damage_dft,
+        "seq_pack": q_seq_pack,
+        "tfidf_topk": q_tfidf_topk,
+        "ann_int8": q_ann_int8,
+        "between": q_between,
+        "between_freq": q_between_freq,
+        "timeshift": q_timeshift,
+        "deduplicate": q_deduplicate,
+        "rms": q_rms,
+        "spl": q_spl,
+        "samplerate": q_samplerate,
+        "rss_daily": q_rss_daily,
+        "rms_lin": q_rms_lin,
+        "rms_log": q_rms_log,
+        "interp_daily": q_interp_daily,
+        "interp_nearest": q_interp_nearest,
     }
 
 
@@ -4351,6 +4497,9 @@ def oracle_sql() -> dict[str, str]:
         "mov_rms": SQL_MOV_RMS,
         "integral": SQL_INTEGRAL,
         "derivative": SQL_DERIVATIVE,
+        "mov_rms_chunked": SQL_MOV_RMS_CHUNKED,
+        "integral_chunked": SQL_INTEGRAL_CHUNKED,
+        "derivative_chunked": SQL_DERIVATIVE_CHUNKED,
         "detrend_constant": SQL_DETREND_CONSTANT,
         "detrend_linear": SQL_DETREND_LINEAR,
         "detrend_piecewise": SQL_DETREND_PIECEWISE,

@@ -92,11 +92,23 @@ def _lloyd(df, k, iters, id_col, vec_col, exact_sums):
     dim = F.size("v")
 
     # Deterministic seeding: the k smallest ids, cluster = seed rank - 1.
-    wseed = Window.orderBy("vid")
-    cents = (
-        e.withColumn("_r", F.row_number().over(wseed))
-        .filter(F.col("_r") <= k)
-        .select((F.col("_r") - 1).cast("int").alias("cluster"), F.col("v").alias("c"))
+    # orderBy().limit(k) executes as a distributed TakeOrdered (per-
+    # partition top-k, O(k) merged at the driver) — NOT a global window,
+    # which would funnel the entire embeddings table through one
+    # single-partition sort just to pick k rows.  The rank is a broadcast
+    # theta-join count over the k seed ids (rank(vid) = #{vid' <= vid}),
+    # so no windowing — and no single-partition stage — appears anywhere
+    # in seeding.
+    seeds = e.select("vid", "v").orderBy("vid").limit(k)
+    ids = seeds.select("vid")
+    rank = (
+        ids.alias("a")
+        .join(F.broadcast(ids.alias("b")), F.col("b.vid") <= F.col("a.vid"))
+        .groupBy(F.col("a.vid").alias("vid"))
+        .agg((F.count("*") - 1).cast("int").alias("cluster"))
+    )
+    cents = seeds.join(F.broadcast(rank), "vid").select(
+        "cluster", F.col("v").alias("c")
     )
 
     def sqdist(vcol, ccol):

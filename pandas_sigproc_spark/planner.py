@@ -53,7 +53,26 @@ def register_stats(df: DataFrame, stats: ChannelStats) -> None:
     _STATS_CACHE[df.semanticHash()] = stats
 
 
+def invalidate_stats(df: DataFrame | None = None) -> None:
+    """Drop cached stats for ``df`` (or all of them) — call after the
+    files behind a logically-identical plan change (appended partitions):
+    the cache is keyed on the PLAN (``semanticHash``), not on file
+    state, so refreshed inputs would otherwise serve stale geometry."""
+    if df is None:
+        _STATS_CACHE.clear()
+    else:
+        _STATS_CACHE.pop(df.semanticHash(), None)
+
+
 def get_stats(df: DataFrame) -> ChannelStats:
+    """Per-channel row statistics for ``df``.
+
+    NOTE: an ``"auto"``-mode operator constructor calling this runs one
+    EAGER Spark count job at plan-BUILD time (cached per plan semantic
+    hash).  Callers that build plans they never execute, or that know
+    their channel geometry, should pass explicit mode kwargs or
+    pre-register with :func:`register_stats`; refreshed inputs need
+    :func:`invalidate_stats`."""
     key = df.semanticHash()
     hit = _STATS_CACHE.get(key)
     if hit is not None:
@@ -111,6 +130,20 @@ def auto_psd_mode(df: DataFrame, samplerate: float | None, window_length):
     if s.max_rows <= SMALL_CHANNEL_ROWS and s.n_channels > 1:
         return min(4 * _cpus(df), max(s.n_channels // 4, 1)), False
     return None, False
+
+
+def auto_window_mode(df: DataFrame):
+    """chunk_rows for the native ordered-window operators (mov_rms /
+    integral / derivative), or None for the single-window-per-channel
+    plan.  A channel above HUGE_CHANNEL_ROWS would otherwise pass whole
+    through ONE task (Window.partitionBy sorts the full channel in a
+    single partition — SKEW.md measures a 5M-row hot channel at ~50x its
+    peers); the overlap-chunked plan bounds every task at chunk_rows +
+    overlap rows."""
+    s = get_stats(df)
+    if s.max_rows > HUGE_CHANNEL_ROWS:
+        return HUGE_CHANNEL_ROWS // 4
+    return None
 
 
 def auto_srs_mode(df: DataFrame):

@@ -1,0 +1,153 @@
+"""Overlap-chunked native window ops == single-window plans.
+
+The chunked plans (operators/windows.py module docstring) bound task
+memory for huge channels; these tests pin their equality contract:
+bit-identical for mov_rms/derivative (same frames, same fold order),
+association-rounding for integral, and agg-vs-window for detrend.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark import planner
+from pandas_sigproc_spark.operators import derivative, detrend, integral, mov_rms
+from tests.conftest import make_signals
+
+
+@pytest.fixture(scope="module")
+def uniform(spark):
+    # Two uniform channels at DIFFERENT rates (the chunked index is
+    # per-channel) with lengths that are not chunk multiples.
+    rng = np.random.default_rng(7)
+    t_a = np.arange(5000) / 100.0
+    t_b = np.arange(3001) / 250.0
+    return make_signals(
+        spark,
+        {
+            "a": (t_a, rng.standard_normal(5000).round(2)),
+            "b": (t_b, (np.sin(t_b * 3.0) * 10).round(2)),
+        },
+    ).select("channel_id", "t", "value")
+
+
+def _rows(df):
+    pdf = df.toPandas().sort_values(["channel_id", "t"]).reset_index(drop=True)
+    return pdf
+
+
+def test_mov_rms_chunked_bit_exact(uniform):
+    base = _rows(mov_rms(uniform, 0.1, 100.0, chunk_rows=None))
+    # chunk length deliberately not a divisor of either channel length
+    chunk = _rows(mov_rms(uniform, 0.1, 100.0, chunk_rows=257))
+    # NOTE: window=0.1 @ sr=100 -> n=10 for both channels (n is declared
+    # globally, per reference semantics; the INDEX is per-channel).
+    assert len(base) == len(chunk) > 0
+    assert (base["channel_id"] == chunk["channel_id"]).all()
+    assert np.array_equal(base["t"].to_numpy(), chunk["t"].to_numpy())
+    assert np.array_equal(base["value"].to_numpy(), chunk["value"].to_numpy())
+
+
+def test_mov_rms_chunked_n1_and_droplast(uniform):
+    for drop_last in (True, False):
+        base = _rows(
+            mov_rms(uniform, 0.01, 100.0, chunk_rows=None, drop_last=drop_last)
+        )
+        chunk = _rows(
+            mov_rms(uniform, 0.01, 100.0, chunk_rows=512, drop_last=drop_last)
+        )
+        assert np.array_equal(base["value"].to_numpy(), chunk["value"].to_numpy())
+
+
+def test_integral_chunked_matches(uniform):
+    base = _rows(integral(uniform, chunk_rows=None))
+    chunk = _rows(integral(uniform, chunk_rows=300))
+    assert len(base) == len(chunk)
+    np.testing.assert_allclose(
+        base["value"].to_numpy(), chunk["value"].to_numpy(), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_integral_chunked_deterministic(uniform):
+    a = _rows(integral(uniform, chunk_rows=300))["value"].to_numpy()
+    b = _rows(integral(uniform, chunk_rows=300))["value"].to_numpy()
+    assert np.array_equal(a, b)
+
+
+def test_derivative_chunked_bit_exact(uniform):
+    base = _rows(derivative(uniform, chunk_rows=None))
+    chunk = _rows(derivative(uniform, chunk_rows=257))
+    assert len(base) == len(chunk) > 0
+    assert np.array_equal(base["t"].to_numpy(), chunk["t"].to_numpy())
+    assert np.array_equal(base["value"].to_numpy(), chunk["value"].to_numpy())
+
+
+def test_chunk_exact_multiple_length(spark):
+    # channel length an exact multiple of chunk_rows: boundary/last-row
+    # arithmetic (least(_n-1, (seg+1)*L-1)) must not duplicate or drop.
+    t = np.arange(1024) / 64.0
+    df = make_signals(spark, {"m": (t, np.cos(t))}).select(
+        "channel_id", "t", "value"
+    )
+    for op, kw in ((integral, {}), (derivative, {}), (mov_rms, {})):
+        args = (0.125, 64.0) if op is mov_rms else ()
+        base = _rows(op(df, *args, chunk_rows=None))
+        chunk = _rows(op(df, *args, chunk_rows=256))
+        assert len(base) == len(chunk)
+        np.testing.assert_allclose(
+            base["value"].to_numpy(), chunk["value"].to_numpy(), rtol=1e-12
+        )
+
+
+def test_detrend_agg_matches_window(uniform):
+    for dt_type in ("constant", "linear"):
+        w = _rows(detrend(uniform, dt_type, mode="window"))
+        a = _rows(detrend(uniform, dt_type, mode="agg"))
+        np.testing.assert_allclose(
+            w["value"].to_numpy(), a["value"].to_numpy(), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_chunk_guard_raises_on_non_uniform(spark):
+    # duplicate timestamps -> duplicate arithmetic index -> loud error,
+    # never silent mis-framed output.
+    t = np.arange(600) / 100.0
+    t[300] = t[299]  # duplicate
+    df = make_signals(spark, {"j": (t, np.ones(600))}).select(
+        "channel_id", "t", "value"
+    )
+    with pytest.raises(Exception, match="non-consecutive sample index"):
+        mov_rms(df, 0.05, 100.0, chunk_rows=128).collect()
+    with pytest.raises(Exception, match="non-consecutive sample index"):
+        integral(df, chunk_rows=128).collect()
+
+
+def test_auto_selects_chunked_for_huge(uniform):
+    # Fake catalog stats above the HUGE threshold: auto mode must route
+    # to the chunked plan (visible as the explode in the physical plan)
+    # and still produce the single-window answer.
+    planner.register_stats(
+        uniform,
+        planner.ChannelStats(
+            n_channels=2,
+            max_rows=planner.HUGE_CHANNEL_ROWS + 1,
+            total_rows=planner.HUGE_CHANNEL_ROWS + 1,
+        ),
+    )
+    try:
+        out = mov_rms(uniform, 0.1, 100.0)  # chunk_rows="auto"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "explode" in plan.lower() or "generate" in plan.lower()
+        base = _rows(mov_rms(uniform, 0.1, 100.0, chunk_rows=None))
+        auto = _rows(out)
+        assert np.array_equal(base["value"].to_numpy(), auto["value"].to_numpy())
+    finally:
+        planner.invalidate_stats(uniform)
+
+
+def test_auto_keeps_window_plan_for_small(uniform):
+    planner.invalidate_stats()
+    out = mov_rms(uniform, 0.1, 100.0)  # auto; stats say small
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "generate" not in plan.lower()

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pandas_sigproc_spark import planner
-from pandas_sigproc_spark.operators import filt_butter, mov_rms, rms
+from pandas_sigproc_spark.operators import filt_butter, integral, mov_rms, rms
 from pandas_sigproc_spark.session import get_spark
 
 HOT_ROWS = int(os.environ.get("SKEW_HOT_ROWS", 5_000_000))  # > planner.HUGE_CHANNEL_ROWS (4M)
@@ -77,10 +77,22 @@ def main():
 
     rows = []
     rows.append(("rms (native agg)", _time(lambda: noop(rms(df))), "-"))
+    t_win = _time(lambda: noop(mov_rms(df, 0.5, samplerate=SR, chunk_rows=None)))
+    rows.append(("mov_rms single-window (hot channel = ONE task)", t_win, "-"))
+    planner._STATS_CACHE.clear()
+    t_wauto = _time(lambda: noop(mov_rms(df, 0.5, samplerate=SR)))  # auto -> chunked
     rows.append((
-        "mov_rms (native window)",
-        _time(lambda: noop(mov_rms(df, 0.5, samplerate=SR))),
-        "-",
+        "mov_rms AUTO (planner -> overlap-chunked windows)",
+        t_wauto,
+        f"{t_win / t_wauto:.2f}x",
+    ))
+    t_iwin = _time(lambda: noop(integral(df, chunk_rows=None)))
+    rows.append(("integral single-window (hot channel = ONE task)", t_iwin, "-"))
+    t_iauto = _time(lambda: noop(integral(df)))  # auto -> chunked prefix-sum
+    rows.append((
+        "integral AUTO (planner -> chunked prefix-sum)",
+        t_iauto,
+        f"{t_iwin / t_iauto:.2f}x",
     ))
     t_per = _time(
         lambda: noop(filt_butter(df, 10.0, 4, "lowpass", n_buckets=None)), reps=2
