@@ -480,6 +480,18 @@ FROM s
 """
 
 
+def q_detrend_agg(spark, sf_dir):
+    # The scale-safe detrend plan (groupBy sufficient stats + broadcast
+    # joins, zero whole-channel windows — what `auto` picks above
+    # HUGE_CHANNEL_ROWS) forced through the hash gate at sf0.01.  Same
+    # oracle as detrend_linear: the two plans differ only in summation
+    # association, absorbed by the nudge+round contract.
+    sig = _signals(spark, sf_dir).select("channel_id", "t", "value")
+    return detrend(sig, "linear", mode="agg").select(
+        "channel_id", "t", F.round(F.col("value") + _NUDGE, 6).alias("value")
+    )
+
+
 _DETREND_BPS = (200, 400)
 
 
@@ -1570,34 +1582,14 @@ def q_embed_cosine_topk(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
+    from pandas_sigproc_spark.operators.ann import cosine_topk_bruteforce
+
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    nv = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    pairs = (
-        q.crossJoin(e)
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", (dot / (nq * nv)).alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    out = cosine_topk_bruteforce(e, q, k=5)
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "vec_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank"))
+        out.select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
     )
 
 
@@ -4401,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derivative": q_derivative,
         "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
+        "detrend_agg": q_detrend_agg,
         "detrend_piecewise": q_detrend_piecewise,
         # -- tier 3: stale r01/r02 driver evidence (verdict item 3) -------
         "resample": q_resample,
@@ -4440,11 +4433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_butter": q_filt_butter,
         "filt_chunked": q_filt_chunked,
         "psd_welch": q_psd_welch,
-        "srs": q_srs,
         # training_mix is the TRUE 50th entry (inside the checked window)
         "training_mix": q_training_mix,
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (all hash-green in r03/r04; the local gate keeps their coverage)
+        "srs": q_srs,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
@@ -4502,6 +4495,8 @@ def oracle_sql() -> dict[str, str]:
         "derivative_chunked": SQL_DERIVATIVE_CHUNKED,
         "detrend_constant": SQL_DETREND_CONSTANT,
         "detrend_linear": SQL_DETREND_LINEAR,
+        # same oracle: agg plan == window plan under the nudge+round contract
+        "detrend_agg": SQL_DETREND_LINEAR,
         "detrend_piecewise": SQL_DETREND_PIECEWISE,
         "rss_daily": SQL_RSS_DAILY,
         "rms_lin": SQL_RMS_LIN,

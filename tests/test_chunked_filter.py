@@ -95,3 +95,25 @@ def test_named_ops_chunked_requires_samplerate(spark, noisy):
     df, _ = noisy
     with pytest.raises(ValueError, match="samplerate"):
         filt_a(df, chunk_rows=4096)
+
+
+def test_chunked_rejects_rate_mismatch(spark):
+    # A channel whose true rate disagrees with the declared samplerate
+    # produces duplicate/gapped arithmetic indices; the kernel must fail
+    # loudly (wrong cutoffs otherwise), per the auto-mode contract
+    # (operators/filters.py _resolve_filter_mode).
+    from pandas_sigproc_spark.kernels.design import butter as _butter
+
+    rng = np.random.default_rng(3)
+    t_ok = np.arange(6000) / 1000.0
+    t_slow = np.arange(6000) / 400.0  # true rate 400 Hz, declared 1000
+    df = make_signals(
+        spark,
+        {"ok": (t_ok, rng.standard_normal(6000)),
+         "slow": (t_slow, rng.standard_normal(6000))},
+    )
+    b, a = _butter(2, 0.1, "lowpass")
+    out = filt_chunked(df, b, a, zero_phase=True, chunk_rows=2048,
+                       samplerate=1000.0)
+    with pytest.raises(Exception, match="non-consecutive sample index"):
+        out.collect()

@@ -142,6 +142,12 @@ def test_auto_selects_chunked_for_huge(uniform):
         base = _rows(mov_rms(uniform, 0.1, 100.0, chunk_rows=None))
         auto = _rows(out)
         assert np.array_equal(base["value"].to_numpy(), auto["value"].to_numpy())
+        # detrend auto: huge stats -> the agg plan (no Window in the plan)
+        dplan = (
+            detrend(uniform, "linear")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "window" not in dplan.lower()
     finally:
         planner.invalidate_stats(uniform)
 
