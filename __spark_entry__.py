@@ -2875,6 +2875,79 @@ FROM agg
 """
 
 
+def q_media_image_png(spark, sf_dir):
+    """PNG sibling of q_media_image_real: same per-channel quantization,
+    but encoded as baseline PNG (sources/png.py — from-scratch stdlib
+    zlib), decoded back through the magic-dispatched real codec path.
+    n_bytes is omitted: a DEFLATE stream's length is not SQL-predictable
+    (that is exactly what the BMP sibling pins instead); the decoded
+    dimensions and the red-channel pixel sum are.
+    """
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.multimodal import extract_media_features
+    from pandas_sigproc_spark.sources.png import decode_png_bytes, encode_png
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        h = (len(b) + 15) // 16
+        flat = np.zeros(h * 16, dtype=np.uint8)
+        flat[: len(b)] = b
+        px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "kind": ["image"],
+                "payload": [encode_png(px)],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, kind string, payload binary"
+    )
+    feats = extract_media_features(media, codec="real")
+
+    def pix(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "pixel_sum": [
+                        int(decode_png_bytes(bytes(p))[:, :, 0].sum(dtype="int64"))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
+    return (
+        feats.join(sums, "media_id")
+        .select("media_id", "width", "height", "n_frames", "pixel_sum")
+    )
+
+
+SQL_MEDIA_IMAGE_PNG = f"""
+WITH {_SIG_CTE},
+b AS (
+  SELECT channel_id, CAST(TRUNC(value * 10.0) AS BIGINT) % 256 AS pb FROM sig
+),
+agg AS (SELECT channel_id, COUNT(*) AS n, SUM(pb) AS psum FROM b GROUP BY channel_id)
+SELECT CAST(channel_id AS BIGINT) AS media_id,
+       16 AS width,
+       CAST((n + 15) // 16 AS INTEGER) AS height,
+       1 AS n_frames,
+       CAST(psum AS BIGINT) AS pixel_sum
+FROM agg
+"""
+
+
 # Angular step for the relational DFT below: repr-round-tripped so the SQL
 # literal and the Python float are the same double in both engines.
 _DFT_N = 64
@@ -4475,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rms_log": q_rms_log,
         "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
+        "media_image_png": q_media_image_png,
     }
 
 
@@ -4535,6 +4609,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "media_audio_real": SQL_MEDIA_AUDIO_REAL,
         "media_image_real": SQL_MEDIA_IMAGE_REAL,
+        "media_image_png": SQL_MEDIA_IMAGE_PNG,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ngram_counts": SQL_NGRAM_COUNTS,
         "decontaminate": SQL_DECONTAMINATE,

@@ -10,11 +10,12 @@ inside executors, and the output schema is fixed so Catalyst can prune.
 The decode step is isolated behind :func:`decode_payload`:
 
 - ``codec='real'`` runs the engine's from-scratch codecs on real bytes:
-  RIFF/WAVE audio (sources/wav.py), 24-bit BMP images and the BMPV frame
-  container for video (sources/bmp.py) — decode, nearest-neighbour
-  resize, and frame sampling all operate on real pixels.  Other
-  container formats (JPEG/PNG/MP4) would plug in at the same seam (the
-  libraries aren't in this environment).
+  RIFF/WAVE audio (sources/wav.py), 24-bit BMP and baseline PNG images
+  (sources/bmp.py, sources/png.py — magic-dispatched), and the BMPV
+  frame container for video — decode, nearest-neighbour resize (format-
+  preserving re-encode), and frame sampling all operate on real pixels.
+  Other container formats (JPEG/MP4) would plug in at the same seam
+  (the libraries aren't in this environment).
 - ``codec='fake'`` (plumbing tests) derives deterministic pseudo
   metadata and pixel statistics from the raw bytes, so the Spark-side
   plumbing — schema, batch iteration, partitioning, UDF signatures — is
@@ -46,6 +47,36 @@ FEATURE_SCHEMA = (
 )
 
 
+def _decode_image(data: bytes) -> np.ndarray:
+    """Magic-dispatched real image decode: 24-bit BMP (sources/bmp.py) or
+    baseline PNG (sources/png.py — from-scratch on stdlib zlib).  JPEG
+    would plug in at this seam (no libjpeg in this environment)."""
+    if data[:2] == b"BM":
+        from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
+
+        return decode_bmp_bytes(data)
+    from pandas_sigproc_spark.sources import png as _png
+
+    if data[: len(_png.SIGNATURE)] == _png.SIGNATURE:
+        return _png.decode_png_bytes(data)
+    raise NotImplementedError(
+        "unrecognized image container: real codecs cover 24-bit BMP and "
+        "baseline PNG; JPEG plugs in at this seam (operators/multimodal.py)"
+    )
+
+
+def _encode_image_like(px: np.ndarray, original: bytes) -> bytes:
+    """Re-encode in the ORIGINAL payload's container (format-preserving
+    resize)."""
+    from pandas_sigproc_spark.sources import png as _png
+
+    if original[: len(_png.SIGNATURE)] == _png.SIGNATURE:
+        return _png.encode_png(px)
+    from pandas_sigproc_spark.sources.bmp import encode_bmp
+
+    return encode_bmp(px)
+
+
 def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
     """Decode one media payload to (width, height, n_frames).
 
@@ -64,9 +95,7 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
             _rate, arr = decode_wav_bytes(bytes(payload))
             return arr.shape[0], arr.shape[1], 1
         if kind == "image":
-            from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
-
-            px = decode_bmp_bytes(bytes(payload))
+            px = _decode_image(bytes(payload))
             return px.shape[1], px.shape[0], 1
         if kind == "video":
             from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, decode_bmpv
@@ -76,9 +105,9 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
             return px.shape[1], px.shape[0], len(frames)
         raise NotImplementedError(
             f"no real codec for media kind {kind!r}: audio decodes RIFF/WAVE "
-            "(sources/wav.py), image decodes 24-bit BMP and video the BMPV "
-            "frame container (sources/bmp.py); other container formats "
-            "(JPEG/PNG/MP4) plug in here"
+            "(sources/wav.py), image decodes 24-bit BMP (sources/bmp.py) and "
+            "baseline PNG (sources/png.py), video the BMPV frame container; "
+            "other container formats (JPEG/MP4) plug in here"
         )
     n = len(payload)
     if kind == "image":
@@ -158,14 +187,13 @@ def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if codec == "real":
-                    from pandas_sigproc_spark.sources.bmp import (
-                        decode_bmp_bytes,
-                        encode_bmp,
-                        resize_nearest,
-                    )
+                    from pandas_sigproc_spark.sources.bmp import resize_nearest
 
-                    px = decode_bmp_bytes(bytes(payload))
-                    out_b = encode_bmp(resize_nearest(px, width, height))
+                    raw = bytes(payload)
+                    px = _decode_image(raw)
+                    out_b = _encode_image_like(
+                        resize_nearest(px, width, height), raw
+                    )
                     rows.append((int(media_id), width, height, out_b))
                     continue
                 buf = np.frombuffer(payload, dtype=np.uint8)

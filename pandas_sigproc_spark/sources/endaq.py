@@ -135,12 +135,13 @@ def ingest_ide(spark, filename: str):
 def ingest_ide_dir(spark, filenames: list[str], output_path: str) -> None:
     """Distributed ingest: one task per file, appending canonical parquet.
 
-    Each executor task opens its own file (the endaq reader is pure
-    Python, so it runs fine in executors) and writes that file's channels
-    partitioned by ``channel_id``.
+    Each executor task opens its own file (both readers are pure Python,
+    so they run fine in executors) and writes that file's channels
+    partitioned by ``channel_id``.  Files in the engine's own EBML
+    profile are parsed by the built-in reader; anything else needs the
+    ``endaq`` package on the executors (the per-task reader raises a
+    clear ImportError otherwise).
     """
-    _require_endaq()
-
     import pandas as pd
 
     def one_file(fn: str):

@@ -134,3 +134,37 @@ def test_ingest_ide_catalog_rows(spark, tmp_path):
     assert cat["X (100g)"].start_time == datetime(2024, 1, 1, 0, 0, 0)
     n = signals.count()
     assert n == 23  # 20 accel samples + 3 pressure samples
+
+
+def test_ingest_ide_dir_distributed(spark, tmp_path):
+    # The multi-file distributed ingest path (one task per file) over
+    # REAL EBML bytes via the built-in parser — no endaq package, no
+    # mocks: files -> executor-side parse -> canonical parquet.
+    from pandas_sigproc_spark.sources.endaq import ingest_ide_dir
+
+    paths = []
+    for i in range(2):
+        chans = _fixture_channels()
+        for c in chans:
+            c["ch_id"] += 10 * i
+            c["name"] = f"{c['name']}#{i}"
+        p = str(tmp_path / f"rec_dir{i}.ide")
+        with open(p, "wb") as fh:
+            fh.write(mide.encode_recording(chans))
+        paths.append(p)
+    out = str(tmp_path / "ide_parquet")
+    ingest_ide_dir(spark, paths, out)
+    df = spark.read.parquet(out)
+    assert df.count() == 2 * 23  # 20 accel + 3 pressure samples per file
+    names = {r.channel_id.split(":")[-1] for r in df.select("channel_id").distinct().collect()}
+    assert names == {"X (100g)#0", "Pressure#0", "X (100g)#1", "Pressure#1"}
+    # value fidelity through the distributed path: pressure samples are
+    # int16 * scale from the encoded blocks
+    pr = (
+        df.filter(df.channel_id.endswith("Pressure#1"))
+        .toPandas().sort_values("t")["value"].to_numpy()
+    )
+    exp = _fixture_channels()[1]
+    import numpy as np
+    expv = np.concatenate([np.asarray(s, "<i2") for _t, s in exp["blocks"]]) * exp["scale"]
+    np.testing.assert_allclose(pr, expv)
