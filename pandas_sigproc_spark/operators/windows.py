@@ -263,7 +263,11 @@ def _integral_chunked(df, chunk_rows):
     # Chunk totals = the prefix at each chunk's last core row (arithmetic
     # predicate, no extra window); offsets = exclusive running sum over
     # the tiny (channel, seg) totals table, broadcast back.  Left folds
-    # all the way down -> deterministic bits on any layout.
+    # all the way down -> deterministic bits on any layout.  The totals
+    # branch re-derives the windowed subtree (AQE reuses the shuffle
+    # where it can) — deliberately so: persisting the exploded
+    # intermediate would trade a second bounded pass for materializing
+    # the whole corpus, the wrong trade at 100 TB.
     last_i = F.least(F.col("_n") - 1, (F.col("_seg") + 1) * L - 1)
     tots = base.filter(F.col("_i") == last_i).select(
         "channel_id", "_seg", F.col("_prefix").alias("_T")
