@@ -344,6 +344,7 @@ def detrend(
     dt_type: str = "linear",
     breakpoints=None,
     mode: str = "auto",
+    uniform_grid: bool = False,
 ) -> DataFrame:
     """Remove the per-channel mean or the least-squares line.
 
@@ -370,14 +371,21 @@ def detrend(
     three times).  ``"auto"`` (default) picks window unless the planner
     stats show a channel above HUGE_CHANNEL_ROWS (one cached count job at
     build time).  The two agree to summation-association rounding
-    (~1e-15 relative).  ``breakpoints`` always uses the window form:
+    (~1e-15 relative).  ``breakpoints`` defaults to the window form —
     segment membership needs the per-channel ordinal index, which has no
-    sort-free equivalent on a non-uniform grid.
+    sort-free equivalent on a NON-uniform grid — but callers whose
+    channels sit on uniform grids can pass ``uniform_grid=True`` to get
+    the agg form: the ordinal index is reconstructed arithmetically from
+    one broadcast MIN/MAX/COUNT aggregate (per-channel inferred rate,
+    guarded like the chunked ops), so no whole-channel sort/window
+    remains anywhere in the piecewise plan either.
     """
     if breakpoints:
         if dt_type != "linear":
             raise ValueError("breakpoints require dt_type='linear'")
         bps = sorted(int(b) for b in breakpoints)
+        if uniform_grid:
+            return _detrend_piecewise_agg(df, bps)
         wseq = Window.partitionBy("channel_id").orderBy("t")
         idx = F.row_number().over(wseq) - 1
         seg = sum(
@@ -425,6 +433,70 @@ def detrend(
     return (
         centered.withColumn("value", F.col("_yc") - slope * F.col("_tc"))
         .select("channel_id", "t", "value")
+    )
+
+
+def _detrend_piecewise_agg(df, bps):
+    """Piecewise-linear detrend with NO whole-channel window: the ordinal
+    sample index is reconstructed arithmetically (uniform grids only),
+    segments bucket on it, and each (channel, segment) fit comes from
+    groupBy sufficient statistics + broadcast joins.
+
+    A residual guard raises when a timestamp sits off its reconstructed
+    grid slot (mixed-rate / jittered channels).  A channel with DROPPED
+    samples keeps small residuals but shifts ordinal indices — gapped
+    grids are not detectable here; use the window form for those.
+    """
+    geo = df.groupBy("channel_id").agg(
+        F.min("t").alias("_t0"),
+        F.max("t").alias("_t1"),
+        F.count("*").alias("_n"),
+    )
+    sr = (F.col("_n") - 1) / (F.col("_t1") - F.col("_t0"))
+    pos = (F.col("t") - F.col("_t0")) * sr
+    i = F.floor(pos + 0.5).cast("long")
+    off_grid = F.abs(pos - i) > 0.25
+    idx = F.when(
+        off_grid,
+        F.raise_error(
+            F.concat(
+                F.lit("detrend(uniform_grid=True): channel "),
+                F.col("channel_id"),
+                F.lit(
+                    " is not on a uniform time grid (timestamp off its "
+                    "reconstructed slot); use the default window form"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(i)
+    seg = sum(
+        (F.when(idx >= b, 1).otherwise(0) for b in bps), F.lit(0)
+    )
+    src = (
+        df.join(F.broadcast(geo), "channel_id")
+        .withColumn("_seg", seg)
+        .select("channel_id", "_seg", "t", "value")
+    )
+    means = src.groupBy("channel_id", "_seg").agg(
+        F.avg("t").alias("_mt"), F.avg("value").alias("_my")
+    )
+    centered = src.join(F.broadcast(means), ["channel_id", "_seg"]).select(
+        "channel_id",
+        "_seg",
+        "t",
+        (F.col("t") - F.col("_mt")).alias("_tc"),
+        (F.col("value") - F.col("_my")).alias("_yc"),
+    )
+    fits = centered.groupBy("channel_id", "_seg").agg(
+        F.avg(F.col("_tc") * F.col("_yc")).alias("_sxy"),
+        F.avg(F.col("_tc") * F.col("_tc")).alias("_sxx"),
+    )
+    slope = F.coalesce(F.try_divide(F.col("_sxy"), F.col("_sxx")), F.lit(0.0))
+    return (
+        centered.join(F.broadcast(fits), ["channel_id", "_seg"])
+        .select(
+            "channel_id", "t", (F.col("_yc") - slope * F.col("_tc")).alias("value")
+        )
     )
 
 

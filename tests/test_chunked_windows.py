@@ -157,3 +157,29 @@ def test_auto_keeps_window_plan_for_small(uniform):
     out = mov_rms(uniform, 0.1, 100.0)  # auto; stats say small
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "generate" not in plan.lower()
+
+
+def test_detrend_piecewise_agg_matches_window(uniform):
+    bps = [700, 2200]
+    w = _rows(detrend(uniform, "linear", breakpoints=bps))
+    a = _rows(detrend(uniform, "linear", breakpoints=bps, uniform_grid=True))
+    assert len(w) == len(a)
+    np.testing.assert_allclose(
+        w["value"].to_numpy(), a["value"].to_numpy(), rtol=1e-9, atol=1e-9
+    )
+    # no Window operator in the agg plan ("window" also appears inside
+    # the guard's own error-message literal, so match the node spelling)
+    plan = (
+        detrend(uniform, "linear", breakpoints=bps, uniform_grid=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def test_detrend_piecewise_agg_guard(spark):
+    t = np.sort(np.random.default_rng(0).uniform(0, 10, 500))
+    df = make_signals(spark, {"nu": (t, np.ones(500))}).select(
+        "channel_id", "t", "value"
+    )
+    with pytest.raises(Exception, match="not on a uniform time grid"):
+        detrend(df, "linear", breakpoints=[100], uniform_grid=True).collect()
