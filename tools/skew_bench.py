@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pandas_sigproc_spark import planner
-from pandas_sigproc_spark.operators import filt_butter, integral, mov_rms, rms
+from pandas_sigproc_spark.operators import detrend, filt_butter, integral, mov_rms, rms
 from pandas_sigproc_spark.session import get_spark
 
 HOT_ROWS = int(os.environ.get("SKEW_HOT_ROWS", 5_000_000))  # > planner.HUGE_CHANNEL_ROWS (4M)
@@ -85,6 +85,14 @@ def main():
         "mov_rms AUTO (planner -> overlap-chunked windows)",
         t_wauto,
         f"{t_win / t_wauto:.2f}x",
+    ))
+    t_dwin = _time(lambda: noop(detrend(df, "linear", mode="window")))
+    rows.append(("detrend single-window (hot channel = ONE task)", t_dwin, "-"))
+    t_dagg = _time(lambda: noop(detrend(df, "linear", mode="agg")))
+    rows.append((
+        "detrend AGG (groupBy stats + broadcast joins)",
+        t_dagg,
+        f"{t_dwin / t_dagg:.2f}x",
     ))
     t_iwin = _time(lambda: noop(integral(df, chunk_rows=None)))
     rows.append(("integral single-window (hot channel = ONE task)", t_iwin, "-"))
