@@ -84,6 +84,21 @@ def _chunked_src(
     src = df.join(F.broadcast(geo), "channel_id").withColumn(
         "_i",
         F.when(F.col("_n") <= 1, F.lit(0))
+        .when(
+            # zero time span with >1 row: sr is inf, the index NaN->null,
+            # and every downstream filter would silently DROP the channel
+            F.col("_t1") == F.col("_t0"),
+            F.raise_error(
+                F.concat(
+                    F.lit("chunked window op: channel "),
+                    F.col("channel_id"),
+                    F.lit(
+                        " has multiple rows with zero time span (all "
+                        "timestamps equal) — no sample grid exists"
+                    ),
+                )
+            ).cast("long"),
+        )
         .otherwise(F.floor((F.col("t") - F.col("_t0")) * sr + 0.5))
         .cast("long"),
     )

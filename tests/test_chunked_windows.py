@@ -183,3 +183,12 @@ def test_detrend_piecewise_agg_guard(spark):
     )
     with pytest.raises(Exception, match="not on a uniform time grid"):
         detrend(df, "linear", breakpoints=[100], uniform_grid=True).collect()
+
+
+def test_chunk_zero_span_channel_is_loud(spark):
+    t = np.full(50, 3.0)
+    df = make_signals(spark, {"z": (t, np.ones(50))}).select(
+        "channel_id", "t", "value"
+    )
+    with pytest.raises(Exception, match="zero time span"):
+        integral(df, chunk_rows=16).collect()
