@@ -1765,6 +1765,92 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_rep_stats(spark, sf_dir):
+    # Gopher-style repetition filters (operators/text.py
+    # repetition_stats): dup-line fraction + top-bigram occupancy.  The
+    # input derives a multi-line text deterministically (docs have no
+    # newlines: every third doc gets its text duplicated as a second
+    # line) so the line arithmetic is exercised with varied values.
+    from pandas_sigproc_spark.operators.text import repetition_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(d)
+
+
+SQL_REP_STATS = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+              THEN text || chr(10) || text ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS ls,
+         string_split(text, ' ') AS ws
+  FROM d
+),
+bg AS (
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS b
+  FROM base, LATERAL (SELECT UNNEST(RANGE(1, LEN(ws))) AS i) g
+),
+top AS (
+  SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot
+  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(LEN(l.ls) AS BIGINT) AS n_lines,
+       ROUND((LEN(l.ls) - LEN(list_distinct(l.ls))) / CAST(LEN(l.ls) AS DOUBLE), 6)
+         AS dup_line_frac,
+       ROUND(COALESCE(t.topc / CAST(t.tot AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM base l LEFT JOIN top t USING (doc_id)
+"""
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 40, 8
+
+
+def q_doc_chunks(spark, sf_dir):
+    # Sliding-token-window document chunking (operators/text.py
+    # chunk_documents) — the context-length prep step: 40-token chunks,
+    # 8-token overlap, map-side posexplode only.
+    from pandas_sigproc_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), _CHUNK_TOKENS, _CHUNK_OVERLAP
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents
+),
+st AS (
+  SELECT doc_id, ws,
+         CAST(g.k AS INTEGER) AS chunk_id,
+         1 + g.k * {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS s
+  FROM base, LATERAL (
+    SELECT UNNEST(RANGE(0,
+      CAST(FLOOR((GREATEST(LEN(ws) - {_CHUNK_OVERLAP}, 1) - 1)
+                 / {float(_CHUNK_TOKENS - _CHUNK_OVERLAP)!r}) AS BIGINT) + 1)) AS k
+  ) g
+)
+SELECT doc_id, chunk_id,
+       CAST(LEAST({_CHUNK_TOKENS}, LEN(ws) - s + 1) AS INTEGER) AS n_tokens,
+       array_to_string(ws[s : s + {_CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM st
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     # End-to-end training-corpus preparation — the pipeline a pretraining
     # data job runs, as ONE declarative plan: quality gate -> exact dedup
@@ -4500,9 +4586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
-        # -- tier 4: r4-green kernel-tier continuity ----------------------
-        "rainflow": q_rainflow,
-        "rainflow_chunked": q_rainflow_chunked,
+        # -- tier 4: NEW text operators + r4-green kernel continuity ------
+        "rep_stats": q_rep_stats,
+        "doc_chunks": q_doc_chunks,
         "filt_butter": q_filt_butter,
         "filt_chunked": q_filt_chunked,
         "psd_welch": q_psd_welch,
@@ -4511,6 +4597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (all hash-green in r03/r04; the local gate keeps their coverage)
         "srs": q_srs,
+        "rainflow": q_rainflow,
+        "rainflow_chunked": q_rainflow_chunked,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
@@ -4612,6 +4700,8 @@ def oracle_sql() -> dict[str, str]:
         "media_image_png": SQL_MEDIA_IMAGE_PNG,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ngram_counts": SQL_NGRAM_COUNTS,
+        "rep_stats": SQL_REP_STATS,
+        "doc_chunks": SQL_DOC_CHUNKS,
         "decontaminate": SQL_DECONTAMINATE,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "seq_pack": SQL_SEQ_PACK,

@@ -54,6 +54,7 @@ from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
 from pandas_sigproc_spark.operators.ann import cosine_topk_bruteforce
+from pandas_sigproc_spark.operators.text import chunk_documents, repetition_stats
 from pandas_sigproc_spark.operators.dedup import (
     jaccard_near_dupes,
     jaccard_pairs,

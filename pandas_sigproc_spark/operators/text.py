@@ -111,3 +111,114 @@ def sample_threshold_expr(
         cond = F.col(lang_col) == lang
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     return thr.otherwise(default)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters + document chunking (DataFrame-level text operators)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs, *, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_line_frac`` — fraction of newline-delimited lines that are
+      duplicates of an earlier line (map-side expression);
+    - ``top_bigram_frac`` — fraction of word-bigram occurrences taken by
+      the single most frequent bigram.
+
+    High values of either mark boilerplate/spam for corpus filtering.
+    The bigram mode is computed RELATIONALLY (explode → count → max →
+    broadcast-join back): per-document work stays linear, and the only
+    shuffle keys on (doc, bigram) — uniformly distributed, no skew.  A
+    per-doc expression over distinct bigrams would be quadratic in
+    document length; the relational shape is the corpus-scale plan.
+    """
+    ws = F.split(F.col(text_col), " ")
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.when(F.size(ws) < 2, F.array().cast("array<string>"))
+        .otherwise(
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+                f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+                f" element_at(split({text_col}, ' '), i + 1)))"
+            )
+        )
+        .alias("_bgs"),
+    )
+    per_bigram = base.select("doc_id", F.explode("_bgs").alias("_bg"))
+    top = (
+        per_bigram.groupBy("doc_id", "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+    )
+    # Plain equi-join on doc_id — `top` has one row per DOCUMENT, so it
+    # is corpus-sized and must never be broadcast.
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.round(
+                F.coalesce(F.col("_top") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int,
+    overlap: int = 0,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into sliding whitespace-token windows — the
+    training-prep chunking step (context-length packing's upstream).
+
+    Chunk k starts at token ``1 + k*(chunk_tokens - overlap)`` and takes
+    ``chunk_tokens`` tokens (the final chunk may be shorter); documents
+    at or under ``chunk_tokens`` yield exactly one chunk.  Output:
+    ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+
+    Pure map-side: sequence + slice + posexplode per row — no shuffle,
+    no UDF; one document fans out to ~n/stride rows, exactly the explode
+    shape Spark streams without materializing the whole corpus.
+    """
+    if chunk_tokens < 1 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(ws) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    out = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(ws).alias("_n"),
+        ws.alias("_ws"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1)
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_ws"), F.col("_start"), chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -1,0 +1,75 @@
+"""repetition_stats + chunk_documents vs pure-Python references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from collections import Counter
+
+from pandas_sigproc_spark.operators import chunk_documents, repetition_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        "the cat sat on the mat the cat sat again",
+        "spam spam spam spam spam spam",
+        "line one\nline two\nline one\nline three",
+        "single",
+        "a b\na b\na b",
+        " ".join(f"w{i % 7}" for i in range(100)),
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    return spark.createDataFrame(pdf), texts
+
+
+def test_repetition_stats_reference(docs):
+    df, texts = docs
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        dup = (len(lines) - len(set(lines))) / len(lines)
+        ws = t.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        top = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+        assert got[i].n_lines == len(lines)
+        assert got[i].dup_line_frac == pytest.approx(dup, abs=1e-6)
+        assert got[i].top_bigram_frac == pytest.approx(top, abs=1e-6)
+    # the spam doc is flagged hard
+    assert got[1].top_bigram_frac == 1.0
+
+
+@pytest.mark.parametrize("C,O", [(8, 0), (8, 3), (5, 4), (1, 0)])
+def test_chunk_documents_reference(docs, C, O):
+    df, texts = docs
+    out = chunk_documents(df, C, O).toPandas()
+    stride = C - O
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        n = len(ws)
+        starts = list(range(0, max(n - O, 1), stride))
+        rows = out[out.doc_id == i].sort_values("chunk_id")
+        assert list(rows.chunk_id) == list(range(len(starts)))
+        for k, s in enumerate(starts):
+            r = rows.iloc[k]
+            assert r.chunk_text == " ".join(ws[s : s + C])
+            assert r.n_tokens == min(C, n - s)
+    # every token of every doc appears in at least one chunk
+    covered = out.groupby("doc_id")["n_tokens"].sum()
+    for i, t in enumerate(texts):
+        assert covered[i] >= len(t.split(" "))
+
+
+def test_chunk_documents_validation(docs):
+    df, _ = docs
+    with pytest.raises(ValueError):
+        chunk_documents(df, 4, 4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0)
+
+
+def test_chunk_plan_is_map_side(docs):
+    df, _ = docs
+    plan = (
+        chunk_documents(df, 8, 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: posexplode over the scan
