@@ -813,6 +813,19 @@ def q_interp_daily(spark, sf_dir):
     return out.select("channel_id", "t", F.round("value", 6).alias("value"))
 
 
+def q_interp_chunked(spark, sf_dir):
+    # The range-chunked as-of interpolation plan (joins._chunk_assign:
+    # time-range chunks + injected boundary sources) forced through the
+    # hash gate — bit-identical to the global plan, so the oracle is
+    # SQL_INTERP_DAILY verbatim.  Chunk size 400 puts every channel
+    # across many chunks at sf0.01, exercising empty-chunk fills and
+    # boundary injection.
+    sig = deduplicate(_sig_ch(spark, sf_dir))
+    grid = _day_grid(sig)
+    out = interp1d_linear(sig, grid, axis="t", chunk_rows=400)
+    return out.select("channel_id", "t", F.round("value", 6).alias("value"))
+
+
 SQL_INTERP_DAILY = f"""
 WITH {_SIG_CTE},
 dedup AS (
@@ -4586,11 +4599,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
-        # -- tier 4: NEW text operators + r4-green kernel continuity ------
+        # -- tier 4: NEW operators + r4-green kernel continuity -----------
         "rep_stats": q_rep_stats,
         "doc_chunks": q_doc_chunks,
+        "interp_chunked": q_interp_chunked,
         "filt_butter": q_filt_butter,
-        "filt_chunked": q_filt_chunked,
         "psd_welch": q_psd_welch,
         # training_mix is the TRUE 50th entry (inside the checked window)
         "training_mix": q_training_mix,
@@ -4599,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srs": q_srs,
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
+        "filt_chunked": q_filt_chunked,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
@@ -4664,6 +4678,8 @@ def oracle_sql() -> dict[str, str]:
         "rms_lin": SQL_RMS_LIN,
         "rms_log": SQL_RMS_LOG,
         "interp_daily": SQL_INTERP_DAILY,
+        # bit-identical to the global as-of plan (tests/test_interp_chunked)
+        "interp_chunked": SQL_INTERP_DAILY,
         "interp_nearest": SQL_INTERP_NEAREST,
         "resample": SQL_RESAMPLE,
         "segment_stats": SQL_SEGMENT_STATS,

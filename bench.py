@@ -73,6 +73,9 @@ HEADLINE = [
     "seq_pack",
     "ann_int8",
     "training_mix",
+    # round-5 text additions
+    "rep_stats",
+    "doc_chunks",
 ]
 
 

@@ -53,12 +53,93 @@ NATIVE_INTERP_KINDS = (
 )
 
 
+def _chunk_assign(u: DataFrame, chunk_rows: int) -> DataFrame:
+    """Assign every unioned source/target row a time-RANGE chunk id and
+    inject each chunk's out-of-chunk bracketing sources.
+
+    Unlike the arithmetic-index chunking of the window ops (which needs
+    a uniform grid), range chunking only needs a time axis: each channel
+    is cut into ``ceil(n_src / chunk_rows)`` equal time spans (balanced
+    when source density is roughly even; always BOUNDED per task by the
+    span row count).  A chunk's as-of brackets can reach outside it, so
+    for every (channel, chunk) the cumulative latest-earlier source and
+    earliest-later source (tiny per-chunk table, window over chunk ids)
+    are duplicated in as extra source rows — after which the bracket
+    windows are correct per chunk, bit-identical to the global plan.
+
+    NOTE: channels with duplicate source ``_x`` values have ambiguous
+    brackets in the GLOBAL plan too (documented: deduplicate upstream);
+    the boundary table resolves such ties by max/min value, which may
+    differ from the global plan's arbitrary in-window pick.
+    """
+    L = int(chunk_rows)
+    src_only = u.filter(F.col("_is_src") == 1)
+    geo = src_only.groupBy("channel_id").agg(
+        F.min("_x").alias("_t0"),
+        F.max("_x").alias("_t1"),
+        F.count("*").alias("_n"),
+    )
+    nseg = F.greatest(F.ceil(F.col("_n") / L), F.lit(1)).cast("long")
+    span = F.when(
+        F.col("_t1") > F.col("_t0"), (F.col("_t1") - F.col("_t0")) / nseg
+    ).otherwise(F.lit(1.0))
+    raw_seg = F.floor((F.col("_x") - F.col("_t0")) / span).cast("long")
+    # clamp: out-of-range targets live in the first/last chunk, where
+    # their (possibly one-sided) brackets resolve exactly as globally
+    seg = F.least(F.greatest(raw_seg, F.lit(0)), nseg - 1)
+    src2 = u.join(F.broadcast(geo), "channel_id").select(
+        "channel_id", "_x", "_y", "_is_src", seg.alias("_seg")
+    )
+    # per-chunk source extremes -> cumulative across chunks (fills chunks
+    # that hold targets but no sources); spine = every chunk present
+    spine = src2.select("channel_id", "_seg").distinct()
+    b = (
+        src2.filter(F.col("_is_src") == 1)
+        .groupBy("channel_id", "_seg")
+        .agg(
+            F.max(F.struct("_x", "_y")).alias("_lasts"),
+            F.min(F.struct("_x", "_y")).alias("_firsts"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("channel_id")
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("channel_id")
+        .orderBy(F.col("_seg").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bb = (
+        spine.join(b, ["channel_id", "_seg"], "left")
+        .withColumn("_prev", F.last("_lasts", ignorenulls=True).over(w_prev))
+        .withColumn("_next", F.last("_firsts", ignorenulls=True).over(w_next))
+    )
+    inj_prev = bb.filter(F.col("_prev").isNotNull()).select(
+        "channel_id",
+        F.col("_prev._x").alias("_x"),
+        F.col("_prev._y").alias("_y"),
+        F.lit(1).alias("_is_src"),
+        "_seg",
+    )
+    inj_next = bb.filter(F.col("_next").isNotNull()).select(
+        "channel_id",
+        F.col("_next._x").alias("_x"),
+        F.col("_next._y").alias("_y"),
+        F.lit(1).alias("_is_src"),
+        "_seg",
+    )
+    return src2.unionByName(inj_prev).unionByName(inj_next)
+
+
 def interp1d_native(
     df: DataFrame,
     grid: DataFrame,
     axis: str = "t",
     kind: str = "linear",
     bounds_null: bool = False,
+    chunk_rows: int | None | str = "auto",
 ) -> DataFrame:
     """Interpolation of each channel onto per-channel target points, for
     every kind that reduces to the two bracketing samples.
@@ -83,6 +164,13 @@ def interp1d_native(
     ``extension.py:986-996``); distributed engines shouldn't throw from
     executors for one bad point, so with ``bounds_null=True`` they yield
     NULL, and by default they are dropped after a validation count.
+
+    ``chunk_rows="auto"`` (default): above ``planner.HUGE_CHANNEL_ROWS``
+    the bracket windows run per (channel, time-range chunk) with
+    boundary sources injected (:func:`_chunk_assign`) instead of one
+    whole-channel sorted window task — bit-identical results, bounded
+    task memory, and NO uniform-grid requirement (range chunking only
+    needs the time axis).
     """
     kind = kind.lower()
     if kind not in NATIVE_INTERP_KINDS:
@@ -103,6 +191,14 @@ def interp1d_native(
         F.lit(0).alias("_is_src"),
     )
     u = data.unionByName(tgt)
+    from pandas_sigproc_spark.operators.windows import _resolve_chunk_rows
+
+    chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+    if chunk_rows is not None:
+        u = _chunk_assign(u, int(chunk_rows))
+        part_cols = ["channel_id", "_seg"]
+    else:
+        part_cols = ["channel_id"]
     # Both bracket sides are BACKWARD frames (unboundedPreceding, 0):
     # Spark evaluates unbounded-FOLLOWING frames by re-aggregating from
     # each row to the partition end — O(n^2) per channel, a stall on a
@@ -115,12 +211,12 @@ def interp1d_native(
     # the forward bracket still excludes the co-located source (exact
     # hits resolve through _x0, identical to the old frame's semantics).
     w_back = (
-        Window.partitionBy("channel_id")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("_x"), F.col("_is_src").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
-        Window.partitionBy("channel_id")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("_x").desc(), F.col("_is_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -167,9 +263,13 @@ def interp1d_linear(
     grid: DataFrame,
     axis: str = "t",
     bounds_null: bool = False,
+    chunk_rows: int | None | str = "auto",
 ) -> DataFrame:
     """Linear interpolation — ``interp1d_native(kind='linear')``."""
-    return interp1d_native(df, grid, axis=axis, kind="linear", bounds_null=bounds_null)
+    return interp1d_native(
+        df, grid, axis=axis, kind="linear", bounds_null=bounds_null,
+        chunk_rows=chunk_rows,
+    )
 
 
 def interp1d_log(df: DataFrame, grid: DataFrame, axis: str = "freq") -> DataFrame:

@@ -102,6 +102,26 @@ def main():
         t_iauto,
         f"{t_iwin / t_iauto:.2f}x",
     ))
+    import pyspark.sql.functions as F
+
+    from pandas_sigproc_spark.operators import interp1d_native
+
+    grid = spark.range(HOT_ROWS // 10).select(
+        F.lit("hot").alias("channel_id"),
+        (F.col("id") * 10 / SR + 0.5 / SR).alias("t"),
+    )
+    t_gi = _time(
+        lambda: noop(interp1d_native(df, grid, kind="linear", chunk_rows=None)),
+        reps=2,
+    )
+    rows.append(("interp1d single-window (hot channel = ONE task)", t_gi, "-"))
+    planner._STATS_CACHE.clear()
+    t_ci = _time(lambda: noop(interp1d_native(df, grid, kind="linear")), reps=2)
+    rows.append((
+        "interp1d AUTO (planner -> range-chunked as-of)",
+        t_ci,
+        f"{t_gi / t_ci:.2f}x",
+    ))
     t_per = _time(
         lambda: noop(filt_butter(df, 10.0, 4, "lowpass", n_buckets=None)), reps=2
     )
