@@ -883,6 +883,18 @@ def q_resample(spark, sf_dir):
     )
 
 
+def q_resample_chunked(spark, sf_dir):
+    # The range-chunked resample plan (joins._resample_pairs_chunked:
+    # per-chunk lead with the injected global successor) forced through
+    # the hash gate — pairs and emitted grid points are bit-identical to
+    # the global plan, so the oracle is SQL_RESAMPLE verbatim.
+    sig = deduplicate(_sig_ch(spark, sf_dir))
+    out = resample(sig, 1.0 / _RS_DT, kind="linear", chunk_rows=400)
+    return out.select(
+        "channel_id", F.round("t", 6).alias("t"), F.round("value", 6).alias("value")
+    )
+
+
 def q_interp_nearest(spark, sf_dir):
     # Step-kind interpolation stays fully relational (interp1d_native):
     # nearest-sample onto the daily grid, half-intervals rounding down
@@ -4603,7 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "doc_chunks": q_doc_chunks,
         "interp_chunked": q_interp_chunked,
-        "filt_butter": q_filt_butter,
+        "resample_chunked": q_resample_chunked,
         "psd_welch": q_psd_welch,
         # training_mix is the TRUE 50th entry (inside the checked window)
         "training_mix": q_training_mix,
@@ -4613,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,
         "filt_chunked": q_filt_chunked,
+        "filt_butter": q_filt_butter,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filt_cfc": q_filt_cfc,
         "filt_a": q_filt_a,
@@ -4682,6 +4695,8 @@ def oracle_sql() -> dict[str, str]:
         "interp_chunked": SQL_INTERP_DAILY,
         "interp_nearest": SQL_INTERP_NEAREST,
         "resample": SQL_RESAMPLE,
+        # bit-identical to the global pair plan (tests/test_interp_chunked)
+        "resample_chunked": SQL_RESAMPLE,
         "segment_stats": SQL_SEGMENT_STATS,
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,

@@ -289,10 +289,68 @@ def interp1d_log(df: DataFrame, grid: DataFrame, axis: str = "freq") -> DataFram
     )
 
 
+def _resample_pairs_chunked(df: DataFrame, chunk_rows: int) -> DataFrame:
+    """Bracket-pair assembly for resample with bounded tasks: lead()
+    per (channel, time-range chunk), the chunk's earliest-later source
+    injected so the last real row of every chunk still sees its true
+    global successor.  Emits the same (t, value, _x1, _y1, _t0, _t1)
+    pair rows as the global plan, bit-for-bit."""
+    L = int(chunk_rows)
+    src = df.select("channel_id", "t", "value")
+    geo = src.groupBy("channel_id").agg(
+        F.min("t").alias("_t0"),
+        F.max("t").alias("_t1"),
+        F.count("*").alias("_n"),
+    )
+    nseg = F.greatest(F.ceil(F.col("_n") / L), F.lit(1)).cast("long")
+    span = F.when(
+        F.col("_t1") > F.col("_t0"), (F.col("_t1") - F.col("_t0")) / nseg
+    ).otherwise(F.lit(1.0))
+    seg = F.least(
+        F.greatest(F.floor((F.col("t") - F.col("_t0")) / span).cast("long"), F.lit(0)),
+        nseg - 1,
+    )
+    s2 = src.join(F.broadcast(geo), "channel_id").select(
+        "channel_id", "t", "value", "_t0", "_t1", seg.alias("_seg")
+    )
+    firsts = s2.groupBy("channel_id", "_seg").agg(
+        F.min(F.struct("t", "value")).alias("_firsts")
+    )
+    w_next = (
+        Window.partitionBy("channel_id")
+        .orderBy(F.col("_seg").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inj = (
+        firsts.withColumn("_nxt", F.last("_firsts", ignorenulls=True).over(w_next))
+        .filter(F.col("_nxt").isNotNull())
+        .join(F.broadcast(geo.select("channel_id", "_t0", "_t1")), "channel_id")
+        .select(
+            "channel_id",
+            F.col("_nxt.t").alias("t"),
+            F.col("_nxt.value").alias("value"),
+            "_t0",
+            "_t1",
+            "_seg",
+        )
+    )
+    w2 = Window.partitionBy("channel_id", "_seg").orderBy("t")
+    return (
+        s2.unionByName(inj)
+        .withColumn("_x1", F.lead("t").over(w2))
+        .withColumn("_y1", F.lead("value").over(w2))
+        # the injected successor orders last in its chunk (its t exceeds
+        # every in-chunk t), so its own lead is null and this filter
+        # removes it — it exists only to complete the chunk-tail pair
+        .filter(F.col("_x1") > F.col("t"))
+    )
+
+
 def resample(
     df: DataFrame,
     sample_rate: float,
     kind: str = "linear",
+    chunk_rows: int | None | str = "auto",
 ) -> DataFrame:
     """Uniform-grid resampling per channel.
 
@@ -312,6 +370,13 @@ def resample(
 
     Spline kinds need whole-channel state and go to the kernel tier with a
     materialized grid, as before.
+
+    ``chunk_rows="auto"``: above ``planner.HUGE_CHANNEL_ROWS`` the lead
+    window runs per (channel, time-range chunk), with each chunk's
+    earliest-later source injected from a tiny per-chunk boundary table
+    (same technique as :func:`_chunk_assign`, forward side only) — the
+    pairs, and therefore every emitted grid point, are bit-identical to
+    the global plan while task size stays bounded.
     """
     dt = 1.0 / float(sample_rate)
     if kind.lower() not in NATIVE_INTERP_KINDS:
@@ -332,20 +397,27 @@ def resample(
         return interp1d_spline(df, grid, kind=kind)
 
     kind = kind.lower()
-    w = Window.partitionBy("channel_id").orderBy("t")
-    wp = Window.partitionBy("channel_id")
-    d = (
-        df.select("channel_id", "t", "value")
-        .withColumn("_x1", F.lead("t").over(w))
-        .withColumn("_y1", F.lead("value").over(w))
-        # min/max over the same partitioning: reuses the one shuffle.
-        .withColumn("_t0", F.min("t").over(wp))
-        .withColumn("_t1", F.max("t").over(wp))
-        # Drop the final sample (no forward bracket) and zero-width pairs
-        # (duplicate stamps — deduplicate upstream defines which value an
-        # exact hit sees; here the last duplicate carries the interval).
-        .filter(F.col("_x1") > F.col("t"))
-    )
+    from pandas_sigproc_spark.operators.windows import _resolve_chunk_rows
+
+    chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+    if chunk_rows is not None:
+        d = _resample_pairs_chunked(df, int(chunk_rows))
+    else:
+        w = Window.partitionBy("channel_id").orderBy("t")
+        wp = Window.partitionBy("channel_id")
+        d = (
+            df.select("channel_id", "t", "value")
+            .withColumn("_x1", F.lead("t").over(w))
+            .withColumn("_y1", F.lead("value").over(w))
+            # min/max over the same partitioning: reuses the one shuffle.
+            .withColumn("_t0", F.min("t").over(wp))
+            .withColumn("_t1", F.max("t").over(wp))
+            # Drop the final sample (no forward bracket) and zero-width
+            # pairs (duplicate stamps — deduplicate upstream defines which
+            # value an exact hit sees; here the last duplicate carries the
+            # interval).
+            .filter(F.col("_x1") > F.col("t"))
+        )
     n = F.ceil((F.col("_t1") - F.col("_t0")) / dt).cast("long")
     # Candidate grid indices whose point t0 + i*dt could land in
     # [x0, x1): ceil((x - t0)/dt) bounds, widened ±1 against float

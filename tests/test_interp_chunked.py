@@ -100,3 +100,24 @@ def test_auto_uses_chunked_for_huge(setup):
         assert np.array_equal(g["value"].to_numpy(), a["value"].to_numpy())
     finally:
         planner.invalidate_stats(src)
+
+
+@pytest.mark.parametrize("rate,kind", [(10.0, "linear"), (0.37, "nearest"), (3.0, "previous")])
+def test_resample_chunked_equals_global(spark, rate, kind):
+    from pandas_sigproc_spark.operators import resample
+
+    rng = np.random.default_rng(33)
+    # skewed density: dense burst then sparse tail -> some chunks hold
+    # many sources, some few (range chunks are uneven by design)
+    t = np.unique(np.concatenate([
+        np.cumsum(rng.uniform(0.001, 0.02, 3000)),
+        60 + np.cumsum(rng.uniform(0.5, 3.0, 200)),
+    ]))
+    src = make_signals(
+        spark, {"d": (t, rng.standard_normal(len(t)))}
+    ).select("channel_id", "t", "value")
+    g = _vals(resample(src, rate, kind=kind, chunk_rows=None))
+    c = _vals(resample(src, rate, kind=kind, chunk_rows=257))
+    assert len(g) == len(c) > 0
+    assert np.array_equal(g["t"].to_numpy(), c["t"].to_numpy())
+    assert np.array_equal(g["value"].to_numpy(), c["value"].to_numpy())
