@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from pandas_sigproc_spark.kernels import interp as _interp
 
@@ -23,25 +23,101 @@ _OUT_SCHEMA = "channel_id string, t double, value double"
 
 
 def interp1d_spline(
-    df: DataFrame, grid: DataFrame, kind: str = "cubic", axis: str = "t"
+    df: DataFrame,
+    grid: DataFrame,
+    kind: str = "cubic",
+    axis: str = "t",
+    chunk_rows: int | None | str = "auto",
+    overlap_knots: int = 64,
 ) -> DataFrame:
-    """Interpolate each channel onto its grid rows with the given kind."""
+    """Interpolate each channel onto its grid rows with the given kind.
 
-    def kernel(src: pd.DataFrame, tgt: pd.DataFrame) -> pd.DataFrame:
-        if src.empty or tgt.empty:
+    ``chunk_rows="auto"``: above ``planner.HUGE_CHANNEL_ROWS`` the
+    spline runs per (channel, chunk) with ``overlap_knots`` extra knots
+    duplicated on each side (uniform grids only — the chunk index is
+    arithmetic, same precondition as the chunked window ops).  A cubic
+    spline's coefficients are formally global, but a knot's influence
+    decays geometrically with distance ((2-sqrt(3))^d ~ 0.268^d for the
+    natural/not-a-knot tridiagonal solves), so 64 overlap knots put the
+    chunk-boundary error near 1e-37 of signal scale — below float64
+    resolution; the equality is pinned to 1e-10 in
+    tests/test_interp_chunked.py.  Targets route to the chunk whose core
+    knot range contains them; out-of-span targets raise from the kernel
+    in both plans (SciPy parity — ``extension.py:986-996``).
+    """
+    from pandas_sigproc_spark.operators.windows import (
+        _chunked_src,
+        _resolve_chunk_rows,
+    )
+
+    chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+
+    if chunk_rows is None:
+        def kernel(src: pd.DataFrame, tgt: pd.DataFrame) -> pd.DataFrame:
+            if src.empty or tgt.empty:
+                return pd.DataFrame(columns=["channel_id", "t", "value"])
+            src = src.sort_values(axis)
+            x = src[axis].to_numpy(dtype=np.float64)
+            y = src["value"].to_numpy(dtype=np.float64)
+            x2 = np.sort(tgt[axis].to_numpy(dtype=np.float64))
+            y2 = _interp.interp1d(x, y, x2, kind=kind)
+            return pd.DataFrame(
+                {"channel_id": src["channel_id"].iloc[0], "t": x2, "value": y2}
+            )
+
+        return (
+            df.select("channel_id", axis, "value")
+            .groupBy("channel_id")
+            .cogroup(grid.select("channel_id", axis).groupBy("channel_id"))
+            .applyInPandas(kernel, _OUT_SCHEMA)
+        )
+
+    L, O = int(chunk_rows), int(overlap_knots)
+    src = df.select(
+        "channel_id", F.col(axis).alias("t"), "value"
+    )
+    chunked = _chunked_src(src, L, overlap_back=O, overlap_fwd=O)
+    # route each target to the chunk whose CORE knot range contains it
+    # (clamped: out-of-span targets evaluate in the true end chunks)
+    geo = src.groupBy("channel_id").agg(
+        F.min("t").alias("_t0"),
+        F.max("t").alias("_t1"),
+        F.count("*").alias("_n"),
+    )
+    sr = (F.col("_n") - 1) / (F.col("_t1") - F.col("_t0"))
+    nseg = (F.floor((F.col("_n") - 1) / L) + 1).cast("long")
+    tpos = (F.col("t") - F.col("_t0")) * sr / L
+    tseg = F.least(
+        F.greatest(F.floor(tpos).cast("long"), F.lit(0)), nseg - 1
+    )
+    tgt = (
+        grid.select("channel_id", F.col(axis).alias("t"))
+        .join(F.broadcast(geo), "channel_id")
+        .select("channel_id", "t", tseg.alias("_seg"))
+    )
+
+    def kernel_chunk(src_pdf: pd.DataFrame, tgt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if src_pdf.empty or tgt_pdf.empty:
             return pd.DataFrame(columns=["channel_id", "t", "value"])
-        src = src.sort_values(axis)
-        x = src[axis].to_numpy(dtype=np.float64)
-        y = src["value"].to_numpy(dtype=np.float64)
-        x2 = np.sort(tgt[axis].to_numpy(dtype=np.float64))
+        src_pdf = src_pdf.sort_values("_i")
+        iv = src_pdf["_i"].to_numpy()
+        if len(iv) > 1 and (np.diff(iv) != 1).any():
+            raise ValueError(
+                "interp1d_spline chunked: non-consecutive sample index in "
+                f"channel {src_pdf['channel_id'].iloc[0]!r} — chunked "
+                "spline interpolation requires a uniform strictly-"
+                "increasing grid (pass chunk_rows=None)"
+            )
+        x = src_pdf["t"].to_numpy(dtype=np.float64)
+        y = src_pdf["value"].to_numpy(dtype=np.float64)
+        x2 = np.sort(tgt_pdf["t"].to_numpy(dtype=np.float64))
         y2 = _interp.interp1d(x, y, x2, kind=kind)
         return pd.DataFrame(
-            {"channel_id": src["channel_id"].iloc[0], "t": x2, "value": y2}
+            {"channel_id": src_pdf["channel_id"].iloc[0], "t": x2, "value": y2}
         )
 
     return (
-        df.select("channel_id", axis, "value")
-        .groupBy("channel_id")
-        .cogroup(grid.select("channel_id", axis).groupBy("channel_id"))
-        .applyInPandas(kernel, _OUT_SCHEMA)
+        chunked.groupBy("channel_id", "_seg")
+        .cogroup(tgt.groupBy("channel_id", "_seg"))
+        .applyInPandas(kernel_chunk, _OUT_SCHEMA)
     )

@@ -394,7 +394,7 @@ def resample(
         ).select("channel_id", (F.col("_t0") + F.col("_i") * dt).alias("t"))
         from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 
-        return interp1d_spline(df, grid, kind=kind)
+        return interp1d_spline(df, grid, kind=kind, chunk_rows=chunk_rows)
 
     kind = kind.lower()
     from pandas_sigproc_spark.operators.windows import _resolve_chunk_rows

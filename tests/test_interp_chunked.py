@@ -121,3 +121,42 @@ def test_resample_chunked_equals_global(spark, rate, kind):
     assert len(g) == len(c) > 0
     assert np.array_equal(g["t"].to_numpy(), c["t"].to_numpy())
     assert np.array_equal(g["value"].to_numpy(), c["value"].to_numpy())
+
+
+@pytest.mark.parametrize("kind", ["cubic", "quadratic"])
+def test_spline_chunked_matches_global(spark, kind):
+    from pandas_sigproc_spark.operators import interp1d_spline
+
+    rng = np.random.default_rng(9)
+    t = np.arange(4000) / 200.0
+    src = make_signals(
+        spark, {"u": (t, np.sin(t * 2.0) + 0.1 * rng.standard_normal(4000))}
+    ).select("channel_id", "t", "value")
+    gt = np.sort(rng.uniform(0.0, t[-1], 1500))  # in-span (kernel raises
+    # on out-of-range targets in BOTH plans — SciPy parity)
+    grid = spark.createDataFrame(
+        pd.DataFrame({"channel_id": "u", "t": gt})
+    )
+    g = _vals(interp1d_spline(src, grid, kind=kind, chunk_rows=None))
+    c = _vals(interp1d_spline(src, grid, kind=kind, chunk_rows=256,
+                              overlap_knots=48))
+    assert len(g) == len(c) == 1500
+    assert np.array_equal(g["t"].to_numpy(), c["t"].to_numpy())
+    np.testing.assert_allclose(
+        g["value"].to_numpy(), c["value"].to_numpy(), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_spline_chunked_rejects_non_uniform(spark):
+    from pandas_sigproc_spark.operators import interp1d_spline
+
+    rng = np.random.default_rng(4)
+    t = np.sort(rng.uniform(0, 50, 900))
+    src = make_signals(spark, {"nu": (t, np.sin(t))}).select(
+        "channel_id", "t", "value"
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame({"channel_id": "nu", "t": np.linspace(1, 49, 100)})
+    )
+    with pytest.raises(Exception, match="non-consecutive sample index"):
+        interp1d_spline(src, grid, kind="cubic", chunk_rows=128).collect()
