@@ -91,8 +91,13 @@ def _chunk_assign(u: DataFrame, chunk_rows: int) -> DataFrame:
         "channel_id", "_x", "_y", "_is_src", seg.alias("_seg")
     )
     # per-chunk source extremes -> cumulative across chunks (fills chunks
-    # that hold targets but no sources); spine = every chunk present
-    spine = src2.select("channel_id", "_seg").distinct()
+    # that hold targets but no sources); the spine enumerates every chunk
+    # id [0, nseg) ARITHMETICALLY from the tiny geo table (clamping pins
+    # all rows into that range) — no distinct scan over the data
+    spine = geo.select(
+        "channel_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("_seg"),
+    )
     b = (
         src2.filter(F.col("_is_src") == 1)
         .groupBy("channel_id", "_seg")
