@@ -104,7 +104,7 @@ def main():
     ))
     import pyspark.sql.functions as F
 
-    from pandas_sigproc_spark.operators import interp1d_native
+    from pandas_sigproc_spark.operators import interp1d_native, resample
 
     grid = spark.range(HOT_ROWS // 10).select(
         F.lit("hot").alias("channel_id"),
@@ -121,6 +121,15 @@ def main():
         "interp1d AUTO (planner -> range-chunked as-of)",
         t_ci,
         f"{t_gi / t_ci:.2f}x",
+    ))
+    t_gr = _time(lambda: noop(resample(df, SR / 10.0, chunk_rows=None)), reps=2)
+    rows.append(("resample single-window (hot channel = ONE task)", t_gr, "-"))
+    planner._STATS_CACHE.clear()
+    t_cr = _time(lambda: noop(resample(df, SR / 10.0)), reps=2)
+    rows.append((
+        "resample AUTO (planner -> range-chunked pairs)",
+        t_cr,
+        f"{t_gr / t_cr:.2f}x",
     ))
     t_per = _time(
         lambda: noop(filt_butter(df, 10.0, 4, "lowpass", n_buckets=None)), reps=2
