@@ -85,9 +85,14 @@ def _chunk_assign(u: DataFrame, chunk_rows: int) -> DataFrame:
     ).otherwise(F.lit(1.0))
     raw_seg = F.floor((F.col("_x") - F.col("_t0")) / span).cast("long")
     # clamp: out-of-range targets live in the first/last chunk, where
-    # their (possibly one-sided) brackets resolve exactly as globally
-    seg = F.least(F.greatest(raw_seg, F.lit(0)), nseg - 1)
-    src2 = u.join(F.broadcast(geo), "channel_id").select(
+    # their (possibly one-sided) brackets resolve exactly as globally.
+    # LEFT join + coalesce(0): a grid channel with no sources at all has
+    # no geo row — its targets park in chunk 0 and bracket to NULL,
+    # matching the global plan (inner join would silently drop them).
+    seg = F.coalesce(
+        F.least(F.greatest(raw_seg, F.lit(0)), nseg - 1), F.lit(0)
+    )
+    src2 = u.join(F.broadcast(geo), "channel_id", "left").select(
         "channel_id", "_x", "_y", "_is_src", seg.alias("_seg")
     )
     # per-chunk source extremes -> cumulative across chunks (fills chunks

@@ -160,3 +160,26 @@ def test_spline_chunked_rejects_non_uniform(spark):
     )
     with pytest.raises(Exception, match="non-consecutive sample index"):
         interp1d_spline(src, grid, kind="cubic", chunk_rows=128).collect()
+
+
+def test_chunked_grid_only_channel_matches_global(spark):
+    # a grid channel with NO source samples: global plan yields NULLs
+    # under bounds_null=True (and drops them otherwise); chunked must
+    # not silently lose the channel in the geo join.
+    src = make_signals(
+        spark, {"has": (np.asarray([0.0, 1.0, 2.0]), np.asarray([1.0, 2.0, 3.0]))}
+    ).select("channel_id", "t", "value")
+    grid = spark.createDataFrame(
+        pd.DataFrame({"channel_id": ["has", "ghost", "ghost"], "t": [0.5, 1.0, 2.0]})
+    )
+    for bounds_null in (True, False):
+        g = _vals(interp1d_native(src, grid, kind="linear",
+                                  bounds_null=bounds_null, chunk_rows=None))
+        c = _vals(interp1d_native(src, grid, kind="linear",
+                                  bounds_null=bounds_null, chunk_rows=2))
+        assert list(g["channel_id"]) == list(c["channel_id"])
+        assert np.array_equal(g["t"].to_numpy(), c["t"].to_numpy())
+        gv = g["value"].to_numpy(dtype=float)
+        cv = c["value"].to_numpy(dtype=float)
+        assert np.array_equal(np.isnan(gv), np.isnan(cv))
+        assert np.array_equal(gv[~np.isnan(gv)], cv[~np.isnan(cv)])
