@@ -145,12 +145,17 @@ def repetition_stats(
             / F.size(lines).cast("double"),
             6,
         ).alias("dup_line_frac"),
+        # Bigrams via zip_with over two slices of ONE split: higher-order
+        # lambdas are evaluated interpreted with NO common-subexpression
+        # elimination, so putting split() inside the lambda (e.g.
+        # element_at(split(text), i)) re-splits the whole document per
+        # element — O(len^2) per doc, measured 15s -> 0.4s at sf0.1.
         F.when(F.size(ws) < 2, F.array().cast("array<string>"))
         .otherwise(
-            F.expr(
-                f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-                f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
-                f" element_at(split({text_col}, ' '), i + 1)))"
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             )
         )
         .alias("_bgs"),
