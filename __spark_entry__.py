@@ -1876,6 +1876,64 @@ FROM st
 """
 
 
+_SUBSTR_N = 8
+
+
+def q_substr_dedup(spark, sf_dir):
+    # Exact substring-span dedup (operators/text.py substring_dedup —
+    # word-level ExactSubstr after Lee et al. 2022): tokens covered by
+    # any corpus-duplicated word-8-gram are marked and removed.  Gram
+    # generation is map-side (one split per row, zip_with slice chain);
+    # the duplicate test is a partial-agg count on md5 keys; covered
+    # positions fold into one per-doc set.  Linear in corpus tokens.
+    from pandas_sigproc_spark.operators.text import substring_dedup
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return substring_dedup(d, n=_SUBSTR_N)
+
+
+SQL_SUBSTR_DEDUP = f"""
+WITH t AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id, CAST(s.i AS INTEGER) AS pos,
+         MD5(ARRAY_TO_STRING(w[s.i : s.i + {_SUBSTR_N - 1}], ' ')) AS h
+  FROM t, LATERAL (
+    SELECT UNNEST(RANGE(1, GREATEST(LEN(w) - {_SUBSTR_N - 1}, 0) + 1)) AS i
+  ) s
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+cov AS MATERIALIZED (
+  SELECT DISTINCT g.doc_id, g.pos + u.j AS tp
+  FROM g JOIN dup USING (h),
+       LATERAL (SELECT UNNEST(RANGE(0, {_SUBSTR_N})) AS j) u
+),
+cagg AS (SELECT doc_id, COUNT(*) AS nd FROM cov GROUP BY doc_id),
+tok AS (
+  SELECT t.doc_id, CAST(s.p AS INTEGER) AS p, t.w[s.p] AS tokw
+  FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) + 1)) AS p) s
+),
+kept AS (
+  SELECT k.doc_id, k.p, k.tokw FROM tok k
+  ANTI JOIN cov ON k.doc_id = cov.doc_id AND k.p = cov.tp
+),
+ct AS (
+  SELECT doc_id, STRING_AGG(tokw, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(LEN(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.nd, 0) AS BIGINT) AS n_dup_tokens,
+       ROUND(CAST(COALESCE(c.nd, 0) AS DOUBLE) / LEN(t.w), 6) AS dup_frac,
+       COALESCE(ct.clean_text, '') AS clean_text
+FROM t LEFT JOIN cagg c USING (doc_id) LEFT JOIN ct USING (doc_id)
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     # End-to-end training-corpus preparation — the pipeline a pretraining
     # data job runs, as ONE declarative plan: quality gate -> exact dedup
@@ -2335,6 +2393,53 @@ uu AS (
 SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster,
        CAST(u AS BIGINT) AS u
 FROM uu WHERE u * n < {_CLUSTER_SAMPLE_TARGET} * 1000000
+"""
+
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/kmeans.py
+    semantic_dedup, after Abbas et al. 2023): k-means the embeddings
+    (exact_sums mode — assignments bit-match the oracle's Lloyd replay),
+    then drop every vector with a smaller-id within-cluster neighbour at
+    round(cos, 6) >= 0.4.  Pairs are WITHIN-CLUSTER only, so the
+    quadratic cost is bounded by the largest cluster — k is the knob at
+    corpus scale.  Cosines are rounded before the threshold compare so
+    the boundary cannot flip between engines.
+    """
+    from pandas_sigproc_spark.operators.kmeans import semantic_dedup
+
+    e = _embeds(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return semantic_dedup(
+        e, k=8, iters=2, threshold=_SEMDEDUP_THRESHOLD, exact_sums=True
+    )
+
+
+def _sql_semdedup() -> str:
+    # Reuses the bit-exact k-means CTEs; i2asg(vid, v, cluster) is the
+    # second-round assignment with the vector attached.
+    kmeans_ctes = _sql_embed_kmeans().split("WITH", 1)[1].rsplit(
+        ",\ncnt AS", 1
+    )[0]
+    return f"""
+WITH{kmeans_ctes},
+drp AS (
+  SELECT DISTINCT a.vid
+  FROM i2asg a JOIN i2asg b ON a.cluster = b.cluster AND b.vid < a.vid
+  WHERE ROUND(
+    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
+    / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+       * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))), 6)
+    >= CAST('{_SEMDEDUP_THRESHOLD!r}' AS DOUBLE)
+)
+SELECT CAST(a.vid AS BIGINT) AS vec_id,
+       CAST(a.cluster AS INTEGER) AS cluster,
+       (d.vid IS NULL) AS keep
+FROM i2asg a LEFT JOIN drp d ON a.vid = d.vid
 """
 
 
@@ -4568,6 +4673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "cluster_sample": q_cluster_sample,
         "media_image_real": q_media_image_real,
+        "semdedup": q_semdedup,
+        "substr_dedup": q_substr_dedup,
         "mov_rms_chunked": q_mov_rms_chunked,
         "integral_chunked": q_integral_chunked,
         "derivative_chunked": q_derivative_chunked,
@@ -4729,6 +4836,8 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_real": SQL_MEDIA_AUDIO_REAL,
         "media_image_real": SQL_MEDIA_IMAGE_REAL,
         "media_image_png": SQL_MEDIA_IMAGE_PNG,
+        "semdedup": _sql_semdedup(),
+        "substr_dedup": SQL_SUBSTR_DEDUP,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ngram_counts": SQL_NGRAM_COUNTS,
         "rep_stats": SQL_REP_STATS,

@@ -54,7 +54,16 @@ from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
 from pandas_sigproc_spark.operators.ann import cosine_topk_bruteforce
-from pandas_sigproc_spark.operators.text import chunk_documents, repetition_stats
+from pandas_sigproc_spark.operators.text import (
+    chunk_documents,
+    repetition_stats,
+    substring_dedup,
+)
+from pandas_sigproc_spark.operators.kmeans import (
+    kmeans_embeddings,
+    kmeans_assignments,
+    semantic_dedup,
+)
 from pandas_sigproc_spark.operators.dedup import (
     jaccard_near_dupes,
     jaccard_pairs,
@@ -99,4 +108,10 @@ __all__ = [
     "jaccard_ppjoin",
     "pack_sequences",
     "apply_channel_kernel",
+    "chunk_documents",
+    "repetition_stats",
+    "substring_dedup",
+    "kmeans_embeddings",
+    "kmeans_assignments",
+    "semantic_dedup",
 ]

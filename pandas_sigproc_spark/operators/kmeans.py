@@ -166,3 +166,92 @@ def _lloyd(df, k, iters, id_col, vec_col, exact_sums):
         )
 
     return assigned, cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_sums: bool = False,
+    round_digits: int = 6,
+    max_cluster_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (after Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embeddings, then inside each cluster
+    drop every vector that has a higher-similarity earlier twin — keep
+    ``x`` iff no ``y`` with ``y.id < x.id`` in the same cluster has
+    ``round(cos(x, y), round_digits) >= threshold``.
+
+    Output: ``(id_col long, cluster int, keep boolean)`` — one row per
+    input vector, so downstream filters see both kept and dropped rows
+    (and the drop rate) without a second pass.
+
+    The dominance rule (compare against ALL smaller ids, not a greedy
+    kept-chain) is deterministic, engine-independent, and expressible as
+    one self-join — the standard large-scale simplification of the
+    paper's per-cluster pruning.  Cosines are rounded before the
+    threshold compare so the boundary cannot flip on last-ulp
+    summation-order differences between engines.
+
+    Scale shape: the candidate pairs are WITHIN-CLUSTER only, so the
+    quadratic blow-up of all-pairs cosine is bounded by the largest
+    cluster: cost ~ sum(|c|^2).  k is the knob — at corpus scale pick
+    k ≈ N / target_cluster_size (the paper uses ~100k clusters for
+    ~100M docs, clusters of ~1k).  Pass ``max_cluster_rows`` to fail
+    loudly (one tiny k-row aggregate) instead of running an oversized
+    within-cluster pair join.  The corpus never shuffles for assignment
+    (broadcast centroids, see module docstring); the pair join shuffles
+    on cluster id once.
+    """
+    assigned, _ = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
+    if max_cluster_rows is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+        worst = sizes.agg(F.max("n").alias("mx")).collect()[0]["mx"]
+        if worst is not None and worst > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {worst} rows, above "
+                f"max_cluster_rows={max_cluster_rows}; raise k (target "
+                "k ~ N / desired_cluster_size) or lift the guard"
+            )
+
+    def _cos(va, vb):
+        def nrm(c):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(c, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        dot = F.aggregate(
+            F.zip_with(va, vb, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (nrm(va) * nrm(vb))
+
+    a = assigned.select("vid", "v", "cluster")
+    b = assigned.select(
+        F.col("vid").alias("_bvid"), F.col("v").alias("_bv"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_bvid") < F.col("vid"))
+        .filter(
+            F.round(_cos(F.col("v"), F.col("_bv")), round_digits)
+            >= F.lit(threshold)
+        )
+        .select("vid")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return a.join(dropped, "vid", "left").select(
+        F.col("vid").cast("long").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("_drop").isNull().alias("keep"),
+    )

@@ -227,3 +227,94 @@ def chunk_documents(
             " ", F.slice(F.col("_ws"), F.col("_start"), chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def substring_dedup(
+    docs,
+    n: int = 8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+):
+    """Exact substring-span deduplication (word-level ExactSubstr, after
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): mark every token covered by a word ``n``-gram that occurs
+    at least ``min_count`` times ANYWHERE in the corpus (across or within
+    documents), and emit the document with those spans removed.
+
+    Output: ``(doc_id long, n_tokens long, n_dup_tokens long,
+    dup_frac double, clean_text string)`` — ``clean_text`` is the
+    original token sequence with covered tokens dropped (order
+    preserved; empty string when everything is covered).
+
+    Scale shape (the suffix-array step of the paper re-expressed
+    relationally): gram generation is map-side — ONE split per row, with
+    n-grams built by a zip_with chain over array slices, never by
+    indexing a re-split inside a higher-order lambda (that pattern
+    re-splits the document per element: O(len^2) per doc — see
+    repetition_stats).  The duplicate test is a partial-agg count on
+    fixed-width md5 keys; the position join is bounded by the corpus
+    gram count (hot grams cannot blow it up — each occurrence joins one
+    boolean, not the other occurrences); per-doc state is a
+    collect_set of covered positions bounded by document length.  Total
+    cost O(corpus tokens * n) — linear, shuffle keys uniform.
+    """
+    if n < 2:
+        raise ValueError("need n >= 2")
+    if min_count < 2:
+        raise ValueError("need min_count >= 2")
+    ws = F.split(F.col(text_col), " ")
+    # m = number of n-grams; slice chain: gram i = tokens i..i+n-1.
+    m = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(ws, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(ws, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    g = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.transform(grams, lambda s: F.md5(s))).alias(
+            "pos0", "h"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    cov = g.join(dup, "h").select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("tp"),
+    )
+    covagg = cov.groupBy("doc_id").agg(F.collect_set("tp").alias("_cv"))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    )
+    joined = base.join(covagg, "doc_id", "left").select(
+        "doc_id",
+        F.col(text_col),
+        F.coalesce(F.col("_cv"), F.array().cast("array<int>")).alias("_cv"),
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_dup = F.size("_cv").cast("long")
+    return joined.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dup.alias("n_dup_tokens"),
+        F.round(n_dup.cast("double") / n_tok, 6).alias("dup_frac"),
+        # split is filter's ARGUMENT (evaluated once); the lambda touches
+        # only (element, index, _cv) — no per-element re-split.
+        F.array_join(
+            F.filter(
+                F.split(F.col(text_col), " "),
+                lambda w, i: ~F.array_contains(F.col("_cv"), i + F.lit(1)),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

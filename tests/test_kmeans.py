@@ -70,3 +70,83 @@ def test_kmeans_validates_args(spark):
         kmeans_embeddings(df, k=0)
     with pytest.raises(ValueError):
         kmeans_embeddings(df, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style within-cluster cosine pruning)
+# ---------------------------------------------------------------------------
+
+from pandas_sigproc_spark.operators.kmeans import (  # noqa: E402
+    kmeans_assignments,
+    semantic_dedup,
+)
+
+
+def _ref_semdedup(pts, assign, threshold, digits=6):
+    """Reference dominance rule: drop x iff some y < x in the same
+    cluster has round(cos(x, y), digits) >= threshold."""
+    import numpy as np
+
+    norm = np.sqrt((pts**2).sum(axis=1))
+    keep = []
+    for x in range(len(pts)):
+        dominated = False
+        for y in range(x):
+            if assign[y] != assign[x]:
+                continue
+            cos = float(pts[x] @ pts[y] / (norm[x] * norm[y]))
+            if round(cos, digits) >= threshold:
+                dominated = True
+                break
+        keep.append(not dominated)
+    return keep
+
+
+def test_semantic_dedup_matches_reference(spark):
+    df = _emb(spark, n=40)
+    pdf = df.toPandas().sort_values("vec_id")
+    pts = np.array(pdf["embedding"].tolist())
+    asg = (
+        kmeans_assignments(df, k=3, iters=2)
+        .toPandas()
+        .set_index("vec_id")["cluster"]
+        .sort_index()
+        .to_numpy()
+    )
+    # Blob data: everything in a blob is near-parallel, so a high
+    # threshold still prunes most of each cluster down to its earliest
+    # members — a strong, non-degenerate check.
+    out = (
+        semantic_dedup(df, k=3, iters=2, threshold=0.9)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    expected = _ref_semdedup(pts, asg, 0.9)
+    assert out["keep"].tolist() == expected
+    assert out["cluster"].to_numpy().tolist() == asg.tolist()
+    # sanity: the rule actually fires and actually spares the earliest
+    # vector of every cluster
+    assert not out["keep"].all()
+    first_per_cluster = out.groupby("cluster")["vec_id"].min()
+    kept_ids = set(out[out["keep"]]["vec_id"])
+    assert set(first_per_cluster).issubset(kept_ids)
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    # A looser threshold can only drop MORE vectors.
+    df = _emb(spark, n=30)
+    tight = semantic_dedup(df, k=2, iters=1, threshold=0.999999)
+    loose = semantic_dedup(df, k=2, iters=1, threshold=0.5)
+    n_tight = tight.filter("NOT keep").count()
+    n_loose = loose.filter("NOT keep").count()
+    assert n_tight <= n_loose
+    assert tight.count() == loose.count() == 30
+
+
+def test_semantic_dedup_cluster_guard(spark):
+    df = _emb(spark, n=30)
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_dedup(df, k=2, iters=1, max_cluster_rows=5)
+    # guard passes when the bound is generous
+    out = semantic_dedup(df, k=2, iters=1, max_cluster_rows=30)
+    assert out.count() == 30
