@@ -76,6 +76,8 @@ HEADLINE = [
     # round-5 text additions
     "rep_stats",
     "doc_chunks",
+    "substr_dedup",
+    "semdedup",
 ]
 
 
