@@ -176,6 +176,14 @@ def main():
     # for these queries, and within-run rep2/rep3 reuse plan-matched
     # cache blocks identically.
     #
+    # Round-5 notes: rep_stats dropped 15.07s -> ~1s — a real fix, not
+    # jitter (the bigram lambda re-split the document per element;
+    # higher-order lambdas get no common-subexpression elimination —
+    # operators/text.py).  Conversely segment_stats/media_audio_real
+    # read 2.4-2.7x slower in one r5 run (1.02/2.59) than another the
+    # same day with byte-identical code (0.43/1.19) — the same
+    # neighbor-load episodes; trust the min across runs.
+    #
     # planner.get_stats eager count jobs ("auto" scale modes) do NOT
     # bias these numbers: the stats cache is keyed on the plan's
     # semanticHash, so only rep0 of a query ever pays the scan and the
