@@ -150,3 +150,37 @@ def test_semantic_dedup_cluster_guard(spark):
     # guard passes when the bound is generous
     out = semantic_dedup(df, k=2, iters=1, max_cluster_rows=30)
     assert out.count() == 30
+
+
+def test_semantic_dedup_random_embeddings_match_reference(spark):
+    # Seeded random (non-blob) embeddings at several thresholds: the
+    # Spark plan must reproduce the dominance rule exactly.
+    import pandas as pd
+
+    for seed, thr in [(11, 0.7), (12, 0.9), (13, 0.99)]:
+        rng = np.random.default_rng(seed)
+        pts = rng.normal(0, 1, (36, 5))
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(len(pts)),
+                    "embedding": [list(map(float, p)) for p in pts],
+                }
+            )
+        )
+        asg = (
+            kmeans_assignments(df, k=4, iters=2)
+            .toPandas()
+            .set_index("vec_id")["cluster"]
+            .sort_index()
+            .to_numpy()
+        )
+        out = (
+            semantic_dedup(df, k=4, iters=2, threshold=thr)
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        assert out["keep"].tolist() == _ref_semdedup(pts, asg, thr), (
+            seed,
+            thr,
+        )

@@ -102,3 +102,51 @@ def test_validates_args(spark):
         substring_dedup(df, n=1)
     with pytest.raises(ValueError):
         substring_dedup(df, min_count=1)
+
+
+def test_random_corpora_match_reference(spark):
+    # Seeded random corpora over a tiny vocabulary (dense n-gram
+    # collisions) — the Spark plan must match the pure-Python reference
+    # on every doc, for several n.
+    import numpy as np
+
+    for seed, n in [(0, 3), (1, 4), (2, 8)]:
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(rng.choice(list("abcdef"), size=rng.integers(1, 40)))
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pdf = (
+            substring_dedup(df, n=n)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        ref = _ref(texts, n)
+        for d, (n_tok, n_dup, clean) in ref.items():
+            assert pdf.loc[d, "n_tokens"] == n_tok, (seed, n, d)
+            assert pdf.loc[d, "n_dup_tokens"] == n_dup, (seed, n, d)
+            assert pdf.loc[d, "clean_text"] == clean, (seed, n, d)
+
+
+def test_partition_invariance(spark):
+    # Global gram counts must not depend on input partitioning.
+    df = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    a = (
+        substring_dedup(df.repartition(1), n=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        substring_dedup(df.repartition(7), n=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
