@@ -1934,6 +1934,93 @@ FROM t LEFT JOIN cagg c USING (doc_id) LEFT JOIN ct USING (doc_id)
 """
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Composed curation pipeline over BOTH new dedup tiers: substring-
+    span dedup (docs with more than half their tokens inside corpus-
+    duplicated 8-gram spans are dropped) AND SemDeDup semantic dedup
+    (embedding vec_id aligns 1:1 with doc_id in the test corpus), then a
+    per-language yield report.  All metrics are integer sums (plus one
+    rounded integer-ratio division), so the cross-engine compare has no
+    float-summation-order surface.
+
+    Scale shape: the two dedup stages are the audited substr_dedup /
+    semdedup plans; the gates compose as equi-joins on doc id (uniform
+    key); the final agg is a tiny per-language partial agg.
+    """
+    from pandas_sigproc_spark.operators.kmeans import semantic_dedup
+    from pandas_sigproc_spark.operators.text import substring_dedup
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    spans = substring_dedup(d, n=_SUBSTR_N)
+    sem = semantic_dedup(
+        _embeds(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        k=8,
+        iters=2,
+        threshold=_SEMDEDUP_THRESHOLD,
+        exact_sums=True,
+    )
+    kept = (
+        spans.filter(F.col("dup_frac") <= 0.5)
+        .join(
+            sem.filter("keep").select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+        )
+        .join(
+            d.select(F.col("doc_id").cast("long").alias("doc_id"), "lang"),
+            "doc_id",
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_tokens") - F.col("n_dup_tokens"))
+        .cast("long")
+        .alias("clean_tokens"),
+        F.round(
+            F.sum("n_dup_tokens").cast("double") / F.sum("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+def _sql_corpus_curate() -> str:
+    kmeans_ctes = _sql_embed_kmeans().split("WITH", 1)[1].rsplit(
+        ",\ncnt AS", 1
+    )[0]
+    drp = _sql_semdedup().split("drp AS", 1)[1].rsplit("\nSELECT", 1)[0]
+    substr_ctes = SQL_SUBSTR_DEDUP.split("WITH", 1)[1].split(",\ntok AS", 1)[
+        0
+    ]
+    return f"""
+WITH{kmeans_ctes},
+drp AS{drp},
+keepvec AS (
+  SELECT a.vid FROM i2asg a LEFT JOIN drp d ON a.vid = d.vid
+  WHERE d.vid IS NULL
+),
+{substr_ctes},
+ds AS (
+  SELECT t.doc_id, LEN(t.w) AS n_tokens, COALESCE(c.nd, 0) AS nd,
+         ROUND(CAST(COALESCE(c.nd, 0) AS DOUBLE) / LEN(t.w), 6) AS dup_frac
+  FROM t LEFT JOIN cagg c USING (doc_id)
+),
+kept AS (
+  SELECT dd.lang, s.n_tokens, s.nd
+  FROM ds s
+  JOIN keepvec k ON s.doc_id = k.vid
+  JOIN documents dd ON CAST(dd.doc_id AS BIGINT) = s.doc_id
+  WHERE s.dup_frac <= CAST('0.5' AS DOUBLE)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens - nd) AS BIGINT) AS clean_tokens,
+       ROUND(CAST(SUM(nd) AS DOUBLE) / SUM(n_tokens), 6) AS dup_token_frac
+FROM kept GROUP BY lang
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     # End-to-end training-corpus preparation — the pipeline a pretraining
     # data job runs, as ONE declarative plan: quality gate -> exact dedup
@@ -4675,6 +4762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_real": q_media_image_real,
         "semdedup": q_semdedup,
         "substr_dedup": q_substr_dedup,
+        "corpus_curate": q_corpus_curate,
         "mov_rms_chunked": q_mov_rms_chunked,
         "integral_chunked": q_integral_chunked,
         "derivative_chunked": q_derivative_chunked,
@@ -4838,6 +4926,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_png": SQL_MEDIA_IMAGE_PNG,
         "semdedup": _sql_semdedup(),
         "substr_dedup": SQL_SUBSTR_DEDUP,
+        "corpus_curate": _sql_corpus_curate(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ngram_counts": SQL_NGRAM_COUNTS,
         "rep_stats": SQL_REP_STATS,

@@ -78,6 +78,7 @@ HEADLINE = [
     "doc_chunks",
     "substr_dedup",
     "semdedup",
+    "corpus_curate",
 ]
 
 
