@@ -4741,18 +4741,20 @@ FROM stats
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-5 ordering:
-    #   tier 1 — the 3 queries that have NEVER had a driver hash row
-    #            (added after the r4 rotation was planned) + the 3 NEW
-    #            chunked-window queries (operators/windows.py scale path,
-    #            forced through the chunked plan at sf0.01);
-    #   tier 2 — queries whose OPERATOR CODE changed this round (detrend
-    #            agg-mode default; auto chunk resolution on the native
-    #            window ops) — green r4, re-proven on the new code;
+    # the first 50 entries in dict order.  Round-5 ordering (counted
+    # programmatically against CORRECTNESS_r01-r04 — exactly 50 entries
+    # sit above the cap marker; tests/test_entry_contract.py pins it):
+    #   tier 1 — the 15 queries that have NEVER had a driver hash row:
+    #            the 3 added after the r4 rotation was planned, the
+    #            round-5 ops (semdedup / substr_dedup / corpus_curate /
+    #            rep_stats / doc_chunks / media_image_png), and the NEW
+    #            chunked/agg scale-path queries (forced through the
+    #            chunked plan at sf0.01);
+    #   tier 2 — queries whose OPERATOR CODE changed this round (auto
+    #            chunk resolution on the native window ops; piecewise
+    #            agg detrend) — green r4, re-proven on the new code;
     #   tier 3 — the r01/r02-tier backfill the r4 verdict flagged as
     #            stale driver evidence (text/dedup/ANN/media/tpch);
-    #   tier 4 — high-value r4-green representatives of the kernel tier
-    #            to keep cross-round continuity, filling slot 50;
     #   below the cap — everything hash-green in r03/r04 whose coverage
     #            the local gate (tools/oracle_check.py) keeps every round.
     return {
@@ -4766,13 +4768,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mov_rms_chunked": q_mov_rms_chunked,
         "integral_chunked": q_integral_chunked,
         "derivative_chunked": q_derivative_chunked,
+        "rep_stats": q_rep_stats,
+        "doc_chunks": q_doc_chunks,
+        "interp_chunked": q_interp_chunked,
+        "resample_chunked": q_resample_chunked,
+        "media_image_png": q_media_image_png,
+        "detrend_agg": q_detrend_agg,
         # -- tier 2: operator code changed this round ---------------------
         "mov_rms": q_mov_rms,
         "integral": q_integral,
         "derivative": q_derivative,
-        "detrend_constant": q_detrend_constant,
-        "detrend_linear": q_detrend_linear,
-        "detrend_agg": q_detrend_agg,
         "detrend_piecewise": q_detrend_piecewise,
         # -- tier 3: stale r01/r02 driver evidence (verdict item 3) -------
         "resample": q_resample,
@@ -4806,16 +4811,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
-        # -- tier 4: NEW operators + r4-green kernel continuity -----------
-        "rep_stats": q_rep_stats,
-        "doc_chunks": q_doc_chunks,
-        "interp_chunked": q_interp_chunked,
-        "resample_chunked": q_resample_chunked,
-        "psd_welch": q_psd_welch,
-        # training_mix is the TRUE 50th entry (inside the checked window)
-        "training_mix": q_training_mix,
+        # decontaminate is the TRUE 50th entry (inside the checked window)
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (all hash-green in r03/r04; the local gate keeps their coverage)
+        "detrend_constant": q_detrend_constant,
+        "detrend_linear": q_detrend_linear,
+        "psd_welch": q_psd_welch,
+        "training_mix": q_training_mix,
         "srs": q_srs,
         "rainflow": q_rainflow,
         "rainflow_chunked": q_rainflow_chunked,

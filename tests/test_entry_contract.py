@@ -1,0 +1,62 @@
+"""Driver-contract invariants on __spark_entry__ that do not need a
+SparkSession: dict shape, oracle coverage, and the 50-slot rotation
+window (the driver hash-checks only the FIRST 50 queries() entries, so
+ordering mistakes silently drop queries out of the correctness gate —
+exactly the off-by-three a round-5 review caught)."""
+
+import json
+import os
+import re
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked():
+    """Queries with a hash-green driver row in any recorded round."""
+    seen = set()
+    for f in sorted(os.listdir(REPO)):
+        if not re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
+            continue
+        with open(os.path.join(REPO, f)) as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                seen.add(name)
+    return seen
+
+
+def test_every_query_has_an_oracle():
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    missing = [name for name in qs if name not in osql]
+    assert not missing, f"queries without oracle_sql: {missing}"
+    stray = [name for name in osql if name not in qs]
+    assert not stray, f"oracle_sql without queries: {stray}"
+
+
+def test_rotation_window_covers_every_unchecked_query():
+    # Any query that has NEVER passed the driver gate must sit inside
+    # the first-50 window, or it can never earn a driver hash row.
+    names = list(entry_mod.queries().keys())
+    if len(names) <= 50:
+        return
+    checked = _driver_checked()
+    outside = [q for q in names[50:] if q not in checked]
+    assert not outside, (
+        f"never-driver-checked queries OUTSIDE the 50-slot window: "
+        f"{outside} — move them above the cap marker in queries()"
+    )
+
+
+def test_cap_comment_matches_reality():
+    # The cap marker comment in queries() must sit at exactly entry 50.
+    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    assert "---- driver cap" in src
+    names = list(entry_mod.queries().keys())
+    # the comment names the 50th entry explicitly; keep them in sync
+    assert names[49] == "decontaminate", (
+        f"50th queries() entry is {names[49]!r}; update the cap comment "
+        "and this pin together when re-rotating"
+    )
