@@ -3097,27 +3097,35 @@ FROM sig GROUP BY channel_id
 """
 
 
-def q_media_image_real(spark, sf_dir):
-    """Real-codec IMAGE path through the driver gate (the BMP sibling of
-    q_media_audio_real): every channel's samples are quantized to gray
-    pixel bytes, ENCODED as a 16-wide 24-bit BMP (sources/bmp.py),
-    shipped as a binary media column, DECODED back by
-    extract_media_features(codec='real'), and pixel-verified by summing
-    the decoded red channel.  The oracle predicts the decoded dimensions
-    from the BMP layout rules (54-byte headers, 48-byte padded rows) and
-    the pixel sum from the quantization arithmetic — so the header
-    round-trip AND the pixel payload are both independently checked.
+def _codec_fns(fmt: str):
+    """(encode, decode) for a real image codec — imported lazily so the
+    executor-side closures below ship only a format tag, not functions."""
+    if fmt == "bmp":
+        from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, encode_bmp
+
+        return encode_bmp, decode_bmp_bytes
+    from pandas_sigproc_spark.sources.png import decode_png_bytes, encode_png
+
+    return encode_png, decode_png_bytes
+
+
+def _media_image_query(spark, sf_dir, fmt: str, with_n_bytes: bool):
+    """Shared real-image pipeline (BMP and PNG differ ONLY in codec and
+    whether the byte length is SQL-predictable): quantize each channel's
+    samples to gray pixel bytes, encode a 16-wide image, ship as a
+    binary media column, decode through extract_media_features
+    (codec='real'), and pixel-verify by summing the decoded red channel.
     """
     import pandas as pd
 
     from pandas_sigproc_spark.operators.multimodal import extract_media_features
-    from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, encode_bmp
 
     sig = _sig_ch(spark, sf_dir)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        encode, _ = _codec_fns(fmt)
         pdf = pdf.sort_values(["t", "seq"])
         b = (
             np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
@@ -3130,7 +3138,7 @@ def q_media_image_real(spark, sf_dir):
             {
                 "media_id": [int(pdf["channel_id"].iloc[0])],
                 "kind": ["image"],
-                "payload": [encode_bmp(px)],
+                "payload": [encode(px)],
             }
         )
 
@@ -3140,24 +3148,36 @@ def q_media_image_real(spark, sf_dir):
     feats = extract_media_features(media, codec="real")
 
     def pix(batches):
-        import numpy as np  # noqa: F401
-
+        _, decode = _codec_fns(fmt)
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "pixel_sum": [
-                        int(decode_bmp_bytes(bytes(p))[:, :, 0].sum(dtype="int64"))
+                        int(decode(bytes(p))[:, :, 0].sum(dtype="int64"))
                         for p in pdf["payload"]
                     ],
                 }
             )
 
     sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
-    return (
-        feats.join(sums, "media_id")
-        .select("media_id", "width", "height", "n_frames", "n_bytes", "pixel_sum")
-    )
+    cols = ["media_id", "width", "height", "n_frames"]
+    if with_n_bytes:
+        cols.append("n_bytes")
+    return feats.join(sums, "media_id").select(*cols, "pixel_sum")
+
+
+def q_media_image_real(spark, sf_dir):
+    """Real-codec IMAGE path through the driver gate (the BMP sibling of
+    q_media_audio_real): quantized samples encoded as 16-wide 24-bit BMP
+    (sources/bmp.py), decoded back by extract_media_features
+    (codec='real'), pixel-verified.  The oracle predicts the decoded
+    dimensions from the BMP layout rules (54-byte headers, 48-byte
+    padded rows) and the pixel sum from the quantization arithmetic — so
+    the header round-trip AND the pixel payload are both independently
+    checked.
+    """
+    return _media_image_query(spark, sf_dir, "bmp", with_n_bytes=True)
 
 
 SQL_MEDIA_IMAGE_REAL = f"""
@@ -3186,54 +3206,7 @@ def q_media_image_png(spark, sf_dir):
     (that is exactly what the BMP sibling pins instead); the decoded
     dimensions and the red-channel pixel sum are.
     """
-    import pandas as pd
-
-    from pandas_sigproc_spark.operators.multimodal import extract_media_features
-    from pandas_sigproc_spark.sources.png import decode_png_bytes, encode_png
-
-    sig = _sig_ch(spark, sf_dir)
-
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values(["t", "seq"])
-        b = (
-            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
-        ).astype(np.uint8)
-        h = (len(b) + 15) // 16
-        flat = np.zeros(h * 16, dtype=np.uint8)
-        flat[: len(b)] = b
-        px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
-        return pd.DataFrame(
-            {
-                "media_id": [int(pdf["channel_id"].iloc[0])],
-                "kind": ["image"],
-                "payload": [encode_png(px)],
-            }
-        )
-
-    media = sig.groupBy("channel_id").applyInPandas(
-        enc, "media_id long, kind string, payload binary"
-    )
-    feats = extract_media_features(media, codec="real")
-
-    def pix(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "pixel_sum": [
-                        int(decode_png_bytes(bytes(p))[:, :, 0].sum(dtype="int64"))
-                        for p in pdf["payload"]
-                    ],
-                }
-            )
-
-    sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
-    return (
-        feats.join(sums, "media_id")
-        .select("media_id", "width", "height", "n_frames", "pixel_sum")
-    )
+    return _media_image_query(spark, sf_dir, "png", with_n_bytes=False)
 
 
 SQL_MEDIA_IMAGE_PNG = f"""

@@ -76,19 +76,47 @@ def interp1d_spline(
     src = df.select(
         "channel_id", F.col(axis).alias("t"), "value"
     )
-    chunked = _chunked_src(src, L, overlap_back=O, overlap_fwd=O)
-    # route each target to the chunk whose CORE knot range contains it
-    # (clamped: out-of-span targets evaluate in the true end chunks)
+    # ONE per-channel MIN/MAX/COUNT aggregate feeds both the chunk
+    # explosion and the target routing (passing it into _chunked_src —
+    # the source is huge by construction, and Spark does not guarantee
+    # exchange reuse across the two differently-shaped parents).
     geo = src.groupBy("channel_id").agg(
         F.min("t").alias("_t0"),
         F.max("t").alias("_t1"),
         F.count("*").alias("_n"),
     )
+    chunked = _chunked_src(src, L, overlap_back=O, overlap_fwd=O, geo=geo)
+    # route each target to the chunk whose CORE knot range contains it
+    # (clamped: out-of-span targets evaluate in the true end chunks)
     sr = (F.col("_n") - 1) / (F.col("_t1") - F.col("_t0"))
     nseg = (F.floor((F.col("_n") - 1) / L) + 1).cast("long")
     tpos = (F.col("t") - F.col("_t0")) * sr / L
-    tseg = F.least(
-        F.greatest(F.floor(tpos).cast("long"), F.lit(0)), nseg - 1
+    # Degenerate channels: the division by the time span must stay
+    # behind a lazy CaseWhen branch (ANSI Spark throws DIVIDE_BY_ZERO
+    # eagerly otherwise).  A 1-knot channel routes its targets to chunk
+    # 0, where the kernel raises its own 'need at least 2 sample
+    # points' — same loud failure as the global plan; a zero-span
+    # multi-row channel raises here, mirroring _chunked_src.
+    tseg = (
+        F.when(F.col("_n") <= 1, F.lit(0))
+        .when(
+            F.col("_t1") == F.col("_t0"),
+            F.raise_error(
+                F.concat(
+                    F.lit("chunked spline interp: channel "),
+                    F.col("channel_id"),
+                    F.lit(
+                        " has multiple rows with zero time span (all "
+                        "timestamps equal) — no sample grid exists"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.least(
+                F.greatest(F.floor(tpos).cast("long"), F.lit(0)), nseg - 1
+            )
+        )
     )
     tgt = (
         grid.select("channel_id", F.col(axis).alias("t"))

@@ -202,21 +202,41 @@ def semantic_dedup(
     cluster: cost ~ sum(|c|^2).  k is the knob — at corpus scale pick
     k ≈ N / target_cluster_size (the paper uses ~100k clusters for
     ~100M docs, clusters of ~1k).  Pass ``max_cluster_rows`` to fail
-    loudly (one tiny k-row aggregate) instead of running an oversized
-    within-cluster pair join.  The corpus never shuffles for assignment
-    (broadcast centroids, see module docstring); the pair join shuffles
-    on cluster id once.
+    loudly instead of running an oversized within-cluster pair join: the
+    guard is a broadcast per-cluster-size join whose ``raise_error``
+    fires INSIDE the same plan — no extra eager job, and it judges the
+    exact assignments the pair join consumes (an up-front ``collect``
+    would recompute the Lloyd rounds and, in non-``exact_sums`` mode,
+    could judge different float-tie assignments than the main run).
+    The corpus never shuffles for assignment (broadcast centroids, see
+    module docstring); the pair join shuffles on cluster id once.
     """
     assigned, _ = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
     if max_cluster_rows is not None:
-        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
-        worst = sizes.agg(F.max("n").alias("mx")).collect()[0]["mx"]
-        if worst is not None and worst > max_cluster_rows:
-            raise ValueError(
-                f"semantic_dedup: largest cluster has {worst} rows, above "
-                f"max_cluster_rows={max_cluster_rows}; raise k (target "
-                "k ~ N / desired_cluster_size) or lift the guard"
-            )
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csz"))
+        # The guard wraps ``vid`` — the column every downstream join
+        # keys on — NOT a projection-only column: column pruning would
+        # silently eliminate a guard the query never needs (count()
+        # prunes everything but join keys).
+        guard = F.when(
+            F.col("_csz") > max_cluster_rows,
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_dedup: cluster "),
+                    F.col("cluster").cast("string"),
+                    F.lit(" has "),
+                    F.col("_csz").cast("string"),
+                    F.lit(
+                        f" rows, above max_cluster_rows={max_cluster_rows};"
+                        " raise k (target k ~ N / desired_cluster_size) or"
+                        " lift the guard"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("vid"))
+        assigned = assigned.join(F.broadcast(sizes), "cluster").select(
+            guard.alias("vid"), "v", "cluster"
+        )
 
     def _cos(va, vb):
         def nrm(c):

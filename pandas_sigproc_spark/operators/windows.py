@@ -40,19 +40,50 @@ def _wspec(order_col: str, tiebreak_col: str | None):
     return Window.partitionBy("channel_id").orderBy(*order)
 
 
-def _resolve_chunk_rows(df: DataFrame, chunk_rows):
+def _resolve_chunk_rows(
+    df: DataFrame, chunk_rows, *, overlap: int = 0, tiebreak_col=None
+):
     """Resolve the ``"auto"`` scale mode from channel statistics
     (planner.py): huge channels chunk, everything else keeps the
-    single-window plan.  Explicit ints/None always win."""
+    single-window plan.  Explicit ints/None always win.
+
+    Two auto-mode adjustments keep ``"auto"`` from ever failing a call
+    that the single-window plan accepts:
+
+    - ``tiebreak_col`` set → stay on the window plan (the chunked path's
+      arithmetic sample index cannot disambiguate duplicate timestamps;
+      an explicit ``chunk_rows`` int with a tiebreak raises instead of
+      silently dropping the tiebreak);
+    - warm-up ``overlap`` at or above the planner's chunk size (a very
+      long mov_rms window) → grow the chunk to ``4 * overlap``: every
+      task then holds ≤ 5×overlap rows — still bounded, because no
+      chunking scheme can bound a trailing-window task below the window
+      length itself.
+    """
     if chunk_rows == "auto":
+        if tiebreak_col is not None:
+            return None
         from pandas_sigproc_spark import planner
 
-        return planner.auto_window_mode(df)
+        resolved = planner.auto_window_mode(df)
+        if resolved is not None and overlap >= resolved:
+            resolved = 4 * overlap
+        return resolved
+    if chunk_rows is not None and tiebreak_col is not None:
+        raise ValueError(
+            "chunked window ops cannot honor tiebreak_col: the arithmetic "
+            "sample index requires unique uniform timestamps — pass "
+            "chunk_rows=None for the sort-based window plan"
+        )
     return chunk_rows
 
 
 def _chunked_src(
-    df: DataFrame, chunk_rows: int, overlap_back: int, overlap_fwd: int
+    df: DataFrame,
+    chunk_rows: int,
+    overlap_back: int,
+    overlap_fwd: int,
+    geo: DataFrame | None = None,
 ) -> DataFrame:
     """Explode ``df`` into overlapping (channel, chunk) groups.
 
@@ -73,11 +104,17 @@ def _chunked_src(
             f"chunk_rows={L} must exceed the window overlap "
             f"({max(O_b, O_f)}); pick a larger chunk"
         )
-    geo = df.groupBy("channel_id").agg(
-        F.min("t").alias("_t0"),
-        F.max("t").alias("_t1"),
-        F.count("*").alias("_n"),
-    )
+    if geo is None:
+        # Callers that already aggregated per-channel MIN/MAX/COUNT for
+        # their own routing (chunked spline interp) pass it in — the
+        # source table this path exists for is huge by construction, and
+        # exchange reuse across differently-shaped parents is not
+        # guaranteed.
+        geo = df.groupBy("channel_id").agg(
+            F.min("t").alias("_t0"),
+            F.max("t").alias("_t1"),
+            F.count("*").alias("_n"),
+        )
     # Per-channel inferred rate: exact on the uniform grids this path
     # requires; mixed-rate tables are fine (each channel gets its own).
     sr = (F.col("_n") - 1) / (F.col("_t1") - F.col("_t0"))
@@ -167,7 +204,9 @@ def mov_rms(
     n = int(round(window * samplerate))
     if n < 1:
         raise ValueError("window shorter than one sample")
-    chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+    chunk_rows = _resolve_chunk_rows(
+        df, chunk_rows, overlap=n - 1, tiebreak_col=tiebreak_col
+    )
     if chunk_rows is not None:
         return _mov_rms_chunked(df, window, n, int(chunk_rows), drop_last)
     w = _wspec("t", tiebreak_col)
@@ -245,7 +284,9 @@ def integral(
     layout (and SQL-replayable — the driver oracle replays the same
     association).
     """
-    chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+    chunk_rows = _resolve_chunk_rows(
+        df, chunk_rows, overlap=1, tiebreak_col=tiebreak_col
+    )
     if chunk_rows is not None:
         return _integral_chunked(df, int(chunk_rows))
     w = _wspec("t", tiebreak_col)
@@ -321,7 +362,9 @@ def derivative(
     ``lead``) — purely row-local arithmetic, so the chunked output is
     bit-identical to the single-window plan.
     """
-    chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+    chunk_rows = _resolve_chunk_rows(
+        df, chunk_rows, overlap=1, tiebreak_col=tiebreak_col
+    )
     if chunk_rows is not None:
         return _derivative_chunked(df, int(chunk_rows))
     w = _wspec("t", tiebreak_col)
@@ -471,19 +514,41 @@ def _detrend_piecewise_agg(df, bps):
     pos = (F.col("t") - F.col("_t0")) * sr
     i = F.floor(pos + 0.5).cast("long")
     off_grid = F.abs(pos - i) > 0.25
-    idx = F.when(
-        off_grid,
-        F.raise_error(
-            F.concat(
-                F.lit("detrend(uniform_grid=True): channel "),
-                F.col("channel_id"),
-                F.lit(
-                    " is not on a uniform time grid (timestamp off its "
-                    "reconstructed slot); use the default window form"
-                ),
-            )
-        ).cast("long"),
-    ).otherwise(i)
+    # The span division must stay behind a lazy CaseWhen branch: ANSI
+    # Spark throws DIVIDE_BY_ZERO eagerly for a 1-row channel (0/0)
+    # otherwise.  1-row channels index to slot 0 (their 1-point segment
+    # fit is handled by the try_divide below, matching the window form);
+    # multi-row zero-span channels raise loudly like _chunked_src.
+    idx = (
+        F.when(F.col("_n") <= 1, F.lit(0).cast("long"))
+        .when(
+            F.col("_t1") == F.col("_t0"),
+            F.raise_error(
+                F.concat(
+                    F.lit("detrend(uniform_grid=True): channel "),
+                    F.col("channel_id"),
+                    F.lit(
+                        " has multiple rows with zero time span (all "
+                        "timestamps equal) — no sample grid exists"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .when(
+            off_grid,
+            F.raise_error(
+                F.concat(
+                    F.lit("detrend(uniform_grid=True): channel "),
+                    F.col("channel_id"),
+                    F.lit(
+                        " is not on a uniform time grid (timestamp off its "
+                        "reconstructed slot); use the default window form"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(i)
+    )
     seg = sum(
         (F.when(idx >= b, 1).otherwise(0) for b in bps), F.lit(0)
     )

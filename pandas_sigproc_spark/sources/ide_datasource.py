@@ -40,11 +40,18 @@ _SCHEMA = "channel_id string, t double, value double"
 
 def _expand(path: str) -> list[str]:
     if os.path.isdir(path):
-        return sorted(
+        hits = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
             if f.lower().endswith(".ide")
         )
+        if not hits:
+            # same loud contract as the glob branch: an empty result is a
+            # user mistake (wrong dir, wrong extension), not "no samples"
+            raise FileNotFoundError(
+                f"ide source: directory {path!r} contains no .ide files"
+            )
+        return hits
     hits = sorted(_glob.glob(path))
     if not hits:
         raise FileNotFoundError(f"ide source: no files match {path!r}")

@@ -192,3 +192,121 @@ def test_chunk_zero_span_channel_is_loud(spark):
     )
     with pytest.raises(Exception, match="zero time span"):
         integral(df, chunk_rows=16).collect()
+
+
+# ---------------------------------------------------------------------------
+# round-5 review fixes: auto-mode never fails a call the window plan accepts
+# ---------------------------------------------------------------------------
+
+
+def test_auto_grows_chunk_when_overlap_exceeds_planner_size(spark):
+    from pandas_sigproc_spark import planner
+    from pandas_sigproc_spark.operators.windows import _resolve_chunk_rows
+
+    df = spark.range(1).select(
+        F.lit("c").alias("channel_id"),
+        F.col("id").cast("double").alias("t"),
+        F.lit(0.0).alias("value"),
+    )
+    planner.register_stats(
+        df, planner.ChannelStats(n_channels=1, max_rows=5_000_000,
+                                 total_rows=5_000_000)
+    )
+    try:
+        base = planner.HUGE_CHANNEL_ROWS // 4
+        # modest overlap: planner size wins
+        assert _resolve_chunk_rows(df, "auto", overlap=1000) == base
+        # warm-up overlap >= planner chunk: grow to 4x overlap instead of
+        # raising "chunk_rows must exceed the window overlap"
+        big = base + 7
+        assert _resolve_chunk_rows(df, "auto", overlap=big) == 4 * big
+        # tiebreak routes auto back to the sort-based window plan
+        assert (
+            _resolve_chunk_rows(df, "auto", overlap=10, tiebreak_col="seq")
+            is None
+        )
+    finally:
+        planner.invalidate_stats(df)
+    # explicit chunk size + tiebreak is a contradiction -> loud error
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        _resolve_chunk_rows(df, 1024, tiebreak_col="seq")
+
+
+def test_mov_rms_auto_with_giant_window_falls_back_not_raises(spark):
+    # A window whose warm-up exceeds the planner chunk size must still
+    # run end-to-end in auto mode (grown chunk), bit-equal to the global
+    # plan.
+    from pandas_sigproc_spark import planner
+    from pandas_sigproc_spark.operators.windows import mov_rms
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "channel_id": "big",
+            "t": np.arange(n) / 100.0,
+            "value": np.sin(np.arange(n) * 0.01),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # force chunking with a chunk smaller than the warm-up via the
+    # resolver's growth rule: register stats saying the channel is huge
+    planner.register_stats(
+        df, planner.ChannelStats(n_channels=1, max_rows=10_000_000,
+                                 total_rows=10_000_000)
+    )
+    try:
+        auto = mov_rms(df, window=30.0, samplerate=100.0).toPandas()
+    finally:
+        planner.invalidate_stats(df)
+    ref = mov_rms(df, window=30.0, samplerate=100.0, chunk_rows=None).toPandas()
+    auto = auto.sort_values("t").reset_index(drop=True)
+    ref = ref.sort_values("t").reset_index(drop=True)
+    assert (auto["value"].to_numpy() == ref["value"].to_numpy()).all()
+
+
+def test_detrend_piecewise_agg_single_row_channel(spark):
+    # 1-row channels must not hit DIVIDE_BY_ZERO in the span division
+    # (ANSI Spark) — they detrend to 0.0 like the window form.
+    from pandas_sigproc_spark.operators.windows import _detrend_piecewise_agg
+
+    pdf = pd.DataFrame(
+        {
+            "channel_id": ["a"] * 100 + ["single"],
+            "t": list(np.arange(100) / 10.0) + [0.0],
+            "value": list(np.arange(100.0)) + [42.0],
+        }
+    )
+    out = _detrend_piecewise_agg(
+        spark.createDataFrame(pdf), [50]
+    ).toPandas()
+    single = out[out["channel_id"] == "single"]
+    assert len(single) == 1
+    assert abs(single["value"].iloc[0]) < 1e-12
+
+
+def test_chunked_spline_single_row_channel_raises_kernel_error(spark):
+    # Degenerate 1-knot channel under the chunked spline plan: the task
+    # must fail with the kernel's own 'at least' message (same loud
+    # error as the global plan), not an ANSI DIVIDE_BY_ZERO.
+    from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "channel_id": ["a"] * 64 + ["one"],
+                "t": list(np.arange(64.0)) + [0.0],
+                "value": list(np.sin(np.arange(64.0))) + [1.0],
+            }
+        )
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "channel_id": ["a", "one"],
+                "t": [10.5, 0.0],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="at least|DIVIDE") as ei:
+        interp1d_spline(src, grid, kind="cubic", chunk_rows=128).count()
+    assert "DIVIDE" not in str(ei.value)

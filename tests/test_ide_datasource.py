@@ -81,3 +81,13 @@ def test_composes_with_operators(spark, ide_dir):
     exp = np.sqrt(np.mean((np.asarray([3, -4, 5]) * 2.0) ** 2))
     for tag in range(3):
         assert out[f"press{tag}"].rms == pytest.approx(exp)
+
+
+def test_empty_dir_raises(tmp_path):
+    from pandas_sigproc_spark.sources.ide_datasource import _expand
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    (d / "notes.txt").write_text("not a recording")
+    with pytest.raises(FileNotFoundError, match="no .ide files"):
+        _expand(str(d))

@@ -144,12 +144,25 @@ def test_semantic_dedup_threshold_monotone(spark):
 
 
 def test_semantic_dedup_cluster_guard(spark):
+    # the guard is lazy (a raise_error inside the plan, not an eager
+    # collect) — it fires at action time, on the exact assignments the
+    # pair join consumes
     df = _emb(spark, n=30)
-    with pytest.raises(ValueError, match="max_cluster_rows"):
-        semantic_dedup(df, k=2, iters=1, max_cluster_rows=5)
-    # guard passes when the bound is generous
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        # any action that consumes `keep` evaluates the pair join the
+        # guard protects; a bare count() lets Catalyst eliminate the
+        # (duplicate-free) outer join AND the pair join with it — then
+        # there is nothing to guard, and nothing expensive runs either
+        semantic_dedup(df, k=2, iters=1, max_cluster_rows=5).filter(
+            "NOT keep"
+        ).count()
+    # guard passes when the bound is generous; result matches unguarded
     out = semantic_dedup(df, k=2, iters=1, max_cluster_rows=30)
+    ref = semantic_dedup(df, k=2, iters=1)
     assert out.count() == 30
+    a = out.toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = ref.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_semantic_dedup_random_embeddings_match_reference(spark):
