@@ -191,17 +191,24 @@ def main():
     # min-of-3 always reflects a warm cache.  Deployments chaining many
     # one-shot plans should pre-register geometry via
     # planner.register_stats (see planner.py docs).
+    # Dispersion is recorded per query (min AND median of the 3 reps) so
+    # jitter attribution is automatic instead of forensic: a query whose
+    # median >> min sat in a neighbor-load episode (the r5 rss_daily /
+    # rms_lin "regressions" were exactly this — see the r6 attribution
+    # note below); a query whose min moved with median is a real change.
     timings = {}
+    medians = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = None
+        reps = []
         for rep in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             el = time.time() - t0
             print(f"[bench] {name} rep{rep}: {el:.2f}s", file=sys.stderr, flush=True)
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            reps.append(el)
+        timings[name] = round(min(reps), 3)
+        medians[name] = round(sorted(reps)[1], 3)
         # Queries that persist() intermediates (psd_damage_dft,
         # decontaminate, ann_int8, training_mix) can't unpersist before
         # their terminal action; release exactly the blocks they pinned
@@ -268,11 +275,37 @@ def main():
             },
         }
 
+    # ANN recall leg: the bucketed/quantized ANN tiers are oracle-exact
+    # on their own plans, but their QUALITY — recall@3 against the
+    # brute-force cosine ground truth — is what a dedup pipeline's
+    # false-negative rate at 100 TB depends on.  Outputs are ~150 rows
+    # per query (50 probe vectors x top-3), so the collect is O(k).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in qs["embed_cosine_topk"](spark, sf_dir)
+        .filter("rank <= 3")
+        .collect()
+    }
+    recall = {}
+    for name in ("ann_lsh", "ann_ivf", "ann_int8"):
+        pred = {
+            (r["qid"], r["vec_id"])
+            for r in qs[name](spark, sf_dir).filter("rank <= 3").collect()
+        }
+        recall[name] = round(len(pred & truth) / len(truth), 4)
+        print(f"[bench] recall@3 {name}: {recall[name]}",
+              file=sys.stderr, flush=True)
+        entry_mod.release_caches()
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "ann_recall_at_3": recall,
         "sf": float(sf),
     }
     if scale is not None:

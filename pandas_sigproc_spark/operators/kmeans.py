@@ -26,7 +26,7 @@ partial-agg SUM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def kmeans_embeddings(
@@ -82,33 +82,43 @@ def kmeans_assignments(
     )
 
 
-def _lloyd(df, k, iters, id_col, vec_col, exact_sums):
+def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None):
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     e = df.select(
         F.col(id_col).cast("long").alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    if persist:
+        # Cache the prepared vector table before iterating — the
+        # canonical Spark pattern for an iterative algorithm (MLlib's
+        # KMeans caches its working set the same way): every Lloyd
+        # round AND every nested broadcast subtree (the per-iteration
+        # centroid arrays) re-reads these rows, so without the cache the
+        # corpus is re-scanned once per round per consumer branch.
+        e = persist(e) if callable(persist) else e.persist()
     dim = F.size("v")
 
     # Deterministic seeding: the k smallest ids, cluster = seed rank - 1.
     # orderBy().limit(k) executes as a distributed TakeOrdered (per-
-    # partition top-k, O(k) merged at the driver) — NOT a global window,
-    # which would funnel the entire embeddings table through one
-    # single-partition sort just to pick k rows.  The rank is a broadcast
-    # theta-join count over the k seed ids (rank(vid) = #{vid' <= vid}),
-    # so no windowing — and no single-partition stage — appears anywhere
-    # in seeding.
+    # partition top-k, O(k) merged at the driver) — NOT a global window
+    # over the corpus, which would funnel the entire embeddings table
+    # through one single-partition sort just to pick k rows.  The rank
+    # IS a window, but over the k already-limited seed rows only: a
+    # single-partition stage bounded by the constant k, never by the
+    # corpus (it does emit WindowExec's blanket single-partition
+    # warning — spurious here).  The warning-free alternative (broadcast
+    # theta-join rank, r5) costs two extra nested broadcast jobs per
+    # Lloyd consumer branch, which measured ~1.8s of pure job-scheduling
+    # overhead per semdedup run at sf0.1.
+    from pyspark.sql import Window
+
     seeds = e.select("vid", "v").orderBy("vid").limit(k)
-    ids = seeds.select("vid")
-    rank = (
-        ids.alias("a")
-        .join(F.broadcast(ids.alias("b")), F.col("b.vid") <= F.col("a.vid"))
-        .groupBy(F.col("a.vid").alias("vid"))
-        .agg((F.count("*") - 1).cast("int").alias("cluster"))
-    )
-    cents = seeds.join(F.broadcast(rank), "vid").select(
-        "cluster", F.col("v").alias("c")
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("vid")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.col("v").alias("c"),
     )
 
     def sqdist(vcol, ccol):
@@ -118,16 +128,33 @@ def _lloyd(df, k, iters, id_col, vec_col, exact_sums):
             lambda acc, x: acc + x,
         )
 
+    # Assignment is FULLY map-side: the k centroids collapse to a ONE-ROW
+    # broadcast array and the argmin runs per input row as
+    # array_min(transform(centroids, c -> struct(d, cluster))) — struct
+    # ordering is lexicographic (d, then cluster), exactly the stable
+    # smallest-cluster tie-break the oracle's QUALIFY ROW_NUMBER()
+    # OVER (ORDER BY d, cluster) replays.  No corpus shuffle, no window:
+    # the explode-to-pairs + partitionBy(vid) row_number alternative
+    # shuffles N*k rows per iteration — a corpus-sized exchange that
+    # dominated the sf0.1 wall and would be the bottleneck at 100 TB.
     assigned = None
     for _ in range(iters):
-        pairs = e.crossJoin(F.broadcast(cents)).select(
-            "vid", "v", "cluster", sqdist(F.col("v"), F.col("c")).alias("d")
+        carr = cents.agg(
+            F.sort_array(F.collect_list(F.struct("cluster", "c"))).alias(
+                "_cs"
+            )
         )
-        warg = Window.partitionBy("vid").orderBy("d", "cluster")
-        assigned = (
-            pairs.withColumn("_rk", F.row_number().over(warg))
-            .filter(F.col("_rk") == 1)
-            .select("vid", "v", "cluster")
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda s: F.struct(
+                    sqdist(F.col("v"), s["c"]).alias("d"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        assigned = e.crossJoin(F.broadcast(carr)).select(
+            "vid", "v", best["cluster"].alias("cluster")
         )
         per_dim = assigned.select(
             "cluster",
@@ -178,7 +205,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     exact_sums: bool = False,
     round_digits: int = 6,
-    max_cluster_rows: int | None = None,
+    max_cluster_rows: int | None | str = "auto",
+    persist=True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (after Abbas et al. 2023,
     arXiv:2303.09540): k-means the embeddings, then inside each cluster
@@ -201,33 +229,130 @@ def semantic_dedup(
     quadratic blow-up of all-pairs cosine is bounded by the largest
     cluster: cost ~ sum(|c|^2).  k is the knob — at corpus scale pick
     k ≈ N / target_cluster_size (the paper uses ~100k clusters for
-    ~100M docs, clusters of ~1k).  Pass ``max_cluster_rows`` to fail
-    loudly instead of running an oversized within-cluster pair join: the
-    guard is a broadcast per-cluster-size join whose ``raise_error``
-    fires INSIDE the same plan — no extra eager job, and it judges the
-    exact assignments the pair join consumes (an up-front ``collect``
-    would recompute the Lloyd rounds and, in non-``exact_sums`` mode,
-    could judge different float-tie assignments than the main run).
+    ~100M docs, clusters of ~1k).  The guard is ON BY DEFAULT
+    (``max_cluster_rows="auto"``): a degenerate clustering (k too small,
+    duplicate-heavy corpus) fails loudly instead of silently running
+    Σ|c|² pairs.  ``"auto"`` caps each cluster at
+    ``greatest(10_000, 10 * ceil(n / k))`` — 10× a uniform split, the
+    same precedent as :func:`~..ann.cosine_topk_bruteforce`'s
+    ``max_pairs`` — computed IN-PLAN from the per-cluster size table
+    (k rows + one 1-row total, both broadcast; no eager job).  An
+    explicit int pins the cap; ``None`` opts out.  The ``raise_error``
+    fires inside the same plan and judges the exact assignments the
+    pair join consumes (an up-front ``collect`` would recompute the
+    Lloyd rounds and, in non-``exact_sums`` mode, could judge different
+    float-tie assignments than the main run).
     The corpus never shuffles for assignment (broadcast centroids, see
     module docstring); the pair join shuffles on cluster id once.
+
+    The assignment table fans out to FIVE consumers (the guard's size
+    table and its total, both pair-join sides, the final left join), and
+    their differing projections defeat Catalyst's exchange reuse — each
+    branch would re-run every Lloyd round over the corpus.
+    ``persist=True`` (default) materializes ``(id, v, cluster)`` ONCE
+    (MEMORY_AND_DISK — spills, never OOMs; ~corpus-sized, exactly what a
+    production pipeline would stage before a quadratic step).  Blocks
+    are LRU-reclaimed; long-lived sessions that want eager release pass
+    a callable ``df -> df.persist()`` that records the block in their
+    own cache registry (``__spark_entry__._persist`` does exactly this),
+    or ``persist=False`` to keep the plan side-effect free.
+
+    Determinism note (``exact_sums=False``): with ``persist=False`` the
+    recomputing branches may see different partial-agg summation orders,
+    so centroids can differ across branches in the last ulps and a
+    vector at an ulp-scale argmin tie could flip clusters between
+    branches.  ``persist=True`` makes all branches read the same
+    materialized assignments (barring executor loss), and on real
+    embeddings the corner is theoretical twice over anyway:
+    float32-sourced vectors sum EXACTLY (zero rounding) in float64 up
+    to ~2^29 members per cluster, so every summation order yields
+    identical centroid bits; and argmin margins dominate any residual
+    jitter by orders of magnitude (tests/test_prod_oracle_margins.py
+    measures both on the gate corpora).  Audit runs that need a
+    bit-pinned guarantee regardless of input dtype use
+    ``exact_sums=True``, which makes centroids a pure function of the
+    data.
     """
-    assigned, _ = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
+    assigned, _ = _lloyd(
+        df, k, iters, id_col, vec_col, exact_sums, persist=persist
+    )
+    # Normalize ONCE per row before the pair fan-out: the pair cosine then
+    # collapses to a single dot-product fold.  Computing norms inside the
+    # pair join costs two extra per-PAIR folds (HOFs get no common-
+    # subexpression elimination) — 2/3 of the join's arithmetic for the
+    # same answer.  The norm is a plain column first so the division
+    # lambda doesn't re-fold per element.
+    nr = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    assigned = assigned.withColumn("_nr", nr).select(
+        "vid",
+        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
+        "cluster",
+    )
+    if persist:
+        # ``persist`` may be a callable (df -> persisted df) so callers
+        # with a cache registry (e.g. __spark_entry__._persist) can track
+        # the block for explicit release; True uses a bare .persist()
+        # (MEMORY_AND_DISK, LRU-reclaimed — the rainflow precedent).
+        assigned = (
+            persist(assigned) if callable(persist) else assigned.persist()
+        )
     if max_cluster_rows is not None:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csz"))
+        if max_cluster_rows == "auto":
+            # In-plan cap: greatest(10_000, 10 * ceil(n / k)).  The total
+            # comes from an unbounded window over the k-row size table —
+            # O(k) rows through one tiny single-partition stage (the
+            # WindowExec warning is spurious at k rows), cheaper than a
+            # second aggregation branch + broadcast join by one AQE job.
+            from pyspark.sql import Window
+
+            wall = Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            sizes = sizes.select(
+                "cluster",
+                "_csz",
+                F.greatest(
+                    F.lit(10_000).cast("long"),
+                    10
+                    * F.ceil(F.sum("_csz").over(wall) / F.lit(k)).cast(
+                        "long"
+                    ),
+                ).alias("_cap"),
+            )
+            cap_desc = f"auto=greatest(10000, 10*ceil(n/{k}))"
+        elif isinstance(max_cluster_rows, str):
+            raise ValueError(
+                f"max_cluster_rows must be an int, None, or 'auto';"
+                f" got {max_cluster_rows!r}"
+            )
+        else:
+            sizes = sizes.withColumn(
+                "_cap", F.lit(int(max_cluster_rows)).cast("long")
+            )
+            cap_desc = str(max_cluster_rows)
         # The guard wraps ``vid`` — the column every downstream join
         # keys on — NOT a projection-only column: column pruning would
         # silently eliminate a guard the query never needs (count()
         # prunes everything but join keys).
         guard = F.when(
-            F.col("_csz") > max_cluster_rows,
+            F.col("_csz") > F.col("_cap"),
             F.raise_error(
                 F.concat(
                     F.lit("semantic_dedup: cluster "),
                     F.col("cluster").cast("string"),
                     F.lit(" has "),
                     F.col("_csz").cast("string"),
+                    F.lit(" rows, above max_cluster_rows="),
+                    F.col("_cap").cast("string"),
                     F.lit(
-                        f" rows, above max_cluster_rows={max_cluster_rows};"
+                        f" ({cap_desc});"
                         " raise k (target k ~ N / desired_cluster_size) or"
                         " lift the guard"
                     ),
@@ -235,35 +360,25 @@ def semantic_dedup(
             ).cast("long"),
         ).otherwise(F.col("vid"))
         assigned = assigned.join(F.broadcast(sizes), "cluster").select(
-            guard.alias("vid"), "v", "cluster"
+            guard.alias("vid"), "u", "cluster"
         )
 
-    def _cos(va, vb):
-        def nrm(c):
-            return F.sqrt(
-                F.aggregate(
-                    F.transform(c, lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-
-        dot = F.aggregate(
-            F.zip_with(va, vb, lambda a, b: a * b),
+    def _dot(ua, ub):
+        return F.aggregate(
+            F.zip_with(ua, ub, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return dot / (nrm(va) * nrm(vb))
 
-    a = assigned.select("vid", "v", "cluster")
+    a = assigned.select("vid", "u", "cluster")
     b = assigned.select(
-        F.col("vid").alias("_bvid"), F.col("v").alias("_bv"), "cluster"
+        F.col("vid").alias("_bvid"), F.col("u").alias("_bu"), "cluster"
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("_bvid") < F.col("vid"))
         .filter(
-            F.round(_cos(F.col("v"), F.col("_bv")), round_digits)
+            F.round(_dot(F.col("u"), F.col("_bu")), round_digits)
             >= F.lit(threshold)
         )
         .select("vid")

@@ -165,6 +165,40 @@ def test_semantic_dedup_cluster_guard(spark):
     assert a.equals(b)
 
 
+def test_semantic_dedup_auto_guard_fires_on_degenerate_clustering(spark):
+    # DEFAULT args (max_cluster_rows="auto"): a duplicate-heavy corpus
+    # collapses every vector into cluster 0 (equal distances tie-break to
+    # the smallest id), so one cluster holds all 12_000 rows — above the
+    # auto cap greatest(10_000, 10*ceil(n/k)) = 10_000 at k=16.  The
+    # quadratic pair join (144M pairs) must be refused loudly instead of
+    # silently run: the in-plan raise fires before the join materializes.
+    import pandas as pd
+
+    n = 12_000
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(n),
+                "embedding": [[1.0, 2.0, 3.0]] * n,
+            }
+        )
+    )
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(df, k=16, iters=1).filter("NOT keep").count()
+    # explicit opt-out must be honored (and is cheap here only because we
+    # never run it — just check the plan builds without the guard node)
+    plan = semantic_dedup(
+        df, k=16, iters=1, max_cluster_rows=None
+    )._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" not in plan
+
+
+def test_semantic_dedup_rejects_bad_cap_string(spark):
+    df = _emb(spark, n=10)
+    with pytest.raises(ValueError, match="auto"):
+        semantic_dedup(df, k=2, iters=1, max_cluster_rows="huge")
+
+
 def test_semantic_dedup_random_embeddings_match_reference(spark):
     # Seeded random (non-blob) embeddings at several thresholds: the
     # Spark plan must reproduce the dominance rule exactly.

@@ -202,3 +202,114 @@ def test_accessor_chain_round_margin(sf_dir):
         f"accessor_chain margin {margin:.3e} vs divergence {maxerr:.3e} "
         f"at {sf_dir}"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment margins (production-mode semdedup / corpus_curate)
+# ---------------------------------------------------------------------------
+#
+# In exact_sums=False mode the centroid means come from a partial-agg SUM
+# whose summation order is engine- and run-dependent.  The production
+# semdedup / corpus_curate outputs are DISCRETE (assignments + keep
+# flags), so cross-engine parity only needs the argmin decisions to
+# survive centroid jitter.  Two independent defenses, both measured here:
+#
+# 1. The embeddings table stores FLOAT (24-bit mantissas, similar
+#    magnitudes), so float64 accumulation incurs ZERO rounding up to
+#    ~2^29 members per cluster: every summation order yields the SAME
+#    BITS (measured jitter is exactly 0.0 on all three gate corpora) —
+#    plain SUM is order-independent here as a matter of arithmetic, not
+#    luck.
+# 2. Even if a future data refresh ships full-precision doubles, the
+#    smallest best-vs-second argmin margin must dwarf the largest
+#    cross-order distance perturbation, so no assignment can flip.
+#
+# This audit replays the two Lloyd rounds on the gate corpora under
+# several member-summation orders and asserts (a) assignments never
+# flip, and (b) margin > 1e6 x jitter whenever jitter is nonzero.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_MIN_SAFETY = 1e6
+
+
+def _load_embeddings(sf_dir: str):
+    con = duckdb.connect()
+    df = con.sql(
+        f"""SELECT CAST(vec_id AS BIGINT) AS vid,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM '{sf_dir}/embeddings.parquet' ORDER BY vid"""
+    ).df()
+    return df["vid"].to_numpy(), np.array(df["v"].tolist())
+
+
+def _fold_sum(vals: np.ndarray) -> float:
+    acc = 0.0
+    for x in vals:
+        acc = acc + x
+    return acc
+
+
+def _kmeans_orders(sf_dir: str):
+    """Run KMEANS_ITERS Lloyd rounds under several summation orders;
+    return per-iteration assignment sets, min margins, max cross-order
+    distance jitter."""
+    vids, pts = _load_embeddings(sf_dir)
+    n, dim = pts.shape
+    rng = np.random.default_rng(0)
+    orders = {
+        "vid_asc": lambda m: np.arange(m),
+        "vid_desc": lambda m: np.arange(m)[::-1],
+        "perm_a": lambda m: rng.permutation(m),
+        "perm_b": lambda m: rng.permutation(m),
+    }
+    cents = {name: pts[:KMEANS_K].copy() for name in orders}
+    per_iter = []
+    for _ in range(KMEANS_ITERS):
+        dists, assigns = {}, {}
+        for name in orders:
+            diff = pts[:, None, :] - cents[name][None, :, :]
+            d = (diff * diff).sum(axis=2)
+            dists[name] = d
+            assigns[name] = d.argmin(axis=1)  # first min = smallest cluster
+        ref = assigns["vid_asc"]
+        flips = {k: int((v != ref).sum()) for k, v in assigns.items()}
+        ds = np.sort(dists["vid_asc"], axis=1)
+        margin = float((ds[:, 1] - ds[:, 0]).min())
+        jitter = max(
+            float(np.abs(dists[k] - dists["vid_asc"]).max()) for k in orders
+        )
+        per_iter.append((flips, margin, jitter))
+        # centroid update per order: sequential fold over members in that
+        # order (mirrors a partial-agg whose partition order is `name`)
+        for name, orderfn in orders.items():
+            newc = np.empty((KMEANS_K, dim))
+            for c in range(KMEANS_K):
+                members = np.where(ref == c)[0]
+                if len(members) == 0:
+                    newc[c] = cents[name][c]
+                    continue
+                perm = members[orderfn(len(members))]
+                for j in range(dim):
+                    newc[c, j] = _fold_sum(pts[perm, j]) / len(members)
+            cents[name] = newc
+    return per_iter
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_kmeans_assignment_margin(sf_dir):
+    per_iter = _kmeans_orders(sf_dir)
+    for it, (flips, margin, jitter) in enumerate(per_iter):
+        assert all(v == 0 for v in flips.values()), (
+            f"iter {it}: assignment flips across summation orders {flips} "
+            f"at {sf_dir} — production-mode semdedup oracle unsound"
+        )
+        # iter 0 centroids are seed vectors (no sums yet): jitter is 0 by
+        # construction, so only the updated-centroid iterations bound it.
+        if jitter > 0:
+            assert margin > KMEANS_MIN_SAFETY * jitter, (
+                f"iter {it}: margin {margin:.3e} vs jitter {jitter:.3e} "
+                f"at {sf_dir} — below {KMEANS_MIN_SAFETY}x safety"
+            )
+        else:
+            assert margin > 0
