@@ -2312,33 +2312,44 @@ FROM codes
 
 # --- LSH-bucketed similarity search (the scale path for ANN / near-dup) -----
 
-# Sign-random-projection LSH: 8 Rademacher (+1/-1) hyperplanes drawn
-# deterministically from md5 so Spark and DuckDB bucket identically.
-# Database-friendly sparse projections per Achlioptas (2003).
+# BANDED sign-random-projection LSH: L independent tables of b Rademacher
+# (+1/-1) hyperplanes each, drawn deterministically from md5 so Spark and
+# DuckDB bucket identically (database-friendly sparse projections per
+# Achlioptas 2003).  A pair is a CANDIDATE if it co-buckets in ANY table
+# — the OR-of-ANDs banding that MinHash-LSH (operators/dedup.py) already
+# uses: per-table match probability (1-theta/pi)^b, union over L tables.
+# The r5 design used ONE 8-plane table; on this corpus (true top-3
+# neighbors at cos~0.34 ~= 70 degrees, per-plane flip prob ~0.39) its
+# single-bucket probe recalled 2-3% of true neighbors — banding with
+# b=4, L=8 measures recall@3 ~0.70 at a 0.4 candidate fraction, the
+# right trade for weakly-separated data.  At corpus scale b grows with
+# log2(n / target_bucket_rows) and L stays the recall knob; the gate
+# corpora (500-2000 rows) use b=4 so buckets hold ~30-125 rows.
 _LSH_DIM = 64
-_LSH_PLANES = 8
+_LSH_TABLES = 8
+_LSH_BAND = 4
 
 
-def _lsh_planes():
+def _lsh_planes(table: int):
     import hashlib
 
     planes = []
-    for p in range(_LSH_PLANES):
+    for p in range(_LSH_BAND):
         row = []
         for d in range(_LSH_DIM):
-            h = hashlib.md5(f"lsh-{p}-{d}".encode()).hexdigest()
+            h = hashlib.md5(f"lsh-{table}-{p}-{d}".encode()).hexdigest()
             row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
         planes.append(row)
     return planes
 
 
-def _lsh_bucket_sql(one_based: bool) -> str:
+def _lsh_bucket_sql(table: int, one_based: bool) -> str:
     # bucket = sum_p 2^p * [v . w_p > 0], with w_p baked in as +/-1 literals
     # so each dot is a signed sum over the vector's own elements (map-side,
     # no join, no md5 at query time).
     off = 1 if one_based else 0
     terms = []
-    for p, row in enumerate(_lsh_planes()):
+    for p, row in enumerate(_lsh_planes(table)):
         dot = " + ".join(
             f"{'' if w > 0 else '-'}v[{d + off}]" for d, w in enumerate(row)
         )
@@ -2346,7 +2357,7 @@ def _lsh_bucket_sql(one_based: bool) -> str:
     return " + ".join(terms)
 
 
-def _embeds_v(spark, sf_dir):
+def _embeds_base(spark, sf_dir):
     return (
         _embeds(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -2354,8 +2365,58 @@ def _embeds_v(spark, sf_dir):
             F.col("vec_id").cast("long").alias("vec_id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
         )
-        .withColumn("bucket", F.expr(_lsh_bucket_sql(one_based=False)).cast("long"))
     )
+
+
+def _lsh_bucket_col(table: int):
+    """The table's bucket as a Spark Column: each plane dot is a
+    zip_with(v, ±1-literal array) left fold — the SAME bits as the SQL
+    side's flat signed sum (x*±1.0 is an exact sign flip; the fold's
+    0.0+x1 head is exact; the add chain associates identically) but a
+    SMALL expression tree: inlining L*b 64-term CASE sums as flat codegen
+    blew janino's 64KB method limit and dropped the whole fused stage to
+    interpreted mode."""
+    terms = None
+    for p, row in enumerate(_lsh_planes(table)):
+        w = F.array(*[F.lit(float(wi)) for wi in row])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        terms = bit if terms is None else terms + bit
+    return terms.cast("long")
+
+
+def _lsh_keys(df):
+    """Explode a (.., v, ..) table to one row per (table, bucket) key —
+    L map-side plane-dot folds per row, then posexplode; no shuffle."""
+    cols = list(df.columns)
+    staged = df.select(
+        *cols,
+        *[_lsh_bucket_col(t).alias(f"_b{t}") for t in range(_LSH_TABLES)],
+    )
+    return staged.select(
+        *cols,
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(_LSH_TABLES)])
+        ).alias("t", "bucket"),
+    )
+
+
+def _sql_ebt(
+    one_based: bool = True, src: str = "e", cols: str = "vec_id, v"
+) -> str:
+    """The exploded ({cols}, t, bucket) table as a UNION ALL over the
+    L banded tables — the DuckDB replay of _lsh_keys.  The
+    bucket exprs always read column ``v`` of {src}; {cols} picks what
+    rides along (e.g. the int8 funnel carries codes, not vectors)."""
+    parts = [
+        f"SELECT {cols}, {t} AS t, {_lsh_bucket_sql(t, one_based)} AS bucket FROM {src}"
+        for t in range(_LSH_TABLES)
+    ]
+    return "\n  UNION ALL ".join(parts)
 
 
 def _cos(va, vb):
@@ -2617,23 +2678,52 @@ FROM i2asg a LEFT JOIN drp d ON a.vid = d.vid
 
 
 def q_ann_lsh(spark, sf_dir):
-    # ANN top-3 per query vector, candidates restricted to the query's LSH
-    # bucket: the bucket equi-join replaces the brute-force cross join, so
-    # compare cost drops from O(N*Q) to ~O(N*Q/2^planes) and the join
-    # shuffles on a bounded integer key — the 100 TB plan.  Exact cosine
-    # rescoring inside the bucket; deterministic buckets = oracle-exact.
-    e = _embeds_v(spark, sf_dir)
+    # ANN top-3 per query vector over BANDED multi-table LSH: a corpus
+    # vector is a candidate if it co-buckets with the query in ANY of the
+    # L tables (see the banding note above _lsh_planes — the old
+    # single-table probe recalled 2-3% of true neighbors on this corpus;
+    # banding measures ~0.70 recall@3).  The (t, bucket) equi-join
+    # replaces the brute-force cross join and shuffles on a bounded
+    # integer key; duplicate candidates (pairs co-bucketing in several
+    # tables) collapse with a (qid, vec_id) MAX — the cosine is identical
+    # across tables, so MAX is pure dedup.  Exact cosine rescoring;
+    # deterministic buckets = oracle-exact.
+    # Vectors are normalized ONCE per row (norm as a scalar column
+    # first), so the per-pair cosine is a single dot fold — same
+    # arithmetic staging as semantic_dedup; the oracle mirrors it.
+    # Buckets are computed from the RAW vector so the sign sums match
+    # _sql_ebt's literal ±v terms bit-for-bit.
+    nr = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    un = _embeds_base(spark, sf_dir).withColumn("_nr", nr)
+    e = _lsh_keys(un).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
+        "t",
+        "bucket",
+    )
     q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "t", "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("qu", "u", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = (
-        q.join(e, "bucket")
+        q.join(e, ["t", "bucket"])
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+        .select("qid", "vec_id", dot.alias("cos"))
     )
+    scored = pairs.groupBy("qid", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
             "qid",
@@ -2646,24 +2736,31 @@ def q_ann_lsh(spark, sf_dir):
 
 def _sql_ann_lsh():
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-eb AS (SELECT vec_id, v, {_lsh_bucket_sql(one_based=True)} AS bucket FROM e),
-q AS (SELECT vec_id AS qid, v AS qv, bucket FROM eb WHERE vec_id < 50),
+un AS (
+  SELECT vec_id, v, LIST_TRANSFORM(v, x -> x / nr) AS u
+  FROM (SELECT vec_id, v,
+               SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nr
+        FROM e)
+),
+ebt AS MATERIALIZED (
+  {_sql_ebt(one_based=True, src="un", cols="vec_id, u")}
+),
+q AS (SELECT vec_id AS qid, u AS qu, t, bucket FROM ebt WHERE vec_id < 50),
 pairs AS (
   SELECT qid, vec_id,
-         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] * v[i]))
-         / (SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)))
-            * SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x)))) AS cos
-  FROM q JOIN eb USING (bucket) WHERE qid != vec_id
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qu) + 1), i -> qu[i] * u[i])) AS cos
+  FROM q JOIN ebt USING (t, bucket) WHERE qid != vec_id
 ),
+scored AS (SELECT qid, vec_id, MAX(cos) AS cos FROM pairs GROUP BY qid, vec_id),
 ranked AS (
   SELECT qid, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-  FROM pairs
+  FROM scored
 )
 SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 3
@@ -2671,15 +2768,45 @@ FROM ranked WHERE rank <= 3
 
 
 def q_dedup_embed(spark, sf_dir):
-    # Embedding-cosine near-dup candidates: pairs sharing an LSH bucket
-    # with cosine >= 0.4.  Same bucket-join scale shape as q_ann_lsh.
-    e = _embeds_v(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"), "bucket")
+    # Embedding-cosine near-dup candidates: pairs co-bucketing in ANY of
+    # the L banded LSH tables with cosine >= 0.4.  Same banded-join scale
+    # shape as q_ann_lsh; the (v1, v2) MAX collapses multi-table
+    # duplicates (identical cosine — pure dedup).  The old single-table
+    # probe surfaced ~2% of the threshold pairs; banding recalls the
+    # bulk of them at a bounded candidate fraction.
+    # Normalize once per row; pair cosine = single dot fold (same
+    # staging as q_ann_lsh / semantic_dedup, mirrored by the oracle).
+    nr = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    un = _embeds_base(spark, sf_dir).withColumn("_nr", nr)
+    e = _lsh_keys(un).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
+        "t",
+        "bucket",
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("u").alias("ub"), "t", "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["t", "bucket"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", _cos(F.col("va"), F.col("vb")).alias("cos"))
+        .select("v1", "v2", dot.alias("cos"))
+        .groupBy("v1", "v2")
+        .agg(F.max("cos").alias("cos"))
         .filter(F.col("cos") >= 0.4)
         .select("v1", "v2", F.round("cos", 6).alias("cos"))
     )
@@ -2687,20 +2814,28 @@ def q_dedup_embed(spark, sf_dir):
 
 def _sql_dedup_embed():
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-eb AS (SELECT vec_id, v, {_lsh_bucket_sql(one_based=True)} AS bucket FROM e),
+un AS (
+  SELECT vec_id, v, LIST_TRANSFORM(v, x -> x / nr) AS u
+  FROM (SELECT vec_id, v,
+               SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nr
+        FROM e)
+),
+ebt AS MATERIALIZED (
+  {_sql_ebt(one_based=True, src="un", cols="vec_id, u")}
+),
 pairs AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
-         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
-            * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))) AS cos
-  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
-SELECT v1, v2, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.u) + 1), i -> a.u[i] * b.u[i])) AS cos
+  FROM ebt a JOIN ebt b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (SELECT v1, v2, MAX(cos) AS cos FROM pairs GROUP BY v1, v2)
+SELECT v1, v2, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.4
 """
 
 
@@ -2710,7 +2845,12 @@ SELECT v1, v2, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
 # candidates.  Complements q_ann_lsh: IVF recall degrades gracefully with
 # nprobe while LSH recall is fixed by the plane count.
 _IVF_NLIST = 8
-_IVF_NPROBE = 2
+# nprobe=4: recall@3 measured 0.80/0.74 (sf0.01/sf0.1) vs 0.53/0.55 at
+# nprobe=2 — on this corpus true neighbors sit at cos~0.34 (~70 deg, near
+# the random-pair band), so IVF recall tracks the probed corpus fraction
+# (nprobe/nlist) plus a ~2x structural lift; nprobe is the documented
+# recall/cost knob and 4/8 is the default that clears the 0.7 floor.
+_IVF_NPROBE = 4
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -2721,7 +2861,7 @@ def q_ann_ivf(spark, sf_dir):
     # window.  Centroid cosines are rounded to 9 digits before ranking in
     # both engines so the argmin can't flip on last-ulp summation-order
     # differences between Spark and the oracle.
-    e = _embeds_v(spark, sf_dir).select("vec_id", "v")
+    e = _embeds_base(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _IVF_NLIST).agg(
         F.collect_list(
             F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
@@ -4415,7 +4555,7 @@ def q_ann_int8(spark, sf_dir):
     code table is the only thing the candidate scan touches; full
     vectors are fetched for the rescore set alone.
     """
-    e = _embeds_v(spark, sf_dir)
+    e = _persist(_embeds_base(spark, sf_dir))
     dims = e.select(F.posexplode("v").alias("j", "x"))
     sc = dims.groupBy("j").agg(F.max(F.abs(F.col("x"))).alias("s"))
     scl = sc.agg(
@@ -4424,19 +4564,26 @@ def q_ann_int8(spark, sf_dir):
             lambda st: F.greatest(st["s"], F.lit(1e-30)),
         ).alias("sarr")
     )
-    eq = _persist(e.crossJoin(F.broadcast(scl)).select(
-        "vec_id",
-        "bucket",
-        "v",
-        F.zip_with(
-            "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
-        ).alias("code"),
-    ))  # both sides of the bucket join consume the encoded
-    # table; without persistence the scale-agg + encode runs twice
-    q = eq.filter(F.col("vec_id") < 50).select(
+    # Exploded (vec_id, code, t, bucket) key table over the L banded LSH
+    # tables (see _lsh_planes) — the WIDE candidate scan touches only
+    # integer codes; full vectors are fetched from the persisted base
+    # table for the 10-row-per-query rescore set alone.
+    eqt = _persist(
+        _lsh_keys(e.crossJoin(F.broadcast(scl)))
+        .select(
+            "vec_id",
+            "t",
+            "bucket",
+            F.zip_with(
+                "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
+            ).alias("code"),
+        )
+    )  # both join sides consume the encoded keys; without persistence
+    # the scale-agg + encode + explode runs twice
+    q = eqt.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
         F.col("code").alias("qcode"),
+        "t",
         "bucket",
     )
     qscore = F.aggregate(
@@ -4445,14 +4592,18 @@ def q_ann_int8(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     cand = (
-        q.join(eq, "bucket")
+        q.join(eqt, ["t", "bucket"])
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", "qv", "v", qscore.alias("qscore"))
-    )
+        .select("qid", "vec_id", qscore.alias("qscore"))
+        .groupBy("qid", "vec_id")
+        .agg(F.max("qscore").alias("qscore"))
+    )  # MAX dedupes multi-table candidates (scores identical per pair)
     w1 = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), "vec_id")
     top = (
         cand.withColumn("r1", F.row_number().over(w1))
         .filter(F.col("r1") <= 10)
+        .join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
+        .join(e, "vec_id")
         .select(
             "qid", "vec_id", "qscore", F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos")
         )
@@ -4467,12 +4618,11 @@ def q_ann_int8(spark, sf_dir):
 
 def _sql_ann_int8():
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-eb AS (SELECT vec_id, v, {_lsh_bucket_sql(one_based=True)} AS bucket FROM e),
 dims AS (
   SELECT UNNEST(RANGE(1, LEN(v) + 1)) AS j,
          UNNEST(LIST_TRANSFORM(v, x -> ABS(x))) AS ax
@@ -4480,26 +4630,33 @@ dims AS (
 ),
 sc AS (SELECT j, MAX(ax) AS s FROM dims GROUP BY j),
 scl AS (SELECT LIST(GREATEST(s, 1e-30) ORDER BY j) AS sarr FROM sc),
-eq AS (
-  SELECT vec_id, bucket, v,
+eq AS MATERIALIZED (
+  SELECT vec_id, v,
          LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
                         i -> CAST(FLOOR(v[i] / sarr[i] * 127.0) AS BIGINT)) AS code
-  FROM eb CROSS JOIN scl
+  FROM e CROSS JOIN scl
 ),
-q AS (SELECT vec_id AS qid, v AS qv, code AS qcode, bucket FROM eq WHERE vec_id < 50),
+eqt AS MATERIALIZED (
+  {_sql_ebt(one_based=True, src="eq", cols="vec_id, code")}
+),
+q AS (SELECT vec_id AS qid, code AS qcode, t, bucket FROM eqt WHERE vec_id < 50),
 cand AS (
-  SELECT qid, vec_id, qv, v,
+  SELECT qid, vec_id,
          LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qcode) + 1), i -> qcode[i] * code[i])) AS qscore
-  FROM q JOIN eq USING (bucket) WHERE qid != vec_id
+  FROM q JOIN eqt USING (t, bucket) WHERE qid != vec_id
 ),
+scored AS (SELECT qid, vec_id, MAX(qscore) AS qscore FROM cand GROUP BY qid, vec_id),
 s1 AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS r1
-  FROM cand
+  FROM scored
 ),
 s2 AS (
-  SELECT qid, vec_id, CAST(qscore AS BIGINT) AS qscore,
-         ROUND({_SQL_COS.format(a="qv", b="v")}, 6) AS cos
-  FROM s1 WHERE r1 <= 10
+  SELECT s1.qid, s1.vec_id, CAST(s1.qscore AS BIGINT) AS qscore,
+         ROUND({_SQL_COS.format(a="eqv.v", b="ev.v")}, 6) AS cos
+  FROM s1
+  JOIN e eqv ON s1.qid = eqv.vec_id
+  JOIN e ev ON s1.vec_id = ev.vec_id
+  WHERE s1.r1 <= 10
 ),
 r AS (
   SELECT qid, vec_id, qscore, cos,

@@ -177,6 +177,16 @@ def main():
     # for these queries, and within-run rep2/rep3 reuse plan-matched
     # cache blocks identically.
     #
+    # r5->r6 attribution (BENCH_r05 rss_daily 0.501 [2.34x vs r4],
+    # rms_lin 0.744 [1.74x], segment_stats 0.615): HOST DRIFT, not code.
+    # Re-measured in r6 with byte-identical query code (standalone
+    # min-of-5, under concurrent load even): rss_daily 0.399, rms_lin
+    # 0.554, segment_stats 0.665 — all at or below the r5 readings with
+    # zero operator changes, the same profile KERNEL_BENCH.md documents
+    # moving +/-30% between rounds.  The queries_median column added
+    # this round makes future attribution automatic: jitter shows as
+    # median >> min; a real change moves the min.
+    #
     # Round-5 notes: rep_stats dropped 15.07s -> ~1s — a real fix, not
     # jitter (the bigram lambda re-split the document per element;
     # higher-order lambdas get no common-subexpression elimination —

@@ -46,9 +46,13 @@ def cosine_topk_bruteforce(
     Returns ``(qid, vec_id, cos, rank)`` with rank 1..k per query, ties
     broken to the smaller corpus id.  Self-matches (same id) are dropped.
 
-    ``max_pairs`` guards the plan: the constructor counts both sides (two
-    cheap count jobs) and raises when |queries| x |corpus| exceeds it —
-    pass ``None`` only for deliberate offline recall audits.
+    ``max_pairs`` guards the plan: the constructor counts both sides and
+    raises when |queries| x |corpus| exceeds it — pass ``None`` only for
+    deliberate offline recall audits.  The two count() jobs are EAGER
+    and re-execute each input's full plan, so they are cheap only for
+    cheap (scan-shaped) or cached inputs; if either side is an expensive
+    derived plan, ``.persist()`` it before calling, or skip the guard
+    with an explicit ``max_pairs=None`` after sizing it yourself.
     """
     if max_pairs is not None:
         n_pairs = queries.count() * corpus.count()

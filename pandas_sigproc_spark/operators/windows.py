@@ -61,10 +61,27 @@ def _resolve_chunk_rows(
       length itself.
     """
     if chunk_rows == "auto":
-        if tiebreak_col is not None:
-            return None
         from pandas_sigproc_spark import planner
 
+        if tiebreak_col is not None:
+            # The degradation is deliberate (see docstring) but must not
+            # be SILENT: above the huge-channel threshold the caller
+            # loses exactly the single-task-window protection auto mode
+            # exists for, so say so once per call site (r5 advice).
+            resolved = planner.auto_window_mode(df)
+            if resolved is not None:
+                import warnings
+
+                warnings.warn(
+                    "chunk_rows='auto' detected a huge channel but "
+                    "tiebreak_col forces the single-task whole-channel "
+                    "window plan (the chunked path's arithmetic sample "
+                    "index cannot disambiguate duplicate timestamps). "
+                    "Deduplicate the time base (deduplicate()) or drop "
+                    "tiebreak_col to regain bounded-task chunking.",
+                    stacklevel=3,
+                )
+            return None
         resolved = planner.auto_window_mode(df)
         if resolved is not None and overlap >= resolved:
             resolved = 4 * overlap

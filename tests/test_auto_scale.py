@@ -124,3 +124,32 @@ def test_rainflow_auto_chunks_huge_and_buckets_small(spark):
     out2 = rainflow(df, ndigits=2)
     p2 = _plan(out2)
     assert "_b" not in p2 and "_seg" in p2
+
+
+def test_auto_with_tiebreak_warns_on_huge_channel(spark):
+    # chunk_rows="auto" + tiebreak_col deliberately degrades to the
+    # single-task whole-channel window plan (the arithmetic sample index
+    # cannot disambiguate duplicate timestamps) — but above the
+    # huge-channel threshold that degradation must be LOUD, because it
+    # is exactly the single-task risk auto mode exists to remove.
+    import warnings
+
+    from pandas_sigproc_spark.operators.windows import mov_rms
+
+    df = _sig(spark)
+    _fake_huge(df)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = mov_rms(df, 0.5, 16.0, tiebreak_col="value")
+    msgs = [str(w.message) for w in rec]
+    assert any("single-task whole-channel window" in m for m in msgs), msgs
+    assert "_seg" not in _plan(out)  # window plan, as documented
+
+    # small fleet: same call stays quiet (nothing at risk).  A different
+    # channel count changes the plan's semanticHash, so df2 does NOT
+    # reuse the fake-huge stats registered for df above.
+    df2 = _sig(spark, n_channels=4)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        mov_rms(df2, 0.5, 16.0, tiebreak_col="value")
+    assert not [w for w in rec2 if "single-task" in str(w.message)]

@@ -105,14 +105,18 @@ def test_ann_int8_matches_python(spark):
         f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
     ).df()
     vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
-    planes = entry_mod._lsh_planes()
+    tables = [
+        entry_mod._lsh_planes(t) for t in range(entry_mod._LSH_TABLES)
+    ]
 
-    def bucket(v):
+    def bucket(v, planes):
         b = 0
         for p, row in enumerate(planes):
+            # x * +/-1.0 exactly like the Spark zip_with fold (an exact
+            # sign flip), accumulated left-to-right
             acc = 0.0
-            for w, x in zip(row, v):  # left-to-right like the SQL chain
-                acc = acc + x if w > 0 else acc - x
+            for w, x in zip(row, v):
+                acc = acc + x * float(w)
             if acc > 0:
                 b += 1 << p
         return b
@@ -123,7 +127,9 @@ def test_ann_int8_matches_python(spark):
         d: [math.floor(v[j] / scale[j] * 127.0) for j in range(dim)]
         for d, v in vecs.items()
     }
-    buckets = {d: bucket(v) for d, v in vecs.items()}
+    buckets = {
+        d: [bucket(v, pl) for pl in tables] for d, v in vecs.items()
+    }
 
     def fold_cos(a, b):  # sequential folds, matching F.aggregate exactly
         dot = na = nb = 0.0
@@ -138,7 +144,13 @@ def test_ann_int8_matches_python(spark):
     want_rows = []
     for qid in sorted(d for d in vecs if d < 50):
         cand = [
-            d for d in vecs if d != qid and buckets[d] == buckets[qid]
+            d
+            for d in vecs
+            if d != qid
+            and any(
+                buckets[d][t] == buckets[qid][t]
+                for t in range(entry_mod._LSH_TABLES)
+            )
         ]
         qs = {d: sum(x * y for x, y in zip(codes[qid], codes[d])) for d in cand}
         top10 = sorted(cand, key=lambda d: (-qs[d], d))[:10]
