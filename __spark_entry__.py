@@ -4957,24 +4957,27 @@ FROM stats
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-5 ordering (counted
-    # programmatically against CORRECTNESS_r01-r04 — exactly 50 entries
-    # sit above the cap marker; tests/test_entry_contract.py pins it):
-    #   tier 1 — the 15 queries that have NEVER had a driver hash row:
-    #            the 3 added after the r4 rotation was planned, the
-    #            round-5 ops (semdedup / substr_dedup / corpus_curate /
-    #            rep_stats / doc_chunks / media_image_png), and the NEW
-    #            chunked/agg scale-path queries (forced through the
-    #            chunked plan at sf0.01);
-    #   tier 2 — queries whose OPERATOR CODE changed this round (auto
-    #            chunk resolution on the native window ops; piecewise
-    #            agg detrend) — green r4, re-proven on the new code;
-    #   tier 3 — the r01/r02-tier backfill the r4 verdict flagged as
-    #            stale driver evidence (text/dedup/ANN/media/tpch);
-    #   below the cap — everything hash-green in r03/r04 whose coverage
-    #            the local gate (tools/oracle_check.py) keeps every round.
+    # the first 50 entries in dict order.  Round-6 ordering (exactly 50
+    # entries sit above the cap marker; tests/test_entry_contract.py
+    # pins it):
+    #   tier 1 — queries whose OPERATOR CODE changed this round, all
+    #            needing driver re-proof on the new plans: the k-means
+    #            family (map-side broadcast-argmin Lloyd, window-rank
+    #            seeding, production-mode semdedup/corpus_curate with
+    #            plain-SUM centroids) and the banded-LSH ANN tier
+    #            (ann_lsh / ann_ivf / dedup_embed / ann_int8 — ann_int8
+    #            rotated UP from below the cap for this, displacing the
+    #            unchanged r5-green media_image_png);
+    #   tier 1b — r5 first-prover queries kept in-window (unchanged
+    #            code, freshest evidence stays r5-or-newer);
+    #   tier 2/3 — unchanged queries with r4/r5-green rows, re-proven
+    #            opportunistically;
+    #   below the cap — everything hash-green in r03-r05 whose coverage
+    #            the local gate (tools/oracle_check.py) keeps every
+    #            round, plus the exact_sums audit twins (same plans that
+    #            were driver-proven in r5 under the production names).
     return {
-        # -- tier 1: first-ever driver rows + new chunked-window plans ----
+        # -- tier 1: operator code changed this round ---------------------
         "embed_kmeans": q_embed_kmeans,
         "cluster_sample": q_cluster_sample,
         "media_image_real": q_media_image_real,
@@ -4988,7 +4991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "interp_chunked": q_interp_chunked,
         "resample_chunked": q_resample_chunked,
-        "media_image_png": q_media_image_png,
+        "ann_int8": q_ann_int8,
         "detrend_agg": q_detrend_agg,
         # -- tier 2: operator code changed this round ---------------------
         "mov_rms": q_mov_rms,
@@ -5063,7 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_damage_dft": q_psd_damage_dft,
         "seq_pack": q_seq_pack,
         "tfidf_topk": q_tfidf_topk,
-        "ann_int8": q_ann_int8,
+        "media_image_png": q_media_image_png,
         "between": q_between,
         "between_freq": q_between_freq,
         "timeshift": q_timeshift,

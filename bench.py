@@ -177,6 +177,14 @@ def main():
     # for these queries, and within-run rep2/rep3 reuse plan-matched
     # cache blocks identically.
     #
+    # r6 DELIBERATE cost increases: ann_lsh / ann_int8 / dedup_embed run
+    # ~2-4x their r5 walls BY DESIGN — r5's single-table LSH probe
+    # recalled 2-3% of true neighbors (useless as ANN; the corpus is
+    # weakly separated, true top-3 at cos~0.34 vs random 0.0+/-0.125),
+    # and the banded multi-table rewrite (L=8 x b=4) buys recall@3
+    # 0.70-0.80 at a ~0.4 candidate fraction.  The recall leg below
+    # prints the numbers next to the walls so the trade is visible.
+    #
     # r5->r6 attribution (BENCH_r05 rss_daily 0.501 [2.34x vs r4],
     # rms_lin 0.744 [1.74x], segment_stats 0.615): HOST DRIFT, not code.
     # Re-measured in r6 with byte-identical query code (standalone

@@ -292,29 +292,53 @@ def substring_dedup(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
         ).alias("tp"),
     )
-    covagg = cov.groupBy("doc_id").agg(F.collect_set("tp").alias("_cv"))
+    # clean_text by token-level ANTI-JOIN (the same shape the DuckDB
+    # oracle uses): explode tokens to (doc_id, p, w), drop covered
+    # positions, reassemble in order.  The earlier formulation tested
+    # membership per token with array_contains over the doc's covered
+    # SET — O(len^2) inside ONE task, which the giant-document skew
+    # probe (tools/skew_llm.py) measured hanging at 4e5 tokens
+    # (1.6e11 comparisons).  The anti-join is linear in corpus tokens
+    # with uniform (doc_id, position) shuffle keys; the per-doc
+    # reassembly sort is O(len log len), bounded by document length.
+    # The covered COUNT falls out of the same aggregation
+    # (n_dup = n_tokens - n_kept), so `cov` is consumed exactly once —
+    # no second gram-generation pass, no collected position arrays.
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    kept = tok.join(
+        cov,
+        (tok["doc_id"] == cov["doc_id"]) & (tok["p"] == cov["tp"]),
+        "left_anti",
+    )
+    ct = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("_ct"),
+    )
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
     )
-    joined = base.join(covagg, "doc_id", "left").select(
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    joined = base.join(ct, "doc_id", "left").select(
         "doc_id",
         F.col(text_col),
-        F.coalesce(F.col("_cv"), F.array().cast("array<int>")).alias("_cv"),
+        (n_tok - F.coalesce(F.col("_nk"), F.lit(0).cast("long"))).alias(
+            "_nd"
+        ),
+        F.coalesce(F.col("_ct"), F.lit("")).alias("_ct"),
     )
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
-    n_dup = F.size("_cv").cast("long")
     return joined.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        n_dup.alias("n_dup_tokens"),
-        F.round(n_dup.cast("double") / n_tok, 6).alias("dup_frac"),
-        # split is filter's ARGUMENT (evaluated once); the lambda touches
-        # only (element, index, _cv) — no per-element re-split.
-        F.array_join(
-            F.filter(
-                F.split(F.col(text_col), " "),
-                lambda w, i: ~F.array_contains(F.col("_cv"), i + F.lit(1)),
-            ),
-            " ",
-        ).alias("clean_text"),
+        F.col("_nd").alias("n_dup_tokens"),
+        F.round(F.col("_nd").cast("double") / n_tok, 6).alias("dup_frac"),
+        F.col("_ct").alias("clean_text"),
     )
