@@ -4951,6 +4951,246 @@ FROM stats
 
 
 # ---------------------------------------------------------------------------
+# round-6 corpus-curation tier (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from pandas_sigproc_spark.operators import curation as _cur
+
+_BLOCK_TOKENS = 10
+
+
+def q_para_dedup(spark, sf_dir):
+    """CCNet-style block-level (paragraph) dedup: drop every repeated
+    10-word block except its first corpus occurrence and reassemble the
+    cleaned documents.  See operators/curation.py:block_dedup for the
+    three-uniform-shuffle scale shape (digest partial agg + keeper
+    equi-join + per-doc reassembly bounded by document length)."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return _cur.block_dedup(d, _BLOCK_TOKENS)
+
+
+SQL_PARA_DEDUP = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS words
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(
+             RANGE(1, GREATEST(LEN(words), 1) + 1, {_BLOCK_TOKENS}),
+             i -> {{'bid': CAST((i + {_BLOCK_TOKENS - 1}) // {_BLOCK_TOKENS} AS BIGINT),
+                    'btext': ARRAY_TO_STRING(words[i:i+{_BLOCK_TOKENS - 1}], ' ')}})) AS u
+  FROM tok
+),
+occ AS (SELECT doc_id, u.bid AS bid, u.btext AS btext, MD5(u.btext) AS digest FROM b),
+marked AS (
+  SELECT doc_id, bid, btext,
+         (COUNT(*) OVER (PARTITION BY digest) < 2
+          OR ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id, bid) = 1) AS keep
+  FROM occ
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       ROUND(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_frac,
+       COALESCE(ARRAY_TO_STRING(LIST(btext ORDER BY bid) FILTER (WHERE keep), ' '), '')
+         AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
+_QC_THRESHOLD = 0.85
+
+
+def q_quality_classify(spark, sf_dir):
+    """Logistic quality classifier (model-based filter stage): four
+    map-side features -> fixed-weight logistic score -> keep flag at
+    threshold {thr}.  0 shuffles, 0 UDFs — a single expression tree.
+    The 6-dp rounding margin over exp() is pinned by
+    tests/test_curation.py against DuckDB on the full corpus."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return _cur.quality_classifier(d, threshold=_QC_THRESHOLD)
+
+
+_QC_W = _cur.QUALITY_WEIGHTS
+
+SQL_QUALITY_CLASSIFY = f"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         STRING_SPLIT(text, ' ') AS words,
+         LENGTH(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(LEN(words) AS BIGINT) AS n_tokens,
+         LEAST(1.0, LEN(words) / 100.0) AS f_len,
+         GREATEST(0.0, 1.0 - ABS(n_chars / LEN(words) - 4.7) / 4.7) AS f_awl,
+         LEN(LIST_FILTER(words, w -> w IN ('the', 'a', 'of', 'and', 'is')))
+           / CAST(LEN(words) AS DOUBLE) AS f_stop,
+         LEN(LIST_DISTINCT(words)) / CAST(LEN(words) AS DOUBLE) AS f_uniq
+  FROM f
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         ROUND(f_len, 6) AS f_len, ROUND(f_awl, 6) AS f_awl,
+         ROUND(f_stop, 6) AS f_stop, ROUND(f_uniq, 6) AS f_uniq,
+         ROUND(1.0 / (1.0 + EXP(-({_QC_W[0]!r} + {_QC_W[1]!r} * f_len
+                                  + {_QC_W[2]!r} * f_awl + {_QC_W[3]!r} * f_stop
+                                  + {_QC_W[4]!r} * f_uniq))), 6) AS score
+  FROM feat
+)
+SELECT doc_id, n_tokens, f_len, f_awl, f_stop, f_uniq, score,
+       score >= {_QC_THRESHOLD!r} AS keep
+FROM scored
+"""
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination — the constant-memory scale path of
+    q_decontaminate: the benchmark slice's distinct 5-gram hashes are
+    folded into a 2^20-bit bitmap (256 KiB, independent of suite size)
+    and every training document is probed MAP-SIDE against one
+    broadcast row.  The corpus never shuffles and never equi-joins;
+    at this bitmap sizing the probe is exact on the test corpus (the
+    FP analysis lives in operators/curation.py).
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    bench = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(_text.gram_hash_expr(_DECON_N).alias("gs"))
+        .select(F.explode("gs").alias("h"))
+        .distinct()
+    )
+    bitmap = _cur.build_bloom_bitmap(bench)
+    return _cur.bloom_probe(
+        d.filter(F.col("doc_id") % 10 != 0), bitmap, _DECON_N
+    )
+
+
+_BLOOM_M = _cur.BLOOM_M_BITS
+_BLOOM_KS = ", ".join(f"({j})" for j in range(_cur.BLOOM_K))
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, STRING_SPLIT(text, ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - {_DECON_N - 1}, 1) + 1),
+                            i -> ARRAY_TO_STRING(words[i:i+{_DECON_N - 1}], ' ')),
+             s -> CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS gs
+  FROM tok
+),
+gh AS (SELECT doc_id, UNNEST(gs) AS h FROM g),
+bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = 0),
+bpos AS (
+  SELECT (h % {_BLOOM_M} + j * ((h >> 20) % {_BLOOM_M} + 1)) % {_BLOOM_M} AS pos
+  FROM bench CROSS JOIN (VALUES {_BLOOM_KS}) ks(j)
+),
+bitmap AS (
+  SELECT pos >> 5 AS wi, BIT_OR(1::BIGINT << (pos % 32)) AS bits
+  FROM bpos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, h,
+         (h % {_BLOOM_M} + j * ((h >> 20) % {_BLOOM_M} + 1)) % {_BLOOM_M} AS pos
+  FROM gh CROSS JOIN (VALUES {_BLOOM_KS}) ks(j)
+  WHERE doc_id % 10 != 0
+),
+pt AS (
+  SELECT doc_id, h,
+         BOOL_AND(COALESCE(bits, 0) % ((1::BIGINT << (pos % 32)) * 2)
+                  >= (1::BIGINT << (pos % 32))) AS hit
+  FROM probe LEFT JOIN bitmap ON bitmap.wi = probe.pos >> 5
+  GROUP BY doc_id, h
+)
+SELECT doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       ROUND(SUM(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS flag_frac
+FROM pt GROUP BY doc_id
+"""
+
+
+def q_temp_sample(spark, sf_dir):
+    """Temperature-scaled language rebalancing (T=2): per-language keep
+    thresholds DERIVED from corpus counts (integer-exact weight sums —
+    see operators/curation.py:temperature_thresholds), applied as a
+    deterministic map-side hash filter.  The corpus side never
+    shuffles; the threshold table is language-cardinality and
+    broadcast."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return _cur.temperature_sample(d)
+
+
+SQL_TEMP_SAMPLE = f"""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(w) AS wsum, SUM(n_docs) AS n FROM per),
+thr AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR({float(_SAMPLE_MOD)!r} * LEAST(n_docs,
+             CAST(FLOOR((CAST(n AS DOUBLE) * w) / CAST(wsum AS DOUBLE)) AS BIGINT))
+             / n_docs) AS BIGINT) AS thr
+  FROM per CROSS JOIN tot
+),
+u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':tsample')), 1, 15))
+              AS BIGINT) % {_SAMPLE_MOD} AS u
+  FROM documents
+)
+SELECT u.doc_id, u.lang, u.u
+FROM u JOIN thr USING (lang)
+WHERE u.u < thr.thr
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Regex PII masking over the events props payload: chained
+    regexp_replace (email -> IP -> digit runs) plus a masked-character
+    count.  Pure map-side codegen — 0 shuffles, 0 UDFs; the regex
+    subset is portable between Java regex and RE2 so the oracle replays
+    it byte-for-byte."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _cur.scrub_pii(ev, "props").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "props_scrubbed",
+        "props_masked_chars",
+    )
+
+
+def _sql_pii_scrub() -> str:
+    scrubbed = "props"
+    for pat, rep in _cur.PII_RULES:
+        scrubbed = f"REGEXP_REPLACE({scrubbed}, '{pat}', '{rep}', 'g')"
+    stripped = "props_scrubbed"
+    for _, rep in _cur.PII_RULES:
+        stripped = f"REPLACE({stripped}, '{rep}', '')"
+    return f"""
+WITH s AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, event_type, props,
+         {scrubbed} AS props_scrubbed
+  FROM events
+)
+SELECT event_id, event_type, props_scrubbed,
+       CAST(LENGTH(props) - LENGTH({stripped}) AS BIGINT) AS props_masked_chars
+FROM s
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4960,6 +5200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 entries in dict order.  Round-6 ordering (exactly 50
     # entries sit above the cap marker; tests/test_entry_contract.py
     # pins it):
+    #   tier 0 — the five NEW curation-tier queries (para_dedup,
+    #            quality_classify, bloom_decontaminate, temp_sample,
+    #            pii_scrub) — never driver-checked, must be in-window;
+    #            five r5-green unchanged tpch_* rows demoted below the
+    #            cap to make room;
     #   tier 1 — queries whose OPERATOR CODE changed this round, all
     #            needing driver re-proof on the new plans: the k-means
     #            family (map-side broadcast-argmin Lloyd, window-rank
@@ -4977,6 +5222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            round, plus the exact_sums audit twins (same plans that
     #            were driver-proven in r5 under the production names).
     return {
+        # -- tier 0: NEW round-6 operators (operators/curation.py) — first
+        #            driver proof needed --------------------------------
+        "para_dedup": q_para_dedup,
+        "quality_classify": q_quality_classify,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "temp_sample": q_temp_sample,
+        "pii_scrub": q_pii_scrub,
         # -- tier 1: operator code changed this round ---------------------
         "embed_kmeans": q_embed_kmeans,
         "cluster_sample": q_cluster_sample,
@@ -5001,11 +5253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: stale r01/r02 driver evidence (verdict item 3) -------
         "resample": q_resample,
         "segment_stats": q_segment_stats,
-        "tpch_pricing": q_tpch_pricing,
-        "tpch_rollup": q_tpch_rollup,
-        "tpch_custdist": q_tpch_custdist,
-        "tpch_revenue_join": q_tpch_revenue_join,
-        "tpch_local_supplier": q_tpch_local_supplier,
         "tpch_order_priority": q_tpch_order_priority,
         "interp_log": q_interp_log,
         "text_stats": q_text_stats,
@@ -5032,7 +5279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # decontaminate is the TRUE 50th entry (inside the checked window)
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (all hash-green in r03/r04; the local gate keeps their coverage)
+        # (all hash-green in r03-r05; the local gate keeps their coverage.
+        #  The five tpch_* rows here were demoted from tier 3 in r6 — all
+        #  re-proven r5 with code unchanged since r1 — to make room for
+        #  the five new curation-tier queries above.)
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_rollup": q_tpch_rollup,
+        "tpch_custdist": q_tpch_custdist,
+        "tpch_revenue_join": q_tpch_revenue_join,
+        "tpch_local_supplier": q_tpch_local_supplier,
         "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
         "psd_welch": q_psd_welch,
@@ -5158,6 +5413,11 @@ def oracle_sql() -> dict[str, str]:
         "rep_stats": SQL_REP_STATS,
         "doc_chunks": SQL_DOC_CHUNKS,
         "decontaminate": SQL_DECONTAMINATE,
+        "para_dedup": SQL_PARA_DEDUP,
+        "quality_classify": SQL_QUALITY_CLASSIFY,
+        "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
+        "temp_sample": SQL_TEMP_SAMPLE,
+        "pii_scrub": SQL_PII_SCRUB,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "seq_pack": SQL_SEQ_PACK,
         "ann_int8": _sql_ann_int8(),

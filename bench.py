@@ -79,6 +79,12 @@ HEADLINE = [
     "substr_dedup",
     "semdedup",
     "corpus_curate",
+    # round-6 curation additions
+    "para_dedup",
+    "quality_classify",
+    "bloom_decontaminate",
+    "temp_sample",
+    "pii_scrub",
 ]
 
 
@@ -93,6 +99,9 @@ SCALE_QUERIES = [
     "rms", "mov_rms", "filt_butter", "psd_welch",
     "dedup_exact", "dedup_minhash", "token_count",
     "stratified_sample", "seq_pack",
+    # round-6: map-side curation ops (linear by construction; the scale
+    # row verifies the constant factor holds, not the asymptotic)
+    "quality_classify", "pii_scrub",
 ]
 
 

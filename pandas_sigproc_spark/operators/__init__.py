@@ -71,6 +71,15 @@ from pandas_sigproc_spark.operators.dedup import (
 )
 from pandas_sigproc_spark.operators.packing import pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
+from pandas_sigproc_spark.operators.curation import (
+    block_dedup,
+    quality_classifier,
+    build_bloom_bitmap,
+    bloom_probe,
+    temperature_thresholds,
+    temperature_sample,
+    scrub_pii,
+)
 
 __all__ = [
     "between",
@@ -114,4 +123,11 @@ __all__ = [
     "kmeans_embeddings",
     "kmeans_assignments",
     "semantic_dedup",
+    "block_dedup",
+    "quality_classifier",
+    "build_bloom_bitmap",
+    "bloom_probe",
+    "temperature_thresholds",
+    "temperature_sample",
+    "scrub_pii",
 ]

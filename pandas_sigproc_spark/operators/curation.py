@@ -1,0 +1,491 @@
+"""Corpus-curation operators (LLM-data extension tier, round 6).
+
+Five pretraining-pipeline stages the round-5 tier did not yet cover,
+each expressed as a declarative DataFrame plan with a DuckDB oracle
+mirror in ``__spark_entry__``:
+
+- :func:`block_dedup` — CCNet-style paragraph/block-level exact dedup
+  (Wenzek et al. 2020): drop every repeated fixed-size token block
+  except its first corpus occurrence, reassemble the cleaned text.
+- :func:`quality_classifier` — logistic quality model over map-side
+  document features (the fastText-classifier stage of C4/CCNet/Gopher
+  pipelines, with fixed published-style weights instead of a learned
+  binary, so the whole scorer stays a JVM expression tree).
+- :func:`bloom_positions_expr` / :func:`build_bloom_bitmap` /
+  :func:`bloom_probe` — Bloom-filter decontamination: the benchmark
+  n-gram set is folded into a constant-size bitmap and the corpus is
+  probed MAP-SIDE, with no join at all.  The scale path when the
+  held-out suite is too large to broadcast as a distinct-gram set.
+- :func:`temperature_thresholds` / :func:`temperature_sample` —
+  temperature-scaled language rebalancing (the multilingual mixing rule
+  of Conneau & Lample 2019, T=2): per-language keep probabilities are
+  DERIVED from corpus counts, then applied as a deterministic map-side
+  hash filter.
+- :func:`scrub_pii` — regex PII masking (emails, IPv4, digit runs) as
+  chained ``regexp_replace`` — pure map-side, portable RE2/Java regex
+  subset so the DuckDB oracle replays it exactly.
+
+Reference parity note: the reference engine (jscans12/pandas-sigproc)
+has no corpus tier — these extend the engine for training-data work at
+the 100 TB design point, following the same scale rules as the rest of
+the tier (no all-pairs, no per-row Python, uniform shuffle keys,
+broadcast only provably tiny sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import text as _text
+
+# ---------------------------------------------------------------------------
+# 1. Block-level (paragraph) dedup
+# ---------------------------------------------------------------------------
+
+
+def block_dedup(
+    docs: DataFrame,
+    block_tokens: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet-style block-level exact deduplication.
+
+    Documents are cut into NON-overlapping ``block_tokens``-word blocks
+    (the whitespace analogue of CCNet's paragraph unit — the synthetic
+    corpus has no newlines, so the block boundary is positional).  A
+    block whose text occurs ``min_count``+ times anywhere in the corpus
+    is dropped from every document EXCEPT its first corpus occurrence
+    (smallest ``(doc_id, block_id)``); the cleaned document is the
+    surviving blocks re-joined in order.
+
+    Output: ``(doc_id long, n_blocks long, n_dup_blocks long,
+    dup_frac double, clean_text string)``.
+
+    Scale shape: block generation is one map-side split + slice per row
+    (no higher-order-lambda re-splits); the duplicate test is a partial
+    agg on md5 block digests with a ``min(struct(doc_id, block_id))``
+    keeper — one shuffle on the digest key (uniform: hot blocks deepen
+    one group's count, not its key count); the keeper join is a digest
+    equi-join where each occurrence matches exactly one keeper row; the
+    reassembly groups on doc_id with per-task state bounded by document
+    length.  Total O(corpus tokens), three uniform shuffles.
+    """
+    if block_tokens < 1:
+        raise ValueError("need block_tokens >= 1")
+    if min_count < 2:
+        raise ValueError("need min_count >= 2")
+    ws = F.split(F.col(text_col), " ")
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(block_tokens)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, block_tokens)),
+    )
+    occ = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(blocks).alias("bid0", "btext"),
+    ).select(
+        "doc_id",
+        (F.col("bid0") + 1).cast("long").alias("bid"),
+        "btext",
+        F.md5("btext").alias("digest"),
+    )
+    keepers = occ.groupBy("digest").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct("doc_id", "bid")).alias("_first"),
+    )
+    marked = occ.join(keepers, "digest").select(
+        "doc_id",
+        "bid",
+        "btext",
+        (
+            (F.col("_c") < min_count)
+            | (
+                (F.col("_first.doc_id") == F.col("doc_id"))
+                & (F.col("_first.bid") == F.col("bid"))
+            )
+        ).alias("keep"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_blocks"),
+        F.round(
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("bid", "btext"))
+                    )
+                ),
+                lambda s: s["btext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Logistic quality classifier
+# ---------------------------------------------------------------------------
+
+# Fixed logistic weights (a published-style quality model, not trained
+# here): bias + [length saturation, mean-word-length proximity,
+# stopword fraction, type-token ratio].  Chosen so the synthetic corpus
+# splits into a non-trivial keep/drop mix at threshold 0.5.
+QUALITY_WEIGHTS = (-3.0, 2.0, 1.5, 20.0, 2.5)
+
+
+def quality_classifier(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[float, float, float, float, float] = QUALITY_WEIGHTS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Logistic document-quality classifier (the model-based filter
+    stage of C4/CCNet-style pipelines) over four map-side features:
+
+    - ``f_len``  — length saturation ``min(1, n_tokens/100)``;
+    - ``f_awl``  — mean word length proximity to prose
+      ``max(0, 1 - |chars/n_tokens - 4.7|/4.7)``;
+    - ``f_stop`` — stopword token fraction;
+    - ``f_uniq`` — type-token ratio.
+
+    ``score = 1/(1+exp(-(w0 + w1*f_len + w2*f_awl + w3*f_stop +
+    w4*f_uniq)))`` rounded to 6 dp; ``keep = score >= threshold``.
+
+    Output: ``(doc_id, n_tokens, f_len, f_awl, f_stop, f_uniq, score,
+    keep)`` with all feature columns rounded to 6 dp.
+
+    Scale shape: a single map-side expression tree — 0 shuffles, 0 UDFs,
+    embarrassingly parallel.  ``exp`` is the one non-correctly-rounded
+    primitive shared with the DuckDB oracle; the 6-dp rounding margin is
+    verified empirically over the full sf0.1 corpus in
+    ``tests/test_curation.py`` (max pre-round disagreement measured at
+    <1e-12, five orders below the rounding step).
+    """
+    w0, w1, w2, w3, w4 = (float(x) for x in weights)
+    ws = _text.words_expr(text_col)
+    n_w = F.size(ws)
+    stop = F.size(F.filter(ws, lambda w: w.isin(*_text.STOPWORDS)))
+    f_len = F.least(F.lit(1.0), n_w / F.lit(100.0))
+    awl = F.length(text_col) / n_w
+    f_awl = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
+    f_stop = stop / n_w.cast("double")
+    f_uniq = F.size(F.array_distinct(ws)) / n_w.cast("double")
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * f_len
+        + F.lit(w2) * f_awl
+        + F.lit(w3) * f_stop
+        + F.lit(w4) * f_uniq
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_w.cast("long").alias("n_tokens"),
+        F.round(f_len, 6).alias("f_len"),
+        F.round(f_awl, 6).alias("f_awl"),
+        F.round(f_stop, 6).alias("f_stop"),
+        F.round(f_uniq, 6).alias("f_uniq"),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # bitmap bits; 2^20 -> 32768 32-bit words (256 KiB)
+BLOOM_WORD_BITS = 32  # 32-bit words keep every mask positive in a BIGINT
+BLOOM_K = 4  # hash probes per gram (Kirsch-Mitzenmacher double hashing)
+
+# Sizing: per-gram false-positive rate ~ (1 - e^{-k n / m})^k.  At the
+# defaults with n = 25k benchmark grams (sf0.1): fill 9%, FP/gram 7e-5
+# — a handful of false grams across a 270k-gram corpus probe and ~zero
+# false DOCUMENTS.  m=2^16/k=2 measured 111 false documents out of 450
+# at sf0.01 (doc-level flagging compounds per-gram FP), hence the
+# larger default; at 100 TB you would scale m with the suite the same
+# way (the bitmap is broadcast state, not expression state — see
+# bloom_probe).
+
+# 2^0..2^31 as longs: bit masks and the mod-compare bit test both come
+# from this table, so the whole bitmap arithmetic is exact LONG ops —
+# no shifts-by-column (unsupported in the DataFrame API) and no doubles
+# (a 60-bit hash does not round-trip through double division, and
+# double->long casts truncate in Spark but round in DuckDB).
+_POW2 = tuple(1 << b for b in range(BLOOM_WORD_BITS))
+
+
+def bloom_positions_expr(
+    h_col: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> list[Column]:
+    """The ``k`` bit positions of a 60-bit gram hash, by double hashing:
+    ``pos_j = (h%m + j*(1 + (h>>20)%m)) % m`` (the +1 keeps the stride
+    non-zero).  Pure integer arithmetic — bit-portable to the oracle."""
+    h1 = h_col % m_bits
+    h2 = F.shiftright(h_col, 20) % m_bits + 1
+    return [(h1 + F.lit(j) * h2) % m_bits for j in range(k)]
+
+
+def build_bloom_bitmap(
+    gram_hashes: DataFrame,
+    h_col: str = "h",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Fold a benchmark gram-hash set into an ``m_bits`` Bloom bitmap,
+    returned as ``m_bits/32`` driver-side ints (32 bits per word).
+
+    The aggregation is distributed (explode k positions → ``bit_or``
+    partial agg on the word index); only the FINISHED bitmap — 8 KiB at
+    the default size, independent of benchmark cardinality — is
+    collected, the same constant-size-collect contract as the k-means
+    centroid fold.  This is the whole point of the operator: the
+    broadcast side of decontamination stops growing with the suite.
+    """
+    n_words = m_bits // BLOOM_WORD_BITS
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    pos = gram_hashes.select(
+        F.explode(F.array(*bloom_positions_expr(F.col(h_col), m_bits, k))).alias(
+            "pos"
+        )
+    )
+    rows = (
+        pos.select(
+            F.shiftright(F.col("pos"), 5).alias("wi"),
+            F.element_at(
+                pow2, (F.col("pos") % BLOOM_WORD_BITS + 1).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in rows:
+        bitmap[int(r["wi"])] = int(r["bits"])
+    return bitmap
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bitmap: list[int],
+    n: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-document Bloom contamination probe: count the distinct word
+    ``n``-grams whose ``k`` bit positions are ALL set in ``bitmap``.
+
+    Output: ``(doc_id, n_ngrams, n_flagged, flag_frac)``.
+
+    Scale shape: the bitmap rides in as ONE broadcast row (a 256 KiB
+    array at the default size — broadcast-nested-loop against a single
+    row is a map-side pass, and broadcast state keeps working when a
+    production-sized suite needs a multi-MB bitmap, where an expression
+    literal would blow up the plan tree) and the whole probe is one
+    map-side expression — the corpus never shuffles and never
+    equi-joins.  False positives are possible (the Bloom trade: rate ≈
+    (1-e^{-kn/m})^k per gram, ~7e-5 at the defaults for the sf0.1
+    benchmark slice — see the sizing note above) but deterministic, and
+    identical in the oracle, which replays the same bitmap arithmetic
+    relationally.
+    """
+    bm_df = docs.sparkSession.createDataFrame(
+        [([int(x) for x in bitmap],)], "_bm array<bigint>"
+    )
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    grams = _text.gram_hash_expr(n, text_col)
+    bm = F.col("_bm")
+
+    def _hit(h: Column) -> Column:
+        # bit `b` of word `w` is set  <=>  w mod 2^(b+1) >= 2^b — exact
+        # long arithmetic, identical semantics in Spark and DuckDB
+        # (no double casts, no shift-by-column).
+        conds = None
+        for pos in bloom_positions_expr(h, m_bits, k):
+            word = F.element_at(bm, (F.shiftright(pos, 5) + 1).cast("int"))
+            p = F.element_at(pow2, (pos % BLOOM_WORD_BITS + 1).cast("int"))
+            c = (word % (p * 2)) >= p
+            conds = c if conds is None else (conds & c)
+        return conds
+
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            grams.alias("_gs"),
+        )
+        .crossJoin(F.broadcast(bm_df))
+        .select(
+            "doc_id",
+            F.size("_gs").cast("long").alias("n_ngrams"),
+            F.size(F.filter(F.col("_gs"), _hit)).cast("long").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged") / F.col("n_ngrams").cast("double"), 6
+            ).alias("flag_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Temperature-scaled language rebalancing
+# ---------------------------------------------------------------------------
+
+TEMP_SAMPLE_SALT = ":tsample"
+
+
+def temperature_thresholds(
+    docs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    mod: int = _text.SAMPLE_MOD,
+) -> DataFrame:
+    """Per-language keep thresholds for T=2 temperature sampling.
+
+    The multilingual mixing rule (Conneau & Lample 2019): resample the
+    corpus so language shares follow ``p_l ∝ n_l^(1/T)``; T=2 flattens
+    the mix toward uniform (low-resource languages are upsampled in
+    SHARE — here, without replacement, they are kept whole while
+    high-resource languages are cut).  T is fixed at 2 so the exponent
+    is ``sqrt`` — an IEEE correctly-rounded primitive, hence bit-exact
+    against the oracle, unlike a general ``pow``.
+
+    Returns ``(lang, n_docs, target, thr)`` where ``target =
+    min(n_l, floor(N * w_l / Σ w_m))`` with integer weights ``w_l =
+    round(1e6 * sqrt(n_l))``, and ``thr = floor(mod * target / n_l)``
+    is the hash-bucket cutoff for a map-side filter.
+
+    The weights are rounded to EXACT integers before summation on
+    purpose: ``Σ`` over doubles is summation-ORDER-dependent in the
+    last ulp, and neither engine guarantees aggregation order — an
+    integer sum is exact and order-free, so the derived thresholds are
+    bit-identical across engines and across runs.  (``sqrt`` itself is
+    IEEE correctly-rounded everywhere, unlike a general ``pow`` —
+    that is why T is fixed at 2.)
+
+    Scale shape: one partial-agg count per language plus a single-row
+    total joined by cross — language cardinality is tiny by nature
+    (it's the GROUPING, not the corpus).
+    """
+    per = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0, 0).cast(
+        "long"
+    )
+    per = per.select("lang", "n_docs", w.alias("_w"))
+    tot = per.agg(
+        F.sum("_w").alias("_wsum"),
+        F.sum("n_docs").alias("_n"),
+    )
+    target = F.least(
+        F.col("n_docs"),
+        F.floor(
+            (F.col("_n").cast("double") * F.col("_w"))
+            / F.col("_wsum").cast("double")
+        ).cast("long"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        target.alias("target"),
+        F.floor(F.lit(float(mod)) * target / F.col("n_docs")).cast("long").alias("thr"),
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    mod: int = _text.SAMPLE_MOD,
+) -> DataFrame:
+    """Apply :func:`temperature_thresholds` as a deterministic map-side
+    filter: keep a row when its salted id hash bucket clears the
+    language's threshold.  RNG-free — re-runs select the same rows at
+    any cluster size; realized counts are binomial around the target
+    (documented deviation, the price of the no-window scale shape — an
+    exact-count rank would put each language in ONE task).
+
+    Output: the selected ``(doc_id, lang, u)`` rows.
+
+    Scale shape: thresholds are a language-cardinality table broadcast
+    into an equi-join; the corpus side is a scan + filter, no shuffle.
+    """
+    thr = temperature_thresholds(docs, lang_col=lang_col, mod=mod)
+    u = _text.sample_bucket_expr(id_col, TEMP_SAMPLE_SALT)
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            u.alias("u"),
+        )
+        .join(F.broadcast(thr.select("lang", "thr")), "lang")
+        .filter(F.col("u") < F.col("thr"))
+        .select("doc_id", "lang", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. PII scrubbing
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) chain, applied in order.  The regex subset is
+# portable between Java regex (Spark) and RE2 (DuckDB): character
+# classes, +, and literal dots only — no \d, no lookaround, no
+# backreferences.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+", "<EMAIL>"),
+    ("[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+", "<IP>"),
+    ("[0-9]+", "<NUM>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    col: str,
+    *,
+    rules: tuple[tuple[str, str], ...] = PII_RULES,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Mask PII-shaped substrings (emails, IPv4 addresses, digit runs)
+    with typed placeholder tokens, via a chain of ``regexp_replace``
+    calls applied in rule order (emails before IPs before bare digit
+    runs, so a narrower rule is never shadowed by a broader one).
+
+    Adds ``out_col`` (default ``<col>_scrubbed``) plus
+    ``<col>_masked_chars`` — how many characters the chain removed,
+    measured against placeholder-free re-expansion (original length
+    minus scrubbed length with placeholders deleted).
+
+    Scale shape: pure map-side regex in codegen — 0 shuffles, 0 UDFs.
+    """
+    out = out_col or f"{col}_scrubbed"
+    scrubbed = F.col(col)
+    for pat, rep in rules:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    stripped = scrubbed
+    for _, rep in rules:
+        stripped = F.replace(stripped, F.lit(rep), F.lit(""))
+    return df.withColumn(out, scrubbed).withColumn(
+        f"{col}_masked_chars",
+        (F.length(col) - F.length(stripped)).cast("long"),
+    )
