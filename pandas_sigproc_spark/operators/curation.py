@@ -142,6 +142,40 @@ def block_dedup(
 QUALITY_WEIGHTS = (-3.0, 2.0, 1.5, 20.0, 2.5)
 
 
+def quality_features_expr(
+    text_col: str = "text",
+) -> tuple[Column, Column, Column, Column]:
+    """The classifier's four map-side features (f_len, f_awl, f_stop,
+    f_uniq) — unrounded, shared by the batch classifier and the
+    streaming curation filter so both score identically."""
+    ws = _text.words_expr(text_col)
+    n_w = F.size(ws)
+    stop = F.size(F.filter(ws, lambda w: w.isin(*_text.STOPWORDS)))
+    f_len = F.least(F.lit(1.0), n_w / F.lit(100.0))
+    awl = F.length(text_col) / n_w
+    f_awl = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
+    f_stop = stop / n_w.cast("double")
+    f_uniq = F.size(F.array_distinct(ws)) / n_w.cast("double")
+    return f_len, f_awl, f_stop, f_uniq
+
+
+def quality_score_expr(
+    text_col: str = "text",
+    weights: tuple[float, float, float, float, float] = QUALITY_WEIGHTS,
+) -> Column:
+    """Logistic quality score in [0, 1], rounded to 6 dp."""
+    w0, w1, w2, w3, w4 = (float(x) for x in weights)
+    f_len, f_awl, f_stop, f_uniq = quality_features_expr(text_col)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * f_len
+        + F.lit(w2) * f_awl
+        + F.lit(w3) * f_stop
+        + F.lit(w4) * f_uniq
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def quality_classifier(
     docs: DataFrame,
     *,
@@ -172,26 +206,11 @@ def quality_classifier(
     ``tests/test_curation.py`` (max pre-round disagreement measured at
     <1e-12, five orders below the rounding step).
     """
-    w0, w1, w2, w3, w4 = (float(x) for x in weights)
-    ws = _text.words_expr(text_col)
-    n_w = F.size(ws)
-    stop = F.size(F.filter(ws, lambda w: w.isin(*_text.STOPWORDS)))
-    f_len = F.least(F.lit(1.0), n_w / F.lit(100.0))
-    awl = F.length(text_col) / n_w
-    f_awl = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
-    f_stop = stop / n_w.cast("double")
-    f_uniq = F.size(F.array_distinct(ws)) / n_w.cast("double")
-    z = (
-        F.lit(w0)
-        + F.lit(w1) * f_len
-        + F.lit(w2) * f_awl
-        + F.lit(w3) * f_stop
-        + F.lit(w4) * f_uniq
-    )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    f_len, f_awl, f_stop, f_uniq = quality_features_expr(text_col)
+    score = quality_score_expr(text_col, weights)
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        n_w.cast("long").alias("n_tokens"),
+        F.size(_text.words_expr(text_col)).cast("long").alias("n_tokens"),
         F.round(f_len, 6).alias("f_len"),
         F.round(f_awl, 6).alias("f_awl"),
         F.round(f_stop, 6).alias("f_stop"),
@@ -277,6 +296,40 @@ def build_bloom_bitmap(
     return bitmap
 
 
+def bloom_hit_exprs(
+    bm: Column,
+    grams: Column,
+    *,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> tuple[Column, Column]:
+    """``(n_ngrams, n_flagged)`` expressions over a document's
+    PRE-COMPUTED distinct gram-hash array column (callers select
+    ``text.gram_hash_expr(n)`` into a column first, so the md5 gram
+    pass runs once per row, not once per consumer), given the Bloom
+    bitmap as an array Column (the one-row broadcast relation).  Shared
+    by the batch probe and the streaming curation filter — both
+    evaluate the identical map-side expression tree."""
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+
+    def _hit(h: Column) -> Column:
+        # bit `b` of word `w` is set  <=>  w mod 2^(b+1) >= 2^b — exact
+        # long arithmetic, identical semantics in Spark and DuckDB
+        # (no double casts, no shift-by-column).
+        conds = None
+        for pos in bloom_positions_expr(h, m_bits, k):
+            word = F.element_at(bm, (F.shiftright(pos, 5) + 1).cast("int"))
+            p = F.element_at(pow2, (pos % BLOOM_WORD_BITS + 1).cast("int"))
+            c = (word % (p * 2)) >= p
+            conds = c if conds is None else (conds & c)
+        return conds
+
+    return (
+        F.size(grams).cast("long"),
+        F.size(F.filter(grams, _hit)).cast("long"),
+    )
+
+
 def bloom_probe(
     docs: DataFrame,
     bitmap: list[int],
@@ -307,32 +360,19 @@ def bloom_probe(
     bm_df = docs.sparkSession.createDataFrame(
         [([int(x) for x in bitmap],)], "_bm array<bigint>"
     )
-    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
-    grams = _text.gram_hash_expr(n, text_col)
-    bm = F.col("_bm")
-
-    def _hit(h: Column) -> Column:
-        # bit `b` of word `w` is set  <=>  w mod 2^(b+1) >= 2^b — exact
-        # long arithmetic, identical semantics in Spark and DuckDB
-        # (no double casts, no shift-by-column).
-        conds = None
-        for pos in bloom_positions_expr(h, m_bits, k):
-            word = F.element_at(bm, (F.shiftright(pos, 5) + 1).cast("int"))
-            p = F.element_at(pow2, (pos % BLOOM_WORD_BITS + 1).cast("int"))
-            c = (word % (p * 2)) >= p
-            conds = c if conds is None else (conds & c)
-        return conds
-
+    n_ngrams, n_flagged = bloom_hit_exprs(
+        F.col("_bm"), F.col("_gs"), m_bits=m_bits, k=k
+    )
     return (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            grams.alias("_gs"),
+            _text.gram_hash_expr(n, text_col).alias("_gs"),
         )
         .crossJoin(F.broadcast(bm_df))
         .select(
             "doc_id",
-            F.size("_gs").cast("long").alias("n_ngrams"),
-            F.size(F.filter(F.col("_gs"), _hit)).cast("long").alias("n_flagged"),
+            n_ngrams.alias("n_ngrams"),
+            n_flagged.alias("n_flagged"),
         )
         .select(
             "doc_id",

@@ -492,6 +492,65 @@ def streaming_corpus_filter(
     return out.drop("digest")
 
 
+def streaming_curation_filter(
+    df: DataFrame,
+    bloom_bitmap: list[int] | None = None,
+    threshold: float = 0.5,
+    scrub: bool = True,
+    decon_n: int = 5,
+) -> DataFrame:
+    """Streaming curation front (round-6 tier): logistic quality
+    classifier + optional PII scrub + optional Bloom decontamination
+    over an unbounded document stream.
+
+    Entirely STATELESS map-side work — every stage is the same
+    expression tree as its batch twin (``operators/curation.py``), so a
+    document scores, scrubs, and probes identically in stream and
+    batch.  That is the point of the Bloom design for streams:
+    join-form decontamination would need the whole benchmark gram set
+    as a join side, but the bitmap rides along as one broadcast
+    static row (stream-static equi-join on a constant key — evaluated
+    map-side per micro-batch), so decontamination becomes a pure
+    per-row filter with NO state store at all.  Documents failing the
+    quality gate or flagged by the probe are dropped; survivors carry
+    ``score`` (and ``masked_chars`` when scrubbing).
+
+    Output: ``(doc_id long, text string, score double[, masked_chars
+    long])`` — ``text`` is the scrubbed text when ``scrub=True``.
+    """
+    from pandas_sigproc_spark.operators import curation as _cur
+    from pandas_sigproc_spark.operators import text as _text
+
+    out = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        _cur.quality_score_expr().alias("score"),
+    ).filter(F.col("score") >= F.lit(float(threshold)))
+
+    if bloom_bitmap is not None:
+        bm_df = df.sparkSession.createDataFrame(
+            [([int(x) for x in bloom_bitmap],)], "_bm array<bigint>"
+        ).withColumn("_k", F.lit(1))
+        n_ngrams, n_flagged = _cur.bloom_hit_exprs(F.col("_bm"), F.col("_gs"))
+        out = (
+            out.withColumn("_gs", _text.gram_hash_expr(decon_n))
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(bm_df), "_k")
+            .withColumn("_nf", n_flagged)
+            .filter(F.col("_nf") == 0)
+            .select("doc_id", "text", "score")
+        )
+
+    if scrub:
+        out = _cur.scrub_pii(out, "text").select(
+            "doc_id",
+            F.col("text_scrubbed").alias("text"),
+            "score",
+            F.col("text_masked_chars").alias("masked_chars"),
+        )
+    return out
+
+
 __all__ = [
     "streaming_rms",
     "streaming_spl",
@@ -500,5 +559,6 @@ __all__ = [
     "streaming_deduplicate",
     "streaming_psd",
     "streaming_corpus_filter",
+    "streaming_curation_filter",
     "streaming_rainflow",
 ]
