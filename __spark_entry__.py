@@ -5190,6 +5190,119 @@ FROM s
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def q_incr_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (daily-crawl pattern): a delta batch
+    is screened against the existing corpus without rescanning it as
+    text — only digest and band-key probes.  The delta here is the
+    doc_id%5==4 slice plus RELABELED copies of the doc_id%25==0 docs
+    (+100000 ids), so the exact-dup flag, the near-dup-vs-existing
+    count, and the within-delta defer rule all fire on driver data.
+    See operators/curation.py:incremental_dedup for the scale shape."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    existing = base.filter(F.col("doc_id") % 5 != 4)
+    delta = base.filter(F.col("doc_id") % 5 == 4).unionByName(
+        base.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return _cur.incremental_dedup(existing, delta)
+
+
+def _sql_incr_dedup() -> str:
+    p = _cur.INCR_MINHASH_P
+    perms = _cur.INCR_MINHASH_PERMS
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    n_bands = len(perms) // _cur.INCR_BAND_ROWS
+    est = "(" + " + ".join(
+        f"CASE WHEN ds.m{i} = es.m{i} THEN 1 ELSE 0 END" for i in range(len(perms))
+    ) + ") / 8.0"
+    est_dd = "(" + " + ".join(
+        f"CASE WHEN ds.m{i} = d2s.m{i} THEN 1 ELSE 0 END" for i in range(len(perms))
+    ) + ") / 8.0"
+
+    def _bands_sql(table: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, m{2*b} * {p} + m{2*b+1} AS key FROM {table}"
+            for b in range(n_bands)
+        )
+
+    def _sig_cte(src: str) -> str:
+        return f"""
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 15)) AS BIGINT) % {p} AS h
+    FROM (
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 2, 1) + 1),
+                                   i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM {src})
+    )
+  ) GROUP BY doc_id"""
+
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+ex AS (SELECT doc_id, text FROM base WHERE doc_id % 5 != 4),
+delta AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 25 = 0
+),
+dd AS (SELECT doc_id, MD5(text) AS digest FROM delta),
+exd AS (SELECT DISTINCT MD5(text) AS digest FROM ex),
+firsts AS (SELECT digest, MIN(doc_id) AS f FROM dd GROUP BY digest),
+exact AS (
+  SELECT dd.doc_id,
+         (exd.digest IS NOT NULL OR dd.doc_id > firsts.f) AS is_exact_dup
+  FROM dd
+  JOIN firsts USING (digest)
+  LEFT JOIN exd USING (digest)
+),
+dsig AS ({_sig_cte("delta")}),
+esig AS ({_sig_cte("ex")}),
+dband AS ({_bands_sql("dsig")}),
+eband AS ({_bands_sql("esig")}),
+cand_ex AS (
+  SELECT DISTINCT dband.doc_id AS d_id, eband.doc_id AS e_id
+  FROM dband JOIN eband USING (band, key)
+),
+near_ex AS (
+  SELECT c.d_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_existing
+  FROM cand_ex c
+  JOIN dsig ds ON ds.doc_id = c.d_id
+  JOIN esig es ON es.doc_id = c.e_id
+  WHERE {est} >= 0.5
+  GROUP BY c.d_id
+),
+cand_dd AS (
+  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS d2_id
+  FROM dband a JOIN dband b USING (band, key)
+  WHERE b.doc_id < a.doc_id
+),
+near_dd AS (
+  SELECT c.d_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_delta_earlier
+  FROM cand_dd c
+  JOIN dsig ds ON ds.doc_id = c.d_id
+  JOIN dsig d2s ON d2s.doc_id = c.d2_id
+  WHERE {est_dd} >= 0.5
+  GROUP BY c.d_id
+)
+SELECT e.doc_id, e.is_exact_dup,
+       COALESCE(nx.n_near_existing, 0) AS n_near_existing,
+       COALESCE(nd.n_near_delta_earlier, 0) AS n_near_delta_earlier,
+       (NOT e.is_exact_dup AND COALESCE(nx.n_near_existing, 0) = 0
+        AND COALESCE(nd.n_near_delta_earlier, 0) = 0) AS kept
+FROM exact e
+LEFT JOIN near_ex nx USING (doc_id)
+LEFT JOIN near_dd nd USING (doc_id)
+"""
+
+
+SQL_INCR_DEDUP = _sql_incr_dedup()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5229,6 +5342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "temp_sample": q_temp_sample,
         "pii_scrub": q_pii_scrub,
+        "incr_dedup": q_incr_dedup,
         # -- tier 1: operator code changed this round ---------------------
         "embed_kmeans": q_embed_kmeans,
         "cluster_sample": q_cluster_sample,
@@ -5253,7 +5367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: stale r01/r02 driver evidence (verdict item 3) -------
         "resample": q_resample,
         "segment_stats": q_segment_stats,
-        "tpch_order_priority": q_tpch_order_priority,
         "interp_log": q_interp_log,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -5284,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  re-proven r5 with code unchanged since r1 — to make room for
         #  the five new curation-tier queries above.)
         "tpch_pricing": q_tpch_pricing,
+        "tpch_order_priority": q_tpch_order_priority,
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
         "tpch_revenue_join": q_tpch_revenue_join,
@@ -5418,6 +5532,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,
+        "incr_dedup": SQL_INCR_DEDUP,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "seq_pack": SQL_SEQ_PACK,
         "ann_int8": _sql_ann_int8(),

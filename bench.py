@@ -85,6 +85,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "temp_sample",
     "pii_scrub",
+    "incr_dedup",
 ]
 
 

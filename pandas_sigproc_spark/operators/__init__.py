@@ -79,6 +79,8 @@ from pandas_sigproc_spark.operators.curation import (
     temperature_thresholds,
     temperature_sample,
     scrub_pii,
+    incremental_dedup,
+    minhash_sig_expr,
 )
 
 __all__ = [
@@ -130,4 +132,6 @@ __all__ = [
     "temperature_thresholds",
     "temperature_sample",
     "scrub_pii",
+    "incremental_dedup",
+    "minhash_sig_expr",
 ]

@@ -314,6 +314,49 @@ def test_scrub_pii_rules(spark):
         assert got[i].s_masked_chars == len(orig) - len(stripped)
 
 
+def test_incremental_dedup_reference(spark):
+    ex_texts = {
+        0: "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9",
+        1: "f0 f1 f2 f3 f4 f5 f6 f7 f8 f9",
+    }
+    delta_texts = {
+        10: "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9",  # exact dup of existing 0
+        11: "e0 e1 e2 e3 e4 e5 e6 e7 e8 zz",  # near dup of existing 0
+        12: "g0 g1 g2 g3 g4 g5 g6 g7 g8 g9",  # fresh
+        13: "g0 g1 g2 g3 g4 g5 g6 g7 g8 g9",  # exact dup of delta 12
+        14: "g0 g1 g2 g3 g4 g5 g6 g7 g8 zz",  # near dup of delta 12
+    }
+    mk = lambda d: spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(d), "text": list(d.values())})
+    )
+    from pandas_sigproc_spark.operators import incremental_dedup
+
+    got = {
+        r.doc_id: r
+        for r in incremental_dedup(mk(ex_texts), mk(delta_texts)).collect()
+    }
+    assert len(got) == 5
+    assert got[10].is_exact_dup and not got[10].kept
+    # 10 shares all 8 shingles with existing 0 -> near count too
+    assert got[10].n_near_existing >= 1
+    assert not got[11].is_exact_dup
+    assert got[11].n_near_existing >= 1 and not got[11].kept
+    assert not got[12].is_exact_dup and got[12].n_near_existing == 0
+    assert got[12].n_near_delta_earlier == 0 and got[12].kept
+    assert got[13].is_exact_dup and not got[13].kept
+    assert got[14].n_near_delta_earlier >= 1 and not got[14].kept
+    # first-wins: 12 keeps even though 13/14 duplicate it
+    assert got[12].kept
+
+
+def test_incremental_dedup_threshold_validation(spark):
+    from pandas_sigproc_spark.operators import incremental_dedup
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a b c"]}))
+    with pytest.raises(ValueError):
+        incremental_dedup(df, df, near_threshold=0.0)
+
+
 def test_scrub_pii_plan_is_map_side(spark):
     df = spark.createDataFrame(pd.DataFrame({"s": ["a 1 b"]}))
     plan = (

@@ -210,6 +210,76 @@ def probe_degenerate_kmeans(spark):
     ]
 
 
+def probe_para_dedup(spark):
+    """Round-6 block-dedup worst cases: (a) a giant document (40k
+    blocks — the per-doc reassembly collect is bounded by document
+    length, one big task); (b) a HOT BLOCK duplicated across thousands
+    of documents (the digest group is hot, but both consumers are safe
+    by shape: the keeper aggregation is a partial agg — count + min
+    combine map-side — and the keeper join matches each occurrence to
+    exactly ONE keeper row, never to the other occurrences)."""
+    from pandas_sigproc_spark.operators.curation import block_dedup
+
+    docs = entry_mod._docs(spark, SF_DIR).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    n_docs = docs.count()
+    phrase = " ".join(f"g{i}" for i in range(10))
+    giant_text = " ".join(
+        " ".join(f"u{j}_{i}" for i in range(10))
+        for j in range(GIANT_TOKENS // 10)
+    )
+    giant = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10_000_000], "text": [giant_text]})
+    )
+    hot = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(HOT_DUP_VECS) + 20_000_000,
+                "text": [phrase + " " + phrase + " " + phrase] * HOT_DUP_VECS,
+            }
+        )
+    )
+    w_base, _ = _wall(
+        lambda: block_dedup(docs).write.mode("overwrite").format("noop").save()
+    )
+    w_giant, _ = _wall(
+        lambda: block_dedup(docs.unionByName(giant))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    w_hot, _ = _wall(
+        lambda: block_dedup(docs.unionByName(hot))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    hot_kept = (
+        block_dedup(docs.unionByName(hot))
+        .filter(F.col("doc_id") >= 20_000_000)
+        .agg(F.sum("n_dup_blocks"))
+        .collect()[0][0]
+    )
+    return [
+        (f"para_dedup base corpus ({n_docs:,} docs)", w_base, "-"),
+        (
+            f"para_dedup + giant doc ({GIANT_TOKENS // 10:,} all-unique "
+            "blocks — reassembly is one bounded task)",
+            w_giant,
+            f"{w_giant / w_base:.2f}x",
+        ),
+        (
+            f"para_dedup + ONE block duplicated {3 * HOT_DUP_VECS:,}x "
+            f"across {HOT_DUP_VECS:,} docs ({hot_kept:,} dup blocks "
+            "dropped; hot digest folds in a partial agg, keeper join is "
+            "1:1 per occurrence)",
+            w_hot,
+            f"{w_hot / w_base:.2f}x",
+        ),
+    ]
+
+
 def main():
     spark = get_spark("skew_llm", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -219,6 +289,8 @@ def main():
     rows += probe_hot_lsh_bucket(spark)
     entry_mod.release_caches()
     rows += probe_degenerate_kmeans(spark)
+    entry_mod.release_caches()
+    rows += probe_para_dedup(spark)
     print("| probe | wall (s) | note |")
     print("|---|---|---|")
     for name, w, note in rows:
