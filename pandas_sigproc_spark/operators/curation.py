@@ -68,32 +68,50 @@ def block_dedup(
     Output: ``(doc_id long, n_blocks long, n_dup_blocks long,
     dup_frac double, clean_text string)``.
 
-    Scale shape: block generation is one map-side split + slice per row
-    (no higher-order-lambda re-splits); the duplicate test is a partial
-    agg on md5 block digests with a ``min(struct(doc_id, block_id))``
-    keeper — one shuffle on the digest key (uniform: hot blocks deepen
-    one group's count, not its key count); the keeper join is a digest
-    equi-join where each occurrence matches exactly one keeper row; the
-    reassembly groups on doc_id with per-task state bounded by document
-    length.  Total O(corpus tokens), three uniform shuffles.
+    Scale shape: blocks are assembled by exploding TOKENS (one small
+    row per token) and folding them back on the uniform ``(doc_id,
+    block_id)`` key with per-group state bounded by ``block_tokens``.
+    This shape was forced by a measured Spark quadratic, caught by the
+    giant-document probe (tools/skew_llm.py): any column referenced
+    after a ``posexplode`` is copied into EVERY generated row, so both
+    the tempting map-side forms — ``transform(starts, i ->
+    slice(ws, i, B))`` (HOF lambdas get no subexpression elimination:
+    re-splits the document per block) and explode-the-starts-then-
+    slice-the-carried-array (the array rides every output row) — are
+    O(len²/B) per document; ``element_at(_ws, i)`` after a generate
+    measured 175 s on ONE 160k-token doc vs 0.07 s with the array
+    pruned.  The token fold costs one extra (uniform) shuffle and is
+    strictly linear.  The duplicate test is a partial agg on md5 block
+    digests with a ``min(struct(doc_id, block_id))`` keeper — uniform
+    digest key (hot blocks deepen one group's count, not its key
+    count); the keeper join is a digest equi-join where each occurrence
+    matches exactly one keeper row; the reassembly groups on doc_id
+    with per-task state bounded by document length.  Total O(corpus
+    tokens), four uniform shuffles.
     """
     if block_tokens < 1:
         raise ValueError("need block_tokens >= 1")
     if min_count < 2:
         raise ValueError("need min_count >= 2")
-    ws = F.split(F.col(text_col), " ")
-    blocks = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(block_tokens)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, block_tokens)),
-    )
-    occ = docs.select(
+    tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.posexplode(blocks).alias("bid0", "btext"),
-    ).select(
-        "doc_id",
-        (F.col("bid0") + 1).cast("long").alias("bid"),
-        "btext",
-        F.md5("btext").alias("digest"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "w"),
+    )
+    occ = (
+        tok.groupBy(
+            "doc_id",
+            (F.expr(f"p0 div {int(block_tokens)}") + 1).cast("long").alias("bid"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p0", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("btext")
+        )
+        .select("doc_id", "bid", "btext", F.md5("btext").alias("digest"))
     )
     keepers = occ.groupBy("digest").agg(
         F.count("*").alias("_c"),

@@ -189,6 +189,7 @@ def chunk_documents(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    huge_doc_tokens: int | None = 50_000,
 ):
     """Split documents into sliding whitespace-token windows — the
     training-prep chunking step (context-length packing's upstream).
@@ -198,34 +199,106 @@ def chunk_documents(
     at or under ``chunk_tokens`` yield exactly one chunk.  Output:
     ``(doc_id, chunk_id, n_tokens, chunk_text)``.
 
-    Pure map-side: sequence + slice + posexplode per row — no shuffle,
-    no UDF; one document fans out to ~n/stride rows, exactly the explode
-    shape Spark streams without materializing the whole corpus.
+    Two plans, auto-selected PER DOCUMENT by length (union of two
+    filtered branches, planner-style):
+
+    - below ``huge_doc_tokens``: pure map-side — sequence + posexplode
+      + slice off the generate-carried token array; no shuffle, no UDF.
+      This shape is O(n²/stride) per document — Spark copies every
+      column referenced after a posexplode into EVERY generated row,
+      so the token array rides each chunk row (measured: element_at
+      off a carried 160k-token array took 175 s for one doc vs 0.07 s
+      with the array pruned) — which is irrelevant at web-document
+      lengths but a hang on giant documents;
+    - at or above it: token-fold — explode tokens (small rows), compute
+      each token's chunk range arithmetically (``k ∈ [max(0,
+      (p-overlap) div stride), min(K-1, p div stride)]`` — trunc-div
+      IS ceil for the negative numerators), explode that range (≤
+      chunk/stride ids), and fold back on the uniform ``(doc_id,
+      chunk_id)`` key with per-group state ≤ chunk_tokens.  One
+      uniform shuffle, strictly linear in output tokens.
+
+    ``huge_doc_tokens=None`` forces the map-side plan (restores the
+    0-shuffle property when the corpus is known-bounded).  Both plans
+    emit bit-identical rows (equality-tested).
     """
     if chunk_tokens < 1 or overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     ws = F.split(F.col(text_col), " ")
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(ws) - overlap, F.lit(1)),
-        F.lit(stride),
-    )
-    out = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.size(ws).alias("_n"),
-        ws.alias("_ws"),
-        F.posexplode(starts).alias("chunk_id", "_start"),
-    )
-    return out.select(
-        "doc_id",
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1)
-        .cast("int")
-        .alias("n_tokens"),
-        F.concat_ws(
-            " ", F.slice(F.col("_ws"), F.col("_start"), chunk_tokens)
-        ).alias("chunk_text"),
+    n = F.size(ws)
+
+    def _map_side(branch):
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(ws) - overlap, F.lit(1)),
+            F.lit(stride),
+        )
+        out = branch.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.size(ws).alias("_n"),
+            ws.alias("_ws"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        return out.select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("_ws"), F.col("_start"), chunk_tokens)
+            ).alias("chunk_text"),
+        )
+
+    if huge_doc_tokens is None:
+        return _map_side(docs)
+
+    def _token_fold(branch):
+        # Materialize the length and the token array BEFORE the explode:
+        # an expression over the source text projected in the same select
+        # as the posexplode lands in the post-Generate projection, where
+        # it re-evaluates per GENERATED row (size(split(text)) recomputed
+        # 100k times on a 100k-token doc — the exact quadratic this plan
+        # exists to avoid).  Pre-projected, `_n` is a per-input-row
+        # scalar and `_ws` is pruned from Generate's output.
+        pre = branch.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            n.alias("_n"),
+            ws.alias("_ws"),
+        )
+        tok = pre.select(
+            "doc_id",
+            "_n",
+            F.posexplode("_ws").alias("p0", "w"),
+        )
+        k_last = F.expr(f"(greatest(_n - {overlap}, 1) - 1) div {stride}")
+        k_min = F.greatest(F.lit(0), F.expr(f"(p0 - {overlap}) div {stride}"))
+        k_max = F.least(k_last, F.expr(f"p0 div {stride}"))
+        assign = tok.select(
+            "doc_id",
+            "p0",
+            "w",
+            F.explode(F.sequence(k_min, k_max)).alias("chunk_id"),
+        )
+        return assign.groupBy("doc_id", "chunk_id").agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p0", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        ).select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "n_tokens",
+            "chunk_text",
+        )
+
+    return _map_side(docs.filter(n < huge_doc_tokens)).unionByName(
+        _token_fold(docs.filter(n >= huge_doc_tokens))
     )
 
 

@@ -68,8 +68,55 @@ def test_chunk_documents_validation(docs):
 
 
 def test_chunk_plan_is_map_side(docs):
+    # huge_doc_tokens=None pins the pure map-side plan: no shuffle.
     df, _ = docs
     plan = (
-        chunk_documents(df, 8, 2)._jdf.queryExecution().executedPlan().toString()
+        chunk_documents(df, 8, 2, huge_doc_tokens=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     assert "Exchange" not in plan  # no shuffle: posexplode over the scan
+
+
+def test_chunk_token_fold_path_bit_identical(docs):
+    # Force EVERY doc through the giant-doc token-fold branch and
+    # compare against the map-side plan row for row: the two plans must
+    # emit identical chunks (the union auto-select may route any mix).
+    df, _ = docs
+    for C, O in [(8, 0), (8, 3), (5, 4), (1, 0)]:
+        a = (
+            chunk_documents(df, C, O, huge_doc_tokens=None)
+            .toPandas()
+            .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        )
+        b = (
+            chunk_documents(df, C, O, huge_doc_tokens=1)
+            .toPandas()
+            .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_giant_doc_linear(spark):
+    # The giant-document regression pin: the map-side plan carries the
+    # token array through the posexplode (quadratic — Spark copies
+    # generate-referenced columns into every output row); the default
+    # hybrid must route a 100k-token doc through the token fold and
+    # finish promptly with full coverage.
+    import pandas as pd
+    import time
+
+    n_tok = 100_000
+    giant = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [" ".join(f"u{j}" for j in range(n_tok))]})
+    )
+    t0 = time.time()
+    out = chunk_documents(giant, 128, 0).toPandas()
+    assert time.time() - t0 < 60
+    assert out.n_tokens.sum() == n_tok
+    assert len(out) == (n_tok + 127) // 128
+    row0 = out[out.chunk_id == 0].iloc[0]
+    assert row0.chunk_text.startswith("u0 u1 ") and row0.n_tokens == 128
