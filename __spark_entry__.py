@@ -5304,6 +5304,158 @@ SQL_INCR_DEDUP = _sql_incr_dedup()
 
 
 # ---------------------------------------------------------------------------
+# round-6 LM-perplexity quality filter (operators/lm.py) + source overlap
+# ---------------------------------------------------------------------------
+
+# CCNet-style fixed cutoffs on the rounded log10-perplexity (its
+# production per-language thresholds are likewise published constants,
+# not data-derived at query time); chosen to straddle the measured
+# sf0.01/sf0.1 score distributions (terciles ~1.56/1.60 and ~1.49/1.51).
+_LM_T1, _LM_T2 = 1.49, 1.56
+_LM_ALPHA = 0.5
+
+
+def q_lm_ppl(spark, sf_dir):
+    """CCNet-style LM quality filter, production form: train an
+    add-alpha bigram LM on the src0 slice, score EVERY document by
+    average negative log10 transition probability, bucket
+    head/middle/tail with FIXED cutoffs (map-side CASE — no global
+    window anywhere; the LM tables broadcast).  See operators/lm.py
+    for the scale shape."""
+    from pandas_sigproc_spark.operators.lm import ngram_lm_score
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    ref = d.filter(F.col("source") == "src0")
+    return ngram_lm_score(
+        d, ref, alpha=_LM_ALPHA, thresholds=(_LM_T1, _LM_T2)
+    )
+
+
+def q_lm_ppl_terciles(spark, sf_dir):
+    """Exact-tercile twin of `lm_ppl`: NTILE(3) over (rounded score,
+    doc_id).  The ntile is a single-partition window over the PER-DOC
+    score table (corpus rows / ~doc length) — the audit/bootstrap mode
+    that derives cutoffs; production pipelines freeze them and run the
+    map-side form (q_lm_ppl)."""
+    from pandas_sigproc_spark.operators.lm import ngram_lm_score
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    ref = d.filter(F.col("source") == "src0")
+    return ngram_lm_score(d, ref, alpha=_LM_ALPHA, thresholds=None)
+
+
+def _sql_lm_scored_cte() -> str:
+    """Shared CTE block: per-doc (n_trans, rounded log10_ppl) under the
+    add-alpha bigram LM trained on the src0 slice — composed by BOTH
+    lm oracles as a named constant (never spliced out of rendered
+    SQL)."""
+    a = _LM_ALPHA
+    return f"""
+base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source FROM documents),
+ref AS (SELECT text FROM base WHERE source = 'src0'),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w1 FROM ref)
+  GROUP BY w1
+),
+voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+rp AS (
+  SELECT pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1),
+                  i -> {{'w1': words[i], 'w2': words[i + 1]}})) AS pr
+    FROM (SELECT STRING_SPLIT(text, ' ') AS words FROM ref)
+  )
+),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM rp GROUP BY w1, w2),
+dp AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1),
+                  i -> {{'w1': words[i], 'w2': words[i + 1]}})) AS pr
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM base)
+  )
+),
+lp AS (
+  SELECT dp.doc_id,
+         LOG10((COALESCE(big.c2, 0) + {a})
+               / (COALESCE(uni.c1, 0) + {a} * (voc.v + 1.0))) AS l
+  FROM dp
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN voc
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+         ROUND(-SUM(l) / COUNT(*), 6) AS log10_ppl
+  FROM lp GROUP BY doc_id
+)"""
+
+
+SQL_LM_PPL = f"""
+WITH {_sql_lm_scored_cte()}
+SELECT doc_id, n_trans, log10_ppl,
+       CASE WHEN log10_ppl <= {_LM_T1} THEN 'head'
+            WHEN log10_ppl <= {_LM_T2} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc
+"""
+
+
+SQL_LM_PPL_TERCILES = f"""
+WITH {_sql_lm_scored_cte()}
+SELECT doc_id, n_trans, log10_ppl,
+       CASE NTILE(3) OVER (ORDER BY log10_ppl, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source MinHash overlap matrix: estimated shingle-set
+    Jaccard between every pair of sources in one corpus pass (per-
+    (source, perm) MIN partial agg; the elementwise min over a union
+    IS the union's MinHash).  See operators/curation.py:source_overlap
+    for the scale shape."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return _cur.source_overlap(
+        d.select(F.col("source"), "text")
+    ).orderBy("src_a", "src_b")
+
+
+def _sql_source_overlap() -> str:
+    p = _cur.INCR_MINHASH_P
+    perms = _cur.INCR_MINHASH_PERMS
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(len(perms))
+    )
+    return f"""
+WITH sh AS (
+  SELECT source AS grp,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 2, 1) + 1),
+                i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS s
+  FROM (SELECT source, STRING_SPLIT(text, ' ') AS words FROM documents)
+),
+hh AS (
+  SELECT grp, CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % {p} AS h
+  FROM sh
+),
+sig AS (SELECT grp, {mins} FROM hh GROUP BY grp)
+SELECT a.grp AS src_a, b.grp AS src_b,
+       ({agree}) / {float(len(perms))} AS est_jaccard
+FROM sig a JOIN sig b ON a.grp < b.grp
+ORDER BY src_a, src_b
+"""
+
+
+SQL_SOURCE_OVERLAP = _sql_source_overlap()
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -5343,6 +5495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_sample": q_temp_sample,
         "pii_scrub": q_pii_scrub,
         "incr_dedup": q_incr_dedup,
+        "lm_ppl": q_lm_ppl,
+        "lm_ppl_terciles": q_lm_ppl_terciles,
+        "source_overlap": q_source_overlap,
         # -- tier 1: operator code changed this round ---------------------
         "embed_kmeans": q_embed_kmeans,
         "cluster_sample": q_cluster_sample,
@@ -5387,15 +5542,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_audio_real": q_media_audio_real,
+        # media_audio_real is the TRUE 50th entry (inside the window)
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        # (all hash-green in r03-r05; the local gate keeps their coverage.
+        #  The five tpch_* rows plus stratified_sample / ngram_counts /
+        #  decontaminate here were demoted in r6 — all re-proven r5 with
+        #  code unchanged — to make room for the new curation-tier and
+        #  lm/source-overlap queries above.)
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "decontaminate": q_decontaminate,
-        # decontaminate is the TRUE 50th entry (inside the checked window)
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (all hash-green in r03-r05; the local gate keeps their coverage.
-        #  The five tpch_* rows here were demoted from tier 3 in r6 — all
-        #  re-proven r5 with code unchanged since r1 — to make room for
-        #  the five new curation-tier queries above.)
         "tpch_pricing": q_tpch_pricing,
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_rollup": q_tpch_rollup,
@@ -5533,6 +5689,9 @@ def oracle_sql() -> dict[str, str]:
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,
         "incr_dedup": SQL_INCR_DEDUP,
+        "lm_ppl": SQL_LM_PPL,
+        "lm_ppl_terciles": SQL_LM_PPL_TERCILES,
+        "source_overlap": SQL_SOURCE_OVERLAP,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "seq_pack": SQL_SEQ_PACK,
         "ann_int8": _sql_ann_int8(),

@@ -86,6 +86,8 @@ HEADLINE = [
     "temp_sample",
     "pii_scrub",
     "incr_dedup",
+    "lm_ppl",
+    "source_overlap",
 ]
 
 

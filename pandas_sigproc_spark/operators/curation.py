@@ -745,3 +745,81 @@ def scrub_pii(
         f"{col}_masked_chars",
         (F.length(col) - F.length(stripped)).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Cross-source overlap (MinHash source-similarity matrix)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    perms: tuple[tuple[int, int], ...] = INCR_MINHASH_PERMS,
+    p: int = INCR_MINHASH_P,
+) -> DataFrame:
+    """Estimated Jaccard overlap between SOURCES (crawl snapshots,
+    domains, dump versions) over their word-``n``-gram shingle sets —
+    the data-governance question "how much of snapshot B is already in
+    snapshot A" answered without any doc-to-doc comparison.
+
+    A source's MinHash signature is the per-permutation MIN over the
+    shingle hashes of ALL its documents (the MinHash of a union is the
+    elementwise min of the parts), so the whole matrix costs one
+    corpus pass: shingles explode map-side, the per-(source, perm) mins
+    partial-aggregate (map-side combine collapses each task to
+    n_sources rows before the one shuffle — low key cardinality is
+    FINE for min aggregates; there is no hot-key blow-up because the
+    combine is associative), and the pairwise compare is a self-join
+    over the k-source signature table — dimension-sized, broadcast.
+    ``est_jaccard`` is the agreeing-permutation fraction: exact
+    multiples of ``1/len(perms)``, so the doubles hash identically on
+    any engine.
+
+    Output: ``(src_a, src_b, est_jaccard double)`` for src_a < src_b.
+    """
+    ws = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    h = (
+        F.expr(
+            "cast(conv(substring(md5(_sh), 1, 15), 16, 10) as bigint)"
+        )
+        % F.lit(p)
+    )
+    hs = docs.select(
+        F.col(group_col).alias("grp"), F.explode(shingles).alias("_sh")
+    ).select("grp", h.alias("h"))
+    sig = hs.groupBy("grp").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    a = sig.select(
+        F.col("grp").alias("src_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(len(perms))],
+    )
+    b = sig.select(
+        F.col("grp").alias("src_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(len(perms))],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(perms))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            (agree / F.lit(float(len(perms)))).alias("est_jaccard"),
+        )
+    )

@@ -280,6 +280,48 @@ def probe_para_dedup(spark):
     ]
 
 
+def probe_chunking(spark):
+    """Round-6 chunk_documents hybrid: the default plan must route a
+    giant document through the token-fold branch — the map-side plan
+    carries the token array through its posexplode (Spark copies
+    generate-referenced columns into every output row), which measured
+    175 s on ONE 160k-token doc before the hybrid."""
+    from pandas_sigproc_spark.operators.text import chunk_documents
+
+    docs = entry_mod._docs(spark, SF_DIR).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    giant = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10_000_001],
+                "text": [" ".join(f"c{i}" for i in range(GIANT_TOKENS))],
+            }
+        )
+    )
+    w_base, _ = _wall(
+        lambda: chunk_documents(docs, 128, 16)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    w_giant, _ = _wall(
+        lambda: chunk_documents(docs.unionByName(giant), 128, 16)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return [
+        ("doc_chunks base corpus (map-side branch only)", w_base, "-"),
+        (
+            f"doc_chunks + giant doc ({GIANT_TOKENS:,} tokens auto-routed "
+            "through the token fold — linear, one uniform shuffle)",
+            w_giant,
+            f"{w_giant / w_base:.2f}x",
+        ),
+    ]
+
+
 def main():
     spark = get_spark("skew_llm", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -291,6 +333,8 @@ def main():
     rows += probe_degenerate_kmeans(spark)
     entry_mod.release_caches()
     rows += probe_para_dedup(spark)
+    entry_mod.release_caches()
+    rows += probe_chunking(spark)
     print("| probe | wall (s) | note |")
     print("|---|---|---|")
     for name, w, note in rows:
