@@ -1307,9 +1307,7 @@ def _minhash_sig_expr():
         f"""
         aggregate(
           transform(
-            array_distinct(transform(
-              sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-              i -> concat_ws(' ', slice(split(text, ' '), i, 3)))),
+            array_distinct({_text.gram_sql(3, "text")}),
             s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {p}L),
           {acc0}, (acc, h) -> array({upd}))
         """
@@ -4328,12 +4326,7 @@ def q_ngram_counts(spark, sf_dir):
     size.  Deterministic tiebreak on the gram text.
     """
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    grams = F.explode(
-        F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
-        )
-    )
+    grams = F.explode(_text.grams_expr(2))  # linear builder, see gram_sql
     return (
         d.select(grams.alias("gram"))
         .groupBy("gram")

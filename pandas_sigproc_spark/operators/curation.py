@@ -541,6 +541,8 @@ def minhash_sig_expr(
     shingle-hash subtree into every output column, so k separate
     ``transform()+array_min()`` columns would re-run md5 per shingle k
     times (measured 3.5x slower on the batch minhash query)."""
+    from pandas_sigproc_spark.operators.text import gram_sql
+
     acc0 = "array(" + ",".join([f"cast({p} as bigint)"] * len(perms)) + ")"
     upd = ",".join(
         f"least(acc[{i}], ({a}L * h + {b}L) % {p}L)"
@@ -550,9 +552,7 @@ def minhash_sig_expr(
         f"""
         aggregate(
           transform(
-            array_distinct(transform(
-              sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),
-              i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))),
+            array_distinct({gram_sql(n, text_col)}),
             s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {p}L),
           {acc0}, (acc, h) -> array({upd}))
         """
@@ -781,11 +781,9 @@ def source_overlap(
 
     Output: ``(src_a, src_b, est_jaccard double)`` for src_a < src_b.
     """
-    ws = F.split(F.col(text_col), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-    )
+    from pandas_sigproc_spark.operators.text import grams_expr
+
+    shingles = grams_expr(n, text_col)  # linear builder — see gram_sql
     h = (
         F.expr(
             "cast(conv(substring(md5(_sh), 1, 15), 16, 10) as bigint)"

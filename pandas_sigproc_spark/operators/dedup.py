@@ -35,12 +35,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _shingles_expr(text_col: str, n: int):
-    """Distinct word n-gram shingle array, computed map-side."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    )
+    """Distinct word n-gram shingle array, computed map-side via the
+    linear zip-of-slices builder (text.gram_sql — the transform+slice
+    idiom re-splits the document per gram; 158x on a 20k-token doc)."""
+    from pandas_sigproc_spark.operators.text import grams_expr
+
+    return F.array_distinct(grams_expr(n, text_col))
 
 
 def _exploded(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
