@@ -56,6 +56,7 @@ from pandas_sigproc_spark.operators import (
     jaccard_near_dupes,
     jaccard_ppjoin,
     pack_sequences,
+    assign_shards,
 )
 
 import oracle_prod as _oracle_prod
@@ -4479,59 +4480,117 @@ SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3
 
 
 _PACK_BUDGET = 256
-# Shard count bounds pack-stream length AND sets the parallelism of the
-# packing stage: lang x shard groups must comfortably exceed the core
-# count or the applyInPandas streams serialize (the 8x bench leg showed
-# wall_ratio ~9 at 4 shards = 20 groups; 16 shards = 80 groups restores
-# near-linear absorption).  In production this scales with corpus size.
+# Token budget per derived shard (assign_shards): shards = ceil(corpus
+# tokens / _SHARD_TOKENS), so the pack-stream count — and hence the
+# parallelism of the applyInPandas packing stage — scales WITH the
+# corpus instead of being a fixed modulus (the r6-era doc_id % 16 key
+# left exactly 80 streams at any scale; the 8x bench leg showed
+# wall_ratio ~9 at 20 streams).  _SHARD_TOKENS also bounds each pack
+# stream to a constant token count, so a group never outgrows a task.
+_SHARD_TOKENS = 2048
+# md5-bucket count inside assign_shards' distributed prefix sum; the
+# single-partition bucket-offsets window is bounded by this constant.
+_SHARD_BUCKETS = 64
+# legacy fixed-modulus shard key — still the training_mix pipeline's key
 _PACK_SHARDS = 16
+
+
+def q_shard_assign(spark, sf_dir):
+    """Token-balanced shard assignment (operators/packing.py
+    assign_shards): lay the corpus out in deterministic (md5-bucket, id)
+    order and cut every {_SHARD_TOKENS} tokens, so every shard except
+    the last carries the same token budget regardless of document-length
+    skew.  A distributed prefix sum — the intra-bucket cumulative sum is
+    a window on the uniform md5 bucket key, bucket offsets aggregate to
+    {_SHARD_BUCKETS} rows and broadcast back; no global sort anywhere.
+    The oracle replays the identical integer prefix sum in DuckDB.
+    """
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return assign_shards(docs, _SHARD_TOKENS, buckets=_SHARD_BUCKETS)
+
+
+SQL_SHARD_ASSIGN = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_SHARD_BUCKETS} AS INTEGER) AS bucket
+  FROM documents
+),
+o AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS gs
+  FROM tok
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(gs AS BIGINT) AS global_start,
+       CAST(gs // {_SHARD_TOKENS} AS BIGINT) AS shard
+FROM o
+"""
 
 
 def q_seq_pack(spark, sf_dir):
     """Greedy sequence packing into {budget}-token training packs
-    (operators/packing.py) over (lang, shard) streams, shard =
-    doc_id % {shards}.  The oracle replays the same greedy recurrence as
-    a DuckDB recursive CTE — integer-exact on both sides.
+    (operators/packing.py pack_sequences) over token-balanced shard
+    streams DERIVED by assign_shards (shard = global token prefix sum
+    div {_SHARD_TOKENS}) — the production composition: shard count
+    scales with corpus tokens and every pack stream is bounded to
+    ~{_SHARD_TOKENS} tokens, so the applyInPandas stage's parallelism
+    grows with the data and no stream outgrows a task.  Rows pack in
+    global_start order (the deterministic shard-layout order).  The
+    oracle replays shard derivation as an integer prefix sum and the
+    greedy recurrence as a recursive CTE — integer-exact on both sides.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    docs = d.select(
-        "lang",
-        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-    )
+    sharded = q_shard_assign(spark, sf_dir)
     return pack_sequences(
-        docs,
+        sharded,
         _PACK_BUDGET,
         tokens_col="n_tokens",
-        order_col="doc_id",
-        group_cols=("lang", "shard"),
+        order_col="global_start",
+        group_cols=("shard",),
     )
 
 
 SQL_SEQ_PACK = f"""
 WITH RECURSIVE tok AS (
-  SELECT lang, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
-         CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_SHARD_BUCKETS} AS INTEGER) AS bucket
   FROM documents
 ),
-o AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+sh AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS gs
   FROM tok
 ),
+o AS (
+  SELECT CAST(gs // {_SHARD_TOKENS} AS BIGINT) AS shard,
+         CAST(gs AS BIGINT) AS global_start,
+         n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY gs // {_SHARD_TOKENS} ORDER BY gs) AS rn
+  FROM sh
+),
 r AS (
-  SELECT lang, shard, doc_id, n_tokens, rn,
+  SELECT shard, global_start, n_tokens, rn,
          0 AS pack_id, 0 AS pack_pos, n_tokens AS run
   FROM o WHERE rn = 1
   UNION ALL
-  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+  SELECT o.shard, o.global_start, o.n_tokens, o.rn,
          CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN r.pack_id + 1 ELSE r.pack_id END,
          CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN 0 ELSE r.pack_pos + 1 END,
          CASE WHEN r.run + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens ELSE r.run + o.n_tokens END
-  FROM r JOIN o ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1
+  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
 )
-SELECT lang, shard, doc_id, n_tokens,
+SELECT shard, global_start, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(pack_id AS INTEGER) AS pack_id, CAST(pack_pos AS INTEGER) AS pack_pos
 FROM r
 """
@@ -5583,6 +5642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd_summary_dft": q_psd_summary_dft,
         "psd_damage_dft": q_psd_damage_dft,
         "seq_pack": q_seq_pack,
+        "shard_assign": q_shard_assign,
         "tfidf_topk": q_tfidf_topk,
         "media_image_png": q_media_image_png,
         "between": q_between,
@@ -5687,6 +5747,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": SQL_SOURCE_OVERLAP,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "seq_pack": SQL_SEQ_PACK,
+        "shard_assign": SQL_SHARD_ASSIGN,
         "ann_int8": _sql_ann_int8(),
         "psd_rms_dft": SQL_PSD_RMS_DFT,
         "psd_welch_dft": SQL_PSD_WELCH_DFT,

@@ -69,7 +69,7 @@ from pandas_sigproc_spark.operators.dedup import (
     jaccard_pairs,
     jaccard_ppjoin,
 )
-from pandas_sigproc_spark.operators.packing import pack_sequences
+from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
@@ -118,6 +118,7 @@ __all__ = [
     "jaccard_pairs",
     "jaccard_ppjoin",
     "pack_sequences",
+    "assign_shards",
     "apply_channel_kernel",
     "chunk_documents",
     "repetition_stats",

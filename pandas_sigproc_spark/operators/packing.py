@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 
@@ -148,9 +149,5 @@ def assign_shards(
         "bucket",
         F.col("_tok").alias("n_tokens"),
         start.cast("long").alias("global_start"),
-        F.expr(f"({start._jc.toString()}) div {int(shard_tokens)}")
-        if False
-        else (start - start % F.lit(int(shard_tokens)))
-        .cast("long")
-        .alias("_nope"),
+        F.floor(start / F.lit(int(shard_tokens))).cast("long").alias("shard"),
     )

@@ -7,10 +7,12 @@ driver-gate oracle replays the same recurrence as a recursive CTE in
 DuckDB — see __spark_entry__.SQL_SEQ_PACK).
 """
 
+import hashlib
+
 import pandas as pd
 import pytest
 
-from pandas_sigproc_spark.operators.packing import pack_sequences
+from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 
 
 def _pack_df(spark, rows, budget, npartitions=None):
@@ -64,6 +66,99 @@ def test_bad_budget_raises(spark):
             spark.createDataFrame([("en", 0, 0, 1)], "lang string, shard long, doc_id long, n_tokens int"),
             0,
         )
+
+
+# --- assign_shards: token-balanced sharding ---------------------------------
+
+
+def _shards_df(spark, tokens, shard_tokens, *, buckets=8, npartitions=None):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(tokens)), "n_tokens": tokens}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, n_tokens long")
+    if npartitions:
+        df = df.repartition(npartitions)
+    out = assign_shards(df, shard_tokens, buckets=buckets)
+    return out.toPandas().sort_values("doc_id", ignore_index=True)
+
+
+def _replay_shards(tokens, shard_tokens, buckets):
+    """Pure-python replay of the documented contract: lay docs out in
+    (bucket, id) order, bucket = md5 60-bit % buckets; global_start =
+    exact token prefix sum; shard = global_start div shard_tokens."""
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % buckets
+
+    order = sorted(range(len(tokens)), key=lambda i: (bucket(i), i))
+    rows, start = {}, 0
+    for i in order:
+        rows[i] = (bucket(i), tokens[i], start, start // shard_tokens)
+        start += tokens[i]
+    return rows
+
+
+def test_assign_shards_contract_columns(spark):
+    out = _shards_df(spark, [10, 20, 30], 32)
+    assert list(out.columns) == ["doc_id", "bucket", "n_tokens", "global_start", "shard"]
+    assert str(out["shard"].dtype) == "int64"
+    assert str(out["global_start"].dtype) == "int64"
+
+
+def test_assign_shards_matches_replay(spark):
+    tokens = [7 + (i * 13) % 40 for i in range(80)]
+    out = _shards_df(spark, tokens, 64, buckets=8)
+    replay = _replay_shards(tokens, 64, 8)
+    for _, r in out.iterrows():
+        b, tok, start, shard = replay[int(r["doc_id"])]
+        assert int(r["bucket"]) == b
+        assert int(r["n_tokens"]) == tok
+        assert int(r["global_start"]) == start, f"doc {r['doc_id']}"
+        assert int(r["shard"]) == shard, f"doc {r['doc_id']}"
+
+
+def test_assign_shards_partition_invariance(spark):
+    tokens = [5 + (i * 29) % 90 for i in range(120)]
+    a = _shards_df(spark, tokens, 128, npartitions=1)
+    b = _shards_df(spark, tokens, 128, npartitions=11)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_assign_shards_token_balance(spark):
+    # every shard except the last carries (shard_tokens - max_doc, shard_tokens]
+    # tokens of STARTS — the cut points land inside documents, so a shard's
+    # total is within one document of the budget
+    tokens = [11 + (i * 17) % 50 for i in range(200)]
+    out = _shards_df(spark, tokens, 256)
+    sums = out.groupby("shard")["n_tokens"].sum()
+    full = sums.iloc[:-1]
+    assert (full >= 256 - max(tokens) + 1).all()
+    assert (full <= 256 + max(tokens) - 1).all()
+
+
+def test_assign_shards_feeds_pack_sequences(spark):
+    # composition: the derived shard key is a valid pack_sequences group
+    tokens = [9 + (i * 23) % 70 for i in range(100)]
+    pdf = pd.DataFrame({"doc_id": range(len(tokens)), "n_tokens": tokens})
+    df = spark.createDataFrame(pdf, "doc_id long, n_tokens long")
+    sharded = assign_shards(df, 512, buckets=8)
+    packed = pack_sequences(
+        sharded, 128, tokens_col="n_tokens", order_col="global_start",
+        group_cols=("shard",),
+    ).toPandas()
+    assert len(packed) == len(tokens)
+    sums = packed.groupby(["shard", "pack_id"]).agg(
+        n=("global_start", "size"), tot=("n_tokens", "sum")
+    )
+    for _, r in sums.iterrows():
+        assert r["tot"] <= 128 or r["n"] == 1
+
+
+def test_assign_shards_bad_args_raise(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        assign_shards(df, 0)
+    with pytest.raises(ValueError):
+        assign_shards(df, 10, buckets=0)
 
 
 # --- hypothesis properties -------------------------------------------------
