@@ -55,6 +55,7 @@ from pandas_sigproc_spark.operators import (
     interp1d_spline,
     jaccard_near_dupes,
     jaccard_ppjoin,
+    guard_bucket_rows,
     pack_sequences,
     assign_shards,
 )
@@ -2788,6 +2789,14 @@ def q_dedup_embed(spark, sf_dir):
         F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
         "t",
         "bucket",
+    )
+    # Default-on hot-bucket guard (operators/dedup.guard_bucket_rows):
+    # a degenerate bucket of m near-identical vectors costs O(m^2) pair
+    # rows in ONE task — fail loudly with the exact-dedup-first
+    # remediation instead (the semantic_dedup max_cluster_rows
+    # precedent; SKEW.md probes the firing path).
+    e = guard_bucket_rows(
+        e, ["t", "bucket"], guarded_col="vec_id", op_name="dedup_embed"
     )
     a = e.select(
         F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"

@@ -65,6 +65,7 @@ from pandas_sigproc_spark.operators.kmeans import (
     semantic_dedup,
 )
 from pandas_sigproc_spark.operators.dedup import (
+    guard_bucket_rows,
     jaccard_near_dupes,
     jaccard_pairs,
     jaccard_ppjoin,
@@ -114,6 +115,7 @@ __all__ = [
     "rainflow_chunked",
     "interp1d_spline",
     "connected_components",
+    "guard_bucket_rows",
     "jaccard_near_dupes",
     "jaccard_pairs",
     "jaccard_ppjoin",

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from . import text as _text
+from .dedup import guard_bucket_rows
 
 # ---------------------------------------------------------------------------
 # 1. Block-level (paragraph) dedup
@@ -598,6 +599,7 @@ def incremental_dedup(
     text_col: str = "text",
     near_threshold: float = 0.5,
     ngram: int = 3,
+    max_bucket_rows: int | None = 100_000,
 ) -> DataFrame:
     """Deduplicate a NEW ingestion batch against an existing corpus —
     the daily-crawl production pattern, where re-running global dedup
@@ -658,8 +660,26 @@ def incremental_dedup(
     # --- near tier: banded MinHash LSH probe ------------------------
     d_sig = d.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
     ex_sig = ex.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
-    d_bk = _band_keys(d_sig, "d_id")
-    ex_bk = _band_keys(ex_sig, "e_id")
+    # Default-on hot-bucket guard (dedup.guard_bucket_rows): a band key
+    # shared by m near-identical documents makes the probe join emit
+    # O(m * matches) rows from ONE bucket — fail loudly with the
+    # exact-dedup-first remediation instead of grinding (the
+    # semantic_dedup max_cluster_rows precedent).  Guarding d_bk and
+    # ex_bk covers all three probe joins (d_bk2 replays d_bk's rows).
+    d_bk = guard_bucket_rows(
+        _band_keys(d_sig, "d_id"),
+        ["band", "key"],
+        guarded_col="d_id",
+        max_bucket_rows=max_bucket_rows,
+        op_name="incremental_dedup(delta)",
+    )
+    ex_bk = guard_bucket_rows(
+        _band_keys(ex_sig, "e_id"),
+        ["band", "key"],
+        guarded_col="e_id",
+        max_bucket_rows=max_bucket_rows,
+        op_name="incremental_dedup(corpus)",
+    )
     near_ex = (
         d_bk.join(ex_bk, ["band", "key"])
         .select("d_id", "e_id", "sig_d_id", "sig_e_id")

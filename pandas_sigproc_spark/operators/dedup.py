@@ -280,3 +280,69 @@ def jaccard_near_dupes(
     if plan == "pairs":
         return jaccard_pairs(docs, threshold, **kwargs)
     raise ValueError(f"unknown jaccard plan {plan!r}")
+
+
+def guard_bucket_rows(
+    df: DataFrame,
+    bucket_cols,
+    *,
+    guarded_col: str,
+    max_bucket_rows: int | None = 100_000,
+    op_name: str = "lsh_pair_join",
+) -> DataFrame:
+    """Hot-bucket row cap for banded-LSH pair joins — fail LOUDLY instead
+    of silently grinding when one bucket is degenerate.
+
+    A banded-LSH self/probe join is bounded only per NORMAL bucket: a
+    bucket holding ``m`` near-identical items (the 1,500-duplicate SKEW.md
+    probe; at 100 TB, a boilerplate embedding repeated millions of times)
+    contributes O(m^2) join output rows in ONE task, and the job grinds
+    for hours with no error.  This mirrors semantic_dedup's
+    ``max_cluster_rows`` guard (kmeans.py): any task that reads a row of
+    an over-cap bucket raises immediately with the remediation — run
+    EXACT (hash) dedup first so identical items collapse to one
+    representative, then re-run the near tier.
+
+    Scale shape: the count is a window partitioned by the bucket key —
+    the SAME partitioning the downstream equi-join needs, so the exchange
+    is reusable and nothing is collected or broadcast (bucket-key spaces
+    like MinHash band keys are O(corpus) — a count-table broadcast would
+    not survive 100 TB; the window does).  The guard wraps
+    ``guarded_col`` (an id column every downstream join/agg keys on) so
+    column pruning cannot eliminate it.
+
+    ``max_bucket_rows=None`` opts out; the default (100k rows ~ 5e9
+    candidate pairs in one bucket) is far above any healthy bucket at
+    any tuned (b, L) and exists purely to catch degenerate skew.
+    """
+    if max_bucket_rows is None:
+        return df
+    cap = int(max_bucket_rows)
+    if cap <= 0:
+        raise ValueError(f"max_bucket_rows must be positive, got {cap}")
+    bcols = list(bucket_cols)
+    dtype = df.schema[guarded_col].dataType.simpleString()
+    cnt = F.count("*").over(Window.partitionBy(*bcols))
+    msg = F.concat(
+        F.lit(f"{op_name}: LSH bucket ("),
+        F.concat_ws(
+            ", ",
+            *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in bcols],
+        ),
+        F.lit(") holds "),
+        cnt.cast("string"),
+        F.lit(
+            f" rows, above max_bucket_rows={cap} — degenerate bucket"
+            " (near-identical items). Run exact/hash dedup FIRST to"
+            " collapse identical items, widen the band (raise b), or"
+            " pass max_bucket_rows=None to lift the guard."
+        ),
+    )
+    guard = (
+        F.when(cnt > cap, F.raise_error(msg).cast(dtype))
+        .otherwise(F.col(guarded_col))
+        .alias(guarded_col)
+    )
+    return df.select(
+        *[guard if c == guarded_col else F.col(c) for c in df.columns]
+    )

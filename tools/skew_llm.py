@@ -127,7 +127,7 @@ def probe_hot_lsh_bucket(spark):
         .save()
     )
 
-    def run_hot():
+    def _hot_plan(max_bucket_rows):
         # same plan as q_dedup_embed, over base + hot block
         both = base.unionByName(hot)
         nr = F.sqrt(
@@ -147,6 +147,15 @@ def probe_hot_lsh_bucket(spark):
             "t",
             "bucket",
         )
+        from pandas_sigproc_spark.operators.dedup import guard_bucket_rows
+
+        ee = guard_bucket_rows(
+            ee,
+            ["t", "bucket"],
+            guarded_col="vec_id",
+            max_bucket_rows=max_bucket_rows,
+            op_name="dedup_embed",
+        )
         a = ee.select(
             F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"
         )
@@ -165,10 +174,19 @@ def probe_hot_lsh_bucket(spark):
             .groupBy("v1", "v2")
             .agg(F.max("cos").alias("cos"))
             .filter(F.col("cos") >= 0.4)
-            .count()
         )
 
-    w_hot, n_pairs = _wall(run_hot)
+    w_hot, n_pairs = _wall(lambda: _hot_plan(None).count())
+
+    def _guarded():
+        try:
+            _hot_plan(1000).count()
+            return "GUARD DID NOT FIRE"
+        except Exception as ex:  # the raise_error surfaces as a SparkException
+            s = str(ex)
+            return "fired" if "max_bucket_rows" in s else f"unexpected: {s[:80]}"
+
+    w_guard, guard_out = _wall(_guarded)
     return [
         ("dedup_embed base corpus (banded LSH)", w_base, "-"),
         (
@@ -177,6 +195,12 @@ def probe_hot_lsh_bucket(spark):
             "mitigate with dedup_exact first, as corpus_prep does)",
             w_hot,
             f"{w_hot / w_base:.2f}x",
+        ),
+        (
+            f"dedup_embed + same hot bucket, guard_bucket_rows cap=1000 "
+            f"(default-on guard, raise_error before the pair join: {guard_out})",
+            w_guard,
+            f"{w_guard / w_hot:.2f}x of the unguarded grind",
         ),
     ]
 
