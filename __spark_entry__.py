@@ -2852,13 +2852,21 @@ SELECT v1, v2, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.4
 # probes its NPROBE closest lists and exact-rescores only those
 # candidates.  Complements q_ann_lsh: IVF recall degrades gracefully with
 # nprobe while LSH recall is fixed by the plane count.
-_IVF_NLIST = 8
-# nprobe=4: recall@3 measured 0.80/0.74 (sf0.01/sf0.1) vs 0.53/0.55 at
-# nprobe=2 — on this corpus true neighbors sit at cos~0.34 (~70 deg, near
-# the random-pair band), so IVF recall tracks the probed corpus fraction
-# (nprobe/nlist) plus a ~2x structural lift; nprobe is the documented
-# recall/cost knob and 4/8 is the default that clears the 0.7 floor.
-_IVF_NPROBE = 4
+_IVF_NLIST = 32
+# r8 (nlist, nprobe) sweep on the gate corpora — on this near-random
+# corpus (true neighbors at cos~0.34, ~70 deg) recall tracks the probed
+# fraction nprobe/nlist plus a structural lift that GROWS with list
+# granularity, so finer quantization buys recall at constant scan cost:
+#   frac=0.50:  8/4 -> 0.74-0.80   16/8 -> 0.85-0.87   32/16 -> 0.92/0.92
+#   frac=0.62:  8/5 -> 0.84-0.89   16/10 -> 0.93        32/20 -> 0.94-0.97
+#   frac=0.75:  8/6 -> 0.92-0.97   16/12 -> 0.97        32/24 -> 0.97-0.98
+# (sf0.01/sf0.1, recall@3 vs brute-force truth).  32/16 is the default:
+# >= 0.9 recall at the SAME 0.5 candidate fraction the old 8/4 default
+# scanned for 0.74.  nprobe stays the runtime recall/cost knob; at
+# production scale nlist grows ~sqrt(n) and the probed fraction drops
+# orders of magnitude once the data is actually clustered — the uniform
+# gate corpus is the worst case.  bench.py reports the live curve.
+_IVF_NPROBE = 16
 
 
 def q_ann_ivf(spark, sf_dir):

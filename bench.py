@@ -226,9 +226,31 @@ def main():
     # median >> min sat in a neighbor-load episode (the r5 rss_daily /
     # rms_lin "regressions" were exactly this — see the r6 attribution
     # note below); a query whose min moved with median is a real change.
+    # In-run calibration (r7 made this non-optional: BENCH_r07 ran on
+    # byte-identical code and wall times still swung 0.12x-7.1x vs r6 —
+    # pure host/neighbor load).  The SAME constant query (rms, full
+    # pipeline through the noop sink) is re-timed at the start, middle,
+    # and end of the run; the tail reports the three walls and their
+    # max/min spread.  A verdict can then separate signal from load:
+    # spread ~1 means the run sat on a quiet host and per-query deltas
+    # are meaningful; spread >> 1 means the round's walls carry that
+    # much ambient noise and only deltas beyond it are real.
+    calib_walls = []
+
+    def _calibrate(tag: str) -> None:
+        t0 = time.time()
+        qs["rms"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        el = round(time.time() - t0, 3)
+        calib_walls.append(el)
+        print(f"[bench] calibration({tag}): {el:.2f}s", file=sys.stderr, flush=True)
+
+    _calibrate("start")
+
     timings = {}
     medians = {}
     for name in HEADLINE:
+        if name == HEADLINE[len(HEADLINE) // 2]:
+            _calibrate("middle")
         fn = qs[name]
         reps = []
         for rep in range(3):
@@ -329,6 +351,35 @@ def main():
               file=sys.stderr, flush=True)
         entry_mod.release_caches()
 
+    # IVF recall-vs-wall curve: nprobe is the runtime recall/cost knob
+    # (probed corpus fraction = nprobe/nlist); the curve makes the trade
+    # visible next to the shipped default instead of burying it in a
+    # comment.  Walls are single-shot (the curve's shape, not its
+    # absolute level, is the signal — calibration above bounds the noise).
+    ivf_curve = []
+    default_nprobe = entry_mod._IVF_NPROBE
+    try:
+        for nprobe in (8, 16, 24):
+            entry_mod._IVF_NPROBE = nprobe
+            t0 = time.time()
+            pred = {
+                (r["qid"], r["vec_id"])
+                for r in qs["ann_ivf"](spark, sf_dir).filter("rank <= 3").collect()
+            }
+            el = round(time.time() - t0, 3)
+            rec = round(len(pred & truth) / len(truth), 4)
+            ivf_curve.append(
+                {"nlist": entry_mod._IVF_NLIST, "nprobe": nprobe,
+                 "recall_at_3": rec, "wall": el}
+            )
+            print(f"[bench] ivf_curve nprobe={nprobe}: recall={rec} wall={el}s",
+                  file=sys.stderr, flush=True)
+            entry_mod.release_caches()
+    finally:
+        entry_mod._IVF_NPROBE = default_nprobe
+
+    _calibrate("end")
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -336,6 +387,12 @@ def main():
         "queries": timings,
         "queries_median": medians,
         "ann_recall_at_3": recall,
+        "ann_ivf_recall_curve": ivf_curve,
+        "calibration": {
+            "query": "rms",
+            "walls_start_middle_end": calib_walls,
+            "spread": round(max(calib_walls) / min(calib_walls), 3),
+        },
         "sf": float(sf),
     }
     if scale is not None:

@@ -7,8 +7,10 @@ near-random at dim 64 (true top-3 neighbors sit at cos~0.34, ~70 deg,
 barely outside the random-pair band cos 0.0 +/- 0.125), so recall for
 ANY sublinear method tracks the candidate fraction plus a structural
 lift; the floors below pin the measured behavior of the shipped defaults
-(banded LSH b=4 x L=8 ~ 0.70 @ 0.4 candidate fraction; IVF nprobe=4/8
-~ 0.80 @ 0.5; int8 funnel ~ 0.70) with headroom for a data refresh.
+(banded LSH b=4 x L=8 ~ 0.70 @ 0.4 candidate fraction; IVF nlist=32 /
+nprobe=16 ~ 0.92 @ 0.5 — the r8 retune: finer quantization lifts recall
+at CONSTANT scan fraction, 8/4 scanned the same 0.5 for 0.74; int8
+funnel ~ 0.70) with headroom for a data refresh.
 A drop below floor means a bucketing/probing regression, not noise —
 everything here is deterministic on fixed data.
 """
@@ -21,7 +23,7 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.01"
 
-FLOORS = {"ann_lsh": 0.6, "ann_ivf": 0.7, "ann_int8": 0.6}
+FLOORS = {"ann_lsh": 0.6, "ann_ivf": 0.9, "ann_int8": 0.6}
 
 
 @pytest.fixture(scope="module")
