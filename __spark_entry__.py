@@ -5401,16 +5401,20 @@ def q_lm_ppl(spark, sf_dir):
 
 
 def q_lm_ppl_terciles(spark, sf_dir):
-    """Exact-tercile twin of `lm_ppl`: NTILE(3) over (rounded score,
-    doc_id).  The ntile is a single-partition window over the PER-DOC
-    score table (corpus rows / ~doc length) — the audit/bootstrap mode
-    that derives cutoffs; production pipelines freeze them and run the
-    map-side form (q_lm_ppl)."""
+    """Scale-safe tercile BOOTSTRAP of `lm_ppl` (r8 rewrite — the old
+    form ran NTILE(3) as an unpartitioned window over every scored doc,
+    a single-task funnel at corpus scale): tercile cutoffs are derived
+    from a deterministic md5 sample of the scored docs via the exact
+    ``percentile`` aggregate (memory bounded by the sample), rounded,
+    broadcast as one row, and applied as the same map-side CASE as the
+    production fixed-threshold mode.  NO window in the plan
+    (tests/test_lm.py asserts it); the exact-NTILE mode survives as the
+    small-SF audit twin inside operators/lm.py."""
     from pandas_sigproc_spark.operators.lm import ngram_lm_score
 
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     ref = d.filter(F.col("source") == "src0")
-    return ngram_lm_score(d, ref, alpha=_LM_ALPHA, thresholds=None)
+    return ngram_lm_score(d, ref, alpha=_LM_ALPHA, thresholds="sampled")
 
 
 def _sql_lm_scored_cte() -> str:
@@ -5471,12 +5475,22 @@ FROM sc
 
 
 SQL_LM_PPL_TERCILES = f"""
-WITH {_sql_lm_scored_cte()}
+WITH {_sql_lm_scored_cte()},
+samp AS (
+  SELECT log10_ppl FROM sc
+  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+        AS BIGINT) % 4 = 0
+),
+cuts AS (
+  SELECT ROUND(QUANTILE_CONT(log10_ppl, 1.0/3), 6) AS t1,
+         ROUND(QUANTILE_CONT(log10_ppl, 2.0/3), 6) AS t2
+  FROM samp
+)
 SELECT doc_id, n_trans, log10_ppl,
-       CASE NTILE(3) OVER (ORDER BY log10_ppl, doc_id)
-            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       CASE WHEN log10_ppl <= t1 THEN 'head'
+            WHEN log10_ppl <= t2 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM sc
+FROM sc CROSS JOIN cuts
 """
 
 

@@ -42,12 +42,20 @@ Bucketing has two modes mirroring CCNet itself:
   tail on the ROUNDED score.  Pure map-side CASE; this is CCNet's
   production form (its per-language cutoffs are fixed constants
   published with the model).
+- ``thresholds="sampled"``: the SCALE-SAFE bootstrap — tercile cutoffs
+  derived from a deterministic md5 sample of the scored docs (keep when
+  ``hash(doc_id) % sample_mod == 0``) via the exact ``percentile``
+  aggregate, rounded, broadcast as a 1-row table, and applied as the
+  same map-side CASE as the fixed mode.  NO window anywhere: the
+  percentile aggregate's memory is bounded by the sample (pick
+  ``sample_mod`` so the sample is ~10^5-10^6 rows at the target corpus;
+  the default 4 suits the gate corpora).  An empty sample yields NULL
+  cutoffs (every bucket 'tail') — size ``sample_mod`` to the corpus.
 - ``thresholds=None``: exact in-corpus terciles via NTILE(3) ordered by
   (rounded score, doc_id).  Deterministic and engine-exact, but the
   ntile is a single-partition window over the PER-DOC table (corpus row
-  count / ~doc length — far smaller than the corpus, still unbounded);
-  at 100 TB derive fixed cutoffs from ``percentile_approx`` on a sample
-  and run the map-side mode instead.
+  count / ~doc length — far smaller than the corpus, still unbounded):
+  the small-SF AUDIT twin of "sampled", not a production mode.
 
 Scores are rounded to ``round_digits`` BEFORE the bucket compare /
 ntile ordering so an engine's last-ulp summation-order difference
@@ -82,7 +90,8 @@ def ngram_lm_score(
     text_col: str = "text",
     alpha: float = 0.5,
     round_digits: int = 6,
-    thresholds: tuple[float, float] | None = None,
+    thresholds: tuple[float, float] | str | None = None,
+    sample_mod: int = 4,
     broadcast_lm: bool = True,
 ) -> DataFrame:
     """Score ``docs`` by add-alpha bigram perplexity under an LM trained
@@ -93,8 +102,12 @@ def ngram_lm_score(
     """
     if alpha <= 0:
         raise ValueError("need alpha > 0")
-    if thresholds is not None and not thresholds[0] <= thresholds[1]:
+    if isinstance(thresholds, str) and thresholds != "sampled":
+        raise ValueError(f"unknown thresholds mode {thresholds!r}")
+    if isinstance(thresholds, tuple) and not thresholds[0] <= thresholds[1]:
         raise ValueError("need thresholds t1 <= t2")
+    if sample_mod < 1:
+        raise ValueError("need sample_mod >= 1")
     pairs = _pairs_expr(text_col)
     # group the unigram table directly under the CONTEXT-word name so the
     # scoring probe is a plain equi-join on "w1"
@@ -131,11 +144,37 @@ def ngram_lm_score(
             ),
         )
     )
-    if thresholds is not None:
+    if isinstance(thresholds, tuple):
         t1, t2 = float(thresholds[0]), float(thresholds[1])
         bucket = (
             F.when(F.col("log10_ppl") <= t1, F.lit("head"))
             .when(F.col("log10_ppl") <= t2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    elif thresholds == "sampled":
+        # Deterministic md5 sample of the scored docs -> exact percentile
+        # cutoffs (one aggregate, memory bounded by the sample) rounded
+        # to the same measured-margin digits as the scores, broadcast as
+        # one row, applied map-side.  No window in the plan.
+        samp = scored.filter(
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+                f" 16, 10) as bigint) % {int(sample_mod)}"
+            )
+            == 0
+        )
+        cuts = samp.agg(
+            F.round(
+                F.percentile(F.col("log10_ppl"), F.lit(1.0 / 3)), round_digits
+            ).alias("_t1"),
+            F.round(
+                F.percentile(F.col("log10_ppl"), F.lit(2.0 / 3)), round_digits
+            ).alias("_t2"),
+        )
+        scored = scored.crossJoin(F.broadcast(cuts))
+        bucket = (
+            F.when(F.col("log10_ppl") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("log10_ppl") <= F.col("_t2"), F.lit("middle"))
             .otherwise(F.lit("tail"))
         )
     else:

@@ -119,12 +119,67 @@ def test_fixed_thresholds_map_side(frames):
     assert "ntile" not in plan.lower()
 
 
+def test_sampled_terciles_match_python_replay(spark, frames):
+    # 40 docs with distinct scores; sample_mod=2 keeps ~half.  The
+    # contract: cutoffs = numpy-linear (quantile_cont) 1/3 and 2/3
+    # quantiles of the md5-sampled scores, rounded to 6 digits, applied
+    # as <= CASE over ALL scored docs.
+    import hashlib
+
+    import numpy as np
+
+    _, ref = frames
+    texts = {i: f"the cat sat on the mat {'zebra ' * (i % 7)}x{i}" for i in range(40)}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = (
+        ngram_lm_score(docs, ref, alpha=ALPHA, thresholds="sampled", sample_mod=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    sampled = [
+        out.loc[d, "log10_ppl"]
+        for d in out.index
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 2 == 0
+    ]
+    t1 = round(float(np.quantile(sampled, 1.0 / 3, method="linear")), 6)
+    t2 = round(float(np.quantile(sampled, 2.0 / 3, method="linear")), 6)
+    for d in out.index:
+        ppl = out.loc[d, "log10_ppl"]
+        want = "head" if ppl <= t1 else ("middle" if ppl <= t2 else "tail")
+        assert out.loc[d, "bucket"] == want, (d, ppl, t1, t2)
+
+
+def test_sampled_terciles_plan_has_no_window(frames):
+    # The r8 rewrite's whole point: the bootstrap must not funnel the
+    # corpus through an unpartitioned window (the old NTILE plan).
+    docs, ref = frames
+    plan = (
+        ngram_lm_score(docs, ref, thresholds="sampled")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # word-bounded: "percentile" CONTAINS "ntile" but is the bounded
+    # aggregate the rewrite is for
+    import re
+
+    assert not re.search(r"\bntile\(", plan.lower())
+    assert "Window" not in plan
+
+
 def test_validation(frames):
     docs, ref = frames
     with pytest.raises(ValueError):
         ngram_lm_score(docs, ref, alpha=0.0)
     with pytest.raises(ValueError):
         ngram_lm_score(docs, ref, thresholds=(3.0, 2.0))
+    with pytest.raises(ValueError):
+        ngram_lm_score(docs, ref, thresholds="bogus")
+    with pytest.raises(ValueError):
+        ngram_lm_score(docs, ref, thresholds="sampled", sample_mod=0)
 
 
 def test_gate_corpus_rounding_margin():
