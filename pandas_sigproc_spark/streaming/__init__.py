@@ -12,6 +12,10 @@ Streamable operators (aggregations over event-time windows):
   carried across micro-batches per channel via ``applyInPandasWithState``.
   This is exactly the reference's ``filt_a`` / ``lfilter`` semantics
   (extension.py:541-567) applied to an unbounded stream.
+- :func:`streaming_incremental_dedup` — ingestion dedup over an
+  unbounded document stream: stream-static band-key probes against a
+  static corpus plus one ``applyInPandasWithState`` op for
+  stream-vs-earlier-stream duplicates (state keyed by LSH band key).
 
 NOT streamable (documented, not worked around): zero-phase ``filtfilt``
 ops need future samples; whole-signal PSD/SRS/rainflow need the entire
@@ -28,7 +32,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
+    IntegerType,
+    LongType,
     StructField,
     StructType,
     StringType,
@@ -551,6 +558,219 @@ def streaming_curation_filter(
     return out
 
 
+_INCR_PAIR_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("d_id", LongType()),
+        StructField("match_id", LongType()),
+        StructField("src", StringType()),
+        StructField("is_exact", BooleanType()),
+        StructField("est_j", DoubleType()),
+    ]
+)
+
+
+def streaming_incremental_dedup(
+    df: DataFrame,
+    existing: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float = 0.5,
+    ngram: int = 3,
+    max_state_rows_per_key: int = 100_000,
+) -> DataFrame:
+    """Streaming ingestion dedup: the cross-micro-batch form of batch
+    ``curation.incremental_dedup`` — screen an unbounded document stream
+    against a STATIC existing corpus and against its own earlier
+    arrivals, touching the corpus only as a compact band-key table.
+
+    Emits a DUPLICATE-PAIR stream ``(band int, d_id long, match_id long,
+    src string, is_exact boolean, est_j double)``: one row per (band,
+    candidate) where the new document ``d_id`` shares an LSH band key
+    with ``match_id`` and the MinHash-estimated Jaccard >=
+    ``near_threshold`` (``is_exact`` = md5 digests equal — identical
+    text implies identical signature, so exact twins always co-bucket).
+    ``src`` is ``'corpus'`` or ``'stream'``.  A pair can appear once per
+    shared band (up to n_bands rows); consumers dedupe on (d_id,
+    match_id, src) — per-doc verdicts (``kept`` etc.) are then one batch
+    aggregation over this stream's sink, mirroring the batch operator's
+    columns (tests/test_streaming_incr_dedup.py replays it).
+
+    Scale shape, one stateful operator total:
+
+    - corpus probes are a STATELESS stream-static equi-join on (band,
+      key) against the derived corpus band-key table — dozens of bytes
+      per corpus doc, the table a production deployment keeps
+      materialized (never the corpus text);
+    - stream-vs-earlier-stream probes run in ONE
+      ``applyInPandasWithState`` keyed by (band, key); the state is
+      exactly the band-key table of the documents seen so far under
+      that key (ids + digests + signatures).  Within a micro-batch,
+      docs compare in ``id_col`` order against state + earlier in-batch
+      rows — the batch operator's deterministic first-wins rule with
+      arrival order standing in for id order across batches.
+    - state per key grows with the docs that SHARE that band key;
+      ``max_state_rows_per_key`` is the hot-bucket guard
+      (dedup.guard_bucket_rows' streaming twin): a degenerate key
+      raises loudly with the exact-dedup-first remediation instead of
+      accreting unbounded state.
+    """
+    if not 0.0 < near_threshold <= 1.0:
+        raise ValueError("need 0 < near_threshold <= 1")
+    from pandas_sigproc_spark.operators import curation as _cur
+
+    n_perms = len(_cur.INCR_MINHASH_PERMS)
+    n_bands = n_perms // _cur.INCR_BAND_ROWS
+    p = _cur.INCR_MINHASH_P
+
+    def _prep(src_df: DataFrame, role: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    (
+                        F.col("sig")[2 * b] * F.lit(p) + F.col("sig")[2 * b + 1]
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            src_df.select(
+                F.col(id_col).cast("long").alias(f"{role}_id"),
+                F.md5(F.col(text_col)).alias(f"{role}_digest"),
+                _cur.minhash_sig_expr(text_col, ngram).alias("sig"),
+            )
+            .select(
+                f"{role}_id",
+                f"{role}_digest",
+                F.col("sig").alias(f"{role}_sig"),
+                F.explode(bands).alias("bk"),
+            )
+            .select(
+                f"{role}_id", f"{role}_digest", f"{role}_sig",
+                "bk.band", "bk.key",
+            )
+        )
+
+    d_bk = _prep(df, "d")
+    ex_bk = _prep(existing, "e")
+
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("d_sig"), F.col("e_sig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(float(n_perms))
+    corpus_pairs = (
+        d_bk.join(ex_bk, ["band", "key"])
+        .select(
+            "band",
+            F.col("d_id"),
+            F.col("e_id").alias("match_id"),
+            F.lit("corpus").alias("src"),
+            (F.col("d_digest") == F.col("e_digest")).alias("is_exact"),
+            est.alias("est_j"),
+        )
+        .filter(F.col("est_j") >= F.lit(float(near_threshold)))
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("digests", ArrayType(StringType())),
+            StructField("sigs", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+    thr = float(near_threshold)
+    cap = int(max_state_rows_per_key)
+
+    def _emit_pairs(band, new_rows, seen):
+        """Compare each new (id, digest, sig) against ``seen`` (earlier
+        arrivals), in id order; extend ``seen``; return pair tuples."""
+        out = []
+        for nid, ndig, nsig in new_rows:
+            for oid, odig, osig in seen:
+                agree = sum(1 for a, b in zip(nsig, osig) if a == b)
+                ej = agree / float(n_perms)
+                if ej >= thr:
+                    out.append((band, nid, oid, "stream", ndig == odig, ej))
+            seen.append((nid, ndig, nsig))
+        return out
+
+    def step(key, pdf_iter, state):
+        band, _k = int(key[0]), key[1]
+        if state.exists:
+            ids, digests, sigs = state.get
+            seen = list(zip(list(ids), list(digests), [list(s) for s in sigs]))
+        else:
+            seen = []
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        pairs = []
+        if len(pdf):
+            pdf = pdf.sort_values("d_id", kind="mergesort")
+            new_rows = [
+                (int(r.d_id), r.d_digest, [int(x) for x in r.d_sig])
+                for r in pdf.itertuples()
+            ]
+            pairs = _emit_pairs(band, new_rows, seen)
+        if len(seen) > cap:
+            raise RuntimeError(
+                f"streaming_incremental_dedup: band key ({band}, {_k}) now"
+                f" holds {len(seen)} documents in state, above"
+                f" max_state_rows_per_key={cap} — degenerate band key"
+                " (near-identical documents). Run exact/hash dedup"
+                " upstream to collapse identical items, or raise the cap."
+            )
+        state.update(
+            (
+                [s[0] for s in seen],
+                [s[1] for s in seen],
+                [s[2] for s in seen],
+            )
+        )
+        yield pd.DataFrame(
+            pairs, columns=["band", "d_id", "match_id", "src", "is_exact", "est_j"]
+        )
+
+    grouped_cols = ["band", "key", "d_id", "d_digest", "d_sig"]
+    if not df.isStreaming:
+        # Batch fallback: identical comparisons with earlier == smaller
+        # id (the batch operator's rule); one applyInPandas per band key.
+        def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+            kdf = kdf.sort_values("d_id", kind="mergesort")
+            band = int(kdf["band"].iloc[0])
+            new_rows = [
+                (int(r.d_id), r.d_digest, [int(x) for x in r.d_sig])
+                for r in kdf.itertuples()
+            ]
+            return pd.DataFrame(
+                _emit_pairs(band, new_rows, []),
+                columns=["band", "d_id", "match_id", "src", "is_exact", "est_j"],
+            )
+
+        stream_pairs = (
+            d_bk.select(*grouped_cols)
+            .groupBy("band", "key")
+            .applyInPandas(kernel, _INCR_PAIR_SCHEMA)
+        )
+    else:
+        stream_pairs = (
+            d_bk.select(*grouped_cols)
+            .groupBy("band", "key")
+            .applyInPandasWithState(
+                step,
+                outputStructType=_INCR_PAIR_SCHEMA,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf="NoTimeout",
+            )
+        )
+    return corpus_pairs.unionByName(stream_pairs)
+
+
 __all__ = [
     "streaming_rms",
     "streaming_spl",
@@ -560,5 +780,6 @@ __all__ = [
     "streaming_psd",
     "streaming_corpus_filter",
     "streaming_curation_filter",
+    "streaming_incremental_dedup",
     "streaming_rainflow",
 ]
