@@ -5075,7 +5075,8 @@ _QC_THRESHOLD = 0.85
 def q_quality_classify(spark, sf_dir):
     """Logistic quality classifier (model-based filter stage): four
     map-side features -> fixed-weight logistic score -> keep flag at
-    threshold {thr}.  0 shuffles, 0 UDFs — a single expression tree.
+    threshold _QC_THRESHOLD (0.85).  0 shuffles, 0 UDFs — a single
+    expression tree.
     The 6-dp rounding margin over exp() is pinned by
     tests/test_curation.py against DuckDB on the full corpus."""
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
@@ -5545,43 +5546,107 @@ SQL_SOURCE_OVERLAP = _sql_source_overlap()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-6 ordering (exactly 50
+    # the first 50 entries in dict order.  Round-8 ordering (exactly 50
     # entries sit above the cap marker; tests/test_entry_contract.py
-    # pins it):
-    #   tier 0 — the five NEW curation-tier queries (para_dedup,
-    #            quality_classify, bloom_decontaminate, temp_sample,
-    #            pii_scrub) — never driver-checked, must be in-window;
-    #            five r5-green unchanged tpch_* rows demoted below the
-    #            cap to make room;
-    #   tier 1 — queries whose OPERATOR CODE changed this round, all
-    #            needing driver re-proof on the new plans: the k-means
-    #            family (map-side broadcast-argmin Lloyd, window-rank
-    #            seeding, production-mode semdedup/corpus_curate with
-    #            plain-SUM centroids) and the banded-LSH ANN tier
-    #            (ann_lsh / ann_ivf / dedup_embed / ann_int8 — ann_int8
-    #            rotated UP from below the cap for this, displacing the
-    #            unchanged r5-green media_image_png);
-    #   tier 1b — r5 first-prover queries kept in-window (unchanged
-    #            code, freshest evidence stays r5-or-newer);
-    #   tier 2/3 — unchanged queries with r4/r5-green rows, re-proven
-    #            opportunistically;
-    #   below the cap — everything hash-green in r03-r05 whose coverage
-    #            the local gate (tools/oracle_check.py) keeps every
-    #            round, plus the exact_sums audit twins (same plans that
-    #            were driver-proven in r5 under the production names).
+    # pins the window AND a max-staleness contract — no below-cap query
+    # may be more than 2 recorded rounds stale, so this dict must
+    # rotate every round):
+    #   tier 0 — shard_assign: NEW this round (the repaired
+    #            assign_shards operator), never driver-checked;
+    #   tier 1 — queries whose CODE changed this round, needing driver
+    #            re-proof on the new plans: seq_pack (packs over derived
+    #            token-balanced shards now), ann_ivf (recall retune),
+    #            dedup_embed / incr_dedup (default-on hot-bucket guard),
+    #            lm_ppl_terciles (sampled-percentile bootstrap replaced
+    #            the global NTILE);
+    #   tier 2 — the r4-tier rotation (r7 verdict #1): all 44 remaining
+    #            queries whose newest hash-green row is round 4 — three
+    #            rounds stale — incl. every bit-exact crown-jewel leg
+    #            (filt_*, srs, rainflow, psd_*_dft, interp_cubic,
+    #            training_mix);
+    #   below the cap — everything hash-green in r5/r7 with code
+    #            unchanged; the local gate (tools/oracle_check.py)
+    #            keeps their coverage every round, plus the exact_sums
+    #            audit twins (same plans driver-proven in r5 under the
+    #            production names).
     return {
-        # -- tier 0: NEW round-6 operators (operators/curation.py) — first
-        #            driver proof needed --------------------------------
+        # -- tier 0: NEW operator, first driver proof needed --------------
+        "shard_assign": q_shard_assign,
+        # -- tier 1: code changed this round, driver re-proof -------------
+        "seq_pack": q_seq_pack,
+        "ann_ivf": q_ann_ivf,
+        "dedup_embed": q_dedup_embed,
+        "incr_dedup": q_incr_dedup,
+        "lm_ppl_terciles": q_lm_ppl_terciles,
+        # -- tier 2: r4-tier rotation (newest evidence 3 rounds old) ------
+        "rms": q_rms,
+        "spl": q_spl,
+        "rms_lin": q_rms_lin,
+        "rms_log": q_rms_log,
+        "samplerate": q_samplerate,
+        "between": q_between,
+        "between_freq": q_between_freq,
+        "timeshift": q_timeshift,
+        "deduplicate": q_deduplicate,
+        "rss_daily": q_rss_daily,
+        "interp_daily": q_interp_daily,
+        "interp_nearest": q_interp_nearest,
+        "interp_cubic": q_interp_cubic,
+        "interp_quadratic": q_interp_quadratic,
+        "interp_cubic_exact": q_interp_cubic_exact,
+        "detrend_constant": q_detrend_constant,
+        "detrend_linear": q_detrend_linear,
+        "filt_butter": q_filt_butter,
+        "filt_cfc": q_filt_cfc,
+        "filt_a": q_filt_a,
+        "filt_chain": q_filt_chain,
+        "filt_chunked": q_filt_chunked,
+        "filt_iir_exact": q_filt_iir_exact,
+        "filt_iir_fft_exact": q_filt_iir_fft_exact,
+        "filtfilt_exact": q_filtfilt_exact,
+        "psd_welch": q_psd_welch,
+        "psd_rms": q_psd_rms,
+        "psd_median": q_psd_median,
+        "psd_maxrms": q_psd_maxrms,
+        "psd_all": q_psd_all,
+        "psd_damage": q_psd_damage,
+        "psd_segmented": q_psd_segmented,
+        "psd_dft": q_psd_dft,
+        "psd_rms_dft": q_psd_rms_dft,
+        "psd_welch_dft": q_psd_welch_dft,
+        "psd_summary_dft": q_psd_summary_dft,
+        "psd_damage_dft": q_psd_damage_dft,
+        "srs": q_srs,
+        "srs_exact": q_srs_exact,
+        "rainflow": q_rainflow,
+        "rainflow_chunked": q_rainflow_chunked,
+        "accessor_chain": q_accessor_chain,
+        "tfidf_topk": q_tfidf_topk,
+        "training_mix": q_training_mix,
+        # training_mix is the TRUE 50th entry (inside the window)
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        "decontaminate": q_decontaminate,
+        # (all hash-green in r5/r7 with code unchanged; the local gate
+        #  keeps their coverage.  The r7-green curation/dedup/window tier
+        #  was demoted wholesale this round to make room for the r4-tier
+        #  rotation above — the max-staleness test forces it back up
+        #  within two rounds.)
+        "stratified_sample": q_stratified_sample,
+        "ngram_counts": q_ngram_counts,
+        "media_image_png": q_media_image_png,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_order_priority": q_tpch_order_priority,
+        "tpch_rollup": q_tpch_rollup,
+        "tpch_custdist": q_tpch_custdist,
+        "tpch_revenue_join": q_tpch_revenue_join,
+        "tpch_local_supplier": q_tpch_local_supplier,
         "para_dedup": q_para_dedup,
         "quality_classify": q_quality_classify,
         "bloom_decontaminate": q_bloom_decontaminate,
         "temp_sample": q_temp_sample,
         "pii_scrub": q_pii_scrub,
-        "incr_dedup": q_incr_dedup,
         "lm_ppl": q_lm_ppl,
-        "lm_ppl_terciles": q_lm_ppl_terciles,
         "source_overlap": q_source_overlap,
-        # -- tier 1: operator code changed this round ---------------------
         "embed_kmeans": q_embed_kmeans,
         "cluster_sample": q_cluster_sample,
         "media_image_real": q_media_image_real,
@@ -5597,12 +5662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_chunked": q_resample_chunked,
         "ann_int8": q_ann_int8,
         "detrend_agg": q_detrend_agg,
-        # -- tier 2: operator code changed this round ---------------------
         "mov_rms": q_mov_rms,
         "integral": q_integral,
         "derivative": q_derivative,
         "detrend_piecewise": q_detrend_piecewise,
-        # -- tier 3: stale r01/r02 driver evidence (verdict item 3) -------
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "interp_log": q_interp_log,
@@ -5619,75 +5682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
-        "dedup_embed": q_dedup_embed,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_audio_real": q_media_audio_real,
-        # media_audio_real is the TRUE 50th entry (inside the window)
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (all hash-green in r03-r05; the local gate keeps their coverage.
-        #  The five tpch_* rows plus stratified_sample / ngram_counts /
-        #  decontaminate here were demoted in r6 — all re-proven r5 with
-        #  code unchanged — to make room for the new curation-tier and
-        #  lm/source-overlap queries above.)
-        "stratified_sample": q_stratified_sample,
-        "ngram_counts": q_ngram_counts,
-        "decontaminate": q_decontaminate,
-        "tpch_pricing": q_tpch_pricing,
-        "tpch_order_priority": q_tpch_order_priority,
-        "tpch_rollup": q_tpch_rollup,
-        "tpch_custdist": q_tpch_custdist,
-        "tpch_revenue_join": q_tpch_revenue_join,
-        "tpch_local_supplier": q_tpch_local_supplier,
-        "detrend_constant": q_detrend_constant,
-        "detrend_linear": q_detrend_linear,
-        "psd_welch": q_psd_welch,
-        "training_mix": q_training_mix,
-        "srs": q_srs,
-        "rainflow": q_rainflow,
-        "rainflow_chunked": q_rainflow_chunked,
-        "filt_chunked": q_filt_chunked,
-        "filt_butter": q_filt_butter,
-        "filt_iir_fft_exact": q_filt_iir_fft_exact,
-        "filt_cfc": q_filt_cfc,
-        "filt_a": q_filt_a,
-        "filt_chain": q_filt_chain,
-        "psd_damage": q_psd_damage,
-        "psd_rms": q_psd_rms,
-        "psd_median": q_psd_median,
-        "psd_maxrms": q_psd_maxrms,
-        "psd_all": q_psd_all,
-        "psd_segmented": q_psd_segmented,
-        "interp_cubic": q_interp_cubic,
-        "interp_quadratic": q_interp_quadratic,
-        "accessor_chain": q_accessor_chain,
-        "filt_iir_exact": q_filt_iir_exact,
-        "filtfilt_exact": q_filtfilt_exact,
-        "srs_exact": q_srs_exact,
-        "interp_cubic_exact": q_interp_cubic_exact,
-        "psd_dft": q_psd_dft,
-        "psd_rms_dft": q_psd_rms_dft,
-        "psd_welch_dft": q_psd_welch_dft,
-        "psd_summary_dft": q_psd_summary_dft,
-        "psd_damage_dft": q_psd_damage_dft,
-        "seq_pack": q_seq_pack,
-        "shard_assign": q_shard_assign,
-        "tfidf_topk": q_tfidf_topk,
-        "media_image_png": q_media_image_png,
-        "between": q_between,
-        "between_freq": q_between_freq,
-        "timeshift": q_timeshift,
-        "deduplicate": q_deduplicate,
-        "rms": q_rms,
-        "spl": q_spl,
-        "samplerate": q_samplerate,
-        "rss_daily": q_rss_daily,
-        "rms_lin": q_rms_lin,
-        "rms_log": q_rms_log,
-        "interp_daily": q_interp_daily,
-        "interp_nearest": q_interp_nearest,
         # bit-pinned exact_sums audit twins of the production-mode
         # semdedup / corpus_curate queries above the cap (r5 verdict #1)
         "semdedup_exact": q_semdedup_exact,

@@ -92,7 +92,51 @@ def test_cap_comment_matches_reality():
     assert "---- driver cap" in src
     names = list(entry_mod.queries().keys())
     # the comment names the 50th entry explicitly; keep them in sync
-    assert names[49] == "media_audio_real", (
+    assert names[49] == "training_mix", (
         f"50th queries() entry is {names[49]!r}; update the cap comment "
         "and this pin together when re-rotating"
+    )
+
+
+def _latest_green_round():
+    """{query: most recent round with a hash-green driver row}, plus the
+    newest recorded round overall."""
+    last: dict[str, int] = {}
+    newest = 0
+    for f in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        with open(os.path.join(REPO, f)) as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last, newest
+
+
+def test_max_staleness_of_below_cap_queries():
+    # Max-staleness contract (r7 verdict #1: 45 queries silently aged to
+    # three-rounds-stale because the window never rotated).  Every query
+    # OUTSIDE the 50-slot window must have a hash-green driver row within
+    # the last 2 recorded rounds — it will be at most 3 rounds old when
+    # the upcoming round's file lands — so each round's ordering is FORCED
+    # to rotate the oldest evidence back into the window.  Queries with no
+    # green row at all are tier-0 material and must be in-window (covered
+    # by test_rotation_window_covers_every_unchecked_query; the exact_sums
+    # audit twins are the one documented exception).
+    names = list(entry_mod.queries().keys())
+    if len(names) <= 50:
+        return
+    last, newest = _latest_green_round()
+    stale = [
+        f"{q} (last green r{last[q]})"
+        for q in names[50:]
+        if q in last and last[q] < newest - 2
+    ]
+    assert not stale, (
+        f"below-cap queries more than 2 recorded rounds stale vs r{newest}: "
+        f"{stale} — rotate them above the cap marker in queries()"
     )
