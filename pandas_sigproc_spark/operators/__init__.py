@@ -77,6 +77,8 @@ from pandas_sigproc_spark.operators.curation import (
     quality_classifier,
     build_bloom_bitmap,
     bloom_probe,
+    bloom_sizing,
+    BloomSizing,
     temperature_thresholds,
     temperature_sample,
     scrub_pii,
@@ -132,6 +134,8 @@ __all__ = [
     "quality_classifier",
     "build_bloom_bitmap",
     "bloom_probe",
+    "bloom_sizing",
+    "BloomSizing",
     "temperature_thresholds",
     "temperature_sample",
     "scrub_pii",

@@ -38,6 +38,9 @@ broadcast only provably tiny sides).
 
 from __future__ import annotations
 
+import math
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from . import text as _text
@@ -175,6 +178,12 @@ def quality_features_expr(
     n_w = F.size(ws)
     stop = F.size(F.filter(ws, lambda w: w.isin(*_text.STOPWORDS)))
     f_len = F.least(F.lit(1.0), n_w / F.lit(100.0))
+    # Mean characters PER TOKEN over the raw text — separators included
+    # by design (~= true mean word length + 1 for single-space text), so
+    # one length() replaces a per-word fold; the 4.7 prose anchor and
+    # the logistic weights were calibrated against THIS definition, and
+    # every replica (text.quality_expr, the DuckDB oracles, the pytest
+    # reference) uses the identical expression.
     awl = F.length(text_col) / n_w
     f_awl = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
     f_stop = stop / n_w.cast("double")
@@ -256,9 +265,9 @@ BLOOM_K = 4  # hash probes per gram (Kirsch-Mitzenmacher double hashing)
 # — a handful of false grams across a 270k-gram corpus probe and ~zero
 # false DOCUMENTS.  m=2^16/k=2 measured 111 false documents out of 450
 # at sf0.01 (doc-level flagging compounds per-gram FP), hence the
-# larger default; at 100 TB you would scale m with the suite the same
-# way (the bitmap is broadcast state, not expression state — see
-# bloom_probe).
+# larger default; at 100 TB you size m per benchmark suite with
+# bloom_sizing() below instead of inheriting these constants (the
+# bitmap is broadcast state, not expression state — see bloom_probe).
 
 # 2^0..2^31 as longs: bit masks and the mod-compare bit test both come
 # from this table, so the whole bitmap arithmetic is exact LONG ops —
@@ -266,6 +275,75 @@ BLOOM_K = 4  # hash probes per gram (Kirsch-Mitzenmacher double hashing)
 # (a 60-bit hash does not round-trip through double division, and
 # double->long casts truncate in Spark but round in DuckDB).
 _POW2 = tuple(1 << b for b in range(BLOOM_WORD_BITS))
+
+
+class BloomSizing(NamedTuple):
+    m_bits: int  # bitmap bits (power of two, >= one word)
+    k: int  # probes per gram
+    fp: float  # predicted per-gram FP rate at exactly n_items inserted
+
+
+def bloom_sizing(
+    n_items: int,
+    target_fp: float = 1e-4,
+    *,
+    max_m_bits: int = 1 << 30,
+) -> BloomSizing:
+    """Size a Bloom bitmap for ``n_items`` expected benchmark grams and a
+    per-gram false-positive target: the calculator behind the fixed
+    ``BLOOM_M_BITS``/``BLOOM_K`` defaults — ``bloom_sizing(25_000,
+    1e-4)`` returns the same m=2^20 with k=8 (fp 8e-7); the shipped
+    k=4 halves the per-gram probe cost and still measures 7e-5 < 1e-4
+    at that m (the sizing note above).  A 100 TB deployment resizes
+    per benchmark suite instead of inheriting the sf0.1 constants.
+
+    Textbook formulas: ``m_ideal = -n ln(p) / ln(2)^2`` rounded UP to a
+    power of two (so the ``% m`` position arithmetic and whole-word
+    counts stay exact and the realized FP only drops), then
+    ``k = round(m/n ln 2)`` clamped to [1, 8].  The k ceiling matters
+    here more than in a textbook filter: each probe is an inlined
+    expression in the map-side probe tree (bloom_hit_exprs), so k is a
+    per-gram CPU multiplier — beyond 8 probes you are better off
+    doubling m (memory is broadcast-once, probes are per-corpus-gram).
+    Returns the realized ``fp = (1 - e^{-kn/m})^k``, which the caller
+    should log next to the suite size; tests/test_curation.py pins
+    measured FP <= target on the real probe path.
+
+    Double-hash caveat (documented, not hidden): positions are derived
+    from ``h % m`` and ``(h >> 20) % m`` of one 60-bit gram hash, so for
+    m > 2^20 the two legs share ``log2(m) - 20`` low bits.  That mild
+    correlation is the standard Kirsch-Mitzenmacher trade and stays
+    negligible through ``max_m_bits`` = 2^30 (shared bits never exceed
+    10 of 30); the cap refuses sizes where the 60-bit hash itself would
+    run out of independent material.
+    """
+    if n_items <= 0:
+        raise ValueError("need n_items > 0")
+    if not 0.0 < target_fp < 1.0:
+        raise ValueError("need 0 < target_fp < 1")
+    ln2 = math.log(2.0)
+    m_ideal = -n_items * math.log(target_fp) / (ln2 * ln2)
+    m = BLOOM_WORD_BITS
+    while m < m_ideal:
+        m = min(m * 2, max_m_bits)
+        if m == max_m_bits:
+            break
+    while True:
+        # the k clamp can leave fp a shade above target right at the
+        # textbook m (clamped k < optimal k) — double m until the
+        # REALIZED rate, not the textbook one, meets the target
+        k = min(8, max(1, round(m / n_items * ln2)))
+        fp = (1.0 - math.exp(-k * n_items / m)) ** k
+        if fp <= target_fp:
+            return BloomSizing(m, k, fp)
+        if m >= max_m_bits:
+            raise ValueError(
+                f"bloom_sizing: fp={fp:.3g} > target {target_fp} even at"
+                f" max_m_bits={max_m_bits} for n_items={n_items} — relax"
+                " target_fp or shard the benchmark suite into multiple"
+                " bitmaps"
+            )
+        m *= 2
 
 
 def bloom_positions_expr(

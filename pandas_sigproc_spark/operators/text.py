@@ -47,6 +47,8 @@ def quality_expr(text_col: str = "text") -> Column:
     n_uniq = F.size(F.array_distinct(words))
     stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     len_score = F.least(F.lit(1.0), F.length(text_col) / F.lit(400.0))
+    # chars per token over the raw text, separators included by design
+    # (see curation.quality_features_expr — anchor calibrated to this)
     awl = F.length(text_col) / n_w
     wlen_score = F.greatest(F.lit(0.0), 1.0 - F.abs(awl - 4.7) / F.lit(4.7))
     stop_score = F.least(F.lit(1.0), stop / (n_w * F.lit(0.05)))

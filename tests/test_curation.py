@@ -172,10 +172,12 @@ def test_quality_exp_margin_vs_duckdb(spark):
         .sort_index()
     )
     # spark side rounds to 6dp inside the operator; compare to the
-    # DuckDB raw score — the post-round equality then holds whenever the
-    # raw margin is far below 5e-7.
-    diff = np.abs(sp["score"].to_numpy() - np.round(du["score"].to_numpy(), 6))
-    assert diff.max() == 0.0
+    # DuckDB RAW score.  |round6(x) - x| <= 5e-7 always, so asserting
+    # against the raw value with that margin pins cross-engine agreement
+    # without the rounding-tie brittleness of requiring both engines to
+    # round a near-boundary value the same way (r6 advice).
+    diff = np.abs(sp["score"].to_numpy() - du["score"].to_numpy())
+    assert diff.max() <= 5.001e-7, diff.max()
 
 
 # ---------------------------------------------------------------------------
