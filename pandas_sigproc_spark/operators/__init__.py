@@ -72,6 +72,13 @@ from pandas_sigproc_spark.operators.dedup import (
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
+from pandas_sigproc_spark.operators.sigstore import (
+    SignatureStore,
+    signature_tables,
+    write_signature_store,
+    read_signature_store,
+    incremental_dedup_from_store,
+)
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
     quality_classifier,
@@ -136,6 +143,11 @@ __all__ = [
     "bloom_probe",
     "bloom_sizing",
     "BloomSizing",
+    "SignatureStore",
+    "signature_tables",
+    "write_signature_store",
+    "read_signature_store",
+    "incremental_dedup_from_store",
     "temperature_thresholds",
     "temperature_sample",
     "scrub_pii",

@@ -715,9 +715,37 @@ def incremental_dedup(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
+    ex_digests = ex.select(F.md5("text").alias("digest")).distinct()
+    ex_sig = ex.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
+    ex_bk = _band_keys(ex_sig, "e_id")
+    return _incremental_dedup_core(
+        d,
+        ex_digests,
+        ex_bk,
+        near_threshold=near_threshold,
+        ngram=ngram,
+        max_bucket_rows=max_bucket_rows,
+    )
+
+
+def _incremental_dedup_core(
+    d: DataFrame,
+    ex_digests: DataFrame,
+    ex_bk: DataFrame,
+    *,
+    near_threshold: float,
+    ngram: int,
+    max_bucket_rows: int | None,
+) -> DataFrame:
+    """The probe plan shared by :func:`incremental_dedup` (corpus tables
+    derived inline from text) and the materialized signature-store path
+    (``sigstore.incremental_dedup_from_store`` — corpus tables READ from
+    parquet, the corpus text never touched).  ``d`` is the normalized
+    delta ``(doc_id long, text string)``; ``ex_digests`` the DISTINCT
+    one-column corpus digest table; ``ex_bk`` the UNGUARDED corpus
+    band-key table ``(e_id, sig_e_id, band, key)``."""
     # --- exact tier: md5 digest probe -------------------------------
     dd = d.select("doc_id", F.md5("text").alias("digest"))
-    ex_digests = ex.select(F.md5("text").alias("digest")).distinct()
     hit_ex = (
         dd.join(ex_digests, "digest")
         .select("doc_id")
@@ -737,7 +765,6 @@ def incremental_dedup(
     )
     # --- near tier: banded MinHash LSH probe ------------------------
     d_sig = d.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
-    ex_sig = ex.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
     # Default-on hot-bucket guard (dedup.guard_bucket_rows): a band key
     # shared by m near-identical documents makes the probe join emit
     # O(m * matches) rows from ONE bucket — fail loudly with the
@@ -752,7 +779,7 @@ def incremental_dedup(
         op_name="incremental_dedup(delta)",
     )
     ex_bk = guard_bucket_rows(
-        _band_keys(ex_sig, "e_id"),
+        ex_bk,
         ["band", "key"],
         guarded_col="e_id",
         max_bucket_rows=max_bucket_rows,

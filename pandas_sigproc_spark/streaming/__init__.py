@@ -572,7 +572,7 @@ _INCR_PAIR_SCHEMA = StructType(
 
 def streaming_incremental_dedup(
     df: DataFrame,
-    existing: DataFrame,
+    existing,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -602,7 +602,11 @@ def streaming_incremental_dedup(
     - corpus probes are a STATELESS stream-static equi-join on (band,
       key) against the derived corpus band-key table — dozens of bytes
       per corpus doc, the table a production deployment keeps
-      materialized (never the corpus text);
+      materialized (never the corpus text).  Pass ``existing`` as a
+      raw document DataFrame (signatures derived inline, re-evaluated
+      per micro-batch) or as an ``operators.sigstore.SignatureStore``
+      — the materialized tables themselves, the production path: the
+      static side is then a parquet scan of ~150 B/doc;
     - stream-vs-earlier-stream probes run in ONE
       ``applyInPandasWithState`` keyed by (band, key); the state is
       exactly the band-key table of the documents seen so far under
@@ -655,7 +659,23 @@ def streaming_incremental_dedup(
         )
 
     d_bk = _prep(df, "d")
-    ex_bk = _prep(existing, "e")
+    from pandas_sigproc_spark.operators.sigstore import SignatureStore
+
+    if isinstance(existing, SignatureStore):
+        if existing.ngram != ngram:
+            raise ValueError(
+                f"store was built with ngram={existing.ngram}, stream asked"
+                f" for ngram={ngram} — signatures would not be comparable"
+            )
+        ex_bk = existing.bands.select(
+            F.col("doc_id").alias("e_id"),
+            F.col("digest").alias("e_digest"),
+            F.col("sig").alias("e_sig"),
+            "band",
+            "key",
+        )
+    else:
+        ex_bk = _prep(existing, "e")
 
     est = F.size(
         F.filter(

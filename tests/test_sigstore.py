@@ -1,0 +1,106 @@
+"""Materialized signature store: the store path must return the EXACT
+frame the text path returns — freshly derived, parquet-roundtripped,
+or assembled by appends — and refuse ngram mismatches loudly."""
+
+import pandas as pd
+import pytest
+
+from pandas_sigproc_spark.operators import (
+    incremental_dedup_from_store,
+    read_signature_store,
+    signature_tables,
+    write_signature_store,
+)
+from pandas_sigproc_spark.operators.curation import incremental_dedup
+from pandas_sigproc_spark.streaming import streaming_incremental_dedup
+
+from tests.test_streaming_incr_dedup import SCHEMA, _corpus_and_delta
+
+
+def _frames(df):
+    return (
+        df.toPandas()
+        .sort_values("doc_id", ignore_index=True)
+        [["doc_id", "is_exact_dup", "n_near_existing",
+          "n_near_delta_earlier", "kept"]]
+    )
+
+
+def test_store_equals_text_path(spark):
+    corpus, delta = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus, SCHEMA)
+    d = spark.createDataFrame(delta, SCHEMA)
+    expected = _frames(incremental_dedup(existing, d))
+    store = signature_tables(existing)
+    got = _frames(incremental_dedup_from_store(store, d))
+    pd.testing.assert_frame_equal(got, expected)
+    # the interesting rows actually fire (not a trivially-empty probe)
+    assert expected.is_exact_dup.any() and (expected.n_near_existing > 0).any()
+
+
+def test_roundtrip_and_append_equal_rebuild(spark, tmp_path):
+    corpus, delta = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus, SCHEMA)
+    d = spark.createDataFrame(delta, SCHEMA)
+    path = str(tmp_path / "sigstore")
+
+    # write first half, append second half — the daily-ingestion shape
+    write_signature_store(
+        spark.createDataFrame(corpus[corpus.doc_id < 3], SCHEMA), path
+    )
+    write_signature_store(
+        spark.createDataFrame(corpus[corpus.doc_id >= 3], SCHEMA),
+        path,
+        mode="append",
+    )
+    store = read_signature_store(spark, path)
+    assert store.ngram == 3
+    assert store.digests.count() == len(corpus)
+    n_bands_per_doc = store.bands.groupBy("doc_id").count().toPandas()
+    assert set(n_bands_per_doc["count"]) == {4}
+
+    expected = _frames(incremental_dedup(existing, d))
+    got = _frames(incremental_dedup_from_store(store, d))
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_ngram_mismatch_refused(spark, tmp_path):
+    corpus, delta = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus, SCHEMA)
+    path = str(tmp_path / "sigstore_n4")
+    write_signature_store(existing, path, ngram=4)
+    with pytest.raises(ValueError, match="ngram"):
+        write_signature_store(existing, path, ngram=3, mode="append")
+    store = read_signature_store(spark, path)
+    assert store.ngram == 4
+    with pytest.raises(ValueError, match="ngram"):
+        incremental_dedup_from_store(
+            store, spark.createDataFrame(delta, SCHEMA), ngram=3
+        )
+    with pytest.raises(ValueError, match="ngram"):
+        streaming_incremental_dedup(
+            spark.createDataFrame(delta, SCHEMA), store, ngram=3
+        )
+
+
+def test_streaming_corpus_probe_from_store(spark, tmp_path):
+    """streaming_incremental_dedup with the store as its static side
+    emits the same pair set as with the raw corpus text (batch-fallback
+    mode runs the identical corpus-probe plan the stream runs)."""
+    corpus, delta = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus, SCHEMA)
+    d = spark.createDataFrame(delta, SCHEMA)
+    path = str(tmp_path / "sigstore_stream")
+    write_signature_store(existing, path)
+    store = read_signature_store(spark, path)
+
+    def pairs(src):
+        return (
+            streaming_incremental_dedup(d, src)
+            .toPandas()
+            .drop_duplicates(["d_id", "match_id", "src"])
+            .sort_values(["d_id", "match_id", "src"], ignore_index=True)
+            [["d_id", "match_id", "src", "is_exact"]]
+        )
+
+    pd.testing.assert_frame_equal(pairs(store), pairs(existing))
