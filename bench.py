@@ -72,6 +72,7 @@ HEADLINE = [
     "tfidf_topk",
     "seq_pack",
     "ann_int8",
+    "ann_ivf_int8",
     "training_mix",
     # round-5 text additions
     "rep_stats",
@@ -341,7 +342,7 @@ def main():
         .collect()
     }
     recall = {}
-    for name in ("ann_lsh", "ann_ivf", "ann_int8"):
+    for name in ("ann_lsh", "ann_ivf", "ann_int8", "ann_ivf_int8"):
         pred = {
             (r["qid"], r["vec_id"])
             for r in qs[name](spark, sf_dir).filter("rank <= 3").collect()
