@@ -619,6 +619,15 @@ def streaming_incremental_dedup(
       (dedup.guard_bucket_rows' streaming twin): a degenerate key
       raises loudly with the exact-dedup-first remediation instead of
       accreting unbounded state.
+
+    State lifecycle at production scale: keys accumulate for the
+    stream's lifetime (dropping state would silently drop duplicate
+    detections, so no TTL is applied).  The production pattern is
+    epochal: periodically fold the admitted documents into the
+    materialized signature store (``sigstore.write_signature_store(...,
+    mode="append")``), restart the query with fresh state, and pass the
+    grown store as ``existing`` — state then only ever holds the
+    CURRENT epoch's arrivals.
     """
     if not 0.0 < near_threshold <= 1.0:
         raise ValueError("need 0 < near_threshold <= 1")
