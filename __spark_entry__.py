@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pandas_sigproc_spark.sources.events import ts_seconds
+from pandas_sigproc_spark.operators import ann as _ann
 from pandas_sigproc_spark.operators import (
     between,
     filt_chunked,
@@ -2331,16 +2332,8 @@ _LSH_BAND = 4
 
 
 def _lsh_planes(table: int):
-    import hashlib
-
-    planes = []
-    for p in range(_LSH_BAND):
-        row = []
-        for d in range(_LSH_DIM):
-            h = hashlib.md5(f"lsh-{table}-{p}-{d}".encode()).hexdigest()
-            row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
-        planes.append(row)
-    return planes
+    # canonical implementation lives in the package API (operators/ann.py)
+    return _ann.lsh_plane_signs(table, band=_LSH_BAND, dim=_LSH_DIM)
 
 
 def _lsh_bucket_sql(table: int, one_based: bool) -> str:
@@ -2368,40 +2361,12 @@ def _embeds_base(spark, sf_dir):
     )
 
 
-def _lsh_bucket_col(table: int):
-    """The table's bucket as a Spark Column: each plane dot is a
-    zip_with(v, ±1-literal array) left fold — the SAME bits as the SQL
-    side's flat signed sum (x*±1.0 is an exact sign flip; the fold's
-    0.0+x1 head is exact; the add chain associates identically) but a
-    SMALL expression tree: inlining L*b 64-term CASE sums as flat codegen
-    blew janino's 64KB method limit and dropped the whole fused stage to
-    interpreted mode."""
-    terms = None
-    for p, row in enumerate(_lsh_planes(table)):
-        w = F.array(*[F.lit(float(wi)) for wi in row])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), w, lambda x, wi: x * wi),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        terms = bit if terms is None else terms + bit
-    return terms.cast("long")
-
-
 def _lsh_keys(df):
     """Explode a (.., v, ..) table to one row per (table, bucket) key —
-    L map-side plane-dot folds per row, then posexplode; no shuffle."""
-    cols = list(df.columns)
-    staged = df.select(
-        *cols,
-        *[_lsh_bucket_col(t).alias(f"_b{t}") for t in range(_LSH_TABLES)],
-    )
-    return staged.select(
-        *cols,
-        F.posexplode(
-            F.array(*[F.col(f"_b{t}") for t in range(_LSH_TABLES)])
-        ).alias("t", "bucket"),
+    L map-side plane-dot folds per row, then posexplode; no shuffle.
+    Delegates to the package API (operators/ann.py lsh_bucket_keys)."""
+    return _ann.lsh_bucket_keys(
+        df, tables=_LSH_TABLES, band=_LSH_BAND, dim=_LSH_DIM
     )
 
 
@@ -2692,45 +2657,15 @@ def q_ann_lsh(spark, sf_dir):
     # first), so the per-pair cosine is a single dot fold — same
     # arithmetic staging as semantic_dedup; the oracle mirrors it.
     # Buckets are computed from the RAW vector so the sign sums match
-    # _sql_ebt's literal ±v terms bit-for-bit.
-    nr = F.sqrt(
-        F.aggregate(
-            F.transform("v", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    un = _embeds_base(spark, sf_dir).withColumn("_nr", nr)
-    e = _lsh_keys(un).select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
-        "t",
-        "bucket",
-    )
-    q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "t", "bucket"
-    )
-    dot = F.aggregate(
-        F.zip_with("qu", "u", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        q.join(e, ["t", "bucket"])
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", dot.alias("cos"))
-    )
-    scored = pairs.groupBy("qid", "vec_id").agg(F.max("cos").alias("cos"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "qid",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    # _sql_ebt's literal ±v terms bit-for-bit.  Delegates to the package
+    # API (operators/ann.py lsh_topk — identical plan, oracle-proven).
+    return _ann.lsh_topk(
+        _embeds_base(spark, sf_dir),
+        F.col("vec_id") < 50,
+        k=3,
+        tables=_LSH_TABLES,
+        band=_LSH_BAND,
+        dim=_LSH_DIM,
     )
 
 
@@ -2871,51 +2806,19 @@ _IVF_NPROBE = 16
 
 def q_ann_ivf(spark, sf_dir):
     # Scale shape: the centroid set is collapsed into ONE broadcast row
-    # (collect_list of 8 structs), so list assignment is a map-side
-    # array_sort over 8 cosines — no shuffle, no per-vector window — and
-    # the only shuffles are the list-id equi-join and the final top-k
-    # window.  Centroid cosines are rounded to 9 digits before ranking in
-    # both engines so the argmin can't flip on last-ulp summation-order
-    # differences between Spark and the oracle.
-    e = _embeds_base(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < _IVF_NLIST).agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        ).alias("cs")
-    )
-    ea = e.crossJoin(F.broadcast(cents))
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cs"),
-            lambda s: F.struct(
-                F.round(-_cos(F.col("v"), s["cv"]), 9).alias("negcos"),
-                s["cid"].alias("cid"),
-            ),
-        )
-    )
-    lists = ea.select("vec_id", "v", ranked[0]["cid"].alias("list_id"))
-    probes = ea.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, _IVF_NPROBE), lambda s: s["cid"])
-        ).alias("list_id"),
-    )
-    pairs = (
-        probes.join(lists, "list_id")
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "qid",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    # (collect_list of structs), so list assignment is a map-side
+    # array_sort — no shuffle, no per-vector window — and the only
+    # shuffles are the list-id equi-join and the final top-k window.
+    # Centroid cosines are rounded to 9 digits before ranking in both
+    # engines so the argmin can't flip on last-ulp summation-order
+    # differences.  Delegates to the package API (operators/ann.py
+    # ivf_topk — identical plan, oracle-proven).
+    return _ann.ivf_topk(
+        _embeds_base(spark, sf_dir),
+        F.col("vec_id") < 50,
+        k=5,
+        nlist=_IVF_NLIST,
+        nprobe=_IVF_NPROBE,
     )
 
 
@@ -4624,64 +4527,19 @@ def q_ann_int8(spark, sf_dir):
     code table is the only thing the candidate scan touches; full
     vectors are fetched for the rescore set alone.
     """
-    e = _persist(_embeds_base(spark, sf_dir))
-    dims = e.select(F.posexplode("v").alias("j", "x"))
-    sc = dims.groupBy("j").agg(F.max(F.abs(F.col("x"))).alias("s"))
-    scl = sc.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("s")))),
-            lambda st: F.greatest(st["s"], F.lit(1e-30)),
-        ).alias("sarr")
-    )
-    # Exploded (vec_id, code, t, bucket) key table over the L banded LSH
-    # tables (see _lsh_planes) — the WIDE candidate scan touches only
-    # integer codes; full vectors are fetched from the persisted base
-    # table for the 10-row-per-query rescore set alone.
-    eqt = _persist(
-        _lsh_keys(e.crossJoin(F.broadcast(scl)))
-        .select(
-            "vec_id",
-            "t",
-            "bucket",
-            F.zip_with(
-                "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
-            ).alias("code"),
-        )
-    )  # both join sides consume the encoded keys; without persistence
-    # the scale-agg + encode + explode runs twice
-    q = eqt.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"),
-        F.col("code").alias("qcode"),
-        "t",
-        "bucket",
-    )
-    qscore = F.aggregate(
-        F.zip_with("qcode", "code", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        q.join(eqt, ["t", "bucket"])
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", qscore.alias("qscore"))
-        .groupBy("qid", "vec_id")
-        .agg(F.max("qscore").alias("qscore"))
-    )  # MAX dedupes multi-table candidates (scores identical per pair)
-    w1 = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), "vec_id")
-    top = (
-        cand.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= 10)
-        .join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
-        .join(e, "vec_id")
-        .select(
-            "qid", "vec_id", "qscore", F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos")
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    return (
-        top.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= 3)
-        .select("qid", "vec_id", "qscore", "cos", F.col("rank").cast("int").alias("rank"))
+    # Delegates to the package API (operators/ann.py int8_lsh_topk —
+    # identical plan, oracle-proven); the persisted base table serves
+    # the rescore joins, the persisted coded key table both candidate
+    # sides.
+    return _ann.int8_lsh_topk(
+        _persist(_embeds_base(spark, sf_dir)),
+        F.col("vec_id") < 50,
+        k=3,
+        funnel=10,
+        tables=_LSH_TABLES,
+        band=_LSH_BAND,
+        dim=_LSH_DIM,
+        persist=_persist,
     )
 
 
@@ -4756,77 +4614,16 @@ def q_ann_ivf_int8(spark, sf_dir):
     candidate appears at most once — no dedup agg (unlike the
     multi-table LSH funnel).
     """
-    e = _persist(_embeds_base(spark, sf_dir))
-    dims = e.select(F.posexplode("v").alias("j", "x"))
-    sc = dims.groupBy("j").agg(F.max(F.abs(F.col("x"))).alias("s"))
-    scl = sc.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("s")))),
-            lambda st: F.greatest(st["s"], F.lit(1e-30)),
-        ).alias("sarr")
-    )
-    cents = e.filter(F.col("vec_id") < _IVF_NLIST).agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        ).alias("cs")
-    )
-    ea = e.crossJoin(F.broadcast(cents)).crossJoin(F.broadcast(scl))
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cs"),
-            lambda s: F.struct(
-                F.round(-_cos(F.col("v"), s["cv"]), 9).alias("negcos"),
-                s["cid"].alias("cid"),
-            ),
-        )
-    )
-    assigned = _persist(
-        ea.select(
-            "vec_id",
-            F.zip_with(
-                "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
-            ).alias("code"),
-            ranked.alias("rk"),
-        )
-    )  # codes + centroid ranking computed once; both join sides reuse
-    lists = assigned.select("vec_id", "code", F.col("rk")[0]["cid"].alias("list_id"))
-    probes = assigned.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"),
-        F.col("code").alias("qcode"),
-        F.explode(
-            F.transform(F.slice("rk", 1, _IVF_NPROBE), lambda s: s["cid"])
-        ).alias("list_id"),
-    )
-    qscore = F.aggregate(
-        F.zip_with("qcode", "code", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        probes.join(lists, "list_id")
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", qscore.alias("qscore"))
-    )
-    w1 = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), "vec_id")
-    top = (
-        cand.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= 10)
-        .join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
-        .join(e, "vec_id")
-        .select(
-            "qid",
-            "vec_id",
-            "qscore",
-            F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    return (
-        top.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "qid", "vec_id", "qscore", "cos", F.col("rank").cast("int").alias("rank")
-        )
+    # Delegates to the package API (operators/ann.py ivf_sq8_topk —
+    # identical plan, oracle-proven).
+    return _ann.ivf_sq8_topk(
+        _persist(_embeds_base(spark, sf_dir)),
+        F.col("vec_id") < 50,
+        k=3,
+        funnel=10,
+        nlist=_IVF_NLIST,
+        nprobe=_IVF_NPROBE,
+        persist=_persist,
     )
 
 

@@ -53,7 +53,14 @@ from pandas_sigproc_spark.operators.srs import get_srs
 from pandas_sigproc_spark.operators.rainflow import rainflow, rainflow_chunked
 from pandas_sigproc_spark.operators.interp_spline import interp1d_spline
 from pandas_sigproc_spark.operators.graph import connected_components
-from pandas_sigproc_spark.operators.ann import cosine_topk_bruteforce
+from pandas_sigproc_spark.operators.ann import (
+    cosine_topk_bruteforce,
+    lsh_bucket_keys,
+    lsh_topk,
+    ivf_topk,
+    int8_lsh_topk,
+    ivf_sq8_topk,
+)
 from pandas_sigproc_spark.operators.text import (
     chunk_documents,
     repetition_stats,

@@ -1,10 +1,27 @@
 """Similarity search over embedding columns.
 
-The production paths are the bucketed ones registered in the driver
-queries (`ann_lsh` — random-hyperplane bucket probe; `ann_ivf` —
-coarse-quantizer inverted lists; `ann_int8` — int8 funnel with exact
-rescore): each bounds the candidate set per query and broadcasts only
-k-row/centroid tables, so the corpus never shuffles.
+The production paths are the bucketed operators below — each bounds the
+candidate set per query and broadcasts only k-row/centroid/scale
+tables, so the corpus never shuffles:
+
+- :func:`lsh_topk` — banded multi-table random-hyperplane LSH
+  (OR-of-ANDs over L tables of b sign planes), exact cosine rescore.
+- :func:`ivf_topk` — coarse-quantizer inverted lists (IVF): one
+  broadcast centroid row, map-side list assignment, nprobe lists
+  probed per query.  The recall/cost knob is nprobe/nlist.
+- :func:`int8_lsh_topk` — scalar-quantized funnel over the LSH keys:
+  the wide candidate scan touches only int8 codes, full vectors are
+  fetched for the tiny rescore set alone.
+- :func:`ivf_sq8_topk` — the production layout (FAISS IVFx,SQ8 shape):
+  IVF candidate selection + int8 code scan + exact float64 rescore.
+  Measured recall@3 0.91 on the gate corpora vs 0.70-0.73 for the LSH
+  funnel, at a 0.5 probed fraction (see tests/test_ann_recall.py).
+
+All four return ``(qid, vec_id, cos, rank)`` (plus ``qscore`` for the
+quantized funnels) with deterministic ordering — integer bucket keys,
+cosines rounded before ranking, ties to the smaller id — so the driver
+queries (`ann_lsh` / `ann_ivf` / `ann_int8` / `ann_ivf_int8`) delegate
+here verbatim and stay DuckDB-oracle-exact.
 
 :func:`cosine_topk_bruteforce` is the EXACT-RECALL BASELINE those are
 measured against — a labeled cartesian product.  It refuses to run past
@@ -16,7 +33,9 @@ a 10^14-pair join quietly saturate a cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Refuse the cartesian baseline above this many (query x corpus) pairs —
 #: ~50M pairs x ~128 dims is minutes of vectorized work on one host,
@@ -84,3 +103,380 @@ def cosine_topk_bruteforce(
             query_id_col, id_col, "cos", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded multi-table sign-projection LSH
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 8  # L: a pair is a candidate if it co-buckets in ANY table
+LSH_BAND = 4  # b: sign planes ANDed into one bucket key per table
+LSH_DIM = 64  # plane dimensionality (must equal the vector length)
+
+
+def lsh_plane_signs(
+    table: int, *, band: int = LSH_BAND, dim: int = LSH_DIM
+) -> list[list[int]]:
+    """The table's ``band`` random hyperplanes as ±1 sign rows, derived
+    deterministically from md5 of (table, plane, dim-index) — identical
+    on every executor, every run, and in the DuckDB oracle replay."""
+    planes = []
+    for p in range(band):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"lsh-{table}-{p}-{d}".encode()).hexdigest()
+            row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(
+    table: int,
+    *,
+    vec_col: str = "v",
+    band: int = LSH_BAND,
+    dim: int = LSH_DIM,
+) -> Column:
+    """The table's bucket key ``sum_p 2^p * [v . w_p > 0]`` as a Column:
+    each plane dot is a zip_with(v, ±1-literal array) left fold — the
+    same bits as a flat signed sum (x*±1.0 is an exact sign flip; the
+    fold's 0.0+x1 head is exact; the add chain associates identically)
+    but a SMALL expression tree: inlining L*b 64-term CASE sums as flat
+    codegen blows janino's 64KB method limit and drops the fused stage
+    to interpreted mode."""
+    terms = None
+    for p, row in enumerate(lsh_plane_signs(table, band=band, dim=dim)):
+        w = F.array(*[F.lit(float(wi)) for wi in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        terms = bit if terms is None else terms + bit
+    return terms.cast("long")
+
+
+def lsh_bucket_keys(
+    df: DataFrame,
+    *,
+    vec_col: str = "v",
+    tables: int = LSH_TABLES,
+    band: int = LSH_BAND,
+    dim: int = LSH_DIM,
+) -> DataFrame:
+    """Explode a (.., v, ..) table to one row per (t, bucket) key — L
+    map-side plane-dot folds per row, then posexplode; no shuffle."""
+    cols = list(df.columns)
+    staged = df.select(
+        *cols,
+        *[
+            lsh_bucket_col(t, vec_col=vec_col, band=band, dim=dim).alias(f"_b{t}")
+            for t in range(tables)
+        ],
+    )
+    return staged.select(
+        *cols,
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(tables)])
+        ).alias("t", "bucket"),
+    )
+
+
+def _cos(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (F.sqrt(_sq_norm(va)) * F.sqrt(_sq_norm(vb)))
+
+
+def lsh_topk(
+    vecs: DataFrame,
+    probe_pred: Column,
+    *,
+    k: int = 3,
+    tables: int = LSH_TABLES,
+    band: int = LSH_BAND,
+    dim: int = LSH_DIM,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k per probe vector over banded multi-table LSH.
+
+    ``vecs`` is ``(vec_id long, v array<double>)``; ``probe_pred`` a
+    boolean Column over it selecting the query rows (e.g.
+    ``F.col("vec_id") < 50`` — a predicate, not a join, so the probe
+    side rides the same scan).  Returns ``(qid, vec_id, cos, rank)``.
+
+    A corpus vector is a candidate if it co-buckets with the query in
+    ANY of the L tables (OR-of-ANDs; a single AND-only table recalled
+    2-3% on a weakly-separated corpus — banding measures ~0.70
+    recall@3).  The (t, bucket) equi-join replaces the brute-force
+    cross join and shuffles on a bounded integer key; duplicate
+    candidates (pairs co-bucketing in several tables) collapse with a
+    (qid, vec_id) MAX — the cosine is identical across tables, so MAX
+    is pure dedup.  Vectors are normalized ONCE per row, so the
+    per-pair cosine is a single dot fold; buckets are computed from the
+    RAW vector so the sign sums match the oracle's literal ±v terms
+    bit-for-bit.
+    """
+    nr = F.sqrt(_sq_norm(F.col("v")))
+    un = vecs.withColumn("_nr", nr)
+    e = lsh_bucket_keys(un, tables=tables, band=band, dim=dim).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
+        "t",
+        "bucket",
+    )
+    q = e.filter(probe_pred).select(
+        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "t", "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("qu", "u", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.join(e, ["t", "bucket"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", dot.alias("cos"))
+    )
+    scored = pairs.groupBy("qid", "vec_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", round_digits).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer inverted lists)
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 32
+IVF_NPROBE = 16
+
+
+def _ivf_ranked_centroids(vecs: DataFrame, centroid_pred: Column):
+    """(vecs ⨯ broadcast centroid row) with a ``ranked`` array column of
+    (negcos, cid) structs sorted best-first.  Centroid cosines are
+    rounded to 9 digits before ranking so the argmin can't flip on
+    last-ulp summation-order differences between engines."""
+    cents = vecs.filter(centroid_pred).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        ).alias("cs")
+    )
+    ea = vecs.crossJoin(F.broadcast(cents))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.round(-_cos(F.col("v"), s["cv"]), 9).alias("negcos"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    return ea, ranked
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    probe_pred: Column,
+    *,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    centroid_pred: Column | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k: assign every vector to its nearest of ``nlist``
+    coarse centroids, probe each query's ``nprobe`` best lists, exact
+    cosine inside.  Returns ``(qid, vec_id, cos, rank)``.
+
+    ``centroid_pred`` selects the centroid rows (default: the first
+    ``nlist`` ids — deterministic seeding; pass k-means centroids for a
+    trained quantizer).  Scale shape: the centroid set is ONE broadcast
+    row, so list assignment is a map-side array_sort — no shuffle, no
+    per-vector window — and the only shuffles are the list-id equi-join
+    and the final top-k window.  nprobe/nlist is the probed fraction —
+    the runtime recall/cost knob (bench.py prints the live curve).
+    """
+    if centroid_pred is None:
+        centroid_pred = F.col("vec_id") < nlist
+    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred)
+    lists = ea.select("vec_id", "v", ranked[0]["cid"].alias("list_id"))
+    probes = ea.filter(probe_pred).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+        ).alias("list_id"),
+    )
+    pairs = (
+        probes.join(lists, "list_id")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", round_digits).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) funnels
+# ---------------------------------------------------------------------------
+
+
+def _sq8_scales(vecs: DataFrame):
+    """One-row per-dim scale table: max |x| per dimension, floored at
+    1e-30 — int8 code = floor(x / scale * 127)."""
+    dims = vecs.select(F.posexplode("v").alias("j", "x"))
+    sc = dims.groupBy("j").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    return sc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("s")))),
+            lambda st: F.greatest(st["s"], F.lit(1e-30)),
+        ).alias("sarr")
+    )
+
+
+_CODE = lambda: F.zip_with(  # noqa: E731 — shared literal expression
+    "v", "sarr", lambda x, s: F.floor(x / s * 127.0).cast("long")
+)
+
+_QSCORE = lambda: F.aggregate(  # noqa: E731
+    F.zip_with("qcode", "code", lambda x, y: x * y),
+    F.lit(0).cast("long"),
+    lambda acc, x: acc + x,
+)
+
+
+def _rescore(cand: DataFrame, vecs: DataFrame, k: int, funnel: int) -> DataFrame:
+    """Shared funnel tail: top-``funnel`` candidates per query by exact
+    integer score, exact float64 cosine rescore, top-``k``."""
+    w1 = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), "vec_id")
+    top = (
+        cand.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= funnel)
+        .join(
+            vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")),
+            "qid",
+        )
+        .join(vecs, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            "qscore",
+            F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "vec_id", "qscore", "cos", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def int8_lsh_topk(
+    vecs: DataFrame,
+    probe_pred: Column,
+    *,
+    k: int = 3,
+    funnel: int = 10,
+    tables: int = LSH_TABLES,
+    band: int = LSH_BAND,
+    dim: int = LSH_DIM,
+    persist=None,
+) -> DataFrame:
+    """Scalar-quantized ANN over the banded LSH keys: candidates are
+    generated inside the LSH bucket by the INTEGER code dot product
+    (16x less data than float64, exact-deterministic — no float ranking
+    at the wide stage), the top-``funnel`` funnel down to an exact
+    float64 cosine top-``k``.  Returns ``(qid, vec_id, qscore, cos,
+    rank)``.  ``persist`` (e.g. ``DataFrame.persist``-wrapping cache
+    hooks) is applied to the coded key table both join sides consume —
+    without it the scale-agg + encode + explode runs twice.
+    """
+    persist = persist or (lambda df: df)
+    eqt = persist(
+        lsh_bucket_keys(
+            vecs.crossJoin(F.broadcast(_sq8_scales(vecs))),
+            tables=tables,
+            band=band,
+            dim=dim,
+        ).select("vec_id", "t", "bucket", _CODE().alias("code"))
+    )
+    q = eqt.filter(probe_pred).select(
+        F.col("vec_id").alias("qid"), F.col("code").alias("qcode"), "t", "bucket"
+    )
+    cand = (
+        q.join(eqt, ["t", "bucket"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", _QSCORE().alias("qscore"))
+        .groupBy("qid", "vec_id")
+        .agg(F.max("qscore").alias("qscore"))
+    )  # MAX dedupes multi-table candidates (scores identical per pair)
+    return _rescore(cand, vecs, k, funnel)
+
+
+def ivf_sq8_topk(
+    vecs: DataFrame,
+    probe_pred: Column,
+    *,
+    k: int = 3,
+    funnel: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    centroid_pred: Column | None = None,
+    persist=None,
+) -> DataFrame:
+    """IVF-SQ8: coarse-quantizer candidate selection + int8 code scan +
+    exact rescore — the production ANN layout (FAISS IVFx,SQ8 shape).
+    Candidate recall tracks the IVF tier (~0.91 recall@3 on the gate
+    corpora vs the LSH funnel's ~0.70) while the WIDE stage still
+    touches only int8 codes.  Each vector lives in exactly one list, so
+    a (qid, vec_id) candidate appears at most once — no dedup agg.
+    Returns ``(qid, vec_id, qscore, cos, rank)``.
+    """
+    if centroid_pred is None:
+        centroid_pred = F.col("vec_id") < nlist
+    persist = persist or (lambda df: df)
+    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred)
+    assigned = persist(
+        ea.crossJoin(F.broadcast(_sq8_scales(vecs))).select(
+            "vec_id", _CODE().alias("code"), ranked.alias("rk")
+        )
+    )  # codes + centroid ranking computed once; both join sides reuse
+    lists = assigned.select(
+        "vec_id", "code", F.col("rk")[0]["cid"].alias("list_id")
+    )
+    probes = assigned.filter(probe_pred).select(
+        F.col("vec_id").alias("qid"),
+        F.col("code").alias("qcode"),
+        F.explode(
+            F.transform(F.slice("rk", 1, nprobe), lambda s: s["cid"])
+        ).alias("list_id"),
+    )
+    cand = (
+        probes.join(lists, "list_id")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", _QSCORE().alias("qscore"))
+    )
+    return _rescore(cand, vecs, k, funnel)

@@ -1,0 +1,100 @@
+"""Package-level ANN API (operators/ann.py): the bucketed operators are
+callable as library functions with custom parameters — not just through
+the driver queries — and basic invariants hold off the default knobs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark.operators import (
+    cosine_topk_bruteforce,
+    int8_lsh_topk,
+    ivf_sq8_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 16
+N = 400
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N, DIM))
+    # plant known near-neighbors: vec 100+i ~ vec i for the first 10
+    for i in range(10):
+        base[100 + i] = base[i] + 0.05 * rng.standard_normal(DIM)
+    pdf = pd.DataFrame(
+        {"vec_id": range(N), "v": [row.tolist() for row in base]}
+    )
+    return spark.createDataFrame(pdf, "vec_id long, v array<double>")
+
+
+def _check_shape(out, k, score_col=False):
+    pdf = out.toPandas()
+    assert set(pdf.columns) >= {"qid", "vec_id", "cos", "rank"}
+    if score_col:
+        assert "qscore" in pdf.columns
+    assert pdf["rank"].max() <= k
+    assert (pdf.qid != pdf.vec_id).all()
+    # per-query ranks are 1..n without gaps
+    for _, g in pdf.groupby("qid"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    return pdf
+
+
+def test_lsh_topk_custom_knobs(vecs):
+    out = lsh_topk(vecs, F.col("vec_id") < 10, k=2, tables=4, band=3, dim=DIM)
+    pdf = _check_shape(out, 2)
+    planted = sum(
+        1 for q in range(10)
+        if 100 + q in set(pdf[pdf.qid == q]["vec_id"])
+    )
+    assert planted >= 8  # near-identical vectors co-bucket in some table
+
+
+def test_ivf_topk_custom_knobs_and_planted_neighbors(vecs):
+    out = ivf_topk(vecs, F.col("vec_id") < 10, k=3, nlist=8, nprobe=4)
+    pdf = _check_shape(out, 3)
+    planted = sum(
+        1 for q in range(10)
+        if 100 + q in set(pdf[pdf.qid == q]["vec_id"])
+    )
+    assert planted >= 8  # near-identical vectors rank top-3 when probed
+
+
+def test_ivf_full_probe_equals_bruteforce(vecs):
+    """nprobe == nlist probes every list — IVF degrades to exact search
+    and must equal the brute-force baseline pair-for-pair."""
+    probe = F.col("vec_id") < 10
+    ivf = (
+        ivf_topk(vecs, probe, k=3, nlist=8, nprobe=8)
+        .select("qid", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    q = vecs.filter(probe).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = (
+        cosine_topk_bruteforce(vecs, q, 3)
+        .select("qid", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(ivf, bf)
+
+
+def test_quantized_funnels_custom_knobs(vecs):
+    for fn in (
+        lambda: int8_lsh_topk(
+            vecs, F.col("vec_id") < 10, k=2, funnel=5, tables=4, band=3, dim=DIM
+        ),
+        lambda: ivf_sq8_topk(
+            vecs, F.col("vec_id") < 10, k=2, funnel=5, nlist=8, nprobe=4
+        ),
+    ):
+        pdf = _check_shape(fn(), 2, score_col=True)
+        assert len(pdf) > 0
