@@ -2704,54 +2704,17 @@ FROM ranked WHERE rank <= 3
 
 def q_dedup_embed(spark, sf_dir):
     # Embedding-cosine near-dup candidates: pairs co-bucketing in ANY of
-    # the L banded LSH tables with cosine >= 0.4.  Same banded-join scale
-    # shape as q_ann_lsh; the (v1, v2) MAX collapses multi-table
-    # duplicates (identical cosine — pure dedup).  The old single-table
-    # probe surfaced ~2% of the threshold pairs; banding recalls the
-    # bulk of them at a bounded candidate fraction.
-    # Normalize once per row; pair cosine = single dot fold (same
-    # staging as q_ann_lsh / semantic_dedup, mirrored by the oracle).
-    nr = F.sqrt(
-        F.aggregate(
-            F.transform("v", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    un = _embeds_base(spark, sf_dir).withColumn("_nr", nr)
-    e = _lsh_keys(un).select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
-        "t",
-        "bucket",
-    )
-    # Default-on hot-bucket guard (operators/dedup.guard_bucket_rows):
-    # a degenerate bucket of m near-identical vectors costs O(m^2) pair
-    # rows in ONE task — fail loudly with the exact-dedup-first
-    # remediation instead (the semantic_dedup max_cluster_rows
-    # precedent; SKEW.md probes the firing path).
-    e = guard_bucket_rows(
-        e, ["t", "bucket"], guarded_col="vec_id", op_name="dedup_embed"
-    )
-    a = e.select(
-        F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"
-    )
-    b = e.select(
-        F.col("vec_id").alias("v2"), F.col("u").alias("ub"), "t", "bucket"
-    )
-    dot = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", dot.alias("cos"))
-        .groupBy("v1", "v2")
-        .agg(F.max("cos").alias("cos"))
-        .filter(F.col("cos") >= 0.4)
-        .select("v1", "v2", F.round("cos", 6).alias("cos"))
+    # the L banded LSH tables with cosine >= 0.4.  Delegates to the
+    # package API (operators/ann.py embedding_near_pairs — identical
+    # plan, oracle-proven), guard default-on with the original op_name
+    # so the SKEW.md firing probe's message stays stable.
+    return _ann.embedding_near_pairs(
+        _embeds_base(spark, sf_dir),
+        0.4,
+        tables=_LSH_TABLES,
+        band=_LSH_BAND,
+        dim=_LSH_DIM,
+        op_name="dedup_embed",
     )
 
 
@@ -4347,33 +4310,11 @@ def q_tfidf_topk(spark, sf_dir):
     shuffles on the term key — vocabulary-sized, the standard TF-IDF
     plan.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    tf = (
-        d.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(F.split("text", " ")).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    total = d.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(df_t, "term")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    # Delegates to the package API (operators/text.py tfidf_topk —
+    # identical plan, oracle-proven).
+    return _text.tfidf_topk(
+        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism),
+        k=3,
     )
 
 

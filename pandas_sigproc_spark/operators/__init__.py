@@ -60,10 +60,12 @@ from pandas_sigproc_spark.operators.ann import (
     ivf_topk,
     int8_lsh_topk,
     ivf_sq8_topk,
+    embedding_near_pairs,
 )
 from pandas_sigproc_spark.operators.text import (
     chunk_documents,
     repetition_stats,
+    tfidf_topk,
     substring_dedup,
 )
 from pandas_sigproc_spark.operators.kmeans import (
@@ -140,6 +142,7 @@ __all__ = [
     "apply_channel_kernel",
     "chunk_documents",
     "repetition_stats",
+    "tfidf_topk",
     "substring_dedup",
     "kmeans_embeddings",
     "kmeans_assignments",

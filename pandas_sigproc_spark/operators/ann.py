@@ -480,3 +480,69 @@ def ivf_sq8_topk(
         .select("qid", "vec_id", _QSCORE().alias("qscore"))
     )
     return _rescore(cand, vecs, k, funnel)
+
+
+def embedding_near_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.4,
+    *,
+    tables: int = LSH_TABLES,
+    band: int = LSH_BAND,
+    dim: int = LSH_DIM,
+    max_bucket_rows: int | None = 100_000,
+    op_name: str = "embedding_near_pairs",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CANDIDATE PAIRS: ``(v1, v2,
+    cos)`` with ``v1 < v2`` and ``cos >= threshold``, for pairs that
+    co-bucket in ANY of the L banded LSH tables — the embedding
+    analogue of MinHash-LSH text dedup, feeding
+    ``graph.connected_components`` for cluster collapse.
+
+    Same banded-join scale shape as :func:`lsh_topk` (the single-table
+    probe surfaced ~2% of threshold pairs on a weakly-separated corpus;
+    banding recalls the bulk at a bounded candidate fraction), with the
+    default-on hot-bucket guard (``dedup.guard_bucket_rows``): a
+    degenerate bucket of m near-identical vectors costs O(m^2) pair
+    rows in ONE task — the guard fails loudly with the
+    exact-dedup-first remediation instead of grinding.  Vectors are
+    normalized once per row; multi-table duplicate pairs collapse with
+    a MAX over identical cosines (pure dedup).
+    """
+    from .dedup import guard_bucket_rows
+
+    nr = F.sqrt(_sq_norm(F.col("v")))
+    un = vecs.withColumn("_nr", nr)
+    e = lsh_bucket_keys(un, tables=tables, band=band, dim=dim).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
+        "t",
+        "bucket",
+    )
+    e = guard_bucket_rows(
+        e,
+        ["t", "bucket"],
+        guarded_col="vec_id",
+        max_bucket_rows=max_bucket_rows,
+        op_name=op_name,
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("u").alias("ub"), "t", "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", dot.alias("cos"))
+        .groupBy("v1", "v2")
+        .agg(F.max("cos").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("v1", "v2", F.round("cos", round_digits).alias("cos"))
+    )

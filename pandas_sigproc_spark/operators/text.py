@@ -447,3 +447,53 @@ def substring_dedup(
         F.round(F.col("_nd").cast("double") / n_tok, 6).alias("dup_frac"),
         F.col("_ct").alias("clean_text"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: tf = in-doc occurrences,
+    idf = ln(N/df).  Returns ``(doc_id, term, tfidf, rank)``.
+
+    Scale shape: both aggregations get map-side partial combine; the
+    corpus size N is ONE broadcast scalar row (no window over the
+    corpus); ranking happens on the rounded score so last-ulp
+    differences can't flip ranks.  The df join shuffles on the term key
+    — vocabulary-sized, the standard TF-IDF plan (the collect-per-term
+    alternative saves one shuffle but dies on stopword skew).
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                round_digits,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -128,52 +128,16 @@ def probe_hot_lsh_bucket(spark):
     )
 
     def _hot_plan(max_bucket_rows):
-        # same plan as q_dedup_embed, over base + hot block
-        both = base.unionByName(hot)
-        nr = F.sqrt(
-            F.aggregate(
-                F.transform("v", lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        )
-        un = both.select(
+        # same plan as q_dedup_embed (operators/ann.embedding_near_pairs),
+        # over base + hot block, with the guard cap under test
+        from pandas_sigproc_spark.operators.ann import embedding_near_pairs
+
+        un = base.unionByName(hot).select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        ).withColumn("_nr", nr)
-        ee = entry_mod._lsh_keys(un).select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
-            "t",
-            "bucket",
         )
-        from pandas_sigproc_spark.operators.dedup import guard_bucket_rows
-
-        ee = guard_bucket_rows(
-            ee,
-            ["t", "bucket"],
-            guarded_col="vec_id",
-            max_bucket_rows=max_bucket_rows,
-            op_name="dedup_embed",
-        )
-        a = ee.select(
-            F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"
-        )
-        b = ee.select(
-            F.col("vec_id").alias("v2"), F.col("u").alias("ub"), "t", "bucket"
-        )
-        dot = F.aggregate(
-            F.zip_with("ua", "ub", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            a.join(b, ["t", "bucket"])
-            .filter(F.col("v1") < F.col("v2"))
-            .select("v1", "v2", dot.alias("cos"))
-            .groupBy("v1", "v2")
-            .agg(F.max("cos").alias("cos"))
-            .filter(F.col("cos") >= 0.4)
+        return embedding_near_pairs(
+            un, 0.4, max_bucket_rows=max_bucket_rows, op_name="dedup_embed"
         )
 
     w_hot, n_pairs = _wall(lambda: _hot_plan(None).count())
