@@ -86,6 +86,7 @@ from pandas_sigproc_spark.operators.sigstore import (
     signature_tables,
     write_signature_store,
     read_signature_store,
+    compact_signature_store,
     incremental_dedup_from_store,
 )
 from pandas_sigproc_spark.operators.curation import (
@@ -157,6 +158,7 @@ __all__ = [
     "signature_tables",
     "write_signature_store",
     "read_signature_store",
+    "compact_signature_store",
     "incremental_dedup_from_store",
     "temperature_thresholds",
     "temperature_sample",

@@ -147,6 +147,40 @@ def read_signature_store(spark: SparkSession, path: str) -> SignatureStore:
     )
 
 
+def compact_signature_store(
+    spark: SparkSession, path: str, *, partitions: int | None = None
+) -> None:
+    """Rewrite the store's append-accumulated small files into
+    ``partitions`` balanced files per table (values unchanged — probes
+    before and after return identical frames; pinned by
+    tests/test_sigstore.py).  Each append writes its own file set, so a
+    store that has admitted many small batches accumulates far more
+    files than bytes; periodic compaction restores scan parallelism
+    without touching corpus text.
+
+    OFFLINE maintenance: the rewrite stages into a sibling directory and
+    swaps with remove+rename — not atomic, so do not run concurrently
+    with probes (deployments on a transactional table format use its
+    native compaction instead)."""
+    import shutil
+
+    n = partitions or spark.sparkContext.defaultParallelism
+    store = read_signature_store(spark, path)
+    tmp = path + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    store.digests.repartition(n, "digest").write.parquet(
+        os.path.join(tmp, "digests")
+    )
+    store.bands.repartition(n, "band", "key").write.parquet(
+        os.path.join(tmp, "bands")
+    )
+    for tbl in ("digests", "bands"):
+        shutil.rmtree(os.path.join(path, tbl))
+        os.rename(os.path.join(tmp, tbl), os.path.join(path, tbl))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def incremental_dedup_from_store(
     store: SignatureStore,
     delta: DataFrame,
@@ -197,5 +231,6 @@ __all__ = [
     "signature_tables",
     "write_signature_store",
     "read_signature_store",
+    "compact_signature_store",
     "incremental_dedup_from_store",
 ]

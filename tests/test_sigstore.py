@@ -14,7 +14,12 @@ from pandas_sigproc_spark.operators import (
 from pandas_sigproc_spark.operators.curation import incremental_dedup
 from pandas_sigproc_spark.streaming import streaming_incremental_dedup
 
-from tests.test_streaming_incr_dedup import SCHEMA, _corpus_and_delta
+from tests.test_streaming_incr_dedup import (
+    SCHEMA,
+    _corpus_and_delta,
+    _pairs_to_verdicts,
+    _write_batches,
+)
 
 
 def _frames(df):
@@ -104,3 +109,68 @@ def test_streaming_corpus_probe_from_store(spark, tmp_path):
         )
 
     pd.testing.assert_frame_equal(pairs(store), pairs(existing))
+
+
+def test_real_stream_against_store_equals_batch(spark, tmp_path):
+    """A genuine micro-batched streaming query with the STORE as its
+    static side replays to the batch operator's verdicts — the full
+    production path: corpus text never scanned, state crosses batches."""
+    corpus, delta = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus, SCHEMA)
+    path = str(tmp_path / "sigstore_live")
+    write_signature_store(existing, path)
+    store = read_signature_store(spark, path)
+
+    expected = (
+        incremental_dedup(existing, spark.createDataFrame(delta, SCHEMA))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    root = _write_batches(tmp_path, delta)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        streaming_incremental_dedup(stream, store)
+        .writeStream.format("memory")
+        .queryName("incr_dedup_store_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = spark.sql("select * from incr_dedup_store_live").toPandas()
+    got = _pairs_to_verdicts(pairs, delta)
+    pd.testing.assert_frame_equal(
+        got, expected[got.columns.tolist()].sort_values("doc_id", ignore_index=True)
+    )
+
+
+def test_compact_preserves_values_and_reduces_files(spark, tmp_path):
+    from pandas_sigproc_spark.operators import compact_signature_store
+    import glob
+
+    corpus, delta = _corpus_and_delta()
+    d = spark.createDataFrame(delta, SCHEMA)
+    path = str(tmp_path / "sigstore_compact")
+    # many tiny appends -> many files
+    for lo in range(0, 6, 2):
+        part = corpus[(corpus.doc_id >= lo) & (corpus.doc_id < lo + 2)]
+        write_signature_store(
+            spark.createDataFrame(part, SCHEMA),
+            path,
+            mode="overwrite" if lo == 0 else "append",
+        )
+    before = _frames(
+        incremental_dedup_from_store(read_signature_store(spark, path), d)
+    )
+    n_files_before = len(glob.glob(f"{path}/bands/*.parquet"))
+    compact_signature_store(spark, path, partitions=2)
+    n_files_after = len(glob.glob(f"{path}/bands/*.parquet"))
+    assert n_files_after <= 2 < n_files_before
+    store = read_signature_store(spark, path)
+    assert store.ngram == 3
+    after = _frames(incremental_dedup_from_store(store, d))
+    pd.testing.assert_frame_equal(after, before)

@@ -62,9 +62,16 @@ def _corpus_and_delta():
 
 
 def _write_batches(tmp_path, delta, split_at=106):
+    """Split ``delta`` into micro-batch files at the given id boundary
+    (or a list of boundaries for >2 batches), in id order."""
     root = str(tmp_path / "incr_stream")
     os.makedirs(root, exist_ok=True)
-    parts = (delta[delta.doc_id < split_at], delta[delta.doc_id >= split_at])
+    bounds = [split_at] if isinstance(split_at, int) else list(split_at)
+    edges = [-(10**9)] + bounds + [10**9]
+    parts = [
+        delta[(delta.doc_id >= lo) & (delta.doc_id < hi)]
+        for lo, hi in zip(edges, edges[1:])
+    ]
     for i, part in enumerate(parts):
         path = os.path.join(root, f"part-{i:03d}.parquet")
         part.to_parquet(path, index=False)
@@ -99,7 +106,12 @@ def _pairs_to_verdicts(pairs: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame
     return out[cols].sort_values("doc_id", ignore_index=True)
 
 
-def test_stream_equals_batch_across_micro_batches(spark, tmp_path):
+@pytest.mark.parametrize(
+    "split_at",
+    [106, [103, 107, 110]],
+    ids=["two-batches", "four-batches"],
+)
+def test_stream_equals_batch_across_micro_batches(spark, tmp_path, split_at):
     corpus, delta = _corpus_and_delta()
     existing = spark.createDataFrame(corpus, SCHEMA)
 
@@ -118,7 +130,8 @@ def test_stream_equals_batch_across_micro_batches(spark, tmp_path):
     assert byid.loc[108, "n_near_delta_earlier"] >= 1
     assert bool(byid.loc[106, "kept"]) and bool(byid.loc[111, "kept"])
 
-    root = _write_batches(tmp_path, delta)
+    sink = f"incr_dedup_pairs_{len(split_at) if isinstance(split_at, list) else 1}"
+    root = _write_batches(tmp_path, delta, split_at)
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -127,13 +140,13 @@ def test_stream_equals_batch_across_micro_batches(spark, tmp_path):
     out = streaming_incremental_dedup(stream, existing)
     q = (
         out.writeStream.format("memory")
-        .queryName("incr_dedup_pairs")
+        .queryName(sink)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
-    pairs = spark.sql("select * from incr_dedup_pairs").toPandas()
+    pairs = spark.sql(f"select * from {sink}").toPandas()
     got = _pairs_to_verdicts(pairs, delta)
     pd.testing.assert_frame_equal(got, expected[got.columns.tolist()]
                                   .sort_values("doc_id", ignore_index=True))
