@@ -134,6 +134,13 @@ __all__ = [
     "rainflow_chunked",
     "interp1d_spline",
     "connected_components",
+    "cosine_topk_bruteforce",
+    "lsh_bucket_keys",
+    "lsh_topk",
+    "ivf_topk",
+    "int8_lsh_topk",
+    "ivf_sq8_topk",
+    "embedding_near_pairs",
     "guard_bucket_rows",
     "jaccard_near_dupes",
     "jaccard_pairs",

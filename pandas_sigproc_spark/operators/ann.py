@@ -143,7 +143,13 @@ def lsh_bucket_col(
     fold's 0.0+x1 head is exact; the add chain associates identically)
     but a SMALL expression tree: inlining L*b 64-term CASE sums as flat
     codegen blows janino's 64KB method limit and drops the fused stage
-    to interpreted mode."""
+    to interpreted mode.
+
+    A row whose vector length differs from ``dim`` RAISES instead of
+    silently hashing: zip_with null-pads the shorter side, every plane
+    dot goes NULL, and every bucket would collapse to 0 — turning the
+    bounded (t, bucket) equi-join into a full cross join with
+    numerically-correct results (recall tests cannot catch it)."""
     terms = None
     for p, row in enumerate(lsh_plane_signs(table, band=band, dim=dim)):
         w = F.array(*[F.lit(float(wi)) for wi in row])
@@ -154,7 +160,20 @@ def lsh_bucket_col(
         )
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         terms = bit if terms is None else terms + bit
-    return terms.cast("long")
+    bad = F.raise_error(
+        F.concat(
+            F.lit("lsh_bucket_col: vector length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(
+                f" != plane dim={dim} — every bucket would silently"
+                " collapse to 0 (a full cross join); pass dim=<vector"
+                " length>"
+            ),
+        )
+    ).cast("long")
+    return (
+        F.when(F.size(F.col(vec_col)) == dim, terms.cast("long")).otherwise(bad)
+    )
 
 
 def lsh_bucket_keys(

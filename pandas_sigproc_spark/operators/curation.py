@@ -321,6 +321,12 @@ def bloom_sizing(
         raise ValueError("need n_items > 0")
     if not 0.0 < target_fp < 1.0:
         raise ValueError("need 0 < target_fp < 1")
+    if max_m_bits < BLOOM_WORD_BITS or max_m_bits & (max_m_bits - 1):
+        raise ValueError(
+            f"max_m_bits must be a power of two >= {BLOOM_WORD_BITS}"
+            f" (got {max_m_bits}) — the %-m position arithmetic and"
+            " whole-word bitmap counts depend on it"
+        )
     ln2 = math.log(2.0)
     m_ideal = -n_items * math.log(target_fp) / (ln2 * ln2)
     m = BLOOM_WORD_BITS

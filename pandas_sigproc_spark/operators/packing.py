@@ -149,5 +149,11 @@ def assign_shards(
         "bucket",
         F.col("_tok").alias("n_tokens"),
         start.cast("long").alias("global_start"),
-        F.floor(start / F.lit(int(shard_tokens))).cast("long").alias("shard"),
+    ).withColumn(
+        # integer `div`, not floor(double division): long/long in Spark
+        # is double arithmetic, and past ~2^52 the rounded quotient can
+        # cross an integer boundary — diverging from the oracle's exact
+        # `//` and breaking the "integer arithmetic end to end" contract
+        "shard",
+        F.expr(f"global_start div {int(shard_tokens)}").cast("long"),
     )

@@ -114,7 +114,17 @@ def write_signature_store(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     store = signature_tables(docs, id_col=id_col, text_col=text_col, ngram=ngram)
     meta_path = os.path.join(path, "_meta.json")
-    if mode == "append" and os.path.exists(meta_path):
+    if mode == "append":
+        # A store with tables but no _meta.json is a crashed write (meta
+        # lands last) — appending blind could mix ngram spaces, the exact
+        # silent corruption _meta.json exists to refuse.
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"signature store at {path} has no _meta.json — either it"
+                " was never written or a prior write crashed before the"
+                " meta stamp. Rebuild with mode='overwrite' instead of"
+                " appending into an unverifiable store."
+            )
         with open(meta_path) as fh:
             meta = json.load(fh)
         if meta["ngram"] != ngram:

@@ -618,7 +618,10 @@ def streaming_incremental_dedup(
       ``max_state_rows_per_key`` is the hot-bucket guard
       (dedup.guard_bucket_rows' streaming twin): a degenerate key
       raises loudly with the exact-dedup-first remediation instead of
-      accreting unbounded state.
+      accreting unbounded state.  The check runs BEFORE the pairwise
+      compare (state + incoming rows), so it refuses the O(m^2) work
+      rather than reporting it after the grind; the batch-fallback path
+      applies the same per-key cap.
 
     State lifecycle at production scale: keys accumulate for the
     stream's lifetime (dropping state would silently drop duplicate
@@ -728,6 +731,18 @@ def streaming_incremental_dedup(
             seen.append((nid, ndig, nsig))
         return out
 
+    def _cap_check(band, key_val, n_total):
+        # BEFORE the quadratic compare, not after: the guard must refuse
+        # the O(m^2) work, not report it once it is already done
+        if n_total > cap:
+            raise RuntimeError(
+                f"streaming_incremental_dedup: band key ({band}, {key_val})"
+                f" would hold {n_total} documents, above"
+                f" max_state_rows_per_key={cap} — degenerate band key"
+                " (near-identical documents). Run exact/hash dedup"
+                " upstream to collapse identical items, or raise the cap."
+            )
+
     def step(key, pdf_iter, state):
         band, _k = int(key[0]), key[1]
         if state.exists:
@@ -737,6 +752,7 @@ def streaming_incremental_dedup(
             seen = []
         chunks = [pdf for pdf in pdf_iter]
         pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        _cap_check(band, _k, len(seen) + len(pdf))
         pairs = []
         if len(pdf):
             pdf = pdf.sort_values("d_id", kind="mergesort")
@@ -745,14 +761,6 @@ def streaming_incremental_dedup(
                 for r in pdf.itertuples()
             ]
             pairs = _emit_pairs(band, new_rows, seen)
-        if len(seen) > cap:
-            raise RuntimeError(
-                f"streaming_incremental_dedup: band key ({band}, {_k}) now"
-                f" holds {len(seen)} documents in state, above"
-                f" max_state_rows_per_key={cap} — degenerate band key"
-                " (near-identical documents). Run exact/hash dedup"
-                " upstream to collapse identical items, or raise the cap."
-            )
         state.update(
             (
                 [s[0] for s in seen],
@@ -771,6 +779,7 @@ def streaming_incremental_dedup(
         def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
             kdf = kdf.sort_values("d_id", kind="mergesort")
             band = int(kdf["band"].iloc[0])
+            _cap_check(band, kdf["key"].iloc[0], len(kdf))
             new_rows = [
                 (int(r.d_id), r.d_digest, [int(x) for x in r.d_sig])
                 for r in kdf.itertuples()

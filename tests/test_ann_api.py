@@ -98,3 +98,15 @@ def test_quantized_funnels_custom_knobs(vecs):
     ):
         pdf = _check_shape(fn(), 2, score_col=True)
         assert len(pdf) > 0
+
+
+def test_dim_mismatch_raises_instead_of_bucket_collapse(spark, vecs):
+    """Vectors shorter than the plane dim used to null-pad every plane
+    dot and silently collapse every bucket to 0 (a full cross join);
+    the bucket expression must raise instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError), match="plane dim"):
+        # default dim=64 against 16-d vectors
+        lsh_topk(vecs, F.col("vec_id") < 5, k=2).collect()

@@ -105,3 +105,10 @@ def test_measured_fp_below_target_on_real_probe(spark):
         f"measured FP {measured} (={probed['fp']}/{probed['n']}) above "
         f"target {target}; predicted {predicted}"
     )
+
+
+def test_sizing_rejects_invalid_max_m_bits():
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_sizing(1000, 1e-3, max_m_bits=10**9)  # not a power of two
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_sizing(1000, 1e-3, max_m_bits=16)  # below one word

@@ -174,3 +174,17 @@ def test_compact_preserves_values_and_reduces_files(spark, tmp_path):
     assert store.ngram == 3
     after = _frames(incremental_dedup_from_store(store, d))
     pd.testing.assert_frame_equal(after, before)
+
+
+def test_append_to_metaless_store_refused(spark, tmp_path):
+    """A store directory with tables but no _meta.json is a crashed
+    write — appending into it must raise, not silently mix ngrams."""
+    import os
+
+    corpus, _ = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus, SCHEMA)
+    path = str(tmp_path / "sigstore_crashed")
+    write_signature_store(existing, path)
+    os.remove(os.path.join(path, "_meta.json"))
+    with pytest.raises(ValueError, match="_meta.json"):
+        write_signature_store(existing, path, mode="append")

@@ -214,3 +214,18 @@ def test_state_cap_guard_fires(spark, tmp_path):
     with pytest.raises(Exception, match="max_state_rows_per_key"):
         q.awaitTermination(180)
         raise AssertionError("query should have failed on the state cap")
+
+
+def test_batch_fallback_applies_state_cap(spark):
+    """The batch-fallback path must enforce the same per-key cap as the
+    streaming path — and refuse BEFORE the quadratic compare."""
+    corpus, _ = _corpus_and_delta()
+    existing = spark.createDataFrame(corpus[:1], SCHEMA)
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    delta = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300, 306), "text": [same] * 6}), SCHEMA
+    )
+    with pytest.raises(Exception, match="max_state_rows_per_key"):
+        streaming_incremental_dedup(
+            delta, existing, max_state_rows_per_key=2
+        ).collect()
