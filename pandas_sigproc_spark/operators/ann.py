@@ -21,7 +21,10 @@ All four return ``(qid, vec_id, cos, rank)`` (plus ``qscore`` for the
 quantized funnels) with deterministic ordering — integer bucket keys,
 cosines rounded before ranking, ties to the smaller id — so the driver
 queries (`ann_lsh` / `ann_ivf` / `ann_int8` / `ann_ivf_int8`) delegate
-here verbatim and stay DuckDB-oracle-exact.
+here verbatim and stay DuckDB-oracle-exact.  :func:`embedding_near_pairs`
+is the pair-emitting sibling (near-dup candidates over the same banded
+keys, hot-bucket guard default-on) that feeds
+``graph.connected_components``.
 
 :func:`cosine_topk_bruteforce` is the EXACT-RECALL BASELINE those are
 measured against — a labeled cartesian product.  It refuses to run past
