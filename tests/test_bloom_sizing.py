@@ -112,3 +112,27 @@ def test_sizing_rejects_invalid_max_m_bits():
         bloom_sizing(1000, 1e-3, max_m_bits=10**9)  # not a power of two
     with pytest.raises(ValueError, match="power of two"):
         bloom_sizing(1000, 1e-3, max_m_bits=16)  # below one word
+
+
+def test_sizing_property_sweep():
+    """Property sweep (hypothesis-style deterministic grid): for every
+    (n_items, target_fp) across seven orders of magnitude, the realized
+    rate meets the target, m stays a whole power-of-two word multiple,
+    and k respects the probe-cost clamp."""
+    import itertools
+
+    ns = [1, 7, 100, 3_001, 50_000, 777_777, 12_345_678]
+    ps = [0.3, 0.05, 1e-2, 1e-3, 1e-4, 1e-6]
+    for n, p in itertools.product(ns, ps):
+        m, k, fp = bloom_sizing(n, p)
+        assert fp <= p, (n, p, m, k, fp)
+        assert m & (m - 1) == 0 and m % 32 == 0, (n, p, m)
+        assert 1 <= k <= 8, (n, p, k)
+        # monotone sanity: the bitmap is never absurdly oversized —
+        # one extra doubling past the first passing size at this k
+        if m > 32:
+            k_half = min(8, max(1, round(m / 2 / n * 0.6931471805599453)))
+            fp_half = (1.0 - 2.718281828459045 ** (-k_half * n / (m / 2))) ** k_half
+            assert fp_half > p or m == 32, (
+                f"m={m} overshoots: m/2 already met target for n={n}, p={p}"
+            )
