@@ -61,6 +61,7 @@ from pandas_sigproc_spark.operators.ann import (
     int8_lsh_topk,
     ivf_sq8_topk,
     embedding_near_pairs,
+    centroids_from_kmeans,
 )
 from pandas_sigproc_spark.operators.text import (
     chunk_documents,
@@ -141,6 +142,7 @@ __all__ = [
     "int8_lsh_topk",
     "ivf_sq8_topk",
     "embedding_near_pairs",
+    "centroids_from_kmeans",
     "guard_bucket_rows",
     "jaccard_near_dupes",
     "jaccard_pairs",

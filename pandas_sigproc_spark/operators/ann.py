@@ -284,16 +284,45 @@ IVF_NLIST = 32
 IVF_NPROBE = 16
 
 
-def _ivf_ranked_centroids(vecs: DataFrame, centroid_pred: Column):
+def centroids_from_kmeans(km: DataFrame) -> DataFrame:
+    """Adapt ``kmeans.kmeans_embeddings`` output — one row per
+    (cluster, n, dim, c) — into the ``(cid, cv)`` centroid table the
+    IVF operators accept as a TRAINED coarse quantizer."""
+    return (
+        km.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("c")))
+            ).alias("s")
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cid"),
+            F.transform("s", lambda st: st["c"]).alias("cv"),
+        )
+    )
+
+
+def _ivf_ranked_centroids(
+    vecs: DataFrame, centroid_pred: Column, centroids: DataFrame | None = None
+):
     """(vecs ⨯ broadcast centroid row) with a ``ranked`` array column of
     (negcos, cid) structs sorted best-first.  Centroid cosines are
     rounded to 9 digits before ranking so the argmin can't flip on
-    last-ulp summation-order differences between engines."""
-    cents = vecs.filter(centroid_pred).agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        ).alias("cs")
-    )
+    last-ulp summation-order differences between engines.  ``centroids``
+    (cid, cv) — e.g. :func:`centroids_from_kmeans` — takes precedence
+    over selecting corpus rows via ``centroid_pred``."""
+    if centroids is not None:
+        cents = centroids.agg(
+            F.collect_list(
+                F.struct(F.col("cid").cast("long").alias("cid"), F.col("cv"))
+            ).alias("cs")
+        )
+    else:
+        cents = vecs.filter(centroid_pred).agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            ).alias("cs")
+        )
     ea = vecs.crossJoin(F.broadcast(cents))
     ranked = F.array_sort(
         F.transform(
@@ -315,15 +344,18 @@ def ivf_topk(
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
     centroid_pred: Column | None = None,
+    centroids: DataFrame | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its nearest of ``nlist``
     coarse centroids, probe each query's ``nprobe`` best lists, exact
     cosine inside.  Returns ``(qid, vec_id, cos, rank)``.
 
-    ``centroid_pred`` selects the centroid rows (default: the first
-    ``nlist`` ids — deterministic seeding; pass k-means centroids for a
-    trained quantizer).  Scale shape: the centroid set is ONE broadcast
+    ``centroid_pred`` selects centroid rows from the corpus (default:
+    the first ``nlist`` ids — deterministic seeding); ``centroids``
+    passes a TRAINED quantizer instead — a ``(cid, cv)`` table, e.g.
+    ``centroids_from_kmeans(kmeans_embeddings(vecs, k))`` — and takes
+    precedence.  Scale shape: the centroid set is ONE broadcast
     row, so list assignment is a map-side array_sort — no shuffle, no
     per-vector window — and the only shuffles are the list-id equi-join
     and the final top-k window.  nprobe/nlist is the probed fraction —
@@ -331,7 +363,7 @@ def ivf_topk(
     """
     if centroid_pred is None:
         centroid_pred = F.col("vec_id") < nlist
-    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred)
+    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
     lists = ea.select("vec_id", "v", ranked[0]["cid"].alias("list_id"))
     probes = ea.filter(probe_pred).select(
         F.col("vec_id").alias("qid"),
@@ -467,6 +499,7 @@ def ivf_sq8_topk(
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
     centroid_pred: Column | None = None,
+    centroids: DataFrame | None = None,
     persist=None,
 ) -> DataFrame:
     """IVF-SQ8: coarse-quantizer candidate selection + int8 code scan +
@@ -480,7 +513,7 @@ def ivf_sq8_topk(
     if centroid_pred is None:
         centroid_pred = F.col("vec_id") < nlist
     persist = persist or (lambda df: df)
-    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred)
+    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
     assigned = persist(
         ea.crossJoin(F.broadcast(_sq8_scales(vecs))).select(
             "vec_id", _CODE().alias("code"), ranked.alias("rk")

@@ -110,3 +110,48 @@ def test_dim_mismatch_raises_instead_of_bucket_collapse(spark, vecs):
     with pytest.raises((PySparkException, Py4JJavaError), match="plane dim"):
         # default dim=64 against 16-d vectors
         lsh_topk(vecs, F.col("vec_id") < 5, k=2).collect()
+
+
+def test_ivf_with_trained_kmeans_quantizer(vecs):
+    """A trained coarse quantizer (kmeans_embeddings -> centroids table)
+    plugs into ivf_topk/ivf_sq8_topk; full-probe IVF over the trained
+    centroids still equals brute force (assignment partitions the
+    corpus; probing every list restores exactness regardless of where
+    the centroids came from)."""
+    from pandas_sigproc_spark.operators import (
+        centroids_from_kmeans,
+        kmeans_embeddings,
+    )
+
+    km = kmeans_embeddings(vecs, k=6, iters=2, vec_col="v")
+    cents = centroids_from_kmeans(km)
+    assert cents.count() == 6
+    assert len(cents.first()["cv"]) == DIM
+
+    probe = F.col("vec_id") < 10
+    out = ivf_topk(vecs, probe, k=3, nprobe=3, centroids=cents)
+    pdf = _check_shape(out, 3)
+    planted = sum(
+        1 for q in range(10) if 100 + q in set(pdf[pdf.qid == q]["vec_id"])
+    )
+    assert planted >= 8  # near-identical vectors share a trained list
+
+    full = (
+        ivf_topk(vecs, probe, k=3, nprobe=6, centroids=cents)
+        .select("qid", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    q = vecs.filter(probe).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = (
+        cosine_topk_bruteforce(vecs, q, 3)
+        .select("qid", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(full, bf)
+
+    sq8 = ivf_sq8_topk(vecs, probe, k=2, funnel=5, nprobe=3, centroids=cents)
+    assert _check_shape(sq8, 2, score_col=True).shape[0] > 0
