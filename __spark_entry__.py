@@ -4246,32 +4246,15 @@ def q_decontaminate(spark, sf_dir):
     subset.  60-bit md5 gram keys keep the join integer-typed and
     portable to the oracle.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    # One definition of the gram arithmetic (operators/text.py) shared
-    # with training_mix's decontamination stage; distinctness is over the
-    # 60-bit hashes (== over the gram strings barring md5 collisions).
-    g = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _text.gram_hash_expr(_DECON_N).alias("gs"),
-    )
-    gh = _persist(g.select(
-        "doc_id",
-        F.size("gs").alias("n_ngrams"),
-        F.explode("gs").alias("h"),
-    ))  # feeds BOTH the benchmark set and the train probe: one
-    # gram-hash pass instead of two (same trick as corpus_prep's sig)
-    bench = gh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
-    return (
-        gh.filter(F.col("doc_id") % 10 != 0)
-        .join(F.broadcast(bench), "h")
-        .groupBy("doc_id", "n_ngrams")
-        .agg(F.count("*").alias("n_hits"))
-        .select(
-            "doc_id",
-            "n_hits",
-            "n_ngrams",
-            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contam_frac"),
-        )
+    # Delegates to the package API (operators/curation.py
+    # decontaminate_exact, bench_pred form — identical plan,
+    # oracle-proven): one persisted gram-hash pass feeds BOTH the
+    # benchmark set and the train probe.
+    return _cur.decontaminate_exact(
+        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism),
+        bench_pred=F.col("doc_id") % 10 == 0,
+        n=_DECON_N,
+        persist=_persist,
     )
 
 

@@ -93,6 +93,7 @@ from pandas_sigproc_spark.operators.sigstore import (
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
     quality_classifier,
+    decontaminate_exact,
     build_bloom_bitmap,
     bloom_probe,
     bloom_sizing,
@@ -159,6 +160,7 @@ __all__ = [
     "semantic_dedup",
     "block_dedup",
     "quality_classifier",
+    "decontaminate_exact",
     "build_bloom_bitmap",
     "bloom_probe",
     "bloom_sizing",

@@ -846,6 +846,73 @@ PII_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
+def decontaminate_exact(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    *,
+    bench_pred: Column | None = None,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist=None,
+) -> DataFrame:
+    """Exact n-gram-overlap test-set decontamination: flag training
+    documents sharing ANY word-``n``-gram with the benchmark set — the
+    standard contamination check run before LLM pretraining (the Bloom
+    path, :func:`bloom_probe`, is the constant-broadcast twin; this is
+    the exact-join answer it is sized against).
+
+    Two forms:
+
+    - ``bench`` — a separate benchmark DataFrame (same id/text cols);
+    - ``bench_pred`` — a boolean Column over ``docs`` naming the
+      held-out slice IN the same table; one gram-hash pass then feeds
+      both the benchmark set and the train probe (pass ``persist`` to
+      pin it — without it the shared pass runs twice).
+
+    Output: ``(doc_id, n_hits, n_ngrams, contam_frac)`` — flagged
+    documents only.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus, so it is DISTINCTed and BROADCAST — the corpus side never
+    shuffles for the probe (map-side hash join); the only exchange is
+    the per-doc hit aggregation over the (small) matching subset.
+    60-bit md5 gram keys keep the join integer-typed and portable to
+    the oracle.
+    """
+    if (bench is None) == (bench_pred is None):
+        raise ValueError("pass exactly one of bench / bench_pred")
+    persist = persist or (lambda df: df)
+
+    def _gh(src: DataFrame) -> DataFrame:
+        g = src.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _text.gram_hash_expr(n, text_col).alias("gs"),
+        )
+        return g.select(
+            "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("h")
+        )
+
+    if bench_pred is not None:
+        gh = persist(_gh(docs))
+        bench_h = gh.filter(bench_pred).select("h").distinct()
+        train = gh.filter(~bench_pred)
+    else:
+        bench_h = _gh(bench).select("h").distinct()
+        train = _gh(docs)
+    return (
+        train.join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_ngrams",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contam_frac"),
+        )
+    )
+
+
 def scrub_pii(
     df: DataFrame,
     col: str,

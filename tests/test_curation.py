@@ -368,3 +368,42 @@ def test_scrub_pii_plan_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_decontaminate_exact_two_table_equals_pred_mode(spark):
+    """The separate-benchmark form must equal the same-table bench_pred
+    form on the equivalent split, and flag exactly the contaminated
+    docs."""
+    import random
+
+    from pandas_sigproc_spark.operators import decontaminate_exact
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(60)) for _ in range(20)]
+    # doc 13 copies benchmark doc 0's first 8 words (>= one shared 5-gram)
+    texts[13] = " ".join(texts[0].split(" ")[:8]) + " " + texts[13]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": texts}),
+        "doc_id long, text string",
+    )
+    pred = F.col("doc_id") % 10 == 0
+
+    got_pred = (
+        decontaminate_exact(df, bench_pred=pred)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got_two = (
+        decontaminate_exact(df.filter(~pred), df.filter(pred))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got_pred, got_two)
+    assert 13 in set(got_pred.doc_id)
+    assert (got_pred.contam_frac > 0).all()
+
+    with pytest.raises(ValueError, match="exactly one"):
+        decontaminate_exact(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        decontaminate_exact(df, df, bench_pred=pred)
