@@ -36,12 +36,11 @@ def test_every_query_has_an_oracle():
     assert not stray, f"oracle_sql without queries: {stray}"
 
 
-# Deliberately below-cap (r5 verdict #1): the exact_sums audit twins run
-# THE SAME PLANS that earned driver hash rows in r5 under the names
-# "semdedup" / "corpus_curate" (those keys flipped to production mode in
-# r6), so their driver evidence exists under the old names; the local
-# gate (tools/oracle_check.py) keeps their coverage every round.
-BELOW_CAP_AUDIT_TWINS = {"semdedup_exact", "corpus_curate_exact"}
+# Retired in round 9 (r8 verdict #2): the exact_sums audit twins are now
+# IN the window earning their first driver hash rows under their own
+# names.  Kept as an (empty) escape hatch so a future documented
+# exception has a single place to live.
+BELOW_CAP_AUDIT_TWINS: set[str] = set()
 
 
 def test_rotation_window_covers_every_unchecked_query():
@@ -92,7 +91,7 @@ def test_cap_comment_matches_reality():
     assert "---- driver cap" in src
     names = list(entry_mod.queries().keys())
     # the comment names the 50th entry explicitly; keep them in sync
-    assert names[49] == "training_mix", (
+    assert names[49] == "media_audio_real", (
         f"50th queries() entry is {names[49]!r}; update the cap comment "
         "and this pin together when re-rotating"
     )
