@@ -381,24 +381,50 @@ def main():
 
     _calibrate("end")
 
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
+    # The driver keeps only the LAST ~2 KB of stdout and parses the final
+    # line (BENCH_r08 shipped parsed=null because the old ~4 KB single
+    # line lost its head to that window).  So: verbose sections (medians,
+    # the full scale leg, the IVF curve, calibration walls) go to an
+    # EARLIER stdout line + a sidecar file, and the final line carries
+    # only the contract fields plus the compact quality signals — with
+    # compact separators it must fit the 2 KB window whole.
+    detail = {
         "queries_median": medians,
-        "ann_recall_at_3": recall,
         "ann_ivf_recall_curve": ivf_curve,
         "calibration": {
             "query": "rms",
             "walls_start_middle_end": calib_walls,
             "spread": round(max(calib_walls) / min(calib_walls), 3),
         },
+    }
+    if scale is not None:
+        detail["scale"] = scale
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps({"detail": detail}, separators=(",", ":")))
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "ann_recall_at_3": recall,
+        "calib_spread": detail["calibration"]["spread"],
         "sf": float(sf),
     }
     if scale is not None:
-        out["scale"] = scale
-    print(json.dumps(out))
+        out["scale_wall_ratio"] = scale["wall_ratio"]
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # Degrade loudly rather than ship a line the driver will truncate:
+        # drop the optional quality fields first, never the per-query walls.
+        print(f"[bench] WARNING final line {len(line)}B > 1900B; "
+              "dropping optional fields", file=sys.stderr, flush=True)
+        out.pop("scale_wall_ratio", None)
+        line = json.dumps(out, separators=(",", ":"))
+    print(f"[bench] final line bytes: {len(line)}", file=sys.stderr, flush=True)
+    print(line)
 
 
 if __name__ == "__main__":
