@@ -5250,6 +5250,56 @@ LEFT JOIN near_dd nd USING (doc_id)
 SQL_INCR_DEDUP = _sql_incr_dedup()
 
 
+def q_incr_dedup_store(spark, sf_dir):
+    """q_incr_dedup's probe run off the MATERIALIZED signature store —
+    the full production lifecycle under the driver gate: the corpus
+    half is written as a store batch, the second half APPENDED as a new
+    batch, the store COMPACTED (batch dirs rewritten + meta-swapped,
+    operators/sigstore.py), and the delta screened via
+    incremental_dedup_from_store without ever rescanning corpus text.
+    The oracle is SQL_INCR_DEDUP verbatim: the store path's equality
+    contract says the verdict frame is EXACTLY the text path's.
+
+    Scale shape: the probe is curation._incremental_dedup_core on two
+    ~150 B/doc parquet tables; the build/append/compact writes are the
+    maintenance cycle a deployment runs per admitted crawl batch."""
+    import os
+    import shutil
+
+    from pandas_sigproc_spark.operators.sigstore import (
+        compact_signature_store,
+        incremental_dedup_from_store,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    existing = base.filter(F.col("doc_id") % 5 != 4)
+    delta = base.filter(F.col("doc_id") % 5 == 4).unionByName(
+        base.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".sigstore_gate", sf_tag
+    )
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per call
+    # partitions=8: multi-partition batch layout without 32-file churn
+    # at gate SF (a deployment sizes this to its batch bytes instead)
+    write_signature_store(
+        existing.filter(F.col("doc_id") % 2 == 0), path, partitions=8
+    )
+    write_signature_store(
+        existing.filter(F.col("doc_id") % 2 != 0), path,
+        mode="append", partitions=8,
+    )
+    compact_signature_store(spark, path, partitions=8)
+    store = read_signature_store(spark, path)
+    return incremental_dedup_from_store(store, delta)
+
+
 # ---------------------------------------------------------------------------
 # round-6 LM-perplexity quality filter (operators/lm.py) + source overlap
 # ---------------------------------------------------------------------------
@@ -5447,6 +5497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 0: never driver-checked under these names ---------------
         "semdedup_exact": q_semdedup_exact,
         "corpus_curate_exact": q_corpus_curate_exact,
+        # incr_dedup_store is NEW this round: the signature-store
+        # lifecycle (build + append + compact + probe) under the gate
+        "incr_dedup_store": q_incr_dedup_store,
         # -- tier 1: r5-stale rotation (r8 verdict #1) --------------------
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -5480,7 +5533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_chunked": q_interp_chunked,
         "resample_chunked": q_resample_chunked,
         "ann_int8": q_ann_int8,
-        "detrend_agg": q_detrend_agg,
         "detrend_piecewise": q_detrend_piecewise,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5506,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mov_rms": q_mov_rms,
         "integral": q_integral,
         "derivative": q_derivative,
+        "detrend_agg": q_detrend_agg,
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "interp_log": q_interp_log,
@@ -5645,6 +5698,9 @@ def oracle_sql() -> dict[str, str]:
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,
         "incr_dedup": SQL_INCR_DEDUP,
+        # the store path's equality contract: same verdict frame as the
+        # text path, so the SAME oracle (tests/test_sigstore.py pins it)
+        "incr_dedup_store": SQL_INCR_DEDUP,
         "lm_ppl": SQL_LM_PPL,
         "lm_ppl_terciles": SQL_LM_PPL_TERCILES,
         "source_overlap": SQL_SOURCE_OVERLAP,

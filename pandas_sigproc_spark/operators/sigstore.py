@@ -10,11 +10,12 @@ appended".  This module IS that deployment piece: build the tables
 once, write them as parquet, append each admitted crawl batch, and run
 every later screen off the store without ever rescanning corpus text.
 
-Layout under ``<path>/``::
+Layout under ``<path>/`` (store version 2)::
 
-    digests/   (doc_id long, digest string)
-    bands/     (doc_id long, digest string, sig array<long>,
-                band int, key long)          # n_bands rows per doc
+    _meta.json                    # {version, ngram, batches, next_batch}
+    digests/batch=<id>/*.parquet  # (doc_id long, digest string)
+    bands/batch=<id>/*.parquet    # (doc_id long, digest string,
+                                  #  sig array<long>, band int, key long)
 
 ``bands`` carries the digest and full signature alongside each band key
 so a probe (batch or streaming) is self-contained after ONE equi-join
@@ -23,33 +24,48 @@ path.  Storage cost at the defaults: 4 band rows x (8B sig component
 x 8 + digest 32B + keys) ~ 150 B/doc — ~1.5 TB of store per 10^10
 documents, vs re-deriving signatures from 100 TB of text per screen.
 
+Durability contract: every write lands in its OWN ``batch=<id>``
+partition directory, and ``_meta.json`` lists the COMMITTED batch ids.
+Readers filter to the committed list (partition pruning makes the
+filter free), so a crash between the digests append and the bands
+append — or anywhere before the meta stamp — leaves orphan files that
+no probe will ever see, instead of a torn store whose exact and near
+tiers disagree.  The meta stamp itself goes through
+write-tmp/delete/rename; a crash inside that tiny window leaves a store
+with no ``_meta.json``, which appends and reads refuse loudly.
+
+All filesystem access (meta stamps, existence checks, batch GC) goes
+through the Hadoop FileSystem API of the path's own scheme, so the
+store works unchanged on hdfs:// and s3a:// paths, not just the local
+disk Spark tests run on.
+
 Equality contract (pinned by tests/test_sigstore.py): screening a
-delta against the store — freshly built, parquet-roundtripped, or
-assembled by appends — returns the EXACT frame ``incremental_dedup``
-returns against the corpus text, because both feed the same probe core
-(``curation._incremental_dedup_core``) and the stored values are the
-same integer/string columns the inline path derives.
+delta against the store — freshly built, parquet-roundtripped,
+assembled by appends, or compacted — returns the EXACT frame
+``incremental_dedup`` returns against the corpus text, because both
+feed the same probe core (``curation._incremental_dedup_core``) and
+the stored values are the same integer/string columns the inline path
+derives.
 
 Scale notes: writes repartition ``bands`` by (band, key) and
 ``digests`` by digest so files are size-balanced under skewless md5
-keys; the probe joins shuffle on those same keys.  Appends are plain
-parquet appends — no compaction logic here; deployments layer their
-table format's clustering/compaction on top.  ``ngram`` is baked into
-the stored signatures: probing with a different ``ngram`` than the
-store was built with is a contract violation the probe cannot detect
-(signatures are just longs), so the store writes a ``_meta.json``
-recording it and ``read_signature_store`` refuses a mismatched probe.
+keys; the probe joins shuffle on those same keys.  ``ngram`` is baked
+into the stored signatures: probing with a different ``ngram`` than
+the store was built with is a contract violation the probe cannot
+detect (signatures are just longs), so ``_meta.json`` records it and
+both append and probe refuse a mismatch.
 """
 
 from __future__ import annotations
 
 import json
-import os
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import curation as _cur
+
+_STORE_VERSION = 2
 
 
 class SignatureStore(NamedTuple):
@@ -96,6 +112,110 @@ def signature_tables(
     return SignatureStore(digests, bands, ngram)
 
 
+# ---------------------------------------------------------------------------
+# Hadoop-FS plumbing: the store must work on hdfs:// / s3a:// paths, so
+# every non-parquet filesystem touch goes through the path's own
+# FileSystem instead of os/shutil (which silently no-op or corrupt on
+# remote schemes).
+# ---------------------------------------------------------------------------
+
+
+def _jfs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path``'s scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, P = _jfs(spark, path)
+    return bool(fs.exists(P(path)))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, P = _jfs(spark, path)
+    fs.delete(P(path), True)
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, P = _jfs(spark, path)
+    stream = fs.open(P(path))
+    try:
+        # py4j passes byte[] by value, so stream.read(buf) can't fill a
+        # Python buffer; commons-io (a hard Spark dependency) drains the
+        # stream JVM-side and returns the bytes.  Meta files are tens of
+        # bytes.
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``text`` to ``path`` via tmp + delete + rename.  The only
+    non-atomic window is between the delete and the rename; a crash
+    there leaves NO file at ``path``, which readers treat as a crashed
+    write and refuse loudly — never a half-written stamp."""
+    fs, P = _jfs(spark, path)
+    tmp = path + ".tmp"
+    stream = fs.create(P(tmp), True)
+    try:
+        stream.write(bytearray(text, "utf-8"))
+    finally:
+        stream.close()
+    if fs.exists(P(path)):
+        fs.delete(P(path), False)
+    if not fs.rename(P(tmp), P(path)):
+        raise IOError(f"rename {tmp} -> {path} failed")
+
+
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "/_meta.json"
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    meta_path = _meta_path(path)
+    if not _fs_exists(spark, meta_path):
+        raise ValueError(
+            f"signature store at {path} has no _meta.json — either it"
+            " was never written or a prior write crashed before the"
+            " meta stamp. Rebuild with mode='overwrite' instead of"
+            " reading/appending an unverifiable store."
+        )
+    meta = json.loads(_fs_read_text(spark, meta_path))
+    if meta.get("version") != _STORE_VERSION:
+        raise ValueError(
+            f"signature store at {path} has version {meta.get('version')};"
+            f" this engine reads version {_STORE_VERSION} stores. Rebuild"
+            " with write_signature_store(mode='overwrite')."
+        )
+    return meta
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    _fs_write_text_atomic(spark, _meta_path(path), json.dumps(meta))
+
+
+def _write_batch(
+    store: SignatureStore, path: str, batch_id: int, n: int
+) -> None:
+    """Write both tables into their ``batch=<id>`` partition dirs
+    (Hive-style: the batch value lives in the directory name, exactly
+    what ``partitionBy`` would produce, so partition discovery reads it
+    back).  Not a commit: the batch becomes visible only when the
+    caller stamps it into meta's committed list afterwards.  Overwrite
+    semantics on the batch dir are safe — a dir that exists at a
+    never-committed id is debris from a crashed write."""
+    base = path.rstrip("/")
+    store.digests.repartition(n, "digest").write.mode("overwrite").parquet(
+        f"{base}/digests/batch={batch_id}"
+    )
+    store.bands.repartition(n, "band", "key").write.mode("overwrite").parquet(
+        f"{base}/bands/batch={batch_id}"
+    )
+
+
 def write_signature_store(
     docs: DataFrame,
     path: str,
@@ -109,52 +229,54 @@ def write_signature_store(
     """Build the signature tables from ``docs`` and write them under
     ``path`` (``mode="append"`` adds a new ingestion batch — the caller
     guarantees batch doc_ids are disjoint from the store's, exactly as
-    for any corpus id space)."""
+    for any corpus id space).  Appends are atomic at batch granularity:
+    the new batch directory is invisible to probes until both tables
+    landed and the meta stamp committed it."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    store = signature_tables(docs, id_col=id_col, text_col=text_col, ngram=ngram)
-    meta_path = os.path.join(path, "_meta.json")
+    spark = docs.sparkSession
     if mode == "append":
-        # A store with tables but no _meta.json is a crashed write (meta
-        # lands last) — appending blind could mix ngram spaces, the exact
-        # silent corruption _meta.json exists to refuse.
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"signature store at {path} has no _meta.json — either it"
-                " was never written or a prior write crashed before the"
-                " meta stamp. Rebuild with mode='overwrite' instead of"
-                " appending into an unverifiable store."
-            )
-        with open(meta_path) as fh:
-            meta = json.load(fh)
+        meta = _read_meta(spark, path)
         if meta["ngram"] != ngram:
             raise ValueError(
                 f"signature store at {path} was built with ngram="
                 f"{meta['ngram']}; appending ngram={ngram} signatures"
                 " would silently corrupt every later probe"
             )
-    n = partitions or docs.sparkSession.sparkContext.defaultParallelism
-    store.digests.repartition(n, "digest").write.mode(mode).parquet(
-        os.path.join(path, "digests")
-    )
-    store.bands.repartition(n, "band", "key").write.mode(mode).parquet(
-        os.path.join(path, "bands")
-    )
-    os.makedirs(path, exist_ok=True)
-    with open(meta_path, "w") as fh:
-        json.dump({"ngram": ngram, "version": 1}, fh)
+    else:
+        if _fs_exists(spark, path):
+            _fs_delete(spark, path)
+        meta = {
+            "version": _STORE_VERSION,
+            "ngram": ngram,
+            "batches": [],
+            "next_batch": 0,
+        }
+    store = signature_tables(docs, id_col=id_col, text_col=text_col, ngram=ngram)
+    n = partitions or spark.sparkContext.defaultParallelism
+    batch_id = int(meta["next_batch"])
+    _write_batch(store, path, batch_id, n)
+    meta["batches"] = sorted(set(meta["batches"]) | {batch_id})
+    meta["next_batch"] = batch_id + 1
+    _write_meta(spark, path, meta)
 
 
 def read_signature_store(spark: SparkSession, path: str) -> SignatureStore:
-    """Open a store written by :func:`write_signature_store`."""
-    meta_path = os.path.join(path, "_meta.json")
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    return SignatureStore(
-        spark.read.parquet(os.path.join(path, "digests")),
-        spark.read.parquet(os.path.join(path, "bands")),
-        int(meta["ngram"]),
-    )
+    """Open a store written by :func:`write_signature_store`.  Only
+    COMMITTED batches are visible: the ``batch`` partition filter prunes
+    any directory a crashed write left behind."""
+    meta = _read_meta(spark, path)
+    base = path.rstrip("/")
+    committed = [int(b) for b in meta["batches"]]
+
+    def _read(tbl: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{base}/{tbl}")
+            .where(F.col("batch").isin(committed))
+            .drop("batch")
+        )
+
+    return SignatureStore(_read("digests"), _read("bands"), int(meta["ngram"]))
 
 
 def compact_signature_store(
@@ -163,32 +285,49 @@ def compact_signature_store(
     """Rewrite the store's append-accumulated small files into
     ``partitions`` balanced files per table (values unchanged — probes
     before and after return identical frames; pinned by
-    tests/test_sigstore.py).  Each append writes its own file set, so a
-    store that has admitted many small batches accumulates far more
-    files than bytes; periodic compaction restores scan parallelism
-    without touching corpus text.
+    tests/test_sigstore.py).  Each append writes its own batch
+    directory, so a store that has admitted many small batches
+    accumulates far more files than bytes; periodic compaction restores
+    scan parallelism without touching corpus text.
 
-    OFFLINE maintenance: the rewrite stages into a sibling directory and
-    swaps with remove+rename — not atomic, so do not run concurrently
-    with probes (deployments on a transactional table format use its
-    native compaction instead)."""
-    import shutil
-
-    n = partitions or spark.sparkContext.defaultParallelism
+    Crash-safe by the batch-commit protocol: the compacted copy lands
+    in a NEW batch directory, the meta stamp atomically swaps the
+    committed list to just that batch, and only then are the old batch
+    directories garbage-collected.  A crash at any point leaves a valid
+    store (possibly with orphan directories that readers prune and the
+    next compaction removes).  Probes planned BEFORE the swap may still
+    hold file handles into the old batches, so treat this as offline
+    maintenance or layer a transactional table format's compaction on
+    top for concurrent readers."""
+    meta = _read_meta(spark, path)
+    old_batches = [int(b) for b in meta["batches"]]
     store = read_signature_store(spark, path)
-    tmp = path + ".compacting"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    store.digests.repartition(n, "digest").write.parquet(
-        os.path.join(tmp, "digests")
-    )
-    store.bands.repartition(n, "band", "key").write.parquet(
-        os.path.join(tmp, "bands")
-    )
+    n = partitions or spark.sparkContext.defaultParallelism
+    batch_id = int(meta["next_batch"])
+    base = path.rstrip("/")
+    # Stage into a hidden sibling (Spark's file listing skips dot-dirs),
+    # then RENAME into place as the new batch dir: the compacted copy is
+    # derived from the directories it replaces, so it must never be
+    # written into the tree the read plan is still listing.
+    tmp = f"{base}/.compact_tmp"
+    if _fs_exists(spark, tmp):
+        _fs_delete(spark, tmp)
+    store.digests.repartition(n, "digest").write.parquet(f"{tmp}/digests")
+    store.bands.repartition(n, "band", "key").write.parquet(f"{tmp}/bands")
+    fs, P = _jfs(spark, path)
     for tbl in ("digests", "bands"):
-        shutil.rmtree(os.path.join(path, tbl))
-        os.rename(os.path.join(tmp, tbl), os.path.join(path, tbl))
-    shutil.rmtree(tmp, ignore_errors=True)
+        dst = f"{base}/{tbl}/batch={batch_id}"
+        if fs.exists(P(dst)):  # debris from a crashed compaction
+            fs.delete(P(dst), True)
+        if not fs.rename(P(f"{tmp}/{tbl}"), P(dst)):
+            raise IOError(f"rename {tmp}/{tbl} -> {dst} failed")
+    _fs_delete(spark, tmp)
+    meta["batches"] = [batch_id]
+    meta["next_batch"] = batch_id + 1
+    _write_meta(spark, path, meta)  # the commit point
+    for tbl in ("digests", "bands"):
+        for b in old_batches:
+            _fs_delete(spark, f"{base}/{tbl}/batch={b}")
 
 
 def incremental_dedup_from_store(

@@ -166,10 +166,13 @@ def test_compact_preserves_values_and_reduces_files(spark, tmp_path):
     before = _frames(
         incremental_dedup_from_store(read_signature_store(spark, path), d)
     )
-    n_files_before = len(glob.glob(f"{path}/bands/*.parquet"))
+    n_files_before = len(glob.glob(f"{path}/bands/batch=*/*.parquet"))
+    n_dirs_before = len(glob.glob(f"{path}/bands/batch=*"))
     compact_signature_store(spark, path, partitions=2)
-    n_files_after = len(glob.glob(f"{path}/bands/*.parquet"))
+    n_files_after = len(glob.glob(f"{path}/bands/batch=*/*.parquet"))
     assert n_files_after <= 2 < n_files_before
+    # old batch dirs are garbage-collected; one compacted batch remains
+    assert len(glob.glob(f"{path}/bands/batch=*")) == 1 < n_dirs_before
     store = read_signature_store(spark, path)
     assert store.ngram == 3
     after = _frames(incremental_dedup_from_store(store, d))
@@ -188,3 +191,66 @@ def test_append_to_metaless_store_refused(spark, tmp_path):
     os.remove(os.path.join(path, "_meta.json"))
     with pytest.raises(ValueError, match="_meta.json"):
         write_signature_store(existing, path, mode="append")
+    with pytest.raises(ValueError, match="_meta.json"):
+        read_signature_store(spark, path)
+
+
+def test_torn_append_invisible_to_probes(spark, tmp_path):
+    """A crash between the table writes and the meta stamp must leave
+    the torn batch INVISIBLE: readers filter to meta's committed list,
+    so the exact and near tiers can never disagree about a batch.
+    Simulated by writing batch files at the next id without committing
+    them (exactly the state a mid-append crash leaves)."""
+    import json as _json
+    import os
+
+    from pandas_sigproc_spark.operators.sigstore import (
+        _write_batch,
+        signature_tables,
+    )
+
+    corpus, delta = _corpus_and_delta()
+    first = spark.createDataFrame(corpus[corpus.doc_id < 3], SCHEMA)
+    second = spark.createDataFrame(corpus[corpus.doc_id >= 3], SCHEMA)
+    d = spark.createDataFrame(delta, SCHEMA)
+    path = str(tmp_path / "sigstore_torn")
+    write_signature_store(first, path)
+    baseline = _frames(
+        incremental_dedup_from_store(read_signature_store(spark, path), d)
+    )
+
+    # the torn append: both batch dirs land, the meta stamp never does
+    _write_batch(signature_tables(second), path, 1, 2)
+    assert os.path.exists(os.path.join(path, "bands", "batch=1"))
+    store = read_signature_store(spark, path)
+    assert store.digests.count() == int((corpus.doc_id < 3).sum())
+    got = _frames(incremental_dedup_from_store(store, d))
+    pd.testing.assert_frame_equal(got, baseline)
+
+    # a retried append at the same id commits and the batch appears
+    write_signature_store(second, path, mode="append")
+    store = read_signature_store(spark, path)
+    assert store.digests.count() == len(corpus)
+    meta = _json.load(open(os.path.join(path, "_meta.json")))
+    assert meta["batches"] == [0, 1]
+
+
+def test_unsupported_store_version_refused(spark, tmp_path):
+    import json as _json
+    import os
+
+    from pandas_sigproc_spark.operators.sigstore import (
+        _fs_write_text_atomic,
+    )
+
+    corpus, _ = _corpus_and_delta()
+    path = str(tmp_path / "sigstore_v1")
+    write_signature_store(spark.createDataFrame(corpus, SCHEMA), path)
+    meta_path = os.path.join(path, "_meta.json")
+    meta = _json.load(open(meta_path))
+    meta["version"] = 1
+    # tamper through the module's own FS writer (a plain open() write
+    # would just invalidate the Hadoop local-FS .crc sidecar)
+    _fs_write_text_atomic(spark, meta_path, _json.dumps(meta))
+    with pytest.raises(ValueError, match="version"):
+        read_signature_store(spark, path)
