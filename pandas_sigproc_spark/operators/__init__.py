@@ -95,6 +95,7 @@ from pandas_sigproc_spark.operators.curation import (
     quality_classifier,
     decontaminate_exact,
     build_bloom_bitmap,
+    bloom_decontaminate,
     bloom_probe,
     bloom_sizing,
     BloomSizing,
@@ -162,6 +163,7 @@ __all__ = [
     "quality_classifier",
     "decontaminate_exact",
     "build_bloom_bitmap",
+    "bloom_decontaminate",
     "bloom_probe",
     "bloom_sizing",
     "BloomSizing",

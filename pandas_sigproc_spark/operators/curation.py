@@ -492,6 +492,58 @@ def bloom_probe(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 5,
+    *,
+    target_fp: float = 1e-4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_m_bits: int = 1 << 30,
+) -> DataFrame:
+    """One-call Bloom decontamination, SIZED by the calculator: derive
+    the benchmark suite's distinct ``n``-gram hash set, count it (one
+    aggregate job over the suite — dimension-sized, not corpus-sized),
+    pick ``(m_bits, k)`` with :func:`bloom_sizing` for ``target_fp``,
+    fold the bitmap distributed, and probe ``docs`` map-side.
+
+    This is the production entry point: instead of inheriting the
+    module's sf0.1-tuned ``BLOOM_M_BITS``/``BLOOM_K`` constants, the
+    bitmap is sized per benchmark suite, so the realized per-gram FP
+    tracks ``target_fp`` at any suite cardinality (the calculator's
+    guarantee, property-swept in tests/test_bloom_sizing.py; the
+    end-to-end exact-join match is pinned in the same file).  Output
+    and scale shape are :func:`bloom_probe`'s — the corpus never
+    shuffles, the bitmap rides in as one broadcast row.
+    """
+    gh = (
+        bench_docs.select(
+            _text.gram_hash_expr(n, bench_text_col).alias("_gs")
+        )
+        .select(F.explode("_gs").alias("h"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_items = gh.count()
+        sz = bloom_sizing(max(n_items, 1), target_fp, max_m_bits=max_m_bits)
+        bitmap = build_bloom_bitmap(gh, m_bits=sz.m_bits, k=sz.k)
+    finally:
+        gh.unpersist()
+    return bloom_probe(
+        docs,
+        bitmap,
+        n,
+        id_col=id_col,
+        text_col=text_col,
+        m_bits=sz.m_bits,
+        k=sz.k,
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. Temperature-scaled language rebalancing
 # ---------------------------------------------------------------------------

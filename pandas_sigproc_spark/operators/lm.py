@@ -49,8 +49,9 @@ Bucketing has two modes mirroring CCNet itself:
   same map-side CASE as the fixed mode.  NO window anywhere: the
   percentile aggregate's memory is bounded by the sample (pick
   ``sample_mod`` so the sample is ~10^5-10^6 rows at the target corpus;
-  the default 4 suits the gate corpora).  An empty sample yields NULL
-  cutoffs (every bucket 'tail') — size ``sample_mod`` to the corpus.
+  the default 4 suits the gate corpora).  An empty sample (sample_mod
+  too large for the corpus) RAISES at the first bucketed row rather
+  than silently bucketing everything 'tail'.
 - ``thresholds=None``: exact in-corpus terciles via NTILE(3) ordered by
   (rounded score, doc_id).  Deterministic and engine-exact, but the
   ntile is a single-partition window over the PER-DOC table (corpus row
@@ -172,8 +173,27 @@ def ngram_lm_score(
             ).alias("_t2"),
         )
         scored = scored.crossJoin(F.broadcast(cuts))
+        # An empty sample (sample_mod too large for the corpus) yields
+        # NULL cutoffs; without a guard every document silently buckets
+        # 'tail' — undetectable from the output alone.  Refuse loudly at
+        # the first bucketed row instead (costs nothing: the NULL check
+        # rides the same map-side CASE).
+        empty_sample_guard = F.raise_error(
+            F.lit(
+                "ngram_lm_score(thresholds='sampled'): the deterministic"
+                f" md5 sample is EMPTY (sample_mod={int(sample_mod)} keeps"
+                " no scored document in this corpus), so the tercile"
+                " cutoffs are NULL and every document would silently"
+                " bucket 'tail'. Lower sample_mod or pass fixed"
+                " thresholds=(t1, t2)."
+            )
+        )
         bucket = (
-            F.when(F.col("log10_ppl") <= F.col("_t1"), F.lit("head"))
+            F.when(
+                F.col("_t1").isNull() | F.col("_t2").isNull(),
+                empty_sample_guard,
+            )
+            .when(F.col("log10_ppl") <= F.col("_t1"), F.lit("head"))
             .when(F.col("log10_ppl") <= F.col("_t2"), F.lit("middle"))
             .otherwise(F.lit("tail"))
         )

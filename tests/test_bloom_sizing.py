@@ -107,6 +107,56 @@ def test_measured_fp_below_target_on_real_probe(spark):
     )
 
 
+def test_sized_decontaminate_matches_exact_join(spark):
+    """The one-call sized path (bloom_decontaminate: count suite grams
+    -> bloom_sizing -> build -> probe) reproduces the exact broadcast-
+    join decontamination answer on the real sf0.01 corpus — the
+    calculator's output proven IN-PLAN, not just in isolation.  Bloom
+    guarantees no false negatives, so per doc n_flagged >= exact
+    overlap always; equality everywhere means zero realized FP at the
+    sized (m, k)."""
+    from pandas_sigproc_spark.operators import bloom_decontaminate
+    from pandas_sigproc_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # target_fp=1e-6: expected false grams over this ~10^5-gram corpus
+    # ~1e-3 << 1, so the sized bitmap reproduces the exact answer
+    # bit-for-bit (at 1e-4 the calculator legitimately admits a few
+    # false-positive GRAMS — that looser contract is pinned by
+    # test_measured_fp_below_target_on_real_probe above).
+    probe = bloom_decontaminate(train_docs, bench_docs, 5, target_fp=1e-6)
+    got = {
+        int(r.doc_id): int(r.n_flagged)
+        for r in probe.filter(F.col("n_flagged") > 0).collect()
+    }
+
+    bench = (
+        bench_docs.select(T.gram_hash_expr(5).alias("gs"))
+        .select(F.explode("gs").alias("h"))
+        .distinct()
+    )
+    train = train_docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(T.gram_hash_expr(5)).alias("h"),
+    )
+    exact = {
+        int(r.doc_id): int(r.n)
+        for r in train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert exact, "slice produced no contaminated docs — test is vacuous"
+    # the Bloom guarantee first (a false NEGATIVE is a broken filter,
+    # not a sizing choice), then full equality at the sized (m, k)
+    missing = {d: n for d, n in exact.items() if got.get(d, 0) < n}
+    assert not missing, f"false negatives (broken filter): {missing}"
+    assert got == exact
+
+
 def test_sizing_rejects_invalid_max_m_bits():
     with pytest.raises(ValueError, match="power of two"):
         bloom_sizing(1000, 1e-3, max_m_bits=10**9)  # not a power of two

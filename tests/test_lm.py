@@ -170,6 +170,21 @@ def test_sampled_terciles_plan_has_no_window(frames):
     assert "Window" not in plan
 
 
+def test_empty_sample_raises_not_all_tail(frames):
+    # sample_mod larger than anything the md5 sampler can keep: the
+    # cutoffs come back NULL, and pre-guard every document silently
+    # bucketed 'tail' — the output alone could not reveal the
+    # misconfiguration.  The guard must raise at the first bucketed row.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs, ref = frames
+    out = ngram_lm_score(
+        docs, ref, thresholds="sampled", sample_mod=10_000_000
+    )
+    with pytest.raises(SparkRuntimeException, match="sample is EMPTY"):
+        out.collect()
+
+
 def test_validation(frames):
     docs, ref = frames
     with pytest.raises(ValueError):
