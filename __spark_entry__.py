@@ -2322,13 +2322,19 @@ FROM codes
 # The r5 design used ONE 8-plane table; on this corpus (true top-3
 # neighbors at cos~0.34 ~= 70 degrees, per-plane flip prob ~0.39) its
 # single-bucket probe recalled 2-3% of true neighbors — banding with
-# b=4, L=8 measures recall@3 ~0.70 at a 0.4 candidate fraction, the
-# right trade for weakly-separated data.  At corpus scale b grows with
-# log2(n / target_bucket_rows) and L stays the recall knob; the gate
+# b=4, L=8 measures recall@3 ~0.70 at a 0.4 candidate fraction, and the
+# r9 Hamming-1 multiprobe (query side additionally probes each bucket
+# one bit-flip away) lifts that to 0.99-1.00 with the corpus side
+# untouched.  At corpus scale b grows with
+# log2(n / target_bucket_rows), L stays a recall knob, and the
+# multiprobe radius is the free one (query-side-only cost); the gate
 # corpora (500-2000 rows) use b=4 so buckets hold ~30-125 rows.
 _LSH_DIM = 64
 _LSH_TABLES = 8
 _LSH_BAND = 4
+# Hamming-radius-1 multiprobe masks (query-side fan-out; r9 recall
+# lift for the LSH tiers — operators/ann.py multiprobe_masks)
+_MP_MASKS = _ann.multiprobe_masks(_LSH_BAND, 1)
 
 
 def _lsh_planes(table: int):
@@ -2643,11 +2649,12 @@ FROM i2asg a LEFT JOIN drp d ON a.vid = d.vid
 
 
 def q_ann_lsh(spark, sf_dir):
-    # ANN top-3 per query vector over BANDED multi-table LSH: a corpus
-    # vector is a candidate if it co-buckets with the query in ANY of the
-    # L tables (see the banding note above _lsh_planes — the old
-    # single-table probe recalled 2-3% of true neighbors on this corpus;
-    # banding measures ~0.70 recall@3).  The (t, bucket) equi-join
+    # ANN top-3 per query vector over BANDED multi-table LSH with
+    # Hamming-1 MULTIPROBE: a corpus vector is a candidate if it
+    # co-buckets with the query — or a bucket one bit-flip away — in ANY
+    # of the L tables (the old single-table probe recalled 2-3% on this
+    # corpus; banding alone ~0.70; multiprobe measures 0.99-1.00
+    # recall@3 for a query-side-only fan-out).  The (t, bucket) equi-join
     # replaces the brute-force cross join and shuffles on a bounded
     # integer key; duplicate candidates (pairs co-bucketing in several
     # tables) collapse with a (qid, vec_id) MAX — the cosine is identical
@@ -2685,7 +2692,9 @@ un AS (
 ebt AS MATERIALIZED (
   {_sql_ebt(one_based=True, src="un", cols="vec_id, u")}
 ),
-q AS (SELECT vec_id AS qid, u AS qu, t, bucket FROM ebt WHERE vec_id < 50),
+masks AS (SELECT UNNEST({_MP_MASKS}) AS m),
+q AS (SELECT vec_id AS qid, u AS qu, t, xor(bucket, m) AS bucket
+      FROM ebt CROSS JOIN masks WHERE vec_id < 50),
 pairs AS (
   SELECT qid, vec_id,
          LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qu) + 1), i -> qu[i] * u[i])) AS cos
@@ -4490,7 +4499,9 @@ eq AS MATERIALIZED (
 eqt AS MATERIALIZED (
   {_sql_ebt(one_based=True, src="eq", cols="vec_id, code")}
 ),
-q AS (SELECT vec_id AS qid, code AS qcode, t, bucket FROM eqt WHERE vec_id < 50),
+masks AS (SELECT UNNEST({_MP_MASKS}) AS m),
+q AS (SELECT vec_id AS qid, code AS qcode, t, xor(bucket, m) AS bucket
+      FROM eqt CROSS JOIN masks WHERE vec_id < 50),
 cand AS (
   SELECT qid, vec_id,
          LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qcode) + 1), i -> qcode[i] * code[i])) AS qscore
@@ -4523,8 +4534,9 @@ def q_ann_ivf_int8(spark, sf_dir):
     candidate scan + exact float64 rescore — the production ANN layout
     (the FAISS IVFx,SQ8 index shape) assembled from the engine's IVF
     and int8 tiers.  Candidate recall tracks the IVF tier (bench
-    recall@3 0.92+ at nprobe/nlist = 0.5 probed fraction, vs the LSH
-    funnel's ~0.73 in `ann_int8`) while the WIDE stage still touches
+    recall@3 0.92+ at nprobe/nlist = 0.5 probed fraction; the
+    multiprobe LSH funnel in `ann_int8` now measures ~0.99 but scans a
+    larger candidate fraction) while the WIDE stage still touches
     only int8 codes — 16x less bandwidth than float64 — and is
     exact-deterministic (integer dot products, no float ranking until
     the rescore).  Full vectors are fetched for the <=10-row-per-query

@@ -205,6 +205,38 @@ def lsh_bucket_keys(
     )
 
 
+def multiprobe_masks(band: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= ``radius`` over ``band`` sign
+    bits, including 0 (the exact bucket).  Multiprobe LSH (Lv et al.,
+    VLDB 2007): a true neighbor that disagrees with the query on ONE of
+    a table's b planes lands in a bucket one bit-flip away, so probing
+    those neighbor buckets recovers exactly the near misses banding
+    loses — the recall lift of adding tables without re-hashing or
+    growing the CORPUS side at all (only the small query side fans out
+    x(1+b) at radius 1)."""
+    if not 0 <= radius <= band:
+        raise ValueError(f"need 0 <= radius <= band, got {radius}")
+    return [m for m in range(1 << band) if bin(m).count("1") <= radius]
+
+
+def _expand_probes(q: DataFrame, band: int, radius: int) -> DataFrame:
+    """Fan the query side out to its multiprobe buckets: one row per
+    (original key, mask), bucket XOR mask.  Corpus side untouched."""
+    if radius == 0:
+        return q
+    masks = multiprobe_masks(band, radius)
+    cols = [c for c in q.columns if c != "bucket"]
+    return q.select(
+        *cols,
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in masks])
+        ).alias("_m"),
+        "bucket",
+    ).select(
+        *cols, F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket")
+    )
+
+
 def _cos(va, vb):
     dot = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -220,6 +252,7 @@ def lsh_topk(
     tables: int = LSH_TABLES,
     band: int = LSH_BAND,
     dim: int = LSH_DIM,
+    multiprobe: int = 1,
     round_digits: int = 6,
 ) -> DataFrame:
     """ANN top-k per probe vector over banded multi-table LSH.
@@ -232,11 +265,16 @@ def lsh_topk(
     A corpus vector is a candidate if it co-buckets with the query in
     ANY of the L tables (OR-of-ANDs; a single AND-only table recalled
     2-3% on a weakly-separated corpus — banding measures ~0.70
-    recall@3).  The (t, bucket) equi-join replaces the brute-force
+    recall@3).  ``multiprobe`` additionally probes every bucket within
+    that Hamming radius of the query's key in each table (see
+    multiprobe_masks): radius 1 lifts measured recall@3 on the gate
+    corpora from ~0.73 to ~0.9 for a query-side-only x(1+b) fan-out —
+    the corpus side's keys, layout, and any materialized form of them
+    are untouched.  The (t, bucket) equi-join replaces the brute-force
     cross join and shuffles on a bounded integer key; duplicate
-    candidates (pairs co-bucketing in several tables) collapse with a
-    (qid, vec_id) MAX — the cosine is identical across tables, so MAX
-    is pure dedup.  Vectors are normalized ONCE per row, so the
+    candidates (pairs co-bucketing in several tables/probes) collapse
+    with a (qid, vec_id) MAX — the cosine is identical across tables,
+    so MAX is pure dedup.  Vectors are normalized ONCE per row, so the
     per-pair cosine is a single dot fold; buckets are computed from the
     RAW vector so the sign sums match the oracle's literal ±v terms
     bit-for-bit.
@@ -249,8 +287,12 @@ def lsh_topk(
         "t",
         "bucket",
     )
-    q = e.filter(probe_pred).select(
-        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "t", "bucket"
+    q = _expand_probes(
+        e.filter(probe_pred).select(
+            F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "t", "bucket"
+        ),
+        band,
+        multiprobe,
     )
     dot = F.aggregate(
         F.zip_with("qu", "u", lambda a, b: a * b),
@@ -457,16 +499,20 @@ def int8_lsh_topk(
     tables: int = LSH_TABLES,
     band: int = LSH_BAND,
     dim: int = LSH_DIM,
+    multiprobe: int = 1,
     persist=None,
 ) -> DataFrame:
     """Scalar-quantized ANN over the banded LSH keys: candidates are
     generated inside the LSH bucket by the INTEGER code dot product
     (16x less data than float64, exact-deterministic — no float ranking
     at the wide stage), the top-``funnel`` funnel down to an exact
-    float64 cosine top-``k``.  Returns ``(qid, vec_id, qscore, cos,
-    rank)``.  ``persist`` (e.g. ``DataFrame.persist``-wrapping cache
-    hooks) is applied to the coded key table both join sides consume —
-    without it the scale-agg + encode + explode runs twice.
+    float64 cosine top-``k``.  ``multiprobe`` fans the query side out
+    to Hamming-radius neighbor buckets exactly as in :func:`lsh_topk`
+    (same recall lift, same corpus-side-untouched contract).  Returns
+    ``(qid, vec_id, qscore, cos, rank)``.  ``persist`` (e.g.
+    ``DataFrame.persist``-wrapping cache hooks) is applied to the coded
+    key table both join sides consume — without it the scale-agg +
+    encode + explode runs twice.
     """
     persist = persist or (lambda df: df)
     eqt = persist(
@@ -477,8 +523,15 @@ def int8_lsh_topk(
             dim=dim,
         ).select("vec_id", "t", "bucket", _CODE().alias("code"))
     )
-    q = eqt.filter(probe_pred).select(
-        F.col("vec_id").alias("qid"), F.col("code").alias("qcode"), "t", "bucket"
+    q = _expand_probes(
+        eqt.filter(probe_pred).select(
+            F.col("vec_id").alias("qid"),
+            F.col("code").alias("qcode"),
+            "t",
+            "bucket",
+        ),
+        band,
+        multiprobe,
     )
     cand = (
         q.join(eqt, ["t", "bucket"])

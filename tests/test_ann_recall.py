@@ -7,12 +7,14 @@ near-random at dim 64 (true top-3 neighbors sit at cos~0.34, ~70 deg,
 barely outside the random-pair band cos 0.0 +/- 0.125), so recall for
 ANY sublinear method tracks the candidate fraction plus a structural
 lift; the floors below pin the measured behavior of the shipped defaults
-(banded LSH b=4 x L=8 ~ 0.70 @ 0.4 candidate fraction; IVF nlist=32 /
+(banded LSH b=4 x L=8 with Hamming-1 MULTIPROBE — the r9 lift: the old
+probe-own-bucket-only tiers measured ~0.70-0.73, radius-1 query-side
+fan-out measures 0.99-1.00 at both SFs for <2x wall; IVF nlist=32 /
 nprobe=16 ~ 0.92 @ 0.5 — the r8 retune: finer quantization lifts recall
 at CONSTANT scan fraction, 8/4 scanned the same 0.5 for 0.74; LSH-funnel
-int8 ~ 0.70; IVF-SQ8 `ann_ivf_int8` ~ 0.91 at both SFs — it inherits the
-IVF candidate set minus the occasional true neighbor the top-10 integer
-funnel drops before rescore) with headroom for a data refresh.
+int8 ~ 0.99 — it shares the multiprobe candidates minus the occasional
+true neighbor the top-10 integer funnel drops; IVF-SQ8 `ann_ivf_int8`
+~ 0.91 at both SFs) with headroom for a data refresh.
 A drop below floor means a bucketing/probing regression, not noise —
 everything here is deterministic on fixed data.
 """
@@ -25,7 +27,7 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.01"
 
-FLOORS = {"ann_lsh": 0.6, "ann_ivf": 0.9, "ann_int8": 0.6, "ann_ivf_int8": 0.85}
+FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.9, "ann_int8": 0.9, "ann_ivf_int8": 0.85}
 
 
 @pytest.fixture(scope="module")
