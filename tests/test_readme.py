@@ -1,0 +1,106 @@
+"""The README's python snippets, EXECUTED (r8 verdict #8): every code
+block under "Using the library" runs verbatim against fixture data —
+only path string literals and one scale literal are substituted — so an
+API promotion that drifts from the docs fails here, not in a user's
+shell.  (This test already caught two real doc bugs on introduction:
+``.df()`` calling the property's DataFrame, and a file-sink
+writeStream without the required checkpointLocation.)"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_signals
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+README = os.path.join(REPO, "README.md")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _python_blocks() -> list[str]:
+    return re.findall(r"```python\n(.*?)```", open(README).read(), re.S)
+
+
+def test_readme_has_the_three_usage_blocks():
+    # sigproc chain / curation / streaming — if a block is added this
+    # count forces the executor below to cover it too
+    assert len(_python_blocks()) == 3
+
+
+def test_readme_snippets_execute(spark, tmp_path):
+    blocks = _python_blocks()
+
+    # -- fixtures standing in for the reader's data --------------------
+    t = np.arange(0, 2.0, 1 / 2000.0)
+    rng = np.random.default_rng(5)
+    sig = make_signals(
+        spark, {f"c{i}": (t, rng.standard_normal(len(t))) for i in range(2)}
+    )
+    signals_path = str(tmp_path / "signals.parquet")
+    sig.write.parquet(signals_path)
+    docs_path = f"{SF_DIR}/documents.parquet"
+
+    from pandas_sigproc_spark.operators import text as T
+
+    docs_df = spark.read.parquet(docs_path)
+    bench_gram_hashes = (
+        docs_df.filter("doc_id % 10 = 0")
+        .select(F.explode(T.gram_hash_expr(5)).alias("h"))
+        .distinct()
+    )
+    new_batch = docs_df.filter("doc_id % 7 = 3").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    embeds = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    sch = "doc_id long, text string"
+    landing = str(tmp_path / "landing")
+    new_batch.write.parquet(landing)
+
+    # -- narrow, explicit substitutions: paths + one scale literal -----
+    subs = {
+        '"signals.parquet"': repr(signals_path),
+        '"documents.parquet"': repr(docs_path),
+        '"/warehouse/sigstore"': repr(str(tmp_path / "sigstore")),
+        '"landing/"': repr(landing),
+        '"dups/"': repr(str(tmp_path / "dups")),
+        '"ckpt/"': repr(str(tmp_path / "ckpt")),
+        "k=1024": "k=8",  # trained-quantizer sketch, shrunk to 500 rows
+    }
+    ns = {
+        "bench_gram_hashes": bench_gram_hashes,
+        "new_batch": new_batch,
+        "embeds": embeds,
+        "sch": sch,
+    }
+    for i, block in enumerate(blocks):
+        src = block
+        for lit, rep in subs.items():
+            src = src.replace(lit, rep)
+        exec(compile(src, f"README.md#python-block-{i}", "exec"), ns)
+
+    # -- the documented results actually materialize -------------------
+    assert ns["out"].limit(1).count() == 1
+    assert {"channel_id", "freq", "power"} <= set(ns["psd"].columns)
+    assert ns["groups"].count() >= 0  # may legitimately be empty
+    assert len(ns["bitmap"]) == ns["m"] // 32
+    v = ns["verdicts"]
+    assert {"doc_id", "is_exact_dup", "kept"} <= set(v.columns)
+    assert v.count() == new_batch.count()
+    assert ns["topk"].filter("rank <= 3").count() > 0
+    assert {"v1", "v2", "cos"} <= set(ns["near"].columns)
+
+    # the streaming query: drain the one landing batch, then check the
+    # sink received the dup-pair schema
+    q = ns["q"]
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.read.parquet(str(tmp_path / "dups"))
+    assert {"d_id", "match_id", "src"} <= set(sink.columns)
