@@ -143,12 +143,15 @@ def test_ann_int8_matches_python(spark):
 
     want_rows = []
     for qid in sorted(d for d in vecs if d < 50):
+        # r9 multiprobe: the query also probes every bucket within
+        # Hamming distance 1 of its key, so a candidate co-buckets iff
+        # the keys differ in at most one bit in ANY table
         cand = [
             d
             for d in vecs
             if d != qid
             and any(
-                buckets[d][t] == buckets[qid][t]
+                bin(buckets[d][t] ^ buckets[qid][t]).count("1") <= 1
                 for t in range(entry_mod._LSH_TABLES)
             )
         ]
