@@ -73,6 +73,7 @@ HEADLINE = [
     "seq_pack",
     "ann_int8",
     "ann_ivf_int8",
+    "ann_ivf_pq",
     "training_mix",
     # round-5 text additions
     "rep_stats",
@@ -342,7 +343,8 @@ def main():
         .collect()
     }
     recall = {}
-    for name in ("ann_lsh", "ann_ivf", "ann_int8", "ann_ivf_int8"):
+    for name in ("ann_lsh", "ann_ivf", "ann_int8", "ann_ivf_int8",
+                 "ann_ivf_pq"):
         pred = {
             (r["qid"], r["vec_id"])
             for r in qs[name](spark, sf_dir).filter("rank <= 3").collect()

@@ -59,6 +59,7 @@ from pandas_sigproc_spark.operators.ann import (
     lsh_topk,
     ivf_topk,
     int8_lsh_topk,
+    ivf_pq_topk,
     ivf_sq8_topk,
     embedding_near_pairs,
     centroids_from_kmeans,
@@ -142,6 +143,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "int8_lsh_topk",
+    "ivf_pq_topk",
     "ivf_sq8_topk",
     "embedding_near_pairs",
     "centroids_from_kmeans",

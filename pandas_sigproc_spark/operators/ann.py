@@ -590,6 +590,224 @@ def ivf_sq8_topk(
     return _rescore(cand, vecs, k, funnel)
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization with ADC scoring)
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces (r9 sweep on the gate corpora: recall@3 0.91+)
+PQ_KSUB = 64  # codebook entries per subspace (production: 256 = 1 byte)
+PQ_FUNNEL = 80  # ADC candidates exact-rescored per query
+
+
+def _pq_l2(a: Column, b: Column, off: int, sub: int) -> Column:
+    """Squared L2 between the ``[off, off+sub)`` slices of two array
+    columns — an ordered left fold, so the bits match the oracle's
+    ordered LIST_SUM replay."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, off + 1, sub),
+            F.slice(b, off + 1, sub),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_ip(a: Column, b: Column, off: int, sub: int) -> Column:
+    """Inner product of the ``[off, off+sub)`` slices (ordered fold)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, off + 1, sub),
+            F.slice(b, off + 1, sub),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes_expr(
+    u: Column, cbv: Column, *, m: int, sub: int
+) -> Column:
+    """Product-quantization codes of normalized vector ``u`` against the
+    codebook column ``cbv`` (array of ksub normalized vectors): for each
+    of the ``m`` subspaces, the index of the L2-nearest codebook
+    subvector.  Distances are rounded to 9 digits before the argmin
+    (the `_ivf_ranked_centroids` stability contract: a last-ulp
+    summation-order difference between engines cannot flip a code), and
+    ties resolve to the FIRST occurrence in both engines
+    (array_position / LIST_POSITION semantics)."""
+    # NB: the subspace offset is bound through a factory closure — a
+    # second lambda parameter with a default (`lambda cv, _j=j`) would
+    # make pyspark pass the ARRAY INDEX into it (transform's binary
+    # form), silently scoring subspace c against codebook entry c.
+    # The argmin sorts (dist, index) structs so the m*ksub distance
+    # folds are evaluated ONCE each (array_position(d, array_min(d))
+    # would reference the fold array twice); struct sort ties resolve
+    # to the smaller index = first occurrence, matching the oracle's
+    # LIST_POSITION(d, LIST_MIN(d)) semantics.
+    def _code(j: int) -> Column:
+        dists = F.transform(
+            cbv, lambda cv: F.round(_pq_l2(u, cv, j * sub, sub), 9)
+        )
+        ranked = F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.size(cbv) - 1),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+        return ranked[0]["i"].cast("int")
+
+    return F.array(*[_code(j) for j in range(m)])
+
+
+def pq_lut_expr(u: Column, cbv: Column, *, m: int, sub: int) -> Column:
+    """The query-side ADC lookup table: ``lut[j][c]`` = inner product of
+    the query's j-th normalized subvector with codebook entry ``c`` —
+    m x ksub doubles per QUERY row (never per corpus row)."""
+    def _row(j: int) -> Column:
+        return F.transform(cbv, lambda cv: _pq_ip(u, cv, j * sub, sub))
+
+    return F.array(*[_row(j) for j in range(m)])
+
+
+def ivf_pq_topk(
+    vecs: DataFrame,
+    probe_pred: Column,
+    *,
+    k: int = 3,
+    funnel: int = PQ_FUNNEL,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = LSH_DIM,
+    centroid_pred: Column | None = None,
+    centroids: DataFrame | None = None,
+    codebook_pred: Column | None = None,
+    persist=None,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer candidate selection + product-quantized
+    asymmetric-distance scan + exact float64 rescore — the
+    highest-compression production ANN layout (FAISS IVFx,PQm shape;
+    Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011).
+
+    Each NORMALIZED corpus vector is encoded as ``m`` codebook indices
+    (one per ``dim/m``-wide subspace; L2-nearest of ``ksub`` entries) —
+    ``m`` small ints per vector, vs dim int8s for SQ8 and dim float64s
+    for the exact scan: at the defaults an 8-code row is a 64x width
+    reduction of the candidate scan.  Scoring is ADC: the QUERY
+    precomputes ``lut[j][c] = <u_q[j], codebook[j][c]>`` (m x ksub
+    doubles, query-side only), and a candidate's approximate cosine is
+    ``sum_j lut[j][codes[j]]`` — m array lookups and adds per
+    candidate, no per-candidate vector arithmetic at all.  The
+    top-``funnel`` by rounded ADC score rescore with the exact float64
+    cosine, identical to the SQ8 funnel.
+
+    ``codebook_pred`` selects the ksub codebook rows from the corpus
+    (default: the first ``ksub`` ids — the same deterministic seeding
+    as the coarse quantizer; at production scale train per-subspace
+    k-means and pass larger structures through ``centroids`` for the
+    coarse tier).  Returns ``(qid, vec_id, qscore, cos, rank)``;
+    ``qscore`` is the ADC approximation rounded to 6 digits (the funnel
+    rank key — rounded so a last-ulp cross-engine difference cannot
+    change funnel membership).
+
+    Scale shape: codebook and coarse centroids are one broadcast row
+    each; the corpus-side persisted table is ``(vec_id, codes[m],
+    list_id)`` — the 100 TB scan touches only that; full vectors are
+    fetched for the <= funnel rows/query rescore alone.
+    """
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if centroid_pred is None:
+        centroid_pred = F.col("vec_id") < nlist
+    if codebook_pred is None:
+        codebook_pred = F.col("vec_id") < ksub
+    persist = persist or (lambda df: df)
+    sub = dim // m
+
+    nrm = F.sqrt(_sq_norm(F.col("v")))
+    u_expr = F.transform("v", lambda x: x / nrm)
+    cb = (
+        vecs.filter(codebook_pred)
+        .select("vec_id", u_expr.alias("u"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "u"))),
+                lambda st: st["u"],
+            ).alias("cbv")
+        )
+    )
+
+    # corpus side: (vec_id, codes, list_id) — coarse-assign on the raw
+    # vector (cosine is norm-invariant), PQ-encode the normalized one.
+    # u is projected as a NAMED column in its own select so the m*ksub
+    # distance folds reference it instead of inlining the normalization
+    # fold m*ksub times (CollapseProject keeps multiply-referenced
+    # non-cheap expressions materialized).
+    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
+    lists = persist(
+        ea.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            u_expr.alias("u"),
+            ranked[0]["cid"].alias("list_id"),
+            "cbv",
+        )
+        .select(
+            "vec_id",
+            pq_codes_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias(
+                "codes"
+            ),
+            "list_id",
+        )
+    )
+
+    # probe side: tiny — rebuild the centroid ranking and the ADC LUT
+    # for the query rows alone
+    if centroids is None:
+        centroids = vecs.filter(centroid_pred).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    eq, ranked_q = _ivf_ranked_centroids(
+        vecs.filter(probe_pred), None, centroids
+    )
+    probes = (
+        eq.crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("qid"),
+            u_expr.alias("u"),
+            F.slice(ranked_q, 1, nprobe).alias("_rkq"),
+            "cbv",
+        )
+        .select(
+            "qid",
+            pq_lut_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias("lut"),
+            F.explode(
+                F.transform("_rkq", lambda s: s["cid"])
+            ).alias("list_id"),
+        )
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", "lut", lambda cj, lj: F.element_at(lj, cj + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probes.join(lists, "list_id")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.round(adc, 6).alias("qscore"))
+    )
+    return _rescore(cand, vecs, k, funnel)
+
+
 def embedding_near_pairs(
     vecs: DataFrame,
     threshold: float = 0.4,

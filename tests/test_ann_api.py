@@ -155,3 +155,70 @@ def test_ivf_with_trained_kmeans_quantizer(vecs):
 
     sq8 = ivf_sq8_topk(vecs, probe, k=2, funnel=5, nprobe=3, centroids=cents)
     assert _check_shape(sq8, 2, score_col=True).shape[0] > 0
+
+
+def test_ivf_pq_planted_neighbors_and_codebook_exactness(vecs):
+    from pandas_sigproc_spark.operators import ivf_pq_topk
+
+    probe = F.col("vec_id") < 10
+    out = ivf_pq_topk(
+        vecs, probe, k=3, m=4, ksub=32, dim=DIM, funnel=40, nprobe=16
+    )
+    pdf = _check_shape(out, 3, score_col=True)
+    # the planted near-identical vector survives PQ + ADC for most
+    # queries (it shares subspace codes with its twin)
+    planted = sum(
+        1 for q in range(10) if 100 + q in set(pdf[pdf.qid == q]["vec_id"])
+    )
+    assert planted >= 8
+    # codebook members reconstruct EXACTLY: when the retrieved vector is
+    # one of the ksub codebook rows, its ADC score IS the true cosine
+    # (rounded 6) — the crispest self-check of the codes/LUT plumbing
+    member = pdf[(pdf.vec_id < 32)]
+    assert len(member) > 0
+    assert (member["qscore"] == member["cos"]).all()
+
+
+def test_ivf_pq_full_probe_full_funnel_equals_bruteforce(vecs):
+    from pandas_sigproc_spark.operators import ivf_pq_topk
+
+    probe = F.col("vec_id") < 6
+    full = (
+        ivf_pq_topk(
+            vecs, probe, k=3, m=4, ksub=32, dim=DIM,
+            funnel=N, nprobe=32,
+        )
+        .select("qid", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    q = vecs.filter(probe).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = (
+        cosine_topk_bruteforce(vecs, q, 3)
+        .select("qid", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(full, bf)
+
+
+def test_multiprobe_masks_validation():
+    from pandas_sigproc_spark.operators.ann import multiprobe_masks
+
+    assert multiprobe_masks(4, 0) == [0]
+    assert sorted(multiprobe_masks(4, 1)) == [0, 1, 2, 4, 8]
+    assert len(multiprobe_masks(4, 2)) == 1 + 4 + 6
+    assert len(multiprobe_masks(4, 4)) == 16
+    with pytest.raises(ValueError):
+        multiprobe_masks(4, 5)
+    with pytest.raises(ValueError):
+        multiprobe_masks(4, -1)
+
+
+def test_ivf_pq_validation(vecs):
+    from pandas_sigproc_spark.operators import ivf_pq_topk
+
+    with pytest.raises(ValueError, match="must divide"):
+        ivf_pq_topk(vecs, F.col("vec_id") < 5, m=5, dim=DIM)

@@ -27,7 +27,16 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.01"
 
-FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.9, "ann_int8": 0.9, "ann_ivf_int8": 0.85}
+FLOORS = {
+    "ann_lsh": 0.9,
+    "ann_ivf": 0.9,
+    "ann_int8": 0.9,
+    "ann_ivf_int8": 0.85,
+    # IVF-PQ: measured 0.91 at both SFs (m=16, ksub=64, funnel=80) —
+    # the highest-compression tier trades the last recall points for a
+    # 40x narrower candidate scan
+    "ann_ivf_pq": 0.85,
+}
 
 
 @pytest.fixture(scope="module")
