@@ -93,6 +93,7 @@ def test_readme_snippets_execute(spark, tmp_path):
     assert {"doc_id", "is_exact_dup", "kept"} <= set(v.columns)
     assert v.count() == new_batch.count()
     assert ns["topk"].filter("rank <= 3").count() > 0
+    assert ns["topk_pq"].filter("rank <= 3").count() > 0
     assert {"v1", "v2", "cos"} <= set(ns["near"].columns)
 
     # the streaming query: drain the one landing batch, then check the
