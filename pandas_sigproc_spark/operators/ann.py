@@ -687,6 +687,7 @@ def ivf_pq_topk(
     centroid_pred: Column | None = None,
     centroids: DataFrame | None = None,
     codebook_pred: Column | None = None,
+    codebook: DataFrame | None = None,
     persist=None,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer candidate selection + product-quantized
@@ -709,9 +710,13 @@ def ivf_pq_topk(
 
     ``codebook_pred`` selects the ksub codebook rows from the corpus
     (default: the first ``ksub`` ids — the same deterministic seeding
-    as the coarse quantizer; at production scale train per-subspace
-    k-means and pass larger structures through ``centroids`` for the
-    coarse tier).  Returns ``(qid, vec_id, qscore, cos, rank)``;
+    as the coarse quantizer).  ``codebook`` passes a TRAINED codebook
+    instead — a ``(cb_id long, cv array<double>)`` table of ksub FULL
+    vectors (e.g. k-means centroids over normalized vectors, via
+    ``centroids_from_kmeans``-style adaptation), ordered by cb_id, each
+    normalized internally exactly like corpus rows — and takes
+    precedence, mirroring the coarse tier's trained-quantizer
+    injection.  Returns ``(qid, vec_id, qscore, cos, rank)``;
     ``qscore`` is the ADC approximation rounded to 6 digits (the funnel
     rank key — rounded so a last-ulp cross-engine difference cannot
     change funnel membership).
@@ -732,15 +737,21 @@ def ivf_pq_topk(
 
     nrm = F.sqrt(_sq_norm(F.col("v")))
     u_expr = F.transform("v", lambda x: x / nrm)
-    cb = (
-        vecs.filter(codebook_pred)
-        .select("vec_id", u_expr.alias("u"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("vec_id", "u"))),
-                lambda st: st["u"],
-            ).alias("cbv")
+    if codebook is not None:
+        cb_nrm = F.sqrt(_sq_norm(F.col("cv")))
+        cb_src = codebook.select(
+            F.col("cb_id").cast("long").alias("_id"),
+            F.transform("cv", lambda x: x / cb_nrm).alias("u"),
         )
+    else:
+        cb_src = vecs.filter(codebook_pred).select(
+            F.col("vec_id").alias("_id"), u_expr.alias("u")
+        )
+    cb = cb_src.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_id", "u"))),
+            lambda st: st["u"],
+        ).alias("cbv")
     )
 
     # corpus side: (vec_id, codes, list_id) — coarse-assign on the raw

@@ -222,3 +222,29 @@ def test_ivf_pq_validation(vecs):
 
     with pytest.raises(ValueError, match="must divide"):
         ivf_pq_topk(vecs, F.col("vec_id") < 5, m=5, dim=DIM)
+
+
+def test_ivf_pq_with_trained_codebook(vecs):
+    """A k-means-trained PQ codebook injects through `codebook` exactly
+    like the coarse tier's trained quantizer — and beats nothing here
+    (the corpus is random), but the planted twins must still surface
+    and the shape contract must hold."""
+    from pandas_sigproc_spark.operators import (
+        centroids_from_kmeans,
+        ivf_pq_topk,
+        kmeans_embeddings,
+    )
+
+    km = kmeans_embeddings(vecs, k=32, iters=2, id_col="vec_id", vec_col="v")
+    cb = centroids_from_kmeans(km).select(
+        F.col("cid").alias("cb_id"), F.col("cv")
+    )
+    out = ivf_pq_topk(
+        vecs, F.col("vec_id") < 10, k=3, m=4, dim=DIM,
+        funnel=40, nprobe=16, codebook=cb,
+    )
+    pdf = _check_shape(out, 3, score_col=True)
+    planted = sum(
+        1 for q in range(10) if 100 + q in set(pdf[pdf.qid == q]["vec_id"])
+    )
+    assert planted >= 8
