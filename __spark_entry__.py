@@ -3221,17 +3221,31 @@ def _codec_fns(fmt: str):
         from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, encode_bmp
 
         return encode_bmp, decode_bmp_bytes
+    if fmt == "jpeg":
+        from pandas_sigproc_spark.sources.jpeg import (
+            decode_jpeg_bytes,
+            encode_jpeg,
+        )
+
+        # quality 100: unit quantizers — the gray ramp payloads these
+        # queries build stay pixel-recoverable (pinned in tests)
+        return (lambda px: encode_jpeg(px, 100)), decode_jpeg_bytes
     from pandas_sigproc_spark.sources.png import decode_png_bytes, encode_png
 
     return encode_png, decode_png_bytes
 
 
-def _media_image_query(spark, sf_dir, fmt: str, with_n_bytes: bool):
-    """Shared real-image pipeline (BMP and PNG differ ONLY in codec and
-    whether the byte length is SQL-predictable): quantize each channel's
+def _media_image_query(
+    spark, sf_dir, fmt: str, with_n_bytes: bool, with_pixel_sum: bool = True
+):
+    """Shared real-image pipeline (BMP/PNG/JPEG differ ONLY in codec and
+    in which outputs are SQL-predictable): quantize each channel's
     samples to gray pixel bytes, encode a 16-wide image, ship as a
     binary media column, decode through extract_media_features
-    (codec='real'), and pixel-verify by summing the decoded red channel.
+    (codec='real'), and pixel-verify by summing the decoded red channel
+    (skipped for lossy codecs — JPEG's pixel fidelity is pinned by
+    tests/test_jpeg.py instead; its DIMENSIONS still prove a real parse
+    of the entropy-coded stream under the hash gate).
     """
     import pandas as pd
 
@@ -3277,10 +3291,12 @@ def _media_image_query(spark, sf_dir, fmt: str, with_n_bytes: bool):
                 }
             )
 
-    sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
     cols = ["media_id", "width", "height", "n_frames"]
     if with_n_bytes:
         cols.append("n_bytes")
+    if not with_pixel_sum:
+        return feats.select(*cols)
+    sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
     return feats.join(sums, "media_id").select(*cols, "pixel_sum")
 
 
@@ -3337,6 +3353,32 @@ SELECT CAST(channel_id AS BIGINT) AS media_id,
        CAST((n + 15) // 16 AS INTEGER) AS height,
        1 AS n_frames,
        CAST(psum AS BIGINT) AS pixel_sum
+FROM agg
+"""
+
+
+def q_media_image_jpeg(spark, sf_dir):
+    """JPEG sibling of q_media_image_png: the same per-channel gray
+    quantization, encoded as baseline JFIF by the from-scratch DCT +
+    Huffman codec (sources/jpeg.py) at quality 100, shipped as binary,
+    and decoded back through the magic-dispatched real codec path.
+    Neither the entropy-coded byte length nor the lossy pixel sum is
+    SQL-predictable, so the gate pins what is — the decoded dimensions,
+    which only a genuine parse of the DQT/SOF0/DHT/SOS stream produces
+    (pixel fidelity anchors live in tests/test_jpeg.py: flat-color
+    exactness at q100, PSNR floors, restart-marker equality)."""
+    return _media_image_query(
+        spark, sf_dir, "jpeg", with_n_bytes=False, with_pixel_sum=False
+    )
+
+
+SQL_MEDIA_IMAGE_JPEG = f"""
+WITH {_SIG_CTE},
+agg AS (SELECT channel_id, COUNT(*) AS n FROM sig GROUP BY channel_id)
+SELECT CAST(channel_id AS BIGINT) AS media_id,
+       16 AS width,
+       CAST((n + 15) // 16 AS INTEGER) AS height,
+       1 AS n_frames
 FROM agg
 """
 
@@ -5614,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the IVF-PQ ADC tier, both needing first driver proof
         "incr_dedup_store": q_incr_dedup_store,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "media_image_jpeg": q_media_image_jpeg,
         # -- tier 1: r5-stale rotation (r8 verdict #1) --------------------
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -5643,7 +5686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integral_chunked": q_integral_chunked,
         "derivative_chunked": q_derivative_chunked,
         "rep_stats": q_rep_stats,
-        "doc_chunks": q_doc_chunks,
         "interp_chunked": q_interp_chunked,
         "resample_chunked": q_resample_chunked,
         "ann_int8": q_ann_int8,
@@ -5673,6 +5715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derivative": q_derivative,
         "detrend_agg": q_detrend_agg,
         "detrend_piecewise": q_detrend_piecewise,
+        "doc_chunks": q_doc_chunks,
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "interp_log": q_interp_log,
@@ -5797,6 +5840,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_real": SQL_MEDIA_AUDIO_REAL,
         "media_image_real": SQL_MEDIA_IMAGE_REAL,
         "media_image_png": SQL_MEDIA_IMAGE_PNG,
+        "media_image_jpeg": SQL_MEDIA_IMAGE_JPEG,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

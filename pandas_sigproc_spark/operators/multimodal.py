@@ -10,12 +10,12 @@ inside executors, and the output schema is fixed so Catalyst can prune.
 The decode step is isolated behind :func:`decode_payload`:
 
 - ``codec='real'`` runs the engine's from-scratch codecs on real bytes:
-  RIFF/WAVE audio (sources/wav.py), 24-bit BMP and baseline PNG images
-  (sources/bmp.py, sources/png.py — magic-dispatched), and the BMPV
-  frame container for video — decode, nearest-neighbour resize (format-
-  preserving re-encode), and frame sampling all operate on real pixels.
-  Other container formats (JPEG/MP4) would plug in at the same seam
-  (the libraries aren't in this environment).
+  RIFF/WAVE audio (sources/wav.py), 24-bit BMP, baseline PNG, and
+  baseline JPEG images (sources/bmp.py, sources/png.py, sources/jpeg.py
+  — magic-dispatched), and the BMPV frame container for video — decode,
+  nearest-neighbour resize (format-preserving re-encode), and frame
+  sampling all operate on real pixels.  MP4 would plug in at the same
+  seam (no codec library in this environment).
 - ``codec='fake'`` (plumbing tests) derives deterministic pseudo
   metadata and pixel statistics from the raw bytes, so the Spark-side
   plumbing — schema, batch iteration, partitioning, UDF signatures — is
@@ -48,20 +48,25 @@ FEATURE_SCHEMA = (
 
 
 def _decode_image(data: bytes) -> np.ndarray:
-    """Magic-dispatched real image decode: 24-bit BMP (sources/bmp.py) or
-    baseline PNG (sources/png.py — from-scratch on stdlib zlib).  JPEG
-    would plug in at this seam (no libjpeg in this environment)."""
+    """Magic-dispatched real image decode: 24-bit BMP (sources/bmp.py),
+    baseline PNG (sources/png.py — from-scratch on stdlib zlib), or
+    baseline JPEG (sources/jpeg.py — from-scratch DCT + Huffman)."""
     if data[:2] == b"BM":
         from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
 
         return decode_bmp_bytes(data)
+    if data[:2] == b"\xff\xd8":
+        from pandas_sigproc_spark.sources.jpeg import decode_jpeg_bytes
+
+        return decode_jpeg_bytes(data)
     from pandas_sigproc_spark.sources import png as _png
 
     if data[: len(_png.SIGNATURE)] == _png.SIGNATURE:
         return _png.decode_png_bytes(data)
     raise NotImplementedError(
-        "unrecognized image container: real codecs cover 24-bit BMP and "
-        "baseline PNG; JPEG plugs in at this seam (operators/multimodal.py)"
+        "unrecognized image container: real codecs cover 24-bit BMP, "
+        "baseline PNG, and baseline JPEG; other formats plug in at this "
+        "seam (operators/multimodal.py)"
     )
 
 
@@ -72,6 +77,10 @@ def _encode_image_like(px: np.ndarray, original: bytes) -> bytes:
 
     if original[: len(_png.SIGNATURE)] == _png.SIGNATURE:
         return _png.encode_png(px)
+    if original[:2] == b"\xff\xd8":
+        from pandas_sigproc_spark.sources.jpeg import encode_jpeg
+
+        return encode_jpeg(px)
     from pandas_sigproc_spark.sources.bmp import encode_bmp
 
     return encode_bmp(px)
@@ -80,13 +89,12 @@ def _encode_image_like(px: np.ndarray, original: bytes) -> bytes:
 def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
     """Decode one media payload to (width, height, n_frames).
 
-    ``codec='real'`` decodes ``kind='audio'`` payloads for real — they are
-    whole RIFF/WAVE files parsed by the engine's from-scratch WAV codec
-    (``sources/wav.py``), returning (n_samples, n_channels, 1).  Image and
-    video remain the marked seam for PIL/ffmpeg, which are absent from
-    this environment.  ``codec='fake'`` derives deterministic dimensions
-    from the byte length so the distributed plumbing around the decode is
-    testable for every kind.
+    ``codec='real'`` decodes every kind with the engine's from-scratch
+    codecs: audio is a whole RIFF/WAVE file (``sources/wav.py``,
+    returning (n_samples, n_channels, 1)), image is magic-dispatched
+    BMP/PNG/JPEG, video the BMPV frame container.  ``codec='fake'``
+    derives deterministic dimensions from the byte length so the
+    distributed plumbing around the decode is testable for every kind.
     """
     if codec == "real":
         if kind == "audio":
@@ -105,9 +113,9 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
             return px.shape[1], px.shape[0], len(frames)
         raise NotImplementedError(
             f"no real codec for media kind {kind!r}: audio decodes RIFF/WAVE "
-            "(sources/wav.py), image decodes 24-bit BMP (sources/bmp.py) and "
-            "baseline PNG (sources/png.py), video the BMPV frame container; "
-            "other container formats (JPEG/MP4) plug in here"
+            "(sources/wav.py), image decodes 24-bit BMP, baseline PNG, and "
+            "baseline JPEG (sources/bmp.py, png.py, jpeg.py), video the "
+            "BMPV frame container; MP4 plugs in here"
         )
     n = len(payload)
     if kind == "image":

@@ -1,0 +1,559 @@
+"""From-scratch baseline JPEG (JFIF) codec — pure NumPy + stdlib.
+
+Closes the container seam `operators/multimodal.py` documents for
+image payloads (reference parity target: the reference delegates all
+media to external libraries; this engine carries its own codecs —
+WAV/BMP/PNG already, JPEG here) without any imaging dependency.
+
+Encoder profile: baseline sequential DCT (SOF0), 3-component YCbCr
+4:4:4 (no chroma subsampling) or 1-component grayscale, 8-bit, one
+interleaved scan.  Huffman tables are CANONICAL FIXED-LENGTH tables
+built by :func:`_flat_table` (every DC category 4 bits, every AC
+(run,size) symbol 8 bits) and written to DHT — legal JPEG any decoder
+reads (DHT defines the file's tables; Annex K's are merely the
+customary defaults), chosen so the table constants are *derived* by a
+ten-line procedure instead of transcribed.  Quantization uses the
+standard Annex-K base matrices scaled by the libjpeg quality formula.
+
+Decoder: general baseline — parses DQT/SOF0/DHT/SOS/DRI, decodes any
+canonical Huffman tables (Annex K included), handles restart markers,
+dequantizes, IDCTs, and converts to RGB.  Supported sampling profile is
+what the encoder emits (all factors 1) plus grayscale; other factors
+raise NotImplementedError naming the seam.
+
+All arithmetic is float64 DCT via the orthonormal 8x8 cosine matrix
+(T F T^t), which IS the JPEG FDCT/IDCT definition.  Determinism: both
+directions are pure functions of the bytes — the same payload decodes
+to the same pixels on every executor.
+
+Quality anchors (pinned in tests/test_jpeg.py): flat-color images
+round-trip EXACTLY at quality 100 (DC-only blocks, unit quantizers);
+smooth gradients round-trip within PSNR bounds; every encoded stream
+re-parses through the general decoder path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+# Annex-K base quantization matrices (public spec constants)
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal 8x8 DCT matrix: T @ B @ T.T == the JPEG FDCT definition
+_T = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
+    for _x in range(8):
+        _T[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex-K base matrices."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman plumbing (shared by encoder + decoder)
+# ---------------------------------------------------------------------------
+
+
+def _flat_table(symbols: list[int], length: int):
+    """(bits, huffval) for a canonical table giving every symbol the
+    same code ``length`` — legal iff count < 2^length (the all-ones
+    code must stay unassigned; JPEG reserves it)."""
+    if len(symbols) >= (1 << length):
+        raise ValueError("flat table too small for symbol count")
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the standard canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [16 * r + s for r in range(16) for s in range(1, 11)] + [
+    0x00,  # EOB
+    0xF0,  # ZRL
+]
+DC_BITS, DC_HUFFVAL = _flat_table(_DC_SYMBOLS, 4)
+AC_BITS, AC_HUFFVAL = _flat_table(_AC_SYMBOLS, 8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    non-stuffing marker (RSTn handled by the caller via ``sync``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            # past a marker: feed 1-bits (spec: missing data reads as 1s)
+            self._acc = (self._acc << 8) | 0xFF
+            self._n += 8
+            return
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                self.pos += 1
+                b = 0xFF
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Drop padding bits, consume the RSTn marker, realign."""
+        self._acc = 0
+        self._n = 0
+        if self.marker is None:
+            # the padding bits were never read, so the marker bytes are
+            # still ahead of pos — skip to and over them
+            while not (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 1
+            self.pos += 2
+        self.marker = None
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(bits, huffval).items()
+    }
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, offset bits) of a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# color transforms (JFIF full-range BT.601)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _blocks(comp: np.ndarray) -> np.ndarray:
+    """(n_by, n_bx, 8, 8) view of an edge-padded component plane."""
+    h, w = comp.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(comp, ((0, ph - h), (0, pw - w)), mode="edge")
+    return pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_component_blocks(comp: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficients (n_blocks, 64), row-major MCUs."""
+    bl = _blocks(comp) - 128.0
+    coef = np.einsum("ux,byxw,vw->byuv", _T, bl, _T)
+    q = np.round(coef / qt).astype(np.int64)
+    flat = q.reshape(-1, 64)[:, _ZZ]
+    # 8-bit baseline bound: quantized ACs must fit 10 magnitude bits
+    # (at quality 100 a +/-128 checkerboard block can hit 1024)
+    flat[:, 1:] = np.clip(flat[:, 1:], -1023, 1023)
+    return flat
+
+
+def encode_jpeg(
+    px: np.ndarray, quality: int = 90, *, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
+    baseline JFIF byte string (4:4:4, one interleaved scan).
+    ``restart_interval`` > 0 emits DRI and byte-aligned RSTn markers
+    every that many MCUs (error-resilience segments; also the decoder's
+    restart-path test hook)."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("image too large for a JPEG frame header")
+    qt_l, qt_c = _quality_tables(quality)
+    if gray:
+        planes = [px.astype(np.float64)]
+        qts = [qt_l]
+        qids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+        qids = [0, 1, 1]
+
+    dc_codes = _canonical_codes(DC_BITS, DC_HUFFVAL)
+    ac_codes = _canonical_codes(AC_BITS, AC_HUFFVAL)
+    coeffs = [
+        _encode_component_blocks(p, qt) for p, qt in zip(planes, qts)
+    ]
+    n_blocks = coeffs[0].shape[0]
+
+    wtr = _BitWriter()
+    prev_dc = [0] * len(planes)
+    rst = 0
+    for b in range(n_blocks):  # interleaved MCUs (all factors 1)
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.flush()
+            wtr.buf += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            prev_dc = [0] * len(planes)
+        for ci, zz in enumerate(coeffs):
+            blk = zz[b]
+            diff = int(blk[0]) - prev_dc[ci]
+            prev_dc[ci] = int(blk[0])
+            size, bits = _magnitude(diff)
+            code, ln = dc_codes[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+            for i in range(1, 64):
+                v = int(blk[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    wtr.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_codes[16 * run + size]
+                wtr.write(code, ln)
+                wtr.write(bits, size)
+                run = 0
+                if i == last_nz:
+                    break
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                wtr.write(code, ln)
+    wtr.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
+    # DQT (one marker per table)
+    for tid, qt in enumerate(qts[:1] if gray else (qt_l, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in qt.reshape(-1)[_ZZ])
+    # SOF0
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack(">BBB", ci + 1, 0x11, qids[ci])
+    # DHT: same flat tables for both classes/ids used
+    for tclass, tid, bits, hv in (
+        (0, 0, DC_BITS, DC_HUFFVAL),
+        (1, 0, AC_BITS, AC_HUFFVAL),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(hv), (tclass << 4) | tid
+        )
+        out += bytes(bits) + bytes(hv)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS: every component uses table id 0 for DC and AC
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += struct.pack(">BB", ci + 1, 0x00)
+    out += b"\x00\x3f\x00"  # spectral selection 0..63, Ah/Al 0
+    out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_bytes(data: bytes) -> np.ndarray:
+    """Decode a baseline JFIF byte string to an (h, w, 3) uint8 RGB
+    array (grayscale replicates to 3 channels, like the BMP/PNG
+    decoders).  Supports 1- or 3-component baseline sequential scans
+    with all sampling factors 1 (the profile the encoder writes; Annex-K
+    or custom Huffman tables both fine), DRI/RSTn.  Subsampled (4:2:0 /
+    4:2:2) streams raise NotImplementedError naming this seam."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while data[pos + 1] == 0xFF:  # optional fill bytes
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS — no image data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT — possibly several tables
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if prec:
+                    vals = np.frombuffer(seg[i : i + 128], dtype=">u2")
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZZ] = vals.astype(np.int64)
+                qtabs[tid] = qt.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — possibly several tables
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                hv = list(seg[i + 17 : i + 17 + n])
+                htabs[(tclass, tid)] = _decode_table(bits, hv)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported; "
+                f"got SOF marker 0xFF{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cid, tids = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan.append((cid, tids >> 4, tids & 0xF))
+            return _decode_scan(
+                data, pos, frame, scan, qtabs, htabs, restart_interval
+            )
+        # else: APPn/COM etc. — skipped
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
+    fh, fw, comps = frame
+    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+        raise NotImplementedError(
+            "subsampled JPEG (sampling factors != 1) is outside the "
+            "supported profile — 4:2:0/4:2:2 upsampling plugs in at "
+            "sources/jpeg.py:_decode_scan"
+        )
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component scans supported")
+    by, bx = (fh + 7) // 8, (fw + 7) // 8
+    n_mcu = by * bx
+    order = []  # per scan component: (component index, dc table, ac table, qt)
+    for cid, dct, act in scan:
+        ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+        order.append(
+            (ci, htabs[(0, dct)], htabs[(1, act)], qtabs[comps[ci][3]])
+        )
+    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    rdr = _BitReader(data, pos)
+    prev_dc = [0] * len(comps)
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # reader already hit the RSTn marker; realign and reset DC
+            rdr.sync_restart()
+            prev_dc = [0] * len(comps)
+        myy, mxx = divmod(mcu, bx)
+        for ci, dc_tab, ac_tab, qt in order:
+            zz = np.zeros(64, dtype=np.int64)
+            size = _huff_decode(rdr, dc_tab)
+            diff = _extend(rdr.read_bits(size), size)
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            i = 1
+            while i < 64:
+                sym = _huff_decode(rdr, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, sz = sym >> 4, sym & 0xF
+                if sz == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i >= 64:
+                    raise ValueError("AC run overflows block")
+                zz[i] = _extend(rdr.read_bits(sz), sz)
+                i += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZZ] = zz * qt.reshape(-1)[_ZZ]
+            sp = blk.reshape(8, 8)
+            pix = _T.T @ sp @ _T + 128.0
+            planes[ci][
+                myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8
+            ] = pix
+    planes = [p[:fh, :fw] for p in planes]
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+__all__ = ["encode_jpeg", "decode_jpeg_bytes", "QUANT_LUMA", "QUANT_CHROMA"]

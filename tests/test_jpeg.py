@@ -1,0 +1,133 @@
+"""From-scratch baseline JPEG codec (sources/jpeg.py): quality anchors,
+profile guards, and the multimodal seam integration.
+
+Reference parity note: the reference delegates all media decoding to
+external libraries; this engine carries its own codecs (WAV/BMP/PNG and
+now JPEG) so the multimodal operators run on real bytes in this
+dependency-free environment."""
+
+import numpy as np
+import pytest
+
+from pandas_sigproc_spark.sources.jpeg import (
+    QUANT_LUMA,
+    decode_jpeg_bytes,
+    encode_jpeg,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient(h=64, w=64):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    g = (np.add.outer(y, x) / 2).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def test_flat_color_roundtrips_exactly_at_q100():
+    # DC-only blocks + unit quantizers: the one provable-exact corner
+    for v in (0, 77, 130, 255):
+        img = np.full((24, 40, 3), v, np.uint8)
+        out = decode_jpeg_bytes(encode_jpeg(img, 100))
+        assert np.array_equal(out, img), f"flat {v} not exact"
+
+
+def test_psnr_floors_and_monotone_quality():
+    img = _gradient()
+    p = {q: _psnr(img, decode_jpeg_bytes(encode_jpeg(img, q))) for q in (50, 90, 100)}
+    assert p[100] > 60 and p[90] > 50 and p[50] > 40
+    assert p[100] > p[90] > p[50]
+
+
+def test_nonmultiple_of_8_dims_and_grayscale():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (33, 50, 3), dtype=np.uint8).astype(np.uint8)
+    out = decode_jpeg_bytes(encode_jpeg(img, 95))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30
+    g = rng.integers(0, 256, (17, 23), dtype=np.uint8).astype(np.uint8)
+    out = decode_jpeg_bytes(encode_jpeg(g, 95))
+    assert out.shape == (17, 23, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all()  # gray replicates
+
+
+def test_restart_markers_decode_identically():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (48, 56, 3), dtype=np.uint8).astype(np.uint8)
+    plain = decode_jpeg_bytes(encode_jpeg(img, 90))
+    dri = encode_jpeg(img, 90, restart_interval=3)
+    assert len(dri) > len(encode_jpeg(img, 90))  # DRI + RSTn present
+    assert np.array_equal(decode_jpeg_bytes(dri), plain)
+
+
+def test_compression_actually_compresses():
+    img = _gradient(128, 128)
+    enc = encode_jpeg(img, 90)
+    assert len(enc) < img.size // 4  # raw 49KB -> well under 12KB
+
+
+def test_quality_scales_quant_tables():
+    from pandas_sigproc_spark.sources.jpeg import _quality_tables
+
+    l50, _ = _quality_tables(50)
+    assert np.array_equal(l50, QUANT_LUMA)  # scale 100 == base tables
+    l100, c100 = _quality_tables(100)
+    assert (l100 == 1).all() and (c100 == 1).all()
+    l10, _ = _quality_tables(10)
+    assert (l10 >= l50).all() and (l10 > l50).any()
+
+
+def test_stream_structure_and_guards():
+    img = np.full((8, 8, 3), 100, np.uint8)
+    data = encode_jpeg(img, 90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_bytes(b"BM" + data)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 8, 3), np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 4), np.uint8))
+
+
+def test_progressive_stream_refused_with_seam_message():
+    img = np.full((8, 8, 3), 100, np.uint8)
+    data = bytearray(encode_jpeg(img, 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_bytes(bytes(data))
+
+
+def test_multimodal_seam_dispatches_jpeg():
+    from pandas_sigproc_spark.operators.multimodal import (
+        _decode_image,
+        _encode_image_like,
+        decode_payload,
+    )
+
+    img = _gradient(24, 16)
+    payload = encode_jpeg(img, 100)
+    px = _decode_image(payload)
+    assert px.shape == img.shape
+    assert decode_payload(payload, "image", codec="real") == (16, 24, 1)
+    re = _encode_image_like(px, payload)
+    assert re[:2] == b"\xff\xd8"  # format-preserving re-encode
+
+
+def test_spark_media_pipeline_decodes_jpeg(spark):
+    """The full distributed path: encode per-channel images as JPEG in
+    applyInPandas, decode via the zero-shuffle mapInPandas feature
+    extractor — dimensions come out of a genuine stream parse."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_media_image_jpeg(spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["width"] == 16).all()
+    assert (pdf["n_frames"] == 1).all()
+    assert (pdf["height"] > 0).all()
