@@ -80,6 +80,7 @@ from pandas_sigproc_spark.operators.dedup import (
     jaccard_near_dupes,
     jaccard_pairs,
     jaccard_ppjoin,
+    lsh_band_tuning,
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
@@ -151,6 +152,7 @@ __all__ = [
     "jaccard_near_dupes",
     "jaccard_pairs",
     "jaccard_ppjoin",
+    "lsh_band_tuning",
     "pack_sequences",
     "assign_shards",
     "apply_channel_kernel",

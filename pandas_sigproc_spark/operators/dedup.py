@@ -31,6 +31,8 @@ per-doc window count to re-derive set sizes.  No all-pairs work anywhere.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -346,3 +348,84 @@ def guard_bucket_rows(
     return df.select(
         *[guard if c == guarded_col else F.col(c) for c in df.columns]
     )
+
+
+class LSHBandTuning(NamedTuple):
+    bands: int  # b: OR tables
+    rows: int  # r: minhash rows ANDed per band
+    n_perms_used: int  # b * r (<= the permutation budget)
+    s50: float  # similarity with 50% candidate probability ~ (1/b)^(1/r)
+    p_at_threshold: float  # candidate probability AT the target threshold
+    fp_mass: float  # integral of p(s) below threshold (wasted candidates)
+    fn_mass: float  # integral of 1 - p(s) above threshold (missed pairs)
+
+
+def lsh_band_tuning(
+    threshold: float,
+    n_perms: int,
+    *,
+    fn_weight: float = 2.0,
+    min_rows: int = 2,
+) -> LSHBandTuning:
+    """Pick the banded-MinHash ``(bands, rows)`` split for a Jaccard
+    ``threshold`` and a permutation budget — the MinHash analog of
+    :func:`curation.bloom_sizing`, replacing hand-picked band constants
+    with a derivation the caller can log.
+
+    Banding theory (Leskovec/Rajaraman/Ullman ch. 3): a pair with true
+    Jaccard ``s`` becomes a candidate with probability
+    ``p(s) = 1 - (1 - s^r)^b`` — an S-curve whose midpoint sits near
+    ``(1/b)^(1/r)``.  Every split of the budget trades the two error
+    masses against each other: small ``r`` pushes the curve left (more
+    false-positive candidates to verify), large ``r`` pushes it right
+    (true near-dups silently missed).  The chooser enumerates every
+    ``(r, b = n_perms // r)`` split and minimizes
+    ``fp_mass + fn_weight * fn_mass``, where the masses are the exact
+    integrals of the wrong-side probabilities (1000-point midpoint
+    rule).  ``fn_weight`` defaults to 10: in dedup, a missed duplicate
+    (train-set contamination) costs more than a wasted verification,
+    and the weight is the knob a deployment tunes.
+
+    Scale note: this is a driver-side pure function — nothing here
+    touches data.  The VERIFICATION cost of false positives is what the
+    candidate join downstream pays per pair, so at 100 TB re-run the
+    chooser per corpus with the measured similarity histogram in mind
+    rather than inheriting a fixed (b, r).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("need 0 < threshold < 1")
+    if n_perms < 2:
+        raise ValueError("need n_perms >= 2")
+    if not 1 <= min_rows <= n_perms:
+        raise ValueError("need 1 <= min_rows <= n_perms")
+    grid = [(i + 0.5) / 1000.0 for i in range(1000)]
+    best = None
+    for r in range(min_rows, n_perms + 1):
+        b = n_perms // r
+        if b < 1:
+            break
+        fp = fn = 0.0
+        for s in grid:
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        fp /= 1000.0
+        fn /= 1000.0
+        cost = fp + fn_weight * fn
+        if best is None or cost < best[0]:
+            p_thr = 1.0 - (1.0 - threshold**r) ** b
+            best = (
+                cost,
+                LSHBandTuning(
+                    bands=b,
+                    rows=r,
+                    n_perms_used=b * r,
+                    s50=(1.0 / b) ** (1.0 / r) if b > 0 else 1.0,
+                    p_at_threshold=p_thr,
+                    fp_mass=fp,
+                    fn_mass=fn,
+                ),
+            )
+    return best[1]
