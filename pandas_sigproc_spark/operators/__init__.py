@@ -82,6 +82,12 @@ from pandas_sigproc_spark.operators.dedup import (
     jaccard_ppjoin,
     lsh_band_tuning,
 )
+from .imagedup import (
+    phash_bytes,
+    phash_dedup,
+    phash_images,
+    phash_near_pairs,
+)
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
 from pandas_sigproc_spark.operators.sigstore import (
@@ -153,6 +159,10 @@ __all__ = [
     "jaccard_pairs",
     "jaccard_ppjoin",
     "lsh_band_tuning",
+    "phash_bytes",
+    "phash_dedup",
+    "phash_images",
+    "phash_near_pairs",
     "pack_sequences",
     "assign_shards",
     "apply_channel_kernel",

@@ -1,0 +1,227 @@
+"""Perceptual-hash image deduplication — near-dup detection over binary
+image columns (the multimodal counterpart of the embedding/minhash dedup
+tiers; the LAION-style image-dedup stage of a training pipeline).
+
+pHash (the classic DCT perceptual hash): decode the payload with the
+engine's own codecs (BMP/PNG/JPEG — operators/multimodal.py seam),
+grayscale, nearest-resize to 32x32, 2D DCT (the same orthonormal 8x8
+basis generalized to 32), keep the top-left 8x8 low-frequency block
+minus the DC term, threshold each coefficient against their median →
+one 64-bit signature per image.  Hashes survive exactly the transforms
+that matter for dedup: JPEG recompression, mild resizing, and brightness
+scaling perturb few bits, while unrelated images differ in ~32
+(pinned in tests/test_imagedup.py).
+
+Distributed shape (the part that must survive 100 TB):
+
+- ``phash_images``: ONE zero-shuffle ``mapInPandas`` pass — payload
+  bytes in, (media_id, phash BIGINT) out.  8 bytes per image leave the
+  decode stage; payloads never shuffle.
+- ``phash_near_pairs``: banded Hamming self-join on the 8-byte hashes.
+  The 64-bit hash splits into ``max_hamming + 1`` bit-bands; by
+  pigeonhole, any pair within the Hamming radius agrees EXACTLY on at
+  least one whole band, so candidates come from equi-joins on
+  (band_id, band_bits) — never an all-pairs scan — and are verified
+  with one ``bit_count(a XOR b)`` expression.  This is the same
+  OR-of-bands LSH shape as the MinHash and embedding tiers, specialized
+  to Hamming space where banding is EXACT (no false negatives at all,
+  not just probabilistic recall).  The verify is JVM-side integer ops;
+  no Python anywhere after the hash pass.  The same hot-bucket guard as
+  the embedding tier applies (a band value shared by millions of
+  near-identical images — run exact dedup first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import guard_bucket_rows
+
+PHASH_SIZE = 32  # resize target feeding the DCT
+PHASH_BITS = 64  # 8x8 low-frequency block minus DC, median-thresholded
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        n = PHASH_SIZE
+        t = np.zeros((n, n))
+        for u in range(n):
+            c = np.sqrt(1.0 / n) if u == 0 else np.sqrt(2.0 / n)
+            t[u] = c * np.cos((2 * np.arange(n) + 1) * u * np.pi / (2 * n))
+        _DCT32 = t
+    return _DCT32
+
+
+def phash_bytes(payload: bytes) -> int:
+    """The 64-bit perceptual hash of one encoded image payload."""
+    from .multimodal import _decode_image
+
+    px = _decode_image(bytes(payload)).astype(np.float64)
+    gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    from pandas_sigproc_spark.sources.bmp import resize_nearest
+
+    small = resize_nearest(
+        np.repeat(
+            np.clip(np.round(gray), 0, 255).astype(np.uint8)[:, :, None],
+            3,
+            axis=2,
+        ),
+        PHASH_SIZE,
+        PHASH_SIZE,
+    )[:, :, 0].astype(np.float64)
+    t = _dct32()
+    coef = t @ small @ t.T
+    block = coef[:8, :8].reshape(-1)[1:]  # drop DC: brightness invariance
+    med = np.median(block)
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # two's-complement into a signed 64-bit (Spark LongType)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_images(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id long, phash long) via one zero-shuffle mapInPandas pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "phash": [
+                        phash_bytes(bytes(p)) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
+def phash_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hashes: DataFrame | None = None,
+    max_bucket_rows: int | None = 100_000,
+) -> DataFrame:
+    """All image pairs (m1 < m2) whose pHashes differ in at most
+    ``max_hamming`` of 64 bits.  EXACT: banding in Hamming space loses
+    no true pair (pigeonhole over ``max_hamming + 1`` bands).
+
+    Output: ``(m1, m2, hamming int)``.  ``hashes`` short-circuits the
+    decode pass with a precomputed (media_id, phash) table — the
+    materialized-signature-store pattern.  ``max_bucket_rows`` is the
+    embedding tier's hot-bucket guard on the band join.
+    """
+    if not 0 <= max_hamming < PHASH_BITS:
+        raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
+    h = hashes if hashes is not None else phash_images(
+        media, id_col=id_col, payload_col=payload_col
+    )
+    n_bands = max_hamming + 1
+    width = PHASH_BITS // n_bands
+    rem = PHASH_BITS - width * n_bands  # last band absorbs the remainder
+
+    def band_bits(col, bi: int):
+        off = bi * width
+        w = width + (rem if bi == n_bands - 1 else 0)
+        # logical (unsigned) shift so the sign bit cannot smear: Spark
+        # longs are signed, shiftright is arithmetic — mask AFTER a
+        # shiftrightunsigned instead
+        return F.shiftrightunsigned(col, off).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    bands = h.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(*[band_bits(F.col("phash"), bi) for bi in range(n_bands)])
+        ).alias("band_id", "band_bits"),
+    )
+    if max_bucket_rows is not None:
+        bands = guard_bucket_rows(
+            bands,
+            ["band_id", "band_bits"],
+            guarded_col="band_bits",
+            max_bucket_rows=max_bucket_rows,
+            op_name="phash_near_pairs",
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("m1"),
+            F.col("b.media_id").alias("m2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("m1", "m2")  # pairs co-bucketing in several bands
+        .agg(F.max("hamming").alias("hamming"))
+    )
+    return cand.select("m1", "m2", F.col("hamming").cast("int").alias("hamming"))
+
+
+def phash_dedup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_bucket_rows: int | None = 100_000,
+) -> DataFrame:
+    """Keep/drop verdict per image: an image is dropped when a
+    LOWER-id image sits within the Hamming radius (the same keep-first
+    rule as the text dedup tiers).  Output: ``(media_id, phash, keep)``.
+    """
+    h = phash_images(media, id_col=id_col, payload_col=payload_col)
+    pairs = phash_near_pairs(
+        media,
+        max_hamming,
+        hashes=h,
+        max_bucket_rows=max_bucket_rows,
+    )
+    dropped = pairs.select(F.col("m2").alias("media_id")).distinct()
+    return (
+        h.join(dropped.withColumn("_d", F.lit(True)), "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+__all__ = [
+    "PHASH_BITS",
+    "PHASH_SIZE",
+    "phash_bytes",
+    "phash_images",
+    "phash_near_pairs",
+    "phash_dedup",
+]

@@ -1,0 +1,131 @@
+"""Perceptual-hash image dedup (operators/imagedup.py): hash invariance
+anchors, banding EXACTNESS vs brute-force Hamming, the keep-first
+verdict, and the hot-bucket guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark.operators.imagedup import (
+    PHASH_BITS,
+    phash_bytes,
+    phash_dedup,
+    phash_images,
+    phash_near_pairs,
+)
+from pandas_sigproc_spark.sources.bmp import encode_bmp, resize_nearest
+from pandas_sigproc_spark.sources.jpeg import encode_jpeg
+
+
+def _smooth(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """Low-frequency random image — the regime pHash is built for."""
+    r = np.random.default_rng(seed)
+    base = r.standard_normal((8, 8))
+    big = np.kron(base, np.ones((h // 8, w // 8)))
+    big = (big - big.min()) / (big.max() - big.min()) * 255
+    return np.repeat(big[:, :, None], 3, 2).astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_hash_invariance_anchors():
+    img = _smooth(1)
+    h0 = phash_bytes(encode_bmp(img))
+    # identical content through different containers / recompression
+    assert _ham(h0, phash_bytes(encode_jpeg(img, 90))) == 0
+    assert _ham(h0, phash_bytes(encode_jpeg(img, 50))) <= 4
+    # geometric + photometric near-dups stay near
+    assert _ham(h0, phash_bytes(encode_bmp(resize_nearest(img, 48, 48)))) <= 4
+    bright = np.clip(img.astype(float) * 1.15, 0, 255).astype(np.uint8)
+    assert _ham(h0, phash_bytes(encode_bmp(bright))) <= 6
+    # unrelated content lands far away
+    assert _ham(h0, phash_bytes(encode_bmp(_smooth(2)))) > 12
+    rng = np.random.default_rng(4)
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8).astype(np.uint8)
+    assert _ham(h0, phash_bytes(encode_bmp(noise))) > 12
+
+
+def _media_df(spark, imgs: dict[int, bytes]):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": list(imgs), "payload": [imgs[k] for k in imgs]}
+        ),
+        "media_id long, payload binary",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """20 distinct smooth images + planted near-dups: 100+i is a JPEG
+    recompression of i for i in 0..4, 200 is a brightened copy of 0."""
+    imgs = {i: encode_bmp(_smooth(i + 10)) for i in range(20)}
+    for i in range(5):
+        imgs[100 + i] = encode_jpeg(_smooth(i + 10), 85)
+    b = np.clip(_smooth(10).astype(float) * 1.1, 0, 255).astype(np.uint8)
+    imgs[200] = encode_bmp(b)
+    return _media_df(spark, imgs), imgs
+
+
+def test_banded_pairs_equal_bruteforce(corpus):
+    media, imgs = corpus
+    got = {
+        (r.m1, r.m2): r.hamming
+        for r in phash_near_pairs(media, 6).collect()
+    }
+    hashes = {k: phash_bytes(v) for k, v in imgs.items()}
+    want = {
+        (a, b): _ham(hashes[a], hashes[b])
+        for a in hashes
+        for b in hashes
+        if a < b and _ham(hashes[a], hashes[b]) <= 6
+    }
+    assert got == want  # banding is EXACT in Hamming space
+    # the planted recompressions are all found
+    for i in range(5):
+        assert (i, 100 + i) in got
+
+
+def test_phash_images_schema_and_determinism(corpus):
+    media, imgs = corpus
+    out = phash_images(media).toPandas().set_index("media_id")["phash"]
+    assert len(out) == len(imgs)
+    for k, v in imgs.items():
+        expect = phash_bytes(v)
+        assert int(out[k]) == expect
+
+
+def test_dedup_keep_first(corpus):
+    media, imgs = corpus
+    verdicts = {
+        r.media_id: r.keep for r in phash_dedup(media, 6).collect()
+    }
+    assert len(verdicts) == len(imgs)
+    for i in range(5):
+        assert verdicts[i] is True  # lower id kept
+        assert verdicts[100 + i] is False  # its recompression dropped
+    # images with no near neighbor are kept
+    lonely = [k for k in imgs if 5 <= k < 20]
+    assert all(verdicts[k] for k in lonely)
+
+
+def test_hot_bucket_guard_fires(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    payload = encode_bmp(_smooth(77))
+    media = _media_df(spark, {i: payload for i in range(12)})
+    with pytest.raises(SparkRuntimeException, match="phash_near_pairs"):
+        phash_near_pairs(media, 3, max_bucket_rows=5).collect()
+    # and the lift works
+    n = phash_near_pairs(media, 3, max_bucket_rows=None).count()
+    assert n == 12 * 11 // 2
+
+
+def test_validation(spark):
+    media = _media_df(spark, {0: encode_bmp(_smooth(1))})
+    with pytest.raises(ValueError):
+        phash_near_pairs(media, PHASH_BITS)
+    with pytest.raises(ValueError):
+        phash_near_pairs(media, -1)

@@ -61,6 +61,29 @@ def test_readme_snippets_execute(spark, tmp_path):
     sch = "doc_id long, text string"
     landing = str(tmp_path / "landing")
     new_batch.write.parquet(landing)
+    from pandas_sigproc_spark.sources.bmp import encode_bmp
+
+    r9 = np.random.default_rng(2)
+    imgs = {
+        i: encode_bmp(
+            np.repeat(
+                np.kron(
+                    r9.integers(0, 256, (8, 8)), np.ones((8, 8))
+                ).astype(np.uint8)[:, :, None],
+                3,
+                2,
+            )
+        )
+        for i in range(6)
+    }
+    import pandas as _pd
+
+    media = spark.createDataFrame(
+        _pd.DataFrame(
+            {"media_id": list(imgs), "payload": list(imgs.values())}
+        ),
+        "media_id long, payload binary",
+    )
 
     # -- narrow, explicit substitutions: paths + one scale literal -----
     subs = {
@@ -76,6 +99,7 @@ def test_readme_snippets_execute(spark, tmp_path):
         "bench_gram_hashes": bench_gram_hashes,
         "new_batch": new_batch,
         "embeds": embeds,
+        "media": media,
         "sch": sch,
     }
     for i, block in enumerate(blocks):
@@ -95,6 +119,8 @@ def test_readme_snippets_execute(spark, tmp_path):
     assert ns["topk"].filter("rank <= 3").count() > 0
     assert ns["topk_pq"].filter("rank <= 3").count() > 0
     assert {"v1", "v2", "cos"} <= set(ns["near"].columns)
+    assert {"m1", "m2", "hamming"} <= set(ns["img_dups"].columns)
+    assert ns["img_dups"].count() >= 0
 
     # the streaming query: drain the one landing batch, then check the
     # sink received the dup-pair schema
