@@ -85,6 +85,7 @@ from pandas_sigproc_spark.operators.dedup import (
 from .imagedup import (
     phash_bytes,
     phash_dedup,
+    phash_frames,
     phash_images,
     phash_near_pairs,
 )
@@ -161,6 +162,7 @@ __all__ = [
     "lsh_band_tuning",
     "phash_bytes",
     "phash_dedup",
+    "phash_frames",
     "phash_images",
     "phash_near_pairs",
     "pack_sequences",

@@ -187,6 +187,46 @@ def phash_near_pairs(
     return cand.select("m1", "m2", F.col("hamming").cast("int").alias("hamming"))
 
 
+def phash_frames(
+    media: DataFrame,
+    every_n: int = 1,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes of BMPV video payloads:
+    ``(media_id long, frame_idx int, phash long)`` — one zero-shuffle
+    mapInPandas pass, ``every_n``-th frame kept (frame sampling and
+    hashing fused so unsampled frames are never hashed).
+
+    Video near-dup composes from here relationally: join two videos'
+    frame-hash tables on frame_idx (aligned cuts) or via
+    :func:`phash_near_pairs` over the frame rows (shot-level matching)
+    — both stay in the exact banded-Hamming machinery.
+    """
+    if every_n < 1:
+        raise ValueError("need every_n >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandas_sigproc_spark.sources.bmp import decode_bmpv
+
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_bmpv(bytes(payload))
+                for fi in range(0, len(frames), every_n):
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    hs.append(phash_bytes(frames[fi]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hs}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, "media_id long, frame_idx int, phash long"
+    )
+
+
 def phash_dedup(
     media: DataFrame,
     max_hamming: int = 3,

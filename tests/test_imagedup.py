@@ -129,3 +129,32 @@ def test_validation(spark):
         phash_near_pairs(media, PHASH_BITS)
     with pytest.raises(ValueError):
         phash_near_pairs(media, -1)
+
+
+def test_video_frame_hashes_compose(spark):
+    """BMPV videos: sampled-frame hashes match the per-image hashes of
+    the same frames, and a recompressed/identical video's frame table
+    joins back at Hamming 0 per aligned frame."""
+    from pandas_sigproc_spark.operators.imagedup import phash_frames
+    from pandas_sigproc_spark.sources.bmp import encode_bmpv
+
+    frames_a = [encode_bmp(_smooth(40 + i)) for i in range(6)]
+    vids = {
+        1: encode_bmpv(frames_a),
+        2: encode_bmpv(frames_a),          # identical video
+        3: encode_bmpv([encode_bmp(_smooth(90 + i)) for i in range(6)]),
+    }
+    media = _media_df(spark, vids)
+    out = phash_frames(media, every_n=2).toPandas()
+    # 3 sampled frames per video (0, 2, 4)
+    assert sorted(out[out.media_id == 1]["frame_idx"]) == [0, 2, 4]
+    # per-frame hashes equal the standalone image hashes
+    for _, r in out[out.media_id == 1].iterrows():
+        assert int(r.phash) == phash_bytes(frames_a[int(r.frame_idx)])
+    # identical videos: all aligned frames at Hamming 0
+    a = out[out.media_id == 1].set_index("frame_idx")["phash"]
+    b = out[out.media_id == 2].set_index("frame_idx")["phash"]
+    assert (a == b).all()
+    # unrelated video: frames far away
+    c = out[out.media_id == 3].set_index("frame_idx")["phash"]
+    assert all(_ham(int(a[i]), int(c[i])) > 12 for i in a.index)
