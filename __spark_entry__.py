@@ -5638,15 +5638,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier 1 — the 10 r5-stale queries the r8 staleness contract
     #            flagged (tpch_* ×6, decontaminate, stratified_sample,
     #            ngram_counts, media_image_png);
-    #   tier 2 — 38 of the 47 r7-green queries, which would otherwise
-    #            age past the 2-round bound when r10 lands; the 9 left
-    #            below the cap (cheap single-channel window/text legs)
-    #            are r7-green — legal now and at r9, and the contract
-    #            forces them into the r10 window;
-    #   below the cap — the 9 r7 carry-overs plus the entire 50-query
-    #            r8 tier (fresh through r10); the local gate
-    #            (tools/oracle_check.py) keeps their coverage every
-    #            round.
+    #   tier 2 — 35 of the 47 r7-green queries, which would otherwise
+    #            age past the 2-round bound when r10 lands; the 12 left
+    #            below the cap (cheap single-channel window/text legs:
+    #            mov_rms, integral, derivative, detrend_agg,
+    #            detrend_piecewise, doc_chunks, resample, segment_stats,
+    #            interp_log, text_stats, lang_id, token_count) are
+    #            r7-green — legal now and at r9, and the contract
+    #            FORCES all 12 into the r10 window;
+    #   below the cap — the 12 r7 carry-overs plus the r8 tier (fresh
+    #            through r10); the local gate (tools/oracle_check.py)
+    #            keeps their coverage every round.
     return {
         # -- tier 0: never driver-checked under these names ---------------
         "semdedup_exact": q_semdedup_exact,
@@ -5707,7 +5709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_audio_real is the TRUE 50th entry (inside the window)
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (r7/r8 hash-green with code unchanged; the local gate keeps
-        #  their coverage.  The 9 r7 carry-overs directly below MUST be
+        #  their coverage.  The 12 r7 carry-overs directly below MUST be
         #  rotated into the r10 window — the max-staleness test fires
         #  the moment CORRECTNESS_r10.json lands otherwise.)
         "mov_rms": q_mov_rms,
