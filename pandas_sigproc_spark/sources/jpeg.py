@@ -278,38 +278,92 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _blocks(comp: np.ndarray) -> np.ndarray:
-    """(n_by, n_bx, 8, 8) view of an edge-padded component plane."""
+def _blocks(comp: np.ndarray, n_by: int, n_bx: int) -> np.ndarray:
+    """(n_by, n_bx, 8, 8) view of the component edge-padded to exactly
+    that block grid."""
     h, w = comp.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    pad = np.pad(comp, ((0, ph - h), (0, pw - w)), mode="edge")
-    return pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    pad = np.pad(
+        comp, ((0, n_by * 8 - h), (0, n_bx * 8 - w)), mode="edge"
+    )
+    return pad.reshape(n_by, 8, n_bx, 8).transpose(0, 2, 1, 3)
 
 
-def _encode_component_blocks(comp: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """Quantized zigzag coefficients (n_blocks, 64), row-major MCUs."""
-    bl = _blocks(comp) - 128.0
+def _encode_component_grid(
+    comp: np.ndarray, qt: np.ndarray, n_by: int, n_bx: int
+) -> np.ndarray:
+    """Quantized zigzag coefficients as a (n_by, n_bx, 64) block grid."""
+    bl = _blocks(comp, n_by, n_bx) - 128.0
     coef = np.einsum("ux,byxw,vw->byuv", _T, bl, _T)
     q = np.round(coef / qt).astype(np.int64)
-    flat = q.reshape(-1, 64)[:, _ZZ]
+    grid = q.reshape(n_by, n_bx, 64)[:, :, _ZZ]
     # 8-bit baseline bound: quantized ACs must fit 10 magnitude bits
     # (at quality 100 a +/-128 checkerboard block can hit 1024)
-    flat[:, 1:] = np.clip(flat[:, 1:], -1023, 1023)
-    return flat
+    grid[:, :, 1:] = np.clip(grid[:, :, 1:], -1023, 1023)
+    return grid
+
+
+def _box_downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean chroma downsample (edge-padded to even dims)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    )
+
+
+def _write_block(wtr, blk, prev_dc, ci, dc_codes, ac_codes) -> None:
+    diff = int(blk[0]) - prev_dc[ci]
+    prev_dc[ci] = int(blk[0])
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[size]
+    wtr.write(code, ln)
+    if size:
+        wtr.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+    for i in range(1, 64):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[16 * run + size]
+        wtr.write(code, ln)
+        wtr.write(bits, size)
+        run = 0
+        if i == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wtr.write(code, ln)
 
 
 def encode_jpeg(
-    px: np.ndarray, quality: int = 90, *, restart_interval: int = 0
+    px: np.ndarray,
+    quality: int = 90,
+    *,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline JFIF byte string (4:4:4, one interleaved scan).
-    ``restart_interval`` > 0 emits DRI and byte-aligned RSTn markers
-    every that many MCUs (error-resilience segments; also the decoder's
-    restart-path test hook)."""
+    baseline JFIF byte string, one interleaved scan.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling, the bit-fidelity
+    profile) or ``"420"`` (2x2 box-mean chroma downsample, Y sampling
+    factors 2x2 — the dominant real-world profile, halving the encoded
+    chroma area twice).  ``restart_interval`` > 0 emits DRI and
+    byte-aligned RSTn markers every that many MCUs (error-resilience
+    segments; also the decoder's restart-path test hook)."""
     px = np.asarray(px)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -320,58 +374,51 @@ def encode_jpeg(
         planes = [px.astype(np.float64)]
         qts = [qt_l]
         qids = [0]
+        samps = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "420":
+            planes = [y, _box_downsample2(cb), _box_downsample2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
         qts = [qt_l, qt_c, qt_c]
         qids = [0, 1, 1]
 
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    mbx = (w + 8 * hmax - 1) // (8 * hmax)
     dc_codes = _canonical_codes(DC_BITS, DC_HUFFVAL)
     ac_codes = _canonical_codes(AC_BITS, AC_HUFFVAL)
-    coeffs = [
-        _encode_component_blocks(p, qt) for p, qt in zip(planes, qts)
+    grids = [
+        _encode_component_grid(p, qt, mby * vs, mbx * hs)
+        for p, qt, (hs, vs) in zip(planes, qts, samps)
     ]
-    n_blocks = coeffs[0].shape[0]
 
     wtr = _BitWriter()
     prev_dc = [0] * len(planes)
     rst = 0
-    for b in range(n_blocks):  # interleaved MCUs (all factors 1)
-        if restart_interval and b and b % restart_interval == 0:
+    for mcu in range(mby * mbx):  # interleaved MCUs
+        if restart_interval and mcu and mcu % restart_interval == 0:
             wtr.flush()
             wtr.buf += bytes((0xFF, 0xD0 + rst))
             rst = (rst + 1) & 7
             prev_dc = [0] * len(planes)
-        for ci, zz in enumerate(coeffs):
-            blk = zz[b]
-            diff = int(blk[0]) - prev_dc[ci]
-            prev_dc[ci] = int(blk[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_codes[size]
-            wtr.write(code, ln)
-            if size:
-                wtr.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
-            for i in range(1, 64):
-                v = int(blk[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    wtr.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_codes[16 * run + size]
-                wtr.write(code, ln)
-                wtr.write(bits, size)
-                run = 0
-                if i == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                wtr.write(code, ln)
+        my, mx = divmod(mcu, mbx)
+        for ci, (grid, (hs, vs)) in enumerate(zip(grids, samps)):
+            for dy in range(vs):
+                for dx in range(hs):
+                    _write_block(
+                        wtr,
+                        grid[my * vs + dy, mx * hs + dx],
+                        prev_dc,
+                        ci,
+                        dc_codes,
+                        ac_codes,
+                    )
     wtr.flush()
 
     out = bytearray()
@@ -386,7 +433,8 @@ def encode_jpeg(
     nc = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        out += struct.pack(">BBB", ci + 1, 0x11, qids[ci])
+        hs, vs = samps[ci]
+        out += struct.pack(">BBB", ci + 1, (hs << 4) | vs, qids[ci])
     # DHT: same flat tables for both classes/ids used
     for tclass, tid, bits, hv in (
         (0, 0, DC_BITS, DC_HUFFVAL),
@@ -495,23 +543,29 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     fh, fw, comps = frame
-    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
-        raise NotImplementedError(
-            "subsampled JPEG (sampling factors != 1) is outside the "
-            "supported profile — 4:2:0/4:2:2 upsampling plugs in at "
-            "sources/jpeg.py:_decode_scan"
-        )
     if len(comps) not in (1, 3):
         raise NotImplementedError("only 1- or 3-component scans supported")
-    by, bx = (fh + 7) // 8, (fw + 7) // 8
-    n_mcu = by * bx
-    order = []  # per scan component: (component index, dc table, ac table, qt)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % hs or vmax % vs for _, hs, vs, _ in comps):
+        raise NotImplementedError(
+            "non-integer chroma upsampling ratios are outside the "
+            "supported profile (sources/jpeg.py:_decode_scan)"
+        )
+    mby = (fh + 8 * vmax - 1) // (8 * vmax)
+    mbx = (fw + 8 * hmax - 1) // (8 * hmax)
+    n_mcu = mby * mbx
+    order = []  # (component idx, hs, vs, dc table, ac table, qt)
     for cid, dct, act in scan:
         ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+        _, hs, vs, qid = comps[ci]
         order.append(
-            (ci, htabs[(0, dct)], htabs[(1, act)], qtabs[comps[ci][3]])
+            (ci, hs, vs, htabs[(0, dct)], htabs[(1, act)], qtabs[qid])
         )
-    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    planes = [
+        np.zeros((mby * 8 * vs, mbx * 8 * hs))
+        for _, hs, vs, _ in comps
+    ]
     rdr = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
     for mcu in range(n_mcu):
@@ -519,41 +573,47 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
             # reader already hit the RSTn marker; realign and reset DC
             rdr.sync_restart()
             prev_dc = [0] * len(comps)
-        myy, mxx = divmod(mcu, bx)
-        for ci, dc_tab, ac_tab, qt in order:
-            zz = np.zeros(64, dtype=np.int64)
-            size = _huff_decode(rdr, dc_tab)
-            diff = _extend(rdr.read_bits(size), size)
-            prev_dc[ci] += diff
-            zz[0] = prev_dc[ci]
-            i = 1
-            while i < 64:
-                sym = _huff_decode(rdr, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, sz = sym >> 4, sym & 0xF
-                if sz == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i >= 64:
-                    raise ValueError("AC run overflows block")
-                zz[i] = _extend(rdr.read_bits(sz), sz)
-                i += 1
-            blk = np.zeros(64, dtype=np.float64)
-            blk[_ZZ] = zz * qt.reshape(-1)[_ZZ]
-            sp = blk.reshape(8, 8)
-            pix = _T.T @ sp @ _T + 128.0
-            planes[ci][
-                myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8
-            ] = pix
-    planes = [p[:fh, :fw] for p in planes]
-    if len(planes) == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        myy, mxx = divmod(mcu, mbx)
+        for ci, hs, vs, dc_tab, ac_tab, qt in order:
+            for dy in range(vs):
+                for dx in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _huff_decode(rdr, dc_tab)
+                    diff = _extend(rdr.read_bits(size), size)
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    i = 1
+                    while i < 64:
+                        sym = _huff_decode(rdr, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, sz = sym >> 4, sym & 0xF
+                        if sz == 0:
+                            if run != 15:
+                                raise ValueError("invalid AC symbol")
+                            i += 16  # ZRL
+                            continue
+                        i += run
+                        if i >= 64:
+                            raise ValueError("AC run overflows block")
+                        zz[i] = _extend(rdr.read_bits(sz), sz)
+                        i += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_ZZ] = zz * qt.reshape(-1)[_ZZ]
+                    pix = _T.T @ blk.reshape(8, 8) @ _T + 128.0
+                    y0 = (myy * vs + dy) * 8
+                    x0 = (mxx * hs + dx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    # nearest upsampling of subsampled components, then crop to frame
+    full = []
+    for p, (_, hs, vs, _) in zip(planes, comps):
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))
 
 
 __all__ = ["encode_jpeg", "decode_jpeg_bytes", "QUANT_LUMA", "QUANT_CHROMA"]

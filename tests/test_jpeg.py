@@ -131,3 +131,65 @@ def test_spark_media_pipeline_decodes_jpeg(spark):
     assert (pdf["width"] == 16).all()
     assert (pdf["n_frames"] == 1).all()
     assert (pdf["height"] > 0).all()
+
+
+def _colorful(seed: int = 7) -> np.ndarray:
+    r = np.random.default_rng(seed)
+    col = np.stack(
+        [np.kron(r.standard_normal((8, 8)), np.ones((8, 8))) for _ in range(3)],
+        -1,
+    )
+    return ((col - col.min()) / (col.max() - col.min()) * 255).astype(np.uint8)
+
+
+def test_420_roundtrip_and_compression():
+    img = _colorful()
+    d = decode_jpeg_bytes(encode_jpeg(img, 90, subsampling="420"))
+    assert d.shape == img.shape
+    assert _psnr(img, d) > 30
+    # chroma-area quartering shows up as real byte savings on natural
+    # content (noise: ~2x; smooth color: ~1.4x) — blocky synthetics can
+    # invert it because the 2x2 box mean creates off-grid edges
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8).astype(np.uint8)
+    assert len(encode_jpeg(noise, 90, subsampling="420")) < 0.6 * len(
+        encode_jpeg(noise, 90)
+    )
+    x = np.linspace(0, 255, 64)
+    smooth_col = np.stack(
+        [np.add.outer(x, x) / 2, np.add.outer(x[::-1], x) / 2, np.tile(x, (64, 1))],
+        -1,
+    ).astype(np.uint8)
+    assert len(encode_jpeg(smooth_col, 90, subsampling="420")) < 0.8 * len(
+        encode_jpeg(smooth_col, 90)
+    )
+    # luma survives subsampling almost untouched: gray content at 4:2:0
+    # stays near the 4:4:4 fidelity
+    gray_img = _gradient()
+    assert _psnr(
+        gray_img, decode_jpeg_bytes(encode_jpeg(gray_img, 90, subsampling="420"))
+    ) > 45
+
+
+def test_420_odd_dims_and_restarts():
+    img = _colorful(9)[:37, :45]
+    d = decode_jpeg_bytes(encode_jpeg(img, 90, subsampling="420"))
+    assert d.shape == (37, 45, 3)
+    assert _psnr(img, d) > 30
+    plain = decode_jpeg_bytes(encode_jpeg(img, 90, subsampling="420"))
+    rst = decode_jpeg_bytes(
+        encode_jpeg(img, 90, subsampling="420", restart_interval=2)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_420_sampling_factors_in_header():
+    data = encode_jpeg(_colorful(), 90, subsampling="420")
+    i = data.index(b"\xff\xc0")
+    # marker(2) + len(2) prec(1) h(2) w(2) nc(1) = 10, then
+    # (id, samp, qid) triples — samp is the second byte of each triple
+    samp_y = data[i + 11]
+    samp_cb = data[i + 14]
+    assert samp_y == 0x22 and samp_cb == 0x11
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_colorful(), 90, subsampling="422")
