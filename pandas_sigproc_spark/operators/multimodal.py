@@ -182,10 +182,11 @@ RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -> DataFrame:
     """Resize to (width, height), binary in -> binary out.
 
-    ``codec='real'``: decode 24-bit BMP, nearest-neighbour resample
-    (sources/bmp.py — a real resize over real pixels), re-encode BMP.
-    ``codec='fake'``: tile/truncate the raw byte buffer to width*height —
-    the plumbing-only path for payloads that aren't images at all.
+    ``codec='real'``: magic-dispatched decode (BMP/PNG/JPEG),
+    nearest-neighbour resample over real pixels, FORMAT-PRESERVING
+    re-encode (a JPEG comes back as a JPEG).  ``codec='fake'``:
+    tile/truncate the raw byte buffer to width*height — the
+    plumbing-only path for payloads that aren't images at all.
     Output stays binary so downstream stages keep the same media model.
     """
 

@@ -193,3 +193,20 @@ def test_420_sampling_factors_in_header():
     assert samp_y == 0x22 and samp_cb == 0x11
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_colorful(), 90, subsampling="422")
+
+
+def test_resize_images_preserves_jpeg_container(spark):
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.multimodal import resize_images
+    from pandas_sigproc_spark.sources.jpeg import decode_jpeg_bytes as dec
+
+    payload = encode_jpeg(_colorful(), 90, subsampling="420")
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload]}),
+        "media_id long, payload binary",
+    )
+    out = resize_images(media, 24, 20, codec="real").collect()[0]
+    assert (out.width, out.height) == (24, 20)
+    px = dec(bytes(out.payload))  # re-encoded as a JPEG
+    assert px.shape == (20, 24, 3)
