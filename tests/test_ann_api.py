@@ -248,3 +248,40 @@ def test_ivf_pq_with_trained_codebook(vecs):
         1 for q in range(10) if 100 + q in set(pdf[pdf.qid == q]["vec_id"])
     )
     assert planted >= 8
+
+
+def _plan_counts(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffles": len(re.findall(r"Exchange hashpartitioning", plan))
+        + len(re.findall(r"Exchange rangepartitioning", plan)),
+        "python": plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython"),
+    }
+
+
+def test_plan_shapes_pinned(vecs):
+    """The scale contract as a regression test: the multiprobe fan-out
+    must stay map-side (no new exchange vs the probe-own-bucket plan),
+    and the PQ pipeline must stay Python-free."""
+    from pandas_sigproc_spark.operators import ivf_pq_topk
+
+    probe = F.col("vec_id") < 10
+    lsh = _plan_counts(
+        lsh_topk(vecs, probe, k=3, tables=4, band=4, dim=DIM, multiprobe=1)
+    )
+    lsh0 = _plan_counts(
+        lsh_topk(vecs, probe, k=3, tables=4, band=4, dim=DIM, multiprobe=0)
+    )
+    assert lsh["shuffles"] == lsh0["shuffles"], (lsh, lsh0)
+    assert lsh["python"] == 0
+
+    pq = _plan_counts(
+        ivf_pq_topk(vecs, probe, k=3, m=4, ksub=32, dim=DIM, funnel=20)
+    )
+    assert pq["python"] == 0
+    assert pq["shuffles"] <= 3, pq
