@@ -194,7 +194,8 @@ def phash_frames(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Per-sampled-frame perceptual hashes of BMPV video payloads:
+    """Per-sampled-frame perceptual hashes of video payloads (real MP4
+    via the ISO BMFF demuxer, or the BMPV toy container):
     ``(media_id long, frame_idx int, phash long)`` — one zero-shuffle
     mapInPandas pass, ``every_n``-th frame kept (frame sampling and
     hashing fused so unsampled frames are never hashed).
@@ -209,11 +210,17 @@ def phash_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources.bmp import decode_bmpv
+        from pandas_sigproc_spark.sources.mp4 import decode_mp4, is_mp4_bytes
 
         for pdf in batches:
             ids, idxs, hs = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames = decode_bmpv(bytes(payload))
+                raw = bytes(payload)
+                frames = (
+                    decode_mp4(raw).samples
+                    if is_mp4_bytes(raw)
+                    else decode_bmpv(raw)
+                )
                 for fi in range(0, len(frames), every_n):
                     ids.append(int(mid))
                     idxs.append(fi)

@@ -14,8 +14,10 @@ The decode step is isolated behind :func:`decode_payload`:
   baseline JPEG images (sources/bmp.py, sources/png.py, sources/jpeg.py
   — magic-dispatched), and the BMPV frame container for video — decode,
   nearest-neighbour resize (format-preserving re-encode), and frame
-  sampling all operate on real pixels.  MP4 would plug in at the same
-  seam (no codec library in this environment).
+  sampling all operate on real pixels.  Video containers: real MP4
+  (ISO BMFF — from-scratch muxer/demuxer, sources/mp4.py; samples in
+  the engine's image codecs decode to pixels, compressed codecs
+  surface bytes + metadata) and the BMPV toy container.
 - ``codec='fake'`` (plumbing tests) derives deterministic pseudo
   metadata and pixel statistics from the raw bytes, so the Spark-side
   plumbing — schema, batch iteration, partitioning, UDF signatures — is
@@ -106,6 +108,13 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
             px = _decode_image(bytes(payload))
             return px.shape[1], px.shape[0], 1
         if kind == "video":
+            from pandas_sigproc_spark.sources.mp4 import decode_mp4, is_mp4_bytes
+
+            if is_mp4_bytes(bytes(payload)):
+                # real ISO BMFF: dims + sample count from the box tree —
+                # no sample decode needed, so this works for ANY codec
+                trk = decode_mp4(bytes(payload))
+                return trk.width, trk.height, len(trk.samples)
             from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, decode_bmpv
 
             frames = decode_bmpv(bytes(payload))
@@ -115,7 +124,8 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
             f"no real codec for media kind {kind!r}: audio decodes RIFF/WAVE "
             "(sources/wav.py), image decodes 24-bit BMP, baseline PNG, and "
             "baseline JPEG (sources/bmp.py, png.py, jpeg.py), video the "
-            "BMPV frame container; MP4 plugs in here"
+            "BMPV and MP4 (ISO BMFF) containers; compressed-codec"
+            " sample decode plugs in at sources/mp4.py"
         )
     n = len(payload)
     if kind == "image":
@@ -236,8 +246,17 @@ def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> Data
                     continue
                 if codec == "real":
                     from pandas_sigproc_spark.sources.bmp import decode_bmpv
+                    from pandas_sigproc_spark.sources.mp4 import (
+                        decode_mp4,
+                        is_mp4_bytes,
+                    )
 
-                    frames = decode_bmpv(bytes(payload))
+                    raw = bytes(payload)
+                    frames = (
+                        decode_mp4(raw).samples
+                        if is_mp4_bytes(raw)
+                        else decode_bmpv(raw)
+                    )
                     for i in range(0, len(frames), every_n):
                         rows.append((int(media_id), int(i), frames[i]))
                     continue
