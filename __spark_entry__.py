@@ -3357,6 +3357,72 @@ FROM agg
 """
 
 
+def q_media_video_mp4(spark, sf_dir):
+    """Real-container video through the driver gate: each channel's
+    quantized pixel bytes are split into 4 equal frames, each encoded as
+    24-bit BMP, MUXED into a genuine unfragmented MP4 (ISO BMFF —
+    sources/mp4.py writes ftyp + mdat + full moov sample tables), shipped
+    as a binary media column, and decoded back by
+    extract_media_features(codec='real'), whose video path parses the
+    box tree and walks stsc/stco/stsz.  The oracle predicts the decoded
+    dimensions and frame count purely from SQL row counts — so a green
+    hash row certifies a real ISO BMFF parse, not a byte echo.
+
+    Scale shape: one applyInPandas encode per channel, then the
+    zero-shuffle mapInPandas decode — identical to the image siblings.
+    """
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.multimodal import extract_media_features
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pandas_sigproc_spark.sources.bmp import encode_bmp
+        from pandas_sigproc_spark.sources.mp4 import encode_mp4
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        per = (len(b) + 3) // 4  # pixels per frame, 4 frames
+        h = (per + 15) // 16  # rows per 16-wide frame
+        frames = []
+        for fi in range(4):
+            flat = np.zeros(h * 16, dtype=np.uint8)
+            chunk = b[fi * per : (fi + 1) * per]
+            flat[: len(chunk)] = chunk
+            frames.append(
+                encode_bmp(np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2))
+            )
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "kind": ["video"],
+                "payload": [encode_mp4(frames)],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, kind string, payload binary"
+    )
+    feats = extract_media_features(media, codec="real")
+    return feats.select("media_id", "width", "height", "n_frames")
+
+
+SQL_MEDIA_VIDEO_MP4 = f"""
+WITH {_SIG_CTE},
+agg AS (SELECT channel_id, COUNT(*) AS n FROM sig GROUP BY channel_id)
+SELECT CAST(channel_id AS BIGINT) AS media_id,
+       16 AS width,
+       CAST((((n + 3) // 4) + 15) // 16 AS INTEGER) AS height,
+       4 AS n_frames
+FROM agg
+"""
+
+
 def q_media_image_jpeg(spark, sf_dir):
     """JPEG sibling of q_media_image_png: the same per-channel gray
     quantization, encoded as baseline JFIF by the from-scratch DCT +
@@ -5638,15 +5704,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier 1 — the 10 r5-stale queries the r8 staleness contract
     #            flagged (tpch_* ×6, decontaminate, stratified_sample,
     #            ngram_counts, media_image_png);
-    #   tier 2 — 35 of the 47 r7-green queries, which would otherwise
-    #            age past the 2-round bound when r10 lands; the 12 left
+    #   tier 2 — 34 of the 47 r7-green queries, which would otherwise
+    #            age past the 2-round bound when r10 lands; the 13 left
     #            below the cap (cheap single-channel window/text legs:
     #            mov_rms, integral, derivative, detrend_agg,
-    #            detrend_piecewise, doc_chunks, resample, segment_stats,
-    #            interp_log, text_stats, lang_id, token_count) are
-    #            r7-green — legal now and at r9, and the contract
-    #            FORCES all 12 into the r10 window;
-    #   below the cap — the 12 r7 carry-overs plus the r8 tier (fresh
+    #            detrend_piecewise, doc_chunks, rep_stats, resample,
+    #            segment_stats, interp_log, text_stats, lang_id,
+    #            token_count) are r7-green — legal now and at r9, and
+    #            the contract FORCES all 13 into the r10 window;
+    #   below the cap — the 13 r7 carry-overs plus the r8 tier (fresh
     #            through r10); the local gate (tools/oracle_check.py)
     #            keeps their coverage every round.
     return {
@@ -5659,6 +5725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_store": q_incr_dedup_store,
         "ann_ivf_pq": q_ann_ivf_pq,
         "media_image_jpeg": q_media_image_jpeg,
+        "media_video_mp4": q_media_video_mp4,
         # -- tier 1: r5-stale rotation (r8 verdict #1) --------------------
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -5687,7 +5754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mov_rms_chunked": q_mov_rms_chunked,
         "integral_chunked": q_integral_chunked,
         "derivative_chunked": q_derivative_chunked,
-        "rep_stats": q_rep_stats,
         "interp_chunked": q_interp_chunked,
         "resample_chunked": q_resample_chunked,
         "ann_int8": q_ann_int8,
@@ -5709,7 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_audio_real is the TRUE 50th entry (inside the window)
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (r7/r8 hash-green with code unchanged; the local gate keeps
-        #  their coverage.  The 12 r7 carry-overs directly below MUST be
+        #  their coverage.  The 13 r7 carry-overs directly below MUST be
         #  rotated into the r10 window — the max-staleness test fires
         #  the moment CORRECTNESS_r10.json lands otherwise.)
         "mov_rms": q_mov_rms,
@@ -5718,6 +5784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_agg": q_detrend_agg,
         "detrend_piecewise": q_detrend_piecewise,
         "doc_chunks": q_doc_chunks,
+        "rep_stats": q_rep_stats,
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "interp_log": q_interp_log,
@@ -5843,6 +5910,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_real": SQL_MEDIA_IMAGE_REAL,
         "media_image_png": SQL_MEDIA_IMAGE_PNG,
         "media_image_jpeg": SQL_MEDIA_IMAGE_JPEG,
+        "media_video_mp4": SQL_MEDIA_VIDEO_MP4,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,
