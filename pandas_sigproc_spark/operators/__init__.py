@@ -82,6 +82,11 @@ from pandas_sigproc_spark.operators.dedup import (
     jaccard_ppjoin,
     lsh_band_tuning,
 )
+from .audiodup import (
+    audio_fingerprints,
+    audio_near_pairs,
+    fingerprint_bytes,
+)
 from .imagedup import (
     phash_bytes,
     phash_dedup,
@@ -159,6 +164,9 @@ __all__ = [
     "jaccard_near_dupes",
     "jaccard_pairs",
     "jaccard_ppjoin",
+    "audio_fingerprints",
+    "audio_near_pairs",
+    "fingerprint_bytes",
     "lsh_band_tuning",
     "phash_bytes",
     "phash_dedup",

@@ -76,8 +76,25 @@ def test_readme_snippets_execute(spark, tmp_path):
         )
         for i in range(6)
     }
+    from pandas_sigproc_spark.sources.wav import encode_wav_bytes
+
+    t9 = np.arange(0, 1.5, 1 / 8000.0)
+    audio_clips = {
+        i: np.sin(2 * np.pi * (300 + 70 * i) * t9) for i in range(4)
+    }
     import pandas as _pd
 
+    audio_media = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "media_id": list(audio_clips),
+                "payload": [
+                    encode_wav_bytes(8000, c) for c in audio_clips.values()
+                ],
+            }
+        ),
+        "media_id long, payload binary",
+    )
     media = spark.createDataFrame(
         _pd.DataFrame(
             {"media_id": list(imgs), "payload": list(imgs.values())}
@@ -100,6 +117,7 @@ def test_readme_snippets_execute(spark, tmp_path):
         "new_batch": new_batch,
         "embeds": embeds,
         "media": media,
+        "audio_media": audio_media,
         "sch": sch,
     }
     for i, block in enumerate(blocks):
@@ -121,6 +139,8 @@ def test_readme_snippets_execute(spark, tmp_path):
     assert {"v1", "v2", "cos"} <= set(ns["near"].columns)
     assert {"m1", "m2", "hamming"} <= set(ns["img_dups"].columns)
     assert ns["img_dups"].count() >= 0
+    assert {"m1", "m2", "match_frac"} <= set(ns["aud_dups"].columns)
+    assert ns["aud_dups"].count() >= 0
 
     # the streaming query: drain the one landing batch, then check the
     # sink received the dup-pair schema
