@@ -172,11 +172,15 @@ def audio_near_pairs(
         )
         .agg(F.count("*").alias("n_matches"))
     )
+    # NO broadcast hint on the size table: it has one row per FILE
+    # (corpus-sized at 100 TB) — AQE broadcasts it at gate scale on its
+    # own, and a sort-merge join on the already-shuffled pair keys is
+    # the right plan when it outgrows the threshold
     s1 = sizes.select(F.col("media_id").alias("m1"), F.col("n_fp").alias("n1"))
     s2 = sizes.select(F.col("media_id").alias("m2"), F.col("n_fp").alias("n2"))
     return (
-        matches.join(F.broadcast(s1), "m1")
-        .join(F.broadcast(s2), "m2")
+        matches.join(s1, "m1")
+        .join(s2, "m2")
         .select(
             "m1",
             "m2",
