@@ -3357,6 +3357,112 @@ FROM agg
 """
 
 
+def q_media_phash(spark, sf_dir):
+    """Perceptual image hashing under the FULL hash gate: per-channel
+    gray BMP images (the media_image_real quantization) run through the
+    production pHash operator — decode, nearest-resize to 32x32, 2D
+    DCT-32, median threshold, 64-bit pack (operators/imagedup.py) —
+    and the oracle REPLAYS the whole pipeline relationally from the
+    SQL-predictable pixel matrix: the same integer nearest-resize index
+    map, the DCT as ordered LIST_SUM folds against the repr-round-
+    tripped cosine basis, the median as the exact 32nd order statistic
+    of the 63-coefficient block, and the bit pack as a CASE sum of
+    power-of-two literals.  Cross-engine float safety: the median IS
+    one of the block values, so its own bit is 0 in both engines by
+    identity, and every other bit's |coef - median| margin is measured
+    orders of magnitude above summation-order drift
+    (tests/test_imagedup.py margin audit).
+    """
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.imagedup import phash_images
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pandas_sigproc_spark.sources.bmp import encode_bmp
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        h = (len(b) + 15) // 16
+        flat = np.zeros(h * 16, dtype=np.uint8)
+        flat[: len(b)] = b
+        px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "payload": [encode_bmp(px)],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, payload binary"
+    )
+    return phash_images(media)
+
+
+def _sql_media_phash() -> str:
+    from pandas_sigproc_spark.operators.imagedup import _dct32
+
+    t8 = _dct32()[:8].reshape(-1)  # rows u=0..7 of the 32-point basis
+    tlit = "[" + ", ".join(repr(float(x)) for x in t8) + "]"
+    p2 = "[" + ", ".join(str(1 << (62 - k)) for k in range(63)) + "]"
+    # nearest-resize index of flat 32x32 position i into the h x 16
+    # pixel list (1-based): row (i//32)*h//32, col (i%32)*16//32
+    idx = "((((i // 32) * h) // 32) * 16 + (((i % 32) * 16) // 32) + 1)"
+    return f"""
+WITH {_SIG_CTE},
+px AS (
+  SELECT channel_id,
+         LIST(CAST(TRUNC(value * 10.0) AS BIGINT) % 256 ORDER BY t, seq) AS pb,
+         COUNT(*) AS n
+  FROM sig GROUP BY channel_id
+),
+geom AS (SELECT channel_id, pb, n, (n + 15) // 16 AS h FROM px),
+sm AS (
+  SELECT channel_id,
+         LIST_TRANSFORM(RANGE(0, 1024), i ->
+           CASE WHEN {idx} <= n THEN CAST(pb[{idx}] AS DOUBLE) ELSE 0.0 END
+         ) AS s
+  FROM geom
+),
+consts AS (SELECT CAST({tlit} AS DOUBLE[]) AS tm, CAST({p2} AS BIGINT[]) AS p2),
+inner_m AS (
+  SELECT channel_id,
+         LIST_TRANSFORM(RANGE(0, 256), j ->
+           LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), y ->
+             s[(j // 8) * 32 + y + 1] * tm[(j % 8) * 32 + y + 1]))
+         ) AS im
+  FROM sm CROSS JOIN consts
+),
+coef AS (
+  SELECT channel_id,
+         LIST_TRANSFORM(RANGE(0, 64), k ->
+           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), x ->
+             tm[(k // 8) * 32 + x + 1] * im[x * 8 + (k % 8) + 1])), 3)
+         ) AS cf
+  FROM inner_m CROSS JOIN consts
+),
+blocks AS (
+  SELECT channel_id, cf[2:64] AS block,
+         LIST_SORT(cf[2:64])[32] AS med
+  FROM coef
+),
+hashed AS (
+  SELECT b.channel_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 63), k ->
+           CASE WHEN b.block[k + 1] > b.med THEN c.p2[k + 1]
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM blocks b CROSS JOIN consts c
+)
+SELECT CAST(channel_id AS BIGINT) AS media_id, phash FROM hashed
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -5726,6 +5832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "media_image_jpeg": q_media_image_jpeg,
         "media_video_mp4": q_media_video_mp4,
+        "media_phash": q_media_phash,
         # -- tier 1: r5-stale rotation (r8 verdict #1) --------------------
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -5759,7 +5866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
-        "corpus_prep": q_corpus_prep,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5785,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_piecewise": q_detrend_piecewise,
         "doc_chunks": q_doc_chunks,
         "rep_stats": q_rep_stats,
+        "corpus_prep": q_corpus_prep,
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "interp_log": q_interp_log,
@@ -5911,6 +6018,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_png": SQL_MEDIA_IMAGE_PNG,
         "media_image_jpeg": SQL_MEDIA_IMAGE_JPEG,
         "media_video_mp4": SQL_MEDIA_VIDEO_MP4,
+        "media_phash": _sql_media_phash(),
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

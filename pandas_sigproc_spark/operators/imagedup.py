@@ -78,7 +78,15 @@ def phash_bytes(payload: bytes) -> int:
     )[:, :, 0].astype(np.float64)
     t = _dct32()
     coef = t @ small @ t.T
-    block = coef[:8, :8].reshape(-1)[1:]  # drop DC: brightness invariance
+    # round-3 before the median/compare: the DuckDB oracle replays this
+    # DCT with ordered LIST_SUM folds whose last-ulp summation order
+    # differs from BLAS matmul (~1e-9 absolute on O(10^3) coefs); after
+    # both engines round to 1e-3 the values are identical unless an
+    # unrounded coef sits within drift of a rounding boundary — the
+    # margin audit in tests/test_imagedup.py measures that distance per
+    # gate dataset.  (The median is an ORDER STATISTIC of the block, so
+    # its own bit is 0 by identity in both engines regardless.)
+    block = np.round(coef[:8, :8].reshape(-1)[1:], 3)  # [1:] drops DC
     med = np.median(block)
     bits = block > med
     h = 0

@@ -158,3 +158,62 @@ def test_video_frame_hashes_compose(spark):
     # unrelated video: frames far away
     c = out[out.media_id == 3].set_index("frame_idx")["phash"]
     assert all(_ham(int(a[i]), int(c[i])) > 12 for i in a.index)
+
+
+def test_phash_rounding_margin_audit():
+    """The media_phash oracle compares ROUND(coef, 3) across two engines
+    whose DCT summation orders differ by ~1e-9; that is hash-stable iff
+    no gate-corpus coefficient sits within the cross-engine drift of a
+    0.5e-3 rounding boundary (where the engines could round apart, and
+    where np.round's half-even vs SQL ROUND's half-away would also
+    disagree).  Measure the minimum boundary distance per SF so a data
+    refresh that erodes the margin fails HERE, not at the driver gate."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from pandas_sigproc_spark.operators.imagedup import (
+        PHASH_SIZE,
+        _dct32,
+    )
+    from pandas_sigproc_spark.sources.bmp import resize_nearest
+
+    t = _dct32()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        for tbl in ("events",):
+            con.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM '{sf}/{tbl}.parquet'"
+            )
+        rows = con.sql(
+            f"""WITH {entry_mod._SIG_CTE}
+                SELECT channel_id,
+                       LIST(CAST(TRUNC(value * 10.0) AS BIGINT) % 256
+                            ORDER BY t, seq) AS pb
+                FROM sig GROUP BY channel_id"""
+        ).fetchall()
+        worst = 1.0
+        for _cid, pb in rows:
+            b = np.asarray(pb, dtype=np.uint8)
+            h = (len(b) + 15) // 16
+            flat = np.zeros(h * 16, dtype=np.uint8)
+            flat[: len(b)] = b
+            px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+            small = resize_nearest(px, PHASH_SIZE, PHASH_SIZE)[:, :, 0].astype(
+                np.float64
+            )
+            coef = (t @ small @ t.T)[:8, :8].reshape(-1)[1:]
+            frac = np.abs((coef * 1000.0) % 1.0 - 0.5)
+            worst = min(worst, float(frac.min() * 1e-3))
+        # measured cross-engine drift (numpy BLAS matmul vs DuckDB
+        # ordered LIST_SUM folds, re-measured r9): 9.1e-13 at sf0.001,
+        # 1.3e-12 at sf0.01 — the bar is ~100x that, and the observed
+        # minimum boundary distance (6.6e-8 at sf0.001) clears it by
+        # another ~500x
+        assert worst > 1e-10, (
+            f"{sf}: a DCT coefficient sits {worst:.2e} from a round-3 "
+            "boundary — within reach of cross-engine summation drift "
+            "(~1e-12 measured); raise the rounding digits in "
+            "phash_bytes AND the oracle"
+        )
