@@ -5810,15 +5810,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier 1 — the 10 r5-stale queries the r8 staleness contract
     #            flagged (tpch_* ×6, decontaminate, stratified_sample,
     #            ngram_counts, media_image_png);
-    #   tier 2 — 34 of the 47 r7-green queries, which would otherwise
-    #            age past the 2-round bound when r10 lands; the 13 left
-    #            below the cap (cheap single-channel window/text legs:
-    #            mov_rms, integral, derivative, detrend_agg,
-    #            detrend_piecewise, doc_chunks, rep_stats, resample,
-    #            segment_stats, interp_log, text_stats, lang_id,
-    #            token_count) are r7-green — legal now and at r9, and
-    #            the contract FORCES all 13 into the r10 window;
-    #   below the cap — the 13 r7 carry-overs plus the r8 tier (fresh
+    #   tier 2 — 33 of the 47 r7-green queries, which would otherwise
+    #            age past the 2-round bound when r10 lands; the 14 left
+    #            below the cap (mov_rms, integral, derivative,
+    #            detrend_agg, detrend_piecewise, doc_chunks, rep_stats,
+    #            corpus_prep, resample, segment_stats, interp_log,
+    #            text_stats, lang_id, token_count) are r7-green — legal
+    #            now and at r9, and the contract FORCES all 14 into the
+    #            r10 window;
+    #   below the cap — the 14 r7 carry-overs plus the r8 tier (fresh
     #            through r10); the local gate (tools/oracle_check.py)
     #            keeps their coverage every round.
     return {
@@ -5881,7 +5881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_audio_real is the TRUE 50th entry (inside the window)
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (r7/r8 hash-green with code unchanged; the local gate keeps
-        #  their coverage.  The 13 r7 carry-overs directly below MUST be
+        #  their coverage.  The 14 r7 carry-overs directly below MUST be
         #  rotated into the r10 window — the max-staleness test fires
         #  the moment CORRECTNESS_r10.json lands otherwise.)
         "mov_rms": q_mov_rms,
