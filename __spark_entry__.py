@@ -3463,6 +3463,68 @@ SELECT CAST(channel_id AS BIGINT) AS media_id, phash FROM hashed
 """
 
 
+def q_media_phash_pairs(spark, sf_dir):
+    """The banded Hamming near-dup JOIN under the hash gate: the
+    media_phash image corpus plus a RELABELED copy of every image
+    (+100000 ids) runs through phash_near_pairs — banded candidate
+    generation (pigeonhole over max_hamming+1 bit-bands), JVM-side
+    bit_count(XOR) verification, hot-bucket guard riding the band
+    exchange.  The oracle self-joins its own relationally-replayed
+    pHash values with xor/bit_count, so the exact pair set — the 150
+    planted duplicates at Hamming 0 plus any true near-pairs the data
+    happens to contain — is predicted independently, not assumed."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.imagedup import phash_near_pairs
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pandas_sigproc_spark.sources.bmp import encode_bmp
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        h = (len(b) + 15) // 16
+        flat = np.zeros(h * 16, dtype=np.uint8)
+        flat[: len(b)] = b
+        px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+        payload = encode_bmp(px)
+        cid = int(pdf["channel_id"].iloc[0])
+        return pd.DataFrame(
+            {"media_id": [cid, cid + 100000], "payload": [payload, payload]}
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, payload binary"
+    )
+    return phash_near_pairs(media, 6)
+
+
+def _sql_media_phash_pairs() -> str:
+    # the media_phash replay, duplicated under relabeled ids, then the
+    # Hamming self-join in exact integer arithmetic
+    base = _sql_media_phash().rstrip()
+    assert base.endswith("SELECT CAST(channel_id AS BIGINT) AS media_id, phash FROM hashed")
+    ctes = base[: base.rindex("SELECT CAST")].rstrip()
+    return f"""{ctes},
+dup2 AS (
+  SELECT CAST(channel_id AS BIGINT) AS media_id, phash FROM hashed
+  UNION ALL
+  SELECT CAST(channel_id AS BIGINT) + 100000 AS media_id, phash FROM hashed
+),
+pairs AS (
+  SELECT a.media_id AS m1, b.media_id AS m2,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+  FROM dup2 a JOIN dup2 b ON a.media_id < b.media_id
+)
+SELECT m1, m2, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -5810,15 +5872,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier 1 — the 10 r5-stale queries the r8 staleness contract
     #            flagged (tpch_* ×6, decontaminate, stratified_sample,
     #            ngram_counts, media_image_png);
-    #   tier 2 — 33 of the 47 r7-green queries, which would otherwise
-    #            age past the 2-round bound when r10 lands; the 14 left
+    #   tier 2 — 32 of the 47 r7-green queries, which would otherwise
+    #            age past the 2-round bound when r10 lands; the 15 left
     #            below the cap (mov_rms, integral, derivative,
     #            detrend_agg, detrend_piecewise, doc_chunks, rep_stats,
-    #            corpus_prep, resample, segment_stats, interp_log,
-    #            text_stats, lang_id, token_count) are r7-green — legal
-    #            now and at r9, and the contract FORCES all 14 into the
-    #            r10 window;
-    #   below the cap — the 14 r7 carry-overs plus the r8 tier (fresh
+    #            corpus_prep, substr_dedup, resample, segment_stats,
+    #            interp_log, text_stats, lang_id, token_count) are
+    #            r7-green — legal now and at r9, and the contract
+    #            FORCES all 15 into the r10 window;
+    #   below the cap — the 15 r7 carry-overs plus the r8 tier (fresh
     #            through r10); the local gate (tools/oracle_check.py)
     #            keeps their coverage every round.
     return {
@@ -5833,6 +5895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_jpeg": q_media_image_jpeg,
         "media_video_mp4": q_media_video_mp4,
         "media_phash": q_media_phash,
+        "media_phash_pairs": q_media_phash_pairs,
         # -- tier 1: r5-stale rotation (r8 verdict #1) --------------------
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -5856,7 +5919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": q_cluster_sample,
         "media_image_real": q_media_image_real,
         "semdedup": q_semdedup,
-        "substr_dedup": q_substr_dedup,
         "corpus_curate": q_corpus_curate,
         "mov_rms_chunked": q_mov_rms_chunked,
         "integral_chunked": q_integral_chunked,
@@ -5881,7 +5943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_audio_real is the TRUE 50th entry (inside the window)
         # ---- driver cap: entries BELOW here are not driver-checked ------
         # (r7/r8 hash-green with code unchanged; the local gate keeps
-        #  their coverage.  The 14 r7 carry-overs directly below MUST be
+        #  their coverage.  The 15 r7 carry-overs directly below MUST be
         #  rotated into the r10 window — the max-staleness test fires
         #  the moment CORRECTNESS_r10.json lands otherwise.)
         "mov_rms": q_mov_rms,
@@ -5892,6 +5954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "rep_stats": q_rep_stats,
         "corpus_prep": q_corpus_prep,
+        "substr_dedup": q_substr_dedup,
         "resample": q_resample,
         "segment_stats": q_segment_stats,
         "interp_log": q_interp_log,
@@ -6019,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_jpeg": SQL_MEDIA_IMAGE_JPEG,
         "media_video_mp4": SQL_MEDIA_VIDEO_MP4,
         "media_phash": _sql_media_phash(),
+        "media_phash_pairs": _sql_media_phash_pairs(),
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,
