@@ -5861,91 +5861,26 @@ SQL_SOURCE_OVERLAP = _sql_source_overlap()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-9 ordering (exactly 50
-    # entries sit above the cap marker; tests/test_entry_contract.py
-    # pins the window AND a max-staleness contract — no below-cap query
-    # may be more than 2 recorded rounds stale, so this dict must
-    # rotate every round):
-    #   tier 0 — the exact_sums audit twins (semdedup_exact,
-    #            corpus_curate_exact): never driver-checked under their
-    #            own names (r8 verdict #2 asks to retire the exception);
-    #   tier 1 — the 10 r5-stale queries the r8 staleness contract
-    #            flagged (tpch_* ×6, decontaminate, stratified_sample,
-    #            ngram_counts, media_image_png);
-    #   tier 2 — 32 of the 47 r7-green queries, which would otherwise
-    #            age past the 2-round bound when r10 lands; the 15 left
-    #            below the cap (mov_rms, integral, derivative,
-    #            detrend_agg, detrend_piecewise, doc_chunks, rep_stats,
-    #            corpus_prep, substr_dedup, resample, segment_stats,
-    #            interp_log, text_stats, lang_id, token_count) are
-    #            r7-green — legal now and at r9, and the contract
-    #            FORCES all 15 into the r10 window;
-    #   below the cap — the 15 r7 carry-overs plus the r8 tier (fresh
-    #            through r10); the local gate (tools/oracle_check.py)
-    #            keeps their coverage every round.
+    # the first 50 entries in dict order.  Round-10 ordering
+    # (tests/test_entry_contract.py pins the window AND a max-staleness
+    # contract — no below-cap query may be more than 2 recorded rounds
+    # stale, so this dict must rotate every round):
+    #   tier A — the 15 r7 carry-overs the r9 ordering promised to
+    #            rotate (they age past the 2-round bound the moment
+    #            CORRECTNESS_r10.json lands);
+    #   tier B — queries whose CODE changes this round and therefore
+    #            need fresh driver proof (dedup_embed: band-join width
+    #            cut; ann_ivf_pq: ksub=256 production profile);
+    #   tier C — 33 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 17 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~33 free
+    #            slots); ann_ivf / ann_ivf_int8 sit here because the
+    #            ann_ivf_int8 bench regression is being adjudicated.
+    #   below the cap — 17 r8-greens (fresh through r11) and the 48
+    #            r9-greens (fresh through r12); the local gate
+    #            (tools/oracle_check.py) keeps their coverage.
     return {
-        # -- tier 0: never driver-checked under these names ---------------
-        "semdedup_exact": q_semdedup_exact,
-        "corpus_curate_exact": q_corpus_curate_exact,
-        # incr_dedup_store / ann_ivf_pq are NEW this round: the
-        # signature-store lifecycle (build + append + compact + probe)
-        # and the IVF-PQ ADC tier, both needing first driver proof
-        "incr_dedup_store": q_incr_dedup_store,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "media_image_jpeg": q_media_image_jpeg,
-        "media_video_mp4": q_media_video_mp4,
-        "media_phash": q_media_phash,
-        "media_phash_pairs": q_media_phash_pairs,
-        # -- tier 1: r5-stale rotation (r8 verdict #1) --------------------
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "ngram_counts": q_ngram_counts,
-        "media_image_png": q_media_image_png,
-        "tpch_pricing": q_tpch_pricing,
-        "tpch_order_priority": q_tpch_order_priority,
-        "tpch_rollup": q_tpch_rollup,
-        "tpch_custdist": q_tpch_custdist,
-        "tpch_revenue_join": q_tpch_revenue_join,
-        "tpch_local_supplier": q_tpch_local_supplier,
-        # -- tier 2: r7-tier rotation (would age out when r10 lands) ------
-        "para_dedup": q_para_dedup,
-        "quality_classify": q_quality_classify,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "temp_sample": q_temp_sample,
-        "pii_scrub": q_pii_scrub,
-        "lm_ppl": q_lm_ppl,
-        "source_overlap": q_source_overlap,
-        "embed_kmeans": q_embed_kmeans,
-        "cluster_sample": q_cluster_sample,
-        "media_image_real": q_media_image_real,
-        "semdedup": q_semdedup,
-        "corpus_curate": q_corpus_curate,
-        "mov_rms_chunked": q_mov_rms_chunked,
-        "integral_chunked": q_integral_chunked,
-        "derivative_chunked": q_derivative_chunked,
-        "interp_chunked": q_interp_chunked,
-        "resample_chunked": q_resample_chunked,
-        "ann_int8": q_ann_int8,
-        "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
-        "dedup_embed": q_dedup_embed,
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "media_features": q_media_features,
-        "media_audio_real": q_media_audio_real,
-        # media_audio_real is the TRUE 50th entry (inside the window)
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (r7/r8 hash-green with code unchanged; the local gate keeps
-        #  their coverage.  The 15 r7 carry-overs directly below MUST be
-        #  rotated into the r10 window — the max-staleness test fires
-        #  the moment CORRECTNESS_r10.json lands otherwise.)
+        # -- tier A: r7 carry-overs (mandatory this round) ----------------
         "mov_rms": q_mov_rms,
         "integral": q_integral,
         "derivative": q_derivative,
@@ -5961,7 +5896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
-        # -- r8 tier (fresh through r10) ----------------------------------
+        # -- tier B: code changed this round, re-prove --------------------
+        "dedup_embed": q_dedup_embed,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
         "shard_assign": q_shard_assign,
         "seq_pack": q_seq_pack,
         "ann_ivf": q_ann_ivf,
@@ -5995,6 +5933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtfilt_exact": q_filtfilt_exact,
         "psd_welch": q_psd_welch,
         "psd_rms": q_psd_rms,
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        # (17 r8-greens — ALL must rotate into the r11 window — then the
+        #  r9 tier, fresh through r12.)
         "psd_median": q_psd_median,
         "psd_maxrms": q_psd_maxrms,
         "psd_all": q_psd_all,
@@ -6012,6 +5953,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accessor_chain": q_accessor_chain,
         "tfidf_topk": q_tfidf_topk,
         "training_mix": q_training_mix,
+        # -- r9 tier (fresh through r12) ----------------------------------
+        "semdedup_exact": q_semdedup_exact,
+        "corpus_curate_exact": q_corpus_curate_exact,
+        "incr_dedup_store": q_incr_dedup_store,
+        "media_image_jpeg": q_media_image_jpeg,
+        "media_video_mp4": q_media_video_mp4,
+        "media_phash": q_media_phash,
+        "media_phash_pairs": q_media_phash_pairs,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "ngram_counts": q_ngram_counts,
+        "media_image_png": q_media_image_png,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_order_priority": q_tpch_order_priority,
+        "tpch_rollup": q_tpch_rollup,
+        "tpch_custdist": q_tpch_custdist,
+        "tpch_revenue_join": q_tpch_revenue_join,
+        "tpch_local_supplier": q_tpch_local_supplier,
+        "para_dedup": q_para_dedup,
+        "quality_classify": q_quality_classify,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "temp_sample": q_temp_sample,
+        "pii_scrub": q_pii_scrub,
+        "lm_ppl": q_lm_ppl,
+        "source_overlap": q_source_overlap,
+        "embed_kmeans": q_embed_kmeans,
+        "cluster_sample": q_cluster_sample,
+        "media_image_real": q_media_image_real,
+        "semdedup": q_semdedup,
+        "corpus_curate": q_corpus_curate,
+        "mov_rms_chunked": q_mov_rms_chunked,
+        "integral_chunked": q_integral_chunked,
+        "derivative_chunked": q_derivative_chunked,
+        "interp_chunked": q_interp_chunked,
+        "resample_chunked": q_resample_chunked,
+        "ann_int8": q_ann_int8,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+        "media_audio_real": q_media_audio_real,
     }
 
 
