@@ -418,12 +418,17 @@ def main():
     if scale is not None:
         out["scale_wall_ratio"] = scale["wall_ratio"]
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        # Degrade loudly rather than ship a line the driver will truncate:
-        # drop the optional quality fields first, never the per-query walls.
+    # Degrade loudly rather than ship a line the driver will truncate:
+    # drop optional quality fields ONE AT A TIME, re-measuring after
+    # each pop, until the line fits — never the per-query walls.  (The
+    # r8 failure mode: a single unconditional pop still left the line
+    # >1900 B and the driver recorded parsed=null.)
+    for field in ("scale_wall_ratio", "ann_recall_at_3", "calib_spread"):
+        if len(line) <= 1900:
+            break
         print(f"[bench] WARNING final line {len(line)}B > 1900B; "
-              "dropping optional fields", file=sys.stderr, flush=True)
-        out.pop("scale_wall_ratio", None)
+              f"dropping {field}", file=sys.stderr, flush=True)
+        out.pop(field, None)
         line = json.dumps(out, separators=(",", ":"))
     print(f"[bench] final line bytes: {len(line)}", file=sys.stderr, flush=True)
     print(line)

@@ -382,9 +382,10 @@ def lsh_band_tuning(
     ``(r, b = n_perms // r)`` split and minimizes
     ``fp_mass + fn_weight * fn_mass``, where the masses are the exact
     integrals of the wrong-side probabilities (1000-point midpoint
-    rule).  ``fn_weight`` defaults to 10: in dedup, a missed duplicate
-    (train-set contamination) costs more than a wasted verification,
-    and the weight is the knob a deployment tunes.
+    rule).  ``fn_weight`` defaults to 2.0 — mildly FN-averse, since in
+    dedup a missed duplicate (train-set contamination) costs more than
+    a wasted verification — and the weight is the knob a deployment
+    tunes (raise it toward ~10 when misses are truly expensive).
 
     Scale note: this is a driver-side pure function — nothing here
     touches data.  The VERIFICATION cost of false positives is what the

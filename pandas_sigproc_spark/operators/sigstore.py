@@ -292,15 +292,17 @@ def compact_signature_store(
 
     Crash-safe by the batch-commit protocol: the compacted copy lands
     in a NEW batch directory, the meta stamp atomically swaps the
-    committed list to just that batch, and only then are the old batch
-    directories garbage-collected.  A crash at any point leaves a valid
-    store (possibly with orphan directories that readers prune and the
-    next compaction removes).  Probes planned BEFORE the swap may still
+    committed list to just that batch, and only then is every batch
+    directory OUTSIDE the new committed list garbage-collected — not
+    merely the batches committed at entry, so orphans leaked by an
+    earlier crash (between a meta stamp and its GC loop) are swept on
+    the next compaction rather than listed forever.  A crash at any
+    point leaves a valid store (possibly with orphan directories that
+    readers prune and the next compaction removes).  Probes planned BEFORE the swap may still
     hold file handles into the old batches, so treat this as offline
     maintenance or layer a transactional table format's compaction on
     top for concurrent readers."""
     meta = _read_meta(spark, path)
-    old_batches = [int(b) for b in meta["batches"]]
     store = read_signature_store(spark, path)
     n = partitions or spark.sparkContext.defaultParallelism
     batch_id = int(meta["next_batch"])
@@ -325,9 +327,19 @@ def compact_signature_store(
     meta["batches"] = [batch_id]
     meta["next_batch"] = batch_id + 1
     _write_meta(spark, path, meta)  # the commit point
+    # GC: sweep EVERY batch dir outside the new committed list — not
+    # just the batches committed at entry — so orphans from a crash
+    # between a previous meta stamp and its GC loop (batch ids are
+    # never reused, so they would otherwise leak forever and stay in
+    # every scan's listing) are reclaimed here.
     for tbl in ("digests", "bands"):
-        for b in old_batches:
-            _fs_delete(spark, f"{base}/{tbl}/batch={b}")
+        tbl_dir = f"{base}/{tbl}"
+        if not fs.exists(P(tbl_dir)):
+            continue
+        for st in fs.listStatus(P(tbl_dir)):
+            name = st.getPath().getName()
+            if name.startswith("batch=") and name != f"batch={batch_id}":
+                fs.delete(st.getPath(), True)
 
 
 def incremental_dedup_from_store(

@@ -6,8 +6,8 @@ media to external libraries; this engine carries its own codecs —
 WAV/BMP/PNG already, JPEG here) without any imaging dependency.
 
 Encoder profile: baseline sequential DCT (SOF0), 3-component YCbCr
-4:4:4 (no chroma subsampling) or 1-component grayscale, 8-bit, one
-interleaved scan.  Huffman tables are CANONICAL FIXED-LENGTH tables
+at 4:4:4 (the bit-fidelity default) or 4:2:0 chroma subsampling, or
+1-component grayscale, 8-bit, one interleaved scan.  Huffman tables are CANONICAL FIXED-LENGTH tables
 built by :func:`_flat_table` (every DC category 4 bits, every AC
 (run,size) symbol 8 bits) and written to DHT — legal JPEG any decoder
 reads (DHT defines the file's tables; Annex K's are merely the
@@ -17,9 +17,10 @@ standard Annex-K base matrices scaled by the libjpeg quality formula.
 
 Decoder: general baseline — parses DQT/SOF0/DHT/SOS/DRI, decodes any
 canonical Huffman tables (Annex K included), handles restart markers,
-dequantizes, IDCTs, and converts to RGB.  Supported sampling profile is
-what the encoder emits (all factors 1) plus grayscale; other factors
-raise NotImplementedError naming the seam.
+dequantizes, IDCTs, and converts to RGB.  Any integer sampling-factor
+ratio is supported (4:4:4, 4:2:0, 4:2:2, ... — subsampled planes are
+nearest-upsampled); only non-integer ratios and progressive/extended
+SOFs raise NotImplementedError naming the seam.
 
 All arithmetic is float64 DCT via the orthonormal 8x8 cosine matrix
 (T F T^t), which IS the JPEG FDCT/IDCT definition.  Determinism: both
@@ -465,9 +466,11 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
     """Decode a baseline JFIF byte string to an (h, w, 3) uint8 RGB
     array (grayscale replicates to 3 channels, like the BMP/PNG
     decoders).  Supports 1- or 3-component baseline sequential scans
-    with all sampling factors 1 (the profile the encoder writes; Annex-K
-    or custom Huffman tables both fine), DRI/RSTn.  Subsampled (4:2:0 /
-    4:2:2) streams raise NotImplementedError naming this seam."""
+    with any integer sampling-factor ratio — 4:4:4, 4:2:0, 4:2:2, ...
+    (subsampled chroma is nearest-upsampled); Annex-K or custom Huffman
+    tables both fine, DRI/RSTn handled.  Non-integer ratios and
+    progressive/extended SOFs raise NotImplementedError naming the
+    seam."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2

@@ -179,6 +179,39 @@ def test_compact_preserves_values_and_reduces_files(spark, tmp_path):
     pd.testing.assert_frame_equal(after, before)
 
 
+def test_compact_sweeps_orphan_batch_dirs(spark, tmp_path):
+    """An orphan batch dir leaked by a crash between a prior meta stamp
+    and its GC loop (its id is uncommitted and never reused) must be
+    swept by the NEXT compaction — not merely the batches committed at
+    entry — or it leaks forever and stays in every scan's listing."""
+    from pandas_sigproc_spark.operators import compact_signature_store
+    import glob
+    import os
+
+    corpus, delta = _corpus_and_delta()
+    d = spark.createDataFrame(delta, SCHEMA)
+    path = str(tmp_path / "sigstore_orphan")
+    write_signature_store(spark.createDataFrame(corpus, SCHEMA), path)
+    # fabricate the crash debris: a batch dir whose id is NOT in meta
+    for tbl in ("digests", "bands"):
+        orphan = os.path.join(path, tbl, "batch=7")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "_SUCCESS"), "w"):
+            pass
+    before = _frames(
+        incremental_dedup_from_store(read_signature_store(spark, path), d)
+    )
+    compact_signature_store(spark, path, partitions=2)
+    for tbl in ("digests", "bands"):
+        dirs = glob.glob(f"{path}/{tbl}/batch=*")
+        assert len(dirs) == 1, f"orphan survived compaction: {dirs}"
+        assert "batch=7" not in dirs[0]
+    after = _frames(
+        incremental_dedup_from_store(read_signature_store(spark, path), d)
+    )
+    pd.testing.assert_frame_equal(after, before)
+
+
 def test_append_to_metaless_store_refused(spark, tmp_path):
     """A store directory with tables but no _meta.json is a crashed
     write — appending into it must raise, not silently mix ngrams."""
