@@ -3525,6 +3525,211 @@ SELECT m1, m2, hamming FROM pairs WHERE hamming <= 6
 """
 
 
+# ---------------------------------------------------------------------------
+# audio fingerprint tier (operators/audiodup.py) under the driver gate
+# ---------------------------------------------------------------------------
+
+# Gate-scale STFT profile: the sf0.01 channels hold 49-86 samples, so
+# the production 1024-sample frame would not fit even ONCE (zero
+# frames, zero hashes); the profile is configuration threading through
+# the same fingerprint code path (audiodup.fingerprint_samples), so a
+# 128/64 frame/hop over x4-tiled samples (2-4 frames per channel) with
+# prominence 2.0 (measured: every gate file keeps >= 1 hash AND the
+# prominence gate drops the majority of candidate peaks, so both CASE
+# branches are exercised) certifies exactly the production pipeline —
+# Hann window, DFT magnitudes, prominence-gated band argmax, (f1, f2,
+# dt) 64-bit pack, per-file DISTINCT — at a size whose full relational
+# replay (~19M ordered-fold terms) stays DuckDB-tractable.  Production
+# constants are pinned separately by tests/test_audiodup.py invariance
+# anchors; cross-engine argmax/prominence flip safety is pinned by the
+# margin audit in tests/test_audiodup.py (same technique as the pHash
+# DCT margins).
+_AFP_FRAME = 128
+_AFP_HOP = 64
+_AFP_BANDS = ((1, 8), (8, 24), (24, 56), (56, 64))
+_AFP_FANOUT = 3
+_AFP_PROM = 2.0
+_AFP_TILE = 4
+_AFP_PROFILE = dict(
+    frame=_AFP_FRAME,
+    hop=_AFP_HOP,
+    bands=_AFP_BANDS,
+    fanout=_AFP_FANOUT,
+    prominence=_AFP_PROM,
+)
+
+
+def _afp_media(spark, sf_dir, relabel: bool):
+    """Per-channel WAV payloads of the x4-tiled samples (one
+    applyInPandas encode per channel — the media_audio_real scale
+    shape); ``relabel`` adds a byte-identical +100000-id copy of every
+    file (the planted-duplicate corpus of the pairs gate)."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.sources.wav import encode_wav_bytes
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["t", "seq"])
+        vals = np.tile(pdf["value"].to_numpy("float64"), _AFP_TILE)
+        payload = encode_wav_bytes(100, vals)
+        cid = int(pdf["channel_id"].iloc[0])
+        ids = [cid, cid + 100000] if relabel else [cid]
+        return pd.DataFrame({"media_id": ids, "payload": [payload] * len(ids)})
+
+    return sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, payload binary"
+    )
+
+
+def q_audio_fp(spark, sf_dir):
+    """Shazam-style constellation fingerprints (Wang, ISMIR 2003) under
+    the FULL hash gate: per-channel WAV payloads (engine codec, float64
+    stereo-duplicated — the mono mix recovers the samples exactly) run
+    through the production audio_fingerprints operator at the
+    gate-scale STFT profile, and the oracle REPLAYS the whole pipeline
+    relationally — the x4 tile, the Hann window (0.5 - 0.5 cos(2 pi i /
+    (frame-1)), numpy's symmetric hanning), the per-bin DFT magnitude
+    as ordered re/im LIST_SUM folds (the psd_dft technique), the
+    band-argmax via LIST_POSITION on LIST_MAX (first-occurrence ties,
+    matching np.argmax), the prominence ratio with its exact 1e-12
+    epsilon, the (band << 40 | f1 << 24 | f2 << 8 | dt) pack as
+    non-overlapping power-of-two arithmetic, and the per-file DISTINCT.
+
+    Scale shape: one applyInPandas encode per channel, then the
+    zero-shuffle mapInPandas fingerprint pass — the fingerprint table
+    is the dozens-of-bytes-per-file derived form a deployment
+    materializes (sigstore pattern)."""
+    from pandas_sigproc_spark.operators.audiodup import audio_fingerprints
+
+    return audio_fingerprints(_afp_media(spark, sf_dir, False), **_AFP_PROFILE)
+
+
+def _sql_audio_fp_ctes() -> str:
+    """The shared CTE chain ending in ``hs(channel_id, fp)``."""
+    frame, hop, tile, prom = _AFP_FRAME, _AFP_HOP, _AFP_TILE, _AFP_PROM
+    bands_sql = ", ".join(
+        f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_AFP_BANDS)
+    )
+    dts_sql = ", ".join(f"({d})" for d in range(1, _AFP_FANOUT + 1))
+    return f"""
+WITH {_SIG_CTE},
+ch AS (
+  SELECT channel_id, LIST(value ORDER BY t, seq) AS vals, COUNT(*) AS n
+  FROM sig GROUP BY channel_id
+),
+tiled AS (
+  SELECT channel_id, CAST(n * {tile} AS BIGINT) AS nt,
+         LIST_TRANSFORM(RANGE(0, n * {tile}), i -> vals[(i % n) + 1]) AS xs
+  FROM ch
+),
+frames AS (
+  SELECT channel_id, xs,
+         UNNEST(RANGE(0, 1 + (nt - {frame}) // {hop})) AS f
+  FROM tiled WHERE nt >= {frame}
+),
+wx AS (
+  SELECT channel_id, f,
+         LIST_TRANSFORM(RANGE(0, {frame}), i ->
+           xs[f * {hop} + i + 1] *
+           (0.5 - 0.5 * COS(2 * PI() * i / {frame - 1}.0))) AS w
+  FROM frames
+),
+mag AS (
+  SELECT channel_id, f,
+         LIST_TRANSFORM(RANGE(1, {frame // 2}), k ->
+           SQRT(
+             POWER(LIST_SUM(LIST_TRANSFORM(RANGE(0, {frame}), i ->
+               w[i + 1] * COS(2 * PI() * i * k / {frame}.0))), 2)
+             + POWER(LIST_SUM(LIST_TRANSFORM(RANGE(0, {frame}), i ->
+               w[i + 1] * SIN(2 * PI() * i * k / {frame}.0))), 2)
+           )) AS m
+  FROM wx
+),
+bands(band_id, lo, hi) AS (VALUES {bands_sql}),
+bs AS (
+  SELECT channel_id, f, band_id,
+         lo - 1 + LIST_POSITION(m[lo:hi - 1], LIST_MAX(m[lo:hi - 1])) AS pk,
+         LIST_MAX(m[lo:hi - 1]) >
+           {prom} * LIST_SUM(m[lo:hi - 1]) / (hi - lo) + 1e-12 AS ok
+  FROM mag CROSS JOIN bands
+),
+hs AS (
+  SELECT DISTINCT a.channel_id,
+         a.band_id * 1099511627776 + a.pk * 16777216
+           + b.pk * 256 + d.dt AS fp
+  FROM bs a
+  CROSS JOIN (VALUES {dts_sql}) AS d(dt)
+  JOIN bs b ON b.channel_id = a.channel_id AND b.band_id = a.band_id
+           AND b.f = a.f + d.dt
+  WHERE a.ok AND b.ok
+)"""
+
+
+def _sql_audio_fp() -> str:
+    return f"""{_sql_audio_fp_ctes()}
+SELECT CAST(channel_id AS BIGINT) AS media_id, CAST(fp AS BIGINT) AS fp
+FROM hs
+"""
+
+
+def q_audio_fp_pairs(spark, sf_dir):
+    """audio_near_pairs under the hash gate: the q_audio_fp corpus plus
+    a byte-identical RELABELED copy of every file (+100000 ids) runs
+    through the production matcher — fp equi-join, max_df hot-hash cap,
+    per-pair shared-hash counts, match_frac vs the smaller side.  The
+    oracle self-joins its own relationally-replayed fingerprint table
+    (every planted pair lands at frac 1.0; any true cross-file matches
+    the data contains are predicted independently, not assumed).
+    max_df=50 at gate scale so the degeneracy cap is a live code path
+    (a hash shared by >50 of the 300 files is dropped from matching AND
+    from the per-file totals) rather than dead configuration."""
+    from pandas_sigproc_spark.operators.audiodup import audio_near_pairs
+
+    return audio_near_pairs(
+        _afp_media(spark, sf_dir, True),
+        0.2,
+        max_df=50,
+        persist=_persist,
+        **_AFP_PROFILE,
+    )
+
+
+def _sql_audio_fp_pairs() -> str:
+    return f"""{_sql_audio_fp_ctes()},
+dup2 AS (
+  SELECT CAST(channel_id AS BIGINT) AS media_id, fp FROM hs
+  UNION ALL
+  SELECT CAST(channel_id AS BIGINT) + 100000 AS media_id, fp FROM hs
+),
+hot AS (
+  SELECT fp FROM dup2 GROUP BY fp HAVING COUNT(*) > 50
+),
+kept AS (
+  SELECT media_id, fp FROM dup2 ANTI JOIN hot USING (fp)
+),
+sizes AS (
+  SELECT media_id, COUNT(*) AS n_fp FROM kept GROUP BY media_id
+),
+matches AS (
+  SELECT a.media_id AS m1, b.media_id AS m2,
+         CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM kept a JOIN kept b
+    ON a.fp = b.fp AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT m1, m2, n_matches,
+       ROUND(n_matches / LEAST(s1.n_fp, s2.n_fp), 6) AS match_frac
+FROM matches
+JOIN sizes s1 ON s1.media_id = m1
+JOIN sizes s2 ON s2.media_id = m2
+WHERE n_matches / LEAST(s1.n_fp, s2.n_fp) >= 0.2
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -5896,7 +6101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
-        # -- tier B: code changed this round, re-prove --------------------
+        # -- tier B: new this round / code changed, (re-)prove ------------
+        "audio_fp": q_audio_fp,
+        "audio_fp_pairs": q_audio_fp_pairs,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -5931,11 +6138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_iir_exact": q_filt_iir_exact,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filtfilt_exact": q_filtfilt_exact,
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        # (19 r8-greens — ALL must rotate into the r11 window — then the
+        #  r9 tier, fresh through r12.)
         "psd_welch": q_psd_welch,
         "psd_rms": q_psd_rms,
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (17 r8-greens — ALL must rotate into the r11 window — then the
-        #  r9 tier, fresh through r12.)
         "psd_median": q_psd_median,
         "psd_maxrms": q_psd_maxrms,
         "psd_all": q_psd_all,
@@ -6073,6 +6280,8 @@ def oracle_sql() -> dict[str, str]:
         "media_video_mp4": SQL_MEDIA_VIDEO_MP4,
         "media_phash": _sql_media_phash(),
         "media_phash_pairs": _sql_media_phash_pairs(),
+        "audio_fp": _sql_audio_fp(),
+        "audio_fp_pairs": _sql_audio_fp_pairs(),
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

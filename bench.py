@@ -64,6 +64,9 @@ HEADLINE = [
     "ann_ivf",
     "media_features",
     "media_audio_real",
+    # round-10: the audio near-dup join (fingerprint pass runs once —
+    # persisted — then the fp equi-join; measures the whole tier)
+    "audio_fp_pairs",
     "corpus_prep",
     # round-2 training-pipeline extensions
     "stratified_sample",

@@ -842,19 +842,26 @@ def embedding_near_pairs(
     default-on hot-bucket guard (``dedup.guard_bucket_rows``): a
     degenerate bucket of m near-identical vectors costs O(m^2) pair
     rows in ONE task — the guard fails loudly with the
-    exact-dedup-first remediation instead of grinding.  Vectors are
-    normalized once per row; multi-table duplicate pairs collapse with
-    a MAX over identical cosines (pure dedup).
+    exact-dedup-first remediation instead of grinding.
+
+    Join-width contract (r9 advice): the L-table band self-join carries
+    ONLY ``(t, bucket, vec_id)`` — ints, not vectors — so its shuffle is
+    ~L x 24 B per vector instead of L x dim x 8 B x 2.  Candidate pairs
+    dedup to DISTINCT ``(v1, v2)`` *before* any vector is touched, and
+    the normalized vectors are fetched once per surviving pair from a
+    ``(vec_id, u)`` side derived in one pass; the cosine fold is the
+    same ordered ``zip_with`` expression as before, so the result (and
+    the oracle hash) is bit-identical to the wide-join plan.
     """
     from .dedup import guard_bucket_rows
 
     nr = F.sqrt(_sq_norm(F.col("v")))
     un = vecs.withColumn("_nr", nr)
+    uvecs = un.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_nr")).alias("u")
+    )
     e = lsh_bucket_keys(un, tables=tables, band=band, dim=dim).select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
-        "t",
-        "bucket",
+        "vec_id", "t", "bucket"
     )
     e = guard_bucket_rows(
         e,
@@ -863,11 +870,13 @@ def embedding_near_pairs(
         max_bucket_rows=max_bucket_rows,
         op_name=op_name,
     )
-    a = e.select(
-        F.col("vec_id").alias("v1"), F.col("u").alias("ua"), "t", "bucket"
-    )
-    b = e.select(
-        F.col("vec_id").alias("v2"), F.col("u").alias("ub"), "t", "bucket"
+    a = e.select(F.col("vec_id").alias("v1"), "t", "bucket")
+    b = e.select(F.col("vec_id").alias("v2"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
     )
     dot = F.aggregate(
         F.zip_with("ua", "ub", lambda x, y: x * y),
@@ -875,11 +884,15 @@ def embedding_near_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("v1") < F.col("v2"))
+        cand.join(
+            uvecs.select(F.col("vec_id").alias("v1"), F.col("u").alias("ua")),
+            "v1",
+        )
+        .join(
+            uvecs.select(F.col("vec_id").alias("v2"), F.col("u").alias("ub")),
+            "v2",
+        )
         .select("v1", "v2", dot.alias("cos"))
-        .groupBy("v1", "v2")
-        .agg(F.max("cos").alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("v1", "v2", F.round("cos", round_digits).alias("cos"))
     )

@@ -43,43 +43,61 @@ FP_FRAME = 1024  # STFT frame length (samples)
 FP_HOP = 512  # hop (samples)
 FP_BANDS = ((1, 32), (32, 96), (96, 224), (224, 512))  # rfft bin ranges
 FP_FANOUT = 3  # forward target-zone frames per anchor
+FP_PROMINENCE = 8.0  # peak > prominence x band mean, else no hash
+
+# The STFT profile is configuration, not algorithm: every parameter
+# threads through the same code path, so a gate-scale profile (short
+# frames over the driver's ~50-86-sample channels, where a 1024-point
+# frame would not even fit once) certifies exactly the pipeline the
+# production defaults run — windowing, DFT magnitudes, prominence-gated
+# band argmax, (f1, f2, dt) packing — at a size whose full relational
+# replay stays DuckDB-tractable (__spark_entry__._sql_audio_fp).
 
 
-def fingerprint_samples(x: np.ndarray) -> np.ndarray:
+def fingerprint_samples(
+    x: np.ndarray,
+    *,
+    frame: int = FP_FRAME,
+    hop: int = FP_HOP,
+    bands: tuple = FP_BANDS,
+    fanout: int = FP_FANOUT,
+    prominence: float = FP_PROMINENCE,
+) -> np.ndarray:
     """int64 constellation hashes of one mono sample array."""
     n = len(x)
-    if n < FP_FRAME:
+    if n < frame:
         return np.zeros(0, dtype=np.int64)
-    nf = 1 + (n - FP_FRAME) // FP_HOP
-    idx = np.arange(FP_FRAME)[None, :] + FP_HOP * np.arange(nf)[:, None]
-    frames = x[idx] * np.hanning(FP_FRAME)[None, :]
+    nf = 1 + (n - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+    frames = x[idx] * np.hanning(frame)[None, :]
     mag = np.abs(np.fft.rfft(frames, axis=1))
     # per-band argmax bin per frame: (nf, n_bands), gain-invariant —
     # but only PROMINENT peaks count: a band holding silence or flat
     # noise has an argmax too, and those degenerate (lo-bin, lo-bin)
     # hashes would be shared by every file (the first cut of this
     # module measured 0.31 "similarity" between unrelated clips from
-    # exactly that).  Prominence = peak > 8x its band's mean magnitude
-    # in that frame — a RATIO, so gain invariance is preserved.
+    # exactly that).  Prominence = peak > `prominence` x its band's
+    # mean magnitude in that frame — a RATIO, so gain invariance is
+    # preserved.
     peaks = np.stack(
-        [lo + np.argmax(mag[:, lo:hi], axis=1) for lo, hi in FP_BANDS],
+        [lo + np.argmax(mag[:, lo:hi], axis=1) for lo, hi in bands],
         axis=1,
     ).astype(np.int64)
     peak_mag = np.stack(
-        [np.max(mag[:, lo:hi], axis=1) for lo, hi in FP_BANDS], axis=1
+        [np.max(mag[:, lo:hi], axis=1) for lo, hi in bands], axis=1
     )
     band_mean = np.stack(
-        [np.mean(mag[:, lo:hi], axis=1) for lo, hi in FP_BANDS], axis=1
+        [np.mean(mag[:, lo:hi], axis=1) for lo, hi in bands], axis=1
     )
-    valid = peak_mag > 8.0 * band_mean + 1e-12
+    valid = peak_mag > prominence * band_mean + 1e-12
     hashes = []
-    for dt in range(1, FP_FANOUT + 1):
+    for dt in range(1, fanout + 1):
         if nf <= dt:
             break
         f1 = peaks[:-dt]  # (nf-dt, bands)
         f2 = peaks[dt:]
         ok = valid[:-dt] & valid[dt:]
-        band_ids = np.arange(len(FP_BANDS), dtype=np.int64)[None, :]
+        band_ids = np.arange(len(bands), dtype=np.int64)[None, :]
         h = (
             (band_ids << 40)
             | (f1 << 24)
@@ -93,12 +111,12 @@ def fingerprint_samples(x: np.ndarray) -> np.ndarray:
     return np.unique(out) if out.size else np.zeros(0, np.int64)
 
 
-def fingerprint_bytes(payload: bytes) -> np.ndarray:
+def fingerprint_bytes(payload: bytes, **profile) -> np.ndarray:
     """Hashes of one RIFF/WAVE payload (mono mix of all channels)."""
     from pandas_sigproc_spark.sources.wav import decode_wav_bytes
 
     _rate, arr = decode_wav_bytes(bytes(payload))
-    return fingerprint_samples(arr.astype(np.float64).mean(axis=1))
+    return fingerprint_samples(arr.astype(np.float64).mean(axis=1), **profile)
 
 
 def audio_fingerprints(
@@ -106,15 +124,18 @@ def audio_fingerprints(
     *,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    **profile,
 ) -> DataFrame:
     """(media_id long, fp long): exploded fingerprint table via one
-    zero-shuffle mapInPandas pass — the materializable derived form."""
+    zero-shuffle mapInPandas pass — the materializable derived form.
+    ``profile`` (frame/hop/bands/fanout/prominence) overrides the
+    production STFT constants; the closure ships only those scalars."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fps = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                h = fingerprint_bytes(bytes(payload))
+                h = fingerprint_bytes(bytes(payload), **profile)
                 ids.extend([int(mid)] * len(h))
                 fps.extend(int(v) for v in h)
             yield pd.DataFrame({"media_id": ids, "fp": fps})
@@ -132,6 +153,8 @@ def audio_near_pairs(
     payload_col: str = "payload",
     fingerprints: DataFrame | None = None,
     max_df: int | None = 1000,
+    persist=None,
+    **profile,
 ) -> DataFrame:
     """All audio pairs (m1 < m2) sharing at least ``min_match_frac`` of
     the smaller side's fingerprint hashes.
@@ -142,13 +165,23 @@ def audio_near_pairs(
     that many files (silence/test-tone degeneracy — the hot-shingle cap
     of the Jaccard tier) from matching AND from the per-file totals, so
     the ratio stays a true fraction of the df-filtered hash sets.
+    ``persist`` (e.g. ``DataFrame.persist``-wrapping cache hooks) is
+    applied to the fingerprint table, which feeds FOUR consumers (df
+    cap, both join sides, sizes) — without it Spark re-runs the
+    decode+STFT Python pass once per consumer, the one expensive stage
+    of the plan.  A production deployment materializes the table
+    instead (the signature-store pattern), which is the same cut made
+    durable.
     """
     if not 0.0 < min_match_frac <= 1.0:
         raise ValueError("need 0 < min_match_frac <= 1")
-    fp = (
+    persist = persist or (lambda df: df)
+    fp = persist(
         fingerprints
         if fingerprints is not None
-        else audio_fingerprints(media, id_col=id_col, payload_col=payload_col)
+        else audio_fingerprints(
+            media, id_col=id_col, payload_col=payload_col, **profile
+        )
     )
     if max_df is not None:
         hot = (
@@ -198,6 +231,7 @@ __all__ = [
     "FP_FANOUT",
     "FP_FRAME",
     "FP_HOP",
+    "FP_PROMINENCE",
     "audio_fingerprints",
     "audio_near_pairs",
     "fingerprint_bytes",

@@ -115,3 +115,67 @@ def test_validation(spark):
         audio_near_pairs(media, 0.0)
     with pytest.raises(ValueError):
         audio_near_pairs(media, 1.5)
+
+
+def test_gate_profile_margin_audit():
+    """Cross-engine flip safety for the driver gate (q_audio_fp): the
+    oracle recomputes magnitudes as direct DFT folds while the operator
+    uses numpy's FFT — different summation orders, ~1e-12 relative
+    drift.  A hash flips only if that drift crosses an argmax tie
+    (top1 vs top2 in a band) or the prominence threshold (peak vs
+    prom * mean + 1e-12).  Measure BOTH margins over the real gate
+    inputs at sf0.01 and pin them orders of magnitude above the
+    measured FFT-vs-DFT drift — the pHash DCT margin-audit technique.
+    """
+    import duckdb
+
+    from __spark_entry__ import (
+        _AFP_BANDS,
+        _AFP_FRAME,
+        _AFP_HOP,
+        _AFP_PROM,
+        _AFP_TILE,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(user_id AS BIGINT), "
+        "LIST(CAST(value AS DOUBLE) ORDER BY epoch(ts), event_id) "
+        "FROM '/root/testdata/sf0.01/events.parquet' GROUP BY 1"
+    ).fetchall()
+    con.close()
+    frame, hop = _AFP_FRAME, _AFP_HOP
+    k = np.arange(1, frame // 2)
+    min_arg, min_prom, max_drift = np.inf, np.inf, 0.0
+    for _cid, vals in rows:
+        x = np.tile(np.asarray(vals, dtype=np.float64), _AFP_TILE)
+        nf = 1 + (len(x) - frame) // hop
+        idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+        fr = x[idx] * np.hanning(frame)[None, :]
+        mag = np.abs(np.fft.rfft(fr, axis=1))
+        # direct-DFT magnitudes via a different evaluation order
+        basis_pow = np.power(
+            np.exp(-2j * np.pi / frame), np.outer(np.arange(frame), k)
+        )
+        dmag = np.abs(fr @ basis_pow)
+        max_drift = max(
+            max_drift,
+            float(np.max(np.abs(dmag - mag[:, 1 : frame // 2]))),
+        )
+        for lo, hi in _AFP_BANDS:
+            band = mag[:, lo:hi]
+            top2 = np.sort(band, axis=1)[:, -2:]
+            min_arg = min(min_arg, float(np.min(top2[:, 1] - top2[:, 0])))
+            peak = band.max(axis=1)
+            mean = band.mean(axis=1)
+            min_prom = min(
+                min_prom,
+                float(np.min(np.abs(peak - (_AFP_PROM * mean + 1e-12)))),
+            )
+    # measured r10: drift ~2e-13, argmax margin ~1e-3, prominence
+    # margin ~1e-4 — six+ orders of headroom; pin conservative floors
+    assert max_drift < 1e-9, max_drift
+    assert min_arg > 1e-5, min_arg
+    assert min_prom > 1e-6, min_prom
+    assert min_arg > 1e4 * max_drift
+    assert min_prom > 1e4 * max_drift
