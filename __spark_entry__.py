@@ -3730,6 +3730,172 @@ WHERE n_matches / LEAST(s1.n_fp, s2.n_fp) >= 0.2
 """
 
 
+def q_media_video_dedup(spark, sf_dir):
+    """Video near-dup under the FULL hash gate — the composition the r9
+    verdict named (Missing #3): the media_video_mp4 corpus (4 BMP
+    frames per channel muxed into a real ISO-BMFF MP4) plus a
+    byte-identical RELABELED copy of every video (+100000 ids) runs
+    through phash_frames (demux + per-frame DCT pHash, one zero-shuffle
+    mapInPandas pass) and then the EXACT banded Hamming self-join over
+    composite (video, frame) keys, rolled up to video-level verdicts:
+    ``(v1, v2, n_frame_pairs, best_hamming)`` for cross-video frame
+    pairs within Hamming 6.  The oracle replays the whole chain —
+    the 4-way frame split with its zero padding, the per-frame
+    nearest-resize/DCT-32/median/bit-pack pipeline (the media_phash
+    replay threaded over a frame dimension), the relabeled union, and
+    the Hamming join + roll-up — so the planted 150 copy-pairs (4
+    frames each at Hamming 0) AND any true cross-video near-pairs are
+    predicted independently, not assumed.
+
+    Scale shape: one applyInPandas encode per channel; 8 bytes per
+    FRAME leave the hash pass; the join keys are (band_id, band_bits)
+    ints with the hot-bucket guard default-on; the roll-up groups on
+    already-joined keys.
+    """
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.imagedup import (
+        phash_frames,
+        phash_near_pairs,
+    )
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pandas_sigproc_spark.sources.bmp import encode_bmp
+        from pandas_sigproc_spark.sources.mp4 import encode_mp4
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        per = (len(b) + 3) // 4
+        h = (per + 15) // 16
+        frames = []
+        for fi in range(4):
+            flat = np.zeros(h * 16, dtype=np.uint8)
+            chunk = b[fi * per : (fi + 1) * per]
+            flat[: len(chunk)] = chunk
+            frames.append(
+                encode_bmp(np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2))
+            )
+        payload = encode_mp4(frames)
+        cid = int(pdf["channel_id"].iloc[0])
+        return pd.DataFrame(
+            {"media_id": [cid, cid + 100000], "payload": [payload, payload]}
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, payload binary"
+    )
+    fr = phash_frames(media)
+    # persisted: the banded self-join consumes the hash table on BOTH
+    # sides — unpersisted, the demux+hash Python pass would run twice
+    keyed = _persist(
+        fr.select(
+            (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"),
+            "phash",
+        )
+    )
+    pairs = phash_near_pairs(media, 6, hashes=keyed)
+    return (
+        pairs.select(
+            F.expr("m1 DIV 16").alias("v1"),
+            F.expr("m2 DIV 16").alias("v2"),
+            "hamming",
+        )
+        .filter(F.col("v1") != F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(
+            F.count("*").cast("long").alias("n_frame_pairs"),
+            F.min("hamming").cast("int").alias("best_hamming"),
+        )
+    )
+
+
+def _sql_media_video_dedup() -> str:
+    # the media_phash DCT replay threaded over a frame dimension, then
+    # the relabeled union and the Hamming join + video roll-up in exact
+    # integer arithmetic
+    from pandas_sigproc_spark.operators.imagedup import _dct32
+
+    t8 = _dct32()[:8].reshape(-1)
+    tlit = "[" + ", ".join(repr(float(x)) for x in t8) + "]"
+    p2 = "[" + ", ".join(str(1 << (62 - k)) for k in range(63)) + "]"
+    # frame-local nearest-resize: 0-based flat position j of 32x32 cell
+    # i in the h x 16 frame matrix
+    j = "((((i // 32) * h) // 32) * 16 + (((i % 32) * 16) // 32))"
+    return f"""
+WITH {_SIG_CTE},
+px AS (
+  SELECT channel_id,
+         LIST(CAST(TRUNC(value * 10.0) AS BIGINT) % 256 ORDER BY t, seq) AS pb,
+         COUNT(*) AS n
+  FROM sig GROUP BY channel_id
+),
+geom AS (
+  SELECT channel_id, pb, n, (n + 3) // 4 AS per,
+         ((n + 3) // 4 + 15) // 16 AS h
+  FROM px
+),
+fr AS (
+  SELECT channel_id, pb, n, per, h, UNNEST(RANGE(0, 4)) AS fi FROM geom
+),
+sm AS (
+  SELECT channel_id, fi,
+         LIST_TRANSFORM(RANGE(0, 1024), i ->
+           CASE WHEN {j} < per AND fi * per + {j} < n
+                THEN CAST(pb[fi * per + {j} + 1] AS DOUBLE) ELSE 0.0 END
+         ) AS s
+  FROM fr
+),
+consts AS (SELECT CAST({tlit} AS DOUBLE[]) AS tm, CAST({p2} AS BIGINT[]) AS p2),
+inner_m AS (
+  SELECT channel_id, fi,
+         LIST_TRANSFORM(RANGE(0, 256), jx ->
+           LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), y ->
+             s[(jx // 8) * 32 + y + 1] * tm[(jx % 8) * 32 + y + 1]))
+         ) AS im
+  FROM sm CROSS JOIN consts
+),
+coef AS (
+  SELECT channel_id, fi,
+         LIST_TRANSFORM(RANGE(0, 64), k ->
+           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), x ->
+             tm[(k // 8) * 32 + x + 1] * im[x * 8 + (k % 8) + 1])), 3)
+         ) AS cf
+  FROM inner_m CROSS JOIN consts
+),
+blocks AS (
+  SELECT channel_id, fi, cf[2:64] AS block, LIST_SORT(cf[2:64])[32] AS med
+  FROM coef
+),
+hashed AS (
+  SELECT b.channel_id, b.fi,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 63), k ->
+           CASE WHEN b.block[k + 1] > b.med THEN c.p2[k + 1]
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM blocks b CROSS JOIN consts c
+),
+keyed AS (
+  SELECT CAST(channel_id AS BIGINT) * 16 + fi AS k, phash FROM hashed
+  UNION ALL
+  SELECT (CAST(channel_id AS BIGINT) + 100000) * 16 + fi AS k, phash
+  FROM hashed
+),
+pairs AS (
+  SELECT a.k // 16 AS v1, b.k // 16 AS v2,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+  FROM keyed a JOIN keyed b ON a.k < b.k
+)
+SELECT v1, v2, CAST(COUNT(*) AS BIGINT) AS n_frame_pairs,
+       CAST(MIN(hamming) AS INTEGER) AS best_hamming
+FROM pairs WHERE hamming <= 6 AND v1 <> v2 GROUP BY v1, v2
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -6104,6 +6270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier B: new this round / code changed, (re-)prove ------------
         "audio_fp": q_audio_fp,
         "audio_fp_pairs": q_audio_fp_pairs,
+        "media_video_dedup": q_media_video_dedup,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -6137,10 +6304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_chunked": q_filt_chunked,
         "filt_iir_exact": q_filt_iir_exact,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
-        "filtfilt_exact": q_filtfilt_exact,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (19 r8-greens — ALL must rotate into the r11 window — then the
+        # (20 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "filtfilt_exact": q_filtfilt_exact,
         "psd_welch": q_psd_welch,
         "psd_rms": q_psd_rms,
         "psd_median": q_psd_median,
@@ -6282,6 +6449,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_pairs": _sql_media_phash_pairs(),
         "audio_fp": _sql_audio_fp(),
         "audio_fp_pairs": _sql_audio_fp_pairs(),
+        "media_video_dedup": _sql_media_video_dedup(),
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,
