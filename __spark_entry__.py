@@ -5280,7 +5280,8 @@ def q_ann_ivf_pq(spark, sf_dir):
     than the float64 scan); a query precomputes its m x ksub inner-
     product LUT once and every candidate costs m array lookups.  The
     top-80 by rounded ADC score rescore exactly.  recall@3 measured
-    0.91 at both gate SFs (BENCH prints it live next to the IVF/SQ8
+    0.92 at both gate SFs at the r10 production profile (ksub=256, the
+    FAISS-default 1-byte codes; BENCH prints it live next to the IVF/SQ8
     tiers).  Delegates to operators/ann.py ivf_pq_topk."""
     return _ann.ivf_pq_topk(
         _persist(_embeds_base(spark, sf_dir)),

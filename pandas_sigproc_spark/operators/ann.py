@@ -594,8 +594,8 @@ def ivf_sq8_topk(
 # IVF-PQ (product quantization with ADC scoring)
 # ---------------------------------------------------------------------------
 
-PQ_M = 16  # subspaces (r9 sweep on the gate corpora: recall@3 0.91+)
-PQ_KSUB = 64  # codebook entries per subspace (production: 256 = 1 byte)
+PQ_M = 16  # subspaces (r10 at ksub=256: recall@3 0.92 at both gate SFs)
+PQ_KSUB = 256  # codebook entries per subspace (the FAISS default: 1-byte codes)
 PQ_FUNNEL = 80  # ADC candidates exact-rescored per query
 
 

@@ -32,10 +32,11 @@ FLOORS = {
     "ann_ivf": 0.9,
     "ann_int8": 0.9,
     "ann_ivf_int8": 0.85,
-    # IVF-PQ: measured 0.91 at both SFs (m=16, ksub=64, funnel=80) —
+    # IVF-PQ: measured 0.92 at both SFs at the r10 production profile
+    # (m=16, ksub=256 — the FAISS default 1-byte codes — funnel=80);
     # the highest-compression tier trades the last recall points for a
     # 40x narrower candidate scan
-    "ann_ivf_pq": 0.85,
+    "ann_ivf_pq": 0.9,
 }
 
 
