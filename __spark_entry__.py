@@ -3896,6 +3896,147 @@ FROM pairs WHERE hamming <= 6 AND v1 <> v2 GROUP BY v1, v2
 """
 
 
+def q_incr_phash_store(spark, sf_dir):
+    """The IMAGE incremental-dedup lifecycle under the driver gate —
+    the media twin of q_incr_dedup_store: the corpus images' pHash
+    table is written to a media hash store in two batches (even/odd
+    channel parity), COMPACTED (batch dirs rewritten + meta-swapped +
+    orphan-swept, operators/sigstore.py), and a delta batch — fresh
+    channels plus byte-identical relabeled copies of every 25th corpus
+    image (+100000 ids) — is screened via incremental_phash_dedup
+    WITHOUT re-decoding a single corpus image: the store holds 8 bytes
+    per image.  The oracle replays the pHash pipeline relationally
+    (the media_phash DCT replay) and then predicts the verdict frame —
+    exact-hash matches vs the existing set, banded-Hamming near counts
+    at radius 6, and the smaller-id earlier-delta rule — in exact
+    integer arithmetic.
+
+    Scale shape: the store build is one zero-shuffle hash pass + a
+    repartitioned parquet write per batch; the probe is two banded
+    Hamming equi-joins on int keys (guards default-on), both against
+    an 8 B/image table.
+    """
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.imagedup import (
+        incremental_phash_dedup,
+        phash_images,
+    )
+    from pandas_sigproc_spark.operators.sigstore import (
+        compact_media_hash_store,
+        read_media_hash_store,
+        write_media_hash_store,
+    )
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pandas_sigproc_spark.sources.bmp import encode_bmp
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        h = (len(b) + 15) // 16
+        flat = np.zeros(h * 16, dtype=np.uint8)
+        flat[: len(b)] = b
+        px = np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "payload": [encode_bmp(px)],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, payload binary"
+    )
+    existing = media.filter(F.col("media_id") % 5 != 4)
+    delta = media.filter(F.col("media_id") % 5 == 4).unionByName(
+        media.filter(F.col("media_id") % 25 == 0).select(
+            (F.col("media_id") + 100000).alias("media_id"), "payload"
+        )
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".mediastore_gate", sf_tag
+    )
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per call
+    h_existing = phash_images(existing)
+    write_media_hash_store(
+        h_existing.filter(F.col("media_id") % 2 == 0), path,
+        kind="phash", hash_col="phash", partitions=8,
+    )
+    write_media_hash_store(
+        h_existing.filter(F.col("media_id") % 2 != 0), path,
+        kind="phash", hash_col="phash", mode="append", partitions=8,
+    )
+    compact_media_hash_store(spark, path, kind="phash", partitions=8)
+    store = read_media_hash_store(spark, path, kind="phash")
+    return incremental_phash_dedup(store, delta, max_hamming=6)
+
+
+def _sql_incr_phash_store() -> str:
+    # the media_phash replay (hashed: channel_id -> phash), then the
+    # existing/delta split, exact matches, banded-equivalent Hamming
+    # near counts (the band join is an exact candidate generator, so
+    # the oracle can use the plain Hamming predicate), and the
+    # earlier-delta rule — all in integer arithmetic
+    base = _sql_media_phash().rstrip()
+    tail = "SELECT CAST(channel_id AS BIGINT) AS media_id, phash FROM hashed"
+    assert base.endswith(tail)
+    ctes = base[: base.rindex("SELECT CAST")].rstrip()
+    return f"""{ctes},
+allh AS (
+  SELECT CAST(channel_id AS BIGINT) AS media_id, phash FROM hashed
+),
+existing AS (
+  SELECT media_id, phash FROM allh WHERE media_id % 5 <> 4
+),
+delta AS (
+  SELECT media_id, phash FROM allh WHERE media_id % 5 = 4
+  UNION ALL
+  SELECT media_id + 100000 AS media_id, phash FROM allh
+  WHERE media_id % 25 = 0
+),
+near_e AS (
+  SELECT d.media_id, CAST(COUNT(DISTINCT e.media_id) AS BIGINT) AS n
+  FROM delta d JOIN existing e
+    ON bit_count(xor(d.phash, e.phash)) <= 6
+  GROUP BY d.media_id
+),
+near_d AS (
+  SELECT d.media_id, CAST(COUNT(DISTINCT d2.media_id) AS BIGINT) AS n
+  FROM delta d JOIN delta d2
+    ON d2.media_id < d.media_id
+   AND bit_count(xor(d.phash, d2.phash)) <= 6
+  GROUP BY d.media_id
+),
+exact AS (
+  SELECT d.media_id,
+         (EXISTS (SELECT 1 FROM existing e WHERE e.phash = d.phash)
+          OR EXISTS (SELECT 1 FROM delta d2
+                     WHERE d2.phash = d.phash
+                       AND d2.media_id < d.media_id)) AS is_exact_dup
+  FROM delta d
+)
+SELECT d.media_id, d.phash, x.is_exact_dup,
+       COALESCE(ne.n, 0) AS n_near_existing,
+       COALESCE(nd.n, 0) AS n_near_delta_earlier,
+       (NOT x.is_exact_dup AND COALESCE(ne.n, 0) = 0
+        AND COALESCE(nd.n, 0) = 0) AS kept
+FROM delta d
+JOIN exact x ON x.media_id = d.media_id
+LEFT JOIN near_e ne ON ne.media_id = d.media_id
+LEFT JOIN near_d nd ON nd.media_id = d.media_id
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -6272,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp": q_audio_fp,
         "audio_fp_pairs": q_audio_fp_pairs,
         "media_video_dedup": q_media_video_dedup,
+        "incr_phash_store": q_incr_phash_store,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -6304,10 +6446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_chain": q_filt_chain,
         "filt_chunked": q_filt_chunked,
         "filt_iir_exact": q_filt_iir_exact,
-        "filt_iir_fft_exact": q_filt_iir_fft_exact,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (20 r8-greens — ALL must rotate into the r11 window — then the
+        # (21 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filtfilt_exact": q_filtfilt_exact,
         "psd_welch": q_psd_welch,
         "psd_rms": q_psd_rms,
@@ -6451,6 +6593,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp": _sql_audio_fp(),
         "audio_fp_pairs": _sql_audio_fp_pairs(),
         "media_video_dedup": _sql_media_video_dedup(),
+        "incr_phash_store": _sql_incr_phash_store(),
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

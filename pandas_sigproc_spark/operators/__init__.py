@@ -88,6 +88,8 @@ from .audiodup import (
     fingerprint_bytes,
 )
 from .imagedup import (
+    incremental_phash_dedup,
+    phash_band_keys,
     phash_bytes,
     phash_dedup,
     phash_frames,
@@ -103,6 +105,9 @@ from pandas_sigproc_spark.operators.sigstore import (
     read_signature_store,
     compact_signature_store,
     incremental_dedup_from_store,
+    write_media_hash_store,
+    read_media_hash_store,
+    compact_media_hash_store,
 )
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
@@ -168,6 +173,8 @@ __all__ = [
     "audio_near_pairs",
     "fingerprint_bytes",
     "lsh_band_tuning",
+    "incremental_phash_dedup",
+    "phash_band_keys",
     "phash_bytes",
     "phash_dedup",
     "phash_frames",
@@ -197,6 +204,9 @@ __all__ = [
     "read_signature_store",
     "compact_signature_store",
     "incremental_dedup_from_store",
+    "write_media_hash_store",
+    "read_media_hash_store",
+    "compact_media_hash_store",
     "temperature_thresholds",
     "temperature_sample",
     "scrub_pii",

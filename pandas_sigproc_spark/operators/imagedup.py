@@ -120,29 +120,22 @@ def phash_images(
     )
 
 
-def phash_near_pairs(
-    media: DataFrame,
-    max_hamming: int = 3,
+def phash_band_keys(
+    h: DataFrame,
+    max_hamming: int,
     *,
-    id_col: str = "media_id",
-    payload_col: str = "payload",
-    hashes: DataFrame | None = None,
     max_bucket_rows: int | None = 100_000,
+    op_name: str = "phash_band_keys",
 ) -> DataFrame:
-    """All image pairs (m1 < m2) whose pHashes differ in at most
-    ``max_hamming`` of 64 bits.  EXACT: banding in Hamming space loses
-    no true pair (pigeonhole over ``max_hamming + 1`` bands).
-
-    Output: ``(m1, m2, hamming int)``.  ``hashes`` short-circuits the
-    decode pass with a precomputed (media_id, phash) table — the
-    materialized-signature-store pattern.  ``max_bucket_rows`` is the
-    embedding tier's hot-bucket guard on the band join.
-    """
-    if not 0 <= max_hamming < PHASH_BITS:
-        raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
-    h = hashes if hashes is not None else phash_images(
-        media, id_col=id_col, payload_col=payload_col
-    )
+    """Explode a ``(media_id, phash)`` table into the exact Hamming
+    band keys: ``(media_id, phash, band_id, band_bits)`` with
+    ``max_hamming + 1`` bands per hash.  By pigeonhole, any pair within
+    the Hamming radius agrees EXACTLY on at least one whole band, so
+    equi-joining on (band_id, band_bits) loses no true pair.  The
+    hot-bucket guard (``max_bucket_rows``) is default-on — the band
+    split depends on the probe-time radius, so the keys are derived
+    here per probe rather than materialized (the stored form is the
+    8-byte hash itself; see sigstore.write_media_hash_store)."""
     n_bands = max_hamming + 1
     width = PHASH_BITS // n_bands
     rem = PHASH_BITS - width * n_bands  # last band absorbs the remainder
@@ -170,8 +163,40 @@ def phash_near_pairs(
             ["band_id", "band_bits"],
             guarded_col="band_bits",
             max_bucket_rows=max_bucket_rows,
-            op_name="phash_near_pairs",
+            op_name=op_name,
         )
+    return bands
+
+
+def phash_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hashes: DataFrame | None = None,
+    max_bucket_rows: int | None = 100_000,
+) -> DataFrame:
+    """All image pairs (m1 < m2) whose pHashes differ in at most
+    ``max_hamming`` of 64 bits.  EXACT: banding in Hamming space loses
+    no true pair (pigeonhole over ``max_hamming + 1`` bands).
+
+    Output: ``(m1, m2, hamming int)``.  ``hashes`` short-circuits the
+    decode pass with a precomputed (media_id, phash) table — the
+    materialized-signature-store pattern.  ``max_bucket_rows`` is the
+    embedding tier's hot-bucket guard on the band join.
+    """
+    if not 0 <= max_hamming < PHASH_BITS:
+        raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
+    h = hashes if hashes is not None else phash_images(
+        media, id_col=id_col, payload_col=payload_col
+    )
+    bands = phash_band_keys(
+        h,
+        max_hamming,
+        max_bucket_rows=max_bucket_rows,
+        op_name="phash_near_pairs",
+    )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(
         F.col("a.phash").bitwiseXOR(F.col("b.phash"))
@@ -272,11 +297,150 @@ def phash_dedup(
     )
 
 
+def incremental_phash_dedup(
+    existing_hashes: DataFrame,
+    delta_media: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hashes: DataFrame | None = None,
+    max_bucket_rows: int | None = 100_000,
+) -> DataFrame:
+    """Deduplicate a NEW image ingestion batch against an existing
+    corpus — the image twin of ``curation.incremental_dedup``, with the
+    corpus side touched ONLY through its materialized ``(media_id,
+    phash)`` hash table (8 B/image — the production substrate
+    ``sigstore.read_media_hash_store`` serves; image bytes never
+    rescanned).  Per delta image:
+
+    - ``is_exact_dup`` — its pHash is bit-identical to an existing
+      hash, or to an EARLIER (smaller-id) delta image's;
+    - ``n_near_existing`` — existing images within ``max_hamming``;
+    - ``n_near_delta_earlier`` — same, against smaller-id delta images
+      only (the deterministic greedy first-wins rule of the text tier);
+    - ``kept`` — none of the above fired.
+
+    Scale shape: delta hashes come from ONE zero-shuffle mapInPandas
+    pass (or the ``hashes=`` seam); both probes are exact banded
+    Hamming equi-joins on (band_id, band_bits) int keys — pigeonhole
+    over ``max_hamming + 1`` bands, zero false negatives — with the
+    hot-bucket guard default-on on BOTH tables, and everything
+    delta-internal is bounded by batch size.
+    """
+    if not 0 <= max_hamming < PHASH_BITS:
+        raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
+    hd = hashes if hashes is not None else phash_images(
+        delta_media, id_col=id_col, payload_col=payload_col
+    )
+    he = existing_hashes.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("phash").cast("long").alias("phash"),
+    )
+    bd = phash_band_keys(
+        hd,
+        max_hamming,
+        max_bucket_rows=max_bucket_rows,
+        op_name="incremental_phash_dedup[delta]",
+    )
+    be = phash_band_keys(
+        he,
+        max_hamming,
+        max_bucket_rows=max_bucket_rows,
+        op_name="incremental_phash_dedup[existing]",
+    ).select(
+        F.col("media_id").alias("e_id"),
+        F.col("phash").alias("e_phash"),
+        "band_id",
+        "band_bits",
+    )
+    near_e = (
+        bd.join(be, ["band_id", "band_bits"])
+        .filter(
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("e_phash")))
+            <= max_hamming
+        )
+        .select("media_id", "e_id")
+        .distinct()
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near_existing"))
+    )
+    b2 = bd.select(
+        F.col("media_id").alias("d_id"),
+        F.col("phash").alias("d_phash"),
+        "band_id",
+        "band_bits",
+    )
+    near_d = (
+        bd.join(b2, ["band_id", "band_bits"])
+        .filter(
+            (F.col("d_id") < F.col("media_id"))
+            & (
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("d_phash")))
+                <= max_hamming
+            )
+        )
+        .select("media_id", "d_id")
+        .distinct()
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near_delta_earlier"))
+    )
+    exact_e = (
+        hd.join(
+            he.select(F.col("phash").alias("e_phash")).distinct(),
+            F.col("phash") == F.col("e_phash"),
+            "left_semi",
+        )
+        .select("media_id")
+        .withColumn("_xe", F.lit(True))
+    )
+    d2 = hd.select(
+        F.col("media_id").alias("d_id"), F.col("phash").alias("d_phash")
+    )
+    exact_d = (
+        hd.join(
+            d2,
+            (F.col("phash") == F.col("d_phash"))
+            & (F.col("d_id") < F.col("media_id")),
+            "left_semi",
+        )
+        .select("media_id")
+        .withColumn("_xd", F.lit(True))
+    )
+    return (
+        hd.join(near_e, "media_id", "left")
+        .join(near_d, "media_id", "left")
+        .join(exact_e, "media_id", "left")
+        .join(exact_d, "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            (F.coalesce(F.col("_xe"), F.lit(False))
+             | F.coalesce(F.col("_xd"), F.lit(False))).alias("is_exact_dup"),
+            F.coalesce(F.col("n_near_existing"), F.lit(0))
+            .cast("long")
+            .alias("n_near_existing"),
+            F.coalesce(F.col("n_near_delta_earlier"), F.lit(0))
+            .cast("long")
+            .alias("n_near_delta_earlier"),
+        )
+        .withColumn(
+            "kept",
+            ~F.col("is_exact_dup")
+            & (F.col("n_near_existing") == 0)
+            & (F.col("n_near_delta_earlier") == 0),
+        )
+    )
+
+
 __all__ = [
     "PHASH_BITS",
     "PHASH_SIZE",
+    "incremental_phash_dedup",
+    "phash_band_keys",
     "phash_bytes",
+    "phash_dedup",
+    "phash_frames",
     "phash_images",
     "phash_near_pairs",
-    "phash_dedup",
 ]

@@ -387,6 +387,142 @@ def incremental_dedup_from_store(
     )
 
 
+# ---------------------------------------------------------------------------
+# Media hash stores — the SAME batch-commit protocol for the image and
+# audio dedup tiers (r9 verdict #7): the materializable derived form of
+# each modality is already a compact hash table (pHash: 8 B/image;
+# audio fp: ~hundreds of 8 B hashes/clip), so the store holds ONE
+# table, ``hashes/batch=<id>/``, under the identical committed-list
+# meta, torn-append invisibility, crash-safe compaction, and
+# orphan-sweeping GC as the text signature store.  ``kind`` is baked
+# into the meta exactly like ``ngram``: probing an audio store with
+# image hashes is a contract violation the longs cannot reveal, so
+# reads and appends refuse a mismatch loudly.
+#
+# Banding is NOT stored (unlike the text tier's band table): the
+# Hamming band keys are cheap JVM bit expressions over the 8-byte
+# hashes and depend on the probe-time ``max_hamming``, whereas text
+# band keys derive from full corpus text — the expensive pass media
+# stores skip is the decode+hash, which the hash table already
+# amortizes.
+# ---------------------------------------------------------------------------
+
+
+def _read_media_meta(spark: SparkSession, path: str, kind: str) -> dict:
+    meta_path = _meta_path(path)
+    if not _fs_exists(spark, meta_path):
+        raise ValueError(
+            f"media hash store at {path} has no _meta.json — either it"
+            " was never written or a prior write crashed before the"
+            " meta stamp. Rebuild with mode='overwrite' instead of"
+            " reading/appending an unverifiable store."
+        )
+    meta = json.loads(_fs_read_text(spark, meta_path))
+    if meta.get("version") != _STORE_VERSION:
+        raise ValueError(
+            f"media hash store at {path} has version"
+            f" {meta.get('version')}; this build reads version"
+            f" {_STORE_VERSION} — rebuild or migrate"
+        )
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"media hash store at {path} holds kind={meta.get('kind')!r};"
+            f" asked for kind={kind!r} — hashes of different modalities"
+            " are not comparable (the longs cannot reveal the mismatch)"
+        )
+    return meta
+
+
+def write_media_hash_store(
+    hashes: DataFrame,
+    path: str,
+    *,
+    kind: str,
+    hash_col: str,
+    mode: str = "overwrite",
+    partitions: int | None = None,
+) -> None:
+    """Write/append a ``(media_id, <hash_col>)`` hash table as a
+    committed batch (``kind``: e.g. ``"phash"`` or ``"audio_fp"``;
+    recorded in meta and enforced on every later read/append).  Same
+    atomicity as :func:`write_signature_store`: the batch directory is
+    invisible until the meta stamp commits it."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if hash_col not in hashes.columns:
+        raise ValueError(f"hashes has no column {hash_col!r}: {hashes.columns}")
+    spark = hashes.sparkSession
+    if mode == "append":
+        meta = _read_media_meta(spark, path, kind)
+    else:
+        if _fs_exists(spark, path):
+            _fs_delete(spark, path)
+        meta = {
+            "version": _STORE_VERSION,
+            "kind": kind,
+            "batches": [],
+            "next_batch": 0,
+        }
+    n = partitions or spark.sparkContext.defaultParallelism
+    batch_id = int(meta["next_batch"])
+    base = path.rstrip("/")
+    hashes.repartition(n, hash_col).write.mode("overwrite").parquet(
+        f"{base}/hashes/batch={batch_id}"
+    )
+    meta["batches"] = sorted(set(meta["batches"]) | {batch_id})
+    meta["next_batch"] = batch_id + 1
+    _write_meta(spark, path, meta)
+
+
+def read_media_hash_store(
+    spark: SparkSession, path: str, *, kind: str
+) -> DataFrame:
+    """Open a store written by :func:`write_media_hash_store` — only
+    COMMITTED batches are visible (partition pruning makes the filter
+    free)."""
+    meta = _read_media_meta(spark, path, kind)
+    committed = [int(b) for b in meta["batches"]]
+    return (
+        spark.read.parquet(f"{path.rstrip('/')}/hashes")
+        .where(F.col("batch").isin(committed))
+        .drop("batch")
+    )
+
+
+def compact_media_hash_store(
+    spark: SparkSession, path: str, *, kind: str, partitions: int | None = None
+) -> None:
+    """:func:`compact_signature_store` for a media hash store: rewrite
+    the append-accumulated batch dirs into one balanced batch, swap the
+    committed list atomically, then sweep EVERY batch dir outside the
+    new committed list (orphans from earlier crashes included)."""
+    meta = _read_media_meta(spark, path, kind)
+    store = read_media_hash_store(spark, path, kind=kind)
+    hash_col = [c for c in store.columns if c != "media_id"][0]
+    n = partitions or spark.sparkContext.defaultParallelism
+    batch_id = int(meta["next_batch"])
+    base = path.rstrip("/")
+    tmp = f"{base}/.compact_tmp"
+    if _fs_exists(spark, tmp):
+        _fs_delete(spark, tmp)
+    store.repartition(n, hash_col).write.parquet(f"{tmp}/hashes")
+    fs, P = _jfs(spark, path)
+    dst = f"{base}/hashes/batch={batch_id}"
+    if fs.exists(P(dst)):  # debris from a crashed compaction
+        fs.delete(P(dst), True)
+    if not fs.rename(P(f"{tmp}/hashes"), P(dst)):
+        raise IOError(f"rename {tmp}/hashes -> {dst} failed")
+    _fs_delete(spark, tmp)
+    meta["batches"] = [batch_id]
+    meta["next_batch"] = batch_id + 1
+    _write_meta(spark, path, meta)  # the commit point
+    tbl_dir = f"{base}/hashes"
+    for st in fs.listStatus(P(tbl_dir)):
+        name = st.getPath().getName()
+        if name.startswith("batch=") and name != f"batch={batch_id}":
+            fs.delete(st.getPath(), True)
+
+
 __all__ = [
     "SignatureStore",
     "signature_tables",
@@ -394,4 +530,7 @@ __all__ = [
     "read_signature_store",
     "compact_signature_store",
     "incremental_dedup_from_store",
+    "write_media_hash_store",
+    "read_media_hash_store",
+    "compact_media_hash_store",
 ]
