@@ -107,6 +107,7 @@ def test_readme_snippets_execute(spark, tmp_path):
         '"signals.parquet"': repr(signals_path),
         '"documents.parquet"': repr(docs_path),
         '"/warehouse/sigstore"': repr(str(tmp_path / "sigstore")),
+        '"/warehouse/phashes"': repr(str(tmp_path / "phashes")),
         '"landing/"': repr(landing),
         '"dups/"': repr(str(tmp_path / "dups")),
         '"ckpt/"': repr(str(tmp_path / "ckpt")),
@@ -117,6 +118,7 @@ def test_readme_snippets_execute(spark, tmp_path):
         "new_batch": new_batch,
         "embeds": embeds,
         "media": media,
+        "new_media": media,
         "audio_media": audio_media,
         "sch": sch,
     }
@@ -138,6 +140,11 @@ def test_readme_snippets_execute(spark, tmp_path):
     assert ns["topk_pq"].filter("rank <= 3").count() > 0
     assert {"v1", "v2", "cos"} <= set(ns["near"].columns)
     assert {"m1", "m2", "hamming"} <= set(ns["img_dups"].columns)
+    iv = ns["img_verdicts"]
+    assert {"media_id", "is_exact_dup", "kept"} <= set(iv.columns)
+    # probing the corpus against its own store: every image is an
+    # exact dup of itself
+    assert iv.filter("NOT is_exact_dup").count() == 0
     assert ns["img_dups"].count() >= 0
     assert {"m1", "m2", "match_frac"} <= set(ns["aud_dups"].columns)
     assert ns["aud_dups"].count() >= 0
