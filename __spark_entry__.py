@@ -3756,7 +3756,7 @@ def q_media_video_dedup(spark, sf_dir):
 
     from pandas_sigproc_spark.operators.imagedup import (
         phash_frames,
-        phash_near_pairs,
+        video_near_pairs,
     )
 
     sig = _sig_ch(spark, sf_dir)
@@ -3790,28 +3790,16 @@ def q_media_video_dedup(spark, sf_dir):
     media = sig.groupBy("channel_id").applyInPandas(
         enc, "media_id long, payload binary"
     )
-    fr = phash_frames(media)
-    # persisted: the banded self-join consumes the hash table on BOTH
-    # sides — unpersisted, the demux+hash Python pass would run twice
-    keyed = _persist(
-        fr.select(
-            (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"),
-            "phash",
-        )
-    )
-    pairs = phash_near_pairs(media, 6, hashes=keyed)
-    return (
-        pairs.select(
-            F.expr("m1 DIV 16").alias("v1"),
-            F.expr("m2 DIV 16").alias("v2"),
-            "hamming",
-        )
-        .filter(F.col("v1") != F.col("v2"))
-        .groupBy("v1", "v2")
-        .agg(
-            F.count("*").cast("long").alias("n_frame_pairs"),
-            F.min("hamming").cast("int").alias("best_hamming"),
-        )
+    # Delegates to the package API (operators/imagedup.py
+    # video_near_pairs — identical plan, oracle-proven).  The frame
+    # hashes are persisted: the banded self-join consumes the table on
+    # BOTH sides — unpersisted, the demux+hash Python pass runs twice.
+    # max_frames=16 matches the oracle's composite-key factor.
+    return video_near_pairs(
+        media,
+        6,
+        max_frames=16,
+        frame_hashes=_persist(phash_frames(media)),
     )
 
 

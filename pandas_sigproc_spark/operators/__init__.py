@@ -86,6 +86,7 @@ from .audiodup import (
     audio_fingerprints,
     audio_near_pairs,
     fingerprint_bytes,
+    incremental_audio_dedup,
 )
 from .imagedup import (
     incremental_phash_dedup,
@@ -95,6 +96,7 @@ from .imagedup import (
     phash_frames,
     phash_images,
     phash_near_pairs,
+    video_near_pairs,
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
@@ -172,6 +174,7 @@ __all__ = [
     "audio_fingerprints",
     "audio_near_pairs",
     "fingerprint_bytes",
+    "incremental_audio_dedup",
     "lsh_band_tuning",
     "incremental_phash_dedup",
     "phash_band_keys",
@@ -180,6 +183,7 @@ __all__ = [
     "phash_frames",
     "phash_images",
     "phash_near_pairs",
+    "video_near_pairs",
     "pack_sequences",
     "assign_shards",
     "apply_channel_kernel",

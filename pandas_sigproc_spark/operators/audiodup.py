@@ -226,6 +226,134 @@ def audio_near_pairs(
     )
 
 
+def incremental_audio_dedup(
+    existing_fps: DataFrame,
+    delta_media: DataFrame,
+    *,
+    min_match_frac: float = 0.2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fingerprints: DataFrame | None = None,
+    max_df: int | None = 1000,
+    persist=None,
+    **profile,
+) -> DataFrame:
+    """Deduplicate a NEW audio ingestion batch against an existing
+    corpus — the audio twin of ``imagedup.incremental_phash_dedup``,
+    with the corpus side touched ONLY through its materialized
+    ``(media_id, fp)`` fingerprint table (the form
+    ``sigstore.write_media_hash_store(kind="audio_fp")`` persists;
+    corpus audio never re-decoded).  Per delta clip:
+
+    - ``n_fp`` — its df-filtered fingerprint count (0 for silence);
+    - ``n_near_existing`` — existing clips sharing at least
+      ``min_match_frac`` of the smaller side's hashes;
+    - ``n_near_delta_earlier`` — same, against SMALLER-ID delta clips
+      only (the deterministic greedy first-wins rule);
+    - ``kept`` — neither fired.
+
+    ``max_df`` drops hashes present in more than that many files of
+    the COMBINED existing+delta corpus (matching ``audio_near_pairs``'
+    degeneracy semantics) from matching and from both sides' totals.
+    ``persist`` is applied to the delta fingerprint table (it feeds
+    the df cap, both probes, and the sizes) — without it the
+    decode+STFT pass re-runs per consumer.
+
+    Scale shape: both probes are bounded fp equi-joins; everything
+    delta-internal is bounded by batch size; the existing side is a
+    compact hash table, dozens of bytes per second of audio.
+    """
+    if not 0.0 < min_match_frac <= 1.0:
+        raise ValueError("need 0 < min_match_frac <= 1")
+    persist = persist or (lambda df: df)
+    fd = persist(
+        fingerprints
+        if fingerprints is not None
+        else audio_fingerprints(
+            delta_media, id_col=id_col, payload_col=payload_col, **profile
+        )
+    )
+    fe = existing_fps.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("fp").cast("long").alias("fp"),
+    )
+    if max_df is not None:
+        hot = (
+            fe.unionByName(fd)
+            .groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        fe = fe.join(F.broadcast(hot), "fp", "left_anti")
+        fd = fd.join(F.broadcast(hot), "fp", "left_anti")
+    sizes_d = fd.groupBy("media_id").agg(F.count("*").alias("n_fp"))
+    sizes_e = fe.groupBy("media_id").agg(F.count("*").alias("n_fp"))
+    e = fe.select(
+        F.col("media_id").alias("e_id"), "fp"
+    ).join(
+        sizes_e.select(F.col("media_id").alias("e_id"), F.col("n_fp").alias("ne")),
+        "e_id",
+    )
+    d_sized = fd.join(sizes_d, "media_id")
+    near_e = (
+        d_sized.join(e, "fp")
+        .groupBy("media_id", "e_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.first("n_fp").alias("nd"),
+            F.first("ne").alias("ne"),
+        )
+        .filter(
+            F.col("n_matches") / F.least("nd", "ne") >= min_match_frac
+        )
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near_existing"))
+    )
+    d2 = fd.select(F.col("media_id").alias("d_id"), "fp").join(
+        sizes_d.select(F.col("media_id").alias("d_id"), F.col("n_fp").alias("n2")),
+        "d_id",
+    )
+    near_d = (
+        d_sized.join(d2, "fp")
+        .filter(F.col("d_id") < F.col("media_id"))
+        .groupBy("media_id", "d_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.first("n_fp").alias("nd"),
+            F.first("n2").alias("n2"),
+        )
+        .filter(
+            F.col("n_matches") / F.least("nd", "n2") >= min_match_frac
+        )
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near_delta_earlier"))
+    )
+    ids = delta_media.select(
+        F.col(id_col).cast("long").alias("media_id")
+    ).distinct()
+    return (
+        ids.join(sizes_d, "media_id", "left")
+        .join(near_e, "media_id", "left")
+        .join(near_d, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce(F.col("n_near_existing"), F.lit(0))
+            .cast("long")
+            .alias("n_near_existing"),
+            F.coalesce(F.col("n_near_delta_earlier"), F.lit(0))
+            .cast("long")
+            .alias("n_near_delta_earlier"),
+        )
+        .withColumn(
+            "kept",
+            (F.col("n_near_existing") == 0)
+            & (F.col("n_near_delta_earlier") == 0),
+        )
+    )
+
+
 __all__ = [
     "FP_BANDS",
     "FP_FANOUT",
@@ -236,4 +364,5 @@ __all__ = [
     "audio_near_pairs",
     "fingerprint_bytes",
     "fingerprint_samples",
+    "incremental_audio_dedup",
 ]

@@ -267,6 +267,75 @@ def phash_frames(
     )
 
 
+def video_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    *,
+    every_n: int = 1,
+    max_frames: int = 1 << 20,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame_hashes: DataFrame | None = None,
+    max_bucket_rows: int | None = 100_000,
+) -> DataFrame:
+    """Video near-duplicate pairs by frame-level perceptual hashing:
+    ``(v1, v2, n_frame_pairs long, best_hamming int)`` for every
+    cross-video pair with at least one frame pair within
+    ``max_hamming`` — the composition :func:`phash_frames` documents,
+    packaged: sample+hash frames (one zero-shuffle mapInPandas pass, 8
+    bytes per frame), join frames of DIFFERENT videos through the
+    EXACT banded Hamming machinery of :func:`phash_near_pairs` (via a
+    composite ``media_id * max_frames + frame_idx`` key — banding over
+    composite keys is still pigeonhole-exact because the band bits
+    come from the hash, not the key), and roll up to video-level
+    evidence: ``n_frame_pairs`` matched frame pairs, ``best_hamming``
+    the closest.  ``every_n`` thins dense videos (frame sampling and
+    hashing are fused); ``frame_hashes`` short-circuits the decode
+    with a precomputed (media_id, frame_idx, phash) table — the media
+    hash store pattern.
+
+    Scale shape: identical to the image pair join — band keys are int
+    expressions over the 8-byte frame hashes, the hot-bucket guard is
+    default-on, the roll-up groups on already-joined keys.  The
+    caller persists ``frame_hashes`` when feeding this twice (the
+    driver's gate query does).
+    """
+    if every_n < 1:
+        raise ValueError("need every_n >= 1")
+    fr = (
+        frame_hashes
+        if frame_hashes is not None
+        else phash_frames(
+            media, every_n, id_col=id_col, payload_col=payload_col
+        )
+    )
+    keyed = fr.select(
+        (F.col("media_id") * max_frames + F.col("frame_idx")).alias(
+            "media_id"
+        ),
+        "phash",
+    )
+    pairs = phash_near_pairs(
+        media,
+        max_hamming,
+        hashes=keyed,
+        max_bucket_rows=max_bucket_rows,
+    )
+    return (
+        pairs.select(
+            F.expr(f"m1 DIV {max_frames}").alias("v1"),
+            F.expr(f"m2 DIV {max_frames}").alias("v2"),
+            "hamming",
+        )
+        .filter(F.col("v1") != F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(
+            F.count("*").cast("long").alias("n_frame_pairs"),
+            F.min("hamming").cast("int").alias("best_hamming"),
+        )
+    )
+
+
 def phash_dedup(
     media: DataFrame,
     max_hamming: int = 3,
@@ -443,4 +512,5 @@ __all__ = [
     "phash_frames",
     "phash_images",
     "phash_near_pairs",
+    "video_near_pairs",
 ]

@@ -160,6 +160,49 @@ def test_video_frame_hashes_compose(spark):
     assert all(_ham(int(a[i]), int(c[i])) > 12 for i in a.index)
 
 
+def test_video_near_pairs(spark):
+    """The packaged composition (phash_frames -> banded Hamming join ->
+    video roll-up): identical videos match on every aligned frame pair,
+    unrelated videos do not pair, within-video frame matches are
+    excluded, and the frame_hashes= seam short-circuits the decode."""
+    from pandas_sigproc_spark.operators.imagedup import (
+        phash_frames,
+        video_near_pairs,
+    )
+    from pandas_sigproc_spark.sources.bmp import encode_bmpv
+
+    frames_a = [encode_bmp(_smooth(40 + i)) for i in range(4)]
+    vids = {
+        1: encode_bmpv(frames_a),
+        2: encode_bmpv(frames_a),  # identical video
+        3: encode_bmpv([encode_bmp(_smooth(90 + i)) for i in range(4)]),
+        # 4 repeats ONE frame twice internally: within-video pairs must
+        # not leak into the cross-video output
+        4: encode_bmpv([frames_a[0], frames_a[0]]),
+    }
+    media = _media_df(spark, vids)
+    out = video_near_pairs(media, 3).toPandas().set_index(["v1", "v2"])
+    # identical videos: 4 aligned frame pairs at Hamming 0 (plus any
+    # true near-matches between different smooth frames)
+    assert out.loc[(1, 2), "n_frame_pairs"] >= 4
+    assert out.loc[(1, 2), "best_hamming"] == 0
+    # video 4 duplicates frame_a[0]: matches videos 1 and 2 (2 frame
+    # pairs each: its two copies x their frame 0), never itself
+    assert out.loc[(1, 4), "n_frame_pairs"] >= 2
+    assert (3, 3) not in out.index and (4, 4) not in out.index
+    # unrelated video never pairs with the a-family
+    for v in (1, 2):
+        assert (v, 3) not in out.index
+    # frame_hashes seam: identical result without re-decoding
+    fh = phash_frames(media)
+    out2 = (
+        video_near_pairs(media, 3, frame_hashes=fh)
+        .toPandas()
+        .set_index(["v1", "v2"])
+    )
+    pd.testing.assert_frame_equal(out2.sort_index(), out.sort_index())
+
+
 def test_phash_rounding_margin_audit():
     """The media_phash oracle compares ROUND(coef, 3) across two engines
     whose DCT summation orders differ by ~1e-9; that is hash-stable iff

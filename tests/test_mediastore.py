@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pandas_sigproc_spark.operators.audiodup import (
     audio_fingerprints,
     audio_near_pairs,
+    incremental_audio_dedup,
 )
 from pandas_sigproc_spark.operators.imagedup import (
     incremental_phash_dedup,
@@ -243,3 +244,58 @@ def test_audio_fp_store_roundtrip(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(via_store, direct[via_store.columns])
     assert ((direct.m1 == 0) & (direct.m2 == 10)).any()  # planted copy found
+
+
+def _song(seed):
+    r = np.random.default_rng(seed)
+    t = np.arange(8192) / 8000.0
+    freqs = r.uniform(100, 3500, 6)
+    amps = r.uniform(0.4, 1.0, 6)
+    return (np.sin(2 * np.pi * np.outer(t, freqs)) @ amps).astype(np.float64)
+
+
+def _audio_df(spark, clips):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": list(clips), "payload": [clips[k] for k in clips]}
+        ),
+        "media_id long, payload binary",
+    )
+
+
+def test_incremental_audio_dedup_from_store(spark, tmp_path):
+    """The audio twin: delta screened against the materialized fp store
+    — store==recompute equality, the planted-copy / gain-copy / fresh /
+    earlier-delta semantics, and the silence edge (zero hashes)."""
+    corpus = _audio_df(spark, {i: encode_wav_bytes(8000, _song(i)) for i in range(4)})
+    delta = _audio_df(
+        spark,
+        {
+            10: encode_wav_bytes(8000, _song(0)),        # byte-copy of 0
+            11: encode_wav_bytes(8000, 0.5 * _song(1)),  # gain copy of 1
+            12: encode_wav_bytes(8000, _song(50)),       # fresh
+            13: encode_wav_bytes(8000, _song(50)),       # copy of 12
+            14: encode_wav_bytes(8000, np.zeros(4096)),  # silence
+        },
+    )
+    fp = audio_fingerprints(corpus)
+    path = str(tmp_path / "afp_incr")
+    write_media_hash_store(fp, path, kind="audio_fp", hash_col="fp", partitions=2)
+    stored = read_media_hash_store(spark, path, kind="audio_fp")
+    inline = (
+        incremental_audio_dedup(fp, delta, min_match_frac=0.5)
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    )
+    via_store = (
+        incremental_audio_dedup(stored, delta, min_match_frac=0.5)
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_store, inline[via_store.columns])
+    row = via_store.set_index("media_id")
+    assert row.loc[10, "n_near_existing"] >= 1 and not row.loc[10, "kept"]
+    assert row.loc[11, "n_near_existing"] >= 1  # gain-invariant hashes
+    assert bool(row.loc[12, "kept"])  # fresh and earlier than its copy
+    assert row.loc[13, "n_near_delta_earlier"] >= 1
+    assert not bool(row.loc[13, "kept"])
+    # silence: zero hashes -> vacuously kept, n_fp 0
+    assert row.loc[14, "n_fp"] == 0 and bool(row.loc[14, "kept"])
