@@ -16,6 +16,10 @@ Streamable operators (aggregations over event-time windows):
   unbounded document stream: stream-static band-key probes against a
   static corpus plus one ``applyInPandasWithState`` op for
   stream-vs-earlier-stream duplicates (state keyed by LSH band key).
+- :func:`streaming_phash_dedup` — the media twin: an unbounded IMAGE
+  stream screened against a static pHash store (stream-static exact
+  banded Hamming probes) plus the same one-stateful-op
+  stream-vs-earlier-stream compare, state keyed by Hamming bit-band.
 
 NOT streamable (documented, not worked around): zero-phase ``filtfilt``
 ops need future samples; whole-signal PSD/SRS/rainflow need the entire
@@ -809,6 +813,213 @@ def streaming_incremental_dedup(
     return corpus_pairs.unionByName(stream_pairs)
 
 
+_PHASH_PAIR_SCHEMA = StructType(
+    [
+        StructField("band_id", IntegerType()),
+        StructField("d_id", LongType()),
+        StructField("match_id", LongType()),
+        StructField("src", StringType()),
+        StructField("hamming", IntegerType()),
+    ]
+)
+
+
+def streaming_phash_dedup(
+    df: DataFrame,
+    existing: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_state_rows_per_key: int = 100_000,
+    max_bucket_rows: int | None = 100_000,
+) -> DataFrame:
+    """Streaming IMAGE ingestion dedup — the media twin of
+    :func:`streaming_incremental_dedup`: screen an unbounded image
+    stream against a STATIC existing corpus and against its own earlier
+    arrivals, touching the corpus only as its 8 B/image pHash table
+    (``sigstore.read_media_hash_store(kind="phash")`` — image bytes
+    never rescanned).
+
+    Emits a DUPLICATE-PAIR stream ``(band_id int, d_id long, match_id
+    long, src string, hamming int)``: one row per (band, candidate)
+    where the new image shares a Hamming bit-band with ``match_id`` and
+    ``bit_count(xor) <= max_hamming`` — banding is pigeonhole-EXACT, so
+    no true pair is missed.  ``src`` is ``'corpus'`` or ``'stream'``;
+    ``hamming == 0`` marks hash-identical twins.  A pair can appear
+    once per shared band; consumers dedupe on (d_id, match_id, src) —
+    per-image verdicts are one batch aggregation over the sink,
+    mirroring ``imagedup.incremental_phash_dedup``'s columns
+    (tests/test_streaming_media_dedup.py replays it).
+
+    Scale shape, one stateful operator total: corpus probes are a
+    STATELESS stream-static equi-join on (band_id, band_bits) int keys
+    (the static side carries the window-based hot-bucket guard;
+    ``max_bucket_rows=None`` disables); stream-vs-earlier-stream probes
+    run in ONE ``applyInPandasWithState`` keyed by the band key, whose
+    state is exactly the (id, phash) rows seen under that key —
+    ``max_state_rows_per_key`` is the guard's streaming twin and
+    refuses BEFORE the pairwise compare.  The hash pass itself is the
+    stateless zero-shuffle mapInPandas stage of the batch tier.  Same
+    epochal state lifecycle as the text operator: periodically fold
+    admitted hashes into the media hash store
+    (``write_media_hash_store(..., mode="append")``) and restart with
+    the grown store as ``existing``.
+
+    ``df``/``existing`` accept raw media (``payload`` decoded via the
+    engine codecs) or a precomputed ``(media_id, phash)`` table — a
+    ``phash`` column short-circuits the decode.
+    """
+    from pandas_sigproc_spark.operators.imagedup import (
+        PHASH_BITS,
+        phash_band_keys,
+        phash_images,
+    )
+
+    if not 0 <= max_hamming < PHASH_BITS:
+        raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
+    hd = (
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.col("phash").cast("long").alias("phash"),
+        )
+        if "phash" in df.columns
+        else phash_images(df, id_col=id_col, payload_col=payload_col)
+    )
+    he = (
+        existing.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.col("phash").cast("long").alias("phash"),
+        )
+        if "phash" in existing.columns
+        else phash_images(existing, id_col=id_col, payload_col=payload_col)
+    )
+    # stream side: NO window guard (not stream-safe) — the state cap is
+    # the guard; static side keeps the batch guard.
+    d_bk = phash_band_keys(hd, max_hamming, max_bucket_rows=None).select(
+        F.col("media_id").alias("d_id"),
+        F.col("phash").alias("d_phash"),
+        "band_id",
+        "band_bits",
+    )
+    ex_bk = phash_band_keys(
+        he,
+        max_hamming,
+        max_bucket_rows=max_bucket_rows,
+        op_name="streaming_phash_dedup[existing]",
+    ).select(
+        F.col("media_id").alias("e_id"),
+        F.col("phash").alias("e_phash"),
+        "band_id",
+        "band_bits",
+    )
+    ham = F.bit_count(F.col("d_phash").bitwiseXOR(F.col("e_phash")))
+    corpus_pairs = (
+        d_bk.join(ex_bk, ["band_id", "band_bits"])
+        .filter(ham <= max_hamming)
+        .select(
+            "band_id",
+            "d_id",
+            F.col("e_id").alias("match_id"),
+            F.lit("corpus").alias("src"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("phashes", ArrayType(LongType())),
+        ]
+    )
+    radius = int(max_hamming)
+    cap = int(max_state_rows_per_key)
+    mask64 = (1 << 64) - 1
+
+    def _hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & mask64).count("1")
+
+    def _emit_pairs(band, new_rows, seen):
+        """Compare each new (id, phash) against ``seen`` (earlier
+        arrivals) in id order; extend ``seen``; return pair tuples."""
+        out = []
+        for nid, nh in new_rows:
+            for oid, oh in seen:
+                hm = _hamming(nh, oh)
+                if hm <= radius:
+                    out.append((band, nid, oid, "stream", hm))
+            seen.append((nid, nh))
+        return out
+
+    def _cap_check(band, key_val, n_total):
+        # BEFORE the quadratic compare, not after
+        if n_total > cap:
+            raise RuntimeError(
+                f"streaming_phash_dedup: band key ({band}, {key_val})"
+                f" would hold {n_total} images, above"
+                f" max_state_rows_per_key={cap} — degenerate band key"
+                " (near-identical images). Run exact/hash dedup upstream"
+                " to collapse identical items, or raise the cap."
+            )
+
+    def step(key, pdf_iter, state):
+        band, _k = int(key[0]), key[1]
+        if state.exists:
+            ids, hashes = state.get
+            seen = list(zip(list(ids), list(hashes)))
+        else:
+            seen = []
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        _cap_check(band, _k, len(seen) + len(pdf))
+        pairs = []
+        if len(pdf):
+            pdf = pdf.sort_values("d_id", kind="mergesort")
+            new_rows = [
+                (int(r.d_id), int(r.d_phash)) for r in pdf.itertuples()
+            ]
+            pairs = _emit_pairs(band, new_rows, seen)
+        state.update(([s[0] for s in seen], [s[1] for s in seen]))
+        yield pd.DataFrame(
+            pairs, columns=["band_id", "d_id", "match_id", "src", "hamming"]
+        )
+
+    grouped_cols = ["band_id", "band_bits", "d_id", "d_phash"]
+    if not df.isStreaming:
+        # Batch fallback: identical comparisons with earlier == smaller
+        # id; one applyInPandas per band key.
+        def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+            kdf = kdf.sort_values("d_id", kind="mergesort")
+            band = int(kdf["band_id"].iloc[0])
+            _cap_check(band, kdf["band_bits"].iloc[0], len(kdf))
+            new_rows = [
+                (int(r.d_id), int(r.d_phash)) for r in kdf.itertuples()
+            ]
+            return pd.DataFrame(
+                _emit_pairs(band, new_rows, []),
+                columns=["band_id", "d_id", "match_id", "src", "hamming"],
+            )
+
+        stream_pairs = (
+            d_bk.select(*grouped_cols)
+            .groupBy("band_id", "band_bits")
+            .applyInPandas(kernel, _PHASH_PAIR_SCHEMA)
+        )
+    else:
+        stream_pairs = (
+            d_bk.select(*grouped_cols)
+            .groupBy("band_id", "band_bits")
+            .applyInPandasWithState(
+                step,
+                outputStructType=_PHASH_PAIR_SCHEMA,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf="NoTimeout",
+            )
+        )
+    return corpus_pairs.unionByName(stream_pairs)
+
+
 __all__ = [
     "streaming_rms",
     "streaming_spl",
@@ -819,5 +1030,6 @@ __all__ = [
     "streaming_corpus_filter",
     "streaming_curation_filter",
     "streaming_incremental_dedup",
+    "streaming_phash_dedup",
     "streaming_rainflow",
 ]
