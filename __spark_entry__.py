@@ -6369,15 +6369,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — queries whose CODE changes this round and therefore
-    #            need fresh driver proof (dedup_embed: band-join width
-    #            cut; ann_ivf_pq: ksub=256 production profile);
-    #   tier C — 33 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 17 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~33 free
+    #   tier B — NEW queries needing first driver proof (audio_fp,
+    #            audio_fp_pairs: the STFT-replay audio gate;
+    #            media_video_dedup: frame-level video near-dup;
+    #            incr_phash_store: the media-store lifecycle) plus
+    #            queries whose CODE changed this round (dedup_embed:
+    #            band-join width cut; ann_ivf_pq: ksub=256 production
+    #            profile);
+    #   tier C — 29 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 21 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~29 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
-    #            ann_ivf_int8 bench regression is being adjudicated.
-    #   below the cap — 17 r8-greens (fresh through r11) and the 48
+    #            ann_ivf_int8 bench regression was adjudicated this
+    #            round (PLANS.md: closed, faster than r8).
+    #   below the cap — 21 r8-greens (fresh through r11) and the 48
     #            r9-greens (fresh through r12); the local gate
     #            (tools/oracle_check.py) keeps their coverage.
     return {
