@@ -3730,6 +3730,138 @@ WHERE n_matches / LEAST(s1.n_fp, s2.n_fp) >= 0.2
 """
 
 
+def q_incr_audio_store(spark, sf_dir):
+    """The AUDIO incremental-dedup lifecycle under the driver gate —
+    the audio sibling of q_incr_phash_store: the corpus clips'
+    fingerprint table is written to a media hash store in two batches
+    (even/odd channel parity), COMPACTED, and a delta batch — fresh
+    clips plus byte-identical relabeled copies of every 25th corpus
+    clip (+100000 ids) — is screened via incremental_audio_dedup
+    WITHOUT re-decoding a single corpus clip.  The oracle replays the
+    STFT fingerprint pipeline relationally (_sql_audio_fp_ctes) and
+    then the verdict frame — the combined-corpus max_df cap, per-pair
+    shared-hash counts, match_frac thresholds against existing and
+    smaller-id delta clips — in exact arithmetic.
+
+    Scale shape: the store build is one zero-shuffle fingerprint pass
+    + a repartitioned parquet write per batch; the probe is two
+    bounded fp equi-joins against a dozens-of-bytes-per-clip table.
+    """
+    import os
+    import shutil
+
+    from pandas_sigproc_spark.operators.audiodup import (
+        audio_fingerprints,
+        incremental_audio_dedup,
+    )
+    from pandas_sigproc_spark.operators.sigstore import (
+        compact_media_hash_store,
+        read_media_hash_store,
+        write_media_hash_store,
+    )
+
+    media = _afp_media(spark, sf_dir, False)
+    existing = media.filter(F.col("media_id") % 5 != 4)
+    delta = media.filter(F.col("media_id") % 5 == 4).unionByName(
+        media.filter(F.col("media_id") % 25 == 0).select(
+            (F.col("media_id") + 100000).alias("media_id"), "payload"
+        )
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".mediastore_gate",
+        f"{sf_tag}_audio",
+    )
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per call
+    fp_existing = audio_fingerprints(existing, **_AFP_PROFILE)
+    write_media_hash_store(
+        fp_existing.filter(F.col("media_id") % 2 == 0), path,
+        kind="audio_fp", hash_col="fp", partitions=8,
+    )
+    write_media_hash_store(
+        fp_existing.filter(F.col("media_id") % 2 != 0), path,
+        kind="audio_fp", hash_col="fp", mode="append", partitions=8,
+    )
+    compact_media_hash_store(spark, path, kind="audio_fp", partitions=8)
+    store = read_media_hash_store(spark, path, kind="audio_fp")
+    return incremental_audio_dedup(
+        store,
+        delta,
+        min_match_frac=0.2,
+        max_df=50,
+        persist=_persist,
+        **_AFP_PROFILE,
+    )
+
+
+def _sql_incr_audio_store() -> str:
+    # the audio_fp STFT replay, split into existing/delta, then the
+    # operator's verdict frame: combined-corpus df cap, match_frac
+    # probes against existing and smaller-id delta clips
+    return f"""{_sql_audio_fp_ctes()},
+allh AS (
+  SELECT CAST(channel_id AS BIGINT) AS media_id, fp FROM hs
+),
+all_ids AS (
+  SELECT CAST(channel_id AS BIGINT) AS media_id FROM ch
+),
+existing AS (SELECT media_id, fp FROM allh WHERE media_id % 5 <> 4),
+delta AS (
+  SELECT media_id, fp FROM allh WHERE media_id % 5 = 4
+  UNION ALL
+  SELECT media_id + 100000 AS media_id, fp FROM allh WHERE media_id % 25 = 0
+),
+delta_ids AS (
+  SELECT media_id FROM all_ids WHERE media_id % 5 = 4
+  UNION ALL
+  SELECT media_id + 100000 AS media_id FROM all_ids WHERE media_id % 25 = 0
+),
+hot AS (
+  SELECT fp FROM (
+    SELECT fp FROM existing UNION ALL SELECT fp FROM delta
+  ) GROUP BY fp HAVING COUNT(*) > 50
+),
+ek AS (SELECT media_id, fp FROM existing ANTI JOIN hot USING (fp)),
+dk AS (SELECT media_id, fp FROM delta ANTI JOIN hot USING (fp)),
+sizes_e AS (SELECT media_id, COUNT(*) AS n_fp FROM ek GROUP BY media_id),
+sizes_d AS (SELECT media_id, COUNT(*) AS n_fp FROM dk GROUP BY media_id),
+near_e AS (
+  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT d.media_id, e.media_id AS e_id, COUNT(*) AS m,
+           MIN(sd.n_fp) AS nd, MIN(se.n_fp) AS ne
+    FROM dk d
+    JOIN ek e ON e.fp = d.fp
+    JOIN sizes_d sd ON sd.media_id = d.media_id
+    JOIN sizes_e se ON se.media_id = e.media_id
+    GROUP BY 1, 2
+  ) WHERE m / LEAST(nd, ne) >= 0.2
+  GROUP BY media_id
+),
+near_d AS (
+  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT d.media_id, d2.media_id AS d2_id, COUNT(*) AS m,
+           MIN(sd.n_fp) AS nd, MIN(s2.n_fp) AS n2
+    FROM dk d
+    JOIN dk d2 ON d2.fp = d.fp AND d2.media_id < d.media_id
+    JOIN sizes_d sd ON sd.media_id = d.media_id
+    JOIN sizes_d s2 ON s2.media_id = d2.media_id
+    GROUP BY 1, 2
+  ) WHERE m / LEAST(nd, n2) >= 0.2
+  GROUP BY media_id
+)
+SELECT i.media_id,
+       CAST(COALESCE(sd.n_fp, 0) AS BIGINT) AS n_fp,
+       COALESCE(ne.n, 0) AS n_near_existing,
+       COALESCE(nd.n, 0) AS n_near_delta_earlier,
+       (COALESCE(ne.n, 0) = 0 AND COALESCE(nd.n, 0) = 0) AS kept
+FROM delta_ids i
+LEFT JOIN sizes_d sd ON sd.media_id = i.media_id
+LEFT JOIN near_e ne ON ne.media_id = i.media_id
+LEFT JOIN near_d nd ON nd.media_id = i.media_id
+"""
+
+
 def q_media_video_dedup(spark, sf_dir):
     """Video near-dup under the FULL hash gate — the composition the r9
     verdict named (Missing #3): the media_video_mp4 corpus (4 BMP
@@ -6372,17 +6504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier B — NEW queries needing first driver proof (audio_fp,
     #            audio_fp_pairs: the STFT-replay audio gate;
     #            media_video_dedup: frame-level video near-dup;
-    #            incr_phash_store: the media-store lifecycle) plus
+    #            incr_phash_store / incr_audio_store: the media-store\n    #            lifecycles) plus
     #            queries whose CODE changed this round (dedup_embed:
     #            band-join width cut; ann_ivf_pq: ksub=256 production
     #            profile);
-    #   tier C — 29 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 21 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~29 free
+    #   tier C — 28 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 22 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~28 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 21 r8-greens (fresh through r11) and the 48
+    #   below the cap — 22 r8-greens (fresh through r11) and the 48
     #            r9-greens (fresh through r12); the local gate
     #            (tools/oracle_check.py) keeps their coverage.
     return {
@@ -6407,6 +6539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_pairs": q_audio_fp_pairs,
         "media_video_dedup": q_media_video_dedup,
         "incr_phash_store": q_incr_phash_store,
+        "incr_audio_store": q_incr_audio_store,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -6438,10 +6571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filt_a": q_filt_a,
         "filt_chain": q_filt_chain,
         "filt_chunked": q_filt_chunked,
-        "filt_iir_exact": q_filt_iir_exact,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (21 r8-greens — ALL must rotate into the r11 window — then the
+        # (22 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "filt_iir_exact": q_filt_iir_exact,
         "filt_iir_fft_exact": q_filt_iir_fft_exact,
         "filtfilt_exact": q_filtfilt_exact,
         "psd_welch": q_psd_welch,
@@ -6587,6 +6720,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_pairs": _sql_audio_fp_pairs(),
         "media_video_dedup": _sql_media_video_dedup(),
         "incr_phash_store": _sql_incr_phash_store(),
+        "incr_audio_store": _sql_incr_audio_store(),
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,
