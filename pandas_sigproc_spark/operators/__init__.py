@@ -99,6 +99,8 @@ from .imagedup import (
     video_near_pairs,
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
+from pandas_sigproc_spark.operators.webdataset import wds_members, wds_samples
+from pandas_sigproc_spark.operators.webcrawl import warc_documents, warc_records
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
 from pandas_sigproc_spark.operators.sigstore import (
     SignatureStore,
@@ -186,6 +188,10 @@ __all__ = [
     "video_near_pairs",
     "pack_sequences",
     "assign_shards",
+    "wds_members",
+    "wds_samples",
+    "warc_records",
+    "warc_documents",
     "apply_channel_kernel",
     "chunk_documents",
     "repetition_stats",

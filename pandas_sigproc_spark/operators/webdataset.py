@@ -1,0 +1,104 @@
+"""WebDataset-style shard ingestion — tar shards of key-grouped samples.
+
+The dominant layout for large-scale multimodal training corpora: a
+sample is a set of tar members sharing a basename key
+(``000123.jpg`` + ``000123.cls`` + ``000123.json``), and the corpus is
+thousands of such shards.  This module turns a DataFrame of shard
+payloads into the relational forms the rest of the engine consumes:
+
+- :func:`wds_members` — ``(shard_id, key, ext, n_bytes, payload)``:
+  one zero-shuffle ``mapInPandas`` pass over shard bytes
+  (``sources/tar.py`` decodes; a shard never leaves the task that read
+  it — only its members flow on).  The basename key/extension split
+  follows the WebDataset convention: the extension is everything after
+  the FIRST dot of the basename (so ``x.seg.png`` keys as ``x`` with
+  ext ``seg.png``), directories belong to the key.
+- :func:`wds_samples` — one row per sample: ``(shard_id, key,
+  n_members, exts array<string>)`` plus one ``payload`` map for
+  downstream pivots.  Samples are grouped per (shard, key) — the
+  shuffle key is uniform by construction (a sample's members are
+  adjacent in the tar, and keys are unique within a shard in a
+  well-formed corpus).
+
+Decoding composes relationally: filter ``ext``, feed ``payload`` to
+``multimodal.extract_media_features`` / ``imagedup.phash_images`` /
+``audiodup.audio_fingerprints`` — the gate query ``wds_extract`` does
+exactly that and hash-matches an oracle that predicts member layout,
+decoded dimensions, and pixel sums from SQL alone.
+
+Scale shape: at 100 TB the shard table is (shard_id, payload binary)
+from any source Spark can read (parquet binary column, binaryFile
+reader); the member pass is embarrassingly parallel per shard, emits
+only member bytes, and every later operation is a relational plan on
+(shard_id, key, ext) — no Python in the hot path after extraction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def wds_members(
+    shards: DataFrame,
+    *,
+    id_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Explode tar shards into ``(shard_id long, key string, ext
+    string, n_bytes long, payload binary)`` member rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandas_sigproc_spark.sources.tar import decode_tar
+
+        for pdf in batches:
+            sids, keys, exts, sizes, payloads = [], [], [], [], []
+            for sid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for name, payload in decode_tar(bytes(blob)):
+                    d, _, base = name.rpartition("/")
+                    stem, dot, ext = base.partition(".")
+                    key = (d + "/" + stem) if d else stem
+                    sids.append(int(sid))
+                    keys.append(key)
+                    exts.append(ext if dot else "")
+                    sizes.append(len(payload))
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "shard_id": sids,
+                    "key": keys,
+                    "ext": exts,
+                    "n_bytes": sizes,
+                    "payload": payloads,
+                }
+            )
+
+    return shards.select(id_col, payload_col).mapInPandas(
+        run, "shard_id long, key string, ext string, n_bytes long, payload binary"
+    )
+
+
+def wds_samples(
+    members: DataFrame,
+) -> DataFrame:
+    """Group member rows into one row per sample: ``(shard_id, key,
+    n_members, exts, payloads)`` with ``exts`` sorted and ``payloads``
+    an ext->bytes map (``map_from_entries`` over the collected
+    members)."""
+    return (
+        members.groupBy("shard_id", "key")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.array_sort(F.collect_list("ext")).alias("exts"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("ext", "payload"))
+                )
+            ).alias("payloads"),
+        )
+    )
+
+
+__all__ = ["wds_members", "wds_samples"]

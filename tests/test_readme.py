@@ -102,6 +102,37 @@ def test_readme_snippets_execute(spark, tmp_path):
         "media_id long, payload binary",
     )
 
+    from pandas_sigproc_spark.sources.tar import encode_tar
+    from pandas_sigproc_spark.sources.warc import encode_warc
+
+    shards = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "shard_id": [0],
+                "payload": [
+                    encode_tar(
+                        [("0.bmp", list(imgs.values())[0]), ("0.cls", b"1")]
+                    )
+                ],
+            }
+        ),
+        "shard_id long, payload binary",
+    )
+    archives = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "archive_id": [0],
+                "payload": [
+                    encode_warc(
+                        [{"uri": "http://corpus/1", "payload": b"doc one"}],
+                        gzip_records=True,
+                    )
+                ],
+            }
+        ),
+        "archive_id long, payload binary",
+    )
+
     # -- narrow, explicit substitutions: paths + one scale literal -----
     subs = {
         '"signals.parquet"': repr(signals_path),
@@ -119,6 +150,8 @@ def test_readme_snippets_execute(spark, tmp_path):
         "embeds": embeds,
         "media": media,
         "new_media": media,
+        "shards": shards,
+        "archives": archives,
         "audio_media": audio_media,
         "sch": sch,
     }

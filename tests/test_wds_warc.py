@@ -1,0 +1,206 @@
+"""ustar + WARC codecs (sources/tar.py, sources/warc.py) and the
+distributed shard/archive ingestion (operators/webdataset.py,
+operators/webcrawl.py): byte-level roundtrips against the STDLIB
+readers (tarfile, gzip — independent implementations), malformed-input
+refusals, the WebDataset key/ext convention, and Spark-side extraction
+equality."""
+
+import gzip
+import io
+import tarfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark.operators.webcrawl import warc_documents, warc_records
+from pandas_sigproc_spark.operators.webdataset import wds_members, wds_samples
+from pandas_sigproc_spark.sources.tar import decode_tar, encode_tar
+from pandas_sigproc_spark.sources.warc import decode_warc, encode_warc
+
+
+# ---------------------------------------------------------------------------
+# tar codec
+# ---------------------------------------------------------------------------
+
+MEMBERS = [
+    ("000001.bmp", b"\x42\x4d" + bytes(100)),
+    ("000001.cls", b"7"),
+    ("a/b/000002.json", b'{"k": 1}'),
+    ("exactly512", bytes(512)),
+    ("empty.txt", b""),
+]
+
+
+def test_tar_roundtrip():
+    blob = encode_tar(MEMBERS)
+    assert len(blob) % 512 == 0
+    assert decode_tar(blob) == MEMBERS
+
+
+def test_tar_readable_by_stdlib_tarfile():
+    """The encoder writes genuine ustar: the INDEPENDENT stdlib reader
+    must extract identical members."""
+    blob = encode_tar(MEMBERS)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [
+            (m.name, tf.extractfile(m).read())
+            for m in tf.getmembers()
+            if m.isfile()
+        ]
+    assert got == MEMBERS
+
+
+def test_tar_decodes_stdlib_output():
+    """And the decoder reads what the INDEPENDENT stdlib writer
+    produces (ustar format)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, payload in MEMBERS:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    assert decode_tar(buf.getvalue()) == MEMBERS
+
+
+def test_tar_long_name_prefix_split():
+    name = "shards/" + "d" * 90 + "/" + "f" * 60 + ".bin"
+    blob = encode_tar([(name, b"xyz")])
+    assert decode_tar(blob) == [(name, b"xyz")]
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert tf.getmembers()[0].name == name
+
+
+def test_tar_refusals():
+    blob = bytearray(encode_tar(MEMBERS))
+    blob[148] ^= 0x01  # corrupt the checksum field
+    with pytest.raises(ValueError, match="checksum"):
+        decode_tar(bytes(blob))
+    with pytest.raises(ValueError, match="magic"):
+        decode_tar(b"\x01" * 1024)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tar(encode_tar([("x", bytes(600))])[:700])
+
+
+# ---------------------------------------------------------------------------
+# WARC codec
+# ---------------------------------------------------------------------------
+
+RECORDS = [
+    {"uri": "http://example.com/1", "payload": "hello WARC é".encode()},
+    {"uri": "http://example.com/2", "payload": b"\r\n\r\nbinary-ish\x00"},
+    {
+        "uri": "http://example.com/meta",
+        "payload": b"{}",
+        "type": "metadata",
+        "content_type": "application/json",
+    },
+]
+
+
+def _strip(recs):
+    return [(r["type"], r["uri"], r["payload"]) for r in recs]
+
+
+@pytest.mark.parametrize("gz", [False, True], ids=["plain", "gzip-records"])
+def test_warc_roundtrip(gz):
+    blob = encode_warc(RECORDS, gzip_records=gz)
+    got = decode_warc(blob)
+    assert _strip(got) == [
+        (r.get("type", "response"), r["uri"], r["payload"]) for r in RECORDS
+    ]
+    # deterministic bytes (record ids derived, gzip mtime pinned)
+    assert blob == encode_warc(RECORDS, gzip_records=gz)
+
+
+def test_warc_gzip_members_are_independent():
+    """Record-gzipped archives must be per-record members (the split
+    layout crawl readers rely on): each member decompresses alone."""
+    import zlib
+
+    blob = encode_warc(RECORDS, gzip_records=True)
+    # stdlib gzip.read() transparently concatenates members, so split
+    # the FIRST member explicitly via zlib (wbits=31 stops at member end)
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(blob) + d.flush()
+    assert d.eof and d.unused_data  # more members follow
+    assert first.startswith(b"WARC/1.1")
+    assert b"http://example.com/1" in first
+    assert b"http://example.com/2" not in first
+
+
+def test_warc_refusals():
+    with pytest.raises(ValueError, match="version"):
+        decode_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    blob = encode_warc(RECORDS)
+    with pytest.raises(ValueError, match="truncated|bad WARC"):
+        decode_warc(blob[: len(blob) - 30])
+    with pytest.raises(ValueError, match="truncated gzip"):
+        decode_warc(encode_warc(RECORDS, gzip_records=True)[:-8])
+
+
+# ---------------------------------------------------------------------------
+# distributed extraction
+# ---------------------------------------------------------------------------
+
+
+def test_wds_members_and_samples(spark):
+    shard0 = encode_tar(
+        [
+            ("000000.bmp", b"A" * 10),
+            ("000000.cls", b"3"),
+            ("000001.seg.png", b"B" * 4),
+            ("000001.bmp", b"C" * 7),
+        ]
+    )
+    shard1 = encode_tar([("d/000002.json", b"{}")])
+    shards = spark.createDataFrame(
+        pd.DataFrame({"shard_id": [0, 1], "payload": [shard0, shard1]}),
+        "shard_id long, payload binary",
+    )
+    m = wds_members(shards).toPandas().sort_values(["shard_id", "key", "ext"])
+    assert list(map(tuple, m[["shard_id", "key", "ext", "n_bytes"]].values)) == [
+        (0, "000000", "bmp", 10),
+        (0, "000000", "cls", 1),
+        (0, "000001", "bmp", 7),
+        (0, "000001", "seg.png", 4),  # ext = everything after FIRST dot
+        (1, "d/000002", "json", 2),
+    ]
+    s = (
+        wds_samples(wds_members(shards))
+        .toPandas()
+        .sort_values(["shard_id", "key"])
+        .reset_index(drop=True)
+    )
+    assert list(s.n_members) == [2, 2, 1]
+    assert list(s.exts.iloc[0]) == ["bmp", "cls"]
+    assert bytes(s.payloads.iloc[0]["cls"]) == b"3"
+
+
+def test_warc_documents_roundtrip_spark(spark):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha", "beta ü", "gamma"],
+        }
+    )
+    recs = [
+        {"uri": f"http://corpus/{r.doc_id}", "payload": r.text.encode()}
+        for r in docs.itertuples()
+    ]
+    blob = encode_warc(recs, gzip_records=True)
+    archives = spark.createDataFrame(
+        pd.DataFrame({"archive_id": [0], "payload": [blob]}),
+        "archive_id long, payload binary",
+    )
+    out = (
+        warc_documents(archives)
+        .toPandas()
+        .sort_values("uri")
+        .reset_index(drop=True)
+    )
+    assert list(out.text) == ["alpha", "beta ü", "gamma"]
+    assert list(out.n_bytes) == [5, 7, 5]
+    r = warc_records(archives).toPandas()
+    assert set(r.rec_type) == {"response"}
