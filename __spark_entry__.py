@@ -4350,6 +4350,87 @@ FROM documents
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """Crawl-domain curation under the hash gate — the URL-level pass
+    every web-corpus pipeline runs before content-level dedup: the sf
+    documents are serialized into per-source record-gzipped WARC
+    archives whose target URIs carry a per-source host
+    (http://<source>.example.com/<doc_id>), re-extracted by
+    warc_documents, and curated by host — `domain_stats` (per-host doc
+    counts, one partial-agg groupBy on the parse_url host) joined with
+    `cap_per_domain` (the RefinedWeb-style deterministic first-N-per-
+    host cap, one ranked window, JVM-side throughout).  The oracle
+    rebuilds host, counts, rank, and the <=cap verdict straight from
+    the documents table.
+
+    Scale shape: zero Python after extraction — parse_url, groupBy,
+    and one window on the host key; host skew is one bounded streaming
+    task per hot host, which is exactly what the cap bounds."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.webcrawl import (
+        cap_per_domain,
+        domain_stats,
+        warc_documents,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.sources.warc import encode_warc
+
+        pdf = pdf.sort_values("doc_id")
+        source = str(pdf["source"].iloc[0])
+        recs = [
+            {
+                "uri": f"http://{source}.example.com/{int(r.doc_id)}",
+                "payload": str(r.text).encode("utf-8"),
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["doc_id"].min())],
+                "payload": [encode_warc(recs, gzip_records=True)],
+            }
+        )
+
+    archives = d.select("doc_id", "text", "source").groupBy("source").applyInPandas(
+        enc, "archive_id long, payload binary"
+    )
+    docs = warc_documents(archives).select(
+        F.element_at(F.split("uri", "/"), -1).cast("long").alias("doc_id"),
+        "uri",
+        "text",
+    )
+    capped = cap_per_domain(docs, 20, uri_col="uri", order_col="doc_id")
+    stats = domain_stats(docs, uri_col="uri", text_col="text").select(
+        "host", F.col("n_docs").alias("host_docs")
+    )
+    return capped.join(stats, "host").select(
+        "doc_id", "host", "host_docs", "kept"
+    )
+
+
+SQL_DOMAIN_CAP = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         source || '.example.com' AS host
+  FROM documents
+),
+stats AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS host_docs FROM d GROUP BY host),
+ranked AS (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM d
+)
+SELECT r.doc_id, r.host, s.host_docs, (r.rn <= 20) AS kept
+FROM ranked r JOIN stats s USING (host)
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -6701,13 +6782,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            queries whose CODE changed this round (dedup_embed:
     #            band-join width cut; ann_ivf_pq: ksub=256 production
     #            profile);
-    #   tier C — 26 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 24 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~26 free
+    #   tier C — 25 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 25 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~25 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 24 r8-greens (fresh through r11) and the 48
+    #   below the cap — 25 r8-greens (fresh through r11) and the 48
     #            r9-greens (fresh through r12); the local gate
     #            (tools/oracle_check.py) keeps their coverage.
     return {
@@ -6735,6 +6816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_audio_store": q_incr_audio_store,
         "wds_extract": q_wds_extract,
         "warc_extract": q_warc_extract,
+        "domain_cap": q_domain_cap,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -6763,10 +6845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_linear": q_detrend_linear,
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
-        "filt_a": q_filt_a,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (24 r8-greens — ALL must rotate into the r11 window — then the
+        # (25 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "filt_a": q_filt_a,
         "filt_chain": q_filt_chain,
         "filt_chunked": q_filt_chunked,
         "filt_iir_exact": q_filt_iir_exact,
@@ -6918,6 +7000,7 @@ def oracle_sql() -> dict[str, str]:
         "incr_audio_store": _sql_incr_audio_store(),
         "wds_extract": SQL_WDS_EXTRACT,
         "warc_extract": SQL_WARC_EXTRACT,
+        "domain_cap": SQL_DOMAIN_CAP,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

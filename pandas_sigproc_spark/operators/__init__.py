@@ -100,7 +100,13 @@ from .imagedup import (
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.webdataset import wds_members, wds_samples
-from pandas_sigproc_spark.operators.webcrawl import warc_documents, warc_records
+from pandas_sigproc_spark.operators.webcrawl import (
+    cap_per_domain,
+    domain_stats,
+    url_host,
+    warc_documents,
+    warc_records,
+)
 from pandas_sigproc_spark.operators.custom import apply_channel_kernel
 from pandas_sigproc_spark.operators.sigstore import (
     SignatureStore,
@@ -192,6 +198,9 @@ __all__ = [
     "wds_samples",
     "warc_records",
     "warc_documents",
+    "url_host",
+    "domain_stats",
+    "cap_per_domain",
     "apply_channel_kernel",
     "chunk_documents",
     "repetition_stats",

@@ -88,4 +88,66 @@ def warc_documents(
     )
 
 
-__all__ = ["warc_records", "warc_documents"]
+def url_host(col):
+    """The lowercased host of a URL column — Spark's built-in
+    ``parse_url`` (JVM-side, codegen-friendly; no Python)."""
+    return F.lower(F.parse_url(col, F.lit("HOST")))
+
+
+def domain_stats(
+    docs: DataFrame,
+    *,
+    uri_col: str = "uri",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host corpus statistics — the first thing a crawl-curation
+    pass inspects: ``(host, n_docs, total_bytes, mean_bytes)``.  One
+    partial-aggregated groupBy on the host key; at 100 TB the host
+    space is millions of keys with heavy skew toward big sites, which
+    a count-based agg absorbs map-side (no per-doc state)."""
+    return (
+        docs.groupBy(url_host(F.col(uri_col)).alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.octet_length(text_col)).cast("long").alias("total_bytes"),
+            F.round(F.avg(F.octet_length(text_col)), 6).alias("mean_bytes"),
+        )
+    )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_docs: int,
+    *,
+    uri_col: str = "uri",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-domain document cap — the RefinedWeb-style
+    guard against a single host dominating the corpus: keep the first
+    ``max_docs`` documents per host in ``order_col`` order, drop the
+    rest.  Output: the input columns + ``host`` + ``kept`` (no rows
+    removed — the verdict column composes with the other curation
+    filters, which is how ``corpus_curate`` chains them).
+
+    Scale shape: ONE window ranked on the host key.  Host skew is real
+    (the biggest site can be 10^6x the median) but the window holds no
+    per-row state beyond the running rank, so a hot host costs one
+    big — bounded, streaming — task, not a blow-up; the heavy tail is
+    exactly what the cap is for."""
+    if max_docs < 1:
+        raise ValueError("need max_docs >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_host(F.col(uri_col))).orderBy(order_col)
+    return docs.withColumn("host", url_host(F.col(uri_col))).withColumn(
+        "kept", F.row_number().over(w) <= max_docs
+    )
+
+
+__all__ = [
+    "cap_per_domain",
+    "domain_stats",
+    "url_host",
+    "warc_documents",
+    "warc_records",
+]

@@ -204,3 +204,40 @@ def test_warc_documents_roundtrip_spark(spark):
     assert list(out.n_bytes) == [5, 7, 5]
     r = warc_records(archives).toPandas()
     assert set(r.rec_type) == {"response"}
+
+
+def test_domain_curation(spark):
+    from pandas_sigproc_spark.operators.webcrawl import (
+        cap_per_domain,
+        domain_stats,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "uri": [
+                    "http://A.example.com/1",  # host parse lowercases
+                    "http://a.example.com/2",
+                    "http://a.example.com/3",
+                    "http://b.example.com/4",
+                    "https://b.example.com:8080/5",  # scheme/port ignored
+                ],
+                "text": ["aa", "bbb", "c", "dd", "e"],
+            }
+        )
+    )
+    st = (
+        domain_stats(docs).toPandas().sort_values("host").reset_index(drop=True)
+    )
+    byhost = st.set_index("host")
+    assert "a.example.com" in byhost.index  # case folded
+    assert byhost.loc["a.example.com", "n_docs"] == 3
+    assert byhost.loc["a.example.com", "total_bytes"] == 6
+    capped = cap_per_domain(docs, 2).toPandas().set_index("doc_id")
+    assert bool(capped.loc[1, "kept"]) and bool(capped.loc[2, "kept"])
+    assert not bool(capped.loc[3, "kept"])  # third doc of host a dropped
+    assert bool(capped.loc[4, "kept"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_domain(docs, 0)
