@@ -6775,13 +6775,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — NEW queries needing first driver proof (audio_fp,
-    #            audio_fp_pairs: the STFT-replay audio gate;
-    #            media_video_dedup: frame-level video near-dup;
-    #            incr_phash_store / incr_audio_store: the media-store\n    #            lifecycles) plus
-    #            queries whose CODE changed this round (dedup_embed:
-    #            band-join width cut; ann_ivf_pq: ksub=256 production
-    #            profile);
+    #   tier B — the 8 NEW queries needing first driver proof
+    #            (audio_fp / audio_fp_pairs: the STFT-replay audio
+    #            gate; media_video_dedup: frame-level video near-dup;
+    #            incr_phash_store / incr_audio_store: the media-store
+    #            lifecycles; wds_extract / warc_extract / domain_cap:
+    #            container ingestion + URL curation) plus queries whose
+    #            CODE changed this round (dedup_embed: band-join width
+    #            cut; ann_ivf_pq: ksub=256 production profile);
     #   tier C — 25 of the 50 r8-green queries, rotated early to thin
     #            the r11 mandatory set (the 25 r8-greens left below the
     #            cap MUST be in the r11 window, leaving r11 ~25 free

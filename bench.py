@@ -65,8 +65,12 @@ HEADLINE = [
     "media_features",
     "media_audio_real",
     # round-10: the audio near-dup join (fingerprint pass runs once —
-    # persisted — then the fp equi-join; measures the whole tier)
+    # persisted — then the fp equi-join; measures the whole tier), plus
+    # the container-ingestion gates (WebDataset shard explode + decode,
+    # WARC record-gzip roundtrip)
     "audio_fp_pairs",
+    "wds_extract",
+    "warc_extract",
     "corpus_prep",
     # round-2 training-pipeline extensions
     "stratified_sample",
