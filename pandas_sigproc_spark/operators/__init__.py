@@ -99,6 +99,7 @@ from .imagedup import (
     video_near_pairs,
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
+from pandas_sigproc_spark.operators.bpe import bpe_encode, bpe_train
 from pandas_sigproc_spark.operators.webdataset import wds_members, wds_samples
 from pandas_sigproc_spark.operators.webcrawl import (
     cap_per_domain,
@@ -194,6 +195,8 @@ __all__ = [
     "video_near_pairs",
     "pack_sequences",
     "assign_shards",
+    "bpe_train",
+    "bpe_encode",
     "wds_members",
     "wds_samples",
     "warc_records",
