@@ -20,6 +20,9 @@ Streamable operators (aggregations over event-time windows):
   stream screened against a static pHash store (stream-static exact
   banded Hamming probes) plus the same one-stateful-op
   stream-vs-earlier-stream compare, state keyed by Hamming bit-band.
+- :func:`streaming_domain_cap` — stateful URL-level curation: the
+  first-N-per-host admission cap over an unbounded crawl stream, one
+  long of state per distinct host.
 
 NOT streamable (documented, not worked around): zero-phase ``filtfilt``
 ops need future samples; whole-signal PSD/SRS/rainflow need the entire
@@ -1020,6 +1023,86 @@ def streaming_phash_dedup(
     return corpus_pairs.unionByName(stream_pairs)
 
 
+_DOMCAP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("uri", StringType()),
+        StructField("host", StringType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+
+
+def streaming_domain_cap(
+    df: DataFrame,
+    max_docs: int,
+    *,
+    id_col: str = "doc_id",
+    uri_col: str = "uri",
+) -> DataFrame:
+    """Streaming per-domain document cap — the stateful twin of
+    ``webcrawl.cap_per_domain``: over an unbounded crawl stream, keep
+    the first ``max_docs`` documents PER HOST in arrival/id order and
+    mark the rest dropped, with the running per-host admission count as
+    the only state.
+
+    Emits ``(doc_id, uri, host, kept)``.  One ``applyInPandasWithState``
+    keyed by the parse_url host; state is a single long per host (the
+    admitted count), so a 100 TB crawl's state store is one counter per
+    distinct host — megabytes, not documents.  Within a micro-batch,
+    documents admit in ``id_col`` order (the batch operator's
+    deterministic rule with arrival order standing in across batches);
+    the batch fallback (df not streaming) is exactly
+    ``cap_per_domain``'s ranked window, so stream==batch equality is
+    testable on replayed batches.
+    """
+    if max_docs < 1:
+        raise ValueError("need max_docs >= 1")
+    from pandas_sigproc_spark.operators.webcrawl import url_host
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(uri_col).alias("uri"),
+        url_host(F.col(uri_col)).alias("host"),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host").orderBy("doc_id")
+        return keyed.withColumn(
+            "kept", F.row_number().over(w) <= max_docs
+        ).select("doc_id", "uri", "host", "kept")
+
+    state_schema = StructType([StructField("admitted", LongType())])
+    cap = int(max_docs)
+
+    def step(key, pdf_iter, state):
+        admitted = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        rows = []
+        if len(pdf):
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            for r in pdf.itertuples():
+                keep = admitted < cap
+                if keep:
+                    admitted += 1
+                rows.append((int(r.doc_id), r.uri, r.host, keep))
+        state.update((admitted,))
+        yield pd.DataFrame(rows, columns=["doc_id", "uri", "host", "kept"])
+
+    return (
+        keyed.groupBy("host")
+        .applyInPandasWithState(
+            step,
+            outputStructType=_DOMCAP_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 __all__ = [
     "streaming_rms",
     "streaming_spl",
@@ -1031,5 +1114,6 @@ __all__ = [
     "streaming_curation_filter",
     "streaming_incremental_dedup",
     "streaming_phash_dedup",
+    "streaming_domain_cap",
     "streaming_rainflow",
 ]

@@ -241,3 +241,68 @@ def test_domain_curation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cap_per_domain(docs, 0)
+
+
+def test_streaming_domain_cap_equals_batch(spark, tmp_path):
+    """The stateful streaming cap admits exactly the batch window's
+    first-N-per-host set across micro-batch boundaries."""
+    import os
+
+    from pandas_sigproc_spark.streaming import streaming_domain_cap
+
+    delta = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "uri": [
+                "http://a.example.com/1",
+                "http://b.example.com/2",
+                "http://a.example.com/3",
+                "http://a.example.com/4",
+                # ---- micro-batch boundary: host a is already at cap
+                "http://a.example.com/5",
+                "http://b.example.com/6",
+                "http://c.example.com/7",
+                "http://b.example.com/8",
+            ],
+        }
+    )
+    expected = (
+        streaming_domain_cap(
+            spark.createDataFrame(delta, "doc_id long, uri string"), 2
+        )
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    byid = expected.set_index("doc_id")
+    assert list(byid.kept) == [True, True, True, False, False, True, True, False]
+
+    root = str(tmp_path / "domcap_stream")
+    os.makedirs(root, exist_ok=True)
+    for i, part in enumerate(
+        (delta[delta.doc_id < 5], delta[delta.doc_id >= 5])
+    ):
+        path = os.path.join(root, f"part-{i:03d}.parquet")
+        part.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, uri string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        streaming_domain_cap(stream, 2)
+        .writeStream.format("memory")
+        .queryName("domcap_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from domcap_pairs")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[expected.columns], expected)
+    with pytest.raises(ValueError):
+        streaming_domain_cap(stream, 0)
