@@ -3726,7 +3726,7 @@ SELECT m1, m2, n_matches,
 FROM matches
 JOIN sizes s1 ON s1.media_id = m1
 JOIN sizes s2 ON s2.media_id = m2
-WHERE n_matches / LEAST(s1.n_fp, s2.n_fp) >= 0.2
+WHERE ROUND(n_matches / LEAST(s1.n_fp, s2.n_fp), 6) >= 0.2
 """
 
 
@@ -3835,7 +3835,7 @@ near_e AS (
     JOIN sizes_d sd ON sd.media_id = d.media_id
     JOIN sizes_e se ON se.media_id = e.media_id
     GROUP BY 1, 2
-  ) WHERE m / LEAST(nd, ne) >= 0.2
+  ) WHERE ROUND(m / LEAST(nd, ne), 6) >= 0.2
   GROUP BY media_id
 ),
 near_d AS (
@@ -3847,7 +3847,7 @@ near_d AS (
     JOIN sizes_d sd ON sd.media_id = d.media_id
     JOIN sizes_d s2 ON s2.media_id = d2.media_id
     GROUP BY 1, 2
-  ) WHERE m / LEAST(nd, n2) >= 0.2
+  ) WHERE ROUND(m / LEAST(nd, n2), 6) >= 0.2
   GROUP BY media_id
 )
 SELECT i.media_id,
@@ -4098,7 +4098,7 @@ def q_incr_phash_store(spark, sf_dir):
     )
     compact_media_hash_store(spark, path, kind="phash", partitions=8)
     store = read_media_hash_store(spark, path, kind="phash")
-    return incremental_phash_dedup(store, delta, max_hamming=6)
+    return incremental_phash_dedup(store, delta, max_hamming=6, persist=_persist)
 
 
 def _sql_incr_phash_store() -> str:

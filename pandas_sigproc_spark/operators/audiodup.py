@@ -305,7 +305,8 @@ def incremental_audio_dedup(
             F.first("ne").alias("ne"),
         )
         .filter(
-            F.col("n_matches") / F.least("nd", "ne") >= min_match_frac
+            F.round(F.col("n_matches") / F.least("nd", "ne"), 6)
+            >= min_match_frac
         )
         .groupBy("media_id")
         .agg(F.count("*").alias("n_near_existing"))
@@ -324,7 +325,8 @@ def incremental_audio_dedup(
             F.first("n2").alias("n2"),
         )
         .filter(
-            F.col("n_matches") / F.least("nd", "n2") >= min_match_frac
+            F.round(F.col("n_matches") / F.least("nd", "n2"), 6)
+            >= min_match_frac
         )
         .groupBy("media_id")
         .agg(F.count("*").alias("n_near_delta_earlier"))

@@ -40,6 +40,7 @@ such ops), like the streaming tier.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,8 +49,6 @@ from pyspark.sql import DataFrame, functions as F
 #: End-of-word sentinel (Sennrich's ``</w>``): lets the tokenizer
 #: distinguish word-final subwords, and makes decode unambiguous.
 EOW = "</w>"
-
-_WORD_RE = r"[^\s]+"
 
 
 def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
@@ -151,20 +150,29 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(words)
-            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["total"] < min_pair_count:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.select("n", _merge_expr(a, b).alias("toks")).localCheckpoint(
-            eager=True
-        )
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["total"] < min_pair_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = words.select(
+                "n", _merge_expr(a, b).alias("toks")
+            ).localCheckpoint(eager=True)
+            # eager=True has already materialized nxt's blocks; drop
+            # the PREVIOUS round's checkpoint now instead of leaving K
+            # stale copies of the word table in executor storage until
+            # driver GC gets around to them
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
     return merges
 
 
@@ -201,7 +209,13 @@ def bpe_encode(
             ids, counts, toklists = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                for w in str(text).lower().split():
+                # re.ASCII \s == Java regex \s (the training-side
+                # F.split separator): a Unicode space (NBSP etc.) must
+                # segment identically at train and encode time, or
+                # tokenization diverges from the trained statistics
+                for w in _re.split(r"\s+", str(text).lower(), flags=_re.ASCII):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = _encode_word(w, ranks)

@@ -309,10 +309,30 @@ def video_near_pairs(
             media, every_n, id_col=id_col, payload_col=payload_col
         )
     )
+    # Composite-key safety: a frame index at or above max_frames would
+    # silently land the key in the NEXT video's key space (wrong-video
+    # pair verdicts, no error) — refuse loudly instead.  frame_idx is
+    # the RAW index (every_n thins which frames are hashed, not the
+    # numbering), so size max_frames to the longest video's raw frame
+    # count.
+    bad = F.raise_error(
+        F.concat(
+            F.lit("video_near_pairs: frame_idx "),
+            F.col("frame_idx").cast("string"),
+            F.lit(
+                f" >= max_frames={max_frames} — composite keys would"
+                " collide across videos; raise max_frames above the"
+                " longest video's raw frame count"
+            ),
+        )
+    ).cast("long")
     keyed = fr.select(
-        (F.col("media_id") * max_frames + F.col("frame_idx")).alias(
-            "media_id"
-        ),
+        F.when(
+            F.col("frame_idx") < max_frames,
+            F.col("media_id") * max_frames + F.col("frame_idx"),
+        )
+        .otherwise(bad)
+        .alias("media_id"),
         "phash",
     )
     pairs = phash_near_pairs(
@@ -375,6 +395,7 @@ def incremental_phash_dedup(
     payload_col: str = "payload",
     hashes: DataFrame | None = None,
     max_bucket_rows: int | None = 100_000,
+    persist=None,
 ) -> DataFrame:
     """Deduplicate a NEW image ingestion batch against an existing
     corpus — the image twin of ``curation.incremental_dedup``, with the
@@ -391,7 +412,9 @@ def incremental_phash_dedup(
     - ``kept`` — none of the above fired.
 
     Scale shape: delta hashes come from ONE zero-shuffle mapInPandas
-    pass (or the ``hashes=`` seam); both probes are exact banded
+    pass (or the ``hashes=`` seam), computed ONCE when a ``persist``
+    hook is supplied (the table feeds five consumers); both probes are
+    exact banded
     Hamming equi-joins on (band_id, band_bits) int keys — pigeonhole
     over ``max_hamming + 1`` bands, zero false negatives — with the
     hot-bucket guard default-on on BOTH tables, and everything
@@ -399,8 +422,14 @@ def incremental_phash_dedup(
     """
     if not 0 <= max_hamming < PHASH_BITS:
         raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
-    hd = hashes if hashes is not None else phash_images(
-        delta_media, id_col=id_col, payload_col=payload_col
+    persist = persist or (lambda df: df)
+    # the delta hash table feeds FIVE consumers (both band probes, both
+    # exact probes, and the final select) — unpersisted, the
+    # decode+pHash Python pass re-runs per consumer
+    hd = persist(
+        hashes if hashes is not None else phash_images(
+            delta_media, id_col=id_col, payload_col=payload_col
+        )
     )
     he = existing_hashes.select(
         F.col("media_id").cast("long").alias("media_id"),

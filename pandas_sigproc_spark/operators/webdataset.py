@@ -6,8 +6,8 @@ sample is a set of tar members sharing a basename key
 thousands of such shards.  This module turns a DataFrame of shard
 payloads into the relational forms the rest of the engine consumes:
 
-- :func:`wds_members` — ``(shard_id, key, ext, n_bytes, payload)``:
-  one zero-shuffle ``mapInPandas`` pass over shard bytes
+- :func:`wds_members` — ``(shard_id, member_idx, key, ext, n_bytes,
+  payload)``: one zero-shuffle ``mapInPandas`` pass over shard bytes
   (``sources/tar.py`` decodes; a shard never leaves the task that read
   it — only its members flow on).  The basename key/extension split
   follows the WebDataset convention: the extension is everything after
@@ -47,20 +47,23 @@ def wds_members(
     id_col: str = "shard_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Explode tar shards into ``(shard_id long, key string, ext
-    string, n_bytes long, payload binary)`` member rows."""
+    """Explode tar shards into ``(shard_id long, member_idx int, key
+    string, ext string, n_bytes long, payload binary)`` member rows
+    (``member_idx`` = position in the tar, the tie-breaker
+    ``wds_samples`` uses for duplicate names)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources.tar import decode_tar
 
         for pdf in batches:
-            sids, keys, exts, sizes, payloads = [], [], [], [], []
+            sids, idxs, keys, exts, sizes, payloads = [], [], [], [], [], []
             for sid, blob in zip(pdf[id_col], pdf[payload_col]):
-                for name, payload in decode_tar(bytes(blob)):
+                for mi, (name, payload) in enumerate(decode_tar(bytes(blob))):
                     d, _, base = name.rpartition("/")
                     stem, dot, ext = base.partition(".")
                     key = (d + "/" + stem) if d else stem
                     sids.append(int(sid))
+                    idxs.append(mi)
                     keys.append(key)
                     exts.append(ext if dot else "")
                     sizes.append(len(payload))
@@ -68,6 +71,7 @@ def wds_members(
             yield pd.DataFrame(
                 {
                     "shard_id": sids,
+                    "member_idx": idxs,
                     "key": keys,
                     "ext": exts,
                     "n_bytes": sizes,
@@ -76,7 +80,9 @@ def wds_members(
             )
 
     return shards.select(id_col, payload_col).mapInPandas(
-        run, "shard_id long, key string, ext string, n_bytes long, payload binary"
+        run,
+        "shard_id long, member_idx int, key string, ext string,"
+        " n_bytes long, payload binary",
     )
 
 
@@ -85,10 +91,20 @@ def wds_samples(
 ) -> DataFrame:
     """Group member rows into one row per sample: ``(shard_id, key,
     n_members, exts, payloads)`` with ``exts`` sorted and ``payloads``
-    an ext->bytes map (``map_from_entries`` over the collected
-    members)."""
+    an ext->bytes map.  tar legally carries DUPLICATE member names
+    (append/update semantics: ``tar -rf`` adds a second copy); map
+    construction under Spark's default mapKeyDedupPolicy=EXCEPTION
+    would kill the job on such a shard, so duplicates resolve
+    LAST-WINS by ``member_idx`` first — tar's own update rule (the
+    reader that extracts sequentially ends with the last copy)."""
+    latest = (
+        members.groupBy("shard_id", "key", "ext")
+        .agg(
+            F.max_by("payload", "member_idx").alias("payload"),
+        )
+    )
     return (
-        members.groupBy("shard_id", "key")
+        latest.groupBy("shard_id", "key")
         .agg(
             F.count("*").cast("long").alias("n_members"),
             F.array_sort(F.collect_list("ext")).alias("exts"),

@@ -64,20 +64,32 @@ def encode_warc(
     return bytes(out)
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _split_gzip_members(data: bytes) -> list[bytes]:
     """Decompress a concatenation of gzip members into per-member
-    plaintexts via zlib's unused_data (stdlib, no re-scan)."""
+    plaintexts (stdlib only).  LINEAR in archive size: each member is
+    fed bounded memoryview chunks, so neither a per-member tail slice
+    nor zlib's ``unused_data`` ever copies more than one chunk — the
+    naive ``decompress(data[pos:])`` form is quadratic for
+    Common-Crawl-scale member counts (50k members x a full-tail memcpy
+    each)."""
     out = []
-    pos = 0
-    while pos < len(data):
+    view = memoryview(data)
+    pos, n = 0, len(view)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        plain = d.decompress(data[pos:])
-        plain += d.flush()
+        parts = []
+        while not d.eof and pos < n:
+            chunk = view[pos : pos + _GZ_CHUNK]
+            pos += len(chunk)
+            parts.append(d.decompress(chunk))
         if not d.eof:
             raise ValueError("truncated gzip member in WARC archive")
-        out.append(plain)
-        consumed = len(data) - pos - len(d.unused_data)
-        pos += consumed
+        parts.append(d.flush())
+        out.append(b"".join(parts))
+        pos -= len(d.unused_data)  # rewind the next member's head
     return out
 
 

@@ -21,6 +21,10 @@ def _ref_train(texts, n_merges, min_pair_count=2):
     for t in texts:
         for w in str(t).lower().split():
             words[w] += 1
+    return _ref_train_words(words, n_merges, min_pair_count)
+
+
+def _ref_train_words(words, n_merges, min_pair_count=2):
     vocab = {tuple(list(w) + [EOW]): n for w, n in words.items()}
     merges = []
     for _ in range(n_merges):
@@ -118,6 +122,32 @@ def test_encode_invariants(spark):
     # more merges never increase the token count
     out0 = bpe_encode(docs, []).toPandas().sort_values("doc_id")
     assert (out.n_tokens.to_numpy() <= out0.n_tokens.to_numpy()).all()
+
+
+def test_unicode_whitespace_parity(spark):
+    """Train-time segmentation is Java regex \\s+ (ASCII); encode must
+    match it exactly — an NBSP is NOT a separator on either side."""
+    texts = ["foo\u00a0bar foo\u00a0bar baz baz baz"]
+    docs = _docs_df(spark, texts)
+    merges = bpe_train(docs, 8, min_pair_count=2)
+    assert merges == _ref_train_ascii(texts, 8)
+    out = bpe_encode(docs, merges).toPandas()
+    joined = "".join(out.tokens[0]).replace(EOW, " ").strip()
+    # the NBSP word survives as ONE word in both phases
+    assert joined == "foo\u00a0bar foo\u00a0bar baz baz baz"
+
+
+def _ref_train_ascii(texts, n_merges):
+    import re
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", str(t).lower(), flags=re.ASCII):
+            if w:
+                words[w] += 1
+    # the reference merge machinery on ASCII-split words (plain
+    # str.split would re-segment the NBSP word this test plants)
+    return _ref_train_words(words, n_merges)
 
 
 def test_validation(spark):
