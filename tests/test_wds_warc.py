@@ -306,3 +306,74 @@ def test_streaming_domain_cap_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got[expected.columns], expected)
     with pytest.raises(ValueError):
         streaming_domain_cap(stream, 0)
+
+
+def test_tar_skips_non_file_members():
+    """Dirs/symlinks/PAX headers are skipped, not surfaced as payloads
+    (and not mistaken for truncation)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("adir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ln = tarfile.TarInfo("alink")
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "target"
+        tf.addfile(ln)
+        info = tarfile.TarInfo("real.bin")
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+    assert decode_tar(buf.getvalue()) == [("real.bin", b"abc")]
+
+
+def test_wds_duplicate_member_names_last_wins(spark):
+    """tar legally carries duplicate names (append/update semantics);
+    wds_samples must resolve them last-wins instead of raising Spark's
+    DUPLICATED_MAP_KEY error."""
+    shard = encode_tar(
+        [("k.cls", b"old"), ("k.bmp", b"img"), ("k.cls", b"new")]
+    )
+    shards = spark.createDataFrame(
+        pd.DataFrame({"shard_id": [0], "payload": [shard]}),
+        "shard_id long, payload binary",
+    )
+    s = wds_samples(wds_members(shards)).toPandas()
+    assert len(s) == 1
+    assert s.n_members[0] == 2  # distinct exts after last-wins
+    assert bytes(s.payloads[0]["cls"]) == b"new"
+
+
+def test_shard_to_dedup_composition(spark):
+    """End-to-end ingestion story: WebDataset shards in, pHash dedup
+    verdicts out — the member explode feeds phash_images directly."""
+    import numpy as np
+
+    from pandas_sigproc_spark.operators.imagedup import phash_dedup
+    from pandas_sigproc_spark.sources.bmp import encode_bmp
+
+    def smooth(seed):
+        r = np.random.default_rng(seed)
+        base = r.standard_normal((8, 8))
+        big = np.kron(base, np.ones((8, 8)))
+        big = (big - big.min()) / (big.max() - big.min()) * 255
+        return np.repeat(big[:, :, None], 3, 2).astype(np.uint8)
+
+    # two shards; image 3 is a byte-copy of image 0 across shards
+    s0 = encode_tar(
+        [(f"{i}.bmp", encode_bmp(smooth(i))) for i in range(3)]
+    )
+    s1 = encode_tar(
+        [("3.bmp", encode_bmp(smooth(0))), ("4.bmp", encode_bmp(smooth(9)))]
+    )
+    shards = spark.createDataFrame(
+        pd.DataFrame({"shard_id": [0, 1], "payload": [s0, s1]}),
+        "shard_id long, payload binary",
+    )
+    imgs = (
+        wds_members(shards)
+        .filter(F.col("ext") == "bmp")
+        .select(F.col("key").cast("long").alias("media_id"), "payload")
+    )
+    out = phash_dedup(imgs, 3).toPandas().set_index("media_id")
+    assert not bool(out.loc[3, "keep"])  # the cross-shard copy drops
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[4, "keep"])
