@@ -377,3 +377,55 @@ def test_shard_to_dedup_composition(spark):
     out = phash_dedup(imgs, 3).toPandas().set_index("media_id")
     assert not bool(out.loc[3, "keep"])  # the cross-shard copy drops
     assert bool(out.loc[0, "keep"]) and bool(out.loc[4, "keep"])
+
+
+def test_ingestion_operators_are_stream_safe(spark, tmp_path):
+    """wds_members and warc_documents are stateless mapInPandas passes,
+    so they run unchanged on a stream of shards/archives — the
+    continuous-ingestion front door.  Replayed-stream output == batch."""
+    import os
+
+    shard = encode_tar([("0.bmp", b"A" * 10), ("0.cls", b"7")])
+    blob = encode_warc(
+        [{"uri": "http://corpus/1", "payload": b"doc one"}],
+        gzip_records=True,
+    )
+    for name, pdf, schema, op, sort_cols in (
+        (
+            "wds",
+            pd.DataFrame({"shard_id": [0], "payload": [shard]}),
+            "shard_id long, payload binary",
+            lambda df: wds_members(df).drop("payload"),
+            ["shard_id", "key", "ext"],
+        ),
+        (
+            "warc",
+            pd.DataFrame({"archive_id": [0], "payload": [blob]}),
+            "archive_id long, payload binary",
+            warc_documents,
+            ["archive_id", "uri"],
+        ),
+    ):
+        batch = (
+            op(spark.createDataFrame(pdf, schema))
+            .toPandas()
+            .sort_values(sort_cols, ignore_index=True)
+        )
+        root = str(tmp_path / f"{name}_stream")
+        os.makedirs(root, exist_ok=True)
+        pdf.to_parquet(os.path.join(root, "part-000.parquet"), index=False)
+        q = (
+            op(spark.readStream.schema(schema).parquet(root))
+            .writeStream.format("memory")
+            .queryName(f"{name}_ingest")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql(f"select * from {name}_ingest")
+            .toPandas()
+            .sort_values(sort_cols, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got[batch.columns], batch)
