@@ -429,3 +429,66 @@ def test_ingestion_operators_are_stream_safe(spark, tmp_path):
             .sort_values(sort_cols, ignore_index=True)
         )
         pd.testing.assert_frame_equal(got[batch.columns], batch)
+
+
+# --- hypothesis properties ---------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_name_st = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789._-"),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s not in (".", "..") and not s.startswith("."))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_name_st, st.binary(max_size=1500)),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_tar_roundtrip_property(members):
+    # tar keys on names; duplicate names are legal and preserved in order
+    blob = encode_tar(members)
+    assert len(blob) % 512 == 0
+    assert decode_tar(blob) == members
+    # cross-check against the independent stdlib reader
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [
+            (m.name, tf.extractfile(m).read())
+            for m in tf.getmembers()
+            if m.isfile()
+        ]
+    assert got == members
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+            st.binary(max_size=2000),
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_property(recs, gz):
+    records = [
+        {"uri": "http://h/" + u.replace("\r", "").replace("\n", ""), "payload": p}
+        for u, p in recs
+    ]
+    got = decode_warc(encode_warc(records, gzip_records=gz))
+    assert [(r["uri"], r["payload"]) for r in got] == [
+        (r["uri"], r["payload"]) for r in records
+    ]
