@@ -1,6 +1,7 @@
 """Event-log shuffle audit: MEASURED shuffle read/write bytes per query.
 
-plan_audit.py counts exchanges; this tool weighs them.  Each named
+plan_audit.py counts exchanges; this tool weighs them (and totals the
+executor task time — where the wall actually goes).  Each named
 query runs through the noop sink inside its own job group with the
 Spark event log enabled, then the log's TaskEnd metrics are summed per
 group — total shuffle bytes written, shuffle bytes read, and input
@@ -86,7 +87,9 @@ def main():
                 grp = group_of_stage.get(ev["Stage ID"], "?")
                 tm = ev.get("Task Metrics") or {}
                 d = stats.setdefault(
-                    grp, {"write": 0, "read": 0, "input": 0}
+                    grp,
+                    {"write": 0, "read": 0, "input": 0, "cpu_ms": 0,
+                     "tasks": 0},
                 )
                 d["write"] += (tm.get("Shuffle Write Metrics") or {}).get(
                     "Shuffle Bytes Written", 0
@@ -98,13 +101,21 @@ def main():
                 d["input"] += (tm.get("Input Metrics") or {}).get(
                     "Bytes Read", 0
                 )
+                d["cpu_ms"] += tm.get("Executor Run Time", 0)
+                d["tasks"] += 1
     w = max(len(n) for n in names)
-    print(f"{'query':<{w}}  shuffle_write_MB  shuffle_read_MB  input_MB")
+    print(
+        f"{'query':<{w}}  shuffle_write_MB  shuffle_read_MB  input_MB"
+        f"  task_time_s  tasks"
+    )
     for name in names:
-        d = stats.get(name, {"write": 0, "read": 0, "input": 0})
+        d = stats.get(
+            name, {"write": 0, "read": 0, "input": 0, "cpu_ms": 0, "tasks": 0}
+        )
         print(
             f"{name:<{w}}  {d['write'] / 1e6:>16.2f}  "
-            f"{d['read'] / 1e6:>15.2f}  {d['input'] / 1e6:>8.2f}"
+            f"{d['read'] / 1e6:>15.2f}  {d['input'] / 1e6:>8.2f}  "
+            f"{d['cpu_ms'] / 1e3:>11.2f}  {d['tasks']:>5}"
         )
 
 
