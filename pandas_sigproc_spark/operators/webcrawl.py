@@ -35,9 +35,15 @@ def warc_records(
     *,
     id_col: str = "archive_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Explode WARC archives (plain or record-gzipped) into one row per
-    record."""
+    record.  ``on_error="skip"`` drops a corrupt archive instead of
+    failing the job (the production setting for third-party crawls;
+    default ``"raise"`` — see ``wds_members`` for the contract)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip = on_error == "skip"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources.warc import decode_warc
@@ -53,7 +59,13 @@ def warc_records(
                 "payload": [],
             }
             for aid, blob in zip(pdf[id_col], pdf[payload_col]):
-                for rec in decode_warc(bytes(blob)):
+                try:
+                    recs = decode_warc(bytes(blob))
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                for rec in recs:
                     rows["archive_id"].append(int(aid))
                     rows["rec_type"].append(rec["type"])
                     rows["uri"].append(rec["uri"])
@@ -75,11 +87,14 @@ def warc_documents(
     *,
     id_col: str = "archive_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Response records as text documents: ``(archive_id, uri, n_bytes,
     text)`` — the decode is a JVM-side binary->string cast (UTF-8), not
     Python."""
-    recs = warc_records(archives, id_col=id_col, payload_col=payload_col)
+    recs = warc_records(
+        archives, id_col=id_col, payload_col=payload_col, on_error=on_error
+    )
     return recs.filter(F.col("rec_type") == "response").select(
         "archive_id",
         "uri",

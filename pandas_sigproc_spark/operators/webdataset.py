@@ -46,11 +46,22 @@ def wds_members(
     *,
     id_col: str = "shard_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Explode tar shards into ``(shard_id long, member_idx int, key
     string, ext string, n_bytes long, payload binary)`` member rows
     (``member_idx`` = position in the tar, the tie-breaker
-    ``wds_samples`` uses for duplicate names)."""
+    ``wds_samples`` uses for duplicate names).
+
+    ``on_error``: ``"raise"`` (default) fails the job on a corrupt
+    shard — the right behavior for engine-produced data; ``"skip"``
+    drops the corrupt shard and keeps going — the production setting
+    for third-party crawl-scale corpora, where one truncated shard
+    must not kill a 100 TB job (quantify the damage afterwards by
+    anti-joining the output's shard_ids against the input's)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip = on_error == "skip"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources.tar import decode_tar
@@ -58,7 +69,13 @@ def wds_members(
         for pdf in batches:
             sids, idxs, keys, exts, sizes, payloads = [], [], [], [], [], []
             for sid, blob in zip(pdf[id_col], pdf[payload_col]):
-                for mi, (name, payload) in enumerate(decode_tar(bytes(blob))):
+                try:
+                    members = decode_tar(bytes(blob))
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                for mi, (name, payload) in enumerate(members):
                     d, _, base = name.rpartition("/")
                     stem, dot, ext = base.partition(".")
                     key = (d + "/" + stem) if d else stem

@@ -484,11 +484,53 @@ def test_tar_roundtrip_property(members):
     st.booleans(),
 )
 def test_warc_roundtrip_property(recs, gz):
+    # WARC header field values are whitespace-TRIMMED on parse (spec
+    # behavior), so URIs with leading/trailing whitespace are not
+    # representable — normalize the generated ones the same way
     records = [
-        {"uri": "http://h/" + u.replace("\r", "").replace("\n", ""), "payload": p}
+        {
+            "uri": ("http://h/" + u.replace("\r", "").replace("\n", "")).strip(),
+            "payload": p,
+        }
         for u, p in recs
     ]
     got = decode_warc(encode_warc(records, gzip_records=gz))
     assert [(r["uri"], r["payload"]) for r in got] == [
         (r["uri"], r["payload"]) for r in records
     ]
+
+
+def test_on_error_skip_tolerates_corrupt_containers(spark):
+    """A 100 TB crawl job must not die on one truncated shard: with
+    on_error='skip' the corrupt container drops and the rest survive;
+    the default still raises."""
+    good_shard = encode_tar([("0.bmp", b"AA")])
+    bad = bytearray(good_shard)
+    bad[148] ^= 0x01  # corrupt the header checksum
+    bad_shard = bytes(bad)
+    shards = spark.createDataFrame(
+        pd.DataFrame(
+            {"shard_id": [0, 1], "payload": [good_shard, bad_shard]}
+        ),
+        "shard_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        wds_members(shards).count()
+    m = wds_members(shards, on_error="skip").toPandas()
+    assert set(m.shard_id) == {0} and len(m) == 1
+    with pytest.raises(ValueError, match="on_error"):
+        wds_members(shards, on_error="ignore")
+
+    good_arc = encode_warc(
+        [{"uri": "http://h/1", "payload": b"x"}], gzip_records=True
+    )
+    archives = spark.createDataFrame(
+        pd.DataFrame(
+            {"archive_id": [0, 1], "payload": [good_arc, good_arc[:-6]]}
+        ),
+        "archive_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        warc_documents(archives).count()
+    d = warc_documents(archives, on_error="skip").toPandas()
+    assert set(d.archive_id) == {0} and list(d.text) == ["x"]
