@@ -4431,6 +4431,165 @@ FROM ranked r JOIN stats s USING (host)
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction under the hash gate — the boilerplate
+    step between crawl payloads and the text-curation tier.  Each sf
+    document is wrapped NATIVELY (concat + the html_escape replace
+    chain) in a realistic page — title, style block, script block
+    containing an unescaped '<', an HTML comment, nav boilerplate with
+    an entity, and a footer with an out-of-set entity — and extracted
+    by html_text (operators/webcrawl.py: a pure regexp_replace chain,
+    zero Python).  The oracle computes the expected text INDEPENDENTLY
+    (direct concat + whitespace collapse over the documents table), so
+    a green row certifies comment/script/style stripping, quoted-
+    attribute-aware tag removal, the entity decode order, and the
+    escape/extract identity — not a replay of the same regexes.
+
+    Scale shape: one codegen'd per-row expression tree — no shuffle,
+    no Python, linear in corpus bytes (the whole query is a single
+    WholeStageCodegen span over the parquet scan)."""
+    from pandas_sigproc_spark.operators.webcrawl import (
+        html_escape,
+        html_text,
+    )
+
+    d = _docs(spark, sf_dir)
+    wrapped = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("long").cast("string"),
+        F.lit(
+            '</title><style type="text/css">p { margin: 0 }</style>'
+            '<script src="a.js">var lt = 1 < 2;</script></head>'
+            "<body><!-- crawl boilerplate -->"
+            "<nav>home &gt; docs</nav><p>"
+        ),
+        html_escape(F.col("text")),
+        F.lit("</p><footer>&copy; 2024 corpus</footer></body></html>"),
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        html_text(wrapped).alias("text"),
+    )
+
+
+SQL_HTML_EXTRACT = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       trim(regexp_replace(
+         'Doc ' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+           || ' home > docs ' || text || ' &copy; 2024 corpus',
+         '[ \t\r\n\f]+', ' ', 'g')) AS text
+FROM documents
+"""
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization under the hash gate — the URL-level dedup
+    key every crawl pipeline computes before content-level passes.
+    Four deterministic messy-URL shapes are built natively from
+    doc_id/source (uppercase scheme+host with a default :80 port +
+    tracking params + fragment; :443 with unsorted params; a fragment
+    containing '?'; an empty path with all-tracking query), fed to
+    canonicalize_url (operators/webcrawl.py), and counted per
+    canonical key (the dedup grouping — the all-tracking shape
+    collapses each source's docs to ONE key).  The oracle derives the
+    canonical forms INDEPENDENTLY per shape (CASE arithmetic, no regex
+    replay), so a green row certifies scheme/host lowering, default-
+    port and fragment stripping, tracking-param removal, bytewise
+    param sorting, and the empty-path rule.
+
+    Scale shape: per-row expressions plus ONE exchange — the count
+    window on the canonical key, which is the dedup shuffle itself."""
+    from pyspark.sql import Window
+
+    from pandas_sigproc_spark.operators.webcrawl import canonicalize_url
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("long")
+    ids = i.cast("string")
+    v = i % 4
+    messy = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTP://WWW."),
+                F.upper("source"),
+                F.lit(".COM:80/Page/"),
+                ids,
+                F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.org:443/a/b?z="),
+                ids,
+                F.lit("&y=2&x=3"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://cdn."),
+                F.col("source"),
+                F.lit(".net/file/"),
+                ids,
+                F.lit("#sec?x=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".io?gclid="),
+                ids,
+                F.lit("&ref=tw"),
+            )
+        )
+    )
+    out = d.select(
+        i.alias("doc_id"),
+        messy.alias("url"),
+        canonicalize_url(messy).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return out.withColumn(
+        "n_same", F.count("*").over(w).cast("long")
+    )
+
+
+SQL_URL_CANON = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(doc_id AS BIGINT) % 4 AS v,
+         CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS ids
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/Page/' || ids
+                    || '?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'https://' || source || '.example.org:443/a/b?z=' || ids
+                    || '&y=2&x=3'
+      WHEN 2 THEN 'https://cdn.' || source || '.net/file/' || ids || '#sec?x=1'
+      ELSE 'http://' || source || '.io?gclid=' || ids || '&ref=tw'
+    END AS url,
+    CASE v
+      WHEN 0 THEN 'http://www.' || source || '.com/Page/' || ids || '?a=1&b=2'
+      WHEN 1 THEN 'https://' || source || '.example.org/a/b?x=3&y=2&z=' || ids
+      WHEN 2 THEN 'https://cdn.' || source || '.net/file/' || ids
+      ELSE 'http://' || source || '.io/'
+    END AS canon_url
+  FROM d
+)
+SELECT doc_id, url, canon_url,
+       CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_same
+FROM m
+"""
+
+
 def q_media_video_mp4(spark, sf_dir):
     """Real-container video through the driver gate: each channel's
     quantized pixel bytes are split into 4 equal frames, each encoded as
@@ -6289,6 +6448,63 @@ FROM scored
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher rule-based quality filter (Rae et al. 2021 A1.1) —
+    the heuristic companion gate to quality_classify: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, bullet /
+    ellipsis line fractions, alphabetic-word fraction, and the
+    required-word probe (>=2 of 8), with keep decided on unrounded
+    values.  0 shuffles, 0 UDFs — one expression tree per document
+    (operators/curation.py gopher_rules)."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return _cur.gopher_rules(d)
+
+
+SQL_GOPHER_RULES = r"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         STRING_SPLIT(text, ' ') AS ws,
+         STRING_SPLIT(text, chr(10)) AS ls,
+         LENGTH(text) AS tl
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(LEN(ws) AS BIGINT) AS n_words,
+    LENGTH(REPLACE(text, ' ', '')) / CAST(LEN(ws) AS DOUBLE)
+      AS mean_word_len,
+    (  (tl - LENGTH(REPLACE(text, '#', '')))
+     + (tl - LENGTH(REPLACE(text, '...', ''))) / 3
+     + (tl - LENGTH(REPLACE(text, chr(8230), ''))) )
+      / CAST(LEN(ws) AS DOUBLE) AS symbol_ratio,
+    LEN(LIST_FILTER(ls, l -> regexp_matches(l, '^[ \t]*[' || chr(8226) || '*-]')))
+      / CAST(LEN(ls) AS DOUBLE) AS bullet_frac,
+    LEN(LIST_FILTER(ls, l -> regexp_matches(l, '(\.\.\.|' || chr(8230) || ')[ \t]*$')))
+      / CAST(LEN(ls) AS DOUBLE) AS ellipsis_frac,
+    LEN(LIST_FILTER(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      / CAST(LEN(ws) AS DOUBLE) AS alpha_frac,
+    CAST(LEN(LIST_INTERSECT(
+        LIST_DISTINCT(LIST_TRANSFORM(ws, w -> LOWER(w))),
+        ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS n_required
+  FROM f
+)
+SELECT doc_id, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(bullet_frac, 6) AS bullet_frac,
+       ROUND(ellipsis_frac, 6) AS ellipsis_frac,
+       ROUND(alpha_frac, 6) AS alpha_frac,
+       n_required,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len >= 3.0) AND (mean_word_len <= 10.0)
+         AND (symbol_ratio <= 0.1)
+         AND (bullet_frac <= 0.1) AND (ellipsis_frac <= 0.3)
+         AND (alpha_frac >= 0.8) AND (n_required >= 2) AS keep
+FROM m
+"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination — the constant-memory scale path of
     q_decontaminate: the benchmark slice's distinct 5-gram hashes are
@@ -6775,23 +6991,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 8 NEW queries needing first driver proof
+    #   tier B — the 11 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
     #            lifecycles; wds_extract / warc_extract / domain_cap:
-    #            container ingestion + URL curation) plus queries whose
-    #            CODE changed this round (dedup_embed: band-join width
-    #            cut; ann_ivf_pq: ksub=256 production profile);
-    #   tier C — 25 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 25 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~25 free
+    #            container ingestion + URL curation; html_extract /
+    #            url_canon / gopher_rules: crawl-text extraction,
+    #            URL-level dedup keys, the Gopher heuristic filter)
+    #            plus queries whose CODE changed this round
+    #            (dedup_embed: band-join width cut; ann_ivf_pq:
+    #            ksub=256 production profile);
+    #   tier C — 22 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 28 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~22 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 25 r8-greens (fresh through r11) and the 48
-    #            r9-greens (fresh through r12); the local gate
-    #            (tools/oracle_check.py) keeps their coverage.
+    #   below the cap — 28 r8-greens (fresh through r11; detrend_linear
+    #            / filt_butter / filt_cfc displaced from tier C for the
+    #            three new gates) and the 48 r9-greens (fresh through
+    #            r12); the local gate (tools/oracle_check.py) keeps
+    #            their coverage.
     return {
         # -- tier A: r7 carry-overs (mandatory this round) ----------------
         "mov_rms": q_mov_rms,
@@ -6818,6 +7039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_extract": q_wds_extract,
         "warc_extract": q_warc_extract,
         "domain_cap": q_domain_cap,
+        "html_extract": q_html_extract,
+        "url_canon": q_url_canon,
+        "gopher_rules": q_gopher_rules,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -6843,12 +7067,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_quadratic": q_interp_quadratic,
         "interp_cubic_exact": q_interp_cubic_exact,
         "detrend_constant": q_detrend_constant,
+        # ---- driver cap: entries BELOW here are not driver-checked ------
+        # (28 r8-greens — ALL must rotate into the r11 window — then the
+        #  r9 tier, fresh through r12.)
         "detrend_linear": q_detrend_linear,
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (25 r8-greens — ALL must rotate into the r11 window — then the
-        #  r9 tier, fresh through r12.)
         "filt_a": q_filt_a,
         "filt_chain": q_filt_chain,
         "filt_chunked": q_filt_chunked,
@@ -7002,6 +7226,8 @@ def oracle_sql() -> dict[str, str]:
         "wds_extract": SQL_WDS_EXTRACT,
         "warc_extract": SQL_WARC_EXTRACT,
         "domain_cap": SQL_DOMAIN_CAP,
+        "html_extract": SQL_HTML_EXTRACT,
+        "url_canon": SQL_URL_CANON,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,
@@ -7014,6 +7240,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "para_dedup": SQL_PARA_DEDUP,
         "quality_classify": SQL_QUALITY_CLASSIFY,
+        "gopher_rules": SQL_GOPHER_RULES,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,

@@ -71,6 +71,8 @@ HEADLINE = [
     "audio_fp_pairs",
     "wds_extract",
     "warc_extract",
+    "html_extract",
+    "url_canon",
     "corpus_prep",
     # round-2 training-pipeline extensions
     "stratified_sample",
@@ -91,6 +93,7 @@ HEADLINE = [
     # round-6 curation additions
     "para_dedup",
     "quality_classify",
+    "gopher_rules",
     "bloom_decontaminate",
     "temp_sample",
     "pii_scrub",

@@ -102,8 +102,11 @@ from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.bpe import bpe_encode, bpe_train
 from pandas_sigproc_spark.operators.webdataset import wds_members, wds_samples
 from pandas_sigproc_spark.operators.webcrawl import (
+    canonicalize_url,
     cap_per_domain,
     domain_stats,
+    html_escape,
+    html_text,
     url_host,
     warc_documents,
     warc_records,
@@ -122,6 +125,7 @@ from pandas_sigproc_spark.operators.sigstore import (
 )
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
+    gopher_rules,
     quality_classifier,
     decontaminate_exact,
     build_bloom_bitmap,
@@ -202,6 +206,9 @@ __all__ = [
     "warc_records",
     "warc_documents",
     "url_host",
+    "html_text",
+    "html_escape",
+    "canonicalize_url",
     "domain_stats",
     "cap_per_domain",
     "apply_channel_kernel",
@@ -213,6 +220,7 @@ __all__ = [
     "kmeans_assignments",
     "semantic_dedup",
     "block_dedup",
+    "gopher_rules",
     "quality_classifier",
     "decontaminate_exact",
     "build_bloom_bitmap",

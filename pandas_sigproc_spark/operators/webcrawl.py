@@ -109,6 +109,132 @@ def url_host(col):
     return F.lower(F.parse_url(col, F.lit("HOST")))
 
 
+# -- HTML -> text extraction (native, zero-UDF) -----------------------------
+#
+# Every pattern below is restricted to the Java-regex / RE2 common
+# subset (non-capturing groups, char classes, lazy quantifiers, inline
+# (?is) flags — no lookaround, no backreferences) so the DuckDB oracle
+# replays the extraction with the LITERAL same patterns.  The tag
+# pattern tolerates '>' inside quoted attribute values.
+_HTML_TAG = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+_HTML_COMMENT = "(?s)<!--.*?-->"
+_HTML_SCRIPT = (
+    "(?is)<script\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</script\\s*>"
+)
+_HTML_STYLE = (
+    "(?is)<style\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</style\\s*>"
+)
+# explicit class, NOT \s: Java's \s includes \x0B, RE2's does not —
+# the explicit class keeps engine semantics identical.
+_HTML_WS = "[ \\t\\r\\n\\f]+"
+# decode order matters: &amp; LAST, so escaped entities in the source
+# text ("&amp;lt;") survive as their literal forms ("&lt;").
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_text(col):
+    """Extract readable text from an HTML column — the boilerplate
+    step between WARC response payloads and the text-curation tier.
+
+    Entirely native (a regexp_replace chain, JVM-side, codegen'd —
+    zero Python): strip comments, ``<script>``/``<style>`` blocks
+    (content included), then all tags (quoted-attribute-aware); decode
+    the six core entities (``&amp; &lt; &gt; &quot; &#39; &nbsp;`` —
+    the common minimal set; exotic/numeric entities pass through
+    literally, documented); collapse runs of whitespace to one space
+    and trim.
+
+    Scale shape: a per-row expression tree — no shuffle, no state,
+    whole-stage codegen keeps it JVM-side at any corpus size.  Not a
+    browser: CDATA sections and a literal ``</script>`` inside a JS
+    string are out of scope (they are for most crawl extractors too).
+    """
+    c = F.regexp_replace(col, _HTML_COMMENT, " ")
+    c = F.regexp_replace(c, _HTML_SCRIPT, " ")
+    c = F.regexp_replace(c, _HTML_STYLE, " ")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, _HTML_WS, " "))
+
+
+def html_escape(col):
+    """The inverse seam of :func:`html_text`'s entity decode —
+    ``& < >`` escaped for embedding text in markup (native replace
+    chain; ``&`` FIRST so the others never double-escape)."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+# -- URL canonicalization (native, zero-UDF) --------------------------------
+
+# the tracking-parameter denylist every crawl pipeline strips before
+# URL-level dedup (utm_* per Google's campaign tagging, click ids,
+# referral tags); matched against the full "key=value" token.
+_TRACKING_PARAM = "^(?:utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(?:=|$)"
+
+
+def canonicalize_url(col):
+    """Canonical form of a URL column, for URL-level deduplication:
+
+    - fragment stripped;
+    - scheme and host lowercased (path/query case preserved);
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``ref``, ``ref_src``);
+    - surviving query parameters sorted bytewise (order-insensitive
+      dedup); an emptied query loses its ``?``;
+    - an empty path becomes ``/``.
+
+    Entirely native (regexp + array expressions, JVM-side).  Two crawl
+    records of the same page that differ only in parameter order,
+    tracking noise, host case, or fragment map to one key — group on
+    the result (or feed it to ``deduplicate``) for URL-level dedup
+    before content-level passes."""
+    u = F.regexp_replace(col, "(?s)#.*", "")
+    scheme = F.lower(
+        F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = (
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, ":80$", "")
+        )
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        pathq.contains("?"),
+        F.regexp_replace(pathq, "^[^?]*\\?", ""),
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
 def domain_stats(
     docs: DataFrame,
     *,
@@ -160,8 +286,11 @@ def cap_per_domain(
 
 
 __all__ = [
+    "canonicalize_url",
     "cap_per_domain",
     "domain_stats",
+    "html_escape",
+    "html_text",
     "url_host",
     "warc_documents",
     "warc_records",

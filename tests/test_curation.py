@@ -407,3 +407,60 @@ def test_decontaminate_exact_two_table_equals_pred_mode(spark):
         decontaminate_exact(df)
     with pytest.raises(ValueError, match="exactly one"):
         decontaminate_exact(df, df, bench_pred=pred)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filter
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_per_rule_verdicts(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigour"] * 6
+    )  # 66 words (11 x 6), mean wl ~4.2, required: the/that/with
+    texts = {
+        0: good,
+        # too short (fails min_words only)
+        1: "the dog sat with that cat",
+        # symbol-heavy: ### plus ellipses push symbol ratio over 0.1
+        2: good + " ### ... ... ... ... ... ... ...",
+        # bullet lines: 2 of 3 lines start with bullets
+        3: "• first\n- second\n" + good,
+        # ellipsis line endings: 2 of 3 lines end with ...
+        4: "a line...\nanother one…\n" + good,
+        # numeric words: alpha fraction collapses
+        5: " ".join(["123 456 789 000"] * 15) + " the that",
+        # missing required words (only 1 distinct: 'the')
+        6: " ".join(["the zebra runs fast"] * 15),
+        # mean word length too long
+        7: " ".join(["extraordinarily"] * 60) + " the that",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    )
+    got = {r.doc_id: r for r in C.gopher_rules(df).collect()}
+
+    assert got[0].keep
+    assert not got[1].keep and got[1].n_words < 50
+    assert not got[2].keep and got[2].symbol_ratio > 0.1
+    assert not got[3].keep and got[3].bullet_frac == pytest.approx(2 / 3)
+    assert not got[4].keep and got[4].ellipsis_frac == pytest.approx(2 / 3)
+    assert not got[5].keep and got[5].alpha_frac < 0.8
+    assert not got[6].keep and got[6].n_required == 1
+    assert not got[7].keep and got[7].mean_word_len > 10
+
+    # metric spot-checks against a hand count
+    assert got[0].n_words == 66
+    assert got[0].n_required == 3  # the / that / with
+    assert got[0].bullet_frac == 0.0 and got[0].ellipsis_frac == 0.0
+
+
+def test_gopher_rules_thresholds_configurable(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["the dog sat with that"]})
+    )
+    strict = C.gopher_rules(df).collect()[0]
+    lax = C.gopher_rules(df, min_words=3).collect()[0]
+    assert not strict.keep and lax.keep

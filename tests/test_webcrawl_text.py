@@ -1,0 +1,248 @@
+"""HTML -> text extraction and URL canonicalization (operators/webcrawl.py).
+
+The native tier of the crawl pipeline between WARC payloads and the
+text-curation operators.  Alongside the behavior cases, two contracts
+are pinned:
+
+- cross-engine replay: the LITERAL same regex patterns produce the
+  same extraction in DuckDB (RE2) as in Spark (Java regex) — the
+  common-subset claim the gate oracles rely on;
+- escape/extract roundtrip (hypothesis): for any text,
+  ``html_text(wrap(html_escape(text))) == collapse_ws(text)``.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pandas_sigproc_spark.operators.webcrawl import (
+    _HTML_COMMENT,
+    _HTML_ENTITIES,
+    _HTML_SCRIPT,
+    _HTML_STYLE,
+    _HTML_TAG,
+    _HTML_WS,
+    canonicalize_url,
+    html_escape,
+    html_text,
+)
+
+
+def _spark_html(spark, htmls):
+    df = spark.createDataFrame(pd.DataFrame({"h": htmls}))
+    return [
+        r["t"] for r in df.select(html_text("h").alias("t")).collect()
+    ]
+
+
+def _spark_canon(spark, urls):
+    df = spark.createDataFrame(pd.DataFrame({"u": urls}))
+    return [
+        r["c"]
+        for r in df.select(canonicalize_url("u").alias("c")).collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# html_text behavior
+# ---------------------------------------------------------------------------
+
+
+def test_html_text_strips_tags_scripts_styles_comments(spark):
+    html = (
+        "<html><head><title>T</title>"
+        "<style type='text/css'>body { color: red }</style>"
+        '<script src="x.js">var a = 1 < 2 && "</div>";</script>'
+        "</head><body><!-- hidden <b>comment</b> -->"
+        "<p>Hello <b>world</b></p></body></html>"
+    )
+    assert _spark_html(spark, [html]) == ["T Hello world"]
+
+
+def test_html_text_tolerates_gt_in_quoted_attributes(spark):
+    html = '<a href="/x?a>b" title=\'p>q\'>link</a> end'
+    assert _spark_html(spark, [html]) == ["link end"]
+
+
+def test_html_text_decodes_core_entities_only(spark):
+    html = "<p>a &lt;tag&gt; &amp;&nbsp;&quot;q&quot; &#39;s&#39; &copy;</p>"
+    # &copy; is outside the minimal set and passes through literally
+    assert _spark_html(spark, [html]) == ['a <tag> & "q" \'s\' &copy;']
+
+
+def test_html_text_escaped_entities_survive_as_literals(spark):
+    # "&amp;lt;" in the source means the literal text "&lt;" — the
+    # decode order (&amp; last) must not double-decode it to "<".
+    assert _spark_html(spark, ["<p>&amp;lt;</p>"]) == ["&lt;"]
+
+
+def test_html_text_collapses_whitespace(spark):
+    html = "<div>\n  a\tb\r\n   c  </div>\f d"
+    assert _spark_html(spark, [html]) == ["a b c d"]
+
+
+def test_html_text_case_insensitive_blocks(spark):
+    html = "<SCRIPT>drop()</SCRIPT><STYLE>x</STYLE><B>keep</B>"
+    assert _spark_html(spark, [html]) == ["keep"]
+
+
+def test_html_text_multiline_blocks(spark):
+    html = "<script>\nline1\nline2\n</script>kept<style>\n.a{}\n</style>"
+    assert _spark_html(spark, [html]) == ["kept"]
+
+
+# ---------------------------------------------------------------------------
+# cross-engine replay: the same patterns in DuckDB (RE2)
+# ---------------------------------------------------------------------------
+
+
+def _duckdb_html_text_sql(col: str) -> str:
+    """The html_text chain as a DuckDB SQL expression over ``col`` —
+    the LITERAL same patterns, global-flag replaces, same entity
+    order.  Gate oracles and this test share the construction."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = col
+    for pat in (_HTML_COMMENT, _HTML_SCRIPT, _HTML_STYLE, _HTML_TAG):
+        e = f"regexp_replace({e}, '{esc(pat)}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        e = f"replace({e}, '{esc(ent)}', '{esc(ch)}')"
+    return f"trim(regexp_replace({e}, '{esc(_HTML_WS)}', ' ', 'g'))"
+
+
+def test_html_text_duckdb_replay_matches_spark(spark):
+    htmls = [
+        "<p>plain</p>",
+        '<a href="/x?a>b">link</a>',
+        "<SCRIPT a='1'>j s</SCRIPT>after<style>.c{}</style>",
+        "<!-- c --><div>x &amp; y &lt;z&gt;</div>",
+        "no markup at all",
+        "<p>&amp;lt; stays</p>",
+        "a\n\nb\tc",
+        "<script>multi\nline</script><p>kept &nbsp; text</p>",
+    ]
+    got_spark = _spark_html(spark, htmls)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"h": htmls}))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_duckdb_html_text_sql('h')} FROM t"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+
+
+# ---------------------------------------------------------------------------
+# escape/extract roundtrip
+# ---------------------------------------------------------------------------
+
+_WRAP_PRE = (
+    '<html><head><script type="t">var x = 1 < 2;</script></head>'
+    "<body><!-- b --><p>"
+)
+_WRAP_POST = "</p></body></html>"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_characters="\x0b\x00",
+                exclude_categories=("Cs", "Cc"),
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_escape_wrap_extract_roundtrip(spark_global, texts):
+    import re
+
+    df = spark_global.createDataFrame(pd.DataFrame({"x": texts}))
+    wrapped = F.concat(
+        F.lit(_WRAP_PRE), html_escape("x"), F.lit(_WRAP_POST)
+    )
+    got = [
+        r["t"]
+        for r in df.select(html_text(wrapped).alias("t")).collect()
+    ]
+    want = [re.sub(r"[ \t\r\n\f]+", " ", t).strip() for t in texts]
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    # hypothesis can't take a function-scoped fixture; rebind the
+    # session fixture at module scope.
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_url
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        # scheme+host lowercase, default port, tracking strip, sort
+        "HTTP://WWW.Example.COM:80/Page/7?utm_source=f&b=2&a=1#frag":
+            "http://www.example.com/Page/7?a=1&b=2",
+        # https default port + param sort
+        "https://Host.org:443/a/b?z=1&y=2&x=3": "https://host.org/a/b?x=3&y=2&z=1",
+        # no query, fragment containing '?'
+        "https://cdn.net/file#sec?notaquery": "https://cdn.net/file",
+        # empty path -> '/', all params tracking -> query dropped
+        "http://site.io?gclid=123&ref=tw": "http://site.io/",
+        # already canonical is a fixed point
+        "http://a.b/c?d=1": "http://a.b/c?d=1",
+        # non-default port kept; path case kept
+        "http://A.B:8080/Mixed/Case": "http://a.b:8080/Mixed/Case",
+        # valueless tracking param; ref_src; msclkid
+        "https://x.y/p?ref&k=v&msclkid=1&ref_src=z": "https://x.y/p?k=v",
+        # 'refresh=1' is NOT a tracking param (prefix must not overmatch)
+        "https://x.y/p?refresh=1": "https://x.y/p?refresh=1",
+    }
+    urls = list(cases)
+    assert _spark_canon(spark, urls) == [cases[u] for u in urls]
+
+
+def test_canonicalize_url_idempotent(spark):
+    urls = [
+        "HTTP://WWW.Example.COM:80/Page/7?utm_source=f&b=2&a=1#frag",
+        "https://Host.org:443/a/b?z=1&y=2&x=3",
+        "http://site.io?gclid=123",
+    ]
+    once = _spark_canon(spark, urls)
+    twice = _spark_canon(spark, once)
+    assert once == twice
+
+
+def test_canonicalize_url_dedup_grouping(spark):
+    # the point of the operator: tracking/order/case/fragment variants
+    # of one page collapse to a single key
+    variants = [
+        "http://Example.com/page?b=2&a=1",
+        "HTTP://EXAMPLE.COM:80/page?a=1&b=2#top",
+        "http://example.com/page?utm_campaign=x&b=2&a=1",
+        "http://example.com/other",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"u": variants}))
+    n = (
+        df.select(canonicalize_url("u").alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    counts = {r["c"]: r["count"] for r in n}
+    assert counts == {
+        "http://example.com/page?a=1&b=2": 3,
+        "http://example.com/other": 1,
+    }
