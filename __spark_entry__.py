@@ -6460,13 +6460,19 @@ def q_gopher_rules(spark, sf_dir):
     return _cur.gopher_rules(d)
 
 
-SQL_GOPHER_RULES = r"""
-WITH f AS (
+def _sql_gopher_m(source_sql: str) -> str:
+    """The Gopher metric CTEs (``f``/``m``) over any ``(doc_id, text)``
+    row source — shared by SQL_GOPHER_RULES and the composed
+    SQL_CRAWL_CURATE oracle so both replay identical rule math."""
+    return (
+        r"""f AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
          STRING_SPLIT(text, ' ') AS ws,
          STRING_SPLIT(text, chr(10)) AS ls,
          LENGTH(text) AS tl
-  FROM documents
+  FROM """
+        + source_sql
+        + r"""
 ),
 m AS (
   SELECT doc_id,
@@ -6488,7 +6494,19 @@ m AS (
         ['the','be','to','of','and','that','have','with'])) AS BIGINT)
       AS n_required
   FROM f
-)
+)"""
+    )
+
+
+_SQL_GOPHER_KEEP = """(n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len >= 3.0) AND (mean_word_len <= 10.0)
+         AND (symbol_ratio <= 0.1)
+         AND (bullet_frac <= 0.1) AND (ellipsis_frac <= 0.3)
+         AND (alpha_frac >= 0.8) AND (n_required >= 2)"""
+
+
+SQL_GOPHER_RULES = f"""
+WITH {_sql_gopher_m("documents")}
 SELECT doc_id, n_words,
        ROUND(mean_word_len, 6) AS mean_word_len,
        ROUND(symbol_ratio, 6) AS symbol_ratio,
@@ -6496,12 +6514,130 @@ SELECT doc_id, n_words,
        ROUND(ellipsis_frac, 6) AS ellipsis_frac,
        ROUND(alpha_frac, 6) AS alpha_frac,
        n_required,
-       (n_words BETWEEN 50 AND 100000)
-         AND (mean_word_len >= 3.0) AND (mean_word_len <= 10.0)
-         AND (symbol_ratio <= 0.1)
-         AND (bullet_frac <= 0.1) AND (ellipsis_frac <= 0.3)
-         AND (alpha_frac >= 0.8) AND (n_required >= 2) AS keep
+       {_SQL_GOPHER_KEEP} AS keep
 FROM m
+"""
+
+
+def q_crawl_curate(spark, sf_dir):
+    """The END-TO-END crawl pipeline gate — the composition a web-
+    corpus user actually runs, chaining every round-10 crawl operator:
+
+    1. each sf document is HTML-wrapped (python-side escape — the
+       crawl-producer stand-in) and serialized TWICE per doc into
+       per-source record-gzipped WARC archives under two messy URL
+       variants of the SAME page (uppercase host + default port +
+       utm_* + unsorted params vs lowercase + fbclid + fragment);
+    2. warc_documents re-extracts the records (gzip split + header
+       parse + Content-Length framing);
+    3. html_text strips the markup back to the original text
+       (whitespace-collapsed); canonicalize_url collapses both URL
+       variants to ONE key;
+    4. URL-level dedup keeps rank 1 per canonical key (n_url_dups
+       proves both variants arrived), and gopher_rules issues the
+       quality verdict on the extracted text.
+
+    The oracle derives everything INDEPENDENTLY from the documents
+    table: the canonical URL by CASE arithmetic, n_url_dups = 2, and
+    the Gopher verdict over the whitespace-collapsed text (the shared
+    _sql_gopher_m CTE) — so a green row certifies the whole chain:
+    WARC framing, HTML extraction, URL canonicalization, dedup
+    grouping, and rule math, composed.
+
+    Scale shape: one applyInPandas archive encode per source (the
+    producer), one zero-shuffle mapInPandas record explode, then
+    JVM-only expression trees; the single exchange is the canonical-
+    key window — the URL-dedup shuffle itself."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.webcrawl import (
+        canonicalize_url,
+        html_text,
+        warc_documents,
+    )
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.sources.warc import encode_warc
+
+        pdf = pdf.sort_values("doc_id")
+        source = str(pdf["source"].iloc[0])
+        recs = []
+        for r in pdf.itertuples():
+            esc = (
+                str(r.text)
+                .replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            html = (
+                "<html><head><script>var a = 1 < 2;</script></head>"
+                "<body><!-- boilerplate --><p>" + esc + "</p></body></html>"
+            ).encode("utf-8")
+            i = int(r.doc_id)
+            recs.append(
+                {
+                    "uri": f"HTTP://WWW.{source}.COM:80/doc/{i}"
+                    "?utm_source=a&b=2&a=1",
+                    "payload": html,
+                }
+            )
+            recs.append(
+                {
+                    "uri": f"http://www.{source}.com/doc/{i}"
+                    "?a=1&b=2&fbclid=z#frag",
+                    "payload": html,
+                }
+            )
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["doc_id"].min())],
+                "payload": [encode_warc(recs, gzip_records=True)],
+            }
+        )
+
+    archives = (
+        d.select("doc_id", "text", "source")
+        .groupBy("source")
+        .applyInPandas(enc, "archive_id long, payload binary")
+    )
+    docs = warc_documents(archives).select(
+        F.regexp_extract("uri", "/doc/([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("uri"),
+        canonicalize_url(F.col("uri")).alias("url_key"),
+        html_text(F.col("text")).alias("text"),
+    )
+    w = Window.partitionBy("url_key")
+    wr = Window.partitionBy("url_key").orderBy("uri")
+    deduped = (
+        docs.withColumn("n_url_dups", F.count("*").over(w).cast("long"))
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "uri")
+    )
+    g = _cur.gopher_rules(deduped, keep_cols=("url_key", "n_url_dups"))
+    return g.select("doc_id", "url_key", "n_url_dups", "keep")
+
+
+SQL_CRAWL_CURATE = f"""
+WITH cleaned AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         trim(regexp_replace(text, '[ \\t\\r\\n\\f]+', ' ', 'g')) AS text
+  FROM documents
+),
+{_sql_gopher_m("cleaned")}
+SELECT m.doc_id,
+       'http://www.' || c.source || '.com/doc/'
+         || CAST(m.doc_id AS VARCHAR) || '?a=1&b=2' AS url_key,
+       CAST(2 AS BIGINT) AS n_url_dups,
+       {_SQL_GOPHER_KEEP} AS keep
+FROM m JOIN cleaned c ON m.doc_id = c.doc_id
 """
 
 
@@ -6991,28 +7127,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 11 NEW queries needing first driver proof
+    #   tier B — the 12 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
     #            lifecycles; wds_extract / warc_extract / domain_cap:
     #            container ingestion + URL curation; html_extract /
-    #            url_canon / gopher_rules: crawl-text extraction,
-    #            URL-level dedup keys, the Gopher heuristic filter)
-    #            plus queries whose CODE changed this round
+    #            url_canon / gopher_rules / crawl_curate: crawl-text
+    #            extraction, URL-level dedup keys, the Gopher
+    #            heuristic filter, and the composed end-to-end crawl
+    #            pipeline) plus queries whose CODE changed this round
     #            (dedup_embed: band-join width cut; ann_ivf_pq:
     #            ksub=256 production profile);
-    #   tier C — 22 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 28 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~22 free
+    #   tier C — 21 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 29 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~21 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 28 r8-greens (fresh through r11; detrend_linear
-    #            / filt_butter / filt_cfc displaced from tier C for the
-    #            three new gates) and the 48 r9-greens (fresh through
-    #            r12); the local gate (tools/oracle_check.py) keeps
-    #            their coverage.
+    #   below the cap — 29 r8-greens (fresh through r11;
+    #            detrend_constant / detrend_linear / filt_butter /
+    #            filt_cfc displaced from tier C for the four new
+    #            gates) and the 48 r9-greens (fresh through r12); the
+    #            local gate (tools/oracle_check.py) keeps their
+    #            coverage.
     return {
         # -- tier A: r7 carry-overs (mandatory this round) ----------------
         "mov_rms": q_mov_rms,
@@ -7042,6 +7180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
         "gopher_rules": q_gopher_rules,
+        "crawl_curate": q_crawl_curate,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
@@ -7066,10 +7205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_cubic": q_interp_cubic,
         "interp_quadratic": q_interp_quadratic,
         "interp_cubic_exact": q_interp_cubic_exact,
-        "detrend_constant": q_detrend_constant,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (28 r8-greens — ALL must rotate into the r11 window — then the
+        # (29 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
         "filt_butter": q_filt_butter,
         "filt_cfc": q_filt_cfc,
@@ -7241,6 +7380,7 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup": SQL_PARA_DEDUP,
         "quality_classify": SQL_QUALITY_CLASSIFY,
         "gopher_rules": SQL_GOPHER_RULES,
+        "crawl_curate": SQL_CRAWL_CURATE,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,

@@ -73,6 +73,7 @@ HEADLINE = [
     "warc_extract",
     "html_extract",
     "url_canon",
+    "crawl_curate",
     "corpus_prep",
     # round-2 training-pipeline extensions
     "stratified_sample",

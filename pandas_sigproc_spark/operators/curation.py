@@ -273,6 +273,7 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_required_words: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher rule-based quality filter (Rae et al. 2021, appendix
     A1.1) — the standard HEURISTIC companion to the model-based
@@ -291,8 +292,10 @@ def gopher_rules(
       :data:`GOPHER_REQUIRED_WORDS` appear (lowercased match).
 
     Output: ``(doc_id, n_words, mean_word_len, symbol_ratio,
-    bullet_frac, ellipsis_frac, alpha_frac, n_required, keep)`` —
-    fractions rounded to 6 dp, ``keep`` decided on the UNROUNDED
+    bullet_frac, ellipsis_frac, alpha_frac, n_required, keep)`` plus
+    any ``keep_cols`` passed through verbatim (so pipeline context —
+    URL keys, dedup counts — rides the same single pass instead of a
+    join back) — fractions rounded to 6 dp, ``keep`` decided on the UNROUNDED
     values (both engines derive identical doubles from identical
     integer counts, so the verdict is replayable).  No rows removed —
     the verdict column composes with the other curation filters.
@@ -350,6 +353,7 @@ def gopher_rules(
     )
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n_w.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),

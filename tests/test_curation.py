@@ -464,3 +464,17 @@ def test_gopher_rules_thresholds_configurable(spark):
     strict = C.gopher_rules(df).collect()[0]
     lax = C.gopher_rules(df, min_words=3).collect()[0]
     assert not strict.keep and lax.keep
+
+
+def test_gopher_rules_keep_cols_passthrough(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0], "text": ["the dog"], "url_key": ["u"],
+             "n_url_dups": [2]}
+        )
+    )
+    row = C.gopher_rules(
+        df, keep_cols=("url_key", "n_url_dups")
+    ).collect()[0]
+    assert row.url_key == "u" and row.n_url_dups == 2
+    assert row.n_words == 2
