@@ -4350,6 +4350,70 @@ FROM documents
 """
 
 
+def q_zip_extract(spark, sf_dir):
+    """ZIP container ingestion under the FULL hash gate — the third
+    container seam (tar: wds_extract; WARC: warc_extract): the sf
+    documents are packed into per-source ZIP archives by the from-
+    scratch codec (sources/pkzip.py) with members ALTERNATING stored /
+    raw-deflate by doc_id parity — so a green row certifies the EOCD
+    scan, the central-directory walk, local-header re-reads, the
+    zlib inflate path, and CRC-32 verification, against an oracle
+    that is just the documents table (name, uncompressed byte length,
+    text).
+
+    Scale shape: one applyInPandas archive encode per source (the
+    producer stand-in), then the zero-shuffle member explode
+    (zip_members); archives never leave the task that read them."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.webdataset import zip_members
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.sources.pkzip import encode_zip
+
+        pdf = pdf.sort_values("doc_id")
+        ms = [
+            {
+                "name": f"{int(r.doc_id)}.txt",
+                "payload": str(r.text).encode("utf-8"),
+                "compress": bool(int(r.doc_id) % 2),
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["doc_id"].min())],
+                "payload": [encode_zip(ms)],
+            }
+        )
+
+    shards = (
+        d.select("doc_id", "text", "source")
+        .groupBy("source")
+        .applyInPandas(enc, "shard_id long, payload binary")
+    )
+    mem = zip_members(shards)
+    return mem.select(
+        F.split("name", "\\.")[0].cast("long").alias("doc_id"),
+        "name",
+        "n_bytes",
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
+SQL_ZIP_EXTRACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '.txt' AS name,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       text
+FROM documents
+"""
+
+
 def q_domain_cap(spark, sf_dir):
     """Crawl-domain curation under the hash gate — the URL-level pass
     every web-corpus pipeline runs before content-level dedup: the sf
@@ -7127,30 +7191,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 12 NEW queries needing first driver proof
+    #   tier B — the 13 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
     #            lifecycles; wds_extract / warc_extract / domain_cap:
     #            container ingestion + URL curation; html_extract /
-    #            url_canon / gopher_rules / crawl_curate: crawl-text
-    #            extraction, URL-level dedup keys, the Gopher
-    #            heuristic filter, and the composed end-to-end crawl
-    #            pipeline) plus queries whose CODE changed this round
+    #            url_canon / gopher_rules / crawl_curate /
+    #            zip_extract: crawl-text extraction, URL-level dedup
+    #            keys, the Gopher heuristic filter, the composed
+    #            end-to-end crawl pipeline, and ZIP container
+    #            ingestion) plus queries whose CODE changed this round
     #            (dedup_embed: band-join width cut; ann_ivf_pq:
     #            ksub=256 production profile);
-    #   tier C — 21 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 29 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~21 free
+    #   tier C — 20 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 30 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~20 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 29 r8-greens (fresh through r11;
-    #            detrend_constant / detrend_linear / filt_butter /
-    #            filt_cfc displaced from tier C for the four new
-    #            gates) and the 48 r9-greens (fresh through r12); the
-    #            local gate (tools/oracle_check.py) keeps their
-    #            coverage.
+    #   below the cap — 30 r8-greens (fresh through r11;
+    #            interp_cubic_exact / detrend_constant /
+    #            detrend_linear / filt_butter / filt_cfc displaced
+    #            from tier C for the five new gates) and the 48
+    #            r9-greens (fresh through r12); the local gate
+    #            (tools/oracle_check.py) keeps their coverage.
     return {
         # -- tier A: r7 carry-overs (mandatory this round) ----------------
         "mov_rms": q_mov_rms,
@@ -7176,6 +7241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_audio_store": q_incr_audio_store,
         "wds_extract": q_wds_extract,
         "warc_extract": q_warc_extract,
+        "zip_extract": q_zip_extract,
         "domain_cap": q_domain_cap,
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
@@ -7204,10 +7270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_nearest": q_interp_nearest,
         "interp_cubic": q_interp_cubic,
         "interp_quadratic": q_interp_quadratic,
-        "interp_cubic_exact": q_interp_cubic_exact,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (29 r8-greens — ALL must rotate into the r11 window — then the
+        # (30 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "interp_cubic_exact": q_interp_cubic_exact,
         "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
         "filt_butter": q_filt_butter,
@@ -7381,6 +7447,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classify": SQL_QUALITY_CLASSIFY,
         "gopher_rules": SQL_GOPHER_RULES,
         "crawl_curate": SQL_CRAWL_CURATE,
+        "zip_extract": SQL_ZIP_EXTRACT,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,

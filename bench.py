@@ -71,6 +71,7 @@ HEADLINE = [
     "audio_fp_pairs",
     "wds_extract",
     "warc_extract",
+    "zip_extract",
     "html_extract",
     "url_canon",
     "crawl_curate",

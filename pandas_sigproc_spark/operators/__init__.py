@@ -100,7 +100,11 @@ from .imagedup import (
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
 from pandas_sigproc_spark.operators.bpe import bpe_encode, bpe_train
-from pandas_sigproc_spark.operators.webdataset import wds_members, wds_samples
+from pandas_sigproc_spark.operators.webdataset import (
+    wds_members,
+    wds_samples,
+    zip_members,
+)
 from pandas_sigproc_spark.operators.webcrawl import (
     canonicalize_url,
     cap_per_domain,
@@ -203,6 +207,7 @@ __all__ = [
     "bpe_encode",
     "wds_members",
     "wds_samples",
+    "zip_members",
     "warc_records",
     "warc_documents",
     "url_host",

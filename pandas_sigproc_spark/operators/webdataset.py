@@ -134,4 +134,60 @@ def wds_samples(
     )
 
 
-__all__ = ["wds_members", "wds_samples"]
+def zip_members(
+    shards: DataFrame,
+    *,
+    id_col: str = "shard_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Explode ZIP archives into ``(shard_id long, member_idx int,
+    name string, n_bytes long, payload binary)`` member rows — the ZIP
+    sibling of :func:`wds_members` (``sources/pkzip.py`` decodes:
+    stored + deflate, CRC-verified; an archive never leaves the task
+    that read it).  Same ``on_error`` contract: ``"raise"`` for
+    engine-produced data, ``"skip"`` to drop corrupt third-party
+    archives instead of killing a 100 TB job.
+
+    For WebDataset-style key grouping, derive key/ext with the same
+    first-dot convention and feed :func:`wds_samples`."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip = on_error == "skip"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandas_sigproc_spark.sources.pkzip import decode_zip
+
+        for pdf in batches:
+            sids, idxs, names, sizes, payloads = [], [], [], [], []
+            for sid, blob in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    members = decode_zip(bytes(blob))
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                for mi, m in enumerate(members):
+                    sids.append(int(sid))
+                    idxs.append(mi)
+                    names.append(m["name"])
+                    sizes.append(len(m["payload"]))
+                    payloads.append(m["payload"])
+            yield pd.DataFrame(
+                {
+                    "shard_id": sids,
+                    "member_idx": idxs,
+                    "name": names,
+                    "n_bytes": sizes,
+                    "payload": payloads,
+                }
+            )
+
+    return shards.select(id_col, payload_col).mapInPandas(
+        run,
+        "shard_id long, member_idx int, name string,"
+        " n_bytes long, payload binary",
+    )
+
+
+__all__ = ["wds_members", "wds_samples", "zip_members"]

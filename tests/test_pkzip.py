@@ -1,0 +1,223 @@
+"""From-scratch ZIP codec (sources/pkzip.py) + zip_members extraction.
+
+Contract mirrors the tar/WARC codecs: stdlib cross-reads in BOTH
+directions (zipfile reads our bytes, we read zipfile's — stored and
+deflate), hypothesis roundtrips, deterministic bytes, and a loud
+refusal matrix (truncation, CRC corruption, encryption flags, ZIP64).
+"""
+
+import io
+import struct
+import zipfile
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pandas_sigproc_spark.operators.webdataset import zip_members
+from pandas_sigproc_spark.sources.pkzip import decode_zip, encode_zip
+
+MEMBERS = [
+    {"name": "a.txt", "payload": b"hello world"},
+    {"name": "dir/b.bin", "payload": bytes(range(256)) * 10},
+    {"name": "empty", "payload": b""},
+]
+
+
+def test_roundtrip_stored_and_deflate():
+    for compress in (False, True):
+        blob = encode_zip(MEMBERS, compress=compress)
+        got = decode_zip(blob)
+        assert [(m["name"], m["payload"]) for m in got] == [
+            (m["name"], m["payload"]) for m in MEMBERS
+        ]
+
+
+def test_per_member_compress_override():
+    ms = [
+        {"name": "s", "payload": b"x" * 1000, "compress": False},
+        {"name": "d", "payload": b"x" * 1000, "compress": True},
+    ]
+    blob = encode_zip(ms)
+    # the deflate member must actually be smaller on the wire
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    infos = {i.filename: i for i in zf.infolist()}
+    assert infos["s"].compress_type == zipfile.ZIP_STORED
+    assert infos["d"].compress_type == zipfile.ZIP_DEFLATED
+    assert infos["d"].compress_size < 1000 <= infos["s"].compress_size
+    assert decode_zip(blob)[1]["payload"] == b"x" * 1000
+
+
+def test_stdlib_reads_our_bytes():
+    blob = encode_zip(MEMBERS, compress=True)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None  # CRC check over every member
+    for m in MEMBERS:
+        assert zf.read(m["name"]) == m["payload"]
+
+
+def test_we_read_stdlib_bytes():
+    for method in (zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", method) as zf:
+            for m in MEMBERS:
+                zf.writestr(m["name"], m["payload"])
+        got = decode_zip(buf.getvalue())
+        assert [(m["name"], m["payload"]) for m in got] == [
+            (m["name"], m["payload"]) for m in MEMBERS
+        ]
+
+
+def test_deterministic_bytes():
+    assert encode_zip(MEMBERS, compress=True) == encode_zip(
+        MEMBERS, compress=True
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    exclude_characters="\x00",
+                    exclude_categories=("Cs", "Cc"),
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            st.binary(max_size=300),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_roundtrip_property(items):
+    ms = [
+        {"name": n, "payload": p, "compress": c} for n, p, c in items
+    ]
+    got = decode_zip(encode_zip(ms))
+    assert [(m["name"], m["payload"]) for m in got] == [
+        (n, p) for n, p, _ in items
+    ]
+    # stdlib agrees on every member
+    zf = zipfile.ZipFile(io.BytesIO(encode_zip(ms)))
+    for n, p, _ in items:
+        assert zf.read(n) == p
+
+
+# ---------------------------------------------------------------------------
+# refusal matrix
+# ---------------------------------------------------------------------------
+
+
+def test_refuses_truncation():
+    blob = encode_zip(MEMBERS)
+    with pytest.raises(ValueError):
+        decode_zip(blob[:10])
+    # cut inside the central directory: EOCD gone
+    with pytest.raises(ValueError):
+        decode_zip(blob[: len(blob) - 23])
+
+
+def test_refuses_crc_corruption():
+    blob = bytearray(encode_zip([{"name": "a", "payload": b"abcdef"}]))
+    # flip a payload byte (local header is 30 + name 1)
+    blob[31] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_zip(bytes(blob))
+
+
+def test_refuses_encrypted_and_descriptor_flags():
+    for flag in (0x1, 0x8):
+        blob = bytearray(encode_zip([{"name": "a", "payload": b"x"}]))
+        # central directory flag field sits 8 bytes into the entry;
+        # the CD starts right after local header+name+payload
+        cd = 30 + 1 + 1
+        struct.pack_into("<H", blob, cd + 8, flag)
+        with pytest.raises(ValueError, match="not supported"):
+            decode_zip(bytes(blob))
+
+
+def test_refuses_zip64_markers():
+    blob = bytearray(encode_zip([{"name": "a", "payload": b"x"}]))
+    # overwrite EOCD total-entry count with the ZIP64 sentinel
+    eocd = len(blob) - 22
+    struct.pack_into("<HH", blob, eocd + 8, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="ZIP64"):
+        decode_zip(bytes(blob))
+
+
+def test_refuses_garbage():
+    with pytest.raises(ValueError):
+        decode_zip(b"not a zip archive at all........")
+
+
+# ---------------------------------------------------------------------------
+# distributed extraction
+# ---------------------------------------------------------------------------
+
+
+def test_zip_members_explodes_archives(spark):
+    rows = [
+        (0, encode_zip(MEMBERS)),
+        (1, encode_zip([{"name": "x", "payload": b"q" * 50}], compress=True)),
+    ]
+    df = spark.createDataFrame(rows, "shard_id long, payload binary")
+    got = (
+        zip_members(df)
+        .orderBy("shard_id", "member_idx")
+        .collect()
+    )
+    assert [(r.shard_id, r.member_idx, r.name, r.n_bytes) for r in got] == [
+        (0, 0, "a.txt", 11),
+        (0, 1, "dir/b.bin", 2560),
+        (0, 2, "empty", 0),
+        (1, 0, "x", 50),
+    ]
+    assert bytes(got[3].payload) == b"q" * 50
+
+
+def test_zip_members_on_error_skip(spark):
+    good = encode_zip([{"name": "ok", "payload": b"fine"}])
+    bad = bytearray(encode_zip([{"name": "bad", "payload": b"abcdef"}]))
+    bad[35] ^= 0xFF  # corrupt a payload byte (30 + name 3 = 33) -> CRC refusal
+    df = spark.createDataFrame(
+        [(0, good), (1, bytes(bad))], "shard_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        zip_members(df).collect()
+    got = zip_members(df, on_error="skip").collect()
+    assert [(r.shard_id, r.name) for r in got] == [(0, "ok")]
+
+
+def test_zip_members_composes_with_wds_samples(spark):
+    from pandas_sigproc_spark.operators.webdataset import wds_samples
+    from pyspark.sql import functions as F
+
+    ms = [
+        {"name": "000/1.txt", "payload": b"t"},
+        {"name": "000/1.cls", "payload": b"7"},
+    ]
+    df = spark.createDataFrame(
+        [(0, encode_zip(ms))], "shard_id long, payload binary"
+    )
+    members = zip_members(df).select(
+        "shard_id",
+        "member_idx",
+        F.concat_ws(
+            "/",
+            F.slice(F.split("name", "/"), 1, 1)[0],
+            F.split(F.element_at(F.split("name", "/"), -1), "\\.")[0],
+        ).alias("key"),
+        F.element_at(F.split("name", "\\."), -1).alias("ext"),
+        "n_bytes",
+        "payload",
+    )
+    samples = wds_samples(members).collect()
+    assert len(samples) == 1
+    assert samples[0].key == "000/1"
+    assert sorted(samples[0].exts) == ["cls", "txt"]

@@ -102,9 +102,24 @@ def test_readme_snippets_execute(spark, tmp_path):
         "media_id long, payload binary",
     )
 
+    from pandas_sigproc_spark.sources.pkzip import encode_zip
     from pandas_sigproc_spark.sources.tar import encode_tar
     from pandas_sigproc_spark.sources.warc import encode_warc
 
+    zip_shards = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "shard_id": [0],
+                "payload": [
+                    encode_zip(
+                        [{"name": "0.txt", "payload": b"zipped doc"}],
+                        compress=True,
+                    )
+                ],
+            }
+        ),
+        "shard_id long, payload binary",
+    )
     shards = spark.createDataFrame(
         _pd.DataFrame(
             {
@@ -151,6 +166,7 @@ def test_readme_snippets_execute(spark, tmp_path):
         "media": media,
         "new_media": media,
         "shards": shards,
+        "zip_shards": zip_shards,
         "archives": archives,
         "audio_media": audio_media,
         "sch": sch,
@@ -181,6 +197,10 @@ def test_readme_snippets_execute(spark, tmp_path):
     assert ns["img_dups"].count() >= 0
     assert {"m1", "m2", "match_frac"} <= set(ns["aud_dups"].columns)
     assert ns["aud_dups"].count() >= 0
+    zm = ns["zmembers"].collect()
+    assert [(r.name, bytes(r.payload)) for r in zm] == [
+        ("0.txt", b"zipped doc")
+    ]
 
     # the streaming query: drain the one landing batch, then check the
     # sink received the dup-pair schema
