@@ -246,3 +246,89 @@ def test_canonicalize_url_dedup_grouping(spark):
         "http://example.com/page?a=1&b=2": 3,
         "http://example.com/other": 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# stream safety
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_text_operators_are_stream_safe(spark, tmp_path):
+    """html_text / canonicalize_url / gopher_rules / zip_members are
+    stateless expression trees (or stateless mapInPandas), so they run
+    unchanged on a document/shard stream — replayed-stream output ==
+    batch for the whole native crawl tier."""
+    import os
+
+    from pandas_sigproc_spark.operators.curation import gopher_rules
+    from pandas_sigproc_spark.operators.webdataset import zip_members
+    from pandas_sigproc_spark.sources.pkzip import encode_zip
+
+    docs_pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "<p>the dog sat with that</p>",
+                "<script>x</script><b>of and be</b>",
+            ],
+            "uri": [
+                "HTTP://A.B:80/x?utm_source=1&b=2&a=1#f",
+                "https://C.D:443/y?z=1",
+            ],
+        }
+    )
+    docs_schema = "doc_id long, text string, uri string"
+
+    def crawl_op(df):
+        cleaned = df.select(
+            "doc_id",
+            canonicalize_url("uri").alias("url_key"),
+            html_text("text").alias("text"),
+        )
+        return gopher_rules(cleaned, min_words=2, keep_cols=("url_key",))
+
+    zip_pdf = pd.DataFrame(
+        {
+            "shard_id": [0],
+            "payload": [
+                encode_zip(
+                    [{"name": "m.txt", "payload": b"zzz"}], compress=True
+                )
+            ],
+        }
+    )
+    zip_schema = "shard_id long, payload binary"
+
+    for name, pdf, schema, op, sort_cols in (
+        ("crawltext", docs_pdf, docs_schema, crawl_op, ["doc_id"]),
+        (
+            "zipm",
+            zip_pdf,
+            zip_schema,
+            lambda df: zip_members(df).drop("payload"),
+            ["shard_id", "member_idx"],
+        ),
+    ):
+        batch = (
+            op(spark.createDataFrame(pdf, schema))
+            .toPandas()
+            .sort_values(sort_cols, ignore_index=True)
+        )
+        root = str(tmp_path / f"{name}_stream")
+        os.makedirs(root, exist_ok=True)
+        pdf.to_parquet(os.path.join(root, "part-000.parquet"), index=False)
+        q = (
+            op(spark.readStream.schema(schema).parquet(root))
+            .writeStream.format("memory")
+            .queryName(f"{name}_ingest")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql(f"select * from {name}_ingest")
+            .toPandas()
+            .sort_values(sort_cols, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got[batch.columns], batch)
