@@ -6549,7 +6549,7 @@ m AS (
       / CAST(LEN(ws) AS DOUBLE) AS symbol_ratio,
     LEN(LIST_FILTER(ls, l -> regexp_matches(l, '^[ \t]*[' || chr(8226) || '*-]')))
       / CAST(LEN(ls) AS DOUBLE) AS bullet_frac,
-    LEN(LIST_FILTER(ls, l -> regexp_matches(l, '(\.\.\.|' || chr(8230) || ')[ \t]*$')))
+    LEN(LIST_FILTER(ls, l -> regexp_matches(l, '(\.\.\.|' || chr(8230) || ')[ \t]*\z')))
       / CAST(LEN(ls) AS DOUBLE) AS ellipsis_frac,
     LEN(LIST_FILTER(ws, w -> regexp_matches(w, '[A-Za-z]')))
       / CAST(LEN(ws) AS DOUBLE) AS alpha_frac,

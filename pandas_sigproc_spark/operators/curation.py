@@ -325,9 +325,12 @@ def gopher_rules(
         F.size(F.filter(lines, lambda l: l.rlike("^[ \\t]*[\u2022*-]")))
         / n_l
     )
+    # \z (true end-of-text, identical in Java and RE2), NOT $: Java's
+    # default $ also matches before a trailing \r/\u2028/\u0085, so a
+    # CRLF corpus would count ellipsis lines differently per engine.
     ellipsis_frac = (
         F.size(
-            F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|\u2026)[ \\t]*$"))
+            F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|\u2026)[ \\t]*\\z"))
         )
         / n_l
     )

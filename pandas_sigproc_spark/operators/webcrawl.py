@@ -118,11 +118,16 @@ def url_host(col):
 # pattern tolerates '>' inside quoted attribute values.
 _HTML_TAG = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
 _HTML_COMMENT = "(?s)<!--.*?-->"
+# close tags use the explicit whitespace class, NOT \s: Java's \s
+# includes \x0B, RE2's does not, so \s here would leak script bodies
+# into the oracle's extraction on \x0B-bearing markup.
 _HTML_SCRIPT = (
-    "(?is)<script\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</script\\s*>"
+    "(?is)<script\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    ".*?</script[ \\t\\r\\n\\f]*>"
 )
 _HTML_STYLE = (
-    "(?is)<style\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</style\\s*>"
+    "(?is)<style\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    ".*?</style[ \\t\\r\\n\\f]*>"
 )
 # explicit class, NOT \s: Java's \s includes \x0B, RE2's does not —
 # the explicit class keeps engine semantics identical.
@@ -178,8 +183,10 @@ def html_escape(col):
 
 # the tracking-parameter denylist every crawl pipeline strips before
 # URL-level dedup (utm_* per Google's campaign tagging, click ids,
-# referral tags); matched against the full "key=value" token.
-_TRACKING_PARAM = "^(?:utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(?:=|$)"
+# referral tags); matched against the full "key=value" token,
+# case-insensitively — campaign tags are emitted mixed-case in the
+# wild, and query case is otherwise preserved.
+_TRACKING_PARAM = "(?i)^(?:utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(?:=|$)"
 
 
 def canonicalize_url(col):

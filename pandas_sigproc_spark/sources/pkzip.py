@@ -52,6 +52,15 @@ def _inflate_raw(data: bytes, expect_size: int) -> bytes:
     d = zlib.decompressobj(-15)
     try:
         out = d.decompress(data, expect_size + 1)
+        # bomb guard: raise BEFORE flush() — flush would materialize
+        # the entire remaining stream, so a member whose header claims
+        # 10 bytes but inflates to gigabytes must be refused here, not
+        # after the allocation (the on_error="skip" path depends on
+        # this being a ValueError, not an executor OOM).
+        if len(out) > expect_size:
+            raise ValueError(
+                "deflate stream exceeds the declared member size"
+            )
         out += d.flush()
     except zlib.error as e:
         raise ValueError(f"bad deflate stream in ZIP member: {e}") from e
@@ -206,6 +215,10 @@ def decode_zip(data: bytes) -> list[dict]:
             )
         if method not in (STORED, DEFLATED):
             raise ValueError(f"unsupported ZIP compression method {method}")
+        if pos + 46 + name_len + extra_len + comment_len > cd_offset + cd_size:
+            raise ValueError(
+                "central-directory entry extends past the directory"
+            )
         name = data[pos + 46 : pos + 46 + name_len].decode("utf-8")
         pos += 46 + name_len + extra_len + comment_len
         # the LOCAL header's name/extra lengths govern the payload

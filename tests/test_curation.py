@@ -478,3 +478,25 @@ def test_gopher_rules_keep_cols_passthrough(spark):
     ).collect()[0]
     assert row.url_key == "u" and row.n_url_dups == 2
     assert row.n_words == 2
+
+
+def test_gopher_rules_ellipsis_anchor_crlf_matches_duckdb(spark):
+    # \z, not $: Java's default $ matches before a trailing \r, so a
+    # CRLF document would count ellipsis-ending lines differently in
+    # the two engines.  Both must agree the \r-terminated line is NOT
+    # ellipsis-ending.
+    import duckdb
+
+    text = "He paused...\r\nShe left...\nDone."
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    row = C.gopher_rules(df).collect()[0]
+    # line 1 ends "...\r" (no match with \z), line 2 ends "..." (match)
+    assert row.ellipsis_frac == pytest.approx(1 / 3)
+
+    con = duckdb.connect()
+    got = con.execute(
+        r"""SELECT LEN(LIST_FILTER(STRING_SPLIT(?, chr(10)),
+              l -> regexp_matches(l, '(\.\.\.|' || chr(8230) || ')[ \t]*\z')))""",
+        [text],
+    ).fetchone()[0]
+    assert got == 1

@@ -221,3 +221,25 @@ def test_zip_members_composes_with_wds_samples(spark):
     assert len(samples) == 1
     assert samples[0].key == "000/1"
     assert sorted(samples[0].exts) == ["cls", "txt"]
+
+
+def test_refuses_decompression_bomb_without_inflating(spark=None):
+    import zlib as _z
+
+    # 10 MB of zeros deflates to ~10 KB; header claims usize=4
+    bomb_payload = b"\x00" * (10 << 20)
+    co = _z.compressobj(9, _z.DEFLATED, -15)
+    blob = co.compress(bomb_payload) + co.flush()
+    from pandas_sigproc_spark.sources.pkzip import _inflate_raw
+
+    with pytest.raises(ValueError, match="exceeds the declared"):
+        _inflate_raw(blob, 4)
+
+
+def test_refuses_cd_name_len_overflow():
+    blob = bytearray(encode_zip([{"name": "a", "payload": b"x"}]))
+    cd = 30 + 1 + 1  # central directory start
+    # name_len field sits 28 bytes into the CD entry
+    struct.pack_into("<H", blob, cd + 28, 0xFF00)
+    with pytest.raises(ValueError, match="extends past"):
+        decode_zip(bytes(blob))

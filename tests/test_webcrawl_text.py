@@ -332,3 +332,39 @@ def test_crawl_text_operators_are_stream_safe(spark, tmp_path):
             .sort_values(sort_cols, ignore_index=True)
         )
         pd.testing.assert_frame_equal(got[batch.columns], batch)
+
+
+# ---------------------------------------------------------------------------
+# cross-engine edge fixes (round-10 review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_html_text_script_close_with_vertical_tab(spark):
+    # close-tag whitespace uses the explicit class, not \s: Java's \s
+    # matches \x0B, RE2's does not — neither may treat "</script\x0b>"
+    # as a close tag, so the block is NOT terminated there and the
+    # parse falls through to tag stripping identically in both engines.
+    html = "<script>secret()</script\x0b>after<script>x</script >done"
+    got_spark = _spark_html(spark, [html])
+    con = duckdb.connect()
+    con.register("t_vt", pd.DataFrame({"h": [html]}))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_duckdb_html_text_sql('h')} FROM t_vt"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+
+
+def test_tracking_params_stripped_case_insensitively(spark):
+    urls = [
+        "http://a.b/p?UTM_Source=mail",
+        "http://a.b/p?GCLID=1&k=v",
+        "http://a.b/p",
+    ]
+    assert _spark_canon(spark, urls) == [
+        "http://a.b/p",
+        "http://a.b/p?k=v",
+        "http://a.b/p",
+    ]
