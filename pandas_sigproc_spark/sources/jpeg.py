@@ -5,22 +5,33 @@ image payloads (reference parity target: the reference delegates all
 media to external libraries; this engine carries its own codecs —
 WAV/BMP/PNG already, JPEG here) without any imaging dependency.
 
-Encoder profile: baseline sequential DCT (SOF0), 3-component YCbCr
-at 4:4:4 (the bit-fidelity default) or 4:2:0 chroma subsampling, or
-1-component grayscale, 8-bit, one interleaved scan.  Huffman tables are CANONICAL FIXED-LENGTH tables
-built by :func:`_flat_table` (every DC category 4 bits, every AC
-(run,size) symbol 8 bits) and written to DHT — legal JPEG any decoder
-reads (DHT defines the file's tables; Annex K's are merely the
-customary defaults), chosen so the table constants are *derived* by a
-ten-line procedure instead of transcribed.  Quantization uses the
-standard Annex-K base matrices scaled by the libjpeg quality formula.
+Encoder profile: baseline sequential DCT (SOF0) in one interleaved
+scan, OR progressive DCT (SOF2, ``progressive=True`` — T.81 Annex G
+spectral selection plus one level of successive approximation with
+EOB-run batching, the web-dominant delivery layout); 3-component
+YCbCr at 4:4:4 (the bit-fidelity default) or 4:2:0 chroma
+subsampling, or 1-component grayscale, 8-bit.  Huffman tables are
+CANONICAL FIXED-LENGTH tables built by :func:`_flat_table` (every DC
+category 4 bits, every AC (run,size) symbol 8 bits; progressive adds
+the EOBn symbols) and written to DHT — legal JPEG any decoder reads
+(DHT defines the file's tables; Annex K's are merely the customary
+defaults), chosen so the table constants are *derived* by a ten-line
+procedure instead of transcribed.  Quantization uses the standard
+Annex-K base matrices scaled by the libjpeg quality formula.
 
-Decoder: general baseline — parses DQT/SOF0/DHT/SOS/DRI, decodes any
-canonical Huffman tables (Annex K included), handles restart markers,
-dequantizes, IDCTs, and converts to RGB.  Any integer sampling-factor
-ratio is supported (4:4:4, 4:2:0, 4:2:2, ... — subsampled planes are
-nearest-upsampled); only non-integer ratios and progressive/extended
-SOFs raise NotImplementedError naming the seam.
+Decoder: general baseline AND progressive — parses
+DQT/SOF0/SOF2/DHT/SOS/DRI, decodes any canonical Huffman tables
+(Annex K included), handles restart markers (baseline),
+accumulates multi-scan progressive coefficients (DC first/refine,
+AC first/refine, EOB runs), dequantizes, IDCTs, and converts to RGB.
+Any integer sampling-factor ratio is supported (4:4:4, 4:2:0, 4:2:2,
+... — subsampled planes are nearest-upsampled); non-integer ratios,
+restarts inside progressive scans, and the lossless/extended/
+arithmetic SOFs raise NotImplementedError naming the seam.
+
+The progressive and baseline paths share the quantized-coefficient
+pipeline, so at equal settings both streams decode to IDENTICAL
+pixels — the decisive contract tests/test_jpeg_progressive.py pins.
 
 All arithmetic is float64 DCT via the orthonormal 8x8 cosine matrix
 (T F T^t), which IS the JPEG FDCT/IDCT definition.  Determinism: both
@@ -136,6 +147,11 @@ _AC_SYMBOLS = [16 * r + s for r in range(16) for s in range(1, 11)] + [
 ]
 DC_BITS, DC_HUFFVAL = _flat_table(_DC_SYMBOLS, 4)
 AC_BITS, AC_HUFFVAL = _flat_table(_AC_SYMBOLS, 8)
+# progressive AC scans additionally use EOBn symbols (r<<4 for run
+# lengths 2^1..2^14 blocks — T.81 G.1.2.2); EOB0/ZRL are already in
+# the baseline set.
+_AC_PROG_SYMBOLS = _AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+AC_PROG_BITS, AC_PROG_HUFFVAL = _flat_table(_AC_PROG_SYMBOLS, 8)
 
 
 class _BitWriter:
@@ -343,12 +359,211 @@ def _write_block(wtr, blk, prev_dc, ci, dc_codes, ac_codes) -> None:
         wtr.write(code, ln)
 
 
+# ---------------------------------------------------------------------------
+# progressive entropy coders (T.81 Annex G: spectral selection +
+# successive approximation; EOB-run batching per G.1.2.2-G.1.2.3)
+# ---------------------------------------------------------------------------
+
+
+class _ProgACState:
+    """Cross-block AC-scan state: the pending EOB run and, in
+    refinement scans, the correction bits buffered inside it."""
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _flush_eobrun(wtr: _BitWriter, ac_codes, st: _ProgACState) -> None:
+    if st.eobrun == 0:
+        return
+    r = st.eobrun.bit_length() - 1
+    code, ln = ac_codes[r << 4]
+    wtr.write(code, ln)
+    if r:
+        wtr.write(st.eobrun - (1 << r), r)
+    for b in st.pending:
+        wtr.write(b, 1)
+    st.eobrun = 0
+    st.pending = []
+
+
+def _enc_dc_first(wtr, dc_codes, zz, prev_dc, ci, al) -> None:
+    v = int(zz[0]) >> al  # DC point transform is an ARITHMETIC shift
+    diff = v - prev_dc[ci]
+    prev_dc[ci] = v
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[size]
+    wtr.write(code, ln)
+    if size:
+        wtr.write(bits, size)
+
+
+def _enc_ac_first_block(wtr, ac_codes, zz, ss, se, al, st) -> None:
+    last = 0
+    for k in range(ss, se + 1):
+        if abs(int(zz[k])) >> al:
+            last = k
+    if last == 0:  # nothing significant at this precision: EOB block
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+        return
+    _flush_eobrun(wtr, ac_codes, st)
+    run = 0
+    for k in range(ss, last + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # AC point transform truncates the MAGNITUDE
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(t if v >= 0 else -t)
+        code, ln = ac_codes[(run << 4) | size]
+        wtr.write(code, ln)
+        wtr.write(bits, size)
+        run = 0
+    if last < se:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+
+
+def _enc_ac_refine_block(wtr, ac_codes, zz, ss, se, al, st) -> None:
+    # t == 1: newly significant at this precision (encoded as run/1 +
+    # sign); t > 1: already significant (one correction bit); t == 0:
+    # still insignificant (zero-run member).
+    tvals = [abs(int(zz[k])) >> al for k in range(64)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if tvals[k] == 1:
+            eob = k
+    run = 0
+    local: list[int] = []  # correction bits inside the current run
+    for k in range(ss, se + 1):
+        t = tvals[k]
+        if t == 0:
+            run += 1
+            continue
+        # ZRLs are only needed up to the last new significance; zero
+        # runs beyond it fold into the EOB run (G.1.2.3)
+        while run > 15 and k <= eob:
+            _flush_eobrun(wtr, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+            for b in local:
+                wtr.write(b, 1)
+            local = []
+        if t > 1:
+            local.append(t & 1)
+            continue
+        _flush_eobrun(wtr, ac_codes, st)
+        code, ln = ac_codes[(run << 4) | 1]
+        wtr.write(code, ln)
+        _, sign_bit = _magnitude(1 if int(zz[k]) >= 0 else -1)
+        wtr.write(sign_bit, 1)
+        for b in local:
+            wtr.write(b, 1)
+        local = []
+        run = 0
+    if run > 0 or local:
+        st.eobrun += 1
+        st.pending += local
+        if st.eobrun == 0x7FFF or len(st.pending) > 900:
+            _flush_eobrun(wtr, ac_codes, st)
+
+
+def _comp_block_grid(fh, fw, hs, vs, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved scans cover the COMPONENT's true block grid,
+    not the MCU-padded grid (A.2.2): ceil(ceil(dim*f/fmax)/8)."""
+    ch = (fh * vs + vmax - 1) // vmax
+    cw = (fw * hs + hmax - 1) // hmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _encode_progressive(grids, samps, fh, fw, mby, mbx, dc_codes, ac_codes):
+    """The scan sequence as (sos_suffix, entropy_bytes) pairs: DC
+    first (Al=1, interleaved) -> DC refine -> per component AC first
+    (Ss=1..63, Al=1) -> per component AC refine (Ah=1, Al=0) — the
+    classic simple progression, exercising all four scan kinds."""
+    nc = len(grids)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    scans = []
+
+    def dc_scan(ah, al):
+        wtr = _BitWriter()
+        prev_dc = [0] * nc
+        if nc == 1:
+            nby, nbx = _comp_block_grid(fh, fw, 1, 1, hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    zz = grids[0][by, bx]
+                    if ah == 0:
+                        _enc_dc_first(wtr, dc_codes, zz, prev_dc, 0, al)
+                    else:
+                        wtr.write((int(zz[0]) >> al) & 1, 1)
+        else:
+            for mcu in range(mby * mbx):
+                my, mx = divmod(mcu, mbx)
+                for ci, (grid, (hs, vs)) in enumerate(zip(grids, samps)):
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            zz = grid[my * vs + dy, mx * hs + dx]
+                            if ah == 0:
+                                _enc_dc_first(
+                                    wtr, dc_codes, zz, prev_dc, ci, al
+                                )
+                            else:
+                                wtr.write((int(zz[0]) >> al) & 1, 1)
+        wtr.flush()
+        comps = bytes(
+            b for ci in range(nc) for b in (ci + 1, 0x00)
+        )
+        hdr = struct.pack(">HB", 6 + 2 * nc, nc) + comps + bytes(
+            (0, 0, (ah << 4) | al)
+        )
+        return hdr, bytes(wtr.buf)
+
+    def ac_scan(ci, ah, al):
+        hs, vs = samps[ci]
+        nby, nbx = _comp_block_grid(fh, fw, hs, vs, hmax, vmax)
+        wtr = _BitWriter()
+        st = _ProgACState()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grids[ci][by, bx]
+                if ah == 0:
+                    _enc_ac_first_block(wtr, ac_codes, zz, 1, 63, al, st)
+                else:
+                    _enc_ac_refine_block(wtr, ac_codes, zz, 1, 63, al, st)
+        _flush_eobrun(wtr, ac_codes, st)
+        wtr.flush()
+        hdr = struct.pack(">HB", 8, 1) + bytes(
+            (ci + 1, 0x00, 1, 63, (ah << 4) | al)
+        )
+        return hdr, bytes(wtr.buf)
+
+    scans.append(dc_scan(0, 1))
+    scans.append(dc_scan(1, 0))
+    for ci in range(nc):
+        scans.append(ac_scan(ci, 0, 1))
+    for ci in range(nc):
+        scans.append(ac_scan(ci, 1, 0))
+    return scans
+
+
 def encode_jpeg(
     px: np.ndarray,
     quality: int = 90,
     *,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
     baseline JFIF byte string, one interleaved scan.
@@ -358,7 +573,20 @@ def encode_jpeg(
     factors 2x2 — the dominant real-world profile, halving the encoded
     chroma area twice).  ``restart_interval`` > 0 emits DRI and
     byte-aligned RSTn markers every that many MCUs (error-resilience
-    segments; also the decoder's restart-path test hook)."""
+    segments; also the decoder's restart-path test hook).
+
+    ``progressive`` emits an SOF2 multi-scan stream (T.81 Annex G:
+    spectral selection + one level of successive approximation, with
+    EOB-run batching) — the web-dominant delivery profile.  The
+    quantized coefficients are IDENTICAL to the baseline encoding at
+    the same settings, so both decode to the same pixels (pinned by
+    tests/test_jpeg_progressive.py).  Restart markers are not
+    combined with progressive (documented seam)."""
+    if progressive and restart_interval:
+        raise NotImplementedError(
+            "restart markers inside progressive scans are outside the "
+            "supported profile (sources/jpeg.py:encode_jpeg)"
+        )
     px = np.asarray(px)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -393,11 +621,49 @@ def encode_jpeg(
     mby = (h + 8 * vmax - 1) // (8 * vmax)
     mbx = (w + 8 * hmax - 1) // (8 * hmax)
     dc_codes = _canonical_codes(DC_BITS, DC_HUFFVAL)
-    ac_codes = _canonical_codes(AC_BITS, AC_HUFFVAL)
+    ac_bits, ac_hv = (
+        (AC_PROG_BITS, AC_PROG_HUFFVAL)
+        if progressive
+        else (AC_BITS, AC_HUFFVAL)
+    )
+    ac_codes = _canonical_codes(ac_bits, ac_hv)
     grids = [
         _encode_component_grid(p, qt, mby * vs, mbx * hs)
         for p, qt, (hs, vs) in zip(planes, qts, samps)
     ]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
+    # DQT (one marker per table)
+    for tid, qt in enumerate(qts[:1] if gray else (qt_l, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in qt.reshape(-1)[_ZZ])
+    # SOF0 (baseline) or SOF2 (progressive)
+    nc = len(planes)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samps[ci]
+        out += struct.pack(">BBB", ci + 1, (hs << 4) | vs, qids[ci])
+    # DHT: same flat tables for both classes/ids used
+    for tclass, tid, bits, hv in (
+        (0, 0, DC_BITS, DC_HUFFVAL),
+        (1, 0, ac_bits, ac_hv),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(hv), (tclass << 4) | tid
+        )
+        out += bytes(bits) + bytes(hv)
+
+    if progressive:
+        for sos_suffix, entropy in _encode_progressive(
+            grids, samps, h, w, mby, mbx, dc_codes, ac_codes
+        ):
+            out += b"\xff\xda" + sos_suffix + entropy
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     wtr = _BitWriter()
     prev_dc = [0] * len(planes)
@@ -422,29 +688,6 @@ def encode_jpeg(
                     )
     wtr.flush()
 
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
-    # DQT (one marker per table)
-    for tid, qt in enumerate(qts[:1] if gray else (qt_l, qt_c)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
-        out += bytes(int(x) for x in qt.reshape(-1)[_ZZ])
-    # SOF0
-    nc = len(planes)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
-    for ci in range(nc):
-        hs, vs = samps[ci]
-        out += struct.pack(">BBB", ci + 1, (hs << 4) | vs, qids[ci])
-    # DHT: same flat tables for both classes/ids used
-    for tclass, tid, bits, hv in (
-        (0, 0, DC_BITS, DC_HUFFVAL),
-        (1, 0, AC_BITS, AC_HUFFVAL),
-    ):
-        out += b"\xff\xc4" + struct.pack(
-            ">HB", 3 + 16 + len(hv), (tclass << 4) | tid
-        )
-        out += bytes(bits) + bytes(hv)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS: every component uses table id 0 for DC and AC
@@ -463,20 +706,25 @@ def encode_jpeg(
 
 
 def decode_jpeg_bytes(data: bytes) -> np.ndarray:
-    """Decode a baseline JFIF byte string to an (h, w, 3) uint8 RGB
-    array (grayscale replicates to 3 channels, like the BMP/PNG
-    decoders).  Supports 1- or 3-component baseline sequential scans
-    with any integer sampling-factor ratio — 4:4:4, 4:2:0, 4:2:2, ...
-    (subsampled chroma is nearest-upsampled); Annex-K or custom Huffman
-    tables both fine, DRI/RSTn handled.  Non-integer ratios and
-    progressive/extended SOFs raise NotImplementedError naming the
-    seam."""
+    """Decode a JFIF byte string to an (h, w, 3) uint8 RGB array
+    (grayscale replicates to 3 channels, like the BMP/PNG decoders).
+    Supports 1- or 3-component BASELINE sequential scans (SOF0/SOF1 —
+    Annex-K or custom Huffman tables, DRI/RSTn handled) and
+    PROGRESSIVE streams (SOF2 — spectral selection + successive
+    approximation with EOB runs, T.81 Annex G), both with any integer
+    sampling-factor ratio (subsampled chroma is nearest-upsampled).
+    Non-integer ratios, restart markers inside progressive scans, and
+    the extended/lossless/arithmetic SOFs raise NotImplementedError
+    naming the seam."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coef grids
+    prog_scan_decoded = False
     restart_interval = 0
     while True:
         if data[pos] != 0xFF:
@@ -486,6 +734,8 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and prog_scan_decoded:
+                return _render_progressive(frame, coefs, qtabs)
             raise ValueError("EOI before SOS — no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -515,18 +765,28 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
                 hv = list(seg[i + 17 : i + 17 + n])
                 htabs[(tclass, tid)] = _decode_table(bits, hv)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for ci in range(nc):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mby = (fh + 8 * vmax - 1) // (8 * vmax)
+                mbx = (fw + 8 * hmax - 1) // (8 * hmax)
+                coefs = [
+                    np.zeros((mby * vs, mbx * hs, 64), dtype=np.int64)
+                    for _, hs, vs, _ in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported; "
-                f"got SOF marker 0xFF{marker:02X}"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                f"are supported; got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -538,9 +798,24 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
             for ci in range(ns):
                 cid, tids = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan.append((cid, tids >> 4, tids & 0xF))
-            return _decode_scan(
-                data, pos, frame, scan, qtabs, htabs, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, scan, qtabs, htabs, restart_interval
+                )
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart markers inside progressive scans are "
+                    "outside the supported profile "
+                    "(sources/jpeg.py:decode_jpeg_bytes)"
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, (ss, se, ahal >> 4, ahal & 0xF),
+                htabs, coefs,
             )
+            prog_scan_decoded = True
         # else: APPn/COM etc. — skipped
 
 
@@ -613,6 +888,184 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))
+
+
+def _decode_progressive_scan(data, pos, frame, scan, band, htabs, coefs):
+    """One SOS of a progressive stream, accumulated into ``coefs``
+    (per-component zigzag grids).  Returns the byte position of the
+    next marker.  T.81 Annex G: DC first/refine (interleaved when
+    ns > 1), AC first/refine (always single-component, over the
+    component's TRUE block grid, with EOB-run batching)."""
+    ss, se, ah, al = band
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mby = (fh + 8 * vmax - 1) // (8 * vmax)
+    mbx = (fw + 8 * hmax - 1) // (8 * hmax)
+    rdr = _BitReader(data, pos)
+
+    def correction(zz, k):
+        # refinement bit for an already-significant coefficient: 1
+        # moves the magnitude up by 1<<al toward the sign
+        if rdr.read_bit():
+            zz[k] += (1 << al) if zz[k] >= 0 else -(1 << al)
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("DC progressive scan with Se != 0")
+        order = []
+        for cid, dct, _act in scan:
+            ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+            _, hs, vs, _ = comps[ci]
+            order.append(
+                (ci, hs, vs, htabs.get((0, dct)) if ah == 0 else None)
+            )
+        prev_dc = [0] * len(comps)
+
+        def dc_block(zz, ci, dc_tab):
+            if ah == 0:
+                size = _huff_decode(rdr, dc_tab)
+                prev_dc[ci] += _extend(rdr.read_bits(size), size)
+                zz[0] = prev_dc[ci] << al
+            else:
+                zz[0] += rdr.read_bit() << al
+
+        if len(scan) > 1:  # interleaved MCU order over the padded grid
+            for mcu in range(mby * mbx):
+                my, mx = divmod(mcu, mbx)
+                for ci, hs, vs, dc_tab in order:
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            dc_block(
+                                coefs[ci][my * vs + dy, mx * hs + dx],
+                                ci,
+                                dc_tab,
+                            )
+        else:
+            ci, hs, vs, dc_tab = order[0]
+            nby, nbx = _comp_block_grid(fh, fw, hs, vs, hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    dc_block(coefs[ci][by, bx], ci, dc_tab)
+    else:  # AC scan: single component, true block grid
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _dct, act = scan[0]
+        ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+        _, hs, vs, _ = comps[ci]
+        ac_tab = htabs[(1, act)]
+        nby, nbx = _comp_block_grid(fh, fw, hs, vs, hmax, vmax)
+        eobrun = 0
+
+        def ac_first_block(zz):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = _huff_decode(rdr, ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows progressive band")
+                zz[k] = _extend(rdr.read_bits(s), s) << al
+                k += 1
+
+        def ac_refine_block(zz):
+            nonlocal eobrun
+            if eobrun > 0:
+                for k in range(ss, se + 1):
+                    if zz[k]:
+                        correction(zz, k)
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = _huff_decode(rdr, ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rdr.read_bits(r)
+                        break
+                    # ZRL: r stays 15 -> skip 16 insignificant slots
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement scan symbol with size != 1"
+                        )
+                    newval = _extend(rdr.read_bits(1), 1) << al
+                # advance over r insignificant positions, correcting
+                # significant ones along the way
+                while k <= se:
+                    if zz[k]:
+                        correction(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+            if eobrun > 0:
+                # this block is the first of the EOB run: its remaining
+                # significant coefficients still carry correction bits
+                while k <= se:
+                    if zz[k]:
+                        correction(zz, k)
+                    k += 1
+                eobrun -= 1
+
+        block = ac_first_block if ah == 0 else ac_refine_block
+        for by in range(nby):
+            for bx in range(nbx):
+                block(coefs[ci][by, bx])
+
+    # the scan's entropy data ends at the next marker
+    if rdr.marker is not None:
+        return rdr.pos - 2
+    p = rdr.pos
+    while not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _render_progressive(frame, coefs, qtabs):
+    """Dequantize + IDCT the accumulated coefficient grids and
+    assemble the RGB image (same math as the baseline path)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for grid, (_, hs, vs, qid) in zip(coefs, comps):
+        qt = qtabs[qid].reshape(-1)
+        nby, nbx, _ = grid.shape
+        deq = np.zeros((nby, nbx, 64), dtype=np.float64)
+        deq[:, :, _ZZ] = grid * qt[_ZZ]
+        blocks = deq.reshape(nby, nbx, 8, 8)
+        pix = np.einsum("ux,byuv,vw->byxw", _T, blocks, _T) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(plane[:fh, :fw])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)

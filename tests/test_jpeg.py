@@ -94,12 +94,26 @@ def test_stream_structure_and_guards():
         encode_jpeg(np.zeros((8, 8, 4), np.uint8))
 
 
-def test_progressive_stream_refused_with_seam_message():
+def test_unsupported_sof_refused_with_seam_message():
+    # progressive (SOF2) is now a supported profile; the remaining
+    # lossless/extended/arithmetic SOFs still refuse loudly
     img = np.full((8, 8, 3), 100, np.uint8)
     data = bytearray(encode_jpeg(img, 90))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_bytes(bytes(data))
+
+
+def test_baseline_scan_mislabeled_progressive_refused():
+    # a baseline single-scan stream whose SOF was flipped to SOF2 is
+    # MALFORMED progressive data (a DC scan may not carry Se=63) and
+    # must refuse, not mis-decode
+    img = np.full((8, 8, 3), 100, np.uint8)
+    data = bytearray(encode_jpeg(img, 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se != 0"):
         decode_jpeg_bytes(bytes(data))
 
 
