@@ -3230,6 +3230,15 @@ def _codec_fns(fmt: str):
         # quality 100: unit quantizers — the gray ramp payloads these
         # queries build stay pixel-recoverable (pinned in tests)
         return (lambda px: encode_jpeg(px, 100)), decode_jpeg_bytes
+    if fmt == "jpeg_prog":
+        from pandas_sigproc_spark.sources.jpeg import (
+            decode_jpeg_bytes,
+            encode_jpeg,
+        )
+
+        return (
+            lambda px: encode_jpeg(px, 100, progressive=True)
+        ), decode_jpeg_bytes
     from pandas_sigproc_spark.sources.png import decode_png_bytes, encode_png
 
     return encode_png, decode_png_bytes
@@ -4744,6 +4753,23 @@ SELECT CAST(channel_id AS BIGINT) AS media_id,
        1 AS n_frames
 FROM agg
 """
+
+
+def q_media_image_jpeg_prog(spark, sf_dir):
+    """PROGRESSIVE twin of q_media_image_jpeg: the same per-channel
+    payloads encoded as SOF2 multi-scan streams (spectral selection +
+    successive approximation, sources/jpeg.py r10) and decoded back
+    through the magic-dispatched real codec path.  A green row proves a
+    genuine progressive parse under the driver hash gate — every scan
+    of the DC/AC first/refine sequence must decode for the dimensions
+    to emerge (pixel identity vs the baseline stream is pinned in
+    tests/test_jpeg_progressive.py)."""
+    return _media_image_query(
+        spark, sf_dir, "jpeg_prog", with_n_bytes=False, with_pixel_sum=False
+    )
+
+
+SQL_MEDIA_IMAGE_JPEG_PROG = SQL_MEDIA_IMAGE_JPEG
 
 
 # Angular step for the relational DFT below: repr-round-tripped so the SQL
@@ -7191,31 +7217,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 13 NEW queries needing first driver proof
+    #   tier B — the 14 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
     #            lifecycles; wds_extract / warc_extract / domain_cap:
     #            container ingestion + URL curation; html_extract /
     #            url_canon / gopher_rules / crawl_curate /
-    #            zip_extract: crawl-text extraction, URL-level dedup
-    #            keys, the Gopher heuristic filter, the composed
-    #            end-to-end crawl pipeline, and ZIP container
-    #            ingestion) plus queries whose CODE changed this round
-    #            (dedup_embed: band-join width cut; ann_ivf_pq:
-    #            ksub=256 production profile);
-    #   tier C — 20 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 30 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~20 free
+    #            zip_extract / media_image_jpeg_prog: crawl-text
+    #            extraction, URL-level dedup keys, the Gopher
+    #            heuristic filter, the composed end-to-end crawl
+    #            pipeline, ZIP container ingestion, and the
+    #            progressive-JPEG parse) plus queries whose CODE
+    #            changed this round (dedup_embed: band-join width
+    #            cut; ann_ivf_pq: ksub=256 production profile);
+    #   tier C — 19 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 31 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~19 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 30 r8-greens (fresh through r11;
-    #            interp_cubic_exact / detrend_constant /
-    #            detrend_linear / filt_butter / filt_cfc displaced
-    #            from tier C for the five new gates) and the 48
-    #            r9-greens (fresh through r12); the local gate
-    #            (tools/oracle_check.py) keeps their coverage.
+    #   below the cap — 31 r8-greens (fresh through r11;
+    #            interp_quadratic / interp_cubic_exact /
+    #            detrend_constant / detrend_linear / filt_butter /
+    #            filt_cfc displaced from tier C for the six new
+    #            gates) and the 48 r9-greens (fresh through r12); the
+    #            local gate (tools/oracle_check.py) keeps their
+    #            coverage.
     return {
         # -- tier A: r7 carry-overs (mandatory this round) ----------------
         "mov_rms": q_mov_rms,
@@ -7242,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_extract": q_wds_extract,
         "warc_extract": q_warc_extract,
         "zip_extract": q_zip_extract,
+        "media_image_jpeg_prog": q_media_image_jpeg_prog,
         "domain_cap": q_domain_cap,
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
@@ -7269,10 +7298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
         "interp_cubic": q_interp_cubic,
-        "interp_quadratic": q_interp_quadratic,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (30 r8-greens — ALL must rotate into the r11 window — then the
+        # (31 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "interp_quadratic": q_interp_quadratic,
         "interp_cubic_exact": q_interp_cubic_exact,
         "detrend_constant": q_detrend_constant,
         "detrend_linear": q_detrend_linear,
@@ -7448,6 +7477,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": SQL_GOPHER_RULES,
         "crawl_curate": SQL_CRAWL_CURATE,
         "zip_extract": SQL_ZIP_EXTRACT,
+        "media_image_jpeg_prog": SQL_MEDIA_IMAGE_JPEG_PROG,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,
