@@ -3239,6 +3239,13 @@ def _codec_fns(fmt: str):
         return (
             lambda px: encode_jpeg(px, 100, progressive=True)
         ), decode_jpeg_bytes
+    if fmt == "gif":
+        from pandas_sigproc_spark.sources.gif import decode_gif, encode_gif
+
+        # gray payloads have <=256 distinct colors by construction, so
+        # the palette-exact encoder applies; GIF is lossless -> the
+        # pixel sum stays SQL-predictable
+        return encode_gif, (lambda b: decode_gif(b)[0])
     from pandas_sigproc_spark.sources.png import decode_png_bytes, encode_png
 
     return encode_png, decode_png_bytes
@@ -4770,6 +4777,22 @@ def q_media_image_jpeg_prog(spark, sf_dir):
 
 
 SQL_MEDIA_IMAGE_JPEG_PROG = SQL_MEDIA_IMAGE_JPEG
+
+
+def q_media_image_gif(spark, sf_dir):
+    """GIF sibling of q_media_image_png: the same per-channel gray
+    quantization encoded by the from-scratch LZW codec (sources/gif.py
+    r10 — indexed color, variable-width LSB-first codes, dictionary
+    growth) and decoded back through the magic-dispatched real codec
+    path.  GIF is LOSSLESS given a palette, so the oracle predicts
+    both the decoded dimensions AND the pixel sum — a green row
+    certifies a genuine LZW decode, not a byte echo."""
+    return _media_image_query(
+        spark, sf_dir, "gif", with_n_bytes=False, with_pixel_sum=True
+    )
+
+
+SQL_MEDIA_IMAGE_GIF = SQL_MEDIA_IMAGE_PNG
 
 
 # Angular step for the relational DFT below: repr-round-tripped so the SQL
@@ -7217,30 +7240,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 14 NEW queries needing first driver proof
+    #   tier B — the 15 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
     #            lifecycles; wds_extract / warc_extract / domain_cap:
     #            container ingestion + URL curation; html_extract /
     #            url_canon / gopher_rules / crawl_curate /
-    #            zip_extract / media_image_jpeg_prog: crawl-text
-    #            extraction, URL-level dedup keys, the Gopher
-    #            heuristic filter, the composed end-to-end crawl
-    #            pipeline, ZIP container ingestion, and the
-    #            progressive-JPEG parse) plus queries whose CODE
-    #            changed this round (dedup_embed: band-join width
-    #            cut; ann_ivf_pq: ksub=256 production profile);
-    #   tier C — 19 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 31 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~19 free
+    #            zip_extract / media_image_jpeg_prog /
+    #            media_image_gif: crawl-text extraction, URL-level
+    #            dedup keys, the Gopher heuristic filter, the composed
+    #            end-to-end crawl pipeline, ZIP container ingestion,
+    #            the progressive-JPEG parse, and the GIF LZW decode)
+    #            plus queries whose CODE changed this round
+    #            (dedup_embed: band-join width cut; ann_ivf_pq:
+    #            ksub=256 production profile);
+    #   tier C — 18 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 32 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~18 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 31 r8-greens (fresh through r11;
+    #   below the cap — 32 r8-greens (fresh through r11; interp_cubic /
     #            interp_quadratic / interp_cubic_exact /
     #            detrend_constant / detrend_linear / filt_butter /
-    #            filt_cfc displaced from tier C for the six new
+    #            filt_cfc displaced from tier C for the seven new
     #            gates) and the 48 r9-greens (fresh through r12); the
     #            local gate (tools/oracle_check.py) keeps their
     #            coverage.
@@ -7271,6 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "zip_extract": q_zip_extract,
         "media_image_jpeg_prog": q_media_image_jpeg_prog,
+        "media_image_gif": q_media_image_gif,
         "domain_cap": q_domain_cap,
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
@@ -7297,10 +7322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rss_daily": q_rss_daily,
         "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
-        "interp_cubic": q_interp_cubic,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (31 r8-greens — ALL must rotate into the r11 window — then the
+        # (32 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "interp_cubic": q_interp_cubic,
         "interp_quadratic": q_interp_quadratic,
         "interp_cubic_exact": q_interp_cubic_exact,
         "detrend_constant": q_detrend_constant,
@@ -7478,6 +7503,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_curate": SQL_CRAWL_CURATE,
         "zip_extract": SQL_ZIP_EXTRACT,
         "media_image_jpeg_prog": SQL_MEDIA_IMAGE_JPEG_PROG,
+        "media_image_gif": SQL_MEDIA_IMAGE_GIF,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,

@@ -92,6 +92,7 @@ from .imagedup import (
     incremental_phash_dedup,
     phash_band_keys,
     phash_bytes,
+    phash_pixels,
     phash_dedup,
     phash_frames,
     phash_images,
@@ -196,6 +197,7 @@ __all__ = [
     "incremental_phash_dedup",
     "phash_band_keys",
     "phash_bytes",
+    "phash_pixels",
     "phash_dedup",
     "phash_frames",
     "phash_images",

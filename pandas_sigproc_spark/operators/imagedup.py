@@ -63,7 +63,14 @@ def phash_bytes(payload: bytes) -> int:
     """The 64-bit perceptual hash of one encoded image payload."""
     from .multimodal import _decode_image
 
-    px = _decode_image(bytes(payload)).astype(np.float64)
+    return phash_pixels(_decode_image(bytes(payload)))
+
+
+def phash_pixels(px: np.ndarray) -> int:
+    """The 64-bit perceptual hash of a decoded (h, w, 3) pixel array —
+    the payload-free entry for containers whose frames decode straight
+    to pixels (GIF animations)."""
+    px = np.asarray(px).astype(np.float64)
     gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     from pandas_sigproc_spark.sources.bmp import resize_nearest
 
@@ -243,21 +250,28 @@ def phash_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources.bmp import decode_bmpv
+        from pandas_sigproc_spark.sources.gif import decode_gif, is_gif_bytes
         from pandas_sigproc_spark.sources.mp4 import decode_mp4, is_mp4_bytes
 
         for pdf in batches:
             ids, idxs, hs = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                frames = (
-                    decode_mp4(raw).samples
-                    if is_mp4_bytes(raw)
-                    else decode_bmpv(raw)
-                )
+                if is_gif_bytes(raw):
+                    # GIF frames decode straight to composited pixels
+                    frames = decode_gif(raw)
+                    hash_one = phash_pixels
+                else:
+                    frames = (
+                        decode_mp4(raw).samples
+                        if is_mp4_bytes(raw)
+                        else decode_bmpv(raw)
+                    )
+                    hash_one = phash_bytes
                 for fi in range(0, len(frames), every_n):
                     ids.append(int(mid))
                     idxs.append(fi)
-                    hs.append(phash_bytes(frames[fi]))
+                    hs.append(hash_one(frames[fi]))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "phash": hs}
             )

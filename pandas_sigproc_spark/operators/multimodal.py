@@ -51,8 +51,10 @@ FEATURE_SCHEMA = (
 
 def _decode_image(data: bytes) -> np.ndarray:
     """Magic-dispatched real image decode: 24-bit BMP (sources/bmp.py),
-    baseline PNG (sources/png.py — from-scratch on stdlib zlib), or
-    baseline JPEG (sources/jpeg.py — from-scratch DCT + Huffman)."""
+    baseline PNG (sources/png.py — from-scratch on stdlib zlib),
+    baseline/progressive JPEG (sources/jpeg.py — from-scratch DCT +
+    Huffman), or GIF (sources/gif.py — from-scratch LZW; the first
+    composited frame)."""
     if data[:2] == b"BM":
         from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
 
@@ -61,14 +63,18 @@ def _decode_image(data: bytes) -> np.ndarray:
         from pandas_sigproc_spark.sources.jpeg import decode_jpeg_bytes
 
         return decode_jpeg_bytes(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from pandas_sigproc_spark.sources.gif import decode_gif
+
+        return decode_gif(data)[0]
     from pandas_sigproc_spark.sources import png as _png
 
     if data[: len(_png.SIGNATURE)] == _png.SIGNATURE:
         return _png.decode_png_bytes(data)
     raise NotImplementedError(
         "unrecognized image container: real codecs cover 24-bit BMP, "
-        "baseline PNG, and baseline JPEG; other formats plug in at this "
-        "seam (operators/multimodal.py)"
+        "baseline PNG, baseline/progressive JPEG, and GIF; other "
+        "formats plug in at this seam (operators/multimodal.py)"
     )
 
 
@@ -83,6 +89,12 @@ def _encode_image_like(px: np.ndarray, original: bytes) -> bytes:
         from pandas_sigproc_spark.sources.jpeg import encode_jpeg
 
         return encode_jpeg(px)
+    if original[:6] in (b"GIF87a", b"GIF89a"):
+        # nearest-neighbour resize only samples existing pixels, so the
+        # result stays inside the original's <=256-color palette
+        from pandas_sigproc_spark.sources.gif import encode_gif
+
+        return encode_gif(px)
     from pandas_sigproc_spark.sources.bmp import encode_bmp
 
     return encode_bmp(px)
@@ -115,6 +127,11 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
                 # no sample decode needed, so this works for ANY codec
                 trk = decode_mp4(bytes(payload))
                 return trk.width, trk.height, len(trk.samples)
+            from pandas_sigproc_spark.sources.gif import decode_gif, is_gif_bytes
+
+            if is_gif_bytes(bytes(payload)):
+                frames = decode_gif(bytes(payload))
+                return frames[0].shape[1], frames[0].shape[0], len(frames)
             from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes, decode_bmpv
 
             frames = decode_bmpv(bytes(payload))
@@ -122,10 +139,11 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
             return px.shape[1], px.shape[0], len(frames)
         raise NotImplementedError(
             f"no real codec for media kind {kind!r}: audio decodes RIFF/WAVE "
-            "(sources/wav.py), image decodes 24-bit BMP, baseline PNG, and "
-            "baseline JPEG (sources/bmp.py, png.py, jpeg.py), video the "
-            "BMPV and MP4 (ISO BMFF) containers; compressed-codec"
-            " sample decode plugs in at sources/mp4.py"
+            "(sources/wav.py), image decodes 24-bit BMP, baseline PNG, "
+            "baseline/progressive JPEG, and GIF (sources/bmp.py, png.py, "
+            "jpeg.py, gif.py), video the BMPV, MP4 (ISO BMFF), and "
+            "animated-GIF containers; compressed-codec sample decode "
+            "plugs in at sources/mp4.py"
         )
     n = len(payload)
     if kind == "image":
