@@ -84,12 +84,15 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         wtr.write(end, width)
         return wtr.flush()
     prefix = bytes(indices[:1])
+    data_since_clear = False  # decoder appends for the final code only
+    # if it is not the first data code after a clear
     for b in indices[1:]:
         cand = prefix + bytes((b,))
         if cand in table:
             prefix = cand
             continue
         wtr.write(table[prefix], width)
+        data_since_clear = True
         if next_code < (1 << _MAX_CODE_WIDTH):
             table[cand] = next_code
             if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
@@ -100,8 +103,21 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
             table = {bytes((i,)): i for i in range(clear)}
             next_code = end + 1
             width = mcs + 1
+            data_since_clear = False
         prefix = bytes((b,))
     wtr.write(table[prefix], width)
+    # the decoder appends one more dictionary entry for this final
+    # code (unless it is the first after a clear) and bumps its code
+    # width when the table lands exactly on 1<<width — mirror that
+    # bookkeeping or the end code is written at a stale width and the
+    # decode desyncs at the stream tail
+    if (
+        data_since_clear
+        and next_code < (1 << _MAX_CODE_WIDTH)
+        and next_code == (1 << width)
+        and width < _MAX_CODE_WIDTH
+    ):
+        width += 1
     wtr.write(end, width)
     return wtr.flush()
 
@@ -249,13 +265,15 @@ def encode_gif(
     if loop and len(frames) > 1:
         out += bytes((_EXTENSION, 0xFF, 11)) + b"NETSCAPE2.0"
         out += bytes((3, 1, 0, 0, 0))  # sub-block: loop forever
-    lut = {int(c): i for i, c in enumerate(palette)}
     for fi, p in enumerate(packed):
         if delays_cs is not None:
             out += bytes((_EXTENSION, _GFX_CONTROL, 4, 0))
             out += struct.pack("<H", int(delays_cs[fi]))
             out += bytes((0, 0))
-        idx = np.vectorize(lut.__getitem__, otypes=[np.uint8])(p)
+        # palette came from np.unique, so every value is present and
+        # searchsorted IS the exact index map (vectorized, no per-pixel
+        # Python call)
+        idx = np.searchsorted(palette, p).astype(np.uint8)
         if interlace:
             order = []
             for first, step in _INTERLACE:
@@ -283,14 +301,17 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     w, h, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x7)
-        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
-        if gct.shape[0] != n:
+        raw = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if raw.size != 3 * n:
             raise ValueError("truncated global color table")
+        gct = raw.reshape(n, 3)
         pos += 3 * n
 
     frames: list[np.ndarray] = []
@@ -320,6 +341,8 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             continue
         if block != _IMAGE_SEP:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
         left, top, fw, fh, fpacked = struct.unpack(
             "<HHHHB", data[pos : pos + 9]
         )
@@ -327,14 +350,15 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         ct = gct
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x7)
-            ct = np.frombuffer(
-                data[pos : pos + 3 * n], np.uint8
-            ).reshape(-1, 3)
-            if ct.shape[0] != n:
+            raw = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            if raw.size != 3 * n:
                 raise ValueError("truncated local color table")
+            ct = raw.reshape(n, 3)
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF frame without any color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF frame (missing LZW size)")
         mcs = data[pos]
         pos += 1
         lzw, pos = _read_subblocks(data, pos)

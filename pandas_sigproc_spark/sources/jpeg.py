@@ -566,7 +566,9 @@ def encode_jpeg(
     progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline JFIF byte string, one interleaved scan.
+    JFIF byte string — baseline sequential in one interleaved scan by
+    default, or an SOF2 multi-scan progressive stream with
+    ``progressive=True``.
 
     ``subsampling``: ``"444"`` (no chroma subsampling, the bit-fidelity
     profile) or ``"420"`` (2x2 box-mean chroma downsample, Y sampling
@@ -774,8 +776,22 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
                 comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (fh, fw, comps)
             if progressive:
+                # same profile guards as the baseline path
+                # (_decode_scan) — the docstring promises loud seams
+                if len(comps) not in (1, 3):
+                    raise NotImplementedError(
+                        "only 1- or 3-component scans supported"
+                    )
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
+                if any(
+                    hmax % hs or vmax % vs for _, hs, vs, _ in comps
+                ):
+                    raise NotImplementedError(
+                        "non-integer chroma upsampling ratios are "
+                        "outside the supported profile "
+                        "(sources/jpeg.py:decode_jpeg_bytes)"
+                    )
                 mby = (fh + 8 * vmax - 1) // (8 * vmax)
                 mbx = (fw + 8 * hmax - 1) // (8 * hmax)
                 coefs = [
@@ -1020,7 +1036,11 @@ def _decode_progressive_scan(data, pos, frame, scan, band, htabs, coefs):
                             break
                         r -= 1
                     k += 1
-                if newval and k <= se:
+                if newval:
+                    if k > se:
+                        raise ValueError(
+                            "AC run overflows progressive band"
+                        )
                     zz[k] = newval
                 k += 1
             if eobrun > 0:

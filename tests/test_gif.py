@@ -254,3 +254,27 @@ def test_format_preserving_resize_keeps_gif(spark):
     resized = bytes(out.payload)
     assert is_gif_bytes(resized)
     assert decode_gif(resized)[0].shape == (8, 8, 3)
+
+
+def test_lzw_tail_width_boundary_regression():
+    # review finding: the decoder appends a dictionary entry for the
+    # FINAL data code; when that append lands exactly on 1<<width the
+    # end code must be written at the bumped width or the decode
+    # desyncs (original falsifying example: 16x18, 17 colors, seed 1)
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 17, size=(16, 18))]
+    np.testing.assert_array_equal(decode_gif(encode_gif(px))[0], px)
+
+
+def test_truncation_raises_valueerror_not_struct_error():
+    # the corrupt-container convention (on_error="skip") catches
+    # ValueError, so every truncation must surface as one
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = encode_gif(px)
+    for cut in range(7, len(blob)):
+        try:
+            decode_gif(blob[:cut])
+        except ValueError:
+            pass  # the loud, catchable refusal
+        # any other exception type fails the test by propagating

@@ -134,3 +134,30 @@ def test_multimodal_decode_dispatches_progressive(spark):
     )
     row = extract_media_features(df, codec="real").collect()[0]
     assert (row.height, row.width) == (16, 24)
+
+
+def test_progressive_refuses_four_components():
+    # same profile guard as the baseline path: a 4-component (CMYK)
+    # SOF2 frame must refuse, not render garbage from 3 of 4 planes
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px, 90, progressive=True))
+    i = bytes(blob).index(b"\xff\xc2")
+    # SOF2 payload: len(2) prec(1) h(2) w(2) nc(1) + 3 comps; forge nc=4
+    # by appending a 4th component spec and fixing lengths
+    comp4 = bytes((4, 0x11, 1))
+    insert_at = i + 2 + 8 + 9
+    blob[i + 2 : i + 4] = (8 + 3 * 4).to_bytes(2, "big")
+    blob[i + 9] = 4
+    blob[insert_at:insert_at] = comp4
+    with pytest.raises(NotImplementedError, match="component"):
+        decode_jpeg_bytes(bytes(blob))
+
+
+def test_progressive_refuses_noninteger_ratio():
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px, 90, subsampling="420", progressive=True))
+    i = bytes(blob).index(b"\xff\xc2")
+    # Y is 2x2; forge Cb to 3x3 -> vmax=3 with Y's 2 -> non-integer
+    blob[i + 2 + 8 + 3 + 1] = 0x33
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        decode_jpeg_bytes(bytes(blob))
