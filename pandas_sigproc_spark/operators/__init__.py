@@ -130,6 +130,7 @@ from pandas_sigproc_spark.operators.sigstore import (
 )
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
+    compression_ratio,
     gopher_rules,
     quality_classifier,
     decontaminate_exact,
@@ -227,6 +228,7 @@ __all__ = [
     "kmeans_assignments",
     "semantic_dedup",
     "block_dedup",
+    "compression_ratio",
     "gopher_rules",
     "quality_classifier",
     "decontaminate_exact",

@@ -500,3 +500,41 @@ def test_gopher_rules_ellipsis_anchor_crlf_matches_duckdb(spark):
         [text],
     ).fetchone()[0]
     assert got == 1
+
+
+def test_compression_ratio_ordering_anchors(spark):
+    import zlib
+
+    texts = {
+        0: "spam " * 400,                       # highly repetitive
+        1: ("the quick brown fox jumps over the lazy dog and then "
+            "discusses signal processing at considerable length ") * 8,
+        2: "".join(
+            chr(33 + int(c))
+            for c in np.random.default_rng(0).integers(0, 90, 2000)
+        ),
+        3: "",                                   # empty -> ratio 0.0
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {r.doc_id: r for r in C.compression_ratio(df).collect()}
+    # repeated << prose << pseudo-random
+    assert got[0].ratio < got[1].ratio < got[2].ratio
+    assert got[3].ratio == 0.0 and got[3].n_bytes == 0
+    # exact vs a local zlib reference at the same level
+    for d, t in texts.items():
+        raw = t.encode()
+        assert got[d].n_bytes == len(raw)
+        want = len(zlib.compress(raw, 6)) if raw else 0
+        assert got[d].n_compressed == want
+        if raw:
+            assert got[d].ratio == pytest.approx(
+                round(want / len(raw), 6), abs=1e-9
+            )
+
+
+def test_compression_ratio_level_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        C.compression_ratio(df, level=0)
