@@ -4736,6 +4736,100 @@ FROM agg
 """
 
 
+def q_media_video_gif(spark, sf_dir):
+    """Animated-GIF video through the driver gate (the GIF twin of
+    q_media_video_mp4, but STRONGER: GIF is lossless, so beyond the
+    dimensions and frame count the oracle also predicts the SUM of
+    every frame's decoded red channel — certifying the full
+    multi-frame LZW decode + compositing, not just container
+    headers): each channel's quantized pixel bytes split into 4 equal
+    frames, encoded as one animated GIF (sources/gif.py), decoded by
+    extract_media_features(codec='real')'s video path, and
+    pixel-verified by a second decode pass summing all frames.
+
+    Scale shape: one applyInPandas encode per channel + two
+    zero-shuffle mapInPandas decode passes — the media_image_real
+    shape."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    sig = _sig_ch(spark, sf_dir)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pandas_sigproc_spark.sources.gif import encode_gif
+
+        pdf = pdf.sort_values(["t", "seq"])
+        b = (
+            np.trunc(pdf["value"].to_numpy("float64") * 10.0).astype(np.int64) % 256
+        ).astype(np.uint8)
+        per = (len(b) + 3) // 4
+        h = (per + 15) // 16
+        frames = []
+        for fi in range(4):
+            flat = np.zeros(h * 16, dtype=np.uint8)
+            chunk = b[fi * per : (fi + 1) * per]
+            flat[: len(chunk)] = chunk
+            frames.append(
+                np.repeat(flat.reshape(h, 16)[:, :, None], 3, axis=2)
+            )
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["channel_id"].iloc[0])],
+                "kind": ["video"],
+                "payload": [encode_gif(frames, delays_cs=[4] * 4)],
+            }
+        )
+
+    media = sig.groupBy("channel_id").applyInPandas(
+        enc, "media_id long, kind string, payload binary"
+    )
+    feats = extract_media_features(media, codec="real")
+
+    def pix(batches):
+        from pandas_sigproc_spark.sources.gif import decode_gif
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "pixel_sum": [
+                        int(
+                            sum(
+                                f[:, :, 0].sum(dtype="int64")
+                                for f in decode_gif(bytes(p))
+                            )
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    sums = media.mapInPandas(pix, "media_id long, pixel_sum long")
+    return feats.join(sums, "media_id").select(
+        "media_id", "width", "height", "n_frames", "pixel_sum"
+    )
+
+
+SQL_MEDIA_VIDEO_GIF = f"""
+WITH {_SIG_CTE},
+b AS (
+  SELECT channel_id, CAST(TRUNC(value * 10.0) AS BIGINT) % 256 AS pb FROM sig
+),
+agg AS (SELECT channel_id, COUNT(*) AS n, SUM(pb) AS psum FROM b GROUP BY channel_id)
+SELECT CAST(channel_id AS BIGINT) AS media_id,
+       16 AS width,
+       CAST((((n + 3) // 4) + 15) // 16 AS INTEGER) AS height,
+       4 AS n_frames,
+       CAST(psum AS BIGINT) AS pixel_sum
+FROM agg
+"""
+
+
 def q_media_image_jpeg(spark, sf_dir):
     """JPEG sibling of q_media_image_png: the same per-channel gray
     quantization, encoded as baseline JFIF by the from-scratch DCT +
@@ -7240,7 +7334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 15 NEW queries needing first driver proof
+    #   tier B — the 16 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
@@ -7248,26 +7342,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            container ingestion + URL curation; html_extract /
     #            url_canon / gopher_rules / crawl_curate /
     #            zip_extract / media_image_jpeg_prog /
-    #            media_image_gif: crawl-text extraction, URL-level
-    #            dedup keys, the Gopher heuristic filter, the composed
-    #            end-to-end crawl pipeline, ZIP container ingestion,
-    #            the progressive-JPEG parse, and the GIF LZW decode)
-    #            plus queries whose CODE changed this round
-    #            (dedup_embed: band-join width cut; ann_ivf_pq:
-    #            ksub=256 production profile);
-    #   tier C — 18 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 32 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~18 free
+    #            media_image_gif / media_video_gif: crawl-text
+    #            extraction, URL-level dedup keys, the Gopher
+    #            heuristic filter, the composed end-to-end crawl
+    #            pipeline, ZIP container ingestion, the
+    #            progressive-JPEG parse, and the GIF LZW image +
+    #            animation decodes) plus queries whose CODE changed
+    #            this round (dedup_embed: band-join width cut;
+    #            ann_ivf_pq: ksub=256 production profile);
+    #   tier C — 17 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 33 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~17 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 32 r8-greens (fresh through r11; interp_cubic /
-    #            interp_quadratic / interp_cubic_exact /
-    #            detrend_constant / detrend_linear / filt_butter /
-    #            filt_cfc displaced from tier C for the seven new
-    #            gates) and the 48 r9-greens (fresh through r12); the
-    #            local gate (tools/oracle_check.py) keeps their
-    #            coverage.
+    #   below the cap — 33 r8-greens (fresh through r11;
+    #            interp_nearest / interp_cubic / interp_quadratic /
+    #            interp_cubic_exact / detrend_constant /
+    #            detrend_linear / filt_butter / filt_cfc displaced
+    #            from tier C for the eight new gates) and the 48
+    #            r9-greens (fresh through r12); the local gate
+    #            (tools/oracle_check.py) keeps their coverage.
     return {
         # -- tier A: r7 carry-overs (mandatory this round) ----------------
         "mov_rms": q_mov_rms,
@@ -7296,6 +7391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_extract": q_zip_extract,
         "media_image_jpeg_prog": q_media_image_jpeg_prog,
         "media_image_gif": q_media_image_gif,
+        "media_video_gif": q_media_video_gif,
         "domain_cap": q_domain_cap,
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
@@ -7321,10 +7417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deduplicate": q_deduplicate,
         "rss_daily": q_rss_daily,
         "interp_daily": q_interp_daily,
-        "interp_nearest": q_interp_nearest,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (32 r8-greens — ALL must rotate into the r11 window — then the
+        # (33 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "interp_nearest": q_interp_nearest,
         "interp_cubic": q_interp_cubic,
         "interp_quadratic": q_interp_quadratic,
         "interp_cubic_exact": q_interp_cubic_exact,
@@ -7504,6 +7600,7 @@ def oracle_sql() -> dict[str, str]:
         "zip_extract": SQL_ZIP_EXTRACT,
         "media_image_jpeg_prog": SQL_MEDIA_IMAGE_JPEG_PROG,
         "media_image_gif": SQL_MEDIA_IMAGE_GIF,
+        "media_video_gif": SQL_MEDIA_VIDEO_GIF,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,
