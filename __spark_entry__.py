@@ -6848,6 +6848,103 @@ FROM m JOIN cleaned c ON m.doc_id = c.doc_id
 """
 
 
+_PR_ITER = 5
+_PR_D = 0.85
+
+
+def q_link_pagerank(spark, sf_dir):
+    """The crawl LINK-GRAPH pipeline under the hash gate: each sf
+    document becomes an HTML page carrying two deterministic outbound
+    anchors (one double-quoted, one single-quoted href — targets
+    derived from doc_id arithmetic over the 20 source hosts), the
+    edges are extracted NATIVELY (html_links -> explode -> url_host),
+    and host-level PageRank runs 5 fixed power steps
+    (operators/linkgraph.py — the authority prior crawl curation
+    weights corpora by).  The oracle derives the same edges by CASE
+    arithmetic and replays the power iteration as an UNROLLED chain
+    of 5 CTE stages — certifying link extraction, host keying, edge
+    dedup, out-degree math, and the damped update, composed.
+
+    Scale shape: link extraction is a per-row expression tree; each
+    power step is ONE exchange (the contribution groupBy on the
+    destination host) with lineage cut per step (localCheckpoint, the
+    graph.py rule)."""
+    from pandas_sigproc_spark.operators.linkgraph import pagerank
+    from pandas_sigproc_spark.operators.webcrawl import (
+        html_links,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    i = F.col("doc_id").cast("long")
+    h1 = F.concat(F.lit("src"), ((i * 7 + 1) % 20).cast("string"))
+    h2 = F.concat(F.lit("src"), ((i * 13 + 3) % 20).cast("string"))
+    html = F.concat(
+        F.lit('<p>see <a href="http://'),
+        h1,
+        F.lit('.example.com/x">one</a> and <a href=\'http://'),
+        h2,
+        F.lit(".example.com/y'>two</a></p>"),
+    )
+    links = d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(html_links(html)).alias("link"),
+    )
+    edges = links.select(
+        "src", url_host(F.col("link")).alias("dst")
+    )
+    return pagerank(edges, _PR_ITER, damping=_PR_D).select(
+        F.col("node").alias("host"), "rank"
+    )
+
+
+def _sql_link_pagerank() -> str:
+    d = _PR_D
+    base = f"{(1.0 - d)!r}/(SELECT n FROM nn)"
+    stages = []
+    for t in range(_PR_ITER):
+        stages.append(
+            f"""pr{t + 1} AS (
+  SELECT nd.node,
+         {base} + {d!r} * COALESCE(c.contrib, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT ew.dst, SUM(p.rank / ew.outdeg) AS contrib
+    FROM ew JOIN pr{t} p ON ew.src = p.node GROUP BY ew.dst
+  ) c ON nd.node = c.dst
+)"""
+        )
+    return (
+        """
+WITH raw AS (
+  SELECT source || '.example.com' AS src,
+         'src' || CAST((CAST(doc_id AS BIGINT) * 7 + 1) % 20 AS VARCHAR)
+           || '.example.com' AS dst
+  FROM documents
+  UNION ALL
+  SELECT source || '.example.com' AS src,
+         'src' || CAST((CAST(doc_id AS BIGINT) * 13 + 3) % 20 AS VARCHAR)
+           || '.example.com' AS dst
+  FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+"""
+        + ",\n".join(stages)
+        + f"""
+SELECT node AS host, ROUND(rank, 6) AS rank FROM pr{_PR_ITER}
+"""
+    )
+
+
+SQL_LINK_PAGERANK = _sql_link_pagerank()
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination — the constant-memory scale path of
     q_decontaminate: the benchmark slice's distinct 5-gram hashes are
@@ -7334,7 +7431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier A — the 15 r7 carry-overs the r9 ordering promised to
     #            rotate (they age past the 2-round bound the moment
     #            CORRECTNESS_r10.json lands);
-    #   tier B — the 16 NEW queries needing first driver proof
+    #   tier B — the 17 NEW queries needing first driver proof
     #            (audio_fp / audio_fp_pairs: the STFT-replay audio
     #            gate; media_video_dedup: frame-level video near-dup;
     #            incr_phash_store / incr_audio_store: the media-store
@@ -7342,25 +7439,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            container ingestion + URL curation; html_extract /
     #            url_canon / gopher_rules / crawl_curate /
     #            zip_extract / media_image_jpeg_prog /
-    #            media_image_gif / media_video_gif: crawl-text
-    #            extraction, URL-level dedup keys, the Gopher
-    #            heuristic filter, the composed end-to-end crawl
-    #            pipeline, ZIP container ingestion, the
-    #            progressive-JPEG parse, and the GIF LZW image +
-    #            animation decodes) plus queries whose CODE changed
-    #            this round (dedup_embed: band-join width cut;
-    #            ann_ivf_pq: ksub=256 production profile);
-    #   tier C — 17 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 33 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~17 free
+    #            media_image_gif / media_video_gif / link_pagerank:
+    #            crawl-text extraction, URL-level dedup keys, the
+    #            Gopher heuristic filter, the composed end-to-end
+    #            crawl pipeline, ZIP container ingestion, the
+    #            progressive-JPEG parse, the GIF LZW image + animation
+    #            decodes, and the link-graph PageRank composition)
+    #            plus queries whose CODE changed this round
+    #            (dedup_embed: band-join width cut; ann_ivf_pq:
+    #            ksub=256 production profile);
+    #   tier C — 16 of the 50 r8-green queries, rotated early to thin
+    #            the r11 mandatory set (the 34 r8-greens left below the
+    #            cap MUST be in the r11 window, leaving r11 ~16 free
     #            slots); ann_ivf / ann_ivf_int8 sit here because the
     #            ann_ivf_int8 bench regression was adjudicated this
     #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 33 r8-greens (fresh through r11;
+    #   below the cap — 34 r8-greens (fresh through r11; interp_daily /
     #            interp_nearest / interp_cubic / interp_quadratic /
     #            interp_cubic_exact / detrend_constant /
     #            detrend_linear / filt_butter / filt_cfc displaced
-    #            from tier C for the eight new gates) and the 48
+    #            from tier C for the nine new gates) and the 48
     #            r9-greens (fresh through r12); the local gate
     #            (tools/oracle_check.py) keeps their coverage.
     return {
@@ -7392,6 +7490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_jpeg_prog": q_media_image_jpeg_prog,
         "media_image_gif": q_media_image_gif,
         "media_video_gif": q_media_video_gif,
+        "link_pagerank": q_link_pagerank,
         "domain_cap": q_domain_cap,
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
@@ -7416,10 +7515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeshift": q_timeshift,
         "deduplicate": q_deduplicate,
         "rss_daily": q_rss_daily,
-        "interp_daily": q_interp_daily,
         # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (33 r8-greens — ALL must rotate into the r11 window — then the
+        # (34 r8-greens — ALL must rotate into the r11 window — then the
         #  r9 tier, fresh through r12.)
+        "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
         "interp_cubic": q_interp_cubic,
         "interp_quadratic": q_interp_quadratic,
@@ -7601,6 +7700,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_jpeg_prog": SQL_MEDIA_IMAGE_JPEG_PROG,
         "media_image_gif": SQL_MEDIA_IMAGE_GIF,
         "media_video_gif": SQL_MEDIA_VIDEO_GIF,
+        "link_pagerank": SQL_LINK_PAGERANK,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "temp_sample": SQL_TEMP_SAMPLE,
         "pii_scrub": SQL_PII_SCRUB,

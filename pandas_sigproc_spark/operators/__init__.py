@@ -106,11 +106,13 @@ from pandas_sigproc_spark.operators.webdataset import (
     wds_samples,
     zip_members,
 )
+from pandas_sigproc_spark.operators.linkgraph import pagerank
 from pandas_sigproc_spark.operators.webcrawl import (
     canonicalize_url,
     cap_per_domain,
     domain_stats,
     html_escape,
+    html_links,
     html_text,
     url_host,
     warc_documents,
@@ -216,6 +218,8 @@ __all__ = [
     "url_host",
     "html_text",
     "html_escape",
+    "html_links",
+    "pagerank",
     "canonicalize_url",
     "domain_stats",
     "cap_per_domain",

@@ -1,0 +1,98 @@
+"""Link-graph authority scoring — PageRank over crawl edges.
+
+The crawl-curation companion of the URL tier (``operators/webcrawl.py``
+extracts the edges via html_links + url_host): host- or page-level
+PageRank is the classic authority prior used to weight or threshold
+crawl corpora (alongside the content-quality signals in
+``operators/curation.py``).
+
+:func:`pagerank` runs the standard power iteration
+
+    pr_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} pr_t(u) / outdeg(u)
+
+for a FIXED iteration count over an edge DataFrame — the fixed count
+(rather than a convergence test) keeps the computation deterministic
+and lets the DuckDB oracle replay it as an unrolled chain of CTE
+stages (the ``link_pagerank`` gate does exactly that).  Dangling
+nodes (no out-edges) simply leak their mass, the plain textbook
+variant; the redistribution variants are one extra aggregate if a
+deployment wants them.
+
+Scale shape: one shuffle per iteration (the contribution groupBy on
+the destination key) plus one broadcast-sized node table; lineage is
+CUT per iteration with ``localCheckpoint`` (the graph.py rule —
+nested join plans otherwise deepen linearly and OOM the driver at
+real iteration counts), and the previous iteration's checkpoint is
+released.  Host-level graphs are millions of nodes at 100 TB — the
+per-iteration exchange is on the (uniformly hashed) node key, and a
+hot authority (every host links to it) costs one bounded aggregation
+task, not a blow-up, because the contribution sum is a partial-agg
+groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    *,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank after ``iterations`` power steps over distinct
+    ``(src, dst)`` edges: ``(node, rank)``, rank rounded to 6 dp.
+    Nodes are the union of both edge endpoints; self-loops count like
+    any other edge; duplicate edges are collapsed first (a link is a
+    link, not a vote multiplier)."""
+    if iterations < 1:
+        raise ValueError("need iterations >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("need 0 < damping < 1")
+    d = float(damping)
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # (src, dst, outdeg) once — reused every iteration
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    prev = None
+    for _ in range(int(iterations)):
+        contrib = (
+            ew.join(pr, ew["src"] == pr["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr_new = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
+        pr = pr_new
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+__all__ = ["pagerank"]

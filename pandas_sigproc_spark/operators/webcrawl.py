@@ -170,6 +170,32 @@ def html_text(col):
     return F.trim(F.regexp_replace(c, _HTML_WS, " "))
 
 
+# anchor hrefs, both quote styles; Java/RE2 common subset (explicit
+# whitespace class, no lookaround)
+_HREF_DQ = (
+    "(?is)<a\\b[^>]*?[ \\t\\r\\n\\f]href[ \\t\\r\\n\\f]*="
+    "[ \\t\\r\\n\\f]*\"([^\"]*)\""
+)
+_HREF_SQ = (
+    "(?is)<a\\b[^>]*?[ \\t\\r\\n\\f]href[ \\t\\r\\n\\f]*="
+    "[ \\t\\r\\n\\f]*'([^']*)'"
+)
+
+
+def html_links(col):
+    """All anchor ``href`` values of an HTML column, in document order
+    per quote style (double-quoted first, then single-quoted) — the
+    crawl-frontier / link-graph extraction step.  A pure
+    ``regexp_extract_all`` pair (JVM-side, zero Python), patterns held
+    to the Java/RE2 common subset so the DuckDB oracle replays them
+    literally.  Compose with :func:`canonicalize_url` /
+    :func:`url_host` for link-graph edges."""
+    return F.concat(
+        F.regexp_extract_all(col, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(col, F.lit(_HREF_SQ), F.lit(1)),
+    )
+
+
 def html_escape(col):
     """The inverse seam of :func:`html_text`'s entity decode —
     ``& < >`` escaped for embedding text in markup (native replace
@@ -294,6 +320,7 @@ def cap_per_domain(
 
 __all__ = [
     "canonicalize_url",
+    "html_links",
     "cap_per_domain",
     "domain_stats",
     "html_escape",
