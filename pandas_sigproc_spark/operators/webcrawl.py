@@ -171,14 +171,17 @@ def html_text(col):
 
 
 # anchor hrefs, both quote styles; Java/RE2 common subset (explicit
-# whitespace class, no lookaround)
+# whitespace class, no lookaround).  The tag body uses the same
+# quoted-attribute-aware idiom as _HTML_TAG so a '>' inside an earlier
+# attribute value cannot truncate the match and href-like text inside
+# OTHER quoted values cannot fabricate phantom links.
 _HREF_DQ = (
-    "(?is)<a\\b[^>]*?[ \\t\\r\\n\\f]href[ \\t\\r\\n\\f]*="
-    "[ \\t\\r\\n\\f]*\"([^\"]*)\""
+    "(?is)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+    "[ \\t\\r\\n\\f]href[ \\t\\r\\n\\f]*=[ \\t\\r\\n\\f]*\"([^\"]*)\""
 )
 _HREF_SQ = (
-    "(?is)<a\\b[^>]*?[ \\t\\r\\n\\f]href[ \\t\\r\\n\\f]*="
-    "[ \\t\\r\\n\\f]*'([^']*)'"
+    "(?is)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+    "[ \\t\\r\\n\\f]href[ \\t\\r\\n\\f]*=[ \\t\\r\\n\\f]*'([^']*)'"
 )
 
 

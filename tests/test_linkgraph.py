@@ -1,9 +1,7 @@
 """Link extraction (html_links) + PageRank (operators/linkgraph.py)."""
 
-import numpy as np
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from pandas_sigproc_spark.operators.linkgraph import pagerank
 from pandas_sigproc_spark.operators.webcrawl import html_links
@@ -106,3 +104,32 @@ def test_pagerank_validation(spark):
         pagerank(df, 0)
     with pytest.raises(ValueError):
         pagerank(df, 3, damping=1.0)
+
+
+def test_html_links_quoted_attr_edge_cases(spark):
+    # '>' inside an earlier attribute value must not truncate the tag
+    # body; href-like text inside OTHER quoted values must not
+    # fabricate phantom links (review findings, quoted-attr idiom)
+    html = (
+        '<a title="a>b" href="http://u.v/">x</a>'
+        "<a data-x=' href=\"http://fake/\" ' href='http://real/'>y</a>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"h": [html]}))
+    got = df.select(html_links("h").alias("l")).collect()[0].l
+    assert got == ["http://u.v/", "http://real/"]
+
+
+def test_pagerank_empty_graph_raises(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty link graph"):
+        pagerank(df, 3)
+
+
+def test_pagerank_returns_unrounded_ranks(spark):
+    # rounding is the gate's concern; the operator must keep full
+    # precision (at millions of hosts rank ~ 1/N < 1e-6)
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, 1).collect()}
+    want = _py_pagerank([("a", "b")], 1)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
