@@ -150,29 +150,29 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(n_merges):
-            top = (
-                _pair_counts(words)
-                .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["total"] < min_pair_count:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = words.select(
-                "n", _merge_expr(a, b).alias("toks")
-            ).localCheckpoint(eager=True)
-            # eager=True has already materialized nxt's blocks; drop
-            # the PREVIOUS round's checkpoint now instead of leaving K
-            # stale copies of the word table in executor storage until
-            # driver GC gets around to them
-            words.unpersist()
-            words = nxt
-    finally:
-        words.unpersist()
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["total"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        nxt = words.select(
+            "n", _merge_expr(a, b).alias("toks")
+        ).localCheckpoint(eager=True)
+        # eager=True has already materialized nxt's blocks.  Rebinding
+        # `words` drops the last reference to the previous round's
+        # checkpointed RDD, which is what lets the ContextCleaner
+        # reclaim its blocks (Dataset.unpersist does NOT release
+        # localCheckpoint storage — it only consults the CacheManager;
+        # see linkgraph.py for the same lifecycle note).  No K-deep
+        # chain survives because each checkpoint truncated its parent
+        # lineage.
+        words = nxt
     return merges
 
 

@@ -403,7 +403,9 @@ def compression_ratio(
         for pdf in batches:
             ids, nb, nc = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                raw = str(text).encode("utf-8")
+                # NULL text is an empty document (ratio 0.0), not the
+                # 4-byte literal "None"
+                raw = b"" if pd.isna(text) else str(text).encode("utf-8")
                 ids.append(int(did))
                 nb.append(len(raw))
                 nc.append(len(zlib.compress(raw, lv)) if raw else 0)

@@ -150,13 +150,23 @@ def _find_eocd(data: bytes) -> tuple[int, int, int]:
     n = len(data)
     if n < 22:
         raise ValueError("too short to be a ZIP archive")
-    # EOCD is in the last 22 + 65535 bytes (comment max)
+    # EOCD is in the last 22 + 65535 bytes (comment max).  Scan
+    # candidate signatures backwards and accept the first whose
+    # comment length is consistent with the remaining bytes — a
+    # trailing comment may itself contain the 4 signature bytes, and
+    # blindly taking the LAST occurrence would reject a valid archive
+    # (stdlib zipfile applies the same consistency check).
     lo = max(0, n - 22 - 0xFFFF)
-    pos = data.rfind(struct.pack("<I", _EOCD_SIG), lo, n)
+    sig = struct.pack("<I", _EOCD_SIG)
+    pos = data.rfind(sig, lo, n)
+    while pos >= 0:
+        if pos + 22 <= n:
+            (comment_len,) = struct.unpack("<H", data[pos + 20 : pos + 22])
+            if pos + 22 + comment_len == n:
+                break
+        pos = data.rfind(sig, lo, pos)
     if pos < 0:
         raise ValueError("no end-of-central-directory record")
-    if pos + 22 > n:
-        raise ValueError("truncated end-of-central-directory record")
     (
         _sig,
         disk,

@@ -81,13 +81,19 @@ def _split_gzip_members(data: bytes) -> list[bytes]:
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         parts = []
-        while not d.eof and pos < n:
-            chunk = view[pos : pos + _GZ_CHUNK]
-            pos += len(chunk)
-            parts.append(d.decompress(chunk))
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC archive")
-        parts.append(d.flush())
+        # zlib.error -> ValueError so the on_error='skip' contract
+        # (which catches ValueError) survives bit-corrupted members,
+        # matching pkzip._inflate_raw's conversion.
+        try:
+            while not d.eof and pos < n:
+                chunk = view[pos : pos + _GZ_CHUNK]
+                pos += len(chunk)
+                parts.append(d.decompress(chunk))
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC archive")
+            parts.append(d.flush())
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member in WARC archive: {exc}")
         out.append(b"".join(parts))
         pos -= len(d.unused_data)  # rewind the next member's head
     return out
@@ -124,6 +130,10 @@ def decode_warc(data: bytes) -> list[dict]:
             for line in lines[1:]:
                 k, _, v = line.partition(":")
                 fields[k.strip().lower()] = v.strip()
+            if "content-length" not in fields:
+                raise ValueError(
+                    f"WARC record at offset {pos} has no Content-Length"
+                )
             length = int(fields["content-length"])
             body_start = end + 4
             payload = chunk[body_start : body_start + length]

@@ -534,6 +534,20 @@ def test_compression_ratio_ordering_anchors(spark):
             )
 
 
+def test_compression_ratio_null_text_is_empty(spark):
+    # NULL text must behave like an empty document (n_bytes=0, ratio
+    # 0.0), not compress the 4-byte literal "None"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [None, "abc"]}),
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in C.compression_ratio(df).collect()}
+    assert got[0].n_bytes == 0
+    assert got[0].n_compressed == 0
+    assert got[0].ratio == 0.0
+    assert got[1].n_bytes == 3
+
+
 def test_compression_ratio_level_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
     with pytest.raises(ValueError):

@@ -123,6 +123,26 @@ def test_refuses_truncation():
         decode_zip(blob[: len(blob) - 23])
 
 
+def test_comment_containing_eocd_signature():
+    # A trailing archive comment whose bytes happen to contain the
+    # EOCD signature must not shadow the real record: the scan walks
+    # candidates backwards and accepts the one whose comment length is
+    # consistent with the remaining bytes (stdlib-compatible).
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", b"hello world")
+        zf.comment = b"xx" + struct.pack("<I", 0x06054B50) + b"trailing"
+    blob = buf.getvalue()
+    # sanity: the decoy signature really is in the tail
+    assert blob.rfind(struct.pack("<I", 0x06054B50)) > blob.find(
+        struct.pack("<I", 0x06054B50)
+    )
+    got = decode_zip(blob)
+    assert [(m["name"], m["payload"]) for m in got] == [
+        ("a.txt", b"hello world")
+    ]
+
+
 def test_refuses_crc_corruption():
     blob = bytearray(encode_zip([{"name": "a", "payload": b"abcdef"}]))
     # flip a payload byte (local header is 30 + name 1)

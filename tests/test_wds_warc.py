@@ -534,3 +534,36 @@ def test_on_error_skip_tolerates_corrupt_containers(spark):
         warc_documents(archives).count()
     d = warc_documents(archives, on_error="skip").toPandas()
     assert set(d.archive_id) == {0} and list(d.text) == ["x"]
+
+    # bit-corrupted gzip member: zlib raises zlib.error, which must
+    # surface as ValueError so on_error='skip' survives it
+    flipped = bytearray(good_arc)
+    flipped[len(flipped) // 2] ^= 0xFF
+    flipped = bytes(flipped)
+    with pytest.raises(ValueError):
+        decode_warc(flipped)
+    arcs2 = spark.createDataFrame(
+        pd.DataFrame({"archive_id": [0, 1], "payload": [good_arc, flipped]}),
+        "archive_id long, payload binary",
+    )
+    d2 = warc_documents(arcs2, on_error="skip").toPandas()
+    assert set(d2.archive_id) == {0} and list(d2.text) == ["x"]
+
+    # record missing its Content-Length header: ValueError, not KeyError
+    headerless = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://h/1\r\n"
+        b"\r\n"
+        b"x\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        decode_warc(headerless)
+    arcs3 = spark.createDataFrame(
+        pd.DataFrame(
+            {"archive_id": [0, 1], "payload": [good_arc, headerless]}
+        ),
+        "archive_id long, payload binary",
+    )
+    d3 = warc_documents(arcs3, on_error="skip").toPandas()
+    assert set(d3.archive_id) == {0} and list(d3.text) == ["x"]
