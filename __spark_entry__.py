@@ -1678,6 +1678,95 @@ FROM tok
 """
 
 
+def q_lang_id_model(spark, sf_dir):
+    # Model-based language ID (operators/langid.py): a fastText-style
+    # hashed character-trigram linear classifier — per-gram md5 bucket,
+    # broadcast weight-table join, BIGINT milli-weight sums (no float
+    # associativity before the final division), argmax with fixed
+    # priority, 'und' when no gram matches — plus disagreement stats
+    # vs the stopword heuristic (pred_heur, agree).  One shuffle: the
+    # partially-aggregated groupBy(doc_id).
+    from pandas_sigproc_spark.operators.langid import lang_id_model
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return lang_id_model(d)
+
+
+def _sql_lang_id_model() -> str:
+    from pandas_sigproc_spark.operators.langid import (
+        LANG_MODEL_BUCKETS,
+        MODEL_LANGS,
+        lang_model_rows,
+    )
+
+    values = ",\n         ".join(
+        f"({b}, {we}, {wd}, {ws_}, {wf})"
+        for b, we, wd, ws_, wf in lang_model_rows()
+    )
+    sums = ",\n         ".join(
+        f"CAST(SUM(COALESCE(w_{l}, 0)) AS BIGINT) AS s_{l}"
+        for l in MODEL_LANGS
+    )
+    argmax_cases = " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"s_{l} >= s_{o}" for o in MODEL_LANGS if o != l
+        )
+        + f" THEN '{l}'"
+        for l in MODEL_LANGS
+    )
+    scores = ",\n       ".join(
+        f"ROUND(CAST(s_{l} AS DOUBLE) / (n_grams * 1000.0), 6) AS score_{l}"
+        for l in MODEL_LANGS
+    )
+    return f"""
+WITH w(bucket, w_en, w_de, w_es, w_fr) AS (
+  VALUES {values}
+),
+tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CONCAT(' ', TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z]+', ' ', 'g')),
+                ' ') AS s,
+         STRING_SPLIT(text, ' ') AS ws
+  FROM documents
+),
+heur AS (
+  SELECT doc_id, s, {_lang_pred_sql()} AS pred_heur FROM tok
+),
+g AS (
+  SELECT doc_id, pred_heur,
+         UNNEST(list_transform(
+           range(1, GREATEST(LENGTH(s) - 2, 1) + 1),
+           i -> SUBSTRING(s, CAST(i AS INTEGER), 3))) AS g
+  FROM heur
+),
+b AS (
+  SELECT doc_id, pred_heur,
+         CAST(CONCAT('0x', SUBSTR(MD5(g), 1, 15)) AS BIGINT)
+           % {LANG_MODEL_BUCKETS} AS bucket
+  FROM g
+),
+a AS (
+  SELECT doc_id,
+         MIN(pred_heur) AS pred_heur,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN w_en IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         {sums}
+  FROM b LEFT JOIN w USING (bucket)
+  GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN n_hits = 0 THEN 'und' {argmax_cases} END AS pred_lang,
+         {scores},
+         CAST(n_grams AS BIGINT) AS n_grams, n_hits, pred_heur
+  FROM a
+)
+SELECT *, (pred_lang = pred_heur) AS agree FROM p
+"""
+
+
 _TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
 
 
@@ -7501,6 +7590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curate": q_crawl_curate,
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "lang_id_model": q_lang_id_model,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
         "shard_assign": q_shard_assign,
         "seq_pack": q_seq_pack,
@@ -7648,6 +7738,7 @@ def oracle_sql() -> dict[str, str]:
         "psd_dft": SQL_PSD_DFT,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,
+        "lang_id_model": _sql_lang_id_model(),
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY_SCORE,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

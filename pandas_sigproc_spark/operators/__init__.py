@@ -106,6 +106,7 @@ from pandas_sigproc_spark.operators.webdataset import (
     wds_samples,
     zip_members,
 )
+from pandas_sigproc_spark.operators.langid import lang_id_model
 from pandas_sigproc_spark.operators.linkgraph import pagerank
 from pandas_sigproc_spark.operators.webcrawl import (
     canonicalize_url,
@@ -219,6 +220,7 @@ __all__ = [
     "html_text",
     "html_escape",
     "html_links",
+    "lang_id_model",
     "pagerank",
     "canonicalize_url",
     "domain_stats",

@@ -1,0 +1,227 @@
+"""Model-based language identification: a fastText-style hashed
+character-n-gram linear classifier, fully relational.
+
+The heuristic ``lang_id`` (operators/text.py ``lang_pred_expr``) scores
+languages by stopword hits — fine as a coarse gate, wrong on short or
+code-heavy documents that contain few function words.  This module adds
+the model-based tier every production crawl pipeline runs (CCNet /
+RefinedWeb use fastText langid): score label ``l`` as a linear function
+of the document's hashed character n-grams.
+
+Architecture (Joulin et al., "Bag of Tricks for Efficient Text
+Classification", EACL 2017 — the fastText supervised model, collapsed):
+fastText computes ``softmax(W · mean_g E[h(g)])`` over hashed n-grams
+``g``; since ``E`` and ``W`` are both linear maps, the composition
+collapses to ONE per-(bucket, label) table ``M = E·W`` and the label
+score is ``mean_g M[h(g) % B, l]``.  Argmax is invariant under softmax,
+so the classifier IS a hashed-n-gram weight lookup + average + argmax.
+
+This engine ships a FIXED, injected ``M`` (the ``quality_classifier``
+pattern: public architecture, deterministic weights — training a real
+model needs labeled data this sandbox doesn't have).  The lexicon rows
+are characteristic character trigrams per language (public linguistic
+knowledge: " th"/"ing" mark English, "sch"/"ein" German, "que"/" la"
+Romance splits, etc.), hashed into the bucket table exactly like a
+trained fastText model's rows would be.
+
+Determinism contract: weights are INTEGER milli-weights and every
+aggregate is a BIGINT sum — no float associativity anywhere before the
+single final division — so Spark and the DuckDB oracle agree bit-for-bit
+on the argmax and to 6 dp on the reported scores.
+
+Scale shape (100 TB): normalize + trigram explode are map-side; the
+weight table is a broadcast join (56 rows here; at most ``B`` rows by
+construction); the one shuffle is the partially-aggregated
+``groupBy(doc_id)`` whose exchange rows are (doc_id, 6 longs) — width
+independent of document length.  Zero Python anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pandas_sigproc_spark.operators import text as _text
+
+#: Languages the injected model scores, in argmax priority order.
+MODEL_LANGS = ("en", "de", "es", "fr")
+
+#: fastText hashing-trick bucket count (2**20, the fastText default).
+LANG_MODEL_BUCKETS = 1 << 20
+
+#: Characteristic character trigrams per language, most-distinctive
+#: first (weights decay with position).  ASCII [a-z ] only — the
+#: normalizer strips everything else, so any other gram would be dead
+#: weight.  Overlaps across languages are intentional: the collapsed
+#: table M gives shared grams weight in several labels, exactly like a
+#: trained model.
+LANG_MODEL_NGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "ng ", "and", "nd ", " an",
+           " of", "of ", " to", "to ", "ed ", "er "),
+    "de": (" de", "der", "er ", "ein", " ei", "ich", "ch ", "sch",
+           "und", " un", "die", "ie ", "ung", "ten"),
+    "es": (" de", "de ", " la", "la ", "el ", " el", "os ", "as ",
+           "que", " qu", "ue ", "ent", "cio", "ion"),
+    "fr": (" de", "de ", " le", "le ", "es ", "ent", "nt ", " la",
+           "ion", "on ", "que", " qu", "eur", "ais"),
+}
+
+
+def _milliweight(rank: int) -> int:
+    """Integer milli-weight for a lexicon gram by importance rank:
+    1000, 960, 920, ... floored at 200."""
+    return max(1000 - 40 * rank, 200)
+
+
+def lang_model_rows() -> list[tuple[int, int, int, int, int]]:
+    """The collapsed weight table ``M`` as ``(bucket, w_en, w_de,
+    w_es, w_fr)`` rows, bucket-sorted.  Buckets are the SAME md5 hash
+    the query side computes (``conv(substring(md5(g),1,15),16,10) %
+    B``); colliding lexicon grams MERGE by summation — the fastText
+    hashing-trick semantics (collisions share one row of M)."""
+    tbl: dict[int, list[int]] = {}
+    for li, lang in enumerate(MODEL_LANGS):
+        for rank, g in enumerate(LANG_MODEL_NGRAMS[lang]):
+            b = (
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                % LANG_MODEL_BUCKETS
+            )
+            row = tbl.setdefault(b, [0] * len(MODEL_LANGS))
+            row[li] += _milliweight(rank)
+    return sorted((b, *w) for b, w in tbl.items())
+
+
+def normalize_expr(text_col: str = "text") -> Column:
+    """fastText-style normalization: lowercase, non-letters collapse
+    to single spaces, one boundary space each side (so word-initial /
+    word-final trigrams like " th" / "ng " exist at document edges).
+    Pattern is in the Java/RE2 common subset — the DuckDB oracle
+    replays it with the literal same regex (plus DuckDB's 'g' flag;
+    Spark replaces all matches by default)."""
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+    return F.concat(F.lit(" "), F.trim(cleaned), F.lit(" "))
+
+
+def trigrams_expr(norm_col: str = "s") -> Column:
+    """Character trigrams of a normalized column — one substring per
+    position (linear; no per-gram re-split).  A document shorter than
+    3 chars yields its single short prefix, which hashes to an
+    unweighted bucket and scores 'und'."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm_col}) - 2, 1)),"
+        f" i -> substring({norm_col}, i, 3))"
+    )
+
+
+def bucket_expr(gram_col: str = "g") -> Column:
+    """The engine-portable md5 bucket of a gram (60-bit prefix, mod
+    B) — identical in Spark, DuckDB and :func:`lang_model_rows`."""
+    return F.expr(
+        f"cast(conv(substring(md5({gram_col}), 1, 15), 16, 10) as bigint)"
+        f" % {LANG_MODEL_BUCKETS}"
+    )
+
+
+def lang_id_model(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify each document's language with the hashed-trigram linear
+    model AND report disagreement against the stopword heuristic.
+
+    Output: ``(doc_id, pred_lang, score_en, score_de, score_es,
+    score_fr, n_grams, n_hits, pred_heur, agree)`` where ``score_l =
+    round(milli_sum_l / (1000 * n_grams), 6)`` (the mean gram weight),
+    ``n_hits`` counts grams that matched the weight table, and
+    ``pred_lang = 'und'`` when no gram matched.  Ties break in
+    :data:`MODEL_LANGS` priority order, like the heuristic.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        lang_model_rows(),
+        "bucket long, w_en long, w_de long, w_es long, w_fr long",
+    )
+    # The heuristic prediction rides through the per-gram aggregate as
+    # an INT index (decoded back to its label after the groupBy): a
+    # string min() would push the whole aggregate to SortAggregate,
+    # sorting every exploded gram row — int min keeps it a
+    # HashAggregate with map-side partial combine.
+    heur_langs = list(_text.LANG_ORDER) + ["und"]
+    heur_idx = F.lit(None).cast("int")
+    for i, lang in enumerate(heur_langs):
+        heur_idx = F.when(
+            _text.lang_pred_expr("ws") == lang, F.lit(i)
+        ).otherwise(heur_idx)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        normalize_expr(text_col).alias("s"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "s",
+        heur_idx.alias("heur_idx"),
+    )
+    grams = base.select(
+        "doc_id",
+        "heur_idx",
+        F.explode(trigrams_expr("s")).alias("g"),
+    )
+    joined = grams.select(
+        "doc_id", "heur_idx", bucket_expr("g").alias("bucket")
+    ).join(F.broadcast(wdf), "bucket", "left")
+    heur_decode = F.element_at(
+        F.array(*[F.lit(lang) for lang in heur_langs]),
+        F.col("heur_idx") + 1,
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.min("heur_idx").alias("heur_idx"),
+        F.count("*").alias("n_grams"),
+        F.sum(
+            F.when(F.col("w_en").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hits"),
+        *[
+            F.sum(F.coalesce(F.col(f"w_{lang}"), F.lit(0)))
+            .cast("long")
+            .alias(f"s_{lang}")
+            for lang in MODEL_LANGS
+        ],
+    )
+    pred = F.when(F.col("n_hits") == 0, F.lit("und"))
+    for lang in MODEL_LANGS:
+        cond = reduce(
+            and_,
+            [
+                F.col(f"s_{lang}") >= F.col(f"s_{other}")
+                for other in MODEL_LANGS
+                if other != lang
+            ],
+        )
+        pred = pred.when(cond, F.lit(lang))
+    return agg.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[
+            F.round(
+                F.col(f"s_{lang}") / (F.col("n_grams") * F.lit(1000.0)), 6
+            ).alias(f"score_{lang}")
+            for lang in MODEL_LANGS
+        ],
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_hits",
+        heur_decode.alias("pred_heur"),
+        (pred == heur_decode).alias("agree"),
+    )
+
+
+__all__ = [
+    "LANG_MODEL_BUCKETS",
+    "LANG_MODEL_NGRAMS",
+    "MODEL_LANGS",
+    "lang_id_model",
+    "lang_model_rows",
+]
