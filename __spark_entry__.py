@@ -4600,6 +4600,92 @@ FROM ranked r JOIN stats s USING (host)
 """
 
 
+def q_url_blocklist(spark, sf_dir):
+    """URL category-blocklist filter under the hash gate — the
+    RefinedWeb-style adult/malware/ads domain gate (operators/
+    webcrawl.py url_blocklist_filter).  Each sf document gets a
+    deterministic URI whose host (doc_id % 8) exercises every verdict
+    shape: clean hosts, a registrable-domain block hit via a
+    subdomain, the same hit on the bare domain, an exact-host
+    tracking entry that must NOT block its sibling subdomain, a
+    two-level-public-suffix site ("a.spam.co.uk" -> registrable
+    "spam.co.uk", blocked) and its clean co.uk neighbor.  The oracle
+    derives host, registrable domain, category, and verdict
+    INDEPENDENTLY by CASE arithmetic on doc_id — a green row
+    certifies the parse_url host, the PSL suffix logic, and the
+    exact-host-beats-domain precedence, not a replay of the joins.
+
+    Scale shape: two broadcast left joins on map-side string keys —
+    zero shuffle, zero Python; the corpus never moves."""
+    from pandas_sigproc_spark.operators.webcrawl import (
+        url_blocklist_filter,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hosts = [
+        "news.example.org",
+        "x.badnet.example",
+        "badnet.example",
+        "tracker.metrics.example",
+        "safe.metrics.example",
+        "a.spam.co.uk",
+        "good.co.uk",
+        "malware.example",
+    ]
+    host_pick = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]),
+        (F.col("doc_id") % 8).cast("int") + 1,
+    )
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("http://"),
+            host_pick,
+            F.lit("/"),
+            F.col("doc_id").cast("long").cast("string"),
+        ).alias("uri"),
+    )
+    return url_blocklist_filter(docs).select(
+        "doc_id", "host", "registrable", "category", "kept"
+    )
+
+
+# (host, registrable, category-or-None) expected per doc_id % 8 —
+# the oracle derives each column with its own CASE, independent of
+# the engine's parse_url/suffix/join machinery.
+_URL_BLOCKLIST_EXPECT = [
+    ("news.example.org", "example.org", None),
+    ("x.badnet.example", "badnet.example", "ads"),
+    ("badnet.example", "badnet.example", "ads"),
+    ("tracker.metrics.example", "metrics.example", "tracking"),
+    ("safe.metrics.example", "metrics.example", None),
+    ("a.spam.co.uk", "spam.co.uk", "adult"),
+    ("good.co.uk", "good.co.uk", None),
+    ("malware.example", "malware.example", "malware"),
+]
+
+
+def _url_blocklist_case(values) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN "
+        + ("NULL" if v is None else f"'{v}'")
+        for i, v in enumerate(values)
+    )
+    return f"CASE CAST(doc_id % 8 AS INTEGER) {whens} END"
+
+
+SQL_URL_BLOCKLIST = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_url_blocklist_case([e[0] for e in _URL_BLOCKLIST_EXPECT])} AS host,
+       {_url_blocklist_case([e[1] for e in _URL_BLOCKLIST_EXPECT])} AS registrable,
+       {_url_blocklist_case([e[2] for e in _URL_BLOCKLIST_EXPECT])} AS category,
+       ({_url_blocklist_case([e[2] for e in _URL_BLOCKLIST_EXPECT])} IS NULL) AS kept
+FROM documents
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction under the hash gate — the boilerplate
     step between crawl payloads and the text-curation tier.  Each sf
@@ -7591,6 +7677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed": q_dedup_embed,
         "ann_ivf_pq": q_ann_ivf_pq,
         "lang_id_model": q_lang_id_model,
+        "url_blocklist": q_url_blocklist,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
         "shard_assign": q_shard_assign,
         "seq_pack": q_seq_pack,
@@ -7739,6 +7826,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,
         "lang_id_model": _sql_lang_id_model(),
+        "url_blocklist": SQL_URL_BLOCKLIST,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY_SCORE,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -115,6 +115,8 @@ from pandas_sigproc_spark.operators.webcrawl import (
     html_escape,
     html_links,
     html_text,
+    registrable_domain_expr,
+    url_blocklist_filter,
     url_host,
     warc_documents,
     warc_records,
@@ -216,6 +218,8 @@ __all__ = [
     "zip_members",
     "warc_records",
     "warc_documents",
+    "registrable_domain_expr",
+    "url_blocklist_filter",
     "url_host",
     "html_text",
     "html_escape",

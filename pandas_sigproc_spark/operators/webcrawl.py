@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def warc_records(
@@ -321,13 +321,113 @@ def cap_per_domain(
     )
 
 
+#: Two-level public suffixes the registrable-domain extraction treats
+#: as TLD-like ("spam.co.uk" is a site; "co.uk" is not).  A production
+#: deployment broadcasts the full Mozilla Public Suffix List the same
+#: way; this fixed subset keeps the engine deterministic offline.
+TWO_LEVEL_SUFFIXES = (
+    "ac.uk", "co.in", "co.jp", "co.uk", "com.au",
+    "com.br", "gov.uk", "net.au", "org.au", "org.uk",
+)
+
+#: Demo category blocklist: (pattern, category) where pattern matches
+#: either the exact host or the registrable domain (so one entry
+#: covers every subdomain of a blocked site).  Production pipelines
+#: ship curated lists (UT1, RefinedWeb's adult/malware lists) in the
+#: same shape.
+DEFAULT_BLOCKLIST = (
+    ("badnet.example", "ads"),
+    ("malware.example", "malware"),
+    ("spam.co.uk", "adult"),
+    ("tracker.metrics.example", "tracking"),
+)
+
+
+def registrable_domain_expr(host_col) -> Column:
+    """The registrable domain of a host column: the last two labels,
+    or the last three when the two-label tail is a known two-level
+    public suffix (:data:`TWO_LEVEL_SUFFIXES`).  Pure JVM expression
+    tree; a one-label host (``localhost``) is its own registrable
+    domain."""
+    labels = F.split(host_col, "[.]")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2)
+    )
+    last3 = F.concat_ws(
+        ".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3)
+    )
+    return F.when(
+        (n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3
+    ).otherwise(last2)
+
+
+def url_blocklist_filter(
+    docs: DataFrame,
+    blocklist=DEFAULT_BLOCKLIST,
+    *,
+    uri_col: str = "uri",
+) -> DataFrame:
+    """Category-blocklist URL filter — the RefinedWeb-style adult/
+    malware/ads domain gate every production crawl pipeline runs
+    before content-level curation.
+
+    Each ``(pattern, category)`` blocklist entry matches documents
+    whose exact host OR registrable domain equals ``pattern`` (so
+    ``badnet.example`` blocks every subdomain, while an exact-host
+    entry like ``tracker.metrics.example`` leaves its siblings
+    alone).  Exact-host matches win when both apply.  Output: the
+    input columns + ``host``, ``registrable``, ``category`` (null
+    when unblocked), ``kept`` (verdict column — rows are flagged,
+    not dropped, so the gate composes with the other curation
+    filters).  An unparseable URI (null host) is kept.
+
+    Scale shape: two broadcast left joins against the (small,
+    curated) blocklist on string keys derived map-side — zero
+    shuffle, zero Python; the corpus never moves.
+    """
+    entries = [(str(p).lower(), str(c)) for p, c in blocklist]
+    pats = [p for p, _ in entries]
+    if len(set(pats)) != len(pats):
+        dupes = sorted({p for p in pats if pats.count(p) > 1})
+        raise ValueError(f"duplicate blocklist patterns: {dupes}")
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(entries, "pattern string, category string")
+    # try_parse_url, not parse_url: a real crawl carries malformed
+    # URIs, and the filter's contract is "unparseable -> kept", not a
+    # job-killing INVALID_URL (Spark 4 parse_url raises).
+    host = F.lower(F.expr(f"try_parse_url({uri_col}, 'HOST')"))
+    out = docs.withColumn("host", host).withColumn(
+        "registrable", registrable_domain_expr(F.col("host"))
+    )
+    by_host = bdf.select(
+        F.col("pattern").alias("host"),
+        F.col("category").alias("_cat_host"),
+    )
+    by_dom = bdf.select(
+        F.col("pattern").alias("registrable"),
+        F.col("category").alias("_cat_dom"),
+    )
+    return (
+        out.join(F.broadcast(by_host), "host", "left")
+        .join(F.broadcast(by_dom), "registrable", "left")
+        .withColumn("category", F.coalesce("_cat_host", "_cat_dom"))
+        .withColumn("kept", F.col("category").isNull())
+        .drop("_cat_host", "_cat_dom")
+    )
+
+
 __all__ = [
+    "DEFAULT_BLOCKLIST",
+    "TWO_LEVEL_SUFFIXES",
     "canonicalize_url",
     "html_links",
     "cap_per_domain",
     "domain_stats",
     "html_escape",
     "html_text",
+    "registrable_domain_expr",
+    "url_blocklist_filter",
     "url_host",
     "warc_documents",
     "warc_records",

@@ -371,3 +371,104 @@ def test_tracking_params_stripped_case_insensitively(spark):
         "http://a.b/p?k=v",
         "http://a.b/p",
     ]
+
+
+# -- URL category blocklist (operators/webcrawl.py url_blocklist_filter) ----
+
+
+def _uri_df(spark, uris):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(uris)), "uri": uris}),
+        "doc_id long, uri string",
+    )
+
+
+def test_registrable_domain_cases(spark):
+    from pandas_sigproc_spark.operators.webcrawl import (
+        registrable_domain_expr,
+    )
+
+    cases = {
+        "www.news.example.org": "example.org",
+        "example.org": "example.org",
+        "localhost": "localhost",
+        "a.b.spam.co.uk": "spam.co.uk",   # two-level suffix, deep subdomain
+        "spam.co.uk": "spam.co.uk",
+        "co.uk": "co.uk",                 # the bare suffix is its own tail
+        "good.com.au": "good.com.au",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"host": list(cases)}), "host string"
+    )
+    got = {
+        r.host: r.reg
+        for r in df.select(
+            "host", registrable_domain_expr(F.col("host")).alias("reg")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_url_blocklist_filter_verdicts(spark):
+    from pandas_sigproc_spark.operators.webcrawl import (
+        url_blocklist_filter,
+    )
+
+    uris = [
+        "http://news.example.org/1",          # clean
+        "http://x.badnet.example/2",          # registrable-domain hit
+        "http://badnet.example/3",            # bare-domain hit
+        "http://tracker.metrics.example/4",   # exact-host hit
+        "http://safe.metrics.example/5",      # sibling of exact-host: clean
+        "http://a.spam.co.uk/6",              # PSL: registrable spam.co.uk
+        "http://good.co.uk/7",                # PSL: clean co.uk site
+        "not a url",                          # unparseable: kept
+    ]
+    rows = {
+        r.doc_id: r
+        for r in url_blocklist_filter(_uri_df(spark, uris)).collect()
+    }
+    want = {
+        0: (True, None),
+        1: (False, "ads"),
+        2: (False, "ads"),
+        3: (False, "tracking"),
+        4: (True, None),
+        5: (False, "adult"),
+        6: (True, None),
+        7: (True, None),
+    }
+    got = {k: (v.kept, v.category) for k, v in rows.items()}
+    assert got == want
+    assert rows[7].host is None
+
+
+def test_url_blocklist_exact_host_beats_domain(spark):
+    # when one entry blocks the domain and another the exact host,
+    # the exact-host category wins
+    from pandas_sigproc_spark.operators.webcrawl import (
+        url_blocklist_filter,
+    )
+
+    bl = [("site.example", "ads"), ("cdn.site.example", "malware")]
+    rows = url_blocklist_filter(
+        _uri_df(
+            spark,
+            ["http://cdn.site.example/1", "http://www.site.example/2"],
+        ),
+        bl,
+    ).collect()
+    got = {r.doc_id: r.category for r in rows}
+    assert got == {0: "malware", 1: "ads"}
+
+
+def test_url_blocklist_refuses_duplicate_patterns(spark):
+    from pandas_sigproc_spark.operators.webcrawl import (
+        url_blocklist_filter,
+    )
+
+    with pytest.raises(ValueError, match="duplicate"):
+        url_blocklist_filter(
+            _uri_df(spark, ["http://a.example/1"]),
+            [("x.example", "ads"), ("x.example", "adult")],
+        )
