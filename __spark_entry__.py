@@ -6172,6 +6172,175 @@ FROM r
 """
 
 
+# The bpe_pack gate's FIXED merge list: bpe_train(docs, 8) over the
+# sf0.001 corpus, hardcoded so the gate is deterministic at every SF
+# (training at query time would make the plan data-dependent).  Note
+# rank 5 ('er', '</w>') consumes rank 0's output token — the oracle's
+# unrolled rounds must apply in THIS order for the chain to fire.
+_BPE_PACK_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+]
+# BPE tokens are char-level here (~6x whitespace tokens), so the gate
+# runs its own budget constants.
+_BPE_SHARD_TOKENS = 16384
+_BPE_PACK_BUDGET = 2048
+
+
+def q_bpe_pack(spark, sf_dir):
+    """BPE -> shard -> pack, composed as ONE plan (the production
+    packing pipeline: real tokenizer counts, not the whitespace
+    proxy).  bpe_encode_relational applies the fixed 8-merge list as
+    a chain of JVM rewrite folds (operators/bpe.py — the train-side
+    rewrite, equal to the greedy encode and pinned so in
+    tests/test_bpe.py), assign_shards cuts the corpus into
+    token-balanced shards by exact integer prefix sum, and
+    pack_sequences greedily packs each shard stream under the token
+    budget.  The oracle replays tokenization as EIGHT unrolled
+    merge rounds (left-to-right non-overlapping pair rewrite via
+    gaps-and-islands windows — the linkgraph CTE-unroll device),
+    then the identical integer shard/pack arithmetic.
+
+    Scale shape: encode is one map-side expression pass (gate-sized
+    vocab; production vocab uses bpe_encode's broadcast rank table —
+    same downstream plan); shard+pack shapes are q_seq_pack's
+    (distributed prefix sum, shard-bounded pack streams)."""
+    from pandas_sigproc_spark.operators.bpe import bpe_token_counts
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # count path: the distinct-word fold (vocabulary-sized work; an
+    # all-whitespace doc yields no row, which is also what the
+    # oracle's n_tokens > 0 filter derives) — bpe_encode_relational's
+    # per-occurrence fold is the token-identity twin, equality-pinned
+    # in tests/test_bpe.py
+    counts = bpe_token_counts(d, _BPE_PACK_MERGES)
+    sharded = assign_shards(
+        counts, _BPE_SHARD_TOKENS, buckets=_SHARD_BUCKETS
+    )
+    return pack_sequences(
+        sharded,
+        _BPE_PACK_BUDGET,
+        tokens_col="n_tokens",
+        order_col="global_start",
+        group_cols=("shard",),
+    )
+
+
+def _bpe_merge_round_sql(prev: str, out: str, a: str, b: str) -> str:
+    """CTEs for ONE left-to-right non-overlapping (a, b) -> a+b merge
+    pass over (doc_id, wi, ti, tok) rows.  Candidates are positions
+    where (tok, next tok) == (a, b); within a RUN of consecutive
+    candidates (only possible when a == b) the 1st, 3rd, ... fire —
+    exactly the rewrite fold's one-token-lookbehind pairing.  A fired
+    position becomes the merged token; the position after a fired one
+    is absorbed; ti is then renumbered for the next round."""
+    merged = a + b
+    return f"""
+{out}_c AS (
+  SELECT doc_id, wi, ti, tok,
+         COALESCE(tok = '{a}'
+           AND LEAD(tok) OVER (PARTITION BY doc_id, wi ORDER BY ti) = '{b}',
+           FALSE) AS c
+  FROM {prev}
+),
+{out}_g AS (
+  SELECT *, CASE WHEN c THEN ti - ROW_NUMBER()
+         OVER (PARTITION BY doc_id, wi, c ORDER BY ti) END AS grp
+  FROM {out}_c
+),
+{out}_f AS (
+  SELECT doc_id, wi, ti, tok,
+         c AND (ROW_NUMBER()
+           OVER (PARTITION BY doc_id, wi, grp ORDER BY ti) % 2 = 1) AS f
+  FROM {out}_g
+),
+{out} AS (
+  SELECT doc_id, wi,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, wi ORDER BY ti) AS ti,
+         CASE WHEN f THEN '{merged}' ELSE tok END AS tok
+  FROM (
+    SELECT *, COALESCE(LAG(f) OVER (PARTITION BY doc_id, wi ORDER BY ti),
+           FALSE) AS absorbed
+    FROM {out}_f
+  )
+  WHERE NOT absorbed
+)"""
+
+
+def _sql_bpe_pack() -> str:
+    rounds = []
+    prev = "m0"
+    for i, (a, b) in enumerate(_BPE_PACK_MERGES, start=1):
+        rounds.append(_bpe_merge_round_sql(prev, f"m{i}", a, b))
+        prev = f"m{i}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(LOWER(text), '[ \\t\\n\\r\\f\\v]+') AS ws
+  FROM documents
+),
+wd AS (
+  SELECT doc_id, u.wi, u.word
+  FROM base,
+  LATERAL (SELECT UNNEST(ws) AS word, generate_subscripts(ws, 1) AS wi) u
+  WHERE u.word <> ''
+),
+m0 AS (
+  SELECT doc_id, wi, u.ti, u.tok
+  FROM (
+    SELECT doc_id, wi,
+           list_concat(
+             list_transform(range(1, LENGTH(word) + 1),
+               i -> SUBSTRING(word, CAST(i AS INTEGER), 1)),
+             ['</w>']) AS toks
+    FROM wd
+  ) t,
+  LATERAL (SELECT UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS ti) u
+),{rounds_sql},
+cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM {prev} GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, n_tokens,
+         CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_SHARD_BUCKETS} AS INTEGER) AS bucket
+  FROM cnt WHERE n_tokens > 0
+),
+sh AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS gs
+  FROM tok
+),
+o AS (
+  SELECT CAST(gs // {_BPE_SHARD_TOKENS} AS BIGINT) AS shard,
+         CAST(gs AS BIGINT) AS global_start,
+         n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY gs // {_BPE_SHARD_TOKENS} ORDER BY gs) AS rn
+  FROM sh
+),
+r AS (
+  SELECT shard, global_start, n_tokens, rn,
+         0 AS pack_id, 0 AS pack_pos, n_tokens AS run
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.global_start, o.n_tokens, o.rn,
+         CASE WHEN r.run + o.n_tokens > {_BPE_PACK_BUDGET} THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.run + o.n_tokens > {_BPE_PACK_BUDGET} THEN 0 ELSE r.pack_pos + 1 END,
+         CASE WHEN r.run + o.n_tokens > {_BPE_PACK_BUDGET} THEN o.n_tokens ELSE r.run + o.n_tokens END
+  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT shard, global_start, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(pack_id AS INTEGER) AS pack_id, CAST(pack_pos AS INTEGER) AS pack_pos
+FROM r
+"""
+
+
 def q_ann_int8(spark, sf_dir):
     """Scalar-quantized ANN with exact rescore — the memory-bandwidth
     tier of the similarity stack.  Vectors are encoded to int8-range
@@ -6363,6 +6532,50 @@ def q_ann_ivf_pq(spark, sf_dir):
         _persist(_embeds_base(spark, sf_dir)),
         F.col("vec_id") < 50,
         k=3,
+        persist=_persist,
+    )
+
+
+def q_ann_pq_store(spark, sf_dir):
+    """IVF-PQ probing a MATERIALIZED code store — the production
+    lifecycle the ivf_pq_topk docstring promises: the one-time corpus
+    encode (ann.pq_code_table) is written to a committed-batch PQ code
+    store (operators/sigstore.py write_pq_code_store — the media-store
+    protocol with (m, ksub, nlist) baked into the kind string so a
+    parameter mismatch refuses loudly), read back, and passed to
+    ivf_pq_topk(code_table=...), which then never re-encodes a corpus
+    vector.  Store==recompute equality IS the gate: the oracle is the
+    ann_ivf_pq SQL unchanged, so a green hash proves the stored probe
+    path returns bit-identical results to the recompute path.
+
+    Scale shape: the encode pass reads every vector once and writes m
+    bytes + a list id per vector; the probe reads ONLY that table plus
+    the <= funnel rescore rows — at 100 TB this is the difference
+    between re-encoding the corpus per query batch and a parquet scan
+    of m-byte rows."""
+    import os
+    import shutil
+
+    from pandas_sigproc_spark.operators.sigstore import (
+        read_pq_code_store,
+        write_pq_code_store,
+    )
+
+    base = _persist(_embeds_base(spark, sf_dir))
+    codes = _ann.pq_code_table(base)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".pqstore_gate", sf_tag
+    )
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per call
+    params = dict(m=_ann.PQ_M, ksub=_ann.PQ_KSUB, nlist=_ann.IVF_NLIST)
+    write_pq_code_store(codes, path, **params)
+    store = read_pq_code_store(spark, path, **params)
+    return _ann.ivf_pq_topk(
+        base,
+        F.col("vec_id") < 50,
+        k=3,
+        code_table=store,
         persist=_persist,
     )
 
@@ -7678,6 +7891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "lang_id_model": q_lang_id_model,
         "url_blocklist": q_url_blocklist,
+        "bpe_pack": q_bpe_pack,
+        "ann_pq_store": q_ann_pq_store,
         # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
         "shard_assign": q_shard_assign,
         "seq_pack": q_seq_pack,
@@ -7827,6 +8042,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "lang_id_model": _sql_lang_id_model(),
         "url_blocklist": SQL_URL_BLOCKLIST,
+        "bpe_pack": _sql_bpe_pack(),
+        # store==recompute: the PQ-store probe must hash-match the
+        # plain ivf_pq_topk oracle exactly
+        "ann_pq_store": SQL_ANN_IVF_PQ,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY_SCORE,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -60,6 +60,7 @@ from pandas_sigproc_spark.operators.ann import (
     ivf_topk,
     int8_lsh_topk,
     ivf_pq_topk,
+    pq_code_table,
     ivf_sq8_topk,
     embedding_near_pairs,
     centroids_from_kmeans,
@@ -100,7 +101,12 @@ from .imagedup import (
     video_near_pairs,
 )
 from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
-from pandas_sigproc_spark.operators.bpe import bpe_encode, bpe_train
+from pandas_sigproc_spark.operators.bpe import (
+    bpe_encode,
+    bpe_encode_relational,
+    bpe_token_counts,
+    bpe_train,
+)
 from pandas_sigproc_spark.operators.webdataset import (
     wds_members,
     wds_samples,
@@ -132,6 +138,9 @@ from pandas_sigproc_spark.operators.sigstore import (
     write_media_hash_store,
     read_media_hash_store,
     compact_media_hash_store,
+    write_pq_code_store,
+    read_pq_code_store,
+    compact_pq_code_store,
 )
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
@@ -188,6 +197,7 @@ __all__ = [
     "ivf_topk",
     "int8_lsh_topk",
     "ivf_pq_topk",
+    "pq_code_table",
     "ivf_sq8_topk",
     "embedding_near_pairs",
     "centroids_from_kmeans",
@@ -213,6 +223,8 @@ __all__ = [
     "assign_shards",
     "bpe_train",
     "bpe_encode",
+    "bpe_encode_relational",
+    "bpe_token_counts",
     "wds_members",
     "wds_samples",
     "zip_members",
@@ -254,6 +266,9 @@ __all__ = [
     "compact_signature_store",
     "incremental_dedup_from_store",
     "write_media_hash_store",
+    "write_pq_code_store",
+    "read_pq_code_store",
+    "compact_pq_code_store",
     "read_media_hash_store",
     "compact_media_hash_store",
     "temperature_thresholds",

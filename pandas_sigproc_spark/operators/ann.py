@@ -680,6 +680,100 @@ def pq_lut_expr(u: Column, cbv: Column, *, m: int, sub: int) -> Column:
     return F.array(*[_row(j) for j in range(m)])
 
 
+def _pq_codebook(
+    vecs: DataFrame,
+    codebook_pred: Column,
+    codebook: DataFrame | None,
+    u_expr: Column,
+) -> DataFrame:
+    """The ONE-row broadcastable codebook table ``(cbv: array of ksub
+    normalized vectors, cb_id order)`` shared by the corpus encode and
+    the query-side LUT."""
+    if codebook is not None:
+        cb_nrm = F.sqrt(_sq_norm(F.col("cv")))
+        cb_src = codebook.select(
+            F.col("cb_id").cast("long").alias("_id"),
+            F.transform("cv", lambda x: x / cb_nrm).alias("u"),
+        )
+    else:
+        cb_src = vecs.filter(codebook_pred).select(
+            F.col("vec_id").alias("_id"), u_expr.alias("u")
+        )
+    return cb_src.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_id", "u"))),
+            lambda st: st["u"],
+        ).alias("cbv")
+    )
+
+
+def _pq_code_table(
+    vecs: DataFrame,
+    centroid_pred: Column,
+    centroids: DataFrame | None,
+    cb: DataFrame,
+    u_expr: Column,
+    *,
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """Corpus-side IVF-PQ encode: ``(vec_id, codes array<int>,
+    list_id)``.  u is projected as a NAMED column in its own select so
+    the m*ksub distance folds reference it instead of inlining the
+    normalization fold m*ksub times (CollapseProject keeps
+    multiply-referenced non-cheap expressions materialized)."""
+    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
+    return (
+        ea.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            u_expr.alias("u"),
+            ranked[0]["cid"].alias("list_id"),
+            "cbv",
+        )
+        .select(
+            "vec_id",
+            pq_codes_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias(
+                "codes"
+            ),
+            "list_id",
+        )
+    )
+
+
+def pq_code_table(
+    vecs: DataFrame,
+    *,
+    nlist: int = IVF_NLIST,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = LSH_DIM,
+    centroid_pred: Column | None = None,
+    centroids: DataFrame | None = None,
+    codebook_pred: Column | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE-TIME-PER-CORPUS IVF-PQ encode as a standalone pass:
+    ``(vec_id, codes array<int>, list_id)`` — exactly the corpus-side
+    table :func:`ivf_pq_topk` derives internally, exposed so it can be
+    MATERIALIZED (``sigstore.write_pq_code_store``) and probed without
+    re-encoding (``ivf_pq_topk(code_table=...)``).  At 100 TB the
+    encode reads every vector once and writes ``m`` bytes + a list id
+    per vector; every later query reads only that."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if centroid_pred is None:
+        centroid_pred = F.col("vec_id") < nlist
+    if codebook_pred is None:
+        codebook_pred = F.col("vec_id") < ksub
+    nrm = F.sqrt(_sq_norm(F.col("v")))
+    u_expr = F.transform("v", lambda x: x / nrm)
+    cb = _pq_codebook(vecs, codebook_pred, codebook, u_expr)
+    return _pq_code_table(
+        vecs, centroid_pred, centroids, cb, u_expr, m=m, sub=dim // m
+    )
+
+
 def ivf_pq_topk(
     vecs: DataFrame,
     probe_pred: Column,
@@ -695,6 +789,7 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     codebook_pred: Column | None = None,
     codebook: DataFrame | None = None,
+    code_table: DataFrame | None = None,
     persist=None,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer candidate selection + product-quantized
@@ -729,9 +824,14 @@ def ivf_pq_topk(
     change funnel membership).
 
     Scale shape: codebook and coarse centroids are one broadcast row
-    each; the corpus-side persisted table is ``(vec_id, codes[m],
-    list_id)`` — the 100 TB scan touches only that; full vectors are
-    fetched for the <= funnel rows/query rescore alone.
+    each; the corpus-side table is ``(vec_id, codes[m], list_id)`` —
+    the 100 TB scan touches only that; full vectors are fetched for
+    the <= funnel rows/query rescore alone.  The encode is
+    one-time-per-corpus: materialize it with :func:`pq_code_table` +
+    ``sigstore.write_pq_code_store`` and pass the read-back table as
+    ``code_table`` to probe without re-encoding (store==recompute
+    equality is pinned in tests/test_mediastore.py and the
+    ``ann_pq_store`` gate).
     """
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -744,46 +844,25 @@ def ivf_pq_topk(
 
     nrm = F.sqrt(_sq_norm(F.col("v")))
     u_expr = F.transform("v", lambda x: x / nrm)
-    if codebook is not None:
-        cb_nrm = F.sqrt(_sq_norm(F.col("cv")))
-        cb_src = codebook.select(
-            F.col("cb_id").cast("long").alias("_id"),
-            F.transform("cv", lambda x: x / cb_nrm).alias("u"),
-        )
-    else:
-        cb_src = vecs.filter(codebook_pred).select(
-            F.col("vec_id").alias("_id"), u_expr.alias("u")
-        )
-    cb = cb_src.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_id", "u"))),
-            lambda st: st["u"],
-        ).alias("cbv")
-    )
+    cb = _pq_codebook(vecs, codebook_pred, codebook, u_expr)
 
-    # corpus side: (vec_id, codes, list_id) — coarse-assign on the raw
-    # vector (cosine is norm-invariant), PQ-encode the normalized one.
-    # u is projected as a NAMED column in its own select so the m*ksub
-    # distance folds reference it instead of inlining the normalization
-    # fold m*ksub times (CollapseProject keeps multiply-referenced
-    # non-cheap expressions materialized).
-    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
-    lists = persist(
-        ea.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            u_expr.alias("u"),
-            ranked[0]["cid"].alias("list_id"),
-            "cbv",
+    if code_table is not None:
+        # pre-encoded (vec_id, codes, list_id) — the materialized
+        # one-time-per-corpus encode (pq_code_table -> the PQ code
+        # store); MUST have been built with the same codebook/coarse
+        # centroids and (m, ksub, nlist) — the store's kind string
+        # pins the int parameters, the codebook provenance is the
+        # caller's contract (sigstore.write_pq_code_store docs)
+        lists = code_table
+    else:
+        # corpus side: (vec_id, codes, list_id) — coarse-assign on the
+        # raw vector (cosine is norm-invariant), PQ-encode the
+        # normalized one.
+        lists = persist(
+            _pq_code_table(
+                vecs, centroid_pred, centroids, cb, u_expr, m=m, sub=sub
+            )
         )
-        .select(
-            "vec_id",
-            pq_codes_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias(
-                "codes"
-            ),
-            "list_id",
-        )
-    )
 
     # probe side: tiny — rebuild the centroid ranking and the ADC LUT
     # for the query rows alone

@@ -88,11 +88,14 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def _merge_expr(a: str, b: str) -> F.Column:
+def _merge_expr(a: str, b: str, toks: F.Column | None = None) -> F.Column:
     """Rewrite a token array replacing every adjacent (a, b) with a+b —
     a single left fold carrying a one-token lookbehind (``prev``), so
     overlapping occurrences resolve left-to-right exactly like the
-    reference implementation.  Pure JVM; no Python, no shuffle."""
+    reference implementation.  Pure JVM; no Python, no shuffle.
+    ``toks`` defaults to the training word table's column; pass an
+    arbitrary array column to chain rewrites (bpe_encode_relational).
+    """
     la, lb = F.lit(a), F.lit(b)
     merged = F.lit(a + b)
     step = lambda acc, x: (  # noqa: E731
@@ -121,7 +124,9 @@ def _merge_expr(a: str, b: str) -> F.Column:
     fin = lambda acc: F.when(  # noqa: E731
         acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
     ).otherwise(acc["out"])
-    return F.aggregate(F.col("toks"), init, step, fin)
+    return F.aggregate(
+        F.col("toks") if toks is None else toks, init, step, fin
+    )
 
 
 def bpe_train(
@@ -232,4 +237,118 @@ def bpe_encode(
     )
 
 
-__all__ = ["EOW", "bpe_encode", "bpe_train"]
+def _word_tokens_expr(w: F.Column) -> F.Column:
+    """Character split + the end-of-word sentinel, for an arbitrary
+    word column (the lambda-side twin of :func:`_initial_tokens`)."""
+    chars = F.filter(F.split(w, ""), lambda c: c != "")
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def bpe_encode_relational(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relational twin of :func:`bpe_encode` for SMALL, FIXED merge
+    lists: the train-side rewrite fold (:func:`_merge_expr`) applied
+    in rank order as ONE JVM expression tree — zero Python, and
+    therefore replayable by the DuckDB oracle (the ``bpe_pack`` gate).
+
+    Sequential rank-order application equals the greedy
+    lowest-rank-first loop of :func:`bpe_encode`: a merge's output
+    token can only appear in LATER-ranked merges (the pair ``(a, b)``
+    had to exist before any merge containing ``a+b`` was learned), so
+    by the time rank ``k`` applies, no earlier-ranked pair can ever
+    re-form — equality is pinned against :func:`bpe_encode` across the
+    corpus in tests/test_bpe.py.
+
+    Intended for gates, tests, and short demo vocabularies: each merge
+    nests one more fold into the expression tree, so a 32k-merge
+    production vocabulary belongs in :func:`bpe_encode` (a broadcast
+    rank table), not here.  Output schema matches :func:`bpe_encode`:
+    ``(doc_id, n_tokens, tokens array<string>)``.
+    """
+    if len(merges) > 64:
+        raise ValueError(
+            f"{len(merges)} merges would nest {len(merges)} folds into "
+            "one expression tree — use bpe_encode for real vocabularies"
+        )
+
+    def encode_word(w: F.Column) -> F.Column:
+        toks = _word_tokens_expr(w)
+        for a, b in merges:
+            toks = _merge_expr(a, b, toks)
+        return toks
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    toks = F.flatten(F.transform(words, encode_word))
+    # two projections, not one: referencing the fold tree twice
+    # (size + passthrough) would evaluate it twice — higher-order
+    # functions get no common-subexpression elimination, and
+    # CollapseProject leaves non-cheap multi-referenced aliases alone
+    enc = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("tokens"),
+    )
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_tokens)`` under a fixed merge list, via the
+    DISTINCT-WORD table — the scale path for count-only consumers
+    (shard assignment, packing): the rewrite fold runs once per
+    VOCABULARY word (the ``bpe_train`` work shape — orders of
+    magnitude fewer rows than word occurrences), token lengths join
+    back to the (doc, word) occurrence rows, and a partial-agg'd
+    groupBy sums per document.  Versus :func:`bpe_encode_relational`'s
+    per-occurrence fold this traded one narrow shuffle for a ~20x wall
+    cut at sf0.1 (measured; the interpreted HOF fold dominates
+    otherwise).  A document with no words (all-whitespace text) yields
+    NO row, matching a relational tokenize-then-count replay.
+    """
+    if len(merges) > 64:
+        raise ValueError(
+            f"{len(merges)} merges would nest {len(merges)} folds into "
+            "one expression tree — use bpe_encode for real vocabularies"
+        )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    occ = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(words).alias("word"),
+    )
+    wt = occ.select("word").distinct().select(
+        "word", _word_tokens_expr(F.col("word")).alias("toks")
+    )
+    for a, b in merges:
+        wt = wt.select("word", _merge_expr(a, b).alias("toks"))
+    wlen = wt.select("word", F.size("toks").cast("long").alias("wlen"))
+    return (
+        occ.join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("wlen").cast("long").alias("n_tokens"))
+    )
+
+
+__all__ = [
+    "EOW",
+    "bpe_encode",
+    "bpe_encode_relational",
+    "bpe_token_counts",
+    "bpe_train",
+]

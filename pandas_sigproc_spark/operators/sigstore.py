@@ -523,6 +523,82 @@ def compact_media_hash_store(
             fs.delete(st.getPath(), True)
 
 
+# ---------------------------------------------------------------------------
+# PQ code store — the materialized one-time-per-corpus IVF-PQ encode
+# (ann.pq_code_table: (vec_id, codes[m], list_id)), stored under the
+# SAME batch-commit protocol as the media hash stores.  The kind string
+# bakes in (m, ksub, nlist): probing codes produced under different PQ
+# parameters is the modality-mismatch analog (the ints cannot reveal
+# it), so the existing kind-equality check enforces parameter equality
+# for free.  Codebook PROVENANCE (which rows / trained codebook seeded
+# the quantizers) is the caller's contract: pair a store with the same
+# codebook/centroid source its encode used, exactly as a FAISS index
+# file pairs with its trained quantizers.
+# ---------------------------------------------------------------------------
+
+
+def pq_store_kind(*, m: int, ksub: int, nlist: int) -> str:
+    return f"pq_codes:m={int(m)}:ksub={int(ksub)}:nlist={int(nlist)}"
+
+
+def write_pq_code_store(
+    codes: DataFrame,
+    path: str,
+    *,
+    m: int,
+    ksub: int,
+    nlist: int,
+    mode: str = "overwrite",
+    partitions: int | None = None,
+) -> None:
+    """Write/append a ``(vec_id, codes, list_id)`` table (the
+    ``ann.pq_code_table`` output) as a committed batch.  Same
+    atomicity as the media hash stores; ``append`` is the daily-delta
+    path (new vectors encoded against the SAME quantizers)."""
+    want = {"vec_id", "codes", "list_id"}
+    if not want.issubset(codes.columns):
+        raise ValueError(
+            f"PQ code table needs columns {sorted(want)}; got {codes.columns}"
+        )
+    write_media_hash_store(
+        codes.select("vec_id", "codes", "list_id"),
+        path,
+        kind=pq_store_kind(m=m, ksub=ksub, nlist=nlist),
+        hash_col="vec_id",
+        mode=mode,
+        partitions=partitions,
+    )
+
+
+def read_pq_code_store(
+    spark: SparkSession, path: str, *, m: int, ksub: int, nlist: int
+) -> DataFrame:
+    """Open a PQ code store — only committed batches are visible, and
+    a (m, ksub, nlist) mismatch refuses loudly via the kind check."""
+    return read_media_hash_store(
+        spark, path, kind=pq_store_kind(m=m, ksub=ksub, nlist=nlist)
+    )
+
+
+def compact_pq_code_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    m: int,
+    ksub: int,
+    nlist: int,
+    partitions: int | None = None,
+) -> None:
+    """Rewrite append-accumulated batch dirs into one balanced batch
+    (crash-safe, orphan-sweeping — the media-store compaction)."""
+    compact_media_hash_store(
+        spark,
+        path,
+        kind=pq_store_kind(m=m, ksub=ksub, nlist=nlist),
+        partitions=partitions,
+    )
+
+
 __all__ = [
     "SignatureStore",
     "signature_tables",
@@ -533,4 +609,8 @@ __all__ = [
     "write_media_hash_store",
     "read_media_hash_store",
     "compact_media_hash_store",
+    "write_pq_code_store",
+    "read_pq_code_store",
+    "compact_pq_code_store",
+    "pq_store_kind",
 ]

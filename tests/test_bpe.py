@@ -156,3 +156,185 @@ def test_validation(spark):
         bpe_train(docs, 0)
     # early stop: nothing repeats, min_pair_count=2 finds no merge
     assert bpe_train(docs, 5) == []
+
+
+def test_relational_encode_equals_python_encode(spark):
+    """bpe_encode_relational (the train-side rewrite fold applied in
+    rank order — the bpe_pack gate's engine) must produce EXACTLY the
+    greedy bpe_encode tokenization, corpus-wide."""
+    import duckdb
+
+    from pandas_sigproc_spark.operators.bpe import bpe_encode_relational
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+            " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    docs = _docs_df(spark, texts)
+    merges = bpe_train(docs, 12)
+    a = {
+        r.doc_id: (r.n_tokens, tuple(r.tokens))
+        for r in bpe_encode(docs, merges).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, tuple(r.tokens))
+        for r in bpe_encode_relational(docs, merges).collect()
+    }
+    assert a == b
+
+
+def test_relational_encode_self_merge_runs(spark):
+    # a == b merges are where sequential-vs-greedy equality is
+    # subtlest: runs pair left-to-right non-overlapping
+    from pandas_sigproc_spark.operators.bpe import bpe_encode_relational
+
+    docs = _docs_df(spark, ["aaa aaaa aaaaa a"])
+    merges = [("a", "a"), ("aa", "aa")]
+    got = {
+        r.doc_id: tuple(r.tokens)
+        for r in bpe_encode_relational(docs, merges).collect()
+    }
+    want = {
+        r.doc_id: tuple(r.tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == want
+    # aaa -> [aa, a]; aaaa -> [aa, aa] -> [aaaa]; aaaaa -> [aaaa, a]
+    assert got[0] == (
+        "aa", "a", EOW, "aaaa", EOW, "aaaa", "a", EOW, "a", EOW
+    )
+
+
+def test_relational_encode_refuses_big_vocab(spark):
+    from pandas_sigproc_spark.operators.bpe import bpe_encode_relational
+
+    docs = _docs_df(spark, ["x"])
+    with pytest.raises(ValueError, match="bpe_encode"):
+        bpe_encode_relational(docs, [("a", str(i)) for i in range(65)])
+
+
+def test_bpe_pack_composition_matches_reference(spark):
+    """bpe_encode -> assign_shards -> pack_sequences as one plan,
+    checked against a pure-Python replay of all three stages."""
+    import hashlib
+
+    import duckdb
+
+    from pandas_sigproc_spark.operators.bpe import bpe_encode_relational
+    from pandas_sigproc_spark.operators.packing import (
+        assign_shards,
+        pack_sequences,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+            " ORDER BY doc_id LIMIT 120"
+        ).fetchall()
+    ]
+    docs = _docs_df(spark, texts)
+    merges = bpe_train(docs, 8)
+    shard_tokens, budget, buckets = 4096, 512, 16
+
+    enc = bpe_encode_relational(docs, merges)
+    sharded = assign_shards(
+        enc.select("doc_id", "n_tokens"), shard_tokens, buckets=buckets
+    )
+    packed = pack_sequences(
+        sharded,
+        budget,
+        tokens_col="n_tokens",
+        order_col="global_start",
+        group_cols=("shard",),
+    )
+    got = {
+        r.global_start: (r.shard, r.n_tokens, r.pack_id, r.pack_pos)
+        for r in packed.collect()
+    }
+
+    # pure-Python replay: greedy encode per word, md5-bucket layout,
+    # integer prefix sum, greedy packing
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def enc_word(w):
+        toks = list(w) + [EOW]
+        while len(toks) >= 2:
+            best = min(
+                (
+                    (ranks[(toks[i], toks[i + 1])], i)
+                    for i in range(len(toks) - 1)
+                    if (toks[i], toks[i + 1]) in ranks
+                ),
+                default=None,
+            )
+            if best is None:
+                break
+            i = best[1]
+            toks[i : i + 2] = [toks[i] + toks[i + 1]]
+        return toks
+
+    import re
+
+    counts = {}
+    for did, t in enumerate(texts):
+        n = sum(
+            len(enc_word(w))
+            for w in re.split(r"\s+", t.lower(), flags=re.ASCII)
+            if w
+        )
+        if n > 0:
+            counts[did] = n
+    order = sorted(
+        counts,
+        key=lambda d: (
+            int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % buckets,
+            d,
+        ),
+    )
+    want, gs = {}, 0
+    state = {}  # shard -> (pack, pos, run)
+    for d in order:
+        n = counts[d]
+        shard = gs // shard_tokens
+        pack, pos, run = state.get(shard, (0, 0, 0))
+        if pos > 0 and run + n > budget:
+            pack, pos, run = pack + 1, 0, 0
+        want[gs] = (shard, n, pack, pos)
+        state[shard] = (pack, pos + 1, run + n)
+        gs += n
+    assert got == want
+
+
+def test_token_counts_equal_encode_sizes(spark):
+    """bpe_token_counts (the distinct-word scale path) must agree with
+    bpe_encode's per-document token totals exactly — and drop docs
+    with no words."""
+    import duckdb
+
+    from pandas_sigproc_spark.operators.bpe import bpe_token_counts
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+            " ORDER BY doc_id LIMIT 200"
+        ).fetchall()
+    ] + ["   ", ""]
+    docs = _docs_df(spark, texts)
+    merges = bpe_train(docs, 10)
+    want = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode(docs, merges).collect()
+        if r.n_tokens > 0
+    }
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert got == want
+    assert len(texts) - 2 not in got  # "   " has no words
+    assert len(texts) - 1 not in got  # "" has no words

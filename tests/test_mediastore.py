@@ -299,3 +299,117 @@ def test_incremental_audio_dedup_from_store(spark, tmp_path):
     assert not bool(row.loc[13, "kept"])
     # silence: zero hashes -> vacuously kept, n_fp 0
     assert row.loc[14, "n_fp"] == 0 and bool(row.loc[14, "kept"])
+
+
+# -- PQ code store (the materialized IVF-PQ encode) --------------------------
+
+
+def _pq_vecs(spark, n=300, dim=16):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "v": [row.tolist() for row in base]}
+    )
+    return spark.createDataFrame(pdf, "vec_id long, v array<double>")
+
+
+_PQ_KW = dict(nlist=8, m=4, ksub=16, dim=16)
+_PQ_STORE_KW = dict(m=4, ksub=16, nlist=8)
+
+
+def test_pq_store_probe_equals_recompute(spark, tmp_path):
+    from pandas_sigproc_spark.operators.ann import ivf_pq_topk, pq_code_table
+    from pandas_sigproc_spark.operators.sigstore import (
+        read_pq_code_store,
+        write_pq_code_store,
+    )
+
+    vecs = _pq_vecs(spark)
+    vecs.persist().count()
+    try:
+        codes = pq_code_table(vecs, **_PQ_KW)
+        path = str(tmp_path / "pqstore")
+        write_pq_code_store(codes, path, **_PQ_STORE_KW, partitions=4)
+        store = read_pq_code_store(spark, path, **_PQ_STORE_KW)
+        # the stored table is the encode, bit-for-bit
+        assert sorted(
+            (r.vec_id, tuple(r.codes), r.list_id) for r in store.collect()
+        ) == sorted(
+            (r.vec_id, tuple(r.codes), r.list_id) for r in codes.collect()
+        )
+        # probing the store returns exactly the recompute path's answer
+        probe = F.col("vec_id") < 20
+        got = ivf_pq_topk(
+            vecs, probe, k=3, nprobe=4, code_table=store, **_PQ_KW
+        )
+        want = ivf_pq_topk(vecs, probe, k=3, nprobe=4, **_PQ_KW)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        vecs.unpersist()
+
+
+def test_pq_store_refuses_parameter_mismatch(spark, tmp_path):
+    from pandas_sigproc_spark.operators.ann import pq_code_table
+    from pandas_sigproc_spark.operators.sigstore import (
+        read_pq_code_store,
+        write_pq_code_store,
+    )
+
+    vecs = _pq_vecs(spark, n=40)
+    codes = pq_code_table(vecs, **_PQ_KW)
+    path = str(tmp_path / "pqstore")
+    write_pq_code_store(codes, path, **_PQ_STORE_KW, partitions=2)
+    # any of (m, ksub, nlist) off by anything refuses loudly
+    with pytest.raises(ValueError, match="kind"):
+        read_pq_code_store(spark, path, m=8, ksub=16, nlist=8)
+    with pytest.raises(ValueError, match="kind"):
+        read_pq_code_store(spark, path, m=4, ksub=32, nlist=8)
+    with pytest.raises(ValueError, match="kind"):
+        read_pq_code_store(spark, path, m=4, ksub=16, nlist=4)
+    # and a missing column refuses before touching the store
+    with pytest.raises(ValueError, match="columns"):
+        write_pq_code_store(
+            codes.drop("list_id"), str(tmp_path / "bad"), **_PQ_STORE_KW
+        )
+
+
+def test_pq_store_append_and_compact(spark, tmp_path):
+    from pandas_sigproc_spark.operators.ann import pq_code_table
+    from pandas_sigproc_spark.operators.sigstore import (
+        compact_pq_code_store,
+        read_pq_code_store,
+        write_pq_code_store,
+    )
+
+    vecs = _pq_vecs(spark)
+    codes = pq_code_table(vecs, **_PQ_KW)
+    codes.persist().count()
+    try:
+        path = str(tmp_path / "pqstore")
+        write_pq_code_store(
+            codes.filter("vec_id % 2 = 0"), path, **_PQ_STORE_KW, partitions=2
+        )
+        write_pq_code_store(
+            codes.filter("vec_id % 2 = 1"), path, **_PQ_STORE_KW,
+            mode="append", partitions=2,
+        )
+        want = sorted(
+            (r.vec_id, tuple(r.codes), r.list_id) for r in codes.collect()
+        )
+        got = sorted(
+            (r.vec_id, tuple(r.codes), r.list_id)
+            for r in read_pq_code_store(spark, path, **_PQ_STORE_KW).collect()
+        )
+        assert got == want
+        compact_pq_code_store(spark, path, **_PQ_STORE_KW, partitions=2)
+        batches = glob.glob(os.path.join(path, "hashes", "batch=*"))
+        assert len(batches) == 1
+        got2 = sorted(
+            (r.vec_id, tuple(r.codes), r.list_id)
+            for r in read_pq_code_store(spark, path, **_PQ_STORE_KW).collect()
+        )
+        assert got2 == want
+    finally:
+        codes.unpersist()

@@ -154,6 +154,7 @@ def test_readme_snippets_execute(spark, tmp_path):
         '"documents.parquet"': repr(docs_path),
         '"/warehouse/sigstore"': repr(str(tmp_path / "sigstore")),
         '"/warehouse/phashes"': repr(str(tmp_path / "phashes")),
+        '"/warehouse/pqcodes"': repr(str(tmp_path / "pqcodes")),
         '"landing/"': repr(landing),
         '"dups/"': repr(str(tmp_path / "dups")),
         '"ckpt/"': repr(str(tmp_path / "ckpt")),
