@@ -7815,104 +7815,32 @@ SQL_SOURCE_OVERLAP = _sql_source_overlap()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-10 ordering
+    # the first 50 entries in dict order.  Round-11 ordering
     # (tests/test_entry_contract.py pins the window AND a max-staleness
     # contract — no below-cap query may be more than 2 recorded rounds
     # stale, so this dict must rotate every round):
-    #   tier A — the 15 r7 carry-overs the r9 ordering promised to
-    #            rotate (they age past the 2-round bound the moment
-    #            CORRECTNESS_r10.json lands);
-    #   tier B — the 17 NEW queries needing first driver proof
-    #            (audio_fp / audio_fp_pairs: the STFT-replay audio
-    #            gate; media_video_dedup: frame-level video near-dup;
-    #            incr_phash_store / incr_audio_store: the media-store
-    #            lifecycles; wds_extract / warc_extract / domain_cap:
-    #            container ingestion + URL curation; html_extract /
-    #            url_canon / gopher_rules / crawl_curate /
-    #            zip_extract / media_image_jpeg_prog /
-    #            media_image_gif / media_video_gif / link_pagerank:
-    #            crawl-text extraction, URL-level dedup keys, the
-    #            Gopher heuristic filter, the composed end-to-end
-    #            crawl pipeline, ZIP container ingestion, the
-    #            progressive-JPEG parse, the GIF LZW image + animation
-    #            decodes, and the link-graph PageRank composition)
-    #            plus queries whose CODE changed this round
-    #            (dedup_embed: band-join width cut; ann_ivf_pq:
-    #            ksub=256 production profile);
-    #   tier C — 16 of the 50 r8-green queries, rotated early to thin
-    #            the r11 mandatory set (the 34 r8-greens left below the
-    #            cap MUST be in the r11 window, leaving r11 ~16 free
-    #            slots); ann_ivf / ann_ivf_int8 sit here because the
-    #            ann_ivf_int8 bench regression was adjudicated this
-    #            round (PLANS.md: closed, faster than r8).
-    #   below the cap — 34 r8-greens (fresh through r11; interp_daily /
-    #            interp_nearest / interp_cubic / interp_quadratic /
-    #            interp_cubic_exact / detrend_constant /
-    #            detrend_linear / filt_butter / filt_cfc displaced
-    #            from tier C for the nine new gates) and the 48
-    #            r9-greens (fresh through r12); the local gate
-    #            (tools/oracle_check.py) keeps their coverage.
+    #   tier A — the 34 r8-green carry-overs the r10 ordering promised
+    #            to rotate (they age past the 2-round bound the moment
+    #            CORRECTNESS_r11.json lands): the filt/psd/srs/rainflow/
+    #            interp/detrend-constant+linear/accessor/tfidf/
+    #            training_mix tier;
+    #   tier B — the 4 NEW r11 queries needing first driver proof
+    #            (lang_id_model: the fastText-style hashed-trigram
+    #            classifier; url_blocklist: the PSL-aware category
+    #            blocklist gate; bpe_pack: BPE -> shard -> pack as one
+    #            plan with the 8-round CTE-unrolled oracle;
+    #            ann_pq_store: the materialized-PQ-codes probe whose
+    #            green hash IS store==recompute equality);
+    #   tier C — 12 of the 48 r9-greens, rotated EARLY to thin the r12
+    #            mandatory set (48 r9-greens would otherwise all age out
+    #            at r12; re-proving these now leaves r12 with 36
+    #            mandatory slots + 14 free).
+    #   below the cap — the 50 r10-greens (fresh through r12), then the
+    #            36 remaining r9-greens (fresh through r11 only — ALL 36
+    #            MUST be in the r12 window); the local gate
+    #            (tools/oracle_check.py) keeps their coverage meanwhile.
     return {
-        # -- tier A: r7 carry-overs (mandatory this round) ----------------
-        "mov_rms": q_mov_rms,
-        "integral": q_integral,
-        "derivative": q_derivative,
-        "detrend_agg": q_detrend_agg,
-        "detrend_piecewise": q_detrend_piecewise,
-        "doc_chunks": q_doc_chunks,
-        "rep_stats": q_rep_stats,
-        "corpus_prep": q_corpus_prep,
-        "substr_dedup": q_substr_dedup,
-        "resample": q_resample,
-        "segment_stats": q_segment_stats,
-        "interp_log": q_interp_log,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        # -- tier B: new this round / code changed, (re-)prove ------------
-        "audio_fp": q_audio_fp,
-        "audio_fp_pairs": q_audio_fp_pairs,
-        "media_video_dedup": q_media_video_dedup,
-        "incr_phash_store": q_incr_phash_store,
-        "incr_audio_store": q_incr_audio_store,
-        "wds_extract": q_wds_extract,
-        "warc_extract": q_warc_extract,
-        "zip_extract": q_zip_extract,
-        "media_image_jpeg_prog": q_media_image_jpeg_prog,
-        "media_image_gif": q_media_image_gif,
-        "media_video_gif": q_media_video_gif,
-        "link_pagerank": q_link_pagerank,
-        "domain_cap": q_domain_cap,
-        "html_extract": q_html_extract,
-        "url_canon": q_url_canon,
-        "gopher_rules": q_gopher_rules,
-        "crawl_curate": q_crawl_curate,
-        "dedup_embed": q_dedup_embed,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "lang_id_model": q_lang_id_model,
-        "url_blocklist": q_url_blocklist,
-        "bpe_pack": q_bpe_pack,
-        "ann_pq_store": q_ann_pq_store,
-        # -- tier C: r8 rotation (thins the r11 mandatory set) ------------
-        "shard_assign": q_shard_assign,
-        "seq_pack": q_seq_pack,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "incr_dedup": q_incr_dedup,
-        "lm_ppl_terciles": q_lm_ppl_terciles,
-        "rms": q_rms,
-        "spl": q_spl,
-        "rms_lin": q_rms_lin,
-        "rms_log": q_rms_log,
-        "samplerate": q_samplerate,
-        "between": q_between,
-        "between_freq": q_between_freq,
-        "timeshift": q_timeshift,
-        "deduplicate": q_deduplicate,
-        "rss_daily": q_rss_daily,
-        # ---- driver cap: entries BELOW here are not driver-checked ------
-        # (34 r8-greens — ALL must rotate into the r11 window — then the
-        #  r9 tier, fresh through r12.)
+        # -- tier A: r8-green carry-overs (mandatory this round) -----------
         "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
         "interp_cubic": q_interp_cubic,
@@ -7947,7 +7875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accessor_chain": q_accessor_chain,
         "tfidf_topk": q_tfidf_topk,
         "training_mix": q_training_mix,
-        # -- r9 tier (fresh through r12) ----------------------------------
+        # -- tier B: new this round, first driver proof --------------------
+        "lang_id_model": q_lang_id_model,
+        "url_blocklist": q_url_blocklist,
+        "bpe_pack": q_bpe_pack,
+        "ann_pq_store": q_ann_pq_store,
+        # -- tier C: early r9 rotation (thins the r12 mandatory set) -------
         "semdedup_exact": q_semdedup_exact,
         "corpus_curate_exact": q_corpus_curate_exact,
         "incr_dedup_store": q_incr_dedup_store,
@@ -7960,6 +7893,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "media_image_png": q_media_image_png,
         "tpch_pricing": q_tpch_pricing,
+        # ---- driver cap: entries BELOW here are not driver-checked -------
+        # (50 r10-greens — fresh through r12 — then the 36 remaining
+        #  r9-greens, ALL of which must rotate into the r12 window.)
+        "mov_rms": q_mov_rms,
+        "integral": q_integral,
+        "derivative": q_derivative,
+        "detrend_agg": q_detrend_agg,
+        "detrend_piecewise": q_detrend_piecewise,
+        "doc_chunks": q_doc_chunks,
+        "rep_stats": q_rep_stats,
+        "corpus_prep": q_corpus_prep,
+        "substr_dedup": q_substr_dedup,
+        "resample": q_resample,
+        "segment_stats": q_segment_stats,
+        "interp_log": q_interp_log,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "audio_fp": q_audio_fp,
+        "audio_fp_pairs": q_audio_fp_pairs,
+        "media_video_dedup": q_media_video_dedup,
+        "incr_phash_store": q_incr_phash_store,
+        "incr_audio_store": q_incr_audio_store,
+        "wds_extract": q_wds_extract,
+        "warc_extract": q_warc_extract,
+        "zip_extract": q_zip_extract,
+        "media_image_jpeg_prog": q_media_image_jpeg_prog,
+        "media_image_gif": q_media_image_gif,
+        "media_video_gif": q_media_video_gif,
+        "link_pagerank": q_link_pagerank,
+        "domain_cap": q_domain_cap,
+        "html_extract": q_html_extract,
+        "url_canon": q_url_canon,
+        "gopher_rules": q_gopher_rules,
+        "crawl_curate": q_crawl_curate,
+        "dedup_embed": q_dedup_embed,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "shard_assign": q_shard_assign,
+        "seq_pack": q_seq_pack,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "incr_dedup": q_incr_dedup,
+        "lm_ppl_terciles": q_lm_ppl_terciles,
+        "rms": q_rms,
+        "spl": q_spl,
+        "rms_lin": q_rms_lin,
+        "rms_log": q_rms_log,
+        "samplerate": q_samplerate,
+        "between": q_between,
+        "between_freq": q_between_freq,
+        "timeshift": q_timeshift,
+        "deduplicate": q_deduplicate,
+        "rss_daily": q_rss_daily,
+        # -- r9 tier (36 left; ALL mandatory at r12) -----------------------
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
