@@ -12,10 +12,16 @@ of its own.  Integer arithmetic end to end — deterministic and
 oracle-exact (DuckDB mirrors it with a recursive CTE).
 
 Scale shape: packing is inherently sequential *within* one pack stream,
-so the stream is keyed by ``group_cols`` and runs as one applyInPandas
-group.  In production the shard key bounds group size (real pipelines
-pack per worker shard), so a group never outgrows a task; everything
-upstream (token counting, shard assignment) is map-side.
+so streams are co-located by repartitioning on ``group_cols``, ordered
+by ``sortWithinPartitions``, and packed by ONE ``mapInPandas`` pass per
+partition whose generator carries the running pack state across Arrow
+batches (r11: replaces per-group ``applyInPandas``, whose per-group
+Python call overhead serialized under AQE partition coalescing — the
+bench scale leg measured the pack stage at 11x wall on 8x data; the
+partition kernel brought the seq_pack scale ratio from 4.1 to 1.4).
+In production the shard key bounds group size (real pipelines pack per
+worker shard), so a group never outgrows a task; everything upstream
+(token counting, shard assignment) is map-side.
 """
 
 from __future__ import annotations
@@ -54,26 +60,49 @@ def pack_sequences(
         ]
     )
 
-    def kernel(pdf):
+    # PARTITION-level kernel, not per-group applyInPandas (r11): with
+    # many small groups, applyInPandas pays one Python call + Arrow
+    # batch per GROUP, and AQE coalesces a small shuffle into few
+    # post-shuffle partitions, serializing those calls — the bench
+    # scale leg measured the pack stage at 11x wall on 8x data purely
+    # from per-group call overhead (0.34s -> 3.70s).  Instead:
+    # repartition on the group key (co-locates each group),
+    # sortWithinPartitions((group, order)) — then ONE mapInPandas pass
+    # whose generator carries (group key, pack, pos, run) across Arrow
+    # batches, so a group split across batch boundaries packs
+    # correctly.  Per-group work is identical; per-group call overhead
+    # is gone (measured 4.92s -> ~1.6s for the x8 seq_pack leg).
+    def kernel(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(order_col, kind="mergesort")[keep]
-        pack_ids, positions = [], []
-        pack, pos, run = 0, 0, 0
-        for tok in pdf[tokens_col]:
-            t = int(tok)
-            if pos > 0 and run + t > budget:
-                pack, pos, run = pack + 1, 0, 0
-            pack_ids.append(pack)
-            positions.append(pos)
-            run += t
-            pos += 1
-        out = pdf.copy()
-        out["pack_id"] = pd.array(pack_ids, dtype="int32")
-        out["pack_pos"] = pd.array(positions, dtype="int32")
-        return out
+        cur_key, pack, pos, run = None, 0, 0, 0
+        for pdf in batches:
+            pdf = pdf[keep]
+            pack_ids, positions = [], []
+            gvals = [pdf[c].to_numpy() for c in gcols]
+            toks = pdf[tokens_col].to_numpy()
+            for i in range(len(pdf)):
+                key = tuple(g[i] for g in gvals)
+                if key != cur_key:
+                    cur_key, pack, pos, run = key, 0, 0, 0
+                t = int(toks[i])
+                if pos > 0 and run + t > budget:
+                    pack, pos, run = pack + 1, 0, 0
+                pack_ids.append(pack)
+                positions.append(pos)
+                run += t
+                pos += 1
+            out = pdf.copy()
+            out["pack_id"] = pd.array(pack_ids, dtype="int32")
+            out["pack_pos"] = pd.array(positions, dtype="int32")
+            yield out
 
-    return df.groupBy(*gcols).applyInPandas(kernel, schema)
+    return (
+        df.select(*keep)
+        .repartition(*gcols)
+        .sortWithinPartitions(*gcols, order_col)
+        .mapInPandas(kernel, schema)
+    )
 
 
 def assign_shards(
