@@ -1271,6 +1271,91 @@ FROM documents
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode text normalization under the hash gate — the cleanup
+    stage every crawl pipeline runs BEFORE hashing/dedup (CCNet,
+    RefinedWeb), as operators/text.py NORMALIZE_STEPS: CRLF folding,
+    zero-width/BOM strip, unicode-space mapping, control-char strip,
+    quote/dash/ellipsis canonicalization, whitespace collapse, trim.
+    Each sf document is decorated NATIVELY with a deterministic mess
+    (doc_id%3 picks curly-quoted stopwords / all-NBSP spaces /
+    untouched; doc_id%2 appends an en-dash CRLF tail; some rows stay
+    byte-clean so `changed=false` is exercised).  The oracle builds
+    the SAME messy text in SQL and normalizes it through the MIRROR
+    GENERATED FROM THE SAME STEP TABLE (normalize_duckdb_sql), with
+    Java-vs-RE2 automaton agreement pinned separately on adversarial
+    strings in tests/test_normalize.py.
+
+    Scale shape: twelve chained JVM regexp_replace calls — one
+    codegen span, zero shuffle, zero Python; a page costs its own
+    bytes."""
+    from pandas_sigproc_spark.operators.text import normalize_text
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id").cast("long")
+    body = (
+        F.when(
+            did % 3 == 0,
+            F.replace(
+                F.col("text"), F.lit("the"), F.lit("\u201cthe\u201d")
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.replace(F.col("text"), F.lit(" "), F.lit("\u00a0")),
+        )
+        .otherwise(F.col("text"))
+    )
+    prefix = (
+        F.when(did % 3 == 0, F.lit("\ufeff"))
+        .when(did % 3 == 1, F.lit("\u200b \t "))
+        .otherwise(F.lit(""))
+    )
+    suffix = F.when(did % 2 == 0, F.lit(" \u2013 end\r\n")).otherwise(
+        F.lit("")
+    )
+    messy = d.select(
+        did.alias("doc_id"), F.concat(prefix, body, suffix).alias("text")
+    )
+    return normalize_text(messy)
+
+
+def _sql_text_normalize() -> str:
+    from pandas_sigproc_spark.operators.text import normalize_duckdb_sql
+
+    bom, zw, nbsp = "\ufeff", "\u200b", "\u00a0"
+    lq, rq, nd = "\u201c", "\u201d", "\u2013"
+    norm = normalize_duckdb_sql("text")
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN '{bom}'
+            WHEN 1 THEN '{zw} ' || chr(9) || ' '
+            ELSE '' END)
+         || (CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN REPLACE(text, 'the', '{lq}the{rq}')
+            WHEN 1 THEN REPLACE(text, ' ', '{nbsp}')
+            ELSE text END)
+         || (CASE CAST(doc_id % 2 AS INTEGER)
+            WHEN 0 THEN ' {nd} end' || chr(13) || chr(10)
+            ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars_raw,
+       CAST(LENGTH({norm}) AS INTEGER) AS n_chars_norm,
+       ({norm} != text) AS changed,
+       {norm} AS norm_text
+FROM base
+"""
+
+
+SQL_TEXT_NORMALIZE = _sql_text_normalize()
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (
@@ -1484,6 +1569,88 @@ reach(id, comp) AS (
 SELECT id AS doc_id, MIN(comp) AS component,
        (id != MIN(comp)) AS is_dropped
 FROM reach GROUP BY id
+"""
+
+
+def q_cluster_rep(spark, sf_dir):
+    """Quality-aware near-dup collapse under the hash gate
+    (operators/curation.py cluster_representatives): LSH candidate
+    pairs -> connected components -> keep each cluster's
+    MAX-QUALITY member (smaller id on ties) instead of the arbitrary
+    min-id keeper — the RefinedWeb/FineWeb representative-selection
+    rule that stops a broken scrape from evicting the well-formatted
+    original.  The oracle replays the whole composition: the
+    recursive-CTE transitive closure over the same LSH pair graph,
+    the 6-dp quality score, and an independent window-ranked argmax.
+
+    Scale shape: the pair graph and components are the audited
+    dedup_clusters plan; the argmax is a partial-agg max over a
+    (score, -id) struct (hot clusters combine map-side — never a
+    single window task), joined back on the component key."""
+    from pandas_sigproc_spark.operators import connected_components
+    from pandas_sigproc_spark.operators.curation import (
+        cluster_representatives,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"))
+    comp = connected_components(
+        pairs, vertices=docs, src="d1", dst="d2", id_col="doc_id"
+    )
+    scores = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _text.quality_expr().alias("score"),
+    )
+    return cluster_representatives(
+        comp.select(F.col("id").alias("doc_id"), "component"), scores
+    )
+
+
+_SQL_QUALITY_SCORE_EXPR = """ROUND(0.3 * LEAST(1.0, LENGTH(text) / 400.0)
+           + 0.25 * GREATEST(0.0, 1.0 - ABS(LENGTH(text) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) - 4.7) / 4.7)
+           + 0.25 * LEAST(1.0, LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the','a','of','and','is')))
+                               / (LEN(STRING_SPLIT(text, ' ')) * 0.05))
+           + 0.2 * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)), 6)"""
+
+SQL_CLUSTER_REP = f"""
+WITH RECURSIVE {_SQL_MINHASH_SIG_CTES},
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+),
+edges AS (
+  SELECT d1 AS s, d2 AS t FROM pairs
+  UNION
+  SELECT d2 AS s, d1 AS t FROM pairs
+),
+reach(id, comp) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.t = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_SQL_QUALITY_SCORE_EXPR} AS score
+  FROM documents
+),
+jq AS (SELECT c.doc_id, c.component, q.score FROM comp c JOIN q USING (doc_id)),
+rep AS (
+  SELECT component, doc_id AS rep_doc_id FROM (
+    SELECT component, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM jq)
+  WHERE rk = 1
+)
+SELECT jq.doc_id, jq.component, jq.score, rep.rep_doc_id,
+       (jq.doc_id = rep.rep_doc_id) AS kept
+FROM jq JOIN rep USING (component)
 """
 
 
@@ -4393,6 +4560,89 @@ FROM agg
 """
 
 
+def q_wds_roundtrip(spark, sf_dir):
+    """WebDataset shard WRITER under the hash gate — the pipeline's
+    OUTPUT sink (operators/webdataset.py write_wds_shards), proven by
+    composition with the already-gated reader: every document becomes
+    two members (`<key>.txt` = the text bytes, `<key>.json` = a
+    canonical metadata record) of a deterministic ustar shard
+    (shard = doc_id % 16), the shards are re-exploded by wds_members,
+    and the gate emits each recovered member's key/ext/size/md5.  The
+    oracle derives all five columns DIRECTLY from the documents table
+    — it never sees a tar byte — so a green hash certifies the whole
+    write->read cycle: ustar header layout, 512-byte padding, the
+    first-dot key/ext convention, and byte-exact payloads.
+
+    Scale shape: member rows are map-side expressions; the writer is
+    one repartition on the shard key + one sorted mapInPandas pass
+    whose task state is bounded by a single shard's bytes; the reader
+    explode is zero-shuffle.  Byte-determinism across partitionings
+    (pinned in tests/test_wds_write.py) is what makes shards
+    content-addressable for resumable 100 TB publishes."""
+    from pandas_sigproc_spark.operators.webdataset import (
+        wds_members,
+        write_wds_shards,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = d.select(
+        (F.col("doc_id").cast("long") % 16).alias("shard"),
+        F.lpad(F.col("doc_id").cast("long").cast("string"), 8, "0").alias(
+            "key"
+        ),
+        F.col("doc_id").cast("long").alias("did"),
+        "text",
+        "lang",
+    )
+    meta = F.concat(
+        F.lit('{"doc_id":'),
+        F.col("did").cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('"}'),
+    )
+    members = base.select(
+        "shard", "key", F.lit("txt").alias("ext"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).unionByName(
+        base.select(
+            "shard", "key", F.lit("json").alias("ext"),
+            F.encode(meta, "UTF-8").alias("payload"),
+        )
+    )
+    shards = write_wds_shards(members)
+    back = wds_members(shards, id_col="shard")
+    return back.select(
+        "shard_id", "key", "ext", "n_bytes", F.md5("payload").alias("sha")
+    )
+
+
+_SQL_WDS_ROUNDTRIP_META = (
+    "'{\"doc_id\":' || CAST(did AS VARCHAR) || ',\"lang\":\"' || lang || '\"}'"
+)
+
+SQL_WDS_ROUNDTRIP = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, text, lang FROM documents
+)
+SELECT CAST(did % 16 AS BIGINT) AS shard_id,
+       LPAD(CAST(did AS VARCHAR), 8, '0') AS key,
+       'txt' AS ext,
+       CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+       MD5(text) AS sha
+FROM base
+UNION ALL
+SELECT CAST(did % 16 AS BIGINT),
+       LPAD(CAST(did AS VARCHAR), 8, '0'),
+       'json',
+       CAST(STRLEN({_SQL_WDS_ROUNDTRIP_META}) AS BIGINT),
+       MD5({_SQL_WDS_ROUNDTRIP_META})
+FROM base
+"""
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC crawl ingestion under the FULL hash gate: the sf documents
     are serialized into per-source, RECORD-GZIPPED WARC 1.1 archives
@@ -6111,6 +6361,47 @@ FROM o
 """
 
 
+def q_train_order(spark, sf_dir):
+    """Deterministic global training order (operators/packing.py
+    training_order) — the reproducible corpus shuffle every trainer
+    needs: exact 0-based rank of md5('epoch0:' || id), RNG-free and
+    seed-per-epoch.  The oracle derives the SAME permutation with one
+    brute-force ROW_NUMBER over the hash — certifying that the
+    engine's no-global-sort plan (range-split leading hash bits ->
+    per-bucket row_number -> constant-sized offset prefix sum,
+    broadcast back) enumerates EXACTLY the total order the naive
+    global sort would.
+
+    Scale shape: one shuffle on the uniform 16-bit hash prefix, one
+    {_TRAIN_ORDER_BUCKETS}-row window, one broadcast join — the
+    corpus never range-exchanges through a total-order sort."""
+    from pandas_sigproc_spark.operators.packing import training_order
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return training_order(
+        d.select("doc_id"), seed="epoch0", buckets=_TRAIN_ORDER_BUCKETS
+    )
+
+
+_TRAIN_ORDER_BUCKETS = 256
+
+SQL_TRAIN_ORDER = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         MD5('epoch0:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)) AS ok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(CONCAT('0x', SUBSTR(ok, 1, 4)) AS BIGINT)
+            * {_TRAIN_ORDER_BUCKETS} // 65536 AS INTEGER) AS bucket,
+       CAST(ROW_NUMBER() OVER (ORDER BY ok, doc_id) - 1 AS BIGINT)
+         AS global_pos
+FROM h
+"""
+
+
 def q_seq_pack(spark, sf_dir):
     """Greedy sequence packing into {budget}-token training packs
     (operators/packing.py pack_sequences) over token-balanced shard
@@ -7824,17 +8115,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            CORRECTNESS_r11.json lands): the filt/psd/srs/rainflow/
     #            interp/detrend-constant+linear/accessor/tfidf/
     #            training_mix tier;
-    #   tier B — the 4 NEW r11 queries needing first driver proof
+    #   tier B — the 8 NEW r11 queries needing first driver proof
     #            (lang_id_model: the fastText-style hashed-trigram
     #            classifier; url_blocklist: the PSL-aware category
     #            blocklist gate; bpe_pack: BPE -> shard -> pack as one
     #            plan with the 8-round CTE-unrolled oracle;
     #            ann_pq_store: the materialized-PQ-codes probe whose
-    #            green hash IS store==recompute equality);
-    #   tier C — 12 of the 48 r9-greens, rotated EARLY to thin the r12
+    #            green hash IS store==recompute equality;
+    #            wds_roundtrip: the WebDataset shard WRITER proven by
+    #            composition with the gated reader; text_normalize:
+    #            the NORMALIZE_STEPS unicode chain with a generated
+    #            oracle mirror; train_order: the no-global-sort exact
+    #            corpus permutation vs a brute-force ROW_NUMBER;
+    #            cluster_rep: quality-argmax near-dup keeper over the
+    #            recursive-CTE-replayed component graph);
+    #   tier C — 8 of the 48 r9-greens, rotated EARLY to thin the r12
     #            mandatory set (48 r9-greens would otherwise all age out
-    #            at r12; re-proving these now leaves r12 with 36
-    #            mandatory slots + 14 free).
+    #            at r12; re-proving these now leaves r12 with 40
+    #            mandatory slots + 10 free).
     #   below the cap — the 50 r10-greens (fresh through r12), then the
     #            36 remaining r9-greens (fresh through r11 only — ALL 36
     #            MUST be in the r12 window); the local gate
@@ -7880,6 +8178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "bpe_pack": q_bpe_pack,
         "ann_pq_store": q_ann_pq_store,
+        "wds_roundtrip": q_wds_roundtrip,
+        "text_normalize": q_text_normalize,
+        "train_order": q_train_order,
+        "cluster_rep": q_cluster_rep,
         # -- tier C: early r9 rotation (thins the r12 mandatory set) -------
         "semdedup_exact": q_semdedup_exact,
         "corpus_curate_exact": q_corpus_curate_exact,
@@ -7889,13 +8191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,
+        # ---- driver cap: entries BELOW here are not driver-checked -------
+        # (4 r9-greens displaced by the tier-B additions — they rejoin
+        #  the r12 mandatory set — then the 50 r10-greens (fresh through
+        #  r12), then the 36 remaining r9-greens, ALL of which must
+        #  rotate into the r12 window.)
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "media_image_png": q_media_image_png,
         "tpch_pricing": q_tpch_pricing,
-        # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (50 r10-greens — fresh through r12 — then the 36 remaining
-        #  r9-greens, ALL of which must rotate into the r12 window.)
         "mov_rms": q_mov_rms,
         "integral": q_integral,
         "derivative": q_derivative,
@@ -8026,6 +8330,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_log": SQL_INTERP_LOG,
         "psd_dft": SQL_PSD_DFT,
         "text_stats": SQL_TEXT_STATS,
+        "text_normalize": SQL_TEXT_NORMALIZE,
         "lang_id": SQL_LANG_ID,
         "lang_id_model": _sql_lang_id_model(),
         "url_blocklist": SQL_URL_BLOCKLIST,
@@ -8041,6 +8346,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "cluster_rep": SQL_CLUSTER_REP,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_jaccard_ppjoin": SQL_DEDUP_JACCARD_PAIRS,
@@ -8066,6 +8372,7 @@ def oracle_sql() -> dict[str, str]:
         "incr_phash_store": _sql_incr_phash_store(),
         "incr_audio_store": _sql_incr_audio_store(),
         "wds_extract": SQL_WDS_EXTRACT,
+        "wds_roundtrip": SQL_WDS_ROUNDTRIP,
         "warc_extract": SQL_WARC_EXTRACT,
         "domain_cap": SQL_DOMAIN_CAP,
         "html_extract": SQL_HTML_EXTRACT,
@@ -8102,6 +8409,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": SQL_TFIDF_TOPK,
         "seq_pack": SQL_SEQ_PACK,
         "shard_assign": SQL_SHARD_ASSIGN,
+        "train_order": SQL_TRAIN_ORDER,
         "ann_int8": _sql_ann_int8(),
         "psd_rms_dft": SQL_PSD_RMS_DFT,
         "psd_welch_dft": SQL_PSD_WELCH_DFT,

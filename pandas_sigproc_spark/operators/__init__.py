@@ -67,6 +67,8 @@ from pandas_sigproc_spark.operators.ann import (
 )
 from pandas_sigproc_spark.operators.text import (
     chunk_documents,
+    normalize_text,
+    normalize_text_expr,
     repetition_stats,
     tfidf_topk,
     substring_dedup,
@@ -100,7 +102,11 @@ from .imagedup import (
     phash_near_pairs,
     video_near_pairs,
 )
-from pandas_sigproc_spark.operators.packing import assign_shards, pack_sequences
+from pandas_sigproc_spark.operators.packing import (
+    assign_shards,
+    pack_sequences,
+    training_order,
+)
 from pandas_sigproc_spark.operators.bpe import (
     bpe_encode,
     bpe_encode_relational,
@@ -110,6 +116,7 @@ from pandas_sigproc_spark.operators.bpe import (
 from pandas_sigproc_spark.operators.webdataset import (
     wds_members,
     wds_samples,
+    write_wds_shards,
     zip_members,
 )
 from pandas_sigproc_spark.operators.langid import lang_id_model
@@ -144,6 +151,7 @@ from pandas_sigproc_spark.operators.sigstore import (
 )
 from pandas_sigproc_spark.operators.curation import (
     block_dedup,
+    cluster_representatives,
     compression_ratio,
     gopher_rules,
     quality_classifier,
@@ -221,12 +229,14 @@ __all__ = [
     "video_near_pairs",
     "pack_sequences",
     "assign_shards",
+    "training_order",
     "bpe_train",
     "bpe_encode",
     "bpe_encode_relational",
     "bpe_token_counts",
     "wds_members",
     "wds_samples",
+    "write_wds_shards",
     "zip_members",
     "warc_records",
     "warc_documents",
@@ -246,10 +256,13 @@ __all__ = [
     "repetition_stats",
     "tfidf_topk",
     "substring_dedup",
+    "normalize_text",
+    "normalize_text_expr",
     "kmeans_embeddings",
     "kmeans_assignments",
     "semantic_dedup",
     "block_dedup",
+    "cluster_representatives",
     "compression_ratio",
     "gopher_rules",
     "quality_classifier",

@@ -1242,3 +1242,67 @@ def source_overlap(
             (agree / F.lit(float(len(perms)))).alias("est_jaccard"),
         )
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware near-dup collapse: keep the BEST document of each
+    duplicate cluster, not the arbitrary min-id one.  Production fuzzy
+    dedup (RefinedWeb, FineWeb) picks the cluster representative by a
+    quality signal — dropping a well-formatted original because a
+    broken scrape of it had the smaller id is a real data-quality bug
+    the min-id rule causes.
+
+    ``components`` is (id, component) from
+    :func:`~pandas_sigproc_spark.operators.graph.connected_components`;
+    ``scores`` is (id, score).  The representative of a cluster is its
+    max-``score_col`` member, smaller id winning ties (deterministic on
+    any cluster layout).
+
+    Output: ``(doc_id, component, score, rep_doc_id, kept boolean)`` —
+    one row per document; ``kept`` marks the representative.
+
+    Scale shape: one equi-join on the uniform id key, then the argmax
+    runs as a partial AGGREGATION (``max`` over a ``(score, -id)``
+    struct — associative, so a degenerate million-document cluster
+    combines map-side instead of funneling through one window task;
+    the window-function form would put the whole hot cluster in a
+    single partition), and the winners join back on the component
+    key.  Both exchanges hash on component — uniform except for hot
+    clusters, whose agg side is already collapsed map-side and whose
+    probe side is bounded by the cluster itself (AQE skew-split
+    territory, not a plan problem).
+    """
+    j = components.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(comp_col).cast("long").alias("component"),
+    ).join(
+        scores.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(score_col).alias("score"),
+        ),
+        "doc_id",
+    )
+    reps = j.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("score").alias("s"),
+                (-F.col("doc_id")).alias("negid"),
+            )
+        ).alias("_best")
+    ).select(
+        "component", (-F.col("_best.negid")).cast("long").alias("rep_doc_id")
+    )
+    return j.join(reps, "component").select(
+        "doc_id",
+        "component",
+        "score",
+        "rep_doc_id",
+        (F.col("doc_id") == F.col("rep_doc_id")).alias("kept"),
+    )

@@ -105,6 +105,78 @@ def pack_sequences(
     )
 
 
+def training_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training order — the reproducible corpus
+    shuffle every trainer needs (data order changes loss curves; a
+    re-run, a resume, or a differently-sized cluster must see the SAME
+    sequence).  Each row gets an exact 0-based ``global_pos`` in the
+    order of a salted md5 over its id: RNG-free, seed-parameterized
+    (one seed per epoch gives independent epoch permutations), and —
+    because the hash decorrelates from ingest order — sources arrive
+    interleaved rather than in corpus-concatenation order.
+
+    Scale shape — exact global enumeration with NO global sort: the
+    order key's leading byte buckets rows uniformly; ``row_number``
+    runs per bucket (one shuffle, ~corpus/``buckets`` rows per task);
+    bucket counts fold to ``buckets`` rows whose prefix sum runs in a
+    window bounded by the CONSTANT bucket count and broadcast-joins
+    back (the assign_shards distributed-prefix-sum shape).  The
+    global-sort alternative funnels the corpus through one range
+    exchange; this plan never materializes a total order anywhere.
+
+    Output: ``(id_col long, bucket int, global_pos long)`` where
+    ``global_pos`` is exactly ``rank of md5(seed:id)`` with ``id`` as
+    the tiebreak (md5 collisions included).
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    from pyspark.sql import Window
+
+    ok = F.expr(
+        f"md5(concat('{seed}', ':', cast({id_col} as string)))"
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"), ok.alias("_ok")
+    ).select(
+        "_id",
+        "_ok",
+        # leading 16 bits of the SAME hash that defines the order,
+        # RANGE-split (not modulo — a modulo would break monotonicity)
+        # so bucket is monotone in _ok and (bucket, _ok) ordering ==
+        # _ok ordering: lowercase-hex sorts lexicographically exactly
+        # as its nibbles sort numerically.
+        F.expr(
+            f"cast(cast(conv(substring(_ok, 1, 4), 16, 10) as bigint)"
+            f" * {int(buckets)} div 65536 as int)"
+        ).alias("bucket"),
+    )
+    wi = Window.partitionBy("bucket").orderBy("_ok", "_id")
+    intra = base.withColumn("_rn", F.row_number().over(wi))
+    totals = base.groupBy("bucket").agg(F.count("*").alias("_n"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "bucket", (F.sum("_n").over(wb) - F.col("_n")).alias("_off")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "bucket")
+        .select(
+            F.col("_id").alias(id_col),
+            "bucket",
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias(
+                "global_pos"
+            ),
+        )
+    )
+
+
 def assign_shards(
     df: DataFrame,
     shard_tokens: int,

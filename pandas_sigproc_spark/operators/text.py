@@ -146,6 +146,95 @@ def sample_threshold_expr(
 
 
 # ---------------------------------------------------------------------------
+# Text normalization (unicode cleanup — the first stage of every crawl
+# pipeline: CCNet/RefinedWeb normalize before any hashing or scoring so
+# cosmetic byte differences don't defeat dedup)
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) chain.  Patterns stay inside the
+# Java-regex/RE2 common subset (literal chars, character classes with
+# ranges, +/* quantifiers, ^/$ anchors, alternation — no lookaround, no
+# backreferences), the same portability rule as operators/webcrawl.py,
+# so Spark's regexp_replace and the DuckDB oracle execute the SAME
+# automaton.  Order matters: CR/LF first (so the control-char class may
+# assume \r is gone), width/space classes before the whitespace
+# collapse, collapse before the trim.
+NORMALIZE_STEPS: tuple[tuple[str, str], ...] = (
+    ("\r\n", "\n"),                                     # CRLF -> LF
+    ("\r", "\n"),                                        # bare CR -> LF
+    ("[\u200b\u200c\u200d\ufeff]", ""),                # zero-width + BOM
+    ("[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " "),  # unicode spaces
+    ("[\u0000-\u0008\u000b-\u001f\u007f]", ""),       # control chars (keeps \t \n)
+    ("[\u2018\u2019\u201a\u2032]", "'"),               # curly single quotes
+    ("[\u201c\u201d\u201e\u2033]", '"'),               # curly double quotes
+    ("[\u2010-\u2015\u2212]", "-"),                     # dash family
+    ("\u2026", "..."),                                    # ellipsis
+    ("[ \t]+", " "),                                      # collapse runs of space/tab
+    ("[ ]*\n[ ]*", "\n"),                                # strip spaces around newlines
+    ("^[ \n]+|[ \n]+$", ""),                             # trim outer whitespace
+)
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """Apply the :data:`NORMALIZE_STEPS` chain as one map-side
+    expression tree (twelve chained JVM ``regexp_replace`` calls —
+    zero Python, one codegen span, embarrassingly parallel)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _re2_pattern_sql(pat: str) -> str:
+    """Render a pattern for embedding in a SQL literal: non-printable /
+    non-ASCII chars become RE2 ``\\x{hex}`` escapes (a raw NUL or
+    zero-width char inside a quoted SQL string would terminate or
+    invisibly corrupt the literal), printable ASCII stays verbatim so
+    the regex structure (classes, ranges, anchors) is untouched."""
+    out = []
+    for ch in pat:
+        o = ord(ch)
+        out.append(ch if 0x20 <= o <= 0x7E else f"\\x{{{o:x}}}")
+    return "".join(out)
+
+
+def normalize_duckdb_sql(inner: str) -> str:
+    """The SAME chain as nested DuckDB ``regexp_replace(..., 'g')``
+    calls over SQL fragment ``inner`` — the oracle mirror is GENERATED
+    from :data:`NORMALIZE_STEPS`, so the two engines cannot drift."""
+    out = inner
+    for pat, repl in NORMALIZE_STEPS:
+        out = (
+            f"regexp_replace({out}, {_sql_quote(_re2_pattern_sql(pat))},"
+            f" {_sql_quote(repl)}, 'g')"
+        )
+    return out
+
+
+def normalize_text(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document normalization report: ``(doc_id long,
+    n_chars_raw int, n_chars_norm int, changed boolean,
+    norm_text string)``.  Pure map-side — no shuffle at any scale."""
+    norm = normalize_text_expr(text_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(text_col).cast("int").alias("n_chars_raw"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+        (norm != F.col(text_col)).alias("changed"),
+        norm.alias("norm_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition filters + document chunking (DataFrame-level text operators)
 # ---------------------------------------------------------------------------
 

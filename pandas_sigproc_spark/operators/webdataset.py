@@ -134,6 +134,91 @@ def wds_samples(
     )
 
 
+def write_wds_shards(
+    members: DataFrame,
+    *,
+    shard_col: str = "shard",
+    key_col: str = "key",
+    ext_col: str = "ext",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Assemble member rows into WebDataset tar shards — the OUTPUT
+    sink of a training-data pipeline (the exact inverse of
+    :func:`wds_members`): one ustar archive per ``shard_col`` value,
+    member names ``key.ext`` (bare ``key`` when ``ext`` is empty),
+    byte-deterministic on any cluster layout.
+
+    Input: one row per member ``(shard, key, ext, payload binary)``.
+    Output: one row per shard ``(shard long, n_samples long,
+    n_members long, n_bytes long, payload binary)`` where
+    ``n_samples`` counts distinct keys and ``payload`` is the tar
+    bytes (``sources/tar.py`` encodes with fixed mode/uid/mtime, so
+    identical members always produce identical bytes).
+
+    Determinism: members are laid out in ``(key, ext)`` order within
+    each shard — re-running the job on a different partitioning or
+    cluster size yields byte-identical shards (pinned by
+    tests/test_wds_write.py), which is what makes shard-level
+    content-addressing and resumable uploads possible at 100 TB.
+
+    Scale shape: the shard stream is co-located by repartitioning on
+    the shard key and ordered by ``sortWithinPartitions``; ONE
+    ``mapInPandas`` generator per partition carries the current
+    shard's member list across Arrow batches (the seq_pack partition-
+    kernel pattern — no per-shard Python call overhead, no
+    applyInPandas serialization under AQE coalescing).  Peak task
+    state is ONE shard's bytes — bounded by the shard budget the
+    upstream ``assign_shards`` step enforces, never by the corpus.
+    """
+    keep = [shard_col, key_col, ext_col, payload_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandas_sigproc_spark.sources.tar import encode_tar
+
+        cur = None
+        names: list[tuple[str, bytes]] = []
+        keys: set[str] = set()
+
+        def flush() -> pd.DataFrame:
+            blob = encode_tar(names)
+            return pd.DataFrame(
+                {
+                    "shard": pd.array([cur], dtype="int64"),
+                    "n_samples": pd.array([len(keys)], dtype="int64"),
+                    "n_members": pd.array([len(names)], dtype="int64"),
+                    "n_bytes": pd.array([len(blob)], dtype="int64"),
+                    "payload": [blob],
+                }
+            )
+
+        for pdf in batches:
+            for s, k, e, b in zip(
+                pdf[shard_col], pdf[key_col], pdf[ext_col], pdf[payload_col]
+            ):
+                s = int(s)
+                if cur is not None and s != cur:
+                    yield flush()
+                    names, keys = [], set()
+                cur = s
+                k = str(k)
+                name = f"{k}.{e}" if e else k
+                names.append((name, bytes(b)))
+                keys.add(k)
+        if cur is not None:
+            yield flush()
+
+    return (
+        members.select(*keep)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, key_col, ext_col)
+        .mapInPandas(
+            kernel,
+            "shard long, n_samples long, n_members long,"
+            " n_bytes long, payload binary",
+        )
+    )
+
+
 def zip_members(
     shards: DataFrame,
     *,
@@ -190,4 +275,4 @@ def zip_members(
     )
 
 
-__all__ = ["wds_members", "wds_samples", "zip_members"]
+__all__ = ["wds_members", "wds_samples", "write_wds_shards", "zip_members"]

@@ -1,0 +1,121 @@
+"""training_order (operators/packing.py) — deterministic global
+training order with no global sort — and cluster_representatives
+(operators/curation.py) — quality-argmax keeper per near-dup cluster.
+"""
+
+import hashlib
+
+import pandas as pd
+
+from pandas_sigproc_spark.operators.curation import cluster_representatives
+from pandas_sigproc_spark.operators.packing import training_order
+
+
+def _expected_order(ids, seed):
+    keyed = sorted(
+        (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i) for i in ids
+    )
+    return {i: pos for pos, (_, i) in enumerate(keyed)}
+
+
+def test_matches_hash_rank_exactly(spark):
+    ids = list(range(500))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    got = {
+        r["doc_id"]: r["global_pos"]
+        for r in training_order(df, seed="epoch0").collect()
+    }
+    assert got == _expected_order(ids, "epoch0")
+
+
+def test_positions_are_a_permutation(spark):
+    ids = list(range(0, 3000, 3))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    pos = [r["global_pos"] for r in training_order(df).collect()]
+    assert sorted(pos) == list(range(len(ids)))
+
+
+def test_partitioning_invariance(spark):
+    ids = list(range(400))
+    outs = []
+    for parts in (1, 13, 32):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": ids})).repartition(
+            parts
+        )
+        outs.append(
+            sorted(
+                (r["doc_id"], r["global_pos"])
+                for r in training_order(df, buckets=32).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_seed_changes_order(spark):
+    ids = list(range(300))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    a = {r["doc_id"]: r["global_pos"] for r in training_order(df, seed="e0").collect()}
+    b = {r["doc_id"]: r["global_pos"] for r in training_order(df, seed="e1").collect()}
+    assert a != b
+    assert a == _expected_order(ids, "e0")
+    assert b == _expected_order(ids, "e1")
+
+
+def test_bucket_count_does_not_change_order(spark):
+    ids = list(range(350))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    a = {r["doc_id"]: r["global_pos"] for r in training_order(df, buckets=8).collect()}
+    b = {r["doc_id"]: r["global_pos"] for r in training_order(df, buckets=4096).collect()}
+    assert a == b
+
+
+# --- cluster_representatives -------------------------------------------------
+
+
+def _cc_df(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["doc_id", "component"])
+    )
+
+
+def test_cluster_rep_argmax_and_ties(spark):
+    # cluster 0: docs 0,1,2 — doc 1 has top score -> rep.
+    # cluster 3: docs 3,4 tie on score -> smaller id (3) wins.
+    # doc 5: singleton -> kept.
+    comp = _cc_df(
+        spark, [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)]
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3, 4, 5], "score": [0.2, 0.9, 0.5, 0.7, 0.7, 0.1]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in cluster_representatives(comp, scores).collect()}
+    assert rows[0]["rep_doc_id"] == 1 and rows[0]["kept"] is False
+    assert rows[1]["rep_doc_id"] == 1 and rows[1]["kept"] is True
+    assert rows[2]["rep_doc_id"] == 1 and rows[2]["kept"] is False
+    assert rows[3]["rep_doc_id"] == 3 and rows[3]["kept"] is True
+    assert rows[4]["rep_doc_id"] == 3 and rows[4]["kept"] is False
+    assert rows[5]["rep_doc_id"] == 5 and rows[5]["kept"] is True
+
+
+def test_cluster_rep_one_kept_per_cluster(spark):
+    import random
+
+    rng = random.Random(7)
+    comp_rows = []
+    score_rows = []
+    for d in range(200):
+        comp_rows.append((d, d % 17))  # 17 clusters
+        score_rows.append((d, round(rng.random(), 6)))
+    out = cluster_representatives(
+        _cc_df(spark, comp_rows),
+        spark.createDataFrame(pd.DataFrame(score_rows, columns=["doc_id", "score"])),
+    ).collect()
+    kept_per = {}
+    for r in out:
+        kept_per.setdefault(r["component"], 0)
+        kept_per[r["component"]] += int(r["kept"])
+        assert (r["doc_id"] == r["rep_doc_id"]) == r["kept"]
+    assert all(v == 1 for v in kept_per.values())
+    assert len(out) == 200

@@ -1,0 +1,141 @@
+"""WebDataset shard WRITER (operators/webdataset.py write_wds_shards).
+
+The output sink of the training-data pipeline — the exact inverse of
+wds_members.  Contract mirrors the container codecs: roundtrip through
+our own decoder AND stdlib tarfile (cross-read), byte-determinism
+across partitionings (content-addressable shards), member ordering,
+state carry across Arrow batch boundaries, and empty-ext naming.
+"""
+
+import io
+import tarfile
+
+import pandas as pd
+import pytest
+
+from pandas_sigproc_spark.operators.webdataset import (
+    wds_members,
+    write_wds_shards,
+)
+from pandas_sigproc_spark.sources.tar import decode_tar
+
+MEMBER_SCHEMA = "shard long, key string, ext string, payload binary"
+
+
+def _members_df(spark, rows, parts=None):
+    pdf = pd.DataFrame(rows, columns=["shard", "key", "ext", "payload"])
+    df = spark.createDataFrame(pdf, schema=MEMBER_SCHEMA)
+    return df.repartition(parts) if parts else df
+
+
+def _rows(n_docs=20, shards=3):
+    rows = []
+    for i in range(n_docs):
+        key = f"{i:08d}"
+        rows.append((i % shards, key, "txt", f"doc {i} body".encode()))
+        rows.append((i % shards, key, "json", b'{"id":%d}' % i))
+    return rows
+
+
+def test_roundtrip_own_decoder(spark):
+    rows = _rows()
+    out = write_wds_shards(_members_df(spark, rows)).collect()
+    assert sorted(r["shard"] for r in out) == [0, 1, 2]
+    got = []
+    for r in out:
+        for name, payload in decode_tar(bytes(r["payload"])):
+            key, _, ext = name.partition(".")
+            got.append((r["shard"], key, ext, payload))
+    assert sorted(got) == sorted(rows)
+
+
+def test_counts_per_shard(spark):
+    rows = _rows(n_docs=9, shards=3)
+    out = {r["shard"]: r for r in write_wds_shards(_members_df(spark, rows)).collect()}
+    for s in range(3):
+        assert out[s]["n_samples"] == 3  # 3 docs per shard
+        assert out[s]["n_members"] == 6  # 2 members per doc
+        assert out[s]["n_bytes"] == len(bytes(out[s]["payload"]))
+
+
+def test_stdlib_tarfile_cross_read(spark):
+    rows = _rows(n_docs=6, shards=2)
+    out = write_wds_shards(_members_df(spark, rows)).collect()
+    seen = []
+    for r in out:
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["payload"]))) as tf:
+            for m in tf.getmembers():
+                assert m.isfile()
+                key, _, ext = m.name.partition(".")
+                seen.append((r["shard"], key, ext, tf.extractfile(m).read()))
+    assert sorted(seen) == sorted(rows)
+
+
+def test_byte_determinism_across_partitionings(spark):
+    rows = _rows(n_docs=40, shards=4)
+    blobs = {}
+    for parts in (1, 7, 32):
+        out = write_wds_shards(_members_df(spark, rows, parts=parts)).collect()
+        blobs[parts] = {r["shard"]: bytes(r["payload"]) for r in out}
+    assert blobs[1] == blobs[7] == blobs[32]
+
+
+def test_member_order_is_key_then_ext(spark):
+    rows = [
+        (0, "b", "txt", b"B"),
+        (0, "a", "txt", b"A1"),
+        (0, "a", "json", b"A0"),
+    ]
+    out = write_wds_shards(_members_df(spark, rows)).collect()
+    names = [n for n, _ in decode_tar(bytes(out[0]["payload"]))]
+    assert names == ["a.json", "a.txt", "b.txt"]
+
+
+def test_empty_ext_uses_bare_key(spark):
+    rows = [(0, "k0", "", b"payload")]
+    out = write_wds_shards(_members_df(spark, rows)).collect()
+    assert decode_tar(bytes(out[0]["payload"])) == [("k0", b"payload")]
+
+
+def test_state_carry_across_arrow_batches(spark):
+    # Force tiny Arrow batches so one shard spans MANY batches: the
+    # generator must carry the open shard's members across batch
+    # boundaries (the pack_sequences partition-kernel contract).
+    rows = _rows(n_docs=300, shards=2)
+    df = _members_df(spark, rows, parts=1)
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    with_conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        out = write_wds_shards(df).collect()
+    finally:
+        if old is None:
+            with_conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            with_conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert sorted(r["shard"] for r in out) == [0, 1]
+    got = []
+    for r in out:
+        for name, payload in decode_tar(bytes(r["payload"])):
+            key, _, ext = name.partition(".")
+            got.append((r["shard"], key, ext, payload))
+    assert sorted(got) == sorted(rows)
+
+
+def test_wds_members_inverse(spark):
+    # write -> wds_members recovers (key, ext, payload) exactly.
+    rows = _rows(n_docs=12, shards=3)
+    shards = write_wds_shards(_members_df(spark, rows))
+    back = wds_members(shards, id_col="shard").select(
+        "shard_id", "key", "ext", "payload"
+    )
+    got = [(r["shard_id"], r["key"], r["ext"], bytes(r["payload"])) for r in back.collect()]
+    assert sorted(got) == sorted(rows)
+
+
+def test_oversized_member_name_raises(spark):
+    # no '/' split point and > 100 bytes: the ustar encoder refuses.
+    rows = [(0, "x" * 200, "txt", b"p")]
+    df = _members_df(spark, rows)
+    with pytest.raises(Exception, match="too long|overflow"):
+        write_wds_shards(df).collect()
