@@ -130,6 +130,15 @@ HEADLINE = [
     "lang_id_model",
     "url_blocklist",
     "bpe_pack",
+    # round-11 late additions: the WebDataset WRITER roundtrip (write +
+    # re-extract: the output sink's full cost), the normalize chain
+    # (12 chained regexp_replace in one codegen span), the
+    # no-global-sort corpus permutation, and the quality-argmax
+    # near-dup keeper (pairs -> components -> argmax)
+    "wds_roundtrip",
+    "text_normalize",
+    "train_order",
+    "cluster_rep",
 ]
 
 
@@ -147,6 +156,10 @@ SCALE_QUERIES = [
     # round-6: map-side curation ops (linear by construction; the scale
     # row verifies the constant factor holds, not the asymptotic)
     "quality_classify", "pii_scrub",
+    # round-11: normalize is map-side (linear by construction);
+    # train_order's prefix-sum plan must stay flat per row as the
+    # corpus grows (the constant-sized offset window never scales)
+    "text_normalize", "train_order",
 ]
 
 

@@ -101,3 +101,41 @@ def test_idempotent():
         for pat, repl in NORMALIZE_STEPS:
             out = re.sub(pat, repl, out)
         assert out == want
+
+
+def test_normalize_is_stream_safe(spark, tmp_path):
+    """normalize_text is a stateless expression tree, so it runs
+    unchanged on a document stream — replayed-stream output == batch
+    (the crawl-tier stream-safety contract)."""
+    import os
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["  messy one ", "clean", "a\r\nb"],
+        }
+    )
+    schema = "doc_id long, text string"
+    batch = (
+        normalize_text(spark.createDataFrame(pdf, schema))
+        .toPandas()
+        .sort_values(["doc_id"], ignore_index=True)
+    )
+    root = str(tmp_path / "norm_stream")
+    os.makedirs(root, exist_ok=True)
+    pdf.to_parquet(os.path.join(root, "part-000.parquet"), index=False)
+    q = (
+        normalize_text(spark.readStream.schema(schema).parquet(root))
+        .writeStream.format("memory")
+        .queryName("norm_stream_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from norm_stream_q")
+        .toPandas()
+        .sort_values(["doc_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[batch.columns], batch)
