@@ -114,6 +114,8 @@ from pandas_sigproc_spark.operators.bpe import (
     bpe_train,
 )
 from pandas_sigproc_spark.operators.webdataset import (
+    load_wds_shards,
+    save_wds_shards,
     wds_members,
     wds_samples,
     write_wds_shards,
@@ -234,6 +236,8 @@ __all__ = [
     "bpe_encode",
     "bpe_encode_relational",
     "bpe_token_counts",
+    "load_wds_shards",
+    "save_wds_shards",
     "wds_members",
     "wds_samples",
     "write_wds_shards",

@@ -35,6 +35,8 @@ only member bytes, and every later operation is a relational plan on
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -219,6 +221,145 @@ def write_wds_shards(
     )
 
 
+def save_wds_shards(
+    shards: DataFrame,
+    path: str,
+    *,
+    overwrite: bool = False,
+) -> dict:
+    """Write a :func:`write_wds_shards` result to ``path`` as real
+    ``shard-<id>.tar`` files — the directory a trainer's data loader
+    points at — with a crash-safe commit protocol:
+
+    1. each executor task writes its shard to
+       ``shard-<id>.tar.inprogress`` then atomically renames it
+       (POSIX rename semantics);
+    2. the driver writes ``_manifest.json`` LAST (tmp + rename, the
+       sigstore stamp pattern) listing every committed shard with its
+       byte size.  Readers (:func:`load_wds_shards`) trust ONLY
+       manifest-listed files, so a crash mid-job leaves stray
+       ``.inprogress``/unmanifested tars that are invisible, never a
+       torn corpus.
+
+    Scheme seam: executor-side writes use Python file I/O, so only
+    local/shared filesystems (``file:`` or bare paths — NFS on a real
+    cluster) are supported here; object stores (s3a://, hdfs://) need
+    an executor-side filesystem client this environment doesn't ship
+    and raise ``NotImplementedError`` loudly (the documented-codec-seam
+    rule, like sources/mp4.py's compressed sample codecs).
+
+    Returns the manifest dict: ``{"n_shards", "n_bytes", "files"}``.
+    """
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"save_wds_shards: scheme {scheme!r} needs an executor-side"
+            " filesystem client (s3/hdfs) that this environment does not"
+            " ship — write to a local/NFS path, or load the tar bytes"
+            " into your own store from write_wds_shards' DataFrame"
+        )
+    local = path[7:] if path.startswith("file://") else path
+    os.makedirs(local, exist_ok=True)
+    manifest_path = os.path.join(local, "_manifest.json")
+    if os.path.exists(manifest_path):
+        if not overwrite:
+            raise ValueError(
+                f"save_wds_shards: {local} already has a manifest —"
+                " pass overwrite=True to replace the corpus"
+            )
+        os.remove(manifest_path)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            names, sizes, sids = [], [], []
+            for sid, blob in zip(pdf["shard"], pdf["payload"]):
+                fname = f"shard-{int(sid):08d}.tar"
+                tmp = os.path.join(local, fname + ".inprogress")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(blob))
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.rename(tmp, os.path.join(local, fname))
+                names.append(fname)
+                sizes.append(len(bytes(blob)))
+                sids.append(int(sid))
+            yield pd.DataFrame(
+                {"shard": sids, "file": names, "n_bytes": sizes}
+            )
+
+    rows = (
+        shards.select("shard", "payload")
+        .mapInPandas(write, "shard long, file string, n_bytes long")
+        .collect()  # bounded: ONE row per shard, not per sample
+    )
+    files = {}
+    for r in rows:
+        if r["file"] in files:
+            raise ValueError(
+                f"save_wds_shards: duplicate shard id {r['shard']} —"
+                " the input must hold one row per shard"
+                " (write_wds_shards output)"
+            )
+        files[r["file"]] = int(r["n_bytes"])
+    manifest = {
+        "version": 1,
+        "n_shards": len(files),
+        "n_bytes": sum(files.values()),
+        "files": dict(sorted(files.items())),
+    }
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, manifest_path)
+    return manifest
+
+
+def load_wds_shards(spark, path: str) -> DataFrame:
+    """Read a :func:`save_wds_shards` directory back as ``(shard long,
+    payload binary)`` — manifest-listed files ONLY, so stray
+    ``.inprogress`` or unmanifested tars from a crashed writer are
+    invisible.  Feed the result to :func:`wds_members`."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"load_wds_shards: scheme {scheme!r} is not supported here"
+            " (see save_wds_shards)"
+        )
+    local = path[7:] if path.startswith("file://") else path
+    manifest_path = os.path.join(local, "_manifest.json")
+    if not os.path.exists(manifest_path):
+        raise ValueError(
+            f"load_wds_shards: {local} has no _manifest.json — either"
+            " nothing was saved or the writer crashed before the commit"
+            " stamp; refuse rather than read a torn corpus"
+        )
+    with open(manifest_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if manifest.get("version") != 1:
+        raise ValueError(
+            f"load_wds_shards: manifest version {manifest.get('version')!r}"
+            " is not supported"
+        )
+    paths = [os.path.join(local, f) for f in manifest["files"]]
+    if not paths:
+        return spark.createDataFrame([], "shard long, payload binary")
+    return (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .selectExpr(
+            "cast(regexp_extract(path, 'shard-([0-9]+)\\\\.tar$', 1)"
+            " as long) as shard",
+            "content as payload",
+        )
+    )
+
+
 def zip_members(
     shards: DataFrame,
     *,
@@ -275,4 +416,11 @@ def zip_members(
     )
 
 
-__all__ = ["wds_members", "wds_samples", "write_wds_shards", "zip_members"]
+__all__ = [
+    "load_wds_shards",
+    "save_wds_shards",
+    "wds_members",
+    "wds_samples",
+    "write_wds_shards",
+    "zip_members",
+]

@@ -139,3 +139,89 @@ def test_oversized_member_name_raises(spark):
     df = _members_df(spark, rows)
     with pytest.raises(Exception, match="too long|overflow"):
         write_wds_shards(df).collect()
+
+
+# --- save/load filesystem sink ----------------------------------------------
+
+
+def _save_inputs(spark, n_docs=12, shards=3):
+    rows = _rows(n_docs=n_docs, shards=shards)
+    return rows, write_wds_shards(_members_df(spark, rows))
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from pandas_sigproc_spark.operators.webdataset import (
+        load_wds_shards,
+        save_wds_shards,
+    )
+
+    rows, shards = _save_inputs(spark)
+    root = str(tmp_path / "corpus")
+    manifest = save_wds_shards(shards, root)
+    assert manifest["n_shards"] == 3
+    assert set(manifest["files"]) == {
+        "shard-00000000.tar",
+        "shard-00000001.tar",
+        "shard-00000002.tar",
+    }
+    back = wds_members(load_wds_shards(spark, root), id_col="shard")
+    got = [
+        (r["shard_id"], r["key"], r["ext"], bytes(r["payload"]))
+        for r in back.collect()
+    ]
+    assert sorted(got) == sorted(rows)
+
+
+def test_save_refuses_overwrite_without_flag(spark, tmp_path):
+    from pandas_sigproc_spark.operators.webdataset import save_wds_shards
+
+    _, shards = _save_inputs(spark)
+    root = str(tmp_path / "corpus2")
+    save_wds_shards(shards, root)
+    with pytest.raises(ValueError, match="already has a manifest"):
+        save_wds_shards(shards, root)
+    m2 = save_wds_shards(shards, root, overwrite=True)
+    assert m2["n_shards"] == 3
+
+
+def test_load_ignores_unmanifested_and_inprogress(spark, tmp_path):
+    import os
+
+    from pandas_sigproc_spark.operators.webdataset import (
+        load_wds_shards,
+        save_wds_shards,
+    )
+
+    _, shards = _save_inputs(spark)
+    root = str(tmp_path / "corpus3")
+    save_wds_shards(shards, root)
+    # simulate a crashed later job: stray tar + torn .inprogress
+    with open(os.path.join(root, "shard-00000099.tar"), "wb") as fh:
+        fh.write(b"garbage")
+    with open(
+        os.path.join(root, "shard-00000007.tar.inprogress"), "wb"
+    ) as fh:
+        fh.write(b"torn")
+    got = load_wds_shards(spark, root).select("shard").collect()
+    assert sorted(r["shard"] for r in got) == [0, 1, 2]
+
+
+def test_load_refuses_missing_manifest(spark, tmp_path):
+    import os
+
+    from pandas_sigproc_spark.operators.webdataset import load_wds_shards
+
+    root = str(tmp_path / "nostamp")
+    os.makedirs(root)
+    with open(os.path.join(root, "shard-00000000.tar"), "wb") as fh:
+        fh.write(b"x")
+    with pytest.raises(ValueError, match="no _manifest.json"):
+        load_wds_shards(spark, root)
+
+
+def test_save_refuses_remote_scheme(spark):
+    from pandas_sigproc_spark.operators.webdataset import save_wds_shards
+
+    _, shards = _save_inputs(spark)
+    with pytest.raises(NotImplementedError, match="s3a"):
+        save_wds_shards(shards, "s3a://bucket/corpus")
