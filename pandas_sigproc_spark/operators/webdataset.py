@@ -221,6 +221,27 @@ def write_wds_shards(
     )
 
 
+def _resolve_local_dir(path: str, fn: str) -> str:
+    """Local directory for ``path``: bare paths verbatim; ``file:`` URIs
+    via urlparse (so ``file:/x``, ``file:///x`` and ``file://host/x``
+    all resolve to the URI's PATH — a prefix-strip would turn
+    ``file:/x`` into a relative dir literally named ``file:``); any
+    other scheme raises the documented executor-side-client seam."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme == "":
+        return path
+    if parsed.scheme == "file":
+        return parsed.path
+    raise NotImplementedError(
+        f"{fn}: scheme {parsed.scheme!r} needs an executor-side"
+        " filesystem client (s3/hdfs) that this environment does not"
+        " ship — write to a local/NFS path, or load the tar bytes"
+        " into your own store from write_wds_shards' DataFrame"
+    )
+
+
 def save_wds_shards(
     shards: DataFrame,
     path: str,
@@ -231,9 +252,12 @@ def save_wds_shards(
     ``shard-<id>.tar`` files — the directory a trainer's data loader
     points at — with a crash-safe commit protocol:
 
-    1. each executor task writes its shard to
-       ``shard-<id>.tar.inprogress`` then atomically renames it
-       (POSIX rename semantics);
+    1. each executor task writes its shard to a per-task-attempt
+       ``shard-<id>.tar.<attempt>.inprogress`` temp (so speculative /
+       retried attempts never interleave bytes in one file) then
+       atomically renames it (POSIX rename semantics; shards are
+       byte-deterministic, so concurrent attempts rename identical
+       content);
     2. the driver writes ``_manifest.json`` LAST (tmp + rename, the
        sigstore stamp pattern) listing every committed shard with its
        byte size.  Readers (:func:`load_wds_shards`) trust ONLY
@@ -250,17 +274,7 @@ def save_wds_shards(
 
     Returns the manifest dict: ``{"n_shards", "n_bytes", "files"}``.
     """
-    from urllib.parse import urlparse
-
-    scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
-        raise NotImplementedError(
-            f"save_wds_shards: scheme {scheme!r} needs an executor-side"
-            " filesystem client (s3/hdfs) that this environment does not"
-            " ship — write to a local/NFS path, or load the tar bytes"
-            " into your own store from write_wds_shards' DataFrame"
-        )
-    local = path[7:] if path.startswith("file://") else path
+    local = _resolve_local_dir(path, "save_wds_shards")
     os.makedirs(local, exist_ok=True)
     manifest_path = os.path.join(local, "_manifest.json")
     if os.path.exists(manifest_path):
@@ -272,19 +286,42 @@ def save_wds_shards(
         os.remove(manifest_path)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Unique temp suffix per task ATTEMPT: under speculative
+        # execution or a stage retry overlapping a zombie first attempt,
+        # two attempts write the same shard concurrently — a shared
+        # .inprogress name would interleave their bytes and a corrupt
+        # file could be renamed into place.  With per-attempt temps each
+        # attempt renames its own complete file; the shards are
+        # byte-deterministic, so whichever rename lands last is
+        # identical content.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         for pdf in batches:
             names, sizes, sids = [], [], []
             for sid, blob in zip(pdf["shard"], pdf["payload"]):
-                fname = f"shard-{int(sid):08d}.tar"
-                tmp = os.path.join(local, fname + ".inprogress")
+                sid = int(sid)
+                if sid < 0:
+                    raise ValueError(
+                        f"save_wds_shards: negative shard id {sid} —"
+                        " the filename scheme (and its load-side parse)"
+                        " requires non-negative ids; map hash-derived"
+                        " shards through pmod/abs first"
+                    )
+                data = bytes(blob)
+                fname = f"shard-{sid:08d}.tar"
+                tmp = os.path.join(
+                    local, f"{fname}.{attempt}.inprogress"
+                )
                 with open(tmp, "wb") as fh:
-                    fh.write(bytes(blob))
+                    fh.write(data)
                     fh.flush()
                     os.fsync(fh.fileno())
                 os.rename(tmp, os.path.join(local, fname))
                 names.append(fname)
-                sizes.append(len(bytes(blob)))
-                sids.append(int(sid))
+                sizes.append(len(data))
+                sids.append(sid)
             yield pd.DataFrame(
                 {"shard": sids, "file": names, "n_bytes": sizes}
             )
@@ -323,15 +360,7 @@ def load_wds_shards(spark, path: str) -> DataFrame:
     payload binary)`` — manifest-listed files ONLY, so stray
     ``.inprogress`` or unmanifested tars from a crashed writer are
     invisible.  Feed the result to :func:`wds_members`."""
-    from urllib.parse import urlparse
-
-    scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
-        raise NotImplementedError(
-            f"load_wds_shards: scheme {scheme!r} is not supported here"
-            " (see save_wds_shards)"
-        )
-    local = path[7:] if path.startswith("file://") else path
+    local = _resolve_local_dir(path, "load_wds_shards")
     manifest_path = os.path.join(local, "_manifest.json")
     if not os.path.exists(manifest_path):
         raise ValueError(

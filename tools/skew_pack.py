@@ -74,7 +74,8 @@ def main() -> None:
         (
             f"write_wds_shards, {n:,} members into ONE shard",
             w_hot,
-            f"{w_hot / w_spread:.2f}x — one ~{n * (512 + 200) // (1 << 20)} MB "
+            f"{w_hot / w_spread:.2f}x — one "
+            f"~{n * (512 + (200 + 511) // 512 * 512) // (1 << 20)} MB "
             "tar assembled in one bounded task, linear in bytes; at scale the "
             "upstream assign_shards token budget is what keeps shards this "
             "size in the first place",
