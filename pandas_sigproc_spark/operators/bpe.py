@@ -218,7 +218,8 @@ def bpe_encode(
                 # F.split separator): a Unicode space (NBSP etc.) must
                 # segment identically at train and encode time, or
                 # tokenization diverges from the trained statistics
-                for w in _re.split(r"\s+", str(text).lower(), flags=_re.ASCII):
+                raw = "" if pd.isna(text) else str(text)
+                for w in _re.split(r"\s+", raw.lower(), flags=_re.ASCII):
                     if not w:
                         continue
                     got = cache.get(w)
@@ -242,6 +243,27 @@ def _word_tokens_expr(w: F.Column) -> F.Column:
     word column (the lambda-side twin of :func:`_initial_tokens`)."""
     chars = F.filter(F.split(w, ""), lambda c: c != "")
     return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def _check_relational_merges(merges: list[tuple[str, str]]) -> None:
+    """Shared cap for the expression-tree twins (each merge nests one
+    more fold): real vocabularies belong in :func:`bpe_encode`."""
+    if len(merges) > 64:
+        raise ValueError(
+            f"{len(merges)} merges would nest {len(merges)} folds into "
+            "one expression tree — use bpe_encode for real vocabularies"
+        )
+
+
+def _words_expr(text_col: str) -> F.Column:
+    """Whitespace word array of a text column, NULL-safe: a NULL text
+    coalesces to '' (empty word array), matching bpe_encode's
+    null-as-empty rule — F.split(NULL) would propagate NULL through
+    the fold and size(NULL) yields -1 (a review finding)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
 
 
 def bpe_encode_relational(
@@ -270,11 +292,7 @@ def bpe_encode_relational(
     rank table), not here.  Output schema matches :func:`bpe_encode`:
     ``(doc_id, n_tokens, tokens array<string>)``.
     """
-    if len(merges) > 64:
-        raise ValueError(
-            f"{len(merges)} merges would nest {len(merges)} folds into "
-            "one expression tree — use bpe_encode for real vocabularies"
-        )
+    _check_relational_merges(merges)
 
     def encode_word(w: F.Column) -> F.Column:
         toks = _word_tokens_expr(w)
@@ -282,9 +300,7 @@ def bpe_encode_relational(
             toks = _merge_expr(a, b, toks)
         return toks
 
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+    words = _words_expr(text_col)
     toks = F.flatten(F.transform(words, encode_word))
     # two projections, not one: referencing the fold tree twice
     # (size + passthrough) would evaluate it twice — higher-order
@@ -320,14 +336,8 @@ def bpe_token_counts(
     otherwise).  A document with no words (all-whitespace text) yields
     NO row, matching a relational tokenize-then-count replay.
     """
-    if len(merges) > 64:
-        raise ValueError(
-            f"{len(merges)} merges would nest {len(merges)} folds into "
-            "one expression tree — use bpe_encode for real vocabularies"
-        )
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+    _check_relational_merges(merges)
+    words = _words_expr(text_col)
     occ = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(words).alias("word"),

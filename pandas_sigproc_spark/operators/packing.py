@@ -75,14 +75,24 @@ def pack_sequences(
     def kernel(batches):
         import pandas as pd
 
-        cur_key, pack, pos, run = None, 0, 0, 0
+        _SENTINEL = object()  # distinct from any real key incl. None
+
+        def norm(v):
+            # Arrow->pandas renders a NULL numeric group key as NaN,
+            # and NaN != NaN would restart the pack stream on EVERY
+            # null-key row — map all nulls to None so they compare
+            # equal, matching the one-group-per-NULL semantics the
+            # repartition/sort upstream already gives them.
+            return None if pd.isna(v) else v
+
+        cur_key, pack, pos, run = _SENTINEL, 0, 0, 0
         for pdf in batches:
             pdf = pdf[keep]
             pack_ids, positions = [], []
             gvals = [pdf[c].to_numpy() for c in gcols]
             toks = pdf[tokens_col].to_numpy()
             for i in range(len(pdf)):
-                key = tuple(g[i] for g in gvals)
+                key = tuple(norm(g[i]) for g in gvals)
                 if key != cur_key:
                     cur_key, pack, pos, run = key, 0, 0, 0
                 t = int(toks[i])
@@ -132,18 +142,27 @@ def training_order(
 
     Output: ``(id_col long, bucket int, global_pos long)`` where
     ``global_pos`` is exactly ``rank of md5(seed:id)`` with ``id`` as
-    the tiebreak (md5 collisions included).
+    the tiebreak (md5 collisions included).  Rows with a NULL id are
+    DROPPED up front (a null id has no hash and no place in a
+    permutation — silently half-counting them in the offsets while the
+    bucket join discarded them was a review finding; dropping on both
+    paths keeps the output an exact 0-based permutation of the non-null
+    ids, the connected_components half-edge rule).
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
     from pyspark.sql import Window
 
-    ok = F.expr(
-        f"md5(concat('{seed}', ':', cast({id_col} as string)))"
+    # Column API, not an f-string expr: a seed containing a quote must
+    # be a literal, never expression text (review finding).
+    ok = F.md5(
+        F.concat(
+            F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+        )
     )
     base = df.select(
         F.col(id_col).cast("long").alias("_id"), ok.alias("_ok")
-    ).select(
+    ).filter(F.col("_id").isNotNull()).select(
         "_id",
         "_ok",
         # leading 16 bits of the SAME hash that defines the order,

@@ -490,15 +490,42 @@ def read_media_hash_store(
 
 
 def compact_media_hash_store(
-    spark: SparkSession, path: str, *, kind: str, partitions: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    kind: str,
+    partitions: int | None = None,
+    key_col: str | None = None,
 ) -> None:
     """:func:`compact_signature_store` for a media hash store: rewrite
     the append-accumulated batch dirs into one balanced batch, swap the
     committed list atomically, then sweep EVERY batch dir outside the
-    new committed list (orphans from earlier crashes included)."""
+    new committed list (orphans from earlier crashes included).
+
+    ``key_col`` names the repartition key explicitly; when ``None`` the
+    2-column media layout's hash column is inferred (whichever column
+    isn't ``media_id``).  Callers with wider tables (the PQ code store)
+    MUST pass it — positional inference over a 3-column table was a
+    review finding: it picked ``vec_id`` only by select order, and a
+    schema evolution would have silently repartitioned on the codes
+    array."""
     meta = _read_media_meta(spark, path, kind)
     store = read_media_hash_store(spark, path, kind=kind)
-    hash_col = [c for c in store.columns if c != "media_id"][0]
+    if key_col is not None:
+        if key_col not in store.columns:
+            raise ValueError(
+                f"compact: key_col {key_col!r} not in store columns"
+                f" {store.columns}"
+            )
+        hash_col = key_col
+    else:
+        others = [c for c in store.columns if c != "media_id"]
+        if "media_id" not in store.columns or len(others) != 1:
+            raise ValueError(
+                "compact: cannot infer the repartition key for columns"
+                f" {store.columns} — pass key_col explicitly"
+            )
+        hash_col = others[0]
     n = partitions or spark.sparkContext.defaultParallelism
     batch_id = int(meta["next_batch"])
     base = path.rstrip("/")
@@ -596,6 +623,7 @@ def compact_pq_code_store(
         path,
         kind=pq_store_kind(m=m, ksub=ksub, nlist=nlist),
         partitions=partitions,
+        key_col="vec_id",
     )
 
 

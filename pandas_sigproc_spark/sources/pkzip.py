@@ -151,20 +151,30 @@ def _find_eocd(data: bytes) -> tuple[int, int, int]:
     if n < 22:
         raise ValueError("too short to be a ZIP archive")
     # EOCD is in the last 22 + 65535 bytes (comment max).  Scan
-    # candidate signatures backwards and accept the first whose
-    # comment length is consistent with the remaining bytes — a
-    # trailing comment may itself contain the 4 signature bytes, and
-    # blindly taking the LAST occurrence would reject a valid archive
-    # (stdlib zipfile applies the same consistency check).
+    # candidate signatures backwards, preferring the first whose
+    # comment length ends exactly at EOF — a trailing comment may
+    # itself contain the 4 signature bytes, and blindly taking the
+    # LAST occurrence would reject a valid archive.  Archives with
+    # trailing bytes AFTER the comment (appended padding/garbage —
+    # `cat a.zip garbage` — which stdlib zipfile reads fine, since it
+    # only requires the comment slice to be complete, not EOF-exact)
+    # fall back to the last candidate whose comment merely FITS; the
+    # exact-EOF pass keeps signature-in-comment archives parsing to
+    # their real record.
     lo = max(0, n - 22 - 0xFFFF)
     sig = struct.pack("<I", _EOCD_SIG)
+    fallback = -1
     pos = data.rfind(sig, lo, n)
     while pos >= 0:
         if pos + 22 <= n:
             (comment_len,) = struct.unpack("<H", data[pos + 20 : pos + 22])
             if pos + 22 + comment_len == n:
                 break
+            if fallback < 0 and pos + 22 + comment_len <= n:
+                fallback = pos
         pos = data.rfind(sig, lo, pos)
+    if pos < 0:
+        pos = fallback
     if pos < 0:
         raise ValueError("no end-of-central-directory record")
     (

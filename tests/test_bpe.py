@@ -338,3 +338,27 @@ def test_token_counts_equal_encode_sizes(spark):
     assert got == want
     assert len(texts) - 2 not in got  # "   " has no words
     assert len(texts) - 1 not in got  # "" has no words
+
+
+def test_null_text_tokenizes_empty_in_all_three_paths(spark):
+    # NULL text must be 0 tokens everywhere — size(NULL array) is -1
+    # and str(None) is 'none', both wrong (review finding).
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_relational,
+        bpe_token_counts,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", None]})
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    merges = [("a", "</w>")]
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    rel = {r["doc_id"]: r for r in bpe_encode_relational(docs, merges).collect()}
+    assert enc[1]["n_tokens"] == 0 and list(enc[1]["tokens"]) == []
+    assert rel[1]["n_tokens"] == 0 and list(rel[1]["tokens"]) == []
+    assert enc[0]["tokens"] == rel[0]["tokens"]
+    cnt = {r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(docs, merges).collect()}
+    assert 1 not in cnt  # no-words doc yields NO row (documented)
+    assert cnt[0] == enc[0]["n_tokens"]

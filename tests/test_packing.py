@@ -193,3 +193,61 @@ def test_greedy_invariants(spark, tokens, budget):
     for k in range(1, len(firsts)):
         prev_tot = sums.loc[firsts.iloc[k - 1]["pack_id"], "tot"]
         assert prev_tot + firsts.iloc[k]["n_tokens"] > budget
+
+
+# --- round-11 review-finding regressions -------------------------------------
+
+
+def test_pack_sequences_null_group_key_is_one_stream(spark):
+    # Arrow renders a NULL numeric group key as NaN; NaN != NaN must NOT
+    # restart the pack stream per row (review finding) — NULL keys pack
+    # greedily as one group, like groupBy would treat them.
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.packing import pack_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "lang": ["en"] * 6,
+            "shard": pd.array([None] * 6, dtype="Int64"),
+            "doc_id": range(6),
+            "n_tokens": [4] * 6,
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "lang string, shard long, doc_id long, n_tokens long"
+    )
+    out = (
+        pack_sequences(df, budget=8, group_cols=("lang", "shard"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    # budget 8, 4 tokens each -> packs of 2: [0,0,1,1,2,2]
+    assert [r["pack_id"] for r in out] == [0, 0, 1, 1, 2, 2]
+    assert [r["pack_pos"] for r in out] == [0, 1, 0, 1, 0, 1]
+
+
+def test_training_order_null_ids_dropped_cleanly(spark):
+    # NULL ids are excluded up front — output stays an exact 0-based
+    # permutation of the non-null ids (review finding: they used to be
+    # dropped by the join but still counted in the bucket offsets).
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.packing import training_order
+
+    pdf = pd.DataFrame({"doc_id": pd.array([0, 1, None, 2, None], dtype="Int64")})
+    df = spark.createDataFrame(pdf, "doc_id long")
+    out = training_order(df).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+    assert sorted(r["global_pos"] for r in out) == [0, 1, 2]
+
+
+def test_training_order_seed_with_quote_is_a_literal(spark):
+    # the seed is a literal, never expression text (review finding)
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.packing import training_order
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(10)}))
+    out = training_order(df, seed="epoch'0; drop--").collect()
+    assert sorted(r["global_pos"] for r in out) == list(range(10))

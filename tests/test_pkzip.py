@@ -263,3 +263,18 @@ def test_refuses_cd_name_len_overflow():
     struct.pack_into("<H", blob, cd + 28, 0xFF00)
     with pytest.raises(ValueError, match="extends past"):
         decode_zip(bytes(blob))
+
+
+def test_trailing_garbage_after_archive_still_parses():
+    # stdlib zipfile accepts a ZIP with appended bytes (the comment
+    # slice need only be complete, not EOF-exact); the EOCD scan's
+    # exact-EOF preference must fall back rather than reject
+    # (review finding on the round-10 comment-scan fix).
+    blob = encode_zip(MEMBERS) + b"appended-garbage-not-a-comment"
+    got = decode_zip(blob)
+    assert [(m["name"], m["payload"]) for m in got] == [
+        (m["name"], m["payload"]) for m in MEMBERS
+    ]
+    # stdlib agrees this is readable
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [i.filename for i in zf.infolist()] == [m["name"] for m in MEMBERS]
