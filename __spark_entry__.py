@@ -4936,6 +4936,141 @@ FROM documents
 """
 
 
+_ROBOTS_TEXTS = {
+    0: (
+        "User-agent: sparkbot\nDisallow: /private/\nAllow: /private/ok/\n"
+        "\nUser-agent: *\nDisallow: /\n"
+    ),
+    1: "User-agent: *\nDisallow: /*.json$\nAllow: /data/\n",
+    2: (
+        "User-agent: *\nDisallow: /p\n"
+        "\nUser-agent: *\nAllow: /p/keep\n"
+    ),
+    # host 3 has NO robots.txt — everything allowed
+}
+
+_ROBOTS_PATHS = [
+    "/",
+    "/private/doc",
+    "/private/ok/doc",
+    "/data/file.json",
+    "/p/keep/x",
+    "/p/zzz",
+]
+
+# expected (matched_rule, matched_path, allowed) per (host_id, path_id),
+# derived BY HAND from RFC 9309 semantics — the oracle replays THIS
+# table by CASE arithmetic, never the engine's parse/join/argmax.
+_ROBOTS_EXPECT = {
+    (0, 0): (None, None, True),
+    (0, 1): ("disallow", "/private/", False),
+    (0, 2): ("allow", "/private/ok/", True),
+    (0, 3): (None, None, True),
+    (0, 4): (None, None, True),
+    (0, 5): (None, None, True),
+    (1, 0): (None, None, True),
+    (1, 1): (None, None, True),
+    (1, 2): (None, None, True),
+    (1, 3): ("disallow", "/*.json$", False),
+    (1, 4): (None, None, True),
+    (1, 5): (None, None, True),
+    (2, 0): (None, None, True),
+    (2, 1): ("disallow", "/p", False),
+    (2, 2): ("disallow", "/p", False),
+    (2, 3): (None, None, True),
+    (2, 4): ("allow", "/p/keep", True),
+    (2, 5): ("disallow", "/p", False),
+    (3, 0): (None, None, True),
+    (3, 1): (None, None, True),
+    (3, 2): (None, None, True),
+    (3, 3): (None, None, True),
+    (3, 4): (None, None, True),
+    (3, 5): (None, None, True),
+}
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots Exclusion Protocol gate (operators/robots.py — RFC 9309
+    relational parse + verdicts): the crawl-politeness stage between
+    URL discovery and fetching.  Each sf document maps to one of 4
+    hosts x 6 path shapes exercising every semantic: a specific-agent
+    group SHADOWING a deny-all * group, the * wildcard with a $
+    anchor beating a shorter Allow, two * groups COMBINING, longest-
+    match with allow-wins-ties, a no-robots host, and no-match rows
+    with NULL match columns.  The oracle is a hand-derived
+    (host, path) -> verdict table replayed by CASE arithmetic — it
+    never sees the parse, the group window, the LIKE compile, or the
+    argmax, so a green hash certifies the whole engine against the
+    RFC semantics (which tests/test_robots.py additionally pins to a
+    pure-Python reference).
+
+    Scale shape: the parse is one bounded per-host window (RFC caps
+    robots.txt at 500 KiB); the verdict join fans each page over its
+    host's rule count (tens) and partial-aggregates the longest-match
+    argmax back to one row; pages on robots-free hosts ride a left
+    join.  No Python anywhere."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": [f"h{i}.example" for i in _ROBOTS_TEXTS],
+                "robots_txt": list(_ROBOTS_TEXTS.values()),
+            }
+        )
+    )
+    rules = parse_robots(robots)
+    did = F.col("doc_id").cast("long")
+    pages = d.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit("h"), (did % 4).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _ROBOTS_PATHS]),
+            (did % 6).cast("int") + 1,
+        ).alias("path"),
+    )
+    return robots_verdicts(pages, rules, agent="sparkbot").select(
+        "doc_id", "host", "path", "matched_rule", "matched_path", "allowed"
+    )
+
+
+def _sql_robots_case(pick) -> str:
+    whens = []
+    for (h, p), exp in _ROBOTS_EXPECT.items():
+        v = pick(exp)
+        lit = "NULL" if v is None else (
+            str(v).upper() if isinstance(v, bool) else f"'{v}'"
+        )
+        whens.append(
+            f"WHEN CAST(doc_id % 4 AS INTEGER) = {h}"
+            f" AND CAST(doc_id % 6 AS INTEGER) = {p} THEN {lit}"
+        )
+    return "CASE " + " ".join(whens) + " END"
+
+
+SQL_ROBOTS_FILTER = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'h' || CAST(CAST(doc_id % 4 AS INTEGER) AS VARCHAR) || '.example' AS host,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         {" ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_ROBOTS_PATHS))}
+       END AS path,
+       {_sql_robots_case(lambda e: e[0])} AS matched_rule,
+       {_sql_robots_case(lambda e: e[1])} AS matched_path,
+       {_sql_robots_case(lambda e: e[2])} AS allowed
+FROM documents
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction under the hash gate — the boilerplate
     step between crawl payloads and the text-curation tier.  Each sf
@@ -8115,7 +8250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            CORRECTNESS_r11.json lands): the filt/psd/srs/rainflow/
     #            interp/detrend-constant+linear/accessor/tfidf/
     #            training_mix tier;
-    #   tier B — the 8 NEW r11 queries needing first driver proof
+    #   tier B — the 9 NEW r11 queries needing first driver proof
     #            (lang_id_model: the fastText-style hashed-trigram
     #            classifier; url_blocklist: the PSL-aware category
     #            blocklist gate; bpe_pack: BPE -> shard -> pack as one
@@ -8128,11 +8263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            oracle mirror; train_order: the no-global-sort exact
     #            corpus permutation vs a brute-force ROW_NUMBER;
     #            cluster_rep: quality-argmax near-dup keeper over the
-    #            recursive-CTE-replayed component graph);
-    #   tier C — 8 of the 48 r9-greens, rotated EARLY to thin the r12
+    #            recursive-CTE-replayed component graph; robots_filter:
+    #            the RFC 9309 crawl-politeness gate vs a hand-derived
+    #            verdict table);
+    #   tier C — 7 of the 48 r9-greens, rotated EARLY to thin the r12
     #            mandatory set (48 r9-greens would otherwise all age out
-    #            at r12; re-proving these now leaves r12 with 40
-    #            mandatory slots + 10 free).
+    #            at r12; re-proving these now leaves r12 with 41
+    #            mandatory slots + 9 free).
     #   below the cap — the 50 r10-greens (fresh through r12), then the
     #            36 remaining r9-greens (fresh through r11 only — ALL 36
     #            MUST be in the r12 window); the local gate
@@ -8182,6 +8319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "train_order": q_train_order,
         "cluster_rep": q_cluster_rep,
+        "robots_filter": q_robots_filter,
         # -- tier C: early r9 rotation (thins the r12 mandatory set) -------
         "semdedup_exact": q_semdedup_exact,
         "corpus_curate_exact": q_corpus_curate_exact,
@@ -8190,12 +8328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_mp4": q_media_video_mp4,
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
-        "decontaminate": q_decontaminate,
         # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (4 r9-greens displaced by the tier-B additions — they rejoin
+        # (5 r9-greens displaced by the tier-B additions — they rejoin
         #  the r12 mandatory set — then the 50 r10-greens (fresh through
         #  r12), then the 36 remaining r9-greens, ALL of which must
         #  rotate into the r12 window.)
+        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "media_image_png": q_media_image_png,
@@ -8377,6 +8515,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": SQL_DOMAIN_CAP,
         "html_extract": SQL_HTML_EXTRACT,
         "url_canon": SQL_URL_CANON,
+        "robots_filter": SQL_ROBOTS_FILTER,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

@@ -139,6 +139,8 @@ HEADLINE = [
     "text_normalize",
     "train_order",
     "cluster_rep",
+    # RFC 9309 robots gate (parse window + LIKE-compiled verdict join)
+    "robots_filter",
 ]
 
 

@@ -122,6 +122,10 @@ from pandas_sigproc_spark.operators.webdataset import (
     zip_members,
 )
 from pandas_sigproc_spark.operators.langid import lang_id_model
+from pandas_sigproc_spark.operators.robots import (
+    parse_robots,
+    robots_verdicts,
+)
 from pandas_sigproc_spark.operators.linkgraph import pagerank
 from pandas_sigproc_spark.operators.webcrawl import (
     canonicalize_url,
@@ -251,6 +255,8 @@ __all__ = [
     "html_escape",
     "html_links",
     "lang_id_model",
+    "parse_robots",
+    "robots_verdicts",
     "pagerank",
     "canonicalize_url",
     "domain_stats",

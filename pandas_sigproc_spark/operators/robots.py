@@ -1,0 +1,211 @@
+"""Robots Exclusion Protocol (RFC 9309) — relational parse + verdicts.
+
+The crawl-politeness gate every production pipeline runs between URL
+discovery and fetching/keeping: parse each host's ``robots.txt`` into a
+rules table, then give every page URL an allow/deny verdict for a named
+user agent.  No reference-repo counterpart (engine extension, the
+webcrawl tier's rule: SURVEY.md §2.11).
+
+Semantics implemented (RFC 9309 + the de-facto wildcard extensions):
+
+- a GROUP is one or more consecutive ``User-agent:`` lines followed by
+  ``Allow:`` / ``Disallow:`` rules; multiple groups naming the same
+  agent combine;
+- group selection: the groups naming our product token exactly
+  (case-insensitive) if any exist, else the ``*`` groups, else
+  everything is allowed;
+- rule matching: ``*`` matches any octet sequence, a trailing ``$``
+  anchors at end-of-path, otherwise the rule is a prefix;
+- precedence: the LONGEST rule (octets of the raw rule text) wins;
+  ``Allow`` beats ``Disallow`` on equal length; no matching rule means
+  allowed.  An empty ``Disallow:`` value matches nothing (allow-all).
+- comments (``#`` to end of line) and unknown directives are ignored;
+  directive names are case-insensitive.
+
+Everything is expression-tree relational — line explode + regexp
+parsing, a per-host gaps-and-islands window for group ids, and a
+rules-to-pages equi-join on host with the wildcard match compiled to a
+SQL ``LIKE`` pattern (identical semantics in Spark and DuckDB, so the
+gate's oracle can replay the match while deriving verdicts
+independently).
+
+Scale shape (100 TB): the parse is one window per HOST over a file of
+dozens of lines (robots.txt is capped at 500 KiB by RFC 9309 §2.5 —
+bounded per-key state); the verdict join fans each page out over its
+host's rule count (tens, not corpus-sized), partial-aggregated back to
+one row by the longest-match argmax.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["parse_robots", "robots_verdicts", "rule_like_pattern"]
+
+
+def _directive(line: Column) -> Column:
+    """Lowercased directive name of a robots line ('' when none)."""
+    return F.lower(F.regexp_extract(line, r"^\s*([A-Za-z-]+)\s*:", 1))
+
+
+def _value(line: Column) -> Column:
+    """Directive value, comment-stripped and trimmed."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_extract(line, r"^\s*[A-Za-z-]+\s*:(.*)$", 1),
+            r"#.*$",
+            "",
+        )
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse ``(host, robots_txt)`` rows into a rules table:
+
+    ``(host string, group_id int, agent string, rule string
+    ('allow'|'disallow'), path string)`` — one row per (group agent ×
+    rule) pair, so a group naming two agents contributes each rule
+    twice (RFC groups combine per agent).  Empty-valued rules (the
+    allow-all ``Disallow:``) match nothing and are dropped here.
+
+    Plan: posexplode lines -> regexp directive split -> per-host
+    gaps-and-islands window (a ``User-agent`` line whose predecessor
+    is NOT one starts a group) -> agents x rules equi-join on
+    (host, group).
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    ).select(
+        "host",
+        "ln",
+        _directive(F.col("line")).alias("kind"),
+        _value(F.col("line")).alias("val"),
+    )
+    kept = lines.filter(
+        F.col("kind").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("kind") == "user-agent").cast("int")
+    grouped = kept.withColumn("_ua", is_ua).withColumn(
+        "_start",
+        (
+            (F.col("_ua") == 1)
+            & (F.coalesce(F.lag("_ua").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn(
+        "group_id",
+        F.sum("_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    agents = grouped.filter(F.col("kind") == "user-agent").select(
+        "host", "group_id", F.lower(F.col("val")).alias("agent")
+    )
+    rules = grouped.filter(
+        (F.col("kind") != "user-agent") & (F.col("val") != "")
+    ).select(
+        "host",
+        "group_id",
+        F.when(F.col("kind") == "allow", "allow")
+        .otherwise("disallow")
+        .alias("rule"),
+        F.col("val").alias("path"),
+    )
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "group_id", "agent", "rule", "path"
+    )
+
+
+def rule_like_pattern(path: Column) -> Column:
+    """Compile a robots rule path to a SQL ``LIKE`` pattern (ESCAPE
+    ``\\``): literal ``%``/``_``/``\\`` escape, ``*`` becomes ``%``, a
+    trailing ``$`` anchors (no trailing ``%``), otherwise prefix match
+    appends ``%``.  LIKE semantics are identical in Spark and DuckDB,
+    which is what lets the gate's oracle replay the match."""
+    anchored = path.endswith("$")
+    body = F.when(
+        anchored, F.substring(path, F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    esc = F.replace(body, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+
+
+def robots_verdicts(
+    pages: DataFrame,
+    rules: DataFrame,
+    *,
+    agent: str = "sparkbot",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Allow/deny verdict per page row for ``agent``.
+
+    ``pages`` carries at least ``(host, path)`` (plus any id columns,
+    which pass through); ``rules`` is :func:`parse_robots` output.
+
+    Output: the pages columns plus ``(matched_rule string|NULL,
+    matched_path string|NULL, allowed boolean)`` — ``matched_*`` name
+    the winning rule under longest-match / allow-wins-ties; pages on
+    hosts with no robots entry (or no applicable group) are allowed
+    with NULL match columns.
+
+    Plan: group selection is a tiny per-host aggregate (does a group
+    name our agent?) joined back; the match is one equi-join on host
+    + a LIKE filter + a partial-agg argmax over
+    ``struct(length(path), rule='allow', path)``; a left join restores
+    no-match pages.  Per-page fan-out is bounded by the host's rule
+    count (RFC caps the file at 500 KiB)."""
+    a = F.lit(agent.lower())
+    # Which group tier applies per host: exact agent if present, else *.
+    host_tier = rules.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("_has_exact")
+    )
+    eff = (
+        rules.join(host_tier, "host")
+        .filter(
+            ((F.col("_has_exact") == 1) & (F.col("agent") == a))
+            | ((F.col("_has_exact") == 0) & (F.col("agent") == "*"))
+        )
+        .select("host", "rule", "path")
+        .withColumn("_pat", rule_like_pattern(F.col("path")))
+    )
+    p = pages.withColumn("_host", F.col(host_col)).withColumn(
+        "_path", F.col(path_col)
+    )
+    cand = p.select("_host", "_path").distinct()
+    matched = (
+        cand.join(eff, cand["_host"] == eff["host"])
+        .filter(F.expr("_path like _pat escape '\\\\'"))
+        .groupBy("_host", "_path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("path").alias("l"),
+                    (F.col("rule") == "allow").cast("int").alias("a"),
+                    F.col("path").alias("p"),
+                )
+            ).alias("_win")
+        )
+        .select(
+            "_host",
+            "_path",
+            F.when(F.col("_win.a") == 1, "allow")
+            .otherwise("disallow")
+            .alias("matched_rule"),
+            F.col("_win.p").alias("matched_path"),
+        )
+    )
+    out = p.join(matched, ["_host", "_path"], "left").withColumn(
+        "allowed",
+        F.coalesce(F.col("matched_rule") != "disallow", F.lit(True)),
+    )
+    return out.drop("_host", "_path")

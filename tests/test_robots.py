@@ -1,0 +1,214 @@
+"""Robots Exclusion Protocol engine (operators/robots.py).
+
+Verdicts are pinned against a pure-Python RFC 9309 reference (group
+combination, longest-match, allow-wins-ties, * wildcard, $ anchor)
+over adversarial files, plus structural parse tests.
+"""
+
+import re
+
+import pandas as pd
+import pytest
+
+from pandas_sigproc_spark.operators.robots import (
+    parse_robots,
+    robots_verdicts,
+)
+
+ROBOTS_A = """# comment-only line
+User-agent: SparkBot
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /*.json$
+Allow: /tmp/keep
+"""
+
+ROBOTS_B = """User-agent: otherbot
+User-agent: *
+Disallow: /all/
+Allow: /all/open*page
+Crawl-delay: 10
+Unknown-directive: x
+
+User-agent: *
+Disallow: /second-group/
+"""
+
+ROBOTS_C = """User-agent: sparkbot
+Disallow:
+"""  # empty Disallow = allow everything for sparkbot
+
+
+# --- pure-Python RFC 9309 reference ------------------------------------------
+
+
+def _ref_parse(txt):
+    groups = []  # [(set(agents), [(rule, path)])]
+    cur_agents, cur_rules, in_rules = [], [], False
+    for raw in txt.split("\n"):
+        m = re.match(r"^\s*([A-Za-z-]+)\s*:(.*)$", raw)
+        if not m:
+            continue
+        kind = m.group(1).lower()
+        val = re.sub(r"#.*$", "", m.group(2)).strip()
+        if kind == "user-agent":
+            if in_rules:
+                groups.append((set(cur_agents), cur_rules))
+                cur_agents, cur_rules, in_rules = [], [], False
+            cur_agents.append(val.lower())
+        elif kind in ("allow", "disallow"):
+            in_rules = True
+            if val:
+                cur_rules.append((kind, val))
+    if cur_agents:
+        groups.append((set(cur_agents), cur_rules))
+    return groups
+
+
+def _rule_matches(rule_path, path):
+    anchored = rule_path.endswith("$")
+    body = rule_path[:-1] if anchored else rule_path
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    rx = "^" + rx + ("$" if anchored else "")
+    return re.match(rx, path) is not None
+
+
+def _ref_verdict(txt, agent, path):
+    groups = _ref_parse(txt)
+    exact = [g for g in groups if agent.lower() in g[0]]
+    chosen = exact if exact else [g for g in groups if "*" in g[0]]
+    best = None  # (len, is_allow, path)
+    for _, rules in chosen:
+        for rule, rp in rules:
+            if _rule_matches(rp, path):
+                key = (len(rp), 1 if rule == "allow" else 0, rp)
+                if best is None or key > best:
+                    best = key
+    if best is None:
+        return True, None
+    return best[1] == 1, best[2]
+
+
+PATHS = [
+    "/",
+    "/private/doc",
+    "/private/ok/doc",
+    "/tmp/x",
+    "/tmp/keeper",
+    "/data/file.json",
+    "/data/file.json.bak",
+    "/all/page",
+    "/all/openXpage",
+    "/all/open/deep/page",
+    "/second-group/x",
+    "/anything",
+]
+
+
+def _spark_verdicts(spark, robots_map, agent, paths):
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {"host": list(robots_map), "robots_txt": list(robots_map.values())}
+        )
+    )
+    rules = parse_robots(robots)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (h, p, i)
+                for i, (h, p) in enumerate(
+                    (h, p) for h in robots_map for p in paths
+                )
+            ],
+            columns=["host", "path", "page_id"],
+        )
+    )
+    out = robots_verdicts(pages, rules, agent=agent)
+    return {
+        (r["host"], r["path"]): (r["allowed"], r["matched_path"])
+        for r in out.collect()
+    }
+
+
+def test_verdicts_match_reference(spark):
+    robots_map = {"a.example": ROBOTS_A, "b.example": ROBOTS_B, "c.example": ROBOTS_C}
+    for agent in ("SparkBot", "nobody"):
+        got = _spark_verdicts(spark, robots_map, agent, PATHS)
+        for host, txt in robots_map.items():
+            for p in PATHS:
+                want_allowed, want_path = _ref_verdict(txt, agent, p)
+                g_allowed, g_path = got[(host, p)]
+                assert g_allowed == want_allowed, (
+                    f"{agent} {host} {p}: got {g_allowed}, want {want_allowed}"
+                )
+                assert g_path == want_path, (
+                    f"{agent} {host} {p}: matched {g_path}, want {want_path}"
+                )
+
+
+def test_specific_agent_group_excludes_star_rules(spark):
+    # SparkBot matches its own group: /tmp/* (a *-group rule) is ALLOWED
+    got = _spark_verdicts(spark, {"a.example": ROBOTS_A}, "sparkbot", ["/tmp/x"])
+    assert got[("a.example", "/tmp/x")][0] is True
+
+
+def test_allow_wins_longest_match(spark):
+    got = _spark_verdicts(
+        spark, {"a.example": ROBOTS_A}, "SparkBot",
+        ["/private/doc", "/private/ok/doc"],
+    )
+    assert got[("a.example", "/private/doc")] == (False, "/private/")
+    assert got[("a.example", "/private/ok/doc")] == (True, "/private/ok/")
+
+
+def test_dollar_anchor(spark):
+    got = _spark_verdicts(
+        spark, {"a.example": ROBOTS_A}, "nobody",
+        ["/data/file.json", "/data/file.json.bak"],
+    )
+    assert got[("a.example", "/data/file.json")][0] is False
+    assert got[("a.example", "/data/file.json.bak")][0] is True
+
+
+def test_multi_agent_group_and_repeated_star_groups_combine(spark):
+    got = _spark_verdicts(
+        spark, {"b.example": ROBOTS_B}, "anyone",
+        ["/all/page", "/all/openXpage", "/second-group/x", "/"],
+    )
+    assert got[("b.example", "/all/page")][0] is False
+    assert got[("b.example", "/all/openXpage")][0] is True  # wildcard allow
+    assert got[("b.example", "/second-group/x")][0] is False  # 2nd * group
+    assert got[("b.example", "/")][0] is True
+
+
+def test_empty_disallow_allows_everything(spark):
+    got = _spark_verdicts(
+        spark, {"c.example": ROBOTS_C}, "sparkbot", ["/anything", "/"]
+    )
+    assert all(v[0] for v in got.values())
+
+
+def test_host_without_robots_is_allowed(spark):
+    robots = spark.createDataFrame(
+        pd.DataFrame({"host": ["x.example"], "robots_txt": [ROBOTS_A]})
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame({"host": ["fresh.example"], "path": ["/p"], "page_id": [0]})
+    )
+    out = robots_verdicts(pages, parse_robots(robots)).collect()
+    assert out[0]["allowed"] is True and out[0]["matched_rule"] is None
+
+
+def test_like_metachars_in_rule_paths_are_literal(spark):
+    # %, _ and \ inside a rule path must match literally, not as LIKE
+    # wildcards (the pattern compiler escapes them).
+    txt = "User-agent: *\nDisallow: /a%b_c\\d/\n"
+    got = _spark_verdicts(
+        spark, {"m.example": txt}, "nobody",
+        ["/a%b_c\\d/x", "/aXbYcZd/x"],
+    )
+    assert got[("m.example", "/a%b_c\\d/x")][0] is False
+    assert got[("m.example", "/aXbYcZd/x")][0] is True
