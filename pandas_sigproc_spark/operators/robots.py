@@ -158,54 +158,54 @@ def robots_verdicts(
     hosts with no robots entry (or no applicable group) are allowed
     with NULL match columns.
 
-    Plan: group selection is a tiny per-host aggregate (does a group
-    name our agent?) joined back; the match is one equi-join on host
-    + a LIKE filter + a partial-agg argmax over
-    ``struct(length(path), rule='allow', path)``; a left join restores
-    no-match pages.  Per-page fan-out is bounded by the host's rule
-    count (RFC caps the file at 500 KiB)."""
+    Plan: EVERY aggregate runs on the (static, slow-refresh) RULES
+    side — group selection is a tiny per-host max, and the applicable
+    rules collapse to ONE array row per host, bounded by RFC 9309's
+    500 KiB file cap.  Pages then take a single left equi-join on host
+    and a map-side array fold (LIKE filter + ``array_max`` over
+    ``struct(length, rule='allow', path)``).  Because the page side is
+    never aggregated, the SAME operator runs unchanged on a page
+    STREAM against static rules (stream-static join — the production
+    shape; pinned in tests/test_robots.py), and batch pages avoid the
+    distinct + groupBy + join-back a page-side argmax would cost."""
     a = F.lit(agent.lower())
     # Which group tier applies per host: exact agent if present, else *.
     host_tier = rules.groupBy("host").agg(
         F.max((F.col("agent") == a).cast("int")).alias("_has_exact")
     )
-    eff = (
+    host_rules = (
         rules.join(host_tier, "host")
         .filter(
             ((F.col("_has_exact") == 1) & (F.col("agent") == a))
             | ((F.col("_has_exact") == 0) & (F.col("agent") == "*"))
         )
-        .select("host", "rule", "path")
-        .withColumn("_pat", rule_like_pattern(F.col("path")))
-    )
-    p = pages.withColumn("_host", F.col(host_col)).withColumn(
-        "_path", F.col(path_col)
-    )
-    cand = p.select("_host", "_path").distinct()
-    matched = (
-        cand.join(eff, cand["_host"] == eff["host"])
-        .filter(F.expr("_path like _pat escape '\\\\'"))
-        .groupBy("_host", "_path")
-        .agg(
-            F.max(
-                F.struct(
-                    F.length("path").alias("l"),
-                    (F.col("rule") == "allow").cast("int").alias("a"),
-                    F.col("path").alias("p"),
-                )
-            ).alias("_win")
-        )
         .select(
-            "_host",
-            "_path",
-            F.when(F.col("_win.a") == 1, "allow")
-            .otherwise("disallow")
-            .alias("matched_rule"),
-            F.col("_win.p").alias("matched_path"),
+            "host",
+            F.struct(
+                F.length("path").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("path").alias("p"),
+                rule_like_pattern(F.col("path")).alias("pat"),
+            ).alias("_r"),
         )
+        .groupBy("host")
+        .agg(F.collect_list("_r").alias("_rules"))
     )
-    out = p.join(matched, ["_host", "_path"], "left").withColumn(
-        "allowed",
-        F.coalesce(F.col("matched_rule") != "disallow", F.lit(True)),
+    p = pages.withColumn("_path", F.col(path_col))
+    joined = p.join(
+        host_rules, p[host_col] == host_rules["host"], "left"
+    ).drop(host_rules["host"])
+    win = F.expr(
+        "array_max(filter(_rules,"
+        " r -> _path like r.pat escape '\\\\'))"
     )
-    return out.drop("_host", "_path")
+    out = joined.withColumn("_win", win).select(
+        *[c for c in joined.columns if c not in ("_rules",)],
+        F.when(F.col("_win").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_win.a") == 1, "allow")
+        .otherwise("disallow")
+        .alias("matched_rule"),
+        F.col("_win.p").alias("matched_path"),
+        F.coalesce(F.col("_win.a") == 1, F.lit(True)).alias("allowed"),
+    )
+    return out.drop("_path", "_win")

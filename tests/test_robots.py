@@ -212,3 +212,54 @@ def test_like_metachars_in_rule_paths_are_literal(spark):
     )
     assert got[("m.example", "/a%b_c\\d/x")][0] is False
     assert got[("m.example", "/aXbYcZd/x")][0] is True
+
+
+def test_robots_verdicts_stream_safe(spark, tmp_path):
+    """robots_verdicts on a PAGE STREAM with static rules is a
+    stream-static join + stateless expressions — replayed-stream
+    output == batch (the crawl-tier stream-safety contract).  This is
+    the production shape: the rules table refreshes slowly (robots
+    re-fetch cadence), pages arrive continuously."""
+    import os
+
+    robots = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.example"], "robots_txt": [ROBOTS_A]})
+    )
+    rules = parse_robots(robots)
+    pages_pdf = pd.DataFrame(
+        {
+            "host": ["a.example"] * 3,
+            "path": ["/private/doc", "/private/ok/doc", "/"],
+            "page_id": [0, 1, 2],
+        }
+    )
+    schema = "host string, path string, page_id long"
+    batch = (
+        robots_verdicts(
+            spark.createDataFrame(pages_pdf, schema), rules, agent="sparkbot"
+        )
+        .toPandas()
+        .sort_values(["page_id"], ignore_index=True)
+    )
+    root = str(tmp_path / "robots_stream")
+    os.makedirs(root, exist_ok=True)
+    pages_pdf.to_parquet(os.path.join(root, "part-000.parquet"), index=False)
+    q = (
+        robots_verdicts(
+            spark.readStream.schema(schema).parquet(root),
+            rules,
+            agent="sparkbot",
+        )
+        .writeStream.format("memory")
+        .queryName("robots_stream_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from robots_stream_q")
+        .toPandas()
+        .sort_values(["page_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[batch.columns], batch)
