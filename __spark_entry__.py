@@ -5044,6 +5044,141 @@ def q_robots_filter(spark, sf_dir):
     )
 
 
+_ADMIT_CAP = 30
+
+# blocklist-host index -> robots-text id (hosts absent here have no
+# robots.txt and are fully allowed)
+_ADMIT_ROBOTS_HOST = {0: 0, 4: 1, 6: 2}
+
+
+def q_crawl_admission(spark, sf_dir):
+    """The composed crawl ADMISSION pipeline in ONE plan — the
+    decision every fetched page faces before it may enter the corpus:
+    URL category blocklist (PSL-aware registrable domains), robots.txt
+    politeness (RFC 9309 longest-match for our agent), then the
+    first-{cap}-per-host domain cap over the survivors.  Three
+    already-gated operators (url_blocklist_filter, robots_verdicts,
+    cap_per_domain) chained as verdict columns; the oracle derives
+    category and robots verdicts from ITS OWN CASE tables (the
+    url_blocklist / robots_filter expectation tables) and replays only
+    the cap as a window — so a green hash certifies the composition
+    wiring, not echoes of the stages.
+
+    Scale shape: blocklist = two broadcast joins; robots = one
+    stream-static-safe equi-join + map-side array fold; the cap = one
+    ranked window on the host key over the eligible sliver.  One
+    exchange total beyond the window."""
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+    from pandas_sigproc_spark.operators.webcrawl import (
+        cap_per_domain,
+        url_blocklist_filter,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id").cast("long")
+    hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
+    host_pick = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]), (did % 8).cast("int") + 1
+    )
+    path_pick = F.element_at(
+        F.array(*[F.lit(p) for p in _ROBOTS_PATHS]),
+        (did % 6).cast("int") + 1,
+    )
+    docs = d.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("http://"), host_pick, path_pick).alias("uri"),
+        path_pick.alias("path"),
+    )
+    bl = url_blocklist_filter(docs).select(
+        "doc_id", "uri", "path", "host", "category"
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": [hosts[i] for i in _ADMIT_ROBOTS_HOST],
+                "robots_txt": [
+                    _ROBOTS_TEXTS[t] for t in _ADMIT_ROBOTS_HOST.values()
+                ],
+            }
+        )
+    )
+    rb = robots_verdicts(
+        bl, parse_robots(robots), agent="sparkbot"
+    ).select(
+        "doc_id",
+        "uri",
+        "path",
+        "host",
+        "category",
+        F.col("allowed").alias("robots_allowed"),
+    )
+    elig = rb.filter(
+        F.col("category").isNull() & F.col("robots_allowed")
+    )
+    capd = cap_per_domain(
+        elig.select("doc_id", "uri"), _ADMIT_CAP
+    ).select("doc_id", F.col("kept").alias("_cap_kept"))
+    return (
+        rb.join(capd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            "category",
+            "robots_allowed",
+            F.coalesce(F.col("_cap_kept"), F.lit(False)).alias(
+                "admitted"
+            ),
+        )
+    )
+
+
+def _sql_admission_robots_case() -> str:
+    whens = []
+    for h in range(8):
+        rh = _ADMIT_ROBOTS_HOST.get(h)
+        for p in range(6):
+            allowed = True if rh is None else _ROBOTS_EXPECT[(rh, p)][2]
+            whens.append(
+                f"WHEN CAST(doc_id % 8 AS INTEGER) = {h}"
+                f" AND CAST(doc_id % 6 AS INTEGER) = {p}"
+                f" THEN {str(allowed).upper()}"
+            )
+    return "CASE " + " ".join(whens) + " END"
+
+
+SQL_CRAWL_ADMISSION = f"""
+WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_url_blocklist_case([e[0] for e in _URL_BLOCKLIST_EXPECT])} AS host,
+         CASE CAST(doc_id % 6 AS INTEGER)
+           {" ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_ROBOTS_PATHS))}
+         END AS path,
+         {_url_blocklist_case([e[2] for e in _URL_BLOCKLIST_EXPECT])} AS category,
+         {_sql_admission_robots_case()} AS robots_allowed
+  FROM documents
+),
+r AS (
+  SELECT *,
+         (category IS NULL AND robots_allowed) AS elig,
+         ROW_NUMBER() OVER (
+           PARTITION BY host, (category IS NULL AND robots_allowed)
+           ORDER BY doc_id) AS rk
+  FROM v
+)
+SELECT doc_id, host, path, category, robots_allowed,
+       (elig AND rk <= {_ADMIT_CAP}) AS admitted
+FROM r
+"""
+
+
 def _sql_robots_case(pick) -> str:
     whens = []
     for (h, p), exp in _ROBOTS_EXPECT.items():
@@ -8250,7 +8385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            CORRECTNESS_r11.json lands): the filt/psd/srs/rainflow/
     #            interp/detrend-constant+linear/accessor/tfidf/
     #            training_mix tier;
-    #   tier B — the 9 NEW r11 queries needing first driver proof
+    #   tier B — the 10 NEW r11 queries needing first driver proof
     #            (lang_id_model: the fastText-style hashed-trigram
     #            classifier; url_blocklist: the PSL-aware category
     #            blocklist gate; bpe_pack: BPE -> shard -> pack as one
@@ -8265,11 +8400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            cluster_rep: quality-argmax near-dup keeper over the
     #            recursive-CTE-replayed component graph; robots_filter:
     #            the RFC 9309 crawl-politeness gate vs a hand-derived
-    #            verdict table);
-    #   tier C — 7 of the 48 r9-greens, rotated EARLY to thin the r12
+    #            verdict table; crawl_admission: blocklist -> robots ->
+    #            domain cap composed in ONE plan);
+    #   tier C — 6 of the 48 r9-greens, rotated EARLY to thin the r12
     #            mandatory set (48 r9-greens would otherwise all age out
-    #            at r12; re-proving these now leaves r12 with 41
-    #            mandatory slots + 9 free).
+    #            at r12; re-proving these now leaves r12 with 42
+    #            mandatory slots + 8 free).
     #   below the cap — the 50 r10-greens (fresh through r12), then the
     #            36 remaining r9-greens (fresh through r11 only — ALL 36
     #            MUST be in the r12 window); the local gate
@@ -8320,6 +8456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "cluster_rep": q_cluster_rep,
         "robots_filter": q_robots_filter,
+        "crawl_admission": q_crawl_admission,
         # -- tier C: early r9 rotation (thins the r12 mandatory set) -------
         "semdedup_exact": q_semdedup_exact,
         "corpus_curate_exact": q_corpus_curate_exact,
@@ -8327,12 +8464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_jpeg": q_media_image_jpeg,
         "media_video_mp4": q_media_video_mp4,
         "media_phash": q_media_phash,
-        "media_phash_pairs": q_media_phash_pairs,
         # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (5 r9-greens displaced by the tier-B additions — they rejoin
+        # (6 r9-greens displaced by the tier-B additions — they rejoin
         #  the r12 mandatory set — then the 50 r10-greens (fresh through
         #  r12), then the 36 remaining r9-greens, ALL of which must
         #  rotate into the r12 window.)
+        "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
@@ -8516,6 +8653,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": SQL_HTML_EXTRACT,
         "url_canon": SQL_URL_CANON,
         "robots_filter": SQL_ROBOTS_FILTER,
+        "crawl_admission": SQL_CRAWL_ADMISSION,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

@@ -141,6 +141,8 @@ HEADLINE = [
     "cluster_rep",
     # RFC 9309 robots gate (parse window + LIKE-compiled verdict join)
     "robots_filter",
+    # composed admission pipeline: blocklist -> robots -> domain cap
+    "crawl_admission",
 ]
 
 
