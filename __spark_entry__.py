@@ -5066,16 +5066,22 @@ def q_crawl_admission(spark, sf_dir):
 
     Scale shape: blocklist = two broadcast joins; robots = one
     stream-static-safe equi-join + map-side array fold; the cap = one
-    ranked window on the host key over the eligible sliver.  One
-    exchange total beyond the window."""
+    ranked window on ``(host, eligible)`` — the eligible sliver ranks
+    within its own partition and ineligible rows never flip a verdict
+    (their rank is ANDed away).  A first cut filtered + ranked +
+    joined back on doc_id, which re-executed the whole
+    blocklist+robots subtree on both sides of the self-join (review
+    finding); the eligibility-partitioned window is the one-pass form
+    and is exactly the shape the oracle replays."""
     import pandas as pd
+
+    from pyspark.sql import Window
 
     from pandas_sigproc_spark.operators.robots import (
         parse_robots,
         robots_verdicts,
     )
     from pandas_sigproc_spark.operators.webcrawl import (
-        cap_per_domain,
         url_blocklist_filter,
     )
 
@@ -5119,24 +5125,17 @@ def q_crawl_admission(spark, sf_dir):
         "category",
         F.col("allowed").alias("robots_allowed"),
     )
-    elig = rb.filter(
-        F.col("category").isNull() & F.col("robots_allowed")
-    )
-    capd = cap_per_domain(
-        elig.select("doc_id", "uri"), _ADMIT_CAP
-    ).select("doc_id", F.col("kept").alias("_cap_kept"))
-    return (
-        rb.join(capd, "doc_id", "left")
-        .select(
-            "doc_id",
-            "host",
-            "path",
-            "category",
-            "robots_allowed",
-            F.coalesce(F.col("_cap_kept"), F.lit(False)).alias(
-                "admitted"
-            ),
-        )
+    elig = F.col("category").isNull() & F.col("robots_allowed")
+    w = Window.partitionBy("host", elig).orderBy("doc_id")
+    return rb.select(
+        "doc_id",
+        "host",
+        "path",
+        "category",
+        "robots_allowed",
+        (elig & (F.row_number().over(w) <= _ADMIT_CAP)).alias(
+            "admitted"
+        ),
     )
 
 

@@ -49,13 +49,19 @@ def _directive(line: Column) -> Column:
 
 
 def _value(line: Column) -> Column:
-    """Directive value, comment-stripped and trimmed."""
-    return F.trim(
+    """Directive value, comment-stripped and whitespace-trimmed.
+    The trim is a regexp over \s, not F.trim: F.trim strips only
+    ASCII spaces, and a tab after the colon (common in hand-edited
+    robots.txt) would otherwise stick to the value and silently
+    defeat rule matching and agent selection (a review finding)."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_extract(line, r"^\s*[A-Za-z-]+\s*:(.*)$", 1),
             r"#.*$",
             "",
-        )
+        ),
+        r"^\s+|\s+$",
+        "",
     )
 
 
@@ -68,10 +74,15 @@ def parse_robots(
     """Parse ``(host, robots_txt)`` rows into a rules table:
 
     ``(host string, group_id int, agent string, rule string
-    ('allow'|'disallow'), path string)`` — one row per (group agent ×
-    rule) pair, so a group naming two agents contributes each rule
-    twice (RFC groups combine per agent).  Empty-valued rules (the
-    allow-all ``Disallow:``) match nothing and are dropped here.
+    ('allow'|'disallow')|NULL, path string|NULL)`` — one row per
+    (group agent × rule) pair, so a group naming two agents
+    contributes each rule twice (RFC groups combine per agent).
+    Empty-valued rules (the allow-all ``Disallow:``) match nothing and
+    are dropped, but a group whose rules are ALL empty still yields
+    one (agent, NULL, NULL) row: RFC 9309 group SELECTION keys on the
+    group's existence, so an exact-agent allow-all group must shadow a
+    deny-all ``*`` group rather than vanish (a review finding —
+    dropping it over-blocked the whole host).
 
     Plan: posexplode lines -> regexp directive split -> per-host
     gaps-and-islands window (a ``User-agent`` line whose predecessor
@@ -117,7 +128,7 @@ def parse_robots(
         .alias("rule"),
         F.col("val").alias("path"),
     )
-    return agents.join(rules, ["host", "group_id"]).select(
+    return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "group_id", "agent", "rule", "path"
     )
 
@@ -182,7 +193,9 @@ def robots_verdicts(
         .select(
             "host",
             F.struct(
-                F.length("path").alias("l"),
+                # RFC 9309 precedence counts OCTETS of the rule, not
+                # characters — they differ on internationalized paths
+                F.octet_length("path").alias("l"),
                 (F.col("rule") == "allow").cast("int").alias("a"),
                 F.col("path").alias("p"),
                 rule_like_pattern(F.col("path")).alias("pat"),

@@ -284,6 +284,15 @@ def save_wds_shards(
                 " pass overwrite=True to replace the corpus"
             )
         os.remove(manifest_path)
+    # Sweep temps orphaned by killed attempts of EARLIER jobs: the
+    # per-attempt names that make concurrent attempts safe (below) also
+    # mean a failed attempt's temp is never reclaimed by its retry, so
+    # without this sweep every rerun would accumulate dead shard-sized
+    # files beside the corpus (a review finding).  Safe at job start:
+    # this job's own attempts have not begun writing yet.
+    for stale in os.listdir(local):
+        if stale.endswith(".inprogress"):
+            os.remove(os.path.join(local, stale))
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Unique temp suffix per task ATTEMPT: under speculative

@@ -84,7 +84,7 @@ def _ref_verdict(txt, agent, path):
     for _, rules in chosen:
         for rule, rp in rules:
             if _rule_matches(rp, path):
-                key = (len(rp), 1 if rule == "allow" else 0, rp)
+                key = (len(rp.encode()), 1 if rule == "allow" else 0, rp)
                 if best is None or key > best:
                     best = key
     if best is None:
@@ -263,3 +263,46 @@ def test_robots_verdicts_stream_safe(spark, tmp_path):
         .sort_values(["page_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[batch.columns], batch)
+
+
+# --- review-finding regressions (round-11 second pass) ------------------------
+
+
+def test_empty_exact_group_shadows_star_denial(spark):
+    # RFC 9309 group SELECTION keys on the group's existence: an
+    # exact-agent group whose only rule is the allow-all empty
+    # Disallow must shadow a deny-all * group, not vanish from the
+    # rules table (review finding: the inner join dropped it and the
+    # host went fully blocked).
+    txt = "User-agent: sparkbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    got = _spark_verdicts(
+        spark, {"e.example": txt}, "sparkbot", ["/", "/anything"]
+    )
+    assert got[("e.example", "/")] == (True, None)
+    assert got[("e.example", "/anything")] == (True, None)
+    # ...while an unmatched agent still hits the * deny-all
+    got2 = _spark_verdicts(spark, {"e.example": txt}, "nobody", ["/x"])
+    assert got2[("e.example", "/x")] == (False, "/")
+
+
+def test_tab_separated_directives(spark):
+    # a tab after the colon must strip like a space (F.trim strips
+    # only ASCII spaces — review finding: the rule silently never
+    # matched and the crawler fetched forbidden paths).
+    txt = "User-agent:\tsparkbot\nDisallow:\t/private/\n"
+    got = _spark_verdicts(
+        spark, {"t.example": txt}, "sparkbot", ["/private/doc", "/ok"]
+    )
+    assert got[("t.example", "/private/doc")] == (False, "/private/")
+    assert got[("t.example", "/ok")] == (True, None)
+
+
+def test_precedence_counts_octets_not_chars(spark):
+    # RFC 9309 longest-match counts rule OCTETS: '/caf\u00e9' is 5
+    # chars but 6 UTF-8 octets, so it must beat a 5-octet competitor.
+    txt = "User-agent: *\nDisallow: /caf\u00e9\nAllow: /caf*\n"
+    # rule lengths: disallow = 6 octets, allow '/caf*' = 5 octets
+    got = _spark_verdicts(
+        spark, {"u.example": txt}, "nobody", ["/caf\u00e9-menu"]
+    )
+    assert got[("u.example", "/caf\u00e9-menu")] == (False, "/caf\u00e9")
