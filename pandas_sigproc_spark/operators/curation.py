@@ -1279,6 +1279,12 @@ def cluster_representatives(
     probe side is bounded by the cluster itself (AQE skew-split
     territory, not a plan problem).
     """
+    # LEFT join: a document missing from `scores` must still be
+    # classified (kept or dropped), not silently vanish from the
+    # output — the docstring's one-row-per-document contract (a review
+    # finding).  Score-less docs compete with -inf, so they never beat
+    # a scored member; an all-unscored cluster falls back to the
+    # min-id keeper (the -id tiebreak), which is the classic rule.
     j = components.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(comp_col).cast("long").alias("component"),
@@ -1288,11 +1294,15 @@ def cluster_representatives(
             F.col(score_col).alias("score"),
         ),
         "doc_id",
+        "left",
     )
     reps = j.groupBy("component").agg(
         F.max(
             F.struct(
-                F.col("score").alias("s"),
+                F.coalesce(
+                    F.col("score").cast("double"),
+                    F.lit(float("-inf")),
+                ).alias("s"),
                 (-F.col("doc_id")).alias("negid"),
             )
         ).alias("_best")

@@ -49,7 +49,7 @@ def _directive(line: Column) -> Column:
 
 
 def _value(line: Column) -> Column:
-    """Directive value, comment-stripped and whitespace-trimmed.
+    r"""Directive value, comment-stripped and whitespace-trimmed.
     The trim is a regexp over \s, not F.trim: F.trim strips only
     ASCII spaces, and a tab after the colon (common in hand-edited
     robots.txt) would otherwise stick to the value and silently

@@ -348,7 +348,9 @@ def registrable_domain_expr(host_col) -> Column:
     or the last three when the two-label tail is a known two-level
     public suffix (:data:`TWO_LEVEL_SUFFIXES`).  Pure JVM expression
     tree; a one-label host (``localhost``) is its own registrable
-    domain."""
+    domain; a NULL host yields NULL (not '' — concat_ws over a NULL
+    slice would silently collapse every unparseable URI onto one empty
+    group key while the host column says NULL, a review finding)."""
     labels = F.split(host_col, "[.]")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -357,7 +359,8 @@ def registrable_domain_expr(host_col) -> Column:
     last3 = F.concat_ws(
         ".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3)
     )
-    return F.when(
+    host = host_col if isinstance(host_col, Column) else F.col(host_col)
+    return F.when(host.isNull(), F.lit(None).cast("string")).when(
         (n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3
     ).otherwise(last2)
 

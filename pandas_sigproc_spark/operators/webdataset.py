@@ -197,6 +197,17 @@ def write_wds_shards(
             for s, k, e, b in zip(
                 pdf[shard_col], pdf[key_col], pdf[ext_col], pdf[payload_col]
             ):
+                # Loud, located refusal instead of a bare TypeError: a
+                # NULL member row (an upstream outer join, a skipped
+                # decode) must name itself, not kill a 100 TB write
+                # with 'int() argument must not be None'.
+                if pd.isna(s) or k is None or b is None:
+                    raise ValueError(
+                        "write_wds_shards: NULL member field"
+                        f" (shard={s!r}, key={k!r},"
+                        f" payload={'NULL' if b is None else 'set'})"
+                        " — filter or repair upstream rows first"
+                    )
                 s = int(s)
                 if cur is not None and s != cur:
                     yield flush()
@@ -219,6 +230,24 @@ def write_wds_shards(
             " n_bytes long, payload binary",
         )
     )
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a completed rename's entry survives power
+    loss: file fsync alone persists bytes, not the directory entry —
+    without this, the manifest's entry could outlive a shard's and the
+    'never a torn corpus' contract would fail unreadably (a review
+    finding).  Best-effort on filesystems without directory fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def _resolve_local_dir(path: str, fn: str) -> str:
@@ -284,6 +313,14 @@ def save_wds_shards(
                 " pass overwrite=True to replace the corpus"
             )
         os.remove(manifest_path)
+        # Also remove the prior corpus's committed shards: real
+        # WebDataset loaders glob *.tar rather than reading the
+        # manifest, so a shrinking rerun that left shard-00000099.tar
+        # beside a 50-shard manifest would silently feed stale data to
+        # training (a review finding).
+        for stale in os.listdir(local):
+            if stale.startswith("shard-") and stale.endswith(".tar"):
+                os.remove(os.path.join(local, stale))
     # Sweep temps orphaned by killed attempts of EARLIER jobs: the
     # per-attempt names that make concurrent attempts safe (below) also
     # mean a failed attempt's temp is never reclaimed by its retry, so
@@ -328,6 +365,7 @@ def save_wds_shards(
                     fh.flush()
                     os.fsync(fh.fileno())
                 os.rename(tmp, os.path.join(local, fname))
+                _fsync_dir(local)
                 names.append(fname)
                 sizes.append(len(data))
                 sids.append(sid)
@@ -361,6 +399,7 @@ def save_wds_shards(
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, manifest_path)
+    _fsync_dir(local)
     return manifest
 
 

@@ -164,6 +164,7 @@ def _find_eocd(data: bytes) -> tuple[int, int, int]:
     lo = max(0, n - 22 - 0xFFFF)
     sig = struct.pack("<I", _EOCD_SIG)
     fallback = -1
+    saw_truncated = False
     pos = data.rfind(sig, lo, n)
     while pos >= 0:
         if pos + 22 <= n:
@@ -172,10 +173,14 @@ def _find_eocd(data: bytes) -> tuple[int, int, int]:
                 break
             if fallback < 0 and pos + 22 + comment_len <= n:
                 fallback = pos
+        else:
+            saw_truncated = True
         pos = data.rfind(sig, lo, pos)
     if pos < 0:
         pos = fallback
     if pos < 0:
+        if saw_truncated:
+            raise ValueError("truncated end-of-central-directory record")
         raise ValueError("no end-of-central-directory record")
     (
         _sig,

@@ -278,3 +278,11 @@ def test_trailing_garbage_after_archive_still_parses():
     # stdlib agrees this is readable
     zf = zipfile.ZipFile(io.BytesIO(blob))
     assert [i.filename for i in zf.infolist()] == [m["name"] for m in MEMBERS]
+
+
+def test_truncated_eocd_triage_message():
+    blob = encode_zip(MEMBERS)
+    # cut mid-EOCD: signature present but record incomplete
+    cut = blob[: len(blob) - 10]
+    with pytest.raises(ValueError, match="truncated end-of-central"):
+        decode_zip(cut)

@@ -119,3 +119,19 @@ def test_cluster_rep_one_kept_per_cluster(spark):
         assert (r["doc_id"] == r["rep_doc_id"]) == r["kept"]
     assert all(v == 1 for v in kept_per.values())
     assert len(out) == 200
+
+
+def test_cluster_rep_missing_scores_still_classified(spark):
+    # docs absent from the scores table must stay in the output (left
+    # join, -inf competition): they never beat a scored member, and an
+    # all-unscored cluster falls back to the min-id keeper.
+    comp = _cc_df(spark, [(0, 0), (1, 0), (5, 5), (6, 5)])
+    scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "score": [0.4]})
+    )
+    rows = {r["doc_id"]: r for r in cluster_representatives(comp, scores).collect()}
+    assert set(rows) == {0, 1, 5, 6}  # nothing dropped
+    assert rows[0]["kept"] is True and rows[1]["kept"] is False
+    assert rows[1]["score"] is None
+    # all-unscored cluster: min id (5) keeps
+    assert rows[5]["kept"] is True and rows[6]["kept"] is False

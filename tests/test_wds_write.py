@@ -253,3 +253,28 @@ def test_save_refuses_negative_shard_ids(spark, tmp_path):
     shards = write_wds_shards(_members_df(spark, rows))
     with pytest.raises(Exception, match="negative shard id"):
         save_wds_shards(shards, str(tmp_path / "neg"))
+
+
+def test_null_member_refused_loudly(spark):
+    rows_pdf = pd.DataFrame(
+        {"shard": [0], "key": ["k"], "ext": ["txt"], "payload": [None]}
+    )
+    df = spark.createDataFrame(rows_pdf, MEMBER_SCHEMA)
+    with pytest.raises(Exception, match="NULL member field"):
+        write_wds_shards(df).collect()
+
+
+def test_overwrite_sweeps_stale_committed_shards(spark, tmp_path):
+    # a shrinking rerun must not leave the old corpus's extra shards
+    # where a *.tar-globbing loader would pick them up.
+    from pandas_sigproc_spark.operators.webdataset import save_wds_shards
+
+    root = str(tmp_path / "shrink")
+    _, shards4 = _save_inputs(spark, n_docs=8, shards=4)
+    save_wds_shards(shards4, root)
+    _, shards2 = _save_inputs(spark, n_docs=8, shards=2)
+    save_wds_shards(shards2, root, overwrite=True)
+    import os
+
+    tars = sorted(f for f in os.listdir(root) if f.endswith(".tar"))
+    assert tars == ["shard-00000000.tar", "shard-00000001.tar"]

@@ -472,3 +472,17 @@ def test_url_blocklist_refuses_duplicate_patterns(spark):
             _uri_df(spark, ["http://a.example/1"]),
             [("x.example", "ads"), ("x.example", "adult")],
         )
+
+
+def test_registrable_domain_null_host_is_null(spark):
+    # NULL host -> NULL registrable (not ''): unparseable URIs must not
+    # collapse onto one empty-string group key (round-11 review).
+    from pandas_sigproc_spark.operators.webcrawl import url_blocklist_filter
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "uri": ["notaurl", "http://a.b/x"]})
+    )
+    rows = {r["doc_id"]: r for r in url_blocklist_filter(df).collect()}
+    assert rows[0]["host"] is None and rows[0]["registrable"] is None
+    assert rows[0]["kept"] is True  # unparseable URIs are kept, not killed
+    assert rows[1]["registrable"] == "a.b"
