@@ -5044,6 +5044,92 @@ def q_robots_filter(spark, sf_dir):
     )
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap discovery under the hash gate — the crawl-frontier
+    counterpart of the robots politeness gate: ``Sitemap:`` directives
+    surface from robots.txt (RFC 9309 §2.3 — agent-independent, flat
+    scan; operators/robots.py sitemap_directives) and the sitemap XML
+    itself parses through sitemap_locs/sitemap_kind
+    (operators/webcrawl.py — `<urlset>` document sitemaps AND
+    `<sitemapindex>` indexes, `<loc>` whitespace trimmed by the
+    regexp, Java/RE2 common subset).  Each sf document synthesizes a
+    host with a robots Sitemap line plus either a 3-URL urlset
+    (even doc_id, one loc padded with newlines) or a 2-child index
+    (odd).  The oracle reconstructs every column by CASE/UNNEST
+    arithmetic — it never sees a regexp.
+
+    Scale shape: both extractions are per-row expression trees (zero
+    shuffle); the directive join is a host equi-join."""
+    from pandas_sigproc_spark.operators.robots import sitemap_directives
+    from pandas_sigproc_spark.operators.webcrawl import (
+        sitemap_kind,
+        sitemap_locs,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("h"), did.cast("string"), F.lit(".example"))
+    base_url = F.concat(F.lit("https://"), host)
+    sm_url = F.concat(base_url, F.lit("/sitemap.xml"))
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nSitemap: "),
+        sm_url,
+        F.lit("\n"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>\n  '),
+        base_url, F.lit("/p0"),
+        F.lit(" \n</loc></url><url><loc>"),
+        base_url, F.lit("/p1"),
+        F.lit("</loc></url><url><loc>"),
+        base_url, F.lit("/p2"),
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"),
+        base_url, F.lit("/sm0.xml"),
+        F.lit("</loc></sitemap><sitemap><loc>\t"),
+        base_url, F.lit("/sm1.xml"),
+        F.lit("\t</loc></sitemap></sitemapindex>"),
+    )
+    rows = d.select(
+        did.alias("doc_id"),
+        host.alias("host"),
+        robots_txt.alias("robots_txt"),
+        F.when(did % 2 == 0, urlset).otherwise(index).alias("xml"),
+    )
+    dirs = sitemap_directives(rows)
+    locs = rows.select(
+        "doc_id",
+        "host",
+        sitemap_kind("xml").alias("kind"),
+        F.posexplode(sitemap_locs("xml")).alias("pos", "loc"),
+    )
+    return locs.join(dirs, "host").select(
+        "doc_id", "kind", "pos", "loc", "sitemap_url"
+    )
+
+
+SQL_SITEMAP_EXTRACT = """
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+x AS (
+  SELECT did,
+         CASE WHEN did % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
+         UNNEST(RANGE(0, CASE WHEN did % 2 = 0 THEN 3 ELSE 2 END)) AS pos
+  FROM base
+)
+SELECT did AS doc_id, kind, CAST(pos AS INTEGER) AS pos,
+       CASE WHEN kind = 'urlset'
+            THEN 'https://h' || CAST(did AS VARCHAR) || '.example/p' || CAST(pos AS VARCHAR)
+            ELSE 'https://h' || CAST(did AS VARCHAR) || '.example/sm' || CAST(pos AS VARCHAR) || '.xml'
+       END AS loc,
+       'https://h' || CAST(did AS VARCHAR) || '.example/sitemap.xml' AS sitemap_url
+FROM x
+"""
+
+
 _ADMIT_CAP = 30
 
 # blocklist-host index -> robots-text id (hosts absent here have no
@@ -8384,7 +8470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            CORRECTNESS_r11.json lands): the filt/psd/srs/rainflow/
     #            interp/detrend-constant+linear/accessor/tfidf/
     #            training_mix tier;
-    #   tier B — the 10 NEW r11 queries needing first driver proof
+    #   tier B — the 11 NEW r11 queries needing first driver proof
     #            (lang_id_model: the fastText-style hashed-trigram
     #            classifier; url_blocklist: the PSL-aware category
     #            blocklist gate; bpe_pack: BPE -> shard -> pack as one
@@ -8400,11 +8486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            recursive-CTE-replayed component graph; robots_filter:
     #            the RFC 9309 crawl-politeness gate vs a hand-derived
     #            verdict table; crawl_admission: blocklist -> robots ->
-    #            domain cap composed in ONE plan);
-    #   tier C — 6 of the 48 r9-greens, rotated EARLY to thin the r12
+    #            domain cap composed in ONE plan; sitemap_extract:
+    #            Sitemap: directives + urlset/index XML parsing);
+    #   tier C — 5 of the 48 r9-greens, rotated EARLY to thin the r12
     #            mandatory set (48 r9-greens would otherwise all age out
-    #            at r12; re-proving these now leaves r12 with 42
-    #            mandatory slots + 8 free).
+    #            at r12; re-proving these now leaves r12 with 43
+    #            mandatory slots + 7 free).
     #   below the cap — the 50 r10-greens (fresh through r12), then the
     #            36 remaining r9-greens (fresh through r11 only — ALL 36
     #            MUST be in the r12 window); the local gate
@@ -8456,18 +8543,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_rep": q_cluster_rep,
         "robots_filter": q_robots_filter,
         "crawl_admission": q_crawl_admission,
+        "sitemap_extract": q_sitemap_extract,
         # -- tier C: early r9 rotation (thins the r12 mandatory set) -------
         "semdedup_exact": q_semdedup_exact,
         "corpus_curate_exact": q_corpus_curate_exact,
         "incr_dedup_store": q_incr_dedup_store,
         "media_image_jpeg": q_media_image_jpeg,
         "media_video_mp4": q_media_video_mp4,
-        "media_phash": q_media_phash,
         # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (6 r9-greens displaced by the tier-B additions — they rejoin
+        # (7 r9-greens displaced by the tier-B additions — they rejoin
         #  the r12 mandatory set — then the 50 r10-greens (fresh through
         #  r12), then the 36 remaining r9-greens, ALL of which must
         #  rotate into the r12 window.)
+        "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -8653,6 +8741,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": SQL_URL_CANON,
         "robots_filter": SQL_ROBOTS_FILTER,
         "crawl_admission": SQL_CRAWL_ADMISSION,
+        "sitemap_extract": SQL_SITEMAP_EXTRACT,
         "semdedup": _sql_semdedup(exact=False),
         "semdedup_exact": _sql_semdedup(exact=True),
         "substr_dedup": SQL_SUBSTR_DEDUP,

@@ -143,6 +143,8 @@ HEADLINE = [
     "robots_filter",
     # composed admission pipeline: blocklist -> robots -> domain cap
     "crawl_admission",
+    # sitemap discovery: robots Sitemap: directives + urlset/index XML
+    "sitemap_extract",
 ]
 
 

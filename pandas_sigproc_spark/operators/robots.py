@@ -222,3 +222,31 @@ def robots_verdicts(
         F.coalesce(F.col("_win.a") == 1, F.lit(True)).alias("allowed"),
     )
     return out.drop("_path", "_win")
+
+
+def sitemap_directives(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives per host: ``(host, sitemap_url)`` —
+    RFC 9309 §2.3 sitemap lines are agent-independent and may appear
+    anywhere in the file (inside or outside groups), so this is a flat
+    directive scan, no group window.  Empty values are dropped;
+    duplicates are preserved (they are distinct lines in the file).
+
+    Scale shape: one line explode + regexp per row — zero shuffle."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.select(
+            "host",
+            _directive(F.col("line")).alias("kind"),
+            _value(F.col("line")).alias("sitemap_url"),
+        )
+        .filter((F.col("kind") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+    )

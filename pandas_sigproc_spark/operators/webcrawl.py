@@ -435,3 +435,35 @@ __all__ = [
     "warc_documents",
     "warc_records",
 ]
+
+
+def sitemap_locs(col) -> Column:
+    """``<loc>`` URL array of a sitemap XML column — works for both
+    document sitemaps (``<urlset>``) and sitemap indexes
+    (``<sitemapindex>``), whose children are ``<url>``/``<sitemap>``
+    elements wrapping a ``<loc>``.  Pattern stays in the Java/RE2
+    common subset (the html_links rule: explicit whitespace class, not
+    \\s — Java's \\s includes \\x0B, RE2's does not), so the
+    DuckDB oracle replays it literally.
+
+    Scale shape: one regexp_extract_all per row — zero shuffle; a
+    50k-URL sitemap costs its own bytes inside its own task."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        c,
+        F.lit(
+            "<loc>[ \\t\\r\\n\\f]*([^<]*?)[ \\t\\r\\n\\f]*</loc>"
+        ),
+        F.lit(1),
+    )
+
+
+def sitemap_kind(col) -> Column:
+    """'index' when the XML is a ``<sitemapindex>``, 'urlset' for a
+    document sitemap, NULL otherwise."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.contains("<sitemapindex"), F.lit("index"))
+        .when(c.contains("<urlset"), F.lit("urlset"))
+        .otherwise(F.lit(None).cast("string"))
+    )

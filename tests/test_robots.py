@@ -306,3 +306,57 @@ def test_precedence_counts_octets_not_chars(spark):
         spark, {"u.example": txt}, "nobody", ["/caf\u00e9-menu"]
     )
     assert got[("u.example", "/caf\u00e9-menu")] == (False, "/caf\u00e9")
+
+
+def test_sitemap_directives_flat_scan(spark):
+    from pandas_sigproc_spark.operators.robots import sitemap_directives
+
+    txt = (
+        "Sitemap: https://a.example/top.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap:\thttps://a.example/inner.xml  \n"
+        "Sitemap:\n"  # empty value dropped
+        "sitemap: https://a.example/lower.xml\n"  # case-insensitive
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.example"], "robots_txt": [txt]})
+    )
+    got = sorted(
+        r["sitemap_url"] for r in sitemap_directives(robots).collect()
+    )
+    assert got == [
+        "https://a.example/inner.xml",
+        "https://a.example/lower.xml",
+        "https://a.example/top.xml",
+    ]
+
+
+def test_sitemap_locs_and_kind(spark):
+    from pandas_sigproc_spark.operators.webcrawl import (
+        sitemap_kind,
+        sitemap_locs,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="x">'
+        "<url><loc>\n https://a/1 \n</loc></url>"
+        "<url><loc>https://a/2</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>\thttps://a/s.xml\t</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1, 2], "xml": [urlset, index, "not xml"]})
+    )
+    rows = {
+        r["i"]: (list(r["locs"]), r["kind"])
+        for r in df.select(
+            "i",
+            sitemap_locs("xml").alias("locs"),
+            sitemap_kind("xml").alias("kind"),
+        ).collect()
+    }
+    assert rows[0] == (["https://a/1", "https://a/2"], "urlset")
+    assert rows[1] == (["https://a/s.xml"], "index")
+    assert rows[2] == ([], None)
