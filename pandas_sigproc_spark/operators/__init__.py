@@ -125,6 +125,7 @@ from pandas_sigproc_spark.operators.langid import lang_id_model
 from pandas_sigproc_spark.operators.robots import (
     parse_robots,
     robots_verdicts,
+    sitemap_directives,
 )
 from pandas_sigproc_spark.operators.linkgraph import pagerank
 from pandas_sigproc_spark.operators.webcrawl import (
@@ -135,6 +136,8 @@ from pandas_sigproc_spark.operators.webcrawl import (
     html_links,
     html_text,
     registrable_domain_expr,
+    sitemap_kind,
+    sitemap_locs,
     url_blocklist_filter,
     url_host,
     warc_documents,
@@ -257,6 +260,9 @@ __all__ = [
     "lang_id_model",
     "parse_robots",
     "robots_verdicts",
+    "sitemap_directives",
+    "sitemap_locs",
+    "sitemap_kind",
     "pagerank",
     "canonicalize_url",
     "domain_stats",
