@@ -19,9 +19,14 @@ tables, so the corpus never shuffles:
 
 All four return ``(qid, vec_id, cos, rank)`` (plus ``qscore`` for the
 quantized funnels) with deterministic ordering — integer bucket keys,
-cosines rounded before ranking, ties to the smaller id — so the driver
-queries (`ann_lsh` / `ann_ivf` / `ann_int8` / `ann_ivf_int8`) delegate
-here verbatim and stay DuckDB-oracle-exact.  :func:`embedding_near_pairs`
+ties to the smaller id.  Where ranking crosses a FLOAT APPROXIMATION
+boundary (the SQ8/PQ funnel keys, the exact rescore) the key is
+rounded to 6 digits BEFORE ranking so a last-ulp cross-engine
+difference cannot flip funnel membership; lsh_topk/ivf_topk rank on
+the raw cosine (their oracles compute the identical doubles, so raw
+order IS the oracle order) and round only the reported column.  The
+driver queries (`ann_lsh` / `ann_ivf` / `ann_int8` / `ann_ivf_int8`)
+delegate here verbatim and stay DuckDB-oracle-exact.  :func:`embedding_near_pairs`
 is the pair-emitting sibling (near-dup candidates over the same banded
 keys, hot-bucket guard default-on) that feeds
 ``graph.connected_components``.
@@ -50,6 +55,28 @@ def _sq_norm(col):
     return F.aggregate(
         F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
+
+
+def _dot(va, vb):
+    """The ordered dot-product fold — ONE definition, because the
+    oracle bit-exactness contract depends on this exact zip_with shape
+    (a review finding: four hand-copied sites risked drifting)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col):
+    """sqrt(sum of squares), floored at 1e-30 like _sq8_scales: under
+    Spark 4's default ANSI mode a zero-norm embedding (a failed
+    upstream encoder's all-zero row) would otherwise abort the WHOLE
+    job with a bare DIVIDE_BY_ZERO deep inside a fold (a review
+    finding).  A zero vector now scores cosine 0 against everything —
+    orthogonal, never a neighbor — instead of killing a 100 TB pass;
+    any real vector's norm is >> 1e-30, so values are bit-identical."""
+    return F.greatest(F.sqrt(_sq_norm(col)), F.lit(1e-30))
 
 
 def cosine_topk_bruteforce(
@@ -87,12 +114,9 @@ def cosine_topk_bruteforce(
                 "(ann_lsh / ann_ivf / ann_int8), or pass max_pairs=None "
                 "for a deliberate offline recall audit."
             )
-    dot = F.aggregate(
-        F.zip_with(F.col(query_vec_col), F.col(vec_col), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = _dot(F.col(query_vec_col), F.col(vec_col)) / (
+        _norm(F.col(query_vec_col)) * _norm(F.col(vec_col))
     )
-    cos = dot / (F.sqrt(_sq_norm(F.col(query_vec_col))) * F.sqrt(_sq_norm(F.col(vec_col))))
     pairs = (
         queries.crossJoin(corpus)
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -238,10 +262,7 @@ def _expand_probes(q: DataFrame, band: int, radius: int) -> DataFrame:
 
 
 def _cos(va, vb):
-    dot = F.aggregate(
-        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return dot / (F.sqrt(_sq_norm(va)) * F.sqrt(_sq_norm(vb)))
+    return _dot(va, vb) / (_norm(va) * _norm(vb))
 
 
 def lsh_topk(
@@ -279,7 +300,7 @@ def lsh_topk(
     RAW vector so the sign sums match the oracle's literal ±v terms
     bit-for-bit.
     """
-    nr = F.sqrt(_sq_norm(F.col("v")))
+    nr = _norm(F.col("v"))
     un = vecs.withColumn("_nr", nr)
     e = lsh_bucket_keys(un, tables=tables, band=band, dim=dim).select(
         "vec_id",
@@ -294,11 +315,7 @@ def lsh_topk(
         band,
         multiprobe,
     )
-    dot = F.aggregate(
-        F.zip_with("qu", "u", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot("qu", "u")
     pairs = (
         q.join(e, ["t", "bucket"])
         .filter(F.col("qid") != F.col("vec_id"))
@@ -690,7 +707,7 @@ def _pq_codebook(
     normalized vectors, cb_id order)`` shared by the corpus encode and
     the query-side LUT."""
     if codebook is not None:
-        cb_nrm = F.sqrt(_sq_norm(F.col("cv")))
+        cb_nrm = _norm(F.col("cv"))
         cb_src = codebook.select(
             F.col("cb_id").cast("long").alias("_id"),
             F.transform("cv", lambda x: x / cb_nrm).alias("u"),
@@ -723,11 +740,22 @@ def _pq_code_table(
     normalization fold m*ksub times (CollapseProject keeps
     multiply-referenced non-cheap expressions materialized)."""
     ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
+    # The -1 check lives in a SEPARATE project above the encode so the
+    # m*ksub fold evaluates once (named-column reference, the file's
+    # CollapseProject rule), and it refuses LOUDLY: a -1 sentinel code
+    # means an empty codebook selection (codebook_pred matched no row
+    # — e.g. vec_ids not starting at 0) or a vector/codebook length
+    # mismatch, and without this assert the corrupt table would
+    # PERSIST through write_pq_code_store and detonate later in every
+    # probe's element_at(lut, 0) (a review finding).
+    bad = F.array_contains(F.col("codes"), F.lit(-1)) | (
+        F.size("codes") != m
+    )
     return (
         ea.crossJoin(F.broadcast(cb))
         .select(
             "vec_id",
-            u_expr.alias("u"),
+            _checked_dim_u(u_expr, sub * m).alias("u"),
             ranked[0]["cid"].alias("list_id"),
             "cbv",
         )
@@ -738,7 +766,40 @@ def _pq_code_table(
             ),
             "list_id",
         )
+        .select(
+            "vec_id",
+            F.when(
+                bad,
+                F.expr(
+                    "assert_true(false, 'ivf-pq encode produced a -1"
+                    " sentinel code: the codebook selection is empty"
+                    " (codebook_pred matched no corpus row) or a"
+                    " vector/codebook length mismatch — fix"
+                    " codebook_pred/dim before the table is"
+                    " materialized')"
+                ).cast("array<int>"),
+            )
+            .otherwise(F.col("codes"))
+            .alias("codes"),
+            "list_id",
+        )
     )
+
+
+def _checked_dim_u(u_expr: Column, dim: int) -> Column:
+    """Normalized vector with a loud per-row dimensionality assert: a
+    corpus vector longer than ``dim`` would otherwise be SILENTLY
+    truncated by the subspace slices (recall collapse with no error),
+    and a shorter one zip_with-null-pads into the -1 sentinel path (a
+    review finding)."""
+    return F.when(
+        F.size("v") != dim,
+        F.expr(
+            f"assert_true(false, concat('ivf-pq: vector length ',"
+            f" cast(size(v) as string), ' != dim={dim} — pass the"
+            f" corpus dimensionality via dim='))"
+        ).cast("array<double>"),
+    ).otherwise(u_expr)
 
 
 def pq_code_table(
@@ -758,15 +819,17 @@ def pq_code_table(
     table :func:`ivf_pq_topk` derives internally, exposed so it can be
     MATERIALIZED (``sigstore.write_pq_code_store``) and probed without
     re-encoding (``ivf_pq_topk(code_table=...)``).  At 100 TB the
-    encode reads every vector once and writes ``m`` bytes + a list id
-    per vector; every later query reads only that."""
+    encode reads every vector once and writes ``m`` codes (array<int>
+    as stored — 1 byte of entropy each at ksub=256, a pack-to-bytes
+    materialization option) + a list id per vector; every later query
+    reads only that."""
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     if centroid_pred is None:
         centroid_pred = F.col("vec_id") < nlist
     if codebook_pred is None:
         codebook_pred = F.col("vec_id") < ksub
-    nrm = F.sqrt(_sq_norm(F.col("v")))
+    nrm = _norm(F.col("v"))
     u_expr = F.transform("v", lambda x: x / nrm)
     cb = _pq_codebook(vecs, codebook_pred, codebook, u_expr)
     return _pq_code_table(
@@ -801,8 +864,11 @@ def ivf_pq_topk(
     Each NORMALIZED corpus vector is encoded as ``m`` codebook indices
     (one per ``dim/m``-wide subspace; L2-nearest of ``ksub`` entries) —
     ``m`` small ints per vector, vs dim int8s for SQ8 and dim float64s
-    for the exact scan: at the defaults an 8-code row is a 64x width
-    reduction of the candidate scan.  Scoring is ADC: the QUERY
+    for the exact scan: at the defaults (m=16 over dim=64 float64s) a
+    code row is an 8x width reduction of the candidate scan as stored
+    (array<int>; packing codes to 1 byte each — ksub=256 fits — would
+    make it 32x, a documented materialization option, not the shipped
+    layout).  Scoring is ADC: the QUERY
     precomputes ``lut[j][c] = <u_q[j], codebook[j][c]>`` (m x ksub
     doubles, query-side only), and a candidate's approximate cosine is
     ``sum_j lut[j][codes[j]]`` — m array lookups and adds per
@@ -842,7 +908,7 @@ def ivf_pq_topk(
     persist = persist or (lambda df: df)
     sub = dim // m
 
-    nrm = F.sqrt(_sq_norm(F.col("v")))
+    nrm = _norm(F.col("v"))
     u_expr = F.transform("v", lambda x: x / nrm)
     cb = _pq_codebook(vecs, codebook_pred, codebook, u_expr)
 
@@ -873,6 +939,12 @@ def ivf_pq_topk(
     eq, ranked_q = _ivf_ranked_centroids(
         vecs.filter(probe_pred), None, centroids
     )
+    # The LUT is staged as a NAMED column in its own select BEFORE the
+    # explode: expressions in the same select as a generator are
+    # planned in the Project above Generate and so evaluate once per
+    # OUTPUT row — the m*ksub inner-product folds would re-run nprobe
+    # times per query (a review finding; the corpus encode already
+    # stages u for the same reason).
     probes = (
         eq.crossJoin(F.broadcast(cb))
         .select(
@@ -884,6 +956,11 @@ def ivf_pq_topk(
         .select(
             "qid",
             pq_lut_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias("lut"),
+            "_rkq",
+        )
+        .select(
+            "qid",
+            "lut",
             F.explode(
                 F.transform("_rkq", lambda s: s["cid"])
             ).alias("list_id"),
@@ -941,7 +1018,7 @@ def embedding_near_pairs(
     """
     from .dedup import guard_bucket_rows
 
-    nr = F.sqrt(_sq_norm(F.col("v")))
+    nr = _norm(F.col("v"))
     un = vecs.withColumn("_nr", nr)
     uvecs = un.select(
         "vec_id", F.transform("v", lambda x: x / F.col("_nr")).alias("u")
@@ -964,11 +1041,7 @@ def embedding_near_pairs(
         .select("v1", "v2")
         .distinct()
     )
-    dot = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot("ua", "ub")
     return (
         cand.join(
             uvecs.select(F.col("vec_id").alias("v1"), F.col("u").alias("ua")),

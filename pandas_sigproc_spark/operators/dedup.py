@@ -176,7 +176,6 @@ def jaccard_ppjoin(
     matters MOST here, because prefix entries of boilerplate shingles are
     exactly what floods the candidate join.
     """
-    sh = _exploded(docs, text_col, id_col, n)
     nparts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
     if max_df is None:
         arr = (
@@ -195,6 +194,11 @@ def jaccard_ppjoin(
             )
         )
     else:
+        # the exploded shingle table exists ONLY on the capped path —
+        # the uncapped branch builds per-doc arrays straight from docs
+        # (a review finding: an unconditional assignment read as if the
+        # default plan consumed it)
+        sh = _exploded(docs, text_col, id_col, n)
         kept = sh.join(F.broadcast(_hot_shingles(sh, max_df)), ["h", "sh"], "left_anti")
         arr = kept.groupBy("doc_id").agg(
             F.array_sort(F.collect_list(F.struct("h", "sh"))).alias("e")
@@ -280,6 +284,11 @@ def jaccard_near_dupes(
     if plan in ("auto", "ppjoin"):
         return jaccard_ppjoin(docs, threshold, **kwargs)
     if plan == "pairs":
+        # ppjoin-only TUNING knobs are dropped, not forwarded: a caller
+        # switching plan='pairs' with parallelism=... set would get a
+        # TypeError instead of the pairs plan (a review finding) —
+        # tuning hints may be ignored, semantic kwargs still raise.
+        kwargs.pop("parallelism", None)
         return jaccard_pairs(docs, threshold, **kwargs)
     raise ValueError(f"unknown jaccard plan {plan!r}")
 
