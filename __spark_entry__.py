@@ -8023,7 +8023,7 @@ g AS (
 gh AS (SELECT doc_id, UNNEST(gs) AS h FROM g),
 bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = 0),
 bpos AS (
-  SELECT (h % {_BLOOM_M} + j * ((h >> 20) % {_BLOOM_M} + 1)) % {_BLOOM_M} AS pos
+  SELECT (h % {_BLOOM_M} + j * ((h >> 20) % ({_BLOOM_M} - 1) + 1)) % {_BLOOM_M} AS pos
   FROM bench CROSS JOIN (VALUES {_BLOOM_KS}) ks(j)
 ),
 bitmap AS (
@@ -8032,7 +8032,7 @@ bitmap AS (
 ),
 probe AS (
   SELECT doc_id, h,
-         (h % {_BLOOM_M} + j * ((h >> 20) % {_BLOOM_M} + 1)) % {_BLOOM_M} AS pos
+         (h % {_BLOOM_M} + j * ((h >> 20) % ({_BLOOM_M} - 1) + 1)) % {_BLOOM_M} AS pos
   FROM gh CROSS JOIN (VALUES {_BLOOM_KS}) ks(j)
   WHERE doc_id % 10 != 0
 ),

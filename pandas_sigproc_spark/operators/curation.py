@@ -291,6 +291,13 @@ def gopher_rules(
     - at least ``min_required_words`` DISTINCT members of
       :data:`GOPHER_REQUIRED_WORDS` appear (lowercased match).
 
+    Input contract: ``text_col`` is expected WHITESPACE-NORMALIZED
+    (the html_text / normalize_text output shape — single spaces, no
+    hard-wrapped words): tokenization is single-space by the tier's
+    corpus contract, so a token spanning a raw newline would corrupt
+    the word metrics.  Run the normalizer first on raw multi-line
+    input (the crawl_curate composition does).
+
     Output: ``(doc_id, n_words, mean_word_len, symbol_ratio,
     bullet_frac, ellipsis_frac, alpha_frac, n_required, keep)`` plus
     any ``keep_cols`` passed through verbatim (so pipeline context —
@@ -406,7 +413,9 @@ def compression_ratio(
                 # NULL text is an empty document (ratio 0.0), not the
                 # 4-byte literal "None"
                 raw = b"" if pd.isna(text) else str(text).encode("utf-8")
-                ids.append(int(did))
+                # NULL id passes through as NULL (int(None) would kill
+                # the whole job on one corrupt row — a review finding)
+                ids.append(None if pd.isna(did) else int(did))
                 nb.append(len(raw))
                 nc.append(len(zlib.compress(raw, lv)) if raw else 0)
             out = pd.DataFrame(
@@ -527,10 +536,14 @@ def bloom_positions_expr(
     h_col: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
 ) -> list[Column]:
     """The ``k`` bit positions of a 60-bit gram hash, by double hashing:
-    ``pos_j = (h%m + j*(1 + (h>>20)%m)) % m`` (the +1 keeps the stride
-    non-zero).  Pure integer arithmetic — bit-portable to the oracle."""
+    ``pos_j = (h%m + j*(1 + (h>>20)%(m-1))) % m``.  The stride draws
+    from [1, m-1] — ``% m + 1`` would reach m, which is congruent to 0
+    mod m and collapses all k probes onto one bit for ~1/m of grams,
+    quietly exceeding the bloom_sizing FP prediction (a review
+    finding).  Pure integer arithmetic — bit-portable to the oracle
+    (the SQL mirror applies the identical formula)."""
     h1 = h_col % m_bits
-    h2 = F.shiftright(h_col, 20) % m_bits + 1
+    h2 = F.shiftright(h_col, 20) % (m_bits - 1) + 1
     return [(h1 + F.lit(j) * h2) % m_bits for j in range(k)]
 
 
@@ -801,7 +814,7 @@ def temperature_sample(
     into an equi-join; the corpus side is a scan + filter, no shuffle.
     """
     thr = temperature_thresholds(docs, lang_col=lang_col, mod=mod)
-    u = _text.sample_bucket_expr(id_col, TEMP_SAMPLE_SALT)
+    u = _text.sample_bucket_expr(id_col, TEMP_SAMPLE_SALT, mod=mod)
     return (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -974,7 +987,14 @@ def _incremental_dedup_core(
     one-column corpus digest table; ``ex_bk`` the UNGUARDED corpus
     band-key table ``(e_id, sig_e_id, band, key)``."""
     # --- exact tier: md5 digest probe -------------------------------
-    dd = d.select("doc_id", F.md5("text").alias("digest"))
+    # NULL text coalesces to '' BEFORE hashing: md5(NULL) is NULL, and
+    # null-unsafe equi-joins on the digest would silently drop the row
+    # from the output — every delta document must get a verdict (a
+    # review finding).  Empty and NULL documents thus share one digest,
+    # the bpe/compression_ratio null-as-empty rule.
+    dd = d.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("digest")
+    )
     hit_ex = (
         dd.join(ex_digests, "digest")
         .select("doc_id")
@@ -1117,9 +1137,23 @@ def decontaminate_exact(
         )
 
     if bench_pred is not None:
-        gh = persist(_gh(docs))
-        bench_h = gh.filter(bench_pred).select("h").distinct()
-        train = gh.filter(~bench_pred)
+        # the predicate is evaluated against the FULL docs row (tagged
+        # as a boolean before the gram projection drops other columns)
+        # — a review finding: filtering the projected gram table broke
+        # the documented "boolean Column over docs" contract for any
+        # predicate touching a non-id column (e.g. split == 'test')
+        tagged = docs.withColumn("_is_bench", bench_pred)
+        gh = persist(
+            _gh(tagged).join(
+                tagged.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    "_is_bench",
+                ),
+                "doc_id",
+            )
+        )
+        bench_h = gh.filter(F.col("_is_bench")).select("h").distinct()
+        train = gh.filter(~F.col("_is_bench")).drop("_is_bench")
     else:
         bench_h = _gh(bench).select("h").distinct()
         train = _gh(docs)
@@ -1151,7 +1185,12 @@ def scrub_pii(
     Adds ``out_col`` (default ``<col>_scrubbed``) plus
     ``<col>_masked_chars`` — how many characters the chain removed,
     measured against placeholder-free re-expansion (original length
-    minus scrubbed length with placeholders deleted).
+    minus scrubbed length with placeholders deleted).  Known caveat
+    (review finding, documented rather than re-derived per rule): a
+    document whose ORIGINAL text already contains a placeholder
+    literal ("<NUM>" etc.) overcounts by that literal's length — the
+    re-expansion cannot tell it from an inserted one; exact per-rule
+    accounting would need k extra regexp_count passes per row.
 
     Scale shape: pure map-side regex in codegen — 0 shuffles, 0 UDFs.
     """

@@ -96,7 +96,11 @@ def gram_sql(n: int, text_col: str = "text") -> str:
     200k tokens where the old form needs hours).  Identical output
     arrays for every n/length combination (equality-tested in
     tests/test_gram_builder.py)."""
-    ws = f"split({text_col}, ' ')"
+    # Backtick-quoted: an expr-string splice of a raw column name turns
+    # 'body-text' into a silent SUBTRACTION of two columns (a review
+    # finding); the DataFrame-API siblings use F.col() which already
+    # handles such names.
+    ws = f"split(`{text_col}`, ' ')"
     m = f"greatest(size({ws}) - {n - 1}, 1)"
     g = f"slice({ws}, 1, {m})"
     for j in range(2, n + 1):
@@ -105,6 +109,16 @@ def gram_sql(n: int, text_col: str = "text") -> str:
             f"(ga{j}, gb{j}) -> concat_ws(' ', ga{j}, gb{j}))"
         )
     return g
+
+
+def hash60_sql(inner: str) -> str:
+    """The engine's portable 60-bit hash of a SQL string fragment —
+    ``cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)``.  ONE
+    definition (a review finding counted four hand-copies across
+    text.py/curation.py): the oracle-parity guarantee depends on every
+    site using the identical arithmetic, and the DuckDB mirrors all
+    assume this exact 15-hex-digit prefix."""
+    return f"cast(conv(substring(md5({inner}), 1, 15), 16, 10) as bigint)"
 
 
 def grams_expr(n: int, text_col: str = "text") -> Column:
@@ -117,20 +131,26 @@ def gram_hash_expr(n: int, text_col: str = "text") -> Column:
     bigint hashes (identical arithmetic to the DuckDB oracle mirrors)."""
     return F.expr(
         f"array_distinct(transform({gram_sql(n, text_col)},"
-        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
+        f" s -> {hash60_sql('s')}))"
     )
 
 
-def sample_bucket_expr(id_col: str = "doc_id", salt: str = ":sample") -> Column:
-    """Deterministic uniform bucket in [0, SAMPLE_MOD): hash of the id,
+def sample_bucket_expr(
+    id_col: str = "doc_id", salt: str = ":sample", mod: int = SAMPLE_MOD
+) -> Column:
+    """Deterministic uniform bucket in [0, ``mod``): hash of the id,
     salted to decorrelate from other hash-derived operators.  RNG-free —
-    re-runs select the same rows on any cluster size."""
+    re-runs select the same rows on any cluster size.  ``mod`` must
+    match the threshold side's modulus (a review finding:
+    temperature_sample scaled thresholds by the caller's mod while this
+    bucket hardcoded SAMPLE_MOD, silently keeping the wrong fraction
+    for any non-default mod)."""
     return (
         F.expr(
-            f"cast(conv(substring(md5(concat(cast({id_col} as string), '{salt}')),"
+            f"cast(conv(substring(md5(concat(cast(`{id_col}` as string), '{salt}')),"
             f" 1, 15), 16, 10) as bigint)"
         )
-        % SAMPLE_MOD
+        % int(mod)
     )
 
 
@@ -138,6 +158,8 @@ def sample_threshold_expr(
     thresholds: dict[str, int], default: int, lang_col: str = "lang"
 ) -> Column:
     """Per-language keep threshold (rows kept when bucket < threshold)."""
+    if not thresholds:
+        return F.lit(default)
     thr = None
     for lang, t in thresholds.items():
         cond = F.col(lang_col) == lang

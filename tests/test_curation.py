@@ -552,3 +552,77 @@ def test_compression_ratio_level_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
     with pytest.raises(ValueError):
         C.compression_ratio(df, level=0)
+
+
+# --- round-11 review-finding regressions (text/curation pass) -----------------
+
+
+def test_temperature_sample_respects_custom_mod(spark):
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.curation import temperature_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4000), "lang": ["en"] * 4000})
+    )
+    # with mod=1000 the bucket must ALSO be mod-1000, or the kept
+    # fraction collapses by ~1000x (review finding)
+    kept = temperature_sample(docs, mod=1000).count()
+    # single language: threshold = mod * target/n ~= mod, so nearly all
+    # rows should survive; the broken form kept ~0.1%
+    assert kept > 3000
+
+
+def test_decontaminate_bench_pred_on_non_id_column(spark):
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from pandas_sigproc_spark.operators.curation import decontaminate_exact
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b c d e f", "a b c d e f", "x y z w v u"],
+                "split": ["test", "train", "train"],
+            }
+        )
+    )
+    # predicate over a non-id column must work (review finding: the
+    # gram projection used to drop it -> UNRESOLVED_COLUMN)
+    out = decontaminate_exact(
+        docs, n=3, bench_pred=F.col("split") == "test"
+    ).collect()
+    flagged = {r["doc_id"] for r in out}
+    assert flagged == {1}  # doc 1 shares all grams with the test doc
+
+
+def test_incremental_dedup_null_text_keeps_verdict(spark):
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.curation import incremental_dedup
+
+    existing = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["some corpus doc here"]})
+    )
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [10, 11], "text": ["fresh delta text", None]}
+        ),
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(existing, delta).collect()}
+    # the NULL-text row must receive a verdict, not vanish (review
+    # finding: md5(NULL) digests never matched the equi-joins)
+    assert set(out) == {10, 11}
+    assert out[11]["is_exact_dup"] is False
+
+
+def test_sample_threshold_expr_empty_dict(spark):
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.text import sample_threshold_expr
+
+    df = spark.createDataFrame(pd.DataFrame({"lang": ["en", "de"]}))
+    out = df.select(sample_threshold_expr({}, 42).alias("thr")).collect()
+    assert [r["thr"] for r in out] == [42, 42]
