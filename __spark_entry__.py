@@ -6963,7 +6963,10 @@ sh AS (
            - n_tokens AS gs
   FROM tok
 ),
-o AS (
+o AS MATERIALIZED (
+  -- MATERIALIZED: the recursive pack CTE below references o at every
+  -- step; inlined, each step re-evaluates the whole 8-round merge
+  -- chain (measured 53 s -> 0.6 s at sf0.01, identical rows)
   SELECT CAST(gs // {_BPE_SHARD_TOKENS} AS BIGINT) AS shard,
          CAST(gs AS BIGINT) AS global_start,
          n_tokens,
@@ -7882,6 +7885,549 @@ FROM m JOIN cleaned c ON m.doc_id = c.doc_id
 """
 
 
+_C2S_CAP = 50  # admission domain cap (trims the big hosts at sf0.01 up)
+
+
+def q_corpus_to_shards(spark, sf_dir):
+    """The round-12 CAPSTONE: the complete 100 TB corpus job as ONE
+    composed plan, crawl bytes to training shards —
+
+    WARC ingest -> admission (URL blocklist + RFC 9309 robots + domain
+    cap) -> URL-canonical dedup -> html_text -> normalize_text ->
+    Gopher quality -> exact n-gram decontamination -> BPE token counts
+    -> token-balanced shard assignment -> greedy packing ->
+    WebDataset shard WRITE -> re-extract -> per-shard manifests.
+
+    Every stage is an already-hash-gated operator (warc_extract,
+    crawl_admission, crawl_curate, text_normalize, gopher_rules,
+    decontaminate, bpe_pack, wds_roundtrip); what THIS gate certifies
+    is the composition — verdicts feeding filters feeding token math
+    feeding the sink, in one lineage.  The oracle derives the final
+    shard manifests (member count, byte total, an order-canonical
+    digest of every member's key/ext/md5) straight from the documents
+    table: it replays admission from its own CASE expectation tables,
+    quality/decontamination/BPE/packing from first-principles SQL, and
+    never sees a WARC record, an HTML tag, or a tar byte — so a green
+    hash certifies every seam at once (a dedup that kept both URL
+    variants, a cap off by one host, a packing drift, or a tar header
+    bug each change the digests).
+
+    Scale shape: the producer stand-in is one applyInPandas WARC
+    encode per 32-way group; everything from extraction to verdicts is
+    JVM expression trees with two bounded windows (url_key dedup,
+    host-cap rank); decontamination broadcasts the benchmark gram set;
+    BPE counts fold per DISTINCT word; shard assignment is the
+    distributed prefix sum; packing and the shard writer are one
+    repartition + one sorted mapInPandas each, task state bounded by a
+    single shard.  The one corpus-sized shuffle chain is exactly the
+    dedup/pack exchanges the standalone gates already audit."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from pandas_sigproc_spark.operators.bpe import bpe_token_counts
+    from pandas_sigproc_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+    from pandas_sigproc_spark.operators.text import normalize_text_expr
+    from pandas_sigproc_spark.operators.webcrawl import (
+        canonicalize_url,
+        html_text,
+        url_blocklist_filter,
+        warc_documents,
+    )
+    from pandas_sigproc_spark.operators.webdataset import (
+        wds_members,
+        write_wds_shards,
+    )
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
+    paths = list(_ROBOTS_PATHS)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.sources.warc import encode_warc
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for r in pdf.itertuples():
+            esc = (
+                str(r.text)
+                .replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            html = (
+                "<html><head><script>var a = 1 < 2;</script></head>"
+                "<body><!-- boilerplate --><p>" + esc + "</p></body></html>"
+            ).encode("utf-8")
+            i = int(r.doc_id)
+            h, p = hosts[i % 8], paths[i % 6]
+            # two messy variants of the SAME page (the crawl_curate
+            # device): canonicalization must collapse them or the
+            # dedup window keeps 2 rows and every digest shifts
+            recs.append(
+                {
+                    "uri": f"HTTP://{h.upper()}:80{p}?id={i}&utm_source=a",
+                    "payload": html,
+                }
+            )
+            recs.append(
+                {
+                    "uri": f"http://{h}{p}?id={i}&fbclid=z#frag",
+                    "payload": html,
+                }
+            )
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["doc_id"].min())],
+                "payload": [encode_warc(recs, gzip_records=True)],
+            }
+        )
+
+    archives = (
+        d.select("doc_id", "text")
+        .withColumn("_g", (F.col("doc_id") % 32).cast("int"))
+        .groupBy("_g")
+        .applyInPandas(enc, "archive_id long, payload binary")
+    )
+    docs = warc_documents(archives).select(
+        F.regexp_extract("uri", "[?&]id=([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("uri"),
+        canonicalize_url(F.col("uri")).alias("url_key"),
+        html_text(F.col("text")).alias("ctext"),
+    )
+    wr = Window.partitionBy("url_key").orderBy("uri")
+    one = (
+        docs.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "uri")
+    )
+    bl = url_blocklist_filter(one, uri_col="url_key").withColumn(
+        "path", F.regexp_extract("url_key", "^[a-z]+://[^/]+([^?#]*)", 1)
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": [hosts[i] for i in _ADMIT_ROBOTS_HOST],
+                "robots_txt": [
+                    _ROBOTS_TEXTS[t] for t in _ADMIT_ROBOTS_HOST.values()
+                ],
+            }
+        )
+    )
+    rb = robots_verdicts(bl, parse_robots(robots), agent="sparkbot")
+    elig = F.col("category").isNull() & F.col("allowed")
+    wcap = Window.partitionBy("host", elig).orderBy("doc_id")
+    adm = rb.withColumn(
+        "_admitted", elig & (F.row_number().over(wcap) <= _C2S_CAP)
+    ).filter("_admitted")
+    norm = adm.select(
+        "doc_id", normalize_text_expr(F.col("ctext")).alias("text")
+    )
+    # required-word probe at >=1: the synthetic corpus vocabulary
+    # carries only 'the' of the 8 Gopher probe words (measured:
+    # n_required <= 1 for every sf0.01 doc), so the production
+    # default of 2 would zero the pipeline and hollow the gate; at 1
+    # the probe still bites (docs without 'the' drop) and the
+    # word-count bound stays the main live filter.
+    keep = _persist(
+        _cur.gopher_rules(norm, keep_cols=("text",), min_required_words=1)
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    hits = _cur.decontaminate_exact(
+        keep,
+        bench_pred=F.col("doc_id") % 10 == 0,
+        n=_DECON_N,
+        persist=_persist,
+    )
+    clean = keep.filter(F.col("doc_id") % 10 != 0).join(
+        hits.select("doc_id"), "doc_id", "left_anti"
+    )
+    counts = bpe_token_counts(clean, _BPE_PACK_MERGES)
+    sharded = assign_shards(
+        counts, _BPE_SHARD_TOKENS, buckets=_SHARD_BUCKETS
+    )
+    packed = pack_sequences(
+        sharded,
+        _BPE_PACK_BUDGET,
+        tokens_col="n_tokens",
+        order_col="global_start",
+        group_cols=("shard",),
+    )
+    mem = (
+        sharded.select("doc_id", "shard", "global_start")
+        .join(packed, ["shard", "global_start"])
+        .join(clean, "doc_id")
+    )
+    key = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    js = F.concat(
+        F.lit('{"doc_id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"pack_id":'),
+        F.col("pack_id").cast("string"),
+        F.lit(',"pack_pos":'),
+        F.col("pack_pos").cast("string"),
+        F.lit(',"n_tokens":'),
+        F.col("n_tokens").cast("string"),
+        F.lit("}"),
+    )
+    members = mem.select(
+        "shard",
+        key.alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).unionByName(
+        mem.select(
+            "shard",
+            key.alias("key"),
+            F.lit("json").alias("ext"),
+            F.encode(js, "UTF-8").alias("payload"),
+        )
+    )
+    back = wds_members(write_wds_shards(members), id_col="shard")
+    return (
+        back.select(
+            "shard_id", "n_bytes",
+            F.struct("key", "ext", F.md5("payload").alias("sha")).alias(
+                "_e"
+            ),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("_e")),
+                        lambda x: F.concat_ws(
+                            ":", x["key"], x["ext"], x["sha"]
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("digest"),
+        )
+    )
+
+
+def _sql_corpus_to_shards() -> str:
+    """The capstone oracle: shard manifests from the documents table
+    alone — admission from the gate expectation CASE tables, the
+    html_text/normalize mirror, the shared Gopher CTE, the
+    decontamination gram join, the unrolled BPE merge rounds, the
+    integer shard/pack arithmetic, and an order-canonical digest."""
+    from pandas_sigproc_spark.operators.text import normalize_duckdb_sql
+
+    rounds = []
+    prev = "m0"
+    for i, (a, b) in enumerate(_BPE_PACK_MERGES, start=1):
+        rounds.append(_bpe_merge_round_sql(prev, f"m{i}", a, b))
+        prev = f"m{i}"
+    rounds_sql = ",".join(rounds)
+    norm = normalize_duckdb_sql("text")
+    js = (
+        "'{\"doc_id\":' || CAST(doc_id AS VARCHAR)"
+        " || ',\"pack_id\":' || CAST(pack_id AS VARCHAR)"
+        " || ',\"pack_pos\":' || CAST(pack_pos AS VARCHAR)"
+        " || ',\"n_tokens\":' || CAST(n_tokens AS VARCHAR) || '}'"
+    )
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_url_blocklist_case([e[0] for e in _URL_BLOCKLIST_EXPECT])} AS host,
+         {_url_blocklist_case([e[2] for e in _URL_BLOCKLIST_EXPECT])} AS category,
+         {_sql_admission_robots_case()} AS robots_allowed,
+         text
+  FROM documents
+),
+adm AS (
+  SELECT *,
+         (category IS NULL AND robots_allowed) AS elig,
+         ROW_NUMBER() OVER (
+           PARTITION BY host, (category IS NULL AND robots_allowed)
+           ORDER BY doc_id) AS rk
+  FROM src
+),
+collapsed AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \\t\\r\\n\\f]+', ' ', 'g')) AS text
+  FROM adm WHERE elig AND rk <= {_C2S_CAP}
+),
+cleaned AS (
+  SELECT doc_id, {norm} AS text FROM collapsed
+),
+{_sql_gopher_m("cleaned")},
+q AS (
+  SELECT c.doc_id, c.text
+  FROM m JOIN cleaned c USING (doc_id)
+  WHERE {_SQL_GOPHER_KEEP.replace("n_required >= 2", "n_required >= 1")}
+),
+gtok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM q
+),
+gg AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - {_DECON_N - 1}, 1) + 1),
+                            i -> ARRAY_TO_STRING(words[i:i+{_DECON_N - 1}], ' ')),
+             s -> CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS gs
+  FROM gtok
+),
+ghx AS (SELECT doc_id, UNNEST(gs) AS h FROM gg),
+benchx AS (SELECT DISTINCT h FROM ghx WHERE doc_id % 10 = 0),
+contam AS (
+  SELECT DISTINCT ghx.doc_id FROM ghx JOIN benchx USING (h)
+  WHERE ghx.doc_id % 10 != 0
+),
+clean AS MATERIALIZED (
+  SELECT q.doc_id, q.text FROM q
+  WHERE doc_id % 10 != 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+base AS (
+  SELECT doc_id,
+         string_split_regex(LOWER(text), '[ \\t\\n\\r\\f\\v]+') AS ws
+  FROM clean
+),
+wd AS (
+  SELECT doc_id, u.wi, u.word
+  FROM base,
+  LATERAL (SELECT UNNEST(ws) AS word, generate_subscripts(ws, 1) AS wi) u
+  WHERE u.word <> ''
+),
+m0 AS (
+  SELECT doc_id, wi, u.ti, u.tok
+  FROM (
+    SELECT doc_id, wi,
+           list_concat(
+             list_transform(range(1, LENGTH(word) + 1),
+               i -> SUBSTRING(word, CAST(i AS INTEGER), 1)),
+             ['</w>']) AS toks
+    FROM wd
+  ) t,
+  LATERAL (SELECT UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS ti) u
+),{rounds_sql},
+cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM {prev} GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, n_tokens,
+         CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_SHARD_BUCKETS} AS INTEGER) AS bucket
+  FROM cnt WHERE n_tokens > 0
+),
+sh AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS gs
+  FROM tok
+),
+o AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(gs // {_BPE_SHARD_TOKENS} AS BIGINT) AS shard,
+         CAST(gs AS BIGINT) AS global_start,
+         n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY gs // {_BPE_SHARD_TOKENS} ORDER BY gs) AS rn
+  FROM sh
+),
+r AS (
+  SELECT shard, global_start, n_tokens, rn,
+         0 AS pack_id, 0 AS pack_pos, n_tokens AS run
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.global_start, o.n_tokens, o.rn,
+         CASE WHEN r.run + o.n_tokens > {_BPE_PACK_BUDGET} THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.run + o.n_tokens > {_BPE_PACK_BUDGET} THEN 0 ELSE r.pack_pos + 1 END,
+         CASE WHEN r.run + o.n_tokens > {_BPE_PACK_BUDGET} THEN o.n_tokens ELSE r.run + o.n_tokens END
+  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+),
+memx AS (
+  SELECT o.doc_id, r.shard, r.pack_id, r.pack_pos, r.n_tokens, c.text
+  FROM r
+  JOIN o ON o.shard = r.shard AND o.rn = r.rn
+  JOIN clean c ON c.doc_id = o.doc_id
+),
+rows2 AS (
+  SELECT shard AS shard_id,
+         LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+         'txt' AS ext,
+         CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+         MD5(text) AS sha
+  FROM memx
+  UNION ALL
+  SELECT shard,
+         LPAD(CAST(doc_id AS VARCHAR), 8, '0'),
+         'json',
+         CAST(STRLEN({js}) AS BIGINT),
+         MD5({js})
+  FROM memx
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       MD5(STRING_AGG(key || ':' || ext || ':' || sha, ','
+                      ORDER BY key, ext)) AS digest
+FROM rows2
+GROUP BY shard_id
+"""
+
+
+# ide_scan geometry: 3-axis frames at 1024 Hz on the 32768 Hz MIDE
+# device clock (32 ticks/frame), 64-frame blocks, first block START
+# just below the 2**24 time-code modulus so block 0 STRADDLES the
+# rollover and every later block sits past it — the gate exercises the
+# unwrap, not just the happy path.
+_IDE_SUBS = 3
+_IDE_FRAMES = 64
+_IDE_TICKS_PER_FRAME = 32
+_IDE_TICK0 = 16_776_000
+
+
+def q_ide_scan(spark, sf_dir):
+    """The ``.ide`` source under the FULL hash gate — the reference's
+    entire ingest layer is this format (``daq/io.py:161-301``).  Each
+    of 4 "recorders" takes its slice of the events table (event_id % 4,
+    rank-ordered), quantizes a deterministic int16 stream, and writes a
+    REAL MIDE-profile EBML file (sources/mide.py encode_mide: struct
+    "<hhh" interleaved 3-axis frames, start/end block time codes
+    stored modulo 2**24, referenced univariate polynomial
+    calibrations).  The files are read back through
+    ``spark.read.format("ide")`` (the Spark 4 Python Data Source, one
+    partition per file) and the gate emits every decoded sample.  The
+    oracle derives (recorder, axis, t, value) straight from the events
+    parquet by integer arithmetic — it never sees an EBML byte — so a
+    green hash certifies varint framing, container walking, the
+    struct-format de-interleave, the modulus unwrap (block 0 straddles
+    2**24 by construction), time-code interpolation, and the
+    calibration polynomials, end to end.  All constants are powers of
+    two, so every float on both sides is exact.
+
+    Scale shape: one applyInPandas encode per recorder (the producer
+    stand-in — real recorders write these files; the driver collect is
+    4 manifest rows), then one scan task per .ide file — exactly the
+    per-file parallelism a fleet of loggers gives a real cluster
+    (ide_datasource.py docs; the 100 TB pattern is read-once ->
+    canonical parquet)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from pandas_sigproc_spark.sources.ide_datasource import (
+        register_ide_source,
+    )
+
+    per_block = _IDE_FRAMES * _IDE_SUBS
+    block_ticks = _IDE_FRAMES * _IDE_TICKS_PER_FRAME
+    tick0 = _IDE_TICK0
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".idegate",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)  # idempotent per call
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("event_id") % 4).cast("int").alias("g"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.sources.mide import encode_mide
+
+        pdf = pdf.sort_values("event_id")
+        g = int(pdf["g"].iloc[0])
+        raw = (
+            (pdf["event_id"].to_numpy(np.int64) * 2731) % 4096 - 2048
+        ).astype(np.int16)
+        nb = len(raw) // per_block  # whole blocks only; tail dropped
+        blocks = []
+        for b in range(nb):
+            fr = raw[b * per_block : (b + 1) * per_block].reshape(
+                _IDE_FRAMES, _IDE_SUBS
+            )
+            start = tick0 + b * block_ticks
+            blocks.append((start, start + block_ticks, fr))
+        channels = [
+            {
+                "ch_id": 8,
+                "name": "Accel",
+                "fmt": "<hhh",
+                "subchannels": [
+                    {"sub_id": 0, "name": "X", "units": "g", "cal_id": 1},
+                    {"sub_id": 1, "name": "Y", "units": "g", "cal_id": 2},
+                    {"sub_id": 2, "name": "Z", "units": "g", "cal_id": 3},
+                ],
+                "blocks": blocks,
+            }
+        ]
+        cals = {
+            1: (0.0, [1.0 / 128, 0.25]),
+            2: (2048.0, [1.0 / 64, 0.0]),
+            3: (0.0, [1.0 / 256, -0.5]),
+        }
+        blob = encode_mide(channels, cals, time_base_utc=1_704_067_200)
+        fn = os.path.join(out_dir, f"rec{g}.ide")
+        tmp = f"{fn}.{os.getpid()}.inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.rename(tmp, fn)  # atomic: the read below never sees a torn file
+        return pd.DataFrame({"g": [g], "n_bytes": [len(blob)]})
+
+    # bounded collect: ONE manifest row per recorder file, never samples
+    ev.groupBy("g").applyInPandas(build, "g int, n_bytes long").collect()
+    register_ide_source(spark)
+    df = spark.read.format("ide").load(out_dir)
+    return df.select(
+        F.regexp_extract("channel_id", "rec([0-9]+)\\.ide", 1)
+        .cast("int")
+        .alias("recorder"),
+        F.regexp_extract("channel_id", ":Accel:([XYZ])$", 1).alias("axis"),
+        "t",
+        F.col("value"),
+    )
+
+
+SQL_IDE_SCAN = f"""
+WITH r AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(event_id % 4 AS INTEGER) AS g,
+         ROW_NUMBER() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_id % 4) AS n
+  FROM events
+),
+s AS (
+  SELECT g, rn,
+         CAST((event_id * 2731) % 4096 - 2048 AS DOUBLE) AS raw,
+         rn // {_IDE_FRAMES * _IDE_SUBS} AS b,
+         (rn % {_IDE_FRAMES * _IDE_SUBS}) // {_IDE_SUBS} AS i,
+         CAST(rn % {_IDE_SUBS} AS INTEGER) AS k
+  FROM r
+  WHERE rn < (n // {_IDE_FRAMES * _IDE_SUBS}) * {_IDE_FRAMES * _IDE_SUBS}
+)
+SELECT g AS recorder,
+       CASE k WHEN 0 THEN 'X' WHEN 1 THEN 'Y' ELSE 'Z' END AS axis,
+       ({_IDE_TICK0} + b * {_IDE_FRAMES * _IDE_TICKS_PER_FRAME}
+        + i * {_IDE_TICKS_PER_FRAME}) / 32768.0 AS t,
+       CASE k WHEN 0 THEN raw / 128.0 + 0.25
+              WHEN 1 THEN (raw - 2048.0) / 64.0
+              ELSE raw / 256.0 - 0.5 END AS value
+FROM s
+"""
+
+
 _PR_ITER = 5
 _PR_D = 0.85
 
@@ -8461,100 +9007,47 @@ SQL_SOURCE_OVERLAP = _sql_source_overlap()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-11 ordering
+    # the first 50 entries in dict order.  Round-12 ordering
     # (tests/test_entry_contract.py pins the window AND a max-staleness
     # contract — no below-cap query may be more than 2 recorded rounds
     # stale, so this dict must rotate every round):
-    #   tier A — the 34 r8-green carry-overs the r10 ordering promised
-    #            to rotate (they age past the 2-round bound the moment
-    #            CORRECTNESS_r11.json lands): the filt/psd/srs/rainflow/
-    #            interp/detrend-constant+linear/accessor/tfidf/
-    #            training_mix tier;
-    #   tier B — the 11 NEW r11 queries needing first driver proof
-    #            (lang_id_model: the fastText-style hashed-trigram
-    #            classifier; url_blocklist: the PSL-aware category
-    #            blocklist gate; bpe_pack: BPE -> shard -> pack as one
-    #            plan with the 8-round CTE-unrolled oracle;
-    #            ann_pq_store: the materialized-PQ-codes probe whose
-    #            green hash IS store==recompute equality;
-    #            wds_roundtrip: the WebDataset shard WRITER proven by
-    #            composition with the gated reader; text_normalize:
-    #            the NORMALIZE_STEPS unicode chain with a generated
-    #            oracle mirror; train_order: the no-global-sort exact
-    #            corpus permutation vs a brute-force ROW_NUMBER;
-    #            cluster_rep: quality-argmax near-dup keeper over the
-    #            recursive-CTE-replayed component graph; robots_filter:
-    #            the RFC 9309 crawl-politeness gate vs a hand-derived
-    #            verdict table; crawl_admission: blocklist -> robots ->
-    #            domain cap composed in ONE plan; sitemap_extract:
-    #            Sitemap: directives + urlset/index XML parsing);
-    #   tier C — 5 of the 48 r9-greens, rotated EARLY to thin the r12
-    #            mandatory set (48 r9-greens would otherwise all age out
-    #            at r12; re-proving these now leaves r12 with 43
-    #            mandatory slots + 7 free).
-    #   below the cap — the 50 r10-greens (fresh through r12), then the
-    #            36 remaining r9-greens (fresh through r11 only — ALL 36
-    #            MUST be in the r12 window); the local gate
-    #            (tools/oracle_check.py) keeps their coverage meanwhile.
+    #   tier A — the 43 r9-greens that age past the 2-round bound the
+    #            moment CORRECTNESS_r12.json lands: the 7 displaced by
+    #            round-11's tier-B additions (media_phash{,_pairs},
+    #            decontaminate, stratified_sample, ngram_counts,
+    #            media_image_png, tpch_pricing) followed by the 36 the
+    #            r11 ordering promised (tpch quartet, text-dedup tier,
+    #            chunked-window quintet, ann_lsh/int8, kmeans/semdedup,
+    #            media real-codec gates, lm_ppl, bloom_decontaminate);
+    #   tier B — 3 r11-greens whose IMPLEMENTATIONS change this round,
+    #            re-proved under the driver against unchanged oracles:
+    #            robots_filter + crawl_admission (interpreted-HOF match
+    #            replaced by a codegen-side short-circuit, r11 verdict
+    #            flaw #1) and train_order (buckets default now derived
+    #            from a corpus count, r11 verdict #6);
+    #   tier C — 2 r10-greens rotated EARLY both to thin the r13
+    #            mandatory set (otherwise exactly 50 r10-greens land
+    #            there with zero free slots) and because their plans
+    #            changed in r11 WITHOUT a driver re-proof: ann_ivf_pq
+    #            (ADC LUT staged pre-explode) and seq_pack (partition-
+    #            level packing kernel);
+    #   tier D — 2 NEW queries needing first driver proof:
+    #            corpus_to_shards (the end-to-end capstone: WARC ->
+    #            admission -> html_text -> normalize -> quality ->
+    #            dedup -> decontaminate -> token counts -> pack ->
+    #            WebDataset shard manifests as ONE plan) and ide_scan
+    #            (a genuine MIDE-element-ID .ide file built from the
+    #            events table, parsed back through
+    #            spark.read.format("ide") — hash-green proves the
+    #            EBML encode->decode roundtrip against the parquet
+    #            ground truth).
+    #   below the cap — the 48 remaining r10-greens (fresh through
+    #            r12; r13's mandatory set), then the 50 r11-greens
+    #            (fresh through r13), then the re-proved/displaced
+    #            r9 tier now covered above; the local gate
+    #            (tools/oracle_check.py) keeps full coverage meanwhile.
     return {
-        # -- tier A: r8-green carry-overs (mandatory this round) -----------
-        "interp_daily": q_interp_daily,
-        "interp_nearest": q_interp_nearest,
-        "interp_cubic": q_interp_cubic,
-        "interp_quadratic": q_interp_quadratic,
-        "interp_cubic_exact": q_interp_cubic_exact,
-        "detrend_constant": q_detrend_constant,
-        "detrend_linear": q_detrend_linear,
-        "filt_butter": q_filt_butter,
-        "filt_cfc": q_filt_cfc,
-        "filt_a": q_filt_a,
-        "filt_chain": q_filt_chain,
-        "filt_chunked": q_filt_chunked,
-        "filt_iir_exact": q_filt_iir_exact,
-        "filt_iir_fft_exact": q_filt_iir_fft_exact,
-        "filtfilt_exact": q_filtfilt_exact,
-        "psd_welch": q_psd_welch,
-        "psd_rms": q_psd_rms,
-        "psd_median": q_psd_median,
-        "psd_maxrms": q_psd_maxrms,
-        "psd_all": q_psd_all,
-        "psd_damage": q_psd_damage,
-        "psd_segmented": q_psd_segmented,
-        "psd_dft": q_psd_dft,
-        "psd_rms_dft": q_psd_rms_dft,
-        "psd_welch_dft": q_psd_welch_dft,
-        "psd_summary_dft": q_psd_summary_dft,
-        "psd_damage_dft": q_psd_damage_dft,
-        "srs": q_srs,
-        "srs_exact": q_srs_exact,
-        "rainflow": q_rainflow,
-        "rainflow_chunked": q_rainflow_chunked,
-        "accessor_chain": q_accessor_chain,
-        "tfidf_topk": q_tfidf_topk,
-        "training_mix": q_training_mix,
-        # -- tier B: new this round, first driver proof --------------------
-        "lang_id_model": q_lang_id_model,
-        "url_blocklist": q_url_blocklist,
-        "bpe_pack": q_bpe_pack,
-        "ann_pq_store": q_ann_pq_store,
-        "wds_roundtrip": q_wds_roundtrip,
-        "text_normalize": q_text_normalize,
-        "train_order": q_train_order,
-        "cluster_rep": q_cluster_rep,
-        "robots_filter": q_robots_filter,
-        "crawl_admission": q_crawl_admission,
-        "sitemap_extract": q_sitemap_extract,
-        # -- tier C: early r9 rotation (thins the r12 mandatory set) -------
-        "semdedup_exact": q_semdedup_exact,
-        "corpus_curate_exact": q_corpus_curate_exact,
-        "incr_dedup_store": q_incr_dedup_store,
-        "media_image_jpeg": q_media_image_jpeg,
-        "media_video_mp4": q_media_video_mp4,
-        # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (7 r9-greens displaced by the tier-B additions — they rejoin
-        #  the r12 mandatory set — then the 50 r10-greens (fresh through
-        #  r12), then the 36 remaining r9-greens, ALL of which must
-        #  rotate into the r12 window.)
+        # -- tier A: r9-green carry-overs (mandatory this round) -----------
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,
@@ -8562,57 +9055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "media_image_png": q_media_image_png,
         "tpch_pricing": q_tpch_pricing,
-        "mov_rms": q_mov_rms,
-        "integral": q_integral,
-        "derivative": q_derivative,
-        "detrend_agg": q_detrend_agg,
-        "detrend_piecewise": q_detrend_piecewise,
-        "doc_chunks": q_doc_chunks,
-        "rep_stats": q_rep_stats,
-        "corpus_prep": q_corpus_prep,
-        "substr_dedup": q_substr_dedup,
-        "resample": q_resample,
-        "segment_stats": q_segment_stats,
-        "interp_log": q_interp_log,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "audio_fp": q_audio_fp,
-        "audio_fp_pairs": q_audio_fp_pairs,
-        "media_video_dedup": q_media_video_dedup,
-        "incr_phash_store": q_incr_phash_store,
-        "incr_audio_store": q_incr_audio_store,
-        "wds_extract": q_wds_extract,
-        "warc_extract": q_warc_extract,
-        "zip_extract": q_zip_extract,
-        "media_image_jpeg_prog": q_media_image_jpeg_prog,
-        "media_image_gif": q_media_image_gif,
-        "media_video_gif": q_media_video_gif,
-        "link_pagerank": q_link_pagerank,
-        "domain_cap": q_domain_cap,
-        "html_extract": q_html_extract,
-        "url_canon": q_url_canon,
-        "gopher_rules": q_gopher_rules,
-        "crawl_curate": q_crawl_curate,
-        "dedup_embed": q_dedup_embed,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "shard_assign": q_shard_assign,
-        "seq_pack": q_seq_pack,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "incr_dedup": q_incr_dedup,
-        "lm_ppl_terciles": q_lm_ppl_terciles,
-        "rms": q_rms,
-        "spl": q_spl,
-        "rms_lin": q_rms_lin,
-        "rms_log": q_rms_log,
-        "samplerate": q_samplerate,
-        "between": q_between,
-        "between_freq": q_between_freq,
-        "timeshift": q_timeshift,
-        "deduplicate": q_deduplicate,
-        "rss_daily": q_rss_daily,
-        # -- r9 tier (36 left; ALL mandatory at r12) -----------------------
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
@@ -8649,6 +9091,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
         "media_audio_real": q_media_audio_real,
+        # -- tier B: r11-greens re-proved after this round's rewrites ------
+        "robots_filter": q_robots_filter,
+        "crawl_admission": q_crawl_admission,
+        "train_order": q_train_order,
+        # -- tier C: early r10 rotation (r11 plan fixes, thins r13) --------
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "seq_pack": q_seq_pack,
+        # -- tier D: new this round, first driver proof --------------------
+        "corpus_to_shards": q_corpus_to_shards,
+        "ide_scan": q_ide_scan,
+        # ---- driver cap: entries BELOW here are not driver-checked -------
+        # (the 48 remaining r10-greens — fresh through r12, they are the
+        #  r13 mandatory set — then the 47 remaining r11-greens, fresh
+        #  through r13.)
+        "mov_rms": q_mov_rms,
+        "integral": q_integral,
+        "derivative": q_derivative,
+        "detrend_agg": q_detrend_agg,
+        "detrend_piecewise": q_detrend_piecewise,
+        "doc_chunks": q_doc_chunks,
+        "rep_stats": q_rep_stats,
+        "corpus_prep": q_corpus_prep,
+        "substr_dedup": q_substr_dedup,
+        "resample": q_resample,
+        "segment_stats": q_segment_stats,
+        "interp_log": q_interp_log,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "audio_fp": q_audio_fp,
+        "audio_fp_pairs": q_audio_fp_pairs,
+        "media_video_dedup": q_media_video_dedup,
+        "incr_phash_store": q_incr_phash_store,
+        "incr_audio_store": q_incr_audio_store,
+        "wds_extract": q_wds_extract,
+        "warc_extract": q_warc_extract,
+        "zip_extract": q_zip_extract,
+        "media_image_jpeg_prog": q_media_image_jpeg_prog,
+        "media_image_gif": q_media_image_gif,
+        "media_video_gif": q_media_video_gif,
+        "link_pagerank": q_link_pagerank,
+        "domain_cap": q_domain_cap,
+        "html_extract": q_html_extract,
+        "url_canon": q_url_canon,
+        "gopher_rules": q_gopher_rules,
+        "crawl_curate": q_crawl_curate,
+        "dedup_embed": q_dedup_embed,
+        "shard_assign": q_shard_assign,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "incr_dedup": q_incr_dedup,
+        "lm_ppl_terciles": q_lm_ppl_terciles,
+        "rms": q_rms,
+        "spl": q_spl,
+        "rms_lin": q_rms_lin,
+        "rms_log": q_rms_log,
+        "samplerate": q_samplerate,
+        "between": q_between,
+        "between_freq": q_between_freq,
+        "timeshift": q_timeshift,
+        "deduplicate": q_deduplicate,
+        "rss_daily": q_rss_daily,
+        # -- r11 tier (47 left; fresh through r13) -------------------------
+        "interp_daily": q_interp_daily,
+        "interp_nearest": q_interp_nearest,
+        "interp_cubic": q_interp_cubic,
+        "interp_quadratic": q_interp_quadratic,
+        "interp_cubic_exact": q_interp_cubic_exact,
+        "detrend_constant": q_detrend_constant,
+        "detrend_linear": q_detrend_linear,
+        "filt_butter": q_filt_butter,
+        "filt_cfc": q_filt_cfc,
+        "filt_a": q_filt_a,
+        "filt_chain": q_filt_chain,
+        "filt_chunked": q_filt_chunked,
+        "filt_iir_exact": q_filt_iir_exact,
+        "filt_iir_fft_exact": q_filt_iir_fft_exact,
+        "filtfilt_exact": q_filtfilt_exact,
+        "psd_welch": q_psd_welch,
+        "psd_rms": q_psd_rms,
+        "psd_median": q_psd_median,
+        "psd_maxrms": q_psd_maxrms,
+        "psd_all": q_psd_all,
+        "psd_damage": q_psd_damage,
+        "psd_segmented": q_psd_segmented,
+        "psd_dft": q_psd_dft,
+        "psd_rms_dft": q_psd_rms_dft,
+        "psd_welch_dft": q_psd_welch_dft,
+        "psd_summary_dft": q_psd_summary_dft,
+        "psd_damage_dft": q_psd_damage_dft,
+        "srs": q_srs,
+        "srs_exact": q_srs_exact,
+        "rainflow": q_rainflow,
+        "rainflow_chunked": q_rainflow_chunked,
+        "accessor_chain": q_accessor_chain,
+        "tfidf_topk": q_tfidf_topk,
+        "training_mix": q_training_mix,
+        "lang_id_model": q_lang_id_model,
+        "url_blocklist": q_url_blocklist,
+        "bpe_pack": q_bpe_pack,
+        "ann_pq_store": q_ann_pq_store,
+        "wds_roundtrip": q_wds_roundtrip,
+        "text_normalize": q_text_normalize,
+        "cluster_rep": q_cluster_rep,
+        "sitemap_extract": q_sitemap_extract,
+        "semdedup_exact": q_semdedup_exact,
+        "corpus_curate_exact": q_corpus_curate_exact,
+        "incr_dedup_store": q_incr_dedup_store,
+        "media_image_jpeg": q_media_image_jpeg,
+        "media_video_mp4": q_media_video_mp4,
     }
 
 
@@ -8693,6 +9245,8 @@ def oracle_sql() -> dict[str, str]:
         "psd_dft": SQL_PSD_DFT,
         "text_stats": SQL_TEXT_STATS,
         "text_normalize": SQL_TEXT_NORMALIZE,
+        "corpus_to_shards": _sql_corpus_to_shards(),
+        "ide_scan": SQL_IDE_SCAN,
         "lang_id": SQL_LANG_ID,
         "lang_id_model": _sql_lang_id_model(),
         "url_blocklist": SQL_URL_BLOCKLIST,

@@ -541,7 +541,14 @@ def bloom_positions_expr(
     mod m and collapses all k probes onto one bit for ~1/m of grams,
     quietly exceeding the bloom_sizing FP prediction (a review
     finding).  Pure integer arithmetic — bit-portable to the oracle
-    (the SQL mirror applies the identical formula)."""
+    (the SQL mirror applies the identical formula).
+
+    COMPATIBILITY: the [1, m-1] stride fix (r11) changed every bit
+    position relative to the earlier ``% m + 1`` formula.  A bitmap
+    built before that fix and held across the change (e.g. a
+    persisted ``bloom_bitmap`` argument to the streaming gate) will
+    silently mismatch probes — rebuild stored bitmaps with
+    :func:`build_bloom_bitmap` before probing with current code."""
     h1 = h_col % m_bits
     h2 = F.shiftright(h_col, 20) % (m_bits - 1) + 1
     return [(h1 + F.lit(j) * h2) % m_bits for j in range(k)]
@@ -562,6 +569,11 @@ def build_bloom_bitmap(
     collected, the same constant-size-collect contract as the k-means
     centroid fold.  This is the whole point of the operator: the
     broadcast side of decontamination stops growing with the suite.
+
+    COMPATIBILITY: bitmaps built before the r11 double-hash stride fix
+    (see :func:`bloom_positions_expr`) use different bit positions and
+    must be rebuilt — probing an old bitmap with current code silently
+    loses benchmark grams instead of erroring.
     """
     n_words = m_bits // BLOOM_WORD_BITS
     pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
@@ -1127,13 +1139,17 @@ def decontaminate_exact(
         raise ValueError("pass exactly one of bench / bench_pred")
     persist = persist or (lambda df: df)
 
-    def _gh(src: DataFrame) -> DataFrame:
+    def _gh(src: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         g = src.select(
             F.col(id_col).cast("long").alias("doc_id"),
+            *extra,
             _text.gram_hash_expr(n, text_col).alias("gs"),
         )
         return g.select(
-            "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("h")
+            "doc_id",
+            *extra,
+            F.size("gs").alias("n_ngrams"),
+            F.explode("gs").alias("h"),
         )
 
     if bench_pred is not None:
@@ -1141,17 +1157,13 @@ def decontaminate_exact(
         # as a boolean before the gram projection drops other columns)
         # — a review finding: filtering the projected gram table broke
         # the documented "boolean Column over docs" contract for any
-        # predicate touching a non-id column (e.g. split == 'test')
+        # predicate touching a non-id column (e.g. split == 'test').
+        # The tag rides the gram projection itself as a passthrough
+        # column (a second review finding: joining it back on doc_id
+        # added a corpus-wide shuffle of the exploded gram table just
+        # to attach one boolean).
         tagged = docs.withColumn("_is_bench", bench_pred)
-        gh = persist(
-            _gh(tagged).join(
-                tagged.select(
-                    F.col(id_col).cast("long").alias("doc_id"),
-                    "_is_bench",
-                ),
-                "doc_id",
-            )
-        )
+        gh = persist(_gh(tagged, extra=("_is_bench",)))
         bench_h = gh.filter(F.col("_is_bench")).select("h").distinct()
         train = gh.filter(~F.col("_is_bench")).drop("_is_bench")
     else:

@@ -115,12 +115,30 @@ def pack_sequences(
     )
 
 
+_ORDER_BUCKET_TARGET_ROWS = 1 << 22  # ~4M (id, hash) rows per bucket task
+
+
+def _derive_order_buckets(n_rows: int) -> int:
+    """Bucket count for :func:`training_order` when the caller doesn't
+    pass one: the next power of two that keeps per-bucket ``row_number``
+    tasks at or under ``_ORDER_BUCKET_TARGET_ROWS`` rows (~4M rows of
+    (id, 32-char hash) ≈ 250 MB task input — comfortably inside an
+    executor), floored at 256 so tiny corpora keep the historical
+    bucket granularity, and capped at 2**24 (16.7M buckets × 4M rows
+    covers ~7e13 ids — far past any real corpus).  Power-of-two counts
+    keep the leading-hash-bits range split exact at every width."""
+    b = 256
+    while b < (1 << 24) and n_rows > b * _ORDER_BUCKET_TARGET_ROWS:
+        b *= 2
+    return b
+
+
 def training_order(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     seed: str = "epoch0",
-    buckets: int = 256,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic global training order — the reproducible corpus
     shuffle every trainer needs (data order changes loss curves; a
@@ -132,13 +150,25 @@ def training_order(
     interleaved rather than in corpus-concatenation order.
 
     Scale shape — exact global enumeration with NO global sort: the
-    order key's leading byte buckets rows uniformly; ``row_number``
+    order key's leading bits bucket rows uniformly; ``row_number``
     runs per bucket (one shuffle, ~corpus/``buckets`` rows per task);
     bucket counts fold to ``buckets`` rows whose prefix sum runs in a
-    window bounded by the CONSTANT bucket count and broadcast-joins
-    back (the assign_shards distributed-prefix-sum shape).  The
-    global-sort alternative funnels the corpus through one range
-    exchange; this plan never materializes a total order anywhere.
+    window bounded by the bucket count and broadcast-joins back (the
+    assign_shards distributed-prefix-sum shape).  The global-sort
+    alternative funnels the corpus through one range exchange; this
+    plan never materializes a total order anywhere.
+
+    ``buckets=None`` (the default) SIZES THE SPLIT FROM THE CORPUS: a
+    count pre-pass (one cheap column scan) picks the next power of two
+    that bounds each bucket task at ~4M rows (see
+    :func:`_derive_order_buckets`) — the r11-era fixed default of 256
+    put corpus/256 rows through each ``row_number`` task, which at
+    10^11 ids is a ~400M-row window task.  Pass an explicit ``buckets``
+    for a plan with no pre-pass (and for oracle-pinned gates, which
+    fix 256).  Bucket VALUES for a given ``buckets <= 65536`` are
+    unchanged from earlier releases (the 16-bit prefix split); larger
+    counts split on the leading 32 bits, which a 16-bit prefix cannot
+    resolve.
 
     Output: ``(id_col long, bucket int, global_pos long)`` where
     ``global_pos`` is exactly ``rank of md5(seed:id)`` with ``id`` as
@@ -149,6 +179,12 @@ def training_order(
     paths keeps the output an exact 0-based permutation of the non-null
     ids, the connected_components half-edge rule).
     """
+    if buckets is None:
+        buckets = _derive_order_buckets(
+            df.select(F.col(id_col)).filter(
+                F.col(id_col).isNotNull()
+            ).count()
+        )
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
     from pyspark.sql import Window
@@ -160,19 +196,23 @@ def training_order(
             F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
         )
     )
+    # prefix width: 16 hash bits resolve up to 65536 buckets (and keep
+    # bucket values identical to earlier releases); wider counts read
+    # 32 bits.  Power-of-two counts divide either range exactly.
+    width, span = (4, 65536) if buckets <= 65536 else (8, 1 << 32)
     base = df.select(
         F.col(id_col).cast("long").alias("_id"), ok.alias("_ok")
     ).filter(F.col("_id").isNotNull()).select(
         "_id",
         "_ok",
-        # leading 16 bits of the SAME hash that defines the order,
+        # leading bits of the SAME hash that defines the order,
         # RANGE-split (not modulo — a modulo would break monotonicity)
         # so bucket is monotone in _ok and (bucket, _ok) ordering ==
         # _ok ordering: lowercase-hex sorts lexicographically exactly
         # as its nibbles sort numerically.
         F.expr(
-            f"cast(cast(conv(substring(_ok, 1, 4), 16, 10) as bigint)"
-            f" * {int(buckets)} div 65536 as int)"
+            f"cast(cast(conv(substring(_ok, 1, {width}), 16, 10) as"
+            f" bigint) * {int(buckets)} div {span} as int)"
         ).alias("bucket"),
     )
     wi = Window.partitionBy("bucket").orderBy("_ok", "_id")

@@ -171,19 +171,29 @@ def robots_verdicts(
 
     Plan: EVERY aggregate runs on the (static, slow-refresh) RULES
     side — group selection is a tiny per-host max, and the applicable
-    rules collapse to ONE array row per host, bounded by RFC 9309's
-    500 KiB file cap.  Pages then take a single left equi-join on host
-    and a map-side array fold (LIKE filter + ``array_max`` over
-    ``struct(length, rule='allow', path)``).  Because the page side is
-    never aggregated, the SAME operator runs unchanged on a page
-    STREAM against static rules (stream-static join — the production
-    shape; pinned in tests/test_robots.py), and batch pages avoid the
-    distinct + groupBy + join-back a page-side argmax would cost."""
+    rules collapse to ONE array row per host, PRE-SORTED by precedence
+    (octet length desc, allow-beats-disallow on ties) and bounded by
+    RFC 9309's 500 KiB file cap.  Pages then take a single left
+    equi-join on host and a map-side SHORT-CIRCUIT fold: because the
+    array is precedence-sorted, the winner is the FIRST matching
+    element, so an ``aggregate`` whose lambda stops testing once an
+    accumulator is set scans only until the first hit; wildcard-free
+    rules (the overwhelming majority of real robots.txt lines) match
+    via the JVM ``startswith`` — no per-(row x rule) LIKE-pattern
+    compile, which dominated the r11 task-time audit (63.7 s of task
+    time at sf0.1 for the filter+array_max form; the lambda body
+    itself stays interpreted either way, Catalyst gives HOFs no
+    codegen).  Because the page side is never aggregated, the SAME
+    operator runs unchanged on a page STREAM against static rules
+    (stream-static join — the production shape; pinned in
+    tests/test_robots.py), and batch pages avoid the distinct +
+    groupBy + join-back a page-side argmax would cost."""
     a = F.lit(agent.lower())
     # Which group tier applies per host: exact agent if present, else *.
     host_tier = rules.groupBy("host").agg(
         F.max((F.col("agent") == a).cast("int")).alias("_has_exact")
     )
+    plain = ~F.col("path").contains("*") & ~F.col("path").endswith("$")
     host_rules = (
         rules.join(host_tier, "host")
         .filter(
@@ -198,19 +208,39 @@ def robots_verdicts(
                 F.octet_length("path").alias("l"),
                 (F.col("rule") == "allow").cast("int").alias("a"),
                 F.col("path").alias("p"),
-                rule_like_pattern(F.col("path")).alias("pat"),
+                # LIKE pattern only for rules that need one; plain
+                # prefixes match by startswith and never compile
+                F.when(plain, F.lit(None).cast("string"))
+                .otherwise(rule_like_pattern(F.col("path")))
+                .alias("pat"),
+                plain.alias("plain"),
             ).alias("_r"),
         )
         .groupBy("host")
-        .agg(F.collect_list("_r").alias("_rules"))
+        # sort_array desc orders by the struct's field order
+        # (l, a, p, ...) — exactly the longest-match / allow-wins-ties
+        # precedence, so "first match in array order" below equals the
+        # old array_max-over-matching (ties beyond (l, a) imply the
+        # same rule text).  pat sits after p so its NULL never steers
+        # the order before the textual tiebreak has already decided.
+        .agg(F.sort_array(F.collect_list("_r"), asc=False).alias("_rules"))
     )
     p = pages.withColumn("_path", F.col(path_col))
     joined = p.join(
         host_rules, p[host_col] == host_rules["host"], "left"
     ).drop(host_rules["host"])
+    # Short-circuit fold: CASE arms evaluate lazily, so once acc is
+    # set no further match test runs; the winner is the first element
+    # (in precedence order) whose rule matches the page path.
     win = F.expr(
-        "array_max(filter(_rules,"
-        " r -> _path like r.pat escape '\\\\'))"
+        "aggregate(_rules,"
+        " cast(null as"
+        " struct<l:int,a:int,p:string,pat:string,plain:boolean>),"
+        " (acc, r) -> case"
+        "   when acc is not null then acc"
+        "   when case when r.plain then startswith(_path, r.p)"
+        "        else _path like r.pat escape '\\\\' end then r"
+        "   else acc end)"
     )
     out = joined.withColumn("_win", win).select(
         *[c for c in joined.columns if c not in ("_rules",)],

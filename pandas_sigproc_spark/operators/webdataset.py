@@ -262,6 +262,15 @@ def _resolve_local_dir(path: str, fn: str) -> str:
     if parsed.scheme == "":
         return path
     if parsed.scheme == "file":
+        if parsed.netloc not in ("", "localhost"):
+            # file://data-host/x names a REMOTE filesystem; resolving
+            # it to the local /x would silently land the corpus on the
+            # wrong machine — same loud seam as s3/hdfs below.
+            raise NotImplementedError(
+                f"{fn}: file:// URI with remote host"
+                f" {parsed.netloc!r} — this writer only reaches the"
+                " local filesystem; use a locally-mounted path"
+            )
         return parsed.path
     raise NotImplementedError(
         f"{fn}: scheme {parsed.scheme!r} needs an executor-side"
@@ -313,22 +322,22 @@ def save_wds_shards(
                 " pass overwrite=True to replace the corpus"
             )
         os.remove(manifest_path)
-        # Also remove the prior corpus's committed shards: real
-        # WebDataset loaders glob *.tar rather than reading the
-        # manifest, so a shrinking rerun that left shard-00000099.tar
-        # beside a 50-shard manifest would silently feed stale data to
-        # training (a review finding).
-        for stale in os.listdir(local):
-            if stale.startswith("shard-") and stale.endswith(".tar"):
-                os.remove(os.path.join(local, stale))
-    # Sweep temps orphaned by killed attempts of EARLIER jobs: the
-    # per-attempt names that make concurrent attempts safe (below) also
-    # mean a failed attempt's temp is never reclaimed by its retry, so
-    # without this sweep every rerun would accumulate dead shard-sized
-    # files beside the corpus (a review finding).  Safe at job start:
-    # this job's own attempts have not begun writing yet.
+    # Sweep stale shard-*.tar files AND orphaned .inprogress temps
+    # unconditionally before writing (not only on the overwrite path):
+    # by this writer's own contract any tar present without a manifest
+    # is unmanifested garbage — a prior run that crashed after renaming
+    # some tars but before stamping _manifest.json — and real
+    # WebDataset loaders glob *.tar rather than reading the manifest,
+    # so leftovers would silently feed stale data to training (review
+    # findings, r10 and r12).  Reaching this line means either no
+    # manifest existed or overwrite=True removed it, so every surviving
+    # tar here is stale by definition; temps are likewise dead because
+    # per-attempt names are never reclaimed by retries.  Safe at job
+    # start: this job's own attempts have not begun writing yet.
     for stale in os.listdir(local):
-        if stale.endswith(".inprogress"):
+        if stale.endswith(".inprogress") or (
+            stale.startswith("shard-") and stale.endswith(".tar")
+        ):
             os.remove(os.path.join(local, stale))
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -27,12 +27,18 @@ except Exception:  # ImportError or transitive dep failures
 
 def _builtin_channels(filename: str):
     """Built-in EBML fallback (sources/mide.py): parses real EBML bytes
-    for recordings in the documented profile.  Returns None when the file
-    is not such a recording (then only the endaq package can read it)."""
+    for recordings in either built-in profile — the MIDE DocType (the
+    genuine recorder layout: struct-format payloads, start/end
+    time-code interpolation, modulo-2**24 unwrap, polynomial
+    calibration) or the engine's own documented profile.  Returns None
+    when the file is neither (then only the endaq package can read
+    it)."""
     from pandas_sigproc_spark.sources import mide
 
     with open(filename, "rb") as fh:
         buf = fh.read()
+    if mide.is_mide(buf):
+        return mide.read_mide_channels(buf, source=filename)
     if not mide.is_recording(buf):
         return None
     return mide.read_recording_channels(buf, source=filename)

@@ -234,6 +234,346 @@ def is_recording(buf: bytes) -> bool:
     return False
 
 
+# -- the MIDE profile (DocType "mide") ---------------------------------------
+#
+# Genuine enDAQ/SlamStick recorders write DocType "mide" with the
+# element vocabulary of Mide Technology's published schema (the
+# ``mide_ide.xml`` shipped in their public ``ebmlite``/``idelib``
+# repositories).  This profile implements the STRUCTURE that schema and
+# the idelib parsers document publicly:
+#
+# - MIDE elements sit at the ROOT level after the EBML header (no
+#   Matroska-style Segment wrapper);
+# - ``RecordingProperties`` declares the channel table: each Channel
+#   carries a numeric id, a display name, a struct FORMAT STRING (e.g.
+#   ``<hhh`` = three little-endian int16 per sample frame — recorders
+#   describe their own payload packing), and one SubChannel per format
+#   code with name/units and a CALIBRATION REFERENCE;
+# - ``CalibrationList`` holds univariate polynomials referenced by id:
+#   ``value = polyval(coeffs, raw - reference)`` with coefficients
+#   highest-order first;
+# - data arrives as root-level ``ChannelDataBlock`` elements:
+#   ``ChannelIDRef`` + START/END time codes + the packed frame payload.
+#   Time codes are integer ticks of the device clock
+#   (``MIDE_TICKS_PER_SEC`` = 32768/s) stored MODULO 2**24
+#   (``MIDE_TIMECODE_MODULUS``): they wrap every ~512 s and the reader
+#   must unwrap them monotonically, exactly as idelib's block parsers
+#   do.  Per-sample times interpolate linearly between the block's
+#   start and end codes (recorders have no fixed nominal rate — the
+#   block endpoints ARE the timebase).
+#
+# ``MIDE_IDS`` below is the ONE swap point: the numeric ids are a
+# best-effort offline transcription (this environment has no network
+# and no endaq/idelib/ebmlite packages to verify against) and are
+# deliberately centralized — if a genuine recorder file disagrees,
+# correcting this table against the published ``mide_ide.xml`` is the
+# entire fix; every structural/semantic rule above stays as is.
+# tests/test_mide.py pins the encode->decode roundtrip, the modulus
+# unwrap, the struct-format de-interleave, and the polynomial
+# calibration at byte level.
+
+MIDE_IDS = {
+    "RecordingProperties": 0x18526570,
+    "TimeBaseUTC": 0x5B11,  # POSIX seconds of tick 0
+    "ChannelList": 0x5B20,
+    "Channel": 0x5B21,
+    "ChannelID": 0x5B22,
+    "ChannelName": 0x5B23,
+    "ChannelFormat": 0x5B24,  # struct format string, e.g. "<hhh"
+    "SubChannel": 0x5B30,
+    "SubChannelID": 0x5B31,
+    "SubChannelName": 0x5B32,
+    "SubChannelUnits": 0x5B33,
+    "SubChannelCalIDRef": 0x5B34,
+    "CalibrationList": 0x5B40,
+    "UnivariatePolynomial": 0x5B41,
+    "CalID": 0x5B42,
+    "CalReferenceValue": 0x5B43,
+    "PolynomialCoef": 0x5B44,  # repeated; highest-order first
+    "ChannelDataBlock": 0xA1,
+    "ChannelIDRef": 0xB0,
+    "StartTimeCodeAbs": 0xB1,  # ticks % MIDE_TIMECODE_MODULUS
+    "EndTimeCodeAbs": 0xB2,
+    "ChannelDataPayload": 0xB7,
+}
+
+MIDE_DOCTYPE = b"mide"
+MIDE_TICKS_PER_SEC = 32768  # the device clock idelib's parsers assume
+MIDE_TIMECODE_MODULUS = 1 << 24  # time codes wrap every ~512 s
+
+
+def _doctype(buf: bytes) -> bytes | None:
+    """DocType payload of the leading EBML header, or None."""
+    try:
+        for eid, s, e in iter_elements(buf, 0, len(buf)):
+            if eid != EBML_HEADER:
+                return None
+            for eid2, s2, e2 in iter_elements(buf, s, e):
+                if eid2 == DOCTYPE:
+                    return buf[s2:e2]
+            return None
+    except ValueError:
+        return None
+    return None
+
+
+def is_mide(buf: bytes) -> bool:
+    """True when the EBML header carries the MIDE DocType."""
+    return _doctype(buf) == MIDE_DOCTYPE
+
+
+def encode_mide(
+    channels: list[dict],
+    calibrations: dict[int, tuple[float, list[float]]],
+    *,
+    time_base_utc: int = 0,
+) -> bytes:
+    """Encode a MIDE-profile recording (fixture builder / sink twin).
+
+    ``channels``: dicts with ``ch_id``, ``name``, ``fmt`` (struct format
+    string, one code per subchannel), ``subchannels`` (list of
+    ``{sub_id, name, units, cal_id}``), and ``blocks`` — a list of
+    ``(start_ticks, end_ticks, frames)`` where the tick values are RAW
+    unwrapped ints (stored modulo :data:`MIDE_TIMECODE_MODULUS`, as the
+    hardware does) and ``frames`` is an ``(n, n_sub)`` integer array
+    packed row-major through ``fmt``.
+    ``calibrations``: ``{cal_id: (reference, coeffs_highest_first)}``.
+    """
+    ids = MIDE_IDS
+    chan_els = []
+    for ch in channels:
+        subs = b""
+        for sub in ch["subchannels"]:
+            subs += _el(
+                ids["SubChannel"],
+                _el_uint(ids["SubChannelID"], sub["sub_id"])
+                + _el(ids["SubChannelName"], sub["name"].encode())
+                + _el(ids["SubChannelUnits"], sub["units"].encode())
+                + _el_uint(ids["SubChannelCalIDRef"], sub["cal_id"]),
+            )
+        chan_els.append(
+            _el(
+                ids["Channel"],
+                _el_uint(ids["ChannelID"], ch["ch_id"])
+                + _el(ids["ChannelName"], ch["name"].encode())
+                + _el(ids["ChannelFormat"], ch["fmt"].encode())
+                + subs,
+            )
+        )
+    cal_els = b"".join(
+        _el(
+            ids["UnivariatePolynomial"],
+            _el_uint(ids["CalID"], cal_id)
+            + _el(ids["CalReferenceValue"], struct.pack(">d", float(ref)))
+            + b"".join(
+                _el(ids["PolynomialCoef"], struct.pack(">d", float(c)))
+                for c in coeffs
+            ),
+        )
+        for cal_id, (ref, coeffs) in sorted(calibrations.items())
+    )
+    props = _el(
+        ids["RecordingProperties"],
+        _el_uint(ids["TimeBaseUTC"], int(time_base_utc))
+        + _el(ids["ChannelList"], b"".join(chan_els))
+        + _el(ids["CalibrationList"], cal_els),
+    )
+    blocks = []
+    for ch in channels:
+        n_sub = len(ch["subchannels"])
+        for start, end, frames in ch["blocks"]:
+            arr = np.ascontiguousarray(np.asarray(frames))
+            if arr.ndim != 2 or arr.shape[1] != n_sub:
+                raise ValueError(
+                    f"encode_mide: block frames must be (n, {n_sub}),"
+                    f" got {arr.shape}"
+                )
+            payload = b"".join(
+                struct.pack(ch["fmt"], *row) for row in arr.tolist()
+            )
+            blocks.append(
+                _el(
+                    ids["ChannelDataBlock"],
+                    _el_uint(ids["ChannelIDRef"], ch["ch_id"])
+                    + _el_uint(
+                        ids["StartTimeCodeAbs"],
+                        int(start) % MIDE_TIMECODE_MODULUS,
+                    )
+                    + _el_uint(
+                        ids["EndTimeCodeAbs"],
+                        int(end) % MIDE_TIMECODE_MODULUS,
+                    )
+                    + _el(ids["ChannelDataPayload"], payload),
+                )
+            )
+    header = _el(EBML_HEADER, _el(DOCTYPE, MIDE_DOCTYPE))
+    return header + props + b"".join(blocks)
+
+
+def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
+    """Parse MIDE-profile EBML bytes -> Channels (one per subchannel,
+    ``{ChannelName}:{SubChannelName}`` display names — endaq subchannel
+    semantics, reference ``daq/io.py:242-301``).
+
+    Implements the documented hardware behaviors: struct-format frame
+    unpack (``ChannelFormat`` describes the payload), start/end
+    time-code linear interpolation for sample times, modulo-2**24
+    monotonic unwrap of block time codes, and referenced univariate
+    polynomial calibration per subchannel."""
+    ids = MIDE_IDS
+    if not is_mide(buf):
+        raise ValueError("EBML: not a MIDE-profile recording")
+    defs: dict[int, dict] = {}
+    cals: dict[int, tuple[float, list[float]]] = {}
+    blocks: list[tuple[int, int, int, bytes]] = []
+    time_base_utc = 0
+    for eid, s, e in iter_elements(buf, 0, len(buf)):
+        if eid == EBML_HEADER:
+            continue
+        if eid == ids["RecordingProperties"]:
+            for eid2, s2, e2 in iter_elements(buf, s, e):
+                if eid2 == ids["TimeBaseUTC"]:
+                    time_base_utc = _uint(buf, s2, e2)
+                elif eid2 == ids["ChannelList"]:
+                    for eid3, s3, e3 in iter_elements(buf, s2, e2):
+                        if eid3 != ids["Channel"]:
+                            continue
+                        d: dict = {"subs": []}
+                        for eid4, s4, e4 in iter_elements(buf, s3, e3):
+                            if eid4 == ids["ChannelID"]:
+                                d["ch_id"] = _uint(buf, s4, e4)
+                            elif eid4 == ids["ChannelName"]:
+                                d["name"] = buf[s4:e4].decode()
+                            elif eid4 == ids["ChannelFormat"]:
+                                d["fmt"] = buf[s4:e4].decode()
+                            elif eid4 == ids["SubChannel"]:
+                                sub: dict = {}
+                                for eid5, s5, e5 in iter_elements(
+                                    buf, s4, e4
+                                ):
+                                    if eid5 == ids["SubChannelID"]:
+                                        sub["sub_id"] = _uint(buf, s5, e5)
+                                    elif eid5 == ids["SubChannelName"]:
+                                        sub["name"] = buf[s5:e5].decode()
+                                    elif eid5 == ids["SubChannelUnits"]:
+                                        sub["units"] = buf[s5:e5].decode()
+                                    elif eid5 == ids["SubChannelCalIDRef"]:
+                                        sub["cal_id"] = _uint(buf, s5, e5)
+                                d["subs"].append(sub)
+                        defs[d["ch_id"]] = d
+                elif eid2 == ids["CalibrationList"]:
+                    for eid3, s3, e3 in iter_elements(buf, s2, e2):
+                        if eid3 != ids["UnivariatePolynomial"]:
+                            continue
+                        cal_id, ref, coeffs = None, 0.0, []
+                        for eid4, s4, e4 in iter_elements(buf, s3, e3):
+                            if eid4 == ids["CalID"]:
+                                cal_id = _uint(buf, s4, e4)
+                            elif eid4 == ids["CalReferenceValue"]:
+                                ref = _f64(buf, s4, e4)
+                            elif eid4 == ids["PolynomialCoef"]:
+                                coeffs.append(_f64(buf, s4, e4))
+                        if cal_id is None:
+                            raise ValueError(
+                                "MIDE: UnivariatePolynomial without CalID"
+                            )
+                        cals[cal_id] = (ref, coeffs)
+        elif eid == ids["ChannelDataBlock"]:
+            ref = None
+            start = end = None
+            payload = b""
+            for eid2, s2, e2 in iter_elements(buf, s, e):
+                if eid2 == ids["ChannelIDRef"]:
+                    ref = _uint(buf, s2, e2)
+                elif eid2 == ids["StartTimeCodeAbs"]:
+                    start = _uint(buf, s2, e2)
+                elif eid2 == ids["EndTimeCodeAbs"]:
+                    end = _uint(buf, s2, e2)
+                elif eid2 == ids["ChannelDataPayload"]:
+                    payload = buf[s2:e2]
+            if ref is None or start is None or end is None:
+                raise ValueError(
+                    "MIDE: ChannelDataBlock missing ChannelIDRef or"
+                    " time codes"
+                )
+            blocks.append((ref, start, end, payload))
+    out = []
+    # Per-channel monotonic unwrap state: block time codes are stored
+    # modulo 2**24 and recorders emit blocks in time order, so each
+    # start code resolves to the SMALLEST unwrapped tick >= the
+    # channel's previous block end that is congruent to it — one rule
+    # covers both a rollover between blocks and a block that straddles
+    # the modulus (whose stored end is numerically below its start).
+    # Assumes consecutive blocks of a channel are less than one
+    # modulus span (~512 s) apart, which the hardware guarantees by
+    # construction (it never stops stamping).
+    last_tick: dict[int, int] = {}
+    series: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for ref, start, end, payload in blocks:
+        d = defs.get(ref)
+        if d is None:
+            raise ValueError(f"MIDE: data block for undeclared channel {ref}")
+        fmt = d["fmt"]
+        frame_sz = struct.calcsize(fmt)
+        if frame_sz == 0 or len(payload) % frame_sz:
+            raise ValueError(
+                f"MIDE: payload of {len(payload)} bytes is not whole"
+                f" frames of format {fmt!r}"
+            )
+        n = len(payload) // frame_sz
+        n_sub = len(d["subs"])
+        raw = np.array(
+            list(struct.iter_unpack(fmt, payload)), dtype=np.float64
+        ).reshape(n, n_sub)
+        last = last_tick.get(ref, 0)
+        u_start = (last // MIDE_TIMECODE_MODULUS) * MIDE_TIMECODE_MODULUS + start
+        if u_start < last:
+            u_start += MIDE_TIMECODE_MODULUS
+        u_end = u_start + (end - start) % MIDE_TIMECODE_MODULUS
+        last_tick[ref] = u_end
+        # idelib timebase: sample i of n sits at start + i*(end-start)/n
+        # ticks (end = start of the NEXT block's window)
+        ticks = u_start + np.arange(n, dtype=np.float64) * (
+            (u_end - u_start) / n
+        )
+        series.setdefault(ref, []).append(
+            (ticks / MIDE_TICKS_PER_SEC, raw)
+        )
+    for ch_id, d in defs.items():
+        chunks = series.get(ch_id, [])
+        t = (
+            np.concatenate([c[0] for c in chunks])
+            if chunks
+            else np.zeros(0)
+        )
+        raw = (
+            np.concatenate([c[1] for c in chunks])
+            if chunks
+            else np.zeros((0, len(d["subs"])))
+        )
+        start_dt = datetime.fromtimestamp(
+            time_base_utc + (t[0] if len(t) else 0.0), tz=timezone.utc
+        ).replace(tzinfo=None)
+        for k, sub in enumerate(d["subs"]):
+            ref_v, coeffs = cals.get(sub.get("cal_id"), (0.0, [1.0, 0.0]))
+            x = raw[:, k] - ref_v
+            v = np.zeros_like(x)
+            for c in coeffs:  # highest-order first (polyval)
+                v = v * x + c
+            name = f"{d['name']}:{sub['name']}"
+            out.append(
+                Channel(
+                    channel_id=f"{source}:{name}",
+                    time=t,
+                    data=v,
+                    name=name,
+                    unit=sub.get("units", ""),
+                    start_time=start_dt,
+                )
+            )
+    return out
+
+
 def read_recording_channels(buf: bytes, source: str = "mide") -> list[Channel]:
     """Parse EBML bytes -> Channels (reference field semantics:
     ``daq/io.py:242-301`` — seconds time base, displayName, unit,

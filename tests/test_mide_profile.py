@@ -1,0 +1,210 @@
+"""The MIDE-profile reader (sources/mide.py MIDE_IDS table — r11
+verdict item 3: the genuine-recorder seam): struct-format payload
+unpack, start/end time-code interpolation, modulo-2**24 timestamp
+unwrap, referenced univariate polynomial calibration, and the dispatch
+through sources/endaq.py + spark.read.format("ide").
+
+The numeric element ids live in the ONE swappable table
+(mide.MIDE_IDS); these tests pin the structural semantics the public
+idelib documentation describes, so a future table correction against
+the published mide_ide.xml changes nothing here.
+"""
+
+import numpy as np
+import pytest
+
+from pandas_sigproc_spark.sources import mide
+
+MOD = mide.MIDE_TIMECODE_MODULUS
+TPS = mide.MIDE_TICKS_PER_SEC
+
+
+def _fixture():
+    accel_frames0 = np.array(
+        [[-5, 10, 100], [0, -2048, 200], [5, 2048, -300], [7, 9, 11]],
+        dtype=np.int16,
+    )
+    accel_frames1 = np.array(
+        [[1, 2, 3], [4, 5, 6], [7, 8, 9], [-1, -2, -3]], dtype=np.int16
+    )
+    channels = [
+        {
+            "ch_id": 8,
+            "name": "Accel",
+            "fmt": "<hhh",
+            "subchannels": [
+                {"sub_id": 0, "name": "X", "units": "g", "cal_id": 1},
+                {"sub_id": 1, "name": "Y", "units": "g", "cal_id": 2},
+                {"sub_id": 2, "name": "Z", "units": "g", "cal_id": 3},
+            ],
+            # block 0 STRADDLES the 2**24 rollover (end wraps); block 1
+            # starts after it (start wraps relative to block 0's start)
+            "blocks": [
+                (16_770_000, 16_778_192, accel_frames0),
+                (16_778_192, 16_786_384, accel_frames1),
+            ],
+        },
+        {
+            "ch_id": 36,
+            "name": "Temp",
+            "fmt": "<h",
+            "subchannels": [
+                {"sub_id": 0, "name": "T", "units": "degC", "cal_id": 9},
+            ],
+            "blocks": [(1024, 1024 + 2 * TPS, np.array([[10], [20]]))],
+        },
+    ]
+    cals = {
+        1: (0.0, [1.0 / 128, 0.25]),  # v = raw/128 + 0.25
+        2: (2048.0, [1.0 / 64, 0.0]),  # v = (raw-2048)/64
+        3: (0.0, [1e-6, 1.0 / 256, 1.0]),  # quadratic polyval
+        9: (0.0, [0.5, -40.0]),
+    }
+    return channels, cals
+
+
+def test_mide_roundtrip_unwrap_and_calibration():
+    channels, cals = _fixture()
+    blob = mide.encode_mide(channels, cals, time_base_utc=1_704_067_200)
+    assert mide.is_mide(blob)
+    assert not mide.is_recording(blob)  # profiles don't cross-match
+    out = {c.name: c for c in mide.read_mide_channels(blob, source="fx")}
+    assert set(out) == {"Accel:X", "Accel:Y", "Accel:Z", "Temp:T"}
+
+    # times: linear interpolation between UNWRAPPED start/end ticks;
+    # both blocks span 8192 ticks over 4 frames -> 2048 ticks/frame
+    starts = [16_770_000, 16_778_192]
+    expect_t = np.concatenate(
+        [s + np.arange(4) * 2048.0 for s in starts]
+    ) / TPS
+    for name in ("Accel:X", "Accel:Y", "Accel:Z"):
+        assert np.array_equal(out[name].time, expect_t)
+
+    raw = np.concatenate(
+        [channels[0]["blocks"][0][2], channels[0]["blocks"][1][2]]
+    ).astype(np.float64)
+    assert np.array_equal(out["Accel:X"].data, raw[:, 0] / 128 + 0.25)
+    assert np.array_equal(out["Accel:Y"].data, (raw[:, 1] - 2048) / 64)
+    assert np.array_equal(
+        out["Accel:Z"].data, 1e-6 * raw[:, 2] ** 2 + raw[:, 2] / 256 + 1.0
+    )
+    assert out["Accel:X"].unit == "g"
+    assert out["Temp:T"].unit == "degC"
+    assert np.array_equal(
+        out["Temp:T"].data, np.array([10.0, 20.0]) * 0.5 - 40.0
+    )
+    # Temp block: 2*TPS ticks over 2 frames -> exactly 1 s apart
+    assert np.array_equal(
+        out["Temp:T"].time, (1024 + np.array([0.0, TPS])) / TPS
+    )
+    # start_time = TimeBaseUTC + first tick seconds
+    assert out["Temp:T"].start_time.year == 2024
+
+
+def test_mide_wrap_monotonic_over_many_blocks():
+    # 6 blocks of 2 frames crossing the modulus twice-ish: times must
+    # come out strictly increasing after the unwrap.
+    frames = np.array([[1], [2]], dtype=np.int16)
+    span = MOD // 2 + 4096  # forces frequent wrap steps
+    blocks = [
+        (i * span, i * span + 2048, frames) for i in range(6)
+    ]
+    channels = [
+        {
+            "ch_id": 1,
+            "name": "C",
+            "fmt": "<h",
+            "subchannels": [
+                {"sub_id": 0, "name": "s", "units": "", "cal_id": 1}
+            ],
+            "blocks": blocks,
+        }
+    ]
+    blob = mide.encode_mide(channels, {1: (0.0, [1.0, 0.0])})
+    (ch,) = mide.read_mide_channels(blob)
+    assert np.all(np.diff(ch.time) > 0)
+    expect = np.concatenate(
+        [i * span + np.array([0.0, 1024.0]) for i in range(6)]
+    ) / TPS
+    assert np.array_equal(ch.time, expect)
+
+
+def test_mide_payload_must_be_whole_frames():
+    # hand-build a block whose payload is not a whole number of
+    # "<hh" frames (3 bytes into a 4-byte frame): loud decode error
+    ids = mide.MIDE_IDS
+    props = mide._el(
+        ids["RecordingProperties"],
+        mide._el_uint(ids["TimeBaseUTC"], 0)
+        + mide._el(
+            ids["ChannelList"],
+            mide._el(
+                ids["Channel"],
+                mide._el_uint(ids["ChannelID"], 1)
+                + mide._el(ids["ChannelName"], b"C")
+                + mide._el(ids["ChannelFormat"], b"<hh")
+                + mide._el(
+                    ids["SubChannel"],
+                    mide._el_uint(ids["SubChannelID"], 0)
+                    + mide._el(ids["SubChannelName"], b"a")
+                    + mide._el(ids["SubChannelUnits"], b"")
+                    + mide._el_uint(ids["SubChannelCalIDRef"], 1),
+                )
+                + mide._el(
+                    ids["SubChannel"],
+                    mide._el_uint(ids["SubChannelID"], 1)
+                    + mide._el(ids["SubChannelName"], b"b")
+                    + mide._el(ids["SubChannelUnits"], b"")
+                    + mide._el_uint(ids["SubChannelCalIDRef"], 1),
+                ),
+            ),
+        )
+        + mide._el(ids["CalibrationList"], b""),
+    )
+    block = mide._el(
+        ids["ChannelDataBlock"],
+        mide._el_uint(ids["ChannelIDRef"], 1)
+        + mide._el_uint(ids["StartTimeCodeAbs"], 0)
+        + mide._el_uint(ids["EndTimeCodeAbs"], 2048)
+        + mide._el(ids["ChannelDataPayload"], b"\x01\x02\x03"),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    with pytest.raises(ValueError, match="whole"):
+        mide.read_mide_channels(header + props + block)
+
+
+def test_endaq_fallback_dispatches_mide(tmp_path):
+    from pandas_sigproc_spark.sources.endaq import (
+        ide_channel_list,
+        read_ide_channel,
+        read_ide_channels,
+    )
+
+    channels, cals = _fixture()
+    fn = tmp_path / "rec.ide"
+    fn.write_bytes(mide.encode_mide(channels, cals))
+    names = ide_channel_list(str(fn))
+    assert names == ["Accel:X", "Accel:Y", "Accel:Z", "Temp:T"]
+    assert len(read_ide_channels(str(fn))) == 4
+    ch = read_ide_channel(str(fn), "Accel:Y")
+    assert ch.unit == "g"
+    with pytest.raises(KeyError):
+        read_ide_channel(str(fn), "nope")
+
+
+def test_ide_datasource_reads_mide_profile(spark, tmp_path):
+    from pandas_sigproc_spark.sources.ide_datasource import (
+        register_ide_source,
+    )
+
+    channels, cals = _fixture()
+    (tmp_path / "a.ide").write_bytes(mide.encode_mide(channels, cals))
+    register_ide_source(spark)
+    df = (
+        spark.read.format("ide")
+        .option("channel", "Temp:T")
+        .load(str(tmp_path))
+    )
+    rows = sorted(df.collect(), key=lambda r: r["t"])
+    assert [r["value"] for r in rows] == [-35.0, -30.0]
+    assert rows[0]["channel_id"].endswith(":Temp:T")

@@ -69,6 +69,56 @@ def test_bucket_count_does_not_change_order(spark):
     assert a == b
 
 
+def test_derived_bucket_sizing_rule():
+    # r11 verdict #6: the fixed default of 256 buckets put corpus/256
+    # rows through one row_number task at scale.  Pin the sizing rule:
+    # power-of-two, floor 256, ~4M rows per bucket task, cap 2**24.
+    from pandas_sigproc_spark.operators.packing import (
+        _ORDER_BUCKET_TARGET_ROWS,
+        _derive_order_buckets,
+    )
+
+    assert _ORDER_BUCKET_TARGET_ROWS == 1 << 22
+    assert _derive_order_buckets(0) == 256
+    assert _derive_order_buckets(10_000) == 256
+    assert _derive_order_buckets(256 * (1 << 22)) == 256
+    assert _derive_order_buckets(256 * (1 << 22) + 1) == 512
+    # 10^11 ids (the verdict's 100 TB figure): ~400M rows/task at 256
+    # buckets; the rule derives 32768 -> ~3.1M rows/task
+    assert _derive_order_buckets(10**11) == 32768
+    assert _derive_order_buckets(10**11) * _ORDER_BUCKET_TARGET_ROWS >= 10**11
+    assert _derive_order_buckets(10**30) == 1 << 24  # cap
+
+
+def test_default_buckets_derive_from_count(spark):
+    # small corpus -> derived 256 -> byte-identical to the historical
+    # fixed default (the oracle-pinned gates pass 256 explicitly)
+    ids = list(range(300))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    a = {
+        r["doc_id"]: (r["bucket"], r["global_pos"])
+        for r in training_order(df).collect()
+    }
+    b = {
+        r["doc_id"]: (r["bucket"], r["global_pos"])
+        for r in training_order(df, buckets=256).collect()
+    }
+    assert a == b
+
+
+def test_wide_bucket_split_preserves_order(spark):
+    # buckets > 65536 switch the range split to the leading 32 hash
+    # bits; the permutation must be the same order the 16-bit split
+    # (and the brute-force hash rank) defines.
+    ids = list(range(400))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    got = {
+        r["doc_id"]: r["global_pos"]
+        for r in training_order(df, seed="e0", buckets=1 << 17).collect()
+    }
+    assert got == _expected_order(ids, "e0")
+
+
 # --- cluster_representatives -------------------------------------------------
 
 
