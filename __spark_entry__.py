@@ -7763,6 +7763,46 @@ FROM m
 """
 
 
+def _warc_fixture_enc(uri_pairs):
+    """The shared WARC producer stand-in for the crawl gates
+    (crawl_curate, corpus_to_shards): HTML-wrap each document (escape
+    chain + the script/comment boilerplate template the html_text
+    oracle mirrors) and serialize one record per URI that
+    ``uri_pairs(row) -> [uri, ...]`` yields — each gate supplies only
+    its URI-variant device, so the gate-load-bearing escape/template
+    logic lives ONCE (a review finding: two hand-copies could silently
+    diverge).  Returns an applyInPandas kernel producing one
+    record-gzipped archive per group."""
+    import pandas as pd
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pandas_sigproc_spark.sources.warc import encode_warc
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for r in pdf.itertuples():
+            esc = (
+                str(r.text)
+                .replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            html = (
+                "<html><head><script>var a = 1 < 2;</script></head>"
+                "<body><!-- boilerplate --><p>" + esc + "</p></body></html>"
+            ).encode("utf-8")
+            for uri in uri_pairs(r):
+                recs.append({"uri": uri, "payload": html})
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["doc_id"].min())],
+                "payload": [encode_warc(recs, gzip_records=True)],
+            }
+        )
+
+    return enc
+
+
 def q_crawl_curate(spark, sf_dir):
     """The END-TO-END crawl pipeline gate — the composition a web-
     corpus user actually runs, chaining every round-10 crawl operator:
@@ -7792,8 +7832,6 @@ def q_crawl_curate(spark, sf_dir):
     producer), one zero-shuffle mapInPandas record explode, then
     JVM-only expression trees; the single exchange is the canonical-
     key window — the URL-dedup shuffle itself."""
-    import pandas as pd
-
     from pandas_sigproc_spark.operators.webcrawl import (
         canonicalize_url,
         html_text,
@@ -7805,49 +7843,19 @@ def q_crawl_curate(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        from pandas_sigproc_spark.sources.warc import encode_warc
-
-        pdf = pdf.sort_values("doc_id")
-        source = str(pdf["source"].iloc[0])
-        recs = []
-        for r in pdf.itertuples():
-            esc = (
-                str(r.text)
-                .replace("&", "&amp;")
-                .replace("<", "&lt;")
-                .replace(">", "&gt;")
-            )
-            html = (
-                "<html><head><script>var a = 1 < 2;</script></head>"
-                "<body><!-- boilerplate --><p>" + esc + "</p></body></html>"
-            ).encode("utf-8")
-            i = int(r.doc_id)
-            recs.append(
-                {
-                    "uri": f"HTTP://WWW.{source}.COM:80/doc/{i}"
-                    "?utm_source=a&b=2&a=1",
-                    "payload": html,
-                }
-            )
-            recs.append(
-                {
-                    "uri": f"http://www.{source}.com/doc/{i}"
-                    "?a=1&b=2&fbclid=z#frag",
-                    "payload": html,
-                }
-            )
-        return pd.DataFrame(
-            {
-                "archive_id": [int(pdf["doc_id"].min())],
-                "payload": [encode_warc(recs, gzip_records=True)],
-            }
-        )
+    def uri_pairs(r):
+        i, source = int(r.doc_id), str(r.source)
+        return [
+            f"HTTP://WWW.{source}.COM:80/doc/{i}?utm_source=a&b=2&a=1",
+            f"http://www.{source}.com/doc/{i}?a=1&b=2&fbclid=z#frag",
+        ]
 
     archives = (
         d.select("doc_id", "text", "source")
         .groupBy("source")
-        .applyInPandas(enc, "archive_id long, payload binary")
+        .applyInPandas(
+            _warc_fixture_enc(uri_pairs), "archive_id long, payload binary"
+        )
     )
     docs = warc_documents(archives).select(
         F.regexp_extract("uri", "/doc/([0-9]+)", 1)
@@ -7948,51 +7956,24 @@ def q_corpus_to_shards(spark, sf_dir):
     hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
     paths = list(_ROBOTS_PATHS)
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        from pandas_sigproc_spark.sources.warc import encode_warc
-
-        pdf = pdf.sort_values("doc_id")
-        recs = []
-        for r in pdf.itertuples():
-            esc = (
-                str(r.text)
-                .replace("&", "&amp;")
-                .replace("<", "&lt;")
-                .replace(">", "&gt;")
-            )
-            html = (
-                "<html><head><script>var a = 1 < 2;</script></head>"
-                "<body><!-- boilerplate --><p>" + esc + "</p></body></html>"
-            ).encode("utf-8")
-            i = int(r.doc_id)
-            h, p = hosts[i % 8], paths[i % 6]
-            # two messy variants of the SAME page (the crawl_curate
-            # device): canonicalization must collapse them or the
-            # dedup window keeps 2 rows and every digest shifts
-            recs.append(
-                {
-                    "uri": f"HTTP://{h.upper()}:80{p}?id={i}&utm_source=a",
-                    "payload": html,
-                }
-            )
-            recs.append(
-                {
-                    "uri": f"http://{h}{p}?id={i}&fbclid=z#frag",
-                    "payload": html,
-                }
-            )
-        return pd.DataFrame(
-            {
-                "archive_id": [int(pdf["doc_id"].min())],
-                "payload": [encode_warc(recs, gzip_records=True)],
-            }
-        )
+    def uri_pairs(r):
+        # two messy variants of the SAME page (the crawl_curate
+        # device): canonicalization must collapse them or the dedup
+        # window keeps 2 rows and every digest shifts
+        i = int(r.doc_id)
+        h, p = hosts[i % 8], paths[i % 6]
+        return [
+            f"HTTP://{h.upper()}:80{p}?id={i}&utm_source=a",
+            f"http://{h}{p}?id={i}&fbclid=z#frag",
+        ]
 
     archives = (
         d.select("doc_id", "text")
         .withColumn("_g", (F.col("doc_id") % 32).cast("int"))
         .groupBy("_g")
-        .applyInPandas(enc, "archive_id long, payload binary")
+        .applyInPandas(
+            _warc_fixture_enc(uri_pairs), "archive_id long, payload binary"
+        )
     )
     docs = warc_documents(archives).select(
         F.regexp_extract("uri", "[?&]id=([0-9]+)", 1)

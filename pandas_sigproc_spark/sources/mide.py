@@ -531,6 +531,10 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
             u_start += MIDE_TIMECODE_MODULUS
         u_end = u_start + (end - start) % MIDE_TIMECODE_MODULUS
         last_tick[ref] = u_end
+        if n == 0:
+            # zero-frame block (e.g. closed at shutdown): nothing to
+            # emit, but its time codes still advance the unwrap state
+            continue
         # idelib timebase: sample i of n sits at start + i*(end-start)/n
         # ticks (end = start of the NEXT block's window)
         ticks = u_start + np.arange(n, dtype=np.float64) * (
@@ -555,7 +559,23 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
             time_base_utc + (t[0] if len(t) else 0.0), tz=timezone.utc
         ).replace(tzinfo=None)
         for k, sub in enumerate(d["subs"]):
-            ref_v, coeffs = cals.get(sub.get("cal_id"), (0.0, [1.0, 0.0]))
+            cal_id = sub.get("cal_id")
+            if cal_id is None:
+                # no SubChannelCalIDRef element: an uncalibrated
+                # subchannel, raw counts by declaration
+                ref_v, coeffs = 0.0, [1.0, 0.0]
+            elif cal_id in cals:
+                ref_v, coeffs = cals[cal_id]
+            else:
+                # a DANGLING reference must be loud: silently emitting
+                # raw ADC counts in place of calibrated units is the
+                # exact failure the MIDE_IDS table note warns about
+                # (wrong CalibrationList ids on a genuine file)
+                raise ValueError(
+                    f"MIDE: subchannel {sub.get('name')!r} of channel"
+                    f" {ch_id} references calibration {cal_id} which is"
+                    " not in the CalibrationList"
+                )
             x = raw[:, k] - ref_v
             v = np.zeros_like(x)
             for c in coeffs:  # highest-order first (polyval)

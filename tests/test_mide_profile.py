@@ -208,3 +208,37 @@ def test_ide_datasource_reads_mide_profile(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["t"])
     assert [r["value"] for r in rows] == [-35.0, -30.0]
     assert rows[0]["channel_id"].endswith(":Temp:T")
+
+
+def test_mide_zero_frame_block_advances_unwrap_without_crash():
+    # a zero-frame block (recorder closed at shutdown) must emit no
+    # samples but still advance the channel's unwrap state
+    frames = np.array([[7]], dtype=np.int16)
+    channels = [
+        {
+            "ch_id": 2,
+            "name": "C",
+            "fmt": "<h",
+            "subchannels": [
+                {"sub_id": 0, "name": "s", "units": "", "cal_id": 1}
+            ],
+            "blocks": [
+                (MOD - 1024, MOD, np.zeros((0, 1), dtype=np.int16)),
+                (MOD, MOD + 1024, frames),  # stored start wraps to 0
+            ],
+        }
+    ]
+    blob = mide.encode_mide(channels, {1: (0.0, [1.0, 0.0])})
+    (ch,) = mide.read_mide_channels(blob)
+    # the empty block advanced last_tick to MOD, so the second block's
+    # stored start of 0 unwraps to exactly MOD
+    assert np.array_equal(ch.time, np.array([MOD / TPS]))
+    assert np.array_equal(ch.data, np.array([7.0]))
+
+
+def test_mide_dangling_cal_ref_is_loud():
+    channels, cals = _fixture()
+    del cals[2]  # Accel:Y now references a missing polynomial
+    blob = mide.encode_mide(channels, cals)
+    with pytest.raises(ValueError, match="calibration"):
+        mide.read_mide_channels(blob)
