@@ -174,3 +174,58 @@ def signals_to_wav(df, filename, sample_rate, left_channel, right_channel=None):
     left = series[left_channel]
     right = series[right_channel] if right_channel else None
     write_wav(filename, sample_rate, left, right)
+
+
+try:  # pragma: no cover - sounddevice absent in this environment
+    import sounddevice as _sd
+except Exception:  # ImportError or PortAudio load failures
+    _sd = None
+
+
+def playsound(signals, channel_id, wait=False):
+    """Play ONE channel through the sound card (reference ``playsound``,
+    ``extension.py:436-450``): ``sd.play(y, fs)`` + optional blocking
+    ``sd.wait()``.
+
+    Driver-side exit point like :func:`signals_to_wav` — audio output
+    is an endpoint, not a distributed op — and import-gated on the
+    ``sounddevice`` package (not installed in this environment; the
+    reference carries the same hard dependency).  Where the reference
+    TRUSTS "a constant logging rate" (its docstring), this version
+    VERIFIES it through the engine's samplerate operator
+    (``operators/relational.py`` — the oracle-gated inference that
+    yields NULL for non-uniform channels) and raises instead of
+    playing garbage at a wrong clock.
+
+    Returns the sample rate used (handy for tests and logging).
+    """
+    if _sd is None:
+        raise ImportError(
+            "the 'sounddevice' package is required for playsound"
+            " (pip install sounddevice); use signals_to_wav to write"
+            " a .wav file without it"
+        )
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.relational import samplerate
+
+    ch = signals.filter(F.col("channel_id") == channel_id)
+    rows = samplerate(ch).collect()  # bounded: one row per channel
+    if not rows:
+        raise ValueError(f"playsound: channel {channel_id!r} not found")
+    fs = rows[0]["samplerate"]
+    if fs is None:
+        raise ValueError(
+            f"playsound: channel {channel_id!r} has no uniform sample"
+            " rate — resample() it to a constant rate first"
+        )
+    y = (
+        ch.select("t", "value")
+        .orderBy("t")
+        .toPandas()["value"]
+        .to_numpy(np.float64)
+    )
+    _sd.play(y, fs)
+    if wait:
+        _sd.wait()
+    return fs

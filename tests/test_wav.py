@@ -130,3 +130,67 @@ class TestCollectChannel:
         assert s.index.name == "time"
         np.testing.assert_allclose(s.index.to_numpy(), t)
         np.testing.assert_allclose(s.to_numpy(), t * 2)
+
+
+# --- playsound (reference extension.py:436-450) ------------------------------
+
+
+class _FakeSD:
+    def __init__(self):
+        self.played = None
+        self.waited = False
+
+    def play(self, y, fs):
+        self.played = (y.copy(), fs)
+
+    def wait(self):
+        self.waited = True
+
+
+def _uniform_signals(spark, fs=100.0, n=64):
+    import pandas as pd
+
+    t = [i / fs for i in range(n)]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"channel_id": "mic", "t": t, "value": [float(i % 7) for i in range(n)]}
+        )
+    )
+
+
+def test_playsound_plays_at_inferred_rate(spark, monkeypatch):
+    import pandas_sigproc_spark.sources.wav as wav_mod
+
+    fake = _FakeSD()
+    monkeypatch.setattr(wav_mod, "_sd", fake)
+    fs = wav_mod.playsound(_uniform_signals(spark, fs=100.0), "mic")
+    assert fs == 100.0
+    y, rate = fake.played
+    assert rate == 100.0
+    assert list(y[:7]) == [0, 1, 2, 3, 4, 5, 6]
+    assert not fake.waited
+    wav_mod.playsound(_uniform_signals(spark, fs=100.0), "mic", wait=True)
+    assert fake.waited
+
+
+def test_playsound_gates_and_refusals(spark, monkeypatch):
+    import pandas as pd
+
+    import pandas_sigproc_spark.sources.wav as wav_mod
+
+    monkeypatch.setattr(wav_mod, "_sd", None)
+    with pytest.raises(ImportError, match="sounddevice"):
+        wav_mod.playsound(_uniform_signals(spark), "mic")
+
+    fake = _FakeSD()
+    monkeypatch.setattr(wav_mod, "_sd", fake)
+    with pytest.raises(ValueError, match="not found"):
+        wav_mod.playsound(_uniform_signals(spark), "nope")
+    jitter = spark.createDataFrame(
+        pd.DataFrame(
+            {"channel_id": "j", "t": [0.0, 0.5, 0.6, 2.0], "value": [0.0] * 4}
+        )
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        wav_mod.playsound(jitter, "j")
+    assert fake.played is None  # nothing was ever sent to the device
