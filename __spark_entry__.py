@@ -8028,12 +8028,18 @@ def q_corpus_to_shards(spark, sf_dir):
         n=_DECON_N,
         persist=_persist,
     )
-    clean = keep.filter(F.col("doc_id") % 10 != 0).join(
-        hits.select("doc_id"), "doc_id", "left_anti"
+    # clean and sharded are each consumed TWICE downstream (clean by
+    # the BPE fold and the member text join; sharded by the packer and
+    # the member key join) — persisted so the decontamination anti-join
+    # and the distinct-word fold run once, not per consumer
+    clean = _persist(
+        keep.filter(F.col("doc_id") % 10 != 0).join(
+            hits.select("doc_id"), "doc_id", "left_anti"
+        )
     )
     counts = bpe_token_counts(clean, _BPE_PACK_MERGES)
-    sharded = assign_shards(
-        counts, _BPE_SHARD_TOKENS, buckets=_SHARD_BUCKETS
+    sharded = _persist(
+        assign_shards(counts, _BPE_SHARD_TOKENS, buckets=_SHARD_BUCKETS)
     )
     packed = pack_sequences(
         sharded,

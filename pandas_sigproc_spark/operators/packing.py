@@ -159,13 +159,15 @@ def training_order(
     plan never materializes a total order anywhere.
 
     ``buckets=None`` (the default) SIZES THE SPLIT FROM THE CORPUS: a
-    count pre-pass (one cheap column scan) picks the next power of two
-    that bounds each bucket task at ~4M rows (see
-    :func:`_derive_order_buckets`) — the r11-era fixed default of 256
-    put corpus/256 rows through each ``row_number`` task, which at
-    10^11 ids is a ~400M-row window task.  Pass an explicit ``buckets``
-    for a plan with no pre-pass (and for oracle-pinned gates, which
-    fix 256).  Bucket VALUES for a given ``buckets <= 65536`` are
+    count pre-pass picks the next power of two that bounds each bucket
+    task at ~4M rows (see :func:`_derive_order_buckets`) — the
+    r11-era fixed default of 256 put corpus/256 rows through each
+    ``row_number`` task, which at 10^11 ids is a ~400M-row window
+    task.  The pre-pass counts only the pruned id column — one cheap
+    scan when ``df`` is a stored table, but it EXECUTES THE UPSTREAM
+    LINEAGE: if ``df`` is the tail of an expensive derived plan,
+    persist it first or pass ``buckets`` explicitly (a plan with no
+    pre-pass; the oracle-pinned gates fix 256 this way).  Bucket VALUES for a given ``buckets <= 65536`` are
     unchanged from earlier releases (the 16-bit prefix split); larger
     counts split on the leading 32 bits, which a 16-bit prefix cannot
     resolve.

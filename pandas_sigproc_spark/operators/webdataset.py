@@ -322,18 +322,38 @@ def save_wds_shards(
                 " pass overwrite=True to replace the corpus"
             )
         os.remove(manifest_path)
-    # Sweep stale shard-*.tar files AND orphaned .inprogress temps
-    # unconditionally before writing (not only on the overwrite path):
-    # by this writer's own contract any tar present without a manifest
-    # is unmanifested garbage — a prior run that crashed after renaming
-    # some tars but before stamping _manifest.json — and real
-    # WebDataset loaders glob *.tar rather than reading the manifest,
-    # so leftovers would silently feed stale data to training (review
-    # findings, r10 and r12).  Reaching this line means either no
-    # manifest existed or overwrite=True removed it, so every surviving
-    # tar here is stale by definition; temps are likewise dead because
-    # per-attempt names are never reclaimed by retries.  Safe at job
-    # start: this job's own attempts have not begun writing yet.
+    elif not overwrite:
+        stale_tars = [
+            f
+            for f in os.listdir(local)
+            if f.startswith("shard-") and f.endswith(".tar")
+        ]
+        if stale_tars:
+            # Tars with NO manifest are unmanifested garbage by this
+            # writer's contract (a prior run that crashed after
+            # renaming tars but before stamping _manifest.json) — but
+            # under overwrite=False they must never be deleted
+            # SILENTLY either: they could be a corpus this writer does
+            # not own (two review findings pulling opposite ways).
+            # Refuse loudly; the caller opts into the sweep with
+            # overwrite=True, and glob-based loaders are protected
+            # either way because this run writes nothing beside them.
+            raise ValueError(
+                f"save_wds_shards: {local} holds {len(stale_tars)}"
+                " shard-*.tar file(s) without a manifest (a crashed"
+                " prior run, or files this writer does not own) —"
+                " pass overwrite=True to sweep them before writing"
+            )
+    # Reaching here: overwrite=True, or the directory holds no
+    # committed tars.  Sweep stale tars (real WebDataset loaders glob
+    # *.tar rather than reading the manifest, so leftovers from a
+    # larger prior corpus would silently feed stale data to training —
+    # a review finding) and orphaned .inprogress temps (per-attempt
+    # names are never reclaimed by retries).  SINGLE-WRITER contract:
+    # two concurrent save_wds_shards jobs on one directory are not
+    # supported — a second job's start sweep would remove the first's
+    # in-flight files (documented rather than locked; the commit
+    # protocol protects against crashed writers, not live rivals).
     for stale in os.listdir(local):
         if stale.endswith(".inprogress") or (
             stale.startswith("shard-") and stale.endswith(".tar")

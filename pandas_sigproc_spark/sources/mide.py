@@ -522,6 +522,15 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
             )
         n = len(payload) // frame_sz
         n_sub = len(d["subs"])
+        n_vals = len(struct.Struct(fmt).unpack(bytes(frame_sz)))
+        if n_vals != n_sub:
+            # the exact mismatch a wrong MIDE_IDS transcription would
+            # produce on a genuine file — name it instead of dying in
+            # a numpy reshape (a review finding)
+            raise ValueError(
+                f"MIDE: channel {ref} format {fmt!r} packs {n_vals}"
+                f" values per frame but declares {n_sub} subchannels"
+            )
         raw = np.array(
             list(struct.iter_unpack(fmt, payload)), dtype=np.float64
         ).reshape(n, n_sub)
@@ -555,8 +564,13 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
             if chunks
             else np.zeros((0, len(d["subs"])))
         )
+        # start_time is the epoch of TICK ZERO, not of the first sample:
+        # the downstream contract is ts = start_time + t (channel.py),
+        # and t here is already absolute ticks from TimeBaseUTC — adding
+        # t[0] again would double-count the first-sample offset (a
+        # review finding; read_recording_channels has the same rule).
         start_dt = datetime.fromtimestamp(
-            time_base_utc + (t[0] if len(t) else 0.0), tz=timezone.utc
+            time_base_utc, tz=timezone.utc
         ).replace(tzinfo=None)
         for k, sub in enumerate(d["subs"]):
             cal_id = sub.get("cal_id")

@@ -211,10 +211,16 @@ def playsound(signals, channel_id, wait=False):
 
     ch = signals.filter(F.col("channel_id") == channel_id)
     rows = samplerate(ch).collect()  # bounded: one row per channel
-    if not rows:
-        raise ValueError(f"playsound: channel {channel_id!r} not found")
-    fs = rows[0]["samplerate"]
+    fs = rows[0]["samplerate"] if rows else None
     if fs is None:
+        # samplerate emits no row for a <2-sample channel, so an empty
+        # result does NOT mean the channel is absent — check before
+        # diagnosing (a review finding: a 1-sample channel was
+        # reported as "not found")
+        if not rows and ch.limit(1).count() == 0:
+            raise ValueError(
+                f"playsound: channel {channel_id!r} not found"
+            )
         raise ValueError(
             f"playsound: channel {channel_id!r} has no uniform sample"
             " rate — resample() it to a constant rate first"

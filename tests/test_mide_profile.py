@@ -242,3 +242,86 @@ def test_mide_dangling_cal_ref_is_loud():
     blob = mide.encode_mide(channels, cals)
     with pytest.raises(ValueError, match="calibration"):
         mide.read_mide_channels(blob)
+
+
+def test_mide_start_time_is_epoch_of_tick_zero():
+    # ts = start_time + t downstream (channel.py), and t is already
+    # absolute ticks from TimeBaseUTC — start_time must NOT include
+    # t[0] or the first absolute timestamp double-counts the offset
+    from datetime import datetime
+
+    frames = np.array([[1], [2]], dtype=np.int16)
+    channels = [
+        {
+            "ch_id": 1,
+            "name": "C",
+            "fmt": "<h",
+            "subchannels": [
+                {"sub_id": 0, "name": "s", "units": "", "cal_id": 1}
+            ],
+            # first block starts 100 s into the recording
+            "blocks": [(100 * TPS, 100 * TPS + 2048, frames)],
+        }
+    ]
+    blob = mide.encode_mide(
+        channels, {1: (0.0, [1.0, 0.0])}, time_base_utc=1_704_067_200
+    )
+    (ch,) = mide.read_mide_channels(blob)
+    assert ch.start_time == datetime(2024, 1, 1, 0, 0, 0)
+    assert ch.time[0] == 100.0  # absolute seconds from tick zero
+
+
+def test_mide_format_subchannel_mismatch_is_loud():
+    # hand-built (the encoder refuses to produce this): fmt "<hh"
+    # packs 2 values/frame but THREE SubChannels are declared — the
+    # exact shape a wrong MIDE_IDS transcription yields on a genuine
+    # file; payload is a whole number of frames so the earlier check
+    # passes and the declared-count check must fire
+    ids = mide.MIDE_IDS
+
+    def sub(i):
+        return mide._el(
+            ids["SubChannel"],
+            mide._el_uint(ids["SubChannelID"], i)
+            + mide._el(ids["SubChannelName"], b"s%d" % i)
+            + mide._el(ids["SubChannelUnits"], b"")
+            + mide._el_uint(ids["SubChannelCalIDRef"], 1),
+        )
+
+    props = mide._el(
+        ids["RecordingProperties"],
+        mide._el_uint(ids["TimeBaseUTC"], 0)
+        + mide._el(
+            ids["ChannelList"],
+            mide._el(
+                ids["Channel"],
+                mide._el_uint(ids["ChannelID"], 1)
+                + mide._el(ids["ChannelName"], b"C")
+                + mide._el(ids["ChannelFormat"], b"<hh")
+                + sub(0)
+                + sub(1)
+                + sub(2),
+            ),
+        )
+        + mide._el(
+            ids["CalibrationList"],
+            mide._el(
+                ids["UnivariatePolynomial"],
+                mide._el_uint(ids["CalID"], 1)
+                + mide._el(
+                    ids["CalReferenceValue"], b"\x00" * 8
+                )
+                + mide._el(ids["PolynomialCoef"], b"\x3f\xf0" + b"\x00" * 6),
+            ),
+        ),
+    )
+    block = mide._el(
+        ids["ChannelDataBlock"],
+        mide._el_uint(ids["ChannelIDRef"], 1)
+        + mide._el_uint(ids["StartTimeCodeAbs"], 0)
+        + mide._el_uint(ids["EndTimeCodeAbs"], 2048)
+        + mide._el(ids["ChannelDataPayload"], b"\x01\x00\x02\x00"),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    with pytest.raises(ValueError, match="subchannels"):
+        mide.read_mide_channels(header + props + block)

@@ -278,3 +278,28 @@ def test_overwrite_sweeps_stale_committed_shards(spark, tmp_path):
 
     tars = sorted(f for f in os.listdir(root) if f.endswith(".tar"))
     assert tars == ["shard-00000000.tar", "shard-00000001.tar"]
+
+
+def test_unmanifested_tars_refused_without_overwrite(spark, tmp_path):
+    # no manifest + shard-*.tar present (crashed prior run, or a corpus
+    # this writer does not own): overwrite=False must refuse LOUDLY
+    # (silent deletion was a review finding against the r12 sweep
+    # widening; silent stale data was the r10/ADVICE finding — the
+    # refusal satisfies both), overwrite=True sweeps and rewrites.
+    import os
+
+    import pytest
+
+    from pandas_sigproc_spark.operators.webdataset import save_wds_shards
+
+    root = str(tmp_path / "crashed")
+    os.makedirs(root)
+    with open(os.path.join(root, "shard-00000009.tar"), "wb") as fh:
+        fh.write(b"leftover")
+    _, shards = _save_inputs(spark, n_docs=4, shards=2)
+    with pytest.raises(ValueError, match="without a manifest"):
+        save_wds_shards(shards, root)
+    assert os.path.exists(os.path.join(root, "shard-00000009.tar"))
+    save_wds_shards(shards, root, overwrite=True)
+    tars = sorted(f for f in os.listdir(root) if f.endswith(".tar"))
+    assert tars == ["shard-00000000.tar", "shard-00000001.tar"]
