@@ -1,14 +1,22 @@
-"""Spline / nearest-family interpolation operator (kernel tier).
+"""Spline interpolation operator (kernel tier).
 
-Linear interpolation is native (operators/joins.py); the spline kinds
-(``cubic``, ``zero``) and the nearest/previous/next family genuinely need
-whole-channel context in the worst case (a cubic spline's coefficients
-are global), so they run as a grouped-map UDF over the vendored
-``kernels.interp`` (reference surface: ``extension.py:819-851`` via
-``scipy.interpolate.interp1d``).
+Every two-point kind — linear/slinear, nearest/nearest-up,
+previous/zero, next — is native relational algebra in
+``operators/joins.py`` (``NATIVE_INTERP_KINDS``); only the true SPLINE
+kinds (``cubic``, ``quadratic``), whose coefficients couple the whole
+channel through a tridiagonal solve, run here as a grouped-map UDF over
+the vendored ``kernels.interp`` (reference surface:
+``extension.py:819-851`` via ``scipy.interpolate.interp1d``).  (An
+earlier version of this docstring claimed the nearest family and
+``zero`` lived here — stale since the native tier took them; a review
+finding.)
 
-The target grid is cogrouped with the source channel so both sides arrive
-in one task without a driver round-trip.
+The target grid is cogrouped with the source channel so both sides
+arrive in one task without a driver round-trip.  Scale caveat: the
+chunked path bounds tasks by SOURCE knots; a huge target grid over a
+small source still cogroups each channel's targets into one task —
+use a native kind (whose range chunking bounds both sides) or pre-split
+the grid when upsampling a small channel by orders of magnitude.
 """
 
 from __future__ import annotations

@@ -23,6 +23,13 @@ def rss(df: DataFrame, channel_ids=None, out_channel: str = None, time_col: str 
     §2.3): pandas alignment produces NaN rows for non-matching stamps; this
     engine keeps only stamps present in *some* channel and sums what's
     there (count reported so callers can filter to full alignment).
+
+    ``n_channels`` counts DISTINCT channels with a non-null value at the
+    stamp — not rows (a review finding: a channel with duplicate stamps,
+    or a NULL value the sum skips, made ``n_channels == K`` certify
+    "full alignment" for a stamp that wasn't).  Duplicate stamps within
+    one channel still both enter the sum (documented: ``deduplicate``
+    upstream decides which value a stamp carries).
     """
     src = df
     if channel_ids is not None:
@@ -32,7 +39,9 @@ def rss(df: DataFrame, channel_ids=None, out_channel: str = None, time_col: str 
         src.groupBy(time_col)
         .agg(
             F.sqrt(F.sum(F.col("value") * F.col("value"))).alias("value"),
-            F.count("*").alias("n_channels"),
+            F.count_distinct(
+                F.when(F.col("value").isNotNull(), F.col("channel_id"))
+            ).alias("n_channels"),
         )
         .select(F.lit(name).alias("channel_id"), F.col(time_col).alias("t"), "value", "n_channels")
     )
@@ -53,15 +62,37 @@ NATIVE_INTERP_KINDS = (
 )
 
 
+def _combine_expr(kind: str, x0, y0, x1, y1, x):
+    """The per-kind two-point combiner shared by :func:`interp1d_native`
+    and :func:`resample` — ONE definition (a review finding counted two
+    hand-maintained copies): the nearest/nearest-up midpoint tie rule
+    must stay identical to ``kernels/interp.py``'s searchsorted
+    semantics, and a fix applied to one copy would silently leave the
+    other diverging."""
+    if kind in ("linear", "slinear"):
+        return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+    if kind in ("nearest", "nearest-up"):
+        mid = 0.5 * (x0 + x1)
+        at_or_below = x <= mid if kind == "nearest" else x < mid
+        return F.when(at_or_below, y0).otherwise(y1)
+    if kind in ("previous", "zero"):
+        return y0
+    return y1  # next
+
+
 def _chunk_assign(u: DataFrame, chunk_rows: int) -> DataFrame:
     """Assign every unioned source/target row a time-RANGE chunk id and
     inject each chunk's out-of-chunk bracketing sources.
 
     Unlike the arithmetic-index chunking of the window ops (which needs
     a uniform grid), range chunking only needs a time axis: each channel
-    is cut into ``ceil(n_src / chunk_rows)`` equal time spans (balanced
-    when source density is roughly even; always BOUNDED per task by the
-    span row count).  A chunk's as-of brackets can reach outside it, so
+    is cut into ``ceil((n_src + n_targets) / chunk_rows)`` equal time
+    spans — the TOTAL row count, because the bracket windows sort both
+    sides and an upsampling grid can dwarf its source (a review
+    finding: sizing on sources alone left per-chunk target counts
+    unbounded).  Balanced when combined density is roughly even; always
+    bounded per task by the span row count.  A chunk's as-of brackets
+    can reach outside it, so
     for every (channel, chunk) the cumulative latest-earlier source and
     earliest-later source (tiny per-chunk table, window over chunk ids)
     are duplicated in as extra source rows — after which the bracket
@@ -73,10 +104,14 @@ def _chunk_assign(u: DataFrame, chunk_rows: int) -> DataFrame:
     differ from the global plan's arbitrary in-window pick.
     """
     L = int(chunk_rows)
-    src_only = u.filter(F.col("_is_src") == 1)
-    geo = src_only.groupBy("channel_id").agg(
-        F.min("_x").alias("_t0"),
-        F.max("_x").alias("_t1"),
+    # _t0/_t1 span SOURCES only (targets clamp into it); _n counts ALL
+    # rows — see the docstring.  A target-only channel now gets a geo
+    # row with NULL span: its rows park in chunk 0 via the coalesce
+    # below and bracket to NULL, exactly as the old no-geo-row path.
+    src_x = F.when(F.col("_is_src") == 1, F.col("_x"))
+    geo = u.groupBy("channel_id").agg(
+        F.min(src_x).alias("_t0"),
+        F.max(src_x).alias("_t1"),
         F.count("*").alias("_n"),
     )
     nseg = F.greatest(F.ceil(F.col("_n") / L), F.lit(1)).cast("long")
@@ -172,15 +207,23 @@ def interp1d_native(
 
     Out-of-range targets: SciPy raises (the reference inherits that,
     ``extension.py:986-996``); distributed engines shouldn't throw from
-    executors for one bad point, so with ``bounds_null=True`` they yield
-    NULL, and by default they are dropped after a validation count.
+    executors for one bad point, so with ``bounds_null=True`` they
+    yield NULL, and by default they are silently dropped (filter the
+    NULL-marked form if you need to count them — an earlier docstring
+    promised a validation count this function never performed; a
+    review finding).
 
     ``chunk_rows="auto"`` (default): above ``planner.HUGE_CHANNEL_ROWS``
-    the bracket windows run per (channel, time-range chunk) with
-    boundary sources injected (:func:`_chunk_assign`) instead of one
-    whole-channel sorted window task — bit-identical results, bounded
-    task memory, and NO uniform-grid requirement (range chunking only
-    needs the time axis).
+    — judged on the SOURCE and the GRID (an upsampling grid can dwarf
+    its source, and the bracket windows sort both) — the windows run
+    per (channel, time-range chunk) with boundary sources injected
+    (:func:`_chunk_assign`) instead of one whole-channel sorted window
+    task: bounded task memory, NO uniform-grid requirement (range
+    chunking only needs the time axis), and results identical to the
+    global plan except on channels with DUPLICATE source timestamps,
+    where the boundary table's max/min tie pick may differ from the
+    global window's arbitrary one (the :func:`_chunk_assign` note;
+    deduplicate upstream for a replayable contract).
     """
     kind = kind.lower()
     if kind not in NATIVE_INTERP_KINDS:
@@ -203,7 +246,13 @@ def interp1d_native(
     u = data.unionByName(tgt)
     from pandas_sigproc_spark.operators.windows import _resolve_chunk_rows
 
+    auto = chunk_rows == "auto"
     chunk_rows = _resolve_chunk_rows(df, chunk_rows)
+    if chunk_rows is None and auto:
+        # the windows sort n_src + n_grid rows per channel, so a huge
+        # TARGET grid needs chunking even under a small source (a
+        # review finding: upsampling bypassed the bounded-task path)
+        chunk_rows = _resolve_chunk_rows(grid, "auto")
     if chunk_rows is not None:
         u = _chunk_assign(u, int(chunk_rows))
         part_cols = ["channel_id", "_seg"]
@@ -245,18 +294,7 @@ def interp1d_native(
     # Correct for every kind: distance 0 / left knot / own sample.
     exact = F.col("_x0") == F.col("_x")
     x0, y0, x1, y1 = (F.col(c) for c in ("_x0", "_y0", "_x1", "_y1"))
-    if kind in ("linear", "slinear"):
-        combine = y0 + (y1 - y0) * (F.col("_x") - x0) / (x1 - x0)
-    elif kind in ("nearest", "nearest-up"):
-        mid = 0.5 * (x0 + x1)
-        at_or_below = (
-            F.col("_x") <= mid if kind == "nearest" else F.col("_x") < mid
-        )
-        combine = F.when(at_or_below, y0).otherwise(y1)
-    elif kind in ("previous", "zero"):
-        combine = y0
-    else:  # next
-        combine = y1
+    combine = _combine_expr(kind, x0, y0, x1, y1, F.col("_x"))
     interp = (
         F.when(exact, y0).when(x1 == x0, y0).otherwise(combine)
     )
@@ -282,16 +320,30 @@ def interp1d_linear(
     )
 
 
-def interp1d_log(df: DataFrame, grid: DataFrame, axis: str = "freq") -> DataFrame:
+def interp1d_log(
+    df: DataFrame,
+    grid: DataFrame,
+    axis: str = "freq",
+    bounds_null: bool = False,
+    chunk_rows: int | None | str = "auto",
+) -> DataFrame:
     """Log-log linear interpolation (PSD specs), ``extension.py:201-230``.
 
     ``log10`` both axes -> linear as-of interp -> ``10**y``.
+    ``bounds_null`` / ``chunk_rows`` forward to :func:`interp1d_linear`
+    (a review finding: they were hardcoded, so out-of-span spec
+    frequencies could only be silently dropped, never NULL-marked).
+    Non-positive frequencies or powers have no log point: they become
+    NULL ``_x``/``_y`` and behave as out-of-range — NULL-marked or
+    dropped by the same knob.
     """
     logged = df.select(
         "channel_id", F.log10(F.col(axis)).alias(axis), F.log10("power").alias("value")
     )
     tgt = grid.select("channel_id", F.log10(F.col(axis)).alias(axis))
-    out = interp1d_linear(logged, tgt, axis=axis)
+    out = interp1d_linear(
+        logged, tgt, axis=axis, bounds_null=bounds_null, chunk_rows=chunk_rows
+    )
     return out.select(
         "channel_id",
         F.pow(10.0, F.col(axis)).alias(axis),
@@ -451,28 +503,32 @@ def resample(
         .withColumn("_tg", F.col("_t0") + F.col("_i") * dt)
         # Half-open interval; the t_g == _t1 clause keeps a final grid
         # point that float-rounds exactly onto the channel's last sample
-        # (the as-of-join plan resolves that as an exact hit).
+        # (the as-of-join plan resolves that as an exact hit).  It must
+        # be CONFINED TO THE FINAL PAIR (_x1 == _t1): the ±1-widened
+        # candidate ranges let a NEAR-end pair generate that same index,
+        # and without the conjunct it emitted a duplicate grid row whose
+        # value was a beyond-x1 extrapolation (a review finding — e.g.
+        # t accumulated by repeated +0.1 makes n*dt land exactly on the
+        # last sample).
         .filter(
             (F.col("_tg") >= F.col("t"))
-            & ((F.col("_tg") < F.col("_x1")) | (F.col("_tg") == F.col("_t1")))
+            & (
+                (F.col("_tg") < F.col("_x1"))
+                | (
+                    (F.col("_tg") == F.col("_t1"))
+                    & (F.col("_x1") == F.col("_t1"))
+                )
+            )
         )
     )
     x0, y0, x1, y1, tg = (
         F.col(c) for c in ("t", "value", "_x1", "_y1", "_tg")
     )
-    if kind in ("linear", "slinear"):
-        combine = y0 + (y1 - y0) * (tg - x0) / (x1 - x0)
-    elif kind in ("nearest", "nearest-up"):
-        mid = 0.5 * (x0 + x1)
-        at_or_below = tg <= mid if kind == "nearest" else tg < mid
-        combine = F.when(at_or_below, y0).otherwise(y1)
-    elif kind in ("previous", "zero"):
-        combine = y0
-    else:  # next
-        combine = y1
+    combine = _combine_expr(kind, x0, y0, x1, y1, tg)
     # Exact hits take their own sample (as-of-join parity): tg == x0 for
     # interior knots; tg == x1 only passes the filter in the final pair
-    # (the t_g == _t1 clause), where the old plan also returns y1 exactly.
+    # (the t_g == _t1 AND _x1 == _t1 clause), where the old plan also
+    # returns y1 exactly.
     interp = F.when(tg == x0, y0).when(tg == x1, y1).otherwise(combine)
     return d.select(
         "channel_id", F.col("_tg").alias("t"), interp.alias("value")

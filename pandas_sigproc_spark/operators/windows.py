@@ -502,9 +502,19 @@ def detrend(
     centered = df.withColumn("_tc", F.col("t") - F.avg("t").over(w)).withColumn(
         "_yc", F.col("value") - F.avg("value").over(w)
     )
-    slope = F.avg(F.col("_tc") * F.col("_yc")).over(w) / F.avg(
-        F.col("_tc") * F.col("_tc")
-    ).over(w)
+    # try_divide + coalesce(0): a 1-row channel (or one whose rows share
+    # a single timestamp) has zero t-variance — the plain division gave
+    # NULL values (or DIVIDE_BY_ZERO under ANSI) where the agg and
+    # breakpoints forms, which claim parity with this path, return mean
+    # removal (a review finding).  Detrend of a zero-variance channel is
+    # its mean removal in all three forms.
+    slope = F.coalesce(
+        F.try_divide(
+            F.avg(F.col("_tc") * F.col("_yc")).over(w),
+            F.avg(F.col("_tc") * F.col("_tc")).over(w),
+        ),
+        F.lit(0.0),
+    )
     return (
         centered.withColumn("value", F.col("_yc") - slope * F.col("_tc"))
         .select("channel_id", "t", "value")

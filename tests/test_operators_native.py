@@ -437,3 +437,93 @@ class TestConnectedComponents:
         }
         assert set(comp.values()) == {0}
         assert len(comp) == n
+
+
+class TestRoundTwelveReviewRegressions:
+    """r12 high-pass review findings on the interp/detrend/rss tier."""
+
+    def test_resample_near_end_float_grid_no_duplicate(self, spark):
+        # Timestamps accumulated by repeated +0.1 make n*dt land EXACTLY
+        # on the last sample (0.1*3 == 0.30000000000000004): the final
+        # grid point must appear ONCE with the last sample's value — the
+        # old endpoint escape clause let a NEAR-end pair emit it too,
+        # with a beyond-bracket extrapolation.
+        t = np.array([0.0, 0.1, 0.2, 0.1 * 3])
+        v = np.array([0.0, 1.0, 2.0, 3.0])
+        df = make_signals(spark, {"c": (t, v)})
+        out = resample(df, 10.0).orderBy("t").toPandas()
+        assert len(out) == 4  # no duplicate final grid point
+        np.testing.assert_array_equal(out["t"], t)
+        np.testing.assert_array_equal(out["value"], v)
+
+    def test_detrend_linear_window_zero_t_variance(self, spark):
+        # 1-row channel / all-equal timestamps: slope is 0/0 — the
+        # window form must return mean removal like the agg and
+        # breakpoints forms claim parity with, not NULL.
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "channel_id": ["one", "dup", "dup"],
+                    "t": [5.0, 7.0, 7.0],
+                    "value": [3.0, 2.0, 6.0],
+                }
+            )
+        )
+        out = detrend(df, "linear", mode="window").toPandas()
+        by = out.groupby("channel_id")["value"].apply(list).to_dict()
+        assert by["one"] == [0.0]
+        assert sorted(by["dup"]) == [-2.0, 2.0]  # mean 4 removed
+        assert not out["value"].isna().any()
+
+    def test_rss_counts_distinct_channels_not_rows(self, spark):
+        # duplicate stamps inside one channel and NULL values must not
+        # inflate n_channels (the full-alignment filter contract)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "channel_id": ["a", "a", "b", "c"],
+                    "t": [1.0, 1.0, 1.0, 1.0],
+                    "value": [3.0, 4.0, 5.0, None],
+                }
+            )
+        )
+        row = rss(df).collect()[0]
+        assert row["n_channels"] == 2  # a, b; duplicate row and NULL don't count
+        np.testing.assert_allclose(row["value"], np.sqrt(9 + 16 + 25))
+
+    def test_interp_auto_chunks_on_huge_grid(self, spark):
+        # the auto decision must see the TARGET grid too: register huge
+        # fake stats for the grid plan and check the chunked path both
+        # engages and matches the global plan on real (small) data
+        from pandas_sigproc_spark import planner
+
+        x = np.array([0.0, 1.0, 2.0, 5.0, 9.0])
+        y = np.array([0.0, 10.0, 20.0, 50.0, 90.0])
+        df = make_signals(spark, {"c": (x, y)})
+        grid = spark.createDataFrame(
+            pd.DataFrame({"channel_id": "c", "t": np.linspace(0.0, 9.0, 37)})
+        )
+        expected = (
+            interp1d_linear(df, grid, chunk_rows=None)
+            .orderBy("t")
+            .toPandas()
+        )
+        planner.register_stats(
+            grid,
+            planner.ChannelStats(
+                n_channels=1,
+                max_rows=planner.HUGE_CHANNEL_ROWS + 1,
+                total_rows=planner.HUGE_CHANNEL_ROWS + 1,
+            ),
+        )
+        try:
+            # grid stats say "huge" -> auto must chunk even though the
+            # source is tiny
+            out_df = interp1d_linear(df, grid, chunk_rows="auto")
+            # the chunked plan is the one carrying the _seg column
+            assert "_seg" in out_df._jdf.queryExecution().analyzed().toString()
+            got = out_df.orderBy("t").toPandas()
+        finally:
+            planner.invalidate_stats()
+        np.testing.assert_array_equal(got["t"], expected["t"])
+        np.testing.assert_allclose(got["value"], expected["value"])
