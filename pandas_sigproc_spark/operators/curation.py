@@ -892,10 +892,19 @@ def minhash_sig_expr(
     )
 
 
-def _band_keys(sig_df: DataFrame, id_alias: str) -> DataFrame:
+def _band_keys(
+    sig_df: DataFrame,
+    id_alias: str,
+    extra: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
     """Explode a signature table into (band, key, id, sig): one row per
     LSH band, with the band's rows combined into ONE exact bigint key
-    ``sig[2b]*P + sig[2b+1]`` (< 2^62, portable integer arithmetic)."""
+    ``sig[2b]*P + sig[2b+1]`` (< 2^62, portable integer arithmetic).
+    ``extra`` passes ``(src_col, out_alias)`` columns through the
+    explode (e.g. a digest) — THIS function is the band-key formula's
+    single home; the streaming twin and the signature store both
+    derive from it (a review finding counted three hand copies whose
+    drift would silently make stream/stored keys incomparable)."""
     n_bands = len(INCR_MINHASH_PERMS) // INCR_BAND_ROWS
     p = INCR_MINHASH_P
     bands = F.array(
@@ -911,9 +920,16 @@ def _band_keys(sig_df: DataFrame, id_alias: str) -> DataFrame:
     )
     return sig_df.select(
         F.col("doc_id").alias(id_alias),
+        *[F.col(src).alias(dst) for src, dst in extra],
         F.col("sig").alias(f"sig_{id_alias}"),
         F.explode(bands).alias("bk"),
-    ).select(id_alias, f"sig_{id_alias}", "bk.band", "bk.key")
+    ).select(
+        id_alias,
+        *[dst for _, dst in extra],
+        f"sig_{id_alias}",
+        "bk.band",
+        "bk.key",
+    )
 
 
 def _est_jaccard(s1: Column, s2: Column) -> Column:

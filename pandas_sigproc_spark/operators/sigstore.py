@@ -82,10 +82,17 @@ def signature_tables(
     ngram: int = 3,
 ) -> SignatureStore:
     """Derive the store tables from corpus text (one scan, map-side
-    signature folds — the same expressions the inline probe uses)."""
+    signature folds — the same expressions the inline probe uses).
+
+    NULL text coalesces to '' before hashing (the batch core's rule —
+    curation._incremental_dedup_core: every document gets a digest, so
+    a store built over a corpus with NULL-text rows stays comparable
+    with inline probes).  The band-key arithmetic is
+    ``curation._band_keys`` itself, not a copy — stored keys and
+    stream/batch-derived keys cannot drift."""
     d = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
     )
     digests = d.select("doc_id", F.md5("text").alias("digest"))
     sig = d.select(
@@ -93,22 +100,11 @@ def signature_tables(
         F.md5("text").alias("digest"),
         _cur.minhash_sig_expr("text", ngram).alias("sig"),
     )
-    n_bands = len(_cur.INCR_MINHASH_PERMS) // _cur.INCR_BAND_ROWS
-    p = _cur.INCR_MINHASH_P
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                (
-                    F.col("sig")[2 * b] * F.lit(p) + F.col("sig")[2 * b + 1]
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
+    bands = _cur._band_keys(
+        sig, "doc_id", extra=(("digest", "digest"),)
+    ).select(
+        "doc_id", "digest", F.col("sig_doc_id").alias("sig"), "band", "key"
     )
-    bands = sig.select(
-        "doc_id", "digest", "sig", F.explode(bands_arr).alias("bk")
-    ).select("doc_id", "digest", "sig", "bk.band", "bk.key")
     return SignatureStore(digests, bands, ngram)
 
 
@@ -208,11 +204,25 @@ def _write_batch(
     semantics on the batch dir are safe — a dir that exists at a
     never-committed id is debris from a crashed write."""
     base = path.rstrip("/")
-    store.digests.repartition(n, "digest").write.mode("overwrite").parquet(
-        f"{base}/digests/batch={batch_id}"
-    )
+    # bands first — the ONE corpus scan (md5 + minhash fold).  The
+    # digest table then derives from the just-written bands parquet
+    # (~150 B/doc; every doc's band-0 row carries its digest) instead
+    # of executing a second independent scan of the corpus text (a
+    # review finding: the old two-plan write recomputed the corpus md5
+    # per table, contradicting the "one scan" contract).  Crash-safe:
+    # the batch is invisible until the caller's meta stamp commits it.
+    bands_dir = f"{base}/bands/batch={batch_id}"
     store.bands.repartition(n, "band", "key").write.mode("overwrite").parquet(
-        f"{base}/bands/batch={batch_id}"
+        bands_dir
+    )
+    spark = store.bands.sparkSession
+    (
+        spark.read.parquet(bands_dir)
+        .filter(F.col("band") == 0)
+        .select("doc_id", "digest")
+        .repartition(n, "digest")
+        .write.mode("overwrite")
+        .parquet(f"{base}/digests/batch={batch_id}")
     )
 
 

@@ -64,20 +64,14 @@ def streaming_rms(
 
     Late rows beyond the watermark are dropped by Spark's state cleanup —
     the knob the batch reference never needed (its files were complete).
+
+    A tumbling window is the ``slide == width`` special case of the
+    sliding form, so this delegates to :func:`streaming_mov_rms` (one
+    body to maintain — a review finding: the two hand-kept copies
+    differed only in the slide argument).
     """
-    src = _with_event_time(df, time_col)
-    if df.isStreaming:
-        src = src.withWatermark("ets", f"{watermark_sec} seconds")
-    win = F.window("ets", f"{window_sec} seconds")
-    return (
-        src.groupBy(F.col("channel_id"), win.alias("w"))
-        .agg(F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"))
-        .select(
-            "channel_id",
-            F.col("w.start").cast("double").alias("t0"),
-            F.col("w.end").cast("double").alias("t1"),
-            "rms",
-        )
+    return streaming_mov_rms(
+        df, window_sec, window_sec, watermark_sec, time_col
     )
 
 
@@ -235,10 +229,28 @@ def streaming_lfilter(
             return
 
     if not df.isStreaming:
-        # Batch fallback through the same kernel for test parity.
-        from pandas_sigproc_spark.operators.filters import _apply_filter
+        # Batch fallback: the SAME sort (order_cols, stable mergesort)
+        # and the same zero-state kernel as the streaming step — the
+        # earlier delegation to filters._apply_filter ignored
+        # order_cols and sorted unstably, so tied-stamp rows could
+        # filter in a different order than the streaming replay,
+        # breaking the module's stream==batch contract exactly where
+        # order_cols exists (a review finding).
+        def batch_kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+            _check_batch_bound(
+                len(kdf), max_batch_rows, "streaming_lfilter[batch]"
+            )
+            kdf = kdf.sort_values(list(order_cols), kind="mergesort")
+            y, _ = lfilter(
+                b, a, kdf["value"].to_numpy(np.float64), zi=np.zeros(nstate)
+            )
+            return pd.DataFrame(
+                {"channel_id": kdf["channel_id"], "t": kdf["t"], "value": y}
+            )
 
-        return _apply_filter(df, lambda sr: (b, a), zero_phase=False)
+        return df.groupBy("channel_id").applyInPandas(
+            batch_kernel, _LFILTER_OUT_SCHEMA
+        )
 
     return (
         df.groupBy("channel_id")
@@ -348,8 +360,12 @@ def streaming_deduplicate(
     if not df.isStreaming:
         # Batch fallback: first arrival per stamp (deterministic tiebreak
         # not needed — batch callers wanting the reference mean use
-        # operators.deduplicate instead).
-        return df.dropDuplicates(["channel_id", "t"])
+        # operators.deduplicate instead).  Projected to the streaming
+        # path's exact schema (a review finding: extra input columns
+        # leaked through in batch mode only, breaking schema parity).
+        return df.dropDuplicates(["channel_id", "t"]).select(
+            "channel_id", "t", "value"
+        )
     return (
         src.withWatermark("ets", watermark)
         .dropDuplicatesWithinWatermark(["channel_id", "ets"])
@@ -586,6 +602,7 @@ def streaming_incremental_dedup(
     near_threshold: float = 0.5,
     ngram: int = 3,
     max_state_rows_per_key: int = 100_000,
+    max_bucket_rows: int | None = 100_000,
 ) -> DataFrame:
     """Streaming ingestion dedup: the cross-micro-batch form of batch
     ``curation.incremental_dedup`` — screen an unbounded document stream
@@ -644,37 +661,30 @@ def streaming_incremental_dedup(
     from pandas_sigproc_spark.operators import curation as _cur
 
     n_perms = len(_cur.INCR_MINHASH_PERMS)
-    n_bands = n_perms // _cur.INCR_BAND_ROWS
-    p = _cur.INCR_MINHASH_P
 
     def _prep(src_df: DataFrame, role: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).cast("int").alias("band"),
-                    (
-                        F.col("sig")[2 * b] * F.lit(p) + F.col("sig")[2 * b + 1]
-                    ).alias("key"),
-                )
-                for b in range(n_bands)
-            ]
+        # NULL text coalesces to '' BEFORE hashing — the batch core's
+        # rule (curation._incremental_dedup_core): without it a single
+        # NULL-text document produced a NULL signature whose rows
+        # reached the stateful op and crash-looped the whole query from
+        # checkpoint (a review finding).  Band keys come from
+        # curation._band_keys itself, not a third copy of the formula.
+        sig = src_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+        ).select(
+            "doc_id",
+            F.md5("_txt").alias("digest"),
+            _cur.minhash_sig_expr("_txt", ngram).alias("sig"),
         )
-        return (
-            src_df.select(
-                F.col(id_col).cast("long").alias(f"{role}_id"),
-                F.md5(F.col(text_col)).alias(f"{role}_digest"),
-                _cur.minhash_sig_expr(text_col, ngram).alias("sig"),
-            )
-            .select(
-                f"{role}_id",
-                f"{role}_digest",
-                F.col("sig").alias(f"{role}_sig"),
-                F.explode(bands).alias("bk"),
-            )
-            .select(
-                f"{role}_id", f"{role}_digest", f"{role}_sig",
-                "bk.band", "bk.key",
-            )
+        return _cur._band_keys(
+            sig, f"{role}_id", extra=(("digest", f"{role}_digest"),)
+        ).select(
+            f"{role}_id",
+            f"{role}_digest",
+            F.col(f"sig_{role}_id").alias(f"{role}_sig"),
+            F.col("band").cast("int").alias("band"),
+            "key",
         )
 
     d_bk = _prep(df, "d")
@@ -695,13 +705,22 @@ def streaming_incremental_dedup(
         )
     else:
         ex_bk = _prep(existing, "e")
+    # Static-side hot-bucket guard (the media twin already carried it;
+    # a review finding: a degenerate corpus band key would otherwise
+    # emit O(m x matches) rows from one bucket EVERY micro-batch with
+    # no error).  Window-based — static side only; the stream side's
+    # guard is max_state_rows_per_key.
+    from pandas_sigproc_spark.operators.dedup import guard_bucket_rows
 
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("d_sig"), F.col("e_sig"), lambda a, b: a == b),
-            lambda x: x,
-        )
-    ) / F.lit(float(n_perms))
+    ex_bk = guard_bucket_rows(
+        ex_bk,
+        ["band", "key"],
+        guarded_col="e_id",
+        max_bucket_rows=max_bucket_rows,
+        op_name="streaming_incremental_dedup[existing]",
+    )
+
+    est = _cur._est_jaccard(F.col("d_sig"), F.col("e_sig"))
     corpus_pairs = (
         d_bk.join(ex_bk, ["band", "key"])
         .select(
@@ -881,22 +900,30 @@ def streaming_phash_dedup(
 
     if not 0 <= max_hamming < PHASH_BITS:
         raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
-    hd = (
-        df.select(
-            F.col(id_col).cast("long").alias("media_id"),
-            F.col("phash").cast("long").alias("phash"),
-        )
-        if "phash" in df.columns
-        else phash_images(df, id_col=id_col, payload_col=payload_col)
-    )
-    he = (
-        existing.select(
-            F.col(id_col).cast("long").alias("media_id"),
-            F.col("phash").cast("long").alias("phash"),
-        )
-        if "phash" in existing.columns
-        else phash_images(existing, id_col=id_col, payload_col=payload_col)
-    )
+    def _hashes(src: DataFrame) -> DataFrame:
+        if "phash" in src.columns:
+            # a precomputed table keys on the caller's id_col when it
+            # carries one, else on the documented store shape's
+            # 'media_id' (a review finding: the store path crashed for
+            # any non-default id_col because read_media_hash_store
+            # always emits 'media_id')
+            key = id_col if id_col in src.columns else "media_id"
+            h = src.select(
+                F.col(key).cast("long").alias("media_id"),
+                F.col("phash").cast("long").alias("phash"),
+            )
+        else:
+            h = phash_images(src, id_col=id_col, payload_col=payload_col)
+        # a NULL phash (e.g. a corrupt precomputed row) identifies
+        # nothing: it can neither match nor be matched, and its rows
+        # would crash-loop the stateful op from checkpoint (a review
+        # finding) — pass such rows over explicitly.  Decode failures
+        # surface through the decode path's own error contract, never
+        # as silent NULLs here.
+        return h.filter(F.col("phash").isNotNull())
+
+    hd = _hashes(df)
+    he = _hashes(existing)
     # stream side: NO window guard (not stream-safe) — the state cap is
     # the guard; static side keeps the batch guard.
     d_bk = phash_band_keys(hd, max_hamming, max_bucket_rows=None).select(
@@ -1039,6 +1066,7 @@ def streaming_domain_cap(
     *,
     id_col: str = "doc_id",
     uri_col: str = "uri",
+    max_batch_rows: int | None = None,
 ) -> DataFrame:
     """Streaming per-domain document cap — the stateful twin of
     ``webcrawl.cap_per_domain``: over an unbounded crawl stream, keep
@@ -1078,7 +1106,13 @@ def streaming_domain_cap(
 
     def step(key, pdf_iter, state):
         admitted = state.get[0] if state.exists else 0
-        chunks = [pdf for pdf in pdf_iter]
+        # bounded drain (a review finding: every other stateful op in
+        # this module enforces the declared per-(key, micro-batch)
+        # memory contract; a hot host's unbounded micro-batch would
+        # otherwise creep this concat toward task OOM silently)
+        chunks = _drain_bounded(
+            pdf_iter, max_batch_rows, "streaming_domain_cap"
+        )
         pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         rows = []
         if len(pdf):

@@ -323,3 +323,62 @@ def test_oversized_batch_guard(spark, stream_dir):
         "append",
     )
     assert ok.count() > 0
+
+
+def test_lfilter_batch_fallback_honors_order_cols(spark):
+    # Tied timestamps with a seq tiebreak: the batch fallback must sort
+    # exactly like the streaming step (order_cols, stable mergesort) —
+    # the old delegation ignored order_cols (a review finding), so the
+    # filtered series depended on arbitrary row order.
+    b, a = butter(2, 0.2, "lowpass")
+    vals = [1.0, -1.0, 2.0, -2.0, 3.0, -3.0]
+    pdf = pd.DataFrame(
+        {
+            "channel_id": "c",
+            "t": [0.0, 0.0, 1.0, 1.0, 2.0, 2.0],
+            "seq": [0, 1, 0, 1, 0, 1],
+            "value": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        streaming_lfilter(df, b, a, order_cols=("t", "seq"))
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expect, _ = lfilter(
+        np.asarray(b), np.asarray(a), np.array(vals), zi=np.zeros(2)
+    )
+    np.testing.assert_allclose(np.sort(out["value"]), np.sort(expect))
+    # schema parity with the streaming path
+    assert list(out.columns) == ["channel_id", "t", "value"]
+
+
+def test_streaming_deduplicate_batch_schema_parity(spark):
+    from pandas_sigproc_spark.streaming import streaming_deduplicate
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "channel_id": ["c", "c"],
+                "t": [1.0, 1.0],
+                "value": [2.0, 2.0],
+                "seq": [0, 1],
+            }
+        )
+    )
+    out = streaming_deduplicate(df)
+    assert out.columns == ["channel_id", "t", "value"]
+    assert out.count() == 1
+
+
+def test_streaming_rms_is_tumbling_mov_rms(spark):
+    # rms delegates to mov_rms with slide == width; values must be the
+    # tumbling aggregation (one window per 2 s, no overlap)
+    t = np.arange(0, 4.0, 0.5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"channel_id": "c", "t": t, "value": np.ones_like(t)})
+    )
+    out = streaming_rms(df, 2.0).orderBy("t0").toPandas()
+    assert list(out["t0"]) == [0.0, 2.0]
+    np.testing.assert_allclose(out["rms"], 1.0)

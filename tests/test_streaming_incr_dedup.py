@@ -229,3 +229,31 @@ def test_batch_fallback_applies_state_cap(spark):
         streaming_incremental_dedup(
             delta, existing, max_state_rows_per_key=2
         ).collect()
+
+
+def test_null_text_document_gets_signature_not_crash(spark):
+    # NULL-text documents must flow through (batch-core parity: NULL
+    # coalesces to '' so every doc gets a digest/signature) — the old
+    # stream _prep produced NULL sigs whose rows crash-looped the
+    # stateful op (a review finding).
+    import pandas as pd
+
+    from pandas_sigproc_spark.streaming import streaming_incremental_dedup
+
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [10, 11, 12], "text": [None, "", "hello world one"]}
+        )
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [None]})
+    )
+    rows = streaming_incremental_dedup(
+        delta, corpus, near_threshold=0.5
+    ).collect()
+    # NULL and '' share one signature: doc 10 matches corpus doc 1
+    # (exact) and doc 11 matches both — no crash, verdicts for all
+    assert any(
+        r["d_id"] == 10 and r["match_id"] == 1 and r["is_exact"] for r in rows
+    )
+    assert any(r["d_id"] == 11 and r["src"] == "stream" for r in rows)

@@ -211,3 +211,44 @@ def test_state_cap_guard(spark, tmp_path):
             max_hamming=6,
             max_state_rows_per_key=3,
         ).collect()
+
+
+def test_precomputed_store_path_with_custom_id_col(spark):
+    # existing = the documented (media_id, phash) store shape while the
+    # stream uses its own id column name — the old code selected the
+    # stream's id_col from the store table and crashed (review finding)
+    import pandas as pd
+
+    from pandas_sigproc_spark.streaming import streaming_phash_dedup
+
+    stream = spark.createDataFrame(
+        pd.DataFrame({"img_id": [100], "phash": [0b1010]})
+    )
+    store = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "phash": [0b1010, 0b1010 ^ 0xFF]})
+    )
+    rows = streaming_phash_dedup(
+        stream, store, id_col="img_id", max_hamming=2
+    ).collect()
+    assert any(r["match_id"] == 1 and r["hamming"] == 0 for r in rows)
+    assert not any(r["match_id"] == 2 for r in rows)
+
+
+def test_null_phash_rows_are_passed_over(spark):
+    # a NULL phash identifies nothing: it must neither crash the
+    # stateful op (the old TypeError crash-loop) nor match anything
+    import pandas as pd
+
+    from pandas_sigproc_spark.streaming import streaming_phash_dedup
+
+    stream = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [100, 101], "phash": [None, 0b1111]}
+        ).astype({"phash": "object"})
+    )
+    store = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "phash": [0b1111]})
+    )
+    rows = streaming_phash_dedup(stream, store, max_hamming=1).collect()
+    assert all(r["d_id"] == 101 for r in rows)
+    assert any(r["match_id"] == 1 for r in rows)
