@@ -17,6 +17,8 @@ from collections.abc import Callable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from pandas_sigproc_spark.planner import bucket_expr as _bucket_expr
 from pyspark.sql.types import StructType
 
 
@@ -62,7 +64,7 @@ def apply_channel_kernel(
     from pyspark.sql import functions as F
 
     bucketed = src.withColumn(
-        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+        "_b", _bucket_expr("channel_id", n_buckets)
     )
     return bucketed.groupBy("_b").applyInPandas(
         lambda pdf: run(pdf.drop(columns=["_b"])), schema

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from pandas_sigproc_spark.planner import bucket_expr as _bucket_expr
+
 from pandas_sigproc_spark.kernels import design as _design
 from pandas_sigproc_spark.kernels import iir as _iir
 from pandas_sigproc_spark.kernels import iir_batch as _iirb
@@ -121,7 +123,7 @@ def _apply_filter(
 
         return src.groupBy("channel_id").applyInPandas(single, _OUT_SCHEMA)
     bucketed = src.withColumn(
-        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+        "_b", _bucket_expr("channel_id", n_buckets)
     )
     return bucketed.groupBy("_b").applyInPandas(
         lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA
@@ -148,6 +150,16 @@ def _resolve_filter_mode(df, n_buckets, chunk_rows, samplerate):
         return planner.auto_filter_mode(df, samplerate)
     if n_buckets == "auto":
         return None, chunk_rows
+    if n_buckets is not None and chunk_rows is not None:
+        # chunking and bucketing are mutually exclusive execution modes
+        # and "explicit kwargs always win" cannot hold for both at once
+        # — the old behavior silently discarded n_buckets (a review
+        # finding)
+        raise ValueError(
+            "pass n_buckets or chunk_rows, not both: bucketing batches"
+            " many small channels per task, chunking splits one huge"
+            " channel across tasks"
+        )
     return n_buckets, chunk_rows
 
 
@@ -368,13 +380,25 @@ def filt_chunked(
                 "declared rate (pass chunk_rows=None for the per-channel "
                 "plan, which infers each channel's own rate)"
             )
+        segv = int(pdf["_seg"].iloc[0])
+        core = (pdf["_i"] // L) == segv
+        if not core.any():
+            # PHANTOM TAIL GROUP: the forward-overlap duplication puts
+            # the last chunk's tail rows into (last_seg + 1), a group
+            # with no core rows.  Filtering it wastes a pass at best
+            # and CRASHES at worst (a review finding, reproduced: when
+            # the channel length leaves <= padlen rows in the phantom
+            # group, filtfilt raises 'input length must exceed padlen'
+            # and aborts the job).  Nothing would be emitted anyway —
+            # return empty without touching the kernel.
+            return pd.DataFrame(
+                {"channel_id": [], "t": [], "value": []}
+            ).astype({"channel_id": object, "t": float, "value": float})
         y = (
             _iir.filtfilt(b, a, pdf["value"].to_numpy(np.float64))
             if zero_phase
             else _iir.lfilter(b, a, pdf["value"].to_numpy(np.float64))
         )
-        segv = int(pdf["_seg"].iloc[0])
-        core = (pdf["_i"] // L) == segv
         return pd.DataFrame(
             {
                 "channel_id": pdf["channel_id"][core],

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from pandas_sigproc_spark.planner import bucket_expr as _bucket_expr
+
 from pandas_sigproc_spark.kernels import spectral as _spectral
 
 _SPECTRA_SCHEMA = "channel_id string, freq double, power double"
@@ -66,6 +68,14 @@ def get_psd(
             segmented = auto_seg if n_buckets in ("auto", None) else False
         if n_buckets == "auto":
             n_buckets = None if segmented else auto_nb
+    if segmented is True and window_length is None:
+        # an explicit segmented=True was previously IGNORED without a
+        # window_length, silently falling back to the one-task-per-
+        # channel plan the caller asked to avoid (a review finding)
+        raise ValueError(
+            "segmented PSD requires window_length (the segment size);"
+            " got segmented=True with window_length=None"
+        )
     if window_length is None or not segmented:
         if n_buckets is not None and summarize != "all":
             return _bucketed_psd(
@@ -123,14 +133,27 @@ def _whole_channel_psd(
             detrend=detrend,
         )
         cid = pdf["channel_id"].iloc[0]
-        if summarize == "all" and window_length is not None:
-            n_seg, n_bin = pxx.shape
+        if summarize == "all":
+            if window_length is not None:
+                n_seg, n_bin = pxx.shape
+                return pd.DataFrame(
+                    {
+                        "channel_id": cid,
+                        "seg": np.repeat(np.arange(n_seg), n_bin),
+                        "freq": np.tile(freq, n_seg),
+                        "power": pxx.ravel(),
+                    }
+                )
+            # 'all' with the default window_length: the whole signal is
+            # ONE segment — emit it as seg 0 (a review finding: the
+            # fallthrough returned 3 columns against the 4-column
+            # schema and crashed with RESULT_COLUMN_NAMES_MISMATCH)
             return pd.DataFrame(
                 {
                     "channel_id": cid,
-                    "seg": np.repeat(np.arange(n_seg), n_bin),
-                    "freq": np.tile(freq, n_seg),
-                    "power": pxx.ravel(),
+                    "seg": np.zeros(len(freq), dtype=np.int64),
+                    "freq": freq,
+                    "power": pxx,
                 }
             )
         return pd.DataFrame({"channel_id": cid, "freq": freq, "power": pxx})
@@ -223,7 +246,7 @@ def _bucketed_psd(
         return pd.concat(pieces, ignore_index=True)
 
     src = df.select("channel_id", "t", "value").withColumn(
-        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+        "_b", _bucket_expr("channel_id", n_buckets)
     )
     return src.groupBy("_b").applyInPandas(
         lambda pdf: kernel(pdf.drop(columns=["_b"])), _SPECTRA_SCHEMA
@@ -269,11 +292,44 @@ def _segmented_psd(
         )
         .withColumn("_pos", F.col("_rn") - F.col("_seg") * n_step)
     )
-    # Keep only complete segments (strided-view truncation, tools.py:67).
-    seg_counts = seg_df.groupBy("channel_id", "_seg").agg(F.count("*").alias("_n"))
-    seg_df = seg_df.join(
-        seg_counts.filter(F.col("_n") == n_window).select("channel_id", "_seg"),
-        ["channel_id", "_seg"],
+    # Loud short-channel guard BEFORE the complete-segment filter: a
+    # channel with fewer than n_window rows has NO complete segment and
+    # previously just vanished from the output (a review finding —
+    # every other PSD path raises 'window_length longer than the
+    # signal').  The condition is arithmetic (complete segment exists
+    # iff rows >= n_window), so the guard needs only the tiny
+    # per-channel count table — broadcast, the segmented path exists
+    # for FEW huge channels.
+    geo = df.groupBy("channel_id").agg(F.count("*").alias("_cn"))
+    seg_df = (
+        seg_df.join(F.broadcast(geo), "channel_id")
+        .withColumn(
+            "_pos",
+            F.when(
+                F.col("_cn") < n_window,
+                F.raise_error(
+                    F.concat(
+                        F.lit("get_psd segmented: channel "),
+                        F.col("channel_id"),
+                        F.lit(
+                            " is shorter than one window_length — no"
+                            " complete segment exists (the whole-channel"
+                            " path raises for the same input)"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_pos")),
+        )
+        .drop("_cn")
+    )
+    # Keep only complete segments (strided-view truncation, tools.py:67)
+    # via a count window over the SAME (channel, segment) partitioning
+    # the FFT groupBy needs — one pass, reusable exchange (a review
+    # finding: the old self-join against a separate aggregation of
+    # seg_df re-executed the row_number + explode lineage twice).
+    wseg = Window.partitionBy("channel_id", "_seg")
+    seg_df = seg_df.withColumn("_n", F.count("*").over(wseg)).filter(
+        F.col("_n") == n_window
     )
 
     def fft_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

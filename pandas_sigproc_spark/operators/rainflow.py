@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from pandas_sigproc_spark.planner import bucket_expr as _bucket_expr
+
 from pandas_sigproc_spark.kernels import rainflow as _rf
 
 _OUT_SCHEMA = "channel_id string, bin double, cycles double"
@@ -97,7 +99,7 @@ def rainflow(
         return src.groupBy("channel_id").applyInPandas(kernel, _OUT_SCHEMA)
     from pyspark.sql import functions as F
 
-    bucketed = src.withColumn("_b", F.abs(F.hash("channel_id")) % int(n_buckets))
+    bucketed = src.withColumn("_b", _bucket_expr("channel_id", n_buckets))
     return bucketed.groupBy("_b").applyInPandas(
         lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA
     )

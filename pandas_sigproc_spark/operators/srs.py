@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_sigproc_spark.planner import bucket_expr as _bucket_expr
+
 from pandas_sigproc_spark.kernels.srs import (
     build_freq_array,
     srs as srs_kernel,
@@ -50,14 +52,21 @@ def get_srs(
     axis from per-channel row statistics (planner.py); explicit values
     win.
     """
+    # Planner BEFORE detrend: per-channel row counts are invariant
+    # under bias removal, and consulting the planner on the detrended
+    # plan would (a) pay the detrend window shuffle inside the eager
+    # plan-build count job and (b) miss stats other operators cached
+    # for the raw input (a review finding — semanticHash keys the
+    # cache on the exact plan).
+    if n_buckets == "auto" or n_freq_slices == "auto":
+        from pandas_sigproc_spark import planner
+
+        auto_nb, auto_slices = planner.auto_srs_mode(df)
     if remove_bias:
         from pandas_sigproc_spark.operators.windows import detrend
 
         df = detrend(df.select("channel_id", "t", "value"), "constant")
     if n_buckets == "auto" or n_freq_slices == "auto":
-        from pandas_sigproc_spark import planner
-
-        auto_nb, auto_slices = planner.auto_srs_mode(df)
         if n_buckets == "auto":
             n_buckets = auto_nb if n_freq_slices in ("auto", 1) else None
         if n_freq_slices == "auto":
@@ -78,6 +87,15 @@ def get_srs(
         pdf = pdf.sort_values("t")
         t = pdf["t"].to_numpy(dtype=np.float64)
         y = pdf["value"].to_numpy(dtype=np.float64)
+        if len(t) < 2:
+            # mean(diff(t)) of one sample is NaN and would silently
+            # propagate into every output power (a review finding) —
+            # refuse loudly like filters._infer_sr
+            raise ValueError(
+                f"get_srs: channel {pdf['channel_id'].iloc[0]!r} has"
+                f" {len(t)} sample(s) — SRS needs at least 2 to infer"
+                " the sample interval"
+            )
         fns = np.asarray(pdf["fns"].iloc[0], dtype=np.float64)
         pos, neg = srs_kernel(t, y, fns, quality_factor)
         return pd.DataFrame(
@@ -103,6 +121,12 @@ def _get_srs_bucketed(df, freq, quality_factor, n_buckets):
         for cid, grp in pdf.groupby("channel_id", sort=False):
             t = grp["t"].to_numpy(dtype=np.float64)
             y = grp["value"].to_numpy(dtype=np.float64)
+            if len(t) < 2:
+                # NaN dt would silently NaN the channel's whole SRS
+                raise ValueError(
+                    f"get_srs: channel {cid!r} has {len(t)} sample(s) —"
+                    " SRS needs at least 2 to infer the sample interval"
+                )
             dt = float(np.mean(np.diff(t)))
             groups.setdefault((len(t), round(dt, 9)), []).append((cid, y))
         pieces = []
@@ -123,7 +147,7 @@ def _get_srs_bucketed(df, freq, quality_factor, n_buckets):
         return pd.concat(pieces, ignore_index=True)
 
     src = df.select("channel_id", "t", "value").withColumn(
-        "_b", F.abs(F.hash("channel_id")) % int(n_buckets)
+        "_b", _bucket_expr("channel_id", n_buckets)
     )
     return src.groupBy("_b").applyInPandas(
         lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA

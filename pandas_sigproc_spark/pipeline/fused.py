@@ -42,6 +42,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_sigproc_spark.planner import bucket_expr as _bucket_expr
+
 from pandas_sigproc_spark.kernels import design as _design
 from pandas_sigproc_spark.kernels import iir as _iir
 from pandas_sigproc_spark.kernels import iir_batch as _iirb
@@ -312,7 +314,7 @@ class KernelPipeline:
                 )
 
             return src.groupBy("channel_id").applyInPandas(single, _OUT_SCHEMA)
-        bucketed = src.withColumn("_b", F.abs(F.hash("channel_id")) % int(n_buckets))
+        bucketed = src.withColumn("_b", _bucket_expr("channel_id", n_buckets))
         return bucketed.groupBy("_b").applyInPandas(
             lambda pdf: kernel(pdf.drop(columns=["_b"])), _OUT_SCHEMA
         )

@@ -98,6 +98,17 @@ def get_stats(df: DataFrame) -> ChannelStats:
     return stats
 
 
+def bucket_expr(col: str = "channel_id", n_buckets: int = 1):
+    """Deterministic channel->bucket id in [0, n_buckets) for the
+    batched-kernel operators (filters/psd/srs/rainflow/custom/fused) —
+    ONE home for the formula (a review finding counted six hand
+    copies).  ``pmod``, not ``abs(hash) % n``: ``F.hash`` is 32-bit and
+    ``abs(Integer.MIN_VALUE)`` stays negative, so the old form could
+    emit a stray negative bucket id (harmless for batching, but a
+    surprise to anything keying on the range)."""
+    return F.pmod(F.hash(col), F.lit(int(n_buckets)))
+
+
 def _cpus(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 

@@ -117,3 +117,54 @@ def test_chunked_rejects_rate_mismatch(spark):
                        samplerate=1000.0)
     with pytest.raises(Exception, match="non-consecutive sample index"):
         out.collect()
+
+
+def test_phantom_tail_group_does_not_crash(spark):
+    # Channel length chosen so the forward-overlap duplication puts
+    # <= padlen rows into the phantom (last_seg + 1) group: the kernel
+    # must skip it (emit nothing) instead of crashing in filtfilt with
+    # 'input length must exceed padlen' (r12 review finding, reproduced
+    # before the fix).
+    import pandas as pd
+
+    from pandas_sigproc_spark.kernels.design import butter
+    from pandas_sigproc_spark.kernels.iir import filtfilt
+    from pandas_sigproc_spark.operators.filters import filt_chunked
+
+    sr = 100.0
+    b, a = butter(2, 0.1, "lowpass")
+    L = 4096
+    # N % L == L - 1 puts exactly ONE row in the phantom group
+    N = 2 * L + (L - 1)
+    t = np.arange(N) / sr
+    v = np.sin(2 * np.pi * 1.5 * t)
+    df = spark.createDataFrame(
+        pd.DataFrame({"channel_id": "c", "t": t, "value": v})
+    )
+    out = (
+        filt_chunked(df, b, a, True, L, samplerate=sr)
+        .orderBy("t")
+        .toPandas()
+    )
+    assert len(out) == N  # every sample exactly once
+    np.testing.assert_allclose(
+        out["value"].to_numpy(), filtfilt(b, a, v), atol=1e-9
+    )
+
+
+def test_conflicting_bucket_and_chunk_kwargs_raise(spark):
+    import pandas as pd
+    import pytest
+
+    from pandas_sigproc_spark.operators.filters import filt_butter
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"channel_id": "c", "t": [0.0, 0.01], "value": [0.0, 1.0]}
+        )
+    )
+    with pytest.raises(ValueError, match="not both"):
+        filt_butter(
+            df, 10.0, 4, "lowpass",
+            n_buckets=8, chunk_rows=4096, samplerate=100.0,
+        )

@@ -101,3 +101,80 @@ def test_relational_welch_dft_matches_numpy(spark):
         np.testing.assert_allclose(got, want, atol=2e-3)
         checked += 1
     assert checked > 0
+
+
+def test_psd_all_without_window_length_is_one_segment(spark):
+    # summarize='all' with the default window_length crashed with
+    # RESULT_COLUMN_NAMES_MISMATCH (r12 review finding, reproduced):
+    # the whole signal is ONE segment, emitted as seg 0.
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.psd import get_psd
+
+    t = np.arange(256) / 256.0
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"channel_id": "c", "t": t, "value": np.sin(2 * np.pi * 8 * t)}
+        )
+    )
+    out = get_psd(df, summarize="all", samplerate=256.0).toPandas()
+    assert set(out["seg"]) == {0}
+    base = get_psd(df, samplerate=256.0).toPandas().sort_values("freq")
+    np.testing.assert_allclose(
+        out.sort_values("freq")["power"].to_numpy(),
+        base["power"].to_numpy(),
+    )
+
+
+def test_segmented_psd_short_channel_raises_loudly(spark):
+    # a channel shorter than one window previously VANISHED from the
+    # segmented output (r12 review finding, reproduced); now it raises
+    # like the whole-channel path.
+    import pandas as pd
+    import pytest
+
+    from pandas_sigproc_spark.operators.psd import get_psd
+
+    t = np.arange(2048) / 256.0
+    big = pd.DataFrame(
+        {"channel_id": "a", "t": t, "value": np.sin(2 * np.pi * 3 * t)}
+    )
+    small = pd.DataFrame(
+        {"channel_id": "b", "t": t[:100], "value": np.ones(100)}
+    )
+    df = spark.createDataFrame(pd.concat([big, small]))
+    with pytest.raises(Exception, match="shorter than one window"):
+        get_psd(
+            df, window_length=1.0, samplerate=256.0, segmented=True
+        ).collect()
+
+
+def test_segmented_true_requires_window_length(spark):
+    import pandas as pd
+    import pytest
+
+    from pandas_sigproc_spark.operators.psd import get_psd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"channel_id": "c", "t": [0.0, 1.0], "value": [0.0, 1.0]})
+    )
+    with pytest.raises(ValueError, match="requires window_length"):
+        get_psd(df, segmented=True, samplerate=2.0)
+
+
+def test_srs_single_sample_channel_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from pandas_sigproc_spark.operators.srs import get_srs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"channel_id": ["solo"], "t": [0.0], "value": [1.0]})
+    )
+    with pytest.raises(Exception, match="at least 2"):
+        get_srs(df, freq=np.array([10.0, 100.0]), n_buckets=2).collect()
+    with pytest.raises(Exception, match="at least 2"):
+        get_srs(
+            df, freq=np.array([10.0, 100.0]), n_buckets=None,
+            n_freq_slices=1,
+        ).collect()
