@@ -29,19 +29,12 @@ from pyspark.sql import DataFrame
 from pandas_sigproc_spark import operators as ops
 from pandas_sigproc_spark.pipeline import KernelPipeline
 
-#: methods that buffer into one fused kernel (order preserved); the
-#: window-math four buffer only when a kernel stage is already pending —
-#: standalone they compile to native window plans instead
-_FUSABLE = (
-    "filt_butter",
-    "filt_cfc",
-    "filt_a",
-    "resample",
-    "detrend",
-    "mov_rms",
-    "integral",
-    "derivative",
-)
+# Fusion membership is encoded by which methods call _buffer below
+# (the filter trio always; resample when kernel stages are pending or
+# the kind is a spline; the window-math four when stages are pending —
+# standalone they compile to native window plans).  A _FUSABLE name
+# tuple used to sit here but drove nothing (a review finding: dead
+# code that misled readers into editing it to change dispatch).
 
 
 class Sigproc:
@@ -89,9 +82,15 @@ class Sigproc:
     def resample(self, sample_rate: float, interp_kind: str = "linear") -> "Sigproc":
         # Reference resample (extension.py:853-894).  With kernel stages
         # pending this joins the fused chain (anti-aliased decimation in
-        # the same task); standalone it uses the relational
-        # bracketing-pair plan for native kinds.
-        if self._pending and interp_kind.lower() in ops.NATIVE_INTERP_KINDS:
+        # the same task) for EVERY kind — the fused stage delegates to
+        # kernels.interp, which covers the spline kinds too (a review
+        # finding: spline resample after a filter chain previously
+        # flushed and paid a second shuffle + Arrow crossing for
+        # exactly the kinds whose decimated rows benefit most from
+        # never leaving the task).  Standalone, native kinds use the
+        # relational bracketing-pair plan and spline kinds the kernel
+        # tier operator.
+        if self._pending:
             return self._buffer("resample", sample_rate, interp_kind)
         return self._native(ops.resample, sample_rate, interp_kind)
 
@@ -118,7 +117,13 @@ class Sigproc:
         return self._native(ops.detrend, dt_type, breakpoints)
 
     def mov_rms(self, window: float, samplerate: float | None = None) -> "Sigproc":
-        if self._pending:
+        # samplerate=None with NO pending stage also routes through the
+        # kernel pipeline: the fused stage infers each channel's rate
+        # from its time base, while the native window op requires an
+        # explicit rate and crashed at plan-build time (a review
+        # finding: the signature advertised None but only the
+        # buffered path honored it).
+        if self._pending or samplerate is None:
             return self._buffer("mov_rms", window, samplerate=samplerate)
         return self._native(ops.mov_rms, window, samplerate=samplerate)
 

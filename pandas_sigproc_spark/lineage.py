@@ -95,18 +95,41 @@ def after_interp1d(cat: DataFrame) -> DataFrame:
     return _wrap(cat, "interp(")
 
 
-def after_rss(cat: DataFrame, channel_ids, out_channel: str = "rss") -> DataFrame:
+def after_rss(cat: DataFrame, channel_ids=None, out_channel: str = "rss") -> DataFrame:
     """``rss(a,b,c)`` — extension.py:800-809: one NEW catalog row whose
-    name concatenates the member names in channel order; unit taken from
-    the first member (the reference implicitly assumes homogeneous units).
+    name concatenates the member names in channel order; unit/start_time/
+    samplerate taken from the FIRST member BY CHANNEL ID (the reference
+    implicitly assumes homogeneous units).  ``channel_ids=None`` means
+    every catalog channel — mirroring the paired data operator
+    ``joins.rss``'s default (a review finding: ``list(None)`` crashed
+    the composition the module itself documents).
+
+    Determinism note (a review finding): the member order is imposed
+    INSIDE the aggregation — ``array_sort`` over (channel_id, name)
+    structs and ``min_by``-style struct minima — because orderBy before
+    a shuffle-aggregated collect_list does not survive partial-
+    aggregation merge order, and ``F.first`` after a shuffle is
+    documented non-deterministic; the old form could emit
+    ``rss(ay,ax)`` on one run and ``rss(ax,ay)`` on the next.
     """
-    members = cat.filter(F.col("channel_id").isin(list(channel_ids)))
-    agg = members.orderBy("channel_id").agg(
-        F.concat_ws(",", F.collect_list("name")).alias("_names"),
+    members = cat
+    if channel_ids is not None:
+        members = members.filter(F.col("channel_id").isin(list(channel_ids)))
+    first_member = F.min(
+        F.struct("channel_id", "unit", "start_time", "samplerate")
+    )
+    agg = members.agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("channel_id", "name"))),
+                lambda x: x["name"],
+            ),
+        ).alias("_names"),
         F.count("*").alias("_n"),
-        F.first("unit").alias("unit"),
-        F.first("start_time").alias("start_time"),
-        F.first("samplerate").alias("samplerate"),
+        first_member.getField("unit").alias("unit"),
+        first_member.getField("start_time").alias("start_time"),
+        first_member.getField("samplerate").alias("samplerate"),
     )
     # No members -> no synthetic row (concat_ws of an empty list is "",
     # not NULL, so gate on the member count).

@@ -76,8 +76,15 @@ def rms_log(
     pairs = _pairs(df, freq_col, power_col)
     f1, p1 = F.col(freq_col), F.col(power_col)
     f2, p2 = F.col("_x2"), F.col("_y2")
-    n = F.log10(p2 / p1) / F.log10(f2 / f1)
-    area_log = p1 * f1 * F.log(f2 / f1)
+    # try_divide throughout the slope/log terms, not just area_pow (a
+    # review finding): a zero power bin (p1 == 0), a DC bin (f1 == 0),
+    # or duplicate freq rows (log10(f2/f1) == 0) are plain '/' 0-denominator
+    # cases that THROW under ANSI mode (the Spark 4 default this
+    # function's own area_pow comment designs for) — with try_divide
+    # they yield NULL, which joins the trapezoid fallback below exactly
+    # like the reference's overflow handling (tools.py:191-196).
+    n = F.try_divide(F.log10(F.try_divide(p2, p1)), F.log10(F.try_divide(f2, f1)))
+    area_log = p1 * f1 * F.log(F.try_divide(f2, f1))
     # try_divide: with ANSI mode on (Spark 4 default), pow(f1, n) underflow
     # to 0 for steeply falling segments would otherwise throw DIVIDE_BY_ZERO
     # — the exact machine-precision case the reference's fallback handles
@@ -112,7 +119,10 @@ def segment_stats(
     summarize statistics across segments (``tools.py:74-98``): mean /
     median (exact) / max / min of segment RMS, plus the 'max rms' scale
     factor ``(max/mean)^2`` and the fatigue 'damage' acceleration factor
-    ``mean((rms_i/mean)^b)^(1/b)``.
+    ``mean((rms_i/mean)^b)^(2/b)`` — the SQUARE of the b-norm ratio,
+    matching the reference's power-domain scale and the hash-pinned
+    oracle (an earlier docstring wrote ^(1/b); the code was right, the
+    text wasn't — a review finding).
 
     Two shuffles total: (channel, segment) partial agg, then channel agg.
     """

@@ -47,6 +47,13 @@ def deduplicate(df: DataFrame, keys=("channel_id", "t")) -> DataFrame:
     time base afterwards (``reset_index(drop=True)``,
     ``extension.py:408``); this engine keeps ``t`` — a positional index is
     meaningless in a distributed table.
+
+    Output columns are exactly ``(*keys, value)``: any other input
+    column (e.g. the optional ``ts`` timestamp) is DROPPED — duplicate
+    stamps give it no single defined value.  Re-derive ``ts`` from
+    ``(t, start_time)`` afterwards if needed (a review finding: the
+    drop was silent and a later ``timeshift`` quietly skipped its
+    ts-adjustment branch).
     """
     return (
         df.groupBy(*keys)
@@ -68,9 +75,14 @@ def samplerate(df: DataFrame, order_col: str | None = None) -> DataFrame:
     order = [F.col("t")] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy("channel_id").orderBy(*order)
     dt = F.col("t") - F.lag("t").over(w)
+    # Aggregate over ALL rows (the lag NULLs skipped by the aggs, not a
+    # pre-filter): a 1-row channel has no lag at all, and the old
+    # filter-then-group dropped it from the OUTPUT entirely — a caller
+    # inner-joining this into the channel catalog silently lost the
+    # channel (a review finding).  Such a channel now gets the NULL
+    # samplerate row the "NULL <=> no uniform rate" contract promises.
     stats = (
         df.withColumn("dt", dt)
-        .filter(F.col("dt").isNotNull())
         .groupBy("channel_id")
         .agg(
             F.max("dt").alias("max_dt"),
@@ -80,7 +92,8 @@ def samplerate(df: DataFrame, order_col: str | None = None) -> DataFrame:
     )
     raw_sr = 1.0 / F.col("mean_dt")
     uniform = (
-        (F.col("min_dt") > 0)
+        F.col("min_dt").isNotNull()
+        & (F.col("min_dt") > 0)
         & ((F.col("max_dt") - F.col("min_dt")) / F.col("mean_dt") <= UNIFORMITY_TOL)
     )
     snapped = F.when(

@@ -527,3 +527,69 @@ class TestRoundTwelveReviewRegressions:
             planner.invalidate_stats()
         np.testing.assert_array_equal(got["t"], expected["t"])
         np.testing.assert_allclose(got["value"], expected["value"])
+
+
+class TestRoundTwelveApiTierRegressions:
+    """r12 review findings on the api/lineage/relational/aggregates tier."""
+
+    def test_samplerate_one_row_channel_gets_null_row(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "channel_id": ["solo", "pair", "pair"],
+                    "t": [0.0, 0.0, 0.5],
+                    "value": [1.0, 1.0, 2.0],
+                }
+            )
+        )
+        rows = {r["channel_id"]: r["samplerate"] for r in samplerate(df).collect()}
+        assert set(rows) == {"solo", "pair"}  # solo no longer vanishes
+        assert rows["solo"] is None
+        assert rows["pair"] == 2.0
+
+    def test_rms_log_zero_and_duplicate_bins_fall_back(self, spark):
+        # zero power, DC bin, duplicate freqs: ANSI-mode division by
+        # zero previously crashed; each segment must take the trapezoid
+        from pandas_sigproc_spark.operators import rms_log as op_rms_log
+
+        spec = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "channel_id": "c",
+                    "freq": [0.0, 1.0, 1.0, 2.0],
+                    "power": [4.0, 0.0, 2.0, 2.0],
+                }
+            )
+        )
+        (row,) = op_rms_log(spec, "freq", "power").collect()
+        # all three segments are degenerate -> pure trapezoid sum:
+        # (4+0)/2*1 + (0+2)/2*0 + (2+2)/2*1 = 4
+        np.testing.assert_allclose(row["rms_log"], 2.0)
+
+    def test_after_rss_deterministic_and_accepts_none(self, spark):
+        from pandas_sigproc_spark.lineage import after_rss
+
+        cat = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "channel_id": ["ay", "ax"],
+                    "name": ["Y", "X"],
+                    "unit": ["g", "g"],
+                    "start_time": [None, None],
+                    "samplerate": [100.0, 100.0],
+                }
+            )
+        ).repartition(8)
+        for _ in range(3):
+            row = after_rss(cat, None).filter("channel_id = 'rss'").collect()[0]
+            assert row["name"] == "rss(X,Y)"  # channel-id order, every run
+
+    def test_accessor_mov_rms_standalone_infers_rate(self, spark):
+        from pandas_sigproc_spark.api import sigproc
+
+        sr = 10.0
+        t = np.arange(40) / sr
+        df = make_signals(spark, {"c": (t, np.ones_like(t))})
+        out = sigproc(df).mov_rms(0.5).df.toPandas()  # no samplerate: must not crash
+        assert len(out) > 0
+        np.testing.assert_allclose(out["value"], 1.0)
