@@ -55,6 +55,15 @@ def _decode_image(data: bytes) -> np.ndarray:
     baseline/progressive JPEG (sources/jpeg.py — from-scratch DCT +
     Huffman), or GIF (sources/gif.py — from-scratch LZW; the first
     composited frame)."""
+    if data[:4] == b"BMPV":
+        # the BMPV VIDEO container shares the b"BM" prefix the BMP
+        # dispatch below keys on — without this guard a video payload
+        # fell into the single-image decoder and died on a garbage
+        # header (a review finding); name the real problem instead
+        raise NotImplementedError(
+            "payload is a BMPV video container, not a single image —"
+            " route video payloads through sample_frames/decode_payload"
+        )
     if data[:2] == b"BM":
         from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
 
@@ -150,8 +159,15 @@ def decode_payload(payload: bytes, kind: str, codec: str = "fake"):
         return 16 + n % 640, 16 + (n * 7) % 480, 1
     if kind == "video":
         return 16 + n % 320, 16 + (n * 7) % 240, 1 + n % 30
-    # audio: "samples" in one logical frame
-    return n, 1, 1
+    if kind == "audio":
+        # audio: "samples" in one logical frame
+        return n, 1, 1
+    # the fake path must enforce the same kind contract as the real
+    # one: silently treating a typo'd kind as audio let plumbing tests
+    # green-light a misrouted kind (a review finding)
+    raise ValueError(
+        f"unknown media kind {kind!r}: expected image|video|audio"
+    )
 
 
 def extract_media_features(df: DataFrame, codec: str = "fake") -> DataFrame:
@@ -222,7 +238,21 @@ def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -
         n_out = width * height
         for pdf in batches:
             rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            # the real path decodes IMAGES only: audio/video rows of
+            # the canonical mixed media table are passed over instead
+            # of crashing the batch in an image decoder (a review
+            # finding); tables without a kind column treat every row
+            # as an image, the pre-r12 contract
+            kinds = (
+                pdf["kind"]
+                if "kind" in pdf.columns
+                else pd.Series(["image"] * len(pdf))
+            )
+            for media_id, kind, payload in zip(
+                pdf["media_id"], kinds, pdf["payload"]
+            ):
+                if codec == "real" and kind != "image":
+                    continue
                 if codec == "real":
                     from pandas_sigproc_spark.sources.bmp import resize_nearest
 
@@ -253,6 +283,10 @@ def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> Data
     yields more rows than it consumes, which is exactly what Spark's
     iterator contract allows; no explode of materialized arrays needed.
     """
+    if every_n < 1:
+        # driver-side, like phash_frames — not a range() error surfaced
+        # from an executor (a review finding)
+        raise ValueError(f"need every_n >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,18 +297,33 @@ def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> Data
                 if kind != "video":
                     continue
                 if codec == "real":
-                    from pandas_sigproc_spark.sources.bmp import decode_bmpv
+                    from pandas_sigproc_spark.sources.bmp import (
+                        decode_bmpv,
+                        encode_bmp,
+                    )
+                    from pandas_sigproc_spark.sources.gif import (
+                        decode_gif,
+                        is_gif_bytes,
+                    )
                     from pandas_sigproc_spark.sources.mp4 import (
                         decode_mp4,
                         is_mp4_bytes,
                     )
 
                     raw = bytes(payload)
-                    frames = (
-                        decode_mp4(raw).samples
-                        if is_mp4_bytes(raw)
-                        else decode_bmpv(raw)
-                    )
+                    # the SAME three-way video dispatch as decode_payload
+                    # and imagedup.phash_frames (a review finding:
+                    # animated-GIF video payloads fell through to the
+                    # BMPV decoder and crashed); composited GIF frames
+                    # re-encode as BMP — the canonical pixel container
+                    # BMPV frames already use — so the frame column
+                    # stays decodable bytes
+                    if is_mp4_bytes(raw):
+                        frames = decode_mp4(raw).samples
+                    elif is_gif_bytes(raw):
+                        frames = [encode_bmp(px) for px in decode_gif(raw)]
+                    else:
+                        frames = decode_bmpv(raw)
                     for i in range(0, len(frames), every_n):
                         rows.append((int(media_id), int(i), frames[i]))
                     continue
@@ -300,7 +349,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         F.col("doc_id").cast("long").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            # pmod: Spark % keeps the dividend's sign, so a negative
+            # doc_id indexed 0 (INVALID_INDEX_OF_ZERO) or -1 (silently
+            # the LAST element) — a review finding
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.create_map(

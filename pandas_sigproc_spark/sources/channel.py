@@ -36,7 +36,17 @@ def channels_to_signals(spark: SparkSession, channels: list[Channel]):
     Mirrors ``to_pandas``'s absolute-time construction (``io.py:79-81``):
     when a channel has a ``start_time`` origin, ``ts = origin + t`` is
     materialized alongside the relative seconds column.
+
+    An empty channel list yields EMPTY frames with the canonical
+    schemas (a review finding: ``pd.concat([])`` raised an opaque 'No
+    objects to concatenate' — e.g. via ``ingest_ide`` on a recorder
+    file with zero channels).
     """
+    if not channels:
+        return (
+            spark.createDataFrame([], schema=SIGNALS_SCHEMA),
+            spark.createDataFrame([], schema=CHANNELS_SCHEMA),
+        )
     sig_frames = []
     cat_rows = []
     for ch in channels:

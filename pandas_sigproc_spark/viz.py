@@ -167,7 +167,17 @@ def save_plot_svg(
     """
     import math
 
+    import numpy as np
+
     series = _series(df, x_col, y_col, series_col)
+    # Non-finite points (NULL values arrive as NaN) drop in BOTH modes:
+    # in linear mode a single NaN previously poisoned the axis extrema
+    # and emitted literal 'nan' polyline coordinates — a file that
+    # writes fine and renders broken (a review finding).
+    series = [
+        (n, x[np.isfinite(x) & np.isfinite(y)], y[np.isfinite(x) & np.isfinite(y)])
+        for n, x, y in series
+    ]
     if loglog:
         series = [
             (n, x[(x > 0) & (y > 0)], y[(x > 0) & (y > 0)]) for n, x, y in series

@@ -141,3 +141,102 @@ def test_real_codec_decodes_wav_audio_end_to_end(spark):
     assert rate == fs
     expected = np.sin(2 * np.pi * 440 * (np.arange(800) / fs)).astype(np.float32)
     np.testing.assert_array_equal(arr[:, 0], expected)
+
+
+class TestRoundTwelveMediaRegressions:
+    """r12 review findings on the multimodal/viz/channel tier."""
+
+    def test_sample_frames_real_gif_video(self, spark):
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators.multimodal import sample_frames
+        from pandas_sigproc_spark.sources.bmp import decode_bmp_bytes
+        from pandas_sigproc_spark.sources.gif import encode_gif
+
+        f0 = np.zeros((4, 4, 3), dtype=np.uint8)
+        f1 = np.full((4, 4, 3), 200, dtype=np.uint8)
+        gif = encode_gif([f0, f1])
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": [1], "kind": ["video"], "payload": [gif]}
+            )
+        )
+        rows = sample_frames(df, every_n=1, codec="real").collect()
+        assert [r["frame_idx"] for r in rows] == [0, 1]
+        # frames re-encode as decodable BMP bytes
+        px = decode_bmp_bytes(bytes(rows[1]["frame"]))
+        assert px.shape == (4, 4, 3) and px.max() == 200
+
+    def test_resize_images_real_skips_non_images(self, spark):
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators.multimodal import resize_images
+        from pandas_sigproc_spark.sources.bmp import encode_bmp
+        from pandas_sigproc_spark.sources.wav import encode_wav_bytes
+
+        img = encode_bmp(np.zeros((6, 6, 3), dtype=np.uint8))
+        wav = encode_wav_bytes(100, np.zeros(16, dtype=np.float32))
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [1, 2],
+                    "kind": ["image", "audio"],
+                    "payload": [img, wav],
+                }
+            )
+        )
+        rows = resize_images(df, 3, 3, codec="real").collect()
+        assert [r["media_id"] for r in rows] == [1]  # audio passed over
+
+    def test_decode_image_refuses_bmpv(self):
+        import pytest
+
+        from pandas_sigproc_spark.operators.multimodal import _decode_image
+        from pandas_sigproc_spark.sources.bmp import encode_bmp, encode_bmpv
+
+        blob = encode_bmpv([encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))])
+        with pytest.raises(NotImplementedError, match="BMPV"):
+            _decode_image(blob)
+
+    def test_fake_decode_rejects_unknown_kind_and_every_n(self, spark):
+        import pandas as pd
+        import pytest
+
+        from pandas_sigproc_spark.operators.multimodal import (
+            decode_payload,
+            sample_frames,
+        )
+
+        with pytest.raises(ValueError, match="unknown media kind"):
+            decode_payload(b"xx", "txet", codec="fake")
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [1], "kind": ["video"], "payload": [b"x"]})
+        )
+        with pytest.raises(ValueError, match="every_n"):
+            sample_frames(df, every_n=0)
+
+    def test_channels_to_signals_empty_list(self, spark):
+        from pandas_sigproc_spark.sources.channel import channels_to_signals
+
+        sig, cat = channels_to_signals(spark, [])
+        assert sig.count() == 0 and cat.count() == 0
+        assert "channel_id" in sig.columns and "channel_id" in cat.columns
+
+    def test_svg_drops_nan_points_linear_mode(self, spark, tmp_path):
+        import pandas as pd
+
+        from pandas_sigproc_spark.viz import save_plot_svg
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "channel_id": ["c"] * 4,
+                    "t": [0.0, 1.0, 2.0, 3.0],
+                    "value": [1.0, None, 3.0, 2.0],
+                }
+            )
+        )
+        path = str(tmp_path / "p.svg")
+        save_plot_svg(df, path)
+        svg = open(path).read()
+        assert "nan" not in svg  # the NaN row must be dropped, not plotted
