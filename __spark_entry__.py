@@ -8113,6 +8113,14 @@ def _sql_corpus_to_shards() -> str:
     integer shard/pack arithmetic, and an order-canonical digest."""
     from pandas_sigproc_spark.operators.text import normalize_duckdb_sql
 
+    # The gate relaxes the Gopher rule count by TEXT substitution below;
+    # if the shared constant ever drifts, fail here by name instead of
+    # surfacing as a puzzling hash mismatch (ADVICE r12).
+    assert "n_required >= 2" in _SQL_GOPHER_KEEP, (
+        "_SQL_GOPHER_KEEP no longer contains 'n_required >= 2' — update "
+        "the threshold substitution in _sql_corpus_to_shards to match"
+    )
+
     rounds = []
     prev = "m0"
     for i, (a, b) in enumerate(_BPE_PACK_MERGES, start=1):

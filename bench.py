@@ -592,14 +592,17 @@ def main():
     }
     if scale is not None:
         ratios = [r for r in scale["wall_ratio"].values() if r]
-        gm = 1.0
-        for r in ratios:
-            gm *= r
-        out["scale_wall_ratio"] = {
-            "repl": scale["replication"],
-            "max": round(max(ratios), 2),
-            "geomean": round(gm ** (1.0 / len(ratios)), 2),
-        }
+        # every ratio can be None/0 when the scale legs all fail or
+        # measure zero — emit nothing rather than die after the full run
+        if ratios:
+            gm = 1.0
+            for r in ratios:
+                gm *= r
+            out["scale_wall_ratio"] = {
+                "repl": scale["replication"],
+                "max": round(max(ratios), 2),
+                "geomean": round(gm ** (1.0 / len(ratios)), 2),
+            }
     line = json.dumps(out, separators=(",", ":"))
     # Degrade loudly rather than ship a line the driver will truncate:
     # drop optional quality fields ONE AT A TIME, re-measuring after

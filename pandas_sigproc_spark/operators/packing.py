@@ -182,10 +182,21 @@ def training_order(
     ids, the connected_components half-edge rule).
     """
     if buckets is None:
-        buckets = _derive_order_buckets(
-            df.select(F.col(id_col)).filter(
-                F.col(id_col).isNotNull()
-            ).count()
+        n_rows = df.select(F.col(id_col)).filter(
+            F.col(id_col).isNotNull()
+        ).count()
+        buckets = _derive_order_buckets(n_rows)
+        # Surface the derived count: bucket VALUES depend on it, so a
+        # rerun that must reproduce a persisted (bucket, global_pos)
+        # output needs to pin buckets=<this> explicitly (ADVICE r12 —
+        # above ~1G rows the derived default diverges from the old
+        # fixed 256).
+        import logging
+
+        logging.getLogger(__name__).info(
+            "training_order: derived buckets=%d from %d ids — pass "
+            "buckets=%d explicitly to reproduce this split on a rerun",
+            buckets, n_rows, buckets,
         )
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")

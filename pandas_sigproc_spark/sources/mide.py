@@ -71,6 +71,7 @@ no network), so they live in this swappable table; the WIRE FORMAT
 
 from __future__ import annotations
 
+import math
 import struct
 from datetime import datetime, timezone
 
@@ -427,8 +428,16 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
     cals: dict[int, tuple[float, list[float]]] = {}
     blocks: list[tuple[int, int, int, bytes]] = []
     time_base_utc = 0
+    unknown_roots: list[int] = []
     for eid, s, e in iter_elements(buf, 0, len(buf)):
         if eid == EBML_HEADER:
+            continue
+        if eid not in (ids["RecordingProperties"], ids["ChannelDataBlock"]):
+            # Root ids outside the (best-effort, offline-unverified)
+            # MIDE_IDS vocabulary: tolerated while the channel table
+            # parses, but proof of a vocabulary mismatch when it does
+            # not — see the raise below the loop.
+            unknown_roots.append(eid)
             continue
         if eid == ids["RecordingProperties"]:
             for eid2, s2, e2 in iter_elements(buf, s, e):
@@ -497,6 +506,23 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
                     " time codes"
                 )
             blocks.append((ref, start, end, payload))
+    if not defs and (unknown_roots or blocks):
+        # A DocType-'mide' file whose channel table did not parse is a
+        # vocabulary mismatch, not an empty recording: returning [] here
+        # would silently yield an empty corpus from a genuine recorder
+        # file (the exact failure the MIDE_IDS note warns about).  A
+        # truly empty recording — header + RecordingProperties with no
+        # channels and no data — still returns [] below.
+        uniq = ", ".join(f"{i:#x}" for i in sorted(set(unknown_roots))[:8])
+        raise ValueError(
+            "MIDE: file yielded no channel table — the element-id"
+            " vocabulary likely differs from the best-effort MIDE_IDS"
+            f" transcription (unrecognized root ids: [{uniq or 'none'}],"
+            f" {len(blocks)} data block(s) matched).  Run"
+            " sources.mide.mide_parse_report(buf) to list every id/size/"
+            "role found, then correct MIDE_IDS against Mide's published"
+            " mide_ide.xml — the table is the single swap point."
+        )
     out = []
     # Per-channel monotonic unwrap state: block time codes are stored
     # modulo 2**24 and recorders emit blocks in time order, so each
@@ -606,6 +632,78 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
                 )
             )
     return out
+
+
+_MIDE_NAME_BY_ID = {v: k for k, v in MIDE_IDS.items()}
+_MIDE_NAME_BY_ID[EBML_HEADER] = "EBMLHeader"
+_MIDE_NAME_BY_ID[DOCTYPE] = "DocType"
+
+
+def mide_parse_report(
+    buf: bytes, max_rows: int = 10000, max_depth: int = 6
+) -> list[dict]:
+    """Diagnostic walk of a (possibly refusing) MIDE/EBML file: one row
+    per element with its id, size, depth, the MIDE_IDS name when the id
+    is recognized, and an inferred ROLE from the payload bytes alone —
+    so a user holding one genuine recorder file that ``read_mide_channels``
+    refuses can align what the file actually contains against Mide's
+    published ``mide_ide.xml`` and correct the MIDE_IDS table (the
+    single swap point) in one pass, no debugger needed.
+
+    Role inference is structural, not schema-driven: a payload that
+    itself parses completely as child elements is a ``container`` (and
+    is recursed into, depth-capped); otherwise printable bytes are
+    ``text``, 8 bytes that round-trip as a finite float64 are
+    ``float64?``, <= 8 bytes are ``uint?`` (reported with the decoded
+    value), anything else is ``binary``.  Rows:
+    ``{depth, id, id_hex, name, size, role, value}`` — ``name`` is None
+    for ids outside MIDE_IDS (exactly the rows to transcribe), and the
+    row cap keeps the report bounded on sample-heavy files."""
+    rows: list[dict] = []
+
+    def classify(s: int, e: int, depth: int) -> tuple[str, object]:
+        size = e - s
+        if size == 0:
+            return "empty", None
+        if depth < max_depth:
+            try:
+                kids = list(iter_elements(buf, s, e))
+                if kids:
+                    return "container", None
+            except ValueError:
+                pass
+        chunk = buf[s:e]
+        if all(0x20 <= b < 0x7F for b in chunk):
+            return "text", chunk.decode("ascii", "replace")
+        if size == 8:
+            f = struct.unpack(">d", chunk)[0]
+            if math.isfinite(f):
+                return "float64?", f
+        if size <= 8:
+            return "uint?", _uint(buf, s, e)
+        return "binary", None
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        for eid, s, e in iter_elements(buf, pos, end):
+            if len(rows) >= max_rows:
+                return
+            role, value = classify(s, e, depth)
+            rows.append(
+                {
+                    "depth": depth,
+                    "id": eid,
+                    "id_hex": f"{eid:#x}",
+                    "name": _MIDE_NAME_BY_ID.get(eid),
+                    "size": e - s,
+                    "role": role,
+                    "value": value,
+                }
+            )
+            if role == "container":
+                walk(s, e, depth + 1)
+
+    walk(0, len(buf), 0)
+    return rows
 
 
 def read_recording_channels(buf: bytes, source: str = "mide") -> list[Channel]:

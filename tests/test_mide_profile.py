@@ -325,3 +325,90 @@ def test_mide_format_subchannel_mismatch_is_loud():
     header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
     with pytest.raises(ValueError, match="subchannels"):
         mide.read_mide_channels(header + props + block)
+
+
+def test_mide_unknown_vocabulary_is_loud():
+    # ADVICE r12 (medium): a DocType-'mide' file whose root element ids
+    # don't match MIDE_IDS must refuse loudly, not ingest an empty
+    # corpus.  Scramble every RecordingProperties/ChannelDataBlock id by
+    # re-wrapping the real payloads under foreign ids.
+    channels, cals = _fixture()
+    blob = mide.encode_mide(channels, cals, time_base_utc=0)
+    rewrapped = []
+    for eid, s, e in mide.iter_elements(blob, 0, len(blob)):
+        if eid == mide.EBML_HEADER:
+            rewrapped.append(mide._el(eid, blob[s:e]))
+        else:
+            rewrapped.append(mide._el(0x5AFE, blob[s:e]))  # foreign id
+    scrambled = b"".join(rewrapped)
+    assert mide.is_mide(scrambled)  # header intact: it IS a mide file
+    with pytest.raises(ValueError, match="mide_parse_report"):
+        mide.read_mide_channels(scrambled)
+    # ... and the named unrecognized id appears in the message
+    with pytest.raises(ValueError, match="0x5afe"):
+        mide.read_mide_channels(scrambled)
+
+
+def test_mide_blocks_without_channel_table_are_loud():
+    # Data blocks matched but no channel table: also a vocabulary (or
+    # truncation) problem, reported with the block count.
+    ids = mide.MIDE_IDS
+    block = mide._el(
+        ids["ChannelDataBlock"],
+        mide._el_uint(ids["ChannelIDRef"], 1)
+        + mide._el_uint(ids["StartTimeCodeAbs"], 0)
+        + mide._el_uint(ids["EndTimeCodeAbs"], 2048)
+        + mide._el(ids["ChannelDataPayload"], b"\x01\x00"),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    with pytest.raises(ValueError, match="no channel table"):
+        mide.read_mide_channels(header + block)
+
+
+def test_mide_truly_empty_recording_returns_empty():
+    # Header + RecordingProperties with no channels and no data blocks:
+    # a genuinely empty recording, NOT a vocabulary mismatch.
+    ids = mide.MIDE_IDS
+    props = mide._el(
+        ids["RecordingProperties"], mide._el_uint(ids["TimeBaseUTC"], 0)
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    assert mide.read_mide_channels(header + props) == []
+
+
+def test_mide_parse_report_names_mismatched_ids():
+    # r12 verdict #8 (diagnostic mode): on a scrambled-ID file the
+    # report must surface the unknown ids as name=None rows WITH their
+    # structure (role/size), and resolve known ids by name — enough to
+    # produce a corrected MIDE_IDS from one genuine file.
+    channels, cals = _fixture()
+    blob = mide.encode_mide(channels, cals, time_base_utc=1_704_067_200)
+
+    report = mide.mide_parse_report(blob)
+    names = {r["name"] for r in report}
+    assert {"EBMLHeader", "RecordingProperties", "ChannelDataBlock",
+            "ChannelName", "ChannelDataPayload"} <= names
+    roots = [r for r in report if r["depth"] == 0]
+    assert all(r["name"] is not None for r in roots)
+    # format strings decode as text, time codes as uints
+    fmt_rows = [r for r in report if r["name"] == "ChannelFormat"]
+    assert fmt_rows and all(r["role"] == "text" for r in fmt_rows)
+    tc = [r for r in report if r["name"] == "StartTimeCodeAbs"]
+    assert tc and all(r["role"] == "uint?" for r in tc)
+
+    # scramble ONE root id: the report pins it as an unnamed container
+    out = []
+    flipped = False
+    for eid, s, e in mide.iter_elements(blob, 0, len(blob)):
+        if not flipped and eid == mide.MIDE_IDS["ChannelDataBlock"]:
+            out.append(mide._el(0x5AFE, blob[s:e]))
+            flipped = True
+        else:
+            out.append(mide._el(eid, blob[s:e]))
+    rep2 = mide.mide_parse_report(b"".join(out))
+    unknown = [r for r in rep2 if r["name"] is None and r["depth"] == 0]
+    assert any(r["id"] == 0x5AFE and r["role"] == "container"
+               for r in unknown)
+    # its CHILDREN still resolve by name: the mismatch is localized
+    kids = [r for r in rep2 if r["depth"] == 1 and r["name"] == "ChannelIDRef"]
+    assert kids
