@@ -151,6 +151,12 @@ HEADLINE = [
     # encode->read roundtrip through spark.read.format("ide")
     "corpus_to_shards",
     "ide_scan",
+    # round-13: the streaming tier's driver gates — each leg replays a
+    # genuine multi-micro-batch file-source stream to a parquet sink
+    # (setup + replay + sink read are all real deployment costs, so they
+    # are billed to the leg)
+    "streaming_corpus_filter",
+    "streaming_rainflow",
 ]
 
 
@@ -161,6 +167,12 @@ HEADLINE = [
 # queries are excluded on purpose — replicating a corpus inflates its
 # near-dup structure quadratically, which measures the data, not the
 # engine.
+# Fixed order of the final line's "recall3" array (compact form of the
+# per-tier recall@3 floors; the keyed map stays in bench_detail.json).
+ANN_RECALL_ORDER = (
+    "ann_lsh", "ann_ivf", "ann_int8", "ann_ivf_int8", "ann_ivf_pq",
+)
+
 SCALE_QUERIES = [
     "rms", "mov_rms", "filt_butter", "psd_welch",
     "dedup_exact", "dedup_minhash", "token_count",
@@ -309,9 +321,18 @@ def main():
     # ambient noise), and the probe interleaves at the quarter points of
     # the headline sweep rather than only start/middle/end, so a load
     # episode confined to one stretch of the run is visible as such.
+    # r13 (r12 verdict #2): probes fired INSIDE the headline sweep also
+    # record the leg index they fired at, so each leg's wall can be
+    # NORMALIZED by its temporally-nearest probe.  wall_leg ~ C_leg *
+    # h(t_leg) and wall_probe ~ C_probe * h(t_probe) with C_probe
+    # constant across rounds (same rms plan, same data); dividing
+    # cancels the host factor h, so normalized legs are adjudicable
+    # round-over-round even when the host swings 2x mid-run — the
+    # failure mode that made BENCH_r11/r12 leg deltas unreadable.
     calib_walls = []
+    calib_points = []  # (leg index fired at, wall) — sweep-interior only
 
-    def _calibrate(tag: str) -> None:
+    def _calibrate(tag: str, at_leg: int | None = None) -> None:
         reps = []
         for _ in range(3):
             t0 = time.time()
@@ -321,10 +342,12 @@ def main():
             reps.append(round(time.time() - t0, 3))
         el = min(reps)
         calib_walls.append(el)
+        if at_leg is not None:
+            calib_points.append((at_leg, el))
         print(f"[bench] calibration({tag}): min {el:.2f}s of {reps}",
               file=sys.stderr, flush=True)
 
-    _calibrate("start")
+    _calibrate("start", at_leg=0)
 
     _calib_at = {
         HEADLINE[len(HEADLINE) // 4]: "q1",
@@ -333,9 +356,9 @@ def main():
     }
     timings = {}
     medians = {}
-    for name in HEADLINE:
+    for leg_i, name in enumerate(HEADLINE):
         if name in _calib_at:
-            _calibrate(_calib_at[name])
+            _calibrate(_calib_at[name], at_leg=leg_i)
         fn = qs[name]
         reps = []
         for rep in range(3):
@@ -353,7 +376,25 @@ def main():
         # eviction pressure for earlier ones.
         entry_mod.release_caches()
 
+    # "post" probe: immediately after the last headline leg (the "end"
+    # probe below fires after the scale/recall/bpe legs, too far in time
+    # to normalize the sweep's tail against).
+    _calibrate("post", at_leg=len(HEADLINE))
+
     total = round(sum(timings.values()), 3)
+
+    def _nearest_probe_wall(leg_i: int) -> float:
+        return min(calib_points, key=lambda p: abs(p[0] - leg_i))[1]
+
+    normalized = {
+        name: (
+            round(timings[name] / _nearest_probe_wall(i), 2)
+            if _nearest_probe_wall(i) > 0
+            else None
+        )
+        for i, name in enumerate(HEADLINE)
+    }
+    norm_total = round(sum(v for v in normalized.values() if v), 2)
 
     # Scale-up leg: same queries on a repl-x dataset; wall should grow
     # ~linearly (32 cores absorb the extra channels/docs until saturated).
@@ -426,8 +467,7 @@ def main():
         .collect()
     }
     recall = {}
-    for name in ("ann_lsh", "ann_ivf", "ann_int8", "ann_ivf_int8",
-                 "ann_ivf_pq"):
+    for name in ANN_RECALL_ORDER:
         pred = {
             (r["qid"], r["vec_id"])
             for r in qs[name](spark, sf_dir).filter("rank <= 3").collect()
@@ -559,8 +599,18 @@ def main():
         "pq_store": pq_leg,
         "calibration": {
             "query": "rms",
-            "walls_start_q1_middle_q3_end": calib_walls,
+            "walls_start_q1_middle_q3_post_end": calib_walls,
             "spread": round(max(calib_walls) / min(calib_walls), 3),
+        },
+        # r12 verdict #2: legs in units of the nearest interleaved rms
+        # probe — the host factor cancels, so THESE (not the raw walls)
+        # are the numbers to compare round-over-round on this host.
+        "normalization": {
+            "unit": "rms_probe_equivalents",
+            "probe_legs_at": [p for p, _ in calib_points],
+            "probe_walls": [w for _, w in calib_points],
+            "queries_normalized": normalized,
+            "norm_total": norm_total,
         },
     }
     if scale is not None:
@@ -581,13 +631,23 @@ def main():
     # geomean wall ratio — the per-query map stays in
     # bench_detail.json).  Full-precision walls remain in
     # bench_detail.json["queries_median"]'s sibling records.
+    # r13 compaction (the two streaming legs + norm_total would push the
+    # r12-format line to ~1950 B): the recall floors and the scale
+    # summary ride as FIXED-ORDER arrays — "recall3" is
+    # [lsh, ivf, int8, ivf_int8, ivf_pq] (ANN_RECALL_ORDER),
+    # "scale_ratio" is [replication, max_wall_ratio, geomean_wall_ratio]
+    # — full keyed maps stay in bench_detail.json.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "ann_recall_at_3": {k: round(v, 2) for k, v in recall.items()},
+        "recall3": [round(recall[k], 2) for k in ANN_RECALL_ORDER],
         "calib_spread": detail["calibration"]["spread"],
+        # host-factor-cancelled total (sum of per-leg walls each divided
+        # by its nearest interleaved rms probe wall) — the cross-round
+        # comparison number; per-leg map in bench_detail.json
+        "norm_total": norm_total,
         "sf": float(sf),
     }
     if scale is not None:
@@ -598,18 +658,19 @@ def main():
             gm = 1.0
             for r in ratios:
                 gm *= r
-            out["scale_wall_ratio"] = {
-                "repl": scale["replication"],
-                "max": round(max(ratios), 2),
-                "geomean": round(gm ** (1.0 / len(ratios)), 2),
-            }
+            out["scale_ratio"] = [
+                scale["replication"],
+                round(max(ratios), 2),
+                round(gm ** (1.0 / len(ratios)), 2),
+            ]
     line = json.dumps(out, separators=(",", ":"))
     # Degrade loudly rather than ship a line the driver will truncate:
     # drop optional quality fields ONE AT A TIME, re-measuring after
     # each pop, until the line fits — never the per-query walls.  (The
     # r8 failure mode: a single unconditional pop still left the line
-    # >1900 B and the driver recorded parsed=null.)
-    for field in ("calib_spread", "scale_wall_ratio", "ann_recall_at_3"):
+    # >1900 B and the driver recorded parsed=null.)  norm_total drops
+    # LAST: it is the round's one cross-round-adjudicable number.
+    for field in ("calib_spread", "scale_ratio", "recall3", "norm_total"):
         if len(line) <= 1900:
             break
         print(f"[bench] WARNING final line {len(line)}B > 1900B; "
