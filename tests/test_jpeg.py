@@ -224,3 +224,75 @@ def test_resize_images_preserves_jpeg_container(spark):
     assert (out.width, out.height) == (24, 20)
     px = dec(bytes(out.payload))  # re-encoded as a JPEG
     assert px.shape == (20, 24, 3)
+
+
+def test_truncated_stream_raises_valueerror_not_indexerror():
+    # r13 codec-sweep finding: callers skip corrupt payloads by catching
+    # ValueError (the module's one malformed-input exception); truncation
+    # used to leak bare IndexError from the bit reader / marker scan.
+    img = _gradient(32, 32)
+    blob = encode_jpeg(img, 90)
+    # (cutting ONLY the final EOI byte still decodes — the scan data is
+    # complete — so the smallest cut here is 5 bytes into the entropy
+    # segment)
+    for cut in (40, 20, 5):
+        with pytest.raises(ValueError):
+            decode_jpeg_bytes(blob[:-cut])
+
+
+def test_truncated_progressive_raises_valueerror():
+    img = _gradient(32, 32)
+    blob = encode_jpeg(img, 90, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg_bytes(blob[:-30])
+
+
+def test_12bit_precision_refuses_by_name():
+    # Flip the SOF sample-precision byte to 12: the 8-bit level shift
+    # would silently return garbage (r13 codec-sweep finding).
+    img = _gradient(16, 16)
+    blob = bytearray(encode_jpeg(img, 90))
+    i = blob.find(b"\xff\xc0")
+    assert i >= 0
+    assert blob[i + 4] == 8  # precision byte of the SOF segment
+    blob[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg_bytes(bytes(blob))
+
+
+def test_noninterleaved_baseline_scan_refuses_by_name():
+    # A baseline SOS covering fewer components than the frame declares
+    # (spec-legal non-interleaved layout) must refuse loudly, not decode
+    # the partial scan as interleaved garbage (r13 codec-sweep finding).
+    img = _gradient(16, 16)
+    blob = bytearray(encode_jpeg(img, 90))
+    i = blob.find(b"\xff\xda")
+    assert i >= 0
+    ns = blob[i + 4]
+    assert ns == 3
+    # rewrite the SOS header in place to claim ONE component: the
+    # spectral bytes move up, so splice a shortened segment
+    seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+    comp0 = bytes(blob[i + 5 : i + 7])  # first (cid, tables) pair
+    tail = bytes(blob[i + 5 + 2 * ns : i + 2 + seg_len])  # ss/se/ahal
+    new_seg = (8).to_bytes(2, "big") + bytes([1]) + comp0 + tail
+    blob[i + 2 : i + 2 + seg_len] = new_seg
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg_bytes(bytes(blob))
+
+
+def test_decode_wall_is_not_quadratic_in_scan_size():
+    # r13 codec-sweep finding: the bit reader never masked consumed bits
+    # out of its accumulator, making decode O(bits^2) — a 256x256 noise
+    # image took 57s (0.67s masked).  Generous ceiling so host jitter
+    # can't flake this; a quadratic regression blows past it by 10x.
+    import time
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, 95)
+    t0 = time.time()
+    out = decode_jpeg_bytes(blob)
+    wall = time.time() - t0
+    assert out.shape == (128, 128, 3)
+    assert wall < 3.0, f"decode took {wall:.1f}s — bit reader quadratic again?"

@@ -361,7 +361,7 @@ def test_mide_blocks_without_channel_table_are_loud():
         + mide._el(ids["ChannelDataPayload"], b"\x01\x00"),
     )
     header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
-    with pytest.raises(ValueError, match="no channel table"):
+    with pytest.raises(ValueError, match="declares no channels"):
         mide.read_mide_channels(header + block)
 
 
@@ -412,3 +412,150 @@ def test_mide_parse_report_names_mismatched_ids():
     # its CHILDREN still resolve by name: the mismatch is localized
     kids = [r for r in rep2 if r["depth"] == 1 and r["name"] == "ChannelIDRef"]
     assert kids
+
+
+def test_mide_unknown_datablock_id_with_parsed_table_is_loud():
+    # r13 codec-sweep finding: channel table parses but the data-block
+    # root id is wrong -> previously returned declared channels with
+    # ZERO samples (silent empty corpus).
+    channels, cals = _fixture()
+    blob = mide.encode_mide(channels, cals, time_base_utc=0)
+    out = []
+    for eid, s, e in mide.iter_elements(blob, 0, len(blob)):
+        if eid == mide.MIDE_IDS["ChannelDataBlock"]:
+            out.append(mide._el(0x5AFE, blob[s:e]))
+        else:
+            out.append(mide._el(eid, blob[s:e]))
+    with pytest.raises(ValueError, match="no ChannelDataBlock matched"):
+        mide.read_mide_channels(b"".join(out))
+
+
+def test_mide_matched_blocks_missing_table_names_the_right_cause():
+    # Every root id matched but RecordingProperties absent: the error
+    # must NOT claim a vocabulary mismatch (r13 codec-sweep finding).
+    ids = mide.MIDE_IDS
+    block = mide._el(
+        ids["ChannelDataBlock"],
+        mide._el_uint(ids["ChannelIDRef"], 1)
+        + mide._el_uint(ids["StartTimeCodeAbs"], 0)
+        + mide._el_uint(ids["EndTimeCodeAbs"], 2048)
+        + mide._el(ids["ChannelDataPayload"], b"\x01\x00"),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    with pytest.raises(ValueError, match="missing or truncated") as ei:
+        mide.read_mide_channels(header + block)
+    assert "vocabulary" not in str(ei.value)
+
+
+def test_mide_channel_missing_fields_is_curated():
+    # A Channel whose ChannelID child id mismatches raises the MIDE_IDS
+    # diagnostic, not a bare KeyError (r13 codec-sweep finding).
+    ids = mide.MIDE_IDS
+    props = mide._el(
+        ids["RecordingProperties"],
+        mide._el(
+            ids["ChannelList"],
+            mide._el(
+                ids["Channel"],
+                mide._el_uint(0x5B2F, 1)  # foreign id where ChannelID goes
+                + mide._el(ids["ChannelName"], b"C")
+                + mide._el(ids["ChannelFormat"], b"<h"),
+            ),
+        ),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    with pytest.raises(ValueError, match="mide_parse_report"):
+        mide.read_mide_channels(header + props)
+
+
+def test_mide_invalid_format_string_is_curated():
+    # encode_mide itself refuses a bad fmt, so build the file by hand:
+    # a declared "<z" format with one matching data block.
+    ids = mide.MIDE_IDS
+    props = mide._el(
+        ids["RecordingProperties"],
+        mide._el(
+            ids["ChannelList"],
+            mide._el(
+                ids["Channel"],
+                mide._el_uint(ids["ChannelID"], 1)
+                + mide._el(ids["ChannelName"], b"C")
+                + mide._el(ids["ChannelFormat"], b"<z")
+                + mide._el(
+                    ids["SubChannel"],
+                    mide._el_uint(ids["SubChannelID"], 0)
+                    + mide._el(ids["SubChannelName"], b"x"),
+                ),
+            ),
+        ),
+    )
+    block = mide._el(
+        ids["ChannelDataBlock"],
+        mide._el_uint(ids["ChannelIDRef"], 1)
+        + mide._el_uint(ids["StartTimeCodeAbs"], 0)
+        + mide._el_uint(ids["EndTimeCodeAbs"], 2048)
+        + mide._el(ids["ChannelDataPayload"], b"\x01\x00"),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    with pytest.raises(ValueError, match="invalid struct format"):
+        mide.read_mide_channels(header + props + block)
+
+
+def test_unpack_frames_fast_path_matches_iter_unpack():
+    import struct as _struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(-2048, 2048, (64, 3)).astype("<i2")
+    payload = vals.tobytes()
+    fast = mide._unpack_frames("<hhh", payload, 64, 3)
+    slow = np.array(
+        list(_struct.iter_unpack("<hhh", payload)), dtype=np.float64
+    ).reshape(64, 3)
+    assert (fast == slow).all()
+    # big-endian + single-code + mixed-type fallback
+    payload_be = vals.astype(">i2").tobytes()
+    assert (mide._unpack_frames(">hhh", payload_be, 64, 3) == slow).all()
+    mixed = _struct.pack("<hd", 7, 1.5) + _struct.pack("<hd", -3, 2.5)
+    out = mide._unpack_frames("<hd", mixed, 2, 2)
+    assert out.tolist() == [[7.0, 1.5], [-3.0, 2.5]]
+
+
+def test_parse_report_does_not_recurse_into_sample_payloads():
+    # ChannelDataPayload bytes crafted to LOOK like EBML must stay a
+    # leaf row (r13 codec-sweep finding: pseudo-parsing sample payloads
+    # flooded the row cap with noise rows).
+    ids = mide.MIDE_IDS
+    # 0x81 (id) 0x82 (size=2) + 2 bytes: valid-looking EBML inside data
+    fake_ebml = bytes([0x81, 0x82, 0x01, 0x02])
+    block = mide._el(
+        ids["ChannelDataBlock"],
+        mide._el_uint(ids["ChannelIDRef"], 1)
+        + mide._el_uint(ids["StartTimeCodeAbs"], 0)
+        + mide._el_uint(ids["EndTimeCodeAbs"], 2048)
+        + mide._el(ids["ChannelDataPayload"], fake_ebml),
+    )
+    header = mide._el(mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide"))
+    rows = mide.mide_parse_report(header + block)
+    payload_rows = [r for r in rows if r["name"] == "ChannelDataPayload"]
+    assert payload_rows and all(
+        r["role"] != "container" for r in payload_rows
+    )
+    # nothing was reported UNDER the payload
+    assert not any(
+        r["depth"] > payload_rows[0]["depth"] + 1 for r in rows
+    )
+
+
+def test_is_recording_still_matches_doctype():
+    ch = {
+        "ch_id": 1, "name": "a", "unit": "g", "rate": 10.0,
+        "start_us": 0, "scale": 1.0,
+        "blocks": [(0.0, __import__("numpy").zeros((4, 1), "<i2"))],
+        "subchannels": [{"name": "x", "unit": "g", "a": 1.0, "b": 0.0}],
+    }
+    blob = mide.encode_recording([ch])
+    assert mide.is_recording(blob)
+    assert not mide.is_mide(blob)
+    assert not mide.is_recording(b"\x00\x01")
