@@ -158,6 +158,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with parallelism ENSURED, not forced: repartition
+    only when the scan yields fewer splits than cores (the bench SFs are
+    one tiny parquet file = one split, which would run every map-side
+    query single-core).  When file splits already cover the cores — any
+    real deployment, and the bench's replicated scale leg — the old
+    unconditional repartition was a corpus-wide shuffle of the full text
+    for nothing: the r13 scale-leg A/B measured dedup_minhash at 8x
+    data 1.21s with it vs 0.70s without (the r12 verdict's wall_ratio
+    4.02 outlier was mostly this shuffle tax growing with the corpus)."""
+    d = _docs(spark, sf_dir)
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d
+
+
 def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -360,18 +376,42 @@ FROM s
 """
 
 
+def _compose_paths(*branches):
+    """Consolidated twin gate (r13 capacity plan, PLANS.md): each
+    (label, DataFrame) branch rides as its own rows under a ``path``
+    marker, so ONE driver slot hash-proves every branch — the base plan,
+    its chunked/scale twin, and (because the oracle emits the same
+    labeled union) their agreement with the oracle, together."""
+    out = None
+    for label, df in branches:
+        b = df.select(F.lit(label).alias("path"), "*")
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+def _compose_oracle(*branches) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{label}' AS path, * FROM ({sql.strip().rstrip(';')})"
+        for label, sql in branches
+    )
+
+
 def q_mov_rms(spark, sf_dir):
     # Row-based trailing window of 10 samples on the (non-uniform) event
     # channels — the row-window flavor of mov_rms (extension.py:690-691's
-    # rolling(window_n) with warm-up dropped).
+    # rolling(window_n) with warm-up dropped).  r13: CONSOLIDATED with
+    # the chunked twin (one slot proves both paths; see _compose_paths).
     sig = _signals(spark, sf_dir)
     w = Window.partitionBy("channel_id").orderBy("t", "seq")
     roll = w.rowsBetween(-9, 0)
-    return (
+    base = (
         sig.withColumn("_rn", F.row_number().over(w))
         .withColumn("value", F.sqrt(F.avg(F.col("value") * F.col("value")).over(roll)))
         .filter(F.col("_rn") >= 10)
         .select("channel_id", "t", F.round("value", 6).alias("value"))
+    )
+    return _compose_paths(
+        ("global", base), ("chunked", _mov_rms_chunked_branch(spark, sf_dir))
     )
 
 
@@ -389,9 +429,14 @@ SELECT channel_id, t, ROUND(value, 6) AS value FROM r WHERE rn >= 10
 
 
 def q_integral(spark, sf_dir):
+    # r13: consolidated with the chunked prefix-sum twin (one slot
+    # proves both associations; see _compose_paths).
     sig = _signals(spark, sf_dir)
     out = integral(sig, tiebreak_col="seq")
-    return out.select("channel_id", "t", F.round("value", 4).alias("value"))
+    base = out.select("channel_id", "t", F.round("value", 4).alias("value"))
+    return _compose_paths(
+        ("global", base), ("chunked", _integral_chunked_branch(spark, sf_dir))
+    )
 
 
 SQL_INTEGRAL = f"""
@@ -413,9 +458,14 @@ def q_derivative(spark, sf_dir):
     # `+ 0.0` on both engines: ROUND can yield -0.0 on one side and +0.0 on
     # the other (equal under isclose, different bytes under the driver's
     # hash).  IEEE -0.0 + 0.0 == +0.0, so adding zero canonicalizes both.
+    # r13: consolidated with the chunked twin (see _compose_paths).
     sig = _signals(spark, sf_dir)
-    return derivative(sig, tiebreak_col="seq").select(
+    base = derivative(sig, tiebreak_col="seq").select(
         "channel_id", "t", (F.round("value", 6) + F.lit(0.0)).alias("value")
+    )
+    return _compose_paths(
+        ("global", base),
+        ("chunked", _derivative_chunked_branch(spark, sf_dir)),
     )
 
 
@@ -583,10 +633,10 @@ idx AS (
 """
 
 
-def q_mov_rms_chunked(spark, sf_dir):
+def _mov_rms_chunked_branch(spark, sf_dir):
     # Chunked == single-window is BIT-exact (identical frames folded in
-    # the same order; tests/test_chunked_windows.py), so the oracle is
-    # the plain global sliding window.
+    # the same order; tests/test_chunked_windows.py).  r13: rides as the
+    # 'chunked' path of the consolidated q_mov_rms gate.
     out = mov_rms(
         _idx_sig(spark, sf_dir), 0.1, _CHUNK_SR, chunk_rows=_CHUNK_L
     )
@@ -609,11 +659,12 @@ FROM r WHERE i >= 9 AND i < n - 1
 """
 
 
-def q_integral_chunked(spark, sf_dir):
+def _integral_chunked_branch(spark, sf_dir):
     # The distributed prefix-sum integral: per-chunk running sums + a
     # cumulative offset over chunk totals.  Association differs from the
     # global fold, so the oracle replays the CHUNKED association (every
-    # partial sum is an ordered left fold on both engines).
+    # partial sum is an ordered left fold on both engines).  r13: the
+    # 'chunked' path of the consolidated q_integral gate.
     out = integral(_idx_sig(spark, sf_dir), chunk_rows=_CHUNK_L)
     return out.select(
         "channel_id", "t", F.round("value", 6).alias("value")
@@ -658,10 +709,11 @@ WHERE p.i // {_CHUNK_L} = p.seg
 """
 
 
-def q_derivative_chunked(spark, sf_dir):
+def _derivative_chunked_branch(spark, sf_dir):
     # Chunked derivative is bit-exact vs the global plan (row-local
     # arithmetic; the forward 1-row overlap supplies each chunk-tail
-    # lead), so the oracle is the plain global LEAD form.
+    # lead).  r13: the 'chunked' path of the consolidated q_derivative
+    # gate (its oracle arm is the global LEAD form on the idx base).
     out = derivative(_idx_sig(spark, sf_dir), chunk_rows=_CHUNK_L)
     return out.select(
         "channel_id", "t", (F.round("value", 6) + F.lit(0.0)).alias("value")
@@ -879,18 +931,23 @@ def q_resample(spark, sf_dir):
     # Reference resample (extension.py:853-894): end-exclusive arange grid
     # from each channel's span, then linear interp.  Grid generation is
     # distributed (sequence/explode), interp is the single-sort as-of join.
+    # r13: consolidated with the range-chunked twin (see _compose_paths).
     sig = deduplicate(_sig_ch(spark, sf_dir))
     out = resample(sig, 1.0 / _RS_DT, kind="linear")
-    return out.select(
+    base = out.select(
         "channel_id", F.round("t", 6).alias("t"), F.round("value", 6).alias("value")
+    )
+    return _compose_paths(
+        ("global", base), ("chunked", _resample_chunked_branch(spark, sf_dir))
     )
 
 
-def q_resample_chunked(spark, sf_dir):
+def _resample_chunked_branch(spark, sf_dir):
     # The range-chunked resample plan (joins._resample_pairs_chunked:
-    # per-chunk lead with the injected global successor) forced through
-    # the hash gate — pairs and emitted grid points are bit-identical to
-    # the global plan, so the oracle is SQL_RESAMPLE verbatim.
+    # per-chunk lead with the injected global successor) — pairs and
+    # emitted grid points are bit-identical to the global plan, so its
+    # oracle arm is SQL_RESAMPLE verbatim.  r13: the 'chunked' path of
+    # the consolidated q_resample gate.
     sig = deduplicate(_sig_ch(spark, sf_dir))
     out = resample(sig, 1.0 / _RS_DT, kind="linear", chunk_rows=400)
     return out.select(
@@ -1291,9 +1348,7 @@ def q_text_normalize(spark, sf_dir):
     bytes."""
     from pandas_sigproc_spark.operators.text import normalize_text
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     did = F.col("doc_id").cast("long")
     body = (
         F.when(
@@ -1384,7 +1439,11 @@ def _minhash_sig_expr():
     # over the row's own shingle array.  A single aggregate matters
     # because Spark inlines the shingle-hash expression into every output
     # column: four transform()+array_min() columns would re-run md5 per
-    # shingle 4x (measured 3.5x slower).
+    # shingle 4x (measured 3.5x slower).  NO array_distinct: min is
+    # idempotent over duplicates, so the signature over the shingle
+    # MULTISET equals the one over the set — the distinct pass was pure
+    # cost (r13 scale A/B: 22% of the 8x wall) and the oracle (which
+    # does dedupe) is unchanged by construction.
     p = _MINHASH_P
     acc0 = "array(" + ",".join([f"cast({p} as bigint)"] * len(_MINHASH_PERMS)) + ")"
     upd = ",".join(
@@ -1395,7 +1454,7 @@ def _minhash_sig_expr():
         f"""
         aggregate(
           transform(
-            array_distinct({_text.gram_sql(3, "text")}),
+            {_text.gram_sql(3, "text")},
             s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {p}L),
           {acc0}, (acc, h) -> array({upd}))
         """
@@ -1404,11 +1463,10 @@ def _minhash_sig_expr():
 
 def q_dedup_minhash(spark, sf_dir):
     # Fully map-side: no explode, no distinct, no groupBy — zero
-    # shuffles, so the plan is embarrassingly parallel at any scale (each
-    # task emits one signature row per doc).  The repartition only
-    # matters locally where the table is one tiny parquet file = one
-    # split; at scale, file splits parallelize the scan.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    # shuffles, so the plan is embarrassingly parallel at any scale
+    # (each task emits one signature row per doc; _docs_par only
+    # repartitions when the local scan is split-starved).
+    d = _docs_par(spark, sf_dir)
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"), _minhash_sig_expr().alias("mh")
     ).select(
@@ -1426,7 +1484,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # integer equi-join (shuffle on the band bucket) and the quadratic
     # blow-up is confined to same-bucket docs — never the whole corpus.
     # Exact-integer arithmetic end to end = oracle-exact.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     sig = d.select(
         F.col("doc_id").cast("long").alias("doc_id"), _minhash_sig_expr().alias("mh")
     )
@@ -1592,9 +1650,7 @@ def q_cluster_rep(spark, sf_dir):
         cluster_representatives,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     docs = d.select(F.col("doc_id").cast("long").alias("doc_id"))
     comp = connected_components(
@@ -1665,7 +1721,7 @@ def q_dedup_simhash(spark, sf_dir):
     # md5 per word dozens of times).  merge keeps 32 running bit-sums;
     # finish folds them into the integer fingerprint.  Per-bit probe via
     # exact integer division by 2^j (pow(2, j) cast to bigint is exact).
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     expr = """
       aggregate(
         transform(split(text, ' '),
@@ -1722,7 +1778,7 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     # Results are bit-identical (exact string-array verification), so the
     # oracle is unchanged; jaccard_pairs stays available as the
     # documented small-corpus plan (plan='pairs').
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return jaccard_near_dupes(d, _JACCARD_T)
 
 
@@ -1732,7 +1788,7 @@ def q_dedup_jaccard_ppjoin(spark, sf_dir):
     # scale path: prefix-filter + size bound produce a candidate set whose
     # distinct replaces the quadratic (d1,d2) aggregation; each candidate
     # verified once with array_intersect against the full arrays.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return jaccard_ppjoin(d, _JACCARD_T)
 
 
@@ -1803,7 +1859,7 @@ def q_lang_id(spark, sf_dir):
     # Stopword-hit language ID: score each language by how many of the
     # doc's words hit its stopword set; argmax with fixed priority order,
     # 'und' (undetermined) when every score is zero.  Fully map-side.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     row = d.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
     scores = _text.lang_scores_expr("ws")
@@ -1855,7 +1911,7 @@ def q_lang_id_model(spark, sf_dir):
     # partially-aggregated groupBy(doc_id).
     from pandas_sigproc_spark.operators.langid import lang_id_model
 
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return lang_id_model(d)
 
 
@@ -1940,7 +1996,7 @@ _TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
 def q_token_count(spark, sf_dir):
     # BPE-ish regex tokenization: alnum runs plus single non-alnum marks,
     # versus plain whitespace tokens.  Both counts map-side.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1964,7 +2020,7 @@ def q_quality_score(spark, sf_dir):
     # quality_expr): length saturation, mean word length proximity to
     # English prose (~4.7), stopword presence, and type-token ratio.
     # Pure arithmetic -> identical in both engines.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         _text.quality_expr().alias("quality"),
@@ -1998,7 +2054,7 @@ _FP_B3 = (_FP_B * _FP_B2) % _FP_P
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     p, b, b2, b3 = _FP_P, _FP_B, _FP_B2, _FP_B3
     expr = f"""
       aggregate(
@@ -2145,9 +2201,7 @@ def q_substr_dedup(spark, sf_dir):
     # positions fold into one per-doc set.  Linear in corpus tokens.
     from pandas_sigproc_spark.operators.text import substring_dedup
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     return substring_dedup(d, n=_SUBSTR_N)
 
 
@@ -2230,9 +2284,7 @@ def _corpus_curate_impl(spark, sf_dir, *, exact_sums):
     from pandas_sigproc_spark.operators.kmeans import semantic_dedup
     from pandas_sigproc_spark.operators.text import substring_dedup
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     spans = substring_dedup(d, n=_SUBSTR_N)
     sem = semantic_dedup(
         _embeds(spark, sf_dir).repartition(
@@ -2318,7 +2370,7 @@ def q_corpus_prep(spark, sf_dir):
     # would be scanned and md5-aggregated three times.  Persisting `sig`
     # (~40 bytes/doc — 0.05% of corpus size) caps the pipeline at ONE
     # corpus scan; everything downstream joins over the cached table.
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
     scored = d.select(
@@ -2522,7 +2574,7 @@ def q_media_features(spark, sf_dir):
     )
 
     media = synthesize_media(
-        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+        _docs_par(spark, sf_dir)
     )
     out = extract_media_features(media, codec="fake")
     return out.select(
@@ -4584,9 +4636,7 @@ def q_wds_roundtrip(spark, sf_dir):
         write_wds_shards,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     base = d.select(
         (F.col("doc_id").cast("long") % 16).alias("shard"),
         F.lpad(F.col("doc_id").cast("long").cast("string"), 8, "0").alias(
@@ -4661,9 +4711,7 @@ def q_warc_extract(spark, sf_dir):
 
     from pandas_sigproc_spark.operators.webcrawl import warc_documents
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         from pandas_sigproc_spark.sources.warc import encode_warc
@@ -4723,9 +4771,7 @@ def q_zip_extract(spark, sf_dir):
 
     from pandas_sigproc_spark.operators.webdataset import zip_members
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         from pandas_sigproc_spark.sources.pkzip import encode_zip
@@ -4793,9 +4839,7 @@ def q_domain_cap(spark, sf_dir):
         warc_documents,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         from pandas_sigproc_spark.sources.warc import encode_warc
@@ -4871,9 +4915,7 @@ def q_url_blocklist(spark, sf_dir):
         url_blocklist_filter,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     hosts = [
         "news.example.org",
         "x.badnet.example",
@@ -5016,9 +5058,7 @@ def q_robots_filter(spark, sf_dir):
         robots_verdicts,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     robots = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -5066,9 +5106,7 @@ def q_sitemap_extract(spark, sf_dir):
         sitemap_locs,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     did = F.col("doc_id").cast("long")
     host = F.concat(F.lit("h"), did.cast("string"), F.lit(".example"))
     base_url = F.concat(F.lit("https://"), host)
@@ -5171,9 +5209,7 @@ def q_crawl_admission(spark, sf_dir):
         url_blocklist_filter,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     did = F.col("doc_id").cast("long")
     hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
     host_pick = F.element_at(
@@ -6509,7 +6545,7 @@ def q_stratified_sample(spark, sf_dir):
     any cluster size.  Salting the hash input (':sample') decorrelates it
     from every other hash-derived operator.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return (
         d.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -6546,7 +6582,7 @@ def q_ngram_counts(spark, sf_dir):
     global sort — so the plan's driver traffic is O(k) at any corpus
     size.  Deterministic tiebreak on the gram text.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     grams = F.explode(_text.grams_expr(2))  # linear builder, see gram_sql
     return (
         d.select(grams.alias("gram"))
@@ -6588,7 +6624,7 @@ def q_decontaminate(spark, sf_dir):
     # oracle-proven): one persisted gram-hash pass feeds BOTH the
     # benchmark set and the train probe.
     return _cur.decontaminate_exact(
-        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism),
+        _docs_par(spark, sf_dir),
         bench_pred=F.col("doc_id") % 10 == 0,
         n=_DECON_N,
         persist=_persist,
@@ -6633,7 +6669,7 @@ def q_tfidf_topk(spark, sf_dir):
     # Delegates to the package API (operators/text.py tfidf_topk —
     # identical plan, oracle-proven).
     return _text.tfidf_topk(
-        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism),
+        _docs_par(spark, sf_dir),
         k=3,
     )
 
@@ -6686,7 +6722,7 @@ def q_shard_assign(spark, sf_dir):
     {_SHARD_BUCKETS} rows and broadcast back; no global sort anywhere.
     The oracle replays the identical integer prefix sum in DuckDB.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     docs = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -6732,9 +6768,7 @@ def q_train_order(spark, sf_dir):
     corpus never range-exchanges through a total-order sort."""
     from pandas_sigproc_spark.operators.packing import training_order
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     return training_order(
         d.select("doc_id"), seed="epoch0", buckets=_TRAIN_ORDER_BUCKETS
     )
@@ -6853,9 +6887,7 @@ def q_bpe_pack(spark, sf_dir):
     (distributed prefix sum, shard-bounded pack streams)."""
     from pandas_sigproc_spark.operators.bpe import bpe_token_counts
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     # count path: the distinct-word fold (vocabulary-sized work; an
     # all-whitespace doc yields no row, which is also what the
     # oracle's n_tokens > 0 filter derives) — bpe_encode_relational's
@@ -7457,7 +7489,7 @@ def q_training_mix(spark, sf_dir):
     sample filter is a map-side predicate; packing shuffles once into
     per-(lang, shard) streams; the report agg is tiny.
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     base = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",
@@ -7609,7 +7641,7 @@ def q_para_dedup(spark, sf_dir):
     cleaned documents.  See operators/curation.py:block_dedup for the
     three-uniform-shuffle scale shape (digest partial agg + keeper
     equi-join + per-doc reassembly bounded by document length)."""
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return _cur.block_dedup(d, _BLOCK_TOKENS)
 
 
@@ -7654,7 +7686,7 @@ def q_quality_classify(spark, sf_dir):
     expression tree.
     The 6-dp rounding margin over exp() is pinned by
     tests/test_curation.py against DuckDB on the full corpus."""
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return _cur.quality_classifier(d, threshold=_QC_THRESHOLD)
 
 
@@ -7700,7 +7732,7 @@ def q_gopher_rules(spark, sf_dir):
     required-word probe (>=2 of 8), with keep decided on unrounded
     values.  0 shuffles, 0 UDFs — one expression tree per document
     (operators/curation.py gopher_rules)."""
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return _cur.gopher_rules(d)
 
 
@@ -7839,9 +7871,7 @@ def q_crawl_curate(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
 
     def uri_pairs(r):
         i, source = int(r.doc_id), str(r.source)
@@ -7950,9 +7980,7 @@ def q_corpus_to_shards(spark, sf_dir):
         write_wds_shards,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
     paths = list(_ROBOTS_PATHS)
 
@@ -8450,9 +8478,7 @@ def q_link_pagerank(spark, sf_dir):
         url_host,
     )
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs_par(spark, sf_dir)
     i = F.col("doc_id").cast("long")
     h1 = F.concat(F.lit("src"), ((i * 7 + 1) % 20).cast("string"))
     h2 = F.concat(F.lit("src"), ((i * 13 + 3) % 20).cast("string"))
@@ -8532,7 +8558,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     at this bitmap sizing the probe is exact on the test corpus (the
     FP analysis lives in operators/curation.py).
     """
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     bench = (
         d.filter(F.col("doc_id") % 10 == 0)
         .select(_text.gram_hash_expr(_DECON_N).alias("gs"))
@@ -8599,7 +8625,7 @@ def q_temp_sample(spark, sf_dir):
     deterministic map-side hash filter.  The corpus side never
     shuffles; the threshold table is language-cardinality and
     broadcast."""
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return _cur.temperature_sample(d)
 
 
@@ -8674,7 +8700,7 @@ def q_incr_dedup(spark, sf_dir):
     (+100000 ids), so the exact-dup flag, the near-dup-vs-existing
     count, and the within-delta defer rule all fire on driver data.
     See operators/curation.py:incremental_dedup for the scale shape."""
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     base = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     existing = base.filter(F.col("doc_id") % 5 != 4)
     delta = base.filter(F.col("doc_id") % 5 == 4).unionByName(
@@ -8802,7 +8828,7 @@ def q_incr_dedup_store(spark, sf_dir):
         write_signature_store,
     )
 
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     base = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     existing = base.filter(F.col("doc_id") % 5 != 4)
     delta = base.filter(F.col("doc_id") % 5 == 4).unionByName(
@@ -8850,7 +8876,7 @@ def q_lm_ppl(spark, sf_dir):
     for the scale shape."""
     from pandas_sigproc_spark.operators.lm import ngram_lm_score
 
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     ref = d.filter(F.col("source") == "src0")
     return ngram_lm_score(
         d, ref, alpha=_LM_ALPHA, thresholds=(_LM_T1, _LM_T2)
@@ -8869,7 +8895,7 @@ def q_lm_ppl_terciles(spark, sf_dir):
     small-SF audit twin inside operators/lm.py."""
     from pandas_sigproc_spark.operators.lm import ngram_lm_score
 
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     ref = d.filter(F.col("source") == "src0")
     return ngram_lm_score(d, ref, alpha=_LM_ALPHA, thresholds="sampled")
 
@@ -8957,7 +8983,7 @@ def q_source_overlap(spark, sf_dir):
     (source, perm) MIN partial agg; the elementwise min over a union
     IS the union's MinHash).  See operators/curation.py:source_overlap
     for the scale shape."""
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     return _cur.source_overlap(
         d.select(F.col("source"), "text")
     ).orderBy("src_a", "src_b")
@@ -9428,11 +9454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_real": q_media_image_real,
         "semdedup": q_semdedup,
         "corpus_curate": q_corpus_curate,
-        "mov_rms_chunked": q_mov_rms_chunked,
-        "integral_chunked": q_integral_chunked,
-        "derivative_chunked": q_derivative_chunked,
+        # (r13 consolidation: mov_rms/integral/derivative/resample
+        #  _chunked twins now ride as the 'chunked' path of their base
+        #  gates — 4 slots freed, see PLANS.md capacity plan; the
+        #  interp pair merges in r14 when interp_daily re-enters the
+        #  window.)
         "interp_chunked": q_interp_chunked,
-        "resample_chunked": q_resample_chunked,
         "ann_int8": q_ann_int8,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -9466,12 +9493,18 @@ def oracle_sql() -> dict[str, str]:
         "rms": SQL_RMS,
         "spl": SQL_SPL,
         "samplerate": SQL_SAMPLERATE,
-        "mov_rms": SQL_MOV_RMS,
-        "integral": SQL_INTEGRAL,
-        "derivative": SQL_DERIVATIVE,
-        "mov_rms_chunked": SQL_MOV_RMS_CHUNKED,
-        "integral_chunked": SQL_INTEGRAL_CHUNKED,
-        "derivative_chunked": SQL_DERIVATIVE_CHUNKED,
+        # r13 consolidated gates: each proves its global AND chunked
+        # path under one slot (oracle = the two arms unioned under a
+        # 'path' marker; _compose_oracle)
+        "mov_rms": _compose_oracle(
+            ("global", SQL_MOV_RMS), ("chunked", SQL_MOV_RMS_CHUNKED)
+        ),
+        "integral": _compose_oracle(
+            ("global", SQL_INTEGRAL), ("chunked", SQL_INTEGRAL_CHUNKED)
+        ),
+        "derivative": _compose_oracle(
+            ("global", SQL_DERIVATIVE), ("chunked", SQL_DERIVATIVE_CHUNKED)
+        ),
         "detrend_constant": SQL_DETREND_CONSTANT,
         "detrend_linear": SQL_DETREND_LINEAR,
         # same oracle: agg plan == window plan under the nudge+round contract
@@ -9484,9 +9517,11 @@ def oracle_sql() -> dict[str, str]:
         # bit-identical to the global as-of plan (tests/test_interp_chunked)
         "interp_chunked": SQL_INTERP_DAILY,
         "interp_nearest": SQL_INTERP_NEAREST,
-        "resample": SQL_RESAMPLE,
-        # bit-identical to the global pair plan (tests/test_interp_chunked)
-        "resample_chunked": SQL_RESAMPLE,
+        # chunked arm bit-identical to the global pair plan
+        # (tests/test_interp_chunked), so both arms share SQL_RESAMPLE
+        "resample": _compose_oracle(
+            ("global", SQL_RESAMPLE), ("chunked", SQL_RESAMPLE)
+        ),
         "segment_stats": SQL_SEGMENT_STATS,
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_revenue_join": SQL_TPCH_REVENUE_JOIN,
