@@ -9074,6 +9074,16 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
             os.utime(dst, (base + i, base + i))
             n_files += 1
         shutil.rmtree(stage, ignore_errors=True)
+    if n_files < 2:
+        # a degenerate split (all rows in one residue class / empty
+        # ranges) would replay as <=1 micro-batch and certify NOTHING
+        # about state carry — refuse before running (a review finding:
+        # the post-hoc guard below passes trivially at n_files<=1)
+        raise RuntimeError(
+            f"stream gate {name!r}: only {n_files} non-empty source "
+            f"file(s) from {len(parts)} parts — the replay would not "
+            "exercise cross-batch state; fix the partitioning"
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -9143,24 +9153,26 @@ def q_streaming_corpus_filter(spark, sf_dir):
     )
 
 
+# quality arm reuses the ONE shared transcription of quality_expr
+# (_SQL_QUALITY_SCORE_EXPR) rather than a third copy — a weight change
+# in operators/text.py then has a single DuckDB edit point (a review
+# finding, same drift class as the _SQL_GOPHER_KEEP assert).
 SQL_STREAMING_CORPUS_FILTER = f"""
 WITH tok AS (
   SELECT text, STRING_SPLIT(text, ' ') AS ws FROM documents
 ),
 scored AS (
   SELECT text,
-         ROUND(0.3 * LEAST(1.0, LENGTH(text) / 400.0)
-             + 0.25 * GREATEST(0.0, 1.0 - ABS(LENGTH(text) / CAST(LEN(ws) AS DOUBLE) - 4.7) / 4.7)
-             + 0.25 * LEAST(1.0, LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and','is')))
-                                 / (LEN(ws) * 0.05))
-             + 0.2 * (LEN(LIST_DISTINCT(ws)) / CAST(LEN(ws) AS DOUBLE)), 6) AS quality,
+         {{quality_expr}} AS quality,
          {{lang_pred}} AS pred_lang,
          CAST(LEN(ws) AS BIGINT) AS n_tokens
   FROM tok
 )
 SELECT DISTINCT MD5(text) AS digest, quality, pred_lang, n_tokens
 FROM scored WHERE quality >= 0.6
-""".replace("{lang_pred}", _lang_pred_sql())
+""".replace("{lang_pred}", _lang_pred_sql()).replace(
+    "{quality_expr}", _SQL_QUALITY_SCORE_EXPR
+)
 
 
 def q_streaming_rainflow(spark, sf_dir):
@@ -9322,7 +9334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            recursive 4-POINT-rule machine, distinct from the
     #            3-point SQL_RAINFLOW).
     #   below the cap — the 47 remaining r11-greens (fresh through r13;
-    #            they are r14's mandatory set), then the 50 r12-greens
+    #            they are r14's mandatory set), then the 46 r12-greens
+    #            (50 minus the 4 consolidated into their base gates)
     #            (fresh through r14); the local gate
     #            (tools/oracle_check.py) keeps full coverage meanwhile.
     return {
@@ -9380,7 +9393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rainflow": q_streaming_rainflow,
         # ---- driver cap: entries BELOW here are not driver-checked -------
         # (the 47 remaining r11-greens — fresh through r13, they are the
-        #  r14 mandatory set — then the 50 r12-greens, fresh through r14.)
+        #  r14 mandatory set — then the 46 r12-greens, fresh through r14;
+        #  4 of the original 50 were consolidated into base gates.)
         # -- r11 tier (47 left; fresh through r13; r14 mandatory) ----------
         "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
@@ -9429,7 +9443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_store": q_incr_dedup_store,
         "media_image_jpeg": q_media_image_jpeg,
         "media_video_mp4": q_media_video_mp4,
-        # -- r12 tier (50; fresh through r14) -------------------------------
+        # -- r12 tier (46 after consolidation; fresh through r14) -------------------------------
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,

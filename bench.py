@@ -632,6 +632,15 @@ def main():
     }
     if scale is not None:
         detail["scale"] = scale
+    # r13 gate consolidation: these four legs now execute BOTH the
+    # global and the chunked plan (a 'path'-marked union — see
+    # PLANS.md capacity plan), so their walls are NOT comparable to
+    # r12 and earlier (expect roughly the sum of the old base +
+    # chunked legs).  Recorded so a verdict reads the step as a gate
+    # change, not an engine regression.
+    detail["composed_legs_since_r13"] = [
+        "mov_rms", "integral", "derivative", "resample",
+    ]
     # full-precision walls live here; the final line carries 2 dp
     detail["queries_3dp"] = timings
     here = os.path.dirname(os.path.abspath(__file__))

@@ -242,11 +242,19 @@ class _BitReader:
         if self.marker is None:
             # the padding bits were never read, so the marker bytes are
             # still ahead of pos — skip to and over them
-            while not (
-                self.data[self.pos] == 0xFF
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-            ):
-                self.pos += 1
+            try:
+                while not (
+                    self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+                ):
+                    self.pos += 1
+            except IndexError:
+                # same ValueError contract as _fill: truncated input
+                # never leaks IndexError to callers skipping corrupt
+                # payloads (a review finding)
+                raise ValueError(
+                    "JPEG: truncated stream — no restart marker found"
+                ) from None
             self.pos += 2
         self.marker = None
 

@@ -428,12 +428,17 @@ def _unpack_frames(
         elif order in (">", "!"):
             dt = dt.newbyteorder(">")
         # '='/'@'/absent = native, numpy's default — and homogeneous
-        # simple codes never carry alignment padding
-        return (
-            np.frombuffer(payload, dtype=dt)
-            .astype(np.float64)
-            .reshape(n, n_sub)
-        )
+        # simple codes never carry alignment padding.  Width guard: in
+        # NATIVE mode struct 'l'/'L' are platform-sized (8 bytes on
+        # LP64) while the table maps the standard-size 4 — mismatched
+        # widths must fall back to iter_unpack, not mis-slice a valid
+        # file (a review finding, reproduced on fmt 'll').
+        if struct.calcsize(order + body[0]) == dt.itemsize:
+            return (
+                np.frombuffer(payload, dtype=dt)
+                .astype(np.float64)
+                .reshape(n, n_sub)
+            )
     return np.array(
         list(struct.iter_unpack(fmt, payload)), dtype=np.float64
     ).reshape(n, n_sub)

@@ -296,3 +296,15 @@ def test_decode_wall_is_not_quadratic_in_scan_size():
     wall = time.time() - t0
     assert out.shape == (128, 128, 3)
     assert wall < 3.0, f"decode took {wall:.1f}s — bit reader quadratic again?"
+
+
+def test_truncated_restart_stream_raises_valueerror():
+    # r13 review finding: sync_restart's marker scan leaked IndexError
+    # when a DRI stream is cut before the next RSTn marker.
+    img = _gradient(32, 32)
+    blob = encode_jpeg(img, 90, restart_interval=1)
+    for cut in range(5, 60, 7):
+        try:
+            decode_jpeg_bytes(blob[:-cut])
+        except ValueError:
+            pass  # the contract: ValueError or a successful decode

@@ -559,3 +559,15 @@ def test_is_recording_still_matches_doctype():
     assert mide.is_recording(blob)
     assert not mide.is_mide(blob)
     assert not mide.is_recording(b"\x00\x01")
+
+
+def test_unpack_frames_native_long_width_mismatch_falls_back():
+    # r13 review finding (reproduced): native-mode 'l'/'L' are
+    # platform-sized (8 bytes on LP64) while the fast-path table maps
+    # the standard 4-byte width — such formats must take the
+    # iter_unpack fallback, not mis-slice a valid payload.
+    import struct as _struct
+
+    payload = _struct.pack("ll", 7, -3) + _struct.pack("ll", 1, 2)
+    out = mide._unpack_frames("ll", payload, 2, 2)
+    assert out.tolist() == [[7.0, -3.0], [1.0, 2.0]]

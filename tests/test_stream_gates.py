@@ -77,10 +77,6 @@ def test_replay_gate_raises_when_batches_collapse(spark, tmp_path, monkeypatch):
         def awaitTermination(self, *a):
             return True
 
-    real_start = None
-
-    import pyspark.sql.streaming.query as _q  # noqa: F401
-
     from pyspark.sql.streaming.readwriter import DataStreamWriter
 
     real_start = DataStreamWriter.start
@@ -96,6 +92,24 @@ def test_replay_gate_raises_when_batches_collapse(spark, tmp_path, monkeypatch):
             "guardtest",
             str(tmp_path / "sf"),
             parts,
+            "doc_id long, text string",
+            lambda s: s,
+        )
+
+
+def test_replay_gate_refuses_degenerate_single_batch(spark, tmp_path):
+    # <2 non-empty source files would replay as one micro-batch and
+    # certify nothing about state carry — refuse before running.
+    d = spark.range(8).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("text body here").alias("text"),
+    )
+    with pytest.raises(RuntimeError, match="cross-batch state"):
+        entry_mod._replay_stream_gate(
+            spark,
+            "degentest",
+            str(tmp_path / "sf"),
+            [d],  # one part = one batch
             "doc_id long, text string",
             lambda s: s,
         )
