@@ -107,13 +107,7 @@ def block_dedup(
             (F.expr(f"p0 div {int(block_tokens)}") + 1).cast("long").alias("bid"),
         )
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p0", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("btext")
+            _text.token_fold_expr(F.struct("p0", "w"), "w").alias("btext")
         )
         .select("doc_id", "bid", "btext", F.md5("btext").alias("digest"))
     )
@@ -143,16 +137,8 @@ def block_dedup(
             / F.count("*").cast("double"),
             6,
         ).alias("dup_frac"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("bid", "btext"))
-                    )
-                ),
-                lambda s: s["btext"],
-            ),
-            " ",
+        _text.token_fold_expr(
+            F.when(F.col("keep"), F.struct("bid", "btext")), "btext"
         ).alias("clean_text"),
     )
 
@@ -660,6 +646,17 @@ def bloom_probe(
     identical in the oracle, which replays the same bitmap arithmetic
     relationally.
     """
+    # Loud size check: a bitmap built at a different m than the probe's
+    # m_bits makes element_at index past the array, which returns NULL
+    # (non-ANSI), NULLs the _hit conjunction, and silently never flags a
+    # gram — contaminated documents would pass with zero errors (a
+    # review finding; the COMPATIBILITY note warns of exactly this).
+    if len(bitmap) * 32 != m_bits:
+        raise ValueError(
+            f"bloom_probe: bitmap holds {len(bitmap) * 32} bits but "
+            f"m_bits={m_bits} — the bitmap was built at a different m; "
+            "rebuild it or pass the matching m_bits"
+        )
     bm_df = docs.sparkSession.createDataFrame(
         [([int(x) for x in bitmap],)], "_bm array<bigint>"
     )
@@ -827,13 +824,19 @@ def temperature_sample(
     """
     thr = temperature_thresholds(docs, lang_col=lang_col, mod=mod)
     u = _text.sample_bucket_expr(id_col, TEMP_SAMPLE_SALT, mod=mod)
+    sel = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        u.alias("u"),
+    )
+    # NULL-safe equi-join: thresholds GROUP NULL-lang docs into their
+    # own row (and count them in the corpus total), so the apply side
+    # must reach that row too — a null-unsafe join silently dropped
+    # every NULL-lang doc while deflating the real languages' targets
+    # (a review finding).
+    t = F.broadcast(thr.select(F.col("lang").alias("_tl"), "thr"))
     return (
-        docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(lang_col).alias("lang"),
-            u.alias("u"),
-        )
-        .join(F.broadcast(thr.select("lang", "thr")), "lang")
+        sel.join(t, sel["lang"].eqNullSafe(F.col("_tl")))
         .filter(F.col("u") < F.col("thr"))
         .select("doc_id", "lang", "u")
     )
@@ -874,8 +877,6 @@ def minhash_sig_expr(
     shingle-hash subtree into every output column, so k separate
     ``transform()+array_min()`` columns would re-run md5 per shingle k
     times (measured 3.5x slower on the batch minhash query)."""
-    from pandas_sigproc_spark.operators.text import gram_sql
-
     acc0 = "array(" + ",".join([f"cast({p} as bigint)"] * len(perms)) + ")"
     upd = ",".join(
         f"least(acc[{i}], ({a}L * h + {b}L) % {p}L)"
@@ -885,7 +886,7 @@ def minhash_sig_expr(
         f"""
         aggregate(
           transform(
-            array_distinct({gram_sql(n, text_col)}),
+            array_distinct({_text.gram_sql(n, text_col)}),
             s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {p}L),
           {acc0}, (acc, h) -> array({upd}))
         """
@@ -977,13 +978,21 @@ def incremental_dedup(
     """
     if not 0.0 < near_threshold <= 1.0:
         raise ValueError("need 0 < near_threshold <= 1")
+    # NULL text coalesces to '' ONCE here, for BOTH sides and BOTH tiers
+    # (digest and signature) — the rule sigstore.signature_tables and
+    # the streaming twin's _prep already apply.  Before this, the
+    # corpus digest and both minhash signatures hashed raw text, where
+    # md5(NULL)=NULL made a NULL-text doc unmatchable in batch while
+    # the store/streaming twins matched it (a review finding: the
+    # 'same probe core' contract disagreed across the three paths on
+    # NULL-text corpora).
     d = delta.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
     )
     ex = existing.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
     )
     ex_digests = ex.select(F.md5("text").alias("digest")).distinct()
     ex_sig = ex.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
@@ -1178,7 +1187,14 @@ def decontaminate_exact(
         # column (a second review finding: joining it back on doc_id
         # added a corpus-wide shuffle of the exploded gram table just
         # to attach one boolean).
-        tagged = docs.withColumn("_is_bench", bench_pred)
+        # coalesce(pred, false): a NULL predicate row (e.g. split IS
+        # NULL under pred = split=='test') previously failed BOTH
+        # filters — excluded from the benchmark set AND never probed on
+        # the train side, a silent decontamination hole (a review
+        # finding).  NULL now means "not benchmark": the row is probed.
+        tagged = docs.withColumn(
+            "_is_bench", F.coalesce(bench_pred, F.lit(False))
+        )
         gh = persist(_gh(tagged, extra=("_is_bench",)))
         bench_h = gh.filter(F.col("_is_bench")).select("h").distinct()
         train = gh.filter(~F.col("_is_bench")).drop("_is_bench")
@@ -1269,9 +1285,7 @@ def source_overlap(
 
     Output: ``(src_a, src_b, est_jaccard double)`` for src_a < src_b.
     """
-    from pandas_sigproc_spark.operators.text import grams_expr
-
-    shingles = grams_expr(n, text_col)  # linear builder — see gram_sql
+    shingles = _text.grams_expr(n, text_col)  # linear builder — see gram_sql
     h = (
         F.expr(
             "cast(conv(substring(md5(_sh), 1, 15), 16, 10) as bigint)"
@@ -1363,11 +1377,17 @@ def cluster_representatives(
         "doc_id",
         "left",
     )
+    # nanvl first: Spark orders NaN GREATER than every real double, so
+    # a NaN-scored member (0/0 from a broken upstream ratio) would
+    # always win the argmax — exactly the junk this function exists to
+    # demote.  NaN -> NULL -> the same -inf as a missing score (a
+    # review finding; only NULL was defended before).
+    _s = F.col("score").cast("double")
     reps = j.groupBy("component").agg(
         F.max(
             F.struct(
                 F.coalesce(
-                    F.col("score").cast("double"),
+                    F.nanvl(_s, F.lit(None).cast("double")),
                     F.lit(float("-inf")),
                 ).alias("s"),
                 (-F.col("doc_id")).alias("negid"),

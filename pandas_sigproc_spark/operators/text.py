@@ -126,6 +126,24 @@ def grams_expr(n: int, text_col: str = "text") -> Column:
     return F.expr(gram_sql(n, text_col))
 
 
+def token_fold_expr(struct_col: Column, field: str, sep: str = " ") -> Column:
+    """Aggregate expression reassembling exploded tokens in order:
+    collect the (sort-key..., token) structs, array_sort (leading
+    fields are the order key; collect_list drops NULL structs, so a
+    ``when(keep, struct(...))`` wrapper filters), project ``field``,
+    join with ``sep``.  ONE definition (a review finding counted four
+    hand-copies across text.py/curation.py — the hash60_sql/_band_keys
+    single-homing rule): the chunk plans and the dedup reassemblies are
+    equality-tested on bit-identical strings, which independent copies
+    could silently break by drifting."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(struct_col)), lambda s: s[field]
+        ),
+        sep,
+    )
+
+
 def gram_hash_expr(n: int, text_col: str = "text") -> Column:
     """Distinct word-``n``-gram set of a document as portable 60-bit md5
     bigint hashes (identical arithmetic to the DuckDB oracle mirrors)."""
@@ -193,7 +211,13 @@ NORMALIZE_STEPS: tuple[tuple[str, str], ...] = (
     ("\u2026", "..."),                                    # ellipsis
     ("[ \t]+", " "),                                      # collapse runs of space/tab
     ("[ ]*\n[ ]*", "\n"),                                # strip spaces around newlines
-    ("^[ \n]+|[ \n]+$", ""),                             # trim outer whitespace
+    # trim outer whitespace — \A/\z, NOT ^/$: Java's $ also matches
+    # BEFORE a final U+0085/U+2028/U+2029 line terminator (all of which
+    # survive every step above) while RE2's $ is end-of-text only, so
+    # ^/$ would break the Spark==DuckDB bit-parity this table
+    # guarantees (a review finding; gopher_rules documents the same
+    # quirk).  Both engines support \A/\z with identical semantics.
+    ("\\A[ \n]+|[ \n]+\\z", ""),
 )
 
 
@@ -368,7 +392,11 @@ def chunk_documents(
     if chunk_tokens < 1 or overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    ws = F.split(F.col(text_col), " ")
+    # null-as-empty (the tier's convention, see curation's bpe rule):
+    # size(split(NULL)) is NULL, which fails BOTH branch filters and
+    # silently dropped the document with no chunk rows (a review
+    # finding); NULL now chunks like '' — one empty chunk.
+    ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(ws)
 
     def _map_side(branch):
@@ -426,13 +454,7 @@ def chunk_documents(
         )
         return assign.groupBy("doc_id", "chunk_id").agg(
             F.count("*").cast("int").alias("n_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p0", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("chunk_text"),
+            token_fold_expr(F.struct("p0", "w"), "w").alias("chunk_text"),
         ).select(
             "doc_id",
             F.col("chunk_id").cast("int").alias("chunk_id"),
@@ -531,13 +553,7 @@ def substring_dedup(
     )
     ct = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("_nk"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("_ct"),
+        token_fold_expr(F.struct("p", "w"), "w").alias("_ct"),
     )
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
