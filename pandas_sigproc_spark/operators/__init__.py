@@ -115,7 +115,9 @@ from pandas_sigproc_spark.operators.bpe import (
 )
 from pandas_sigproc_spark.operators.webdataset import (
     load_wds_shards,
+    load_wds_store,
     save_wds_shards,
+    save_wds_store,
     wds_members,
     wds_samples,
     write_wds_shards,
@@ -244,7 +246,9 @@ __all__ = [
     "bpe_encode_relational",
     "bpe_token_counts",
     "load_wds_shards",
+    "load_wds_store",
     "save_wds_shards",
+    "save_wds_store",
     "wds_members",
     "wds_samples",
     "write_wds_shards",

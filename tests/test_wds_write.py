@@ -303,3 +303,65 @@ def test_unmanifested_tars_refused_without_overwrite(spark, tmp_path):
     save_wds_shards(shards, root, overwrite=True)
     tars = sorted(f for f in os.listdir(root) if f.endswith(".tar"))
     assert tars == ["shard-00000000.tar", "shard-00000001.tar"]
+
+
+def test_wds_store_roundtrip_any_scheme(spark, tmp_path):
+    # r13: the object-store layout — parquet-payload rows through
+    # Spark's JVM writers + a Hadoop-FS manifest stamp, exercised here
+    # through an explicit file:// URI (the same FileSystem API route an
+    # s3a://hdfs:// path takes).
+    from pandas_sigproc_spark.operators.webdataset import (
+        load_wds_store,
+        save_wds_store,
+        wds_members,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_members_df(spark, _rows()))
+    uri = "file://" + str(tmp_path / "store")
+    manifest = save_wds_store(shards, uri)
+    assert manifest["layout"] == "parquet-payloads"
+    assert manifest["n_shards"] == 3 and manifest["n_bytes"] > 0
+
+    back = load_wds_store(spark, uri)
+    # byte-identical tars per shard vs the in-memory result
+    want = {r["shard"]: bytes(r["payload"]) for r in shards.collect()}
+    got = {r["shard"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == want
+    # and the members decode through the normal path
+    m = wds_members(back.selectExpr("shard as shard_id", "payload"))
+    assert m.count() == 40
+
+
+def test_wds_store_refuses_unstamped_and_overwrite(spark, tmp_path):
+    from pandas_sigproc_spark.operators.webdataset import (
+        load_wds_store,
+        save_wds_store,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_members_df(spark, _rows()))
+    uri = "file://" + str(tmp_path / "store2")
+    save_wds_store(shards, uri)
+    # second write without overwrite refuses
+    with pytest.raises(ValueError, match="overwrite=True"):
+        save_wds_store(shards, uri)
+    # overwrite replaces cleanly
+    m2 = save_wds_store(shards, uri, overwrite=True)
+    assert m2["n_shards"] == 3
+    # a store missing its stamp refuses to load
+    import os
+
+    os.remove(str(tmp_path / "store2" / "_manifest.json"))
+    with pytest.raises(ValueError, match="no _manifest.json"):
+        load_wds_store(spark, uri)
+
+
+def test_wds_store_refuses_duplicate_shard_ids(spark, tmp_path):
+    from pandas_sigproc_spark.operators.webdataset import save_wds_store
+
+    dup = spark.createDataFrame(
+        [(1, b"x"), (1, b"y")], "shard long, payload binary"
+    )
+    with pytest.raises(ValueError, match="duplicate shard"):
+        save_wds_store(dup, "file://" + str(tmp_path / "store3"))
