@@ -383,9 +383,29 @@ def _ivf_ranked_centroids(
             ).alias("cs")
         )
     ea = vecs.crossJoin(F.broadcast(cents))
+    # Loud empty-selection guard, inherited by every IVF tier: with a
+    # centroid_pred matching no corpus row (e.g. vec_ids not starting
+    # at 0) the cs array is empty, ranked[0] is out-of-bounds, and the
+    # probe either returned silently-empty top-k (legacy mode) or an
+    # opaque INVALID_ARRAY_INDEX (ANSI) — the same misconfiguration
+    # _pq_code_table already asserts on (a review finding).  The
+    # when(assert.isNull, col) shape keeps the assert type-free and
+    # un-prunable (it feeds the consumed column).
+    cs_ok = F.when(
+        F.assert_true(
+            F.size("cs") > 0,
+            F.lit(
+                "ivf: the centroid selection is empty — centroid_pred"
+                " matched no corpus row (e.g. vec_ids not starting at"
+                " 0) or the centroids table is empty; fix"
+                " centroid_pred/centroids"
+            ),
+        ).isNull(),
+        F.col("cs"),
+    )
     ranked = F.array_sort(
         F.transform(
-            F.col("cs"),
+            cs_ok,
             lambda s: F.struct(
                 F.round(-_cos(F.col("v"), s["cv"]), 9).alias("negcos"),
                 s["cid"].alias("cid"),
@@ -949,7 +969,11 @@ def ivf_pq_topk(
         eq.crossJoin(F.broadcast(cb))
         .select(
             F.col("vec_id").alias("qid"),
-            u_expr.alias("u"),
+            # dim-checked like the corpus encode: with code_table= the
+            # corpus path (and its _checked_dim_u) never runs, so a
+            # wrong-dim probe table would silently slice-truncate into
+            # plausible-but-wrong LUTs (a review finding)
+            _checked_dim_u(u_expr, sub * m).alias("u"),
             F.slice(ranked_q, 1, nprobe).alias("_rkq"),
             "cbv",
         )

@@ -121,6 +121,13 @@ def jaccard_pairs(
     aggregation.  Two shuffles (three with max_df).  Small-corpus plan;
     see jaccard_ppjoin for the 100 TB variant.
     """
+    if not 0.0 < threshold <= 1.0:
+        # threshold > 1 dies mid-job with a cryptic negative
+        # slice-length error; threshold <= 0 silently degenerates to
+        # the unguarded all-pairs quadratic this module exists to avoid
+        # (a review finding; the lsh_band_tuning/guard_bucket_rows
+        # siblings validate the same way)
+        raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
     sh = _apply_df_cap(_exploded(docs, text_col, id_col, n), max_df)
     t_lo = _pruning_threshold(threshold)
     a, b = sh.alias("a"), sh.alias("b")
@@ -176,6 +183,13 @@ def jaccard_ppjoin(
     matters MOST here, because prefix entries of boilerplate shingles are
     exactly what floods the candidate join.
     """
+    if not 0.0 < threshold <= 1.0:
+        # threshold > 1 dies mid-job with a cryptic negative
+        # slice-length error; threshold <= 0 silently degenerates to
+        # the unguarded all-pairs quadratic this module exists to avoid
+        # (a review finding; the lsh_band_tuning/guard_bucket_rows
+        # siblings validate the same way)
+        raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
     nparts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
     if max_df is None:
         arr = (

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_sigproc_spark.operators.ann import _dot, _norm
+
 
 def kmeans_embeddings(
     df: DataFrame,
@@ -37,6 +39,7 @@ def kmeans_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_sums: bool = False,
+    persist=None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's over an ``array<float|double>`` column.
 
@@ -46,7 +49,19 @@ def kmeans_embeddings(
     the smallest cluster id (stable, engine-independent on equal
     distances).
     """
-    assigned, cents = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
+    assigned, cents = _lloyd(
+        df, k, iters, id_col, vec_col, exact_sums, persist=persist
+    )
+    if persist:
+        # ONE block for both consumers: counts and the centroid table
+        # each re-run every Lloyd round otherwise, and in
+        # exact_sums=False mode an ulp-scale argmin tie can flip a
+        # vector between the two recomputations — returning an n
+        # inconsistent with c (a review finding).  Cache substitution
+        # is plan-keyed, so cents' subtree picks this block up too.
+        assigned = (
+            persist(assigned) if callable(persist) else assigned.persist()
+        )
     counts = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
     return (
         cents.join(counts, "cluster", "left")
@@ -72,11 +87,14 @@ def kmeans_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_sums: bool = False,
+    persist=None,
 ) -> DataFrame:
     """Per-vector cluster assignment after ``iters`` Lloyd rounds:
     ``(vec_id long, cluster int)`` — the input to cluster-balanced
     sampling / semantic curation stages."""
-    assigned, _ = _lloyd(df, k, iters, id_col, vec_col, exact_sums)
+    assigned, _ = _lloyd(
+        df, k, iters, id_col, vec_col, exact_sums, persist=persist
+    )
     return assigned.select(
         F.col("vid").alias(id_col), F.col("cluster").cast("int").alias("cluster")
     )
@@ -249,7 +267,9 @@ def semantic_dedup(
     table and its total, both pair-join sides, the final left join), and
     their differing projections defeat Catalyst's exchange reuse — each
     branch would re-run every Lloyd round over the corpus.
-    ``persist=True`` (default) materializes ``(id, v, cluster)`` ONCE
+    ``persist=True`` (default) materializes TWO corpus-sized blocks —
+    the prepared vector table the Lloyd rounds iterate over, and the
+    normalized ``(id, u, cluster)`` assignment — ONCE each
     (MEMORY_AND_DISK — spills, never OOMs; ~corpus-sized, exactly what a
     production pipeline would stage before a quadratic step).  Blocks
     are LRU-reclaimed; long-lived sessions that want eager release pass
@@ -282,13 +302,12 @@ def semantic_dedup(
     # subexpression elimination) — 2/3 of the join's arithmetic for the
     # same answer.  The norm is a plain column first so the division
     # lambda doesn't re-fold per element.
-    nr = F.sqrt(
-        F.aggregate(
-            F.transform("v", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # ann._norm: the SAME transform+fold shape (bit-identical for any
+    # real vector) plus its 1e-30 floor — an all-zero embedding divided
+    # by a raw sqrt(0) norm aborts the whole job under ANSI mode, the
+    # exact bug ann._norm's docstring records (a review finding; a zero
+    # vector now scores cosine 0 and never dedups anything).
+    nr = _norm("v")
     assigned = assigned.withColumn("_nr", nr).select(
         "vid",
         F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
@@ -363,13 +382,9 @@ def semantic_dedup(
             guard.alias("vid"), "u", "cluster"
         )
 
-    def _dot(ua, ub):
-        return F.aggregate(
-            F.zip_with(ua, ub, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    # shared ann._dot: the single-homed zip_with fold the oracle
+    # bit-exactness contract depends on (a review finding: this was a
+    # hand copy that could drift independently)
     a = assigned.select("vid", "u", "cluster")
     b = assigned.select(
         F.col("vid").alias("_bvid"), F.col("u").alias("_bu"), "cluster"

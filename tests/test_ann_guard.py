@@ -126,3 +126,45 @@ def test_jaccard_pairs_plan_tolerates_ppjoin_tuning_kwargs(spark):
         docs, 0.2, plan="pairs", n=2, parallelism=4
     ).collect()
     assert len(out) >= 1
+
+
+def test_ivf_empty_centroid_selection_is_loud(spark):
+    # r13 review finding: vec_ids not starting at 0 made the default
+    # centroid_pred select nothing — silently-empty top-k (legacy) or
+    # an opaque INVALID_ARRAY_INDEX (ANSI).  Now a named assert.
+    from pandas_sigproc_spark.operators.ann import ivf_topk
+
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [(1000 + i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(Exception, match="centroid selection is empty"):
+        ivf_topk(vecs, F.col("vec_id") < 1002, k=2, nlist=4).collect()
+
+
+def test_ivf_pq_probe_side_dim_check_with_code_table(spark):
+    # r13 review finding: with code_table= the corpus encode (and its
+    # dim assert) never runs, so a wrong-dim probe table silently
+    # slice-truncated into plausible-but-wrong LUTs.
+    from pandas_sigproc_spark.operators import ann
+
+    from pyspark.sql import functions as F
+
+    dim = 8
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 5) + 1.0 for j in range(dim)]) for i in range(32)],
+        "vec_id long, v array<double>",
+    )
+    m, ksub, nlist = 2, 4, 4
+    codes = ann.pq_code_table(vecs, m=m, ksub=ksub, nlist=nlist, dim=dim)
+    wrong = spark.createDataFrame(
+        [(i, [1.0] * (dim + 2)) for i in range(32)],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(Exception, match="vector length"):
+        ann.ivf_pq_topk(
+            wrong, F.col("vec_id") < 4, k=2, m=m, ksub=ksub,
+            nlist=nlist, dim=dim, code_table=codes,
+        ).collect()

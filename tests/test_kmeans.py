@@ -231,3 +231,56 @@ def test_semantic_dedup_random_embeddings_match_reference(spark):
             seed,
             thr,
         )
+
+
+def test_semantic_dedup_zero_norm_embedding_survives(spark):
+    # r13 review finding: an all-zero embedding divided by a raw
+    # sqrt(0) norm — ANSI divide-by-zero job abort.  With ann._norm's
+    # floor it scores cosine 0 and never dedups anything.
+    from pandas_sigproc_spark.operators.kmeans import semantic_dedup
+
+    rows = [(i, [float(i % 3) + 1.0, 2.0, 1.0]) for i in range(10)]
+    rows.append((99, [0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=2, iters=1, threshold=0.99, persist=False)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert got[99] is True  # zero vector: never a near-dup of anything
+    assert len(got) == 11   # every row got a verdict
+
+
+def test_jaccard_threshold_validation(spark):
+    from pandas_sigproc_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_ppjoin,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    for fn in (jaccard_pairs, jaccard_ppjoin):
+        with pytest.raises(ValueError, match="0 < threshold <= 1"):
+            fn(df, threshold=1.5)
+        with pytest.raises(ValueError, match="0 < threshold <= 1"):
+            fn(df, threshold=0.0)
+
+
+def test_kmeans_embeddings_persist_hook(spark):
+    # the hook caches the prepared vectors AND the final assignment so
+    # the counts/centroid branches read one clustering (r13 review
+    # finding: two independent recomputations of every Lloyd round)
+    from pandas_sigproc_spark.operators.kmeans import kmeans_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    blocks = []
+
+    def hook(d):
+        blocks.append(d)
+        return d.persist()
+
+    out = kmeans_embeddings(df, k=2, iters=1, persist=hook)
+    rows = out.collect()
+    assert len(blocks) == 2  # prepared vectors + final assignment
+    assert sum(r["n"] for r in rows if r["dim"] == 0) == 20
+    for b in blocks:
+        b.unpersist()
