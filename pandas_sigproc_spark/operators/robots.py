@@ -40,7 +40,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["parse_robots", "robots_verdicts", "rule_like_pattern"]
+__all__ = [
+    "parse_robots",
+    "robots_verdicts",
+    "rule_like_pattern",
+    "sitemap_directives",
+]
 
 
 def _directive(line: Column) -> Column:
@@ -89,9 +94,14 @@ def parse_robots(
     is NOT one starts a group) -> agents x rules equi-join on
     (host, group).
     """
+    # \ufeff strip: a UTF-8 BOM glued to the first 'User-agent' line
+    # made it unparseable, the first group lost its agent row, and the
+    # whole politeness gate silently voided for that host (a review
+    # finding; reference parsers strip the BOM the same way).
+    text = F.regexp_replace(F.col(text_col), "\\A\ufeff", "")
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+        F.posexplode(F.split(text, "\n")).alias("ln", "line"),
     ).select(
         "host",
         "ln",

@@ -48,23 +48,27 @@ def warc_records(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources.warc import decode_warc
 
+        cols = (
+            "archive_id", "rec_type", "uri", "date", "content_type",
+            "n_bytes", "payload",
+        )
         for pdf in batches:
-            rows = {
-                "archive_id": [],
-                "rec_type": [],
-                "uri": [],
-                "date": [],
-                "content_type": [],
-                "n_bytes": [],
-                "payload": [],
-            }
             for aid, blob in zip(pdf[id_col], pdf[payload_col]):
                 try:
+                    if pd.isna(aid) or blob is None:
+                        # a failed fetch written as NULL: corrupt input
+                        # under this function's contract — bytes(None)
+                        # used to leak TypeError PAST the skip handler
+                        # (a review finding)
+                        raise ValueError(
+                            "warc_records: NULL archive_id/payload row"
+                        )
                     recs = decode_warc(bytes(blob))
                 except ValueError:
                     if skip:
                         continue
                     raise
+                rows = {c: [] for c in cols}
                 for rec in recs:
                     rows["archive_id"].append(int(aid))
                     rows["rec_type"].append(rec["type"])
@@ -73,7 +77,11 @@ def warc_records(
                     rows["content_type"].append(rec["content_type"])
                     rows["n_bytes"].append(len(rec["payload"]))
                     rows["payload"].append(rec["payload"])
-            yield pd.DataFrame(rows)
+                # one yield PER ARCHIVE: buffering a whole Arrow batch
+                # of decompressed archives multiplied worker memory by
+                # the batch size x the expansion factor (a review
+                # finding) — peak state is now one archive's records
+                yield pd.DataFrame(rows)
 
     return archives.select(id_col, payload_col).mapInPandas(
         run,
@@ -105,8 +113,14 @@ def warc_documents(
 
 def url_host(col):
     """The lowercased host of a URL column — Spark's built-in
-    ``parse_url`` (JVM-side, codegen-friendly; no Python)."""
-    return F.lower(F.parse_url(col, F.lit("HOST")))
+    ``try_parse_url`` (JVM-side, codegen-friendly; no Python).  try_,
+    not parse_: under Spark 4 ANSI a single malformed crawl URI
+    ('http://a b/x') aborts the WHOLE job with INVALID_URL; NULL host
+    rows drop out of host-keyed joins/groups instead (a review finding
+    — url_blocklist_filter had the fix as a one-call-site special case
+    while domain_stats/cap_per_domain/linkgraph crashed through this
+    shared helper)."""
+    return F.lower(F.try_parse_url(col, F.lit("HOST")))
 
 
 # -- HTML -> text extraction (native, zero-UDF) -----------------------------
@@ -262,12 +276,21 @@ def canonicalize_url(col):
         )
     )
     qs = F.array_join(params, "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    # Schemeless input (relative 'about.html', protocol-relative
+    # '//host/x') -> NULL, not '://about.html/': html_links emits
+    # mostly relative hrefs and the old garbage keys collapsed
+    # distinct pages from different sites onto one dedup key (a review
+    # finding).  NULL composes: host-keyed joins and dedup groups drop
+    # the row; resolve relative links against their base BEFORE
+    # canonicalizing.
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        )
     )
 
 
@@ -351,6 +374,11 @@ def registrable_domain_expr(host_col) -> Column:
     domain; a NULL host yields NULL (not '' — concat_ws over a NULL
     slice would silently collapse every unparseable URI onto one empty
     group key while the host column says NULL, a review finding)."""
+    host_in = host_col if isinstance(host_col, Column) else F.col(host_col)
+    # FQDN trailing dot ('badnet.example.') would split an empty last
+    # label and compute registrable 'example.' — a blocklist bypass by
+    # appending a dot (a review finding); strip it first.
+    host_col = F.regexp_replace(host_in, "[.]+\\z", "")
     labels = F.split(host_col, "[.]")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -359,8 +387,7 @@ def registrable_domain_expr(host_col) -> Column:
     last3 = F.concat_ws(
         ".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3)
     )
-    host = host_col if isinstance(host_col, Column) else F.col(host_col)
-    return F.when(host.isNull(), F.lit(None).cast("string")).when(
+    return F.when(host_in.isNull(), F.lit(None).cast("string")).when(
         (n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3
     ).otherwise(last2)
 
@@ -431,6 +458,8 @@ __all__ = [
     "html_text",
     "registrable_domain_expr",
     "url_blocklist_filter",
+    "sitemap_kind",
+    "sitemap_locs",
     "url_host",
     "warc_documents",
     "warc_records",
@@ -449,13 +478,27 @@ def sitemap_locs(col) -> Column:
     Scale shape: one regexp_extract_all per row — zero shuffle; a
     50k-URL sitemap costs its own bytes inside its own task."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(
+    raw = F.regexp_extract_all(
         c,
         F.lit(
             "<loc>[ \\t\\r\\n\\f]*([^<]*?)[ \\t\\r\\n\\f]*</loc>"
         ),
         F.lit(1),
     )
+
+    # The sitemap protocol REQUIRES entity-escaped URLs in <loc>, so
+    # '&amp;' etc. must decode or every multi-param URL corrupts the
+    # crawl frontier (a review finding).  '&amp;' decodes LAST so
+    # double-escapes ('&amp;lt;') resolve correctly.
+    def _unescape(u):
+        for pat, rep in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+        ):
+            u = F.replace(u, F.lit(pat), F.lit(rep))
+        return u
+
+    return F.transform(raw, _unescape)
 
 
 def sitemap_kind(col) -> Column:

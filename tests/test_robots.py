@@ -360,3 +360,16 @@ def test_sitemap_locs_and_kind(spark):
     assert rows[0] == (["https://a/1", "https://a/2"], "urlset")
     assert rows[1] == (["https://a/s.xml"], "index")
     assert rows[2] == ([], None)
+
+
+def test_bom_prefixed_robots_first_group_parses(spark):
+    # r13 review finding: a UTF-8 BOM glued to the first User-agent
+    # line voided the whole politeness gate for that host.
+    txt = "﻿User-agent: *\nDisallow: /"
+    df = spark.createDataFrame(
+        [("h.example", txt)], "host string, robots_txt string"
+    )
+    rules = parse_robots(df)
+    got = rules.collect()
+    assert got, "BOM-prefixed robots.txt parsed to nothing"
+    assert any(r["agent"] == "*" and r["rule"] == "disallow" for r in got)

@@ -567,3 +567,80 @@ def test_on_error_skip_tolerates_corrupt_containers(spark):
     )
     d3 = warc_documents(arcs3, on_error="skip").toPandas()
     assert set(d3.archive_id) == {0} and list(d3.text) == ["x"]
+
+
+def test_warc_records_skip_survives_null_payload(spark):
+    # r13 review finding: bytes(None) leaked TypeError past on_error='skip'.
+    from pandas_sigproc_spark.operators.webcrawl import warc_records
+    from pandas_sigproc_spark.sources.warc import encode_warc
+
+    good = encode_warc(
+        [{"type": "response", "uri": "http://e/x", "date": "2024",
+          "content_type": "text/html", "payload": b"<p>hi</p>"}]
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, None), (None, good)],
+        "archive_id long, payload binary",
+    )
+    rows = warc_records(df, on_error="skip").collect()
+    assert {r["archive_id"] for r in rows} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL archive_id/payload"):
+        warc_records(df, on_error="raise").collect()
+
+
+def test_url_host_null_on_malformed_uri(spark):
+    # r13 review finding: parse_url raised INVALID_URL under ANSI and
+    # killed domain_stats/cap_per_domain/linkgraph on the first bad URI.
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.webcrawl import url_host
+
+    df = spark.createDataFrame(
+        [("http://a b/x",), ("http://ok.example/y",)], "uri string"
+    )
+    got = [r[0] for r in df.select(url_host(F.col("uri"))).collect()]
+    assert got == [None, "ok.example"]
+
+
+def test_canonicalize_url_schemeless_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.webcrawl import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("about.html",), ("//cdn.example/x",),
+         ("HTTP://E.example:80/p?b=2&a=1#f",)],
+        "u string",
+    )
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    assert got[0] is None and got[1] is None
+    assert got[2] == "http://e.example/p?a=1&b=2"
+
+
+def test_registrable_domain_trailing_dot(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.webcrawl import (
+        registrable_domain_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("badnet.example.",), ("spam.co.uk.",), ("plain.example",)],
+        "h string",
+    )
+    got = [r[0] for r in df.select(registrable_domain_expr(F.col("h"))).collect()]
+    assert got == ["badnet.example", "spam.co.uk", "plain.example"]
+
+
+def test_sitemap_locs_decodes_entities(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.webcrawl import sitemap_locs
+
+    xml = ("<urlset><url><loc>http://e/x?a=1&amp;b=2</loc></url>"
+           "<url><loc> http://e/y </loc></url></urlset>")
+    df = spark.createDataFrame([(xml,)], "xml string")
+    (got,) = df.select(sitemap_locs(F.col("xml")).alias("ls")).first()
+    assert got == ["http://e/x?a=1&b=2", "http://e/y"]
