@@ -138,6 +138,7 @@ from pandas_sigproc_spark.operators.webcrawl import (
     html_links,
     html_text,
     registrable_domain_expr,
+    resolve_url,
     sitemap_kind,
     sitemap_locs,
     url_blocklist_filter,
@@ -256,6 +257,7 @@ __all__ = [
     "warc_records",
     "warc_documents",
     "registrable_domain_expr",
+    "resolve_url",
     "url_blocklist_filter",
     "url_host",
     "html_text",

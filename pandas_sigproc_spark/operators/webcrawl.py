@@ -205,12 +205,99 @@ def html_links(col):
     crawl-frontier / link-graph extraction step.  A pure
     ``regexp_extract_all`` pair (JVM-side, zero Python), patterns held
     to the Java/RE2 common subset so the DuckDB oracle replays them
-    literally.  Compose with :func:`canonicalize_url` /
-    :func:`url_host` for link-graph edges."""
+    literally.  Hrefs are mostly RELATIVE: resolve them with
+    :func:`resolve_url` against the page URL, THEN compose with
+    :func:`canonicalize_url` / :func:`url_host` for link-graph edges
+    (canonicalize_url maps schemeless input to NULL by design)."""
     return F.concat(
         F.regexp_extract_all(col, F.lit(_HREF_DQ), F.lit(1)),
         F.regexp_extract_all(col, F.lit(_HREF_SQ), F.lit(1)),
     )
+
+
+def _remove_dot_segments(path_col):
+    """RFC 3986 §5.2.4 over an absolute path column, as ONE native
+    fold: split on '/', then '.' segments drop, '..' pops (never past
+    the root marker — the leading '' of an absolute path), everything
+    else appends.  Empty INTERIOR segments ('a//b') are preserved, as
+    the RFC's algorithm does.  A path whose original form ends in
+    '/', '/.' or '/..' keeps its trailing slash (directory
+    semantics)."""
+    segs = F.split(path_col, "/")
+    folded = F.aggregate(
+        segs,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.when(
+                F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+            ).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    joined = F.array_join(folded, "/")
+    joined = F.when(joined == "", F.lit("/")).otherwise(joined)
+    needs_slash = path_col.rlike("(/[.][.]?|/)$")
+    return F.when(
+        needs_slash & ~joined.rlike("/$"), F.concat(joined, F.lit("/"))
+    ).otherwise(joined)
+
+
+def resolve_url(base, href):
+    """Resolve an ``href`` against its page's ``base`` URL — RFC 3986
+    §5.2 reference resolution as a pure JVM expression tree (no UDF),
+    the step between :func:`html_links` (whose output is mostly
+    RELATIVE hrefs) and :func:`canonicalize_url`/:func:`url_host`
+    (which need absolute URLs; canonicalize_url maps schemeless input
+    to NULL by design).
+
+    Cases: an href with its own scheme passes through (including
+    mailto:/javascript: — filter by scheme downstream); ``//host/p``
+    takes the base's scheme; ``/p`` is origin-absolute; ``?q`` replaces
+    the base's query; ``''``/``#frag`` is a same-document reference
+    (returns the base, fragment dropped); anything else merges with the
+    base's directory.  Dot segments ('.', '..') are removed by the RFC
+    algorithm (a native fold — never past the root); FRAGMENTS ARE
+    DROPPED (crawl keys treat them as noise, like canonicalize_url).
+    A NULL/schemeless base yields NULL — resolution is undefined.
+
+    Scale shape: per-row expression arithmetic only — zero shuffle,
+    zero Python, composes into the link-graph extraction map-side."""
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.col(href) if isinstance(href, str) else href
+    b = F.regexp_replace(b, "#.*", "")  # base fragment is never used
+    h = F.regexp_replace(h, "#.*", "")
+    b_scheme = F.regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    b_rest = F.regexp_replace(b, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    b_auth = F.regexp_extract(b_rest, "^([^/?]*)", 1)
+    origin = F.concat(b_scheme, F.lit("://"), b_auth)
+    b_path = F.regexp_extract(b_rest, "^[^/?]*([^?]*)", 1)
+    b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
+    b_query = F.regexp_extract(b_rest, "([?].*)$", 1)
+
+    h_path = F.regexp_extract(h, "^([^?]*)", 1)
+    h_query = F.regexp_extract(h, "([?].*)$", 1)
+    b_dir = F.regexp_replace(b_path, "[^/]*$", "")
+    merged = F.concat(b_dir, h_path)
+
+    out = (
+        F.when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(h.rlike("^//"), F.concat(b_scheme, F.lit(":"), h))
+        .when(
+            h.rlike("^/"),
+            F.concat(origin, _remove_dot_segments(h_path), h_query),
+        )
+        .when(h.rlike("^[?]"), F.concat(origin, b_path, h))
+        .when(h == "", F.concat(origin, b_path, b_query))
+        .otherwise(
+            F.concat(origin, _remove_dot_segments(merged), h_query)
+        )
+    )
+    return F.when(
+        b.isNull() | (b_scheme == "") | h.isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(out)
 
 
 def html_escape(col):
@@ -457,6 +544,7 @@ __all__ = [
     "html_escape",
     "html_text",
     "registrable_domain_expr",
+    "resolve_url",
     "url_blocklist_filter",
     "sitemap_kind",
     "sitemap_locs",

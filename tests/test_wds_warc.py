@@ -644,3 +644,96 @@ def test_sitemap_locs_decodes_entities(spark):
     df = spark.createDataFrame([(xml,)], "xml string")
     (got,) = df.select(sitemap_locs(F.col("xml")).alias("ls")).first()
     assert got == ["http://e/x?a=1&b=2", "http://e/y"]
+
+
+def test_resolve_url_matches_urljoin(spark):
+    # r13: RFC 3986 reference resolution as a native expression — the
+    # step html_links output needs before canonicalize_url (which NULLs
+    # schemeless input by design).  Reference: urllib.parse.urljoin
+    # with fragments stripped (resolve_url drops them, documented).
+    import re
+
+    from urllib.parse import urldefrag, urljoin
+
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.webcrawl import resolve_url
+
+    bases = [
+        "http://h.example/a/b/c?x=1",   # file-ish path + query
+        "http://h.example",             # no path at all
+        "http://h.example/a/dir/",      # directory path
+        "http://h.example:8080/a/b",    # explicit port
+    ]
+    base = bases[0]
+    hrefs = [
+        "http://other.example/q",          # absolute
+        "https://other.example/q?z=2",     # absolute with query
+        "//cdn.example/lib.js",            # protocol-relative
+        "/rooted/path",                    # origin-absolute
+        "/rooted/../up",                   # dot segments in rooted
+        "?y=2",                            # query-only
+        "",                                # same-document
+        "#frag",                           # fragment-only
+        "d",                               # sibling file
+        "d/e",                             # deeper
+        "./d",                             # explicit cwd
+        "../d",                            # parent
+        "../../d",                         # grandparent
+        "../../../d",                      # above root (clamps)
+        "d/",                              # trailing slash
+        "..",                              # bare parent (dir form)
+        ".",                               # bare cwd (dir form)
+        "mailto:x@example.com",            # non-http scheme passes
+    ]
+    pairs = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(pairs, "base string, href string")
+    got = [
+        r[0]
+        for r in df.select(
+            resolve_url(F.col("base"), F.col("href"))
+        ).collect()
+    ]
+    def _w(b, h):
+        # second documented deviation: resolve_url emits the CANONICAL
+        # '/' for an empty base path ('http://h?y' -> 'http://h/?y'),
+        # matching canonicalize_url's empty-path rule; urljoin keeps ''
+        w = urldefrag(urljoin(b, h))[0]
+        return re.sub(r"^([A-Za-z+.-]+://[^/?]+)(\?|$)", r"\1/\2", w)
+
+    want = [_w(b, h) for b, h in pairs]
+    assert got == want, [
+        (b, h, g, w)
+        for (b, h), g, w in zip(pairs, got, want)
+        if g != w
+    ]
+    # Documented deviation from urllib: RFC 3986 PRESERVES interior
+    # empty segments ('a//b' merges to '/a/b/a//b'); CPython's urljoin
+    # collapses them.  resolve_url follows the RFC.
+    (rfc,) = (
+        df.limit(0)
+        .sparkSession.createDataFrame(
+            [(base, "a//b")], "base string, href string"
+        )
+        .select(resolve_url(F.col("base"), F.col("href")))
+        .first()
+    )
+    assert rfc == "http://h.example/a/b/a//b"
+
+
+def test_resolve_url_null_and_schemeless_base(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_sigproc_spark.operators.webcrawl import resolve_url
+
+    df = spark.createDataFrame(
+        [(None, "d"), ("relative/base", "d"), ("http://h/x", None)],
+        "base string, href string",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            resolve_url(F.col("base"), F.col("href"))
+        ).collect()
+    ]
+    assert got == [None, None, None]
