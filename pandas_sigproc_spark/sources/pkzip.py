@@ -76,11 +76,29 @@ def encode_zip(
     bytes, optional per-member ``compress`` overriding the archive
     default) as a ZIP archive.  Member order is preserved; bytes are
     deterministic."""
+    if len(members) > 0xFFFF:
+        raise ValueError(
+            f"{len(members)} members need ZIP64, which this encoder"
+            " does not write (max 65535)"
+        )
     out = bytearray()
     central = bytearray()
     for m in members:
         name = m["name"].encode("utf-8")
         payload = bytes(m["payload"])
+        # pre-validate the 16/32-bit fields: struct.error from pack()
+        # is a cryptic unlocated crash, not the module's documented
+        # ValueError refusal (a review finding)
+        if len(name) > 0xFFFF:
+            raise ValueError(
+                f"member name of {len(name)} bytes exceeds the ZIP"
+                " 65535-byte field"
+            )
+        if len(payload) >= 0xFFFFFFFF or len(out) >= 0xFFFFFFFF:
+            raise ValueError(
+                "member or archive size needs ZIP64, which this encoder"
+                " does not write (max 4 GiB)"
+            )
         do_comp = bool(m.get("compress", compress))
         method = DEFLATED if do_comp else STORED
         blob = _deflate_raw(payload) if do_comp else payload
@@ -143,9 +161,9 @@ def encode_zip(
     return bytes(out)
 
 
-def _find_eocd(data: bytes) -> tuple[int, int, int]:
-    """(entry_count, cd_size, cd_offset) from the end-of-central-
-    directory record (scanned backwards through any trailing
+def _find_eocd(data: bytes) -> tuple[int, int, int, int]:
+    """(entry_count, cd_size, cd_offset, eocd_pos) from the end-of-
+    central-directory record (scanned backwards through any trailing
     comment)."""
     n = len(data)
     if n < 22:
@@ -196,14 +214,27 @@ def _find_eocd(data: bytes) -> tuple[int, int, int]:
         raise ValueError("multi-disk ZIP archives are not supported")
     if n_total == 0xFFFF or cd_offset == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
         raise ValueError("ZIP64 archives are not supported")
-    return n_total, cd_size, cd_offset
+    return n_total, cd_size, cd_offset, pos
 
 
 def decode_zip(data: bytes) -> list[dict]:
     """Members of a ZIP archive as ``{name, payload}`` dicts, in
     central-directory order, CRC- and size-verified."""
     data = bytes(data)
-    n_total, cd_size, cd_offset = _find_eocd(data)
+    n_total, cd_size, cd_offset, eocd_pos = _find_eocd(data)
+    # Data PREPENDED to the archive (self-extracting stubs, shebang
+    # lines) shifts every stored offset: stdlib zipfile computes the
+    # same "concat" correction (eocd - cd_offset - cd_size) and reads
+    # such archives fine, while this decoder refused them (a review
+    # finding).  A negative shift means the directory claims to extend
+    # past its own EOCD record — corrupt.
+    shift = eocd_pos - (cd_offset + cd_size)
+    if shift < 0:
+        raise ValueError(
+            "central directory overlaps the end-of-central-directory"
+            " record"
+        )
+    cd_offset += shift
     if cd_offset + cd_size > len(data):
         raise ValueError("central directory extends past end of archive")
     out: list[dict] = []
@@ -246,6 +277,7 @@ def decode_zip(data: bytes) -> list[dict]:
             )
         name = data[pos + 46 : pos + 46 + name_len].decode("utf-8")
         pos += 46 + name_len + extra_len + comment_len
+        local_off += shift  # the same prepended-data correction
         # the LOCAL header's name/extra lengths govern the payload
         # offset and may differ from the central copy
         if local_off + 30 > len(data):

@@ -14,8 +14,12 @@ deterministic metadata (mode 0644, uid/gid 0, mtime 0) so the same
 members always produce the same bytes on every executor.  The decoder
 validates the checksum (sum of header bytes with the chksum field
 blanked to spaces) and magic on every header, handles both NUL- and
-space-terminated octal, supports the ``prefix`` field, skips non-file
-members, and stops at the two terminating zero blocks (or clean EOF).
+space-terminated octal, supports the ``prefix`` field, applies GNU
+long-name (``L``) and PAX (``x``/``g`` ``path=`` override) extensions
+so third-party tars with >100-char names keep their real keys, skips
+other non-file members, refuses non-zero trailing garbage (a truncated
+archive must never look successfully decoded), and stops at the two
+terminating zero blocks (or clean EOF).
 
 Reference parity note: the reference engine (jscans12/pandas-sigproc)
 has no container formats at all — this is part of the training-data
@@ -37,6 +41,14 @@ def _octal(n: int, width: int) -> bytes:
 
 def _header(name: str, size: int) -> bytes:
     nb = name.encode("utf-8")
+    if not nb or b"\x00" in nb:
+        # a NUL inside the 100-byte name field writes a VALID header
+        # that decodes to the name truncated at the NUL — a silent
+        # rename the roundtrip can never detect (a review finding);
+        # empty names are equally unaddressable
+        raise ValueError(
+            f"tar member name must be non-empty and NUL-free: {name!r}"
+        )
     prefix = b""
     if len(nb) > 100:
         # split at a '/' so name <= 100 and prefix <= 155
@@ -82,16 +94,55 @@ def _read_octal(field: bytes) -> int:
     return int(s, 8) if s else 0
 
 
+def _pax_path(payload: bytes) -> str | None:
+    """The ``path=`` override of a PAX extended-header payload
+    ("LEN key=value\\n" records), or None."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        sp = payload.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("malformed PAX record: no length field")
+        try:
+            rec_len = int(payload[pos:sp])
+        except ValueError:
+            raise ValueError("malformed PAX record length") from None
+        if rec_len <= 0 or pos + rec_len > n:
+            raise ValueError("malformed PAX record length")
+        rec = payload[sp + 1 : pos + rec_len]
+        if rec.endswith(b"\n"):
+            rec = rec[:-1]
+        key, eq, val = rec.partition(b"=")
+        if eq and key == b"path":
+            return val.decode("utf-8")
+        pos += rec_len
+    return None
+
+
 def decode_tar(data: bytes) -> list[tuple[str, bytes]]:
     """Members of a ustar archive as ``(name, payload)`` in file order.
-    Raises on checksum/magic corruption; non-file members (dirs,
-    symlinks, PAX headers) are skipped."""
+    Raises on checksum/magic corruption and on non-zero trailing bytes
+    (a truncated archive); GNU long-name (``L``) and PAX ``path=``
+    extensions override the next member's name (third-party tars carry
+    >100-char names this way — taking the truncated 100-char field
+    would silently mis-key the sample, a review finding); other
+    non-file members (dirs, symlinks) are skipped."""
+    if not data:
+        # align the corrupt-input taxonomy with decode_zip/decode_warc:
+        # a zero-byte blob is a failed read, not a valid empty archive
+        # (a review finding — it previously decoded as [] and looked
+        # successfully processed under on_error='skip')
+        raise ValueError("tar: empty input is not an archive")
     out: list[tuple[str, bytes]] = []
     pos = 0
     n = len(data)
+    next_name: str | None = None  # pending GNU-L / PAX path override
+    terminated = False
     while pos + BLOCK <= n:
         h = data[pos : pos + BLOCK]
         if h == b"\x00" * BLOCK:  # first terminator block
+            terminated = True
+            pos += BLOCK
             break
         if h[257:262] != b"ustar":
             raise ValueError(f"bad tar magic at offset {pos}")
@@ -110,8 +161,33 @@ def decode_tar(data: bytes) -> list[tuple[str, bytes]]:
         if len(payload) != size:
             raise ValueError(f"truncated tar member {name!r}")
         pos += size + (-size % BLOCK)
-        if typeflag in (b"0", b"\x00"):
-            out.append((name, bytes(payload)))
+        if typeflag == b"L":  # GNU long name: payload names the NEXT member
+            next_name = payload.split(b"\x00")[0].decode("utf-8")
+        elif typeflag in (b"x", b"g"):  # PAX extended header
+            p = _pax_path(bytes(payload))
+            if p is not None:
+                next_name = p
+        elif typeflag in (b"0", b"\x00"):
+            out.append((next_name or name, bytes(payload)))
+            next_name = None
+        else:
+            next_name = None  # overrides apply to the NEXT member only
+    if not terminated:
+        # clean EOF without terminator blocks is tolerated (widespread
+        # in the wild) — but only at a block boundary
+        if pos != n:
+            raise ValueError(
+                f"tar archive truncated: {n - pos} trailing byte(s) do"
+                " not form a whole block"
+            )
+    else:
+        # after the terminator: everything must be zero padding
+        # (non-zero tail = a torn concatenation or truncated append)
+        if data[pos:].strip(b"\x00"):
+            raise ValueError(
+                "tar archive carries non-zero bytes after its"
+                " terminator blocks"
+            )
     return out
 
 

@@ -286,3 +286,27 @@ def test_truncated_eocd_triage_message():
     cut = blob[: len(blob) - 10]
     with pytest.raises(ValueError, match="truncated end-of-central"):
         decode_zip(cut)
+
+
+def test_prepended_data_offsets_shift_like_stdlib():
+    # r13 review finding: self-extracting stubs / shebang prefixes
+    # shift every stored offset; stdlib zipfile applies the concat
+    # correction and reads them — so must we.
+    import io
+    import zipfile
+
+    blob = encode_zip([{"name": "a.txt", "payload": b"hello"},
+                       {"name": "b.bin", "payload": b"\x00\x01", "compress": True}])
+    pre = b"#!/bin/sh\necho self-extracting\n" + blob
+    assert zipfile.ZipFile(io.BytesIO(pre)).read("a.txt") == b"hello"
+    got = {m["name"]: m["payload"] for m in decode_zip(pre)}
+    assert got == {"a.txt": b"hello", "b.bin": b"\x00\x01"}
+
+
+def test_encode_zip_field_overflow_raises_valueerror():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="65535-byte field"):
+        encode_zip([{"name": "a" * 70000, "payload": b""}])
+    with _pytest.raises(ValueError, match="max 65535"):
+        encode_zip([{"name": f"{i}", "payload": b""} for i in range(65536)])

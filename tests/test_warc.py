@@ -1,0 +1,43 @@
+"""WARC codec edge semantics (r13 container-codec review pass)."""
+
+from pandas_sigproc_spark.sources.warc import decode_warc, encode_warc
+
+
+
+def test_header_injection_refused():
+    # r13 review finding: a crafted href with CR/LF forged headers or
+    # truncated the record silently.
+    import pytest as _pytest
+
+    for uri in ("http://a/\r\nContent-Length: 0", "http://a/\r\n\r\nX",
+                "http://a/\x00b"):
+        with _pytest.raises(ValueError, match="header injection"):
+            encode_warc([{"uri": uri, "payload": b"x"}])
+
+
+def test_content_length_must_be_ascii_digits():
+    import pytest as _pytest
+
+    blob = encode_warc([{"uri": "http://a/", "payload": b"0123456789"}])
+    bad = blob.replace(b"Content-Length: 10", b"Content-Length: 1_0")
+    with _pytest.raises(ValueError, match="ASCII digits"):
+        decode_warc(bad)
+
+
+def test_folded_header_lines_extend_previous_field():
+    # ISO 28500 §4 continuation lines (leading SP/HTAB)
+    blob = encode_warc([{"uri": "http://a/long", "payload": b"hi"}])
+    folded = blob.replace(
+        b"WARC-Target-URI: http://a/long",
+        b"WARC-Target-URI: http://a/\r\n  long",
+    )
+    (rec,) = decode_warc(folded)
+    assert rec["uri"] == "http://a/ long"
+    assert rec["payload"] == b"hi"
+
+
+def test_empty_input_refuses():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty input"):
+        decode_warc(b"")

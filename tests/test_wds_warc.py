@@ -478,7 +478,11 @@ def test_tar_roundtrip_property(members):
             ),
             st.binary(max_size=2000),
         ),
-        min_size=0,
+        # min 1: encode_warc([]) is b'', and decode_warc refuses empty
+        # input BY DESIGN (a zero-byte blob at the ingestion seam is a
+        # failed fetch, indistinguishable from a valid empty archive —
+        # r13 container-codec taxonomy)
+        min_size=1,
         max_size=5,
     ),
     st.booleans(),

@@ -17,7 +17,7 @@ from pandas_sigproc_spark.operators.webdataset import (
     wds_members,
     write_wds_shards,
 )
-from pandas_sigproc_spark.sources.tar import decode_tar
+from pandas_sigproc_spark.sources.tar import decode_tar, encode_tar
 
 MEMBER_SCHEMA = "shard long, key string, ext string, payload binary"
 
@@ -365,3 +365,44 @@ def test_wds_store_refuses_duplicate_shard_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate shard"):
         save_wds_store(dup, "file://" + str(tmp_path / "store3"))
+
+
+def test_decode_tar_gnu_longname_and_pax_path(spark):
+    # r13 review finding: >100-char names arrive via GNU 'L' / PAX
+    # 'path=' members; taking the truncated ustar field mis-keyed the
+    # sample silently.  Cross-check against stdlib tarfile output.
+    import io
+    import tarfile
+
+    long_name = "d/" + "x" * 120 + ".jpg"
+    for fmt in (tarfile.GNU_FORMAT, tarfile.PAX_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            info = tarfile.TarInfo(long_name)
+            info.size = 3
+            tf.addfile(info, io.BytesIO(b"abc"))
+            info2 = tarfile.TarInfo("short.txt")
+            info2.size = 2
+            tf.addfile(info2, io.BytesIO(b"ok"))
+        got = decode_tar(buf.getvalue())
+        assert got == [(long_name, b"abc"), ("short.txt", b"ok")], fmt
+
+
+def test_decode_tar_truncation_and_empty_are_loud(spark):
+    import pytest as _pytest
+
+    blob = encode_tar([("a.txt", b"hello"), ("b.txt", b"world")])
+    # cut mid-second-header: partial members must NOT look successful
+    with _pytest.raises(ValueError, match="truncated|trailing"):
+        decode_tar(blob[: 512 + 512 + 200])
+    with _pytest.raises(ValueError, match="empty input"):
+        decode_tar(b"")
+
+
+def test_encode_tar_refuses_nul_and_empty_names(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NUL-free"):
+        encode_tar([("a\x00b.cls", b"x")])
+    with _pytest.raises(ValueError, match="NUL-free"):
+        encode_tar([("", b"x")])
