@@ -72,6 +72,11 @@ def decode_bmp_bytes(data: bytes) -> np.ndarray:
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # a negative width makes row_stride negative and numpy reads
+        # the reshape dim as -1 — a silently wrong-shaped garbage image
+        # (a review finding); zero dims are equally meaningless
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     stride = row_stride(w)
     need = offset + stride * h
     if len(data) < need:
@@ -109,7 +114,17 @@ def decode_bmpv(data: bytes) -> list[bytes]:
     """Split a BMPV payload back into its standalone BMP frames."""
     if data[:4] != _BMPV_MAGIC:
         raise ValueError("not a BMPV payload")
+    if len(data) < 8:
+        raise ValueError("truncated BMPV header")
     (n,) = struct.unpack_from("<I", data, 4)
+    if len(data) < 8 + 4 * n:
+        # struct.error from a corrupt frame count is a cryptic
+        # unlocated crash, not the module's ValueError contract
+        # (a review finding)
+        raise ValueError(
+            f"truncated BMPV length table: {n} frames declared,"
+            f" {len(data)} bytes held"
+        )
     lens = struct.unpack_from(f"<{n}I", data, 8)
     out = []
     pos = 8 + 4 * n

@@ -45,6 +45,16 @@ _MAX_CODE_WIDTH = 12
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _interlace_order(h: int) -> list[int]:
+    """Row order of the GIF 4-pass interlace for an h-row frame — ONE
+    definition (the encoder and decoder each hand-built it; a drift
+    would silently break interlaced roundtrips, a review finding)."""
+    order: list[int] = []
+    for first, step in _INTERLACE:
+        order += list(range(first, h, step))
+    return order
+
+
 # ---------------------------------------------------------------------------
 # LZW (GIF variant: variable width, LSB-first packing, 12-bit cap)
 # ---------------------------------------------------------------------------
@@ -265,6 +275,16 @@ def encode_gif(
     if loop and len(frames) > 1:
         out += bytes((_EXTENSION, 0xFF, 11)) + b"NETSCAPE2.0"
         out += bytes((3, 1, 0, 0, 0))  # sub-block: loop forever
+    if delays_cs is not None:
+        if len(delays_cs) != len(frames):
+            raise ValueError(
+                f"delays_cs has {len(delays_cs)} entries for"
+                f" {len(frames)} frames"
+            )
+        if any(not 0 <= int(d) <= 0xFFFF for d in delays_cs):
+            raise ValueError(
+                "GIF frame delays must be 0..65535 centiseconds"
+            )
     for fi, p in enumerate(packed):
         if delays_cs is not None:
             out += bytes((_EXTENSION, _GFX_CONTROL, 4, 0))
@@ -275,10 +295,7 @@ def encode_gif(
         # Python call)
         idx = np.searchsorted(palette, p).astype(np.uint8)
         if interlace:
-            order = []
-            for first, step in _INTERLACE:
-                order += list(range(first, h, step))
-            idx = idx[order]
+            idx = idx[_interlace_order(h)]
         out += struct.pack(
             "<BHHHHB", _IMAGE_SEP, 0, 0, w, h,
             0x40 if interlace else 0x00,
@@ -331,6 +348,10 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         if block == _TRAILER:
             return frames
         if block == _EXTENSION:
+            if pos >= len(data):
+                # bare IndexError leaked here on a stream cut right
+                # after the 0x21 introducer (a review finding)
+                raise ValueError("truncated GIF extension block")
             label = data[pos]
             pos += 1
             body, pos = _read_subblocks(data, pos)
@@ -366,11 +387,8 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             _lzw_decode(lzw, mcs, fw * fh), np.uint8
         ).reshape(fh, fw)
         if fpacked & 0x40:  # interlaced: invert the 4-pass shuffle
-            order = []
-            for first, step in _INTERLACE:
-                order += list(range(first, fh, step))
             deinter = np.empty_like(idx)
-            deinter[order] = idx
+            deinter[_interlace_order(fh)] = idx
             idx = deinter
         if np.any(idx >= len(ct)):
             raise ValueError("GIF pixel index outside the color table")

@@ -112,6 +112,10 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + length]
         if len(payload) != length:
             raise ValueError("PNG: truncated chunk")
+        if pos + 12 + length > len(data):
+            # a cut inside the CRC field leaked struct.error, breaking
+            # the module's ValueError contract (a review finding)
+            raise ValueError(f"PNG: truncated CRC for chunk {tag!r}")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
             raise ValueError(f"PNG: CRC mismatch in {tag!r}")
@@ -134,7 +138,13 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         raise ValueError(f"PNG: unsupported color type {ctype} (palette?)")
     bpp = channels
     stride = channels * w
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt IDAT leaked zlib.error past callers that catch
+        # ValueError for skip handling (a review finding)
+        raise ValueError(f"PNG: corrupt IDAT stream: {exc}") from None
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != h * (1 + stride):
         raise ValueError("PNG: decompressed size mismatch")
     rec = _unfilter(raw, h, stride, bpp).reshape(h, w, channels)

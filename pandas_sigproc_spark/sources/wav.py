@@ -43,8 +43,24 @@ def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
     them and validation happens before any file is touched."""
     left = np.asarray(sound_left)
     right = left if sound_right is None else np.asarray(sound_right)
+    if left.ndim != 1 or right.ndim != 1:
+        # a (n, 1) column vector would vstack to (2n, 1), transpose to
+        # (1, 2n), and interleave samples ACROSS channels silently
+        # (a review finding)
+        raise ValueError(
+            f"channels must be 1-D, got shapes {left.shape}/{right.shape}"
+        )
     if left.shape != right.shape:
         raise ValueError("left/right length mismatch")
+    if right.dtype != left.dtype:
+        # the fmt/bits choice comes from the LEFT dtype; a differing
+        # right channel would be promoted by vstack then truncated by
+        # the raw astype — decoded garbage with no error (a review
+        # finding)
+        raise ValueError(
+            f"left/right dtype mismatch: {left.dtype} vs {right.dtype}"
+            " — cast both channels to one sample type first"
+        )
     if left.dtype not in _DTYPES:
         left = left.astype(np.float64)
         right = right.astype(np.float64)
@@ -83,7 +99,10 @@ def write_wav(filename, sample_rate, sound_left, sound_right=None) -> None:
 
 
 def _read_wav_stream(f):
-    riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+    head12 = f.read(12)
+    if len(head12) < 12:
+        raise ValueError("not a RIFF/WAVE file (shorter than 12 bytes)")
+    riff, _size, wave = struct.unpack("<4sI4s", head12)
     if riff != b"RIFF" or wave != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     fmt = rate = bits = n_ch = None
@@ -94,7 +113,20 @@ def _read_wav_stream(f):
             break
         cid, clen = struct.unpack("<4sI", head)
         body = f.read(clen + (clen % 2))[:clen]
+        if len(body) < clen:
+            # a truncated chunk used to decode SILENTLY to fewer
+            # samples (or die in a cryptic reshape) — refuse by name
+            # (a review finding)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: header says {clen} bytes,"
+                f" stream holds {len(body)}"
+            )
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(
+                    f"WAV fmt chunk of {clen} bytes is shorter than the"
+                    " 16-byte PCM header"
+                )
             fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
