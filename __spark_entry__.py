@@ -8897,7 +8897,9 @@ def q_lm_ppl_terciles(spark, sf_dir):
 
     d = _docs_par(spark, sf_dir)
     ref = d.filter(F.col("source") == "src0")
-    return ngram_lm_score(d, ref, alpha=_LM_ALPHA, thresholds="sampled")
+    return ngram_lm_score(
+        d, ref, alpha=_LM_ALPHA, thresholds="sampled", persist=_persist
+    )
 
 
 def _sql_lm_scored_cte() -> str:
@@ -8911,7 +8913,8 @@ base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source FROM documents),
 ref AS (SELECT text FROM base WHERE source = 'src0'),
 uni AS (
   SELECT w1, COUNT(*) AS c1
-  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w1 FROM ref)
+  FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')) AS w1
+        FROM ref)
   GROUP BY w1
 ),
 voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
@@ -8919,7 +8922,8 @@ rp AS (
   SELECT pr.w1 AS w1, pr.w2 AS w2 FROM (
     SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1),
                   i -> {{'w1': words[i], 'w2': words[i + 1]}})) AS pr
-    FROM (SELECT STRING_SPLIT(text, ' ') AS words FROM ref)
+    FROM (SELECT LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '') AS words
+          FROM ref)
   )
 ),
 big AS (SELECT w1, w2, COUNT(*) AS c2 FROM rp GROUP BY w1, w2),
@@ -8928,7 +8932,8 @@ dp AS (
     SELECT doc_id,
            UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1),
                   i -> {{'w1': words[i], 'w2': words[i + 1]}})) AS pr
-    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM base)
+    FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')
+                 AS words FROM base)
   )
 ),
 lp AS (
@@ -8960,9 +8965,11 @@ FROM sc
 SQL_LM_PPL_TERCILES = f"""
 WITH {_sql_lm_scored_cte()},
 samp AS (
+  -- salted like text.sample_bucket_expr(':lmppl'): decorrelated from
+  -- every other doc_id-hash operator (r13 review finding)
   SELECT log10_ppl FROM sc
-  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
-        AS BIGINT) % 4 = 0
+  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR),
+        ':lmppl')), 1, 15)) AS BIGINT) % 4 = 0
 ),
 cuts AS (
   SELECT ROUND(QUANTILE_CONT(log10_ppl, 1.0/3), 6) AS t1,

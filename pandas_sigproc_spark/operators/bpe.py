@@ -66,10 +66,11 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _initial_tokens() -> F.Column:
-    """Character split + the end-of-word sentinel."""
-    chars = F.split(F.col("word"), "")
-    chars = F.filter(chars, lambda c: c != "")  # split('') edge empties
-    return F.concat(chars, F.array(F.lit(EOW)))
+    """Character split + the end-of-word sentinel (delegates to the
+    single definition in :func:`_word_tokens_expr` — two verbatim
+    copies could drift and break train/encode parity, a review
+    finding)."""
+    return _word_tokens_expr(F.col("word"))
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -195,6 +196,12 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return toks
 
 
+# per-task word->tokens memo bound (see bpe_encode): ~500k entries of
+# short token lists is tens of MB — ample hit rate on Zipf text, never
+# an OOM multiplier across concurrent tasks
+_ENCODE_CACHE_MAX = 500_000
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -222,11 +229,19 @@ def bpe_encode(
                 for w in _re.split(r"\s+", raw.lower(), flags=_re.ASCII):
                     if not w:
                         continue
+                    if len(cache) > _ENCODE_CACHE_MAX:
+                        # UNBOUNDED, the memo grows with the partition's
+                        # distinct-word count (URLs/hex ids at web scale
+                        # -> executor OOM, a review finding); Zipf text
+                        # loses almost no hit rate to a periodic reset
+                        cache.clear()
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = _encode_word(w, ranks)
                     toks.extend(got)
-                ids.append(int(did))
+                # null-safe like the relational twin (int(NaN) raised,
+                # crashing the job on one NULL id — a review finding)
+                ids.append(None if pd.isna(did) else int(did))
                 counts.append(len(toks))
                 toklists.append(toks)
             yield pd.DataFrame(

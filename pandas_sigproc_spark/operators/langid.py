@@ -118,11 +118,11 @@ def trigrams_expr(norm_col: str = "s") -> Column:
 
 def bucket_expr(gram_col: str = "g") -> Column:
     """The engine-portable md5 bucket of a gram (60-bit prefix, mod
-    B) — identical in Spark, DuckDB and :func:`lang_model_rows`."""
-    return F.expr(
-        f"cast(conv(substring(md5({gram_col}), 1, 15), 16, 10) as bigint)"
-        f" % {LANG_MODEL_BUCKETS}"
-    )
+    B) — identical in Spark, DuckDB and :func:`lang_model_rows`.
+    Composes text.hash60_sql, the single-homed definition every
+    oracle-parity site must share (a review finding: this was a hand
+    copy)."""
+    return F.expr(f"{_text.hash60_sql(gram_col)} % {LANG_MODEL_BUCKETS}")
 
 
 def lang_id_model(
@@ -152,15 +152,28 @@ def lang_id_model(
     # sorting every exploded gram row — int min keeps it a
     # HashAggregate with map-side partial combine.
     heur_langs = list(_text.LANG_ORDER) + ["und"]
-    heur_idx = F.lit(None).cast("int")
-    for i, lang in enumerate(heur_langs):
-        heur_idx = F.when(
-            _text.lang_pred_expr("ws") == lang, F.lit(i)
-        ).otherwise(heur_idx)
+    # ONE copy of the heuristic expression: the old per-label when
+    # chain built SIX copies of lang_pred_expr, each ~45 HOF stopword
+    # scans that get no common-subexpression elimination — ~6x the
+    # per-row heuristic cost (a review finding).  array_position maps
+    # the single prediction string to the aggregate-friendly int.
+    heur_idx = (
+        F.array_position(
+            F.array(*[F.lit(x) for x in heur_langs]),
+            _text.lang_pred_expr("ws"),
+        ).cast("int")
+        - 1
+    )
+    # null-as-empty (the tier's rule): a NULL text previously yielded
+    # pred_heur=NULL/agree=NULL while the model said 'und' — the row
+    # vanished from BOTH sides of an agree filter (a review finding)
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        normalize_expr(text_col).alias("s"),
-        F.split(F.col(text_col), " ").alias("ws"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+    ).select(
+        "doc_id",
+        normalize_expr("_txt").alias("s"),
+        F.split(F.col("_txt"), " ").alias("ws"),
     ).select(
         "doc_id",
         "s",

@@ -70,11 +70,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _tokens_expr(text_col: str):
+    """Whitespace tokens with EMPTY STRINGS FILTERED: split(' ') alone
+    injects '' tokens for leading/trailing/repeated spaces, which then
+    enter the vocabulary and transition rows as phantom words —
+    inflating perplexity for cosmetically different but identical text
+    (a review finding; bpe._words_expr applies the same rule)."""
+    return F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+
+
 def _pairs_expr(text_col: str):
     """(w1, w2) transition structs: zip of two slices of ONE split —
     linear per row (no per-gram lambda re-split), empty for 1-token
     docs."""
-    ws = F.split(F.col(text_col), " ")
+    ws = _tokens_expr(text_col)
     m = F.greatest(F.size(ws) - 1, F.lit(0))
     return F.zip_with(
         F.slice(ws, 1, m),
@@ -94,6 +105,7 @@ def ngram_lm_score(
     thresholds: tuple[float, float] | str | None = None,
     sample_mod: int = 4,
     broadcast_lm: bool = True,
+    persist=None,
 ) -> DataFrame:
     """Score ``docs`` by add-alpha bigram perplexity under an LM trained
     on ``ref``; bucket head/middle/tail (see module docstring).
@@ -112,7 +124,7 @@ def ngram_lm_score(
     pairs = _pairs_expr(text_col)
     # group the unigram table directly under the CONTEXT-word name so the
     # scoring probe is a plain equi-join on "w1"
-    rtok = ref.select(F.explode(F.split(F.col(text_col), " ")).alias("w1"))
+    rtok = ref.select(F.explode(_tokens_expr(text_col)).alias("w1"))
     uni = rtok.groupBy("w1").agg(F.count("*").alias("c1"))
     big = (
         ref.select(F.explode(pairs).alias("pr"))
@@ -157,12 +169,23 @@ def ngram_lm_score(
         # cutoffs (one aggregate, memory bounded by the sample) rounded
         # to the same measured-margin digits as the scores, broadcast as
         # one row, applied map-side.  No window in the plan.
-        samp = scored.filter(
-            F.expr(
-                "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
-                f" 16, 10) as bigint) % {int(sample_mod)}"
+        # the salted shared bucket hash (text.sample_bucket_expr): the
+        # old unsalted md5(doc_id) was perfectly correlated with every
+        # other unsalted doc_id-hash operator (packing's shard hash),
+        # so an upstream filter on the same hash could bias or EMPTY
+        # the sample (a review finding — the decorrelation rule
+        # sample_bucket_expr's docstring records)
+        from pandas_sigproc_spark.operators.text import sample_bucket_expr
+
+        if persist:
+            # both the cuts aggregate and the output side consume
+            # `scored` — unpersisted, the full explode+join+agg corpus
+            # pass runs TWICE (a review finding)
+            scored = (
+                persist(scored) if callable(persist) else scored.persist()
             )
-            == 0
+        samp = scored.filter(
+            sample_bucket_expr("doc_id", ":lmppl", mod=int(sample_mod)) == 0
         )
         cuts = samp.agg(
             F.round(

@@ -362,3 +362,34 @@ def test_null_text_tokenizes_empty_in_all_three_paths(spark):
     cnt = {r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(docs, merges).collect()}
     assert 1 not in cnt  # no-words doc yields NO row (documented)
     assert cnt[0] == enc[0]["n_tokens"]
+
+
+def test_bpe_encode_null_doc_id_passes_through(spark):
+    # r13 review finding: int(NaN) crashed the job on one NULL id while
+    # the relational twin passed the row through null-safely.
+    merges = bpe_train(
+        spark.createDataFrame([(1, "aa ab aa")], "doc_id long, text string"),
+        4,
+    )
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (None, "aa")], "doc_id long, text string"
+    )
+    rows = bpe_encode(docs, merges).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert None in ids and 1 in ids
+
+
+def test_bpe_train_encode_lowercase_parity(spark):
+    # r13 review finding candidate: the train side lowercases with JVM
+    # F.lower, the encode side with Python str.lower — pin that both
+    # produce the same words on locale-sensitive code points.
+    from pyspark.sql import functions as F
+
+    probe = "I İ ß ΣIGMA STRAßE"
+    jvm = (
+        spark.createDataFrame([(probe,)], "t string")
+        .select(F.split(F.lower("t"), r"\s+").alias("w"))
+        .first()["w"]
+    )
+    py = [w for w in probe.lower().split()]
+    assert jvm == py

@@ -234,3 +234,43 @@ def test_gate_corpus_rounding_margin():
         for t in (_LM_T1, _LM_T2):
             d = np.abs(r - t).min()
             assert d == 0.0 or d > 4.9e-7, (sf, t, d)
+
+
+def test_lm_irregular_spacing_scores_like_clean_text(spark):
+    # r13 review finding: split(' ') injected '' phantom tokens for
+    # leading/trailing/double spaces, inflating perplexity for
+    # cosmetically different but identical text.
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, " the  cat sat ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_trans"], r["log10_ppl"])
+           for r in ngram_lm_score(docs, ref).collect()}
+    assert out[1] == out[2]
+
+
+def test_lm_sampled_mode_salted_and_single_pass(spark):
+    # salted sample (decorrelated from unsalted doc_id hashes) and the
+    # persist hook: one clustering of the corpus feeds cuts AND output.
+    ref = spark.createDataFrame(
+        [(100, "a b c a b c a b")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "a b c x y") for i in range(40)], "doc_id long, text string"
+    )
+    blocks = []
+
+    def hook(d):
+        blocks.append(d)
+        return d.persist()
+
+    out = ngram_lm_score(
+        docs, ref, thresholds="sampled", sample_mod=2, persist=hook
+    ).collect()
+    assert len(out) == 40 and len(blocks) == 1
+    for b in blocks:
+        b.unpersist()
