@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 FP_FRAME = 1024  # STFT frame length (samples)
 FP_HOP = 512  # hop (samples)

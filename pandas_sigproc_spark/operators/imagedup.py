@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .dedup import guard_bucket_rows
 
@@ -99,8 +99,12 @@ def phash_pixels(px: np.ndarray) -> int:
     h = 0
     for b in bits:
         h = (h << 1) | int(b)
-    # two's-complement into a signed 64-bit (Spark LongType)
-    return h - (1 << 64) if h >= (1 << 63) else h
+    # 63 comparison bits (the 8x8 block minus DC), so h < 2^63 always:
+    # it fits a signed Spark LongType directly, bit 63 is a constant 0
+    # (the top Hamming band carries one fewer discriminating bit than
+    # its width suggests — a review finding corrected this comment; the
+    # old two's-complement fold-down was dead code)
+    return h
 
 
 def phash_images(
@@ -153,9 +157,14 @@ def phash_band_keys(
         # logical (unsigned) shift so the sign bit cannot smear: Spark
         # longs are signed, shiftright is arithmetic — mask AFTER a
         # shiftrightunsigned instead
-        return F.shiftrightunsigned(col, off).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
+        shifted = F.shiftrightunsigned(col, off)
+        if w >= 64:
+            # max_hamming=0 (exact-dup radius): ONE full-width band —
+            # F.lit(2^64 - 1) overflows LongType with a
+            # NumberFormatException (a review finding); the whole hash
+            # IS the band, no mask needed
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
     bands = h.select(
         "media_id",
@@ -183,6 +192,7 @@ def phash_near_pairs(
     payload_col: str = "payload",
     hashes: DataFrame | None = None,
     max_bucket_rows: int | None = 100_000,
+    pair_pred=None,
 ) -> DataFrame:
     """All image pairs (m1 < m2) whose pHashes differ in at most
     ``max_hamming`` of 64 bits.  EXACT: banding in Hamming space loses
@@ -191,7 +201,12 @@ def phash_near_pairs(
     Output: ``(m1, m2, hamming int)``.  ``hashes`` short-circuits the
     decode pass with a precomputed (media_id, phash) table — the
     materialized-signature-store pattern.  ``max_bucket_rows`` is the
-    embedding tier's hot-bucket guard on the band join.
+    embedding tier's hot-bucket guard on the band join.  ``pair_pred``
+    is an extra join predicate over the ``a``/``b`` aliases, applied
+    INSIDE the equi-join so excluded pairs are pruned before they
+    materialize (video_near_pairs drops same-video pairs this way — a
+    long static video otherwise fans out O(frames^2) candidate rows
+    that all get discarded, a review finding).
     """
     if not 0 <= max_hamming < PHASH_BITS:
         raise ValueError(f"need 0 <= max_hamming < {PHASH_BITS}")
@@ -208,13 +223,15 @@ def phash_near_pairs(
     ham = F.bit_count(
         F.col("a.phash").bitwiseXOR(F.col("b.phash"))
     )
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_bits") == F.col("b.band_bits"))
+        & (F.col("a.media_id") < F.col("b.media_id"))
+    )
+    if pair_pred is not None:
+        cond = cond & pair_pred
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.media_id").alias("m1"),
             F.col("b.media_id").alias("m2"),
@@ -340,8 +357,33 @@ def video_near_pairs(
             ),
         )
     ).cast("long")
+    # media_id must be in [0, 2^62/max_frames): negative ids split one
+    # video's frames across TWO composite keys (truncating DIV: frame 0
+    # of video -1 keys to v=-1, frame 5 to v=0 — its own frames then
+    # pass the v1 != v2 filter as a bogus cross-video pair), and huge
+    # ids overflow the multiply (a review finding; same silent-wrong-
+    # verdict class as the frame_idx guard above).
+    bad_id = F.raise_error(
+        F.concat(
+            F.lit("video_near_pairs: media_id "),
+            F.col("media_id").cast("string"),
+            F.lit(
+                f" outside [0, {(1 << 62) // max_frames}) — the"
+                f" media_id*{max_frames}+frame_idx composite key would"
+                " wrap or interleave across videos; remap ids (e.g."
+                " pmod of a hash) first"
+            ),
+        )
+    ).cast("long")
+    id_ok = (F.col("media_id") >= 0) & (
+        F.col("media_id") < (1 << 62) // max_frames
+    )
     keyed = fr.select(
         F.when(
+            ~id_ok,
+            bad_id,
+        )
+        .when(
             F.col("frame_idx") < max_frames,
             F.col("media_id") * max_frames + F.col("frame_idx"),
         )
@@ -354,6 +396,13 @@ def video_near_pairs(
         max_hamming,
         hashes=keyed,
         max_bucket_rows=max_bucket_rows,
+        # prune same-video pairs INSIDE the band join: a static 50k-
+        # frame video otherwise emits ~1.2e9 all-discarded candidate
+        # rows and can trip the hot-bucket guard with a remediation
+        # that cannot apply (a review finding)
+        pair_pred=F.expr(
+            f"(a.media_id DIV {max_frames}) != (b.media_id DIV {max_frames})"
+        ),
     )
     return (
         pairs.select(
@@ -377,12 +426,20 @@ def phash_dedup(
     id_col: str = "media_id",
     payload_col: str = "payload",
     max_bucket_rows: int | None = 100_000,
+    persist=None,
 ) -> DataFrame:
     """Keep/drop verdict per image: an image is dropped when a
     LOWER-id image sits within the Hamming radius (the same keep-first
     rule as the text dedup tiers).  Output: ``(media_id, phash, keep)``.
+
+    ``persist`` (callable df -> df, or True): cache the decoded hash
+    table — it feeds both band-join sides AND the final keep join, so
+    unpersisted the expensive decode+pHash Python pass runs ~3x (a
+    review finding; the incremental sibling exposes the same seam).
     """
     h = phash_images(media, id_col=id_col, payload_col=payload_col)
+    if persist:
+        h = persist(h) if callable(persist) else h.persist()
     pairs = phash_near_pairs(
         media,
         max_hamming,

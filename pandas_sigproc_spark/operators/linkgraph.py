@@ -67,6 +67,12 @@ def pagerank(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        # NULL endpoints dropped (the graph.py half-edge rule): the
+        # documented edge source url_host returns NULL for malformed
+        # crawl URIs BY DESIGN, and a surviving NULL became a phantom
+        # node — off-by-one N skewing every teleport term, plus a junk
+        # (NULL, rank) output row (a review finding)
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -260,3 +260,48 @@ def test_phash_rounding_margin_audit():
             "(~1e-12 measured); raise the rounding digits in "
             "phash_bytes AND the oracle"
         )
+
+
+def test_phash_pairs_max_hamming_zero(spark):
+    # r13 review finding: the single full-width band built
+    # F.lit(2^64-1), overflowing LongType — exact-dup radius crashed.
+    from pandas_sigproc_spark.operators.imagedup import phash_near_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43)], "media_id long, phash long"
+    )
+    rows = phash_near_pairs(None, 0, hashes=hashes).collect()
+    assert [(r["m1"], r["m2"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_video_pairs_negative_media_id_refused(spark):
+    from pandas_sigproc_spark.operators.imagedup import video_near_pairs
+
+    fr = spark.createDataFrame(
+        [(-1, 0, 10), (-1, 5, 10), (0, 0, 10)],
+        "media_id long, frame_idx long, phash long",
+    )
+    with pytest.raises(Exception, match="outside"):
+        video_near_pairs(None, frame_hashes=fr, max_frames=1 << 20).collect()
+
+
+def test_phash_dedup_persist_hook(spark):
+    from pandas_sigproc_spark.operators.imagedup import phash_dedup
+
+    blob = encode_bmp(_smooth(3))
+    media = spark.createDataFrame(
+        [(1, blob), (2, blob)],
+        "media_id long, payload binary",
+    )
+    blocks = []
+
+    def hook(d):
+        blocks.append(d)
+        return d.persist()
+
+    out = phash_dedup(media, persist=hook).collect()
+    assert len(blocks) == 1 and len(out) == 2
+    keep = {r["media_id"]: r["keep"] for r in out}
+    assert keep == {1: True, 2: False}
+    for b in blocks:
+        b.unpersist()
