@@ -35,8 +35,15 @@ def _builtin_channels(filename: str):
     it)."""
     from pandas_sigproc_spark.sources import mide
 
-    with open(filename, "rb") as fh:
-        buf = fh.read()
+    try:
+        with open(filename, "rb") as fh:
+            buf = fh.read()
+    except OSError:
+        # the probe could not even open the file — defer to the endaq
+        # package path (which reports its own error for a truly
+        # missing file); keeps the profile-first dispatch from
+        # shadowing package-specific virtual-filesystem handles
+        return None
     if mide.is_mide(buf):
         return mide.read_mide_channels(buf, source=filename)
     if not mide.is_recording(buf):
@@ -65,10 +72,14 @@ def _subchannels(doc):
 def ide_channel_list(filename: str) -> list[str]:
     """Display names in one ``.ide`` file (reference ``Endaq.channel_list``,
     ``daq/io.py:175-184``)."""
-    if _endaq_ide is None:
-        chans = _builtin_channels(filename)
-        if chans is not None:
-            return [c.name for c in chans]
+    # profile-first dispatch: a file in one of the BUILT-IN profiles is
+    # read by the built-in parser even when the endaq package is
+    # installed — endaq cannot parse the engine profile, so the old
+    # package-absence gate broke those files the moment endaq appeared
+    # on the executors (a review finding)
+    chans = _builtin_channels(filename)
+    if chans is not None:
+        return [c.name for c in chans]
     _require_endaq()
     doc = _endaq_ide.get_doc(filename=filename)
     try:
@@ -91,7 +102,10 @@ def _sub_to_channel(filename: str, sub) -> Channel:
     return Channel(
         channel_id=f"{filename}:{sub.displayName}",
         time=pdf.index.to_numpy(dtype="float64"),
-        data=pdf.to_numpy(dtype="float64").squeeze(),
+        # reshape(-1), NOT squeeze(): a single-sample subchannel's
+        # (1, 1) frame squeezes to a 0-D array, crashing len()/Arrow
+        # downstream (a review finding)
+        data=pdf.to_numpy(dtype="float64").reshape(-1),
         name=sub.displayName,
         unit=str(sub.units[1]) if sub.units else "none",
         start_time=start,
@@ -101,13 +115,12 @@ def _sub_to_channel(filename: str, sub) -> Channel:
 def read_ide_channel(filename: str, ch_name: str) -> Channel:
     """Name lookup (reference ``Endaq.get_channel``, ``daq/io.py:211-239``):
     raises KeyError when the display name is absent."""
-    if _endaq_ide is None:
-        chans = _builtin_channels(filename)
-        if chans is not None:
-            for c in chans:
-                if c.name == ch_name:
-                    return c
-            raise KeyError(f"channel {ch_name!r} not in {filename}")
+    chans = _builtin_channels(filename)  # profile-first (see above)
+    if chans is not None:
+        for c in chans:
+            if c.name == ch_name:
+                return c
+        raise KeyError(f"channel {ch_name!r} not in {filename}")
     _require_endaq()
     doc = _endaq_ide.get_doc(filename=filename)
     try:
@@ -121,10 +134,9 @@ def read_ide_channel(filename: str, ch_name: str) -> Channel:
 
 def read_ide_channels(filename: str) -> list[Channel]:
     """Open one ``.ide`` file -> in-memory Channels (every subchannel)."""
-    if _endaq_ide is None:
-        chans = _builtin_channels(filename)
-        if chans is not None:
-            return chans
+    chans = _builtin_channels(filename)  # profile-first (see above)
+    if chans is not None:
+        return chans
     _require_endaq()
     doc = _endaq_ide.get_doc(filename=filename)
     try:
@@ -148,18 +160,21 @@ def ingest_ide_dir(spark, filenames: list[str], output_path: str) -> None:
     ``endaq`` package on the executors (the per-task reader raises a
     clear ImportError otherwise).
     """
-    import pandas as pd
+    if not filenames:
+        # parallelize([], 0) dies in pyspark with an opaque
+        # ZeroDivisionError (a review finding) — refuse by name
+        raise ValueError("ingest_ide_dir: no input files")
 
     def one_file(fn: str):
-        chans = read_ide_channels(fn)
-        frames = []
-        for ch in chans:
-            frames.append(
-                pd.DataFrame(
-                    {"channel_id": ch.channel_id, "t": ch.time, "value": ch.data}
-                )
-            )
-        return pd.concat(frames, ignore_index=True).to_dict("records")
+        # plain tuples, one per sample — the old path built a pandas
+        # frame only to explode it back into per-row DICTS, which
+        # pickle and re-verify per row (a review finding); a
+        # zero-channel file yields no rows instead of crashing
+        # pd.concat([]) (same class channel.py:40-44 records as fixed)
+        for ch in read_ide_channels(fn):
+            cid = ch.channel_id
+            for t, v in zip(ch.time.tolist(), ch.data.tolist()):
+                yield (cid, float(t), float(v))
 
     rows = spark.sparkContext.parallelize(filenames, len(filenames)).flatMap(one_file)
     df = spark.createDataFrame(rows, "channel_id string, t double, value double")

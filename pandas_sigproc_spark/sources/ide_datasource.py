@@ -94,19 +94,33 @@ class _IdeReader(DataSourceReader):
         )
 
         fn = partition.value
-        chans = (
-            [read_ide_channel(fn, self._channel)]
-            if self._channel
-            else read_ide_channels(fn)
-        )
+        if self._channel:
+            # FILTER semantics across a multi-file load: a logger file
+            # lacking the named channel yields no rows — the old
+            # KeyError killed the whole job on the first such file
+            # (a review finding; the option is documented as
+            # 'restrict', not 'require in every file')
+            try:
+                chans = [read_ide_channel(fn, self._channel)]
+            except KeyError:
+                chans = []
+        else:
+            chans = read_ide_channels(fn)
         # Arrow batches, one per channel — the vectorized half of the
         # Python Data Source API: no per-row Python objects cross the
         # boundary, the channel's arrays ship as columnar buffers.
         for ch in chans:
             n = len(ch.time)
+            # one-element string array repeated by a vectorized take:
+            # the old [cid] * n built an n-slot Python list converted
+            # element-by-element — the one per-row loop left in this
+            # columnar path (a review finding)
+            cid_arr = pa.array([ch.channel_id], pa.string()).take(
+                pa.array(np.zeros(n, dtype=np.int32))
+            )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([ch.channel_id] * n, pa.string()),
+                    cid_arr,
                     pa.array(np.asarray(ch.time, dtype=np.float64)),
                     pa.array(np.asarray(ch.data, dtype=np.float64)),
                 ],

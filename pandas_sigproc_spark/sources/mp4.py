@@ -228,6 +228,10 @@ def _u32s(buf: bytes, n: int, off: int = 0) -> list[int]:
 
 def _parse_video_trak(data: bytes, b: int, e: int) -> Mp4Track:
     mdhd = _find(data, b, e, b"mdia", b"mdhd")
+    if mdhd is None:
+        # the stbl lookup below refuses by name; a missing mdhd leaked
+        # a bare TypeError instead (a review finding)
+        raise ValueError("video trak has no mdhd")
     ver = data[mdhd[0]]
     timescale = struct.unpack(
         ">I", data[mdhd[0] + (20 if ver else 12) : mdhd[0] + (24 if ver else 16)]
@@ -292,6 +296,15 @@ def _parse_video_trak(data: bytes, b: int, e: int) -> Mp4Track:
         for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
             if si >= n:
                 break
+            if pos + sizes[si] > len(data):
+                # a truncated mdat on a moov-first file previously
+                # yielded silently short/empty samples while the
+                # count check still passed (a review finding) —
+                # refuse by name, never a partial track
+                raise ValueError(
+                    f"MP4 sample {si} extends past end of data"
+                    f" ({pos + sizes[si]} > {len(data)})"
+                )
             samples.append(data[pos : pos + sizes[si]])
             pos += sizes[si]
             si += 1

@@ -128,3 +128,63 @@ def test_ingest_to_signals(fake_ide, spark):
     # absolute timestamps materialized from start_time origin
     x = spdf[spdf.channel_id == "rec.ide:X (100g)"].sort_values("t")
     assert x["ts"].iloc[0] == T0.tz_localize(None)
+
+
+def test_single_sample_subchannel_is_1d():
+    # r13 review finding: squeeze() collapsed a (1,1) frame to 0-D.
+    import numpy as np
+
+    from pandas_sigproc_spark.sources import mide
+    from pandas_sigproc_spark.sources.endaq import read_ide_channels
+
+    blob = mide.encode_mide(
+        [{
+            "ch_id": 1, "name": "C", "fmt": "<h",
+            "subchannels": [
+                {"sub_id": 0, "name": "s", "units": "", "cal_id": 1}
+            ],
+            "blocks": [(0, 1024, np.array([[7]], "<i2"))],
+        }],
+        {1: (0.0, [1.0, 0.0])},
+    )
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".ide", delete=False) as fh:
+        fh.write(blob)
+        fn = fh.name
+    (ch,) = read_ide_channels(fn)
+    assert ch.data.ndim == 1 and len(ch.data) == 1
+
+
+def test_ingest_ide_dir_empty_and_zero_channel(spark, tmp_path):
+    import pytest as _pytest
+
+    from pandas_sigproc_spark.sources import mide
+    from pandas_sigproc_spark.sources.endaq import ingest_ide_dir
+
+    with _pytest.raises(ValueError, match="no input files"):
+        ingest_ide_dir(spark, [], str(tmp_path / "out"))
+
+    # a zero-channel recording contributes no rows instead of crashing
+    ids = mide.MIDE_IDS
+    empty = mide._el(
+        mide.EBML_HEADER, mide._el(mide.DOCTYPE, b"mide")
+    ) + mide._el(ids["RecordingProperties"], mide._el_uint(ids["TimeBaseUTC"], 0))
+    f1 = tmp_path / "empty.ide"
+    f1.write_bytes(empty)
+    blob = mide.encode_mide(
+        [{
+            "ch_id": 1, "name": "C", "fmt": "<h",
+            "subchannels": [
+                {"sub_id": 0, "name": "s", "units": "", "cal_id": 1}
+            ],
+            "blocks": [(0, 2048, __import__("numpy").array([[1], [2]], "<i2"))],
+        }],
+        {1: (0.0, [1.0, 0.0])},
+    )
+    f2 = tmp_path / "real.ide"
+    f2.write_bytes(blob)
+    out = tmp_path / "parquet"
+    ingest_ide_dir(spark, [str(f1), str(f2)], str(out))
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2

@@ -91,3 +91,36 @@ def test_empty_dir_raises(tmp_path):
     (d / "notes.txt").write_text("not a recording")
     with pytest.raises(FileNotFoundError, match="no .ide files"):
         _expand(str(d))
+
+
+def test_channel_option_is_filter_across_files(spark, tmp_path):
+    # r13 review finding: a file lacking the named channel killed the
+    # whole multi-file read with KeyError; filter semantics now.
+    from pandas_sigproc_spark.sources import mide
+    from pandas_sigproc_spark.sources.ide_datasource import (
+        register_ide_source,
+    )
+
+    def rec(ch_name):
+        return mide.encode_mide(
+            [{
+                "ch_id": 1, "name": ch_name, "fmt": "<h",
+                "subchannels": [
+                    {"sub_id": 0, "name": "s", "units": "", "cal_id": 1}
+                ],
+                "blocks": [(0, 2048, __import__("numpy").array([[1], [2]], "<i2"))],
+            }],
+            {1: (0.0, [1.0, 0.0])},
+        )
+
+    (tmp_path / "a.ide").write_bytes(rec("Accel"))
+    (tmp_path / "b.ide").write_bytes(rec("Temp"))
+    register_ide_source(spark)
+    df = (
+        spark.read.format("ide")
+        .option("channel", "Accel:s")
+        .load(str(tmp_path))
+    )
+    rows = df.collect()
+    assert len(rows) == 2  # only a.ide contributes; b.ide yields no rows
+    assert all("Accel" in r["channel_id"] for r in rows)

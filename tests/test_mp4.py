@@ -160,3 +160,19 @@ def test_phash_frames_speak_mp4(spark):
     assert len(out) == 4
     for _, r in out.iterrows():
         assert int(r.phash) == phash_bytes(frames[int(r.frame_idx)])
+
+
+def test_sample_slice_past_eof_refuses():
+    # r13 review finding: sample slices past end-of-data (a moov-first
+    # file truncated mid-mdat) yielded silently short/empty samples
+    # while the count check passed.  Simulate by patching the stco
+    # chunk offset to near-EOF on an otherwise valid file.
+    full = bytearray(
+        encode_mp4([b"frame-one-bytes", b"frame-two-bytes"], width=4, height=4)
+    )
+    i = bytes(full).find(b"stco")
+    assert i > 0
+    # stco: tag(4) ver/flags(4) count(4) then offsets
+    full[i + 12 : i + 16] = struct.pack(">I", len(full) - 4)
+    with pytest.raises(ValueError, match="extends past"):
+        decode_mp4(bytes(full))
