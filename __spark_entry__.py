@@ -507,9 +507,15 @@ FROM sig
 
 
 def q_detrend_linear(spark, sf_dir):
+    # r14: CONSOLIDATED with the agg-plan twin (one slot proves the
+    # whole-channel-window plan AND the groupBy+broadcast scale plan;
+    # see _compose_paths / PLANS.md capacity plan).
     sig = _signals(spark, sf_dir).select("channel_id", "t", "value")
-    return detrend(sig, "linear").select(
+    base = detrend(sig, "linear").select(
         "channel_id", "t", F.round(F.col("value") + _NUDGE, 6).alias("value")
+    )
+    return _compose_paths(
+        ("global", base), ("agg", _detrend_agg_branch(spark, sf_dir))
     )
 
 
@@ -533,12 +539,14 @@ FROM s
 """
 
 
-def q_detrend_agg(spark, sf_dir):
+def _detrend_agg_branch(spark, sf_dir):
     # The scale-safe detrend plan (groupBy sufficient stats + broadcast
     # joins, zero whole-channel windows — what `auto` picks above
     # HUGE_CHANNEL_ROWS) forced through the hash gate at sf0.01.  Same
-    # oracle as detrend_linear: the two plans differ only in summation
-    # association, absorbed by the nudge+round contract.
+    # oracle arm as detrend_linear: the two plans differ only in
+    # summation association, absorbed by the nudge+round contract.
+    # r14: rides as the 'agg' path of the consolidated q_detrend_linear
+    # gate.
     sig = _signals(spark, sf_dir).select("channel_id", "t", "value")
     return detrend(sig, "linear", mode="agg").select(
         "channel_id", "t", F.round(F.col("value") + _NUDGE, 6).alias("value")
@@ -862,19 +870,25 @@ def _day_grid(sig: DataFrame) -> DataFrame:
 def q_interp_daily(spark, sf_dir):
     # Linear interpolation (as-of join) of every channel onto the daily
     # grid inside its own time span (extension.py:819-851 linear kind).
+    # r14: CONSOLIDATED with the range-chunked twin (one slot proves
+    # both plans; see _compose_paths / PLANS.md capacity plan).
     sig = deduplicate(_sig_ch(spark, sf_dir))
     grid = _day_grid(sig)
     out = interp1d_linear(sig, grid, axis="t")
-    return out.select("channel_id", "t", F.round("value", 6).alias("value"))
+    base = out.select("channel_id", "t", F.round("value", 6).alias("value"))
+    return _compose_paths(
+        ("global", base), ("chunked", _interp_chunked_branch(spark, sf_dir))
+    )
 
 
-def q_interp_chunked(spark, sf_dir):
+def _interp_chunked_branch(spark, sf_dir):
     # The range-chunked as-of interpolation plan (joins._chunk_assign:
     # time-range chunks + injected boundary sources) forced through the
-    # hash gate — bit-identical to the global plan, so the oracle is
+    # hash gate — bit-identical to the global plan, so its oracle arm is
     # SQL_INTERP_DAILY verbatim.  Chunk size 400 puts every channel
     # across many chunks at sf0.01, exercising empty-chunk fills and
-    # boundary injection.
+    # boundary injection.  r14: rides as the 'chunked' path of the
+    # consolidated q_interp_daily gate.
     sig = deduplicate(_sig_ch(spark, sf_dir))
     grid = _day_grid(sig)
     out = interp1d_linear(sig, grid, axis="t", chunk_rows=400)
@@ -4636,6 +4650,18 @@ def q_wds_roundtrip(spark, sf_dir):
         write_wds_shards,
     )
 
+    shards = write_wds_shards(_wds_member_table(spark, sf_dir))
+    back = wds_members(shards, id_col="shard")
+    return back.select(
+        "shard_id", "key", "ext", "n_bytes", F.md5("payload").alias("sha")
+    )
+
+
+def _wds_member_table(spark, sf_dir):
+    """The deterministic (shard, key, ext, payload) member table both
+    WebDataset gates build from the documents table: two members per
+    document (`<key>.txt` = text bytes, `<key>.json` = canonical
+    metadata), shard = doc_id % 16."""
     d = _docs_par(spark, sf_dir)
     base = d.select(
         (F.col("doc_id").cast("long") % 16).alias("shard"),
@@ -4653,7 +4679,7 @@ def q_wds_roundtrip(spark, sf_dir):
         F.col("lang"),
         F.lit('"}'),
     )
-    members = base.select(
+    return base.select(
         "shard", "key", F.lit("txt").alias("ext"),
         F.encode("text", "UTF-8").alias("payload"),
     ).unionByName(
@@ -4662,9 +4688,50 @@ def q_wds_roundtrip(spark, sf_dir):
             F.encode(meta, "UTF-8").alias("payload"),
         )
     )
-    shards = write_wds_shards(members)
-    back = wds_members(shards, id_col="shard")
-    return back.select(
+
+
+def q_wds_store_roundtrip(spark, sf_dir):
+    """Object-store WebDataset layout under the hash gate — the r13
+    `save_wds_store`/`load_wds_store` surface
+    (operators/webdataset.py:488,550) proven end-to-end: the same
+    member table as q_wds_roundtrip is packed into byte-deterministic
+    tar shards, SAVED as a parquet-payload store through an explicit
+    ``file://`` URI (the Hadoop FileSystem route a remote ``s3a://``
+    scheme takes — JVM committer for payload bytes, tmp+rename
+    manifest stamp), LOADED back through the manifest gate, re-exploded
+    by wds_members, and emitted as member key/ext/size/md5.  The oracle
+    is SQL_WDS_ROUNDTRIP verbatim — it derives every column from the
+    documents table and never sees a tar or parquet byte — so a green
+    hash certifies the store write -> manifest commit -> store read ->
+    tar decode cycle on top of everything the plain roundtrip gate
+    already proves.
+
+    Scale shape: shard bytes flow executor -> store through Spark's
+    parquet committer (never the driver); the driver touches only the
+    manifest JSON and a 3-scalar size aggregate; the re-read is an
+    ordinary parquet scan + zero-shuffle member explode."""
+    import os
+    import shutil
+
+    from pandas_sigproc_spark.operators.webdataset import (
+        load_wds_store,
+        save_wds_store,
+        wds_members,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_wds_member_table(spark, sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".wdsstore",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent per call
+    store_uri = "file://" + root
+    save_wds_store(shards, store_uri)  # fresh-write path: no manifest yet
+    back = load_wds_store(spark, store_uri)
+    got = wds_members(back, id_col="shard")
+    return got.select(
         "shard_id", "key", "ext", "n_bytes", F.md5("payload").alias("sha")
     )
 
@@ -5483,6 +5550,208 @@ m AS (
 SELECT doc_id, url, canon_url,
        CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_same
 FROM m
+"""
+
+
+# -- crawl_frontier: html_links -> resolve_url -> canonicalize_url /
+#    url_host -> blocklist admission, composed under ONE hash gate -------
+#
+# Four base-URL shapes (file path + query, no path, directory with an
+# explicit default port, non-default port on a blocklisted host) x the
+# 18 href shapes of the resolve_url pytest battery
+# (tests/test_wds_warc.py:test_resolve_url_matches_urljoin).  The
+# oracle never parses HTML or replays RFC 3986: its expectation table
+# is computed from urllib.parse (urljoin/urlsplit — an INDEPENDENT
+# reference implementation) with the two documented deviations applied
+# (fragments dropped; empty base path canonicalized to '/').
+_CF_BASES = (
+    "http://site0.example/a/b/c?x=1",  # file-ish path + query
+    "http://site1.example",            # no path at all
+    "https://site2.example:443/a/dir/",  # directory + default port
+    "http://blocked.example:8080/a/b",   # blocklisted host, odd port
+)
+_CF_HREFS = (
+    "http://other.example/q",       # absolute (blocklisted host)
+    "https://other2.example/q?z=2",  # absolute with query
+    "//cdn.example/lib.js",         # protocol-relative
+    "/rooted/path",                 # origin-absolute
+    "/rooted/../up",                # dot segments in rooted
+    "?y=2",                         # query-only
+    "",                             # same-document
+    "#frag",                        # fragment-only
+    "d",                            # sibling file
+    "d/e",                          # deeper
+    "./d",                          # explicit cwd
+    "../d",                         # parent
+    "../../d",                      # grandparent
+    "../../../d",                   # above root (clamps)
+    "d/",                           # trailing slash
+    "..",                           # bare parent (dir form)
+    ".",                            # bare cwd (dir form)
+    "mailto:x@example.com",         # non-http scheme passes through
+)
+_CF_BLOCKED = ("blocked.example", "other.example")
+
+
+def _cf_expect_rows():
+    """(base_idx, pos, url, canon, host, admitted) expectation rows —
+    urllib-derived, NOT a replay of the engine's expression trees."""
+    import re
+    from urllib.parse import urljoin, urlsplit
+
+    # html_links emits all double-quoted anchors (even href indices,
+    # document order) before all single-quoted ones (odd indices)
+    order = list(range(0, len(_CF_HREFS), 2)) + list(
+        range(1, len(_CF_HREFS), 2)
+    )
+    track = (
+        r"(?i)^(?:utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(?:=|$)"
+    )
+    rows = []
+    for bi, b in enumerate(_CF_BASES):
+        for pos, hi in enumerate(order):
+            u = urljoin(b, _CF_HREFS[hi]).split("#", 1)[0]
+            # deviation: canonical '/' for an empty base path
+            u = re.sub(r"^([A-Za-z+.-]+://[^/?]+)(\?|$)", r"\1/\2", u)
+            host = canon = None
+            scheme = ""
+            if "://" in u:
+                sp = urlsplit(u)
+                scheme, host = sp.scheme.lower(), sp.hostname
+                hp = sp.netloc.lower()
+                hp = re.sub(
+                    ":80$" if scheme == "http" else ":443$", "", hp
+                ) if scheme in ("http", "https") else hp
+                params = sorted(
+                    p
+                    for p in sp.query.split("&")
+                    if p and not re.match(track, p)
+                )
+                canon = f"{scheme}://{hp}{sp.path or '/'}" + (
+                    "?" + "&".join(params) if params else ""
+                )
+            admitted = int(
+                host is not None
+                and host not in _CF_BLOCKED
+                and scheme in ("http", "https")
+            )
+            rows.append((bi, pos, u, canon, host, admitted))
+    return rows
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Frontier expansion under ONE hash gate — the composition a crawl
+    actually runs on every fetched page: html_links (both quote
+    styles) -> resolve_url (RFC 3986 §5.2, the r13 native resolver,
+    webcrawl.py:247) -> canonicalize_url + url_host -> host-blocklist
+    admission.  Each document becomes a page whose 18 anchors are the
+    resolve_url pytest battery's href shapes (alternating quote
+    styles, the doc's escaped text in between) against one of 4 base
+    shapes keyed on doc_id; the gate emits every extracted link's
+    resolved URL, canonical dedup key, host, and admission verdict.
+
+    A green hash certifies the whole chain against an INDEPENDENT
+    urllib-derived expectation table (see _cf_expect_rows): anchor
+    extraction order across quote styles, all 18 resolution shapes x 4
+    bases (dot-segment clamping, protocol-relative, query-only,
+    same-document, directory merge, scheme pass-through), canonical-key
+    and host derivation on RESOLVED urls, and the NULL-host /
+    foreign-scheme / blocklist admission rules.  Suffix-rule blocklists
+    compose downstream via url_blocklist_filter (its own gate).
+
+    Scale shape: one codegen'd per-row expression tree — regexp
+    extraction, the native dot-segment fold, string arithmetic — then
+    posexplode; zero shuffle, zero Python, linear in page bytes."""
+    from pandas_sigproc_spark.operators.webcrawl import (
+        canonicalize_url,
+        html_escape,
+        html_links,
+        resolve_url,
+        url_host,
+    )
+
+    anchors_dq = "".join(
+        f'<a class="nav" href="{h}">l{i}</a>'
+        for i, h in enumerate(_CF_HREFS)
+        if i % 2 == 0
+    )
+    anchors_sq = "".join(
+        f"<a href='{h}'>l{i}</a>"
+        for i, h in enumerate(_CF_HREFS)
+        if i % 2 == 1
+    )
+    d = _docs(spark, sf_dir)
+    base = F.element_at(
+        F.array(*[F.lit(b) for b in _CF_BASES]),
+        (F.col("doc_id").cast("long") % 4 + 1).cast("int"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        html_escape(F.coalesce(F.col("text"), F.lit(""))),
+        # a '>' inside a quoted attribute must not truncate matching
+        F.lit(f'</p>{anchors_dq}<div data-x="a>b">{anchors_sq}</div>'
+              "</body></html>"),
+    )
+    page = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        base.alias("base"),
+        html_links(html).alias("hrefs"),
+    )
+    ex = page.select(
+        "doc_id", "base",
+        F.posexplode("hrefs").alias("link_idx", "href"),
+    )
+    out = ex.select(
+        "doc_id",
+        F.col("link_idx").cast("int").alias("link_idx"),
+        resolve_url(F.col("base"), F.col("href")).alias("url"),
+    )
+    host = url_host(F.col("url"))
+    return out.select(
+        "doc_id",
+        "link_idx",
+        "url",
+        canonicalize_url(F.col("url")).alias("canon"),
+        host.alias("host"),
+        (
+            host.isNotNull()
+            & ~host.isin(*_CF_BLOCKED)
+            & F.col("url").rlike("^https?://")
+        )
+        .cast("int")
+        .alias("admitted"),
+    )
+
+
+def _sql_crawl_frontier() -> str:
+    vals = ",\n    ".join(
+        "({}, {}, '{}', {}, {}, {})".format(
+            bi,
+            pos,
+            u,
+            "NULL" if canon is None else f"'{canon}'",
+            "NULL" if host is None else f"'{host}'",
+            adm,
+        )
+        for bi, pos, u, canon, host, adm in _cf_expect_rows()
+    )
+    return f"""
+WITH exp(base_idx, pos, url, canon, host, admitted) AS (
+  VALUES
+    {vals}
+),
+d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id AS BIGINT) % 4 AS bi
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(e.pos AS INTEGER) AS link_idx,
+       e.url,
+       e.canon,
+       e.host,
+       CAST(e.admitted AS INTEGER) AS admitted
+FROM d JOIN exp e ON e.base_idx = d.bi
 """
 
 
@@ -9319,90 +9588,37 @@ FROM binned GROUP BY channel_id, bin
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round CORRECTNESS gate validates
-    # the first 50 entries in dict order.  Round-13 ordering
+    # the first 50 entries in dict order.  Round-14 ordering
     # (tests/test_entry_contract.py pins the window AND a max-staleness
     # contract — no below-cap query may be more than 2 recorded rounds
     # stale, so this dict must rotate every round):
-    #   tier A — the 48 r10-greens that age past the 2-round bound the
-    #            moment CORRECTNESS_r13.json lands (exactly the set the
-    #            r12 ordering promised below its cap marker): the
-    #            window/chunked signal ops, the text/token/langid tier,
-    #            audio/video media dedup + the signature stores, the
-    #            crawl extraction tier, the ANN ivf pair, and the
-    #            r10-era relational signal gates;
-    #   tier B — 2 NEW queries needing first driver proof, closing the
-    #            streaming tier's zero-gate gap (r12 verdict #3):
-    #            streaming_corpus_filter (multi-micro-batch file-source
-    #            replay of documents through score+lang+dedup with
-    #            cross-batch digest state; text-derived projection makes
-    #            the survivor multiset deterministic) and
-    #            streaming_rainflow (applyInPandasWithState residue
-    #            carry across 4 time-range batches; oracle = a NEW
-    #            recursive 4-POINT-rule machine, distinct from the
-    #            3-point SQL_RAINFLOW).
-    #   below the cap — the 47 remaining r11-greens (fresh through r13;
-    #            they are r14's mandatory set), then the 46 r12-greens
-    #            (50 minus the 4 consolidated into their base gates)
-    #            (fresh through r14); the local gate
+    #   tier A — the 47 r11-greens that age past the 2-round bound the
+    #            moment CORRECTNESS_r14.json lands (exactly the set the
+    #            r13 ordering promised below its cap marker): the
+    #            interp/detrend/filter/PSD/SRS/rainflow kernel tier,
+    #            the tfidf/bpe/wds/cluster text tier, and the r11-era
+    #            store/codec gates.  interp_daily and detrend_linear
+    #            are now CONSOLIDATED gates (r14 capacity plan): each
+    #            carries its chunked/agg twin as a 'path'-marked union
+    #            (_compose_paths), so one slot re-proves both plans
+    #            (interp_chunked and detrend_agg retired as standalone
+    #            slots; registry 143 unchanged with the 2 new gates).
+    #   tier B — 2 NEW gates needing first driver proof:
+    #            wds_store_roundtrip (the r13 object-store WebDataset
+    #            layout — save/load_wds_store through an explicit
+    #            file:// Hadoop FileSystem URI) and crawl_frontier
+    #            (html_links -> resolve_url -> canonicalize_url /
+    #            url_host -> blocklist admission, vs an independent
+    #            urllib-derived expectation table).
+    #   tier C — 1 EARLY rotation: corpus_to_shards (the capstone,
+    #            last green r12) re-proves a round early, trimming
+    #            r15's mandatory set to 43.
+    #   below the cap — the remaining 43 r12-greens (fresh through
+    #            r14; they are r15's mandatory set), then the 49
+    #            r13-greens (fresh through r15); the local gate
     #            (tools/oracle_check.py) keeps full coverage meanwhile.
     return {
-        # -- tier A: r10-green carry-overs (mandatory this round) ----------
-        "mov_rms": q_mov_rms,
-        "integral": q_integral,
-        "derivative": q_derivative,
-        "detrend_agg": q_detrend_agg,
-        "detrend_piecewise": q_detrend_piecewise,
-        "doc_chunks": q_doc_chunks,
-        "rep_stats": q_rep_stats,
-        "corpus_prep": q_corpus_prep,
-        "substr_dedup": q_substr_dedup,
-        "resample": q_resample,
-        "segment_stats": q_segment_stats,
-        "interp_log": q_interp_log,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "audio_fp": q_audio_fp,
-        "audio_fp_pairs": q_audio_fp_pairs,
-        "media_video_dedup": q_media_video_dedup,
-        "incr_phash_store": q_incr_phash_store,
-        "incr_audio_store": q_incr_audio_store,
-        "wds_extract": q_wds_extract,
-        "warc_extract": q_warc_extract,
-        "zip_extract": q_zip_extract,
-        "media_image_jpeg_prog": q_media_image_jpeg_prog,
-        "media_image_gif": q_media_image_gif,
-        "media_video_gif": q_media_video_gif,
-        "link_pagerank": q_link_pagerank,
-        "domain_cap": q_domain_cap,
-        "html_extract": q_html_extract,
-        "url_canon": q_url_canon,
-        "gopher_rules": q_gopher_rules,
-        "crawl_curate": q_crawl_curate,
-        "dedup_embed": q_dedup_embed,
-        "shard_assign": q_shard_assign,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "incr_dedup": q_incr_dedup,
-        "lm_ppl_terciles": q_lm_ppl_terciles,
-        "rms": q_rms,
-        "spl": q_spl,
-        "rms_lin": q_rms_lin,
-        "rms_log": q_rms_log,
-        "samplerate": q_samplerate,
-        "between": q_between,
-        "between_freq": q_between_freq,
-        "timeshift": q_timeshift,
-        "deduplicate": q_deduplicate,
-        "rss_daily": q_rss_daily,
-        # -- tier B: new this round, first driver proof (streaming) --------
-        "streaming_corpus_filter": q_streaming_corpus_filter,
-        "streaming_rainflow": q_streaming_rainflow,
-        # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (the 47 remaining r11-greens — fresh through r13, they are the
-        #  r14 mandatory set — then the 46 r12-greens, fresh through r14;
-        #  4 of the original 50 were consolidated into base gates.)
-        # -- r11 tier (47 left; fresh through r13; r14 mandatory) ----------
+        # -- tier A: r11-green carry-overs (mandatory this round) ----------
         "interp_daily": q_interp_daily,
         "interp_nearest": q_interp_nearest,
         "interp_cubic": q_interp_cubic,
@@ -9450,7 +9666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_store": q_incr_dedup_store,
         "media_image_jpeg": q_media_image_jpeg,
         "media_video_mp4": q_media_video_mp4,
-        # -- r12 tier (46 after consolidation; fresh through r14) -------------------------------
+        # -- tier B: new this round, first driver proof ---------------------
+        "wds_store_roundtrip": q_wds_store_roundtrip,
+        "crawl_frontier": q_crawl_frontier,
+        # -- tier C: early rotation (capstone, last green r12) --------------
+        "corpus_to_shards": q_corpus_to_shards,
+        # ---- driver cap: entries BELOW here are not driver-checked -------
+        # (the 43 remaining r12-greens — fresh through r14, they are the
+        #  r15 mandatory set — then the 49 r13-greens, fresh through r15;
+        #  interp_chunked/detrend_agg were consolidated into their base
+        #  gates this round, corpus_to_shards rotated early above.)
+        # -- r12 tier (43 left; fresh through r14; r15 mandatory) ----------
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,
@@ -9475,12 +9701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_real": q_media_image_real,
         "semdedup": q_semdedup,
         "corpus_curate": q_corpus_curate,
-        # (r13 consolidation: mov_rms/integral/derivative/resample
-        #  _chunked twins now ride as the 'chunked' path of their base
-        #  gates — 4 slots freed, see PLANS.md capacity plan; the
-        #  interp pair merges in r14 when interp_daily re-enters the
-        #  window.)
-        "interp_chunked": q_interp_chunked,
         "ann_int8": q_ann_int8,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -9500,8 +9720,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "ann_ivf_pq": q_ann_ivf_pq,
         "seq_pack": q_seq_pack,
-        "corpus_to_shards": q_corpus_to_shards,
         "ide_scan": q_ide_scan,
+        # -- r13 tier (49; fresh through r15) -------------------------------
+        "mov_rms": q_mov_rms,
+        "integral": q_integral,
+        "derivative": q_derivative,
+        "detrend_piecewise": q_detrend_piecewise,
+        "doc_chunks": q_doc_chunks,
+        "rep_stats": q_rep_stats,
+        "corpus_prep": q_corpus_prep,
+        "substr_dedup": q_substr_dedup,
+        "resample": q_resample,
+        "segment_stats": q_segment_stats,
+        "interp_log": q_interp_log,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "audio_fp": q_audio_fp,
+        "audio_fp_pairs": q_audio_fp_pairs,
+        "media_video_dedup": q_media_video_dedup,
+        "incr_phash_store": q_incr_phash_store,
+        "incr_audio_store": q_incr_audio_store,
+        "wds_extract": q_wds_extract,
+        "warc_extract": q_warc_extract,
+        "zip_extract": q_zip_extract,
+        "media_image_jpeg_prog": q_media_image_jpeg_prog,
+        "media_image_gif": q_media_image_gif,
+        "media_video_gif": q_media_video_gif,
+        "link_pagerank": q_link_pagerank,
+        "domain_cap": q_domain_cap,
+        "html_extract": q_html_extract,
+        "url_canon": q_url_canon,
+        "gopher_rules": q_gopher_rules,
+        "crawl_curate": q_crawl_curate,
+        "dedup_embed": q_dedup_embed,
+        "shard_assign": q_shard_assign,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "incr_dedup": q_incr_dedup,
+        "lm_ppl_terciles": q_lm_ppl_terciles,
+        "rms": q_rms,
+        "spl": q_spl,
+        "rms_lin": q_rms_lin,
+        "rms_log": q_rms_log,
+        "samplerate": q_samplerate,
+        "between": q_between,
+        "between_freq": q_between_freq,
+        "timeshift": q_timeshift,
+        "deduplicate": q_deduplicate,
+        "rss_daily": q_rss_daily,
+        "streaming_corpus_filter": q_streaming_corpus_filter,
+        "streaming_rainflow": q_streaming_rainflow,
     }
 
 
@@ -9527,16 +9796,21 @@ def oracle_sql() -> dict[str, str]:
             ("global", SQL_DERIVATIVE), ("chunked", SQL_DERIVATIVE_CHUNKED)
         ),
         "detrend_constant": SQL_DETREND_CONSTANT,
-        "detrend_linear": SQL_DETREND_LINEAR,
-        # same oracle: agg plan == window plan under the nudge+round contract
-        "detrend_agg": SQL_DETREND_LINEAR,
+        # r14 consolidated: agg plan == window plan under the
+        # nudge+round contract, so both arms share SQL_DETREND_LINEAR
+        "detrend_linear": _compose_oracle(
+            ("global", SQL_DETREND_LINEAR), ("agg", SQL_DETREND_LINEAR)
+        ),
         "detrend_piecewise": SQL_DETREND_PIECEWISE,
         "rss_daily": SQL_RSS_DAILY,
         "rms_lin": SQL_RMS_LIN,
         "rms_log": SQL_RMS_LOG,
-        "interp_daily": SQL_INTERP_DAILY,
-        # bit-identical to the global as-of plan (tests/test_interp_chunked)
-        "interp_chunked": SQL_INTERP_DAILY,
+        # r14 consolidated: the chunked arm is bit-identical to the
+        # global as-of plan (tests/test_interp_chunked), so both arms
+        # share SQL_INTERP_DAILY
+        "interp_daily": _compose_oracle(
+            ("global", SQL_INTERP_DAILY), ("chunked", SQL_INTERP_DAILY)
+        ),
         "interp_nearest": SQL_INTERP_NEAREST,
         # chunked arm bit-identical to the global pair plan
         # (tests/test_interp_chunked), so both arms share SQL_RESAMPLE
@@ -9555,6 +9829,11 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "corpus_to_shards": _sql_corpus_to_shards(),
+        # r14: the store layout roundtrips the SAME member table, so a
+        # green row against the identical oracle certifies the store
+        # write/manifest/read cycle on top of the tar codec
+        "wds_store_roundtrip": SQL_WDS_ROUNDTRIP,
+        "crawl_frontier": _sql_crawl_frontier(),
         "ide_scan": SQL_IDE_SCAN,
         "streaming_corpus_filter": SQL_STREAMING_CORPUS_FILTER,
         "streaming_rainflow": SQL_STREAMING_RAINFLOW,
