@@ -40,10 +40,14 @@ def _builtin_channels(filename: str):
             buf = fh.read()
     except OSError:
         # the probe could not even open the file — defer to the endaq
-        # package path (which reports its own error for a truly
-        # missing file); keeps the profile-first dispatch from
-        # shadowing package-specific virtual-filesystem handles
-        return None
+        # package path ONLY when that path exists (it reports its own
+        # error for package-specific virtual-filesystem handles);
+        # without the package the fallthrough would turn a plain
+        # FileNotFoundError/PermissionError into a misleading
+        # 'install endaq' ImportError
+        if _endaq_ide is not None:
+            return None
+        raise
     if mide.is_mide(buf):
         return mide.read_mide_channels(buf, source=filename)
     if not mide.is_recording(buf):

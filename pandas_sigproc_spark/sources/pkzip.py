@@ -102,6 +102,13 @@ def encode_zip(
         do_comp = bool(m.get("compress", compress))
         method = DEFLATED if do_comp else STORED
         blob = _deflate_raw(payload) if do_comp else payload
+        if len(blob) >= 0xFFFFFFFF:
+            # the stored field is the COMPRESSED size — deflate can
+            # exceed the raw size on incompressible data near the limit
+            raise ValueError(
+                "compressed member size needs ZIP64, which this encoder"
+                " does not write (max 4 GiB)"
+            )
         crc = zlib.crc32(payload) & 0xFFFFFFFF
         # bit 11 = UTF-8 name (APPNOTE appendix D); without it readers
         # decode names as cp437, so non-ASCII names would corrupt on a
@@ -146,6 +153,14 @@ def encode_zip(
         )
         central += name
     cd_offset = len(out)
+    if cd_offset >= 0xFFFFFFFF:
+        # the loop-entry check bounds each member's OFFSET field, but
+        # the last member's blob can still push the central-directory
+        # offset itself past the 32-bit EOCD field
+        raise ValueError(
+            "archive size needs ZIP64, which this encoder does not"
+            " write (max 4 GiB)"
+        )
     out += central
     out += struct.pack(
         "<IHHHHIIH",

@@ -163,10 +163,18 @@ def decode_tar(data: bytes) -> list[tuple[str, bytes]]:
         pos += size + (-size % BLOCK)
         if typeflag == b"L":  # GNU long name: payload names the NEXT member
             next_name = payload.split(b"\x00")[0].decode("utf-8")
-        elif typeflag in (b"x", b"g"):  # PAX extended header
+        elif typeflag == b"x":  # PAX extended header (next member only)
             p = _pax_path(bytes(payload))
             if p is not None:
                 next_name = p
+        elif typeflag == b"g":
+            # PAX GLOBAL header: per POSIX its values default ALL
+            # subsequent members, but a global path= would name every
+            # member identically — ill-defined, and GNU tar ignores it
+            # with a warning.  Ignore path= here too (documented
+            # choice); treating it like 'x' mis-keyed every member
+            # after the first (an advice finding).
+            pass
         elif typeflag in (b"0", b"\x00"):
             out.append((next_name or name, bytes(payload)))
             next_name = None

@@ -64,6 +64,14 @@ def encode_warc(
     out = bytearray()
     for rec in records:
         payload = bytes(rec["payload"])
+        if "uri" not in rec or rec["uri"] is None:
+            # uri is MANDATORY: silently encoding an empty
+            # WARC-Target-URI (and hashing the record id over '') would
+            # be a silent data-loss path for malformed upstream rows
+            raise ValueError(
+                "encode_warc: record is missing its 'uri' — every WARC"
+                " record needs a target URI"
+            )
         uri = _hval(rec, "uri", "")
         rid = hashlib.md5(uri + b"\x00" + payload).hexdigest()
         headers = [

@@ -52,6 +52,13 @@ def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
         )
     if left.shape != right.shape:
         raise ValueError("left/right length mismatch")
+    if left.dtype not in _DTYPES:
+        # off-table dtypes (int64, int32, mixed integers, ...) promote
+        # losslessly to the float64 encoding — the mismatch refusal
+        # below only guards the in-table case, where the raw astype to
+        # the LEFT dtype could truncate a wider right channel
+        left = left.astype(np.float64)
+        right = right.astype(np.float64)
     if right.dtype != left.dtype:
         # the fmt/bits choice comes from the LEFT dtype; a differing
         # right channel would be promoted by vstack then truncated by
@@ -61,9 +68,6 @@ def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
             f"left/right dtype mismatch: {left.dtype} vs {right.dtype}"
             " — cast both channels to one sample type first"
         )
-    if left.dtype not in _DTYPES:
-        left = left.astype(np.float64)
-        right = right.astype(np.float64)
     fmt, bits = _DTYPES[left.dtype]
     stereo = np.vstack((left, right)).transpose().copy()  # tools.py:250-251
     data = stereo.astype("<" + left.dtype.str[1:]).tobytes()

@@ -101,3 +101,27 @@ def test_png_truncated_crc_and_corrupt_idat_are_valueerror():
         pos += 12 + length
     with pytest.raises(ValueError, match="PNG"):
         decode_png_bytes(bytes(b))
+
+
+def test_wav_mixed_offtable_int_channels_promote():
+    # r14 advice: two differing dtypes that are BOTH outside the codec's
+    # sample-type table (int64 left + int32 right) promote losslessly to
+    # the float64 encoding; the mismatch refusal only guards in-table
+    # left dtypes, where the raw astype could truncate.
+    blob = encode_wav_bytes(
+        8000,
+        np.array([1, -2, 3], np.int64),
+        np.array([4, -5, 6], np.int32),
+    )
+    rate, sound = decode_wav_bytes(blob)
+    assert rate == 8000
+    assert sound.dtype == np.float64
+    np.testing.assert_array_equal(sound[:, 0], [1.0, -2.0, 3.0])
+    np.testing.assert_array_equal(sound[:, 1], [4.0, -5.0, 6.0])
+    # in-table left + differing right still refuses (truncation is real)
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        encode_wav_bytes(
+            8000,
+            np.array([1, -2], np.int16),
+            np.array([3, -4], np.int64),
+        )

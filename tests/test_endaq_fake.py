@@ -188,3 +188,26 @@ def test_ingest_ide_dir_empty_and_zero_channel(spark, tmp_path):
     ingest_ide_dir(spark, [str(f1), str(f2)], str(out))
     got = spark.read.parquet(str(out))
     assert got.count() == 2
+
+
+def test_missing_file_without_endaq_is_filenotfound(monkeypatch, tmp_path):
+    # r14 advice: with the endaq package absent, a plain missing path
+    # must surface the real FileNotFoundError, not a misleading
+    # 'install endaq' ImportError (the probe's OSError swallow only
+    # defers to the package path when that path exists).
+    monkeypatch.setattr(endaq_mod, "_endaq_ide", None)
+    with pytest.raises(FileNotFoundError):
+        endaq_mod.ide_channel_list(str(tmp_path / "nope.ide"))
+
+
+def test_missing_file_with_endaq_defers_to_package(monkeypatch, tmp_path):
+    # with the package present, the probe's open failure defers to the
+    # package path (virtual-filesystem handles the probe cannot open)
+    class _Boom:
+        @staticmethod
+        def get_doc(filename):
+            raise RuntimeError("package-level error")
+
+    monkeypatch.setattr(endaq_mod, "_endaq_ide", _Boom())
+    with pytest.raises(RuntimeError, match="package-level error"):
+        endaq_mod.ide_channel_list(str(tmp_path / "nope.ide"))

@@ -310,3 +310,19 @@ def test_encode_zip_field_overflow_raises_valueerror():
         encode_zip([{"name": "a" * 70000, "payload": b""}])
     with _pytest.raises(ValueError, match="max 65535"):
         encode_zip([{"name": f"{i}", "payload": b""} for i in range(65536)])
+
+
+def test_refuses_zip64_compressed_size(monkeypatch):
+    # r14 advice: the stored size field is the COMPRESSED blob's —
+    # deflate can exceed the raw size on incompressible data near the
+    # 4 GiB limit, so the raw-payload pre-check alone still let pack()
+    # die with a cryptic struct.error.
+    import pandas_sigproc_spark.sources.pkzip as pk
+
+    class _Huge(bytes):
+        def __len__(self):
+            return 0x100000000
+
+    monkeypatch.setattr(pk, "_deflate_raw", lambda payload: _Huge())
+    with pytest.raises(ValueError, match="compressed member size"):
+        pk.encode_zip([{"name": "a", "payload": b"x", "compress": True}])

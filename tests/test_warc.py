@@ -41,3 +41,14 @@ def test_empty_input_refuses():
 
     with _pytest.raises(ValueError, match="empty input"):
         decode_warc(b"")
+
+
+def test_missing_uri_refuses():
+    # r14 advice: a record with no uri previously encoded silently with
+    # an empty WARC-Target-URI and a record id hashed over '' — a
+    # silent data-loss path for malformed upstream rows.
+    import pytest as _pytest
+
+    for rec in ({"payload": b"x"}, {"uri": None, "payload": b"x"}):
+        with _pytest.raises(ValueError, match="missing its 'uri'"):
+            encode_warc([rec])

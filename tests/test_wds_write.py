@@ -406,3 +406,27 @@ def test_encode_tar_refuses_nul_and_empty_names(spark):
         encode_tar([("a\x00b.cls", b"x")])
     with _pytest.raises(ValueError, match="NUL-free"):
         encode_tar([("", b"x")])
+
+
+def test_decode_tar_pax_global_path_is_ignored(spark):
+    # r14 advice: a PAX 'g' (global) header's path= was applied like
+    # 'x' — renaming only the next member — where POSIX says global
+    # values default ALL subsequent members; a global path is
+    # ill-defined (GNU tar ignores it with a warning), so decode_tar
+    # now ignores it entirely and keeps every member's own name.
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf,
+        mode="w",
+        format=tarfile.PAX_FORMAT,
+        pax_headers={"path": "global-override"},
+    ) as tf:
+        for name, data in (("a.txt", b"aa"), ("b.txt", b"bb")):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = decode_tar(buf.getvalue())
+    assert got == [("a.txt", b"aa"), ("b.txt", b"bb")]
