@@ -178,6 +178,20 @@ def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _embeds_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan with parallelism ENSURED, not forced — the
+    _docs_par rule (r14): the bench SFs are one tiny parquet file = one
+    split, which would run every map-side signature/quantization stage
+    single-core; when the scan's splits already cover the cores (any
+    real deployment, the replicated scale leg) an unconditional
+    repartition is a corpus-wide shuffle of the full vector payload
+    for nothing."""
+    e = _embeds(spark, sf_dir)
+    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
+    return e
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -1839,9 +1853,7 @@ def q_embed_cosine_topk(spark, sf_dir):
     # product, kept deliberately un-broadcast as the labeled recall
     # baseline.  Production similarity search goes through q_ann_lsh /
     # q_ann_ivf / q_ann_int8 (bucketed probes, broadcast quantizers).
-    e = _embeds(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
+    e = _embeds_par(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -2301,9 +2313,7 @@ def _corpus_curate_impl(spark, sf_dir, *, exact_sums):
     d = _docs_par(spark, sf_dir)
     spans = substring_dedup(d, n=_SUBSTR_N)
     sem = semantic_dedup(
-        _embeds(spark, sf_dir).repartition(
-            spark.sparkContext.defaultParallelism
-        ),
+        _embeds_par(spark, sf_dir),
         k=8,
         iters=2,
         threshold=_SEMDEDUP_THRESHOLD,
@@ -2680,8 +2690,7 @@ def _lsh_bucket_sql(table: int, one_based: bool) -> str:
 
 def _embeds_base(spark, sf_dir):
     return (
-        _embeds(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        _embeds_par(spark, sf_dir)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -2738,7 +2747,7 @@ def q_embed_kmeans(spark, sf_dir):
     """
     from pandas_sigproc_spark.operators.kmeans import kmeans_embeddings
 
-    e = _embeds(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    e = _embeds_par(spark, sf_dir)
     return kmeans_embeddings(e, k=8, iters=2, exact_sums=True)
 
 
@@ -2839,7 +2848,7 @@ def q_cluster_sample(spark, sf_dir):
     """
     from pandas_sigproc_spark.operators.kmeans import kmeans_assignments
 
-    e = _embeds(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    e = _embeds_par(spark, sf_dir)
     asg = kmeans_assignments(e, k=8, iters=2, exact_sums=True)
     counts = asg.groupBy("cluster").agg(F.count("*").alias("n"))
     u = F.expr(
@@ -2903,9 +2912,7 @@ def q_semdedup(spark, sf_dir):
     """
     from pandas_sigproc_spark.operators.kmeans import semantic_dedup
 
-    e = _embeds(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = _embeds_par(spark, sf_dir)
     return semantic_dedup(
         e,
         k=8,
@@ -2925,9 +2932,7 @@ def q_semdedup_exact(spark, sf_dir):
     collected array — audit scale only)."""
     from pandas_sigproc_spark.operators.kmeans import semantic_dedup
 
-    e = _embeds(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = _embeds_par(spark, sf_dir)
     return semantic_dedup(
         e,
         k=8,
@@ -8195,6 +8200,39 @@ FROM m JOIN cleaned c ON m.doc_id = c.doc_id
 _C2S_CAP = 50  # admission domain cap (trims the big hosts at sf0.01 up)
 
 
+def _c2s_archives(spark, sf_dir):
+    """The capstone's WARC fixture PRODUCER (the crawl-bytes stand-in a
+    real deployment gets from its fetchers): two messy URI variants of
+    the SAME page per document, gzip-record WARC-encoded one archive
+    per 32-way group.  Factored out so bench.py can time the stand-in
+    separately from the pipeline it feeds (two timers, one leg — the
+    producer is ~28% of the corpus_to_shards wall and is NOT engine
+    cost)."""
+    hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
+    paths = list(_ROBOTS_PATHS)
+
+    def uri_pairs(r):
+        # two messy variants of the SAME page (the crawl_curate
+        # device): canonicalization must collapse them or the dedup
+        # window keeps 2 rows and every digest shifts
+        i = int(r.doc_id)
+        h, p = hosts[i % 8], paths[i % 6]
+        return [
+            f"HTTP://{h.upper()}:80{p}?id={i}&utm_source=a",
+            f"http://{h}{p}?id={i}&fbclid=z#frag",
+        ]
+
+    return (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("_g", (F.col("doc_id") % 32).cast("int"))
+        .groupBy("_g")
+        .applyInPandas(
+            _warc_fixture_enc(uri_pairs), "archive_id long, payload binary"
+        )
+    )
+
+
 def q_corpus_to_shards(spark, sf_dir):
     """The round-12 CAPSTONE: the complete 100 TB corpus job as ONE
     composed plan, crawl bytes to training shards —
@@ -8249,29 +8287,8 @@ def q_corpus_to_shards(spark, sf_dir):
         write_wds_shards,
     )
 
-    d = _docs_par(spark, sf_dir)
+    archives = _c2s_archives(spark, sf_dir)
     hosts = [e[0] for e in _URL_BLOCKLIST_EXPECT]
-    paths = list(_ROBOTS_PATHS)
-
-    def uri_pairs(r):
-        # two messy variants of the SAME page (the crawl_curate
-        # device): canonicalization must collapse them or the dedup
-        # window keeps 2 rows and every digest shifts
-        i = int(r.doc_id)
-        h, p = hosts[i % 8], paths[i % 6]
-        return [
-            f"HTTP://{h.upper()}:80{p}?id={i}&utm_source=a",
-            f"http://{h}{p}?id={i}&fbclid=z#frag",
-        ]
-
-    archives = (
-        d.select("doc_id", "text")
-        .withColumn("_g", (F.col("doc_id") % 32).cast("int"))
-        .groupBy("_g")
-        .applyInPandas(
-            _warc_fixture_enc(uri_pairs), "archive_id long, payload binary"
-        )
-    )
     docs = warc_documents(archives).select(
         F.regexp_extract("uri", "[?&]id=([0-9]+)", 1)
         .cast("long")

@@ -9,9 +9,13 @@ accepts (float seconds, or absolute timestamps converted to seconds,
 ``extension.py:318-321``).
 
 Scale notes: an explicit schema skips Spark's whole-file inference read;
-one CSV file splits across tasks by byte range; malformed rows land in
-``_corrupt_record`` under PERMISSIVE mode instead of failing the job
-(``mode="FAILFAST"`` to choose the opposite trade).
+one CSV file splits across tasks by byte range.  Malformed-row policy:
+under PERMISSIVE mode Spark surfaces an unparseable row as NULL fields —
+it is only captured verbatim when a corrupt-record column is DECLARED in
+the schema (a review finding: the old comment promised ``_corrupt_record``
+without declaring it, which silently yielded all-NULL rows instead).
+Pass ``keep_corrupt=True`` to declare it and keep the raw line for
+quarantine, or ``mode="FAILFAST"`` to refuse the file outright.
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _FLOAT_SCHEMA = "channel_id STRING, t DOUBLE, value DOUBLE"
 _TS_SCHEMA = "channel_id STRING, ts TIMESTAMP, value DOUBLE"
+_CORRUPT = ", _corrupt_record STRING"
 
 
 def csv_to_signals(
@@ -28,6 +33,7 @@ def csv_to_signals(
     time_format: str = "seconds",
     header: bool = True,
     mode: str = "PERMISSIVE",
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read ``(channel_id, t|ts, value)`` CSV into canonical signals.
 
@@ -35,19 +41,25 @@ def csv_to_signals(
     ``time_format="timestamp"``: column 2 is an absolute timestamp;
     emitted as both ``t`` (epoch seconds, the math column) and ``ts``,
     the same normalize-once-at-ingest treatment as events_to_signals.
+    ``keep_corrupt=True`` appends ``_corrupt_record`` (the raw line for
+    rows that failed to parse, NULL elsewhere) so callers can quarantine
+    instead of silently ingesting NULL-field rows.
     """
     if time_format == "seconds":
-        df = spark.read.csv(path, schema=_FLOAT_SCHEMA, header=header, mode=mode)
-        return df.select("channel_id", "t", "value")
-    if time_format == "timestamp":
-        df = spark.read.csv(path, schema=_TS_SCHEMA, header=header, mode=mode)
-        return df.select(
-            "channel_id",
-            F.col("ts").cast("double").alias("t"),
-            "value",
-            "ts",
+        base_schema, cols = _FLOAT_SCHEMA, ["channel_id", "t", "value"]
+    elif time_format == "timestamp":
+        base_schema, cols = _TS_SCHEMA, None
+    else:
+        raise ValueError(
+            f"time_format must be 'seconds' or 'timestamp', got {time_format!r}"
         )
-    raise ValueError(f"time_format must be 'seconds' or 'timestamp', got {time_format!r}")
+    schema = base_schema + (_CORRUPT if keep_corrupt else "")
+    df = spark.read.csv(path, schema=schema, header=header, mode=mode)
+    if cols is None:
+        cols = ["channel_id", F.col("ts").cast("double").alias("t"), "value", "ts"]
+    if keep_corrupt:
+        cols = cols + ["_corrupt_record"]
+    return df.select(*cols)
 
 
 def signals_to_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:

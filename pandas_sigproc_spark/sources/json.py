@@ -15,27 +15,40 @@ _FLOAT_SCHEMA = "channel_id STRING, t DOUBLE, value DOUBLE"
 _TS_SCHEMA = "channel_id STRING, ts TIMESTAMP, value DOUBLE"
 
 
+_CORRUPT = ", _corrupt_record STRING"
+
+
 def json_to_signals(
     spark: SparkSession,
     path: str,
     time_format: str = "seconds",
     mode: str = "PERMISSIVE",
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read JSON-lines ``{channel_id, t|ts, value}`` into canonical signals.
 
     ``time_format="seconds"``: ``t`` is float seconds.
     ``time_format="timestamp"``: ``ts`` is an absolute timestamp, emitted
     as both ``t`` (epoch seconds) and ``ts``.
+    ``keep_corrupt=True`` appends ``_corrupt_record`` (the raw line for
+    unparseable rows, NULL elsewhere) — under plain PERMISSIVE a broken
+    line otherwise surfaces as NULL fields (csv.py has the full note).
     """
     if time_format == "seconds":
-        df = spark.read.json(path, schema=_FLOAT_SCHEMA, mode=mode)
-        return df.select("channel_id", "t", "value")
-    if time_format == "timestamp":
-        df = spark.read.json(path, schema=_TS_SCHEMA, mode=mode)
-        return df.select(
-            "channel_id", F.col("ts").cast("double").alias("t"), "value", "ts"
+        base_schema, cols = _FLOAT_SCHEMA, ["channel_id", "t", "value"]
+    elif time_format == "timestamp":
+        base_schema, cols = _TS_SCHEMA, None
+    else:
+        raise ValueError(
+            f"time_format must be 'seconds' or 'timestamp', got {time_format!r}"
         )
-    raise ValueError(f"time_format must be 'seconds' or 'timestamp', got {time_format!r}")
+    schema = base_schema + (_CORRUPT if keep_corrupt else "")
+    df = spark.read.json(path, schema=schema, mode=mode)
+    if cols is None:
+        cols = ["channel_id", F.col("ts").cast("double").alias("t"), "value", "ts"]
+    if keep_corrupt:
+        cols = cols + ["_corrupt_record"]
+    return df.select(*cols)
 
 
 def signals_to_json(df: DataFrame, path: str, n_files: int | None = None) -> None:

@@ -776,9 +776,16 @@ def streaming_incremental_dedup(
             seen = list(zip(list(ids), list(digests), [list(s) for s in sigs]))
         else:
             seen = []
-        chunks = [pdf for pdf in pdf_iter]
+        # incremental drain (the _drain_bounded rule): the cap must fire
+        # on the first Arrow chunk that crosses it — BEFORE pd.concat
+        # doubles the oversized batch's footprint in task memory, not
+        # after the whole batch is buffered (a review finding)
+        chunks, n = [], len(seen)
+        for c in pdf_iter:
+            n += len(c)
+            _cap_check(band, _k, n)
+            chunks.append(c)
         pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
-        _cap_check(band, _k, len(seen) + len(pdf))
         pairs = []
         if len(pdf):
             pdf = pdf.sort_values("d_id", kind="mergesort")
@@ -999,9 +1006,15 @@ def streaming_phash_dedup(
             seen = list(zip(list(ids), list(hashes)))
         else:
             seen = []
-        chunks = [pdf for pdf in pdf_iter]
+        # incremental drain (the _drain_bounded rule): fail on the first
+        # chunk that crosses the cap, before pd.concat doubles the
+        # oversized batch in task memory (a review finding)
+        chunks, n = [], len(seen)
+        for c in pdf_iter:
+            n += len(c)
+            _cap_check(band, _k, n)
+            chunks.append(c)
         pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
-        _cap_check(band, _k, len(seen) + len(pdf))
         pairs = []
         if len(pdf):
             pdf = pdf.sort_values("d_id", kind="mergesort")

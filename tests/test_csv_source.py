@@ -63,3 +63,43 @@ def test_json_roundtrip(spark, tmp_path):
     a = sorted((x.channel_id, round(x.t, 9), round(x.value, 9)) for x in sig.collect())
     b = sorted((x.channel_id, round(x.t, 9), round(x.value, 9)) for x in back.collect())
     assert a == b
+
+
+def test_csv_keep_corrupt_quarantines_malformed(spark, tmp_path):
+    # r14 review finding: under plain PERMISSIVE Spark only captures a
+    # malformed row verbatim when a corrupt-record column is DECLARED in
+    # the schema — the old module comment promised _corrupt_record
+    # without declaring it, so broken lines silently became all-NULL
+    # rows.  keep_corrupt=True declares it for quarantine.
+    from pandas_sigproc_spark.sources.csv import csv_to_signals
+
+    p = tmp_path / "sig.csv"
+    p.write_text(
+        "channel_id,t,value\n"
+        "a,0.5,1.0\n"
+        "not-a-row,xx\n"
+        "b,1.5,2.0\n"
+    )
+    out = csv_to_signals(spark, str(p), keep_corrupt=True)
+    rows = {r["channel_id"]: r for r in out.collect()}
+    assert rows["a"]["_corrupt_record"] is None
+    assert rows["b"]["value"] == 2.0
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("not-a-row")
+    # default shape unchanged: canonical 3 columns
+    assert csv_to_signals(spark, str(p)).columns == ["channel_id", "t", "value"]
+
+
+def test_json_keep_corrupt_quarantines_malformed(spark, tmp_path):
+    from pandas_sigproc_spark.sources.json import json_to_signals
+
+    p = tmp_path / "sig.jsonl"
+    p.write_text(
+        '{"channel_id":"a","t":0.5,"value":1.0}\n'
+        "{broken json\n"
+        '{"channel_id":"b","t":1.5,"value":2.0}\n'
+    )
+    out = json_to_signals(spark, str(p), keep_corrupt=True)
+    bad = [r for r in out.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{broken")
+    assert json_to_signals(spark, str(p)).columns == ["channel_id", "t", "value"]
