@@ -8200,6 +8200,39 @@ FROM m JOIN cleaned c ON m.doc_id = c.doc_id
 _C2S_CAP = 50  # admission domain cap (trims the big hosts at sf0.01 up)
 
 
+_DSIR_K = 100
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection under the FULL hash gate (Xie et al. 2023,
+    arXiv:2302.03169 — operators/dsir.py): hashed-unigram importance
+    weights of every document against the English-target distribution
+    (target = ``lang = 'en'`` rows; raw = the whole corpus), then the
+    deterministic Gumbel top-100 draw proportional to exp(weight).  The
+    oracle is GENERATED from the same constants (dsir_duckdb_sql — the
+    normalize_text single-homing rule), so a green hash certifies the
+    feature hashing, the smoothed distribution fit, the per-document
+    log-ratio sum (rounded-6 float contract), the salted-hash Gumbel
+    arithmetic, and the top-k boundary itself.
+
+    Scale shape: two map-side explode passes over corpus tokens (fit +
+    score, the paper implementation's own two passes); the fit shuffles
+    1024 bucket keys of partial counts, scoring shuffles one
+    partial-summed row per document, the 1024-row log-ratio table
+    broadcasts, and the selection is a global top-k
+    (TakeOrderedAndProject) — the corpus text itself never shuffles."""
+    from pandas_sigproc_spark.operators.dsir import dsir_select
+
+    d = _docs_par(spark, sf_dir)
+    return dsir_select(d, F.col("lang") == "en", _DSIR_K)
+
+
+def _sql_dsir_select() -> str:
+    from pandas_sigproc_spark.operators.dsir import dsir_duckdb_sql
+
+    return dsir_duckdb_sql(target_sql="lang = 'en'", k=_DSIR_K)
+
+
 def _c2s_archives(spark, sf_dir):
     """The capstone's WARC fixture PRODUCER (the crawl-bytes stand-in a
     real deployment gets from its fetchers): two messy URI variants of
@@ -9620,17 +9653,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            (_compose_paths), so one slot re-proves both plans
     #            (interp_chunked and detrend_agg retired as standalone
     #            slots; registry 143 unchanged with the 2 new gates).
-    #   tier B — 2 NEW gates needing first driver proof:
+    #   tier B — 3 NEW gates needing first driver proof:
     #            wds_store_roundtrip (the r13 object-store WebDataset
     #            layout — save/load_wds_store through an explicit
-    #            file:// Hadoop FileSystem URI) and crawl_frontier
+    #            file:// Hadoop FileSystem URI), crawl_frontier
     #            (html_links -> resolve_url -> canonicalize_url /
     #            url_host -> blocklist admission, vs an independent
-    #            urllib-derived expectation table).
-    #   tier C — 1 EARLY rotation: corpus_to_shards (the capstone,
-    #            last green r12) re-proves a round early, trimming
-    #            r15's mandatory set to 43.
-    #   below the cap — the remaining 43 r12-greens (fresh through
+    #            urllib-derived expectation table), and dsir_select
+    #            (DSIR importance-resampling data selection, Xie et
+    #            al. 2023 — hashed-unigram log-ratio weights + the
+    #            deterministic Gumbel top-k, oracle generated from the
+    #            same constants).
+    #   below the cap — the 44 remaining r12-greens (fresh through
     #            r14; they are r15's mandatory set), then the 49
     #            r13-greens (fresh through r15); the local gate
     #            (tools/oracle_check.py) keeps full coverage meanwhile.
@@ -9686,14 +9720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier B: new this round, first driver proof ---------------------
         "wds_store_roundtrip": q_wds_store_roundtrip,
         "crawl_frontier": q_crawl_frontier,
-        # -- tier C: early rotation (capstone, last green r12) --------------
-        "corpus_to_shards": q_corpus_to_shards,
+        "dsir_select": q_dsir_select,
         # ---- driver cap: entries BELOW here are not driver-checked -------
-        # (the 43 remaining r12-greens — fresh through r14, they are the
+        # (the 44 remaining r12-greens — fresh through r14, they are the
         #  r15 mandatory set — then the 49 r13-greens, fresh through r15;
         #  interp_chunked/detrend_agg were consolidated into their base
-        #  gates this round, corpus_to_shards rotated early above.)
-        # -- r12 tier (43 left; fresh through r14; r15 mandatory) ----------
+        #  gates this round.)
+        # -- r12 tier (44 left; fresh through r14; r15 mandatory) ----------
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
         "decontaminate": q_decontaminate,
@@ -9737,6 +9770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "ann_ivf_pq": q_ann_ivf_pq,
         "seq_pack": q_seq_pack,
+        "corpus_to_shards": q_corpus_to_shards,
         "ide_scan": q_ide_scan,
         # -- r13 tier (49; fresh through r15) -------------------------------
         "mov_rms": q_mov_rms,
@@ -9851,6 +9885,7 @@ def oracle_sql() -> dict[str, str]:
         # write/manifest/read cycle on top of the tar codec
         "wds_store_roundtrip": SQL_WDS_ROUNDTRIP,
         "crawl_frontier": _sql_crawl_frontier(),
+        "dsir_select": _sql_dsir_select(),
         "ide_scan": SQL_IDE_SCAN,
         "streaming_corpus_filter": SQL_STREAMING_CORPUS_FILTER,
         "streaming_rainflow": SQL_STREAMING_RAINFLOW,

@@ -123,6 +123,11 @@ from pandas_sigproc_spark.operators.webdataset import (
     write_wds_shards,
     zip_members,
 )
+from pandas_sigproc_spark.operators.dsir import (
+    dsir_duckdb_sql,
+    dsir_select,
+    dsir_weights,
+)
 from pandas_sigproc_spark.operators.langid import lang_id_model
 from pandas_sigproc_spark.operators.robots import (
     parse_robots,
@@ -242,6 +247,9 @@ __all__ = [
     "pack_sequences",
     "assign_shards",
     "training_order",
+    "dsir_duckdb_sql",
+    "dsir_select",
+    "dsir_weights",
     "bpe_train",
     "bpe_encode",
     "bpe_encode_relational",
