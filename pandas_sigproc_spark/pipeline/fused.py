@@ -149,6 +149,13 @@ class _IntegralStage:
     name = "int"
 
     def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        if len(y) == 0:
+            # a prior stage emptied the channel (mov_rms window longer
+            # than a short channel): propagate empty — the unguarded
+            # form built a length-1 [0.0] against a length-0 time base
+            # and killed the whole job with an unlocated pandas
+            # ValueError (a review finding)
+            return t, y, sr
         seg = (y[1:] + y[:-1]) / 2.0 * np.diff(t)
         return t, np.concatenate([[0.0], np.cumsum(seg)]), sr
 
@@ -172,6 +179,10 @@ class _ResampleStage:
         self.rate, self.kind = float(rate), kind
 
     def run(self, t: np.ndarray, y: np.ndarray, sr: float):
+        if len(t) == 0:
+            # propagate an emptied channel instead of IndexError on t[0]
+            # (a review finding — same class as _IntegralStage)
+            return t, y, self.rate
         grid = np.arange(t[0], t[-1], 1.0 / self.rate)
         out = _interp.interp1d(t, y, grid, kind=self.kind)
         return grid, out, self.rate

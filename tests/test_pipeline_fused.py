@@ -168,3 +168,26 @@ def test_fused_detrend_breakpoints_equals_native(spark):
     for (ca, ta, va), (cb, tb, vb) in zip(native, fused):
         assert (ca, ta) == (cb, tb)
         assert abs(va - vb) <= 1e-9 * max(1.0, abs(va))
+
+
+def test_emptying_stage_propagates_clean(spark):
+    # r14 review finding: mov_rms with a window longer than a short
+    # channel empties it; a following integral built a length-1 [0.0]
+    # against a length-0 time base (pandas ValueError) and resample
+    # crashed on t[0] — one short channel would kill a 100 TB fused job.
+    import numpy as np
+
+    from pandas_sigproc_spark.pipeline.fused import KernelPipeline
+
+    rows = [("short", float(i) / 10.0, float(i)) for i in range(3)] + [
+        ("long", float(i) / 10.0, float(np.sin(i / 5.0))) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "channel_id string, t double, value double")
+    for build in (
+        lambda p: p.mov_rms(5.0).integral(),
+        lambda p: p.mov_rms(5.0).resample(10.0),
+        lambda p: p.mov_rms(5.0).derivative(),
+    ):
+        out = build(KernelPipeline()).apply(df).collect()
+        cids = {r["channel_id"] for r in out}
+        assert cids == {"long"}, cids  # short channel empties, long survives
