@@ -1,0 +1,54 @@
+"""Leg-level NORMALIZED cross-round bench comparison (r13 verdict #5).
+
+Compares two bench_detail.json files on normalization.queries_normalized
+— the host-factor-cancelled per-leg numbers that are the adjudication
+contract since r13 (PLANS.md round-13 bench section).  Prints a table of
+legs whose normalized wall moved beyond the noise band, plus the
+composed-gate legs annotated so a verdict reads gate changes as gate
+changes.
+
+Usage: python tools/norm_compare.py OLD_detail.json NEW_detail.json
+"""
+
+import json
+import sys
+
+
+def main() -> None:
+    old_p, new_p = sys.argv[1], sys.argv[2]
+    old = json.load(open(old_p))
+    new = json.load(open(new_p))
+    on = old["normalization"]["queries_normalized"]
+    nn = new["normalization"]["queries_normalized"]
+    composed = set(new.get("composed_legs_since_r14", []))
+    rows = []
+    for name, nv in nn.items():
+        ov = on.get(name)
+        if ov is None or not ov or not nv:
+            rows.append((name, ov, nv, None))
+            continue
+        rows.append((name, ov, nv, nv / ov))
+    rows.sort(key=lambda r: -(r[3] or 0))
+    print(f"{'leg':26s} {'old_norm':>9s} {'new_norm':>9s} {'ratio':>6s}")
+    flagged = []
+    for name, ov, nv, ratio in rows:
+        tag = ""
+        if name in composed:
+            tag = "  [composed since r14: now runs BOTH plan paths]"
+        elif ratio is None:
+            tag = "  [new leg this round]"
+        elif ratio > 1.5 or ratio < (1 / 1.5):
+            tag = "  <-- beyond noise band"
+            if name not in composed:
+                flagged.append(name)
+        print(f"{name:26s} {ov if ov is not None else '-':>9} "
+              f"{nv if nv is not None else '-':>9} "
+              f"{f'{ratio:.2f}' if ratio else '-':>6}{tag}")
+    ot = old["normalization"]["norm_total"]
+    nt = new["normalization"]["norm_total"]
+    print(f"\nnorm_total: {ot} -> {nt} ({nt / ot:.3f}x)")
+    print(f"legs beyond 1.5x (excluding composed/new): {flagged or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
