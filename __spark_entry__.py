@@ -9652,7 +9652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            carries its chunked/agg twin as a 'path'-marked union
     #            (_compose_paths), so one slot re-proves both plans
     #            (interp_chunked and detrend_agg retired as standalone
-    #            slots; registry 143 unchanged with the 2 new gates).
+    #            slots; registry 143 - 2 + 3 new gates = 144 of the
+    #            150 ceiling).
     #   tier B — 3 NEW gates needing first driver proof:
     #            wds_store_roundtrip (the r13 object-store WebDataset
     #            layout — save/load_wds_store through an explicit

@@ -48,6 +48,14 @@ from pandas_sigproc_spark.operators.text import SAMPLE_MOD, hash60_sql
 
 DSIR_BUCKETS = 1024
 _GUMBEL_SALT = ":dsir"
+#: Added before every cross-engine ROUND (the engine's nudge+round
+#: contract, cf. __spark_entry__._NUDGE): the weight is a float SUM
+#: whose association order differs between Spark and DuckDB, so a sum
+#: landing exactly on a .5e-6 rounding boundary could round apart; the
+#: nudge moves structured values off the boundary identically on both
+#: engines (it is far above the ~1e-12 summation drift and far below
+#: the 5e-7 half-step).
+DSIR_NUDGE = 1e-9
 
 
 def _bucket_expr(word_sql: str, buckets: int) -> str:
@@ -108,7 +116,7 @@ def dsir_weights(
         toks.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("log_ratio"), 6).alias("weight"),
+            F.round(F.sum("log_ratio") + DSIR_NUDGE, 6).alias("weight"),
             F.count("*").alias("n_tokens"),
         )
     )
@@ -129,7 +137,9 @@ def gumbel_key_expr(
         )
         + 0.5
     ) / float(SAMPLE_MOD)
-    return F.round(weight / float(temperature) + -F.log(-F.log(u)), 6)
+    return F.round(
+        weight / float(temperature) + -F.log(-F.log(u)) + DSIR_NUDGE, 6
+    )
 
 
 def dsir_select(
@@ -215,12 +225,13 @@ lr AS (
 ),
 w AS (
   SELECT doc_id,
-         ROUND(SUM(log_ratio), 6) AS weight,
+         ROUND(SUM(log_ratio) + {DSIR_NUDGE!r}, 6) AS weight,
          COUNT(*) AS n_tokens
   FROM toks JOIN lr USING (bucket) GROUP BY doc_id
 )
 SELECT doc_id, weight, CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(weight / {float(temperature)} + -LN(-LN({gu})), 6) AS gkey
+       ROUND(weight / {float(temperature)} + -LN(-LN({gu}))
+             + {DSIR_NUDGE!r}, 6) AS gkey
 FROM w
 ORDER BY gkey DESC, doc_id
 LIMIT {int(k)}

@@ -20,11 +20,9 @@ quarantine, or ``mode="FAILFAST"`` to refuse the file outright.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-_FLOAT_SCHEMA = "channel_id STRING, t DOUBLE, value DOUBLE"
-_TS_SCHEMA = "channel_id STRING, ts TIMESTAMP, value DOUBLE"
-_CORRUPT = ", _corrupt_record STRING"
+from pandas_sigproc_spark.sources.textio import read_signals_text
 
 
 def csv_to_signals(
@@ -43,23 +41,12 @@ def csv_to_signals(
     the same normalize-once-at-ingest treatment as events_to_signals.
     ``keep_corrupt=True`` appends ``_corrupt_record`` (the raw line for
     rows that failed to parse, NULL elsewhere) so callers can quarantine
-    instead of silently ingesting NULL-field rows.
+    instead of silently ingesting NULL-field rows.  Shared scaffolding
+    lives in ``sources/textio.py`` (one home with the JSON adapter).
     """
-    if time_format == "seconds":
-        base_schema, cols = _FLOAT_SCHEMA, ["channel_id", "t", "value"]
-    elif time_format == "timestamp":
-        base_schema, cols = _TS_SCHEMA, None
-    else:
-        raise ValueError(
-            f"time_format must be 'seconds' or 'timestamp', got {time_format!r}"
-        )
-    schema = base_schema + (_CORRUPT if keep_corrupt else "")
-    df = spark.read.csv(path, schema=schema, header=header, mode=mode)
-    if cols is None:
-        cols = ["channel_id", F.col("ts").cast("double").alias("t"), "value", "ts"]
-    if keep_corrupt:
-        cols = cols + ["_corrupt_record"]
-    return df.select(*cols)
+    return read_signals_text(
+        spark, path, "csv", time_format, keep_corrupt, header=header, mode=mode
+    )
 
 
 def signals_to_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:

@@ -9,13 +9,9 @@ ingest like every other source adapter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-_FLOAT_SCHEMA = "channel_id STRING, t DOUBLE, value DOUBLE"
-_TS_SCHEMA = "channel_id STRING, ts TIMESTAMP, value DOUBLE"
-
-
-_CORRUPT = ", _corrupt_record STRING"
+from pandas_sigproc_spark.sources.textio import read_signals_text
 
 
 def json_to_signals(
@@ -32,23 +28,12 @@ def json_to_signals(
     as both ``t`` (epoch seconds) and ``ts``.
     ``keep_corrupt=True`` appends ``_corrupt_record`` (the raw line for
     unparseable rows, NULL elsewhere) — under plain PERMISSIVE a broken
-    line otherwise surfaces as NULL fields (csv.py has the full note).
+    line otherwise surfaces as NULL fields.  Shared scaffolding lives in
+    ``sources/textio.py`` (one home with the CSV adapter).
     """
-    if time_format == "seconds":
-        base_schema, cols = _FLOAT_SCHEMA, ["channel_id", "t", "value"]
-    elif time_format == "timestamp":
-        base_schema, cols = _TS_SCHEMA, None
-    else:
-        raise ValueError(
-            f"time_format must be 'seconds' or 'timestamp', got {time_format!r}"
-        )
-    schema = base_schema + (_CORRUPT if keep_corrupt else "")
-    df = spark.read.json(path, schema=schema, mode=mode)
-    if cols is None:
-        cols = ["channel_id", F.col("ts").cast("double").alias("t"), "value", "ts"]
-    if keep_corrupt:
-        cols = cols + ["_corrupt_record"]
-    return df.select(*cols)
+    return read_signals_text(
+        spark, path, "json", time_format, keep_corrupt, mode=mode
+    )
 
 
 def signals_to_json(df: DataFrame, path: str, n_files: int | None = None) -> None:

@@ -153,10 +153,13 @@ def encode_zip(
         )
         central += name
     cd_offset = len(out)
-    if cd_offset >= 0xFFFFFFFF:
+    if cd_offset >= 0xFFFFFFFF or len(central) >= 0xFFFFFFFF:
         # the loop-entry check bounds each member's OFFSET field, but
         # the last member's blob can still push the central-directory
-        # offset itself past the 32-bit EOCD field
+        # offset past the 32-bit EOCD field — and the directory's own
+        # SIZE field can overflow independently (central entries are 16
+        # bytes larger per member than local headers, so max-length
+        # names can blow the size while the offset stays legal)
         raise ValueError(
             "archive size needs ZIP64, which this encoder does not"
             " write (max 4 GiB)"

@@ -64,22 +64,38 @@ def encode_warc(
     out = bytearray()
     for rec in records:
         payload = bytes(rec["payload"])
+        rtype = _hval(rec, "type", "response")
         if "uri" not in rec or rec["uri"] is None:
-            # uri is MANDATORY: silently encoding an empty
-            # WARC-Target-URI (and hashing the record id over '') would
-            # be a silent data-loss path for malformed upstream rows
-            raise ValueError(
-                "encode_warc: record is missing its 'uri' — every WARC"
-                " record needs a target URI"
-            )
-        uri = _hval(rec, "uri", "")
-        rid = hashlib.md5(uri + b"\x00" + payload).hexdigest()
+            # uri is MANDATORY for target-addressed record types:
+            # silently encoding an empty WARC-Target-URI (and hashing
+            # the record id over '') would be a silent data-loss path
+            # for malformed upstream rows.  warcinfo/metadata records
+            # legitimately carry no WARC-Target-URI (WARC 1.1 §5.12) —
+            # those omit the header instead.
+            if rtype not in (b"warcinfo", b"metadata"):
+                raise ValueError(
+                    "encode_warc: record is missing its 'uri' — every"
+                    f" {rtype.decode()!r} record needs a target URI"
+                    " (only warcinfo/metadata may omit it)"
+                )
+            uri = None
+        else:
+            uri = _hval(rec, "uri", "")
+        rid = hashlib.md5(
+            (uri if uri is not None else b"\x00" + rtype)
+            + b"\x00"
+            + payload
+        ).hexdigest()
         headers = [
             b"WARC/1.1",
-            b"WARC-Type: " + _hval(rec, "type", "response"),
+            b"WARC-Type: " + rtype,
             b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">",
             b"WARC-Date: " + _hval(rec, "date", _DATE),
-            b"WARC-Target-URI: " + uri,
+            *(
+                [b"WARC-Target-URI: " + uri]
+                if uri is not None
+                else []
+            ),
             b"Content-Type: " + _hval(rec, "content_type", "text/plain"),
             b"Content-Length: " + str(len(payload)).encode(),
         ]

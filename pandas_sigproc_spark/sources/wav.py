@@ -54,9 +54,11 @@ def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
         raise ValueError("left/right length mismatch")
     if left.dtype not in _DTYPES:
         # off-table dtypes (int64, int32, mixed integers, ...) promote
-        # losslessly to the float64 encoding — the mismatch refusal
-        # below only guards the in-table case, where the raw astype to
-        # the LEFT dtype could truncate a wider right channel
+        # to the float64 encoding — the mismatch refusal below only
+        # guards the in-table case, where the raw astype to the LEFT
+        # dtype could truncate a wider right channel.  Documented seam:
+        # integer samples beyond 2**53 lose low bits in float64, like
+        # any float64 pipeline — audio amplitudes never approach that.
         left = left.astype(np.float64)
         right = right.astype(np.float64)
     if right.dtype != left.dtype:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pandas_sigproc_spark.operators.dsir import (
     DSIR_BUCKETS,
+    DSIR_NUDGE,
     dsir_select,
     dsir_weights,
 )
@@ -50,7 +51,7 @@ def _ref_weights(docs, buckets=DSIR_BUCKETS, alpha=1.0):
             - math.log((n_r.get(b, 0) + alpha) / (NR + alpha * buckets))
             for b in bs
         )
-        out[did] = round(w, 6)
+        out[did] = round(w + DSIR_NUDGE, 6)
     return out
 
 

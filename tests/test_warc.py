@@ -52,3 +52,26 @@ def test_missing_uri_refuses():
     for rec in ({"payload": b"x"}, {"uri": None, "payload": b"x"}):
         with _pytest.raises(ValueError, match="missing its 'uri'"):
             encode_warc([rec])
+
+
+def test_warcinfo_and_metadata_need_no_uri():
+    # r14 review finding: warcinfo/metadata records carry no
+    # WARC-Target-URI per WARC 1.1 §5.12 — the mandatory-uri guard must
+    # key on the record type, not reject them outright.
+    blob = encode_warc(
+        [
+            {"type": "warcinfo", "payload": b"software: engine"},
+            {"uri": "http://a/", "payload": b"body"},
+        ]
+    )
+    assert b"WARC-Type: warcinfo" in blob
+    head = blob.split(b"body")[0]
+    first = head.split(b"WARC/1.1")[1]
+    assert b"WARC-Target-URI" not in first
+    recs = decode_warc(blob)
+    assert len(recs) == 2
+    # response records still refuse a missing uri
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing its 'uri'"):
+        encode_warc([{"type": "response", "payload": b"x"}])
