@@ -158,20 +158,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _ensure_par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Parallelism ENSURED, not forced: repartition only when the scan
+    yields fewer splits than cores (the bench SFs are one tiny parquet
+    file = one split, which would run every map-side query
+    single-core).  When file splits already cover the cores — any real
+    deployment, and the bench's replicated scale leg — an unconditional
+    repartition is a corpus-wide shuffle of the full payload for
+    nothing: the r13 scale-leg A/B measured dedup_minhash at 8x data
+    1.21s with it vs 0.70s without (the r12 verdict's wall_ratio 4.02
+    outlier was mostly this shuffle tax growing with the corpus).  ONE
+    home for the rule (a review finding: _docs_par/_embeds_par carried
+    hand-kept copies)."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan with parallelism ENSURED, not forced: repartition
-    only when the scan yields fewer splits than cores (the bench SFs are
-    one tiny parquet file = one split, which would run every map-side
-    query single-core).  When file splits already cover the cores — any
-    real deployment, and the bench's replicated scale leg — the old
-    unconditional repartition was a corpus-wide shuffle of the full text
-    for nothing: the r13 scale-leg A/B measured dedup_minhash at 8x
-    data 1.21s with it vs 0.70s without (the r12 verdict's wall_ratio
-    4.02 outlier was mostly this shuffle tax growing with the corpus)."""
-    d = _docs(spark, sf_dir)
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
-    return d
+    """documents scan through the :func:`_ensure_par` rule."""
+    return _ensure_par(spark, _docs(spark, sf_dir))
 
 
 def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,17 +185,10 @@ def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embeds_par(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings scan with parallelism ENSURED, not forced — the
-    _docs_par rule (r14): the bench SFs are one tiny parquet file = one
-    split, which would run every map-side signature/quantization stage
-    single-core; when the scan's splits already cover the cores (any
-    real deployment, the replicated scale leg) an unconditional
-    repartition is a corpus-wide shuffle of the full vector payload
-    for nothing."""
-    e = _embeds(spark, sf_dir)
-    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        e = e.repartition(spark.sparkContext.defaultParallelism)
-    return e
+    """embeddings scan through the :func:`_ensure_par` rule (r14: six
+    ANN/kmeans sites previously shuffled the full vector payload
+    unconditionally)."""
+    return _ensure_par(spark, _embeds(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

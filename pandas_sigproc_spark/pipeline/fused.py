@@ -276,6 +276,15 @@ class KernelPipeline:
         def run_all(t: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             sr = _infer_sr(t)
             for s in stages:
+                if len(t) == 0:
+                    # a prior stage emptied the channel (mov_rms window
+                    # longer than a short channel): every stage maps
+                    # empty -> empty, so stop instead of letting a
+                    # filter/detrend stage crash on a 0-length array —
+                    # one straggler channel must never kill the job
+                    # (a review finding: the first guard landed only in
+                    # integral/resample, not the stage loop)
+                    break
                 t, y, sr = s.run(t, y, sr)
             return t, y
 
@@ -306,6 +315,8 @@ class KernelPipeline:
                     for s in (
                         stages[n_batchable:] if len(members) > 1 else stages
                     ):
+                        if len(t) == 0:  # emptied: every stage maps empty->empty
+                            break
                         t, y, cur_sr = s.run(t, y, cur_sr)
                     pieces.append(
                         pd.DataFrame({"channel_id": cid, "t": t, "value": y})

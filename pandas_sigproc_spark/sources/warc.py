@@ -65,18 +65,19 @@ def encode_warc(
     for rec in records:
         payload = bytes(rec["payload"])
         rtype = _hval(rec, "type", "response")
-        if "uri" not in rec or rec["uri"] is None:
-            # uri is MANDATORY for target-addressed record types:
-            # silently encoding an empty WARC-Target-URI (and hashing
-            # the record id over '') would be a silent data-loss path
-            # for malformed upstream rows.  warcinfo/metadata records
-            # legitimately carry no WARC-Target-URI (WARC 1.1 §5.12) —
-            # those omit the header instead.
+        if not rec.get("uri"):
+            # uri is MANDATORY for target-addressed record types —
+            # missing, None, OR empty-string (a malformed extraction
+            # that yielded '' would otherwise silently encode an empty
+            # WARC-Target-URI with the id hashed over '', the data-loss
+            # path this guard closes; a review finding caught the ''
+            # hole).  warcinfo/metadata records legitimately carry no
+            # WARC-Target-URI (WARC 1.1 §5.12) — those omit the header.
             if rtype not in (b"warcinfo", b"metadata"):
                 raise ValueError(
                     "encode_warc: record is missing its 'uri' — every"
-                    f" {rtype.decode()!r} record needs a target URI"
-                    " (only warcinfo/metadata may omit it)"
+                    f" {rtype.decode()!r} record needs a non-empty"
+                    " target URI (only warcinfo/metadata may omit it)"
                 )
             uri = None
         else:

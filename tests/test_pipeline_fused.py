@@ -191,3 +191,30 @@ def test_emptying_stage_propagates_clean(spark):
         out = build(KernelPipeline()).apply(df).collect()
         cids = {r["channel_id"] for r in out}
         assert cids == {"long"}, cids  # short channel empties, long survives
+
+
+def test_emptying_stage_before_filter_propagates_clean(spark):
+    # r14 high-effort review: the first empty guard landed only in
+    # integral/resample — a FILTER stage after the emptying mov_rms
+    # still crashed (filtfilt: input length 0 < padlen).  The guard now
+    # lives in the stage loop, covering every stage.
+    import numpy as np
+
+    from pandas_sigproc_spark.pipeline.fused import KernelPipeline
+
+    rows = [("short", float(i) / 10.0, float(i)) for i in range(3)] + [
+        ("long", float(i) / 100.0, float(np.sin(i / 5.0))) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "channel_id string, t double, value double")
+    for build in (
+        lambda p: p.mov_rms(0.5).filt_butter(2.0, 2, "lowpass"),
+        lambda p: p.mov_rms(0.5).filt_cfc(60.0),
+        lambda p: p.mov_rms(0.5).detrend("linear"),
+    ):
+        # short: 3 samples at sr 10 -> n=5 window empties it; long: 500
+        # samples at sr 100 -> n=50 window leaves plenty
+        out = build(KernelPipeline()).apply(df).collect()
+        assert {r["channel_id"] for r in out} == {"long"}
+        # bucketed path takes the same guard
+        out_b = build(KernelPipeline()).apply(df, n_buckets=2).collect()
+        assert {r["channel_id"] for r in out_b} == {"long"}

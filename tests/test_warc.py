@@ -75,3 +75,12 @@ def test_warcinfo_and_metadata_need_no_uri():
 
     with _pytest.raises(ValueError, match="missing its 'uri'"):
         encode_warc([{"type": "response", "payload": b"x"}])
+
+
+def test_empty_string_uri_refused_for_response():
+    # r14 high-effort review: '' passed the missing/None guard and
+    # silently encoded an empty WARC-Target-URI.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        encode_warc([{"uri": "", "payload": b"x"}])

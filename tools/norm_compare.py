@@ -21,13 +21,15 @@ def main() -> None:
     on = old["normalization"]["queries_normalized"]
     nn = new["normalization"]["queries_normalized"]
     composed = set(new.get("composed_legs_since_r14", []))
+    # Iterate the UNION of both sides: a leg present only in the OLD
+    # file (retired, consolidated, or accidentally dropped from
+    # bench.py) must surface as a row, not vanish from the adjudication
+    # table (a review finding).
     rows = []
-    for name, nv in nn.items():
-        ov = on.get(name)
-        if ov is None or not ov or not nv:
-            rows.append((name, ov, nv, None))
-            continue
-        rows.append((name, ov, nv, nv / ov))
+    for name in sorted(set(on) | set(nn)):
+        ov, nv = on.get(name), nn.get(name)
+        ratio = nv / ov if ov and nv else None
+        rows.append((name, ov, nv, ratio))
     rows.sort(key=lambda r: -(r[3] or 0))
     print(f"{'leg':26s} {'old_norm':>9s} {'new_norm':>9s} {'ratio':>6s}")
     flagged = []
@@ -35,19 +37,21 @@ def main() -> None:
         tag = ""
         if name in composed:
             tag = "  [composed since r14: now runs BOTH plan paths]"
-        elif ratio is None:
+        elif nv is None:
+            tag = "  [leg GONE this round — consolidated or dropped?]"
+        elif ov is None:
             tag = "  [new leg this round]"
-        elif ratio > 1.5 or ratio < (1 / 1.5):
+        elif ratio is not None and (ratio > 1.5 or ratio < (1 / 1.5)):
             tag = "  <-- beyond noise band"
-            if name not in composed:
-                flagged.append(name)
+            flagged.append(name)
         print(f"{name:26s} {ov if ov is not None else '-':>9} "
               f"{nv if nv is not None else '-':>9} "
               f"{f'{ratio:.2f}' if ratio else '-':>6}{tag}")
     ot = old["normalization"]["norm_total"]
     nt = new["normalization"]["norm_total"]
-    print(f"\nnorm_total: {ot} -> {nt} ({nt / ot:.3f}x)")
-    print(f"legs beyond 1.5x (excluding composed/new): {flagged or 'none'}")
+    rel = f" ({nt / ot:.3f}x)" if ot else ""
+    print(f"\nnorm_total: {ot} -> {nt}{rel}")
+    print(f"legs beyond 1.5x (excluding composed/new/gone): {flagged or 'none'}")
 
 
 if __name__ == "__main__":
