@@ -149,13 +149,8 @@ class _IntegralStage:
     name = "int"
 
     def run(self, t: np.ndarray, y: np.ndarray, sr: float):
-        if len(y) == 0:
-            # a prior stage emptied the channel (mov_rms window longer
-            # than a short channel): propagate empty — the unguarded
-            # form built a length-1 [0.0] against a length-0 time base
-            # and killed the whole job with an unlocated pandas
-            # ValueError (a review finding)
-            return t, y, sr
+        # empty channels never reach a stage: the apply() stage loops
+        # hold the single empty-propagation guard (one home)
         seg = (y[1:] + y[:-1]) / 2.0 * np.diff(t)
         return t, np.concatenate([[0.0], np.cumsum(seg)]), sr
 
@@ -179,10 +174,7 @@ class _ResampleStage:
         self.rate, self.kind = float(rate), kind
 
     def run(self, t: np.ndarray, y: np.ndarray, sr: float):
-        if len(t) == 0:
-            # propagate an emptied channel instead of IndexError on t[0]
-            # (a review finding — same class as _IntegralStage)
-            return t, y, self.rate
+        # empty channels never reach a stage (the apply() loop guard)
         grid = np.arange(t[0], t[-1], 1.0 / self.rate)
         out = _interp.interp1d(t, y, grid, kind=self.kind)
         return grid, out, self.rate
@@ -273,7 +265,24 @@ class KernelPipeline:
                 break
             n_batchable += 1
 
-        def run_all(t: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        def run_stage(s, cid, t, y, sr):
+            # LOCATED errors: a short channel through a filter stage
+            # raises the kernel's reference-parity ValueError ('input
+            # length must exceed padlen' — SciPy raises the same for
+            # the chained accessor calls this pipeline mirrors), but an
+            # anonymous task abort on a 100 TB job is undebuggable; the
+            # re-raise names the stage, the channel, and its row count
+            # at that stage (a review finding: mov_rms can legitimately
+            # SHRINK a straggler below padlen mid-chain).
+            try:
+                return s.run(t, y, sr)
+            except ValueError as e:
+                raise ValueError(
+                    f"fused stage {s.name} failed on channel {cid!r}"
+                    f" ({len(t)} rows at this stage): {e}"
+                ) from e
+
+        def run_all(cid, t: np.ndarray, y: np.ndarray):
             sr = _infer_sr(t)
             for s in stages:
                 if len(t) == 0:
@@ -283,9 +292,10 @@ class KernelPipeline:
                     # filter/detrend stage crash on a 0-length array —
                     # one straggler channel must never kill the job
                     # (a review finding: the first guard landed only in
-                    # integral/resample, not the stage loop)
+                    # integral/resample, not the stage loop — this loop
+                    # is now the ONE home of the empty rule)
                     break
-                t, y, sr = s.run(t, y, sr)
+                t, y, sr = run_stage(s, cid, t, y, sr)
             return t, y
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -306,7 +316,14 @@ class KernelPipeline:
                 if len(members) > 1 and n_batchable:
                     ys = [y for _, _, y in members]
                     for s in stages[:n_batchable]:
-                        ys = s.run_batch_ragged(ys, sr)
+                        try:
+                            ys = s.run_batch_ragged(ys, sr)
+                        except ValueError as e:
+                            cids = [c for c, _, _ in members]
+                            raise ValueError(
+                                f"fused stage {s.name} failed on a batch"
+                                f" of channels {cids!r}: {e}"
+                            ) from e
                     members = [
                         (cid, t, ys[row]) for row, (cid, t, _y) in enumerate(members)
                     ]
@@ -317,7 +334,7 @@ class KernelPipeline:
                     ):
                         if len(t) == 0:  # emptied: every stage maps empty->empty
                             break
-                        t, y, cur_sr = s.run(t, y, cur_sr)
+                        t, y, cur_sr = run_stage(s, cid, t, y, cur_sr)
                     pieces.append(
                         pd.DataFrame({"channel_id": cid, "t": t, "value": y})
                     )
@@ -327,13 +344,13 @@ class KernelPipeline:
         if n_buckets is None:
             def single(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("t")
+                cid = pdf["channel_id"].iloc[0]
                 t, y = run_all(
+                    cid,
                     pdf["t"].to_numpy(dtype=np.float64),
                     pdf["value"].to_numpy(dtype=np.float64),
                 )
-                return pd.DataFrame(
-                    {"channel_id": pdf["channel_id"].iloc[0], "t": t, "value": y}
-                )
+                return pd.DataFrame({"channel_id": cid, "t": t, "value": y})
 
             return src.groupBy("channel_id").applyInPandas(single, _OUT_SCHEMA)
         bucketed = src.withColumn("_b", _bucket_expr("channel_id", n_buckets))

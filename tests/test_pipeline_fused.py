@@ -218,3 +218,19 @@ def test_emptying_stage_before_filter_propagates_clean(spark):
         # bucketed path takes the same guard
         out_b = build(KernelPipeline()).apply(df, n_buckets=2).collect()
         assert {r["channel_id"] for r in out_b} == {"long"}
+
+
+def test_short_channel_filter_error_is_located(spark):
+    # r14 third review pass: a channel SHRUNK (not emptied) below the
+    # filter's padlen mid-chain raises the kernel's reference-parity
+    # refusal — but it must name the stage and the channel, not abort
+    # the task with an anonymous 'input length must exceed padlen'.
+    import pytest as _pytest
+
+    from pandas_sigproc_spark.pipeline.fused import KernelPipeline
+
+    rows = [("tiny", float(i) / 10.0, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "channel_id string, t double, value double")
+    pipe = KernelPipeline().mov_rms(0.5).filt_butter(2.0, 2, "lowpass")
+    with _pytest.raises(Exception, match="fused stage.*tiny.*rows at this stage"):
+        pipe.apply(df).collect()

@@ -41,7 +41,13 @@ def main() -> None:
             tag = "  [leg GONE this round — consolidated or dropped?]"
         elif ov is None:
             tag = "  [new leg this round]"
-        elif ratio is not None and (ratio > 1.5 or ratio < (1 / 1.5)):
+        elif ratio is None:
+            # both sides present but one is zero — a measurement that
+            # collapsed must be flagged, not read as in-band (a review
+            # finding)
+            tag = "  <-- zero-valued measurement (collapsed leg?)"
+            flagged.append(name)
+        elif ratio > 1.5 or ratio < (1 / 1.5):
             tag = "  <-- beyond noise band"
             flagged.append(name)
         print(f"{name:26s} {ov if ov is not None else '-':>9} "
