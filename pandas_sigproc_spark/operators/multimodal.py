@@ -339,6 +339,121 @@ def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> Data
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+H264_STREAM_SCHEMA = (
+    "media_id long, sample_idx int, n_nals int, nal_types array<int>,"
+    " is_keyframe boolean, width int, height int, profile int, level int"
+)
+
+
+def h264_stream_info(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """H.264 stream inspection over MP4 payloads — one row per SAMPLE
+    with its NAL inventory, IDR keyframe flag, and the SPS display
+    geometry/profile, WITHOUT decoding pixels (sources/h264.py; the
+    entropy/reconstruction seam stays a loud refusal in decode_payload).
+
+    This is the structure a 100 TB video-curation pipeline keys on:
+    keyframe-aware frame sampling (sync points decode standalone —
+    sampling every Nth compressed delta frame is useless), per-stream
+    resolution/profile admission rules, and GOP-shape statistics, all
+    from container + parameter-set bytes.
+
+    The SPS comes from the sample entry's ``avcC`` record when present
+    (the MP4 norm), else the first in-band type-7 NAL.  Non-avc1 tracks
+    and malformed containers raise by name (``on_error="skip"`` drops
+    them — the third-party-corpus contract of wds_members/zip_members).
+
+    Scale shape: zero-shuffle mapInPandas; one container walk + bit
+    parse per payload, no pixel buffers — output rows are a few ints
+    per sample."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip = on_error == "skip"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandas_sigproc_spark.sources import h264 as _h
+        from pandas_sigproc_spark.sources.mp4 import (
+            decode_mp4,
+            video_sample_entry_boxes,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(payload)
+                    trk = decode_mp4(raw)
+                    if trk.codec != b"avc1":
+                        raise ValueError(
+                            f"sample codec {trk.codec!r} is not avc1 —"
+                            " h264_stream_info inspects H.264 tracks"
+                            " only (engine image-codec tracks decode"
+                            " through decode_mp4_frames)"
+                        )
+                    ext = video_sample_entry_boxes(raw)
+                    if b"avcC" in ext:
+                        cfg = _h.parse_avcc(ext[b"avcC"])
+                        length_size, sps_set = cfg.length_size, cfg.sps
+                    else:
+                        length_size, sps_set = 4, []
+                    if not sps_set:
+                        # in-band parameter sets (Annex-B-style muxing)
+                        for s in trk.samples:
+                            sps_set = [
+                                nal
+                                for nal in _h.split_avcc(s, length_size)
+                                if _h.nal_type(nal) == 7
+                            ]
+                            if sps_set:
+                                break
+                    if not sps_set:
+                        raise ValueError(
+                            "no SPS found in avcC or in-band — cannot"
+                            " derive stream geometry"
+                        )
+                    sps = _h.parse_sps(sps_set[0])
+                    for i, s in enumerate(trk.samples):
+                        idx = _h.sample_nal_index(s, length_size)
+                        rows.append(
+                            (
+                                int(mid),
+                                i,
+                                idx.n_nals,
+                                idx.nal_types,
+                                idx.is_keyframe,
+                                sps.width,
+                                sps.height,
+                                sps.profile_idc,
+                                sps.level_idc,
+                            )
+                        )
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_idx",
+                    "n_nals",
+                    "nal_types",
+                    "is_keyframe",
+                    "width",
+                    "height",
+                    "profile",
+                    "level",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, H264_STREAM_SCHEMA)
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table from ``documents`` (test harness).
 

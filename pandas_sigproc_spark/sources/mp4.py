@@ -100,11 +100,16 @@ def encode_mp4(
     height: int = 0,
     timescale: int = 1000,
     frame_duration: int = 40,
+    sample_entry_ext: bytes = b"",
 ) -> bytes:
     """Write an unfragmented single-video-trak MP4: every element of
     ``frames`` becomes one sample (one chunk holding all samples).
     ``width``/``height`` default to the first frame's decoded
-    dimensions when the codec is one of the engine's image codecs."""
+    dimensions when the codec is one of the engine's image codecs.
+    ``sample_entry_ext`` appends raw extension boxes to the stsd sample
+    entry (e.g. an ``avcC`` record for ``codec=b"avc1"`` — build one
+    with ``sources/h264.py`` semantics; ``video_sample_entry_boxes``
+    reads it back)."""
     if not frames:
         raise ValueError("need at least one frame")
     if len(codec) != 4:
@@ -125,7 +130,7 @@ def encode_mp4(
 
     # sample tables ---------------------------------------------------------
     stsd_entry = (
-        struct.pack(">I", 86)
+        struct.pack(">I", 86 + len(sample_entry_ext))
         + codec
         + b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
@@ -137,6 +142,7 @@ def encode_mp4(
         + b"\x00" * 32  # compressorname
         + struct.pack(">H", 0x0018)  # depth
         + struct.pack(">h", -1)
+        + sample_entry_ext
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
     stts = _full(
@@ -219,6 +225,40 @@ def decode_mp4(data: bytes) -> Mp4Track:
         if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
         return _parse_video_trak(data, b, e)
+    raise ValueError("no video trak in moov")
+
+
+def video_sample_entry_boxes(data: bytes) -> dict[bytes, bytes]:
+    """Extension boxes of the first video trak's first stsd sample
+    entry — ``{fourcc: payload}`` for ``avcC`` (the H.264 decoder
+    configuration record sources/h264.py parses), ``btrt``, ``pasp``,
+    etc.  Extensions start after the 86-byte VisualSampleEntry fixed
+    layout (ISO 14496-12 §12.1.3); entries without extensions (the
+    engine's own image-codec tracks) return {}."""
+    if not is_mp4_bytes(data):
+        raise ValueError("not an ISO BMFF stream (no ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box (fragmented or truncated stream?)")
+    for t, b, e in _walk(data, *moov):
+        if t != b"trak":
+            continue
+        hdlr = _find(data, b, e, b"mdia", b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stsd = _find(data, b, e, b"mdia", b"minf", b"stbl", b"stsd")
+        if stsd is None:
+            raise ValueError("video trak has no stsd")
+        entry = stsd[0] + 8  # version/flags + entry_count
+        entry_size = struct.unpack(">I", data[entry : entry + 4])[0]
+        ext_start, ext_end = entry + 86, entry + entry_size
+        if ext_end > stsd[1] or entry_size < 86:
+            # no room for extensions (or a malformed entry size): the
+            # engine's own minimal entries are exactly 86 bytes
+            return {}
+        return {
+            typ: data[bb:ee] for typ, bb, ee in _walk(data, ext_start, ext_end)
+        }
     raise ValueError("no video trak in moov")
 
 

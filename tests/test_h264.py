@@ -1,0 +1,269 @@
+"""H.264 stream inspection (sources/h264.py + the mp4 avcC plumbing +
+operators/multimodal.h264_stream_info): SPS geometry against bitstreams
+constructed by an INDEPENDENT bit writer (spec arithmetic, not a replay
+of the parser), NAL framing for both Annex-B and avcC, emulation
+prevention, and the Spark operator end to end on a muxed avc1 MP4."""
+
+import struct
+
+import pytest
+
+from pandas_sigproc_spark.sources.h264 import (
+    nal_type,
+    parse_avcc,
+    parse_sps,
+    sample_nal_index,
+    split_annexb,
+    split_avcc,
+    strip_emulation,
+)
+
+
+class BW:
+    """Minimal spec-order bit writer (test-side reference encoder)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def ue(self, v):
+        c = v + 1
+        n = c.bit_length()
+        self.bits += [0] * (n - 1)
+        self.u(c, n)
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp(self):
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def _sps_tail(w, width_mbs, height_mus, crop=None):
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type -> lsb field follows
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed
+    w.ue(width_mbs - 1)
+    w.ue(height_mus - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8_inference
+    if crop:
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present
+
+
+def _baseline_sps(width_mbs=4, height_mus=3, crop=None):
+    w = BW()
+    w.u(66, 8)  # profile_idc baseline
+    w.u(0, 8)  # constraint flags
+    w.u(30, 8)  # level 3.0
+    _sps_tail(w, width_mbs, height_mus, crop)
+    return b"\x67" + w.rbsp()
+
+
+def test_sps_baseline_geometry():
+    info = parse_sps(_baseline_sps(4, 3))
+    assert (info.width, info.height) == (64, 48)
+    assert info.profile_idc == 66 and info.level_idc == 30
+    assert info.chroma_format_idc == 1 and info.bit_depth_luma == 8
+    assert info.frame_mbs_only
+
+
+def test_sps_1080p_cropping():
+    # 120x68 macroblocks = 1920x1088 coded; bottom crop 4 units x 2
+    # (4:2:0, frame_mbs_only) = 8 rows -> 1080 display
+    info = parse_sps(_baseline_sps(120, 68, crop=(0, 0, 0, 4)))
+    assert (info.width, info.height) == (1920, 1080)
+
+
+def test_sps_high_profile_with_scaling_list():
+    w = BW()
+    w.u(100, 8)  # High profile
+    w.u(0, 8)
+    w.u(40, 8)  # level 4.0
+    w.ue(0)  # sps_id
+    w.ue(1)  # chroma_format_idc 4:2:0
+    w.ue(0)  # bit_depth_luma_minus8
+    w.ue(0)  # bit_depth_chroma_minus8
+    w.u(0, 1)  # qpprime bypass
+    w.u(1, 1)  # seq_scaling_matrix_present
+    w.u(1, 1)  # list 0 present
+    for _ in range(16):
+        w.se(0)  # delta_scale 0: nextScale stays 8
+    for _ in range(7):
+        w.u(0, 1)  # lists 1..7 absent
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type 2 (no extra fields)
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(7)  # 8 MBs wide
+    w.ue(5)  # 6 MBs tall
+    w.u(1, 1)
+    w.u(1, 1)
+    w.u(0, 1)  # no cropping
+    w.u(0, 1)  # no vui
+    info = parse_sps(b"\x67" + w.rbsp())
+    assert (info.width, info.height) == (128, 96)
+    assert info.profile_idc == 100 and info.bit_depth_luma == 8
+
+
+def test_emulation_prevention():
+    assert strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    assert strip_emulation(b"\x00\x00\x03\x03\x00") == b"\x00\x00\x03\x00"
+    assert strip_emulation(b"\x01\x02\x03") == b"\x01\x02\x03"
+    # an SPS whose escaped form round-trips through the parser: inject
+    # the escape by hand where the raw rbsp carries 00 00 01
+    raw = _baseline_sps(4, 3)
+    rbsp = raw[1:]
+    if b"\x00\x00" in rbsp:  # construction-dependent; the direct checks
+        pass  # above pin the algorithm either way
+    escaped = bytearray(b"\x67")
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            escaped.append(3)
+            zeros = 0
+        escaped.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    info = parse_sps(bytes(escaped))
+    assert (info.width, info.height) == (64, 48)
+
+
+def test_nal_framing():
+    # NALs end with the nonzero rbsp-stop byte; trailing zeros
+    # before a start code are trailing_zero_8bits and strip
+    n1, n2 = b"\x67\x42\x12", b"\x41\xaa"
+    annexb = b"\x00\x00\x00\x01" + n1 + b"\x00\x00\x01" + n2
+    assert split_annexb(annexb) == [n1, n2]
+    with pytest.raises(ValueError, match="start code"):
+        split_annexb(b"\x41\xaa\xbb")
+    sample = len(n1).to_bytes(4, "big") + n1 + len(n2).to_bytes(4, "big") + n2
+    assert split_avcc(sample) == [n1, n2]
+    with pytest.raises(ValueError, match="extends past"):
+        split_avcc(len(n1).to_bytes(4, "big") + n1[:1])
+    with pytest.raises(ValueError, match="forbidden_zero_bit"):
+        nal_type(b"\x80")
+
+
+def _avcc_record(sps, pps):
+    return (
+        bytes([1, 66, 0, 30, 0xFC | 3, 0xE0 | 1])
+        + len(sps).to_bytes(2, "big")
+        + sps
+        + bytes([1])
+        + len(pps).to_bytes(2, "big")
+        + pps
+    )
+
+
+def test_parse_avcc_roundtrip():
+    sps, pps = _baseline_sps(), b"\x68\xce\x38\x80"
+    cfg = parse_avcc(_avcc_record(sps, pps))
+    assert cfg.length_size == 4 and cfg.profile_idc == 66
+    assert cfg.sps == [sps] and cfg.pps == [pps]
+    with pytest.raises(ValueError, match="configurationVersion"):
+        parse_avcc(b"\x02" + b"\x00" * 8)
+
+
+def _avc1_mp4(n_delta=3):
+    from pandas_sigproc_spark.sources.mp4 import encode_mp4
+
+    sps, pps = _baseline_sps(), b"\x68\xce\x38\x80"
+
+    def frame(*nals):
+        return b"".join(len(x).to_bytes(4, "big") + x for x in nals)
+
+    samples = [frame(sps, pps, b"\x65" + b"\x11" * 8)] + [
+        frame(b"\x41" + bytes([0x20 + i]) * 6) for i in range(n_delta)
+    ]
+    avcc_box = (
+        struct.pack(">I", 8 + len(_avcc_record(sps, pps)))
+        + b"avcC"
+        + _avcc_record(sps, pps)
+    )
+    return encode_mp4(
+        samples, codec=b"avc1", width=64, height=48, sample_entry_ext=avcc_box
+    )
+
+
+def test_video_sample_entry_boxes_roundtrip():
+    from pandas_sigproc_spark.sources.mp4 import (
+        decode_mp4,
+        encode_mp4,
+        video_sample_entry_boxes,
+    )
+
+    blob = _avc1_mp4()
+    ext = video_sample_entry_boxes(blob)
+    assert b"avcC" in ext
+    assert parse_avcc(ext[b"avcC"]).length_size == 4
+    assert decode_mp4(blob).codec == b"avc1"
+    # an engine-codec track (86-byte entry, no extensions) returns {}
+    from pandas_sigproc_spark.sources.bmp import encode_bmp
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    plain = encode_mp4([encode_bmp(px)] * 2, codec=b"bmp ")
+    assert video_sample_entry_boxes(plain) == {}
+
+
+def test_sample_nal_index():
+    sps = _baseline_sps()
+    sample = (
+        len(sps).to_bytes(4, "big") + sps
+        + (9).to_bytes(4, "big") + b"\x65" + b"\x00" * 8
+    )
+    idx = sample_nal_index(sample)
+    assert idx.n_nals == 2 and idx.nal_types == [7, 5] and idx.is_keyframe
+
+
+def test_h264_stream_info_end_to_end(spark):
+    from pandas_sigproc_spark.operators.multimodal import h264_stream_info
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_avc1_mp4()))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        h264_stream_info(df).collect(), key=lambda r: r["sample_idx"]
+    )
+    assert len(rows) == 4
+    assert [r["is_keyframe"] for r in rows] == [True, False, False, False]
+    assert rows[0]["nal_types"] == [7, 8, 5]
+    assert all((r["width"], r["height"]) == (64, 48) for r in rows)
+    assert all(r["profile"] == 66 and r["level"] == 30 for r in rows)
+
+
+def test_h264_stream_info_refusal_and_skip(spark):
+    import numpy as np
+
+    from pandas_sigproc_spark.operators.multimodal import h264_stream_info
+    from pandas_sigproc_spark.sources.bmp import encode_bmp
+    from pandas_sigproc_spark.sources.mp4 import encode_mp4
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    bmp_mp4 = encode_mp4([encode_bmp(px)] * 2, codec=b"bmp ")
+    df = spark.createDataFrame(
+        [(1, bytearray(_avc1_mp4())), (2, bytearray(bmp_mp4))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="not avc1"):
+        h264_stream_info(df).collect()
+    kept = h264_stream_info(df, on_error="skip").collect()
+    assert {r["media_id"] for r in kept} == {1}
+    with pytest.raises(ValueError, match="raise|skip"):
+        h264_stream_info(df, on_error="drop")
