@@ -364,13 +364,17 @@ def h264_stream_info(
     from container + parameter-set bytes.
 
     The SPS comes from the sample entry's ``avcC`` record when present
-    (the MP4 norm), else the first in-band type-7 NAL.  Non-avc1 tracks
-    and malformed containers raise by name (``on_error="skip"`` drops
-    them — the third-party-corpus contract of wds_members/zip_members).
+    (the ``avc1`` norm), else the first in-band type-7 NAL (the
+    ``avc3`` in-band-parameter-set variant; samples framed with Annex-B
+    start codes are detected per sample — h264.split_nals).  Other
+    codecs and malformed containers raise by name; ``on_error="skip"``
+    drops them (the third-party-corpus contract of
+    wds_members/zip_members — fragmented moof segments and truncated
+    sample tables included, not just ValueError shapes).
 
-    Scale shape: zero-shuffle mapInPandas; one container walk + bit
-    parse per payload, no pixel buffers — output rows are a few ints
-    per sample."""
+    Scale shape: zero-shuffle mapInPandas; two cheap box-tree walks +
+    a header-byte NAL walk per payload (no pixel buffers, no NAL body
+    copies) — output rows are a few ints per sample."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     skip = on_error == "skip"
@@ -386,14 +390,16 @@ def h264_stream_info(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
                     raw = bytes(payload)
                     trk = decode_mp4(raw)
-                    if trk.codec != b"avc1":
+                    if trk.codec not in (b"avc1", b"avc3"):
                         raise ValueError(
-                            f"sample codec {trk.codec!r} is not avc1 —"
-                            " h264_stream_info inspects H.264 tracks"
-                            " only (engine image-codec tracks decode"
-                            " through decode_mp4_frames)"
+                            f"sample codec {trk.codec!r} is not"
+                            " avc1/avc3 — h264_stream_info inspects"
+                            " H.264 tracks only (engine image-codec"
+                            " tracks decode through decode_mp4_frames)"
                         )
                     ext = video_sample_entry_boxes(raw)
                     if b"avcC" in ext:
@@ -402,11 +408,12 @@ def h264_stream_info(
                     else:
                         length_size, sps_set = 4, []
                     if not sps_set:
-                        # in-band parameter sets (Annex-B-style muxing)
+                        # in-band parameter sets (the avc3 variant;
+                        # split_nals handles Annex-B-framed samples too)
                         for s in trk.samples:
                             sps_set = [
                                 nal
-                                for nal in _h.split_avcc(s, length_size)
+                                for nal in _h.split_nals(s, length_size)
                                 if _h.nal_type(nal) == 7
                             ]
                             if sps_set:
@@ -432,7 +439,12 @@ def h264_stream_info(
                                 sps.level_idc,
                             )
                         )
-                except ValueError:
+                except (ValueError, NotImplementedError):
+                    # ValueError = the corrupt-container taxonomy;
+                    # NotImplementedError = named seams (fragmented
+                    # moof DASH/HLS segments are ubiquitous in
+                    # third-party corpora and must be skippable, a
+                    # review finding)
                     if skip:
                         continue
                     raise

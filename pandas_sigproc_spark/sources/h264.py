@@ -298,6 +298,23 @@ def parse_avcc(box: bytes) -> AvcConfig:
     return AvcConfig(profile, level, length_size, sps, pps)
 
 
+def is_annexb(sample: bytes) -> bool:
+    """True when ``sample`` opens with an Annex-B start code — some
+    muxers (and all elementary streams) frame NALs with start codes
+    instead of avcC length prefixes."""
+    return sample[:3] == b"\x00\x00\x01" or sample[:4] == b"\x00\x00\x00\x01"
+
+
+def split_nals(sample: bytes, length_size: int = 4) -> list[bytes]:
+    """NAL units of one sample under EITHER framing: Annex-B start
+    codes when the sample opens with one, else avcC length prefixes —
+    feeding a start-coded sample to the length-prefix walk would read
+    0x00000001 as a NAL length and emit garbage (a review finding)."""
+    if is_annexb(sample):
+        return split_annexb(sample)
+    return split_avcc(sample, length_size)
+
+
 class SampleNals(NamedTuple):
     n_nals: int
     nal_types: list[int]
@@ -307,10 +324,37 @@ class SampleNals(NamedTuple):
 def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
     """NAL inventory of one MP4 sample: count, types in stream order,
     and the IDR keyframe flag — the structure frame-sampling for video
-    dedup keys on (sync points decode standalone; delta frames don't)."""
-    nals = split_avcc(sample, length_size)
-    types = [nal_type(x) for x in nals]
-    return SampleNals(len(nals), types, 5 in types)
+    dedup keys on (sync points decode standalone; delta frames don't).
+    Handles both framings (:func:`split_nals`); the avcC walk reads
+    ONLY each NAL's header byte (no body slices — copying every NAL
+    body to read one byte doubled the operator's per-payload byte
+    traffic, a review finding)."""
+    if is_annexb(sample):
+        types = [nal_type(x) for x in split_annexb(sample)]
+        return SampleNals(len(types), types, 5 in types)
+    if length_size not in (1, 2, 3, 4):
+        raise ValueError(f"NAL length size must be 1-4, got {length_size}")
+    types: list[int] = []
+    pos, n = 0, len(sample)
+    while pos < n:
+        if pos + length_size > n:
+            raise ValueError(f"truncated NAL length field at offset {pos}")
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if pos + ln > n:
+            raise ValueError(
+                f"NAL of {ln} bytes at offset {pos} extends past the"
+                f" sample end ({n})"
+            )
+        if ln:
+            hdr = sample[pos]
+            if hdr & 0x80:
+                raise ValueError(
+                    "NAL forbidden_zero_bit set — not a NAL header"
+                )
+            types.append(hdr & 0x1F)
+        pos += ln
+    return SampleNals(len(types), types, 5 in types)
 
 
 __all__ = [
@@ -318,11 +362,13 @@ __all__ = [
     "AvcConfig",
     "SampleNals",
     "SpsInfo",
+    "is_annexb",
     "nal_type",
     "parse_avcc",
     "parse_sps",
     "sample_nal_index",
     "split_annexb",
     "split_avcc",
+    "split_nals",
     "strip_emulation",
 ]

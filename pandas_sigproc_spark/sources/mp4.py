@@ -206,7 +206,30 @@ def is_mp4_bytes(data: bytes) -> bool:
 
 def decode_mp4(data: bytes) -> Mp4Track:
     """Parse an unfragmented MP4 and slice out the first video trak's
-    samples via the standard stsc/stco/stsz chunk walk."""
+    samples via the standard stsc/stco/stsz chunk walk.  Malformed
+    containers raise ValueError by name — a missing/truncated sample
+    table surfaces as the module's corrupt-container taxonomy, never a
+    bare KeyError/struct.error (a review finding: an stsz-less trak and
+    a lying stsz count leaked both through ``on_error='skip'``
+    contracts, which catch ValueError)."""
+    b, e = _first_video_trak(data)
+    try:
+        return _parse_video_trak(data, b, e)
+    except KeyError as ex:
+        raise ValueError(
+            f"video trak is missing its {ex.args[0]!r} sample-table box"
+        ) from ex
+    except struct.error as ex:
+        raise ValueError(
+            f"video trak sample tables are truncated/corrupt: {ex}"
+        ) from ex
+
+
+def _first_video_trak(data: bytes):
+    """(payload_start, payload_end) of the first video trak — ONE home
+    for the moov/trak/hdlr discovery walk (decode_mp4 and
+    video_sample_entry_boxes previously carried hand-kept copies; a
+    review finding)."""
     if not is_mp4_bytes(data):
         raise ValueError("not an ISO BMFF stream (no ftyp)")
     moov = _find(data, 0, len(data), b"moov")
@@ -217,14 +240,13 @@ def decode_mp4(data: bytes) -> Mp4Track:
             "fragmented MP4 (moof) is outside the supported profile"
             " (sources/mp4.py)"
         )
-    # first video trak
     for t, b, e in _walk(data, *moov):
         if t != b"trak":
             continue
         hdlr = _find(data, b, e, b"mdia", b"hdlr")
         if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
-        return _parse_video_trak(data, b, e)
+        return b, e
     raise ValueError("no video trak in moov")
 
 
@@ -235,31 +257,29 @@ def video_sample_entry_boxes(data: bytes) -> dict[bytes, bytes]:
     etc.  Extensions start after the 86-byte VisualSampleEntry fixed
     layout (ISO 14496-12 §12.1.3); entries without extensions (the
     engine's own image-codec tracks) return {}."""
-    if not is_mp4_bytes(data):
-        raise ValueError("not an ISO BMFF stream (no ftyp)")
-    moov = _find(data, 0, len(data), b"moov")
-    if moov is None:
-        raise ValueError("no moov box (fragmented or truncated stream?)")
-    for t, b, e in _walk(data, *moov):
-        if t != b"trak":
-            continue
-        hdlr = _find(data, b, e, b"mdia", b"hdlr")
-        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
-            continue
-        stsd = _find(data, b, e, b"mdia", b"minf", b"stbl", b"stsd")
-        if stsd is None:
-            raise ValueError("video trak has no stsd")
-        entry = stsd[0] + 8  # version/flags + entry_count
-        entry_size = struct.unpack(">I", data[entry : entry + 4])[0]
-        ext_start, ext_end = entry + 86, entry + entry_size
-        if ext_end > stsd[1] or entry_size < 86:
-            # no room for extensions (or a malformed entry size): the
-            # engine's own minimal entries are exactly 86 bytes
-            return {}
-        return {
-            typ: data[bb:ee] for typ, bb, ee in _walk(data, ext_start, ext_end)
-        }
-    raise ValueError("no video trak in moov")
+    b, e = _first_video_trak(data)
+    stsd = _find(data, b, e, b"mdia", b"minf", b"stbl", b"stsd")
+    if stsd is None:
+        raise ValueError("video trak has no stsd")
+    n_entries = struct.unpack(">I", data[stsd[0] + 4 : stsd[0] + 8])[0]
+    entry = stsd[0] + 8  # version/flags + entry_count
+    if n_entries < 1 or entry + 4 > stsd[1]:
+        # module taxonomy: malformed containers raise ValueError by
+        # name, never struct.error (a review finding: a truncated stsd
+        # previously died in struct.unpack)
+        raise ValueError(
+            f"stsd declares {n_entries} sample entries but holds no"
+            " readable entry"
+        )
+    entry_size = struct.unpack(">I", data[entry : entry + 4])[0]
+    ext_start, ext_end = entry + 86, entry + entry_size
+    if ext_end > stsd[1] or entry_size < 86:
+        # no room for extensions (or a malformed entry size): the
+        # engine's own minimal entries are exactly 86 bytes
+        return {}
+    return {
+        typ: data[bb:ee] for typ, bb, ee in _walk(data, ext_start, ext_end)
+    }
 
 
 def _u32s(buf: bytes, n: int, off: int = 0) -> list[int]:
@@ -378,4 +398,5 @@ __all__ = [
     "decode_mp4",
     "decode_mp4_frames",
     "is_mp4_bytes",
+    "video_sample_entry_boxes",
 ]

@@ -267,3 +267,62 @@ def test_h264_stream_info_refusal_and_skip(spark):
     assert {r["media_id"] for r in kept} == {1}
     with pytest.raises(ValueError, match="raise|skip"):
         h264_stream_info(df, on_error="drop")
+
+
+def test_split_nals_autodetects_annexb():
+    # r14 review finding: feeding a start-coded sample to the avcC
+    # length walk read 0x00000001 as a NAL length and emitted garbage.
+    from pandas_sigproc_spark.sources.h264 import sample_nal_index, split_nals
+
+    n1, n2 = b"\x67\x42\x12", b"\x65\xaa"
+    annexb = b"\x00\x00\x00\x01" + n1 + b"\x00\x00\x01" + n2
+    assert split_nals(annexb) == [n1, n2]
+    idx = sample_nal_index(annexb)
+    assert idx.nal_types == [7, 5] and idx.is_keyframe
+    avcc = len(n1).to_bytes(4, "big") + n1 + len(n2).to_bytes(4, "big") + n2
+    assert split_nals(avcc) == [n1, n2]
+
+
+def test_decode_mp4_corrupt_tables_are_valueerror():
+    # r14 review finding: an stsz-less trak leaked KeyError and a lying
+    # stsz count leaked struct.error through on_error='skip' contracts
+    # (which catch ValueError).
+    from pandas_sigproc_spark.sources.mp4 import decode_mp4
+
+    blob = bytearray(_avc1_mp4())
+    i = bytes(blob).find(b"stsz")
+    mutated = bytes(blob[: i - 4]) + b"\x00\x00\x00\x10" + b"free" + bytes(
+        blob[i + 4 :]
+    )[8:]  # clobber the stsz box header into a free box
+    # simpler robust mutation: rename the stsz fourcc so the box vanishes
+    renamed = bytes(blob).replace(b"stsz", b"stsX", 1)
+    with pytest.raises(ValueError, match="stsz|sample-table|corrupt"):
+        decode_mp4(renamed)
+    # lie about the stsz entry count (more entries than the box holds)
+    j = bytes(blob).find(b"stsz")
+    lied = bytearray(blob)
+    lied[j + 12 : j + 16] = (10_000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_mp4(bytes(lied))
+
+
+def test_stream_info_skips_fragmented_and_null(spark):
+    from pandas_sigproc_spark.operators.multimodal import h264_stream_info
+    from pandas_sigproc_spark.sources.mp4 import _box
+
+    # a minimal "fragmented" container: ftyp + moov-less moof marker
+    frag = (
+        _box(b"ftyp", b"isom" + b"\x00" * 4 + b"iso2")
+        + _box(b"moof", b"\x00" * 8)
+        + _box(b"moov", b"\x00" * 8)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_avc1_mp4())),
+            (2, bytearray(frag)),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    kept = h264_stream_info(df, on_error="skip").collect()
+    assert {r["media_id"] for r in kept} == {1}
