@@ -345,6 +345,24 @@ H264_STREAM_SCHEMA = (
 )
 
 
+def hevc_stream_info(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """The HEVC (hvc1/hev1) twin of :func:`h264_stream_info` — same
+    output schema and contracts, parsed by ``sources/hevc.py``: per-
+    sample NAL inventory, the IRAP (BLA/IDR/CRA) keyframe flag, and the
+    SPS conformance-window geometry + profile/tier/level.  SPS comes
+    from the ``hvcC`` record's type-33 array when present (hvc1), else
+    in-band (hev1)."""
+    return _mp4_stream_info(
+        df, id_col, payload_col, on_error, flavor="hevc"
+    )
+
+
 def h264_stream_info(
     df: DataFrame,
     *,
@@ -375,16 +393,52 @@ def h264_stream_info(
     Scale shape: zero-shuffle mapInPandas; two cheap box-tree walks +
     a header-byte NAL walk per payload (no pixel buffers, no NAL body
     copies) — output rows are a few ints per sample."""
+    return _mp4_stream_info(
+        df, id_col, payload_col, on_error, flavor="h264"
+    )
+
+
+def _mp4_stream_info(
+    df: DataFrame, id_col: str, payload_col: str, on_error: str, flavor: str
+) -> DataFrame:
+    """Shared core of h264_stream_info / hevc_stream_info — ONE home
+    for the container walk, the out-of-band-then-in-band SPS
+    resolution, and the skip taxonomy; only the codec hooks differ."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     skip = on_error == "skip"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandas_sigproc_spark.sources import h264 as _h
+        from pandas_sigproc_spark.sources import hevc as _hv
         from pandas_sigproc_spark.sources.mp4 import (
             decode_mp4,
             video_sample_entry_boxes,
         )
+
+        if flavor == "h264":
+            codecs, ext4 = (b"avc1", b"avc3"), b"avcC"
+            sps_type, ntype = 7, _h.nal_type
+            parse_sps, nal_index = _h.parse_sps, _h.sample_nal_index
+
+            def cfg_sets(box):
+                cfg = _h.parse_avcc(box)
+                return cfg.length_size, list(cfg.sps)
+
+            def sps_tuple(s):
+                return (s.width, s.height, s.profile_idc, s.level_idc)
+
+        else:
+            codecs, ext4 = (b"hvc1", b"hev1"), b"hvcC"
+            sps_type, ntype = 33, _hv.nal_type
+            parse_sps, nal_index = _hv.parse_hevc_sps, _hv.sample_nal_index
+
+            def cfg_sets(box):
+                cfg = _hv.parse_hvcc(box)
+                return cfg.length_size, list(cfg.nals.get(33, []))
+
+            def sps_tuple(s):
+                return (s.width, s.height, s.profile_idc, s.level_idc)
 
         for pdf in batches:
             rows = []
@@ -394,38 +448,38 @@ def h264_stream_info(
                         raise ValueError("NULL payload")
                     raw = bytes(payload)
                     trk = decode_mp4(raw)
-                    if trk.codec not in (b"avc1", b"avc3"):
+                    if trk.codec not in codecs:
                         raise ValueError(
-                            f"sample codec {trk.codec!r} is not"
-                            " avc1/avc3 — h264_stream_info inspects"
-                            " H.264 tracks only (engine image-codec"
+                            f"sample codec {trk.codec!r} is not one of"
+                            f" {codecs} — this inspector reads"
+                            f" {flavor} tracks only (engine image-codec"
                             " tracks decode through decode_mp4_frames)"
                         )
                     ext = video_sample_entry_boxes(raw)
-                    if b"avcC" in ext:
-                        cfg = _h.parse_avcc(ext[b"avcC"])
-                        length_size, sps_set = cfg.length_size, cfg.sps
+                    if ext4 in ext:
+                        length_size, sps_set = cfg_sets(ext[ext4])
                     else:
                         length_size, sps_set = 4, []
                     if not sps_set:
-                        # in-band parameter sets (the avc3 variant;
-                        # split_nals handles Annex-B-framed samples too)
+                        # in-band parameter sets (the avc3/hev1
+                        # variants; split_nals handles Annex-B-framed
+                        # samples too)
                         for s in trk.samples:
                             sps_set = [
                                 nal
                                 for nal in _h.split_nals(s, length_size)
-                                if _h.nal_type(nal) == 7
+                                if len(nal) >= 2 and ntype(nal) == sps_type
                             ]
                             if sps_set:
                                 break
                     if not sps_set:
                         raise ValueError(
-                            "no SPS found in avcC or in-band — cannot"
-                            " derive stream geometry"
+                            f"no SPS found in {ext4.decode()} or"
+                            " in-band — cannot derive stream geometry"
                         )
-                    sps = _h.parse_sps(sps_set[0])
+                    w, h, prof, lvl = sps_tuple(parse_sps(sps_set[0]))
                     for i, s in enumerate(trk.samples):
-                        idx = _h.sample_nal_index(s, length_size)
+                        idx = nal_index(s, length_size)
                         rows.append(
                             (
                                 int(mid),
@@ -433,10 +487,10 @@ def h264_stream_info(
                                 idx.n_nals,
                                 idx.nal_types,
                                 idx.is_keyframe,
-                                sps.width,
-                                sps.height,
-                                sps.profile_idc,
-                                sps.level_idc,
+                                w,
+                                h,
+                                prof,
+                                lvl,
                             )
                         )
                 except (ValueError, NotImplementedError):

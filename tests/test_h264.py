@@ -261,7 +261,7 @@ def test_h264_stream_info_refusal_and_skip(spark):
         [(1, bytearray(_avc1_mp4())), (2, bytearray(bmp_mp4))],
         "media_id long, payload binary",
     )
-    with pytest.raises(Exception, match="not avc1"):
+    with pytest.raises(Exception, match="h264 tracks only"):
         h264_stream_info(df).collect()
     kept = h264_stream_info(df, on_error="skip").collect()
     assert {r["media_id"] for r in kept} == {1}
