@@ -425,9 +425,6 @@ def _mp4_stream_info(
                 cfg = _h.parse_avcc(box)
                 return cfg.length_size, list(cfg.sps)
 
-            def sps_tuple(s):
-                return (s.width, s.height, s.profile_idc, s.level_idc)
-
         else:
             codecs, ext4 = (b"hvc1", b"hev1"), b"hvcC"
             sps_type, ntype = 33, _hv.nal_type
@@ -437,8 +434,11 @@ def _mp4_stream_info(
                 cfg = _hv.parse_hvcc(box)
                 return cfg.length_size, list(cfg.nals.get(33, []))
 
-            def sps_tuple(s):
-                return (s.width, s.height, s.profile_idc, s.level_idc)
+        def sps_tuple(s):
+            # SpsInfo and HevcSpsInfo share these attribute names —
+            # ONE definition (a review finding: identical per-branch
+            # copies invited silent divergence)
+            return (s.width, s.height, s.profile_idc, s.level_idc)
 
         for pdf in batches:
             rows = []

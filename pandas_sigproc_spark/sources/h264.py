@@ -321,20 +321,13 @@ class SampleNals(NamedTuple):
     is_keyframe: bool  # carries an IDR slice (type 5)
 
 
-def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
-    """NAL inventory of one MP4 sample: count, types in stream order,
-    and the IDR keyframe flag — the structure frame-sampling for video
-    dedup keys on (sync points decode standalone; delta frames don't).
-    Handles both framings (:func:`split_nals`); the avcC walk reads
-    ONLY each NAL's header byte (no body slices — copying every NAL
-    body to read one byte doubled the operator's per-payload byte
-    traffic, a review finding)."""
-    if is_annexb(sample):
-        types = [nal_type(x) for x in split_annexb(sample)]
-        return SampleNals(len(types), types, 5 in types)
+def iter_length_prefixed(sample: bytes, length_size: int = 4):
+    """Yield ``(header_start, nal_len)`` for each length-prefixed NAL —
+    ONE home for the bounds-checked walk (the HEVC module shares it;
+    a review finding counted two hand-kept copies).  Reads no body
+    bytes: callers index only the header byte(s) they need."""
     if length_size not in (1, 2, 3, 4):
         raise ValueError(f"NAL length size must be 1-4, got {length_size}")
-    types: list[int] = []
     pos, n = 0, len(sample)
     while pos < n:
         if pos + length_size > n:
@@ -347,13 +340,27 @@ def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
                 f" sample end ({n})"
             )
         if ln:
-            hdr = sample[pos]
-            if hdr & 0x80:
-                raise ValueError(
-                    "NAL forbidden_zero_bit set — not a NAL header"
-                )
-            types.append(hdr & 0x1F)
+            yield pos, ln
         pos += ln
+
+
+def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
+    """NAL inventory of one MP4 sample: count, types in stream order,
+    and the IDR keyframe flag — the structure frame-sampling for video
+    dedup keys on (sync points decode standalone; delta frames don't).
+    Handles both framings (:func:`split_nals`); the avcC walk reads
+    ONLY each NAL's header byte (no body slices — copying every NAL
+    body to read one byte doubled the operator's per-payload byte
+    traffic, a review finding)."""
+    if is_annexb(sample):
+        types = [nal_type(x) for x in split_annexb(sample)]
+        return SampleNals(len(types), types, 5 in types)
+    types: list[int] = []
+    for pos, _ln in iter_length_prefixed(sample, length_size):
+        hdr = sample[pos]
+        if hdr & 0x80:
+            raise ValueError("NAL forbidden_zero_bit set — not a NAL header")
+        types.append(hdr & 0x1F)
     return SampleNals(len(types), types, 5 in types)
 
 
@@ -363,6 +370,7 @@ __all__ = [
     "SampleNals",
     "SpsInfo",
     "is_annexb",
+    "iter_length_prefixed",
     "nal_type",
     "parse_avcc",
     "parse_sps",

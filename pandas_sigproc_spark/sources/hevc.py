@@ -29,11 +29,13 @@ from typing import NamedTuple
 from pandas_sigproc_spark.sources.h264 import (
     _BitReader,
     is_annexb,
+    iter_length_prefixed,
     split_annexb,
     strip_emulation,
 )
 
-#: IRAP picture range (§7.4.2.2: BLA_W_LP..CRA_NUT) — sync points
+#: IRAP picture range (§7.4.2.2: BLA_W_LP..RSV_IRAP_VCL23 — the
+#: reserved IRAP types 22/23 are IRAP by spec definition) — sync points
 IRAP_TYPES = frozenset(range(16, 24))
 NAL_TYPE_NAMES = {
     0: "trail_n",
@@ -182,36 +184,20 @@ class SampleNals(NamedTuple):
 
 def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
     """Per-sample NAL inventory: count, types in order, and the IRAP
-    keyframe flag.  Length-prefix walk reads ONLY each NAL's header
-    bytes (the h264 rule: no body copies); Annex-B framing is
-    auto-detected."""
+    keyframe flag.  The length-prefix walk is h264.iter_length_prefixed
+    (one home; reads ONLY each NAL's header byte — no body copies);
+    Annex-B framing is auto-detected."""
     if is_annexb(sample):
         types = [nal_type(x) for x in split_annexb(sample)]
         return SampleNals(len(types), types, bool(IRAP_TYPES & set(types)))
-    if length_size not in (1, 2, 3, 4):
-        raise ValueError(f"NAL length size must be 1-4, got {length_size}")
     types: list[int] = []
-    pos, n = 0, len(sample)
-    while pos < n:
-        if pos + length_size > n:
-            raise ValueError(f"truncated NAL length field at offset {pos}")
-        ln = int.from_bytes(sample[pos : pos + length_size], "big")
-        pos += length_size
-        if pos + ln > n:
-            raise ValueError(
-                f"NAL of {ln} bytes at offset {pos} extends past the"
-                f" sample end ({n})"
-            )
-        if ln:
-            if ln < 2:
-                raise ValueError("HEVC NAL shorter than its 2-byte header")
-            hdr = sample[pos]
-            if hdr & 0x80:
-                raise ValueError(
-                    "NAL forbidden_zero_bit set — not a NAL header"
-                )
-            types.append((hdr >> 1) & 0x3F)
-        pos += ln
+    for pos, ln in iter_length_prefixed(sample, length_size):
+        if ln < 2:
+            raise ValueError("HEVC NAL shorter than its 2-byte header")
+        hdr = sample[pos]
+        if hdr & 0x80:
+            raise ValueError("NAL forbidden_zero_bit set — not a NAL header")
+        types.append((hdr >> 1) & 0x3F)
     return SampleNals(len(types), types, bool(IRAP_TYPES & set(types)))
 
 
