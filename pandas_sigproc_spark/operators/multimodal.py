@@ -458,16 +458,29 @@ def _mp4_stream_info(
                     ext = video_sample_entry_boxes(raw)
                     if ext4 in ext:
                         length_size, sps_set = cfg_sets(ext[ext4])
+                        # the config record *establishes* the framing:
+                        # its samples are length-prefixed by ISO
+                        # 14496-15 — never run the per-sample Annex-B
+                        # heuristic here (an ADVICE finding: a
+                        # length-prefixed sample whose first NAL is
+                        # 256-511 bytes starts with 00 00 01 xx and
+                        # was misparsed as Annex-B)
+                        framing = "length"
                     else:
                         length_size, sps_set = 4, []
+                        # no config record (in-band avc3/hev1 without
+                        # the optional box, or a non-conformant mux):
+                        # resolve per sample, length-walk-first
+                        framing = "auto"
                     if not sps_set:
                         # in-band parameter sets (the avc3/hev1
-                        # variants; split_nals handles Annex-B-framed
-                        # samples too)
+                        # variants)
                         for s in trk.samples:
                             sps_set = [
                                 nal
-                                for nal in _h.split_nals(s, length_size)
+                                for nal in _h.split_nals(
+                                    s, length_size, framing
+                                )
                                 if len(nal) >= 2 and ntype(nal) == sps_type
                             ]
                             if sps_set:
@@ -479,7 +492,7 @@ def _mp4_stream_info(
                         )
                     w, h, prof, lvl = sps_tuple(parse_sps(sps_set[0]))
                     for i, s in enumerate(trk.samples):
-                        idx = nal_index(s, length_size)
+                        idx = nal_index(s, length_size, framing)
                         rows.append(
                             (
                                 int(mid),

@@ -223,7 +223,10 @@ def split_annexb(data: bytes) -> list[bytes]:
             i += 1
     if start is None:
         raise ValueError("no Annex-B start code found")
-    nals.append(data[start:])
+    end = n
+    while end > start and data[end - 1] == 0:
+        end -= 1  # trailing_zero_8bits — mid-stream NALs already strip
+    nals.append(data[start:end])
     return [x for x in nals if x]
 
 
@@ -301,18 +304,63 @@ def parse_avcc(box: bytes) -> AvcConfig:
 def is_annexb(sample: bytes) -> bool:
     """True when ``sample`` opens with an Annex-B start code — some
     muxers (and all elementary streams) frame NALs with start codes
-    instead of avcC length prefixes."""
+    instead of avcC length prefixes.  A START-CODE CHECK ALONE IS NOT
+    A FRAMING DETECTOR: a length-prefixed sample whose first NAL is
+    256-511 bytes long also opens with ``00 00 01 xx`` (an ADVICE
+    finding) — use :func:`resolve_framing`, or thread the container's
+    explicit framing, instead of branching on this predicate."""
     return sample[:3] == b"\x00\x00\x01" or sample[:4] == b"\x00\x00\x00\x01"
 
 
-def split_nals(sample: bytes, length_size: int = 4) -> list[bytes]:
-    """NAL units of one sample under EITHER framing: Annex-B start
-    codes when the sample opens with one, else avcC length prefixes —
-    feeding a start-coded sample to the length-prefix walk would read
-    0x00000001 as a NAL length and emit garbage (a review finding)."""
-    if is_annexb(sample):
+def resolve_framing(sample: bytes, length_size: int = 4) -> str:
+    """Resolve ``"auto"`` NAL framing for one sample: ``"length"`` or
+    ``"annexb"``.
+
+    The bounds-checked length-prefix walk is attempted FIRST (with the
+    codec-neutral forbidden_zero_bit check on every NAL header byte —
+    the MSB is forbidden-zero in both H.264 §7.3.1 and HEVC §7.3.1.2):
+    MP4 samples are length-prefixed per ISO 14496-15, and a
+    length-prefixed sample whose first NAL is 256-511 bytes long
+    *starts with* ``00 00 01 xx``, so the old start-code-first
+    heuristic misparsed exactly those samples (an ADVICE finding —
+    a single 300-byte IDR came back as a type-12 filler non-keyframe).
+    Annex-B is the fallback for raw elementary streams, where the walk
+    fails within a NAL or two (mid-NAL compressed bytes read as a huge
+    length field)."""
+    try:
+        for pos, _ln in iter_length_prefixed(sample, length_size):
+            if sample[pos] & 0x80:
+                raise ValueError(
+                    "NAL forbidden_zero_bit set — not a NAL header"
+                )
+        return "length"
+    except ValueError:
+        if is_annexb(sample):
+            return "annexb"
+        raise ValueError(
+            "sample matches neither length-prefix nor Annex-B framing"
+        ) from None
+
+
+def split_nals(
+    sample: bytes, length_size: int = 4, framing: str = "auto"
+) -> list[bytes]:
+    """NAL units of one sample under either framing.  ``framing`` is
+    ``"length"`` (avcC/hvcC prefixes), ``"annexb"`` (start codes), or
+    ``"auto"`` (:func:`resolve_framing`, length-walk-first).  Callers
+    that know the container's framing — an avcC/hvcC record was
+    present, or the source is a raw elementary stream — MUST pass it
+    explicitly; per-sample auto-detection is only for sources with no
+    established framing."""
+    if framing == "auto":
+        framing = resolve_framing(sample, length_size)
+    if framing == "annexb":
         return split_annexb(sample)
-    return split_avcc(sample, length_size)
+    if framing == "length":
+        return split_avcc(sample, length_size)
+    raise ValueError(
+        f"framing must be auto|annexb|length, got {framing!r}"
+    )
 
 
 class SampleNals(NamedTuple):
@@ -344,17 +392,28 @@ def iter_length_prefixed(sample: bytes, length_size: int = 4):
         pos += ln
 
 
-def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
+def sample_nal_index(
+    sample: bytes, length_size: int = 4, framing: str = "auto"
+) -> SampleNals:
     """NAL inventory of one MP4 sample: count, types in stream order,
     and the IDR keyframe flag — the structure frame-sampling for video
     dedup keys on (sync points decode standalone; delta frames don't).
-    Handles both framings (:func:`split_nals`); the avcC walk reads
-    ONLY each NAL's header byte (no body slices — copying every NAL
-    body to read one byte doubled the operator's per-payload byte
-    traffic, a review finding)."""
-    if is_annexb(sample):
+    ``framing`` as in :func:`split_nals` — thread the container's
+    explicit framing when it is known (an ADVICE finding: the old
+    start-code heuristic misindexed length-prefixed samples whose
+    first NAL is 256-511 bytes).  The length walk reads ONLY each
+    NAL's header byte (no body slices — copying every NAL body to
+    read one byte doubled the operator's per-payload byte traffic,
+    a review finding)."""
+    if framing == "auto":
+        framing = resolve_framing(sample, length_size)
+    if framing == "annexb":
         types = [nal_type(x) for x in split_annexb(sample)]
         return SampleNals(len(types), types, 5 in types)
+    if framing != "length":
+        raise ValueError(
+            f"framing must be auto|annexb|length, got {framing!r}"
+        )
     types: list[int] = []
     for pos, _ln in iter_length_prefixed(sample, length_size):
         hdr = sample[pos]
@@ -374,6 +433,7 @@ __all__ = [
     "nal_type",
     "parse_avcc",
     "parse_sps",
+    "resolve_framing",
     "sample_nal_index",
     "split_annexb",
     "split_avcc",

@@ -28,8 +28,8 @@ from typing import NamedTuple
 
 from pandas_sigproc_spark.sources.h264 import (
     _BitReader,
-    is_annexb,
     iter_length_prefixed,
+    resolve_framing,
     split_annexb,
     strip_emulation,
 )
@@ -182,14 +182,26 @@ class SampleNals(NamedTuple):
     is_keyframe: bool  # carries an IRAP picture (BLA/IDR/CRA)
 
 
-def sample_nal_index(sample: bytes, length_size: int = 4) -> SampleNals:
+def sample_nal_index(
+    sample: bytes, length_size: int = 4, framing: str = "auto"
+) -> SampleNals:
     """Per-sample NAL inventory: count, types in order, and the IRAP
     keyframe flag.  The length-prefix walk is h264.iter_length_prefixed
-    (one home; reads ONLY each NAL's header byte — no body copies);
-    Annex-B framing is auto-detected."""
-    if is_annexb(sample):
+    (one home; reads ONLY each NAL's header byte — no body copies).
+    ``framing`` as in h264.split_nals — thread the container's explicit
+    framing when known; ``"auto"`` resolves via the length-walk-first
+    h264.resolve_framing (an ADVICE finding: the old start-code
+    heuristic misindexed length-prefixed samples whose first NAL is
+    256-511 bytes)."""
+    if framing == "auto":
+        framing = resolve_framing(sample, length_size)
+    if framing == "annexb":
         types = [nal_type(x) for x in split_annexb(sample)]
         return SampleNals(len(types), types, bool(IRAP_TYPES & set(types)))
+    if framing != "length":
+        raise ValueError(
+            f"framing must be auto|annexb|length, got {framing!r}"
+        )
     types: list[int] = []
     for pos, ln in iter_length_prefixed(sample, length_size):
         if ln < 2:

@@ -261,6 +261,15 @@ def video_sample_entry_boxes(data: bytes) -> dict[bytes, bytes]:
     stsd = _find(data, b, e, b"mdia", b"minf", b"stbl", b"stsd")
     if stsd is None:
         raise ValueError("video trak has no stsd")
+    if stsd[1] - stsd[0] < 8:
+        # module taxonomy again: an stsd truncated to <8 payload bytes
+        # at end-of-file died in the entry_count unpack with a bare
+        # struct.error, escaping the ValueError contract on_error='skip'
+        # callers rely on (an ADVICE finding)
+        raise ValueError(
+            f"stsd payload of {stsd[1] - stsd[0]} bytes is shorter than"
+            " its version/flags + entry_count header"
+        )
     n_entries = struct.unpack(">I", data[stsd[0] + 4 : stsd[0] + 8])[0]
     entry = stsd[0] + 8  # version/flags + entry_count
     if n_entries < 1 or entry + 4 > stsd[1]:

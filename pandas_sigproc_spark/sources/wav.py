@@ -52,15 +52,26 @@ def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
         )
     if left.shape != right.shape:
         raise ValueError("left/right length mismatch")
-    if left.dtype not in _DTYPES:
-        # off-table dtypes (int64, int32, mixed integers, ...) promote
-        # to the float64 encoding — the mismatch refusal below only
-        # guards the in-table case, where the raw astype to the LEFT
-        # dtype could truncate a wider right channel.  Documented seam:
-        # integer samples beyond 2**53 lose low bits in float64, like
-        # any float64 pipeline — audio amplitudes never approach that.
+    if left.dtype not in _DTYPES and right.dtype not in _DTYPES:
+        # off-table dtypes (int64, int32, ...) promote to the float64
+        # encoding — but ONLY when BOTH channels are off-table: a mixed
+        # in-table/off-table pair falls through to the symmetric
+        # mismatch refusal below, so an in-table channel's declared
+        # sample type is never silently discarded based on which side
+        # the off-table dtype landed (an ADVICE finding: int64 left +
+        # int16 right used to force both to float64 while int16 left +
+        # int64 right raised).  Documented seam: integer samples beyond
+        # 2**53 lose low bits in float64, like any float64 pipeline —
+        # audio amplitudes never approach that.
         left = left.astype(np.float64)
         right = right.astype(np.float64)
+    elif left.dtype not in _DTYPES or right.dtype not in _DTYPES:
+        raise ValueError(
+            f"left/right dtype mismatch: {left.dtype} vs {right.dtype}"
+            " — one channel has a WAV-encodable sample type"
+            " (int16/float32/float64) and the other does not; cast both"
+            " channels to one sample type first"
+        )
     if right.dtype != left.dtype:
         # the fmt/bits choice comes from the LEFT dtype; a differing
         # right channel would be promoted by vstack then truncated by

@@ -106,8 +106,10 @@ def test_png_truncated_crc_and_corrupt_idat_are_valueerror():
 def test_wav_mixed_offtable_int_channels_promote():
     # r14 advice: two differing dtypes that are BOTH outside the codec's
     # sample-type table (int64 left + int32 right) promote losslessly to
-    # the float64 encoding; the mismatch refusal only guards in-table
-    # left dtypes, where the raw astype could truncate.
+    # the float64 encoding; r15 advice tightened the rule to be
+    # side-symmetric — ANY mixed in-table/off-table pair refuses, so an
+    # in-table channel's declared sample type is never discarded based
+    # on which side the off-table dtype landed.
     blob = encode_wav_bytes(
         8000,
         np.array([1, -2, 3], np.int64),
@@ -124,4 +126,13 @@ def test_wav_mixed_offtable_int_channels_promote():
             8000,
             np.array([1, -2], np.int16),
             np.array([3, -4], np.int64),
+        )
+    # r15 advice regression: the MIRROR direction (off-table left +
+    # in-table right) must refuse identically, not silently force the
+    # in-table right channel to float64
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        encode_wav_bytes(
+            8000,
+            np.array([1, -2], np.int64),
+            np.array([3, -4], np.int16),
         )

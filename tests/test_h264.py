@@ -283,6 +283,122 @@ def test_split_nals_autodetects_annexb():
     assert split_nals(avcc) == [n1, n2]
 
 
+def test_resolve_framing_length_prefix_collision():
+    # r15 ADVICE (high): a length-prefixed sample whose first NAL is
+    # 256-511 bytes long STARTS WITH 00 00 01 xx, so the old
+    # start-code-first heuristic misparsed it as Annex-B — a single
+    # 300-byte IDR came back as types=[12] filler, is_keyframe=False.
+    from pandas_sigproc_spark.sources.h264 import (
+        is_annexb,
+        resolve_framing,
+        split_nals,
+    )
+
+    idr = b"\x65" + bytes(255) + b"\x11" * 44  # 300-byte IDR NAL
+    assert len(idr) == 300
+    sample = len(idr).to_bytes(4, "big") + idr
+    assert is_annexb(sample)  # the collision shape the heuristic hit
+    assert resolve_framing(sample) == "length"
+    idx = sample_nal_index(sample)
+    assert idx.n_nals == 1 and idx.nal_types == [5] and idx.is_keyframe
+    assert split_nals(sample) == [idr]
+    # multi-NAL variant (300-byte SPS-sized NAL + IDR): the old path
+    # raised a spurious forbidden_zero_bit error that on_error='skip'
+    # silently swallowed
+    nal2 = b"\x41" + b"\x22" * 6
+    multi = sample + len(nal2).to_bytes(4, "big") + nal2
+    assert resolve_framing(multi) == "length"
+    assert sample_nal_index(multi).nal_types == [5, 1]
+    # a genuine Annex-B elementary stream still resolves: the length
+    # walk fails fast (mid-NAL bytes read as a huge length field)
+    annexb = b"\x00\x00\x00\x01" + b"\x67\x42\x12" + b"\x00\x00\x01" + b"\x65\xaa"
+    assert resolve_framing(annexb) == "annexb"
+    assert sample_nal_index(annexb).nal_types == [7, 5]
+    # neither framing -> named refusal, not garbage
+    with pytest.raises(ValueError, match="neither"):
+        resolve_framing(b"\x41\x22\x33\x44\x55")
+
+
+def test_split_nals_explicit_framing():
+    # the container owns the framing decision when it has one
+    # (avcC/hvcC present => length-prefixed by ISO 14496-15); explicit
+    # framing must bypass the heuristic entirely
+    from pandas_sigproc_spark.sources.h264 import split_nals
+
+    n1 = b"\x65" + bytes(255) + b"\x11" * 44
+    sample = len(n1).to_bytes(4, "big") + n1
+    assert split_nals(sample, framing="length") == [n1]
+    assert sample_nal_index(sample, framing="length").is_keyframe
+    annexb = b"\x00\x00\x00\x01" + b"\x67\x42\x12"
+    assert split_nals(annexb, framing="annexb") == [b"\x67\x42\x12"]
+    with pytest.raises(ValueError, match="framing"):
+        split_nals(sample, framing="avcc")
+    with pytest.raises(ValueError, match="framing"):
+        sample_nal_index(sample, framing="avcc")
+
+
+def test_split_annexb_strips_final_trailing_zeros():
+    # r15 ADVICE: mid-stream NALs had trailing_zero_8bits stripped but
+    # the FINAL NAL kept them — identical NALs hashed differently
+    # depending on stream position.
+    nal = b"\x65\xaa\xbb"
+    data = (
+        b"\x00\x00\x00\x01" + nal + b"\x00"
+        + b"\x00\x00\x01" + nal + b"\x00\x00"
+    )
+    assert split_annexb(data) == [nal, nal]
+
+
+def test_mp4_stream_info_large_first_nal_keyframe(spark):
+    # r15 ADVICE end-to-end: an avc1 MP4 whose IDR sample is a single
+    # 300-byte NAL (the 00 00 01 xx collision shape).  The container's
+    # avcC record establishes length framing, so the keyframe index
+    # must be exact — the old per-sample heuristic returned filler.
+    from pandas_sigproc_spark.operators.multimodal import h264_stream_info
+    from pandas_sigproc_spark.sources.mp4 import encode_mp4
+
+    sps, pps = _baseline_sps(), b"\x68\xce\x38\x80"
+
+    def frame(*nals):
+        return b"".join(len(x).to_bytes(4, "big") + x for x in nals)
+
+    big_idr = b"\x65" + bytes(255) + b"\x11" * 44  # 300 bytes
+    samples = [
+        frame(sps, pps, big_idr),
+        frame(b"\x41" + b"\x20" * 6),
+    ]
+    avcc_box = (
+        struct.pack(">I", 8 + len(_avcc_record(sps, pps)))
+        + b"avcC"
+        + _avcc_record(sps, pps)
+    )
+    blob = encode_mp4(
+        samples, codec=b"avc1", width=64, height=48, sample_entry_ext=avcc_box
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        h264_stream_info(df).collect(), key=lambda r: r["sample_idx"]
+    )
+    assert [r["is_keyframe"] for r in rows] == [True, False]
+    assert rows[0]["nal_types"] == [7, 8, 5]
+
+
+def test_stsd_truncated_is_valueerror():
+    # r15 ADVICE: an stsd whose declared size leaves <8 payload bytes
+    # raised struct.error from the entry_count unpack (the slice comes
+    # back short), escaping the ValueError taxonomy on_error='skip'
+    # callers catch.
+    from pandas_sigproc_spark.sources.mp4 import video_sample_entry_boxes
+
+    blob = _avc1_mp4()
+    i = blob.find(b"stsd")  # fourcc offset; 4-byte size precedes it
+    shrunk = blob[: i - 4] + struct.pack(">I", 12) + blob[i:]
+    with pytest.raises(ValueError, match="stsd payload"):
+        video_sample_entry_boxes(shrunk)
+
+
 def test_decode_mp4_corrupt_tables_are_valueerror():
     # r14 review finding: an stsz-less trak leaked KeyError and a lying
     # stsz count leaked struct.error through on_error='skip' contracts

@@ -127,6 +127,21 @@ def test_hevc_sample_nal_index():
     assert idx.nal_types == [33, 21] and idx.is_keyframe  # CRA is IRAP
 
 
+def test_hevc_length_prefix_collision():
+    # r15 ADVICE (high): the start-code-first heuristic misparsed
+    # length-prefixed samples whose first NAL is 256-511 bytes
+    # (hevc.sample_nal_index shared h264.is_annexb).  A 300-byte IDR_W
+    # NAL (type 19) must index as one IRAP keyframe.
+    idr = bytes([19 << 1, 1]) + bytes(254) + b"\x11" * 44  # 300 bytes
+    assert len(idr) == 300
+    sample = len(idr).to_bytes(4, "big") + idr
+    assert sample[:3] == b"\x00\x00\x01"  # the collision shape
+    idx = sample_nal_index(sample)
+    assert idx.n_nals == 1 and idx.nal_types == [19] and idx.is_keyframe
+    # explicit framing from the container bypasses the heuristic
+    assert sample_nal_index(sample, framing="length").nal_types == [19]
+
+
 def test_hevc_stream_info_end_to_end(spark):
     from pandas_sigproc_spark.operators.multimodal import hevc_stream_info
 
