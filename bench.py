@@ -332,7 +332,15 @@ def main():
     # Warm-up: JVM, parquet footer reads, Python worker pool.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    qs["rms"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # r15 (r14 verdict #6): the "start" calibration probe used to read
+    # 0.40-0.56s under residual JVM/JIT warm-up vs 0.17-0.27s once the
+    # run is hot — the one MEASURED systematic normalization bias (it
+    # shifted early-position legs' normalized values between rounds
+    # with no cost change).  One execution isn't enough to reach C2
+    # steady state for the probe's own plan; run the exact probe plan
+    # to a stable wall before the first recorded probe.
+    for _ in range(4):
+        qs["rms"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # Spin up one Arrow-python worker per core so the first kernel-tier
     # query isn't billed for pool startup (one-time cost, not query cost).
     (
@@ -531,13 +539,20 @@ def main():
             best = None
             # min-of-3 like the main leg: with sub-second bases, a single
             # noisy rep can swing the reported wall_ratio several-fold.
-            for rep in range(3):
+            # r15 (r14 verdict #6): dedup_minhash gets min-of-5 on BOTH
+            # sides — its min-of-3 scale ratio printed as the headline
+            # max three rounds running (3.43/3.81 spikes adjudicated as
+            # single noisy reps each time; same-round sibling reps sat
+            # at the post-fix 2.6-2.8 band), so buy the deeper minimum
+            # once instead of re-adjudicating every round.
+            n_reps = 5 if name == "dedup_minhash" else 3
+            for rep in range(n_reps):
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
                 el = time.time() - t0
                 best_b = el if best_b is None else min(best_b, el)
             entry_mod.release_caches()
-            for rep in range(3):
+            for rep in range(n_reps):
                 t0 = time.time()
                 qs[name](spark, out_dir).write.mode("overwrite").format("noop").save()
                 el = time.time() - t0
@@ -763,7 +778,17 @@ def main():
     # re-explode).  Not on the final line (1.9 KB budget); its wall and
     # cross-round history live here.
     detail_only_walls = {}
-    for leg in ("wds_store_roundtrip", "dsir_select"):
+    # r15 gates ride here too: the video-inspection and text-interchange
+    # gates are fixture-dominated (driver-side mux / csv+json export),
+    # and the streaming gate carries the 4-file replay harness — all
+    # real costs worth tracking, none representative headline legs.
+    for leg in (
+        "wds_store_roundtrip",
+        "dsir_select",
+        "video_stream_info",
+        "textio_roundtrip",
+        "streaming_lfilter",
+    ):
         walls = []
         for rep in range(3):
             t0 = time.time()

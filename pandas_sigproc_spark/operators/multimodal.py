@@ -187,6 +187,12 @@ def extract_media_features(df: DataFrame, codec: str = "fake") -> DataFrame:
             for media_id, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
+                if payload is None:
+                    # null-as-empty (the text tier's NULL rule): a NULL
+                    # payload otherwise dies in np.frombuffer(None)
+                    # with an anonymous TypeError that names neither
+                    # the row nor the contract (an r15 review finding)
+                    payload = b""
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 w, h, nf = decode_payload(bytes(payload), kind, codec=codec)
                 rows.append(
@@ -251,6 +257,9 @@ def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -
             for media_id, kind, payload in zip(
                 pdf["media_id"], kinds, pdf["payload"]
             ):
+                if payload is None:
+                    payload = b""  # null-as-empty, as in
+                    # extract_media_features (r15 review finding)
                 if codec == "real" and kind != "image":
                     continue
                 if codec == "real":
@@ -296,6 +305,9 @@ def sample_frames(df: DataFrame, every_n: int = 10, codec: str = "fake") -> Data
             ):
                 if kind != "video":
                     continue
+                if payload is None:
+                    payload = b""  # null-as-empty, as in
+                    # extract_media_features (r15 review finding)
                 if codec == "real":
                     from pandas_sigproc_spark.sources.bmp import (
                         decode_bmpv,
@@ -382,9 +394,11 @@ def h264_stream_info(
     from container + parameter-set bytes.
 
     The SPS comes from the sample entry's ``avcC`` record when present
-    (the ``avc1`` norm), else the first in-band type-7 NAL (the
-    ``avc3`` in-band-parameter-set variant; samples framed with Annex-B
-    start codes are detected per sample — h264.split_nals).  Other
+    (the ``avc1`` norm — its presence also ESTABLISHES length-prefixed
+    framing, ADVICE r15), else the first in-band type-7 NAL (the
+    ``avc3`` in-band-parameter-set variant; with no config record the
+    framing resolves per sample, length-walk-first —
+    h264.resolve_framing).  Other
     codecs and malformed containers raise by name; ``on_error="skip"``
     drops them (the third-party-corpus contract of
     wds_members/zip_members — fragmented moof segments and truncated
@@ -548,7 +562,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             # the LAST element) — a review finding
             (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        # null-as-empty: F.encode propagates NULL, and a NULL payload
+        # crashes every downstream byte walk with an anonymous
+        # TypeError (np.frombuffer(None)) — the same rule the text
+        # tier applies to NULL documents (an r15 review finding)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
+            "payload"
+        ),
         F.create_map(
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),

@@ -215,6 +215,44 @@ class TestRoundTwelveMediaRegressions:
         with pytest.raises(ValueError, match="every_n"):
             sample_frames(df, every_n=0)
 
+    def test_null_payload_rows_flow_as_empty(self, spark):
+        # r15 review finding: a NULL payload died in np.frombuffer(None)
+        # with an anonymous TypeError in all three pre-r14 operators,
+        # and synthesize_media MANUFACTURED such rows from NULL-text
+        # documents (F.encode propagates NULL).  The text tier's
+        # null-as-empty rule applies.
+        import pandas as pd
+
+        from pandas_sigproc_spark.operators.multimodal import (
+            extract_media_features,
+            resize_images,
+            sample_frames,
+            synthesize_media,
+        )
+
+        media = spark.createDataFrame(
+            [
+                (1, "image", None),
+                (2, "video", None),
+                (3, "audio", bytearray(b"abc")),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+        assert feats[1]["n_bytes"] == 0 and feats[1]["byte_mean"] == 0.0
+        assert feats[3]["n_bytes"] == 3
+        rows = resize_images(media, 4, 4).collect()
+        assert {r["media_id"] for r in rows} == {1, 2, 3}
+        assert all(len(r["payload"]) == 16 for r in rows)
+        fr = sample_frames(media, every_n=1).collect()
+        assert [r["media_id"] for r in fr] == [2]  # video row, empty frame
+        # synthesize_media never emits NULL payloads for NULL text
+        docs = spark.createDataFrame(
+            [(5, None, "s", "en")], "doc_id long, text string, source string, lang string"
+        )
+        out = synthesize_media(docs).collect()
+        assert out[0]["payload"] == bytearray(b"")
+
     def test_channels_to_signals_empty_list(self, spark):
         from pandas_sigproc_spark.sources.channel import channels_to_signals
 
