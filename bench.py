@@ -851,6 +851,11 @@ def main():
     # roughly the sum of the old standalone legs, a gate change, not an
     # engine regression.
     detail["composed_legs_since_r14"] = ["interp_daily", "detrend_linear"]
+    # r15 consolidation: filt_butter += the overlap-save chunked arm
+    # (the old filt_chunked leg), rainflow += the segmented
+    # residue-merge arm (the old rainflow_chunked leg) — expect roughly
+    # the sum of the former standalone walls.
+    detail["composed_legs_since_r15"] = ["filt_butter", "rainflow"]
     detail["corpus_to_shards_split"] = c2s_split
     # r14 detail-only legs: walls live here, not on the 1.9 KB final
     # line (wds_store_roundtrip = the object-store layout roundtrip;

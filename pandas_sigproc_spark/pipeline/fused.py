@@ -53,6 +53,8 @@ _OUT_SCHEMA = "channel_id string, t double, value double"
 
 
 class _FilterStage:
+    needs_sr = True  # coefficient design reads the channel samplerate
+
     def __init__(self, name: str, make_ba, zero_phase: bool) -> None:
         self.name, self.make_ba, self.zero_phase = name, make_ba, zero_phase
 
@@ -121,6 +123,7 @@ class _MovRmsStage:
     def __init__(self, window: float, drop_last: bool = True, samplerate=None) -> None:
         self.name = f"mov_rms({window})"
         self.window, self.drop_last, self.samplerate = float(window), drop_last, samplerate
+        self.needs_sr = samplerate is None  # explicit rate skips inference
 
     def run(self, t: np.ndarray, y: np.ndarray, sr: float):
         use_sr = self.samplerate if self.samplerate is not None else sr
@@ -265,6 +268,21 @@ class KernelPipeline:
                 break
             n_batchable += 1
 
+        def named_sr(cid, t):
+            # LOCATED like run_stage below: _infer_sr's refusals
+            # (<2 samples, non-increasing t, non-uniform grid) used to
+            # escape as anonymous ValueErrors from outside the stage
+            # wrapper — one straggler 1-row channel aborted the task
+            # with no channel name (an r15 review finding, the same
+            # class the r14 pass fixed for stage calls)
+            try:
+                return _infer_sr(t)
+            except ValueError as e:
+                raise ValueError(
+                    f"fused pipeline cannot infer a samplerate for"
+                    f" channel {cid!r} ({len(t)} rows): {e}"
+                ) from e
+
         def run_stage(s, cid, t, y, sr):
             # LOCATED errors: a short channel through a filter stage
             # raises the kernel's reference-parity ValueError ('input
@@ -283,7 +301,15 @@ class KernelPipeline:
                 ) from e
 
         def run_all(cid, t: np.ndarray, y: np.ndarray):
-            sr = _infer_sr(t)
+            # samplerate is inferred LAZILY, at the first stage that
+            # actually reads it: a chain of only window-math stages
+            # (detrend -> integral, say) accepts non-uniform and
+            # single-sample channels exactly like the standalone
+            # operators (SURVEY §7.3.3), instead of refusing them with
+            # a filter-tier error no stage in the chain justifies (an
+            # r15 review finding — eager inference ran even when no
+            # stage consumed sr)
+            sr = None
             for s in stages:
                 if len(t) == 0:
                     # a prior stage emptied the channel (mov_rms window
@@ -295,6 +321,8 @@ class KernelPipeline:
                     # integral/resample, not the stage loop — this loop
                     # is now the ONE home of the empty rule)
                     break
+                if getattr(s, "needs_sr", False) and sr is None:
+                    sr = named_sr(cid, t)
                 t, y, sr = run_stage(s, cid, t, y, sr)
             return t, y
 
@@ -310,8 +338,16 @@ class KernelPipeline:
             for cid, grp in pdf.groupby("channel_id", sort=False):
                 t = grp["t"].to_numpy(dtype=np.float64)
                 y = grp["value"].to_numpy(dtype=np.float64)
-                sr = _infer_sr(t)
-                groups.setdefault(round(sr, 9), []).append((cid, t, y))
+                if n_batchable:
+                    # the sr-grouping exists only for the ragged batch
+                    # kernel (leading filter stages share one (b, a)
+                    # design per rate); without batchable stages sr is
+                    # inferred lazily per channel like run_all — see
+                    # the r15 lazy-sr note there
+                    sr = named_sr(cid, t)
+                    groups.setdefault(round(sr, 9), []).append((cid, t, y))
+                else:
+                    groups.setdefault(None, []).append((cid, t, y))
             for sr, members in groups.items():
                 if len(members) > 1 and n_batchable:
                     ys = [y for _, _, y in members]
@@ -334,6 +370,8 @@ class KernelPipeline:
                     ):
                         if len(t) == 0:  # emptied: every stage maps empty->empty
                             break
+                        if getattr(s, "needs_sr", False) and cur_sr is None:
+                            cur_sr = named_sr(cid, t)
                         t, y, cur_sr = run_stage(s, cid, t, y, cur_sr)
                     pieces.append(
                         pd.DataFrame({"channel_id": cid, "t": t, "value": y})

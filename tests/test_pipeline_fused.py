@@ -234,3 +234,67 @@ def test_short_channel_filter_error_is_located(spark):
     pipe = KernelPipeline().mov_rms(0.5).filt_butter(2.0, 2, "lowpass")
     with _pytest.raises(Exception, match="fused stage.*tiny.*rows at this stage"):
         pipe.apply(df).collect()
+
+
+def test_infer_sr_error_is_located(spark):
+    # r15 review finding: _infer_sr's refusals (1-row channel,
+    # non-uniform grid) escaped from OUTSIDE the stage wrapper as
+    # anonymous ValueErrors — a straggler channel aborted the task with
+    # no channel name.  Both apply() paths must locate them.
+    import pytest as _pytest
+
+    from pandas_sigproc_spark.pipeline.fused import KernelPipeline
+
+    rows = [("lonely", 0.0, 1.0)] + [
+        ("ok", float(i) / 100.0, float(i)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "channel_id string, t double, value double")
+    pipe = KernelPipeline().filt_butter(2.0, 2, "lowpass")
+    with _pytest.raises(Exception, match="samplerate for channel 'lonely'"):
+        pipe.apply(df).collect()
+    with _pytest.raises(Exception, match="samplerate for channel 'lonely'"):
+        KernelPipeline().filt_butter(2.0, 2, "lowpass").apply(
+            df, n_buckets=2
+        ).collect()
+
+
+def test_window_math_chain_accepts_nonuniform(spark):
+    # r15 review finding: sr was inferred EAGERLY even when no stage in
+    # the chain reads it, so a detrend -> integral chain refused
+    # non-uniform channels that the standalone window-math operators
+    # accept (SURVEY §7.3.3).  Inference is now lazy at first use.
+    import numpy as np
+
+    from pandas_sigproc_spark.pipeline.fused import KernelPipeline
+
+    # deliberately non-uniform spacing
+    ts = np.cumsum(np.tile([0.1, 0.3, 0.2], 20))
+    rows = [("nu", float(t), float(np.sin(t))) for t in ts]
+    df = spark.createDataFrame(rows, "channel_id string, t double, value double")
+    out = (
+        KernelPipeline()
+        .detrend("linear")
+        .integral()
+        .apply(df)
+        .orderBy("t")
+        .collect()
+    )
+    assert len(out) == len(rows)
+    assert out[0]["value"] == 0.0  # integral's first-sample zero
+    # bucketed path too
+    out_b = (
+        KernelPipeline()
+        .detrend("linear")
+        .integral()
+        .apply(df, n_buckets=2)
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["value"] for r in out_b] == [r["value"] for r in out]
+    # a filter appended to the chain still refuses, by name
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-uniform|samplerate"):
+        KernelPipeline().detrend("linear").filt_butter(
+            2.0, 2, "lowpass"
+        ).apply(df).collect()

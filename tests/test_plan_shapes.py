@@ -46,11 +46,17 @@ def test_tpch_joins_broadcast_dims_one_shuffle(spark, qs, name):
     assert _shuffles(plan) <= 1, f"{name} shuffles > 1:\n{plan}"
 
 
-@pytest.mark.parametrize("name", ["filt_butter", "filt_chain", "psd_welch", "srs"])
-def test_kernel_queries_single_udf_node(spark, qs, name):
+@pytest.mark.parametrize(
+    # r15: filt_butter is a COMPOSED gate (global + overlap-save chunked
+    # arm under one 'path'-marked union) — one UDF node per arm is the
+    # designed shape; the production planner still picks a single arm.
+    ("name", "n_udf"),
+    [("filt_butter", 2), ("filt_chain", 1), ("psd_welch", 1), ("srs", 1)],
+)
+def test_kernel_queries_single_udf_node(spark, qs, name, n_udf):
     plan = _plan(qs[name](spark, SF))
     n = plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas")
-    assert n == 1, f"{name} has {n} Python UDF nodes:\n{plan}"
+    assert n == n_udf, f"{name} has {n} Python UDF nodes:\n{plan}"
 
 
 def test_between_pushes_raw_ts_bounds(spark, qs):

@@ -20,7 +20,21 @@ def main() -> None:
     new = json.load(open(new_p))
     on = old["normalization"]["queries_normalized"]
     nn = new["normalization"]["queries_normalized"]
-    composed = set(new.get("composed_legs_since_r14", []))
+    # a leg is a "gate change" only when it is composed on the NEW side
+    # but was not yet composed on the OLD side (r15 added
+    # filt_butter/rainflow; the old hardcoded since_r14 set missed
+    # later generations).  A leg composed in BOTH rounds is
+    # norm-comparable and must flag like any other — tagging it forever
+    # would suppress genuine regressions on consolidated gates (an r15
+    # review finding).
+    def _composed(d):
+        out = set()
+        for key, legs in d.items():
+            if key.startswith("composed_legs_since_r"):
+                out |= set(legs)
+        return out
+
+    composed = _composed(new) - _composed(old)
     # Iterate the UNION of both sides: a leg present only in the OLD
     # file (retired, consolidated, or accidentally dropped from
     # bench.py) must surface as a row, not vanish from the adjudication
@@ -36,7 +50,7 @@ def main() -> None:
     for name, ov, nv, ratio in rows:
         tag = ""
         if name in composed:
-            tag = "  [composed since r14: now runs BOTH plan paths]"
+            tag = "  [newly composed this round: now runs BOTH plan paths]"
         elif nv is None:
             tag = "  [leg GONE this round — consolidated or dropped?]"
         elif ov is None:

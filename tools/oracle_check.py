@@ -93,6 +93,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name used to match NOTHING and print "0 pass, 0
+        # fail" with exit 0 — the per-query re-proof workflow would
+        # read that as green (an r15 review finding)
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
