@@ -5911,8 +5911,23 @@ def _vsi_payloads():
     (tests/test_h264.py BW — an independent encoder, not a replay of
     the parser); sources/mp4.py muxes the full ftyp+mdat+moov tree."""
     from pandas_sigproc_spark.sources.mp4 import encode_mp4
-    from tests.test_h264 import _avcc_record, _baseline_sps
-    from tests.test_hevc import _hevc_sps, _hvcc_record
+
+    try:
+        # pytest-free writer home (an r15 review finding: importing the
+        # test MODULES here chained a pytest import into the production
+        # gate path)
+        from tests.h26x_writers import (
+            _avcc_record,
+            _baseline_sps,
+            _hevc_sps,
+            _hvcc_record,
+        )
+    except ImportError as e:
+        raise RuntimeError(
+            "video_stream_info builds its MP4 variants from the"
+            " test-side reference bit writers (tests/h26x_writers.py);"
+            " run from the repo root with tests/ present"
+        ) from e
 
     def frame(*nals):
         return b"".join(len(x).to_bytes(4, "big") + x for x in nals)

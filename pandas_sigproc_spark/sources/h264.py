@@ -334,12 +334,32 @@ def resolve_framing(sample: bytes, length_size: int = 4) -> str:
                     "NAL forbidden_zero_bit set — not a NAL header"
                 )
         return "length"
-    except ValueError:
-        if is_annexb(sample):
+    except ValueError as e:
+        if sample[:4] == b"\x00\x00\x00\x01":
+            # a 4-byte start code cannot be a plausible length prefix
+            # (it declares a 1-byte NAL and the walk then reads mid-NAL
+            # garbage as the next length) — genuine Annex-B
             return "annexb"
+        if sample[:3] == b"\x00\x00\x01":
+            # 00 00 01 xx is genuinely AMBIGUOUS once the walk fails:
+            # either a TRUNCATED length-prefixed sample whose first NAL
+            # is 256-511 bytes, or a 3-byte-start-code Annex-B stream.
+            # Guessing Annex-B here re-opened the ADVICE misparse class
+            # through the error path — a truncated sample parsed as one
+            # garbage filler NAL instead of raising the named truncation
+            # error on_error='skip' callers rely on (an r15 review
+            # finding).  Refuse by name; callers with container
+            # knowledge pass framing explicitly.
+            raise ValueError(
+                f"ambiguous NAL framing: the length-prefix walk failed"
+                f" ({e}) but the sample opens with a 3-byte start code —"
+                " either a truncated length-prefixed sample or a"
+                " 3-byte-code Annex-B stream; pass framing='length' or"
+                " 'annexb' explicitly"
+            ) from e
         raise ValueError(
             "sample matches neither length-prefix nor Annex-B framing"
-        ) from None
+        ) from e
 
 
 def split_nals(

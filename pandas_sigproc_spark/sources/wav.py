@@ -52,26 +52,35 @@ def encode_wav_bytes(sample_rate, sound_left, sound_right=None) -> bytes:
         )
     if left.shape != right.shape:
         raise ValueError("left/right length mismatch")
-    if left.dtype not in _DTYPES and right.dtype not in _DTYPES:
+    off_l = left.dtype not in _DTYPES
+    off_r = right.dtype not in _DTYPES
+    if off_l or off_r:
         # off-table dtypes (int64, int32, ...) promote to the float64
-        # encoding — but ONLY when BOTH channels are off-table: a mixed
-        # in-table/off-table pair falls through to the symmetric
-        # mismatch refusal below, so an in-table channel's declared
-        # sample type is never silently discarded based on which side
-        # the off-table dtype landed (an ADVICE finding: int64 left +
-        # int16 right used to force both to float64 while int16 left +
-        # int64 right raised).  Documented seam: integer samples beyond
-        # 2**53 lose low bits in float64, like any float64 pipeline —
-        # audio amplitudes never approach that.
-        left = left.astype(np.float64)
-        right = right.astype(np.float64)
-    elif left.dtype not in _DTYPES or right.dtype not in _DTYPES:
-        raise ValueError(
-            f"left/right dtype mismatch: {left.dtype} vs {right.dtype}"
-            " — one channel has a WAV-encodable sample type"
-            " (int16/float32/float64) and the other does not; cast both"
-            " channels to one sample type first"
-        )
+        # encoding — when BOTH channels are off-table, or when the one
+        # in-table channel already IS float64 (promotion lands exactly
+        # on its declared type, so nothing is discarded — an r15
+        # review finding: the first symmetric guard also refused
+        # int64 + float64 pairs that previously encoded losslessly).
+        # Any other mixed in-table/off-table pair refuses symmetrically,
+        # so a narrower in-table channel's declared sample type is never
+        # silently widened based on which side the off-table dtype
+        # landed (an ADVICE finding: int64 left + int16 right used to
+        # force both to float64 while int16 left + int64 right raised).
+        # Documented seam: integer samples beyond 2**53 lose low bits
+        # in float64, like any float64 pipeline — audio amplitudes
+        # never approach that.
+        in_dtype = left.dtype if off_r else right.dtype
+        if (off_l and off_r) or in_dtype == np.dtype("float64"):
+            left = left.astype(np.float64)
+            right = right.astype(np.float64)
+        else:
+            raise ValueError(
+                f"left/right dtype mismatch: {left.dtype} vs"
+                f" {right.dtype} — one channel has a narrower"
+                " WAV-encodable sample type (int16/float32) and the"
+                " other does not; cast both channels to one sample"
+                " type first"
+            )
     if right.dtype != left.dtype:
         # the fmt/bits choice comes from the LEFT dtype; a differing
         # right channel would be promoted by vstack then truncated by

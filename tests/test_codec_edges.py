@@ -136,3 +136,23 @@ def test_wav_mixed_offtable_int_channels_promote():
             np.array([1, -2], np.int64),
             np.array([3, -4], np.int16),
         )
+    # r15 code-review regression: when the in-table side IS float64,
+    # promotion lands exactly on its declared type — int64 + float64
+    # pairs encode losslessly in both directions (the first symmetric
+    # guard over-refused them)
+    for l, r in (
+        (np.array([1, -2], np.int64), np.array([0.5, -0.25], np.float64)),
+        (np.array([0.5, -0.25], np.float64), np.array([1, -2], np.int64)),
+    ):
+        rate, snd = decode_wav_bytes(encode_wav_bytes(8000, l, r))
+        assert snd.dtype == np.float64
+        np.testing.assert_array_equal(snd[:, 0], l.astype(np.float64))
+        np.testing.assert_array_equal(snd[:, 1], r.astype(np.float64))
+    # but a NARROWER in-table type (float32) still refuses — promotion
+    # would widen its declared sample type
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        encode_wav_bytes(
+            8000,
+            np.array([0.5], np.float32),
+            np.array([1], np.int64),
+        )

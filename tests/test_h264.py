@@ -19,61 +19,11 @@ from pandas_sigproc_spark.sources.h264 import (
 )
 
 
-class BW:
-    """Minimal spec-order bit writer (test-side reference encoder)."""
-
-    def __init__(self):
-        self.bits = []
-
-    def u(self, v, n):
-        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
-
-    def ue(self, v):
-        c = v + 1
-        n = c.bit_length()
-        self.bits += [0] * (n - 1)
-        self.u(c, n)
-
-    def se(self, v):
-        self.ue(2 * v - 1 if v > 0 else -2 * v)
-
-    def rbsp(self):
-        bits = self.bits + [1]  # rbsp_stop_one_bit
-        while len(bits) % 8:
-            bits.append(0)
-        return bytes(
-            int("".join(map(str, bits[i : i + 8])), 2)
-            for i in range(0, len(bits), 8)
-        )
-
-
-def _sps_tail(w, width_mbs, height_mus, crop=None):
-    w.ue(0)  # sps_id
-    w.ue(0)  # log2_max_frame_num_minus4
-    w.ue(0)  # pic_order_cnt_type -> lsb field follows
-    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
-    w.ue(1)  # max_num_ref_frames
-    w.u(0, 1)  # gaps_in_frame_num_value_allowed
-    w.ue(width_mbs - 1)
-    w.ue(height_mus - 1)
-    w.u(1, 1)  # frame_mbs_only
-    w.u(1, 1)  # direct_8x8_inference
-    if crop:
-        w.u(1, 1)
-        for c in crop:
-            w.ue(c)
-    else:
-        w.u(0, 1)
-    w.u(0, 1)  # vui_parameters_present
-
-
-def _baseline_sps(width_mbs=4, height_mus=3, crop=None):
-    w = BW()
-    w.u(66, 8)  # profile_idc baseline
-    w.u(0, 8)  # constraint flags
-    w.u(30, 8)  # level 3.0
-    _sps_tail(w, width_mbs, height_mus, crop)
-    return b"\x67" + w.rbsp()
+from tests.h26x_writers import (  # the pytest-free writer home
+    BW,
+    _avcc_record,
+    _baseline_sps,
+)
 
 
 def test_sps_baseline_geometry():
@@ -158,17 +108,6 @@ def test_nal_framing():
         split_avcc(len(n1).to_bytes(4, "big") + n1[:1])
     with pytest.raises(ValueError, match="forbidden_zero_bit"):
         nal_type(b"\x80")
-
-
-def _avcc_record(sps, pps):
-    return (
-        bytes([1, 66, 0, 30, 0xFC | 3, 0xE0 | 1])
-        + len(sps).to_bytes(2, "big")
-        + sps
-        + bytes([1])
-        + len(pps).to_bytes(2, "big")
-        + pps
-    )
 
 
 def test_parse_avcc_roundtrip():
@@ -317,6 +256,28 @@ def test_resolve_framing_length_prefix_collision():
     # neither framing -> named refusal, not garbage
     with pytest.raises(ValueError, match="neither"):
         resolve_framing(b"\x41\x22\x33\x44\x55")
+
+
+def test_resolve_framing_truncation_is_named_not_annexb():
+    # r15 code-review finding: a TRUNCATED length-prefixed sample whose
+    # first NAL is 256-511 bytes fails the walk AND opens with
+    # 00 00 01 — the old fallback silently reparsed it as Annex-B
+    # (one garbage filler NAL), re-opening the ADVICE misparse class
+    # through the error path.  The 3-byte-code case is genuinely
+    # ambiguous: refuse by name so on_error='skip' callers drop it.
+    from pandas_sigproc_spark.sources.h264 import resolve_framing
+
+    idr = b"\x65" + bytes(255) + b"\x11" * 44  # 300 bytes
+    truncated = len(idr).to_bytes(4, "big") + idr[:-1]  # 299 present
+    assert truncated[:3] == b"\x00\x00\x01"
+    with pytest.raises(ValueError, match="ambiguous NAL framing"):
+        resolve_framing(truncated)
+    with pytest.raises(ValueError, match="ambiguous NAL framing"):
+        sample_nal_index(truncated)
+    # a 4-byte start code is NOT ambiguous (it cannot be a plausible
+    # length prefix): genuine elementary streams still auto-resolve
+    annexb = b"\x00\x00\x00\x01" + b"\x67\x42\x12"
+    assert resolve_framing(annexb) == "annexb"
 
 
 def test_split_nals_explicit_framing():

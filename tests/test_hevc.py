@@ -14,40 +14,7 @@ from pandas_sigproc_spark.sources.hevc import (
     parse_hvcc,
     sample_nal_index,
 )
-from tests.test_h264 import BW
-
-
-def _ptl(w, profile=1, tier=0, level=93):
-    w.u(0, 2)   # general_profile_space
-    w.u(tier, 1)
-    w.u(profile, 5)
-    w.u(0, 32)  # compatibility flags
-    w.u(0, 48)  # source flags + reserved
-    w.u(level, 8)
-
-
-def _hevc_sps(width=320, height=240, conf_win=None, profile=1, level=93):
-    w = BW()
-    w.u(0, 4)  # sps_video_parameter_set_id
-    w.u(0, 3)  # sps_max_sub_layers_minus1
-    w.u(1, 1)  # sps_temporal_id_nesting
-    _ptl(w, profile=profile, level=level)
-    w.ue(0)  # sps_seq_parameter_set_id
-    w.ue(1)  # chroma_format_idc 4:2:0
-    w.ue(width)
-    w.ue(height)
-    if conf_win:
-        w.u(1, 1)
-        for c in conf_win:
-            w.ue(c)
-    else:
-        w.u(0, 1)
-    w.ue(0)  # bit_depth_luma_minus8
-    w.ue(0)  # bit_depth_chroma_minus8
-    # (parser stops here; trailing fields unread)
-    # HEVC 2-byte NAL header: type 33 -> (33 << 1) = 0x42, layer 0,
-    # temporal_id_plus1 1 -> second byte 0x01
-    return bytes([33 << 1, 1]) + w.rbsp()
+from tests.h26x_writers import BW, _hevc_sps, _hvcc_record, _ptl  # noqa: F401
 
 
 def test_hevc_sps_geometry():
@@ -70,22 +37,6 @@ def test_hevc_nal_header_and_irap():
     assert nal_type(trail) == 1 and not is_irap(trail)
     with pytest.raises(ValueError, match="2-byte header"):
         nal_type(b"\x42")
-
-
-def _hvcc_record(sps, pps=b"\x44\x01\xc0"):
-    head = bytearray(23)
-    head[0] = 1  # configurationVersion
-    head[1] = (0 << 6) | (0 << 5) | 1  # space/tier/profile_idc 1
-    head[12] = 93  # general_level_idc
-    head[13] = 0xF0
-    head[21] = 0xFC | 3  # lengthSizeMinusOne = 3
-    head[22] = 2  # numOfArrays
-    def arr(ntype, units):
-        out = bytes([0x80 | ntype]) + len(units).to_bytes(2, "big")
-        for u in units:
-            out += len(u).to_bytes(2, "big") + u
-        return out
-    return bytes(head) + arr(33, [sps]) + arr(34, [pps])
 
 
 def test_parse_hvcc():

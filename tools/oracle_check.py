@@ -84,6 +84,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name used to match NOTHING and print "0 pass, 0
+        # fail" with exit 0 — the per-query re-proof workflow would
+        # read that as green; checked BEFORE the ~30 s Spark/DuckDB
+        # startup so the fast-fail is actually fast (r15 review
+        # findings, both)
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
     for t in TABLES:
@@ -91,15 +102,6 @@ def main():
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    unknown = only - set(qs)
-    if unknown:
-        # a typo'd name used to match NOTHING and print "0 pass, 0
-        # fail" with exit 0 — the per-query re-proof workflow would
-        # read that as green (an r15 review finding)
-        print(f"unknown query name(s): {sorted(unknown)}")
-        return 2
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
