@@ -43,7 +43,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..kernels import vecmath as vm
 
 #: Refuse the cartesian baseline above this many (query x corpus) pairs —
 #: ~50M pairs x ~128 dims is minutes of vectorized work on one host,
@@ -114,13 +118,15 @@ def cosine_topk_bruteforce(
                 "(ann_lsh / ann_ivf / ann_int8), or pass max_pairs=None "
                 "for a deliberate offline recall audit."
             )
-    cos = _dot(F.col(query_vec_col), F.col(vec_col)) / (
-        _norm(F.col(query_vec_col)) * _norm(F.col(vec_col))
-    )
-    pairs = (
-        queries.crossJoin(corpus)
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, cos.alias("cos"))
+    pairs = _pair_cos(
+        queries.crossJoin(corpus).filter(
+            F.col(query_id_col) != F.col(id_col)
+        ),
+        [query_id_col, id_col],
+        query_vec_col,
+        vec_col,
+        normalized=False,
+        op="cosine_topk_bruteforce",
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -265,6 +271,155 @@ def _cos(va, vb):
     return _dot(va, vb) / (_norm(va) * _norm(vb))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow-batched NumPy) twins of the per-row fold stages.
+#
+# r15 optimization round: the map-side plane-dot / centroid-distance /
+# pair-cosine folds above are Catalyst higher-order functions —
+# CodegenFallback, evaluated element-by-element by the interpreted
+# expression walker.  Measured at bench scale they dominate every
+# ANN/embedding leg (guide §4.2).  The stages below run the identical
+# arithmetic batch-wise in NumPy inside mapInPandas, under the
+# kernels/vecmath.py ordered-fold bit-exactness contract, so every
+# output double (and therefore every oracle hash) is unchanged.  The
+# expression forms above remain the specification and the test anchor
+# (tests/test_vecmath_equivalence.py pins kernel == expression on the
+# gate corpora).
+# ---------------------------------------------------------------------------
+
+
+def _one_batch(fn):
+    """mapInPandas adapter: apply ``fn`` per non-empty pandas batch."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield fn(pdf)
+
+    return run
+
+
+def _plane_sign_matrix(tables: int, band: int, dim: int) -> np.ndarray:
+    """All L*b hyperplanes as one (dim, tables*band) ±1 float64 matrix,
+    column t*band+p = plane p of table t (lsh_plane_signs order)."""
+    cols = []
+    for t in range(tables):
+        cols.extend(lsh_plane_signs(t, band=band, dim=dim))
+    return np.array(cols, dtype=np.float64).T
+
+
+def _bucket_cols(tables: int) -> list[str]:
+    return [f"_b{t}" for t in range(tables)]
+
+
+def _explode_buckets(df: DataFrame, tables: int, keep: list[str]) -> DataFrame:
+    """(.., _b0.._bT) -> one row per (t, bucket) — the posexplode half of
+    lsh_bucket_keys, unchanged."""
+    return df.select(
+        *keep,
+        F.posexplode(F.array(*[F.col(c) for c in _bucket_cols(tables)])).alias(
+            "t", "bucket"
+        ),
+    )
+
+
+def _pair_cos(
+    df: DataFrame,
+    out_cols: list[str],
+    a_col: str,
+    b_col: str,
+    *,
+    normalized: bool,
+    out_name: str = "cos",
+    op: str = "ann",
+) -> DataFrame:
+    """Per-row cosine/dot stage on a pair-carrying DataFrame: emits
+    ``out_cols`` + the raw (unrounded) cosine via the ordered fold
+    expressions (`_dot`, `_cos`).
+
+    Deliberately NOT vectorized through Arrow (r15 A/B): a pair row
+    ships ~1 KB of vectors across the Python boundary to save a 64-step
+    JIT-compiled fold — measured net-negative on every pair leg
+    (ann_ivf 1.06→2.19 s, ann_ivf_int8 0.66→2.97 s with the mapInPandas
+    form; guide §4.1 — you control how many columns cross, and here the
+    answer is none).  The vectorized kernels stay on the MAP-SIDE encode
+    stages, where each row is touched once and the per-row expression
+    tree is ~30x larger."""
+    val = (
+        _dot(F.col(a_col), F.col(b_col))
+        if normalized
+        else _cos(F.col(a_col), F.col(b_col))
+    )
+    return df.select(*out_cols, val.alias(out_name))
+
+
+def _collect_centroids(
+    vecs: DataFrame, centroid_pred: Column | None, centroids: DataFrame | None
+):
+    """The coarse-quantizer table as driver-side NumPy (cids ascending,
+    C row-per-centroid) — bounded by nlist/k rows, the same data the
+    expression path ships via a one-row broadcast.  Raises the same loud
+    message on an empty selection."""
+    if centroids is not None:
+        rows = centroids.select(
+            F.col("cid").cast("long").alias("cid"), "cv"
+        ).collect()
+    else:
+        rows = (
+            vecs.filter(centroid_pred)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            .collect()
+        )
+    if not rows:
+        raise ValueError(
+            "ivf: the centroid selection is empty — centroid_pred"
+            " matched no corpus row (e.g. vec_ids not starting at"
+            " 0) or the centroids table is empty; fix"
+            " centroid_pred/centroids"
+        )
+    pairs = sorted((int(r["cid"]), list(r["cv"])) for r in rows)
+    cids = np.array([c for c, _ in pairs], dtype=np.int64)
+    C = np.array([v for _, v in pairs], dtype=np.float64)
+    return cids, C
+
+
+def _ranked_cids(X: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Per row, ALL centroid ids ordered by (round9(-cos(v, c)), cid) —
+    the `_ivf_ranked_centroids` array_sort, replayed exactly (cosine on
+    the RAW vectors, like the expression)."""
+    D = vm.ordered_matmul(X, C.T) / (
+        vm.norms(X)[:, None] * vm.norms(C)[None, :]
+    )
+    return vm.order_by_round9(-D, cids)
+
+
+def _ivf_assigned(
+    vecs: DataFrame, centroid_pred: Column | None, centroids: DataFrame | None
+) -> DataFrame:
+    """Vectorized `_ivf_ranked_centroids`: ``(vec_id, v, _rk)`` with
+    ``_rk`` the centroid ids best-first — `_ranked_cids` per Arrow
+    batch.  The centroid table (nlist rows) is collected once, exactly
+    the bytes the expression path shipped as a one-row broadcast."""
+    import pandas as pd
+
+    cids, C = _collect_centroids(vecs, centroid_pred, centroids)
+
+    def kern(pdf):
+        X = vm.stack_vectors(pdf["v"], C.shape[1], "ivf: vector length")
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "v": pdf["v"],
+                "_rk": list(_ranked_cids(X, cids, C)),
+            }
+        )
+
+    return vecs.select("vec_id", "v").mapInPandas(
+        _one_batch(kern),
+        schema="vec_id long, v array<double>, _rk array<long>",
+    )
+
+
 def lsh_topk(
     vecs: DataFrame,
     probe_pred: Column,
@@ -300,13 +455,30 @@ def lsh_topk(
     RAW vector so the sign sums match the oracle's literal ±v terms
     bit-for-bit.
     """
-    nr = _norm(F.col("v"))
-    un = vecs.withColumn("_nr", nr)
-    e = lsh_bucket_keys(un, tables=tables, band=band, dim=dim).select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("_nr")).alias("u"),
-        "t",
-        "bucket",
+    import pandas as pd
+
+    signs = _plane_sign_matrix(tables, band, dim)
+
+    def _enc(pdf):
+        X = vm.stack_vectors(pdf["v"], dim, "lsh_bucket_col")
+        B = vm.lsh_buckets(X, signs, band)
+        out = {
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "u": list(X / vm.norms(X)[:, None]),
+        }
+        for t in range(tables):
+            out[f"_b{t}"] = B[:, t]
+        return pd.DataFrame(out)
+
+    enc_schema = "vec_id long, u array<double>, " + ", ".join(
+        f"{c} long" for c in _bucket_cols(tables)
+    )
+    e = _explode_buckets(
+        vecs.select("vec_id", "v").mapInPandas(
+            _one_batch(_enc), schema=enc_schema
+        ),
+        tables,
+        ["vec_id", "u"],
     )
     q = _expand_probes(
         e.filter(probe_pred).select(
@@ -315,11 +487,13 @@ def lsh_topk(
         band,
         multiprobe,
     )
-    dot = _dot("qu", "u")
-    pairs = (
-        q.join(e, ["t", "bucket"])
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", dot.alias("cos"))
+    pairs = _pair_cos(
+        q.join(e, ["t", "bucket"]).filter(F.col("qid") != F.col("vec_id")),
+        ["qid", "vec_id"],
+        "qu",
+        "u",
+        normalized=True,
+        op="lsh_topk",
     )
     scored = pairs.groupBy("qid", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -442,19 +616,22 @@ def ivf_topk(
     """
     if centroid_pred is None:
         centroid_pred = F.col("vec_id") < nlist
-    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
-    lists = ea.select("vec_id", "v", ranked[0]["cid"].alias("list_id"))
-    probes = ea.filter(probe_pred).select(
+    assigned = _ivf_assigned(vecs, centroid_pred, centroids)
+    lists = assigned.select(
+        "vec_id", "v", F.element_at("_rk", 1).alias("list_id")
+    )
+    probes = assigned.filter(probe_pred).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
-        ).alias("list_id"),
+        F.explode(F.slice("_rk", 1, nprobe)).alias("list_id"),
     )
-    pairs = (
-        probes.join(lists, "list_id")
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+    pairs = _pair_cos(
+        probes.join(lists, "list_id").filter(F.col("qid") != F.col("vec_id")),
+        ["qid", "vec_id"],
+        "qv",
+        "v",
+        normalized=False,
+        op="ivf_topk",
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -502,21 +679,20 @@ def _rescore(cand: DataFrame, vecs: DataFrame, k: int, funnel: int) -> DataFrame
     """Shared funnel tail: top-``funnel`` candidates per query by exact
     integer score, exact float64 cosine rescore, top-``k``."""
     w1 = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), "vec_id")
-    top = (
+    top = _pair_cos(
         cand.withColumn("r1", F.row_number().over(w1))
         .filter(F.col("r1") <= funnel)
         .join(
             vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")),
             "qid",
         )
-        .join(vecs, "vec_id")
-        .select(
-            "qid",
-            "vec_id",
-            "qscore",
-            F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
-    )
+        .join(vecs, "vec_id"),
+        ["qid", "vec_id", "qscore"],
+        "qv",
+        "v",
+        normalized=False,
+        op="ann rescore",
+    ).select("qid", "vec_id", "qscore", F.round("cos", 6).alias("cos"))
     w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     return (
         top.withColumn("rank", F.row_number().over(w2))
@@ -551,14 +727,34 @@ def int8_lsh_topk(
     key table both join sides consume — without it the scale-agg +
     encode + explode runs twice.
     """
+    import pandas as pd
+
     persist = persist or (lambda df: df)
+    signs = _plane_sign_matrix(tables, band, dim)
+
+    def _enc(pdf):
+        X = vm.stack_vectors(pdf["v"], dim, "lsh_bucket_col")
+        S = vm.stack_vectors(pdf["sarr"], dim, "sq8 scales")
+        B = vm.lsh_buckets(X, signs, band)
+        out = {
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "code": list(vm.sq8_codes_rowwise(X, S)),
+        }
+        for t in range(tables):
+            out[f"_b{t}"] = B[:, t]
+        return pd.DataFrame(out)
+
+    enc_schema = "vec_id long, code array<long>, " + ", ".join(
+        f"{c} long" for c in _bucket_cols(tables)
+    )
     eqt = persist(
-        lsh_bucket_keys(
-            vecs.crossJoin(F.broadcast(_sq8_scales(vecs))),
-            tables=tables,
-            band=band,
-            dim=dim,
-        ).select("vec_id", "t", "bucket", _CODE().alias("code"))
+        _explode_buckets(
+            vecs.crossJoin(F.broadcast(_sq8_scales(vecs)))
+            .select("vec_id", "v", "sarr")
+            .mapInPandas(_one_batch(_enc), schema=enc_schema),
+            tables,
+            ["vec_id", "code"],
+        )
     )
     q = _expand_probes(
         eqt.filter(probe_pred).select(
@@ -570,6 +766,7 @@ def int8_lsh_topk(
         band,
         multiprobe,
     )
+
     cand = (
         q.join(eqt, ["t", "bucket"])
         .filter(F.col("qid") != F.col("vec_id"))
@@ -602,23 +799,39 @@ def ivf_sq8_topk(
     """
     if centroid_pred is None:
         centroid_pred = F.col("vec_id") < nlist
+    import pandas as pd
+
     persist = persist or (lambda df: df)
-    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
+    cids, C = _collect_centroids(vecs, centroid_pred, centroids)
+
+    def _enc(pdf):
+        X = vm.stack_vectors(pdf["v"], C.shape[1], "ivf-sq8: vector length")
+        S = vm.stack_vectors(pdf["sarr"], C.shape[1], "sq8 scales")
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "code": list(vm.sq8_codes_rowwise(X, S)),
+                "rk": list(_ranked_cids(X, cids, C)),
+            }
+        )
+
     assigned = persist(
-        ea.crossJoin(F.broadcast(_sq8_scales(vecs))).select(
-            "vec_id", _CODE().alias("code"), ranked.alias("rk")
+        vecs.crossJoin(F.broadcast(_sq8_scales(vecs)))
+        .select("vec_id", "v", "sarr")
+        .mapInPandas(
+            _one_batch(_enc),
+            schema="vec_id long, code array<long>, rk array<long>",
         )
     )  # codes + centroid ranking computed once; both join sides reuse
     lists = assigned.select(
-        "vec_id", "code", F.col("rk")[0]["cid"].alias("list_id")
+        "vec_id", "code", F.element_at("rk", 1).alias("list_id")
     )
     probes = assigned.filter(probe_pred).select(
         F.col("vec_id").alias("qid"),
         F.col("code").alias("qcode"),
-        F.explode(
-            F.transform(F.slice("rk", 1, nprobe), lambda s: s["cid"])
-        ).alias("list_id"),
+        F.explode(F.slice("rk", 1, nprobe)).alias("list_id"),
     )
+
     cand = (
         probes.join(lists, "list_id")
         .filter(F.col("qid") != F.col("vec_id"))
@@ -744,65 +957,97 @@ def _pq_codebook(
     )
 
 
+def _collect_codebook(
+    vecs: DataFrame, codebook_pred: Column, codebook: DataFrame | None
+) -> np.ndarray:
+    """The ksub-row codebook as a driver-side (ksub, dim) matrix of
+    NORMALIZED vectors, ordered by id — the bytes `_pq_codebook` shipped
+    as a one-row broadcast, normalized with the exact `_norm`/division
+    sequence (bit-identical).  Raises the r13 review finding's loud
+    refusal on an empty selection instead of encoding -1 sentinels."""
+    if codebook is not None:
+        rows = codebook.select(
+            F.col("cb_id").cast("long").alias("_id"), F.col("cv").alias("_v")
+        ).collect()
+    else:
+        rows = vecs.filter(codebook_pred).select(
+            F.col("vec_id").alias("_id"), F.col("v").alias("_v")
+        ).collect()
+    if not rows:
+        raise ValueError(
+            "ivf-pq: the codebook selection is empty (codebook_pred"
+            " matched no corpus row — e.g. vec_ids not starting at 0) or"
+            " the codebook table is empty; fix codebook_pred/codebook"
+            " before the table is materialized"
+        )
+    pairs = sorted((int(r["_id"]), list(r["_v"])) for r in rows)
+    raw = np.array([v for _, v in pairs], dtype=np.float64)
+    return raw / vm.norms(raw)[:, None]
+
+
+def _pq_encode_kernel(CB: np.ndarray, m: int, sub: int):
+    """Per-batch PQ encode: normalized u, then per subspace the first
+    index attaining the minimum of round9(squared L2) — the
+    `pq_codes_expr` running-min fold, replayed exactly
+    (vm.argmin_round9)."""
+
+    def codes_for(X: np.ndarray) -> np.ndarray:
+        U = X / vm.norms(X)[:, None]
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            off = j * sub
+            D = vm.ordered_sqdist(U[:, off:off + sub], CB[:, off:off + sub])
+            out[:, j] = vm.argmin_round9(D).astype(np.int32)
+        return out
+
+    return codes_for
+
+
 def _pq_code_table(
     vecs: DataFrame,
     centroid_pred: Column,
     centroids: DataFrame | None,
-    cb: DataFrame,
-    u_expr: Column,
+    CB: np.ndarray,
     *,
     m: int,
     sub: int,
 ) -> DataFrame:
     """Corpus-side IVF-PQ encode: ``(vec_id, codes array<int>,
-    list_id)``.  u is projected as a NAMED column in its own select so
-    the m*ksub distance folds reference it instead of inlining the
-    normalization fold m*ksub times (CollapseProject keeps
-    multiply-referenced non-cheap expressions materialized)."""
-    ea, ranked = _ivf_ranked_centroids(vecs, centroid_pred, centroids)
-    # The -1 check lives in a SEPARATE project above the encode so the
-    # m*ksub fold evaluates once (named-column reference, the file's
-    # CollapseProject rule), and it refuses LOUDLY: a -1 sentinel code
-    # means an empty codebook selection (codebook_pred matched no row
-    # — e.g. vec_ids not starting at 0) or a vector/codebook length
-    # mismatch, and without this assert the corrupt table would
-    # PERSIST through write_pq_code_store and detonate later in every
-    # probe's element_at(lut, 0) (a review finding).
-    bad = F.array_contains(F.col("codes"), F.lit(-1)) | (
-        F.size("codes") != m
-    )
-    return (
-        ea.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            _checked_dim_u(u_expr, sub * m).alias("u"),
-            ranked[0]["cid"].alias("list_id"),
-            "cbv",
+    list_id)`` — one vectorized mapInPandas stage (codebook + coarse
+    centroids are bounded driver-side tables, exactly what the
+    expression path broadcast)."""
+    import pandas as pd
+
+    if CB.shape[1] != m * sub:
+        raise ValueError(
+            f"ivf-pq: vector length / codebook width mismatch — codebook"
+            f" width {CB.shape[1]} != dim={m * sub}; fix codebook_pred/dim"
+            " before the table is materialized"
         )
-        .select(
-            "vec_id",
-            pq_codes_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias(
-                "codes"
-            ),
-            "list_id",
+    cids, C = _collect_centroids(vecs, centroid_pred, centroids)
+    codes_for = _pq_encode_kernel(CB, m, sub)
+    dim = m * sub
+
+    def kern(pdf):
+        for row in pdf["v"]:
+            if row is None or len(row) != dim:
+                raise ValueError(
+                    f"ivf-pq: vector length "
+                    f"{'null' if row is None else len(row)} != dim={dim}"
+                    " — pass the corpus dimensionality via dim="
+                )
+        X = vm.stack_vectors(pdf["v"], dim, "ivf-pq")
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "codes": list(codes_for(X)),
+                "list_id": _ranked_cids(X, cids, C)[:, 0],
+            }
         )
-        .select(
-            "vec_id",
-            F.when(
-                bad,
-                F.expr(
-                    "assert_true(false, 'ivf-pq encode produced a -1"
-                    " sentinel code: the codebook selection is empty"
-                    " (codebook_pred matched no corpus row) or a"
-                    " vector/codebook length mismatch — fix"
-                    " codebook_pred/dim before the table is"
-                    " materialized')"
-                ).cast("array<int>"),
-            )
-            .otherwise(F.col("codes"))
-            .alias("codes"),
-            "list_id",
-        )
+
+    return vecs.select("vec_id", "v").mapInPandas(
+        _one_batch(kern),
+        schema="vec_id long, codes array<int>, list_id long",
     )
 
 
@@ -849,11 +1094,9 @@ def pq_code_table(
         centroid_pred = F.col("vec_id") < nlist
     if codebook_pred is None:
         codebook_pred = F.col("vec_id") < ksub
-    nrm = _norm(F.col("v"))
-    u_expr = F.transform("v", lambda x: x / nrm)
-    cb = _pq_codebook(vecs, codebook_pred, codebook, u_expr)
+    CB = _collect_codebook(vecs, codebook_pred, codebook)
     return _pq_code_table(
-        vecs, centroid_pred, centroids, cb, u_expr, m=m, sub=dim // m
+        vecs, centroid_pred, centroids, CB, m=m, sub=dim // m
     )
 
 
@@ -925,12 +1168,12 @@ def ivf_pq_topk(
         centroid_pred = F.col("vec_id") < nlist
     if codebook_pred is None:
         codebook_pred = F.col("vec_id") < ksub
+    import pandas as pd
+
     persist = persist or (lambda df: df)
     sub = dim // m
 
-    nrm = _norm(F.col("v"))
-    u_expr = F.transform("v", lambda x: x / nrm)
-    cb = _pq_codebook(vecs, codebook_pred, codebook, u_expr)
+    CB = _collect_codebook(vecs, codebook_pred, codebook)
 
     if code_table is not None:
         # pre-encoded (vec_id, codes, list_id) — the materialized
@@ -946,7 +1189,7 @@ def ivf_pq_topk(
         # normalized one.
         lists = persist(
             _pq_code_table(
-                vecs, centroid_pred, centroids, cb, u_expr, m=m, sub=sub
+                vecs, centroid_pred, centroids, CB, m=m, sub=sub
             )
         )
 
@@ -956,39 +1199,45 @@ def ivf_pq_topk(
         centroids = vecs.filter(centroid_pred).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
-    eq, ranked_q = _ivf_ranked_centroids(
-        vecs.filter(probe_pred), None, centroids
-    )
-    # The LUT is staged as a NAMED column in its own select BEFORE the
-    # explode: expressions in the same select as a generator are
-    # planned in the Project above Generate and so evaluate once per
-    # OUTPUT row — the m*ksub inner-product folds would re-run nprobe
-    # times per query (a review finding; the corpus encode already
-    # stages u for the same reason).
+    cids, C = _collect_centroids(None, None, centroids)
+    if CB.shape[1] != dim:
+        raise ValueError(
+            f"ivf-pq: vector length / codebook width mismatch — codebook"
+            f" width {CB.shape[1]} != dim={dim}; fix codebook_pred/dim"
+        )
+
+    def _probe_kern(pdf):
+        # dim-checked like the corpus encode: with code_table= the
+        # corpus path (and its dim check) never runs, so a wrong-dim
+        # probe table would silently slice-truncate into
+        # plausible-but-wrong LUTs (a review finding)
+        for row in pdf["v"]:
+            if row is None or len(row) != dim:
+                raise ValueError(
+                    f"ivf-pq: vector length "
+                    f"{'null' if row is None else len(row)} != dim={dim}"
+                    " — pass the corpus dimensionality via dim="
+                )
+        X = vm.stack_vectors(pdf["v"], dim, "ivf-pq")
+        U = X / vm.norms(X)[:, None]
+        lut = vm.ordered_subspace_ip(U, CB, m, sub)  # (n, m, ksub)
+        rk = _ranked_cids(X, cids, C)[:, :nprobe]
+        return pd.DataFrame(
+            {
+                "qid": pdf["vec_id"].to_numpy(),
+                "lut": [[list(r) for r in row] for row in lut],
+                "_rkq": list(rk),
+            }
+        )
+
     probes = (
-        eq.crossJoin(F.broadcast(cb))
-        .select(
-            F.col("vec_id").alias("qid"),
-            # dim-checked like the corpus encode: with code_table= the
-            # corpus path (and its _checked_dim_u) never runs, so a
-            # wrong-dim probe table would silently slice-truncate into
-            # plausible-but-wrong LUTs (a review finding)
-            _checked_dim_u(u_expr, sub * m).alias("u"),
-            F.slice(ranked_q, 1, nprobe).alias("_rkq"),
-            "cbv",
+        vecs.filter(probe_pred)
+        .select("vec_id", "v")
+        .mapInPandas(
+            _one_batch(_probe_kern),
+            schema="qid long, lut array<array<double>>, _rkq array<long>",
         )
-        .select(
-            "qid",
-            pq_lut_expr(F.col("u"), F.col("cbv"), m=m, sub=sub).alias("lut"),
-            "_rkq",
-        )
-        .select(
-            "qid",
-            "lut",
-            F.explode(
-                F.transform("_rkq", lambda s: s["cid"])
-            ).alias("list_id"),
-        )
+        .select("qid", "lut", F.explode("_rkq").alias("list_id"))
     )
 
     adc = F.aggregate(
@@ -1040,16 +1289,31 @@ def embedding_near_pairs(
     same ordered ``zip_with`` expression as before, so the result (and
     the oracle hash) is bit-identical to the wide-join plan.
     """
+    import pandas as pd
+
     from .dedup import guard_bucket_rows
 
-    nr = _norm(F.col("v"))
-    un = vecs.withColumn("_nr", nr)
-    uvecs = un.select(
-        "vec_id", F.transform("v", lambda x: x / F.col("_nr")).alias("u")
+    signs = _plane_sign_matrix(tables, band, dim)
+
+    def _enc(pdf):
+        X = vm.stack_vectors(pdf["v"], dim, "lsh_bucket_col")
+        B = vm.lsh_buckets(X, signs, band)
+        out = {
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "u": list(X / vm.norms(X)[:, None]),
+        }
+        for t in range(tables):
+            out[f"_b{t}"] = B[:, t]
+        return pd.DataFrame(out)
+
+    enc_schema = "vec_id long, u array<double>, " + ", ".join(
+        f"{c} long" for c in _bucket_cols(tables)
     )
-    e = lsh_bucket_keys(un, tables=tables, band=band, dim=dim).select(
-        "vec_id", "t", "bucket"
+    staged = vecs.select("vec_id", "v").mapInPandas(
+        _one_batch(_enc), schema=enc_schema
     )
+    uvecs = staged.select("vec_id", "u")
+    e = _explode_buckets(staged, tables, ["vec_id"])
     e = guard_bucket_rows(
         e,
         ["t", "bucket"],
@@ -1065,17 +1329,19 @@ def embedding_near_pairs(
         .select("v1", "v2")
         .distinct()
     )
-    dot = _dot("ua", "ub")
-    return (
+    return _pair_cos(
         cand.join(
             uvecs.select(F.col("vec_id").alias("v1"), F.col("u").alias("ua")),
             "v1",
-        )
-        .join(
+        ).join(
             uvecs.select(F.col("vec_id").alias("v2"), F.col("u").alias("ub")),
             "v2",
-        )
-        .select("v1", "v2", dot.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .select("v1", "v2", F.round("cos", round_digits).alias("cos"))
+        ),
+        ["v1", "v2"],
+        "ua",
+        "ub",
+        normalized=True,
+        op=op_name,
+    ).filter(F.col("cos") >= threshold).select(
+        "v1", "v2", F.round("cos", round_digits).alias("cos")
     )

@@ -266,8 +266,12 @@ def _plan_counts(df):
 
 def test_plan_shapes_pinned(vecs):
     """The scale contract as a regression test: the multiprobe fan-out
-    must stay map-side (no new exchange vs the probe-own-bucket plan),
-    and the PQ pipeline must stay Python-free."""
+    must stay map-side (no new exchange OR Python stage vs the
+    probe-own-bucket plan), and the Python surface must stay the fixed
+    set of vectorized mapInPandas kernels (r15: the interpreted
+    higher-order-function folds moved into Arrow-batched NumPy — guide
+    §4.2 — so 'Python-free' became 'exactly the N designed vectorized
+    stages', never row-at-a-time UDF nodes)."""
     from pandas_sigproc_spark.operators import ivf_pq_topk
 
     probe = F.col("vec_id") < 10
@@ -278,10 +282,14 @@ def test_plan_shapes_pinned(vecs):
         lsh_topk(vecs, probe, k=3, tables=4, band=4, dim=DIM, multiprobe=0)
     )
     assert lsh["shuffles"] == lsh0["shuffles"], (lsh, lsh0)
-    assert lsh["python"] == 0
+    # encode stage (x2 consumers: corpus + probe side) + pair-cos stage;
+    # multiprobe adds NO Python stage (query-side fan-out is pure JVM)
+    assert lsh["python"] == lsh0["python"] <= 3, (lsh, lsh0)
 
     pq = _plan_counts(
         ivf_pq_topk(vecs, probe, k=3, m=4, ksub=32, dim=DIM, funnel=20)
     )
-    assert pq["python"] == 0
+    # corpus encode + probe LUT/ranking + rescore pair-cos — all
+    # mapInPandas batch kernels, no row-at-a-time eval nodes
+    assert pq["python"] <= 3, pq
     assert pq["shuffles"] <= 3, pq
