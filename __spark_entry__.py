@@ -5528,7 +5528,11 @@ def q_html_extract(spark, sf_dir):
         html_text,
     )
 
-    d = _docs(spark, sf_dir)
+    # _docs_par, not _docs: the whole query is per-row regex/expression
+    # work with no shuffle, so the single-file bench scan would run it
+    # one-core (r15 optimization: 1 task x 3.9s -> 32 tasks); at
+    # production split counts _ensure_par is a no-op.
+    d = _docs_par(spark, sf_dir)
     wrapped = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id").cast("long").cast("string"),
@@ -5578,7 +5582,9 @@ def q_url_canon(spark, sf_dir):
 
     from pandas_sigproc_spark.operators.webcrawl import canonicalize_url
 
-    d = _docs(spark, sf_dir)
+    # _docs_par: per-row canonicalization work, single-file bench scan
+    # (see q_html_extract's note).
+    d = _docs_par(spark, sf_dir)
     i = F.col("doc_id").cast("long")
     ids = i.cast("string")
     v = i % 4
@@ -5792,7 +5798,12 @@ def q_crawl_frontier(spark, sf_dir):
         for i, h in enumerate(_CF_HREFS)
         if i % 2 == 1
     )
-    d = _docs(spark, sf_dir)
+    # _docs_par: the chain is zero-shuffle per-row expression work (the
+    # RFC 3986 fold per link), so the single-file bench scan would run
+    # the whole query on ONE core (r15 optimization: measured 1 task x
+    # 3.9s; _ensure_par spreads it across the cores, and is a no-op at
+    # production split counts).
+    d = _docs_par(spark, sf_dir)
     base = F.element_at(
         F.array(*[F.lit(b) for b in _CF_BASES]),
         (F.col("doc_id").cast("long") % 4 + 1).cast("int"),
