@@ -9700,10 +9700,17 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
     multi-batch replay is what proves state actually carries; a single
     batch would pass trivially.  Raises when the replay collapsed into
     fewer micro-batches than source files (the gate would then certify
-    nothing about state carry)."""
+    nothing about state carry).
+
+    r15 optimization (guide §2.6): the part writes are INDEPENDENT jobs
+    (each scans the source and filters its own slice), so they are
+    submitted from a small thread pool and overlap instead of running
+    their stragglers serially; ordering is irrelevant because each
+    file's mtime is assigned deterministically afterwards."""
     import glob
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -9716,18 +9723,24 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src, exist_ok=True)
     base = 1_700_000_000
-    n_files = 0
-    for i, part in enumerate(parts):
+
+    def _write_part(i_part):
+        i, part = i_part
         stage = os.path.join(root, f"stage{i}")
         part.coalesce(1).write.mode("overwrite").parquet(stage)
         found = glob.glob(os.path.join(stage, "part-*.parquet"))
+        got = False
         if found:  # an all-filtered-out range writes no part file: no batch
             (pf,) = found
             dst = os.path.join(src, f"part-{i:03d}.parquet")
             os.replace(pf, dst)
             os.utime(dst, (base + i, base + i))
-            n_files += 1
+            got = True
         shutil.rmtree(stage, ignore_errors=True)
+        return got
+
+    with ThreadPoolExecutor(max_workers=min(4, len(parts))) as pool:
+        n_files = sum(pool.map(_write_part, enumerate(parts)))
     if n_files < 2:
         # a degenerate split (all rows in one residue class / empty
         # ranges) would replay as <=1 micro-batch and certify NOTHING
@@ -9743,16 +9756,47 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        build(stream)
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # r15 optimization (guide §2.2/§2.5): the stream's stateful exchange
+    # width (= state-store partition count, pinned by the checkpoint at
+    # first batch) defaults to spark.sql.shuffle.partitions, but each
+    # micro-batch here is ONE source file — per-partition state-store
+    # open/commit overhead dominates when the batch is far smaller than
+    # the session's shuffle width (measured: 32 state partitions ~850 ms
+    # addBatch vs 4 partitions ~370 ms on a ~1 MB batch).  Derive the
+    # width from the per-batch input size (64 MB per state partition,
+    # the same sizing rule AQE applies to stateless exchanges — AQE
+    # cannot coalesce stateful ones), clamped to [4, session width]:
+    # production-sized micro-batches land back at the session width,
+    # tiny replay batches stop paying 8x their data in state commits.
+    batch_bytes = max(
+        os.path.getsize(os.path.join(src, f)) for f in os.listdir(src)
     )
-    q.awaitTermination()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    state_parts = max(4, min(sess_parts, (batch_bytes >> 26) + 1))
+    built = build(stream)
+    # Python-stateful ops (applyInPandasWithState) are COMPUTE-bound per
+    # partition, not commit-bound: narrowing them to the byte-derived
+    # width serializes the per-key Python work (measured: the rainflow
+    # replay runs 4.2 s at width 16 vs 7.0 s at width 4, while the
+    # JVM-state dedup replay prefers the narrow width).  Keep at least
+    # half the cores for those.
+    if "InPandasWithState" in built._jdf.queryExecution().analyzed().toString():
+        cpus = spark.sparkContext.defaultParallelism
+        state_parts = max(state_parts, min(sess_parts, max(cpus // 2, 4)))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        q = (
+            built.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     n_batches = len(q.recentProgress)
     if n_batches < n_files:
         raise RuntimeError(
