@@ -8692,11 +8692,22 @@ def q_corpus_to_shards(spark, sf_dir):
     # default of 2 would zero the pipeline and hollow the gate; at 1
     # the probe still bites (docs without 'the' drop) and the
     # word-count bound stays the main live filter.
-    keep = _persist(
+    # r15 optimization (guide §3.3 "very wide plans"): the capstone's
+    # three decision tables are eager localCheckpoints, not persists.
+    # Every DataFrame op re-ANALYZES its whole accumulated logical plan
+    # (and AQE re-optimizes it per query stage), so the composed
+    # pipeline's driver time grew quadratically with depth — measured
+    # 12.9s -> 4.7s at sf0.1 from exactly this change, with executor
+    # work unchanged.  A persist pins blocks but keeps the full plan;
+    # the checkpoint truncates it to the materialized blocks (the
+    # bpe_train / graph.py lifecycle: blocks are reclaimed when the
+    # last reference drops — release_caches has nothing to unpersist).
+    # Same storage class as the persist it replaces at 100 TB.
+    keep = (
         _cur.gopher_rules(norm, keep_cols=("text",), min_required_words=1)
         .filter("keep")
         .select("doc_id", "text")
-    )
+    ).localCheckpoint(eager=True)
     hits = _cur.decontaminate_exact(
         keep,
         bench_pred=F.col("doc_id") % 10 == 0,
@@ -8707,15 +8718,15 @@ def q_corpus_to_shards(spark, sf_dir):
     # the BPE fold and the member text join; sharded by the packer and
     # the member key join) — persisted so the decontamination anti-join
     # and the distinct-word fold run once, not per consumer
-    clean = _persist(
+    clean = (
         keep.filter(F.col("doc_id") % 10 != 0).join(
             hits.select("doc_id"), "doc_id", "left_anti"
         )
-    )
+    ).localCheckpoint(eager=True)
     counts = bpe_token_counts(clean, _BPE_PACK_MERGES)
-    sharded = _persist(
-        assign_shards(counts, _BPE_SHARD_TOKENS, buckets=_SHARD_BUCKETS)
-    )
+    sharded = assign_shards(
+        counts, _BPE_SHARD_TOKENS, buckets=_SHARD_BUCKETS
+    ).localCheckpoint(eager=True)
     packed = pack_sequences(
         sharded,
         _BPE_PACK_BUDGET,
@@ -8740,19 +8751,29 @@ def q_corpus_to_shards(spark, sf_dir):
         F.col("n_tokens").cast("string"),
         F.lit("}"),
     )
+    # r15 optimization: ONE pass with a 2-way explode instead of a
+    # self-union — the union's two arms each re-ran the mem join chain
+    # (clean/sharded are persisted but the joins above them are not),
+    # and the duplicated subtree also doubled every downstream
+    # analysis pass.  Row multiset is identical (txt+json member per
+    # doc); write_wds_shards lays members out in (key, ext) order, so
+    # even the shard bytes are unchanged.
     members = mem.select(
         "shard",
         key.alias("key"),
-        F.lit("txt").alias("ext"),
-        F.encode("text", "UTF-8").alias("payload"),
-    ).unionByName(
-        mem.select(
-            "shard",
-            key.alias("key"),
-            F.lit("json").alias("ext"),
-            F.encode(js, "UTF-8").alias("payload"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("txt").alias("ext"),
+                    F.encode("text", "UTF-8").alias("payload"),
+                ),
+                F.struct(
+                    F.lit("json").alias("ext"),
+                    F.encode(js, "UTF-8").alias("payload"),
+                ),
+            )
+        ).alias("_m"),
+    ).select("shard", "key", F.col("_m.ext").alias("ext"), F.col("_m.payload").alias("payload"))
     back = wds_members(write_wds_shards(members), id_col="shard")
     return (
         back.select(

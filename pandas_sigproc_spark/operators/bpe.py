@@ -357,12 +357,36 @@ def bpe_token_counts(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(words).alias("word"),
     )
-    wt = occ.select("word").distinct().select(
-        "word", _word_tokens_expr(F.col("word")).alias("toks")
+    # r15 optimization (guide §4.2): the per-word rewrite used to run as
+    # ``len(merges)`` nested ``F.aggregate`` folds — higher-order
+    # functions are CodegenFallback, so every vocabulary word paid
+    # K x O(tokens) INTERPRETED expression evals, and the K nested
+    # folds alone dominated the plan's analysis/optimization time (the
+    # capstone's biggest driver-side cost).  The greedy rank loop
+    # (:func:`_encode_word`, the bpe_encode kernel) produces the
+    # identical token sequence — sequential rank-order fold equality is
+    # the documented bpe_encode_relational invariant, pinned across the
+    # corpus in tests/test_bpe.py — so the distinct-word table now runs
+    # ONE Arrow-batched mapInPandas pass instead.  Counts are integers;
+    # no float surface.
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def _wlen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "wlen": [
+                        len(_encode_word(w, ranks)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    wlen = (
+        occ.select("word")
+        .distinct()
+        .mapInPandas(_wlen, "word string, wlen long")
     )
-    for a, b in merges:
-        wt = wt.select("word", _merge_expr(a, b).alias("toks"))
-    wlen = wt.select("word", F.size("toks").cast("long").alias("wlen"))
     return (
         occ.join(wlen, "word")
         .groupBy("doc_id")

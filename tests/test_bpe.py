@@ -393,3 +393,39 @@ def test_bpe_train_encode_lowercase_parity(spark):
     )
     py = [w for w in probe.lower().split()]
     assert jvm == py
+
+
+def test_token_counts_equal_relational_fold(spark):
+    """r15 optimization regression pin: bpe_token_counts now computes
+    per-word token lengths with the _encode_word kernel (mapInPandas)
+    instead of the nested F.aggregate fold chain.  The fold still lives
+    in bpe_encode_relational — pin the kernel path against it on real
+    sf documents so the two rewrite semantics can never drift (the
+    sequential-rank-order == greedy-lowest-rank equality both rely
+    on)."""
+    import duckdb
+
+    from pandas_sigproc_spark.operators.bpe import (
+        bpe_encode_relational,
+        bpe_token_counts,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+            " ORDER BY doc_id LIMIT 150"
+        ).fetchall()
+    ]
+    docs = _docs_df(spark, texts)
+    merges = bpe_train(docs, 12)
+    want = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode_relational(docs, merges).collect()
+        if r.n_tokens > 0
+    }
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert got == want
