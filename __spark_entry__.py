@@ -8110,17 +8110,26 @@ def q_training_mix(spark, sf_dir):
         )
     )  # feeds the decontamination probe AND the clean set:
     # one scan+quality+dedup pass instead of two
-    gram_hashes = _text.gram_hash_expr(_DECON_N)
     # benchmark gram set from the RAW corpus slice (held-out docs are
-    # excluded from training regardless of quality).
+    # excluded from training regardless of quality).  r15: gram hashes
+    # via the Arrow kernel (text.gram_hash_map, pinned bit-identical to
+    # gram_hash_expr) instead of interpreted per-gram md5 evals.
     bench = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode(gram_hashes).alias("h"))
+        _text.gram_hash_map(
+            d.filter(F.col("doc_id") % 10 == 0).select("text"),
+            _DECON_N,
+            "",
+        )
+        .select(F.explode("gs").alias("h"))
         .distinct()
     )
-    train_grams = dedup.filter(F.col("doc_id") % 10 != 0).select(
-        "doc_id", F.explode(gram_hashes).alias("h")
-    )
+    train_grams = _text.gram_hash_map(
+        dedup.filter(F.col("doc_id") % 10 != 0).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        _DECON_N,
+        "doc_id long",
+    ).select("doc_id", F.explode("gs").alias("h"))
     contaminated = train_grams.join(F.broadcast(bench), "h").select("doc_id").distinct()
     clean = dedup.filter(F.col("doc_id") % 10 != 0).join(
         contaminated, "doc_id", "left_anti"
@@ -9227,9 +9236,11 @@ def q_bloom_decontaminate(spark, sf_dir):
     FP analysis lives in operators/curation.py).
     """
     d = _docs_par(spark, sf_dir)
+    # r15: gram hashing via the Arrow kernel (see q_decontaminate).
     bench = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select(_text.gram_hash_expr(_DECON_N).alias("gs"))
+        _text.gram_hash_map(
+            d.filter(F.col("doc_id") % 10 == 0).select("text"), _DECON_N, ""
+        )
         .select(F.explode("gs").alias("h"))
         .distinct()
     )

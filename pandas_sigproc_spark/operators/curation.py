@@ -634,46 +634,71 @@ def bloom_probe(
 
     Output: ``(doc_id, n_ngrams, n_flagged, flag_frac)``.
 
-    Scale shape: the bitmap rides in as ONE broadcast row (a 256 KiB
-    array at the default size — broadcast-nested-loop against a single
-    row is a map-side pass, and broadcast state keeps working when a
-    production-sized suite needs a multi-MB bitmap, where an expression
-    literal would blow up the plan tree) and the whole probe is one
-    map-side expression — the corpus never shuffles and never
-    equi-joins.  False positives are possible (the Bloom trade: rate ≈
+    Scale shape: the probe is ONE Arrow-batched map-side pass — the
+    corpus never shuffles and never equi-joins; the bitmap ships in the
+    task closure (256 KiB at the default size, the MLlib model-closure
+    pattern; a production multi-MB bitmap still ships once per task).
+    r15 optimization (guide §4.2): the old form evaluated the k-probe
+    conjunction as a higher-order ``filter`` lambda over the gram array
+    — CodegenFallback, one interpreted eval chain per gram — plus an
+    interpreted md5 per gram to build the array; the kernel hashes
+    grams with :func:`pandas_sigproc_spark.operators.text.gram_hashes_py`
+    (pinned bit-identical) and tests the k positions with vectorized
+    NumPy int64 arithmetic, identical integer semantics
+    (tests/test_curation.py pins the probe against the expression
+    twin :func:`bloom_hit_exprs`, which remains the streaming form).
+    False positives are possible (the Bloom trade: rate ≈
     (1-e^{-kn/m})^k per gram, ~7e-5 at the defaults for the sf0.1
     benchmark slice — see the sizing note above) but deterministic, and
     identical in the oracle, which replays the same bitmap arithmetic
     relationally.
     """
     # Loud size check: a bitmap built at a different m than the probe's
-    # m_bits makes element_at index past the array, which returns NULL
-    # (non-ANSI), NULLs the _hit conjunction, and silently never flags a
-    # gram — contaminated documents would pass with zero errors (a
-    # review finding; the COMPATIBILITY note warns of exactly this).
+    # m_bits would silently never flag a gram (the expression form
+    # indexed past the array to NULL; the kernel would raise an opaque
+    # IndexError mid-job) — contaminated documents would pass with zero
+    # errors (a review finding; the COMPATIBILITY note warns of this).
     if len(bitmap) * 32 != m_bits:
         raise ValueError(
             f"bloom_probe: bitmap holds {len(bitmap) * 32} bits but "
             f"m_bits={m_bits} — the bitmap was built at a different m; "
             "rebuild it or pass the matching m_bits"
         )
-    bm_df = docs.sparkSession.createDataFrame(
-        [([int(x) for x in bitmap],)], "_bm array<bigint>"
-    )
-    n_ngrams, n_flagged = bloom_hit_exprs(
-        F.col("_bm"), F.col("_gs"), m_bits=m_bits, k=k
-    )
+    import numpy as np
+    import pandas as pd
+
+    bm = np.asarray([int(x) for x in bitmap], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, nn, nf = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(None if pd.isna(did) else int(did))
+                hs = _text.gram_hashes_py(
+                    None if text is None else str(text), n
+                )
+                if hs is None:
+                    # NULL text: the expression form yields size(NULL)
+                    # = -1 for both counts (non-ANSI) — keep it.
+                    nn.append(-1)
+                    nf.append(-1)
+                    continue
+                arr = np.asarray(hs, dtype=np.int64)
+                h1 = arr % m_bits
+                h2 = (arr >> 20) % (m_bits - 1) + 1
+                hit = np.ones(arr.size, dtype=bool)
+                for j in range(k):
+                    pos = (h1 + j * h2) % m_bits
+                    hit &= ((bm[pos >> 5] >> (pos & 31)) & 1) == 1
+                nn.append(arr.size)
+                nf.append(int(hit.sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_ngrams": nn, "n_flagged": nf}
+            )
+
     return (
-        docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            _text.gram_hash_expr(n, text_col).alias("_gs"),
-        )
-        .crossJoin(F.broadcast(bm_df))
-        .select(
-            "doc_id",
-            n_ngrams.alias("n_ngrams"),
-            n_flagged.alias("n_flagged"),
-        )
+        docs.select(id_col, text_col)
+        .mapInPandas(run, "doc_id long, n_ngrams long, n_flagged long")
         .select(
             "doc_id",
             "n_ngrams",
@@ -1165,11 +1190,21 @@ def decontaminate_exact(
     persist = persist or (lambda df: df)
 
     def _gh(src: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
-        g = src.select(
+        # r15 optimization (guide §4.2): gram hashing runs in the
+        # Arrow-batched kernel (text.gram_hashes_py, pinned
+        # bit-identical to gram_hash_expr) instead of one interpreted
+        # md5 eval per gram inside a CodegenFallback transform.
+        sel = src.select(
             F.col(id_col).cast("long").alias("doc_id"),
             *extra,
-            _text.gram_hash_expr(n, text_col).alias("gs"),
+            F.col(text_col),
         )
+        keep = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in sel.schema.fields
+            if f.name != text_col
+        )
+        g = _text.gram_hash_map(sel, n, keep, text_col=text_col)
         return g.select(
             "doc_id",
             *extra,

@@ -153,6 +153,66 @@ def gram_hash_expr(n: int, text_col: str = "text") -> Column:
     )
 
 
+def gram_hashes_py(text: str | None, n: int) -> list[int] | None:
+    """Python twin of :func:`gram_hash_expr` for the Arrow-batched
+    kernels (r15 optimization, guide §4.2): the expression form runs
+    one INTERPRETED md5 eval per gram (``transform`` lambdas are
+    CodegenFallback), which dominates every decontamination pass.
+
+    Bit-equivalence to the expression, term by term: ``split(text,
+    ' ')`` == ``str.split(' ')`` (both keep interior AND trailing empty
+    strings; both map '' to ['']); the zip_with/concat_ws gram build ==
+    ``' '.join(ws[i:i+n])`` (slice truncation == NULL padding that
+    concat_ws skips); ``md5`` is UTF-8 md5; ``conv(substring(hex, 1,
+    15), 16, 10)`` == ``int(hexdigest()[:15], 16)`` (60 bits, never
+    overflows int64); ``array_distinct`` keeps first occurrence ==
+    ``dict.fromkeys``.  A NULL text returns None (the expression
+    propagates NULL).  Pinned against the expression on real sf
+    documents in tests/test_gram_builder.py."""
+    import hashlib
+
+    if text is None:
+        return None
+    ws = text.split(" ")
+    m = max(len(ws) - (n - 1), 1)
+    return list(
+        dict.fromkeys(
+            int(
+                hashlib.md5(
+                    " ".join(ws[i : i + n]).encode("utf-8")
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(m)
+        )
+    )
+
+
+def gram_hash_map(
+    src, n: int, keep_schema: str, *, text_col: str = "text"
+):
+    """Arrow-batched drop-in for ``src.select(*keep,
+    gram_hash_expr(n).alias('gs'))``: ``src``'s columns must be exactly
+    the ``keep_schema`` columns (in order) plus ``text_col``; returns
+    the keep columns plus ``gs array<long>`` — one mapInPandas pass,
+    zero shuffle, bit-identical arrays (:func:`gram_hashes_py`)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=[text_col])
+            out["gs"] = [
+                gram_hashes_py(None if t is None else str(t), n)
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    schema = (
+        keep_schema + ", gs array<long>" if keep_schema else "gs array<long>"
+    )
+    return src.mapInPandas(run, schema)
+
+
 def sample_bucket_expr(
     id_col: str = "doc_id", salt: str = ":sample", mod: int = SAMPLE_MOD
 ) -> Column:

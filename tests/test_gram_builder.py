@@ -62,3 +62,43 @@ def test_linear_on_giant_document(spark):
     (n_grams,) = giant.select(F.size(grams_expr(3)).alias("s")).collect()[0]
     assert time.time() - t0 < 30
     assert n_grams == 200_000 - 2
+
+
+def test_gram_hash_kernel_matches_expression(spark):
+    """r15 optimization pin: text.gram_hashes_py / gram_hash_map (the
+    Arrow kernel the decontamination tier now runs) must produce the
+    EXACT hash arrays of gram_hash_expr — same grams, same 60-bit md5
+    arithmetic, same first-occurrence distinct order, NULL text ->
+    NULL array — on the edge battery and on real sf documents."""
+    import duckdb
+
+    from pandas_sigproc_spark.operators.text import (
+        gram_hash_expr,
+        gram_hash_map,
+    )
+
+    sf_texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+            " ORDER BY doc_id LIMIT 100"
+        ).fetchall()
+    ]
+    texts = TEXTS + ["a  b   c", " lead", "trail ", "  ", None] + sf_texts
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(texts)), "text": texts})
+    )
+    for n in (1, 2, 5):
+        want = {
+            r.i: r.gs
+            for r in df.select(
+                "i", gram_hash_expr(n).alias("gs")
+            ).collect()
+        }
+        got = {
+            r.i: r.gs
+            for r in gram_hash_map(
+                df.select("i", "text"), n, "i long"
+            ).collect()
+        }
+        assert got == want, n
