@@ -125,11 +125,128 @@ def bucket_expr(gram_col: str = "g") -> Column:
     return F.expr(f"{_text.hash60_sql(gram_col)} % {LANG_MODEL_BUCKETS}")
 
 
+#: Normalized-trigram alphabet, index order of the dense weight table
+#: (``idx('a')=0 .. idx('z')=25, idx(' ')=26``).
+_ALPHA = "abcdefghijklmnopqrstuvwxyz "
+
+_TRIGRAM_TABLE = None
+
+
+def _trigram_weight_table():
+    """Dense ``(27**3 + 1, 5)`` int64 table ``[w_en, w_de, w_es, w_fr,
+    hit]`` indexed by trigram code ``c0*729 + c1*27 + c2`` over the
+    normalized alphabet — the complete gram universe after
+    :func:`normalize_expr` (plus one extra last row for the single
+    sub-3-char gram ``"  "``, the normalization of empty text).
+
+    Every possible trigram is bucketed with the IDENTICAL md5
+    arithmetic the expression path uses (so hashing-trick collisions
+    between a lexicon gram and any other trigram reproduce exactly),
+    then looked up in the collapsed model M.  Built once per process
+    (~19.7k md5s, a few ms) and cached — guide §4's heavyweight-init-
+    once rule; the closure ships only table bytes, never recomputes.
+    """
+    global _TRIGRAM_TABLE
+    if _TRIGRAM_TABLE is None:
+        import numpy as np
+
+        tbl = {b: w for b, *w in lang_model_rows()}
+        W = np.zeros((27 ** 3 + 1, len(MODEL_LANGS) + 1), dtype=np.int64)
+
+        def put(idx, gram):
+            b = (
+                int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+                % LANG_MODEL_BUCKETS
+            )
+            w = tbl.get(b)
+            if w is not None:
+                W[idx, : len(MODEL_LANGS)] = w
+                W[idx, -1] = 1
+
+        for i0, c0 in enumerate(_ALPHA):
+            for i1, c1 in enumerate(_ALPHA):
+                for i2, c2 in enumerate(_ALPHA):
+                    put(i0 * 729 + i1 * 27 + i2, c0 + c1 + c2)
+        put(27 ** 3, "  ")
+        _TRIGRAM_TABLE = W
+    return _TRIGRAM_TABLE
+
+
+_KERNEL_SCHEMA = (
+    "doc_id long, heur_idx int, n_grams long, n_hits long, "
+    "s_en long, s_de long, s_es long, s_fr long"
+)
+
+
+def _scores_kernel(batches):
+    """Arrow-batched twin of the explode → md5-bucket → broadcast-join
+    → groupBy aggregate AND the stopword-heuristic expression: one
+    per-document pass, zero shuffle (r15 optimization, guide §4.2 —
+    the expression path ran one interpreted md5 per CHARACTER of every
+    document plus ~45 interpreted HOF stopword scans per row).
+
+    Bit-equivalence: trigram weights come from the precomputed
+    :func:`_trigram_weight_table` (same md5 bucket arithmetic, summed
+    as int64 — integer addition is exactly associative, so any fold
+    order equals Spark's partial aggregate); ``n_grams`` =
+    ``greatest(length(s) - 2, 1)`` = the exploded-row count;
+    ``split(_txt, ' ')`` == ``str.split(' ')`` (both keep leading and
+    trailing empties — the gram_hashes_py-validated equivalence);
+    heuristic argmax = first language in LANG_ORDER whose count
+    reaches the max == the expression's priority when-chain.  All
+    outputs are integers; every float op stays in the relational
+    finish, shared with the expression path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    W = _trigram_weight_table()
+    stop_map: dict[str, list[int]] = {}
+    for li, lang in enumerate(_text.LANG_ORDER):
+        for w in _text.LANG_STOPS[lang]:
+            stop_map.setdefault(w, []).append(li)
+    n_h = len(_text.LANG_ORDER)
+    for pdf in batches:
+        n = len(pdf)
+        heur = np.empty(n, dtype=np.int32)
+        sums = np.empty((n, len(MODEL_LANGS) + 1), dtype=np.int64)
+        n_grams = np.empty(n, dtype=np.int64)
+        for i, (s, txt) in enumerate(zip(pdf["s"], pdf["_txt"])):
+            b = s.encode()
+            if len(b) >= 3:
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                codes = np.where(a == 32, 26, a - 97)
+                keys = codes[:-2] * 729 + codes[1:-1] * 27 + codes[2:]
+                sums[i] = W[keys].sum(axis=0)
+                n_grams[i] = len(b) - 2
+            else:
+                sums[i] = W[-1]
+                n_grams[i] = 1
+            counts = [0] * n_h
+            for w in txt.split(" "):
+                for li in stop_map.get(w, ()):
+                    counts[li] += 1
+            mx = max(counts)
+            heur[i] = n_h if mx == 0 else counts.index(mx)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "heur_idx": heur,
+                "n_grams": n_grams,
+                "n_hits": sums[:, -1],
+            }
+        )
+        for li, lang in enumerate(MODEL_LANGS):
+            out[f"s_{lang}"] = sums[:, li]
+        yield out
+
+
 def lang_id_model(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Classify each document's language with the hashed-trigram linear
     model AND report disagreement against the stopword heuristic.
@@ -140,69 +257,76 @@ def lang_id_model(
     ``n_hits`` counts grams that matched the weight table, and
     ``pred_lang = 'und'`` when no gram matched.  Ties break in
     :data:`MODEL_LANGS` priority order, like the heuristic.
+
+    ``impl='kernel'`` (default) computes the integer per-document
+    aggregate in one Arrow pass (:func:`_scores_kernel` — zero
+    shuffles); ``impl='expr'`` keeps the original fully-relational
+    explode/join/groupBy plan (the streaming-composable form, and the
+    reference the kernel is equality-tested against).
     """
     spark = docs.sparkSession
-    wdf = spark.createDataFrame(
-        lang_model_rows(),
-        "bucket long, w_en long, w_de long, w_es long, w_fr long",
-    )
-    # The heuristic prediction rides through the per-gram aggregate as
-    # an INT index (decoded back to its label after the groupBy): a
-    # string min() would push the whole aggregate to SortAggregate,
-    # sorting every exploded gram row — int min keeps it a
-    # HashAggregate with map-side partial combine.
-    heur_langs = list(_text.LANG_ORDER) + ["und"]
-    # ONE copy of the heuristic expression: the old per-label when
-    # chain built SIX copies of lang_pred_expr, each ~45 HOF stopword
-    # scans that get no common-subexpression elimination — ~6x the
-    # per-row heuristic cost (a review finding).  array_position maps
-    # the single prediction string to the aggregate-friendly int.
-    heur_idx = (
-        F.array_position(
-            F.array(*[F.lit(x) for x in heur_langs]),
-            _text.lang_pred_expr("ws"),
-        ).cast("int")
-        - 1
-    )
     # null-as-empty (the tier's rule): a NULL text previously yielded
     # pred_heur=NULL/agree=NULL while the model said 'und' — the row
     # vanished from BOTH sides of an agree filter (a review finding)
-    base = docs.select(
+    base0 = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
-    ).select(
-        "doc_id",
-        normalize_expr("_txt").alias("s"),
-        F.split(F.col("_txt"), " ").alias("ws"),
-    ).select(
-        "doc_id",
-        "s",
-        heur_idx.alias("heur_idx"),
     )
-    grams = base.select(
-        "doc_id",
-        "heur_idx",
-        F.explode(trigrams_expr("s")).alias("g"),
-    )
-    joined = grams.select(
-        "doc_id", "heur_idx", bucket_expr("g").alias("bucket")
-    ).join(F.broadcast(wdf), "bucket", "left")
+    heur_langs = list(_text.LANG_ORDER) + ["und"]
+    if impl == "kernel":
+        agg = base0.select(
+            "doc_id", normalize_expr("_txt").alias("s"), "_txt"
+        ).mapInPandas(_scores_kernel, _KERNEL_SCHEMA)
+    else:
+        wdf = spark.createDataFrame(
+            lang_model_rows(),
+            "bucket long, w_en long, w_de long, w_es long, w_fr long",
+        )
+        # The heuristic prediction rides through the per-gram aggregate
+        # as an INT index (decoded back to its label after the
+        # groupBy): a string min() would push the whole aggregate to
+        # SortAggregate, sorting every exploded gram row — int min
+        # keeps it a HashAggregate with map-side partial combine.
+        heur_idx = (
+            F.array_position(
+                F.array(*[F.lit(x) for x in heur_langs]),
+                _text.lang_pred_expr("ws"),
+            ).cast("int")
+            - 1
+        )
+        base = base0.select(
+            "doc_id",
+            normalize_expr("_txt").alias("s"),
+            F.split(F.col("_txt"), " ").alias("ws"),
+        ).select(
+            "doc_id",
+            "s",
+            heur_idx.alias("heur_idx"),
+        )
+        grams = base.select(
+            "doc_id",
+            "heur_idx",
+            F.explode(trigrams_expr("s")).alias("g"),
+        )
+        joined = grams.select(
+            "doc_id", "heur_idx", bucket_expr("g").alias("bucket")
+        ).join(F.broadcast(wdf), "bucket", "left")
+        agg = joined.groupBy("doc_id").agg(
+            F.min("heur_idx").alias("heur_idx"),
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("w_en").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hits"),
+            *[
+                F.sum(F.coalesce(F.col(f"w_{lang}"), F.lit(0)))
+                .cast("long")
+                .alias(f"s_{lang}")
+                for lang in MODEL_LANGS
+            ],
+        )
     heur_decode = F.element_at(
         F.array(*[F.lit(lang) for lang in heur_langs]),
         F.col("heur_idx") + 1,
-    )
-    agg = joined.groupBy("doc_id").agg(
-        F.min("heur_idx").alias("heur_idx"),
-        F.count("*").alias("n_grams"),
-        F.sum(
-            F.when(F.col("w_en").isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("n_hits"),
-        *[
-            F.sum(F.coalesce(F.col(f"w_{lang}"), F.lit(0)))
-            .cast("long")
-            .alias(f"s_{lang}")
-            for lang in MODEL_LANGS
-        ],
     )
     pred = F.when(F.col("n_hits") == 0, F.lit("und"))
     for lang in MODEL_LANGS:

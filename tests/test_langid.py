@@ -118,3 +118,43 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, lang_id_model(df).collect()))
     b = sorted(map(tuple, lang_id_model(df).collect()))
     assert a == b
+
+
+def test_kernel_matches_expression_path(spark):
+    """r15 optimization pin: the Arrow per-document kernel
+    (impl='kernel', the default) must be row-for-row identical to the
+    original relational explode/join/groupBy plan (impl='expr') on the
+    edge battery — empty/NULL/sub-trigram docs, unicode that the
+    normalizer strips, cross-language stopword ties, and a doc with no
+    lexicon gram at all."""
+    texts = [
+        "the quick brown fox and the lazy dog of doom is here",
+        "der die und ist das ein ich schöne",
+        "el que la y es cosa que entiende la nacion",
+        "le la et est une chose que personne eur ais",
+        "", None, "a", "zz",
+        "中文文本 de shi zai he",
+        "x" * 2000,
+        "the der el le de",
+        "1234 !@#$ %^&*",
+        "  leading and trailing  ",
+        "Über straße İstanbul çok güzel",
+    ]
+    df = _df(spark, texts)
+    kern = lang_id_model(df, impl="kernel").orderBy("doc_id").collect()
+    expr = lang_id_model(df, impl="expr").orderBy("doc_id").collect()
+    assert kern == expr
+
+
+def test_kernel_plan_has_no_explode_or_shuffle(spark):
+    """The kernel path is one map-side Arrow stage: no Generate
+    (explode), no per-gram aggregate Exchange in the physical plan."""
+    df = _df(spark, ["the and of a is"])
+    plan = (
+        lang_id_model(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
