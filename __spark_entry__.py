@@ -8629,8 +8629,10 @@ def q_corpus_to_shards(spark, sf_dir):
 
     Scale shape: the producer stand-in is one applyInPandas WARC
     encode per 32-way group; everything from extraction to verdicts is
-    JVM expression trees with two bounded windows (url_key dedup,
-    host-cap rank); decontamination broadcasts the benchmark gram set;
+    JVM expression trees with two bounded windows (url_key dedup over
+    the payload; the host-cap rank over a NARROW key projection whose
+    admitted url_keys join back — payloads never shuffle through the
+    low-cardinality host key); decontamination broadcasts the benchmark gram set;
     BPE counts fold per DISTINCT word; shard assignment is the
     distributed prefix sum; packing and the shard writer are one
     repartition + one sorted mapInPandas each, task state bounded by a
@@ -8668,12 +8670,32 @@ def q_corpus_to_shards(spark, sf_dir):
         html_text(F.col("text")).alias("ctext"),
     )
     wr = Window.partitionBy("url_key").orderBy("uri")
+    # r15 optimization (guide §2.3 "shuffle keys and metadata instead of
+    # payloads", §2.5 skew): the host-cap ranking used to run as a
+    # Window over (host, elig) carrying ctext — host cardinality is
+    # tiny (a handful of sources here; hot hosts at corpus scale), so
+    # the whole admitted payload funneled into 1-2 tasks and the
+    # normalize/Gopher expression chain downstream of the window ran
+    # nearly serial (measured: a 1.5 s single-task stage inside the
+    # 7 s leg; at 100 TB a hot host would be a straggler).  Now the
+    # url-deduped payload table is materialized ONCE (the same eager
+    # localCheckpoint lifecycle the keep/clean/sharded seams already
+    # use — it also truncates the producer/decode subtree out of every
+    # downstream re-analysis), admission is decided on a NARROW
+    # (doc_id, url_key, host, verdict) projection — the low-cardinality
+    # cap window shuffles ~50 bytes/row — and the admitted url_keys
+    # equi-join back to the payload on the uniform url_key, restoring
+    # full-width parallelism for normalize/Gopher.  Row set and bytes
+    # are unchanged (verified bit-identical vs the window-on-payload
+    # plan at sf0.01/sf0.1 before the swap).
     one = (
         docs.withColumn("_rk", F.row_number().over(wr))
         .filter(F.col("_rk") == 1)
         .drop("_rk", "uri")
-    )
-    bl = url_blocklist_filter(one, uri_col="url_key").withColumn(
+    ).localCheckpoint(eager=True)
+    bl = url_blocklist_filter(
+        one.select("doc_id", "url_key"), uri_col="url_key"
+    ).withColumn(
         "path", F.regexp_extract("url_key", "^[a-z]+://[^/]+([^?#]*)", 1)
     )
     robots = spark.createDataFrame(
@@ -8689,9 +8711,14 @@ def q_corpus_to_shards(spark, sf_dir):
     rb = robots_verdicts(bl, parse_robots(robots), agent="sparkbot")
     elig = F.col("category").isNull() & F.col("allowed")
     wcap = Window.partitionBy("host", elig).orderBy("doc_id")
-    adm = rb.withColumn(
-        "_admitted", elig & (F.row_number().over(wcap) <= _C2S_CAP)
-    ).filter("_admitted")
+    adm_keys = (
+        rb.withColumn(
+            "_admitted", elig & (F.row_number().over(wcap) <= _C2S_CAP)
+        )
+        .filter("_admitted")
+        .select("url_key")
+    )
+    adm = one.join(adm_keys, "url_key")
     norm = adm.select(
         "doc_id", normalize_text_expr(F.col("ctext")).alias("text")
     )
