@@ -9761,15 +9761,20 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
     fewer micro-batches than source files (the gate would then certify
     nothing about state carry).
 
-    r15 optimization (guide §2.6): the part writes are INDEPENDENT jobs
-    (each scans the source and filters its own slice), so they are
-    submitted from a small thread pool and overlap instead of running
-    their stragglers serially; ordering is irrelevant because each
-    file's mtime is assigned deterministically afterwards."""
+    r15 optimization (guide §2.6, then §2.4): the part writes used to be
+    4 overlapped single-task jobs (each arm re-scanned the source and
+    ``coalesce(1)`` collapsed it to one serial task).  Now all parts
+    ride ONE job: each arm is tagged with a literal part index, the
+    union repartitions on that index (one task per part, every arm's
+    scan/filter running concurrently inside the job) and a single
+    ``partitionBy`` write emits one file per part directory; ordering
+    within a file is irrelevant because every gate either sorts per
+    batch (rainflow/lfilter) or projects order-insensitive columns
+    (corpus dedup), and each file's mtime is assigned deterministically
+    afterwards."""
     import glob
     import os
     import shutil
-    from concurrent.futures import ThreadPoolExecutor
 
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -9783,23 +9788,54 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
     os.makedirs(src, exist_ok=True)
     base = 1_700_000_000
 
-    def _write_part(i_part):
-        i, part = i_part
-        stage = os.path.join(root, f"stage{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        found = glob.glob(os.path.join(stage, "part-*.parquet"))
-        got = False
-        if found:  # an all-filtered-out range writes no part file: no batch
+    stage = os.path.join(root, "stage")
+    tagged = None
+    for i, part in enumerate(parts):
+        arm = part.withColumn("_gate_part", F.lit(i))
+        tagged = arm if tagged is None else tagged.unionByName(arm)
+    (
+        tagged.repartition(len(parts), "_gate_part")
+        .write.mode("overwrite")
+        .partitionBy("_gate_part")
+        .parquet(stage)
+    )
+    empty_stage = None
+    n_files = 0
+    for i in range(len(parts)):
+        found = glob.glob(
+            os.path.join(stage, f"_gate_part={i}", "part-*.parquet")
+        )
+        if not found:
+            # An all-filtered-out part writes no directory under
+            # partitionBy, but the old per-part coalesce(1) write
+            # emitted an EMPTY parquet file — which still triggers its
+            # own (empty) micro-batch, and the gates' batch-count
+            # arithmetic relies on that (streaming_lfilter at sf0.01
+            # has fewer than 129 samples per channel, so parts 2-4 are
+            # empty there).  Reproduce it: one empty single-file write
+            # with the payload schema, reused for every missing part.
+            if empty_stage is None:
+                empty_stage = os.path.join(root, "stage_empty")
+                (
+                    spark.createDataFrame(
+                        [], tagged.drop("_gate_part").schema
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(empty_stage)
+                )
+            (pf,) = glob.glob(os.path.join(empty_stage, "part-*.parquet"))
+            dst = os.path.join(src, f"part-{i:03d}.parquet")
+            shutil.copyfile(pf, dst)
+        else:
             (pf,) = found
             dst = os.path.join(src, f"part-{i:03d}.parquet")
             os.replace(pf, dst)
-            os.utime(dst, (base + i, base + i))
-            got = True
-        shutil.rmtree(stage, ignore_errors=True)
-        return got
-
-    with ThreadPoolExecutor(max_workers=min(4, len(parts))) as pool:
-        n_files = sum(pool.map(_write_part, enumerate(parts)))
+        os.utime(dst, (base + i, base + i))
+        n_files += 1
+    if empty_stage is not None:
+        shutil.rmtree(empty_stage, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     if n_files < 2:
         # a degenerate split (all rows in one residue class / empty
         # ranges) would replay as <=1 micro-batch and certify NOTHING
