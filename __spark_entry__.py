@@ -1492,7 +1492,12 @@ def q_dedup_minhash(spark, sf_dir):
     # Fully map-side: no explode, no distinct, no groupBy — zero
     # shuffles, so the plan is embarrassingly parallel at any scale
     # (each task emits one signature row per doc; _docs_par only
-    # repartitions when the local scan is split-starved).
+    # repartitions when the local scan is split-starved).  r15 A/B
+    # note: the Arrow-kernel signature twin (curation.minhash_sig_map)
+    # was measured here and LOST — 0.37 s (expression) vs 0.70 s
+    # (kernel) interleaved min-of-4 at sf0.1; the JVM md5 fold emits 8
+    # longs per doc and beats per-gram hashlib in Python.  The kernel
+    # wins only where it removes an explode (source_overlap).
     d = _docs_par(spark, sf_dir)
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"), _minhash_sig_expr().alias("mh")

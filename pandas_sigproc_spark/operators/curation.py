@@ -918,6 +918,72 @@ def minhash_sig_expr(
     )
 
 
+def minhash_sig_py(
+    text: str | None,
+    n: int = 3,
+    perms: tuple[tuple[int, int], ...] = INCR_MINHASH_PERMS,
+    p: int = INCR_MINHASH_P,
+) -> list[int] | None:
+    """Python twin of :func:`minhash_sig_expr` for the Arrow-batched
+    kernels (r15 optimization, guide §4.2): the expression form runs one
+    INTERPRETED md5 eval plus a k-element array fold per shingle
+    (``aggregate``/``transform`` lambdas are CodegenFallback), which
+    dominates every signature pass.
+
+    Bit-equivalence, term by term: the gram build and 60-bit md5 hash
+    are :func:`pandas_sigproc_spark.operators.text.gram_hashes_py`
+    (already pinned against the expression's gram arithmetic); the
+    per-permutation minimum over ``(a*h + b) % p`` is integer
+    arithmetic on values < 2^62 (``a, h % p < 2^31-ish``), exact in
+    int64, and MIN is order- and duplicate-insensitive — so hashing
+    the distinct grams (the kernel) equals folding the expression's
+    distinct-gram (or raw multiset) walk element by element.  A NULL
+    text returns None (the expression propagates NULL).  Pinned against
+    the expression in tests/test_minhash_kernel.py."""
+    import numpy as np
+
+    if text is None:
+        return None
+    hs = _text.gram_hashes_py(text, n)
+    h = np.asarray(hs, dtype=np.int64) % p
+    a = np.asarray([pa for pa, _ in perms], dtype=np.int64)
+    b = np.asarray([pb for _, pb in perms], dtype=np.int64)
+    return ((a[:, None] * h[None, :] + b[:, None]) % p).min(axis=1).tolist()
+
+
+def minhash_sig_map(
+    src: DataFrame,
+    keep_schema: str,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    perms: tuple[tuple[int, int], ...] = INCR_MINHASH_PERMS,
+    p: int = INCR_MINHASH_P,
+) -> DataFrame:
+    """Arrow-batched drop-in for ``src.select(*keep,
+    minhash_sig_expr(text_col, n).alias('sig'))``: ``src``'s columns
+    must be exactly the ``keep_schema`` columns (in order) plus
+    ``text_col``; returns the keep columns plus ``sig array<long>`` —
+    one mapInPandas pass, zero shuffle, bit-identical signatures
+    (:func:`minhash_sig_py`)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=[text_col])
+            out["sig"] = [
+                minhash_sig_py(
+                    None if t is None else str(t), n, perms, p
+                )
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    schema = (
+        keep_schema + ", sig array<long>" if keep_schema else "sig array<long>"
+    )
+    return src.mapInPandas(run, schema)
+
+
 def _band_keys(
     sig_df: DataFrame,
     id_alias: str,
@@ -1020,6 +1086,13 @@ def incremental_dedup(
         F.coalesce(F.col(text_col), F.lit("")).alias("text"),
     )
     ex_digests = ex.select(F.md5("text").alias("digest")).distinct()
+    # r15 A/B note (guide §4.2): the Arrow-kernel signature twin
+    # (minhash_sig_map) was measured HERE and lost — interleaved
+    # min-of-4 at sf0.1: incr_dedup 3.12 s (expression) vs 4.52 s
+    # (kernel).  The fold emits just 8 longs per doc and the JVM's
+    # native md5 is cheap, so per-gram hashlib in Python costs more
+    # than the interpreted fold saves; the kernel only wins where it
+    # also removes an explode/shuffle (source_overlap).
     ex_sig = ex.select("doc_id", minhash_sig_expr("text", ngram).alias("sig"))
     ex_bk = _band_keys(ex_sig, "e_id")
     return _incremental_dedup_core(
@@ -1320,22 +1393,29 @@ def source_overlap(
 
     Output: ``(src_a, src_b, est_jaccard double)`` for src_a < src_b.
     """
-    shingles = _text.grams_expr(n, text_col)  # linear builder — see gram_sql
-    h = (
-        F.expr(
-            "cast(conv(substring(md5(_sh), 1, 15), 16, 10) as bigint)"
-        )
-        % F.lit(p)
-    )
-    hs = docs.select(
-        F.col(group_col).alias("grp"), F.explode(shingles).alias("_sh")
-    ).select("grp", h.alias("h"))
-    sig = hs.groupBy("grp").agg(
+    # r15 (guide §4.2): per-DOCUMENT signatures via the Arrow kernel
+    # (minhash_sig_map, bit-identical arithmetic), then the per-source
+    # signature is the elementwise MIN over its documents' signatures —
+    # the same "MinHash of a union = min of the parts" identity the
+    # docstring already relies on, now applied at the doc level too.
+    # min((a*h+b)%p over all grams) == min over per-doc mins, exactly;
+    # the interpreted gram-array build + per-gram explode are gone.
+    # NULL-text docs produce a NULL signature and are dropped, matching
+    # the old explode(NULL) row elimination.
+    grp_type = docs.schema[group_col].dataType.simpleString()
+    sig_docs = minhash_sig_map(
+        docs.select(
+            F.col(group_col).alias("grp"), F.col(text_col).alias("text")
+        ),
+        f"grp {grp_type}",
+        n=n,
+        perms=perms,
+        p=p,
+    ).filter(F.col("sig").isNotNull())
+    sig = sig_docs.groupBy("grp").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(perms)
+            F.min(F.col("sig")[i]).alias(f"m{i}")
+            for i in range(len(perms))
         ]
     )
     a = sig.select(
