@@ -169,9 +169,11 @@ def jaccard_ppjoin(
     1. per doc: distinct shingles sorted by a global total order
        (xxhash64, string tiebreak);
     2. candidates must share an element of each other's PREFIX (first
-       n - ceil(t*n) + 1 sorted shingles) and pass the size bound
-       max(n1, n2) <= n_min / t — both necessary for J >= t, so no true
-       pair is lost;
+       n - ceil(t*n) + 1 sorted shingles), pass the size bound
+       max(n1, n2) <= n_min / t, and pass the PPJoin positional filter
+       (some shared prefix element at positions (i1, i2) must leave
+       min(n1-i1, n2-i2) >= the overlap the threshold requires) — all
+       necessary for J >= t, so no true pair is lost;
     3. each distinct candidate pair verified once with
        size(array_intersect) against the full arrays.
 
@@ -231,7 +233,20 @@ def jaccard_ppjoin(
         F.col("n_sh") - F.ceil(F.lit(t_lo) * F.col("n_sh")) + F.lit(1)
     ).cast("int")
     pre = arr.select(
-        "doc_id", "n_sh", F.explode(F.slice("hs", F.lit(1), pre_len)).alias("h")
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("hs", F.lit(1), pre_len)).alias("i", "h"),
+    )
+    # PPJoin positional filter: a match at 0-based sorted positions
+    # (i1, i2) bounds the pair's total overlap by min(n1-i1, n2-i2)
+    # PROVIDED no common element precedes it — true at the pair's
+    # earliest common prefix element, and keeping the pair when ANY
+    # match row passes is a superset of that, so no true pair is lost
+    # (J >= t needs overlap*(1+t) >= t*(n1+n2); t_lo absorbs the float
+    # ulp exactly like the size bound).  The exact array_intersect
+    # verification still decides membership.
+    ub = F.least(
+        F.col("a.n_sh") - F.col("a.i"), F.col("b.n_sh") - F.col("b.i")
     )
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
@@ -240,7 +255,11 @@ def jaccard_ppjoin(
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") * t_lo <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * t_lo <= F.col("a.n_sh")),
+            & (F.col("b.n_sh") * t_lo <= F.col("a.n_sh"))
+            & (
+                ub * (1.0 + t_lo)
+                >= t_lo * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
