@@ -30,6 +30,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from pandas_sigproc_spark.operators.ann import _dot, _norm
 
+# Default assignment implementation.  "expr" = the original map-side
+# array_min(transform(...)) fold; "kernel" = the vectorized mapInPandas
+# argmin over driver-collected centroids (_assign_kernel, bit-identical
+# — tests/test_kmeans_kernel.py).  r15 A/B (interleaved min-of-4, 1x /
+# 8x / 64x embeddings, both exact modes): at the gate regime (k=8,
+# dim=64) the kernel LOSES ~0.2-0.5 s per leg at every scale tried
+# (e.g. 64x production 4.08 vs 3.65 s) — the per-row fold is only
+# k*dim=512 interpreted steps while the kernel pays two driver collect
+# jobs plus Arrow encode stages, and the per-iteration wall is
+# dominated by the centroid-update explode, not the assignment.  So
+# the default stays "expr" (guide §4.1: measure, don't assume);
+# "kernel" is the measured-right choice only when k*dim grows 1-2
+# orders (many-cluster curation), where the interpreted fold scales
+# linearly in k and the kernel's argmin stays vectorized.
+_KMEANS_IMPL = "expr"
+
 
 def kmeans_embeddings(
     df: DataFrame,
@@ -40,6 +56,7 @@ def kmeans_embeddings(
     vec_col: str = "embedding",
     exact_sums: bool = False,
     persist=None,
+    impl: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's over an ``array<float|double>`` column.
 
@@ -50,7 +67,7 @@ def kmeans_embeddings(
     distances).
     """
     assigned, cents = _lloyd(
-        df, k, iters, id_col, vec_col, exact_sums, persist=persist
+        df, k, iters, id_col, vec_col, exact_sums, persist=persist, impl=impl
     )
     if persist:
         # ONE block for both consumers: counts and the centroid table
@@ -88,21 +105,72 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     exact_sums: bool = False,
     persist=None,
+    impl: str | None = None,
 ) -> DataFrame:
     """Per-vector cluster assignment after ``iters`` Lloyd rounds:
     ``(vec_id long, cluster int)`` — the input to cluster-balanced
     sampling / semantic curation stages."""
     assigned, _ = _lloyd(
-        df, k, iters, id_col, vec_col, exact_sums, persist=persist
+        df, k, iters, id_col, vec_col, exact_sums, persist=persist, impl=impl
     )
     return assigned.select(
         F.col("vid").alias(id_col), F.col("cluster").cast("int").alias("cluster")
     )
 
 
-def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None):
+def _assign_kernel(e, cents):
+    """Vectorized Lloyd assignment (r15 optimization, guide §4.2): the
+    k-row centroid table is collected driver-side — the same bytes the
+    expression path ships as a one-row collect_list broadcast — and each
+    Arrow batch of vectors is assigned with the ordered sqdist fold
+    (kernels/vecmath.ordered_sqdist, bit-identical to the JVM
+    ``aggregate(zip_with(v, c, (a-b)*(a-b)))`` left fold) plus a
+    first-occurrence argmin over centroid rows in ascending-cluster
+    order — exactly the lexicographic ``array_min`` over (d, cluster)
+    structs of the expression form.  NaN distances (a NaN vector
+    component makes EVERY centroid distance NaN) compare greater than
+    any double and equal to each other in JVM struct ordering, so
+    masking them to +inf and taking the first minimum reproduces the
+    expression's tie-to-smallest-cluster verdict."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_sigproc_spark.kernels import vecmath as vm
+    from pandas_sigproc_spark.operators.ann import _one_batch
+
+    rows = cents.select("cluster", "c").collect()
+    pairs = sorted((int(r["cluster"]), list(r["c"])) for r in rows)
+    cl_ids = np.array([c for c, _ in pairs], dtype=np.int64)
+    C = (
+        np.array([v for _, v in pairs], dtype=np.float64)
+        if pairs
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+
+    def kern(pdf):
+        X = vm.stack_vectors(pdf["v"], C.shape[1], "kmeans: vector length")
+        D = vm.ordered_sqdist(X, C)
+        np.copyto(D, np.inf, where=np.isnan(D))
+        idx = D.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "vid": pdf["vid"].to_numpy(),
+                "v": pdf["v"],
+                "cluster": cl_ids[idx].astype("int32"),
+            }
+        )
+
+    return e.mapInPandas(
+        _one_batch(kern), schema="vid long, v array<double>, cluster int"
+    )
+
+
+def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None, impl=None):
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
+    impl = impl or _KMEANS_IMPL
+    if impl not in ("kernel", "expr"):
+        raise ValueError(f"impl must be 'kernel' or 'expr'; got {impl!r}")
     e = df.select(
         F.col(id_col).cast("long").alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -147,33 +215,38 @@ def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None):
         )
 
     # Assignment is FULLY map-side: the k centroids collapse to a ONE-ROW
-    # broadcast array and the argmin runs per input row as
-    # array_min(transform(centroids, c -> struct(d, cluster))) — struct
+    # broadcast array ("expr") or a driver-collected closure ("kernel" —
+    # same k rows, same bytes) and the argmin runs per input row — struct
     # ordering is lexicographic (d, then cluster), exactly the stable
     # smallest-cluster tie-break the oracle's QUALIFY ROW_NUMBER()
-    # OVER (ORDER BY d, cluster) replays.  No corpus shuffle, no window:
-    # the explode-to-pairs + partitionBy(vid) row_number alternative
-    # shuffles N*k rows per iteration — a corpus-sized exchange that
-    # dominated the sf0.1 wall and would be the bottleneck at 100 TB.
+    # OVER (ORDER BY d, cluster) replays, and _assign_kernel reproduces
+    # it bit-for-bit (tests/test_kmeans_kernel.py).  No corpus shuffle,
+    # no window: the explode-to-pairs + partitionBy(vid) row_number
+    # alternative shuffles N*k rows per iteration — a corpus-sized
+    # exchange that dominated the sf0.1 wall and would be the bottleneck
+    # at 100 TB.
     assigned = None
     for _ in range(iters):
-        carr = cents.agg(
-            F.sort_array(F.collect_list(F.struct("cluster", "c"))).alias(
-                "_cs"
+        if impl == "kernel":
+            assigned = _assign_kernel(e, cents)
+        else:
+            carr = cents.agg(
+                F.sort_array(F.collect_list(F.struct("cluster", "c"))).alias(
+                    "_cs"
+                )
             )
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("_cs"),
-                lambda s: F.struct(
-                    sqdist(F.col("v"), s["c"]).alias("d"),
-                    s["cluster"].alias("cluster"),
-                ),
+            best = F.array_min(
+                F.transform(
+                    F.col("_cs"),
+                    lambda s: F.struct(
+                        sqdist(F.col("v"), s["c"]).alias("d"),
+                        s["cluster"].alias("cluster"),
+                    ),
+                )
             )
-        )
-        assigned = e.crossJoin(F.broadcast(carr)).select(
-            "vid", "v", best["cluster"].alias("cluster")
-        )
+            assigned = e.crossJoin(F.broadcast(carr)).select(
+                "vid", "v", best["cluster"].alias("cluster")
+            )
         per_dim = assigned.select(
             "cluster",
             "vid",
@@ -225,6 +298,7 @@ def semantic_dedup(
     round_digits: int = 6,
     max_cluster_rows: int | None | str = "auto",
     persist=True,
+    impl: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (after Abbas et al. 2023,
     arXiv:2303.09540): k-means the embeddings, then inside each cluster
@@ -294,7 +368,7 @@ def semantic_dedup(
     data.
     """
     assigned, _ = _lloyd(
-        df, k, iters, id_col, vec_col, exact_sums, persist=persist
+        df, k, iters, id_col, vec_col, exact_sums, persist=persist, impl=impl
     )
     # Normalize ONCE per row before the pair fan-out: the pair cosine then
     # collapses to a single dot-product fold.  Computing norms inside the
