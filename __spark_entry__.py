@@ -2141,7 +2141,10 @@ def q_rep_stats(spark, sf_dir):
     # line) so the line arithmetic is exercised with varied values.
     from pandas_sigproc_spark.operators.text import repetition_stats
 
-    d = _docs(spark, sf_dir).select(
+    # _docs_par, not _docs: the kernel plan is zero-shuffle, so without
+    # the _ensure_par widener the whole leg would run as the scan's one
+    # task (the §2 single-split rule).
+    d = _docs_par(spark, sf_dir).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,

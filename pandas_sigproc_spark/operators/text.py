@@ -345,8 +345,37 @@ def normalize_text(
 # ---------------------------------------------------------------------------
 
 
+def _rep_counts_py(text: str | None):
+    """Integer repetition counts for ONE document — exactly the counts
+    the relational explode/agg path aggregates: ``(n_lines,
+    n_distinct_lines, top_bigram_count, total_bigrams)``.  NULL text →
+    all None (split(NULL) is NULL, explode(NULL) emits no rows); fewer
+    than 2 words → (n_lines, n_dist, None, None) (the empty bigram
+    array emits no rows, so the agg side has no doc row).  Python
+    ``str.split(sep)`` equals Java ``split`` on these literal one-char
+    separators (both keep empty fields); every output is an exact
+    integer, so the JVM division/rounding downstream sees identical
+    inputs."""
+    if text is None:
+        return (None, None, None, None)
+    lines = text.split("\n")
+    ws = text.split(" ")
+    n_lines = len(lines)
+    n_dist = len(set(lines))
+    if len(ws) < 2:
+        return (n_lines, n_dist, None, None)
+    counts: dict = {}
+    prev = ws[0]
+    for w in ws[1:]:
+        bg = prev + " " + w
+        counts[bg] = counts.get(bg, 0) + 1
+        prev = w
+    return (n_lines, n_dist, max(counts.values()), len(ws) - 1)
+
+
 def repetition_stats(
-    docs, *, id_col: str = "doc_id", text_col: str = "text"
+    docs, *, id_col: str = "doc_id", text_col: str = "text",
+    impl: str = "kernel",
 ):
     """Gopher-style repetition quality signals per document:
 
@@ -356,12 +385,64 @@ def repetition_stats(
       the single most frequent bigram.
 
     High values of either mark boilerplate/spam for corpus filtering.
-    The bigram mode is computed RELATIONALLY (explode → count → max →
-    broadcast-join back): per-document work stays linear, and the only
-    shuffle keys on (doc, bigram) — uniformly distributed, no skew.  A
-    per-doc expression over distinct bigrams would be quadratic in
-    document length; the relational shape is the corpus-scale plan.
+
+    ``impl="kernel"`` (default, r15 optimization — guide §4.2, the
+    source_overlap precedent): one Arrow pass computes the four INTEGER
+    counts per document (:func:`_rep_counts_py` — a dict-counter walk,
+    linear per doc) and the division/rounding stays a JVM expression on
+    those exact integers, so every output double is bit-identical to
+    the relational plan while the per-bigram explode, both aggregation
+    exchanges, and the corpus-sized join disappear (plan: scan →
+    MapInPandas → project, zero shuffles).
+
+    ``impl="expr"`` keeps the relational form (explode → count → max →
+    join back): per-document work stays linear and the only shuffle
+    keys on (doc, bigram) — uniformly distributed, no skew.  It remains
+    the specification and the test anchor (a per-doc *expression* over
+    distinct bigrams would be quadratic in document length — the
+    kernel's hash counter is not).
     """
+    if impl not in ("kernel", "expr"):
+        raise ValueError(f"impl must be 'kernel' or 'expr'; got {impl!r}")
+    if impl == "kernel":
+        import pandas as pd
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = [
+                    _rep_counts_py(None if t is None else str(t))
+                    for t in pdf[text_col]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "n_lines": [r[0] for r in rows],
+                        "_nd": [r[1] for r in rows],
+                        "_top": [r[2] for r in rows],
+                        "_tot": [r[3] for r in rows],
+                    }
+                )
+
+        counted = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+        ).mapInPandas(
+            run,
+            "doc_id long, n_lines long, _nd long, _top long, _tot long",
+        )
+        return counted.select(
+            "doc_id",
+            "n_lines",
+            F.round(
+                (F.col("n_lines") - F.col("_nd"))
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("_top") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
     ws = F.split(F.col(text_col), " ")
     lines = F.split(F.col(text_col), "\n")
     base = docs.select(

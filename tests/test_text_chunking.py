@@ -120,3 +120,37 @@ def test_chunk_giant_doc_linear(spark):
     assert len(out) == (n_tok + 127) // 128
     row0 = out[out.chunk_id == 0].iloc[0]
     assert row0.chunk_text.startswith("u0 u1 ") and row0.n_tokens == 128
+
+
+def test_repetition_stats_kernel_equals_expr(spark):
+    # r15: the kernel path (one Arrow pass for the integer counts, JVM
+    # division/round) must match the relational explode/agg/join plan
+    # row-for-row, including the edge classes: NULL text, empty text,
+    # single word, multi-space runs (empty "words"), all-duplicate
+    # lines, and a long repetitive doc.
+    texts = [
+        None,
+        "",
+        "single",
+        "a  b   c",
+        "x\nx\nx",
+        "a b a b a b a b",
+        " lead and trail ",
+        "\n\n",
+        " ".join(f"w{i % 3}" for i in range(500)),
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    df = spark.createDataFrame(pdf)
+    k = sorted(map(tuple, repetition_stats(df, impl="kernel").collect()))
+    e = sorted(map(tuple, repetition_stats(df, impl="expr").collect()))
+    assert k == e
+    # and the kernel plan really is join/aggregate-free
+    plan = (
+        repetition_stats(df, impl="kernel")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan and "Join" not in plan
