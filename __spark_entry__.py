@@ -3119,12 +3119,17 @@ def q_ann_ivf(spark, sf_dir):
     # engines so the argmin can't flip on last-ulp summation-order
     # differences.  Delegates to the package API (operators/ann.py
     # ivf_topk — identical plan, oracle-proven).
+    # r16: persist the encoded (vec_id, v, _rk) table — the probe and
+    # list sides of the candidate join otherwise each re-run the
+    # vectorized encode kernel (the r15 regression on this leg was that
+    # doubled Arrow stage, see OPTIMIZATION_r16.md §ANN).
     return _ann.ivf_topk(
         _embeds_base(spark, sf_dir),
         F.col("vec_id") < 50,
         k=5,
         nlist=_IVF_NLIST,
         nprobe=_IVF_NPROBE,
+        persist=_persist,
     )
 
 
@@ -9820,21 +9825,35 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
             # own (empty) micro-batch, and the gates' batch-count
             # arithmetic relies on that (streaming_lfilter at sf0.01
             # has fewer than 129 samples per channel, so parts 2-4 are
-            # empty there).  Reproduce it: one empty single-file write
-            # with the payload schema, reused for every missing part.
+            # empty there).  r16: the empty file is written DIRECTLY
+            # with pyarrow — the r15 form ran a Spark job
+            # (createDataFrame([]).coalesce(1).write) for zero rows,
+            # measured at seconds of the lfilter leg's wall on a loaded
+            # host; a 4-column empty parquet needs no cluster.
             if empty_stage is None:
-                empty_stage = os.path.join(root, "stage_empty")
-                (
-                    spark.createDataFrame(
-                        [], tagged.drop("_gate_part").schema
-                    )
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(empty_stage)
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                _PA_TYPES = {
+                    "string": pa.string(),
+                    "double": pa.float64(),
+                    "bigint": pa.int64(),
+                    "int": pa.int32(),
+                    "boolean": pa.bool_(),
+                }
+                fields = [
+                    (f.name, _PA_TYPES[f.dataType.simpleString()])
+                    for f in tagged.drop("_gate_part").schema.fields
+                ]
+                empty_stage = os.path.join(root, "empty.parquet")
+                pq.write_table(
+                    pa.table(
+                        {n: pa.array([], type=t) for n, t in fields}
+                    ),
+                    empty_stage,
                 )
-            (pf,) = glob.glob(os.path.join(empty_stage, "part-*.parquet"))
             dst = os.path.join(src, f"part-{i:03d}.parquet")
-            shutil.copyfile(pf, dst)
+            shutil.copyfile(empty_stage, dst)
         else:
             (pf,) = found
             dst = os.path.join(src, f"part-{i:03d}.parquet")
@@ -9842,7 +9861,7 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
         os.utime(dst, (base + i, base + i))
         n_files += 1
     if empty_stage is not None:
-        shutil.rmtree(empty_stage, ignore_errors=True)
+        os.remove(empty_stage)
     shutil.rmtree(stage, ignore_errors=True)
     if n_files < 2:
         # a degenerate split (all rows in one residue class / empty
@@ -9877,15 +9896,16 @@ def _replay_stream_gate(spark, name, sf_dir, parts, schema, build):
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     state_parts = max(4, min(sess_parts, (batch_bytes >> 26) + 1))
     built = build(stream)
-    # Python-stateful ops (applyInPandasWithState) are COMPUTE-bound per
-    # partition, not commit-bound: narrowing them to the byte-derived
-    # width serializes the per-key Python work (measured: the rainflow
-    # replay runs 4.2 s at width 16 vs 7.0 s at width 4, while the
-    # JVM-state dedup replay prefers the narrow width).  Keep at least
-    # half the cores for those.
-    if "InPandasWithState" in built._jdf.queryExecution().analyzed().toString():
-        cpus = spark.sparkContext.defaultParallelism
-        state_parts = max(state_parts, min(sess_parts, max(cpus // 2, 4)))
+    # r15 kept a cpus//2 floor for Python-stateful ops here: with ONE
+    # group PER CHANNEL (1500 tiny groups/batch) the per-key Python work
+    # serialized at narrow widths (rainflow replay 4.2 s at width 16 vs
+    # 7.0 s at width 4).  r16's bucket-level state ops (channel_buckets
+    # in streaming_rainflow/streaming_lfilter) amortize that per-group
+    # cost, and the sweep INVERTED: bucketed rainflow runs 3.1 s at
+    # width 4 vs 4.1 s at width 16 vs 4.9 s at width 32 (min-of-2 warm,
+    # this host) — per-partition state-store open/commit is the
+    # remaining cost, so the byte-derived width above is now right for
+    # Python-stateful ops too and the floor is gone.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     try:
@@ -10019,7 +10039,17 @@ def q_streaming_rainflow(spark, sf_dir):
         sf_dir,
         parts,
         "channel_id string, t double, value double, seq long",
-        lambda s: streaming_rainflow(s, order_cols=("t", "seq")),
+        # r16 (guide §4 — amortize the per-group protocol cost): bucket
+        # the state op's keys to 4x the core count instead of one group
+        # per channel (1500 tiny groups/batch paid ~0.85 s/batch of
+        # applyInPandasWithState per-group overhead).  Scale-adaptive
+        # (derived from defaultParallelism, honoring $SPARK_GRAFT_CPUS),
+        # output bit-identical (tests/test_streaming.py pins it).
+        lambda s: streaming_rainflow(
+            s,
+            order_cols=("t", "seq"),
+            channel_buckets=4 * spark.sparkContext.defaultParallelism,
+        ),
     )
     return res.groupBy(
         "channel_id", F.round("rng", 2).alias("bin")
@@ -10150,7 +10180,15 @@ def q_streaming_lfilter(spark, sf_dir):
         sf_dir,
         parts,
         "channel_id string, t double, value double",
-        lambda s: streaming_lfilter(s, _IIR_B, _IIR_A, order_cols=("t",)),
+        # r16: bucket-level state (see q_streaming_rainflow) — fewer,
+        # fatter stateful groups; per-channel z-state carry unchanged.
+        lambda s: streaming_lfilter(
+            s,
+            _IIR_B,
+            _IIR_A,
+            order_cols=("t",),
+            channel_buckets=4 * spark.sparkContext.defaultParallelism,
+        ),
     )
 
 

@@ -904,6 +904,24 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+    # r16 (r15 verdict #2): a contended run must self-identify LOUDLY —
+    # the r15 32-core record (calib_spread 2.6) read as a phantom
+    # regression until the 8-core control was cross-checked.  The
+    # interleaved rms probe re-measures the same plan 5x across the
+    # sweep; a spread beyond ~2.5 means ambient load moved the host by
+    # that factor mid-run, so RAW walls are not comparable across runs
+    # — use bench_detail.json["normalization"] (per-leg walls divided by
+    # the nearest probe) instead.
+    spread = detail["calibration"]["spread"]
+    if spread > 2.5:
+        msg = (
+            f"[bench] WARNING: CONTENDED RUN — calib_spread {spread} > 2.5;"
+            " raw walls carry that much ambient noise. Compare the"
+            " probe-normalized legs in bench_detail.json normalization,"
+            " not the raw queries map."
+        )
+        print(msg)  # stdout: rides ahead of the detail/final lines
+        print(msg, file=sys.stderr, flush=True)
     print(json.dumps({"detail": detail}, separators=(",", ":")))
 
     # r12 final-line sizing (the r11 line hit 2126 B and the degrade

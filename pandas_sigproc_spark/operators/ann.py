@@ -599,6 +599,7 @@ def ivf_topk(
     centroid_pred: Column | None = None,
     centroids: DataFrame | None = None,
     round_digits: int = 6,
+    persist=None,
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its nearest of ``nlist``
     coarse centroids, probe each query's ``nprobe`` best lists, exact
@@ -613,10 +614,15 @@ def ivf_topk(
     per-vector window — and the only shuffles are the list-id equi-join
     and the final top-k window.  nprobe/nlist is the probed fraction —
     the runtime recall/cost knob (bench.py prints the live curve).
+    ``persist`` (r16, the siblings' pattern — ivf_sq8_topk/int8_lsh_topk
+    already carry it): applied to the encoded ``(vec_id, v, _rk)``
+    table both join sides consume — without it the vectorized encode
+    kernel runs twice, once per side.
     """
     if centroid_pred is None:
         centroid_pred = F.col("vec_id") < nlist
-    assigned = _ivf_assigned(vecs, centroid_pred, centroids)
+    persist = persist or (lambda df: df)
+    assigned = persist(_ivf_assigned(vecs, centroid_pred, centroids))
     lists = assigned.select(
         "vec_id", "v", F.element_at("_rk", 1).alias("list_id")
     )
@@ -1011,11 +1017,15 @@ def _pq_code_table(
     *,
     m: int,
     sub: int,
+    cc: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Corpus-side IVF-PQ encode: ``(vec_id, codes array<int>,
     list_id)`` — one vectorized mapInPandas stage (codebook + coarse
     centroids are bounded driver-side tables, exactly what the
-    expression path broadcast)."""
+    expression path broadcast).  ``cc`` passes an already-collected
+    ``(cids, C)`` pair so a caller that also needs the centroids (the
+    probe stage) collects them ONCE per query (r16, guide §4.5 —
+    heavyweight init once; each collect is a driver job)."""
     import pandas as pd
 
     if CB.shape[1] != m * sub:
@@ -1024,7 +1034,9 @@ def _pq_code_table(
             f" width {CB.shape[1]} != dim={m * sub}; fix codebook_pred/dim"
             " before the table is materialized"
         )
-    cids, C = _collect_centroids(vecs, centroid_pred, centroids)
+    cids, C = cc if cc is not None else _collect_centroids(
+        vecs, centroid_pred, centroids
+    )
     codes_for = _pq_encode_kernel(CB, m, sub)
     dim = m * sub
 
@@ -1174,6 +1186,15 @@ def ivf_pq_topk(
     sub = dim // m
 
     CB = _collect_codebook(vecs, codebook_pred, codebook)
+    # Coarse centroids collected ONCE per query (r16, guide §4.5): the
+    # corpus encode and the probe-side ranking consume the same
+    # nlist-row table, and each _collect_centroids is its own driver
+    # job — the r15 plan paid it twice.
+    if centroids is None:
+        centroids = vecs.filter(centroid_pred).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    cids, C = _collect_centroids(None, None, centroids)
 
     if code_table is not None:
         # pre-encoded (vec_id, codes, list_id) — the materialized
@@ -1189,17 +1210,10 @@ def ivf_pq_topk(
         # normalized one.
         lists = persist(
             _pq_code_table(
-                vecs, centroid_pred, centroids, CB, m=m, sub=sub
+                vecs, centroid_pred, centroids, CB, m=m, sub=sub,
+                cc=(cids, C),
             )
         )
-
-    # probe side: tiny — rebuild the centroid ranking and the ADC LUT
-    # for the query rows alone
-    if centroids is None:
-        centroids = vecs.filter(centroid_pred).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-        )
-    cids, C = _collect_centroids(None, None, centroids)
     if CB.shape[1] != dim:
         raise ValueError(
             f"ivf-pq: vector length / codebook width mismatch — codebook"

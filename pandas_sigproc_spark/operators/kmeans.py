@@ -46,6 +46,24 @@ from pandas_sigproc_spark.operators.ann import _dot, _norm
 # linearly in k and the kernel's argmin stays vectorized.
 _KMEANS_IMPL = "expr"
 
+# Production-mode (exact_sums=False) centroid-UPDATE implementation.
+# "kernel" = per-batch partial sums in one mapInPandas (each Arrow batch
+# emits k rows of (cluster, n, dim-long partial-sum array); the explode
+# then runs over k*batches rows instead of N*dim — guide §2.3 "aggregate
+# before you shuffle").  "expr" = the original posexplode(N*dim rows) +
+# partial agg.  The exact-mode fence: exact_sums=True ALWAYS uses the
+# expression path — its ordered per-(cluster, dim) fold is the
+# bit-reproducibility contract, and a batch-local NumPy sum would change
+# the summation order.  Production mode's partial-agg SUM never pinned
+# an order (its result already depends on Spark's partitioning), so the
+# kernel is inside the documented semantics class; on float32-sourced
+# embeddings every order sums exactly in float64 (zero rounding, see
+# semantic_dedup's determinism note), so the gate corpora are
+# bit-identical either way.  NULL vectors are skipped like
+# posexplode(NULL); a NULL ELEMENT inside a vector is the one documented
+# carve-out (NumPy carries it as NaN, Spark's SUM would skip it).
+_KMEANS_UPDATE_IMPL = "kernel"
+
 
 def kmeans_embeddings(
     df: DataFrame,
@@ -165,6 +183,42 @@ def _assign_kernel(e, cents):
     )
 
 
+def _update_partials(assigned):
+    """Per-batch partial centroid sums (r16 optimization): one
+    ``mapInPandas`` pass emits, per Arrow batch and per (cluster, vector
+    length) group, a single ``(cluster, n, s array<double>)`` row — the
+    batch's member count and elementwise sum.  Downstream explodes
+    k*batches partial rows instead of N*dim element rows.  Grouping by
+    length keeps ragged inputs on the expression semantics: a row
+    contributes to exactly the dims it has, and ``sum(ps)/sum(n)`` per
+    (cluster, dim) then equals the expression path's
+    ``sum(val)/count(*)`` row for row."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_sigproc_spark.operators.ann import _one_batch
+
+    def kern(pdf):
+        ok = pdf["v"].notna()
+        cl = pdf["cluster"][ok]
+        vs = pdf["v"][ok]
+        out_c, out_n, out_s = [], [], []
+        if len(vs):
+            lens = vs.map(len)
+            for (c, _L), idx in vs.groupby([cl, lens]).groups.items():
+                M = np.asarray(list(vs.loc[idx]), dtype=np.float64)
+                out_c.append(int(c))
+                out_n.append(M.shape[0])
+                out_s.append(M.sum(axis=0))
+        return pd.DataFrame({"cluster": pd.Series(out_c, dtype="int32"),
+                             "n": pd.Series(out_n, dtype="int64"),
+                             "s": out_s})
+
+    return assigned.select("cluster", "v").mapInPandas(
+        _one_batch(kern), schema="cluster int, n long, s array<double>"
+    )
+
+
 def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None, impl=None):
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
@@ -247,12 +301,12 @@ def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None, impl=None):
             assigned = e.crossJoin(F.broadcast(carr)).select(
                 "vid", "v", best["cluster"].alias("cluster")
             )
-        per_dim = assigned.select(
-            "cluster",
-            "vid",
-            F.posexplode("v").alias("dim", "val"),
-        )
         if exact_sums:
+            per_dim = assigned.select(
+                "cluster",
+                "vid",
+                F.posexplode("v").alias("dim", "val"),
+            )
             summed = per_dim.groupBy("cluster", "dim").agg(
                 (
                     F.aggregate(
@@ -268,7 +322,22 @@ def _lloyd(df, k, iters, id_col, vec_col, exact_sums, persist=None, impl=None):
                     / F.count("*")
                 ).alias("cval"),
             )
+        elif _KMEANS_UPDATE_IMPL == "kernel":
+            # r16: per-batch partial sums — the N*dim explode becomes
+            # k*batches partial rows (see _update_partials / the
+            # _KMEANS_UPDATE_IMPL note).
+            partials = _update_partials(assigned)
+            summed = partials.select(
+                "cluster", "n", F.posexplode("s").alias("dim", "ps")
+            ).groupBy("cluster", "dim").agg(
+                (F.sum("ps") / F.sum("n")).alias("cval")
+            )
         else:
+            per_dim = assigned.select(
+                "cluster",
+                "vid",
+                F.posexplode("v").alias("dim", "val"),
+            )
             summed = per_dim.groupBy("cluster", "dim").agg(
                 (F.sum("val") / F.count("*")).alias("cval")
             )

@@ -166,9 +166,19 @@ def _drain_bounded(pdf_iter, max_batch_rows: int | None, op: str) -> list:
     return chunks
 
 
+def _bucket_key(n_buckets: int):
+    """Deterministic channel -> bucket key for bucket-level state ops.
+
+    ``pmod(xxhash64(channel_id), n)`` — stable across micro-batches and
+    restarts (xxhash64 is seed-pinned), never derived from rand()
+    (guide §2.5: retried tasks must reproduce the assignment)."""
+    return F.pmod(F.xxhash64(F.col("channel_id")), F.lit(int(n_buckets)))
+
+
 def streaming_lfilter(
     df: DataFrame, b, a, order_cols: tuple[str, ...] = ("t",),
     max_batch_rows: int | None = None,
+    channel_buckets: int | None = None,
 ) -> DataFrame:
     """Causal IIR filter over a stream: per-channel delay-line state.
 
@@ -197,6 +207,27 @@ def streaming_lfilter(
     micro-batch delivering more rows than declared for one channel fails
     loudly with the tuning guidance instead of creeping toward task OOM
     (tests/test_streaming.py::test_oversized_batch_guard).
+
+    ``channel_buckets`` (r16 optimization, guide §4 — amortize the
+    per-group protocol cost, not the arithmetic): ``applyInPandasWithState``
+    pays a fixed per-(key, micro-batch) protocol cost (state row
+    round-trip + one pandas frame per group each side, measured
+    ~0.6-0.9 ms regardless of row count), which dominates when keys are
+    many and per-key batches are small (1500 channels x ~17 rows each).
+    With ``channel_buckets=n`` the state op is keyed by
+    ``pmod(xxhash64(channel_id), n)`` and each group carries a DICT of
+    per-channel delay lines in its state row; inside the group every
+    channel is still sorted and filtered independently, so the output
+    rows and the carried per-channel state are bit-identical to the
+    per-channel keying — only the group count drops from #channels to
+    ``n`` (pinned in tests/test_streaming.py).  Pick n a few times the
+    core count (keys spread over the state partitions, guide §2.5);
+    per-channel keying remains the default.  ``max_batch_rows`` stays a
+    PER-CHANNEL bound, enforced after the in-group split (the
+    pre-concat incremental guard cannot see channel boundaries, so the
+    bucketed form trades that early-abort for the amortization —
+    per-task memory is then one bucket's micro-batch slice, i.e. batch
+    bytes / n).
     """
     from pandas_sigproc_spark.kernels.iir import lfilter
 
@@ -250,6 +281,78 @@ def streaming_lfilter(
 
         return df.groupBy("channel_id").applyInPandas(
             batch_kernel, _LFILTER_OUT_SCHEMA
+        )
+
+    if channel_buckets is not None:
+        if int(channel_buckets) < 1:
+            raise ValueError("need channel_buckets >= 1")
+        bucket_state = StructType(
+            [
+                StructField("channels", ArrayType(StringType())),
+                StructField("zis", ArrayType(ArrayType(DoubleType()))),
+            ]
+        )
+
+        def bucket_step(key, pdf_iter, state):
+            if state.exists:
+                chans, zis = state.get
+                st = {
+                    c: np.asarray(z, dtype=np.float64)
+                    for c, z in zip(chans, zis)
+                }
+            else:
+                st = {}
+            chunks = list(pdf_iter)
+            outs = []
+            if chunks:
+                # ONE stable sort puts channels contiguous AND each
+                # channel in order_cols order — the same mergesort the
+                # per-channel step applies, so each channel's series is
+                # bit-identical to the per-channel keying.
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["channel_id", *order_cols], kind="mergesort"
+                )
+                for cid, g in pdf.groupby("channel_id", sort=False):
+                    _check_batch_bound(
+                        len(g), max_batch_rows, "streaming_lfilter"
+                    )
+                    zi = st.get(cid)
+                    if zi is None:
+                        zi = np.zeros(nstate)
+                    y, zi = lfilter(
+                        b, a, g["value"].to_numpy(np.float64), zi=zi
+                    )
+                    st[cid] = zi
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "channel_id": g["channel_id"],
+                                "t": g["t"],
+                                "value": y,
+                            }
+                        )
+                    )
+            state.update(
+                (
+                    list(st.keys()),
+                    [np.asarray(z).tolist() for z in st.values()],
+                )
+            )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:  # defensive: never invoked without data under NoTimeout
+                return
+
+        return (
+            df.withColumn("_bkt", _bucket_key(channel_buckets))
+            .groupBy("_bkt")
+            .applyInPandasWithState(
+                bucket_step,
+                outputStructType=_LFILTER_OUT_SCHEMA,
+                stateStructType=bucket_state,
+                outputMode="append",
+                timeoutConf="NoTimeout",
+            )
         )
 
     return (
@@ -389,6 +492,7 @@ _RAINFLOW_STATE_SCHEMA = StructType(
 def streaming_rainflow(
     df: DataFrame, order_cols: tuple[str, ...] = ("t",),
     max_batch_rows: int | None = None,
+    channel_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming fatigue monitoring: rainflow FULL-cycle counting with
     per-channel residue state across micro-batches.
@@ -417,6 +521,14 @@ def streaming_rainflow(
     (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` / trigger
     interval) for high-rate channels; ``max_batch_rows`` enforces the
     declared bound loudly (see ``_check_batch_bound``).
+
+    ``channel_buckets`` — same bucket-level state option as
+    :func:`streaming_lfilter` (see its docstring): key the state op by
+    ``pmod(xxhash64(channel_id), n)`` and carry a dict of per-channel
+    residues per group, amortizing the per-group protocol cost over
+    many small channels.  Emitted cycles and carried residues are
+    bit-identical to per-channel keying; ``max_batch_rows`` stays a
+    per-channel bound enforced after the in-group split.
     """
     from pandas_sigproc_spark.kernels.rainflow import extract_full_cycles_4pt
 
@@ -469,6 +581,63 @@ def streaming_rainflow(
 
         return df.groupBy("channel_id").applyInPandas(
             kernel, _RAINFLOW_OUT_SCHEMA
+        )
+
+    if channel_buckets is not None:
+        if int(channel_buckets) < 1:
+            raise ValueError("need channel_buckets >= 1")
+        bucket_state = StructType(
+            [
+                StructField("channels", ArrayType(StringType())),
+                StructField("residues", ArrayType(ArrayType(DoubleType()))),
+            ]
+        )
+
+        def bucket_step(key, pdf_iter, state):
+            if state.exists:
+                chans, residues = state.get
+                st = {c: list(r) for c, r in zip(chans, residues)}
+            else:
+                st = {}
+            chunks = list(pdf_iter)
+            cids, rngs, cnts = [], [], []
+            if chunks:
+                # one stable sort: channels contiguous, each channel in
+                # order_cols order — bit-identical per-channel series to
+                # the per-channel keying (see streaming_lfilter).
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["channel_id", *oc], kind="mergesort"
+                )
+                for cid, g in pdf.groupby("channel_id", sort=False):
+                    _check_batch_bound(
+                        len(g), max_batch_rows, "streaming_rainflow"
+                    )
+                    vals = np.concatenate(
+                        [
+                            np.asarray(st.get(cid, []), np.float64),
+                            g["value"].to_numpy(np.float64),
+                        ]
+                    )
+                    out, res = extract_full_cycles_4pt(vals)
+                    st[cid] = [float(x) for x in res]
+                    cids.extend([cid] * len(out))
+                    rngs.extend(r for r, _ in out)
+                    cnts.extend(c for _, c in out)
+            state.update((list(st.keys()), list(st.values())))
+            yield pd.DataFrame(
+                {"channel_id": cids, "rng": rngs, "cnt": cnts}
+            )
+
+        return (
+            df.withColumn("_bkt", _bucket_key(channel_buckets))
+            .groupBy("_bkt")
+            .applyInPandasWithState(
+                bucket_step,
+                outputStructType=_RAINFLOW_OUT_SCHEMA,
+                stateStructType=bucket_state,
+                outputMode="append",
+                timeoutConf="NoTimeout",
+            )
         )
 
     return df.groupBy("channel_id").applyInPandasWithState(

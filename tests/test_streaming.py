@@ -295,6 +295,112 @@ def test_streaming_rainflow_residue_closeout_matches_e1049(spark, stream_dir):
     assert closed == want
 
 
+def test_streaming_lfilter_bucketed_equals_per_channel(spark, stream_dir):
+    # channel_buckets (r16): bucket-level state (a dict of per-channel
+    # delay lines per group) must be BIT-identical to per-channel keying
+    # — same one-shot whole-channel golden as the per-channel test, so a
+    # green run proves the z-state carried per channel across batches
+    # inside the shared bucket state rows.
+    root, full = stream_dir
+    b, a = butter(2, 0.2, "lowpass")
+    for nb in (1, 2, 7):  # 1 = all channels one group; 7 > #channels
+        stream = _read_stream(spark, root)
+        out, n_batches = _run_stream(
+            spark,
+            streaming_lfilter(stream, b, a, channel_buckets=nb),
+            f"t_lfilt_bkt{nb}",
+            "append",
+        )
+        assert n_batches >= 4
+        got = (
+            out.toPandas()
+            .sort_values(["channel_id", "t"])
+            .reset_index(drop=True)
+        )
+        exp_rows = []
+        for cid, grp in full.groupby("channel_id"):
+            grp = grp.sort_values("t")
+            y, _ = lfilter(
+                b, a, grp["value"].to_numpy(),
+                zi=np.zeros(max(len(a), len(b)) - 1),
+            )
+            exp_rows.append(
+                pd.DataFrame(
+                    {"channel_id": cid, "t": grp["t"].to_numpy(), "value": y}
+                )
+            )
+        exp = (
+            pd.concat(exp_rows, ignore_index=True)
+            .sort_values(["channel_id", "t"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), nb
+        assert list(got["channel_id"]) == list(exp["channel_id"]), nb
+        assert np.array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        ), nb  # bit-exact
+
+
+def test_streaming_rainflow_bucketed_equals_per_channel(spark, stream_dir):
+    # Bucketed rainflow state: the per-channel residue dict must emit
+    # the exact full-cycle multiset of the per-channel keying.
+    from pandas_sigproc_spark.streaming import streaming_rainflow
+
+    root, full = stream_dir
+    stream = _read_stream(spark, root)
+    out, n_batches = _run_stream(
+        spark,
+        streaming_rainflow(stream, channel_buckets=2),
+        "t_rainflow_bkt",
+        "append",
+    )
+    assert n_batches >= 4
+    got = out.toPandas()
+    ref_stream = _read_stream(spark, root)
+    exp, _ = _run_stream(
+        spark, streaming_rainflow(ref_stream), "t_rainflow_ref", "append"
+    )
+    exp = exp.toPandas()
+    for cid in full["channel_id"].unique():
+        g = sorted(got[got.channel_id == cid]["rng"].tolist())
+        e = sorted(exp[exp.channel_id == cid]["rng"].tolist())
+        assert g == e, cid  # bit-exact: same subtractions on same doubles
+    assert (got["cnt"] == 1.0).all() and len(got) > 0
+
+
+def test_bucketed_guard_still_per_channel(spark, stream_dir):
+    # max_batch_rows stays a PER-CHANNEL bound under bucketing: each
+    # source file carries 100 rows/channel, so a 150-row bound must PASS
+    # even though a bucket holding all 3 channels sees 300 rows/batch —
+    # and a 50-row bound must still fail loudly.
+    root, _full = stream_dir
+    b, a = butter(2, 0.2, "lowpass")
+    ok, _ = _run_stream(
+        spark,
+        streaming_lfilter(
+            _read_stream(spark, root), b, a,
+            max_batch_rows=150, channel_buckets=1,
+        ),
+        "t_bkt_guard_ok",
+        "append",
+    )
+    assert ok.count() > 0
+    q = (
+        streaming_lfilter(
+            _read_stream(spark, root), b, a,
+            max_batch_rows=50, channel_buckets=1,
+        )
+        .writeStream.format("memory")
+        .queryName("t_bkt_guard_bad")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "max_batch_rows" in str(ei.value)
+
+
 def test_oversized_batch_guard(spark, stream_dir):
     # The documented per-(channel, micro-batch) memory contract is
     # ENFORCED when declared: each source file carries 100 rows/channel,

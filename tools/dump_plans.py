@@ -10,7 +10,11 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("dump_plans", cpus=32)
 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 qs = E.queries()
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+out_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
+)
 os.makedirs(out_dir, exist_ok=True)
 for name in names:
     df = qs[name](spark, sf_dir)
